@@ -1,0 +1,362 @@
+package graft.adapter
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.ModelKind
+
+/** A physical table: a (possibly partitioned) parquet root with versioned data
+  * directories `v0, v1, …` underneath. Every destructive operation writes a NEW
+  * version directory and repoints the catalog view — copy-on-write, so readers
+  * never observe a half-written table and no operation ever reads the path it
+  * writes (Spark forbids that). On a real cluster the same layout works on
+  * HDFS/S3 via the Hadoop FS API; swapping in Delta/Iceberg would collapse the
+  * version dirs into table versions.
+  */
+final case class PhysicalTable(
+    database: String,          // e.g. graft__sushi
+    table: String,             // e.g. sushi__foo__<version>
+    root: String,              // fs root holding v* data dirs
+    partitionedBy: Seq[String] = Nil) {
+  def qualified: String = s"`$database`.`$table`"
+}
+
+/** The EngineAdapter collapsed to one Spark-native implementation
+  * (reference surface: sqlmesh/core/engine_adapter/base.py; Spark adapter
+  * sqlmesh/core/engine_adapter/spark.py). Plane-A SQL executes on Catalyst;
+  * this class owns the Plane-B relational operations: DDL, CTAS, inserts,
+  * insert-overwrite-by-time, merge, and SCD2.
+  */
+class SparkMaterializer(val spark: SparkSession) {
+  import SparkMaterializer._
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ---------------------------------------------------------------- DDL
+
+  /** create_schema (base.py:1380) */
+  def createSchema(db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+
+  def dropSchema(db: String, cascade: Boolean = true): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` ${if (cascade) "CASCADE" else ""}")
+
+  /** Current committed data directory (highest v*), if any. */
+  def currentDataDir(t: PhysicalTable): Option[String] = {
+    val root = new Path(t.root)
+    val f = fs(root)
+    if (!f.exists(root)) None
+    else {
+      val versions = f.listStatus(root).map(_.getPath.getName)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+      if (versions.isEmpty) None else Some(new Path(root, s"v${versions.max}").toString)
+    }
+  }
+
+  private def nextDataDir(t: PhysicalTable): String = {
+    val cur = currentDataDir(t).map(_.split('/').last.drop(1).toInt).getOrElse(-1)
+    new Path(new Path(t.root), s"v${cur + 1}").toString
+  }
+
+  /** (Re)point the catalog view at the current data dir. Partition columns are
+    * discovered from the directory layout at read time. */
+  def register(t: PhysicalTable): Unit = {
+    createSchema(t.database)
+    currentDataDir(t).foreach { dir =>
+      spark.sql(s"CREATE OR REPLACE VIEW ${t.qualified} AS SELECT * FROM parquet.`$dir`")
+    }
+  }
+
+  def tableExists(t: PhysicalTable): Boolean =
+    spark.catalog.tableExists(s"${t.database}.${t.table}")
+
+  def read(t: PhysicalTable): DataFrame =
+    spark.read.parquet(currentDataDir(t).getOrElse(
+      throw new IllegalStateException(s"table ${t.qualified} has no data")))
+
+  def dropTable(t: PhysicalTable): Unit = {
+    spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
+    val root = new Path(t.root)
+    val f = fs(root)
+    if (f.exists(root)) f.delete(root, true)
+  }
+
+  // ------------------------------------------------------------- writes
+
+  private def write(df: DataFrame, dir: String, partitionedBy: Seq[String],
+                    mode: SaveMode = SaveMode.Overwrite, dynamic: Boolean = false): Unit = {
+    var w = df.write.mode(mode)
+    if (partitionedBy.nonEmpty) w = w.partitionBy(partitionedBy: _*)
+    if (dynamic) w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(dir)
+  }
+
+  /** ctas / create-or-replace (base.py:680 ctas; replace_query :459). Writes a
+    * fresh version dir then repoints — safe even when `df` reads the old one. */
+  def replaceQuery(t: PhysicalTable, df: DataFrame): Unit = {
+    val dir = nextDataDir(t)
+    write(df, dir, t.partitionedBy)
+    register(t)
+  }
+
+  def ctas(t: PhysicalTable, df: DataFrame): Unit = replaceQuery(t, df)
+
+  /** insert_append (base.py:1500) — append into the CURRENT version dir. */
+  def insertAppend(t: PhysicalTable, df: DataFrame): Unit = currentDataDir(t) match {
+    case None      => replaceQuery(t, df)
+    case Some(dir) => write(df, dir, t.partitionedBy, SaveMode.Append); register(t)
+  }
+
+  /** insert_overwrite_by_time_partition (base.py:1580): enforce the inclusive
+    * `[start, end]` predicate on the data (idempotent-restatement correctness,
+    * not just perf), then dynamically overwrite only the touched partitions.
+    * At 100 TB this is the core incremental op — cost ∝ interval size, never
+    * table size, and untouched partitions are never rewritten. */
+  def insertOverwriteByTimePartition(
+      t: PhysicalTable, df: DataFrame, timeCol: String,
+      startMs: Long, endMs: Long): Unit = {
+    val lo = lit(new java.sql.Timestamp(startMs))
+    val hi = lit(new java.sql.Timestamp(endMs)) // half-open [start, end)
+    val guarded = df.filter(col(timeCol) >= lo && col(timeCol) < hi)
+    currentDataDir(t) match {
+      case None => replaceQuery(t, guarded)
+      case Some(dir) =>
+        if (t.partitionedBy.nonEmpty) {
+          write(guarded, dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true)
+          register(t)
+        } else {
+          // DELETE_INSERT strategy fallback (shared.py:235) on unpartitioned
+          // tables: rewrite = keep-outside-range ∪ new-rows, copy-on-write.
+          val old = read(t).filter(!(col(timeCol) >= lo && col(timeCol) < hi))
+          replaceQuery(t, old.unionByName(guarded))
+        }
+    }
+  }
+
+  /** insert_overwrite_by_partition (base.py:1551): overwrite exactly the
+    * partitions present in `df` (dynamic partition overwrite). */
+  def insertOverwriteByPartition(t: PhysicalTable, df: DataFrame): Unit =
+    currentDataDir(t) match {
+      case None      => replaceQuery(t, df)
+      case Some(dir) =>
+        require(t.partitionedBy.nonEmpty, "INCREMENTAL_BY_PARTITION needs partitioned_by")
+        write(df, dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true)
+        register(t)
+    }
+
+  /** delete_from (base.py:1497) as copy-on-write anti-filter. */
+  def deleteWhere(t: PhysicalTable, cond: Column): Unit =
+    replaceQuery(t, read(t).filter(!coalesce(cond, lit(false))))
+
+  /** merge (base.py:2203; logical emulation mixins.py:35 LogicalMergeMixin):
+    * upsert `source` into the target on unique-key equality. Default semantics =
+    * update-all-columns when matched, insert when not. Emulated as
+    * (target ANTI JOIN source-keys) ∪ deduped-source — one shuffle on the key.
+    *
+    * Scale path: when the target is partitioned and `mergeFilter` (kind.py:516)
+    * or the source's partition values restrict the touched partitions, only
+    * those partitions are rewritten via dynamic overwrite; the rest of the
+    * table is untouched.
+    */
+  def merge(t: PhysicalTable, source: DataFrame, keys: Seq[String],
+            mergeFilter: Option[Column] = None): Unit = {
+    currentDataDir(t) match {
+      case None => replaceQuery(t, dedupByKey(source, keys))
+      case Some(dir) =>
+        val src = dedupByKey(source, keys)
+        if (t.partitionedBy.nonEmpty && t.partitionedBy.forall(src.columns.contains)) {
+          // partition-pruned merge: rewrite only partitions present in source
+          val parts = src.select(t.partitionedBy.map(col): _*).distinct()
+          var affected = read(t).join(broadcast(parts), t.partitionedBy, "left_semi")
+          mergeFilter.foreach(fl => affected = affected.filter(fl))
+          val merged = affected.join(src.select(keys.map(col): _*), keys, "left_anti")
+            .unionByName(src)
+          // stage via temp dir: can't dynamic-overwrite the dir being read
+          val tmp = new Path(new Path(t.root), s"tmp_${System.nanoTime()}").toString
+          write(merged, tmp, t.partitionedBy)
+          write(spark.read.parquet(tmp), dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true)
+          val p = new Path(tmp); fs(p).delete(p, true)
+          register(t)
+        } else {
+          var target = read(t)
+          val untouched = mergeFilter match {
+            case Some(fl) => target.filter(!coalesce(fl, lit(false)))
+            case None     => target.limit(0)
+          }
+          mergeFilter.foreach(fl => target = target.filter(coalesce(fl, lit(false))))
+          val merged = target.join(src.select(keys.map(col): _*), keys, "left_anti")
+            .unionByName(src).unionByName(untouched)
+          replaceQuery(t, merged)
+        }
+    }
+  }
+
+  /** Latest row per key — ties broken deterministically by all remaining
+    * columns so merge results are stable (reference dedups source by key:
+    * base.py:1854 `source` CTE). `orderBy` gives the recency column if any. */
+  def dedupByKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column] = Nil): DataFrame = {
+    val others = df.columns.filterNot(keys.contains).map(c => col(c).desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((if (orderBy.nonEmpty) orderBy.map(_.desc) else others.toSeq): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- SCD2
+
+  /** scd_type_2_by_time (base.py:1738, _scd_type_2 :1810-2201) re-expressed as
+    * one DataFrame job instead of the reference's 8-CTE SQL pipeline:
+    * source(dedup) FULL JOIN latest-open-rows, per-row CASE decides
+    * close/carry/insert, union with static history, copy-on-write the table.
+    *
+    * Semantics ported 1:1: epoch-0 valid_from on first load (:1916), hard-delete
+    * invalidation via execution_ts (:1921), re-insert after delete starts at
+    * max(deleted.valid_to, updated_at) (:1921 latest_deleted),
+    * `updated_at_as_valid_from` (:1904).
+    */
+  def scdType2ByTime(t: PhysicalTable, sourceDf: DataFrame,
+                     kind: ModelKind.ScdType2ByTime, executionTs: java.sql.Timestamp): Unit = {
+    val keys = kind.uniqueKey
+    val vf = kind.validFromCol; val vt = kind.validToCol; val ua = kind.updatedAtCol
+    val source = dedupByKey(sourceDf, keys, Seq(col(ua)))
+    val epoch0 = lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+
+    currentDataDir(t) match {
+      case None =>
+        // initial load: every row open; valid_from = epoch 0 unless
+        // updated_at_as_valid_from (:1904,:1916)
+        val init = source
+          .withColumn(vf, if (kind.updatedAtAsValidFrom) col(ua) else epoch0)
+          .withColumn(vt, lit(null).cast("timestamp"))
+        replaceQuery(t, init)
+
+      case Some(_) =>
+        val target = read(t)
+        val static = target.filter(col(vt).isNotNull)
+        val latest = target.filter(col(vt).isNull)
+        // most recent closed row per key — for hard-delete re-inserts (:1921)
+        val latestDeleted = static.groupBy(keys.map(col): _*)
+          .agg(max(col(vt)).as("__del_vt"))
+
+        val s = source.select(source.columns.map(c => col(c).as(s"s_$c")): _*)
+        val l = latest.select(latest.columns.map(c => col(c).as(s"t_$c")): _*)
+        val joinCond = keys.map(k => col(s"s_$k") <=> col(s"t_$k")).reduce(_ && _)
+        val j = s.join(l, joinCond, "full_outer")
+
+        val dataCols = source.columns.toSeq
+        val inSource = col(s"s_${keys.head}").isNotNull
+        val inTarget = col(s"t_${keys.head}").isNotNull
+        val changed = inSource && inTarget && (col(s"s_$ua") > col(s"t_$ua"))
+
+        // 1. carried/closed version of existing open rows
+        val existing = j.filter(inTarget).select(
+          (dataCols.map(c => col(s"t_$c").as(c)) :+
+            col(s"t_$vf").as(vf) :+
+            when(changed, col(s"s_$ua"))                        // close at new updated_at
+              .when(!inSource && lit(kind.invalidateHardDeletes), lit(executionTs))
+              .otherwise(lit(null).cast("timestamp")).as(vt)): _*)
+
+        // 2. new version rows for changed keys
+        val updatedNew = j.filter(changed).select(
+          (dataCols.map(c => col(s"s_$c").as(c)) :+
+            (if (kind.updatedAtAsValidFrom) col(s"s_$ua") else col(s"s_$ua")).as(vf) :+
+            lit(null).cast("timestamp").as(vt)): _*)
+
+        // 3. brand-new keys (incl. re-appearing hard-deleted keys)
+        val inserted = j.filter(inSource && !inTarget).select(
+          (dataCols.map(c => col(s"s_$c").as(c)) :+
+            (if (kind.updatedAtAsValidFrom) col(s"s_$ua") else col(s"s_$ua")).as(vf) :+
+            lit(null).cast("timestamp").as(vt)): _*)
+          .join(broadcast(latestDeleted), keys, "left")
+          .withColumn(vf, when(col("__del_vt").isNotNull,
+            greatest(col("__del_vt"), col(vf))).otherwise(col(vf)))
+          .drop("__del_vt")
+
+        replaceQuery(t, static.unionByName(existing).unionByName(updatedNew).unionByName(inserted))
+    }
+  }
+
+  /** scd_type_2_by_column (base.py:1774): change detection = null-safe
+    * inequality over `check_columns` (:1938 `!(s <=> t)`); valid_from/valid_to
+    * use execution_ts (no updated_at in the source). */
+  def scdType2ByColumn(t: PhysicalTable, sourceDf: DataFrame,
+                       kind: ModelKind.ScdType2ByColumn,
+                       executionTs: java.sql.Timestamp): Unit = {
+    val keys = kind.uniqueKey
+    val vf = kind.validFromCol; val vt = kind.validToCol
+    val source = dedupByKey(sourceDf, keys)
+    val epoch0 = lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+    val checkCols =
+      if (kind.checkColumns == Seq("*")) source.columns.toSeq.filterNot(keys.contains)
+      else kind.checkColumns
+
+    currentDataDir(t) match {
+      case None =>
+        val init = source
+          .withColumn(vf, if (kind.executionTimeAsValidFrom) lit(executionTs) else epoch0)
+          .withColumn(vt, lit(null).cast("timestamp"))
+        replaceQuery(t, init)
+      case Some(_) =>
+        val target = read(t)
+        val static = target.filter(col(vt).isNotNull)
+        val latest = target.filter(col(vt).isNull)
+        val latestDeleted = static.groupBy(keys.map(col): _*)
+          .agg(max(col(vt)).as("__del_vt"))
+
+        val s = source.select(source.columns.map(c => col(c).as(s"s_$c")): _*)
+        val l = latest.select(latest.columns.map(c => col(c).as(s"t_$c")): _*)
+        val joinCond = keys.map(k => col(s"s_$k") <=> col(s"t_$k")).reduce(_ && _)
+        val j = s.join(l, joinCond, "full_outer")
+
+        val dataCols = source.columns.toSeq
+        val inSource = col(s"s_${keys.head}").isNotNull
+        val inTarget = col(s"t_${keys.head}").isNotNull
+        val changed = inSource && inTarget &&
+          checkCols.map(c => !(col(s"s_$c") <=> col(s"t_$c"))).reduce(_ || _)
+
+        val existing = j.filter(inTarget).select(
+          (dataCols.map(c => col(s"t_$c").as(c)) :+
+            col(s"t_$vf").as(vf) :+
+            when(changed, lit(executionTs))
+              .when(!inSource && lit(kind.invalidateHardDeletes), lit(executionTs))
+              .otherwise(lit(null).cast("timestamp")).as(vt)): _*)
+
+        val updatedNew = j.filter(changed).select(
+          (dataCols.map(c => col(s"s_$c").as(c)) :+
+            lit(executionTs).as(vf) :+
+            lit(null).cast("timestamp").as(vt)): _*)
+
+        val inserted = j.filter(inSource && !inTarget).select(
+          (dataCols.map(c => col(s"s_$c").as(c)) :+
+            lit(executionTs).as(vf) :+
+            lit(null).cast("timestamp").as(vt)): _*)
+          .join(broadcast(latestDeleted), keys, "left")
+          .withColumn(vf, when(col("__del_vt").isNotNull,
+            greatest(col("__del_vt"), col(vf))).otherwise(col(vf)))
+          .drop("__del_vt")
+
+        replaceQuery(t, static.unionByName(existing).unionByName(updatedNew).unionByName(inserted))
+    }
+  }
+
+  // ------------------------------------------------------------ virtual layer
+
+  /** promote (snapshot/evaluator.py:1999): environments are sets of views over
+    * physical tables — prod/dev isolation is view re-pointing, never data copy. */
+  def promote(envDb: String, viewName: String, physical: PhysicalTable): Unit = {
+    createSchema(envDb)
+    spark.sql(
+      s"CREATE OR REPLACE VIEW `$envDb`.`$viewName` AS SELECT * FROM ${physical.qualified}")
+  }
+
+  def demote(envDb: String, viewName: String): Unit =
+    spark.sql(s"DROP VIEW IF EXISTS `$envDb`.`$viewName`")
+}
+
+object SparkMaterializer {
+  /** Environment database name: prod = bare schema; dev = `<schema>__<env>`
+    * (reference EnvironmentSuffixTarget.SCHEMA, core/environment.py:41). */
+  def envDb(schema: String, env: String): String =
+    if (env == "prod") schema else s"${schema}__$env"
+}

@@ -1,0 +1,121 @@
+package graft.core
+
+/** Materialization strategies — the reference's ModelKind union
+  * (sqlmesh/core/model/kind.py:163 enum, :1033 union). Each kind maps to a
+  * DataFrame write recipe in [[graft.adapter.SparkMaterializer]]:
+  *
+  *  - FULL                       → createOrReplace of the whole query
+  *  - VIEW                       → (re)create a view over the rendered query
+  *  - INCREMENTAL_BY_TIME_RANGE  → dynamic partition overwrite of the interval's
+  *                                 time partitions (insert_overwrite_by_time_partition,
+  *                                 engine_adapter/base.py:1580)
+  *  - INCREMENTAL_BY_UNIQUE_KEY  → merge on key equality (base.py:2203), emulated
+  *                                 copy-on-write on parquet (LogicalMergeMixin,
+  *                                 mixins.py:35) — partition-pruned when possible
+  *  - INCREMENTAL_BY_PARTITION   → dynamic partition overwrite on declared partitions
+  *  - INCREMENTAL_UNMANAGED      → plain append
+  *  - SCD_TYPE_2_BY_TIME/COLUMN  → slowly-changing-dimension pipeline (base.py:1810)
+  *  - SEED                       → CSV shipped with the project
+  *  - EMBEDDED                   → no materialization; inlined into consumers
+  *  - EXTERNAL                   → pre-existing table, metadata only
+  *  - CUSTOM                     → user-supplied Scala materialization
+  */
+sealed trait ModelKind {
+  def name: String
+  /** participates in scheduling/backfill (reference: kind.is_materialized) */
+  def isMaterialized: Boolean = true
+  /** data-hash-relevant fields (fingerprint input), mirroring kind data fields
+    * feeding `fingerprint_from_node` (snapshot/definition.py:1861). */
+  def dataFields: Seq[String] = Seq(name)
+}
+
+object ModelKind {
+  case object Full extends ModelKind { val name = "FULL" }
+  case object View extends ModelKind { val name = "VIEW" }
+
+  /** @param timeColumn   column holding event time
+    * @param timeFormat   how the predicate literal is rendered ("date" | "timestamp" | "epoch")
+    * @param batchSize    max unit-intervals per evaluation batch (None = all at once)
+    * @param lookback     re-process N extra trailing units each run
+    * @param forwardOnly  schema changes never rebuild history */
+  final case class IncrementalByTimeRange(
+      timeColumn: String,
+      timeFormat: String = "timestamp",
+      batchSize: Option[Int] = None,
+      batchConcurrency: Option[Int] = None,
+      lookback: Int = 0,
+      forwardOnly: Boolean = false,
+      partitionByTime: Boolean = true) extends ModelKind {
+    val name = "INCREMENTAL_BY_TIME_RANGE"
+    override def dataFields: Seq[String] =
+      Seq(name, timeColumn, timeFormat, lookback.toString)
+  }
+
+  /** unique-key upsert; batch_concurrency forced to 1 (kind.py:517). */
+  final case class IncrementalByUniqueKey(
+      uniqueKey: Seq[String],
+      whenMatchedUpdate: Map[String, String] = Map.empty,
+      mergeFilter: Option[String] = None) extends ModelKind {
+    val name = "INCREMENTAL_BY_UNIQUE_KEY"
+    override def dataFields: Seq[String] = Seq(name) ++ uniqueKey ++ mergeFilter.toSeq
+  }
+
+  final case class IncrementalByPartition(partitionedBy: Seq[String]) extends ModelKind {
+    val name = "INCREMENTAL_BY_PARTITION"
+    override def dataFields: Seq[String] = Seq(name) ++ partitionedBy
+  }
+
+  final case class IncrementalUnmanaged(insertOverwrite: Boolean = false) extends ModelKind {
+    val name = "INCREMENTAL_UNMANAGED"
+    override def dataFields: Seq[String] = Seq(name, insertOverwrite.toString)
+  }
+
+  /** SCD2 driven by an updated_at timestamp (kind.py SCDType2ByTimeKind). */
+  final case class ScdType2ByTime(
+      uniqueKey: Seq[String],
+      updatedAtCol: String = "updated_at",
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to",
+      updatedAtAsValidFrom: Boolean = false,
+      invalidateHardDeletes: Boolean = true) extends ModelKind {
+    val name = "SCD_TYPE_2_BY_TIME"
+    override def dataFields: Seq[String] =
+      Seq(name, updatedAtCol, validFromCol, validToCol,
+        updatedAtAsValidFrom.toString, invalidateHardDeletes.toString) ++ uniqueKey
+  }
+
+  /** SCD2 driven by column-value change (kind.py SCDType2ByColumnKind);
+    * checkColumns == Seq("*") means all non-managed columns. */
+  final case class ScdType2ByColumn(
+      uniqueKey: Seq[String],
+      checkColumns: Seq[String],
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to",
+      executionTimeAsValidFrom: Boolean = false,
+      invalidateHardDeletes: Boolean = true) extends ModelKind {
+    val name = "SCD_TYPE_2_BY_COLUMN"
+    override def dataFields: Seq[String] =
+      Seq(name, validFromCol, validToCol, invalidateHardDeletes.toString) ++
+        uniqueKey ++ checkColumns
+  }
+
+  final case class Seed(path: String, batchSize: Int = 1000) extends ModelKind {
+    val name = "SEED"
+    override def dataFields: Seq[String] = Seq(name, path)
+  }
+
+  case object Embedded extends ModelKind {
+    val name = "EMBEDDED"; override def isMaterialized = false
+  }
+  case object External extends ModelKind {
+    val name = "EXTERNAL"; override def isMaterialized = false
+  }
+
+  /** user-registered materialization (evaluator.py:2812 CustomMaterialization). */
+  final case class Custom(strategyName: String, properties: Map[String, String] = Map.empty)
+      extends ModelKind {
+    val name = "CUSTOM"
+    override def dataFields: Seq[String] = Seq(name, strategyName) ++
+      properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+  }
+}
