@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.adapter.{PhysicalTable, SparkMaterializer}
+import graft.plans.{Renderer, Scheduler, SnapshotEvaluator}
+import graft.state.{EnvironmentRecord, InMemoryStateStore, StateStore}
+
+/** A plan: what changes and what gets backfilled (reference:
+  * sqlmesh/core/plan/builder.py:55 PlanBuilder → Plan; ContextDiff
+  * context_diff.py:42). */
+final case class Plan(
+    env: String,
+    start: Long,
+    end: Long,
+    added: Seq[Snapshot],
+    modified: Seq[(Snapshot, Snapshot)], // (old, new)
+    removed: Seq[String],
+    metadataOnly: Seq[Snapshot],
+    unchanged: Seq[Snapshot],
+    restatements: Map[String, Interval] = Map.empty) {
+  def snapshots: Seq[Snapshot] = added ++ modified.map(_._2) ++ metadataOnly ++ unchanged
+  def hasChanges: Boolean = added.nonEmpty || modified.nonEmpty || removed.nonEmpty ||
+    metadataOnly.nonEmpty || restatements.nonEmpty
+}
+
+/** Top-level façade — the reference's `Context` (sqlmesh/core/context.py:
+  * plan :1314, apply :1755, run :756, evaluate :1168). Owns the model
+  * registry, state, materializer, and scheduler; collapses the adapter zoo to
+  * one Spark-native engine.
+  */
+class GraftContext(
+    val spark: SparkSession,
+    val workspace: String,
+    val concurrency: Int = 4,
+    val variables: Map[String, String] = Map.empty) {
+
+  val state: StateStore = new InMemoryStateStore
+  val materializer = new SparkMaterializer(spark)
+  private val customStrategies =
+    scala.collection.mutable.Map[String, (SparkMaterializer, PhysicalTable, DataFrame) => Unit]()
+  lazy val evaluator = new SnapshotEvaluator(materializer, workspace, customStrategies.toMap)
+  lazy val scheduler = new Scheduler(evaluator, state, concurrency)
+
+  private val models = scala.collection.mutable.LinkedHashMap[String, Model]()
+  private val externals = scala.collection.mutable.Map[String, String]()
+  private val signals = scala.collection.mutable.Map[String, Interval => Boolean]()
+
+  def addModel(m: Model): this.type = { models(m.name) = m; this }
+  def model(name: String): Model = models(name)
+
+  /** Register a pre-existing table (EXTERNAL kind) by parquet path or
+    * catalog-resolvable name. */
+  def addExternal(name: String, pathOrTable: String): this.type = {
+    externals(name) =
+      if (pathOrTable.contains("/")) s"parquet.`$pathOrTable`" else pathOrTable
+    this
+  }
+
+  /** Signals gate interval readiness (reference core/signal.py:14). */
+  def addSignal(modelName: String, signal: Interval => Boolean): this.type = {
+    signals(modelName) = signal; this
+  }
+
+  def registerCustomMaterialization(
+      name: String)(fn: (SparkMaterializer, PhysicalTable, DataFrame) => Unit): this.type = {
+    customStrategies(name) = fn; this
+  }
+
+  // ------------------------------------------------------------ snapshots
+
+  /** Fingerprint DAG-recursively (snapshot/definition.py:1861). */
+  def snapshotsOf(names: Seq[String]): Map[String, Snapshot] = {
+    val memo = scala.collection.mutable.Map[String, SnapshotFingerprint]()
+    def fp(name: String): SnapshotFingerprint = memo.getOrElseUpdate(name, {
+      val m = models(name)
+      val parentFps = m.references.toSeq.sorted.collect {
+        case r if models.contains(r) => fp(r)
+      }
+      val bodyText = m.body match {
+        case SqlBody(sql)  => sql
+        case ScalaBody(fn) => s"scala:${fn.getClass.getName}"
+        case SeedBody(p)   => s"seed:$p"
+      }
+      Fingerprint.of(m, bodyText, parentFps)
+    })
+    names.map { n =>
+      val m = models(n)
+      val parents = m.references.toSeq.sorted.filter(models.contains)
+        .map(p => SnapshotId(p, fp(p).full))
+      n -> Snapshot(m, fp(n), parents, createdTs = System.currentTimeMillis())
+    }.toMap
+  }
+
+  // ------------------------------------------------------------------ plan
+
+  /** Diff local models against state and build a plan (plan/builder.py:280).
+    * Categorization: data-hash change ⇒ BREAKING (conservative default;
+    * AST-based NON_BREAKING detection is a later refinement), metadata-hash-only
+    * change ⇒ METADATA. */
+  def plan(
+      env: String,
+      start: Long,
+      end: Long,
+      restate: Map[String, Interval] = Map.empty): Plan = {
+    val snaps = snapshotsOf(models.keys.toSeq)
+    val added = Seq.newBuilder[Snapshot]
+    val modified = Seq.newBuilder[(Snapshot, Snapshot)]
+    val metadataOnly = Seq.newBuilder[Snapshot]
+    val unchanged = Seq.newBuilder[Snapshot]
+
+    snaps.values.foreach { s =>
+      state.latestSnapshot(s.model.name) match {
+        case None => added += s.copy(category = Some(ChangeCategory.Breaking))
+        case Some(old) if old.fingerprint.full == s.fingerprint.full =>
+          unchanged += old
+        case Some(old) if old.version == s.version =>
+          metadataOnly += s.copy(category = Some(ChangeCategory.Metadata),
+            intervals = old.intervals)
+        case Some(old) =>
+          // own data hash unchanged but version moved ⇒ the change came from a
+          // parent (categorizer.py: INDIRECT_BREAKING)
+          val cat = if (old.fingerprint.dataHash == s.fingerprint.dataHash)
+            ChangeCategory.IndirectBreaking else ChangeCategory.Breaking
+          modified += ((old, s.copy(category = Some(cat))))
+      }
+    }
+    val removed = state.environments.find(_.name == env)
+      .map(_.snapshots.keySet.filterNot(snaps.contains).toSeq).getOrElse(Nil)
+
+    Plan(env, start, end, added.result(), modified.result(), removed,
+      metadataOnly.result(), unchanged.result(), restate)
+  }
+
+  /** Evaluate a plan: stages per plan/stages.py:238 — snapshot records →
+    * physical layer → restatement → backfill → environment record → virtual
+    * layer → finalize. */
+  def apply(p: Plan, executionTs: Long = System.currentTimeMillis()): Unit = {
+    // CreateSnapshotRecords
+    p.snapshots.foreach(state.pushSnapshot)
+    // Restatement: drop intervals so the scheduler re-runs them (builder.py:369)
+    p.restatements.foreach { case (name, ivl) =>
+      state.latestSnapshot(name).foreach(s => state.removeInterval(name, s.version, ivl))
+    }
+    // PhysicalLayerUpdate
+    val mapping = tableMappingFor(p.snapshots)
+    p.snapshots.foreach(s => evaluator.create(s, mapping(s.model.name)))
+    // Backfill
+    val live = p.snapshots.map(s => state.getSnapshot(s.model.name, s.version).getOrElse(s))
+    scheduler.run(live, p.start, p.end, executionTs, mapping, signals.toMap)
+    // EnvironmentRecordUpdate + VirtualLayerUpdate (materialized kinds only —
+    // EMBEDDED/EXTERNAL have no physical object to point a view at)
+    p.snapshots.filter(_.model.kind.isMaterialized).foreach(s => evaluator.promote(s, p.env))
+    p.removed.foreach { name =>
+      state.latestSnapshot(name).foreach(s => evaluator.demote(s, p.env))
+    }
+    state.promoteEnvironment(EnvironmentRecord(
+      p.env, p.snapshots.map(s => s.model.name -> s.version).toMap, finalized = false))
+    state.finalizeEnvironment(p.env)
+  }
+
+  /** `sqlmesh run` (context.py:756): backfill new missing intervals in an
+    * already-planned environment. */
+  def run(env: String, start: Long, end: Long,
+          executionTs: Long = System.currentTimeMillis()): Unit = {
+    val envRec = state.getEnvironment(env).getOrElse(
+      throw new IllegalStateException(s"environment $env not planned"))
+    val snaps = envRec.snapshots.flatMap { case (n, v) => state.getSnapshot(n, v) }.toSeq
+    scheduler.run(snaps, start, end, executionTs, tableMappingFor(snaps), signals.toMap)
+  }
+
+  /** Ad-hoc evaluate (context.py:1168): render + execute, no materialization. */
+  def evaluate(name: String, start: Long, end: Long,
+               executionTs: Long = System.currentTimeMillis()): DataFrame = {
+    val snaps = snapshotsOf(models.keys.toSeq)
+    Renderer.evaluate(spark, models(name), start, end, executionTs,
+      tableMappingFor(snaps.values.toSeq)(name), variables)
+  }
+
+  /** Query through the environment's virtual layer. */
+  def fetch(sql: String): DataFrame = spark.sql(sql)
+
+  /** TTL janitor (core/janitor.py): drop physical tables of unreferenced
+    * snapshots. */
+  def janitor(): Unit =
+    state.expiredSnapshots.foreach { s =>
+      materializer.dropTable(evaluator.physicalTable(s))
+      state.deleteSnapshot(s.model.name, s.version)
+    }
+
+  /** Upstream-reference resolution for each model: model refs → physical
+    * snapshot tables; external refs → registered locations. */
+  private def tableMappingFor(snaps: Seq[Snapshot]): String => Map[String, String] = {
+    val byName = snaps.map(s => s.model.name -> s).toMap
+    lazy val mappingFor: String => Map[String, String] = (name: String) => {
+      val m = models(name)
+      m.references.flatMap { r =>
+        byName.get(r) match {
+          case Some(up) if up.model.kind == ModelKind.Embedded =>
+            // EMBEDDED: inline the upstream query as a subquery, with the
+            // embedded model's own refs resolved recursively (evaluator.py:1965)
+            val sub = Renderer.render(up.model, 0L, 0L, 0L, mappingFor(r))
+            Some(r -> s"($sub)")
+          case Some(up) => Some(r -> evaluator.physicalTable(up).qualified)
+          case None     => externals.get(r).map(r -> _)
+        }
+      }.toMap
+    }
+    mappingFor
+  }
+}

@@ -1,0 +1,218 @@
+package graft.audits
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The 29 built-in data-quality audits (reference: sqlmesh/core/audit/builtin.py
+  * :17-660). Each renders to a SELECT that must return 0 rows; a non-empty
+  * result fails the audit (snapshot/evaluator.py:1363 `_audit`). Templates are
+  * Spark SQL over a table (or view) name; incremental models additionally get
+  * the interval predicate injected via `condition`.
+  *
+  * Scale note: every audit is a single declarative query — Catalyst pushes the
+  * predicates to the scan, and `number_of_rows`-style audits use LIMIT-k tricks
+  * so no audit ever materializes more than a bounded violation sample.
+  */
+object Audits {
+
+  type Args = Map[String, String]
+
+  /** name -> (table, args) -> spark SQL returning violations */
+  val all: Map[String, (String, Args) => String] = Map(
+    "not_null" -> { (t, a) =>
+      val cols = list(a("columns"))
+      s"SELECT * FROM $t WHERE ${cols.map(c => s"$c IS NULL").mkString(" OR ")} ${andCond(a)}"
+    },
+    "unique_values" -> { (t, a) =>
+      val cols = list(a("columns"))
+      val ranks = cols.map(c => s"row_number() OVER (PARTITION BY $c ORDER BY 1) AS ${c}_rank")
+      val checks = cols.map(c => s"${c}_rank > 1").mkString(" OR ")
+      s"SELECT * FROM (SELECT ${cols.mkString(", ")}, ${ranks.mkString(", ")} FROM $t WHERE ${cond(a)}) WHERE $checks"
+    },
+    "accepted_values" -> { (t, a) =>
+      s"SELECT * FROM $t WHERE ${a("column")} NOT IN (${a("is_in")}) ${andCond(a)}"
+    },
+    "not_accepted_values" -> { (t, a) =>
+      s"SELECT * FROM $t WHERE ${a("column")} IN (${a("is_in")}) ${andCond(a)}"
+    },
+    "number_of_rows" -> { (t, a) =>
+      // LIMIT threshold+1 trick (builtin.py:73): never scans beyond threshold+1 rows
+      val thr = a("threshold").toLong
+      s"SELECT COUNT(*) AS cnt FROM (SELECT 1 FROM $t WHERE ${cond(a)} LIMIT ${thr + 1}) HAVING COUNT(*) <= $thr"
+    },
+    "forall" -> { (t, a) =>
+      val crits = list(a("criteria"))
+      s"SELECT * FROM $t WHERE ${crits.map(c => s"NOT ($c)").mkString(" OR ")} ${andCond(a)}"
+    },
+    "accepted_range" -> { (t, a) =>
+      val c = a("column")
+      val inclusive = a.getOrElse("inclusive", "true").toBoolean
+      val lo = a.get("min_v").map(v => if (inclusive) s"$c < $v" else s"$c <= $v")
+      val hi = a.get("max_v").map(v => if (inclusive) s"$c > $v" else s"$c >= $v")
+      s"SELECT * FROM $t WHERE (${(lo ++ hi).mkString(" OR ")}) ${andCond(a)}"
+    },
+    "at_least_one" -> { (t, a) =>
+      s"SELECT COUNT(${a("column")}) AS cnt FROM $t WHERE ${cond(a)} HAVING COUNT(${a("column")}) = 0"
+    },
+    "not_constant" -> { (t, a) =>
+      s"SELECT COUNT(DISTINCT ${a("column")}) AS cnt FROM $t WHERE ${cond(a)} HAVING COUNT(DISTINCT ${a("column")}) <= 1"
+    },
+    "not_empty_string" -> { (t, a) =>
+      s"SELECT * FROM $t WHERE ${a("column")} = '' ${andCond(a)}"
+    },
+    "not_null_proportion" -> { (t, a) =>
+      val c = a("column")
+      s"""SELECT cnt, not_null_cnt, not_null_proportion FROM (
+         |  SELECT COUNT(*) AS cnt, COUNT($c) AS not_null_cnt,
+         |         COUNT($c) / COUNT(*) AS not_null_proportion
+         |  FROM $t WHERE ${cond(a)}
+         |) WHERE not_null_proportion < ${a("threshold")}""".stripMargin
+    },
+    "sequential_values" -> { (t, a) =>
+      val c = a("column"); val interval = a.getOrElse("interval", "1")
+      s"""WITH windowed AS (
+         |  SELECT $c, LAG($c) OVER (ORDER BY $c) AS prv FROM $t WHERE ${cond(a)}
+         |)
+         |SELECT * FROM windowed WHERE NOT ($c = prv + $interval)""".stripMargin
+    },
+    "unique_combination_of_columns" -> { (t, a) =>
+      val cols = list(a("columns")).mkString(", ")
+      s"SELECT $cols FROM $t WHERE ${cond(a)} GROUP BY $cols HAVING COUNT(*) > 1"
+    },
+    "mutually_exclusive_ranges" -> { (t, a) =>
+      val lo = a("lower_bound_column"); val hi = a("upper_bound_column")
+      val part = a.get("partition_clause").map(p => s"PARTITION BY $p").getOrElse("")
+      s"""WITH window_functions AS (
+         |  SELECT $lo AS lower_bound, $hi AS upper_bound,
+         |    LEAD($lo) OVER ($part ORDER BY $lo, $hi) AS next_lower_bound,
+         |    row_number() OVER ($part ORDER BY $lo DESC, $hi DESC) = 1 AS is_last_record
+         |  FROM $t WHERE ${cond(a)}
+         |), calc AS (
+         |  SELECT *,
+         |    COALESCE(lower_bound <= upper_bound, FALSE) AS lower_bound_lte_upper_bound,
+         |    COALESCE(upper_bound <= next_lower_bound, is_last_record, FALSE) AS upper_bound_lte_next_lower_bound
+         |  FROM window_functions
+         |)
+         |SELECT lower_bound, upper_bound, next_lower_bound
+         |FROM calc
+         |WHERE NOT (lower_bound_lte_upper_bound AND upper_bound_lte_next_lower_bound)""".stripMargin
+    },
+    "valid_uuid" -> regexAudit("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    "valid_email" -> regexAudit("^[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z0-9-.]+$"),
+    "valid_url" -> regexAudit("^(https?|ftp)://[^\\s/$.?#].[^\\s]*$"),
+    "valid_http_method" -> { (t, a) =>
+      val c = a("column")
+      s"SELECT * FROM $t WHERE $c NOT IN ('GET','POST','PUT','DELETE','PATCH','HEAD','OPTIONS','TRACE','CONNECT') ${andCond(a)}"
+    },
+    "match_regex_pattern_list" -> { (t, a) =>
+      val c = a("column"); val pats = list(a("patterns"))
+      s"SELECT * FROM $t WHERE NOT (${pats.map(p => s"$c RLIKE $p").mkString(" OR ")}) ${andCond(a)}"
+    },
+    "not_match_regex_pattern_list" -> { (t, a) =>
+      val c = a("column"); val pats = list(a("patterns"))
+      s"SELECT * FROM $t WHERE ${pats.map(p => s"$c RLIKE $p").mkString(" OR ")} ${andCond(a)}"
+    },
+    "match_like_pattern_list" -> { (t, a) =>
+      val c = a("column"); val pats = list(a("patterns"))
+      s"SELECT * FROM $t WHERE NOT (${pats.map(p => s"$c LIKE $p").mkString(" OR ")}) ${andCond(a)}"
+    },
+    "not_match_like_pattern_list" -> { (t, a) =>
+      val c = a("column"); val pats = list(a("patterns"))
+      s"SELECT * FROM $t WHERE ${pats.map(p => s"$c LIKE $p").mkString(" OR ")} ${andCond(a)}"
+    },
+    "z_score" -> { (t, a) =>
+      val c = a("column")
+      s"""WITH stats AS (
+         |  SELECT AVG($c) AS mean_$c, STDDEV($c) AS stddev_$c FROM $t WHERE ${cond(a)}
+         |)
+         |SELECT $c, ($c - mean_$c) / NULLIF(stddev_$c, 0) AS z_score
+         |FROM $t, stats
+         |WHERE ABS(($c - mean_$c) / NULLIF(stddev_$c, 0)) > ${a("threshold")}""".stripMargin
+    },
+    "string_length_between" -> { (t, a) =>
+      val c = a("column")
+      val inclusive = a.getOrElse("inclusive", "true").toBoolean
+      val lo = a.get("min_v").map(v => if (inclusive) s"LENGTH($c) < $v" else s"LENGTH($c) <= $v")
+      val hi = a.get("max_v").map(v => if (inclusive) s"LENGTH($c) > $v" else s"LENGTH($c) >= $v")
+      s"SELECT * FROM $t WHERE (${(lo ++ hi).mkString(" OR ")}) ${andCond(a)}"
+    },
+    "string_length_equal" -> { (t, a) =>
+      s"SELECT * FROM $t WHERE LENGTH(${a("column")}) != ${a("v")} ${andCond(a)}"
+    },
+    "stddev_in_range" -> statInRange("STDDEV", "stddev"),
+    "mean_in_range" -> statInRange("AVG", "mean"),
+    "kl_divergence" -> { (t, a) =>
+      val sc = a("source_column"); val tc = a("target_column")
+      s"""WITH
+         |  table_a AS (SELECT $sc AS x, COUNT(*) AS num_rows FROM $t WHERE ${cond(a)} GROUP BY $sc),
+         |  table_b AS (SELECT $tc AS x, COUNT(*) AS num_rows FROM $t WHERE ${cond(a)} GROUP BY $tc),
+         |  a_p AS (SELECT x, num_rows, num_rows / SUM(num_rows) OVER () AS p FROM table_a),
+         |  b_q AS (SELECT x, num_rows, num_rows / SUM(num_rows) OVER () AS q FROM table_b),
+         |  a_q AS (SELECT a_p.x, p, COALESCE(q, 0) AS q FROM a_p LEFT JOIN b_q ON a_p.x = b_q.x),
+         |  b_p AS (SELECT b_q.x, q, COALESCE(p, 0) AS p FROM b_q LEFT JOIN a_p ON b_q.x = a_p.x),
+         |  unioned AS (
+         |    SELECT p * LOG(p / NULLIF(q, 0)) AS kl FROM a_q
+         |    UNION ALL
+         |    SELECT q * LOG(q / NULLIF(p, 0)) AS kl FROM b_p
+         |  )
+         |SELECT SUM(kl) AS kl_divergence FROM unioned HAVING SUM(kl) > ${a("threshold")}""".stripMargin
+    },
+    "chi_square" -> { (t, a) =>
+      val ca = a("column_a"); val cb = a("column_b")
+      val dependent = a.getOrElse("dependent", "true").toBoolean
+      val check = if (dependent) s"chi_square > ${a("critical_value")}"
+                  else s"chi_square <= ${a("critical_value")}"
+      s"""WITH samples AS (
+         |  SELECT $ca AS x_a, $cb AS x_b FROM $t
+         |  WHERE $ca IS NOT NULL AND $cb IS NOT NULL AND ${cond(a)}
+         |), contingency_table AS (
+         |  SELECT x_a, x_b, COUNT(*) AS observed,
+         |    SUM(COUNT(*)) OVER (PARTITION BY x_a) AS tot_a,
+         |    SUM(COUNT(*)) OVER (PARTITION BY x_b) AS tot_b,
+         |    SUM(COUNT(*)) OVER () AS g_t
+         |  FROM samples GROUP BY x_a, x_b
+         |), stats AS (
+         |  SELECT
+         |    (COUNT(DISTINCT x_a) - 1) * (COUNT(DISTINCT x_b) - 1) AS degrees_of_freedom,
+         |    SUM((observed - tot_a * tot_b / g_t) * (observed - tot_a * tot_b / g_t)
+         |        / (tot_a * tot_b / g_t)) AS chi_square
+         |  FROM contingency_table
+         |)
+         |SELECT degrees_of_freedom, chi_square FROM stats WHERE NOT ($check)""".stripMargin
+    },
+  )
+
+  /** Render + run one audit; result rows are the violations. */
+  def run(spark: SparkSession, name: String, table: String, args: Args): DataFrame =
+    spark.sql(render(name, table, args))
+
+  def render(name: String, table: String, args: Args): String =
+    all.getOrElse(name, throw new IllegalArgumentException(s"unknown audit: $name"))(table, args)
+
+  /** Pass/fail evaluation — LIMIT 1 so a failing audit never scans past the
+    * first violation (evaluator semantics, snapshot/evaluator.py:547). */
+  def passes(spark: SparkSession, name: String, table: String, args: Args): Boolean =
+    run(spark, name, table, args).limit(1).isEmpty
+
+  // ------------------------------------------------------------- helpers
+
+  private def list(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def cond(a: Args): String = a.getOrElse("condition", "TRUE")
+  private def andCond(a: Args): String =
+    a.get("condition").map(c => s"AND ($c)").getOrElse("")
+
+  private def regexAudit(pattern: String): (String, Args) => String = { (t, a) =>
+    val c = a("column")
+    s"SELECT * FROM $t WHERE $c IS NOT NULL AND NOT ($c RLIKE '$pattern') ${andCond(a)}"
+  }
+
+  private def statInRange(fn: String, alias: String): (String, Args) => String = { (t, a) =>
+    val c = a("column")
+    val inclusive = a.getOrElse("inclusive", "true").toBoolean
+    val v = s"${alias}_$c"
+    val lo = a.get("min_v").map(x => if (inclusive) s"$v < $x" else s"$v <= $x")
+    val hi = a.get("max_v").map(x => if (inclusive) s"$v > $x" else s"$v >= $x")
+    s"SELECT * FROM (SELECT $fn($c) AS $v FROM $t WHERE ${cond(a)}) WHERE ${(lo ++ hi).mkString(" OR ")}"
+  }
+}

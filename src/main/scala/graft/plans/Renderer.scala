@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.macros.MacroEvaluator
+
+/** Query rendering (reference: sqlmesh/core/renderer.py:527 QueryRenderer.render):
+  * macro expansion with interval-bound time variables, then upstream model
+  * references swapped for their physical (or environment) tables. The rendered
+  * text is Spark SQL — Catalyst does qualify/annotate/simplify for free
+  * (SURVEY §4), so render stops at text.
+  */
+object Renderer {
+
+  /** Replace upstream model names with resolved physical table names.
+    * Longest-name-first so `a.b.c` wins over `a.b`. */
+  def resolveTables(sql: String, mapping: Map[String, String]): String =
+    mapping.toSeq.sortBy(-_._1.length).foldLeft(sql) { case (acc, (from, to)) =>
+      acc.replaceAll("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(from) + "(?![\\w.`])",
+        java.util.regex.Matcher.quoteReplacement(to))
+    }
+
+  def render(
+      model: Model,
+      start: Long,
+      end: Long,
+      execution: Long,
+      tableMapping: Map[String, String],
+      variables: Map[String, String] = Map.empty,
+      thisModel: Option[String] = None,
+      schemaOf: String => Seq[(String, String)] = _ => Nil): String = {
+    val body = model.body match {
+      case SqlBody(sql) => sql
+      case _ => throw new IllegalArgumentException(s"${model.name} is not a SQL model")
+    }
+    val evaluator = new MacroEvaluator(start, end, execution, thisModel, variables, schemaOf)
+    resolveTables(evaluator.render(body), tableMapping)
+  }
+
+  /** Render + execute → DataFrame; Scala-body models call their function. */
+  def evaluate(
+      spark: SparkSession,
+      model: Model,
+      start: Long,
+      end: Long,
+      execution: Long,
+      tableMapping: Map[String, String],
+      variables: Map[String, String] = Map.empty): DataFrame = model.body match {
+    case SqlBody(_) =>
+      spark.sql(render(model, start, end, execution, tableMapping, variables))
+    case ScalaBody(fn) => fn(spark, tableMapping, start, end)
+    case SeedBody(path) =>
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+  }
+}

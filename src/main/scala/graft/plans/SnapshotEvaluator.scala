@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.adapter.{PhysicalTable, SparkMaterializer}
+import graft.audits.Audits
+
+/** Evaluation strategies: model kind → materializer calls (reference:
+  * sqlmesh/core/snapshot/evaluator.py, dispatch :1643 `_evaluation_strategy`;
+  * strategy table SURVEY §2.2). Every strategy implements create/insert/
+  * promote/demote; audits run after each insert (:547, :1363).
+  */
+class SnapshotEvaluator(
+    val materializer: SparkMaterializer,
+    val workspace: String,
+    customStrategies: Map[String, (SparkMaterializer, PhysicalTable, DataFrame) => Unit] = Map.empty) {
+
+  def spark: SparkSession = materializer.spark
+
+  def physicalTable(s: Snapshot): PhysicalTable = PhysicalTable(
+    database = s"graft__${s.model.schemaName}",
+    table = s"${s.model.schemaName}__${s.model.tableName}__${s.version}",
+    root = s"$workspace/physical/${s.model.schemaName}__${s.model.tableName}__${s.version}",
+    partitionedBy = s.model.partitionedBy)
+
+  /** PhysicalLayerUpdate: ensure schema + (empty) physical object exists
+    * (evaluator.py:360). For parquet-backed tables, creation happens lazily on
+    * first insert; views are created eagerly. */
+  def create(s: Snapshot, tableMapping: Map[String, String]): Unit = {
+    materializer.createSchema(s"graft__${s.model.schemaName}")
+    // View bodies reference upstream physical tables that may not exist until
+    // backfill runs; the scheduler re-creates views DAG-ordered in evaluate().
+  }
+
+  /** ViewStrategy (evaluator.py:2650): (re)create the view over the rendered
+    * query — called from evaluate() so upstreams already exist. */
+  private def createView(s: Snapshot, interval: Interval, executionTs: Long,
+                         mapping: Map[String, String]): Unit = {
+    val sql = Renderer.render(s.model, interval.start, interval.end, executionTs,
+      mapping, thisModel = Some(physicalTable(s).qualified))
+    spark.sql(s"CREATE OR REPLACE VIEW ${physicalTable(s).qualified} AS $sql")
+  }
+
+  /** Backfill one interval batch (reference `_evaluate_snapshot` :677):
+    * pre-statements → render → strategy insert → post-statements → audits. */
+  def evaluate(
+      s: Snapshot,
+      interval: Interval,
+      executionTs: Long,
+      tableMapping: Map[String, String],
+      isFirstInsert: Boolean): Unit = {
+    val t = physicalTable(s)
+    val mapping = tableMapping
+    val thisName = t.qualified
+
+    s.model.preStatements.foreach(st => spark.sql(renderStatement(s, st, interval, executionTs, mapping, thisName)))
+
+    def rendered: DataFrame = s.model.body match {
+      case SqlBody(_) =>
+        spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs, mapping,
+          thisModel = Some(thisName)))
+      case ScalaBody(fn) => fn(spark, mapping, interval.start, interval.end)
+      case SeedBody(path) =>
+        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    }
+
+    s.model.kind match {
+      case ModelKind.Full => materializer.replaceQuery(t, rendered)
+      case ModelKind.View => createView(s, interval, executionTs, mapping)
+      case k: ModelKind.IncrementalByTimeRange =>
+        materializer.insertOverwriteByTimePartition(t, rendered, k.timeColumn, interval.start, interval.end)
+      case k: ModelKind.IncrementalByUniqueKey =>
+        if (isFirstInsert && materializer.currentDataDir(t).isEmpty)
+          materializer.replaceQuery(t, materializer.dedupByKey(rendered, k.uniqueKey))
+        else
+          materializer.merge(t, rendered, k.uniqueKey,
+            k.mergeFilter.map(f => org.apache.spark.sql.functions.expr(
+              renderStatement(s, f, interval, executionTs, mapping, thisName))))
+      case _: ModelKind.IncrementalByPartition =>
+        materializer.insertOverwriteByPartition(t, rendered)
+      case k: ModelKind.IncrementalUnmanaged =>
+        if (k.insertOverwrite) materializer.insertOverwriteByPartition(t, rendered)
+        else materializer.insertAppend(t, rendered)
+      case k: ModelKind.ScdType2ByTime =>
+        materializer.scdType2ByTime(t, rendered, k, new java.sql.Timestamp(executionTs))
+      case k: ModelKind.ScdType2ByColumn =>
+        materializer.scdType2ByColumn(t, rendered, k, new java.sql.Timestamp(executionTs))
+      case _: ModelKind.Seed =>
+        if (materializer.currentDataDir(t).isEmpty) materializer.replaceQuery(t, rendered)
+      case k: ModelKind.Custom =>
+        customStrategies.getOrElse(k.strategyName,
+          throw new IllegalArgumentException(s"unregistered custom strategy ${k.strategyName}"))(
+          materializer, t, rendered)
+      case ModelKind.Embedded | ModelKind.External => ()
+    }
+
+    s.model.postStatements.foreach(st => spark.sql(renderStatement(s, st, interval, executionTs, mapping, thisName)))
+
+    // audits on the affected interval (blocking; evaluator.py:1363)
+    s.model.audits.foreach { case (name, args) =>
+      val timeCond = s.model.kind match {
+        case k: ModelKind.IncrementalByTimeRange =>
+          val lo = new java.sql.Timestamp(interval.start); val hi = new java.sql.Timestamp(interval.end)
+          Map("condition" -> s"${k.timeColumn} >= TIMESTAMP '$lo' AND ${k.timeColumn} < TIMESTAMP '$hi'")
+        case _ => Map.empty[String, String]
+      }
+      val violations = Audits.run(spark, name, thisName, args ++ timeCond)
+      val sample = violations.limit(1).collect()
+      if (sample.nonEmpty)
+        throw new IllegalStateException(
+          s"audit $name failed for ${s.model.name}: e.g. ${sample.head}")
+    }
+  }
+
+  private def renderStatement(s: Snapshot, statement: String, interval: Interval,
+                              executionTs: Long, mapping: Map[String, String],
+                              thisName: String): String =
+    Renderer.resolveTables(
+      new graft.macros.MacroEvaluator(interval.start, interval.end, executionTs, Some(thisName))
+        .render(statement), mapping)
+
+  /** VirtualLayerUpdate: promote env views (evaluator.py:1999-2016). */
+  def promote(s: Snapshot, env: String): Unit =
+    materializer.promote(SparkMaterializer.envDb(s.model.schemaName, env),
+      s.model.tableName, physicalTable(s))
+
+  def demote(s: Snapshot, env: String): Unit =
+    materializer.demote(SparkMaterializer.envDb(s.model.schemaName, env), s.model.tableName)
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** End-to-end: load → snapshot → plan → backfill (batched intervals) →
+  * promote → query env views — SURVEY §7 step 3's minimum slice, over the
+  * driver testdata. */
+class ContextE2ESpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val D = 86400000L
+
+  private def newCtx() = {
+    val ctx = new GraftContext(spark, SparkTestSession.tmpDir("ws"), concurrency = 2)
+    ctx.addExternal("raw.orders", s"$sf/orders.parquet")
+    ctx.addExternal("raw.lineitem", s"$sf/lineitem.parquet")
+    ctx
+  }
+
+  private def dayMs(s: String): Long =
+    java.time.LocalDate.parse(s).toEpochDay * D
+
+  test("incremental-by-time model backfills in batches and matches one-shot query") {
+    val ctx = newCtx()
+    ctx.addModel(Model(
+      name = "mart.daily_revenue",
+      body = SqlBody(
+        """SELECT o_orderdate, round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+          |FROM raw.orders
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+          |GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate", batchSize = Some(3)),
+      cron = "@daily",
+      start = Some(dayMs("1995-01-01")),
+      audits = Seq("not_null" -> Map("columns" -> "o_orderdate"))))
+
+    val p = ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-15"))
+    assert(p.added.size == 1 && !p.hasChanges == false)
+    ctx.apply(p)
+
+    val got = spark.table("mart.daily_revenue")
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-01-15").cast("timestamp"))
+      .groupBy("o_orderdate")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n"))
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // intervals were recorded and merged
+    val snap = ctx.state.latestSnapshot("mart.daily_revenue").get
+    assert(snap.intervals == Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-15"))))
+
+    // `run` extends the range; only new intervals processed
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-01-20"))
+    val snap2 = ctx.state.latestSnapshot("mart.daily_revenue").get
+    assert(snap2.intervals == Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-20"))))
+    assert(spark.table("mart.daily_revenue").count() > got.count())
+  }
+
+  test("full + view models over the incremental one; dev env isolated; janitor cleans") {
+    val ctx = newCtx()
+    ctx.addModel(Model(
+      name = "mart.daily_revenue",
+      body = SqlBody(
+        """SELECT o_orderdate, sum(o_totalprice) AS revenue
+          |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+          |GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate"),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.addModel(Model(
+      name = "mart.rev_stats",
+      body = SqlBody("SELECT count(*) AS days, sum(revenue) AS total FROM mart.daily_revenue"),
+      kind = ModelKind.Full))
+    ctx.addModel(Model(
+      name = "mart.rev_view",
+      body = SqlBody("SELECT days, total FROM mart.rev_stats"),
+      kind = ModelKind.View))
+
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-10")))
+    val total = spark.table("mart.rev_view").select("total").head().getDouble(0)
+    assert(total > 0)
+
+    // modify the FULL model → new snapshot version in dev env only
+    ctx.addModel(ctx.model("mart.rev_stats").copy(
+      body = SqlBody("SELECT count(*) AS days, sum(revenue) * 2 AS total FROM mart.daily_revenue")))
+    val devPlan = ctx.plan("dev", dayMs("1995-01-01"), dayMs("1995-01-10"))
+    // direct change + indirect downstream re-version (categorizer.py semantics)
+    val cats = devPlan.modified.map(p => p._2.model.name -> p._2.category.get).toMap
+    assert(cats == Map(
+      "mart.rev_stats" -> ChangeCategory.Breaking,
+      "mart.rev_view" -> ChangeCategory.IndirectBreaking))
+    ctx.apply(devPlan)
+    val devTotal = spark.table("mart__dev.rev_stats").select("total").head().getDouble(0)
+    assert(math.abs(devTotal - 2 * total) < 1e-6)
+    // prod untouched
+    assert(spark.table("mart.rev_stats").select("total").head().getDouble(0) == total)
+
+    // janitor drops nothing while both envs reference their versions
+    val before = ctx.state.allSnapshots.size
+    ctx.janitor()
+    assert(ctx.state.allSnapshots.size == before)
+  }
+
+  test("restatement reprocesses a past interval") {
+    val ctx = newCtx()
+    ctx.addModel(Model(
+      name = "mart.rst",
+      body = SqlBody(
+        """SELECT o_orderdate, count(*) AS n FROM raw.orders
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate"),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
+    val n1 = spark.table("mart.rst").count()
+    // restate two days — intervals removed then re-backfilled
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05"),
+      restate = Map("mart.rst" -> Interval(dayMs("1995-01-02"), dayMs("1995-01-04")))))
+    assert(spark.table("mart.rst").count() == n1)
+  }
+
+  test("unique-key model merges across runs") {
+    val ctx = newCtx()
+    ctx.addModel(Model(
+      name = "mart.cust_latest",
+      body = SqlBody(
+        """SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n
+          |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+          |GROUP BY o_custkey""".stripMargin),
+      kind = ModelKind.IncrementalByUniqueKey(uniqueKey = Seq("o_custkey")),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+    val afterFirst = spark.table("mart.cust_latest").count()
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-03-01"))
+    val afterSecond = spark.table("mart.cust_latest").count()
+    assert(afterSecond >= afterFirst)
+    // uniqueness invariant
+    val dupes = spark.table("mart.cust_latest")
+      .groupBy("o_custkey").count().filter(col("count") > 1).count()
+    assert(dupes == 0)
+  }
+
+  test("embedded models inline into consumers") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.emb",
+      SqlBody("SELECT o_orderkey, o_totalprice FROM raw.orders"),
+      kind = ModelKind.Embedded))
+    ctx.addModel(Model("mart.emb_user",
+      SqlBody("SELECT count(*) AS n FROM mart.emb WHERE o_totalprice > 0"),
+      kind = ModelKind.Full))
+    ctx.apply(ctx.plan("prod", 0, D))
+    assert(spark.table("mart.emb_user").head().getLong(0) > 0)
+    // no physical table for the embedded model
+    assert(!spark.catalog.databaseExists("graft__mart") ||
+      !spark.catalog.listTables("graft__mart").collect().exists(_.name.contains("emb__")))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.adapter
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.core.ModelKind
+
+class MaterializerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  lazy val m = new SparkMaterializer(spark)
+
+  private def tbl(name: String, parts: Seq[String] = Nil) =
+    PhysicalTable("graft__test", name, SparkTestSession.tmpDir(s"pt_$name"), parts)
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("replaceQuery creates, replaces, and repoints the view") {
+    val t = tbl("rq")
+    m.replaceQuery(t, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(spark.table(s"graft__test.rq").count() == 2)
+    m.replaceQuery(t, Seq((3, "c")).toDF("id", "v"))
+    assert(spark.table(s"graft__test.rq").as[(Int, String)].collect().toSet == Set((3, "c")))
+  }
+
+  test("insertAppend appends into current version") {
+    val t = tbl("ia")
+    m.insertAppend(t, Seq((1, "a")).toDF("id", "v"))
+    m.insertAppend(t, Seq((2, "b")).toDF("id", "v"))
+    assert(m.read(t).count() == 2)
+  }
+
+  test("insertOverwriteByTimePartition is idempotent and interval-scoped") {
+    val t = tbl("iow", Seq("ds"))
+    def rows(day: Int, v: String) = Seq(
+      (ts(f"2024-01-$day%02d 05:00:00"), v, f"2024-01-$day%02d")
+    ).toDF("ts", "v", "ds")
+    val d1 = 19723L * 86400000L // 2024-01-01
+    m.insertOverwriteByTimePartition(t, rows(1, "x"), "ts", d1, d1 + 86400000L)
+    m.insertOverwriteByTimePartition(t, rows(2, "y"), "ts", d1 + 86400000L, d1 + 2 * 86400000L)
+    assert(m.read(t).count() == 2)
+    // re-run day 1 with new value: replaces, not duplicates
+    m.insertOverwriteByTimePartition(t, rows(1, "x2"), "ts", d1, d1 + 86400000L)
+    val got = m.read(t).select("v").as[String].collect().toSet
+    assert(got == Set("x2", "y"))
+    // out-of-interval rows are filtered (enforced predicate guard)
+    m.insertOverwriteByTimePartition(t, rows(3, "z"), "ts", d1, d1 + 86400000L)
+    assert(!m.read(t).select("v").as[String].collect().contains("z"))
+  }
+
+  test("insertOverwriteByTimePartition works unpartitioned (delete+insert)") {
+    val t = tbl("iow_np")
+    val d1 = 19723L * 86400000L
+    val df1 = Seq((ts("2024-01-01 01:00:00"), "a"), (ts("2024-01-02 01:00:00"), "b"))
+      .toDF("ts", "v")
+    m.insertOverwriteByTimePartition(t, df1, "ts", d1, d1 + 2 * 86400000L)
+    m.insertOverwriteByTimePartition(t,
+      Seq((ts("2024-01-01 09:00:00"), "a2")).toDF("ts", "v"), "ts", d1, d1 + 86400000L)
+    assert(m.read(t).select("v").as[String].collect().toSet == Set("a2", "b"))
+  }
+
+  test("merge upserts on unique key") {
+    val t = tbl("mg")
+    m.merge(t, Seq((1, "a", 10), (2, "b", 20)).toDF("id", "v", "x"), Seq("id"))
+    m.merge(t, Seq((2, "b2", 21), (3, "c", 30)).toDF("id", "v", "x"), Seq("id"))
+    val got = m.read(t).as[(Int, String, Int)].collect().toSet
+    assert(got == Set((1, "a", 10), (2, "b2", 21), (3, "c", 30)))
+  }
+
+  test("merge dedups source by key before upsert") {
+    val t = tbl("mg_dup")
+    m.merge(t, Seq((1, "a")).toDF("id", "v"), Seq("id"))
+    m.merge(t, Seq((1, "new1"), (1, "new2")).toDF("id", "v"), Seq("id"))
+    assert(m.read(t).count() == 1)
+  }
+
+  test("partition-pruned merge rewrites only source partitions") {
+    val t = tbl("mg_part", Seq("ds"))
+    m.merge(t, Seq((1, "a", "d1"), (2, "b", "d2")).toDF("id", "v", "ds"), Seq("id"))
+    m.merge(t, Seq((2, "b2", "d2")).toDF("id", "v", "ds"), Seq("id"))
+    val got = m.read(t).select("id", "v").as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (2, "b2")))
+  }
+
+  val scdKind = ModelKind.ScdType2ByTime(uniqueKey = Seq("id"))
+
+  test("SCD2-by-time: initial load opens rows at epoch 0 (base.py:1916)") {
+    val t = tbl("scd_init")
+    val src = Seq((1, "a", ts("2024-01-01 00:00:00"))).toDF("id", "st", "updated_at")
+    m.scdType2ByTime(t, src, scdKind, ts("2024-01-05 00:00:00"))
+    val row = m.read(t).select("valid_from", "valid_to")
+      .as[(java.sql.Timestamp, Option[java.sql.Timestamp])].head()
+    assert(row._1 == ts("1970-01-01 00:00:00") && row._2.isEmpty)
+  }
+
+  test("SCD2-by-time: update closes old row at new updated_at, opens new") {
+    val t = tbl("scd_upd")
+    m.scdType2ByTime(t, Seq((1, "a", ts("2024-01-01 00:00:00"))).toDF("id", "st", "updated_at"),
+      scdKind, ts("2024-01-01 12:00:00"))
+    m.scdType2ByTime(t, Seq((1, "b", ts("2024-01-03 00:00:00"))).toDF("id", "st", "updated_at"),
+      scdKind, ts("2024-01-03 12:00:00"))
+    val rows = m.read(t).orderBy("valid_from")
+      .select("st", "valid_from", "valid_to")
+      .as[(String, java.sql.Timestamp, Option[java.sql.Timestamp])].collect()
+    assert(rows.length == 2)
+    assert(rows(0) == (("a", ts("1970-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")))))
+    assert(rows(1) == (("b", ts("2024-01-03 00:00:00"), None)))
+  }
+
+  test("SCD2-by-time: stale source rows (updated_at <= target) do not create versions") {
+    val t = tbl("scd_stale")
+    m.scdType2ByTime(t, Seq((1, "a", ts("2024-01-02 00:00:00"))).toDF("id", "st", "updated_at"),
+      scdKind, ts("2024-01-02 12:00:00"))
+    m.scdType2ByTime(t, Seq((1, "zzz", ts("2024-01-02 00:00:00"))).toDF("id", "st", "updated_at"),
+      scdKind, ts("2024-01-03 12:00:00"))
+    val rows = m.read(t).collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("st") == "a")
+  }
+
+  test("SCD2-by-time: hard delete closes at execution ts; re-insert starts at max(del_ts, updated_at) (base.py:1921)") {
+    val t = tbl("scd_del")
+    m.scdType2ByTime(t, Seq((1, "a", ts("2024-01-01 00:00:00"))).toDF("id", "st", "updated_at"),
+      scdKind, ts("2024-01-01 12:00:00"))
+    // key disappears → closed at execution time
+    m.scdType2ByTime(t, Seq((2, "other", ts("2024-01-02 00:00:00"))).toDF("id", "st", "updated_at"),
+      scdKind, ts("2024-01-02 12:00:00"))
+    val closed = m.read(t).filter($"id" === 1).select("valid_to")
+      .as[Option[java.sql.Timestamp]].head()
+    assert(closed.contains(ts("2024-01-02 12:00:00")))
+    // key reappears with updated_at BEFORE the delete ts → valid_from = delete ts
+    m.scdType2ByTime(t, Seq((1, "back", ts("2024-01-02 00:00:00")),
+      (2, "other", ts("2024-01-02 00:00:00"))).toDF("id", "st", "updated_at"),
+      scdKind, ts("2024-01-03 12:00:00"))
+    val reborn = m.read(t).filter($"id" === 1 && $"valid_to".isNull)
+      .select("st", "valid_from").as[(String, java.sql.Timestamp)].head()
+    assert(reborn == (("back", ts("2024-01-02 12:00:00"))))
+  }
+
+  test("SCD2-by-column: null-safe change detection on check columns") {
+    val t = tbl("scd_col")
+    val kind = ModelKind.ScdType2ByColumn(uniqueKey = Seq("id"), checkColumns = Seq("st"))
+    m.scdType2ByColumn(t, Seq((1, Option("a"), 100)).toDF("id", "st", "ignored"),
+      kind, ts("2024-01-01 00:00:00"))
+    // ignored column changes → no new version
+    m.scdType2ByColumn(t, Seq((1, Option("a"), 999)).toDF("id", "st", "ignored"),
+      kind, ts("2024-01-02 00:00:00"))
+    assert(m.read(t).count() == 1)
+    // st → null IS a change (null-safe <=>)
+    m.scdType2ByColumn(t, Seq((1, Option.empty[String], 999)).toDF("id", "st", "ignored"),
+      kind, ts("2024-01-03 00:00:00"))
+    val rows = m.read(t).orderBy("valid_from").select("st", "valid_to")
+      .as[(Option[String], Option[java.sql.Timestamp])].collect()
+    assert(rows.length == 2)
+    assert(rows(0) == ((Some("a"), Some(ts("2024-01-03 00:00:00")))))
+    assert(rows(1) == ((None, None)))
+  }
+
+  test("promote/demote manage environment views") {
+    val t = tbl("pv")
+    m.replaceQuery(t, Seq((1, "a")).toDF("id", "v"))
+    m.promote("test__dev", "pv_view", t)
+    assert(spark.table("test__dev.pv_view").count() == 1)
+    m.demote("test__dev", "pv_view")
+    assert(!spark.catalog.tableExists("test__dev.pv_view"))
+  }
+
+  test("deleteWhere removes matching rows copy-on-write") {
+    val t = tbl("dw")
+    m.replaceQuery(t, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    m.deleteWhere(t, col("id") === 1)
+    assert(m.read(t).as[(Int, String)].collect().toSet == Set((2, "b")))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class IntervalSpec extends AnyFunSuite {
+  private val D = 86400000L
+
+  test("merge coalesces overlapping and adjacent intervals") {
+    assert(IntervalAlgebra.merge(Seq(Interval(0, D), Interval(D, 2 * D))) ==
+      Vector(Interval(0, 2 * D)))
+    assert(IntervalAlgebra.merge(Seq(Interval(0, D), Interval(2 * D, 3 * D))) ==
+      Vector(Interval(0, D), Interval(2 * D, 3 * D)))
+    assert(IntervalAlgebra.merge(Seq(Interval(0, 3 * D), Interval(D, 2 * D))) ==
+      Vector(Interval(0, 3 * D)))
+  }
+
+  test("remove splits intervals") {
+    assert(IntervalAlgebra.remove(Seq(Interval(0, 3 * D)), Interval(D, 2 * D)) ==
+      Vector(Interval(0, D), Interval(2 * D, 3 * D)))
+    assert(IntervalAlgebra.remove(Seq(Interval(0, D)), Interval(0, D)).isEmpty)
+    assert(IntervalAlgebra.remove(Seq(Interval(0, D)), Interval(5 * D, 6 * D)) ==
+      Vector(Interval(0, D)))
+  }
+
+  test("missing = requested minus processed") {
+    val missing = IntervalAlgebra.missing(0, 5 * D, Seq(Interval(D, 2 * D), Interval(3 * D, 4 * D)))
+    assert(missing == Vector(Interval(0, D), Interval(2 * D, 3 * D), Interval(4 * D, 5 * D)))
+  }
+
+  test("expand aligns to unit boundaries; partial units excluded") {
+    val got = IntervalAlgebra.expand(Interval(0, 3 * D), IntervalUnit.Day)
+    assert(got == Vector(Interval(0, D), Interval(D, 2 * D), Interval(2 * D, 3 * D)))
+    // misaligned start/end shrink inward
+    val part = IntervalAlgebra.expand(Interval(1000, 2 * D + 1000), IntervalUnit.Day)
+    assert(part == Vector(Interval(D, 2 * D)))
+  }
+
+  test("batch chunks contiguous intervals") {
+    val got = IntervalAlgebra.batch(Interval(0, 10 * D), IntervalUnit.Day, 4)
+    assert(got == Vector(Interval(0, 4 * D), Interval(4 * D, 8 * D), Interval(8 * D, 10 * D)))
+  }
+
+  test("cron inference matches reference IntervalUnit buckets") {
+    assert(IntervalUnit.fromCron("@daily") == IntervalUnit.Day)
+    assert(IntervalUnit.fromCron("0 0 * * *") == IntervalUnit.Day)
+    assert(IntervalUnit.fromCron("@hourly") == IntervalUnit.Hour)
+    assert(IntervalUnit.fromCron("0 * * * *") == IntervalUnit.Hour)
+    assert(IntervalUnit.fromCron("*/5 * * * *") == IntervalUnit.FiveMinute)
+    assert(IntervalUnit.fromCron("*/15 * * * *") == IntervalUnit.QuarterHour)
+    assert(IntervalUnit.fromCron("*/30 * * * *") == IntervalUnit.HalfHour)
+    assert(IntervalUnit.fromCron("0 0 1 * *") == IntervalUnit.Month)
+    assert(IntervalUnit.fromCron("0 0 1 1 *") == IntervalUnit.Year)
+  }
+
+  private def randIvl(rng: scala.util.Random): Interval = {
+    val a = rng.nextInt(100).toLong; val b = rng.nextInt(100).toLong
+    Interval(math.min(a, b) * D, (math.max(a, b) + 1) * D)
+  }
+
+  test("property: merge output is disjoint, sorted, and idempotent") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val ivls = Seq.fill(rng.nextInt(12))(randIvl(rng))
+      val m = IntervalAlgebra.merge(ivls)
+      assert(m.sliding(2).forall { case Seq(a, b) => a.end < b.start; case _ => true })
+      assert(IntervalAlgebra.merge(m) == m)
+      assert(m.map(i => i.end - i.start).sum <= ivls.map(i => i.end - i.start).sum)
+    }
+  }
+
+  test("property: remove preserves span minus intersection") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val a = randIvl(rng); val r = randIvl(rng)
+      val removed = IntervalAlgebra.remove(Seq(a), r)
+      val inter = math.max(0L, math.min(a.end, r.end) - math.max(a.start, r.start))
+      assert(removed.map(i => i.end - i.start).sum == (a.end - a.start) - inter)
+    }
+  }
+
+  test("fingerprint stability: whitespace/comments/case do not change version") {
+    val m1 = Model("db.t", SqlBody("SELECT a, b FROM src WHERE a > 1"))
+    val m2 = Model("db.t", SqlBody("select  a, b\n-- comment\nFROM src  WHERE a > 1"))
+    val f1 = Fingerprint.of(m1, (m1.body.asInstanceOf[SqlBody]).sql, Nil)
+    val f2 = Fingerprint.of(m2, (m2.body.asInstanceOf[SqlBody]).sql, Nil)
+    assert(f1.version == f2.version)
+    val m3 = Model("db.t", SqlBody("SELECT a, b, c FROM src WHERE a > 1"))
+    val f3 = Fingerprint.of(m3, "SELECT a, b, c FROM src WHERE a > 1", Nil)
+    assert(f1.version != f3.version)
+  }
+
+  test("metadata changes alter metadata hash only") {
+    val base = Model("db.t", SqlBody("SELECT 1 AS x"))
+    val owned = base.copy(owner = Some("alice"))
+    val f1 = Fingerprint.of(base, "SELECT 1 AS x", Nil)
+    val f2 = Fingerprint.of(owned, "SELECT 1 AS x", Nil)
+    assert(f1.version == f2.version)
+    assert(f1.full != f2.full)
+  }
+}

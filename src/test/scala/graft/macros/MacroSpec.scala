@@ -1,0 +1,117 @@
+package graft.macros
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MacroSpec extends AnyFunSuite {
+  private val D = 86400000L
+  // [2024-01-01, 2024-01-03) daily interval, executed 2024-01-05
+  private val start = 19723L * D
+  private def ev(vars: Map[String, String] = Map.empty) =
+    new MacroEvaluator(start, start + 2 * D, start + 4 * D,
+      thisModel = Some("phys.tbl"), variables = vars,
+      schemaOf = {
+        case "src" => Seq("id" -> "BIGINT", "name" -> "STRING")
+        case _     => Nil
+      })
+
+  test("time variables render reference formats; end is inclusive") {
+    val e = ev()
+    assert(e.render("@start_ds") == "'2024-01-01'")
+    assert(e.render("@end_ds") == "'2024-01-02'") // end-1ms date
+    assert(e.render("@start_date") == "DATE '2024-01-01'")
+    assert(e.render("@execution_ds") == "'2024-01-05'")
+    assert(e.render("@start_epoch") == (start / 1000).toString)
+    assert(e.render("@start_millis") == start.toString)
+    assert(e.render("x BETWEEN @start_ds AND @end_ds") ==
+      "x BETWEEN '2024-01-01' AND '2024-01-02'")
+  }
+
+  test("@this_model resolves to the physical table") {
+    assert(ev().render("SELECT * FROM @this_model") == "SELECT * FROM phys.tbl")
+  }
+
+  test("@EACH maps a lambda over a list") {
+    // whole-identifier substitution only (x_int is a distinct identifier,
+    // exactly as in the reference's AST-based lambdas)
+    assert(ev().render("@EACH([a, b, c], x -> CAST(x AS INT) AS x_int)") ==
+      "CAST(a AS INT) AS x_int, CAST(b AS INT) AS x_int, CAST(c AS INT) AS x_int")
+    assert(ev().render("@EACH([1, 2], x -> col_x)") == "col_x, col_x")
+  }
+
+  test("@IF with const condition keeps/drops branches") {
+    assert(ev().render("@IF(1 > 0, keep_me, drop_me)") == "keep_me")
+    assert(ev().render("@IF(1 > 2, keep_me, drop_me)") == "drop_me")
+    assert(ev().render("@IF(1 > 2, keep_me)") == "")
+  }
+
+  test("@REDUCE and @FILTER and @EVAL do macro-time computation") {
+    assert(ev().render("@REDUCE([1, 2, 3, 4], (a, b) -> a + b)") == "10")
+    assert(ev().render("@FILTER([1, 2, 3], x -> x > 1)") == "[2, 3]")
+    assert(ev().render("@EVAL(7 * 6)") == "42")
+  }
+
+  test("@STAR expands typed casts from schema") {
+    assert(ev().render("SELECT @STAR(src) FROM src") ==
+      "SELECT CAST(`src`.`id` AS BIGINT) AS `id`, CAST(`src`.`name` AS STRING) AS `name` FROM src")
+  }
+
+  test("@GENERATE_SURROGATE_KEY emits md5(concat(coalesce…)) (macros.py:936)") {
+    val got = ev().render("@GENERATE_SURROGATE_KEY(a, b)")
+    assert(got == "MD5(CONCAT(COALESCE(CAST(a AS STRING), '_sqlmesh_surrogate_key_null_'), " +
+      "'|', COALESCE(CAST(b AS STRING), '_sqlmesh_surrogate_key_null_')))")
+  }
+
+  test("@SAFE_ADD/@SAFE_SUB/@SAFE_DIV null semantics (macros.py:978-1026)") {
+    assert(ev().render("@SAFE_ADD(a, b)") ==
+      "CASE WHEN a IS NULL AND b IS NULL THEN NULL ELSE COALESCE(a, 0) + COALESCE(b, 0) END")
+    assert(ev().render("@SAFE_DIV(a, b)") == "(a) / NULLIF(b, 0)")
+  }
+
+  test("@PIVOT builds conditional aggregates (macros.py:1145)") {
+    assert(ev().render("@PIVOT(status, ['done', 'open'])") ==
+      "SUM(CASE WHEN status = 'done' THEN 1 ELSE 0 END) AS `done`, " +
+        "SUM(CASE WHEN status = 'open' THEN 1 ELSE 0 END) AS `open`")
+  }
+
+  test("@AND/@OR filter NULL branches (macros.py:1194)") {
+    assert(ev().render("@AND(a > 1, NULL, b < 2)") == "(a > 1) AND (b < 2)")
+    assert(ev().render("@OR(NULL)") == "TRUE")
+  }
+
+  test("@DEDUPLICATE emits row_number pattern (macros.py:1240)") {
+    val got = ev().render("@DEDUPLICATE(my_tbl, [id], [ts DESC])")
+    assert(got.contains("ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts DESC)"))
+    assert(got.contains("FROM my_tbl"))
+  }
+
+  test("@DATE_SPINE emits sequence+explode (macros.py:1297)") {
+    val got = ev().render("@DATE_SPINE(day, '2024-01-01', '2024-01-05')")
+    assert(got.contains("sequence(DATE '2024-01-01', DATE '2024-01-05', INTERVAL 1 day)"))
+  }
+
+  test("@VAR looks up config variables") {
+    assert(ev(Map("answer" -> "42")).render("@VAR('answer')") == "42")
+    assert(ev().render("@VAR('missing', 0)") == "0")
+  }
+
+  test("@DEF registers a reusable macro") {
+    val e = ev()
+    val out = e.render("@DEF(plus_one, x -> x + 1) SELECT @plus_one(a)")
+    assert(out.trim == "SELECT a + 1")
+  }
+
+  test("@HAVERSINE_DISTANCE formula (macros.py:1103)") {
+    val got = ev().render("@HAVERSINE_DISTANCE(lat1, lon1, lat2, lon2)")
+    assert(got.startsWith("2 * 3961 * ASIN(SQRT("))
+  }
+
+  test("@UNION casts by name across tables") {
+    val got = ev().render("@UNION('all', src, src)")
+    assert(got == "SELECT CAST(`id` AS BIGINT) AS `id`, CAST(`name` AS STRING) AS `name` FROM src" +
+      " UNION ALL SELECT CAST(`id` AS BIGINT) AS `id`, CAST(`name` AS STRING) AS `name` FROM src")
+  }
+
+  test("macros inside string literals are not expanded") {
+    assert(ev().render("SELECT '@start_ds'") == "SELECT '@start_ds'")
+  }
+}
