@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+  * against a full scan; exact, one pass, no shuffle beyond the final top-k.
+  * Scale path: LSH (random hyperplanes) or IVF (k-means-ish coarse quantizer)
+  * bucketing so each query probes a small fraction of the corpus.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array columns, in double precision.
+    * `zip_with` + `aggregate` stay inside codegen; no UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force exact top-k neighbors for each query vector.
+    * `queries` is expected to be small (broadcast side). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(q, col(idCol) =!= col(queryIdCol)) // exclude self-match
+      .withColumn("score", round(cosine(col(vecCol), col("__qvec")), 4))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane signs for LSH: sign of
+    * xxhash64(plane, dim) — reproducible across engines and runs. */
+  private def hyperplaneSign(plane: Int, dim: Column): Column =
+    when(xxhash64(lit(plane), dim) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane LSH bucket id (nPlanes-bit signature) for a vector. */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i => hyperplaneSign(p, i)),
+          (v, s) => v.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: queries only probe their own bucket.
+    * Recall < 1.0 by construction; multiply buckets/probes for higher recall.
+    * At 100 TB this turns a full-scan-per-query into a bucket-join. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.withColumn("__bucket", lshBucket(col(vecCol), nPlanes))
+    val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+      .withColumn("__bucket", lshBucket(col("__qvec"), nPlanes)))
+    val scored = c.join(q, Seq("__bucket")).filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("score", round(cosine(col(vecCol), col("__qvec")), 4))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign vectors to the nearest of
+    * `centroids` (small, broadcast); ANN probes `nProbe` nearest lists. */
+  def ivfAssign(df: DataFrame, centroids: DataFrame, vecCol: String = "embedding",
+                centIdCol: String = "centroid_id", centVecCol: String = "centroid"): DataFrame = {
+    val c = broadcast(centroids.select(col(centIdCol), col(centVecCol)))
+    val joined = df.crossJoin(c)
+      .withColumn("__sim", cosine(col(vecCol), col(centVecCol)))
+    val w = Window.partitionBy(df.columns.map(col): _*).orderBy(col("__sim").desc)
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__sim", "__rn", centVecCol)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID, quality scoring, token counting, document fingerprinting.
+  *
+  * All are pure `org.apache.spark.sql.functions` compositions — codegen'd,
+  * whole-stage-fused, no UDFs — so they run at scan speed over 100 TB of
+  * documents and stay inside WholeStageCodegen spans.
+  */
+object TextFunctions {
+
+  /** Per-language stopword markers for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny: the point is a cheap scan-time signal. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " das "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " est "),
+    "es" -> Seq(" el ", " la ", " los ", " es ", " y "))
+
+  private def padded(text: Column): Column = concat(lit(" "), lower(text), lit(" "))
+
+  /** Count occurrences of a literal substring (codegen-friendly: length diff). */
+  def substrCount(text: Column, token: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(token), ""))) /
+      token.length).cast("int")
+
+  /** Stopword-hit score for one language. */
+  def langScore(text: Column, lang: String): Column =
+    stopwords(lang).map(w => substrCount(padded(text), w)).reduce(_ + _)
+
+  /** Heuristic language-ID: argmax of per-language stopword hits; null when no
+    * hits at all. */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => struct(langScore(text, l).as("score"), lit(l).as("lang")))
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0, best.getField("lang"))
+  }
+
+  def wordCount(text: Column): Column =
+    size(filter(split(text, " "), w => length(w) > 0))
+
+  /** Quality-score feature vector: length, words, punct/digit/upper ratios,
+    * mean word length, stopword density. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    Seq(
+      "n_chars" -> length(text),
+      "n_words" -> wordCount(text),
+      "punct_ratio" -> round(length(regexp_replace(text, "[^\\p{Punct}]", "")) / len, 4),
+      "digit_ratio" -> round(length(regexp_replace(text, "[^0-9]", "")) / len, 4),
+      "upper_ratio" -> round(length(regexp_replace(text, "[^A-Z]", "")) / len, 4),
+      "mean_word_len" -> round(len / greatest(wordCount(text).cast("double"), lit(1.0)), 4),
+      "stopword_hits" -> langScore(text, "en"))
+  }
+
+  /** One scalar quality score in [0,1] from the features (simple monotone
+    * blend: long-enough, low-punct, low-digit text scores high). */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")) / len
+    val digit = length(regexp_replace(text, "[^0-9]", "")) / len
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    round(greatest(lit(0.0), lenScore * (lit(1.0) - punct) * (lit(1.0) - digit)), 4)
+  }
+
+  /** BPE-ish token estimate: whitespace words + sub-word splits on
+    * case/digit/punct boundaries (a cheap proxy for byte-pair tokenizers). */
+  def tokenEstimate(text: Column): Column =
+    size(filter(split(
+      regexp_replace(text, "([a-z])([A-Z])|([A-Za-z])([0-9])|([0-9])([A-Za-z])", "$1$3$5 $2$4$6"),
+      "[\\s\\p{Punct}]+"), t => length(t) > 0))
+
+  /** Deterministic 64-bit document fingerprint (rolling-hash style): xxhash64
+    * of the whitespace-normalized lowercased text. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content-defined normalization + md5 — exact-dup key. */
+  def contentKey(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Apply the full text-analysis bundle to a documents DataFrame. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    qualityFeatures(t).foldLeft(docs) { case (df, (name, c)) => df.withColumn(name, c) }
+      .withColumn("lang_pred", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("n_tokens", tokenEstimate(t))
+      .withColumn("fp64", fingerprint(t))
+  }
+}

@@ -149,7 +149,12 @@ final class MacroEvaluator(
 
   private def substitute(body: String, params: Seq[String], values: Seq[String]): String =
     params.zip(values).foldLeft(body) { case (b, (p, v)) =>
-      b.replaceAll("(?i)@?\\b" + java.util.regex.Pattern.quote(p) + "\\b", java.util.regex.Matcher.quoteReplacement(v))
+      val vq = java.util.regex.Matcher.quoteReplacement(v)
+      val pq = java.util.regex.Pattern.quote(p)
+      // `@{param}` interpolates inside identifiers (p_@{q} -> p_25);
+      // bare whole-identifier occurrences substitute directly.
+      b.replaceAll("@\\{" + pq + "\\}", vq)
+        .replaceAll("(?i)@?\\b" + pq + "\\b", vq)
     }
 
   private val nullToken = "'_sqlmesh_surrogate_key_null_'"

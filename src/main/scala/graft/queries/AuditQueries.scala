@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.audits.Audits
+import QueryUtil._
+
+/** Audit-operator coverage (SURVEY §2.5): each entry renders a built-in audit
+  * template via [[Audits]] against real tables (with violations present) and
+  * aggregates the violation set deterministically; the oracle replicates the
+  * audit SQL in DuckDB. All 29 templates are unit-tested in AuditsSpec; the
+  * entries here hash-check the families with data-dependent math (z-score,
+  * KL, chi-square, windows, ranges) cross-engine.
+  *
+  * Dialect note: Spark LOG() is natural log, DuckDB LOG() is log10 — oracles
+  * use ln().
+  */
+object AuditQueries {
+
+  private def audit(name: String, table: String, args: Map[String, String],
+                    wrap: DataFrame => DataFrame = identity,
+                    prep: (SparkSession, String) => Unit = (s, dir) => registerAll(s, dir))
+      : QueryFn = (s, dir) => {
+    prep(s, dir)
+    wrap(Audits.run(s, name, table, args))
+  }
+
+  val entries: Map[String, Entry] = Map(
+
+    "a_accepted_range" -> Entry(
+      audit("accepted_range", "customer",
+        Map("column" -> "c_acctbal", "min_v" -> "0", "max_v" -> "9000"),
+        _.selectExpr("count(*) AS n_viol", "round(min(c_acctbal), 2) AS min_bal",
+          "round(max(c_acctbal), 2) AS max_bal")),
+      Some(
+        """SELECT count(*) AS n_viol, round(min(c_acctbal), 2) AS min_bal,
+          |  round(max(c_acctbal), 2) AS max_bal
+          |FROM customer WHERE c_acctbal < 0 OR c_acctbal > 9000""".stripMargin)),
+
+    "a_unique_combination" -> Entry(
+      audit("unique_combination_of_columns", "lineitem",
+        Map("columns" -> "l_partkey, l_suppkey"),
+        _.orderBy("l_partkey", "l_suppkey")),
+      Some(
+        """SELECT l_partkey, l_suppkey FROM lineitem
+          |GROUP BY l_partkey, l_suppkey HAVING count(*) > 1
+          |ORDER BY l_partkey, l_suppkey""".stripMargin)),
+
+    "a_accepted_values" -> Entry(
+      audit("accepted_values", "lineitem",
+        Map("column" -> "l_returnflag", "is_in" -> "'A', 'N'"),
+        _.groupBy("l_returnflag").count().orderBy("l_returnflag")),
+      Some(
+        """SELECT l_returnflag, count(*) AS count FROM lineitem
+          |WHERE l_returnflag NOT IN ('A', 'N')
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "a_z_score" -> Entry(
+      audit("z_score", "orders",
+        Map("column" -> "o_totalprice", "threshold" -> "1.5"),
+        _.selectExpr("count(*) AS n_outliers", "round(sum(z_score), 2) AS sum_z")),
+      Some(
+        """WITH stats AS (
+          |  SELECT AVG(o_totalprice) AS m, STDDEV(o_totalprice) AS sd FROM orders)
+          |SELECT count(*) AS n_outliers,
+          |  round(sum((o_totalprice - m) / NULLIF(sd, 0)), 2) AS sum_z
+          |FROM orders, stats
+          |WHERE ABS((o_totalprice - m) / NULLIF(sd, 0)) > 1.5""".stripMargin)),
+
+    "a_mutually_exclusive_ranges" -> Entry(
+      (s, dir) => {
+        registerAll(s, dir)
+        s.sql(
+          """SELECT o_orderkey, o_totalprice AS lo, round(o_totalprice * 1.05, 2) AS hi
+            |FROM orders WHERE o_custkey < 50""".stripMargin)
+          .createOrReplaceTempView("ranges_t")
+        Audits.run(s, "mutually_exclusive_ranges", "ranges_t",
+          Map("lower_bound_column" -> "lo", "upper_bound_column" -> "hi"))
+          .selectExpr("count(*) AS n_overlaps")
+      },
+      Some(
+        """WITH ranges_t AS (
+          |  SELECT o_orderkey, o_totalprice AS lo, round(o_totalprice * 1.05, 2) AS hi
+          |  FROM orders WHERE o_custkey < 50
+          |), window_functions AS (
+          |  SELECT lo AS lower_bound, hi AS upper_bound,
+          |    LEAD(lo) OVER (ORDER BY lo, hi) AS next_lower_bound,
+          |    row_number() OVER (ORDER BY lo DESC, hi DESC) = 1 AS is_last_record
+          |  FROM ranges_t
+          |), calc AS (
+          |  SELECT *,
+          |    COALESCE(lower_bound <= upper_bound, FALSE) AS ok1,
+          |    COALESCE(upper_bound <= next_lower_bound, is_last_record, FALSE) AS ok2
+          |  FROM window_functions
+          |)
+          |SELECT count(*) AS n_overlaps FROM calc WHERE NOT (ok1 AND ok2)""".stripMargin)),
+
+    "a_chi_square" -> Entry(
+      audit("chi_square", "orders",
+        Map("column_a" -> "o_orderstatus", "column_b" -> "o_orderpriority",
+          "critical_value" -> "9.48773", "dependent" -> "true"),
+        _.selectExpr("degrees_of_freedom", "round(chi_square, 3) AS chi")),
+      Some(
+        """WITH samples AS (
+          |  SELECT o_orderstatus AS x_a, o_orderpriority AS x_b FROM orders
+          |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+          |), contingency_table AS (
+          |  SELECT x_a, x_b, COUNT(*) AS observed,
+          |    SUM(COUNT(*)) OVER (PARTITION BY x_a) AS tot_a,
+          |    SUM(COUNT(*)) OVER (PARTITION BY x_b) AS tot_b,
+          |    SUM(COUNT(*)) OVER () AS g_t
+          |  FROM samples GROUP BY x_a, x_b
+          |)
+          |SELECT CAST((COUNT(DISTINCT x_a) - 1) * (COUNT(DISTINCT x_b) - 1) AS BIGINT)
+          |    AS degrees_of_freedom,
+          |  round(SUM((observed - tot_a * tot_b / g_t) * (observed - tot_a * tot_b / g_t)
+          |    / (tot_a * tot_b / g_t)), 3) AS chi
+          |FROM contingency_table
+          |HAVING NOT (round(SUM((observed - tot_a * tot_b / g_t) * (observed - tot_a * tot_b / g_t)
+          |    / (tot_a * tot_b / g_t)), 3) > 9.48773)""".stripMargin)),
+
+    "a_kl_divergence" -> Entry(
+      (s, dir) => {
+        registerAll(s, dir)
+        s.sql(
+          """SELECT event_type AS et_obs,
+            |  CASE WHEN value > 10 THEN event_type ELSE 'click' END AS et_exp
+            |FROM events""".stripMargin).createOrReplaceTempView("kl_t")
+        Audits.run(s, "kl_divergence", "kl_t",
+          Map("source_column" -> "et_obs", "target_column" -> "et_exp",
+            "threshold" -> "0.02"))
+          .selectExpr("round(kl_divergence, 4) AS kl")
+      },
+      Some(
+        """WITH kl_t AS (
+          |  SELECT event_type AS et_obs,
+          |    CASE WHEN value > 10 THEN event_type ELSE 'click' END AS et_exp
+          |  FROM events
+          |), table_a AS (SELECT et_obs AS x, COUNT(*) AS num_rows FROM kl_t GROUP BY 1),
+          |table_b AS (SELECT et_exp AS x, COUNT(*) AS num_rows FROM kl_t GROUP BY 1),
+          |a_p AS (SELECT x, num_rows, num_rows / SUM(num_rows) OVER () AS p FROM table_a),
+          |b_q AS (SELECT x, num_rows, num_rows / SUM(num_rows) OVER () AS q FROM table_b),
+          |a_q AS (SELECT a_p.x, p, COALESCE(q, 0) AS q FROM a_p LEFT JOIN b_q ON a_p.x = b_q.x),
+          |b_p AS (SELECT b_q.x, q, COALESCE(p, 0) AS p FROM b_q LEFT JOIN a_p ON b_q.x = a_p.x),
+          |unioned AS (
+          |  SELECT p * LN(p / NULLIF(q, 0)) AS kl FROM a_q
+          |  UNION ALL SELECT q * LN(q / NULLIF(p, 0)) AS kl FROM b_p
+          |)
+          |SELECT round(SUM(kl), 4) AS kl FROM unioned HAVING SUM(kl) > 0.02""".stripMargin)),
+
+    "a_not_null_proportion" -> Entry(
+      (s, dir) => {
+        registerAll(s, dir)
+        s.sql("SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer")
+          .createOrReplaceTempView("nnp_t")
+        Audits.run(s, "not_null_proportion", "nnp_t",
+          Map("column" -> "seg", "threshold" -> "0.9"))
+          .selectExpr("cnt", "not_null_cnt", "round(not_null_proportion, 4) AS p")
+      },
+      Some(
+        """SELECT count(*) AS cnt, count(seg) AS not_null_cnt,
+          |  round(count(seg) / count(*), 4) AS p
+          |FROM (SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer)
+          |HAVING count(seg) / count(*) < 0.9""".stripMargin)),
+
+    "a_sequential_values_pass" -> Entry(
+      audit("sequential_values", "nation", Map("column" -> "n_nationkey")),
+      Some(
+        """WITH windowed AS (
+          |  SELECT n_nationkey, LAG(n_nationkey) OVER (ORDER BY n_nationkey) AS prv
+          |  FROM nation)
+          |SELECT * FROM windowed WHERE NOT (n_nationkey = prv + 1)""".stripMargin)),
+
+    "a_forall_string" -> Entry(
+      audit("forall", "part",
+        Map("criteria" -> "length(p_name) > 30, p_retailprice > 0"),
+        _.groupBy("p_brand").count().orderBy("p_brand")),
+      Some(
+        """SELECT p_brand, count(*) AS count FROM part
+          |WHERE NOT (length(p_name) > 30) OR NOT (p_retailprice > 0)
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+  )
+}

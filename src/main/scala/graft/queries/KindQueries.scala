@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftContext
+import graft.core._
+import QueryUtil._
+
+/** Materialization-kind coverage (SURVEY §2.1/§2.2): each entry drives the
+  * REAL framework — GraftContext plan/apply/run with multiple waves — and
+  * returns the final physical table. The oracle expresses the expected end
+  * state in one SQL query, so interval accounting, merge semantics, SCD2
+  * versioning, and partition overwrite are all hash-checked against DuckDB.
+  */
+object KindQueries {
+
+  private val D = 86400000L
+  private def dayMs(s: String): Long = java.time.LocalDate.parse(s).toEpochDay * D
+
+  private def ctx(spark: SparkSession, dir: String): GraftContext = {
+    val c = new GraftContext(spark,
+      java.nio.file.Files.createTempDirectory("graft_kind").toString, concurrency = 2)
+    tables.foreach(t => c.addExternal(s"raw.$t", s"$dir/$t.parquet"))
+    c
+  }
+
+  val entries: Map[String, Entry] = Map(
+
+    // ---------------- INCREMENTAL_BY_TIME_RANGE: batched backfill + run ----
+    "mk_incremental_by_time" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model(
+        name = "mart.daily_rev",
+        body = SqlBody(
+          """SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS rev,
+            |  count(*) AS n
+            |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+            |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin),
+        kind = ModelKind.IncrementalByTimeRange(timeColumn = "d", batchSize = Some(10)),
+        start = Some(dayMs("1995-01-01")),
+        partitionedBy = Seq("d")))
+      // initial plan covers January, a later `run` extends through March —
+      // the oracle sees one contiguous backfill
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+      c.run("prod", dayMs("1995-01-01"), dayMs("1995-04-01"))
+      s.table("mart.daily_rev").orderBy("d")
+    }, Some(
+      """SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS rev, count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+        |GROUP BY 1 ORDER BY d""".stripMargin)),
+
+    // ------------- INCREMENTAL_BY_UNIQUE_KEY: two-wave merge --------------
+    "mk_merge_unique_key" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model(
+        name = "mart.cust_activity",
+        body = SqlBody(
+          """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+            |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+            |GROUP BY o_custkey""".stripMargin),
+        kind = ModelKind.IncrementalByUniqueKey(uniqueKey = Seq("o_custkey")),
+        start = Some(dayMs("1995-01-01"))))
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-07-01")))
+      // second wave: H2 stats REPLACE H1 rows per key (merge = upsert)
+      c.apply(c.plan("prod", dayMs("1995-07-01"), dayMs("1996-01-01")))
+      s.table("mart.cust_activity").orderBy("o_custkey")
+    }, Some(
+      """WITH h1 AS (
+        |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-07-01' GROUP BY o_custkey
+        |), h2 AS (
+        |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY o_custkey
+        |)
+        |SELECT COALESCE(h2.o_custkey, h1.o_custkey) AS o_custkey,
+        |  COALESCE(h2.n_orders, h1.n_orders) AS n_orders,
+        |  COALESCE(h2.spend, h1.spend) AS spend
+        |FROM h1 FULL JOIN h2 ON h1.o_custkey = h2.o_custkey
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // --------------------- SCD_TYPE_2_BY_TIME: three waves ----------------
+    "mk_scd2_by_time" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model(
+        name = "mart.cust_scd",
+        body = SqlBody(
+          """SELECT o_custkey AS id, max(o_orderdate) AS updated_at, count(*) AS n_orders
+            |FROM raw.orders WHERE o_orderdate < @end_dt AND o_custkey < 300
+            |GROUP BY o_custkey""".stripMargin),
+        kind = ModelKind.ScdType2ByTime(uniqueKey = Seq("id")),
+        start = Some(dayMs("1995-01-01"))))
+      // three snapshot waves at growing cutoffs
+      for (cut <- Seq("1995-03-01", "1995-06-01", "1995-09-01")) {
+        c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs(cut)),
+          executionTs = dayMs(cut))
+      }
+      s.table("mart.cust_scd")
+        .select(col("id"), col("n_orders"), col("updated_at"), col("valid_from"), col("valid_to"))
+        .orderBy(col("id"), col("valid_from"))
+    }, Some(
+      // reconstruct SCD2 history: snapshots at the 3 cutoffs, consecutive
+      // versions per key; valid_from = epoch for first, else updated_at;
+      // valid_to = next version's updated_at
+      """WITH cuts AS (
+        |  SELECT TIMESTAMP '1995-03-01' AS cut UNION ALL
+        |  SELECT TIMESTAMP '1995-06-01' UNION ALL SELECT TIMESTAMP '1995-09-01'
+        |), snaps AS (
+        |  SELECT DISTINCT o_custkey AS id,
+        |    max(o_orderdate) AS updated_at, count(*) AS n_orders
+        |  FROM orders, cuts WHERE o_orderdate < cut AND o_custkey < 300
+        |  GROUP BY o_custkey, cut
+        |), versions AS (
+        |  SELECT DISTINCT id, updated_at, n_orders FROM snaps
+        |), first_load AS (
+        |  SELECT DISTINCT o_custkey AS id FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1995-03-01' AND o_custkey < 300
+        |), hist AS (
+        |  -- epoch-0 valid_from only for keys present at the FIRST load;
+        |  -- later-appearing keys open at their updated_at (base.py:1916)
+        |  SELECT v.id, n_orders, updated_at,
+        |    CASE WHEN row_number() OVER (PARTITION BY v.id ORDER BY updated_at) = 1
+        |      AND f.id IS NOT NULL
+        |      THEN TIMESTAMP '1970-01-01' ELSE updated_at END AS valid_from,
+        |    lead(updated_at) OVER (PARTITION BY v.id ORDER BY updated_at) AS valid_to
+        |  FROM versions v LEFT JOIN first_load f ON v.id = f.id
+        |)
+        |SELECT id, n_orders, updated_at, valid_from, valid_to FROM hist
+        |ORDER BY id, valid_from""".stripMargin)),
+
+    // -------------------- SCD_TYPE_2_BY_COLUMN: three waves ---------------
+    "mk_scd2_by_column" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model(
+        name = "mart.cust_tier",
+        body = SqlBody(
+          // tier flips as cumulative order count crosses thresholds
+          """SELECT o_custkey AS id,
+            |  CASE WHEN count(*) >= 10 THEN 'gold' WHEN count(*) >= 5 THEN 'silver'
+            |       ELSE 'bronze' END AS tier
+            |FROM raw.orders WHERE o_orderdate < @end_dt AND o_custkey < 300
+            |GROUP BY o_custkey""".stripMargin),
+        kind = ModelKind.ScdType2ByColumn(uniqueKey = Seq("id"), checkColumns = Seq("tier")),
+        start = Some(dayMs("1995-01-01"))))
+      for (cut <- Seq("1995-06-01", "1996-06-01", "1997-06-01")) {
+        c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs(cut)),
+          executionTs = dayMs(cut))
+      }
+      s.table("mart.cust_tier")
+        .select(col("id"), col("tier"), col("valid_from"), col("valid_to"))
+        .orderBy(col("id"), col("valid_from"))
+    }, Some(
+      """WITH cuts AS (
+        |  SELECT 1 AS i, TIMESTAMP '1995-06-01' AS cut UNION ALL
+        |  SELECT 2, TIMESTAMP '1996-06-01' UNION ALL SELECT 3, TIMESTAMP '1997-06-01'
+        |), snaps AS (
+        |  SELECT o_custkey AS id, i, cut,
+        |    CASE WHEN count(*) >= 10 THEN 'gold' WHEN count(*) >= 5 THEN 'silver'
+        |         ELSE 'bronze' END AS tier
+        |  FROM orders, cuts WHERE o_orderdate < cut AND o_custkey < 300
+        |  GROUP BY o_custkey, i, cut
+        |), changes AS (
+        |  SELECT id, i, cut, tier,
+        |    lag(tier) OVER (PARTITION BY id ORDER BY i) AS prev_tier
+        |  FROM snaps
+        |), versions AS (
+        |  SELECT id, i, cut, tier FROM changes
+        |  WHERE prev_tier IS NULL OR tier <> prev_tier
+        |), hist AS (
+        |  -- epoch-0 only for keys in the first load; later-appearing keys
+        |  -- open at the execution ts of the run that first saw them
+        |  SELECT id, tier,
+        |    CASE WHEN row_number() OVER (PARTITION BY id ORDER BY i) = 1
+        |      THEN (CASE WHEN i = 1 THEN TIMESTAMP '1970-01-01' ELSE cut END)
+        |      ELSE cut END AS valid_from,
+        |    lead(cut) OVER (PARTITION BY id ORDER BY i) AS valid_to
+        |  FROM versions
+        |)
+        |SELECT id, tier, valid_from, valid_to FROM hist ORDER BY id, valid_from""".stripMargin)),
+
+    // ------------- FULL + VIEW promotion through the virtual layer --------
+    "mk_full_view" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model("mart.nation_stats",
+        SqlBody(
+          """SELECT n_regionkey, count(*) AS n_nations
+            |FROM raw.nation GROUP BY n_regionkey""".stripMargin),
+        kind = ModelKind.Full))
+      c.addModel(Model("mart.region_rollup",
+        SqlBody(
+          """SELECT r_name, n_nations FROM mart.nation_stats
+            |JOIN raw.region ON n_regionkey = r_regionkey""".stripMargin),
+        kind = ModelKind.View))
+      c.apply(c.plan("prod", 0L, D))
+      s.table("mart.region_rollup").orderBy("r_name")
+    }, Some(
+      """SELECT r_name, n_nations FROM (
+        |  SELECT n_regionkey, count(*) AS n_nations FROM nation GROUP BY n_regionkey) ns
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name""".stripMargin)),
+
+    // ------------- INCREMENTAL_BY_PARTITION: dynamic overwrite ------------
+    "mk_by_partition" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model(
+        name = "mart.seg_stats",
+        body = SqlBody(
+          """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+            |  round(sum(c_acctbal), 2) AS bal
+            |FROM raw.customer
+            |WHERE c_mktsegment IN (@VAR('segs'))
+            |GROUP BY c_mktsegment, c_nationkey""".stripMargin),
+        kind = ModelKind.IncrementalByPartition(partitionedBy = Seq("c_mktsegment")),
+        partitionedBy = Seq("c_mktsegment")))
+      // wave 1 computes two segments, wave 2 recomputes one + adds another:
+      // end state = latest content per partition
+      val c1 = new GraftContext(s, c.workspace, 2, Map("segs" -> "'BUILDING', 'MACHINERY'"))
+      val c2 = new GraftContext(s, c.workspace, 2, Map("segs" -> "'MACHINERY', 'HOUSEHOLD'"))
+      Seq(c1, c2).foreach { cc =>
+        tables.foreach(t => cc.addExternal(s"raw.$t", s"$dir/$t.parquet"))
+        cc.addModel(c.model("mart.seg_stats"))
+      }
+      // both contexts share the workspace ⇒ same physical table
+      c1.apply(c1.plan("prod", 0L, D))
+      c2.apply(c2.plan("prod", 0L, D))
+      s.table("mart.seg_stats").orderBy("c_mktsegment", "c_nationkey")
+    }, Some(
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD')
+        |GROUP BY c_mktsegment, c_nationkey
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // --------------------- INCREMENTAL_UNMANAGED: append ------------------
+    "mk_unmanaged_append" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model(
+        name = "mart.event_log",
+        body = SqlBody(
+          """SELECT event_id, user_id, event_type, round(value, 2) AS v
+            |FROM raw.events WHERE ts BETWEEN @start_dt AND @end_dt""".stripMargin),
+        kind = ModelKind.IncrementalUnmanaged(),
+        cron = "@daily",
+        start = Some(dayMs("2024-01-01"))))
+      c.apply(c.plan("prod", dayMs("2024-01-01"), dayMs("2024-01-08")))
+      c.run("prod", dayMs("2024-01-01"), dayMs("2024-01-15"))
+      s.table("mart.event_log").orderBy("event_id")
+    }, Some(
+      """SELECT event_id, user_id, event_type, round(value, 2) AS v
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+        |ORDER BY event_id""".stripMargin)),
+
+    // ----------------------------- SEED --------------------------------
+    "mk_seed" -> Entry((s, dir) => {
+      val ws = java.nio.file.Files.createTempDirectory("graft_seed")
+      val csv = ws.resolve("regions.csv")
+      java.nio.file.Files.writeString(csv,
+        "region_id,zone\n0,APAC\n1,EMEA\n2,AMER\n3,AMER\n4,APAC\n")
+      val c = ctx(s, dir)
+      c.addModel(Model("mart.region_zone", SeedBody(csv.toString),
+        kind = ModelKind.Seed(csv.toString)))
+      c.addModel(Model("mart.zone_nations",
+        SqlBody(
+          """SELECT zone, count(*) AS n FROM raw.nation
+            |JOIN mart.region_zone ON n_regionkey = region_id
+            |GROUP BY zone""".stripMargin),
+        kind = ModelKind.Full, dependsOn = Set("mart.region_zone")))
+      c.apply(c.plan("prod", 0L, D))
+      s.table("mart.zone_nations").orderBy("zone")
+    }, Some(
+      """SELECT zone, count(*) AS n FROM nation
+        |JOIN (VALUES (0, 'APAC'), (1, 'EMEA'), (2, 'AMER'), (3, 'AMER'), (4, 'APAC'))
+        |  AS rz(region_id, zone) ON n_regionkey = region_id
+        |GROUP BY zone ORDER BY zone""".stripMargin)),
+
+    // -------------------- CUSTOM materialization strategy -----------------
+    "mk_custom" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      // custom strategy: append + keep only latest 2 versions per key
+      c.registerCustomMaterialization("top2_per_nation") { (mat, tbl, df) =>
+        val ranked = df.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))))
+          .filter(col("rk") <= 2).drop("rk")
+        mat.replaceQuery(tbl, ranked)
+      }
+      c.addModel(Model("mart.top_cust",
+        SqlBody("SELECT c_custkey, c_nationkey, c_acctbal FROM raw.customer"),
+        kind = ModelKind.Custom("top2_per_nation")))
+      c.apply(c.plan("prod", 0L, D))
+      s.table("mart.top_cust").orderBy("c_nationkey", "c_custkey")
+    }, Some(
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) t
+        |WHERE rk <= 2 ORDER BY c_nationkey, c_custkey""".stripMargin)),
+  )
+}
