@@ -39,7 +39,7 @@ class GraftContext(
   val materializer = new SparkMaterializer(spark)
   private val customStrategies =
     scala.collection.mutable.Map[String, (SparkMaterializer, PhysicalTable, DataFrame) => Unit]()
-  lazy val evaluator = new SnapshotEvaluator(materializer, workspace, customStrategies.toMap)
+  lazy val evaluator = new SnapshotEvaluator(materializer, workspace, customStrategies.toMap, variables)
   lazy val scheduler = new Scheduler(evaluator, state, concurrency)
 
   private val models = scala.collection.mutable.LinkedHashMap[String, Model]()
@@ -49,11 +49,14 @@ class GraftContext(
   def addModel(m: Model): this.type = { models(m.name) = m; this }
   def model(name: String): Model = models(name)
 
-  /** Register a pre-existing table (EXTERNAL kind) by parquet path or
-    * catalog-resolvable name. */
+  /** Register a pre-existing table (EXTERNAL kind) by parquet path,
+    * catalog-resolvable name, or inline `(SELECT …)` subquery. Inline
+    * subqueries stay persistent-view-safe (unlike temp views, which a
+    * CREATE VIEW of a VIEW-kind model may not reference). */
   def addExternal(name: String, pathOrTable: String): this.type = {
     externals(name) =
-      if (pathOrTable.contains("/")) s"parquet.`$pathOrTable`" else pathOrTable
+      if (pathOrTable.startsWith("(")) pathOrTable
+      else if (pathOrTable.contains("/")) s"parquet.`$pathOrTable`" else pathOrTable
     this
   }
 

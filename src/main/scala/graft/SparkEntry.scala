@@ -2,24 +2,35 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.queries._
+import graft.queries.QueryUtil.Entry
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each `queries` entry exercises one operator from SURVEY §2 (or a
   * training-data extension); `oracleSql` carries the DuckDB-equivalent SQL.
+  *
+  * Inventory map:
+  *  - [[Relational]]      Plane-A surface (§2.3): joins, windows, grouping
+  *    sets, set ops, subqueries, regex/string/date functions
+  *  - [[KindQueries]]     Plane-B materialization kinds (§2.1/§2.2) driven
+  *    through the full plan→apply→run framework
+  *  - [[MacroQueries]]    macro system (§2.4) rendered via MacroEvaluator
+  *  - [[AuditQueries]]    audit operators (§2.5)
+  *  - [[PipelineQueries]] training-data extensions: dedup, similarity,
+  *    multimodal, text analysis
   */
 object SparkEntry {
 
   /** Read one of the driver-generated TPC-H-ish tables. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    QueryUtil.t(spark, dir, name)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> { (s, dir) =>
+  private val q1: Map[String, Entry] = Map(
+    "q1_agg" -> Entry((s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -29,23 +40,39 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    },
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 2) AS sum_qty,
+          |  round(sum(l_extendedprice), 2) AS sum_base_price,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          |  round(avg(l_quantity), 4) AS avg_qty,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 
+  /** The full inventory. */
+  val all: Map[String, Entry] =
+    q1 ++ Relational.entries ++ KindQueries.entries ++ MacroQueries.entries ++
+      AuditQueries.entries ++ PipelineQueries.entries
+
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, e) => k -> e.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-  )
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (xxhash64-signature and stubbed-decode entries) → rows-only check. */
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, e) if e.oracle.exists(_.nonEmpty) => k -> e.oracle.get }
+
+  /** Headline subset for Bench: scan/join/agg heavy + the training-data
+    * pipeline ops — measured per-round at sf0.1. */
+  val benchNames: Seq[String] = Seq(
+    "q1_agg", "q2_join_agg", "q3_topn", "q6_filter", "q21_multi_join_star",
+    "q22_sessionize", "td_exact_dedup", "td_minhash_lsh", "td_ngram_jaccard",
+    "td_knn_bruteforce", "td_text_quality", "td_lang_id")
 }

@@ -60,21 +60,60 @@ class SparkMaterializer(val spark: SparkSession) {
     new Path(new Path(t.root), s"v${cur + 1}").toString
   }
 
+  /** True when `dir` holds at least one parquet data file. A partitioned
+    * write of ZERO rows emits no files at all, so schema inference over the
+    * bare dir fails — the `_graft_schema` marker (underscore-prefixed: Spark
+    * readers ignore it) preserves the schema for that legitimate empty case. */
+  private def hasParquet(dir: String): Boolean = {
+    val p = new Path(dir); val f = fs(p)
+    f.exists(p) && {
+      val it = f.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) found = true
+      found
+    }
+  }
+
+  private def schemaMarker(dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(dir, "_graft_schema"); val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+  }
+
   /** (Re)point the catalog view at the current data dir. Partition columns are
-    * discovered from the directory layout at read time. */
+    * discovered from the directory layout at read time; empty tables resolve
+    * through the schema marker. */
   def register(t: PhysicalTable): Unit = {
     createSchema(t.database)
     currentDataDir(t).foreach { dir =>
-      spark.sql(s"CREATE OR REPLACE VIEW ${t.qualified} AS SELECT * FROM parquet.`$dir`")
+      if (hasParquet(dir))
+        spark.sql(s"CREATE OR REPLACE VIEW ${t.qualified} AS SELECT * FROM parquet.`$dir`")
+      else schemaMarker(dir).foreach { st =>
+        val proj = st.map(fd =>
+          s"CAST(NULL AS ${fd.dataType.sql}) AS `${fd.name}`").mkString(", ")
+        spark.sql(s"CREATE OR REPLACE VIEW ${t.qualified} AS SELECT $proj WHERE 1 = 0")
+      }
     }
   }
 
   def tableExists(t: PhysicalTable): Boolean =
     spark.catalog.tableExists(s"${t.database}.${t.table}")
 
-  def read(t: PhysicalTable): DataFrame =
-    spark.read.parquet(currentDataDir(t).getOrElse(
-      throw new IllegalStateException(s"table ${t.qualified} has no data")))
+  def read(t: PhysicalTable): DataFrame = {
+    val dir = currentDataDir(t).getOrElse(
+      throw new IllegalStateException(s"table ${t.qualified} has no data"))
+    if (hasParquet(dir)) spark.read.parquet(dir)
+    else schemaMarker(dir) match {
+      case Some(st) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None => spark.read.parquet(dir) // surface the original error
+    }
+  }
 
   def dropTable(t: PhysicalTable): Unit = {
     spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
@@ -91,6 +130,13 @@ class SparkMaterializer(val spark: SparkSession) {
     if (partitionedBy.nonEmpty) w = w.partitionBy(partitionedBy: _*)
     if (dynamic) w = w.option("partitionOverwriteMode", "dynamic")
     w.parquet(dir)
+    if (partitionedBy.nonEmpty && !hasParquet(dir)) {
+      // zero-row partitioned write produced no files: persist the schema so
+      // the table stays readable (register/read resolve via the marker)
+      val p = new Path(dir, "_graft_schema")
+      val out = fs(p).create(p, true)
+      try out.write(df.schema.toDDL.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** ctas / create-or-replace (base.py:680 ctas; replace_query :459). Writes a
@@ -109,6 +155,21 @@ class SparkMaterializer(val spark: SparkSession) {
     case Some(dir) => write(df, dir, t.partitionedBy, SaveMode.Append); register(t)
   }
 
+  /** Render half-open `[startMs, endMs)` bounds as literals matching the time
+    * column's representation (reference base.py:1580 renders per time_format;
+    * a Timestamp literal against a DATE or epoch column is a wrong/failing
+    * predicate). Supported formats: "timestamp" (default), "date",
+    * "epoch" (seconds), "epoch_millis". */
+  private def timeBounds(timeFormat: String, startMs: Long, endMs: Long): (Column, Column) =
+    timeFormat match {
+      case "date" =>
+        (lit(java.time.LocalDate.ofEpochDay(Math.floorDiv(startMs, 86400000L))),
+          lit(java.time.LocalDate.ofEpochDay(Math.floorDiv(endMs + 86399999L, 86400000L))))
+      case "epoch"        => (lit(startMs / 1000), lit(endMs / 1000))
+      case "epoch_millis" => (lit(startMs), lit(endMs))
+      case _ => (lit(new java.sql.Timestamp(startMs)), lit(new java.sql.Timestamp(endMs)))
+    }
+
   /** insert_overwrite_by_time_partition (base.py:1580): enforce the inclusive
     * `[start, end]` predicate on the data (idempotent-restatement correctness,
     * not just perf), then dynamically overwrite only the touched partitions.
@@ -116,9 +177,8 @@ class SparkMaterializer(val spark: SparkSession) {
     * table size, and untouched partitions are never rewritten. */
   def insertOverwriteByTimePartition(
       t: PhysicalTable, df: DataFrame, timeCol: String,
-      startMs: Long, endMs: Long): Unit = {
-    val lo = lit(new java.sql.Timestamp(startMs))
-    val hi = lit(new java.sql.Timestamp(endMs)) // half-open [start, end)
+      startMs: Long, endMs: Long, timeFormat: String = "timestamp"): Unit = {
+    val (lo, hi) = timeBounds(timeFormat, startMs, endMs) // half-open [start, end)
     val guarded = df.filter(col(timeCol) >= lo && col(timeCol) < hi)
     currentDataDir(t) match {
       case None => replaceQuery(t, guarded)
@@ -166,13 +226,23 @@ class SparkMaterializer(val spark: SparkSession) {
       case None => replaceQuery(t, dedupByKey(source, keys))
       case Some(dir) =>
         val src = dedupByKey(source, keys)
-        if (t.partitionedBy.nonEmpty && t.partitionedBy.forall(src.columns.contains)) {
+        // The pruned path is only key-stable when the partition columns are a
+        // subset of the key: then a key's partition value can never change
+        // between runs, so no stale duplicate row can hide in an untouched
+        // partition. Otherwise fall back to the full rewrite.
+        if (t.partitionedBy.nonEmpty && t.partitionedBy.forall(keys.contains)) {
           // partition-pruned merge: rewrite only partitions present in source
           val parts = src.select(t.partitionedBy.map(col): _*).distinct()
-          var affected = read(t).join(broadcast(parts), t.partitionedBy, "left_semi")
-          mergeFilter.foreach(fl => affected = affected.filter(fl))
-          val merged = affected.join(src.select(keys.map(col): _*), keys, "left_anti")
-            .unionByName(src)
+          val affected = read(t).join(broadcast(parts), t.partitionedBy, "left_semi")
+          // rows of touched partitions that fail mergeFilter are out of merge
+          // scope but must survive the partition rewrite
+          val (inScope, outOfScope) = mergeFilter match {
+            case Some(fl) => (affected.filter(coalesce(fl, lit(false))),
+              affected.filter(!coalesce(fl, lit(false))))
+            case None => (affected, affected.limit(0))
+          }
+          val merged = inScope.join(src.select(keys.map(col): _*), keys, "left_anti")
+            .unionByName(src).unionByName(outOfScope)
           // stage via temp dir: can't dynamic-overwrite the dir being read
           val tmp = new Path(new Path(t.root), s"tmp_${System.nanoTime()}").toString
           write(merged, tmp, t.partitionedBy)
@@ -239,14 +309,18 @@ class SparkMaterializer(val spark: SparkSession) {
         val latestDeleted = static.groupBy(keys.map(col): _*)
           .agg(max(col(vt)).as("__del_vt"))
 
-        val s = source.select(source.columns.map(c => col(c).as(s"s_$c")): _*)
-        val l = latest.select(latest.columns.map(c => col(c).as(s"t_$c")): _*)
+        // explicit `_exists` markers (reference exp.true().as("_exists")): a
+        // legitimately-NULL first key column must not read as "row absent"
+        val s = source.select(source.columns.map(c => col(c).as(s"s_$c")) :+
+          lit(true).as("__s_exists"): _*)
+        val l = latest.select(latest.columns.map(c => col(c).as(s"t_$c")) :+
+          lit(true).as("__t_exists"): _*)
         val joinCond = keys.map(k => col(s"s_$k") <=> col(s"t_$k")).reduce(_ && _)
         val j = s.join(l, joinCond, "full_outer")
 
         val dataCols = source.columns.toSeq
-        val inSource = col(s"s_${keys.head}").isNotNull
-        val inTarget = col(s"t_${keys.head}").isNotNull
+        val inSource = col("__s_exists").isNotNull
+        val inTarget = col("__t_exists").isNotNull
         val changed = inSource && inTarget && (col(s"s_$ua") > col(s"t_$ua"))
 
         // 1. carried/closed version of existing open rows
@@ -257,20 +331,25 @@ class SparkMaterializer(val spark: SparkSession) {
               .when(!inSource && lit(kind.invalidateHardDeletes), lit(executionTs))
               .otherwise(lit(null).cast("timestamp")).as(vt)): _*)
 
-        // 2. new version rows for changed keys
+        // 2. new version rows for changed keys: insert_valid_from_start =
+        // updated_at (base.py:1919 insert_valid_from_start)
         val updatedNew = j.filter(changed).select(
           (dataCols.map(c => col(s"s_$c").as(c)) :+
-            (if (kind.updatedAtAsValidFrom) col(s"s_$ua") else col(s"s_$ua")).as(vf) :+
+            col(s"s_$ua").as(vf) :+
             lit(null).cast("timestamp").as(vt)): _*)
 
-        // 3. brand-new keys (incl. re-appearing hard-deleted keys)
+        // 3. brand-new keys: valid_from = epoch 0 unless updated_at_as_valid_from
+        // (base.py:1909-1919 update_valid_from_start via the updated_rows CASE);
+        // keys re-appearing after a hard delete open at
+        // max(latest_deleted.valid_to, updated_at) (base.py:2004-2011)
+        val newKeyVf = if (kind.updatedAtAsValidFrom) col(s"s_$ua") else epoch0
         val inserted = j.filter(inSource && !inTarget).select(
           (dataCols.map(c => col(s"s_$c").as(c)) :+
-            (if (kind.updatedAtAsValidFrom) col(s"s_$ua") else col(s"s_$ua")).as(vf) :+
+            newKeyVf.as(vf) :+
             lit(null).cast("timestamp").as(vt)): _*)
           .join(broadcast(latestDeleted), keys, "left")
           .withColumn(vf, when(col("__del_vt").isNotNull,
-            greatest(col("__del_vt"), col(vf))).otherwise(col(vf)))
+            greatest(col("__del_vt"), col(ua))).otherwise(col(vf)))
           .drop("__del_vt")
 
         replaceQuery(t, static.unionByName(existing).unionByName(updatedNew).unionByName(inserted))
@@ -301,17 +380,18 @@ class SparkMaterializer(val spark: SparkSession) {
         val target = read(t)
         val static = target.filter(col(vt).isNotNull)
         val latest = target.filter(col(vt).isNull)
-        val latestDeleted = static.groupBy(keys.map(col): _*)
-          .agg(max(col(vt)).as("__del_vt"))
 
-        val s = source.select(source.columns.map(c => col(c).as(s"s_$c")): _*)
-        val l = latest.select(latest.columns.map(c => col(c).as(s"t_$c")): _*)
+        // explicit `_exists` markers (reference exp.true().as("_exists"))
+        val s = source.select(source.columns.map(c => col(c).as(s"s_$c")) :+
+          lit(true).as("__s_exists"): _*)
+        val l = latest.select(latest.columns.map(c => col(c).as(s"t_$c")) :+
+          lit(true).as("__t_exists"): _*)
         val joinCond = keys.map(k => col(s"s_$k") <=> col(s"t_$k")).reduce(_ && _)
         val j = s.join(l, joinCond, "full_outer")
 
         val dataCols = source.columns.toSeq
-        val inSource = col(s"s_${keys.head}").isNotNull
-        val inTarget = col(s"t_${keys.head}").isNotNull
+        val inSource = col("__s_exists").isNotNull
+        val inTarget = col("__t_exists").isNotNull
         val changed = inSource && inTarget &&
           checkCols.map(c => !(col(s"s_$c") <=> col(s"t_$c"))).reduce(_ || _)
 
@@ -327,14 +407,13 @@ class SparkMaterializer(val spark: SparkSession) {
             lit(executionTs).as(vf) :+
             lit(null).cast("timestamp").as(vt)): _*)
 
+        // check-columns SCD2 has NO latest_deleted rule (base.py:1975-1979:
+        // valid_from = COALESCE(t_valid_from, update_valid_from_start)) —
+        // new keys simply open at execution_ts on incremental runs
         val inserted = j.filter(inSource && !inTarget).select(
           (dataCols.map(c => col(s"s_$c").as(c)) :+
             lit(executionTs).as(vf) :+
             lit(null).cast("timestamp").as(vt)): _*)
-          .join(broadcast(latestDeleted), keys, "left")
-          .withColumn(vf, when(col("__del_vt").isNotNull,
-            greatest(col("__del_vt"), col(vf))).otherwise(col(vf)))
-          .drop("__del_vt")
 
         replaceQuery(t, static.unionByName(existing).unionByName(updatedNew).unionByName(inserted))
     }

@@ -61,10 +61,12 @@ final class MacroEvaluator(
       if (c == '\'') { inStr = !inStr; sb.append(c); i += 1 }
       else if (inStr || c != '@') { sb.append(c); i += 1 }
       else if (i + 1 < n && sql.charAt(i + 1) == '{') {
-        // @{name} raw interpolation (RESOLVE_TEMPLATE-style, macros.py:1372)
+        // @{name} raw interpolation (RESOLVE_TEMPLATE-style, macros.py:1372).
+        // Unknown names keep their marker: they may be lambda params that a
+        // later @EACH/@REDUCE substitution resolves (p_@{q} -> p_25).
         val close = sql.indexOf('}', i + 2)
         val name = sql.substring(i + 2, close)
-        sb.append(lookupVar(name).getOrElse(name))
+        sb.append(lookupVar(name).getOrElse(s"@{$name}"))
         i = close + 1
       } else {
         val m = MacroEvaluator.ident.findPrefixMatchOf(sql.substring(i + 1))
@@ -185,7 +187,7 @@ final class MacroEvaluator(
       s"MD5(CONCAT(${fields.mkString(", '|', ")}))"
     case "SAFE_ADD" => safeArith(args, "+")
     case "SAFE_SUB" => safeArith(args, "-")
-    case "SAFE_DIV" => s"(${args.head}) / NULLIF(${args(1)}, 0)"
+    case "SAFE_DIV" => s"(${args.head}) / NULLIF((${args(1)}), 0)"
     case "UNION" =>
       // @UNION('distinct'|'all', t1, t2, …) by-name with casts (macros.py:1028)
       val (kind, tables) =
@@ -200,7 +202,9 @@ final class MacroEvaluator(
       }
       selects.mkString(if (kind == "ALL") " UNION ALL " else " UNION ")
     case "HAVERSINE_DISTANCE" =>
-      val Seq(lat1, lon1, lat2, lon2) = args.take(4)
+      // parenthesize: substituted args may be compound expressions and the
+      // formula subtracts them (precedence hazard: a - b * c - d)
+      val Seq(lat1, lon1, lat2, lon2) = args.take(4).map(a => s"($a)")
       val rate = if (args.length > 4 && unquote(args(4)) == "km") "1.60934" else "1.0"
       s"2 * 3961 * ASIN(SQRT(POWER(SIN(RADIANS(($lat2 - $lat1) / 2)), 2) + " +
         s"COS(RADIANS($lat1)) * COS(RADIANS($lat2)) * POWER(SIN(RADIANS(($lon2 - $lon1) / 2)), 2))) * $rate"

@@ -13,7 +13,8 @@ import graft.audits.Audits
 class SnapshotEvaluator(
     val materializer: SparkMaterializer,
     val workspace: String,
-    customStrategies: Map[String, (SparkMaterializer, PhysicalTable, DataFrame) => Unit] = Map.empty) {
+    customStrategies: Map[String, (SparkMaterializer, PhysicalTable, DataFrame) => Unit] = Map.empty,
+    variables: Map[String, String] = Map.empty) {
 
   def spark: SparkSession = materializer.spark
 
@@ -37,7 +38,7 @@ class SnapshotEvaluator(
   private def createView(s: Snapshot, interval: Interval, executionTs: Long,
                          mapping: Map[String, String]): Unit = {
     val sql = Renderer.render(s.model, interval.start, interval.end, executionTs,
-      mapping, thisModel = Some(physicalTable(s).qualified))
+      mapping, variables, thisModel = Some(physicalTable(s).qualified))
     spark.sql(s"CREATE OR REPLACE VIEW ${physicalTable(s).qualified} AS $sql")
   }
 
@@ -58,7 +59,7 @@ class SnapshotEvaluator(
     def rendered: DataFrame = s.model.body match {
       case SqlBody(_) =>
         spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs, mapping,
-          thisModel = Some(thisName)))
+          variables, thisModel = Some(thisName)))
       case ScalaBody(fn) => fn(spark, mapping, interval.start, interval.end)
       case SeedBody(path) =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
@@ -68,7 +69,8 @@ class SnapshotEvaluator(
       case ModelKind.Full => materializer.replaceQuery(t, rendered)
       case ModelKind.View => createView(s, interval, executionTs, mapping)
       case k: ModelKind.IncrementalByTimeRange =>
-        materializer.insertOverwriteByTimePartition(t, rendered, k.timeColumn, interval.start, interval.end)
+        materializer.insertOverwriteByTimePartition(t, rendered, k.timeColumn,
+          interval.start, interval.end, k.timeFormat)
       case k: ModelKind.IncrementalByUniqueKey =>
         if (isFirstInsert && materializer.currentDataDir(t).isEmpty)
           materializer.replaceQuery(t, materializer.dedupByKey(rendered, k.uniqueKey))
@@ -116,8 +118,8 @@ class SnapshotEvaluator(
                               executionTs: Long, mapping: Map[String, String],
                               thisName: String): String =
     Renderer.resolveTables(
-      new graft.macros.MacroEvaluator(interval.start, interval.end, executionTs, Some(thisName))
-        .render(statement), mapping)
+      new graft.macros.MacroEvaluator(interval.start, interval.end, executionTs, Some(thisName),
+        variables).render(statement), mapping)
 
   /** VirtualLayerUpdate: promote env views (evaluator.py:1999-2016). */
   def promote(s: Snapshot, env: String): Unit =

@@ -20,9 +20,20 @@ object KindQueries {
   private def ctx(spark: SparkSession, dir: String): GraftContext = {
     val c = new GraftContext(spark,
       java.nio.file.Files.createTempDirectory("graft_kind").toString, concurrency = 2)
-    tables.foreach(t => c.addExternal(s"raw.$t", s"$dir/$t.parquet"))
+    tables.foreach(t => c.addExternal(s"raw.$t", externalFor(spark, dir, t)))
     c
   }
+
+  /** External registration for a base table: raw parquet path, except
+    * `events` whose physical TIMESTAMP(NANOS) column Spark can't read
+    * directly — registered as an inline conversion subquery, which (unlike a
+    * temp view) persistent VIEW-kind models may reference. */
+  private def externalFor(spark: SparkSession, dir: String, t: String): String =
+    if (t == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s"(SELECT * EXCEPT (ts), timestamp_micros(ts div 1000) AS ts " +
+        s"FROM parquet.`$dir/events.parquet`)"
+    } else s"$dir/$t.parquet"
 
   val entries: Map[String, Entry] = Map(
 
@@ -114,18 +125,15 @@ object KindQueries {
         |  GROUP BY o_custkey, cut
         |), versions AS (
         |  SELECT DISTINCT id, updated_at, n_orders FROM snaps
-        |), first_load AS (
-        |  SELECT DISTINCT o_custkey AS id FROM orders
-        |  WHERE o_orderdate < TIMESTAMP '1995-03-01' AND o_custkey < 300
         |), hist AS (
-        |  -- epoch-0 valid_from only for keys present at the FIRST load;
-        |  -- later-appearing keys open at their updated_at (base.py:1916)
-        |  SELECT v.id, n_orders, updated_at,
-        |    CASE WHEN row_number() OVER (PARTITION BY v.id ORDER BY updated_at) = 1
-        |      AND f.id IS NOT NULL
+        |  -- every key's FIRST version opens at epoch 0 (update_valid_from_start,
+        |  -- base.py:1909-1919 — updated_at_as_valid_from is false here);
+        |  -- subsequent versions open at their updated_at
+        |  SELECT id, n_orders, updated_at,
+        |    CASE WHEN row_number() OVER (PARTITION BY id ORDER BY updated_at) = 1
         |      THEN TIMESTAMP '1970-01-01' ELSE updated_at END AS valid_from,
-        |    lead(updated_at) OVER (PARTITION BY v.id ORDER BY updated_at) AS valid_to
-        |  FROM versions v LEFT JOIN first_load f ON v.id = f.id
+        |    lead(updated_at) OVER (PARTITION BY id ORDER BY updated_at) AS valid_to
+        |  FROM versions
         |)
         |SELECT id, n_orders, updated_at, valid_from, valid_to FROM hist
         |ORDER BY id, valid_from""".stripMargin)),

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+import QueryUtil._
+
+/** Training-data pipeline coverage (builder prompt: dedup / similarity /
+  * multimodal / text analysis as first-class engine operations). Entries with
+  * DuckDB-expressible semantics carry oracles; xxhash64-based signatures
+  * (MinHash/SimHash/LSH) have no cross-engine hash, so those entries are
+  * rows-only checks — their *exact* counterparts (n-gram Jaccard, brute-force
+  * cosine) are the hash-checked ground truth.
+  *
+  * Scale notes: every dedup variant is bucket-key-bounded (no all-pairs
+  * product); ANN turns scan-per-query into bucket-join; text analysis is pure
+  * codegen'd column expressions at scan speed.
+  */
+object PipelineQueries {
+
+  val entries: Map[String, Entry] = Map(
+
+    // -------------------------------------------------- exact dedup ------
+    "td_exact_dedup" -> Entry((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS k
+        |      FROM documents)
+        |GROUP BY k ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------- exact n-gram Jaccard pairs ----
+    "td_ngram_jaccard" -> Entry((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+2], ' ')) > 0
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------- MinHash+LSH / SimHash (signature-based) ---
+    // xxhash64 signatures have no DuckDB equivalent → rows-only checks; the
+    // exact-Jaccard entry above hash-checks the same near-dup semantics.
+    "td_minhash_lsh" -> Entry((s, dir) => {
+      Dedup.minhashLsh(t(s, dir, "documents"), shingleN = 3,
+        numHashes = 16, bands = 4, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }, None),
+
+    "td_simhash" -> Entry((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"), shingleN = 2)
+        .orderBy(col("doc_id"))
+    }, None),
+
+    // ------------------------------------------ similarity search --------
+    "td_knn_bruteforce" -> Entry((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(emb, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some(
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS s
+        |  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, round(s, 4) AS score,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, score, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    "td_ann_lsh" -> Entry((s, dir) => {
+      // approximate variant: recall < 1 by construction → rows-only check
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(emb, queries, k = 5, nPlanes = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }, None),
+
+    // embedding-cosine near-dup: all pairs above threshold (exact, oracled)
+    "td_cosine_neardup" -> Entry((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --------------------------------------------- text analysis ---------
+    "td_text_quality" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("source"), col("text"),
+          TextFunctions.wordCount(col("text")).as("n_words"),
+          TextFunctions.tokenEstimate(col("text")).as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_tokens")).as("tokens"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy(col("source"))
+    }, Some(
+      """WITH f AS (
+        |  SELECT source,
+        |    len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS n_words,
+        |    len(list_filter(string_split_regex(
+        |      regexp_replace(text, '([a-z])([A-Z])|([A-Za-z])([0-9])|([0-9])([A-Za-z])', '\1\3\5 \2\4\6', 'g'),
+        |      '[\s[:punct:]]+'), w -> len(w) > 0)) AS n_tokens,
+        |    greatest(0.0, least(len(text) / 500.0, 1.0)
+        |      * (1.0 - len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text))
+        |      * (1.0 - len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text))) AS q
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS words,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens, round(avg(round(q, 4)), 4) AS avg_quality
+        |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    "td_lang_id" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred").asc_nulls_last)
+    }, Some {
+      def score(lang: String) = graft.functions.TextFunctions.stopwords(lang)
+        .map(w => s"CAST((len(p) - len(replace(p, '$w', ''))) / ${w.length} AS INT)")
+        .mkString(" + ")
+      s"""WITH p AS (SELECT lang, ' ' || lower(text) || ' ' AS p FROM documents),
+         |scores AS (
+         |  SELECT lang, ${graft.functions.TextFunctions.stopwords.keys.toSeq.sorted
+             .map(l => s"${score(l)} AS s_$l").mkString(", ")}
+         |  FROM p
+         |), best AS (
+         |  SELECT lang, CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN NULL
+         |    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         |    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |    WHEN s_en >= s_de THEN 'en'
+         |    ELSE 'de' END AS lang_pred
+         |  FROM scores
+         |)
+         |SELECT lang, lang_pred, count(*) AS n FROM best
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred NULLS LAST""".stripMargin
+    }),
+
+    "td_fingerprint" -> Entry((s, dir) => {
+      // xxhash64 fingerprints: no DuckDB equivalent → rows-only; dup-group
+      // structure is what matters
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp64"))
+        .groupBy(col("fp64")).agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+        .orderBy(col("doc_id"))
+    }, None),
+
+    // --------------------------------------------- multimodal ------------
+    "td_media_describe" -> Entry((s, dir) => {
+      // documents' text bytes stand in for opaque media payloads; describe()
+      // is real byte-level ops (length, hash) — no decode
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      Multimodal.describe(media)
+        .select(col("media_id"), col("n_bytes"), md5(col("payload")).as("payload_md5"))
+        .orderBy(col("media_id"))
+    }, Some(
+      // md5(VARCHAR) hashes the utf8 bytes — identical to Spark's md5(binary)
+      // over cast(text as binary) for this ascii corpus
+      """SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    "td_frame_sample" -> Entry((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(media, frameBytes = 64, maxFrames = 4)
+        .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }, Some(
+      // ascii corpus: byte offsets == char offsets, so VARCHAR substring+md5
+      // equals Spark's binary substring+md5
+      """WITH media AS (SELECT doc_id AS media_id, text AS payload FROM documents),
+        |frames AS (
+        |  SELECT media_id, CAST(i AS INT) AS frame_idx,
+        |    substring(payload, CAST(i * 64 + 1 AS INT), 64) AS frame
+        |  FROM media, UNNEST(range(0, least(length(payload) // 64, 3) + 1)) AS u(i)
+        |)
+        |SELECT media_id, frame_idx, md5(frame) AS frame_md5 FROM frames
+        |WHERE length(frame) > 0
+        |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    "td_media_features" -> Entry((s, dir) => {
+      // stubbed decode inside the real mapPartitions distribution shape;
+      // deterministic fake features → schema/rows checked, no SQL oracle
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeFeatures(s, media, dim = 8)
+        .select(col("media_id"), col("decode_ok"), size(col("features")).as("dim"),
+          round(aggregate(col("features"), lit(0.0d), (a, v) => a + v), 4).as("feat_sum"))
+        .orderBy(col("media_id"))
+    }, None),
+  )
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Shared plumbing for the driver-facing query inventory. */
 object QueryUtil {
@@ -11,8 +12,15 @@ object QueryUtil {
   val tables: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Read a base table. `events.ts` is physically TIMESTAMP(NANOS), which
+    * Spark's parquet reader rejects — read it as nanos-long and convert to a
+    * proper TimestampType (truncation to micros matches DuckDB's ns→us). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register all base tables as temp views so entries can use spark.sql —
     * the same Plane-A surface users get. */

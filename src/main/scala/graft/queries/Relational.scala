@@ -126,10 +126,12 @@ object Relational {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
     "q12_case_expr" -> portableSqlEntry(
+      // CASTs: DuckDB sums of integers widen to HUGEINT — pin to BIGINT so
+      // both engines agree on the schema
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS big,
-        |  sum(CASE WHEN o_totalprice BETWEEN 100000 AND 300000 THEN 1 ELSE 0 END) AS mid,
-        |  sum(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END) AS small,
+        |  CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS big,
+        |  CAST(sum(CASE WHEN o_totalprice BETWEEN 100000 AND 300000 THEN 1 ELSE 0 END) AS BIGINT) AS mid,
+        |  CAST(sum(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS small,
         |  count(DISTINCT COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING')) AS statuses
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
@@ -181,21 +183,21 @@ object Relational {
     "q19_string_funcs" -> portableSqlEntry(
       """SELECT p_brand,
         |  count(*) AS n,
-        |  sum(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS greens,
+        |  CAST(sum(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS greens,
         |  count(DISTINCT upper(substr(p_type, 1, 5))) AS type_prefixes,
-        |  max(length(replace(p_name, ' ', ''))) AS max_sq_len
+        |  CAST(max(length(replace(p_name, ' ', ''))) AS BIGINT) AS max_sq_len
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin),
 
     "q20_regex" -> Entry((s, dir) => {
       registerAll(s, dir)
       s.sql(
         """SELECT event_type, count(*) AS n,
-          |  sum(CASE WHEN props RLIKE '"k": [0-9]{2}' THEN 1 ELSE 0 END) AS two_digit_k,
+          |  CAST(sum(CASE WHEN props RLIKE '"k": [0-9]{2}' THEN 1 ELSE 0 END) AS BIGINT) AS two_digit_k,
           |  max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS max_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     }, Some(
       """SELECT event_type, count(*) AS n,
-        |  sum(CASE WHEN regexp_matches(props, '"k": [0-9]{2}') THEN 1 ELSE 0 END) AS two_digit_k,
+        |  CAST(sum(CASE WHEN regexp_matches(props, '"k": [0-9]{2}') THEN 1 ELSE 0 END) AS BIGINT) AS two_digit_k,
         |  max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 

@@ -64,7 +64,7 @@ class MacroSpec extends AnyFunSuite {
   test("@SAFE_ADD/@SAFE_SUB/@SAFE_DIV null semantics (macros.py:978-1026)") {
     assert(ev().render("@SAFE_ADD(a, b)") ==
       "CASE WHEN a IS NULL AND b IS NULL THEN NULL ELSE COALESCE(a, 0) + COALESCE(b, 0) END")
-    assert(ev().render("@SAFE_DIV(a, b)") == "(a) / NULLIF(b, 0)")
+    assert(ev().render("@SAFE_DIV(a, b)") == "(a) / NULLIF((b), 0)")
   }
 
   test("@PIVOT builds conditional aggregates (macros.py:1145)") {
