@@ -7,9 +7,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the executor path once (codegen, parquet reader, shuffle machinery)
+    // so the first timed query doesn't carry JVM/session init cost
+    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     val qs0 = SparkEntry.queries
     val results = SparkEntry.benchNames.map { name =>
       val t0 = System.nanoTime()

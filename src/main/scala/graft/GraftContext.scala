@@ -33,9 +33,15 @@ class GraftContext(
     val spark: SparkSession,
     val workspace: String,
     val concurrency: Int = 4,
-    val variables: Map[String, String] = Map.empty) {
+    val variables: Map[String, String] = Map.empty,
+    val durableState: Boolean = false) {
 
-  val state: StateStore = new InMemoryStateStore
+  /** Durable contexts persist snapshots/intervals/environments under
+    * `<workspace>/state` (reference state_sync/db), so a new context over the
+    * same workspace resumes exactly where the last one stopped. */
+  val state: StateStore =
+    if (durableState) new graft.state.FileStateStore(s"$workspace/state")
+    else new InMemoryStateStore
   val materializer = new SparkMaterializer(spark)
   private val customStrategies =
     scala.collection.mutable.Map[String, (SparkMaterializer, PhysicalTable, DataFrame) => Unit]()

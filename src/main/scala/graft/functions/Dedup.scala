@@ -22,55 +22,61 @@ object Dedup {
       .drop("__key")
   }
 
-  /** Word n-gram shingles, distinct per document. */
+  /** Word n-gram shingles, distinct per document.
+    *
+    * The tokenized word array is materialized behind its own projection:
+    * referencing the regexp+split subtree directly inside the `transform`
+    * lambda would inline (and re-evaluate) tokenization once per shingle —
+    * measured 10× slower at sf0.1. */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val words = filter(split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +"),
       w => length(w) > 0)
-    docs.select(col(idCol),
-      explode(transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => concat_ws(" ", slice(words, i + 1, lit(n))))).as("shingle"))
+    docs.select(col(idCol), words.as("__words"))
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), greatest(size(col("__words")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("__words"), i + 1, lit(n))))).as("shingle"))
       .where(length(col("shingle")) > 0)
       .distinct()
   }
 
-  /** MinHash signatures: k permutations approximated by k seeded xxhash64
-    * functions; signature = min over shingles per seed. Returns
-    * (id, seed, minhash). */
+  /** MinHash signature per document as ONE array column: k seeded xxhash64
+    * "permutations", each signature slot a separate min-aggregate — a single
+    * shuffle on the id, no k-fold row explosion (k× input rows would dominate
+    * shuffle volume at 100 TB). */
   def minhash(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val seeds = array((0 until k).map(lit): _*)
-    sh.select(col(idCol), explode(seeds).as("seed"),
-        xxhash64(col("shingle"), col("seed")).as("h"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(col("h")).as("minhash"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"__h$i"))
+    sh.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH banding: docs sharing any band signature become candidate
-    * pairs; candidates are verified with the full signature similarity.
+    * pairs; candidates are verified against the full signatures carried
+    * through the join (zip_with — no extra join back to the signatures).
     * Returns candidate pairs (id_a < id_b) with estimated Jaccard. */
   def minhashLsh(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = minhash(shingles(docs, textCol, idCol, shingleN), idCol, numHashes)
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-    // band signature: hash of the band's minhashes in seed order
-    val bandSig = sig.groupBy(col(idCol), col("band"))
-      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("seed"), col("minhash"))))), col("band")).as("band_sig"))
-    val cand = bandSig.as("a").join(bandSig.as("b"),
+    // band signature = hash of the band's signature slice; one row per (doc, band)
+    val banded = sig.select(col(idCol), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("sig")(i)): _*),
+            lit(b)).as("band_sig"))
+      }: _*)).as("bs"))
+      .select(col(idCol), col("sig"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    val est = banded.as("a").join(banded.as("b"),
         col("a.band_sig") === col("b.band_sig") && col("a.band") === col("b.band") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    // verify candidates against full signatures
-    val full = sig.groupBy(col(idCol))
-      .agg(map_from_arrays(collect_list(col("seed")), collect_list(col("minhash"))).as("sig"))
-    val est = cand
-      .join(full.withColumnRenamed(idCol, "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
-      .join(full.withColumnRenamed(idCol, "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("est_jaccard",
-        aggregate(sequence(lit(0), lit(numHashes - 1)),
-          lit(0), (acc, i) => acc + when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / numHashes)
     est.filter(col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
   }
@@ -96,7 +102,9 @@ object Dedup {
     * Shuffle ∝ Σ shingle postings, not n². */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, n)
+    // the shingle relation feeds three operators (both self-join sides + the
+    // per-doc sizes); persist so tokenize+explode+distinct runs once, not 3×
+    val sh = shingles(docs, textCol, idCol, n).persist()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -25,15 +25,32 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** L2 norm of an array column. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** dot(a,b) / (normA * normB) with both norms precomputed — in a top-k scan
+    * each corpus vector meets every query, so computing its norm inside the
+    * pair expression would redo it |queries| times. */
+  private def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot / (normA * normB)
+  }
+
   /** Brute-force exact top-k neighbors for each query vector.
     * `queries` is expected to be small (broadcast side). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id"): DataFrame = {
-    val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec")))
+    val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+      .withColumn("__qnorm", norm(col("__qvec"))))
     val scored = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__cnorm", norm(col(vecCol)))
       .join(q, col(idCol) =!= col(queryIdCol)) // exclude self-match
-      .withColumn("score", round(cosine(col(vecCol), col("__qvec")), 4))
+      .withColumn("score", round(
+        cosineWithNorms(col(vecCol), col("__qvec"), col("__cnorm"), col("__qnorm")), 4))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -64,10 +81,13 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
     val c = corpus.withColumn("__bucket", lshBucket(col(vecCol), nPlanes))
+      .withColumn("__cnorm", norm(col(vecCol)))
     val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
-      .withColumn("__bucket", lshBucket(col("__qvec"), nPlanes)))
+      .withColumn("__bucket", lshBucket(col("__qvec"), nPlanes))
+      .withColumn("__qnorm", norm(col("__qvec"))))
     val scored = c.join(q, Seq("__bucket")).filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("score", round(cosine(col(vecCol), col("__qvec")), 4))
+      .withColumn("score", round(
+        cosineWithNorms(col(vecCol), col("__qvec"), col("__cnorm"), col("__qnorm")), 4))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

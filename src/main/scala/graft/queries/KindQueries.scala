@@ -210,9 +210,13 @@ object KindQueries {
         |ORDER BY r_name""".stripMargin)),
 
     // ------------- INCREMENTAL_BY_PARTITION: dynamic overwrite ------------
+    // Two SEPARATE contexts share a workspace + durable file state: wave 2
+    // resumes from persisted snapshots/intervals and restates the model with
+    // different variables — exercising FileStateStore round-trip, restatement,
+    // and dynamic partition overwrite in one flow.
     "mk_by_partition" -> Entry((s, dir) => {
-      val c = ctx(s, dir)
-      c.addModel(Model(
+      val ws = java.nio.file.Files.createTempDirectory("graft_kind").toString
+      val model = Model(
         name = "mart.seg_stats",
         body = SqlBody(
           """SELECT c_mktsegment, c_nationkey, count(*) AS n,
@@ -221,18 +225,23 @@ object KindQueries {
             |WHERE c_mktsegment IN (@VAR('segs'))
             |GROUP BY c_mktsegment, c_nationkey""".stripMargin),
         kind = ModelKind.IncrementalByPartition(partitionedBy = Seq("c_mktsegment")),
-        partitionedBy = Seq("c_mktsegment")))
+        partitionedBy = Seq("c_mktsegment"))
       // wave 1 computes two segments, wave 2 recomputes one + adds another:
       // end state = latest content per partition
-      val c1 = new GraftContext(s, c.workspace, 2, Map("segs" -> "'BUILDING', 'MACHINERY'"))
-      val c2 = new GraftContext(s, c.workspace, 2, Map("segs" -> "'MACHINERY', 'HOUSEHOLD'"))
-      Seq(c1, c2).foreach { cc =>
-        tables.foreach(t => cc.addExternal(s"raw.$t", s"$dir/$t.parquet"))
-        cc.addModel(c.model("mart.seg_stats"))
+      def wave(segs: String): GraftContext = {
+        val cc = new GraftContext(s, ws, 2, Map("segs" -> segs), durableState = true)
+        tables.foreach(t => cc.addExternal(s"raw.$t", externalFor(s, dir, t)))
+        cc.addModel(model)
+        cc
       }
-      // both contexts share the workspace ⇒ same physical table
+      val c1 = wave("'BUILDING', 'MACHINERY'")
       c1.apply(c1.plan("prod", 0L, D))
-      c2.apply(c2.plan("prod", 0L, D))
+      // constructed AFTER wave 1 so its FileStateStore resumes the persisted
+      // state; same fingerprint ⇒ the plan sees the model unchanged with its
+      // interval already processed, and the restatement forces the re-run
+      val c2 = wave("'MACHINERY', 'HOUSEHOLD'")
+      c2.apply(c2.plan("prod", 0L, D,
+        restate = Map("mart.seg_stats" -> Interval(0L, D))))
       s.table("mart.seg_stats").orderBy("c_mktsegment", "c_nationkey")
     }, Some(
       """SELECT c_mktsegment, c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal

@@ -1,0 +1,307 @@
+package graft.state
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.core._
+
+/** Durable state persistence (reference: sqlmesh/core/state_sync/db — tables
+  * `_snapshots` snapshot.py:59-77, `_intervals` interval.py:47-66,
+  * `_environments` environment.py:33-56, `_versions` version.py:27).
+  *
+  * Snapshot/interval/environment records are driver-side metadata, tiny even
+  * for thousands of models, so durability — not distribution — is the
+  * requirement. The store delegates to an in-memory image and persists the
+  * whole image as JSON on every mutation via write-to-temp + atomic rename, so
+  * a crashed run never leaves a torn state file (the reference gets the same
+  * guarantee from its database transactions). Intervals are compacted on every
+  * write (`is_compacted` flag semantics, interval.py:50-66) because
+  * [[Snapshot.addInterval]] merges.
+  *
+  * Scala-bodied models (the reference's Python models, which it round-trips
+  * through `python_env` serialization) are restored through `scalaRegistry`;
+  * an unregistered body surfaces an error only if something actually tries to
+  * evaluate it.
+  */
+final class FileStateStore(
+    val dir: String,
+    scalaRegistry: Map[String, (org.apache.spark.sql.SparkSession, Map[String, String], Long, Long) => org.apache.spark.sql.DataFrame] = Map.empty)
+  extends StateStore {
+
+  private val mapper = new ObjectMapper()
+  private val file: Path = Paths.get(dir, "state.json")
+  private val mem = new InMemoryStateStore
+  Files.createDirectories(Paths.get(dir))
+  load()
+
+  // ------------------------------------------------------------ StateStore
+
+  def pushSnapshot(s: Snapshot): Unit = synchronized { mem.pushSnapshot(s); persist() }
+  def getSnapshot(name: String, version: String): Option[Snapshot] = mem.getSnapshot(name, version)
+  def latestSnapshot(name: String): Option[Snapshot] = mem.latestSnapshot(name)
+  def allSnapshots: Seq[Snapshot] = mem.allSnapshots
+  def deleteSnapshot(name: String, version: String): Unit = synchronized {
+    mem.deleteSnapshot(name, version); persist()
+  }
+  def addInterval(name: String, version: String, interval: Interval, dev: Boolean): Unit =
+    synchronized { mem.addInterval(name, version, interval, dev); persist() }
+  def removeInterval(name: String, version: String, interval: Interval): Unit =
+    synchronized { mem.removeInterval(name, version, interval); persist() }
+  def promoteEnvironment(env: EnvironmentRecord): Unit = synchronized {
+    mem.promoteEnvironment(env); persist()
+  }
+  def getEnvironment(name: String): Option[EnvironmentRecord] = mem.getEnvironment(name)
+  def finalizeEnvironment(name: String): Unit = synchronized {
+    mem.finalizeEnvironment(name); persist()
+  }
+  def environments: Seq[EnvironmentRecord] = mem.environments
+
+  /** export/import surface (reference state_sync/export_import.py). */
+  def exportTo(path: String): Unit = synchronized {
+    Files.copy(file, Paths.get(path), StandardCopyOption.REPLACE_EXISTING); ()
+  }
+
+  // -------------------------------------------------------------- persist
+
+  private def persist(): Unit = {
+    val root = mapper.createObjectNode()
+    val snaps = root.putArray("snapshots")
+    mem.allSnapshots.foreach(s => snaps.add(snapshotJson(s)))
+    val envs = root.putArray("environments")
+    mem.environments.foreach { e =>
+      val o = mapper.createObjectNode()
+      o.put("name", e.name); o.put("finalized", e.finalized)
+      e.planId.foreach(o.put("plan_id", _))
+      val m = o.putObject("snapshots")
+      e.snapshots.foreach { case (k, v) => m.put(k, v) }
+      envs.add(o)
+    }
+    val tmp = Paths.get(dir, s"state.json.tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private def load(): Unit = if (Files.exists(file)) {
+    val root = mapper.readTree(Files.readAllBytes(file))
+    root.path("snapshots").forEach(n => mem.pushSnapshot(snapshotFromJson(n)))
+    root.path("environments").forEach { n =>
+      val snapMap = scala.collection.mutable.Map[String, String]()
+      n.path("snapshots").properties().forEach(e => snapMap(e.getKey) = e.getValue.asText())
+      mem.promoteEnvironment(EnvironmentRecord(
+        n.path("name").asText(), snapMap.toMap, n.path("finalized").asBoolean(),
+        Option(n.get("plan_id")).map(_.asText())))
+    }
+  }
+
+  // ---------------------------------------------------------------- codec
+
+  private def strArr(xs: Iterable[String]): ArrayNode = {
+    val a = mapper.createArrayNode(); xs.foreach(a.add); a
+  }
+  private def seqOf(n: JsonNode): Seq[String] = {
+    val b = Seq.newBuilder[String]; n.forEach(x => b += x.asText()); b.result()
+  }
+  private def mapOf(n: JsonNode): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    n.properties().forEach(e => b += e.getKey -> e.getValue.asText()); b.result()
+  }
+  private def putMap(o: ObjectNode, field: String, m: Map[String, String]): Unit = {
+    val mo = o.putObject(field); m.foreach { case (k, v) => mo.put(k, v) }; ()
+  }
+
+  private def intervalsJson(is: Seq[Interval]): ArrayNode = {
+    val a = mapper.createArrayNode()
+    is.foreach { i => val o = mapper.createObjectNode(); o.put("s", i.start); o.put("e", i.end); a.add(o) }
+    a
+  }
+  private def intervalsOf(n: JsonNode): Vector[Interval] = {
+    val b = Vector.newBuilder[Interval]
+    n.forEach(x => b += Interval(x.path("s").asLong(), x.path("e").asLong()))
+    b.result()
+  }
+
+  private def snapshotJson(s: Snapshot): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.set[JsonNode]("model", modelJson(s.model))
+    val fp = o.putObject("fingerprint")
+    fp.put("data", s.fingerprint.dataHash); fp.put("meta", s.fingerprint.metadataHash)
+    fp.put("pdata", s.fingerprint.parentDataHash); fp.put("pmeta", s.fingerprint.parentMetadataHash)
+    val ps = o.putArray("parents")
+    s.parents.foreach { p => val po = mapper.createObjectNode(); po.put("name", p.name); po.put("id", p.identifier); ps.add(po) }
+    o.set[JsonNode]("intervals", intervalsJson(s.intervals))
+    o.set[JsonNode]("dev_intervals", intervalsJson(s.devIntervals))
+    s.category.foreach(c => o.put("category", c.name))
+    o.put("created_ts", s.createdTs)
+    s.unpausedTs.foreach(o.put("unpaused_ts", _))
+    o
+  }
+
+  private def snapshotFromJson(n: JsonNode): Snapshot = {
+    val fp = n.path("fingerprint")
+    val parents = {
+      val b = Seq.newBuilder[SnapshotId]
+      n.path("parents").forEach(p => b += SnapshotId(p.path("name").asText(), p.path("id").asText()))
+      b.result()
+    }
+    Snapshot(
+      model = modelFromJson(n.path("model")),
+      fingerprint = SnapshotFingerprint(fp.path("data").asText(), fp.path("meta").asText(),
+        fp.path("pdata").asText(), fp.path("pmeta").asText()),
+      parents = parents,
+      intervals = intervalsOf(n.path("intervals")),
+      devIntervals = intervalsOf(n.path("dev_intervals")),
+      category = Option(n.get("category")).map(_.asText()).map {
+        case "BREAKING" => ChangeCategory.Breaking
+        case "NON_BREAKING" => ChangeCategory.NonBreaking
+        case "FORWARD_ONLY" => ChangeCategory.ForwardOnly
+        case "METADATA" => ChangeCategory.Metadata
+        case "INDIRECT_BREAKING" => ChangeCategory.IndirectBreaking
+        case _ => ChangeCategory.IndirectNonBreaking
+      },
+      createdTs = n.path("created_ts").asLong(),
+      unpausedTs = Option(n.get("unpaused_ts")).map(_.asLong()))
+  }
+
+  private def modelJson(m: Model): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("name", m.name)
+    m.body match {
+      case SqlBody(sql)  => o.put("body_type", "sql"); o.put("body", sql)
+      case SeedBody(p)   => o.put("body_type", "seed"); o.put("body", p)
+      case ScalaBody(fn) =>
+        val key = scalaRegistry.collectFirst { case (k, f) if f eq fn => k }
+          .getOrElse(fn.getClass.getName)
+        o.put("body_type", "scala"); o.put("body", key)
+    }
+    o.set[JsonNode]("kind", kindJson(m.kind))
+    o.put("cron", m.cron)
+    m.start.foreach(o.put("start", _))
+    o.set[JsonNode]("depends_on", strArr(m.dependsOn.toSeq.sorted))
+    o.set[JsonNode]("grains", strArr(m.grains))
+    val au = o.putArray("audits")
+    m.audits.foreach { case (nm, args) =>
+      val ao = mapper.createObjectNode(); ao.put("name", nm); putMap(ao, "args", args); au.add(ao)
+    }
+    m.description.foreach(o.put("description", _))
+    m.owner.foreach(o.put("owner", _))
+    o.set[JsonNode]("tags", strArr(m.tags))
+    o.put("storage_format", m.storageFormat)
+    o.set[JsonNode]("partitioned_by", strArr(m.partitionedBy))
+    o.set[JsonNode]("pre", strArr(m.preStatements))
+    o.set[JsonNode]("post", strArr(m.postStatements))
+    o.put("allow_partials", m.allowPartials)
+    o
+  }
+
+  private def modelFromJson(n: JsonNode): Model = {
+    val body = n.path("body_type").asText() match {
+      case "sql"  => SqlBody(n.path("body").asText())
+      case "seed" => SeedBody(n.path("body").asText())
+      case "scala" =>
+        val key = n.path("body").asText()
+        scalaRegistry.get(key).map(ScalaBody).getOrElse(
+          ScalaBody((_, _, _, _) => throw new IllegalStateException(
+            s"scala model body '$key' not registered with this FileStateStore")))
+    }
+    val audits = {
+      val b = Seq.newBuilder[(String, Map[String, String])]
+      n.path("audits").forEach(a => b += a.path("name").asText() -> mapOf(a.path("args")))
+      b.result()
+    }
+    Model(
+      name = n.path("name").asText(),
+      body = body,
+      kind = kindFromJson(n.path("kind")),
+      cron = n.path("cron").asText(),
+      start = Option(n.get("start")).map(_.asLong()),
+      dependsOn = seqOf(n.path("depends_on")).toSet,
+      grains = seqOf(n.path("grains")),
+      audits = audits,
+      description = Option(n.get("description")).map(_.asText()),
+      owner = Option(n.get("owner")).map(_.asText()),
+      tags = seqOf(n.path("tags")),
+      storageFormat = n.path("storage_format").asText(),
+      partitionedBy = seqOf(n.path("partitioned_by")),
+      preStatements = seqOf(n.path("pre")),
+      postStatements = seqOf(n.path("post")),
+      allowPartials = n.path("allow_partials").asBoolean())
+  }
+
+  private def kindJson(k: ModelKind): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("name", k.name)
+    k match {
+      case t: ModelKind.IncrementalByTimeRange =>
+        o.put("time_column", t.timeColumn); o.put("time_format", t.timeFormat)
+        t.batchSize.foreach(o.put("batch_size", _))
+        t.batchConcurrency.foreach(o.put("batch_concurrency", _))
+        o.put("lookback", t.lookback); o.put("forward_only", t.forwardOnly)
+        o.put("partition_by_time", t.partitionByTime)
+      case u: ModelKind.IncrementalByUniqueKey =>
+        o.set[JsonNode]("unique_key", strArr(u.uniqueKey))
+        putMap(o, "when_matched_update", u.whenMatchedUpdate)
+        u.mergeFilter.foreach(o.put("merge_filter", _))
+      case p: ModelKind.IncrementalByPartition =>
+        o.set[JsonNode]("partitioned_by", strArr(p.partitionedBy))
+      case u: ModelKind.IncrementalUnmanaged => o.put("insert_overwrite", u.insertOverwrite)
+      case s: ModelKind.ScdType2ByTime =>
+        o.set[JsonNode]("unique_key", strArr(s.uniqueKey))
+        o.put("updated_at_col", s.updatedAtCol); o.put("valid_from_col", s.validFromCol)
+        o.put("valid_to_col", s.validToCol)
+        o.put("updated_at_as_valid_from", s.updatedAtAsValidFrom)
+        o.put("invalidate_hard_deletes", s.invalidateHardDeletes)
+      case s: ModelKind.ScdType2ByColumn =>
+        o.set[JsonNode]("unique_key", strArr(s.uniqueKey))
+        o.set[JsonNode]("check_columns", strArr(s.checkColumns))
+        o.put("valid_from_col", s.validFromCol); o.put("valid_to_col", s.validToCol)
+        o.put("execution_time_as_valid_from", s.executionTimeAsValidFrom)
+        o.put("invalidate_hard_deletes", s.invalidateHardDeletes)
+      case s: ModelKind.Seed => o.put("path", s.path); o.put("batch_size", s.batchSize)
+      case c: ModelKind.Custom =>
+        o.put("strategy", c.strategyName); putMap(o, "properties", c.properties)
+      case _ => ()
+    }
+    o
+  }
+
+  private def kindFromJson(n: JsonNode): ModelKind = n.path("name").asText() match {
+    case "FULL" => ModelKind.Full
+    case "VIEW" => ModelKind.View
+    case "EMBEDDED" => ModelKind.Embedded
+    case "EXTERNAL" => ModelKind.External
+    case "INCREMENTAL_BY_TIME_RANGE" => ModelKind.IncrementalByTimeRange(
+      timeColumn = n.path("time_column").asText(),
+      timeFormat = n.path("time_format").asText(),
+      batchSize = Option(n.get("batch_size")).map(_.asInt()),
+      batchConcurrency = Option(n.get("batch_concurrency")).map(_.asInt()),
+      lookback = n.path("lookback").asInt(),
+      forwardOnly = n.path("forward_only").asBoolean(),
+      partitionByTime = n.path("partition_by_time").asBoolean())
+    case "INCREMENTAL_BY_UNIQUE_KEY" => ModelKind.IncrementalByUniqueKey(
+      uniqueKey = seqOf(n.path("unique_key")),
+      whenMatchedUpdate = mapOf(n.path("when_matched_update")),
+      mergeFilter = Option(n.get("merge_filter")).map(_.asText()))
+    case "INCREMENTAL_BY_PARTITION" =>
+      ModelKind.IncrementalByPartition(seqOf(n.path("partitioned_by")))
+    case "INCREMENTAL_UNMANAGED" =>
+      ModelKind.IncrementalUnmanaged(n.path("insert_overwrite").asBoolean())
+    case "SCD_TYPE_2_BY_TIME" => ModelKind.ScdType2ByTime(
+      uniqueKey = seqOf(n.path("unique_key")),
+      updatedAtCol = n.path("updated_at_col").asText(),
+      validFromCol = n.path("valid_from_col").asText(),
+      validToCol = n.path("valid_to_col").asText(),
+      updatedAtAsValidFrom = n.path("updated_at_as_valid_from").asBoolean(),
+      invalidateHardDeletes = n.path("invalidate_hard_deletes").asBoolean())
+    case "SCD_TYPE_2_BY_COLUMN" => ModelKind.ScdType2ByColumn(
+      uniqueKey = seqOf(n.path("unique_key")),
+      checkColumns = seqOf(n.path("check_columns")),
+      validFromCol = n.path("valid_from_col").asText(),
+      validToCol = n.path("valid_to_col").asText(),
+      executionTimeAsValidFrom = n.path("execution_time_as_valid_from").asBoolean(),
+      invalidateHardDeletes = n.path("invalidate_hard_deletes").asBoolean())
+    case "SEED" => ModelKind.Seed(n.path("path").asText(), n.path("batch_size").asInt())
+    case "CUSTOM" => ModelKind.Custom(n.path("strategy").asText(), mapOf(n.path("properties")))
+    case other => throw new IllegalArgumentException(s"unknown kind in state file: $other")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.state
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.core._
+
+class FileStateStoreSpec extends AnyFunSuite {
+
+  private def mkSnapshot(name: String, body: String, kind: ModelKind,
+                         intervals: Vector[Interval] = Vector.empty): Snapshot = {
+    val m = Model(name, SqlBody(body), kind = kind, cron = "@daily",
+      start = Some(0L), grains = Seq("id"),
+      audits = Seq("not_null" -> Map("columns" -> "id")),
+      owner = Some("tests"), tags = Seq("t1"), partitionedBy = Seq("d"))
+    Snapshot(m, Fingerprint.of(m, body, Nil), intervals = intervals,
+      category = Some(ChangeCategory.Breaking), createdTs = 42L)
+  }
+
+  test("snapshot round-trip survives a new store instance over the same dir") {
+    val dir = SparkTestSession.tmpDir("state")
+    val s1 = new FileStateStore(dir)
+    val snap = mkSnapshot("mart.a", "SELECT 1 AS id", ModelKind.IncrementalByTimeRange(
+      timeColumn = "d", timeFormat = "date", batchSize = Some(5), lookback = 2),
+      intervals = Vector(Interval(0L, 86400000L)))
+    s1.pushSnapshot(snap)
+    s1.addInterval("mart.a", snap.version, Interval(86400000L, 2 * 86400000L))
+    s1.promoteEnvironment(EnvironmentRecord("prod", Map("mart.a" -> snap.version)))
+    s1.finalizeEnvironment("prod")
+
+    val s2 = new FileStateStore(dir)
+    val loaded = s2.getSnapshot("mart.a", snap.version).get
+    assert(loaded.model == snap.model)
+    assert(loaded.fingerprint == snap.fingerprint)
+    assert(loaded.version == snap.version)
+    // the two adjacent day intervals were compacted into one
+    assert(loaded.intervals == Vector(Interval(0L, 2 * 86400000L)))
+    assert(loaded.category.contains(ChangeCategory.Breaking))
+    val env = s2.getEnvironment("prod").get
+    assert(env.snapshots == Map("mart.a" -> snap.version) && env.finalized)
+  }
+
+  test("all model kinds round-trip with their data fields") {
+    val dir = SparkTestSession.tmpDir("state")
+    val kinds: Seq[ModelKind] = Seq(
+      ModelKind.Full, ModelKind.View, ModelKind.Embedded, ModelKind.External,
+      ModelKind.IncrementalByTimeRange("ts", "epoch", Some(3), Some(2), 1, forwardOnly = true),
+      ModelKind.IncrementalByUniqueKey(Seq("k1", "k2"), Map("a" -> "b"), Some("x > 1")),
+      ModelKind.IncrementalByPartition(Seq("p")),
+      ModelKind.IncrementalUnmanaged(insertOverwrite = true),
+      ModelKind.ScdType2ByTime(Seq("id"), "upd", "vf", "vt",
+        updatedAtAsValidFrom = true, invalidateHardDeletes = false),
+      ModelKind.ScdType2ByColumn(Seq("id"), Seq("*"), "vf", "vt",
+        executionTimeAsValidFrom = true),
+      ModelKind.Seed("/tmp/x.csv", 500),
+      ModelKind.Custom("strat", Map("p" -> "v")))
+    val s1 = new FileStateStore(dir)
+    kinds.zipWithIndex.foreach { case (k, i) =>
+      s1.pushSnapshot(mkSnapshot(s"mart.k$i", s"SELECT $i AS id", k))
+    }
+    val s2 = new FileStateStore(dir)
+    kinds.zipWithIndex.foreach { case (k, i) =>
+      assert(s2.latestSnapshot(s"mart.k$i").get.model.kind == k, s"kind $k")
+    }
+  }
+
+  test("interval removal persists (restatement)") {
+    val dir = SparkTestSession.tmpDir("state")
+    val s1 = new FileStateStore(dir)
+    val snap = mkSnapshot("mart.r", "SELECT 1 AS id", ModelKind.Full,
+      intervals = Vector(Interval(0L, 10L)))
+    s1.pushSnapshot(snap)
+    s1.removeInterval("mart.r", snap.version, Interval(3L, 5L))
+    val s2 = new FileStateStore(dir)
+    assert(s2.getSnapshot("mart.r", snap.version).get.intervals ==
+      Vector(Interval(0L, 3L), Interval(5L, 10L)))
+  }
+
+  test("scala bodies resolve through the registry") {
+    val dir = SparkTestSession.tmpDir("state")
+    val fn: (org.apache.spark.sql.SparkSession, Map[String, String], Long, Long) => org.apache.spark.sql.DataFrame =
+      (sp, _, _, _) => sp.range(3).toDF("id")
+    val s1 = new FileStateStore(dir, Map("my_model" -> fn))
+    val m = Model("mart.sc", ScalaBody(fn))
+    s1.pushSnapshot(Snapshot(m, Fingerprint.of(m, "scala:my_model", Nil)))
+    val s2 = new FileStateStore(dir, Map("my_model" -> fn))
+    val loaded = s2.latestSnapshot("mart.sc").get.model.body
+    assert(loaded.asInstanceOf[ScalaBody].fn eq fn)
+  }
+}
