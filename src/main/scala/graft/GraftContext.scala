@@ -103,35 +103,90 @@ class GraftContext(
 
   // ------------------------------------------------------------------ plan
 
-  /** Diff local models against state and build a plan (plan/builder.py:280).
-    * Categorization: data-hash change ⇒ BREAKING (conservative default;
-    * AST-based NON_BREAKING detection is a later refinement), metadata-hash-only
-    * change ⇒ METADATA. */
+  /** Diff local models against state and build a plan (plan/builder.py:280;
+    * categorizer snapshot/categorizer.py:70). Walked parents-first so indirect
+    * categories can follow their ancestors:
+    *  - data-hash change ⇒ BREAKING, unless the edit only ADDS outer
+    *    projections (NON_BREAKING, [[QueryDiff.isAdditiveProjection]]) or the
+    *    model/plan is forward-only (FORWARD_ONLY: previous version pinned,
+    *    table migrated in place, history kept);
+    *  - version moved with own data hash unchanged ⇒ INDIRECT_*: breaking
+    *    ancestors rebuild the child; non-breaking ones pin its version;
+    *  - metadata-hash-only change ⇒ METADATA. */
   def plan(
       env: String,
       start: Long,
       end: Long,
-      restate: Map[String, Interval] = Map.empty): Plan = {
+      restate: Map[String, Interval] = Map.empty,
+      forwardOnly: Boolean = false): Plan = {
     val snaps = snapshotsOf(models.keys.toSeq)
     val added = Seq.newBuilder[Snapshot]
     val modified = Seq.newBuilder[(Snapshot, Snapshot)]
     val metadataOnly = Seq.newBuilder[Snapshot]
     val unchanged = Seq.newBuilder[Snapshot]
+    val categories = scala.collection.mutable.Map[String, ChangeCategory]()
 
-    snaps.values.foreach { s =>
-      state.latestSnapshot(s.model.name) match {
+    // parents-first order (Kahn over in-repo references)
+    val names = models.keys.toSeq
+    val order = {
+      val out = Seq.newBuilder[String]
+      var remaining = names.toSet
+      while (remaining.nonEmpty) {
+        val ready = remaining.filter(n =>
+          !models(n).references.exists(r => remaining.contains(r) && r != n)).toSeq.sorted
+        require(ready.nonEmpty, s"cycle among models: $remaining")
+        out ++= ready; remaining --= ready
+      }
+      out.result()
+    }
+
+    def kindForwardOnly(m: Model): Boolean = m.kind match {
+      case k: ModelKind.IncrementalByTimeRange => k.forwardOnly
+      case _ => false
+    }
+    def bodySql(m: Model): Option[String] = m.body match {
+      case SqlBody(sql) => Some(sql); case _ => None
+    }
+
+    order.map(snaps).foreach { s =>
+      val name = s.model.name
+      state.latestSnapshot(name) match {
         case None => added += s.copy(category = Some(ChangeCategory.Breaking))
         case Some(old) if old.fingerprint.full == s.fingerprint.full =>
           unchanged += old
         case Some(old) if old.version == s.version =>
           metadataOnly += s.copy(category = Some(ChangeCategory.Metadata),
             intervals = old.intervals)
+        case Some(old) if old.fingerprint.dataHash == s.fingerprint.dataHash =>
+          // own query unchanged; version moved through a parent
+          val parentCats = s.model.references.flatMap(categories.get)
+          val nonBreakingAncestors = parentCats.nonEmpty && parentCats.forall {
+            case ChangeCategory.NonBreaking | ChangeCategory.IndirectNonBreaking |
+                 ChangeCategory.Metadata => true
+            case _ => false
+          }
+          if (nonBreakingAncestors) {
+            categories(name) = ChangeCategory.IndirectNonBreaking
+            modified += ((old, s.copy(category = Some(ChangeCategory.IndirectNonBreaking),
+              forcedVersion = Some(old.version), intervals = old.intervals)))
+          } else {
+            categories(name) = ChangeCategory.IndirectBreaking
+            modified += ((old, s.copy(category = Some(ChangeCategory.IndirectBreaking))))
+          }
         case Some(old) =>
-          // own data hash unchanged but version moved ⇒ the change came from a
-          // parent (categorizer.py: INDIRECT_BREAKING)
-          val cat = if (old.fingerprint.dataHash == s.fingerprint.dataHash)
-            ChangeCategory.IndirectBreaking else ChangeCategory.Breaking
-          modified += ((old, s.copy(category = Some(cat))))
+          if (forwardOnly || kindForwardOnly(s.model)) {
+            categories(name) = ChangeCategory.ForwardOnly
+            modified += ((old, s.copy(category = Some(ChangeCategory.ForwardOnly),
+              forcedVersion = Some(old.version), intervals = old.intervals)))
+          } else {
+            val additive = (bodySql(old.model), bodySql(s.model)) match {
+              case (Some(o), Some(n)) => QueryDiff.isAdditiveProjection(o, n)
+              case _ => false
+            }
+            val cat = if (additive) ChangeCategory.NonBreaking else ChangeCategory.Breaking
+            categories(name) = cat
+            modified += ((old, s.copy(category = Some(cat))))
+          }
       }
     }
     val removed = state.environments.find(_.name == env)
@@ -154,6 +209,12 @@ class GraftContext(
     // PhysicalLayerUpdate
     val mapping = tableMappingFor(p.snapshots)
     p.snapshots.foreach(s => evaluator.create(s, mapping(s.model.name)))
+    // MigrateSchemas: forward-only changes evolve the reused physical table in
+    // place instead of rebuilding history (evaluator.py:1105)
+    p.modified.foreach { case (_, nw) =>
+      if (nw.category.contains(ChangeCategory.ForwardOnly))
+        evaluator.migrate(nw, p.start, p.end, executionTs, mapping(nw.model.name))
+    }
     // Backfill
     val live = p.snapshots.map(s => state.getSnapshot(s.model.name, s.version).getOrElse(s))
     scheduler.run(live, p.start, p.end, executionTs, mapping, signals.toMap)

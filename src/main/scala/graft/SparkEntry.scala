@@ -57,7 +57,7 @@ object SparkEntry {
   /** The full inventory. */
   val all: Map[String, Entry] =
     q1 ++ Relational.entries ++ KindQueries.entries ++ MacroQueries.entries ++
-      AuditQueries.entries ++ PipelineQueries.entries
+      AuditQueries.entries ++ PipelineQueries.entries ++ SemanticQueries.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

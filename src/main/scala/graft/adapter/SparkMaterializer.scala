@@ -122,6 +122,34 @@ class SparkMaterializer(val spark: SparkSession) {
     if (f.exists(root)) f.delete(root, true)
   }
 
+  /** create_table_like (base.py:1042): empty clone of the structure. */
+  def createTableLike(target: PhysicalTable, source: PhysicalTable): Unit =
+    replaceQuery(target.copy(partitionedBy = source.partitionedBy),
+      read(source).limit(0))
+
+  /** clone_table (base.py:1059, Delta SHALLOW CLONE analog): the clone's
+    * catalog entry points at the source's CURRENT data dir — zero data copy,
+    * which is what makes dev previews of 100 TB tables free. Copy-on-write
+    * versioning keeps the clone stable: the source's next write lands in a new
+    * version dir, never mutating the cloned one. */
+  def cloneTable(target: PhysicalTable, source: PhysicalTable): Unit = {
+    val dir = currentDataDir(source).getOrElse(
+      throw new IllegalStateException(s"clone source ${source.qualified} has no data"))
+    createSchema(target.database)
+    spark.sql(s"CREATE OR REPLACE VIEW ${target.qualified} AS SELECT * FROM parquet.`$dir`")
+  }
+
+  /** rename_table (base.py:2273) — catalog-level move; data dirs stay. */
+  def renameTable(t: PhysicalTable, newTable: String): PhysicalTable = {
+    val renamed = t.copy(table = newTable)
+    currentDataDir(t).foreach { dir =>
+      createSchema(renamed.database)
+      spark.sql(s"CREATE OR REPLACE VIEW ${renamed.qualified} AS SELECT * FROM parquet.`$dir`")
+    }
+    spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
+    renamed
+  }
+
   // ------------------------------------------------------------- writes
 
   private def write(df: DataFrame, dir: String, partitionedBy: Seq[String],
@@ -209,6 +237,34 @@ class SparkMaterializer(val spark: SparkSession) {
   /** delete_from (base.py:1497) as copy-on-write anti-filter. */
   def deleteWhere(t: PhysicalTable, cond: Column): Unit =
     replaceQuery(t, read(t).filter(!coalesce(cond, lit(false))))
+
+  /** update_table (base.py:1715) as copy-on-write conditional projection. */
+  def updateWhere(t: PhysicalTable, cond: Column, set: Map[String, Column]): Unit = {
+    val cur = read(t)
+    val projected = cur.columns.map { c =>
+      set.get(c) match {
+        case Some(v) => when(coalesce(cond, lit(false)), v).otherwise(col(c)).as(c)
+        case None    => col(c)
+      }
+    }
+    replaceQuery(t, cur.select(projected.toIndexedSeq: _*))
+  }
+
+  /** alter_table / migrate (base.py:1161 alter_table; evaluator.py:1105
+    * MigrateSchemas): evolve the physical table in place to `target` —
+    * new columns backfill NULL, dropped columns vanish, type changes cast.
+    * Copy-on-write: history rows are preserved under the new schema, which is
+    * exactly the forward-only contract (no historical recompute). */
+  def migrate(t: PhysicalTable, target: org.apache.spark.sql.types.StructType): Unit = {
+    val cur = read(t)
+    val ops = SchemaDiffer.diff(cur.schema, target)
+    if (ops.isEmpty) return
+    val projected = target.fields.map { f =>
+      if (cur.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    replaceQuery(t, cur.select(projected.toIndexedSeq: _*))
+  }
 
   /** merge (base.py:2203; logical emulation mixins.py:35 LogicalMergeMixin):
     * upsert `source` into the target on unique-key equality. Default semantics =
@@ -417,6 +473,24 @@ class SparkMaterializer(val spark: SparkSession) {
 
         replaceQuery(t, static.unionByName(existing).unionByName(updatedNew).unionByName(inserted))
     }
+  }
+
+  /** Write-audit-publish support (reference spark.py:492-533 WAP via Iceberg
+    * branches; our copy-on-write version dirs give the same isolation): drop
+    * any version dirs created after `keepDir` and repoint the catalog view —
+    * the rollback half of publish. Ops that write IN PLACE (append, dynamic
+    * partition overwrite) are not covered; full-replace strategies are. */
+  def rollbackTo(t: PhysicalTable, keepDir: Option[String]): Unit = {
+    val keepVersion = keepDir.map(_.split('/').last.drop(1).toInt).getOrElse(-1)
+    val root = new Path(t.root)
+    val f = fs(root)
+    if (f.exists(root)) {
+      f.listStatus(root).map(_.getPath).filter(_.getName.matches("v\\d+"))
+        .filter(_.getName.drop(1).toInt > keepVersion)
+        .foreach(p => f.delete(p, true))
+    }
+    if (keepVersion >= 0) register(t)
+    else spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
   }
 
   // ------------------------------------------------------------ virtual layer

@@ -45,7 +45,11 @@ object ModelKind {
       batchConcurrency: Option[Int] = None,
       lookback: Int = 0,
       forwardOnly: Boolean = false,
-      partitionByTime: Boolean = true) extends ModelKind {
+      partitionByTime: Boolean = true,
+      /** periodically re-process the trailing N unit-intervals (reference
+        * kind.py:388 auto_restatement_cron / :470 auto_restatement_intervals) */
+      autoRestatementCron: Option[String] = None,
+      autoRestatementIntervals: Option[Int] = None) extends ModelKind {
     val name = "INCREMENTAL_BY_TIME_RANGE"
     override def dataFields: Seq[String] =
       Seq(name, timeColumn, timeFormat, lookback.toString)

@@ -81,10 +81,14 @@ final case class Snapshot(
     devIntervals: Vector[Interval] = Vector.empty,
     category: Option[ChangeCategory] = None,
     createdTs: Long = 0L,
-    unpausedTs: Option[Long] = None) {
+    unpausedTs: Option[Long] = None,
+    /** forward-only changes pin the PREVIOUS version so the physical table is
+      * reused and migrated in place (reference: Snapshot.version returning
+      * previous_versions for forward-only, snapshot/definition.py). */
+    forcedVersion: Option[String] = None) {
 
   def id: SnapshotId = SnapshotId(model.name, fingerprint.full)
-  def version: String = fingerprint.version
+  def version: String = forcedVersion.getOrElse(fingerprint.version)
 
   /** Physical table name: `sqlmesh__<schema>.<schema>__<table>__<version>`
     * (definition.py:1761 table_name, :266 schema prefix). We keep the same

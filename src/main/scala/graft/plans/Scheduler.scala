@@ -57,6 +57,25 @@ class Scheduler(
       topoLevels(snapshots).foreach { level =>
         val fs = level.filter(_.model.kind.isMaterialized).map { snap =>
           Future {
+            // auto-restatement (kind.py:388/:470 + `_auto_restatements` state):
+            // when the restatement cron has fired since the last application,
+            // drop the trailing N unit-intervals so they recompute below
+            snap.model.kind match {
+              case k: ModelKind.IncrementalByTimeRange if k.autoRestatementCron.nonEmpty =>
+                val restateUnit = IntervalUnit.fromCron(k.autoRestatementCron.get)
+                val lastFire = restateUnit.floor(executionTs)
+                if (state.lastAutoRestatement(snap.model.name).forall(_ < lastFire)) {
+                  val n = k.autoRestatementIntervals.getOrElse(1)
+                  val unit0 = snap.model.intervalUnit
+                  state.getSnapshot(snap.model.name, snap.version)
+                    .flatMap(_.intervals.lastOption).foreach { last =>
+                      state.removeInterval(snap.model.name, snap.version,
+                        Interval(unit0.add(last.end, -n), last.end))
+                    }
+                  state.setAutoRestatement(snap.model.name, lastFire)
+                }
+              case _ => ()
+            }
             val fresh = state.getSnapshot(snap.model.name, snap.version).getOrElse(snap)
             val unit = snap.model.intervalUnit
             val missing = fresh.missingIntervals(start, end)

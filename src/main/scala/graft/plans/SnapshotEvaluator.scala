@@ -65,6 +65,11 @@ class SnapshotEvaluator(
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     }
 
+    // write-audit-publish: remember the published version so a failing audit
+    // can roll the table back (full-replace strategies write a fresh version
+    // dir, so deleting it restores the pre-write state exactly)
+    val publishedDir = materializer.currentDataDir(t)
+
     s.model.kind match {
       case ModelKind.Full => materializer.replaceQuery(t, rendered)
       case ModelKind.View => createView(s, interval, executionTs, mapping)
@@ -98,7 +103,9 @@ class SnapshotEvaluator(
 
     s.model.postStatements.foreach(st => spark.sql(renderStatement(s, st, interval, executionTs, mapping, thisName)))
 
-    // audits on the affected interval (blocking; evaluator.py:1363)
+    // audits on the affected interval (blocking; evaluator.py:1363). A failed
+    // audit rolls the physical table back to the pre-write version (the
+    // "publish" half of write-audit-publish) before propagating.
     s.model.audits.foreach { case (name, args) =>
       val timeCond = s.model.kind match {
         case k: ModelKind.IncrementalByTimeRange =>
@@ -108,9 +115,12 @@ class SnapshotEvaluator(
       }
       val violations = Audits.run(spark, name, thisName, args ++ timeCond)
       val sample = violations.limit(1).collect()
-      if (sample.nonEmpty)
+      if (sample.nonEmpty) {
+        if (materializer.currentDataDir(t) != publishedDir)
+          materializer.rollbackTo(t, publishedDir)
         throw new IllegalStateException(
           s"audit $name failed for ${s.model.name}: e.g. ${sample.head}")
+      }
     }
   }
 
@@ -120,6 +130,24 @@ class SnapshotEvaluator(
     Renderer.resolveTables(
       new graft.macros.MacroEvaluator(interval.start, interval.end, executionTs, Some(thisName),
         variables).render(statement), mapping)
+
+  /** MigrateSchemas (evaluator.py:1105): evolve the (reused) physical table of
+    * a forward-only snapshot to the new query's output schema — analyzed, not
+    * executed, so migration costs one table rewrite, never a recompute. */
+  def migrate(s: Snapshot, start: Long, end: Long, executionTs: Long,
+              mapping: Map[String, String]): Unit = {
+    val t = physicalTable(s)
+    if (materializer.currentDataDir(t).isEmpty) return
+    val target = s.model.body match {
+      case SqlBody(_) =>
+        spark.sql(Renderer.render(s.model, start, end, executionTs, mapping,
+          thisModel = Some(t.qualified))).schema
+      case ScalaBody(fn) => fn(spark, mapping, start, end).schema
+      case SeedBody(path) =>
+        spark.read.option("header", "true").option("inferSchema", "true").csv(path).schema
+    }
+    materializer.migrate(t, target)
+  }
 
   /** VirtualLayerUpdate: promote env views (evaluator.py:1999-2016). */
   def promote(s: Snapshot, env: String): Unit =

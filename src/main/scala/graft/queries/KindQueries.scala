@@ -268,6 +268,42 @@ object KindQueries {
         |FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
         |ORDER BY event_id""".stripMargin)),
 
+    // -------- FORWARD_ONLY: in-place schema migration, history kept -------
+    "mk_forward_only_migrate" -> Entry((s, dir) => {
+      val ws = java.nio.file.Files.createTempDirectory("graft_fwd").toString
+      def mk(body: String): GraftContext = {
+        val cc = new GraftContext(s, ws, 2, durableState = true)
+        tables.foreach(t => cc.addExternal(s"raw.$t", externalFor(s, dir, t)))
+        cc.addModel(Model("mart.fwd_rev", SqlBody(body),
+          kind = ModelKind.IncrementalByTimeRange(
+            timeColumn = "d", timeFormat = "date", forwardOnly = true),
+          start = Some(dayMs("1995-01-01"))))
+        cc
+      }
+      // v1 backfills January with (d, rev)
+      val v1 = mk(
+        """SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS rev
+          |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+          |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin)
+      v1.apply(v1.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+      // v2 adds a column; forward-only kind ⇒ version pinned, table migrated
+      // in place (January keeps NULL n), only February backfills with the
+      // new query
+      val v2 = mk(
+        """SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS rev,
+          |  count(*) AS n
+          |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+          |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin)
+      v2.apply(v2.plan("prod", dayMs("1995-01-01"), dayMs("1995-03-01")))
+      s.table("mart.fwd_rev").orderBy("d")
+    }, Some(
+      """SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS rev,
+        |  CASE WHEN o_orderdate >= TIMESTAMP '1995-02-01' THEN count(*) END AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'
+        |GROUP BY 1, o_orderdate >= TIMESTAMP '1995-02-01'
+        |ORDER BY d""".stripMargin)),
+
     // ----------------------------- SEED --------------------------------
     "mk_seed" -> Entry((s, dir) => {
       val ws = java.nio.file.Files.createTempDirectory("graft_seed")

@@ -55,6 +55,10 @@ final class FileStateStore(
     mem.finalizeEnvironment(name); persist()
   }
   def environments: Seq[EnvironmentRecord] = mem.environments
+  def lastAutoRestatement(name: String): Option[Long] = mem.lastAutoRestatement(name)
+  def setAutoRestatement(name: String, ts: Long): Unit = synchronized {
+    mem.setAutoRestatement(name, ts); persist()
+  }
 
   /** export/import surface (reference state_sync/export_import.py). */
   def exportTo(path: String): Unit = synchronized {
@@ -76,6 +80,8 @@ final class FileStateStore(
       e.snapshots.foreach { case (k, v) => m.put(k, v) }
       envs.add(o)
     }
+    val ar = root.putObject("auto_restatements")
+    mem.allAutoRestatements.foreach { case (k, v) => ar.put(k, v) }
     val tmp = Paths.get(dir, s"state.json.tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -92,6 +98,8 @@ final class FileStateStore(
         n.path("name").asText(), snapMap.toMap, n.path("finalized").asBoolean(),
         Option(n.get("plan_id")).map(_.asText())))
     }
+    root.path("auto_restatements").properties().forEach(e =>
+      mem.setAutoRestatement(e.getKey, e.getValue.asLong()))
   }
 
   // ---------------------------------------------------------------- codec
@@ -134,6 +142,7 @@ final class FileStateStore(
     s.category.foreach(c => o.put("category", c.name))
     o.put("created_ts", s.createdTs)
     s.unpausedTs.foreach(o.put("unpaused_ts", _))
+    s.forcedVersion.foreach(o.put("forced_version", _))
     o
   }
 
@@ -160,7 +169,8 @@ final class FileStateStore(
         case _ => ChangeCategory.IndirectNonBreaking
       },
       createdTs = n.path("created_ts").asLong(),
-      unpausedTs = Option(n.get("unpaused_ts")).map(_.asLong()))
+      unpausedTs = Option(n.get("unpaused_ts")).map(_.asLong()),
+      forcedVersion = Option(n.get("forced_version")).map(_.asText()))
   }
 
   private def modelJson(m: Model): ObjectNode = {

@@ -30,6 +30,11 @@ trait StateStore {
   def getEnvironment(name: String): Option[EnvironmentRecord]
   def finalizeEnvironment(name: String): Unit
 
+  /** auto-restatement bookkeeping (reference `_auto_restatements` table,
+    * state_sync/db/snapshot.py:79-84): last cron firing already applied. */
+  def lastAutoRestatement(name: String): Option[Long]
+  def setAutoRestatement(name: String, ts: Long): Unit
+
   /** janitor: snapshots referenced by no environment (core/janitor.py) */
   def expiredSnapshots: Seq[Snapshot] = {
     val referenced = environments.flatMap(e => e.snapshots.map { case (n, v) => s"$n@$v" }).toSet
@@ -41,6 +46,14 @@ trait StateStore {
 final class InMemoryStateStore extends StateStore {
   private val snapshots = scala.collection.mutable.LinkedHashMap[(String, String), Snapshot]()
   private val envs = scala.collection.mutable.LinkedHashMap[String, EnvironmentRecord]()
+  private val autoRestatements = scala.collection.mutable.Map[String, Long]()
+
+  def lastAutoRestatement(name: String): Option[Long] =
+    synchronized(autoRestatements.get(name))
+  def setAutoRestatement(name: String, ts: Long): Unit =
+    synchronized { autoRestatements(name) = ts }
+  private[state] def allAutoRestatements: Map[String, Long] =
+    synchronized(autoRestatements.toMap)
 
   def pushSnapshot(s: Snapshot): Unit = synchronized {
     snapshots.get((s.model.name, s.version)) match {

@@ -142,6 +142,78 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(dupes == 0)
   }
 
+  test("auto-restatement recomputes trailing intervals when its cron fires") {
+    val ctx = newCtx()
+    ctx.addModel(Model(
+      name = "mart.auto_rst",
+      body = SqlBody(
+        """SELECT o_orderdate, count(*) AS n FROM raw.orders
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate",
+        autoRestatementCron = Some("@daily"), autoRestatementIntervals = Some(2)),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-10")),
+      executionTs = dayMs("1995-01-10"))
+    val snap = ctx.state.latestSnapshot("mart.auto_rst").get
+    assert(snap.intervals == Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-10"))))
+    assert(ctx.state.lastAutoRestatement("mart.auto_rst").contains(dayMs("1995-01-10")))
+    // next day's run: the @daily restatement cron has fired again → the last
+    // 2 day-intervals are dropped and recomputed along with the new day
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-01-11"),
+      executionTs = dayMs("1995-01-11"))
+    val snap2 = ctx.state.latestSnapshot("mart.auto_rst").get
+    assert(snap2.intervals == Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-11"))))
+    assert(ctx.state.lastAutoRestatement("mart.auto_rst").contains(dayMs("1995-01-11")))
+    // data stays correct after the restate+recompute
+    val got = spark.table("mart.auto_rst").count()
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-01-11").cast("timestamp"))
+      .select("o_orderdate").distinct().count()
+    assert(got == expected)
+  }
+
+  test("failed audit rolls the physical table back (write-audit-publish)") {
+    val ctx = newCtx()
+    ctx.addModel(Model(
+      name = "mart.wap",
+      body = SqlBody("SELECT o_orderkey, o_totalprice FROM raw.orders"),
+      kind = ModelKind.Full,
+      audits = Seq("accepted_range" -> Map("column" -> "o_totalprice", "max_v" -> "0"))))
+    // the apply fails its audit (way more than 1 row)…
+    intercept[Exception](ctx.apply(ctx.plan("prod", 0, D)))
+    val snap = ctx.state.latestSnapshot("mart.wap").get
+    // …no interval was recorded and the staged write was rolled back
+    assert(snap.intervals.isEmpty)
+    val t = ctx.evaluator.physicalTable(snap)
+    assert(ctx.materializer.currentDataDir(t).isEmpty)
+  }
+
+  test("additive projection change is NON_BREAKING; children keep their tables") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.base_nb",
+      SqlBody("SELECT o_custkey, count(*) AS n FROM raw.orders GROUP BY o_custkey"),
+      kind = ModelKind.Full))
+    ctx.addModel(Model("mart.child_nb",
+      SqlBody("SELECT count(*) AS n_rows FROM mart.base_nb"),
+      kind = ModelKind.Full))
+    ctx.apply(ctx.plan("prod", 0, D))
+    val childSnap1 = ctx.state.latestSnapshot("mart.child_nb").get
+    // add a projection to the parent — NON_BREAKING
+    ctx.addModel(ctx.model("mart.base_nb").copy(body = SqlBody(
+      "SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS spend FROM raw.orders GROUP BY o_custkey")))
+    val p = ctx.plan("prod", 0, D)
+    val cats = p.modified.map(x => x._2.model.name -> x._2.category.get).toMap
+    assert(cats("mart.base_nb") == ChangeCategory.NonBreaking)
+    assert(cats("mart.child_nb") == ChangeCategory.IndirectNonBreaking)
+    // the child's physical version is pinned to its previous one
+    val childNew = p.modified.find(_._2.model.name == "mart.child_nb").get._2
+    assert(childNew.version == childSnap1.version)
+    ctx.apply(p)
+    assert(spark.table("mart.base_nb").columns.contains("spend"))
+    assert(spark.table("mart.child_nb").head().getLong(0) > 0)
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",

@@ -1,0 +1,75 @@
+package graft.adapter
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class DdlOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  lazy val m = new SparkMaterializer(spark)
+
+  private def tbl(name: String, parts: Seq[String] = Nil) =
+    PhysicalTable("graft__test", name, SparkTestSession.tmpDir(s"pt_$name"), parts)
+
+  test("createTableLike produces an empty structural copy") {
+    val src = tbl("ctl_src"); val dst = tbl("ctl_dst")
+    m.replaceQuery(src, Seq((1, "a")).toDF("id", "v"))
+    m.createTableLike(dst, src)
+    val cloned = spark.table("graft__test.ctl_dst")
+    assert(cloned.columns.toSeq == Seq("id", "v") && cloned.count() == 0)
+  }
+
+  test("cloneTable is zero-copy and stable across source writes") {
+    val src = tbl("cl_src"); val clone = tbl("cl_clone")
+    m.replaceQuery(src, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    m.cloneTable(clone, src)
+    assert(spark.table("graft__test.cl_clone").count() == 2)
+    // source moves on; the clone still sees the version it was cut from
+    m.replaceQuery(src, Seq((9, "z")).toDF("id", "v"))
+    assert(spark.table("graft__test.cl_src").count() == 1)
+    assert(spark.table("graft__test.cl_clone").count() == 2)
+  }
+
+  test("renameTable moves the catalog entry, keeps data") {
+    val t = tbl("rn_old")
+    m.replaceQuery(t, Seq((1, "a")).toDF("id", "v"))
+    val renamed = m.renameTable(t, "rn_new")
+    assert(spark.table("graft__test.rn_new").count() == 1)
+    assert(!spark.catalog.tableExists("graft__test.rn_old"))
+    assert(m.read(renamed).count() == 1)
+  }
+
+  test("migrate evolves schema in place: add null-backfilled, cast, drop") {
+    val t = tbl("mig")
+    m.replaceQuery(t, Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "v", "x"))
+    val target = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, extra STRING")
+    m.migrate(t, target)
+    val got = spark.table("graft__test.mig")
+    assert(got.schema.fields.map(f => f.name -> f.dataType.sql).toSeq ==
+      Seq("id" -> "BIGINT", "v" -> "STRING", "extra" -> "STRING"))
+    assert(got.filter(col("extra").isNull).count() == 2)
+  }
+
+  test("updateWhere rewrites only matching rows") {
+    val t = tbl("upd")
+    m.replaceQuery(t, Seq((1, 10.0), (2, 20.0)).toDF("id", "v"))
+    m.updateWhere(t, col("id") === 2, Map("v" -> lit(99.0)))
+    val got = spark.table("graft__test.upd").as[(Int, Double)].collect().toSet
+    assert(got == Set((1, 10.0), (2, 99.0)))
+  }
+
+  test("rollbackTo drops newer versions and restores the view") {
+    val t = tbl("rb")
+    m.replaceQuery(t, Seq((1, "a")).toDF("id", "v"))
+    val v0 = m.currentDataDir(t)
+    m.replaceQuery(t, Seq((2, "b")).toDF("id", "v"))
+    assert(spark.table("graft__test.rb").as[(Int, String)].head() == ((2, "b")))
+    m.rollbackTo(t, v0)
+    assert(spark.table("graft__test.rb").as[(Int, String)].head() == ((1, "a")))
+    // rollback to nothing drops the table entirely
+    m.rollbackTo(t, None)
+    assert(!spark.catalog.tableExists("graft__test.rb"))
+  }
+}

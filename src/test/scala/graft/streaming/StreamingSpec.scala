@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("availableNow drains incrementally with exactly-once file semantics") {
+    val src = SparkTestSession.tmpDir("stream_src")
+    val sink = SparkTestSession.tmpDir("stream_sink")
+    val chk = SparkTestSession.tmpDir("stream_chk")
+    val batch1 = Seq((1L, ts("2024-01-01 00:01:00"), 10.0), (2L, ts("2024-01-01 00:02:00"), 20.0))
+      .toDF("id", "ts", "v")
+    batch1.write.mode("append").parquet(src)
+
+    def drain(): Unit = Streaming.runAvailableNow(spark, src, batch1.schema,
+      df => df.filter(col("v") > 0).withColumn("doubled", col("v") * 2),
+      sink, chk)
+
+    drain()
+    assert(spark.read.parquet(sink).count() == 2)
+    // re-run without new data: checkpoint prevents reprocessing
+    drain()
+    assert(spark.read.parquet(sink).count() == 2)
+    // new file: only its rows are appended
+    Seq((3L, ts("2024-01-01 00:03:00"), 30.0)).toDF("id", "ts", "v")
+      .write.mode("append").parquet(src)
+    drain()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 3)
+    assert(out.filter(col("id") === 3).head().getAs[Double]("doubled") == 60.0)
+  }
+
+  test("watermarked windowed aggregation emits closed windows") {
+    val src = SparkTestSession.tmpDir("wstream_src")
+    val sink = SparkTestSession.tmpDir("wstream_sink")
+    val chk = SparkTestSession.tmpDir("wstream_chk")
+    val b1 = Seq(
+      ("u1", ts("2024-01-01 00:01:00"), 1.0), ("u1", ts("2024-01-01 00:04:00"), 2.0),
+      ("u2", ts("2024-01-01 00:02:00"), 5.0)).toDF("user", "ts", "v")
+    b1.write.mode("append").parquet(src)
+
+    def drain(): Unit = Streaming.runAvailableNow(spark, src, b1.schema,
+      df => Streaming.windowedAgg(df, "ts", "5 minutes", "1 minute",
+        keys = Seq(col("user")), aggs = Seq(sum(col("v")).as("total"))),
+      sink, chk)
+
+    drain() // watermark hasn't passed the first window yet → nothing emitted
+    // an event far in the future closes the earlier windows on the next drain
+    Seq(("u1", ts("2024-01-01 01:00:00"), 9.0)).toDF("user", "ts", "v")
+      .write.mode("append").parquet(src)
+    drain()
+    val out = spark.read.parquet(sink)
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("user"), r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[Double]("total"))).toSet
+    assert(rows.contains(("u1", "2024-01-01 00:00:00.0", 3.0)))
+    assert(rows.contains(("u2", "2024-01-01 00:00:00.0", 5.0)))
+  }
+
+  test("session_window groups events by gap") {
+    val src = SparkTestSession.tmpDir("sstream_src")
+    val sink = SparkTestSession.tmpDir("sstream_sink")
+    val chk = SparkTestSession.tmpDir("sstream_chk")
+    // u1 has two sessions (>30min gap); u2 one
+    val b1 = Seq(
+      ("u1", ts("2024-01-01 00:00:00")), ("u1", ts("2024-01-01 00:10:00")),
+      ("u1", ts("2024-01-01 02:00:00")),
+      ("u2", ts("2024-01-01 00:05:00"))).toDF("user", "ts")
+    b1.write.mode("append").parquet(src)
+
+    def drain(): Unit = Streaming.runAvailableNow(spark, src, b1.schema,
+      df => Streaming.sessionize(df, "ts", "user", "30 minutes", "1 minute"),
+      sink, chk)
+
+    drain()
+    // close remaining sessions with a far-future event
+    Seq(("u3", ts("2024-01-02 00:00:00"))).toDF("user", "ts")
+      .write.mode("append").parquet(src)
+    drain()
+    val out = spark.read.parquet(sink)
+    val u1Sessions = out.filter(col("user") === "u1").collect()
+    assert(u1Sessions.length == 2)
+    assert(u1Sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    assert(out.filter(col("user") === "u2").head().getAs[Long]("n_events") == 1L)
+  }
+}
