@@ -327,6 +327,34 @@ object KindQueries {
         |  AS rz(region_id, zone) ON n_regionkey = region_id
         |GROUP BY zone ORDER BY zone""".stripMargin)),
 
+    // ------------- Scala-bodied model (reference: Python models) ----------
+    "mk_scala_model" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model(
+        name = "mart.top_parts",
+        body = ScalaBody { (sp, mapping, start, end) =>
+          // the reference's @model Python functions get (context, start, end)
+          // and return a DataFrame; ours get (spark, resolved tables, bounds)
+          val part = sp.sql(s"SELECT * FROM ${mapping("raw.part")}")
+          val li = sp.sql(s"SELECT * FROM ${mapping("raw.lineitem")}")
+            .where(col("l_shipdate") >= new java.sql.Timestamp(start) &&
+              col("l_shipdate") < new java.sql.Timestamp(end))
+          li.join(part, li("l_partkey") === part("p_partkey"))
+            .groupBy(col("p_brand"))
+            .agg(round(sum(col("l_extendedprice")), 2).as("rev"),
+              count(lit(1)).as("n"))
+        },
+        kind = ModelKind.Full,
+        dependsOn = Set("raw.part", "raw.lineitem"),
+        start = Some(dayMs("1995-01-01"))))
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-07-01")))
+      s.table("mart.top_parts").orderBy("p_brand")
+    }, Some(
+      """SELECT p_brand, round(sum(l_extendedprice), 2) AS rev, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // -------------------- CUSTOM materialization strategy -----------------
     "mk_custom" -> Entry((s, dir) => {
       val c = ctx(s, dir)

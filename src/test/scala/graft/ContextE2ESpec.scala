@@ -214,6 +214,28 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(spark.table("mart.child_nb").head().getLong(0) > 0)
   }
 
+  test("signals gate interval readiness (core/signal.py)") {
+    val ctx = newCtx()
+    ctx.addModel(Model(
+      name = "mart.gated",
+      body = SqlBody(
+        """SELECT o_orderdate, count(*) AS n FROM raw.orders
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate",
+        batchSize = Some(1)), // per-day batches so the signal gates each one
+      start = Some(dayMs("1995-01-01"))))
+    // only intervals fully before Jan 5 are "ready"
+    ctx.addSignal("mart.gated", iv => iv.end <= dayMs("1995-01-05"))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-10")))
+    val snap = ctx.state.latestSnapshot("mart.gated").get
+    assert(snap.intervals == Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-05"))))
+    // signal opens up → the held-back intervals backfill on the next run
+    ctx.addSignal("mart.gated", _ => true)
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-01-10"))
+    assert(ctx.state.latestSnapshot("mart.gated").get.intervals ==
+      Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-10"))))
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",
