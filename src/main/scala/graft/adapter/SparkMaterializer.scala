@@ -277,11 +277,35 @@ class SparkMaterializer(val spark: SparkSession) {
     * table is untouched.
     */
   def merge(t: PhysicalTable, source: DataFrame, keys: Seq[String],
-            mergeFilter: Option[Column] = None): Unit = {
+            mergeFilter: Option[Column] = None,
+            whenMatchedUpdate: Map[String, Column] = Map.empty): Unit = {
     currentDataDir(t) match {
       case None => replaceQuery(t, dedupByKey(source, keys))
       case Some(dir) =>
-        val src = dedupByKey(source, keys)
+        val src0 = dedupByKey(source, keys)
+        // custom when-matched clause (base.py:2203 `when_matched`): matched
+        // rows update only the given columns — emulated by joining the old row
+        // back in and projecting target values through the update expressions.
+        // `s_<col>`/`t_<col>` reference source/target sides in the exprs.
+        val src =
+          if (whenMatchedUpdate.isEmpty) src0
+          else {
+            val tgt = read(t)
+            val sPref = src0.select(src0.columns.map(c => col(c).as(s"s_$c")): _*)
+            val tPref = tgt.select(tgt.columns.map(c => col(c).as(s"t_$c")) :+
+              lit(true).as("__t_exists"): _*)
+            val joinCond = keys.map(k => col(s"s_$k") <=> col(s"t_$k")).reduce(_ && _)
+            // matched rows: listed columns take their update expression, the
+            // rest KEEP the target value; unmatched rows insert the source row
+            sPref.join(tPref, joinCond, "left").select(src0.columns.toIndexedSeq.map { c =>
+              val matched = col("__t_exists").isNotNull
+              whenMatchedUpdate.get(c) match {
+                case Some(update) => when(matched, update).otherwise(col(s"s_$c")).as(c)
+                case None if keys.contains(c) => col(s"s_$c").as(c)
+                case None => when(matched, col(s"t_$c")).otherwise(col(s"s_$c")).as(c)
+              }
+            }: _*)
+          }
         // The pruned path is only key-stable when the partition columns are a
         // subset of the key: then a key's partition value can never change
         // between runs, so no stale duplicate row can hide in an untouched

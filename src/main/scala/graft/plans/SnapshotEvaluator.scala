@@ -82,7 +82,11 @@ class SnapshotEvaluator(
         else
           materializer.merge(t, rendered, k.uniqueKey,
             k.mergeFilter.map(f => org.apache.spark.sql.functions.expr(
-              renderStatement(s, f, interval, executionTs, mapping, thisName))))
+              renderStatement(s, f, interval, executionTs, mapping, thisName))),
+            k.whenMatchedUpdate.map { case (c, e) =>
+              c -> org.apache.spark.sql.functions.expr(
+                renderStatement(s, e, interval, executionTs, mapping, thisName))
+            })
       case _: ModelKind.IncrementalByPartition =>
         materializer.insertOverwriteByPartition(t, rendered)
       case k: ModelKind.IncrementalUnmanaged =>

@@ -103,6 +103,27 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }, None),
 
+    "td_ann_ivf" -> Entry((s, dir) => {
+      // IVF-style ANN: coarse quantize the corpus to deterministic centroids,
+      // queries probe only their own inverted list (recall < 1 → rows-only)
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val corpus = Similarity.ivfAssign(emb, centroids)
+      val queries = Similarity.ivfAssign(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+        centroids, vecCol = "qvec")
+      val scored = corpus.join(queries, Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("score", round(Similarity.cosine(col("embedding"), col("qvec")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, None),
+
     // embedding-cosine near-dup: all pairs above threshold (exact, oracled)
     "td_cosine_neardup" -> Entry((s, dir) => {
       val emb = t(s, dir, "embeddings")

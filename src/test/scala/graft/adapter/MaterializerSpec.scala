@@ -170,4 +170,16 @@ class MaterializerSpec extends AnyFunSuite {
     m.deleteWhere(t, col("id") === 1)
     assert(m.read(t).as[(Int, String)].collect().toSet == Set((2, "b")))
   }
+
+  test("merge honors custom when-matched update clauses (base.py when_matched)") {
+    val t = tbl("wm")
+    m.replaceQuery(t, Seq((1, 10.0, "keep1"), (2, 20.0, "keep2")).toDF("id", "v", "tag"))
+    // matched rows: v accumulates (t.v + s.v), tag keeps the TARGET value;
+    // unmatched rows insert as-is
+    m.merge(t, Seq((2, 5.0, "newtag"), (3, 30.0, "tag3")).toDF("id", "v", "tag"),
+      keys = Seq("id"),
+      whenMatchedUpdate = Map("v" -> (col("t_v") + col("s_v"))))
+    val got = spark.table("graft__test.wm").as[(Int, Double, String)].collect().toSet
+    assert(got == Set((1, 10.0, "keep1"), (2, 25.0, "keep2"), (3, 30.0, "tag3")))
+  }
 }
