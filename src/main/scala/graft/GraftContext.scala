@@ -18,8 +18,16 @@ final case class Plan(
     removed: Seq[String],
     metadataOnly: Seq[Snapshot],
     unchanged: Seq[Snapshot],
-    restatements: Map[String, Interval] = Map.empty) {
+    restatements: Map[String, Interval] = Map.empty,
+    deployability: DeployabilityIndex = DeployabilityIndex.allDeployable) {
   def snapshots: Seq[Snapshot] = added ++ modified.map(_._2) ++ metadataOnly ++ unchanged
+
+  /** A snapshot previews in a `__dev` table instead of touching the shared
+    * physical table when the plan targets a non-prod environment and the
+    * change is forward-only (or downstream of one) — definition.py:1568
+    * DeployabilityIndex semantics. */
+  def isDevPreview(s: Snapshot): Boolean = env != "prod" && !deployability.isDeployable(s)
+
   def hasChanges: Boolean = added.nonEmpty || modified.nonEmpty || removed.nonEmpty ||
     metadataOnly.nonEmpty || restatements.nonEmpty
 }
@@ -148,15 +156,26 @@ class GraftContext(
       case SqlBody(sql) => Some(sql); case _ => None
     }
 
+    // diff baseline: the snapshot the TARGET environment (or prod, for a new
+    // env) currently points at — reference ContextDiff diffs env snapshot ids,
+    // which is what keeps a dev preview from masking a pending prod change
+    val baseRec = state.getEnvironment(env).orElse(state.getEnvironment("prod"))
+    def baseline(name: String): Option[Snapshot] =
+      baseRec.flatMap(e => e.identifiers.get(name)
+          .flatMap(id => state.getSnapshotById(name, id)))
+        .orElse(state.latestSnapshot(name))
+
     order.map(snaps).foreach { s =>
       val name = s.model.name
-      state.latestSnapshot(name) match {
+      baseline(name) match {
         case None => added += s.copy(category = Some(ChangeCategory.Breaking))
         case Some(old) if old.fingerprint.full == s.fingerprint.full =>
           unchanged += old
-        case Some(old) if old.version == s.version =>
+        case Some(old) if old.fingerprint.dataHash == s.fingerprint.dataHash &&
+          old.fingerprint.parentDataHash == s.fingerprint.parentDataHash =>
+          // only metadata moved; keep the (possibly pinned) version
           metadataOnly += s.copy(category = Some(ChangeCategory.Metadata),
-            intervals = old.intervals)
+            forcedVersion = Some(old.version), intervals = old.intervals)
         case Some(old) if old.fingerprint.dataHash == s.fingerprint.dataHash =>
           // own query unchanged; version moved through a parent
           val parentCats = s.model.references.flatMap(categories.get)
@@ -192,8 +211,12 @@ class GraftContext(
     val removed = state.environments.find(_.name == env)
       .map(_.snapshots.keySet.filterNot(snaps.contains).toSeq).getOrElse(Nil)
 
+    val allSnaps = added.result() ++ modified.result().map(_._2) ++
+      metadataOnly.result() ++ unchanged.result()
+    val dag = allSnaps.map(s => s.model.name -> s.model.references).toMap
     Plan(env, start, end, added.result(), modified.result(), removed,
-      metadataOnly.result(), unchanged.result(), restate)
+      metadataOnly.result(), unchanged.result(), restate,
+      DeployabilityIndex.of(allSnaps, dag))
   }
 
   /** Evaluate a plan: stages per plan/stages.py:238 — snapshot records →
@@ -206,26 +229,31 @@ class GraftContext(
     p.restatements.foreach { case (name, ivl) =>
       state.latestSnapshot(name).foreach(s => state.removeInterval(name, s.version, ivl))
     }
+    // DeployabilityIndex: forward-only changes (and their downstream) preview
+    // in __dev tables when the plan targets a non-prod environment
+    val devFlags = p.snapshots.map(s => s.model.name -> p.isDevPreview(s)).toMap
     // PhysicalLayerUpdate
-    val mapping = tableMappingFor(p.snapshots)
+    val mapping = tableMappingFor(p.snapshots, devFlags)
     p.snapshots.foreach(s => evaluator.create(s, mapping(s.model.name)))
     // MigrateSchemas: forward-only changes evolve the reused physical table in
-    // place instead of rebuilding history (evaluator.py:1105)
+    // place — but NEVER from a dev plan, whose preview table starts fresh
     p.modified.foreach { case (_, nw) =>
-      if (nw.category.contains(ChangeCategory.ForwardOnly))
+      if (nw.category.contains(ChangeCategory.ForwardOnly) && !p.isDevPreview(nw))
         evaluator.migrate(nw, p.start, p.end, executionTs, mapping(nw.model.name))
     }
     // Backfill
     val live = p.snapshots.map(s => state.getSnapshot(s.model.name, s.version).getOrElse(s))
-    scheduler.run(live, p.start, p.end, executionTs, mapping, signals.toMap)
+    scheduler.run(live, p.start, p.end, executionTs, mapping, signals.toMap, devFlags)
     // EnvironmentRecordUpdate + VirtualLayerUpdate (materialized kinds only —
     // EMBEDDED/EXTERNAL have no physical object to point a view at)
-    p.snapshots.filter(_.model.kind.isMaterialized).foreach(s => evaluator.promote(s, p.env))
+    p.snapshots.filter(_.model.kind.isMaterialized).foreach(s =>
+      evaluator.promote(s, p.env, devFlags(s.model.name)))
     p.removed.foreach { name =>
       state.latestSnapshot(name).foreach(s => evaluator.demote(s, p.env))
     }
     state.promoteEnvironment(EnvironmentRecord(
-      p.env, p.snapshots.map(s => s.model.name -> s.version).toMap, finalized = false))
+      p.env, p.snapshots.map(s => s.model.name -> s.version).toMap, finalized = false,
+      identifiers = p.snapshots.map(s => s.model.name -> s.fingerprint.full).toMap))
     state.finalizeEnvironment(p.env)
   }
 
@@ -235,8 +263,16 @@ class GraftContext(
           executionTs: Long = System.currentTimeMillis()): Unit = {
     val envRec = state.getEnvironment(env).getOrElse(
       throw new IllegalStateException(s"environment $env not planned"))
-    val snaps = envRec.snapshots.flatMap { case (n, v) => state.getSnapshot(n, v) }.toSeq
-    scheduler.run(snaps, start, end, executionTs, tableMappingFor(snaps), signals.toMap)
+    val snaps = envRec.snapshots.flatMap { case (n, v) =>
+      envRec.identifiers.get(n).flatMap(id => state.getSnapshotById(n, id))
+        .orElse(state.getSnapshot(n, v))
+    }.toSeq
+    val dag = snaps.map(s => s.model.name -> s.model.references).toMap
+    val index = DeployabilityIndex.of(snaps, dag)
+    val devFlags = snaps.map(s =>
+      s.model.name -> (env != "prod" && !index.isDeployable(s))).toMap
+    scheduler.run(snaps, start, end, executionTs, tableMappingFor(snaps, devFlags),
+      signals.toMap, devFlags)
   }
 
   /** Ad-hoc evaluate (context.py:1168): render + execute, no materialization. */
@@ -250,17 +286,35 @@ class GraftContext(
   /** Query through the environment's virtual layer. */
   def fetch(sql: String): DataFrame = spark.sql(sql)
 
+  /** Invalidate an environment (reference `sqlmesh invalidate`): drop its
+    * views and record, leaving physical cleanup to the janitor. */
+  def invalidateEnvironment(env: String): Unit = {
+    require(env != "prod", "refusing to invalidate prod")
+    state.getEnvironment(env).foreach { rec =>
+      rec.snapshots.keys.foreach { name =>
+        models.get(name).foreach { m =>
+          materializer.demote(SparkMaterializer.envDb(m.schemaName, env), m.tableName)
+        }
+      }
+    }
+    state.promoteEnvironment(EnvironmentRecord(env, Map.empty, finalized = true))
+  }
+
   /** TTL janitor (core/janitor.py): drop physical tables of unreferenced
     * snapshots. */
   def janitor(): Unit =
     state.expiredSnapshots.foreach { s =>
       materializer.dropTable(evaluator.physicalTable(s))
+      materializer.dropTable(evaluator.physicalTable(s, dev = true))
       state.deleteSnapshot(s.model.name, s.version)
     }
 
   /** Upstream-reference resolution for each model: model refs → physical
-    * snapshot tables; external refs → registered locations. */
-  private def tableMappingFor(snaps: Seq[Snapshot]): String => Map[String, String] = {
+    * snapshot tables (dev previews resolve to their `__dev` tables); external
+    * refs → registered locations. */
+  private def tableMappingFor(
+      snaps: Seq[Snapshot],
+      devFlags: Map[String, Boolean] = Map.empty): String => Map[String, String] = {
     val byName = snaps.map(s => s.model.name -> s).toMap
     lazy val mappingFor: String => Map[String, String] = (name: String) => {
       val m = models(name)
@@ -271,8 +325,9 @@ class GraftContext(
             // embedded model's own refs resolved recursively (evaluator.py:1965)
             val sub = Renderer.render(up.model, 0L, 0L, 0L, mappingFor(r))
             Some(r -> s"($sub)")
-          case Some(up) => Some(r -> evaluator.physicalTable(up).qualified)
-          case None     => externals.get(r).map(r -> _)
+          case Some(up) =>
+            Some(r -> evaluator.physicalTable(up, devFlags.getOrElse(r, false)).qualified)
+          case None => externals.get(r).map(r -> _)
         }
       }.toMap
     }

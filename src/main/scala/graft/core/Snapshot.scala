@@ -101,13 +101,16 @@ final case class Snapshot(
   def removeInterval(i: Interval): Snapshot =
     copy(intervals = IntervalAlgebra.remove(intervals, i))
 
-  def missingIntervals(start: Long, end: Long): Vector[Interval] = {
+  def missingIntervals(start: Long, end: Long, dev: Boolean = false): Vector[Interval] = {
     val unit = model.intervalUnit
     // only whole units that have fully elapsed are runnable (reference:
     // missing_intervals end-bounding, scheduler.py:1022)
     val alignedStart = unit.floor(math.max(start, model.start.getOrElse(start)))
     val alignedEnd   = unit.floor(end)
-    val raw = IntervalAlgebra.missing(alignedStart, alignedEnd, intervals)
+    // dev previews fill a fresh __dev table, so their progress is tracked
+    // against devIntervals, not the shared table's intervals
+    val processed = if (dev) devIntervals else intervals
+    val raw = IntervalAlgebra.missing(alignedStart, alignedEnd, processed)
     // lookback (kind.py:388): each missing interval drags the preceding N
     // units back into scope so late-arriving data is reprocessed
     // (reference snapshot/definition.py missing_intervals lookback handling)

@@ -49,7 +49,8 @@ class Scheduler(
       end: Long,
       executionTs: Long,
       tableMapping: String => Map[String, String],
-      signals: Map[String, Interval => Boolean] = Map.empty): Unit = {
+      signals: Map[String, Interval => Boolean] = Map.empty,
+      devFlags: Map[String, Boolean] = Map.empty): Unit = {
 
     val pool = Executors.newFixedThreadPool(concurrency)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -76,9 +77,10 @@ class Scheduler(
                 }
               case _ => ()
             }
+            val dev = devFlags.getOrElse(snap.model.name, false)
             val fresh = state.getSnapshot(snap.model.name, snap.version).getOrElse(snap)
             val unit = snap.model.intervalUnit
-            val missing = fresh.missingIntervals(start, end)
+            val missing = fresh.missingIntervals(start, end, dev)
             val contiguous = IntervalAlgebra.merge(missing)
             val batchSize = snap.model.kind match {
               case k: ModelKind.IncrementalByTimeRange => k.batchSize.getOrElse(0)
@@ -88,12 +90,13 @@ class Scheduler(
             // here batches are sequential per model already.
             val batches = contiguous.flatMap(c =>
               if (batchSize > 0) IntervalAlgebra.batch(c, unit, batchSize) else Vector(c))
-            var first = fresh.intervals.isEmpty
+            var first = (if (dev) fresh.devIntervals else fresh.intervals).isEmpty
             batches.foreach { b =>
               val ready = signals.get(snap.model.name).forall(sig => sig(b))
               if (ready) {
-                evaluator.evaluate(fresh, b, executionTs, tableMapping(snap.model.name), first)
-                state.addInterval(snap.model.name, snap.version, b)
+                evaluator.evaluate(fresh, b, executionTs, tableMapping(snap.model.name),
+                  first, dev)
+                state.addInterval(snap.model.name, snap.version, b, dev)
                 first = false
               }
             }

@@ -18,11 +18,22 @@ class SnapshotEvaluator(
 
   def spark: SparkSession = materializer.spark
 
-  def physicalTable(s: Snapshot): PhysicalTable = PhysicalTable(
-    database = s"graft__${s.model.schemaName}",
-    table = s"${s.model.schemaName}__${s.model.tableName}__${s.version}",
-    root = s"$workspace/physical/${s.model.schemaName}__${s.model.tableName}__${s.version}",
-    partitionedBy = s.model.partitionedBy)
+  def physicalTable(s: Snapshot): PhysicalTable = physicalTable(s, dev = false)
+
+  /** `dev = true` gives the `__dev` preview table (reference `__dev`/`__temp`
+    * suffixing, snapshot/definition.py:1761 table_name): keyed by the change's
+    * own data hash so two different forward-only edits of the same pinned
+    * version preview in different tables, and the shared prod table is never
+    * touched from a dev plan. */
+  def physicalTable(s: Snapshot, dev: Boolean): PhysicalTable = {
+    val base = s"${s.model.schemaName}__${s.model.tableName}__${s.version}"
+    val name = if (dev) s"${base}__${s.fingerprint.dataHash}__dev" else base
+    PhysicalTable(
+      database = s"graft__${s.model.schemaName}",
+      table = name,
+      root = s"$workspace/physical/$name",
+      partitionedBy = s.model.partitionedBy)
+  }
 
   /** PhysicalLayerUpdate: ensure schema + (empty) physical object exists
     * (evaluator.py:360). For parquet-backed tables, creation happens lazily on
@@ -49,8 +60,9 @@ class SnapshotEvaluator(
       interval: Interval,
       executionTs: Long,
       tableMapping: Map[String, String],
-      isFirstInsert: Boolean): Unit = {
-    val t = physicalTable(s)
+      isFirstInsert: Boolean,
+      dev: Boolean = false): Unit = {
+    val t = physicalTable(s, dev)
     val mapping = tableMapping
     val thisName = t.qualified
 
@@ -108,9 +120,13 @@ class SnapshotEvaluator(
     s.model.postStatements.foreach(st => spark.sql(renderStatement(s, st, interval, executionTs, mapping, thisName)))
 
     // audits on the affected interval (blocking; evaluator.py:1363). A failed
-    // audit rolls the physical table back to the pre-write version (the
-    // "publish" half of write-audit-publish) before propagating.
-    s.model.audits.foreach { case (name, args) =>
+    // BLOCKING audit rolls the physical table back to the pre-write version
+    // (the "publish" half of write-audit-publish) before propagating; a
+    // `_non_blocking`-suffixed audit only warns (builtin.py:11
+    // create_non_blocking_copy).
+    s.model.audits.foreach { case (rawName, args) =>
+      val blocking = !rawName.endsWith("_non_blocking")
+      val name = rawName.stripSuffix("_non_blocking")
       val timeCond = s.model.kind match {
         case k: ModelKind.IncrementalByTimeRange =>
           val lo = new java.sql.Timestamp(interval.start); val hi = new java.sql.Timestamp(interval.end)
@@ -120,10 +136,15 @@ class SnapshotEvaluator(
       val violations = Audits.run(spark, name, thisName, args ++ timeCond)
       val sample = violations.limit(1).collect()
       if (sample.nonEmpty) {
-        if (materializer.currentDataDir(t) != publishedDir)
-          materializer.rollbackTo(t, publishedDir)
-        throw new IllegalStateException(
-          s"audit $name failed for ${s.model.name}: e.g. ${sample.head}")
+        if (blocking) {
+          if (materializer.currentDataDir(t) != publishedDir)
+            materializer.rollbackTo(t, publishedDir)
+          throw new IllegalStateException(
+            s"audit $name failed for ${s.model.name}: e.g. ${sample.head}")
+        } else {
+          System.err.println(
+            s"[graft] WARNING: non-blocking audit $name failed for ${s.model.name}: ${sample.head}")
+        }
       }
     }
   }
@@ -154,9 +175,9 @@ class SnapshotEvaluator(
   }
 
   /** VirtualLayerUpdate: promote env views (evaluator.py:1999-2016). */
-  def promote(s: Snapshot, env: String): Unit =
+  def promote(s: Snapshot, env: String, dev: Boolean = false): Unit =
     materializer.promote(SparkMaterializer.envDb(s.model.schemaName, env),
-      s.model.tableName, physicalTable(s))
+      s.model.tableName, physicalTable(s, dev))
 
   def demote(s: Snapshot, env: String): Unit =
     materializer.demote(SparkMaterializer.envDb(s.model.schemaName, env), s.model.tableName)

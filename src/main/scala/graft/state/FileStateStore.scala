@@ -38,6 +38,8 @@ final class FileStateStore(
 
   def pushSnapshot(s: Snapshot): Unit = synchronized { mem.pushSnapshot(s); persist() }
   def getSnapshot(name: String, version: String): Option[Snapshot] = mem.getSnapshot(name, version)
+  def getSnapshotById(name: String, identifier: String): Option[Snapshot] =
+    mem.getSnapshotById(name, identifier)
   def latestSnapshot(name: String): Option[Snapshot] = mem.latestSnapshot(name)
   def allSnapshots: Seq[Snapshot] = mem.allSnapshots
   def deleteSnapshot(name: String, version: String): Unit = synchronized {
@@ -78,6 +80,8 @@ final class FileStateStore(
       e.planId.foreach(o.put("plan_id", _))
       val m = o.putObject("snapshots")
       e.snapshots.foreach { case (k, v) => m.put(k, v) }
+      val ids = o.putObject("identifiers")
+      e.identifiers.foreach { case (k, v) => ids.put(k, v) }
       envs.add(o)
     }
     val ar = root.putObject("auto_restatements")
@@ -94,9 +98,11 @@ final class FileStateStore(
     root.path("environments").forEach { n =>
       val snapMap = scala.collection.mutable.Map[String, String]()
       n.path("snapshots").properties().forEach(e => snapMap(e.getKey) = e.getValue.asText())
+      val idMap = scala.collection.mutable.Map[String, String]()
+      n.path("identifiers").properties().forEach(e => idMap(e.getKey) = e.getValue.asText())
       mem.promoteEnvironment(EnvironmentRecord(
         n.path("name").asText(), snapMap.toMap, n.path("finalized").asBoolean(),
-        Option(n.get("plan_id")).map(_.asText())))
+        Option(n.get("plan_id")).map(_.asText()), idMap.toMap))
     }
     root.path("auto_restatements").properties().forEach(e =>
       mem.setAutoRestatement(e.getKey, e.getValue.asLong()))

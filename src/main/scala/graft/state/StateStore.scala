@@ -12,11 +12,20 @@ final case class EnvironmentRecord(
     name: String,
     snapshots: Map[String, String], // model name -> snapshot version
     finalized: Boolean = false,
-    planId: Option[String] = None)
+    planId: Option[String] = None,
+    /** model name -> snapshot identifier (full fingerprint) — the exact
+      * snapshot this environment points at; several snapshots may share a
+      * version (forward-only pinning), so the identifier is what a plan must
+      * diff against (reference ContextDiff diffs env snapshot ids). */
+    identifiers: Map[String, String] = Map.empty)
 
 trait StateStore {
   def pushSnapshot(s: Snapshot): Unit
+  /** by (name, version): the most recently pushed snapshot of that version —
+    * several records may share a version via forward-only pinning */
   def getSnapshot(name: String, version: String): Option[Snapshot]
+  /** by exact identity (reference SnapshotId.identifier = full fingerprint) */
+  def getSnapshotById(name: String, identifier: String): Option[Snapshot]
   def latestSnapshot(name: String): Option[Snapshot]
   def allSnapshots: Seq[Snapshot]
   def deleteSnapshot(name: String, version: String): Unit
@@ -44,7 +53,14 @@ trait StateStore {
 }
 
 final class InMemoryStateStore extends StateStore {
+  // snapshot records keyed by exact identity (name, full fingerprint) —
+  // reference `_snapshots` table keyed by SnapshotId
   private val snapshots = scala.collection.mutable.LinkedHashMap[(String, String), Snapshot]()
+  // interval accounting keyed by (name, VERSION): forward-only snapshots
+  // share a version and therefore share processed intervals — reference
+  // `_intervals` table keyed by (name, version)
+  private val ivals =
+    scala.collection.mutable.Map[(String, String), (Vector[Interval], Vector[Interval])]()
   private val envs = scala.collection.mutable.LinkedHashMap[String, EnvironmentRecord]()
   private val autoRestatements = scala.collection.mutable.Map[String, Long]()
 
@@ -55,33 +71,50 @@ final class InMemoryStateStore extends StateStore {
   private[state] def allAutoRestatements: Map[String, Long] =
     synchronized(autoRestatements.toMap)
 
+  private def hydrate(s: Snapshot): Snapshot = {
+    val (i, d) = ivals.getOrElse((s.model.name, s.version), (Vector.empty, Vector.empty))
+    s.copy(intervals = i, devIntervals = d)
+  }
+
   def pushSnapshot(s: Snapshot): Unit = synchronized {
-    snapshots.get((s.model.name, s.version)) match {
-      case Some(old) => // keep accumulated intervals across re-pushes of same version
-        snapshots((s.model.name, s.version)) = s.copy(
-          intervals = IntervalAlgebra.merge(old.intervals ++ s.intervals))
-      case None => snapshots((s.model.name, s.version)) = s
+    val key = (s.model.name, s.fingerprint.full)
+    if (!snapshots.contains(key))
+      snapshots(key) = s.copy(intervals = Vector.empty, devIntervals = Vector.empty)
+    if (s.intervals.nonEmpty || s.devIntervals.nonEmpty) {
+      val cur = ivals.getOrElse((s.model.name, s.version), (Vector.empty, Vector.empty))
+      ivals((s.model.name, s.version)) = (
+        IntervalAlgebra.merge(cur._1 ++ s.intervals),
+        IntervalAlgebra.merge(cur._2 ++ s.devIntervals))
     }
   }
-  def getSnapshot(name: String, version: String): Option[Snapshot] =
-    synchronized(snapshots.get((name, version)))
+  def getSnapshot(name: String, version: String): Option[Snapshot] = synchronized {
+    snapshots.values.filter(s => s.model.name == name && s.version == version)
+      .toSeq.lastOption.map(hydrate) // last pushed wins (insertion order)
+  }
+  def getSnapshotById(name: String, identifier: String): Option[Snapshot] =
+    synchronized(snapshots.get((name, identifier)).map(hydrate))
   def latestSnapshot(name: String): Option[Snapshot] =
-    synchronized(snapshots.collect { case ((n, _), s) if n == name => s }.toSeq.sortBy(_.createdTs).lastOption)
-  def allSnapshots: Seq[Snapshot] = synchronized(snapshots.values.toSeq)
-  def deleteSnapshot(name: String, version: String): Unit =
-    synchronized { snapshots.remove((name, version)); () }
+    synchronized(snapshots.collect { case ((n, _), s) if n == name => s }
+      .toSeq.lastOption.map(hydrate))
+  def allSnapshots: Seq[Snapshot] = synchronized(snapshots.values.toSeq.map(hydrate))
+  def deleteSnapshot(name: String, version: String): Unit = synchronized {
+    snapshots.filterInPlace { case (_, s) => !(s.model.name == name && s.version == version) }
+    ivals.remove((name, version)); ()
+  }
 
   def addInterval(name: String, version: String, interval: Interval, dev: Boolean): Unit =
     synchronized {
-      snapshots.get((name, version)).foreach { s =>
-        snapshots((name, version)) =
-          if (dev) s.copy(devIntervals = IntervalAlgebra.merge(s.devIntervals :+ interval))
-          else s.addInterval(interval)
-      }
+      val cur = ivals.getOrElse((name, version), (Vector.empty, Vector.empty))
+      ivals((name, version)) =
+        if (dev) (cur._1, IntervalAlgebra.merge(cur._2 :+ interval))
+        else (IntervalAlgebra.merge(cur._1 :+ interval), cur._2)
     }
   def removeInterval(name: String, version: String, interval: Interval): Unit =
     synchronized {
-      snapshots.get((name, version)).foreach(s => snapshots((name, version)) = s.removeInterval(interval))
+      val cur = ivals.getOrElse((name, version), (Vector.empty, Vector.empty))
+      ivals((name, version)) = (
+        IntervalAlgebra.remove(cur._1, interval),
+        IntervalAlgebra.remove(cur._2, interval))
     }
 
   def promoteEnvironment(env: EnvironmentRecord): Unit = synchronized { envs(env.name) = env }

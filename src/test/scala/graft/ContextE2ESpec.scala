@@ -236,6 +236,70 @@ class ContextE2ESpec extends AnyFunSuite {
       Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-10"))))
   }
 
+  test("forward-only dev plan previews in a __dev table; prod table untouched") {
+    val ctx = newCtx()
+    def body(extra: String) = SqlBody(
+      s"""SELECT o_orderdate, count(*) AS n$extra FROM raw.orders
+         |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin)
+    ctx.addModel(Model(
+      name = "mart.fwd_dev",
+      body = body(""),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate", forwardOnly = true),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
+    val prodCols = spark.table("mart.fwd_dev").columns.toSeq
+    val prodCount = spark.table("mart.fwd_dev").count()
+
+    // forward-only edit planned into DEV: previews in a __dev table
+    ctx.addModel(ctx.model("mart.fwd_dev").copy(body = body(", sum(o_totalprice) AS rev")))
+    val devPlan = ctx.plan("dev", dayMs("1995-01-01"), dayMs("1995-01-05"))
+    val nw = devPlan.modified.head._2
+    assert(nw.category.contains(ChangeCategory.ForwardOnly))
+    assert(devPlan.isDevPreview(nw))
+    ctx.apply(devPlan)
+
+    // dev env sees the new column; prod table/schema untouched
+    assert(spark.table("mart__dev.fwd_dev").columns.contains("rev"))
+    assert(spark.table("mart.fwd_dev").columns.toSeq == prodCols)
+    assert(spark.table("mart.fwd_dev").count() == prodCount)
+    // preview progress tracked as devIntervals, shared intervals unchanged
+    val snap = ctx.state.latestSnapshot("mart.fwd_dev").get
+    assert(snap.devIntervals == Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-05"))))
+    assert(snap.intervals == Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-05"))))
+
+    // promoting the same change to prod migrates the real table in place
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
+    assert(spark.table("mart.fwd_dev").columns.contains("rev"))
+    assert(spark.table("mart.fwd_dev").count() == prodCount)
+  }
+
+  test("non-blocking audits warn without failing or rolling back") {
+    val ctx = newCtx()
+    ctx.addModel(Model(
+      name = "mart.nb_audit",
+      body = SqlBody("SELECT o_orderkey, o_totalprice FROM raw.orders"),
+      kind = ModelKind.Full,
+      audits = Seq("accepted_range_non_blocking" ->
+        Map("column" -> "o_totalprice", "max_v" -> "0"))))
+    ctx.apply(ctx.plan("prod", 0, D)) // would throw if blocking
+    assert(spark.table("mart.nb_audit").count() > 0)
+    assert(ctx.state.latestSnapshot("mart.nb_audit").get.intervals.nonEmpty)
+  }
+
+  test("invalidateEnvironment drops views; janitor reclaims unreferenced snapshots") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.inv",
+      SqlBody("SELECT count(*) AS n FROM raw.orders"), kind = ModelKind.Full))
+    ctx.apply(ctx.plan("prod", 0, D))
+    ctx.apply(ctx.plan("scratch", 0, D))
+    assert(spark.table("mart__scratch.inv").head().getLong(0) > 0)
+    ctx.invalidateEnvironment("scratch")
+    assert(!spark.catalog.tableExists("mart__scratch.inv"))
+    // still referenced by prod → janitor keeps it
+    ctx.janitor()
+    assert(spark.table("mart.inv").head().getLong(0) > 0)
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",
