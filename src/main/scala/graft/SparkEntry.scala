@@ -73,6 +73,6 @@ object SparkEntry {
     * pipeline ops — measured per-round at sf0.1. */
   val benchNames: Seq[String] = Seq(
     "q1_agg", "q2_join_agg", "q3_topn", "q6_filter", "q21_multi_join_star",
-    "q22_sessionize", "td_exact_dedup", "td_minhash_lsh", "td_ngram_jaccard",
-    "td_knn_bruteforce", "td_text_quality", "td_lang_id")
+    "q22_sessionize", "q23_selfjoin_shuffle", "td_exact_dedup", "td_minhash_lsh",
+    "td_ngram_jaccard", "td_knn_bruteforce", "td_text_quality", "td_lang_id")
 }

@@ -18,7 +18,10 @@ final case class PhysicalTable(
     database: String,          // e.g. graft__sushi
     table: String,             // e.g. sushi__foo__<version>
     root: String,              // fs root holding v* data dirs
-    partitionedBy: Seq[String] = Nil) {
+    partitionedBy: Seq[String] = Nil,
+    /** cluster/sort columns applied on write (reference clustered_by →
+      * mixins.py:84 _build_partitioned_by_exp clustering half) */
+    clusteredBy: Seq[String] = Nil) {
   def qualified: String = s"`$database`.`$table`"
 }
 
@@ -152,8 +155,16 @@ class SparkMaterializer(val spark: SparkSession) {
 
   // ------------------------------------------------------------- writes
 
-  private def write(df: DataFrame, dir: String, partitionedBy: Seq[String],
-                    mode: SaveMode = SaveMode.Overwrite, dynamic: Boolean = false): Unit = {
+  private def write(df0: DataFrame, dir: String, partitionedBy: Seq[String],
+                    mode: SaveMode = SaveMode.Overwrite, dynamic: Boolean = false,
+                    clusteredBy: Seq[String] = Nil): Unit = {
+    // clustering: co-locate rows by the cluster key (one shuffle) and sort
+    // within partitions, so each parquet file holds a sorted, min/max-tight
+    // key range — downstream scans on the key prune row groups for free
+    val df =
+      if (clusteredBy.isEmpty) df0
+      else df0.repartition(clusteredBy.map(col): _*)
+        .sortWithinPartitions(clusteredBy.map(col): _*)
     var w = df.write.mode(mode)
     if (partitionedBy.nonEmpty) w = w.partitionBy(partitionedBy: _*)
     if (dynamic) w = w.option("partitionOverwriteMode", "dynamic")
@@ -171,7 +182,7 @@ class SparkMaterializer(val spark: SparkSession) {
     * fresh version dir then repoints — safe even when `df` reads the old one. */
   def replaceQuery(t: PhysicalTable, df: DataFrame): Unit = {
     val dir = nextDataDir(t)
-    write(df, dir, t.partitionedBy)
+    write(df, dir, t.partitionedBy, clusteredBy = t.clusteredBy)
     register(t)
   }
 
@@ -180,7 +191,7 @@ class SparkMaterializer(val spark: SparkSession) {
   /** insert_append (base.py:1500) — append into the CURRENT version dir. */
   def insertAppend(t: PhysicalTable, df: DataFrame): Unit = currentDataDir(t) match {
     case None      => replaceQuery(t, df)
-    case Some(dir) => write(df, dir, t.partitionedBy, SaveMode.Append); register(t)
+    case Some(dir) => write(df, dir, t.partitionedBy, SaveMode.Append, clusteredBy = t.clusteredBy); register(t)
   }
 
   /** Render half-open `[startMs, endMs)` bounds as literals matching the time
@@ -212,7 +223,8 @@ class SparkMaterializer(val spark: SparkSession) {
       case None => replaceQuery(t, guarded)
       case Some(dir) =>
         if (t.partitionedBy.nonEmpty) {
-          write(guarded, dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true)
+          write(guarded, dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true,
+            clusteredBy = t.clusteredBy)
           register(t)
         } else {
           // DELETE_INSERT strategy fallback (shared.py:235) on unpartitioned
@@ -230,7 +242,8 @@ class SparkMaterializer(val spark: SparkSession) {
       case None      => replaceQuery(t, df)
       case Some(dir) =>
         require(t.partitionedBy.nonEmpty, "INCREMENTAL_BY_PARTITION needs partitioned_by")
-        write(df, dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true)
+        write(df, dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true,
+          clusteredBy = t.clusteredBy)
         register(t)
     }
 
@@ -326,7 +339,8 @@ class SparkMaterializer(val spark: SparkSession) {
           // stage via temp dir: can't dynamic-overwrite the dir being read
           val tmp = new Path(new Path(t.root), s"tmp_${System.nanoTime()}").toString
           write(merged, tmp, t.partitionedBy)
-          write(spark.read.parquet(tmp), dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true)
+          write(spark.read.parquet(tmp), dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true,
+            clusteredBy = t.clusteredBy)
           val p = new Path(tmp); fs(p).delete(p, true)
           register(t)
         } else {

@@ -29,6 +29,10 @@ final case class Model(
     tags: Seq[String] = Nil,
     storageFormat: String = "parquet",
     partitionedBy: Seq[String] = Nil,
+    /** clustered_by (reference model prop → mixins.py:84): rows co-located
+      * and sorted by these columns within each written file, so downstream
+      * joins/filters on them hit fewer, sorted row groups. */
+    clusteredBy: Seq[String] = Nil,
     preStatements: Seq[String] = Nil,
     postStatements: Seq[String] = Nil,
     allowPartials: Boolean = false) {

@@ -55,7 +55,7 @@ object Fingerprint {
     * fields; metadata hash from the rest; parent hashes folded in recursively. */
   def of(model: Model, renderedBody: String, parents: Seq[SnapshotFingerprint]): SnapshotFingerprint = {
     val dataParts = Seq(canonicalSql(renderedBody), model.name, model.storageFormat) ++
-      model.kind.dataFields ++ model.partitionedBy ++
+      model.kind.dataFields ++ model.partitionedBy ++ model.clusteredBy ++
       model.preStatements.map(canonicalSql) ++ model.postStatements.map(canonicalSql)
     val metaParts = Seq(model.cron, model.owner.getOrElse(""), model.description.getOrElse("")) ++
       model.tags ++ model.grains ++

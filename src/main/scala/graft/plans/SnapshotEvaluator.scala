@@ -32,7 +32,8 @@ class SnapshotEvaluator(
       database = s"graft__${s.model.schemaName}",
       table = name,
       root = s"$workspace/physical/$name",
-      partitionedBy = s.model.partitionedBy)
+      partitionedBy = s.model.partitionedBy,
+      clusteredBy = s.model.clusteredBy)
   }
 
   /** PhysicalLayerUpdate: ensure schema + (empty) physical object exists

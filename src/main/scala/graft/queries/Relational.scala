@@ -221,6 +221,31 @@ object Relational {
         |WHERE o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
 
+    "q23_selfjoin_shuffle" -> Entry((s, dir) => {
+      // fact-fact self-join on a mid-cardinality key: BOTH sides are large, so
+      // this exercises the shuffle(-merge/hash) join path that fact joins take
+      // at 100 TB, where nothing is broadcastable — row-level join first,
+      // aggregation after, deliberately
+      val li = t(s, dir, "lineitem")
+      val y95 = li.filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_extendedprice").as("p95"))
+      val y96 = li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_extendedprice").as("p96"))
+      y95.join(y96, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("p95") + col("p96")), 2).as("vol"))
+        .orderBy(col("l_partkey"))
+    }, Some(
+      """SELECT a.l_partkey, count(*) AS n_pairs,
+        |  round(sum(a.l_extendedprice + b.l_extendedprice), 2) AS vol
+        |FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+        |WHERE a.l_shipdate >= TIMESTAMP '1995-01-01' AND a.l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND b.l_shipdate >= TIMESTAMP '1996-01-01' AND b.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY a.l_partkey ORDER BY a.l_partkey""".stripMargin)),
+
     "q22_sessionize" -> {
       // gaps-and-islands sessionization: new session when gap > 30 min —
       // the batch analog of streaming session windows

@@ -204,6 +204,7 @@ final class FileStateStore(
     o.set[JsonNode]("tags", strArr(m.tags))
     o.put("storage_format", m.storageFormat)
     o.set[JsonNode]("partitioned_by", strArr(m.partitionedBy))
+    o.set[JsonNode]("clustered_by", strArr(m.clusteredBy))
     o.set[JsonNode]("pre", strArr(m.preStatements))
     o.set[JsonNode]("post", strArr(m.postStatements))
     o.put("allow_partials", m.allowPartials)
@@ -239,6 +240,7 @@ final class FileStateStore(
       tags = seqOf(n.path("tags")),
       storageFormat = n.path("storage_format").asText(),
       partitionedBy = seqOf(n.path("partitioned_by")),
+      clusteredBy = seqOf(n.path("clustered_by")),
       preStatements = seqOf(n.path("pre")),
       postStatements = seqOf(n.path("post")),
       allowPartials = n.path("allow_partials").asBoolean())

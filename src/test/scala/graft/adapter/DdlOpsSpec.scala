@@ -72,4 +72,25 @@ class DdlOpsSpec extends AnyFunSuite {
     m.rollbackTo(t, None)
     assert(!spark.catalog.tableExists("graft__test.rb"))
   }
+
+  test("clusteredBy writes sorted, key-co-located files; content unchanged") {
+    val t = tbl("clu").copy(clusteredBy = Seq("k"))
+    val df = (1 to 100).map(i => (s"k${i % 5}", i)).toDF("k", "v")
+    m.replaceQuery(t, df)
+    val got = spark.table("graft__test.clu")
+    assert(got.count() == 100)
+    assert(got.select("k", "v").collect().toSet == df.collect().toSet)
+    // all rows of a cluster key land in ONE file (hash co-location) …
+    val filesPerKey = got.select(col("k"),
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+      .groupBy("k").agg(countDistinct("f").as("nf")).collect()
+    assert(filesPerKey.forall(_.getAs[Long]("nf") == 1L))
+    // … and each file is sorted by the cluster key (row-group pruning)
+    val dir = m.currentDataDir(t).get
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.getAbsolutePath).select("k").collect().map(_.getString(0))
+      assert(ks.sameElements(ks.sorted), s"file ${f.getName} not sorted")
+    }
+  }
 }

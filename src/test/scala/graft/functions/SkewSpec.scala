@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedJoin matches a plain join") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i)).toDF("k", "v")
+    val small = Seq(("hot", 100), ("k1", 1), ("k2", 2)).toDF("k", "w")
+    val plain = big.join(small, Seq("k")).select("k", "v", "w").collect().toSet
+    val salted = Skew.saltedJoin(big, small, Seq("k"), buckets = 8)
+      .select("k", "v", "w").collect().toSet
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("saltedJoin left join keeps unmatched big-side rows exactly once") {
+    val big = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val small = Seq(("a", 10)).toDF("k", "w")
+    val out = Skew.saltedJoin(big, small, Seq("k"), buckets = 4, joinType = "left")
+      .select("k", "v", "w").collect().map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    assert(out == Set(("a", 1, 10), ("b", 2, -1), ("c", 3, -1)))
+  }
+
+  test("saltedAgg equals direct aggregation") {
+    val df = (1 to 500).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "v")
+    val direct = df.groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAgg(df, Seq("g"), buckets = 7,
+      partialAggs = Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+      finalAggs = Seq(sum("ps").as("s"), sum("pn").as("n")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("salt is deterministic") {
+    val df = Seq(("a", 1), ("a", 2)).toDF("k", "v")
+    val s1 = df.withColumn("s", Skew.salt(16, Seq(col("v")))).collect().map(_.getInt(2)).toSeq
+    val s2 = df.withColumn("s", Skew.salt(16, Seq(col("v")))).collect().map(_.getInt(2)).toSeq
+    assert(s1 == s2)
+  }
+}
