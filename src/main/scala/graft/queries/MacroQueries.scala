@@ -131,6 +131,25 @@ object MacroQueries {
       """SELECT c_mktsegment, count(*) AS n FROM customer
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    "m_reduce_filter" -> entry(
+      // @FILTER keeps multiples of 3, @REDUCE folds them at render time, @AND
+      // drops NULL branches — all resolved before Catalyst sees the query
+      """SELECT c_mktsegment, count(*) AS n,
+        |  @REDUCE(@FILTER([3, 6, 9, 12], x -> x % 3 = 0), (a, b) -> a + b) AS const_sum
+        |FROM customer WHERE @AND(c_acctbal > -1000, NULL, c_custkey > 0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      """SELECT c_mktsegment, count(*) AS n, 30 AS const_sum
+        |FROM customer WHERE c_acctbal > -1000 AND c_custkey > 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    "m_def_macro" -> entry(
+      // user-defined @DEF macro (MacroDef; macros.py @DEF registry)
+      """@DEF(bucket, x -> CASE WHEN x < 1000 THEN 'low' WHEN x < 5000 THEN 'mid' ELSE 'high' END)
+        |SELECT @bucket(c_acctbal) AS tier, count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY tier""".stripMargin,
+      """SELECT CASE WHEN c_acctbal < 1000 THEN 'low' WHEN c_acctbal < 5000 THEN 'mid'
+        |  ELSE 'high' END AS tier, count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY tier""".stripMargin),
   ) - "m_each_if" + (
     "m_each_quartiles" -> entry(
       """SELECT o_orderpriority,

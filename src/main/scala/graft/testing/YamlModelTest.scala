@@ -1,0 +1,132 @@
+package graft.testing
+
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.core.{Model, SqlBody}
+
+/** The reference's YAML model-test format (sqlmesh/core/test/definition.py;
+  * example: examples/sushi/tests/test_customer_revenue_by_day.yaml), parsed
+  * with the YAML support already on the Spark classpath and executed through
+  * [[ModelTest]]:
+  *
+  * {{{
+  * test_revenue:
+  *   model: mart.revenue
+  *   inputs:
+  *     raw.orders:
+  *       rows:
+  *         - { cust: 1, amount: 10.5 }
+  *         - { cust: 1, amount: 4.5 }
+  *   outputs:
+  *     query:
+  *       rows:
+  *         - { cust: 1, total: 15.0 }
+  *     ctes:                      # optional per-CTE expectations
+  *       filtered:
+  *         rows: [ { cust: 1 } ]
+  *   vars:                        # optional interval bounds
+  *     start: 2024-01-01
+  *     end: 2024-01-02
+  * }}}
+  *
+  * Rows may be given under `rows:` or directly as a list. Column types are
+  * inferred per column from the first non-null value (long / double / boolean
+  * / string), mirroring the reference's pandas coercion.
+  */
+object YamlModelTest {
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  final case class Result(name: String, failure: Option[String])
+
+  /** Run every test in a YAML document against the given model registry.
+    * Returns one Result per test; callers assert no failures. */
+  def runAll(spark: SparkSession, yaml: String,
+             models: Map[String, Model]): Seq[Result] = {
+    val root = mapper.readTree(yaml)
+    root.properties().asScala.toSeq.map { e =>
+      val (name, spec) = (e.getKey, e.getValue)
+      try { runOne(spark, name, spec, models); Result(name, None) }
+      catch { case ex: Throwable => Result(name, Some(ex.getMessage)) }
+    }
+  }
+
+  def runFile(spark: SparkSession, path: String,
+              models: Map[String, Model]): Seq[Result] =
+    runAll(spark, new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"), models)
+
+  private def runOne(spark: SparkSession, name: String, spec: JsonNode,
+                     models: Map[String, Model]): Unit = {
+    val modelName = spec.path("model").asText()
+    val model = models.getOrElse(modelName,
+      // model may be defined inline for self-contained fixtures
+      Model(modelName, SqlBody(Option(spec.get("query")).map(_.asText()).getOrElse(
+        throw new IllegalArgumentException(s"$name: unknown model $modelName and no inline query")))))
+
+    val inputs = spec.path("inputs").properties().asScala.map { t =>
+      t.getKey -> rowsToDf(spark, rowsOf(t.getValue))
+    }.toMap
+
+    val expected = rowsOf(spec.path("outputs").path("query")).map(nodeToMap)
+    val ctes = Option(spec.path("outputs").get("ctes")).map {
+      _.properties().asScala.map(c => c.getKey -> rowsOf(c.getValue).map(nodeToMap)).toMap
+    }.getOrElse(Map.empty)
+
+    val vars = spec.path("vars")
+    def dayMs(field: String, dflt: Long): Long =
+      Option(vars.get(field)).map(v =>
+        java.time.LocalDate.parse(v.asText()).toEpochDay * 86400000L).getOrElse(dflt)
+
+    ModelTest.run(spark, ModelTest.Case(model, inputs, expected,
+      start = dayMs("start", 0L), end = dayMs("end", 86400000L),
+      executionTs = dayMs("execution_time", 0L),
+      partial = Option(spec.get("partial")).exists(_.asBoolean()),
+      expectedCtes = ctes))
+  }
+
+  private def rowsOf(n: JsonNode): Seq[JsonNode] = {
+    val arr = if (n.has("rows")) n.path("rows") else n
+    arr.elements().asScala.toSeq
+  }
+
+  private def nodeToMap(n: JsonNode): Map[String, Any] =
+    n.properties().asScala.map(e => e.getKey -> valueOf(e.getValue)).toMap
+
+  private def valueOf(v: JsonNode): Any =
+    if (v == null || v.isNull) null
+    else if (v.isIntegralNumber) v.asLong()
+    else if (v.isFloatingPointNumber) v.asDouble()
+    else if (v.isBoolean) v.asBoolean()
+    else v.asText()
+
+  /** Infer a per-column type from the first non-null value and build rows. */
+  private def rowsToDf(spark: SparkSession, rows: Seq[JsonNode]): DataFrame = {
+    require(rows.nonEmpty, "fixture input needs at least one row")
+    val cols = rows.flatMap(_.properties().asScala.map(_.getKey)).distinct
+    def sparkType(a: Any): DataType = a match {
+      case _: java.lang.Long => LongType
+      case _: java.lang.Double => DoubleType
+      case _: java.lang.Boolean => BooleanType
+      case _ => StringType
+    }
+    val colTypes = cols.map { c =>
+      val first = rows.iterator.map(r => valueOf(r.get(c))).find(_ != null)
+      c -> first.map(sparkType).getOrElse(StringType)
+    }
+    val schema = StructType(colTypes.map { case (c, t) => StructField(c, t) })
+    val data = rows.map { r =>
+      Row.fromSeq(colTypes.map { case (c, t) =>
+        valueOf(r.get(c)) match {
+          case null => null
+          case l: java.lang.Long if t == DoubleType => l.doubleValue(): java.lang.Double
+          case other => other
+        }
+      })
+    }
+    spark.createDataFrame(data.asJava, schema)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Property tests (seeded random, 200 trials each) for the interval algebra —
+  * the correctness substrate of all incremental accounting (a wrong
+  * merge/remove silently loses or duplicates backfilled data). */
+class IntervalPropertySpec extends AnyFunSuite {
+
+  private def rnd(seed: Int) = new Random(seed)
+
+  private def genInterval(r: Random): Interval = {
+    val a = r.nextLong(1000L); Interval(a, a + 1 + r.nextLong(100L))
+  }
+  private def genIntervals(r: Random): List[Interval] =
+    List.fill(1 + r.nextInt(8))(genInterval(r))
+
+  private def covered(is: Seq[Interval], x: Long): Boolean =
+    is.exists(i => i.start <= x && x < i.end)
+
+  private val probes: Seq[Long] = 0L to 1101L by 7L
+
+  test("merge preserves coverage exactly and yields disjoint sorted output") {
+    val r = rnd(1)
+    (1 to 200).foreach { _ =>
+      val is = genIntervals(r)
+      val merged = IntervalAlgebra.merge(is)
+      merged.sliding(2).foreach {
+        case Vector(a, b) => assert(a.end < b.start, s"$merged not disjoint-sorted")
+        case _ => ()
+      }
+      probes.foreach { x =>
+        assert(covered(is, x) == covered(merged, x), s"coverage differs at $x for $is")
+      }
+    }
+  }
+
+  test("remove subtracts exactly the removal range") {
+    val r = rnd(2)
+    (1 to 200).foreach { _ =>
+      val is = genIntervals(r); val rm = genInterval(r)
+      val out = IntervalAlgebra.remove(is, rm)
+      probes.foreach { x =>
+        val expect = covered(is, x) && !(rm.start <= x && x < rm.end)
+        assert(covered(out, x) == expect, s"at $x: $is minus $rm -> $out")
+      }
+    }
+  }
+
+  test("missing is the complement of processed within the window") {
+    val r = rnd(3)
+    (1 to 200).foreach { _ =>
+      val processed = genIntervals(r)
+      val out = IntervalAlgebra.missing(100L, 900L, processed)
+      probes.foreach { x =>
+        val expect = 100L <= x && x < 900L && !covered(processed, x)
+        assert(covered(out, x) == expect, s"at $x for $processed")
+      }
+    }
+  }
+
+  test("batch covers the whole interval without overlap, unit-aligned chunks") {
+    val unit = IntervalUnit.Hour
+    val r = rnd(4)
+    (1 to 200).foreach { _ =>
+      val startH = r.nextLong(48L); val lenH = 1 + r.nextLong(72L)
+      val bs = 1 + r.nextInt(7)
+      val iv = Interval(startH * 3600000L, (startH + lenH) * 3600000L)
+      val batches = IntervalAlgebra.batch(iv, unit, bs)
+      assert(batches.head.start == iv.start && batches.last.end == iv.end)
+      batches.sliding(2).foreach {
+        case Vector(a, b) => assert(a.end == b.start)
+        case _ => ()
+      }
+      batches.foreach(b => assert((b.end - b.start) <= bs * 3600000L))
+    }
+  }
+
+  test("fingerprint is stable under whitespace/comment/case noise") {
+    val r = rnd(5)
+    (1 to 100).foreach { _ =>
+      val tok = "c" + r.alphanumeric.take(6).mkString
+      val m = Model("m.x", SqlBody(s"SELECT $tok FROM t"))
+      val clean = Fingerprint.of(m, s"SELECT $tok FROM t", Nil)
+      val noisy = Fingerprint.of(m,
+        s"select   $tok -- trailing comment\n  FROM t  /* block */", Nil)
+      assert(clean == noisy)
+      // but a REAL change must move the data hash
+      val changed = Fingerprint.of(m, s"SELECT $tok, 1 FROM t", Nil)
+      assert(changed.dataHash != clean.dataHash)
+    }
+  }
+}

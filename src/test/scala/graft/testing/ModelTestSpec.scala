@@ -52,6 +52,56 @@ class ModelTestSpec extends AnyFunSuite {
       end = java.time.LocalDate.parse("1995-01-02").toEpochDay * 86400000L))
   }
 
+  test("YAML fixtures run the reference test format end-to-end") {
+    val m = Model("mart.rev",
+      SqlBody(
+        """WITH ok AS (SELECT * FROM raw.orders WHERE status = 'OK')
+          |SELECT cust, sum(amount) AS total FROM ok GROUP BY cust""".stripMargin))
+    val yaml =
+      """test_revenue_ok:
+        |  model: mart.rev
+        |  inputs:
+        |    raw.orders:
+        |      rows:
+        |        - { cust: 1, status: OK, amount: 10.5 }
+        |        - { cust: 1, status: OK, amount: 4.5 }
+        |        - { cust: 2, status: BAD, amount: 99.0 }
+        |  outputs:
+        |    query:
+        |      rows:
+        |        - { cust: 1, total: 15.0 }
+        |    ctes:
+        |      ok:
+        |        rows:
+        |          - { cust: 1, status: OK, amount: 10.5 }
+        |          - { cust: 1, status: OK, amount: 4.5 }
+        |test_revenue_mismatch:
+        |  model: mart.rev
+        |  inputs:
+        |    raw.orders:
+        |      rows:
+        |        - { cust: 1, status: OK, amount: 1.0 }
+        |  outputs:
+        |    query:
+        |      rows:
+        |        - { cust: 1, total: 999.0 }
+        |test_inline_model:
+        |  model: mart.inline
+        |  query: SELECT count(*) AS n FROM raw.t
+        |  inputs:
+        |    raw.t:
+        |      rows: [ { x: 1 }, { x: 2 } ]
+        |  outputs:
+        |    query:
+        |      rows: [ { n: 2 } ]
+        |""".stripMargin
+    val results = YamlModelTest.runAll(spark, yaml, Map("mart.rev" -> m))
+    val byName = results.map(r => r.name -> r.failure).toMap
+    assert(byName("test_revenue_ok").isEmpty)
+    assert(byName("test_inline_model").isEmpty)
+    assert(byName("test_revenue_mismatch").exists(_.contains("999")))
+  }
+
   test("linter flags select-star, missing audits, unfiltered incrementals") {
     val starModel = Model("m.star", SqlBody("SELECT * FROM raw.t"))
     val noAudit = Model("m.na", SqlBody("SELECT 1 AS x"), kind = ModelKind.Full)
