@@ -63,6 +63,22 @@ class GraftContext(
   def addModel(m: Model): this.type = { models(m.name) = m; this }
   def model(name: String): Model = models(name)
 
+  /** Load every `*.sql` model file under `dir` (reference Loader.load,
+    * core/loader.py:191 — `MODEL (...)` header + Spark SQL body). */
+  def loadModels(dir: String): this.type = {
+    graft.loader.ModelLoader.loadDirectory(dir).foreach(addModel)
+    this
+  }
+
+  /** Render a model's SQL for an interval without executing (reference
+    * `sqlmesh render`, cli/main.py:253). */
+  def renderSql(name: String, start: Long, end: Long,
+                executionTs: Long = System.currentTimeMillis()): String = {
+    val snaps = snapshotsOf(models.keys.toSeq)
+    Renderer.render(models(name), start, end, executionTs,
+      tableMappingFor(snaps.values.toSeq)(name), variables)
+  }
+
   /** Register a pre-existing table (EXTERNAL kind) by parquet path,
     * catalog-resolvable name, or inline `(SELECT …)` subquery. Inline
     * subqueries stay persistent-view-safe (unlike temp views, which a

@@ -1,0 +1,221 @@
+package graft.loader
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import graft.core._
+
+/** Project loader (reference: sqlmesh/core/loader.py:191 `Loader.load` +
+  * the `MODEL (...)` header dialect, core/dialect.py:45/:123): glob
+  * `models/**/*.sql`, split each file into its MODEL header, optional
+  * pre/post statements, and the query body; parse header properties into a
+  * [[Model]]. The body stays Spark SQL — Plane A runs on Catalyst untouched.
+  *
+  * Supported header surface (the reference's commonly-used subset):
+  * {{{
+  * MODEL (
+  *   name mart.daily_revenue,
+  *   kind INCREMENTAL_BY_TIME_RANGE (
+  *     time_column ds,
+  *     batch_size 10,
+  *     lookback 2,
+  *     forward_only true
+  *   ),
+  *   cron '@daily',
+  *   start '2024-01-01',
+  *   owner team_data,
+  *   tags (finance, daily),
+  *   grains (ds, cust_id),
+  *   audits (not_null(columns = (ds)), unique_values(columns = (cust_id))),
+  *   partitioned_by (ds),
+  *   clustered_by (cust_id),
+  *   storage_format parquet
+  * );
+  * -- optional pre-statements, then the query, then post-statements:
+  * SELECT ...;
+  * }}}
+  */
+object ModelLoader {
+
+  def loadDirectory(dir: String): Seq[Model] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return Nil
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+      .map(p => parse(new String(Files.readAllBytes(p), "UTF-8"), p.toString))
+  }
+
+  def parse(text: String, source: String = "<inline>"): Model = {
+    val noComments = stripComments(text)
+    val mIdx = {
+      val i = noComments.toUpperCase.indexOf("MODEL")
+      require(i >= 0, s"$source: no MODEL header")
+      i
+    }
+    val open = noComments.indexOf('(', mIdx)
+    require(open > 0, s"$source: MODEL header missing '('")
+    val (headerBody, afterHeader) = balanced(noComments, open)
+    val props = splitTopLevel(headerBody, ',').map(parseProp).toMap
+
+    // statements after the header: pre-statements, the query, post-statements
+    val statements = splitTopLevel(afterHeader.dropWhile(c => c == ';' || c.isWhitespace), ';')
+      .map(_.trim).filter(_.nonEmpty)
+    val qIdx = statements.indexWhere(s =>
+      s.toUpperCase.startsWith("SELECT") || s.toUpperCase.startsWith("WITH"))
+    require(qIdx >= 0, s"$source: no SELECT/WITH query after MODEL header")
+
+    val name = props.getOrElse("name", throw new IllegalArgumentException(s"$source: MODEL needs name"))
+    Model(
+      name = name,
+      body = SqlBody(statements(qIdx)),
+      kind = parseKind(props.getOrElse("kind", "FULL")),
+      cron = unq(props.getOrElse("cron", "@daily")),
+      start = props.get("start").map(s =>
+        java.time.LocalDate.parse(unq(s)).toEpochDay * 86400000L),
+      grains = props.get("grains").map(listOf).getOrElse(props.get("grain").map(listOf).getOrElse(Nil)),
+      audits = props.get("audits").map(parseAudits).getOrElse(Nil),
+      description = props.get("description").map(unq),
+      owner = props.get("owner").map(unq),
+      tags = props.get("tags").map(listOf).getOrElse(Nil),
+      storageFormat = unq(props.getOrElse("storage_format", "parquet")),
+      partitionedBy = props.get("partitioned_by").map(listOf).getOrElse(Nil),
+      clusteredBy = props.get("clustered_by").map(listOf).getOrElse(Nil),
+      preStatements = statements.take(qIdx),
+      postStatements = statements.drop(qIdx + 1))
+  }
+
+  // ------------------------------------------------------------------ kinds
+
+  private def parseKind(spec: String): ModelKind = {
+    val s = spec.trim
+    val open = s.indexOf('(')
+    val (kindName, args) =
+      if (open < 0) (s.toUpperCase, Map.empty[String, String])
+      else (s.substring(0, open).trim.toUpperCase,
+        splitTopLevel(balanced(s, open)._1, ',').map(parseProp).toMap)
+    kindName match {
+      case "FULL" => ModelKind.Full
+      case "VIEW" => ModelKind.View
+      case "EMBEDDED" => ModelKind.Embedded
+      case "EXTERNAL" => ModelKind.External
+      case "INCREMENTAL_BY_TIME_RANGE" => ModelKind.IncrementalByTimeRange(
+        timeColumn = unq(args.getOrElse("time_column",
+          throw new IllegalArgumentException("INCREMENTAL_BY_TIME_RANGE needs time_column"))),
+        timeFormat = unq(args.getOrElse("time_format", "timestamp")),
+        batchSize = args.get("batch_size").map(_.trim.toInt),
+        batchConcurrency = args.get("batch_concurrency").map(_.trim.toInt),
+        lookback = args.get("lookback").map(_.trim.toInt).getOrElse(0),
+        forwardOnly = args.get("forward_only").exists(_.trim.toBoolean),
+        autoRestatementCron = args.get("auto_restatement_cron").map(unq),
+        autoRestatementIntervals = args.get("auto_restatement_intervals").map(_.trim.toInt))
+      case "INCREMENTAL_BY_UNIQUE_KEY" => ModelKind.IncrementalByUniqueKey(
+        uniqueKey = listOf(args.getOrElse("unique_key",
+          throw new IllegalArgumentException("INCREMENTAL_BY_UNIQUE_KEY needs unique_key"))),
+        mergeFilter = args.get("merge_filter"))
+      case "INCREMENTAL_BY_PARTITION" =>
+        ModelKind.IncrementalByPartition(args.get("partitioned_by").map(listOf).getOrElse(Nil))
+      case "INCREMENTAL_UNMANAGED" =>
+        ModelKind.IncrementalUnmanaged(args.get("insert_overwrite").exists(_.trim.toBoolean))
+      case "SCD_TYPE_2" | "SCD_TYPE_2_BY_TIME" => ModelKind.ScdType2ByTime(
+        uniqueKey = listOf(args.getOrElse("unique_key",
+          throw new IllegalArgumentException("SCD_TYPE_2_BY_TIME needs unique_key"))),
+        updatedAtCol = unq(args.getOrElse("updated_at_name", "updated_at")),
+        validFromCol = unq(args.getOrElse("valid_from_name", "valid_from")),
+        validToCol = unq(args.getOrElse("valid_to_name", "valid_to")),
+        updatedAtAsValidFrom = args.get("updated_at_as_valid_from").exists(_.trim.toBoolean),
+        invalidateHardDeletes = args.get("invalidate_hard_deletes").forall(_.trim.toBoolean))
+      case "SCD_TYPE_2_BY_COLUMN" => ModelKind.ScdType2ByColumn(
+        uniqueKey = listOf(args.getOrElse("unique_key",
+          throw new IllegalArgumentException("SCD_TYPE_2_BY_COLUMN needs unique_key"))),
+        checkColumns = listOf(args.getOrElse("columns", "*")),
+        executionTimeAsValidFrom = args.get("execution_time_as_valid_from").exists(_.trim.toBoolean),
+        invalidateHardDeletes = args.get("invalidate_hard_deletes").forall(_.trim.toBoolean))
+      case "SEED" => ModelKind.Seed(unq(args.getOrElse("path",
+        throw new IllegalArgumentException("SEED needs path"))))
+      case "CUSTOM" => ModelKind.Custom(
+        unq(args.getOrElse("materialization",
+          throw new IllegalArgumentException("CUSTOM needs materialization"))),
+        args - "materialization" map { case (k, v) => k -> unq(v) })
+      case other => throw new IllegalArgumentException(s"unknown kind: $other")
+    }
+  }
+
+  /** audits (not_null(columns = (a, b)), unique_values(columns = (id))) */
+  private def parseAudits(spec0: String): Seq[(String, Map[String, String])] = {
+    val t = spec0.trim
+    // the prop value arrives wrapped in the audits(...) list parens
+    val spec = if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1) else t
+    splitTopLevel(spec.trim, ',').map { a =>
+      val s = a.trim
+      val open = s.indexOf('(')
+      if (open < 0) s -> Map.empty[String, String]
+      else {
+        val name = s.substring(0, open).trim
+        val args = splitTopLevel(balanced(s, open)._1, ',').map { kv =>
+          val eq = kv.indexOf('=')
+          require(eq > 0, s"audit arg needs key = value: $kv")
+          val k = kv.substring(0, eq).trim
+          val v = kv.substring(eq + 1).trim
+          // (a, b) lists flatten to the comma form the audit templates take
+          k -> (if (v.startsWith("(")) listOf(v).mkString(", ") else unq(v))
+        }.toMap
+        name -> args
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ lexing
+
+  private def stripComments(s: String): String =
+    s.replaceAll("(?s)/\\*.*?\\*/", " ").replaceAll("--[^\n]*", " ")
+
+  /** Content inside the paren opening at `open`, plus the remainder after. */
+  private def balanced(s: String, open: Int): (String, String) = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') {
+        depth -= 1
+        if (depth == 0) return (s.substring(open + 1, i), s.substring(i + 1))
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens from offset $open")
+  }
+
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; cur.append('\'')
+      case c if inStr => cur.append(c)
+      case c @ '(' => depth += 1; cur.append(c)
+      case c @ ')' => depth -= 1; cur.append(c)
+      case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `key value-with-possible-spaces` → (key, value) */
+  private def parseProp(p: String): (String, String) = {
+    val t = p.trim
+    val sp = t.indexWhere(_.isWhitespace)
+    if (sp < 0) (t.toLowerCase, "")
+    else (t.substring(0, sp).toLowerCase, t.substring(sp + 1).trim)
+  }
+
+  private def listOf(s: String): Seq[String] = {
+    val t = s.trim
+    val inner = if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1) else t
+    splitTopLevel(inner, ',').map(unq)
+  }
+
+  private def unq(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1) else t
+  }
+}

@@ -327,6 +327,51 @@ object KindQueries {
         |  AS rz(region_id, zone) ON n_regionkey = region_id
         |GROUP BY zone ORDER BY zone""".stripMargin)),
 
+    // -------- file-based project: MODEL-header DSL loaded from disk -------
+    "mk_file_project" -> Entry((s, dir) => {
+      val proj = java.nio.file.Files.createTempDirectory("graft_proj")
+      java.nio.file.Files.writeString(proj.resolve("daily.sql"),
+        """MODEL (
+          |  name fp.daily,
+          |  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate, batch_size 14),
+          |  cron '@daily',
+          |  start '1995-01-01',
+          |  audits (not_null(columns = (o_orderdate)))
+          |);
+          |SELECT o_orderdate, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+          |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+          |GROUP BY o_orderdate
+          |""".stripMargin)
+      java.nio.file.Files.writeString(proj.resolve("prio.sql"),
+        """MODEL (name fp.by_prio, kind FULL);
+        |SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM raw.orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'
+        |GROUP BY o_orderpriority
+        |""".stripMargin)
+      java.nio.file.Files.writeString(proj.resolve("top.sql"),
+        """MODEL (name fp.report, kind VIEW);
+        |SELECT d.o_orderdate, d.n, d.rev,
+        |  round(d.rev * 100.0 / t.total, 4) AS pct
+        |FROM fp.daily d
+        |CROSS JOIN (SELECT sum(rev) AS total FROM fp.daily) t
+        |""".stripMargin)
+      val c = ctx(s, dir)
+      c.loadModels(proj.toString)
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-03-01")))
+      s.table("fp.report").orderBy("o_orderdate")
+    }, Some(
+      """WITH daily AS (
+        |  SELECT o_orderdate, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'
+        |  GROUP BY o_orderdate
+        |)
+        |SELECT d.o_orderdate, d.n, d.rev,
+        |  round(d.rev * 100.0 / t.total, 4) AS pct
+        |FROM daily d CROSS JOIN (SELECT sum(rev) AS total FROM daily) t
+        |ORDER BY o_orderdate""".stripMargin)),
+
     // ------------- Scala-bodied model (reference: Python models) ----------
     "mk_scala_model" -> Entry((s, dir) => {
       val c = ctx(s, dir)

@@ -1,0 +1,116 @@
+package graft.loader
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.core._
+
+class ModelLoaderSpec extends AnyFunSuite {
+
+  test("parses the full MODEL header surface") {
+    val m = ModelLoader.parse(
+      """/* file comment */
+        |MODEL (
+        |  name mart.daily_revenue,
+        |  kind INCREMENTAL_BY_TIME_RANGE (
+        |    time_column ds,
+        |    time_format 'date',
+        |    batch_size 10,
+        |    lookback 2,
+        |    forward_only true,
+        |    auto_restatement_cron '@monthly',
+        |    auto_restatement_intervals 3
+        |  ),
+        |  cron '@daily',
+        |  start '2024-01-01',
+        |  owner team_data,
+        |  description 'daily revenue rollup',
+        |  tags (finance, daily),
+        |  grains (ds),
+        |  audits (not_null(columns = (ds, rev)), accepted_range(column = rev, min_v = 0)),
+        |  partitioned_by (ds),
+        |  clustered_by (cust_id),
+        |  storage_format parquet
+        |);
+        |
+        |-- a pre-statement
+        |SET spark.sql.shuffle.partitions = 8;
+        |
+        |SELECT ds, cust_id, sum(amount) AS rev
+        |FROM raw.orders WHERE ds BETWEEN @start_ds AND @end_ds
+        |GROUP BY ds, cust_id;
+        |
+        |ANALYZE TABLE @this_model COMPUTE STATISTICS
+        |""".stripMargin)
+
+    assert(m.name == "mart.daily_revenue")
+    m.kind match {
+      case k: ModelKind.IncrementalByTimeRange =>
+        assert(k.timeColumn == "ds" && k.timeFormat == "date")
+        assert(k.batchSize.contains(10) && k.lookback == 2 && k.forwardOnly)
+        assert(k.autoRestatementCron.contains("@monthly") &&
+          k.autoRestatementIntervals.contains(3))
+      case other => fail(s"wrong kind $other")
+    }
+    assert(m.cron == "@daily")
+    assert(m.start.contains(java.time.LocalDate.parse("2024-01-01").toEpochDay * 86400000L))
+    assert(m.owner.contains("team_data"))
+    assert(m.description.contains("daily revenue rollup"))
+    assert(m.tags == Seq("finance", "daily") && m.grains == Seq("ds"))
+    assert(m.audits == Seq(
+      "not_null" -> Map("columns" -> "ds, rev"),
+      "accepted_range" -> Map("column" -> "rev", "min_v" -> "0")))
+    assert(m.partitionedBy == Seq("ds") && m.clusteredBy == Seq("cust_id"))
+    assert(m.preStatements.size == 1 && m.preStatements.head.startsWith("SET"))
+    assert(m.postStatements.size == 1 && m.postStatements.head.startsWith("ANALYZE"))
+    assert(m.body.asInstanceOf[SqlBody].sql.startsWith("SELECT ds"))
+    assert(m.references.contains("raw.orders"))
+  }
+
+  test("parses every kind header") {
+    def kindOf(k: String): ModelKind =
+      ModelLoader.parse(s"MODEL (name m.x, kind $k); SELECT 1 AS a").kind
+    assert(kindOf("FULL") == ModelKind.Full)
+    assert(kindOf("VIEW") == ModelKind.View)
+    assert(kindOf("EMBEDDED") == ModelKind.Embedded)
+    assert(kindOf("INCREMENTAL_BY_UNIQUE_KEY (unique_key (a, b))") ==
+      ModelKind.IncrementalByUniqueKey(Seq("a", "b")))
+    assert(kindOf("INCREMENTAL_BY_PARTITION (partitioned_by (p))") ==
+      ModelKind.IncrementalByPartition(Seq("p")))
+    assert(kindOf("INCREMENTAL_UNMANAGED") == ModelKind.IncrementalUnmanaged())
+    assert(kindOf("SCD_TYPE_2_BY_TIME (unique_key (id))") ==
+      ModelKind.ScdType2ByTime(Seq("id")))
+    assert(kindOf("SCD_TYPE_2_BY_COLUMN (unique_key (id), columns (c1, c2))") ==
+      ModelKind.ScdType2ByColumn(Seq("id"), Seq("c1", "c2")))
+    assert(kindOf("SEED (path 'data/x.csv')") == ModelKind.Seed("data/x.csv"))
+  }
+
+  test("a file-based project loads and runs end-to-end") {
+    val spark = SparkTestSession.spark
+    val proj = SparkTestSession.tmpDir("proj")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
+      """MODEL (
+        |  name filemart.daily,
+        |  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate),
+        |  start '1995-01-01'
+        |);
+        |SELECT o_orderdate, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+        |GROUP BY o_orderdate
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "stats.sql"),
+      """MODEL (name filemart.stats, kind VIEW);
+        |SELECT count(*) AS days, round(sum(rev), 2) AS total FROM filemart.daily
+        |""".stripMargin)
+
+    val ctx = new graft.GraftContext(spark, SparkTestSession.tmpDir("ws"), 2)
+    ctx.addExternal("raw.orders", "/root/testdata/sf0.001/orders.parquet")
+    ctx.loadModels(proj)
+    val D = 86400000L
+    val start = java.time.LocalDate.parse("1995-01-01").toEpochDay * D
+    ctx.apply(ctx.plan("prod", start, start + 10 * D))
+    assert(spark.table("filemart.stats").head().getLong(0) > 0)
+    // renderSql shows resolved upstream + time bounds
+    val rendered = ctx.renderSql("filemart.daily", start, start + D)
+    assert(rendered.contains("parquet.") && rendered.contains("1995-01-01"))
+  }
+}
