@@ -300,6 +300,28 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(spark.table("mart.inv").head().getLong(0) > 0)
   }
 
+  test("wide DAG backfills level-parallel with correct results") {
+    val ctx = newCtx()
+    // diamond: 4 independent mid models over one base, one fan-in
+    ctx.addModel(Model("mart.w_base",
+      SqlBody("SELECT o_custkey, o_totalprice FROM raw.orders"), kind = ModelKind.Full))
+    val mids = (1 to 4).map { i =>
+      val name = s"mart.w_mid$i"
+      ctx.addModel(Model(name,
+        SqlBody(s"SELECT o_custkey, sum(o_totalprice) * $i AS v FROM mart.w_base GROUP BY o_custkey"),
+        kind = ModelKind.Full))
+      name
+    }
+    ctx.addModel(Model("mart.w_sink",
+      SqlBody(mids.map(m => s"SELECT sum(v) AS s FROM $m").mkString(" UNION ALL ")),
+      kind = ModelKind.Full, dependsOn = mids.toSet))
+    ctx.apply(ctx.plan("prod", 0, D))
+    val sums = spark.table("mart.w_sink").collect().map(_.getDouble(0)).sorted
+    assert(sums.length == 4)
+    // v of mid_i = i × base total ⇒ ratios 1:2:3:4
+    assert((1 to 4).forall(i => math.abs(sums(i - 1) / sums(0) - i) < 1e-9))
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",
