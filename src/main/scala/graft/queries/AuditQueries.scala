@@ -26,6 +26,63 @@ object AuditQueries {
 
   val entries: Map[String, Entry] = Map(
 
+    "a_regex_patterns" -> Entry(
+      // match_regex_pattern_list: docs whose text matches none of the patterns
+      audit("match_regex_pattern_list", "documents",
+        Map("column" -> "text", "patterns" -> "'^[A-Z]'"),
+        _.selectExpr("count(*) AS n_viol", "min(doc_id) AS first_doc")),
+      Some(
+        """SELECT count(*) AS n_viol, min(doc_id) AS first_doc
+          |FROM documents WHERE NOT regexp_matches(text, '^[A-Z]')""".stripMargin)),
+
+    "a_like_patterns" -> Entry(
+      audit("not_match_like_pattern_list", "part",
+        Map("column" -> "p_type", "patterns" -> "'%BRUSHED%', '%POLISHED%'"),
+        _.groupBy("p_type").count().orderBy("p_type")),
+      Some(
+        """SELECT p_type, count(*) AS count FROM part
+          |WHERE p_type LIKE '%BRUSHED%' OR p_type LIKE '%POLISHED%'
+          |GROUP BY p_type ORDER BY p_type""".stripMargin)),
+
+    "a_not_constant" -> Entry(
+      // passes (distinct > 1) → zero violation rows, shape still hash-checked
+      audit("not_constant", "orders", Map("column" -> "o_orderstatus"),
+        _.selectExpr("count(*) AS n_viol")),
+      Some(
+        """SELECT count(*) AS n_viol FROM (
+          |  SELECT count(DISTINCT o_orderstatus) AS cnt FROM orders
+          |  HAVING count(DISTINCT o_orderstatus) <= 1)""".stripMargin)),
+
+    "a_string_length" -> Entry(
+      audit("string_length_between", "nation",
+        Map("column" -> "n_name", "min_v" -> "5", "max_v" -> "12"),
+        _.orderBy("n_nationkey")),
+      Some(
+        """SELECT * FROM nation WHERE length(n_name) < 5 OR length(n_name) > 12
+          |ORDER BY n_nationkey""".stripMargin)),
+
+    "a_stddev_in_range" -> Entry(
+      // stddev outside [0, 10] → the one summary row is the violation
+      audit("stddev_in_range", "orders",
+        Map("column" -> "o_totalprice", "min_v" -> "0", "max_v" -> "10"),
+        _.selectExpr("round(stddev_o_totalprice, 2) AS sd")),
+      Some(
+        """SELECT round(sd, 2) AS sd FROM (
+          |  SELECT stddev(o_totalprice) AS sd FROM orders) WHERE sd < 0 OR sd > 10""".stripMargin)),
+
+    "a_sequential_gap" -> Entry(
+      // orderkeys are NOT gap-free → violations are the gap edges
+      audit("sequential_values", "orders", Map("column" -> "o_orderkey"),
+        _.selectExpr("count(*) AS n_gaps", "min(o_orderkey) AS first_gap_end",
+          "max(o_orderkey) AS last_gap_end")),
+      Some(
+        """SELECT count(*) AS n_gaps, min(o_orderkey) AS first_gap_end,
+          |  max(o_orderkey) AS last_gap_end
+          |FROM (
+          |  SELECT o_orderkey, lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prv
+          |  FROM orders)
+          |WHERE NOT (o_orderkey = prv + 1)""".stripMargin)),
+
     "a_accepted_range" -> Entry(
       audit("accepted_range", "customer",
         Map("column" -> "c_acctbal", "min_v" -> "0", "max_v" -> "9000"),

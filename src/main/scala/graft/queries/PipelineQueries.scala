@@ -208,6 +208,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }, None),
 
+    // ------------------------------------ structured streaming -----------
+    "td_stream_sessionize" -> Entry((s, dir) => {
+      // one AvailableNow drain over the events file: session_window + watermark;
+      // append mode emits only sessions closed w.r.t. the final watermark →
+      // rows-only check (the batch q22 entry is the hash-checked analog)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      // file sources stream from a DIRECTORY; stage the single file into one
+      val src = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        src.resolve("events.parquet"))
+      val sink = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_stream_chk").toString
+      graft.streaming.Streaming.runAvailableNow(s, src.toString, raw.schema,
+        df => graft.streaming.Streaming.sessionize(
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+          "ts", "user_id", "30 minutes", "1 minute"),
+        sink, chk)
+      s.read.parquet(sink).orderBy(col("user_id"), col("session_start"))
+    }, None),
+
     // --------------------------------------------- multimodal ------------
     "td_media_describe" -> Entry((s, dir) => {
       // documents' text bytes stand in for opaque media payloads; describe()

@@ -221,6 +221,89 @@ object Relational {
         |WHERE o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
 
+    "q24_json_funcs" -> Entry((s, dir) => {
+      registerAll(s, dir)
+      s.sql(
+        """SELECT event_type,
+          |  CAST(max(get_json_object(props, '$.k')) AS INT) AS max_k,
+          |  CAST(min(get_json_object(props, '$.k')) AS INT) AS min_k,
+          |  count(DISTINCT get_json_object(props, '$.k')) AS n_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }, Some(
+      """SELECT event_type,
+        |  CAST(max(props ->> '$.k') AS INT) AS max_k,
+        |  CAST(min(props ->> '$.k') AS INT) AS min_k,
+        |  count(DISTINCT props ->> '$.k') AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "q25_array_funcs" -> Entry((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("label"),
+          size(col("embedding")).as("dim"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (a, v) => a + v.cast("double")).cast("double"), 4).as("vsum"),
+          round(array_max(col("embedding")).cast("double"), 4).as("vmax"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), max(col("dim")).as("dim"),
+          round(avg(col("vsum")), 4).as("avg_sum"),
+          round(max(col("vmax")), 4).as("max_max"))
+        .orderBy(col("label"))
+    }, Some(
+      """WITH v AS (
+        |  SELECT label, len(embedding) AS dim,
+        |    round(CAST(list_sum(CAST(embedding AS DOUBLE[])) AS DOUBLE), 4) AS vsum,
+        |    round(CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE), 4) AS vmax
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n, max(dim) AS dim,
+        |  round(avg(vsum), 4) AS avg_sum, round(max(vmax), 4) AS max_max
+        |FROM v GROUP BY label ORDER BY label""".stripMargin)),
+
+    "q26_lateral_explode" -> Entry((s, dir) => {
+      registerAll(s, dir)
+      s.sql(
+        """SELECT word, count(*) AS n FROM (
+          |  SELECT explode(filter(split(lower(p_name), ' '), w -> length(w) > 0)) AS word
+          |  FROM part
+          |) GROUP BY word HAVING count(*) >= 50 ORDER BY n DESC, word""".stripMargin)
+    }, Some(
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split(lower(p_name), ' '), w -> len(w) > 0)) AS word
+        |  FROM part
+        |) t GROUP BY word HAVING count(*) >= 50 ORDER BY n DESC, word""".stripMargin)),
+
+    "q27_percentiles" -> Entry((s, dir) => {
+      registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus,
+          |  round(percentile(o_totalprice, 0.5), 2) AS median,
+          |  round(percentile(o_totalprice, 0.9), 2) AS p90,
+          |  round(stddev(o_totalprice), 2) AS sd,
+          |  round(corr(o_totalprice, o_custkey), 6) AS silly_corr
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }, Some(
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(stddev(o_totalprice), 2) AS sd,
+        |  round(corr(o_totalprice, o_custkey), 6) AS silly_corr
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    "q28_pivot_sql" -> Entry((s, dir) => {
+      registerAll(s, dir)
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT c_mktsegment, c_nationkey % 5 AS region_bucket, c_acctbal FROM customer
+          |) PIVOT (
+          |  round(sum(c_acctbal), 2) FOR region_bucket IN (0 AS r0, 1 AS r1, 2 AS r2)
+          |) ORDER BY c_mktsegment""".stripMargin)
+    }, Some(
+      """SELECT c_mktsegment,
+        |  round(sum(CASE WHEN c_nationkey % 5 = 0 THEN c_acctbal END), 2) AS r0,
+        |  round(sum(CASE WHEN c_nationkey % 5 = 1 THEN c_acctbal END), 2) AS r1,
+        |  round(sum(CASE WHEN c_nationkey % 5 = 2 THEN c_acctbal END), 2) AS r2
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     "q23_selfjoin_shuffle" -> Entry((s, dir) => {
       // fact-fact self-join on a mid-cardinality key: BOTH sides are large, so
       // this exercises the shuffle(-merge/hash) join path that fact joins take
