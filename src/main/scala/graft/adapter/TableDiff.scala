@@ -72,4 +72,33 @@ object TableDiff {
         .as(s"match_$c"))
     flagged.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Sample of mismatching rows (reference table_diff.py row samples): up to
+    * `n` per category — source-only keys, target-only keys, and per-column
+    * differing pairs with both values side by side. */
+  def rowDiffSamples(source: DataFrame, target: DataFrame, keys: Seq[String],
+                     n: Int = 20): DataFrame = {
+    val dataCols = source.columns.filterNot(keys.contains)
+      .filter(target.columns.contains).toSeq
+    val s = source.select(source.columns.map(c => col(c).as(s"s_$c")): _*)
+      .withColumn("__in_s", lit(1))
+    val t = target.select(target.columns.map(c => col(c).as(s"t_$c")): _*)
+      .withColumn("__in_t", lit(1))
+    val joinCond = keys.map(k => col(s"s_$k") <=> col(s"t_$k")).reduce(_ && _)
+    val j = s.join(t, joinCond, "full_outer")
+    val inS = col("__in_s").isNotNull; val inT = col("__in_t").isNotNull
+    val anyDiff = dataCols.map(c => !(col(s"s_$c") <=> col(s"t_$c"))).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    val cat = when(inS && !inT, "s_only").when(!inS && inT, "t_only")
+      .when(anyDiff, "diff")
+    val keyExpr = coalesce((keys.map(k => col(s"s_$k")) ++ keys.map(k => col(s"t_$k")))
+      .map(_.cast("string")): _*)
+    j.withColumn("category", cat).filter(col("category").isNotNull)
+      .withColumn("key", keyExpr)
+      .select((Seq(col("category"), col("key")) ++
+        dataCols.flatMap(c => Seq(col(s"s_$c"), col(s"t_$c")))): _*)
+      .orderBy(col("category"), col("key"))
+      .limit(n)
+  }
+
 }

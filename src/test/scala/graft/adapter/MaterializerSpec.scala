@@ -182,4 +182,40 @@ class MaterializerSpec extends AnyFunSuite {
     val got = spark.table("graft__test.wm").as[(Int, Double, String)].collect().toSet
     assert(got == Set((1, 10.0, "keep1"), (2, 25.0, "keep2"), (3, 30.0, "tag3")))
   }
+
+  test("SCD2-by-time: updated_at_as_valid_from opens new keys at their updated_at (base.py:1904)") {
+    val t = tbl("scd_uavf")
+    val kind = scdKind.copy(updatedAtAsValidFrom = true)
+    m.scdType2ByTime(t, Seq((1, "a", ts("2024-01-05 00:00:00"))).toDF("id", "st", "updated_at"),
+      kind, ts("2024-01-05 12:00:00"))
+    assert(m.read(t).select("valid_from").as[java.sql.Timestamp].head() ==
+      ts("2024-01-05 00:00:00"))
+    // a later brand-new key also opens at its own updated_at, not epoch 0
+    m.scdType2ByTime(t, Seq((1, "a", ts("2024-01-05 00:00:00")),
+      (2, "b", ts("2024-01-06 00:00:00"))).toDF("id", "st", "updated_at"),
+      kind, ts("2024-01-06 12:00:00"))
+    assert(m.read(t).filter($"id" === 2).select("valid_from")
+      .as[java.sql.Timestamp].head() == ts("2024-01-06 00:00:00"))
+  }
+
+  test("SCD2-by-time: invalidate_hard_deletes=false keeps vanished keys open (base.py:1921)") {
+    val t = tbl("scd_keep")
+    val kind = scdKind.copy(invalidateHardDeletes = false)
+    m.scdType2ByTime(t, Seq((1, "a", ts("2024-01-01 00:00:00"))).toDF("id", "st", "updated_at"),
+      kind, ts("2024-01-01 12:00:00"))
+    m.scdType2ByTime(t, Seq((2, "b", ts("2024-01-02 00:00:00"))).toDF("id", "st", "updated_at"),
+      kind, ts("2024-01-02 12:00:00"))
+    // key 1 vanished from the source but stays an open row
+    val open1 = m.read(t).filter($"id" === 1).select("valid_to")
+      .as[Option[java.sql.Timestamp]].head()
+    assert(open1.isEmpty)
+  }
+
+  test("rowDiffSamples categorizes s_only/t_only/diff with side-by-side values") {
+    val src = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val tgt = Seq((2, "b"), (3, "CHANGED"), (4, "d")).toDF("id", "v")
+    val rows = TableDiff.rowDiffSamples(src, tgt, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSet == Set(("s_only", "1"), ("diff", "3"), ("t_only", "4")))
+  }
 }
