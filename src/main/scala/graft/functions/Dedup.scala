@@ -22,28 +22,49 @@ object Dedup {
       .drop("__key")
   }
 
-  /** Word n-gram shingles, distinct per document.
+  /** Distinct word n-gram shingles per document as ONE array column — fully
+    * in-row (tokenize → slice → array_distinct), NO shuffle. Per-doc
+    * signatures and sizes derive from this row without any aggregation.
     *
     * The tokenized word array is materialized behind its own projection:
     * referencing the regexp+split subtree directly inside the `transform`
     * lambda would inline (and re-evaluate) tokenization once per shingle —
     * measured 10× slower at sf0.1. */
+  def shingleArray(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val words = filter(split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +"),
+      w => length(w) > 0)
+    docs.select(col(idCol), words.as("__words"))
+      .select(col(idCol), array_distinct(filter(
+        transform(sequence(lit(0), greatest(size(col("__words")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("__words"), i + 1, lit(n)))),
+        s => length(s) > 0)).as("shingles"))
+  }
+
+  /** Exploded (id, shingle) form — the inverted-index input. Distinctness is
+    * in-row (array_distinct), so no distinct shuffle. The generator consumes
+    * the composed array expression directly: projecting the array into its
+    * own column first and exploding THAT measured 10× slower (the
+    * materialize-array-into-row + re-explode path), while exploding the
+    * expression stays on the fast generate path. */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val words = filter(split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +"),
       w => length(w) > 0)
     docs.select(col(idCol), words.as("__words"))
-      .select(col(idCol),
-        explode(transform(sequence(lit(0), greatest(size(col("__words")) - n, lit(0))),
-          i => concat_ws(" ", slice(col("__words"), i + 1, lit(n))))).as("shingle"))
-      .where(length(col("shingle")) > 0)
-      .distinct()
+      .select(col(idCol), explode(array_distinct(filter(
+        transform(sequence(lit(0), greatest(size(col("__words")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("__words"), i + 1, lit(n)))),
+        s => length(s) > 0))).as("shingle"))
   }
 
   /** MinHash signature per document as ONE array column: k seeded xxhash64
     * "permutations", each signature slot a separate min-aggregate — a single
-    * shuffle on the id, no k-fold row explosion (k× input rows would dominate
-    * shuffle volume at 100 TB). */
-  def minhash(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    * shuffle on the id, no k-fold row explosion. (A pure-projection variant
+    * via nested transform/array_min benchmarked 60× SLOWER: higher-order
+    * functions evaluate interpreted, outside codegen — the flat aggregate
+    * form stays in whole-stage codegen.) */
+  def minhash(docs: DataFrame, textCol: String, idCol: String, shingleN: Int,
+              k: Int): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, shingleN)
     val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"__h$i"))
     sh.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -58,7 +79,10 @@ object Dedup {
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhash(shingles(docs, textCol, idCol, shingleN), idCol, numHashes)
+    // persist = hard optimizer barrier: every downstream reference (4 band
+    // slices + both join sides + the zip_with verify) would otherwise inline
+    // and re-evaluate the whole k×|shingles| hash computation
+    val sig = minhash(docs, textCol, idCol, shingleN, numHashes).persist()
     // band signature = hash of the band's signature slice; one row per (doc, band)
     val banded = sig.select(col(idCol), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -102,10 +126,12 @@ object Dedup {
     * Shuffle ∝ Σ shingle postings, not n². */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // the shingle relation feeds three operators (both self-join sides + the
-    // per-doc sizes); persist so tokenize+explode+distinct runs once, not 3×
-    val sh = shingles(docs, textCol, idCol, n).persist()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    // per-doc sizes come straight off the in-row shingle array (no groupBy);
+    // the exploded relation feeds both self-join sides — persist so
+    // tokenization runs once
+    val arr = shingleArray(docs, textCol, idCol, n).persist()
+    val sizes = arr.select(col(idCol), size(col("shingles")).as("n_sh"))
+    val sh = arr.select(col(idCol), explode(col("shingles")).as("shingle"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
