@@ -17,12 +17,17 @@ package graft.metrics
   */
 final case class Metric(
     name: String,
-    /** SQL aggregate over base-model columns, e.g. "SUM(o_totalprice)". */
+    /** SQL aggregate over base-model columns, e.g. "SUM(o_totalprice)" — or,
+      * for a DERIVED metric (table == ""), a formula over other metric names,
+      * e.g. "total_rev / NULLIF(n_orders, 0)" (reference metric/definition.py
+      * supports metrics referencing metrics). */
     expression: String,
-    /** base model/table the aggregate runs on */
+    /** base model/table the aggregate runs on; empty for derived metrics */
     table: String,
     /** semantic dim name -> column expression on `table` */
-    dims: Map[String, String])
+    dims: Map[String, String] = Map.empty) {
+  def isDerived: Boolean = table.isEmpty
+}
 
 final class MetricRegistry(metricSeq: Seq[Metric]) {
   private val byName: Map[String, Metric] = metricSeq.map(m => m.name -> m).toMap
@@ -67,8 +72,18 @@ final class MetricRegistry(metricSeq: Seq[Metric]) {
       }
     }
     val dimNames = dims.result()
-    val metrics = mets.result()
-    require(metrics.nonEmpty, "semantic query references no known metrics")
+    val allMets = mets.result()
+    require(allMets.nonEmpty, "semantic query references no known metrics")
+
+    // derived metrics pull in the base metrics their formulas reference
+    val (derived, direct0) = allMets.partition(_._1.isDerived)
+    val referenced = derived.flatMap { case (m, _) =>
+      byName.values.filterNot(_.isDerived).filter(b =>
+        ("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(b.name) + "(?![\\w.`])").r
+          .findFirstIn(m.expression).nonEmpty)
+    }.map(b => (b, b.name))
+    val metrics = (direct0 ++ referenced.filterNot(r => direct0.exists(_._2 == r._2)))
+      .distinctBy(_._2)
 
     // one aggregate subquery per base table, FULL JOINed on the dims
     val grouped = metrics.groupBy(_._1.table).toSeq.sortBy(_._1)
@@ -107,7 +122,21 @@ final class MetricRegistry(metricSeq: Seq[Metric]) {
     val outDims = dimNames.map { d =>
       s"COALESCE(${subs.map(s => s"${s._1}.`$d`").mkString(", ")}) AS `$d`"
     }
-    val outMets = subs.flatMap { case (a, _, outs) => outs.map(o => s"$a.`$o`") }
+    // where each computed base metric lives in the join
+    val colOf: Map[String, String] = subs.flatMap { case (a, _, outs) =>
+      outs.map(o => o -> s"$a.`$o`")
+    }.toMap
+    // requested metrics in original order: direct ones project through;
+    // derived formulas substitute joined base-metric columns
+    val outMets = allMets.map {
+      case (m, out) if !m.isDerived => s"${colOf(out)}"
+      case (m, out) =>
+        val formula = byName.values.filterNot(_.isDerived).foldLeft(m.expression) { (acc, b) =>
+          acc.replaceAll("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(b.name) + "(?![\\w.`])",
+            java.util.regex.Matcher.quoteReplacement(colOf.getOrElse(b.name, b.name)))
+        }
+        s"($formula) AS `$out`"
+    }
     val order = orderClause.map(o => s" $o").getOrElse("")
     s"SELECT ${(outDims ++ outMets).mkString(", ")} FROM $joined$order"
   }

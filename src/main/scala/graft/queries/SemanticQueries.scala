@@ -20,9 +20,11 @@ object SemanticQueries {
         Metric("n_orders", "COUNT(*)", "orders",
           dims = Map("d" -> "CAST(o_orderdate AS DATE)")),
         Metric("items_shipped", "COUNT(*)", "lineitem",
-          dims = Map("d" -> "CAST(l_shipdate AS DATE)"))))
+          dims = Map("d" -> "CAST(l_shipdate AS DATE)")),
+        // derived metric: formula over other metrics (metrics-on-metrics)
+        Metric("avg_order_value", "ROUND(total_order_rev / NULLIF(n_orders, 0), 4)", "")))
       val sql = registry.rewrite(
-        """SELECT d, total_order_rev, n_orders, items_shipped
+        """SELECT d, total_order_rev, n_orders, items_shipped, avg_order_value
           |FROM __semantic.__table
           |WHERE d >= DATE '1995-01-01' AND d < DATE '1995-02-01'
           |GROUP BY d ORDER BY d""".stripMargin)
@@ -40,7 +42,8 @@ object SemanticQueries {
         |  FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
         |    AND CAST(l_shipdate AS DATE) < DATE '1995-02-01' GROUP BY 1
         |)
-        |SELECT COALESCE(li.d, o.d) AS d, total_order_rev, n_orders, items_shipped
+        |SELECT COALESCE(li.d, o.d) AS d, total_order_rev, n_orders, items_shipped,
+        |  round(total_order_rev / nullif(n_orders, 0), 4) AS avg_order_value
         |FROM li FULL JOIN o ON li.d = o.d
         |ORDER BY d""".stripMargin)),
 
