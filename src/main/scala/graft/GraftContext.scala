@@ -227,11 +227,30 @@ class GraftContext(
     val removed = state.environments.find(_.name == env)
       .map(_.snapshots.keySet.filterNot(snaps.contains).toSeq).getOrElse(Nil)
 
+    // restatements cascade to transitive dependents (reference
+    // plan/builder.py:369 _build_restatements): a child rebuilt from restated
+    // parent data must re-run the same interval
+    val cascaded = {
+      var acc = restate
+      var frontier = restate.keySet
+      while (frontier.nonEmpty) {
+        val children = models.values
+          .filter(m => m.references.exists(frontier)).map(_.name).toSet -- acc.keySet
+        children.foreach { c =>
+          val parentIvs = models(c).references.flatMap(acc.get)
+          if (parentIvs.nonEmpty)
+            acc += c -> Interval(parentIvs.map(_.start).min, parentIvs.map(_.end).max)
+        }
+        frontier = children
+      }
+      acc
+    }
+
     val allSnaps = added.result() ++ modified.result().map(_._2) ++
       metadataOnly.result() ++ unchanged.result()
     val dag = allSnaps.map(s => s.model.name -> s.model.references).toMap
     Plan(env, start, end, added.result(), modified.result(), removed,
-      metadataOnly.result(), unchanged.result(), restate,
+      metadataOnly.result(), unchanged.result(), cascaded,
       DeployabilityIndex.of(allSnaps, dag))
   }
 

@@ -121,6 +121,33 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(spark.table("mart.rst").count() == n1)
   }
 
+  test("restatement cascades to downstream dependents") {
+    val ctx = newCtx()
+    ctx.addModel(Model(
+      name = "mart.rc_base",
+      body = SqlBody(
+        """SELECT o_orderdate, count(*) AS n FROM raw.orders
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate"),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.addModel(Model(
+      name = "mart.rc_child",
+      body = SqlBody(
+        """SELECT o_orderdate, n FROM mart.rc_base
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate"),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
+    val p = ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05"),
+      restate = Map("mart.rc_base" -> Interval(dayMs("1995-01-02"), dayMs("1995-01-04"))))
+    // the child inherits the restated interval
+    assert(p.restatements.keySet == Set("mart.rc_base", "mart.rc_child"))
+    assert(p.restatements("mart.rc_child") ==
+      Interval(dayMs("1995-01-02"), dayMs("1995-01-04")))
+    ctx.apply(p)
+    assert(spark.table("mart.rc_child").count() == spark.table("mart.rc_base").count())
+  }
+
   test("unique-key model merges across runs") {
     val ctx = newCtx()
     ctx.addModel(Model(
