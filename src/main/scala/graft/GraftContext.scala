@@ -261,8 +261,11 @@ class GraftContext(
     // CreateSnapshotRecords
     p.snapshots.foreach(state.pushSnapshot)
     // Restatement: drop intervals so the scheduler re-runs them (builder.py:369)
+    // — against the PLAN's snapshot version (several snapshots may share it)
     p.restatements.foreach { case (name, ivl) =>
-      state.latestSnapshot(name).foreach(s => state.removeInterval(name, s.version, ivl))
+      p.snapshots.find(_.model.name == name)
+        .orElse(state.latestSnapshot(name))
+        .foreach(s => state.removeInterval(name, s.version, ivl))
     }
     // DeployabilityIndex: forward-only changes (and their downstream) preview
     // in __dev tables when the plan targets a non-prod environment

@@ -116,14 +116,6 @@ object MacroQueries {
       "SELECT @STAR(nation) FROM nation ORDER BY n_nationkey",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"),
 
-    "m_each_if" -> entry(
-      """SELECT o_orderpriority,
-        |  @EACH([1, 2, 3], q -> CAST(approx_percentile(o_totalprice, q * 0.25) AS DOUBLE) AS pq)
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-      // approx percentiles have no cross-engine oracle — use exact quartiles;
-      // entry below overrides to exact percentile for comparability
-      ""),
-
     "m_var_filter" -> entry(
       """SELECT c_mktsegment, count(*) AS n FROM customer
         |WHERE c_mktsegment = @VAR('seg') @IF(1 > 2, AND 1 = 0)
@@ -150,7 +142,7 @@ object MacroQueries {
       """SELECT CASE WHEN c_acctbal < 1000 THEN 'low' WHEN c_acctbal < 5000 THEN 'mid'
         |  ELSE 'high' END AS tier, count(*) AS n
         |FROM customer GROUP BY 1 ORDER BY tier""".stripMargin),
-  ) - "m_each_if" + (
+
     "m_each_quartiles" -> entry(
       """SELECT o_orderpriority,
         |  @EACH([25, 50, 75], q -> round(percentile(o_totalprice, @EVAL(q / 100.0)), 2) AS p_@{q})
@@ -159,5 +151,6 @@ object MacroQueries {
         |  round(quantile_cont(o_totalprice, 0.25), 2) AS p_25,
         |  round(quantile_cont(o_totalprice, 0.50), 2) AS p_50,
         |  round(quantile_cont(o_totalprice, 0.75), 2) AS p_75
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+  )
 }
