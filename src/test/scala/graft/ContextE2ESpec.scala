@@ -349,6 +349,60 @@ class ContextE2ESpec extends AnyFunSuite {
     assert((1 to 4).forall(i => math.abs(sums(i - 1) / sums(0) - i) < 1e-9))
   }
 
+  test("plan-evolution torture: edits + restatement converge to a from-scratch rebuild") {
+    val ctx = newCtx()
+    def baseBody(pred: String) = SqlBody(
+      s"""SELECT o_orderdate, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+         |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt $pred
+         |GROUP BY o_orderdate""".stripMargin)
+    ctx.addModel(Model("mart.tt_base", baseBody(""),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate", batchSize = Some(5)),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.addModel(Model("mart.tt_child",
+      SqlBody("SELECT count(*) AS days, round(sum(rev), 2) AS total FROM mart.tt_base"),
+      kind = ModelKind.Full))
+
+    // 1. initial backfill
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+    // 2. NON_BREAKING: add a projection to the base
+    ctx.addModel(ctx.model("mart.tt_base").copy(body = SqlBody(
+      """SELECT o_orderdate, count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+        |  round(avg(o_totalprice), 2) AS avg_rev
+        |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+        |GROUP BY o_orderdate""".stripMargin)))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+    // 3. BREAKING: change the filter (drops some rows)
+    ctx.addModel(ctx.model("mart.tt_base").copy(body = SqlBody(
+      """SELECT o_orderdate, count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+        |  round(avg(o_totalprice), 2) AS avg_rev
+        |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+        |  AND o_totalprice > 1000
+        |GROUP BY o_orderdate""".stripMargin)))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+    // 4. restate a middle chunk; 5. extend the range via run
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01"),
+      restate = Map("mart.tt_base" -> Interval(dayMs("1995-01-10"), dayMs("1995-01-20")))))
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-02-15"))
+    // child needs a refresh after run-extension of its parent (FULL recomputes
+    // on any plan application; run only backfills intervals)
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-15")))
+
+    // from-scratch ground truth of the CURRENT model over the full range
+    val truth = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-02-15").cast("timestamp") &&
+        col("o_totalprice") > 1000)
+      .groupBy("o_orderdate")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"),
+        round(avg("o_totalprice"), 2).as("avg_rev"))
+    val got = spark.table("mart.tt_base")
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+      "incremental evolution diverged from from-scratch rebuild")
+    val childTotal = spark.table("mart.tt_child").select("total").head().getDouble(0)
+    val truthTotal = truth.agg(round(sum("rev"), 2)).head().getDouble(0)
+    assert(math.abs(childTotal - truthTotal) < 1e-6)
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",
