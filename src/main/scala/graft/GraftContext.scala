@@ -30,6 +30,27 @@ final case class Plan(
 
   def hasChanges: Boolean = added.nonEmpty || modified.nonEmpty || removed.nonEmpty ||
     metadataOnly.nonEmpty || restatements.nonEmpty
+
+  /** Human-readable plan summary (the `sqlmesh plan` console diff). */
+  def describe: String = {
+    val lines = Seq.newBuilder[String]
+    lines += s"plan → env '$env'  [${java.time.Instant.ofEpochMilli(start)} … ${java.time.Instant.ofEpochMilli(end)})"
+    added.foreach(s => lines += s"  + ${s.model.name}  (new, version ${s.version})")
+    modified.foreach { case (old, nw) =>
+      val cat = nw.category.map(_.name).getOrElse("?")
+      val ver = if (old.version == nw.version) s"version ${nw.version} (reused)"
+        else s"${old.version} → ${nw.version}"
+      val dev = if (isDevPreview(nw)) "  [dev preview]" else ""
+      lines += s"  ~ ${nw.model.name}  [$cat] $ver$dev"
+    }
+    metadataOnly.foreach(s => lines += s"  m ${s.model.name}  [METADATA]")
+    removed.foreach(n => lines += s"  - $n  (removed from env)")
+    restatements.foreach { case (n, iv) =>
+      lines += s"  ↻ $n  restate [${java.time.Instant.ofEpochMilli(iv.start)} … ${java.time.Instant.ofEpochMilli(iv.end)})"
+    }
+    if (!hasChanges) lines += "  no changes"
+    lines.result().mkString("\n")
+  }
 }
 
 /** Top-level façade — the reference's `Context` (sqlmesh/core/context.py:

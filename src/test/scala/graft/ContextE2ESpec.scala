@@ -140,6 +140,8 @@ class ContextE2ESpec extends AnyFunSuite {
     ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
     val p = ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05"),
       restate = Map("mart.rc_base" -> Interval(dayMs("1995-01-02"), dayMs("1995-01-04"))))
+    // the console summary names the restatements
+    assert(p.describe.contains("restate") && p.describe.contains("mart.rc_child"))
     // the child inherits the restated interval
     assert(p.restatements.keySet == Set("mart.rc_base", "mart.rc_child"))
     assert(p.restatements("mart.rc_child") ==
