@@ -211,8 +211,9 @@ object PipelineQueries {
     // ------------------------------------ structured streaming -----------
     "td_stream_sessionize" -> Entry((s, dir) => {
       // one AvailableNow drain over the events file: session_window + watermark;
-      // append mode emits only sessions closed w.r.t. the final watermark →
-      // rows-only check (the batch q22 entry is the hash-checked analog)
+      // append mode emits exactly the sessions whose end precedes the final
+      // watermark (max event time - delay) — reconstructible in SQL, so this
+      // streaming run is hash-checked against a batch oracle
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/events.parquet")
       // file sources stream from a DIRECTORY; stage the single file into one
@@ -227,7 +228,25 @@ object PipelineQueries {
           "ts", "user_id", "30 minutes", "1 minute"),
         sink, chk)
       s.read.parquet(sink).orderBy(col("user_id"), col("session_start"))
-    }, None),
+    }, Some(
+      """WITH wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events),
+        |gaps AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM gaps
+        |), agg AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid
+        |)
+        |SELECT user_id, session_start, session_end, n_events FROM agg, wm
+        |WHERE session_end < w
+        |ORDER BY user_id, session_start""".stripMargin)),
 
     // --------------------------------------------- multimodal ------------
     "td_media_describe" -> Entry((s, dir) => {
