@@ -208,6 +208,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }, None),
 
+    // --------------------------------------------- as-of join ------------
+    "td_asof_join" -> Entry((s, dir) => {
+      // temporal join: each event matched to the user's most recent order as
+      // of the event time — checked against DuckDB's native ASOF JOIN. Right
+      // side deduped to one row per (user, date) so ties are deterministic.
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)
+      val ord = t(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.functions.AsofJoin.asofJoin(ev, ord, Seq("user_id"), "ts", "o_orderdate",
+          rightCols = Seq("o_orderkey", "o_totalprice"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |    ORDER BY o_orderkey DESC) = 1
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin)),
+
     // ------------------------------------ structured streaming -----------
     "td_stream_sessionize" -> Entry((s, dir) => {
       // one AvailableNow drain over the events file: session_window + watermark;
