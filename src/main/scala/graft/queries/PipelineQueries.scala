@@ -208,6 +208,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }, None),
 
+    // --------------------------------------------- range join ------------
+    "td_range_join" -> Entry((s, dir) => {
+      // variable-width price bands (quadratic growth) joined to orders via
+      // bin bucketing — the scalable form of an inequality join
+      val bands = s.range(0, 100).select(col("id").cast("int").as("band"),
+        (col("id") * col("id") * 60.0).as("lo"),
+        ((col("id") + 1) * (col("id") + 1) * 60.0).as("hi"))
+      val orders = t(s, dir, "orders")
+      graft.functions.RangeJoin.binned(orders, "o_totalprice", bands,
+          "lo", "hi", binWidth = 5000.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("vol"))
+        .orderBy(col("band"))
+    }, Some(
+      """WITH bands AS (
+        |  SELECT CAST(b AS INT) AS band, b * b * 60.0 AS lo, (b + 1) * (b + 1) * 60.0 AS hi
+        |  FROM (SELECT unnest(range(0, 100)) AS b)
+        |)
+        |SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS vol
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin)),
+
     // --------------------------------------------- as-of join ------------
     "td_asof_join" -> Entry((s, dir) => {
       // temporal join: each event matched to the user's most recent order as
