@@ -121,6 +121,42 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** Near-dup clusters from a pair list: connected components by iterative
+    * min-label propagation (the GraphX/Pregel CC algorithm as plain DataFrame
+    * joins — each round is one shuffle-join; rounds ≤ component diameter,
+    * logarithmic in practice for near-dup blobs). Returns (id, cluster) with
+    * cluster = the smallest id in the component — downstream "keep one doc
+    * per duplicate group" is a groupBy(cluster). */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      // each node pulls the min cluster label among itself and its neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nc")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .persist()
+      // localCheckpoint: truncate the growing lineage each round
+      val stable = next.localCheckpoint(true)
+      converged = labels.select(col("id"), col("cluster").as("__old"))
+        .join(stable.select(col("id"), col("cluster").as("__new")), "id")
+        .filter(col("__old") =!= col("__new")).isEmpty
+      labels.unpersist()
+      labels = stable
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: inverted index on shingles (the
     * bucket key), intersection counted per pair, |A∪B| = |A|+|B|−|A∩B|.
     * Shuffle ∝ Σ shingle postings, not n². */

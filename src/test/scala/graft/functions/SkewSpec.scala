@@ -43,4 +43,14 @@ class SkewSpec extends AnyFunSuite {
     val s2 = df.withColumn("s", Skew.salt(16, Seq(col("v")))).collect().map(_.getInt(2)).toSeq
     assert(s1 == s2)
   }
+
+  test("Dedup.clusters finds connected components (chain + separate + isolated-pair)") {
+    // chain 1-2-3-4, pair 10-11, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
 }
