@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis over an event stream: for each user, the earliest
+  * strictly-ordered completion of a step sequence (step N must happen AFTER
+  * the user's earliest valid step N-1).
+  *
+  * Implemented as one filtered aggregation per step — k steps = k small
+  * shuffles on the user key, each over only that step's events (the filter
+  * prunes at the scan). No per-user event lists are materialized, so a user
+  * with millions of events costs the same as one with ten.
+  */
+object Funnel {
+
+  /** Returns one row per user who completed step 1, with `t1..tk` timestamps
+    * (null once the funnel is abandoned) and `depth` = number of completed
+    * steps. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    val funneled = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"t$i"; val cur = s"t${i + 1}"
+      val stepTimes = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol).as("__ts"))
+      acc.join(stepTimes, Seq(userCol), "left")
+        .withColumn("__valid", when(col("__ts") > col(prev), col("__ts")))
+        .groupBy((col(userCol) +: (1 to i).map(j => col(s"t$j"))): _*)
+        .agg(min(col("__valid")).as(cur))
+    }
+    funneled.withColumn("depth",
+      (1 to steps.size).map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+  }
+}

@@ -245,6 +245,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }, None),
 
+    // ------------------------------------------ funnel analysis ----------
+    "td_funnel" -> Entry((s, dir) => {
+      graft.functions.Funnel.funnel(t(s, dir, "events"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }, Some(
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT s1.user_id, t1, t2, t3,
+        |  1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS depth
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin)),
+
     // --------------------------------------------- range join ------------
     "td_range_join" -> Entry((s, dir) => {
       // variable-width price bands (quadratic growth) joined to orders via

@@ -53,4 +53,22 @@ class SkewSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("Funnel.funnel enforces strict step ordering") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val ev = Seq(
+      // u1 completes all 3 in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "buy"),
+      // u2: click BEFORE first view doesn't count; no later click → depth 1
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // u3: never views → absent from the funnel
+      (3L, ts("2024-01-01 10:00:00"), "buy")
+    ).toDF("u", "ts", "t")
+    val out = Funnel.funnel(ev, "u", "ts", "t", Seq("view", "click", "buy"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("depth")).toMap
+    assert(out == Map(1L -> 3, 2L -> 1))
+  }
 }
