@@ -245,6 +245,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }, None),
 
+    // ------------------------------------------ table profiling ----------
+    "td_profile" -> Entry((s, dir) => {
+      graft.functions.Profiler.profile(t(s, dir, "orders"))
+        .orderBy(col("column"), col("metric"))
+    }, Some(
+      """WITH rows_t AS (SELECT CAST(count(*) AS DOUBLE) AS r FROM orders),
+        |m AS (
+        |  SELECT 'o_orderkey' AS "column", 'non_null' AS metric, CAST(count(o_orderkey) AS DOUBLE) AS value FROM orders
+        |  UNION ALL SELECT 'o_orderkey', 'distinct', CAST(count(DISTINCT o_orderkey) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_orderkey', 'min', round(CAST(min(o_orderkey) AS DOUBLE), 4) FROM orders
+        |  UNION ALL SELECT 'o_orderkey', 'max', round(CAST(max(o_orderkey) AS DOUBLE), 4) FROM orders
+        |  UNION ALL SELECT 'o_orderkey', 'mean', round(avg(CAST(o_orderkey AS DOUBLE)), 4) FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'non_null', CAST(count(o_custkey) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'distinct', CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'min', round(CAST(min(o_custkey) AS DOUBLE), 4) FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'max', round(CAST(max(o_custkey) AS DOUBLE), 4) FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'mean', round(avg(CAST(o_custkey AS DOUBLE)), 4) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', 'non_null', CAST(count(o_orderstatus) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', 'distinct', CAST(count(DISTINCT o_orderstatus) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', 'non_null', CAST(count(o_totalprice) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', 'distinct', CAST(count(DISTINCT o_totalprice) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', 'min', round(CAST(min(o_totalprice) AS DOUBLE), 4) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', 'max', round(CAST(max(o_totalprice) AS DOUBLE), 4) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', 'mean', round(avg(o_totalprice), 4) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', 'non_null', CAST(count(o_orderdate) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', 'distinct', CAST(count(DISTINCT o_orderdate) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', 'non_null', CAST(count(o_orderpriority) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', 'distinct', CAST(count(DISTINCT o_orderpriority) AS DOUBLE) FROM orders
+        |)
+        |SELECT m."column", m.metric, m.value, round(m.value / rows_t.r, 4) AS ratio
+        |FROM m, rows_t ORDER BY m."column", m.metric""".stripMargin)),
+
     // ------------------------------------------ funnel analysis ----------
     "td_funnel" -> Entry((s, dir) => {
       graft.functions.Funnel.funnel(t(s, dir, "events"),
