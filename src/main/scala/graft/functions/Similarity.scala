@@ -94,6 +94,20 @@ object Similarity {
       .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Scalar int8 quantization: q[i] = floor(v[i] * scale + 0.5) with
+    * scale = 127 / max|v| — 4× smaller vectors, so candidate-generation
+    * shuffles move a quarter of the bytes; cosine over quantized vectors is
+    * scale-invariant, so ranking survives quantization up to rounding error.
+    * floor(x + 0.5) (not round) keeps the arithmetic bit-identical across
+    * engines for cross-checking. */
+  def quantize(df: DataFrame, vecCol: String = "embedding",
+               qCol: String = "q", scaleCol: String = "scale"): DataFrame = {
+    val absMax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.withColumn(scaleCol, lit(127.0) / greatest(absMax, lit(1e-12)))
+      .withColumn(qCol, transform(col(vecCol),
+        x => floor(x.cast("double") * col(scaleCol) + lit(0.5)).cast("int")))
+  }
+
   /** IVF-style coarse quantization: assign vectors to the nearest of
     * `centroids` (small, broadcast); ANN probes `nProbe` nearest lists. */
   def ivfAssign(df: DataFrame, centroids: DataFrame, vecCol: String = "embedding",

@@ -161,6 +161,27 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }, None),
 
+    "td_quantize" -> Entry((s, dir) => {
+      // int8 scalar quantization; floor(x*scale + 0.5) is engine-portable, so
+      // the quantized vectors hash-check exactly against DuckDB
+      Similarity.quantize(t(s, dir, "embeddings"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (a, v) => a + v).as("qsum"),
+          array_max(col("q")).as("qmax"), array_min(col("q")).as("qmin"))
+        .orderBy(col("vec_id"))
+    }, Some(
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    127.0 / greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-12) AS scale,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * (127.0 / greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))), 1e-12)) + 0.5) AS INT)) AS qv
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  list_max(qv) AS qmax, list_min(qv) AS qmin
+        |FROM q ORDER BY vec_id""".stripMargin)),
+
     // embedding-cosine near-dup: all pairs above threshold (exact, oracled)
     "td_cosine_neardup" -> Entry((s, dir) => {
       val emb = t(s, dir, "embeddings")
