@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import java.util.concurrent.atomic.AtomicLong
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,19 +14,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // track shuffle volume per query — the number that actually predicts
+    // cluster-scale behavior better than local wall-clock
+    val shuffleWrite = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
     // warm the executor path once (codegen, parquet reader, shuffle machinery)
     // so the first timed query doesn't carry JVM/session init cost
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     val qs0 = SparkEntry.queries
     val results = SparkEntry.benchNames.map { name =>
       val t0 = System.nanoTime()
+      val s0 = shuffleWrite.get()
       try { qs0(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(150)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val shuffleMb = (shuffleWrite.get() - s0) / 1e6
+      name -> ((sec, shuffleMb))
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sh = results.map { case (k, (_, mb)) => s"\"" + k + "\":" + f"$mb%.1f" }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
