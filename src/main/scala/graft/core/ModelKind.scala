@@ -103,9 +103,14 @@ object ModelKind {
         uniqueKey ++ checkColumns
   }
 
-  final case class Seed(path: String, batchSize: Int = 1000) extends ModelKind {
+  /** @param options CSV reader settings (reference CsvSettings,
+    *                 model/seed.py:27): delimiter, quote, header, … passed to
+    *                 Spark's csv reader verbatim */
+  final case class Seed(path: String, batchSize: Int = 1000,
+                        options: Map[String, String] = Map.empty) extends ModelKind {
     val name = "SEED"
-    override def dataFields: Seq[String] = Seq(name, path)
+    override def dataFields: Seq[String] =
+      Seq(name, path) ++ options.toSeq.sorted.map { case (k, v) => s"$k=$v" }
   }
 
   case object Embedded extends ModelKind {

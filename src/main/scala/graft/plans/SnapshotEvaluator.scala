@@ -75,7 +75,12 @@ class SnapshotEvaluator(
           variables, thisModel = Some(thisName)))
       case ScalaBody(fn) => fn(spark, mapping, interval.start, interval.end)
       case SeedBody(path) =>
-        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+        val opts = s.model.kind match {
+          case k: ModelKind.Seed => k.options
+          case _ => Map.empty[String, String]
+        }
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .options(opts).csv(path)
     }
 
     // write-audit-publish: remember the published version so a failing audit

@@ -275,7 +275,9 @@ final class FileStateStore(
         o.put("valid_from_col", s.validFromCol); o.put("valid_to_col", s.validToCol)
         o.put("execution_time_as_valid_from", s.executionTimeAsValidFrom)
         o.put("invalidate_hard_deletes", s.invalidateHardDeletes)
-      case s: ModelKind.Seed => o.put("path", s.path); o.put("batch_size", s.batchSize)
+      case s: ModelKind.Seed =>
+        o.put("path", s.path); o.put("batch_size", s.batchSize)
+        putMap(o, "options", s.options)
       case c: ModelKind.Custom =>
         o.put("strategy", c.strategyName); putMap(o, "properties", c.properties)
       case _ => ()
@@ -318,7 +320,8 @@ final class FileStateStore(
       validToCol = n.path("valid_to_col").asText(),
       executionTimeAsValidFrom = n.path("execution_time_as_valid_from").asBoolean(),
       invalidateHardDeletes = n.path("invalidate_hard_deletes").asBoolean())
-    case "SEED" => ModelKind.Seed(n.path("path").asText(), n.path("batch_size").asInt())
+    case "SEED" => ModelKind.Seed(n.path("path").asText(), n.path("batch_size").asInt(),
+      mapOf(n.path("options")))
     case "CUSTOM" => ModelKind.Custom(n.path("strategy").asText(), mapOf(n.path("properties")))
     case other => throw new IllegalArgumentException(s"unknown kind in state file: $other")
   }
