@@ -130,8 +130,10 @@ object ModelLoader {
         checkColumns = listOf(args.getOrElse("columns", "*")),
         executionTimeAsValidFrom = args.get("execution_time_as_valid_from").exists(_.trim.toBoolean),
         invalidateHardDeletes = args.get("invalidate_hard_deletes").forall(_.trim.toBoolean))
-      case "SEED" => ModelKind.Seed(unq(args.getOrElse("path",
-        throw new IllegalArgumentException("SEED needs path"))))
+      case "SEED" => ModelKind.Seed(
+        unq(args.getOrElse("path", throw new IllegalArgumentException("SEED needs path"))),
+        batchSize = args.get("batch_size").map(_.trim.toInt).getOrElse(1000),
+        options = (args - "path" - "batch_size").map { case (k, v) => k -> unq(v) })
       case "CUSTOM" => ModelKind.Custom(
         unq(args.getOrElse("materialization",
           throw new IllegalArgumentException("CUSTOM needs materialization"))),
