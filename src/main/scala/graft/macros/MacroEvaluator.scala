@@ -177,11 +177,20 @@ final class MacroEvaluator(
       "[" + items.filter(it => ConstEval.truthy(substitute(body, ps, Seq(it)))).mkString(", ") + "]"
     case "EVAL" => ConstEval.tryEval(args.head)
     case "STAR" =>
+      // @STAR(relation[, alias[, except_cols[, prefix[, suffix]]]])
+      // (macros.py:853: typed expansion with casts, exclusions, affixes)
       val table = unquote(args.head)
-      val alias = if (args.length > 1) unquote(args(1)) else table.split('.').last
+      val alias = if (args.length > 1 && args(1).trim.nonEmpty) unquote(args(1))
+        else table.split('.').last
+      val except = if (args.length > 2) parseList(args(2)).map(unquote).map(_.toLowerCase).toSet
+        else Set.empty[String]
+      val prefix = if (args.length > 3) unquote(args(3)) else ""
+      val suffix = if (args.length > 4) unquote(args(4)) else ""
       val cols = schemaOf(table)
       require(cols.nonEmpty, s"@STAR needs known schema for $table")
-      cols.map { case (c, tpe) => s"CAST(`$alias`.`$c` AS $tpe) AS `$c`" }.mkString(", ")
+      cols.filterNot { case (c, _) => except(c.toLowerCase) }
+        .map { case (c, tpe) => s"CAST(`$alias`.`$c` AS $tpe) AS `$prefix$c$suffix`" }
+        .mkString(", ")
     case "GENERATE_SURROGATE_KEY" =>
       val fields = args.map(f => s"COALESCE(CAST($f AS STRING), $nullToken)")
       s"MD5(CONCAT(${fields.mkString(", '|', ")}))"

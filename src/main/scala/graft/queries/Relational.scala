@@ -221,6 +221,17 @@ object Relational {
         |WHERE o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
 
+    "q29_range_frame" -> portableSqlEntry(
+      // event-time RANGE frame: per-user trailing-hour rolling sum — the
+      // windowed-aggregation shape streaming watermark windows approximate
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2) AS v_1h,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin),
+
     "q24_json_funcs" -> Entry((s, dir) => {
       registerAll(s, dir)
       s.sql(

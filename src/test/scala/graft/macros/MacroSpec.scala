@@ -114,4 +114,12 @@ class MacroSpec extends AnyFunSuite {
   test("macros inside string literals are not expanded") {
     assert(ev().render("SELECT '@start_ds'") == "SELECT '@start_ds'")
   }
+
+  test("@STAR supports except/prefix/suffix (macros.py:853)") {
+    val schemaOf: String => Seq[(String, String)] =
+      n => if (n == "t") Seq("a" -> "INT", "b" -> "STRING", "c" -> "DOUBLE") else Nil
+    val ev = new MacroEvaluator(0, 1, 2, None, Map.empty, schemaOf)
+    assert(ev.render("@STAR(t, x, [b], pre_, _suf)") ==
+      "CAST(`x`.`a` AS INT) AS `pre_a_suf`, CAST(`x`.`c` AS DOUBLE) AS `pre_c_suf`")
+  }
 }
