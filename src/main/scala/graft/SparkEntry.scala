@@ -64,8 +64,8 @@ object SparkEntry {
     all.map { case (k, e) => k -> e.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (xxhash64-signature and stubbed-decode entries) → rows-only check. */
+    * the same parquet tables. Every entry carries one — signature/ANN/stub
+    * operators included, via the portable md5-derived hash (PortableHash). */
   def oracleSql: Map[String, String] =
     all.collect { case (k, e) if e.oracle.exists(_.nonEmpty) => k -> e.oracle.get }
 

@@ -56,17 +56,21 @@ object Dedup {
         s => length(s) > 0))).as("shingle"))
   }
 
-  /** MinHash signature per document as ONE array column: k seeded xxhash64
-    * "permutations", each signature slot a separate min-aggregate — a single
-    * shuffle on the id, no k-fold row explosion. (A pure-projection variant
-    * via nested transform/array_min benchmarked 60× SLOWER: higher-order
-    * functions evaluate interpreted, outside codegen — the flat aggregate
-    * form stays in whole-stage codegen.) */
+  /** MinHash signature per document as ONE array column: k "permutations" via
+    * portable double hashing (one md5 per shingle, slot j = min(h1 + j·h2) —
+    * see [[PortableHash]]), each signature slot a separate min-aggregate — a
+    * single shuffle on the id, no k-fold row explosion. (A pure-projection
+    * variant via nested transform/array_min benchmarked 60× SLOWER:
+    * higher-order functions evaluate interpreted, outside codegen — the flat
+    * aggregate form stays in whole-stage codegen.) */
   def minhash(docs: DataFrame, textCol: String, idCol: String, shingleN: Int,
               k: Int): DataFrame = {
     val sh = shingles(docs, textCol, idCol, shingleN)
-    val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"__h$i"))
-    sh.groupBy(col(idCol))
+    val (h1, h2) = PortableHash.pair(col("shingle"))
+    val hashed = sh.select(col(idCol), h1.as("__h1"), h2.as("__h2"))
+    val aggs = (0 until k).map(i =>
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"__h$i"))
+    hashed.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
   }
@@ -83,13 +87,14 @@ object Dedup {
     // slices + both join sides + the zip_with verify) would otherwise inline
     // and re-evaluate the whole k×|shingles| hash computation
     val sig = minhash(docs, textCol, idCol, shingleN, numHashes).persist()
-    // band signature = hash of the band's signature slice; one row per (doc, band)
+    // band signature = the band's signature slice as a join-key string; one
+    // row per (doc, band) — a plain string key keeps it engine-portable
     val banded = sig.select(col(idCol), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(concat_ws(",",
-            (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("sig")(i)): _*),
-            lit(b)).as("band_sig"))
+          concat_ws(",",
+            (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("sig")(i)): _*)
+            .as("band_sig"))
       }: _*)).as("bs"))
       .select(col(idCol), col("sig"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
     val est = banded.as("a").join(banded.as("b"),
@@ -105,13 +110,15 @@ object Dedup {
     est.filter(col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
   }
 
-  /** SimHash: 64-bit signature where bit b = sign of the weighted sum of
-    * shingle-hash bit b. Near-dups have small Hamming distance. */
+  /** SimHash: 60-bit signature where bit b = sign of the weighted sum of
+    * shingle-hash bit b. Near-dups have small Hamming distance. 60 bits (not
+    * 64) because the portable hash is md5-derived ([[PortableHash.h60]]) so
+    * the signature is reproducible by any engine for cross-checking. */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
               shingleN: Int = 2): DataFrame = {
     val sh = shingles(docs, textCol, idCol, shingleN)
-      .withColumn("h", xxhash64(col("shingle")))
-    val bits = sh.select(col(idCol), explode(sequence(lit(0), lit(63))).as("bit"),
+      .withColumn("h", PortableHash.h60(col("shingle")))
+    val bits = sh.select(col(idCol), explode(sequence(lit(0), lit(59))).as("bit"),
         when(expr("shiftright(h, bit)").bitwiseAND(1) === 1, 1)
           .otherwise(-1).as("vote"))
       .groupBy(col(idCol), col("bit"))

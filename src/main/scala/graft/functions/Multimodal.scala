@@ -30,24 +30,32 @@ object Multimodal {
       .withColumn("crc", crc32(col(payloadCol)))
       .withColumn("content_hash", sha1(col(payloadCol)))
 
-  /** STUB decoder: derives deterministic fake features from the payload bytes.
-    * In production this body is replaced by an actual codec call inside the
-    * same mapPartitions shape (one connection/codec per partition, batched
-    * rows) — the distribution contract is what matters here. */
+  /** STUB decoder: derives deterministic fake features from the payload bytes
+    * — feature i = (md5 hex digits [3i, 3i+3) of the payload, as an int,
+    * mod 1000) / 1000, so the fake is reproducible by any engine with md5
+    * (dim ≤ 10 fits the 32 hex digits). In production this body is replaced
+    * by an actual codec call inside the same mapPartitions shape (one
+    * connection/codec per partition, batched rows) — the distribution
+    * contract is what matters here. */
   def decodeFeatures(spark: SparkSession, df: DataFrame, dim: Int = 8): DataFrame = {
+    require(dim <= 10, s"stub decoder derives dim<=10 features from md5, got $dim")
     val outSchema = df.schema
       .add("features", ArrayType(FloatType))
       .add("decode_ok", BooleanType)
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
-      // per-partition "codec" init happens here (stubbed)
+      // per-partition "codec" init happens here (stubbed): one digest instance
+      // per partition, reused across the batch — the real-codec lifecycle
+      val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val feats: Array[Float] =
           if (payload == null) Array.fill(dim)(0f)
           else {
-            val h = java.util.Arrays.hashCode(payload)
-            Array.tabulate(dim)(i => (((h * (i + 1)).toLong % 1000L) / 1000f))
+            digest.reset()
+            val hex = digest.digest(payload).map("%02x".format(_)).mkString
+            Array.tabulate(dim)(i =>
+              (Integer.parseInt(hex.substring(i * 3, i * 3 + 3), 16) % 1000) / 1000f)
           }
         Row.fromSeq(r.toSeq :+ feats.toSeq :+ (payload != null))
       }

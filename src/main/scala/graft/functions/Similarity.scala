@@ -57,19 +57,24 @@ object Similarity {
       .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane signs for LSH: sign of
-    * xxhash64(plane, dim) — reproducible across engines and runs. */
+  /** Deterministic pseudo-random hyperplane signs for LSH: parity of the
+    * first md5 hex digit of "plane,dim" — reproducible across engines and
+    * runs (portable analog of seeded ±1 random projections). */
   private def hyperplaneSign(plane: Int, dim: Column): Column =
-    when(xxhash64(lit(plane), dim) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    when(conv(substring(md5(concat_ws(",", lit(plane), dim)), 1, 1), 16, 10)
+      .cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Random-hyperplane LSH bucket id (nPlanes-bit signature) for a vector. */
+  /** Random-hyperplane LSH bucket id (nPlanes-bit signature) for a vector.
+    * The projection is rounded to 6 decimals before the sign test so the
+    * bucket decision is identical across engines (guards against
+    * floating-point noise flipping a near-zero projection). */
   def lshBucket(vec: Column, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i => hyperplaneSign(p, i)),
           (v, s) => v.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)
+      when(round(proj, 6) > 0, lit(1L) * (1L << p)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
@@ -113,9 +118,13 @@ object Similarity {
   def ivfAssign(df: DataFrame, centroids: DataFrame, vecCol: String = "embedding",
                 centIdCol: String = "centroid_id", centVecCol: String = "centroid"): DataFrame = {
     val c = broadcast(centroids.select(col(centIdCol), col(centVecCol)))
+    // similarity rounded to 6 decimals + centroid-id tie-break: the argmax is
+    // deterministic and engine-portable (floating-point noise below 1e-6
+    // can't flip the assignment)
     val joined = df.crossJoin(c)
-      .withColumn("__sim", cosine(col(vecCol), col(centVecCol)))
-    val w = Window.partitionBy(df.columns.map(col): _*).orderBy(col("__sim").desc)
+      .withColumn("__sim", round(cosine(col(vecCol), col(centVecCol)), 6))
+    val w = Window.partitionBy(df.columns.map(col): _*)
+      .orderBy(col("__sim").desc, col(centIdCol))
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__sim", "__rn", centVecCol)
   }

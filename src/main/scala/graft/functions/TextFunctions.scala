@@ -74,10 +74,12 @@ object TextFunctions {
       regexp_replace(text, "([a-z])([A-Z])|([A-Za-z])([0-9])|([0-9])([A-Za-z])", "$1$3$5 $2$4$6"),
       "[\\s\\p{Punct}]+"), t => length(t) > 0))
 
-  /** Deterministic 64-bit document fingerprint (rolling-hash style): xxhash64
-    * of the whitespace-normalized lowercased text. */
+  /** Deterministic 60-bit document fingerprint: portable hash
+    * ([[PortableHash.h60]]) of the whitespace-normalized lowercased text —
+    * reproducible by any engine, so fingerprint-grouped dup structure can be
+    * cross-checked against an independent oracle. */
   def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+    PortableHash.h60(regexp_replace(lower(text), "\\s+", " "))
 
   /** Content-defined normalization + md5 — exact-dup key. */
   def contentKey(text: Column): Column =

@@ -5,11 +5,12 @@ import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
 import QueryUtil._
 
 /** Training-data pipeline coverage (builder prompt: dedup / similarity /
-  * multimodal / text analysis as first-class engine operations). Entries with
-  * DuckDB-expressible semantics carry oracles; xxhash64-based signatures
-  * (MinHash/SimHash/LSH) have no cross-engine hash, so those entries are
-  * rows-only checks — their *exact* counterparts (n-gram Jaccard, brute-force
-  * cosine) are the hash-checked ground truth.
+  * multimodal / text analysis as first-class engine operations). EVERY entry
+  * carries a DuckDB oracle: signature operators (MinHash/SimHash/LSH/
+  * fingerprint) use the portable md5-derived hash ([[graft.functions
+  * .PortableHash]]) so the oracle reproduces the signatures bit-exactly, and
+  * the approximate ANN variants are deterministic end-to-end (rounded
+  * projections/assignments + explicit tie-breaks).
   *
   * Scale notes: every dedup variant is bucket-key-bounded (no all-pairs
   * product); ANN turns scan-per-query into bucket-join; text analysis is pure
@@ -96,18 +97,77 @@ object PipelineQueries {
         |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
     // ------------------------- MinHash+LSH / SimHash (signature-based) ---
-    // xxhash64 signatures have no DuckDB equivalent → rows-only checks; the
-    // exact-Jaccard entry above hash-checks the same near-dup semantics.
+    // signatures use the portable md5-derived hash (PortableHash), so the
+    // full signature pipeline — shingles → double-hash minhash → banding →
+    // candidate verify — is reproduced verbatim in DuckDB and hash-checked.
     "td_minhash_lsh" -> Entry((s, dir) => {
       Dedup.minhashLsh(t(s, dir, "documents"), shingleN = 3,
         numHashes = 16, bands = 4, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
-    }, None),
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+2], ' ')) > 0
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(shingle), 1, 7) AS BIGINT) AS h1,
+        |    CAST('0x' || substring(md5(shingle), 8, 7) AS BIGINT) AS h2
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, j, min(h1 + j * h2) AS mh
+        |  FROM hashed, UNNEST(range(0, 16)) AS u(j)
+        |  GROUP BY doc_id, j
+        |), sigarr AS (
+        |  SELECT doc_id, array_agg(mh ORDER BY j) AS sig FROM sig GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, sig, b,
+        |    array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ',') AS band_sig
+        |  FROM sigarr, UNNEST(range(0, 4)) AS u(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM banded a JOIN banded b
+        |    ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |), est AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 16.0 AS est_jaccard
+        |  FROM cand
+        |)
+        |SELECT id_a, id_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
 
     "td_simhash" -> Entry((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), shingleN = 2)
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 1, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+1], ' ')) > 0
+        |), hashed AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+        |  FROM sh
+        |), bits AS (
+        |  SELECT doc_id, i AS bit,
+        |    sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hashed, UNNEST(range(0, 60)) AS u(i)
+        |  GROUP BY doc_id, i
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+        |    ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------ similarity search --------
     "td_knn_bruteforce" -> Entry((s, dir) => {
@@ -132,17 +192,42 @@ object PipelineQueries {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     "td_ann_lsh" -> Entry((s, dir) => {
-      // approximate variant: recall < 1 by construction → rows-only check
+      // approximate variant (recall < 1 by construction) but fully
+      // deterministic: portable hyperplane signs → DuckDB reproduces the
+      // bucket assignment and per-bucket top-k exactly
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.lshTopK(emb, queries, k = 5, nPlanes = 4)
         .orderBy(col("query_id"), col("rank"))
-    }, None),
+    }, Some(
+      """WITH buck AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(0, 4), p ->
+        |      CASE WHEN round(list_sum(list_transform(range(1, len(embedding) + 1), d ->
+        |        CASE WHEN CAST('0x' || substring(md5(p || ',' || (d - 1)), 1, 1) AS INT) % 2 = 0
+        |          THEN CAST(embedding[d] AS DOUBLE) ELSE -CAST(embedding[d] AS DOUBLE) END)), 6) > 0
+        |        THEN CAST((CAST(1 AS BIGINT) << CAST(p AS INT)) AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END)) AS bucket
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec, bucket FROM buck WHERE vec_id < 20
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])), 4) AS score
+        |  FROM buck c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, score, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     "td_ann_ivf" -> Entry((s, dir) => {
       // IVF-style ANN: coarse quantize the corpus to deterministic centroids,
-      // queries probe only their own inverted list (recall < 1 → rows-only)
+      // queries probe only their own inverted list; assignment is rounded +
+      // tie-broken so DuckDB reproduces the whole pipeline exactly
       val emb = t(s, dir, "embeddings")
       val centroids = emb.filter(col("vec_id") % 64 === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
@@ -159,7 +244,32 @@ object PipelineQueries {
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
-    }, None),
+    }, Some(
+      """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS centroid
+        |  FROM embeddings WHERE vec_id % 64 = 0
+        |), asg AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(c.centroid AS DOUBLE[])), 6) DESC, c.centroid_id) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec, centroid_id
+        |  FROM asg WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.query_id, a.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])), 4) AS score
+        |  FROM asg a JOIN q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, score, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     "td_quantize" -> Entry((s, dir) => {
       // int8 scalar quantization; floor(x*scale + 0.5) is engine-portable, so
@@ -258,13 +368,20 @@ object PipelineQueries {
     }),
 
     "td_fingerprint" -> Entry((s, dir) => {
-      // xxhash64 fingerprints: no DuckDB equivalent → rows-only; dup-group
-      // structure is what matters
+      // portable 60-bit fingerprints (PortableHash.h60 of normalized text):
+      // the dup-group structure hash-checks against DuckDB
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp64"))
         .groupBy(col("fp64")).agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some(
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS fp64
+        |  FROM documents
+        |)
+        |SELECT fp64, min(doc_id) AS doc_id, count(*) AS n
+        |FROM fp GROUP BY fp64 ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------ table profiling ----------
     "td_profile" -> Entry((s, dir) => {
@@ -448,14 +565,27 @@ object PipelineQueries {
         |ORDER BY media_id, frame_idx""".stripMargin)),
 
     "td_media_features" -> Entry((s, dir) => {
-      // stubbed decode inside the real mapPartitions distribution shape;
-      // deterministic fake features → schema/rows checked, no SQL oracle
+      // stubbed decode inside the real mapPartitions distribution shape; the
+      // fake features are md5-derived, so DuckDB reproduces them bit-exactly
       val media = t(s, dir, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
       Multimodal.decodeFeatures(s, media, dim = 8)
         .select(col("media_id"), col("decode_ok"), size(col("features")).as("dim"),
           round(aggregate(col("features"), lit(0.0d), (a, v) => a + v), 4).as("feat_sum"))
         .orderBy(col("media_id"))
-    }, None),
+    }, Some(
+      // md5(VARCHAR) == Spark md5(cast(text as binary)) for this ascii corpus;
+      // REAL/REAL division reproduces the stub's float32 arithmetic bit-exactly
+      """WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+        |f AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 8), i ->
+        |      CAST(CAST('0x' || substring(h, CAST(i * 3 + 1 AS INT), 3) AS INT) % 1000 AS REAL)
+        |        / CAST(1000 AS REAL)) AS features
+        |  FROM m
+        |)
+        |SELECT media_id, true AS decode_ok, CAST(8 AS INT) AS dim,
+        |  round(list_sum(list_transform(features, v -> CAST(v AS DOUBLE))), 4) AS feat_sum
+        |FROM f ORDER BY media_id""".stripMargin)),
   )
 }
