@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core._
 import graft.adapter.{PhysicalTable, SparkMaterializer}
-import graft.plans.{Renderer, Scheduler, SnapshotEvaluator}
+import graft.plans.{Renderer, Scheduler, Signals, SnapshotEvaluator}
 import graft.state.{EnvironmentRecord, InMemoryStateStore, StateStore}
 
 /** A plan: what changes and what gets backfilled (reference:
@@ -80,16 +80,33 @@ class GraftContext(
   private val models = scala.collection.mutable.LinkedHashMap[String, Model]()
   private val externals = scala.collection.mutable.Map[String, String]()
   private val signals = scala.collection.mutable.Map[String, Interval => Boolean]()
+  private val standaloneAudits =
+    scala.collection.mutable.LinkedHashMap[String, graft.audits.StandaloneAudit]()
 
   def addModel(m: Model): this.type = { models(m.name) = m; this }
   def model(name: String): Model = models(name)
 
-  /** Load every `*.sql` model file under `dir` (reference Loader.load,
-    * core/loader.py:191 — `MODEL (...)` header + Spark SQL body). */
+  /** Model-independent audit (reference audit/definition.py:559) — run after
+    * every plan application / scheduled run against the environment's tables. */
+  def addStandaloneAudit(a: graft.audits.StandaloneAudit): this.type = {
+    standaloneAudits(a.name) = a; this
+  }
+
+  /** Load every `*.sql` file under `dir` (reference Loader.load,
+    * core/loader.py:191): `MODEL (...)` headers become models,
+    * `AUDIT (...)` headers become standalone audits. */
   def loadModels(dir: String): this.type = {
-    graft.loader.ModelLoader.loadDirectory(dir).foreach(addModel)
+    val (ms, audits) = graft.loader.ModelLoader.loadProject(dir)
+    ms.foreach(addModel)
+    audits.foreach(addStandaloneAudit)
     this
   }
+
+  /** Gate `modelName`'s batches on all its upstreams having processed the
+    * batch interval first — the built-in `freshness` signal (signal.py:46). */
+  def addFreshnessSignal(modelName: String): this.type =
+    addSignal(modelName,
+      Signals.freshness(state, models(modelName).references.toSeq.filter(models.contains)))
 
   /** Render a model's SQL for an interval without executing (reference
     * `sqlmesh render`, cli/main.py:253). */
@@ -314,6 +331,7 @@ class GraftContext(
       p.env, p.snapshots.map(s => s.model.name -> s.version).toMap, finalized = false,
       identifiers = p.snapshots.map(s => s.model.name -> s.fingerprint.full).toMap))
     state.finalizeEnvironment(p.env)
+    runStandaloneAudits(p.snapshots, devFlags, p.start, p.end, executionTs)
   }
 
   /** `sqlmesh run` (context.py:756): backfill new missing intervals in an
@@ -332,6 +350,32 @@ class GraftContext(
       s.model.name -> (env != "prod" && !index.isDeployable(s))).toMap
     scheduler.run(snaps, start, end, executionTs, tableMappingFor(snaps, devFlags),
       signals.toMap, devFlags)
+    runStandaloneAudits(snaps, devFlags, start, end, executionTs)
+  }
+
+  /** Standalone audits run after backfill against the environment's physical
+    * tables (audit/definition.py:559; scheduler audit pass). Blocking
+    * failures abort the run; non-blocking ones warn. Only a LIMIT-1
+    * violation sample ever reaches the driver. */
+  private def runStandaloneAudits(snaps: Seq[Snapshot], devFlags: Map[String, Boolean],
+                                  start: Long, end: Long, executionTs: Long): Unit = {
+    if (standaloneAudits.isEmpty) return
+    val byName = snaps.map(s => s.model.name -> s).toMap
+    standaloneAudits.values.foreach { a =>
+      val synthetic = Model(name = a.name, body = SqlBody(a.sql))
+      val mapping = synthetic.references.flatMap { r =>
+        byName.get(r)
+          .map(s => r -> evaluator.physicalTable(s, devFlags.getOrElse(r, false)).qualified)
+          .orElse(externals.get(r).map(r -> _))
+      }.toMap
+      val sql = Renderer.render(synthetic, start, end, executionTs, mapping, variables)
+      val violations = spark.sql(sql).limit(1).collect()
+      if (violations.nonEmpty) {
+        val msg = s"standalone audit ${a.name} failed: ${violations.head}"
+        if (a.blocking) throw new IllegalStateException(msg)
+        else System.err.println(s"[graft] WARN $msg")
+      }
+    }
   }
 
   /** Ad-hoc evaluate (context.py:1168): render + execute, no materialization. */

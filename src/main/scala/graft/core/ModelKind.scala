@@ -33,6 +33,16 @@ object ModelKind {
   case object Full extends ModelKind { val name = "FULL" }
   case object View extends ModelKind { val name = "VIEW" }
 
+  /** VIEW (materialized true) — reference ViewKind.materialized
+    * (model/kind.py ViewKind): queried like a view but physically
+    * materialized and refreshed on every evaluated interval. On parquet the
+    * Spark analog is a full refresh into the snapshot table (engines with
+    * native materialized views map this to CREATE MATERIALIZED VIEW). */
+  case object MaterializedView extends ModelKind {
+    val name = "VIEW"
+    override def dataFields: Seq[String] = Seq(name, "materialized")
+  }
+
   /** @param timeColumn   column holding event time
     * @param timeFormat   how the predicate literal is rendered ("date" | "timestamp" | "epoch")
     * @param batchSize    max unit-intervals per evaluation batch (None = all at once)

@@ -36,13 +36,45 @@ import graft.core._
   */
 object ModelLoader {
 
-  def loadDirectory(dir: String): Seq[Model] = {
+  def loadDirectory(dir: String): Seq[Model] = loadProject(dir)._1
+
+  /** Load a project directory: `MODEL (...)` files become models,
+    * `AUDIT (...)` files become standalone audits (audit/definition.py:559). */
+  def loadProject(dir: String): (Seq[Model], Seq[graft.audits.StandaloneAudit]) = {
     val root = Paths.get(dir)
-    if (!Files.exists(root)) return Nil
-    Files.walk(root).iterator().asScala
+    if (!Files.exists(root)) return (Nil, Nil)
+    val files = Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
-      .map(p => parse(new String(Files.readAllBytes(p), "UTF-8"), p.toString))
+      .map(p => (new String(Files.readAllBytes(p), "UTF-8"), p.toString))
+    val (auditFiles, modelFiles) = files.partition { case (text, _) =>
+      val up = stripComments(text).toUpperCase
+      val a = up.indexOf("AUDIT"); val m = up.indexOf("MODEL")
+      a >= 0 && (m < 0 || a < m)
+    }
+    (modelFiles.map { case (t, src) => parse(t, src) },
+      auditFiles.map { case (t, src) => parseStandaloneAudit(t, src) })
+  }
+
+  /** `AUDIT (name ..., blocking ...); SELECT ...` — a standalone audit file. */
+  def parseStandaloneAudit(text: String, source: String = "<inline>"): graft.audits.StandaloneAudit = {
+    val noComments = stripComments(text)
+    val aIdx = noComments.toUpperCase.indexOf("AUDIT")
+    require(aIdx >= 0, s"$source: no AUDIT header")
+    val open = noComments.indexOf('(', aIdx)
+    require(open > 0, s"$source: AUDIT header missing '('")
+    val (headerBody, afterHeader) = balanced(noComments, open)
+    val props = splitTopLevel(headerBody, ',').map(parseProp).toMap
+    val statements = splitTopLevel(afterHeader.dropWhile(c => c == ';' || c.isWhitespace), ';')
+      .map(_.trim).filter(_.nonEmpty)
+    val qIdx = statements.indexWhere(s =>
+      s.toUpperCase.startsWith("SELECT") || s.toUpperCase.startsWith("WITH"))
+    require(qIdx >= 0, s"$source: no SELECT/WITH query after AUDIT header")
+    graft.audits.StandaloneAudit(
+      name = props.getOrElse("name", throw new IllegalArgumentException(s"$source: AUDIT needs name")),
+      sql = statements(qIdx),
+      blocking = props.get("blocking").forall(_.trim.toBoolean),
+      description = props.get("description").map(unq))
   }
 
   def parse(text: String, source: String = "<inline>"): Model = {
@@ -95,7 +127,9 @@ object ModelLoader {
         splitTopLevel(balanced(s, open)._1, ',').map(parseProp).toMap)
     kindName match {
       case "FULL" => ModelKind.Full
-      case "VIEW" => ModelKind.View
+      case "VIEW" =>
+        if (args.get("materialized").exists(_.trim.toBoolean)) ModelKind.MaterializedView
+        else ModelKind.View
       case "EMBEDDED" => ModelKind.Embedded
       case "EXTERNAL" => ModelKind.External
       case "INCREMENTAL_BY_TIME_RANGE" => ModelKind.IncrementalByTimeRange(

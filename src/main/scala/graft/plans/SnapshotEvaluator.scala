@@ -91,6 +91,10 @@ class SnapshotEvaluator(
     s.model.kind match {
       case ModelKind.Full => materializer.replaceQuery(t, rendered)
       case ModelKind.View => createView(s, interval, executionTs, mapping)
+      // materialized view: physically refreshed every run (ViewStrategy with
+      // materialized=True → engine materialized view; parquet analog = full
+      // refresh of the snapshot table)
+      case ModelKind.MaterializedView => materializer.replaceQuery(t, rendered)
       case k: ModelKind.IncrementalByTimeRange =>
         materializer.insertOverwriteByTimePartition(t, rendered, k.timeColumn,
           interval.start, interval.end, k.timeFormat)

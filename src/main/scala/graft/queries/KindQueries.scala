@@ -209,6 +209,24 @@ object KindQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY r_name""".stripMargin)),
 
+    // ---------------- VIEW (materialized true): physical refresh ----------
+    "mk_materialized_view" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model("mart.cust_by_nation",
+        SqlBody(
+          """SELECT c_nationkey, count(*) AS n_cust,
+            |  round(sum(c_acctbal), 2) AS balance
+            |FROM raw.customer GROUP BY c_nationkey""".stripMargin),
+        kind = ModelKind.MaterializedView))
+      c.apply(c.plan("prod", 0L, D))
+      // a second run refreshes the materialization (same data → same result,
+      // but the physical table must be rewritten, not the view re-pointed)
+      c.run("prod", 0L, 2 * D)
+      s.table("mart.cust_by_nation").orderBy("c_nationkey")
+    }, Some(
+      """SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS balance
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // ------------- INCREMENTAL_BY_PARTITION: dynamic overwrite ------------
     // Two SEPARATE contexts share a workspace + durable file state: wave 2
     // resumes from persisted snapshots/intervals and restates the model with

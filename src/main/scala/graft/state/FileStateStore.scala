@@ -71,6 +71,7 @@ final class FileStateStore(
 
   private def persist(): Unit = {
     val root = mapper.createObjectNode()
+    root.put("version", FileStateStore.SchemaVersion)
     val snaps = root.putArray("snapshots")
     mem.allSnapshots.foreach(s => snaps.add(snapshotJson(s)))
     val envs = root.putArray("environments")
@@ -92,8 +93,21 @@ final class FileStateStore(
     ()
   }
 
+  /** Stepwise state-schema migrations (reference state_sync/db/migrator.py:
+    * `_versions` table + ordered migration scripts). Each entry upgrades the
+    * raw JSON tree from version k to k+1 before decoding; the next persist()
+    * rewrites the file at the current version. */
+  private def migrate(root: JsonNode): JsonNode = {
+    var v = root.path("version").asInt(1)
+    while (v < FileStateStore.SchemaVersion) {
+      FileStateStore.migrations(v)(root.asInstanceOf[ObjectNode], mapper)
+      v += 1
+    }
+    root
+  }
+
   private def load(): Unit = if (Files.exists(file)) {
-    val root = mapper.readTree(Files.readAllBytes(file))
+    val root = migrate(mapper.readTree(Files.readAllBytes(file)))
     root.path("snapshots").forEach(n => mem.pushSnapshot(snapshotFromJson(n)))
     root.path("environments").forEach { n =>
       val snapMap = scala.collection.mutable.Map[String, String]()
@@ -280,6 +294,7 @@ final class FileStateStore(
         putMap(o, "options", s.options)
       case c: ModelKind.Custom =>
         o.put("strategy", c.strategyName); putMap(o, "properties", c.properties)
+      case ModelKind.MaterializedView => o.put("materialized", true)
       case _ => ()
     }
     o
@@ -287,7 +302,8 @@ final class FileStateStore(
 
   private def kindFromJson(n: JsonNode): ModelKind = n.path("name").asText() match {
     case "FULL" => ModelKind.Full
-    case "VIEW" => ModelKind.View
+    case "VIEW" =>
+      if (n.path("materialized").asBoolean()) ModelKind.MaterializedView else ModelKind.View
     case "EMBEDDED" => ModelKind.Embedded
     case "EXTERNAL" => ModelKind.External
     case "INCREMENTAL_BY_TIME_RANGE" => ModelKind.IncrementalByTimeRange(
@@ -325,4 +341,23 @@ final class FileStateStore(
     case "CUSTOM" => ModelKind.Custom(n.path("strategy").asText(), mapOf(n.path("properties")))
     case other => throw new IllegalArgumentException(s"unknown kind in state file: $other")
   }
+}
+
+object FileStateStore {
+  /** Current state-file schema version (reference `_versions` table,
+    * state_sync/db/version.py:27). */
+  val SchemaVersion = 2
+
+  /** migrations(k) upgrades version k → k+1 (migrator.py ordered scripts).
+    * v1 → v2: environments gained per-model `identifiers` (full-fingerprint
+    * pointers that let plans diff against the exact promoted snapshot) and
+    * the top-level `auto_restatements` table — both default to empty. */
+  val migrations: Map[Int, (ObjectNode, ObjectMapper) => Unit] = Map(
+    1 -> { (root, mapper) =>
+      root.path("environments").forEach { e =>
+        val o = e.asInstanceOf[ObjectNode]
+        if (!o.has("identifiers")) { o.putObject("identifiers"); () }
+      }
+      if (!root.has("auto_restatements")) { root.putObject("auto_restatements"); () }
+    })
 }

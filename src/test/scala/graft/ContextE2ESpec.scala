@@ -265,6 +265,66 @@ class ContextE2ESpec extends AnyFunSuite {
       Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-10"))))
   }
 
+  test("freshness signal holds a model back until upstreams cover the batch") {
+    val ctx = newCtx()
+    ctx.addModel(Model(
+      name = "mart.fresh_up",
+      body = SqlBody(
+        """SELECT o_orderdate, count(*) AS n FROM raw.orders
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate", batchSize = Some(1)),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.addModel(Model(
+      name = "mart.fresh_down",
+      body = SqlBody(
+        """SELECT o_orderdate, n FROM mart.fresh_up
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate", batchSize = Some(1)),
+      start = Some(dayMs("1995-01-01"))))
+    // hold the upstream back for days >= Jan 3; freshness gates the downstream
+    ctx.addSignal("mart.fresh_up", iv => iv.end <= dayMs("1995-01-03"))
+    ctx.addFreshnessSignal("mart.fresh_down")
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-06")))
+    assert(ctx.state.latestSnapshot("mart.fresh_down").get.intervals ==
+      Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-03"))))
+    // upstream catches up → downstream follows on the next run
+    ctx.addSignal("mart.fresh_up", _ => true)
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-01-06"))
+    assert(ctx.state.latestSnapshot("mart.fresh_down").get.intervals ==
+      Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-06"))))
+  }
+
+  test("standalone audits run post-backfill; blocking fails, non-blocking warns") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.sa_rev", SqlBody(
+      "SELECT o_custkey, sum(o_totalprice) AS spend FROM raw.orders GROUP BY o_custkey")))
+    // passing audit: no negative spend
+    ctx.addStandaloneAudit(graft.audits.StandaloneAudit(
+      "assert_no_negative_spend", "SELECT * FROM mart.sa_rev WHERE spend < 0"))
+    ctx.apply(ctx.plan("prod", 0, D)) // must not throw
+    // non-blocking failing audit warns but does not abort
+    ctx.addStandaloneAudit(graft.audits.StandaloneAudit(
+      "warn_high_spend", "SELECT * FROM mart.sa_rev WHERE spend > 0", blocking = false))
+    ctx.run("prod", 0, D)
+    // blocking failing audit aborts the run
+    ctx.addStandaloneAudit(graft.audits.StandaloneAudit(
+      "assert_impossible", "SELECT * FROM mart.sa_rev WHERE spend > 0"))
+    assertThrows[IllegalStateException](ctx.run("prod", 0, D))
+  }
+
+  test("materialized view kind refreshes a physical table, not a view") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.mv_orders", SqlBody(
+      "SELECT count(*) AS n FROM raw.orders"), kind = ModelKind.MaterializedView))
+    ctx.apply(ctx.plan("prod", 0, D))
+    assert(spark.table("mart.mv_orders").head().getLong(0) > 0)
+    // the physical object is a table over a data dir (not a logical view on
+    // the upstream): its fingerprint differs from plain VIEW
+    val snap = ctx.state.latestSnapshot("mart.mv_orders").get
+    assert(snap.model.kind == ModelKind.MaterializedView)
+    assert(ModelKind.MaterializedView.dataFields != ModelKind.View.dataFields)
+  }
+
   test("forward-only dev plan previews in a __dev table; prod table untouched") {
     val ctx = newCtx()
     def body(extra: String) = SqlBody(

@@ -84,6 +84,38 @@ class ModelLoaderSpec extends AnyFunSuite {
     assert(kindOf("SEED (path 'data/x.csv')") == ModelKind.Seed("data/x.csv"))
   }
 
+  test("VIEW (materialized true) parses to the materialized-view kind") {
+    val m = ModelLoader.parse(
+      """MODEL (name mart.mv, kind VIEW (materialized true));
+        |SELECT 1 AS one""".stripMargin)
+    assert(m.kind == ModelKind.MaterializedView)
+    assert(ModelLoader.parse("MODEL (name mart.v, kind VIEW);\nSELECT 1 AS one")
+      .kind == ModelKind.View)
+  }
+
+  test("AUDIT files parse into standalone audits and load alongside models") {
+    val a = ModelLoader.parseStandaloneAudit(
+      """-- catch bad rows project-wide
+        |AUDIT (
+        |  name assert_positive_ids,
+        |  blocking false,
+        |  description 'ids must be positive'
+        |);
+        |SELECT * FROM mart.orders WHERE id <= 0""".stripMargin)
+    assert(a.name == "assert_positive_ids" && !a.blocking)
+    assert(a.description.contains("ids must be positive"))
+    assert(a.sql.startsWith("SELECT"))
+
+    val proj = graft.SparkTestSession.tmpDir("proj_audit")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "m.sql"),
+      "MODEL (name am.m, kind FULL);\nSELECT 1 AS one")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "check.sql"),
+      "AUDIT (name am_check);\nSELECT * FROM am.m WHERE one < 0")
+    val (models, audits) = ModelLoader.loadProject(proj)
+    assert(models.map(_.name) == Seq("am.m"))
+    assert(audits.map(_.name) == Seq("am_check") && audits.head.blocking)
+  }
+
   test("a file-based project loads and runs end-to-end") {
     val spark = SparkTestSession.spark
     val proj = SparkTestSession.tmpDir("proj")

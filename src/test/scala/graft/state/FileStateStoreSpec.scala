@@ -42,7 +42,8 @@ class FileStateStoreSpec extends AnyFunSuite {
   test("all model kinds round-trip with their data fields") {
     val dir = SparkTestSession.tmpDir("state")
     val kinds: Seq[ModelKind] = Seq(
-      ModelKind.Full, ModelKind.View, ModelKind.Embedded, ModelKind.External,
+      ModelKind.Full, ModelKind.View, ModelKind.MaterializedView,
+      ModelKind.Embedded, ModelKind.External,
       ModelKind.IncrementalByTimeRange("ts", "epoch", Some(3), Some(2), 1, forwardOnly = true),
       ModelKind.IncrementalByUniqueKey(Seq("k1", "k2"), Map("a" -> "b"), Some("x > 1")),
       ModelKind.IncrementalByPartition(Seq("p")),
@@ -85,5 +86,24 @@ class FileStateStoreSpec extends AnyFunSuite {
     val s2 = new FileStateStore(dir, Map("my_model" -> fn))
     val loaded = s2.latestSnapshot("mart.sc").get.model.body
     assert(loaded.asInstanceOf[ScalaBody].fn eq fn)
+  }
+
+  test("v1 state files migrate on load (schema versioning, migrator.py)") {
+    val dir = SparkTestSession.tmpDir("state")
+    // write a version-1 file by hand: no `version`, no environment
+    // `identifiers`, no `auto_restatements` table
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "state.json"),
+      """{"snapshots": [],
+        | "environments": [{"name": "prod", "finalized": true,
+        |                   "snapshots": {"mart.a": "v123"}}]}""".stripMargin)
+    val s = new FileStateStore(dir)
+    val env = s.getEnvironment("prod").get
+    assert(env.snapshots == Map("mart.a" -> "v123") && env.identifiers.isEmpty)
+    // next persist writes the current schema version
+    s.setAutoRestatement("mart.a", 7L)
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "state.json")), "UTF-8")
+    assert(txt.contains(s""""version" : ${FileStateStore.SchemaVersion}"""))
+    assert(new FileStateStore(dir).lastAutoRestatement("mart.a").contains(7L))
   }
 }
