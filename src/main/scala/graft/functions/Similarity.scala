@@ -99,6 +99,25 @@ object Similarity {
       .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: candidates share a
+    * random-hyperplane bucket, then verify exact cosine ≥ threshold. The
+    * scale path for all-pairs cosine near-dup — shuffle ∝ Σ bucket sizes²
+    * bounded by the bucket count (2^nPlanes), never the n² corpus product.
+    * Recall < 1 by construction (pairs split across buckets are missed);
+    * raise nPlanes for smaller buckets or lower it for higher recall. */
+  def lshNearDupPairs(df: DataFrame, threshold: Double, nPlanes: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = df.select(col(idCol), col(vecCol))
+      .withColumn("__bucket", lshBucket(col(vecCol), nPlanes))
+      .withColumn("__norm", norm(col(vecCol)))
+    b.as("a").join(b.as("b"),
+        col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", round(cosineWithNorms(
+        col(s"a.$vecCol"), col(s"b.$vecCol"), col("a.__norm"), col("b.__norm")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cos"))
+  }
+
   /** Scalar int8 quantization: q[i] = floor(v[i] * scale + 0.5) with
     * scale = 127 / max|v| — 4× smaller vectors, so candidate-generation
     * shuffles move a quarter of the bytes; cosine over quantized vectors is

@@ -311,6 +311,55 @@ object PipelineQueries {
         |  CAST(b.embedding AS DOUBLE[])) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // embedding near-dup, LSH-bucketed (the 100 TB scale path for the
+    // all-pairs entry above): same portable buckets as td_ann_lsh
+    "td_cosine_neardup_lsh" -> Entry((s, dir) => {
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), threshold = 0.3, nPlanes = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(
+      """WITH buck AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(0, 4), p ->
+        |      CASE WHEN round(list_sum(list_transform(range(1, len(embedding) + 1), d ->
+        |        CASE WHEN CAST('0x' || substring(md5(p || ',' || (d - 1)), 1, 1) AS INT) % 2 = 0
+        |          THEN CAST(embedding[d] AS DOUBLE) ELSE -CAST(embedding[d] AS DOUBLE) END)), 6) > 0
+        |        THEN CAST((CAST(1 AS BIGINT) << CAST(p AS INT)) AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END)) AS bucket
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // streaming exact-dedup via flatMapGroupsWithState custom keyed state:
+    // duplicates suppressed across micro-batches; oracle = first event per
+    // content key (events with ts under the final watermark)
+    "td_stream_dedup" -> Entry((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val src = java.nio.file.Files.createTempDirectory("graft_sdedup_src")
+      raw.write.mode("append").parquet(src.toString)
+      val sink = java.nio.file.Files.createTempDirectory("graft_sdedup_sink").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_sdedup_chk").toString
+      graft.streaming.Streaming.runAvailableNow(s, src.toString,
+        raw.schema, df => graft.streaming.Streaming.dedupStream(
+          // carry event time as integer micros: exact through the JSON
+          // state round-trip (timestamps would truncate to millis)
+          df.select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us")),
+          "user_id", "ts", "1 minute"),
+        sink, chk)
+      s.read.parquet(sink)
+        .select(col("user_id"), col("ts_us"))
+        .orderBy(col("user_id"))
+    }, Some(
+      """SELECT user_id, min(epoch_us(ts)) AS ts_us FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // --------------------------------------------- text analysis ---------
     "td_text_quality" -> Entry((s, dir) => {
       val docs = t(s, dir, "documents")

@@ -79,4 +79,51 @@ object Streaming {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Streaming exact-dedup with custom keyed state
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`): the first event per
+    * key is emitted, later duplicates — in the same micro-batch or any later
+    * one — are suppressed by a per-key seen-flag. State expires `stateTtlMs`
+    * after the watermark passes (event-time timeout), so state size tracks
+    * the dedup horizon, not the full stream history. Ties inside a batch
+    * resolve to the smallest event time.
+    *
+    * Rows round-trip through JSON so the operator stays schema-generic; the
+    * per-key payload is one row, so state bytes stay bounded at scale. */
+  def dedupStream(df: DataFrame, keyCol: String, tsCol: String,
+                  watermarkDelay: String, stateTtlMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = df.schema
+    // the watermark-tagged timestamp column must survive into the grouped
+    // Dataset (event-time timeout requires it); micros carried separately for
+    // exact tie-breaking (Timestamp.getTime truncates to millis)
+    val keyed = df.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("string").as("_1"), col(tsCol).as("_2"),
+        unix_micros(col(tsCol)).as("_3"),
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("_4"))
+      .as[(String, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+    val emitted = keyed.flatMapGroupsWithState[Boolean, String](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: String, rows: Iterator[(String, java.sql.Timestamp, Long, String)],
+       state: GroupState[Boolean]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val rs = rows.toVector // bounded: one key's rows in one micro-batch
+          val seen = state.exists
+          state.update(true)
+          // TTL anchored to event time (the watermark lags a batch behind and
+          // starts at zero) and extended on every sighting — the dedup
+          // horizon slides with the stream
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs(), rs.map(_._3 / 1000L).max) + stateTtlMs)
+          if (seen) Iterator.empty // duplicate in a later batch
+          else Iterator.single(rs.minBy(_._3)._4)
+        }
+    }
+    emitted.toDF("__row")
+      .select(from_json(col("__row"), schema).as("r")).select("r.*")
+  }
 }

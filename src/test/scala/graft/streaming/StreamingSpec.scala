@@ -89,4 +89,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1Sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
     assert(out.filter(col("user") === "u2").head().getAs[Long]("n_events") == 1L)
   }
+
+  test("dedupStream suppresses duplicates within and across micro-batches") {
+    val src = SparkTestSession.tmpDir("dstream_src")
+    val sink = SparkTestSession.tmpDir("dstream_sink")
+    val chk = SparkTestSession.tmpDir("dstream_chk")
+    // k1 duplicated in batch 1 → first (earliest) kept
+    val b1 = Seq(
+      ("k1", ts("2024-01-01 00:02:00"), "late"),
+      ("k1", ts("2024-01-01 00:01:00"), "first"),
+      ("k2", ts("2024-01-01 00:03:00"), "only")).toDF("key", "ts", "tag")
+    b1.write.mode("append").parquet(src)
+
+    def drain(): Unit = Streaming.runAvailableNow(spark, src, b1.schema,
+      df => Streaming.dedupStream(df, "key", "ts", "1 minute"),
+      sink, chk)
+
+    drain()
+    val out1 = spark.read.parquet(sink)
+    assert(out1.count() == 2)
+    assert(out1.filter(col("key") === "k1").head().getAs[String]("tag") == "first")
+    // batch 2: k1 again (suppressed by cross-batch state), k3 new (emitted)
+    Seq(("k1", ts("2024-01-01 00:09:00"), "dup"),
+        ("k3", ts("2024-01-01 00:10:00"), "new")).toDF("key", "ts", "tag")
+      .write.mode("append").parquet(src)
+    drain()
+    val out2 = spark.read.parquet(sink)
+    assert(out2.count() == 3)
+    assert(out2.filter(col("key") === "k1").count() == 1)
+    assert(out2.filter(col("key") === "k3").head().getAs[String]("tag") == "new")
+  }
 }
