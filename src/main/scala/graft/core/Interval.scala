@@ -58,8 +58,12 @@ object IntervalAlgebra {
     else units.grouped(batchSize).map(g => Interval(g.head.start, g.last.end)).toVector
   }
 
-  /** Expand to one interval per cadence unit, aligned to unit boundaries. */
-  def expand(interval: Interval, unit: IntervalUnit): Vector[Interval] = {
+  /** Expand to one interval per cadence unit, aligned to unit boundaries.
+    * `keepPartial` keeps the trailing not-yet-elapsed fraction as its own
+    * (sub-unit) interval — the `allow_partials` semantics (model
+    * definition.py allow_partials; scheduler end-bounding). */
+  def expand(interval: Interval, unit: IntervalUnit,
+             keepPartial: Boolean = false): Vector[Interval] = {
     val out = Vector.newBuilder[Interval]
     var cur = unit.floor(interval.start)
     if (cur < interval.start) cur = unit.next(cur)
@@ -67,6 +71,7 @@ object IntervalAlgebra {
       out += Interval(cur, unit.next(cur))
       cur = unit.next(cur)
     }
+    if (keepPartial && cur < interval.end) out += Interval(cur, interval.end)
     out.result()
   }
 }

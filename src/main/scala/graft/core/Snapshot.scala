@@ -104,9 +104,10 @@ final case class Snapshot(
   def missingIntervals(start: Long, end: Long, dev: Boolean = false): Vector[Interval] = {
     val unit = model.intervalUnit
     // only whole units that have fully elapsed are runnable (reference:
-    // missing_intervals end-bounding, scheduler.py:1022)
+    // missing_intervals end-bounding, scheduler.py:1022) — unless the model
+    // allows partials, in which case the trailing fraction is runnable too
     val alignedStart = unit.floor(math.max(start, model.start.getOrElse(start)))
-    val alignedEnd   = unit.floor(end)
+    val alignedEnd   = if (model.allowPartials) end else unit.floor(end)
     // dev previews fill a fresh __dev table, so their progress is tracked
     // against devIntervals, not the shared table's intervals
     val processed = if (dev) devIntervals else intervals
@@ -122,7 +123,7 @@ final case class Snapshot(
       if (lookback <= 0 || raw.isEmpty) raw
       else IntervalAlgebra.merge(raw.map(i =>
         Interval(math.max(alignedStart, unit.add(unit.floor(i.start), -lookback)), i.end)))
-    expanded.flatMap(IntervalAlgebra.expand(_, unit))
+    expanded.flatMap(IntervalAlgebra.expand(_, unit, keepPartial = model.allowPartials))
   }
 }
 

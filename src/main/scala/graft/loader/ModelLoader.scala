@@ -113,7 +113,8 @@ object ModelLoader {
       partitionedBy = props.get("partitioned_by").map(listOf).getOrElse(Nil),
       clusteredBy = props.get("clustered_by").map(listOf).getOrElse(Nil),
       preStatements = statements.take(qIdx),
-      postStatements = statements.drop(qIdx + 1))
+      postStatements = statements.drop(qIdx + 1),
+      allowPartials = props.get("allow_partials").exists(_.trim.toBoolean))
   }
 
   // ------------------------------------------------------------------ kinds

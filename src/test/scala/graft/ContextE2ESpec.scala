@@ -294,6 +294,25 @@ class ContextE2ESpec extends AnyFunSuite {
       Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-06"))))
   }
 
+  test("allow_partials runs the trailing sub-unit interval; default floors it") {
+    val ctx = newCtx()
+    def m(name: String, partials: Boolean) = Model(
+      name = name,
+      body = SqlBody(
+        """SELECT o_orderdate, count(*) AS n FROM raw.orders
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate"),
+      start = Some(dayMs("1995-01-01")), allowPartials = partials)
+    ctx.addModel(m("mart.whole_units", partials = false))
+    ctx.addModel(m("mart.partial_ok", partials = true))
+    val half = dayMs("1995-01-03") + 12 * 3600000L // mid-day end bound
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), half))
+    assert(ctx.state.latestSnapshot("mart.whole_units").get.intervals ==
+      Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-03"))))
+    assert(ctx.state.latestSnapshot("mart.partial_ok").get.intervals ==
+      Vector(Interval(dayMs("1995-01-01"), half)))
+  }
+
   test("standalone audits run post-backfill; blocking fails, non-blocking warns") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.sa_rev", SqlBody(
