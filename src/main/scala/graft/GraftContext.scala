@@ -19,7 +19,11 @@ final case class Plan(
     metadataOnly: Seq[Snapshot],
     unchanged: Seq[Snapshot],
     restatements: Map[String, Interval] = Map.empty,
-    deployability: DeployabilityIndex = DeployabilityIndex.allDeployable) {
+    deployability: DeployabilityIndex = DeployabilityIndex.allDeployable,
+    /** `--skip-backfill`: apply the virtual update (snapshots, tables, env
+      * views) without running any interval backfill (plan/definition.py
+      * skip_backfill). */
+    skipBackfill: Boolean = false) {
   def snapshots: Seq[Snapshot] = added ++ modified.map(_._2) ++ metadataOnly ++ unchanged
 
   /** A snapshot previews in a `__dev` table instead of touching the shared
@@ -140,11 +144,16 @@ class GraftContext(
 
   // ------------------------------------------------------------ snapshots
 
-  /** Fingerprint DAG-recursively (snapshot/definition.py:1861). */
-  def snapshotsOf(names: Seq[String]): Map[String, Snapshot] = {
+  /** Fingerprint DAG-recursively (snapshot/definition.py:1861). `overrides`
+    * substitutes model definitions before fingerprinting — used by plan
+    * selectors so unselected models diff (and cascade to children) with
+    * their promoted definition, not the local edit. */
+  def snapshotsOf(names: Seq[String],
+                  overrides: Map[String, Model] = Map.empty): Map[String, Snapshot] = {
+    def modelOf(name: String): Model = overrides.getOrElse(name, models(name))
     val memo = scala.collection.mutable.Map[String, SnapshotFingerprint]()
     def fp(name: String): SnapshotFingerprint = memo.getOrElseUpdate(name, {
-      val m = models(name)
+      val m = modelOf(name)
       val parentFps = m.references.toSeq.sorted.collect {
         case r if models.contains(r) => fp(r)
       }
@@ -156,7 +165,7 @@ class GraftContext(
       Fingerprint.of(m, bodyText, parentFps)
     })
     names.map { n =>
-      val m = models(n)
+      val m = modelOf(n)
       val parents = m.references.toSeq.sorted.filter(models.contains)
         .map(p => SnapshotId(p, fp(p).full))
       n -> Snapshot(m, fp(n), parents, createdTs = System.currentTimeMillis())
@@ -180,8 +189,28 @@ class GraftContext(
       start: Long,
       end: Long,
       restate: Map[String, Interval] = Map.empty,
-      forwardOnly: Boolean = false): Plan = {
-    val snaps = snapshotsOf(models.keys.toSeq)
+      forwardOnly: Boolean = false,
+      skipBackfill: Boolean = false,
+      /** `--select-model` selectors (exact names or `schema.*` wildcards):
+        * local changes to UNSELECTED models are left out of the plan — their
+        * currently-promoted snapshot is kept (plan/builder.py select_models /
+        * selector.py). Empty = select everything. */
+      select: Seq[String] = Nil): Plan = {
+    def selected(name: String): Boolean = select.isEmpty || select.exists { pat =>
+      if (pat.endsWith(".*")) name.startsWith(pat.dropRight(1)) else name == pat
+    }
+    // selectors: unselected models fingerprint (and cascade to dependents)
+    // with their promoted definition, not the local edit; unselected NEW
+    // models still enter the plan (dependents need them)
+    val overrides: Map[String, Model] =
+      if (select.isEmpty) Map.empty
+      else models.keys.filterNot(selected).flatMap { n =>
+        state.getEnvironment(env).orElse(state.getEnvironment("prod"))
+          .flatMap(e => e.identifiers.get(n).flatMap(id => state.getSnapshotById(n, id)))
+          .orElse(state.latestSnapshot(n))
+          .map(old => n -> old.model)
+      }.toMap
+    val snaps = snapshotsOf(models.keys.toSeq, overrides)
     val added = Seq.newBuilder[Snapshot]
     val modified = Seq.newBuilder[(Snapshot, Snapshot)]
     val metadataOnly = Seq.newBuilder[Snapshot]
@@ -289,7 +318,7 @@ class GraftContext(
     val dag = allSnaps.map(s => s.model.name -> s.model.references).toMap
     Plan(env, start, end, added.result(), modified.result(), removed,
       metadataOnly.result(), unchanged.result(), cascaded,
-      DeployabilityIndex.of(allSnaps, dag))
+      DeployabilityIndex.of(allSnaps, dag), skipBackfill = skipBackfill)
   }
 
   /** Evaluate a plan: stages per plan/stages.py:238 — snapshot records →
@@ -317,9 +346,24 @@ class GraftContext(
       if (nw.category.contains(ChangeCategory.ForwardOnly) && !p.isDevPreview(nw))
         evaluator.migrate(nw, p.start, p.end, executionTs, mapping(nw.model.name))
     }
-    // Backfill
-    val live = p.snapshots.map(s => state.getSnapshot(s.model.name, s.version).getOrElse(s))
-    scheduler.run(live, p.start, p.end, executionTs, mapping, signals.toMap, devFlags)
+    // Backfill — or, for `--skip-backfill` plans, just the physical layer
+    // (empty tables/views created parents-first so the env views resolve)
+    if (p.skipBackfill) {
+      val mat = p.snapshots.filter(_.model.kind.isMaterialized)
+      val byName = mat.map(s => s.model.name -> s).toMap
+      var remaining = byName.keySet
+      while (remaining.nonEmpty) {
+        val ready = remaining.filter(n =>
+          !byName(n).model.references.exists(r => remaining.contains(r) && r != n))
+        require(ready.nonEmpty, s"cycle among models: $remaining")
+        ready.toSeq.sorted.foreach(n => evaluator.ensurePhysical(
+          byName(n), executionTs, mapping(n), devFlags.getOrElse(n, false)))
+        remaining --= ready
+      }
+    } else {
+      val live = p.snapshots.map(s => state.getSnapshot(s.model.name, s.version).getOrElse(s))
+      scheduler.run(live, p.start, p.end, executionTs, mapping, signals.toMap, devFlags)
+    }
     // EnvironmentRecordUpdate + VirtualLayerUpdate (materialized kinds only —
     // EMBEDDED/EXTERNAL have no physical object to point a view at)
     p.snapshots.filter(_.model.kind.isMaterialized).foreach(s =>

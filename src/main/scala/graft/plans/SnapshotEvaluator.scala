@@ -56,6 +56,26 @@ class SnapshotEvaluator(
 
   /** Backfill one interval batch (reference `_evaluate_snapshot` :677):
     * pre-statements → render → strategy insert → post-statements → audits. */
+  /** Create the physical object EMPTY if absent — the skip-backfill physical
+    * layer (plan/definition.py skip_backfill still runs the create stage):
+    * env views must resolve even though no interval was ever evaluated.
+    * Callers iterate parents-first so view/limit(0) bodies can reference
+    * their upstreams. */
+  def ensurePhysical(s: Snapshot, executionTs: Long, tableMapping: Map[String, String],
+                     dev: Boolean = false): Unit = {
+    val t = physicalTable(s, dev)
+    s.model.kind match {
+      case ModelKind.View =>
+        if (!materializer.tableExists(t))
+          createView(s, Interval(0L, 0L), executionTs, tableMapping)
+      case k if k.isMaterialized =>
+        if (materializer.currentDataDir(t).isEmpty)
+          materializer.replaceQuery(t, Renderer.evaluate(
+            spark, s.model, 0L, 0L, executionTs, tableMapping, variables).limit(0))
+      case _ => ()
+    }
+  }
+
   def evaluate(
       s: Snapshot,
       interval: Interval,

@@ -294,6 +294,32 @@ class ContextE2ESpec extends AnyFunSuite {
       Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-06"))))
   }
 
+  test("plan selectors leave unselected local changes out; skip_backfill is virtual-only") {
+    val ctx = newCtx()
+    def body(n: Int) = SqlBody(
+      s"SELECT o_custkey, count(*) + $n AS n FROM raw.orders GROUP BY o_custkey")
+    ctx.addModel(Model("sel.a", body(0)))
+    ctx.addModel(Model("sel.b", body(100)))
+    ctx.apply(ctx.plan("prod", 0, D))
+    val a1 = ctx.state.latestSnapshot("sel.a").get
+    // edit BOTH models, but select only sel.b — sel.a's edit stays out
+    ctx.addModel(Model("sel.a", body(1)))
+    ctx.addModel(Model("sel.b", body(101)))
+    val p = ctx.plan("prod", 0, D, select = Seq("sel.b"))
+    assert(p.modified.map(_._2.model.name) == Seq("sel.b"))
+    assert(p.unchanged.exists(s => s.model.name == "sel.a" &&
+      s.fingerprint.full == a1.fingerprint.full))
+    ctx.apply(p)
+    // sel.a still serves the old result (count+0); sel.b the new one
+    assert(spark.table("sel.b").filter(col("n") >= 101).count() > 0)
+
+    // skip_backfill: a brand-new model gets its snapshot + view but no data
+    ctx.addModel(Model("sel.c", body(0),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "n"), start = Some(0L)))
+    ctx.apply(ctx.plan("prod", 0, D, skipBackfill = true))
+    assert(ctx.state.latestSnapshot("sel.c").get.intervals.isEmpty)
+  }
+
   test("allow_partials runs the trailing sub-unit interval; default floors it") {
     val ctx = newCtx()
     def m(name: String, partials: Boolean) = Model(
