@@ -48,7 +48,15 @@ final class MacroEvaluator(
       group("latest", execution, inclusive = false)
   }
 
-  def render(sql: String): String = renderDepth(sql, 0)
+  def render(sql: String): String = {
+    // dbt-compat: jinja blocks expand first (reference dialect.py:57-66 jinja
+    // grammar), then the native @-macro pass runs over the result
+    val pre =
+      if (Jinja.hasJinja(sql))
+        Jinja.render(sql, variables ++ timeVars.map { case (k, v) => k -> v }, thisModel)
+      else sql
+    renderDepth(pre, 0)
+  }
 
   private def renderDepth(sql: String, depth: Int): String = {
     if (depth > 16) throw new IllegalStateException("macro recursion too deep")

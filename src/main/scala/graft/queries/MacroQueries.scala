@@ -152,5 +152,24 @@ object MacroQueries {
         |  round(quantile_cont(o_totalprice, 0.50), 2) AS p_50,
         |  round(quantile_cont(o_totalprice, 0.75), 2) AS p_75
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // jinja blocks (dbt compat, dialect.py:57-66): var() + for + if expand
+    // BEFORE the @-macro pass; the interval bound still comes from @start_dt
+    "m_jinja" -> entry(
+      """SELECT o_orderstatus,
+        |  {% for c in [o_totalprice, o_orderkey] %}
+        |    {% if c == 'o_totalprice' %}round(sum({{ c }}), 2){% else %}max({{ c }}) {% endif %} AS agg_{{ loop.index }},
+        |  {% endfor %}
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= @start_dt AND o_orderstatus <> {{ var('skip_status', "'X'") }}
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus,
+        |  round(sum(o_totalprice), 2) AS agg_1,
+        |  max(o_orderkey) AS agg_2,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderstatus <> 'X'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
   )
 }

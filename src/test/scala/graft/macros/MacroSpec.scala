@@ -122,4 +122,26 @@ class MacroSpec extends AnyFunSuite {
     assert(ev.render("@STAR(t, x, [b], pre_, _suf)") ==
       "CAST(`x`.`a` AS INT) AS `pre_a_suf`, CAST(`x`.`c` AS DOUBLE) AS `pre_c_suf`")
   }
+
+  test("jinja: var(), this, if/elif/else, for, set (dbt compat)") {
+    val e = ev(Map("env" -> "prod", "limit" -> "10"))
+    assert(e.render("SELECT * FROM t LIMIT {{ var('limit') }}") ==
+      "SELECT * FROM t LIMIT 10")
+    assert(e.render("{{ var('missing', 42) }}") == "42")
+    assert(e.render("INSERT INTO {{ this }}") == "INSERT INTO phys.tbl")
+    assert(e.render(
+      "{% if var('env') == 'prod' %}full{% else %}sampled{% endif %}") == "full")
+    assert(e.render(
+      "{% if var('env') == 'dev' %}a{% elif var('limit') > 5 %}b{% else %}c{% endif %}") == "b")
+    assert(e.render(
+      "{% for c in [a, b] %}sum({{ c }}) AS {{ c }}_{{ loop.index }},{% endfor %}") ==
+      "sum(a) AS a_1,sum(b) AS b_2,")
+    assert(e.render("{% set n = 2 + 3 %}LIMIT {{ n }}") == "LIMIT 5")
+    // jinja first, then the native @-macro pass over the expansion
+    assert(e.render("{% if var('env') == 'prod' %}@start_ds{% endif %}") == "'2024-01-01'")
+    // nested if inside for
+    assert(e.render(
+      "{% for c in [a, b] %}{% if c == 'a' %}[{{ c }}]{% else %}{{ c }}{% endif %}{% endfor %}") ==
+      "[a]b")
+  }
 }
