@@ -86,19 +86,51 @@ class Scheduler(
               case k: ModelKind.IncrementalByTimeRange => k.batchSize.getOrElse(0)
               case _ => 0
             }
-            // unique-key models force batch_concurrency 1 (kind.py:517) —
-            // here batches are sequential per model already.
             val batches = contiguous.flatMap(c =>
               if (batchSize > 0) IntervalAlgebra.batch(c, unit, batchSize) else Vector(c))
+            // batch_concurrency (kind.py:517, scheduler.py:334): batches of
+            // one model may run concurrently when the kind allows it. Safe
+            // only for time-partitioned INCREMENTAL_BY_TIME_RANGE, where
+            // parallel batches dynamic-overwrite DISJOINT partitions;
+            // unique-key models force 1 (every batch rewrites shared keys),
+            // as does any unpartitioned table (whole-table rewrite path).
+            val batchConc = snap.model.kind match {
+              case k: ModelKind.IncrementalByTimeRange
+                if snap.model.partitionedBy.nonEmpty => k.batchConcurrency.getOrElse(1)
+              case _ => 1
+            }
             var first = (if (dev) fresh.devIntervals else fresh.intervals).isEmpty
-            batches.foreach { b =>
-              val ready = signals.get(snap.model.name).forall(sig => sig(b))
-              if (ready) {
+            val ready = batches.filter(b =>
+              signals.get(snap.model.name).forall(sig => sig(b)))
+            if (batchConc <= 1 || ready.size <= 1) {
+              ready.foreach { b =>
                 evaluator.evaluate(fresh, b, executionTs, tableMapping(snap.model.name),
                   first, dev)
                 state.addInterval(snap.model.name, snap.version, b, dev)
                 first = false
               }
+            } else {
+              // the first batch may create the table — run it alone; then the
+              // remaining batches COMPUTE in parallel into private staging
+              // dirs (phase 1) and publish serially (phase 2): concurrent
+              // writers never share a destination path
+              val (head, rest) = (ready.head, ready.tail)
+              evaluator.evaluate(fresh, head, executionTs, tableMapping(snap.model.name),
+                first, dev)
+              state.addInterval(snap.model.name, snap.version, head, dev)
+              val pool2 = Executors.newFixedThreadPool(batchConc)
+              try {
+                val staged = rest.map(b => b -> pool2.submit(
+                  new java.util.concurrent.Callable[String] {
+                    def call(): String =
+                      evaluator.stageBatch(fresh, b, executionTs, tableMapping(snap.model.name))
+                  }))
+                staged.foreach { case (b, f) =>
+                  evaluator.ingestStaged(fresh, b, executionTs,
+                    tableMapping(snap.model.name), f.get(), dev)
+                  state.addInterval(snap.model.name, snap.version, b, dev)
+                }
+              } finally pool2.shutdown()
             }
           }
         }

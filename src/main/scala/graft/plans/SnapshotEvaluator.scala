@@ -76,6 +76,36 @@ class SnapshotEvaluator(
     }
   }
 
+  /** Phase 1 of a concurrent batch (batch_concurrency > 1): compute the
+    * batch's rendered result into a PRIVATE staging dir. Parallel-safe by
+    * construction — no two writers ever share a destination path (concurrent
+    * dynamic-partition-overwrite jobs against one table root race on their
+    * shared `.spark-staging` dirs). The expensive part — the transform — runs
+    * here in parallel; [[ingestStaged]] then publishes serially. */
+  def stageBatch(s: Snapshot, interval: Interval, executionTs: Long,
+                 tableMapping: Map[String, String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    Renderer.evaluate(spark, s.model, interval.start, interval.end, executionTs,
+      tableMapping, variables).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Phase 2: ingest a staged batch through the normal evaluate path (same
+    * strategy dispatch, guards, audits, post-statements) by swapping the
+    * body for a read of the staged result. Must be called serially per
+    * table. */
+  def ingestStaged(s: Snapshot, interval: Interval, executionTs: Long,
+                   tableMapping: Map[String, String], stagedDir: String,
+                   dev: Boolean = false): Unit = {
+    val swapped = s.copy(model = s.model.copy(body =
+      ScalaBody((sp, _, _, _) => sp.read.parquet(stagedDir))))
+    try evaluate(swapped, interval, executionTs, tableMapping, isFirstInsert = false, dev)
+    finally {
+      val p = new org.apache.hadoop.fs.Path(stagedDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true); ()
+    }
+  }
+
   def evaluate(
       s: Snapshot,
       interval: Interval,

@@ -294,6 +294,29 @@ class ContextE2ESpec extends AnyFunSuite {
       Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-06"))))
   }
 
+  test("batch_concurrency backfills a partitioned model's batches in parallel") {
+    val ctx = newCtx()
+    def mk(name: String, conc: Option[Int]) = Model(
+      name = name,
+      body = SqlBody(
+        """SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+          |  round(sum(o_totalprice), 2) AS rev
+          |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+          |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "d",
+        batchSize = Some(2), batchConcurrency = conc),
+      start = Some(dayMs("1995-01-01")), partitionedBy = Seq("d"))
+    ctx.addModel(mk("mart.bc_par", Some(4)))
+    ctx.addModel(mk("mart.bc_seq", None))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-11")))
+    // 10 days / 2-day batches = 5 batches; parallel result == sequential result
+    val par = spark.table("mart.bc_par").orderBy("d").collect().toSeq
+    val seq = spark.table("mart.bc_seq").orderBy("d").collect().toSeq
+    assert(par == seq && par.nonEmpty)
+    assert(ctx.state.latestSnapshot("mart.bc_par").get.intervals ==
+      Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-11"))))
+  }
+
   test("plan selectors leave unselected local changes out; skip_backfill is virtual-only") {
     val ctx = newCtx()
     def body(n: Int) = SqlBody(
