@@ -67,7 +67,9 @@ class GraftContext(
     val workspace: String,
     val concurrency: Int = 4,
     val variables: Map[String, String] = Map.empty,
-    val durableState: Boolean = false) {
+    val durableState: Boolean = false,
+    /** dev-environment TTL (reference `--environment-ttl`, default 1 week) */
+    val envTtlMs: Long = 7L * 24 * 3600 * 1000) {
 
   /** Durable contexts persist snapshots/intervals/environments under
     * `<workspace>/state` (reference state_sync/db), so a new context over the
@@ -373,7 +375,10 @@ class GraftContext(
     }
     state.promoteEnvironment(EnvironmentRecord(
       p.env, p.snapshots.map(s => s.model.name -> s.version).toMap, finalized = false,
-      identifiers = p.snapshots.map(s => s.model.name -> s.fingerprint.full).toMap))
+      identifiers = p.snapshots.map(s => s.model.name -> s.fingerprint.full).toMap,
+      // dev environments expire (environment.py expiration_ts, default 1w);
+      // prod never does
+      expirationTs = if (p.env == "prod") None else Some(executionTs + envTtlMs)))
     state.finalizeEnvironment(p.env)
     runStandaloneAudits(p.snapshots, devFlags, p.start, p.end, executionTs)
   }
@@ -447,14 +452,41 @@ class GraftContext(
     state.promoteEnvironment(EnvironmentRecord(env, Map.empty, finalized = true))
   }
 
-  /** TTL janitor (core/janitor.py): drop physical tables of unreferenced
-    * snapshots. */
-  def janitor(): Unit =
+  /** TTL janitor (core/janitor.py): expire dev environments past their TTL
+    * (views demoted, record deleted), then drop physical tables of snapshots
+    * no environment references. */
+  def janitor(now: Long = System.currentTimeMillis()): Unit = {
+    state.expiredEnvironments(now).foreach { rec =>
+      rec.snapshots.keys.foreach { name =>
+        models.get(name).foreach(m =>
+          materializer.demote(SparkMaterializer.envDb(m.schemaName, rec.name), m.tableName))
+      }
+      state.deleteEnvironment(rec.name)
+    }
     state.expiredSnapshots.foreach { s =>
       materializer.dropTable(evaluator.physicalTable(s))
       materializer.dropTable(evaluator.physicalTable(s, dev = true))
       state.deleteSnapshot(s.model.name, s.version)
     }
+  }
+
+  /** `sqlmesh destroy` (context.py destroy): remove EVERYTHING this context
+    * manages — environment views, physical snapshot tables (prod included),
+    * and all state records. Irreversible; refuses nothing. */
+  def destroy(): Unit = {
+    state.environments.foreach { rec =>
+      rec.snapshots.keys.foreach { name =>
+        models.get(name).foreach(m =>
+          materializer.demote(SparkMaterializer.envDb(m.schemaName, rec.name), m.tableName))
+      }
+      state.deleteEnvironment(rec.name)
+    }
+    state.allSnapshots.foreach { s =>
+      materializer.dropTable(evaluator.physicalTable(s))
+      materializer.dropTable(evaluator.physicalTable(s, dev = true))
+      state.deleteSnapshot(s.model.name, s.version)
+    }
+  }
 
   /** Upstream-reference resolution for each model: model refs → physical
     * snapshot tables (dev previews resolve to their `__dev` tables); external

@@ -232,6 +232,19 @@ object Relational {
         |FROM events WHERE user_id < 10
         |ORDER BY user_id, event_id""".stripMargin),
 
+    "q30_recursive_cte" -> portableSqlEntry(
+      // WITH RECURSIVE (Spark 4 native): series generation + a join back to
+      // data — the hierarchy/transitive-closure shape
+      """WITH RECURSIVE seq(n) AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT n + 1 FROM seq WHERE n < 24
+        |)
+        |SELECT s.n, count(c.c_custkey) AS n_cust,
+        |  round(coalesce(sum(c.c_acctbal), 0), 2) AS bal
+        |FROM seq s LEFT JOIN customer c ON c.c_nationkey = s.n
+        |GROUP BY s.n ORDER BY s.n""".stripMargin),
+
     "q24_json_funcs" -> Entry((s, dir) => {
       registerAll(s, dir)
       s.sql(

@@ -56,6 +56,9 @@ final class FileStateStore(
   def finalizeEnvironment(name: String): Unit = synchronized {
     mem.finalizeEnvironment(name); persist()
   }
+  def deleteEnvironment(name: String): Unit = synchronized {
+    mem.deleteEnvironment(name); persist()
+  }
   def environments: Seq[EnvironmentRecord] = mem.environments
   def lastAutoRestatement(name: String): Option[Long] = mem.lastAutoRestatement(name)
   def setAutoRestatement(name: String, ts: Long): Unit = synchronized {
@@ -79,6 +82,7 @@ final class FileStateStore(
       val o = mapper.createObjectNode()
       o.put("name", e.name); o.put("finalized", e.finalized)
       e.planId.foreach(o.put("plan_id", _))
+      e.expirationTs.foreach(o.put("expiration_ts", _))
       val m = o.putObject("snapshots")
       e.snapshots.foreach { case (k, v) => m.put(k, v) }
       val ids = o.putObject("identifiers")
@@ -116,7 +120,8 @@ final class FileStateStore(
       n.path("identifiers").properties().forEach(e => idMap(e.getKey) = e.getValue.asText())
       mem.promoteEnvironment(EnvironmentRecord(
         n.path("name").asText(), snapMap.toMap, n.path("finalized").asBoolean(),
-        Option(n.get("plan_id")).map(_.asText()), idMap.toMap))
+        Option(n.get("plan_id")).map(_.asText()), idMap.toMap,
+        Option(n.get("expiration_ts")).map(_.asLong())))
     }
     root.path("auto_restatements").properties().forEach(e =>
       mem.setAutoRestatement(e.getKey, e.getValue.asLong()))

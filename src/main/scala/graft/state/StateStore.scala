@@ -17,7 +17,11 @@ final case class EnvironmentRecord(
       * snapshot this environment points at; several snapshots may share a
       * version (forward-only pinning), so the identifier is what a plan must
       * diff against (reference ContextDiff diffs env snapshot ids). */
-    identifiers: Map[String, String] = Map.empty)
+    identifiers: Map[String, String] = Map.empty,
+    /** dev environments expire (reference environment.py expiration_ts,
+      * default one week): the janitor demotes + deletes them past this. None
+      * for prod — prod never expires. */
+    expirationTs: Option[Long] = None)
 
 trait StateStore {
   def pushSnapshot(s: Snapshot): Unit
@@ -38,6 +42,11 @@ trait StateStore {
   def promoteEnvironment(env: EnvironmentRecord): Unit
   def getEnvironment(name: String): Option[EnvironmentRecord]
   def finalizeEnvironment(name: String): Unit
+  def deleteEnvironment(name: String): Unit
+
+  /** environments past their expiration (environment.py expiration_ts) */
+  def expiredEnvironments(now: Long): Seq[EnvironmentRecord] =
+    environments.filter(_.expirationTs.exists(_ <= now))
 
   /** auto-restatement bookkeeping (reference `_auto_restatements` table,
     * state_sync/db/snapshot.py:79-84): last cron firing already applied. */
@@ -122,5 +131,6 @@ final class InMemoryStateStore extends StateStore {
   def finalizeEnvironment(name: String): Unit = synchronized {
     envs.get(name).foreach(e => envs(name) = e.copy(finalized = true))
   }
+  def deleteEnvironment(name: String): Unit = synchronized { envs.remove(name); () }
   def environments: Seq[EnvironmentRecord] = synchronized(envs.values.toSeq)
 }

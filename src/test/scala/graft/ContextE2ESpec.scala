@@ -294,6 +294,29 @@ class ContextE2ESpec extends AnyFunSuite {
       Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-06"))))
   }
 
+  test("dev environments expire via the janitor; destroy removes everything") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.ttl_m", SqlBody(
+      "SELECT count(*) AS n FROM raw.orders")))
+    val t0 = 1000000L
+    ctx.apply(ctx.plan("prod", 0, D), executionTs = t0)
+    ctx.apply(ctx.plan("dev", 0, D), executionTs = t0)
+    assert(ctx.state.getEnvironment("dev").get.expirationTs.contains(t0 + ctx.envTtlMs))
+    assert(ctx.state.getEnvironment("prod").get.expirationTs.isEmpty)
+    // before TTL: janitor keeps the env; after: demoted + deleted
+    ctx.janitor(now = t0 + 1)
+    assert(ctx.state.getEnvironment("dev").isDefined)
+    ctx.janitor(now = t0 + ctx.envTtlMs + 1)
+    assert(ctx.state.getEnvironment("dev").isEmpty)
+    assert(ctx.state.getEnvironment("prod").isDefined) // prod never expires
+    // destroy drops env views, physical tables, and state
+    val phys = ctx.evaluator.physicalTable(ctx.state.latestSnapshot("mart.ttl_m").get)
+    assert(ctx.materializer.tableExists(phys))
+    ctx.destroy()
+    assert(ctx.state.environments.isEmpty && ctx.state.allSnapshots.isEmpty)
+    assert(!ctx.materializer.tableExists(phys))
+  }
+
   test("batch_concurrency backfills a partitioned model's batches in parallel") {
     val ctx = newCtx()
     def mk(name: String, conc: Option[Int]) = Model(
