@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data curation. All variants
+  * hash a stable key instead of drawing randoms: the same row lands in the
+  * same sample/split on every run, on every engine, at any parallelism — the
+  * property dataset curation needs for reproducibility and incremental
+  * re-runs (a new batch doesn't reshuffle old rows between splits).
+  *
+  * Pure projections over [[PortableHash]] — codegen'd, no shuffle, scan
+  * speed at 100 TB; and engine-portable, so DuckDB oracles reproduce every
+  * sample bit-exactly.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the key — the basis for all
+    * variants. Namespaced by `salt` so independent samples of the same data
+    * are uncorrelated. */
+  def hashBucket(key: Column, buckets: Int = 100, salt: String = ""): Column =
+    pmod(PortableHash.h60(concat_ws("", lit(salt), key)), lit(buckets.toLong))
+
+  /** Keep ~`fraction` of rows, deterministically by key. */
+  def sample(df: DataFrame, keyCol: String, fraction: Double,
+             salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    val buckets = 10000
+    df.filter(hashBucket(col(keyCol), buckets, salt) < (fraction * buckets).toLong)
+  }
+
+  /** Assign each row a split label by cumulative weight ranges over the hash
+    * bucket — e.g. Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01).
+    * Weights must sum to 1. */
+  def split(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+            salt: String = "", outCol: String = "split"): DataFrame = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split weights must sum to 1")
+    val buckets = 10000
+    val b = hashBucket(col(keyCol), buckets, salt)
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(f => (f * buckets).toLong)
+    val expr = splits.zip(bounds).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), acc) => when(b < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, expr)
+  }
+
+  /** Per-group sampling rates (dataset mixing): keep ~rates(g) of each
+    * group's rows, groups absent from `rates` drop entirely. The curation
+    * primitive for re-weighting sources in a training mix. */
+  def sampleBy(df: DataFrame, keyCol: String, groupCol: String,
+               rates: Map[String, Double], salt: String = ""): DataFrame = {
+    val buckets = 10000
+    val b = hashBucket(col(keyCol), buckets, salt)
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.filter(b < (rate * buckets).cast("long"))
+  }
+}

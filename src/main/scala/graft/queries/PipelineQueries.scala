@@ -360,6 +360,52 @@ object PipelineQueries {
       """SELECT user_id, min(epoch_us(ts)) AS ts_us FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ------------------------------ deterministic sampling / splits ------
+    // hash-based (not random): same row → same sample/split on every run and
+    // every engine — the reproducibility property dataset curation needs
+    "td_hash_sample" -> Entry((s, dir) => {
+      graft.functions.Sampling.sample(t(s, dir, "documents"), "doc_id", 0.25, salt = "s1")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some(
+      """SELECT doc_id FROM documents
+        |WHERE CAST('0x' || substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |  % 10000 < 2500
+        |ORDER BY doc_id""".stripMargin)),
+
+    "td_train_split" -> Entry((s, dir) => {
+      graft.functions.Sampling.split(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp")
+        .groupBy(col("split")).agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("split"))
+    }, Some(
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5('sp' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 10000 AS bkt
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val'
+        |  ELSE 'test' END AS split, count(*) AS n, min(doc_id) AS first_id
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    "td_source_mix" -> Entry((s, dir) => {
+      // dataset mixing: re-weight sources in the training mix
+      graft.functions.Sampling.sampleBy(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 1.0, "src2" -> 0.25), salt = "mx")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    }, Some(
+      """WITH b AS (
+        |  SELECT source,
+        |    CAST('0x' || substring(md5('mx' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 10000 AS bkt
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n FROM b
+        |WHERE bkt < CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 1.0
+        |  WHEN 'src2' THEN 0.25 ELSE 0.0 END * 10000 AS BIGINT)
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
     // --------------------------------------------- text analysis ---------
     "td_text_quality" -> Entry((s, dir) => {
       val docs = t(s, dir, "documents")
