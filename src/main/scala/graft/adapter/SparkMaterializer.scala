@@ -291,30 +291,39 @@ class SparkMaterializer(val spark: SparkSession) {
     */
   def merge(t: PhysicalTable, source: DataFrame, keys: Seq[String],
             mergeFilter: Option[Column] = None,
-            whenMatchedUpdate: Map[String, Column] = Map.empty): Unit = {
+            whenMatchedUpdate: Map[String, Column] = Map.empty,
+            whenMatchedDelete: Option[Column] = None): Unit = {
     currentDataDir(t) match {
       case None => replaceQuery(t, dedupByKey(source, keys))
       case Some(dir) =>
         val src0 = dedupByKey(source, keys)
-        // custom when-matched clause (base.py:2203 `when_matched`): matched
+        // custom when-matched clauses (base.py:2203 `when_matched`): matched
         // rows update only the given columns — emulated by joining the old row
-        // back in and projecting target values through the update expressions.
+        // back in and projecting target values through the update expressions;
+        // a matched row satisfying the DELETE condition is dropped entirely
+        // (its target row is already excluded by the key anti-join below).
         // `s_<col>`/`t_<col>` reference source/target sides in the exprs.
         val src =
-          if (whenMatchedUpdate.isEmpty) src0
+          if (whenMatchedUpdate.isEmpty && whenMatchedDelete.isEmpty) src0
           else {
             val tgt = read(t)
             val sPref = src0.select(src0.columns.map(c => col(c).as(s"s_$c")): _*)
             val tPref = tgt.select(tgt.columns.map(c => col(c).as(s"t_$c")) :+
               lit(true).as("__t_exists"): _*)
             val joinCond = keys.map(k => col(s"s_$k") <=> col(s"t_$k")).reduce(_ && _)
+            val matched = col("__t_exists").isNotNull
+            val joined = sPref.join(tPref, joinCond, "left")
+            val kept = whenMatchedDelete match {
+              case Some(cond) => joined.filter(!(matched && coalesce(cond, lit(false))))
+              case None       => joined
+            }
             // matched rows: listed columns take their update expression, the
             // rest KEEP the target value; unmatched rows insert the source row
-            sPref.join(tPref, joinCond, "left").select(src0.columns.toIndexedSeq.map { c =>
-              val matched = col("__t_exists").isNotNull
+            kept.select(src0.columns.toIndexedSeq.map { c =>
               whenMatchedUpdate.get(c) match {
                 case Some(update) => when(matched, update).otherwise(col(s"s_$c")).as(c)
-                case None if keys.contains(c) => col(s"s_$c").as(c)
+                case None if keys.contains(c) || whenMatchedUpdate.isEmpty =>
+                  col(s"s_$c").as(c) // default = update-all-columns
                 case None => when(matched, col(s"t_$c")).otherwise(col(s"s_$c")).as(c)
               }
             }: _*)
@@ -325,7 +334,7 @@ class SparkMaterializer(val spark: SparkSession) {
         // partition. Otherwise fall back to the full rewrite.
         if (t.partitionedBy.nonEmpty && t.partitionedBy.forall(keys.contains)) {
           // partition-pruned merge: rewrite only partitions present in source
-          val parts = src.select(t.partitionedBy.map(col): _*).distinct()
+          val parts = src0.select(t.partitionedBy.map(col): _*).distinct()
           val affected = read(t).join(broadcast(parts), t.partitionedBy, "left_semi")
           // rows of touched partitions that fail mergeFilter are out of merge
           // scope but must survive the partition rewrite
@@ -334,7 +343,7 @@ class SparkMaterializer(val spark: SparkSession) {
               affected.filter(!coalesce(fl, lit(false))))
             case None => (affected, affected.limit(0))
           }
-          val merged = inScope.join(src.select(keys.map(col): _*), keys, "left_anti")
+          val merged = inScope.join(src0.select(keys.map(col): _*), keys, "left_anti")
             .unionByName(src).unionByName(outOfScope)
           // stage via temp dir: can't dynamic-overwrite the dir being read
           val tmp = new Path(new Path(t.root), s"tmp_${System.nanoTime()}").toString
@@ -350,7 +359,7 @@ class SparkMaterializer(val spark: SparkSession) {
             case None     => target.limit(0)
           }
           mergeFilter.foreach(fl => target = target.filter(coalesce(fl, lit(false))))
-          val merged = target.join(src.select(keys.map(col): _*), keys, "left_anti")
+          val merged = target.join(src0.select(keys.map(col): _*), keys, "left_anti")
             .unionByName(src).unionByName(untouched)
           replaceQuery(t, merged)
         }

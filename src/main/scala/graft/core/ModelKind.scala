@@ -65,13 +65,17 @@ object ModelKind {
       Seq(name, timeColumn, timeFormat, lookback.toString)
   }
 
-  /** unique-key upsert; batch_concurrency forced to 1 (kind.py:517). */
+  /** unique-key upsert; batch_concurrency forced to 1 (kind.py:517).
+    * `whenMatchedDelete` = WHEN MATCHED [AND cond] THEN DELETE (base.py:2203
+    * when_matched): matched rows satisfying the condition are removed. */
   final case class IncrementalByUniqueKey(
       uniqueKey: Seq[String],
       whenMatchedUpdate: Map[String, String] = Map.empty,
+      whenMatchedDelete: Option[String] = None,
       mergeFilter: Option[String] = None) extends ModelKind {
     val name = "INCREMENTAL_BY_UNIQUE_KEY"
-    override def dataFields: Seq[String] = Seq(name) ++ uniqueKey ++ mergeFilter.toSeq
+    override def dataFields: Seq[String] =
+      Seq(name) ++ uniqueKey ++ mergeFilter.toSeq ++ whenMatchedDelete.toSeq
   }
 
   final case class IncrementalByPartition(partitionedBy: Seq[String]) extends ModelKind {

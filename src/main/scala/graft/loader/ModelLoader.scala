@@ -146,6 +146,7 @@ object ModelLoader {
       case "INCREMENTAL_BY_UNIQUE_KEY" => ModelKind.IncrementalByUniqueKey(
         uniqueKey = listOf(args.getOrElse("unique_key",
           throw new IllegalArgumentException("INCREMENTAL_BY_UNIQUE_KEY needs unique_key"))),
+        whenMatchedDelete = args.get("when_matched_delete").map(unq),
         mergeFilter = args.get("merge_filter"))
       case "INCREMENTAL_BY_PARTITION" =>
         ModelKind.IncrementalByPartition(args.get("partitioned_by").map(listOf).getOrElse(Nil))

@@ -158,7 +158,9 @@ class SnapshotEvaluator(
             k.whenMatchedUpdate.map { case (c, e) =>
               c -> org.apache.spark.sql.functions.expr(
                 renderStatement(s, e, interval, executionTs, mapping, thisName))
-            })
+            },
+            k.whenMatchedDelete.map(d => org.apache.spark.sql.functions.expr(
+              renderStatement(s, d, interval, executionTs, mapping, thisName))))
       case _: ModelKind.IncrementalByPartition =>
         materializer.insertOverwriteByPartition(t, rendered)
       case k: ModelKind.IncrementalUnmanaged =>

@@ -92,6 +92,41 @@ object KindQueries {
         |FROM h1 FULL JOIN h2 ON h1.o_custkey = h2.o_custkey
         |ORDER BY o_custkey""".stripMargin)),
 
+    // -------- merge with WHEN MATCHED ... THEN DELETE (tombstones) --------
+    "mk_merge_delete" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model(
+        name = "mart.cust_active",
+        body = SqlBody(
+          """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+            |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+            |GROUP BY o_custkey""".stripMargin),
+        // tombstone semantics: a matched key whose new spend drops under 50k
+        // is DELETED from the table instead of updated
+        kind = ModelKind.IncrementalByUniqueKey(uniqueKey = Seq("o_custkey"),
+          whenMatchedDelete = Some("s_spend < 50000")),
+        start = Some(dayMs("1995-01-01"))))
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-07-01")))
+      c.apply(c.plan("prod", dayMs("1995-07-01"), dayMs("1996-01-01")))
+      s.table("mart.cust_active").orderBy("o_custkey")
+    }, Some(
+      """WITH h1 AS (
+        |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-07-01' GROUP BY o_custkey
+        |), h2 AS (
+        |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY o_custkey
+        |)
+        |SELECT COALESCE(h2.o_custkey, h1.o_custkey) AS o_custkey,
+        |  COALESCE(h2.n_orders, h1.n_orders) AS n_orders,
+        |  COALESCE(h2.spend, h1.spend) AS spend
+        |FROM h1 FULL JOIN h2 ON h1.o_custkey = h2.o_custkey
+        |WHERE NOT (h1.o_custkey IS NOT NULL AND h2.o_custkey IS NOT NULL
+        |  AND h2.spend < 50000)
+        |ORDER BY o_custkey""".stripMargin)),
+
     // --------------------- SCD_TYPE_2_BY_TIME: three waves ----------------
     "mk_scd2_by_time" -> Entry((s, dir) => {
       val c = ctx(s, dir)

@@ -278,6 +278,7 @@ final class FileStateStore(
       case u: ModelKind.IncrementalByUniqueKey =>
         o.set[JsonNode]("unique_key", strArr(u.uniqueKey))
         putMap(o, "when_matched_update", u.whenMatchedUpdate)
+        u.whenMatchedDelete.foreach(o.put("when_matched_delete", _))
         u.mergeFilter.foreach(o.put("merge_filter", _))
       case p: ModelKind.IncrementalByPartition =>
         o.set[JsonNode]("partitioned_by", strArr(p.partitionedBy))
@@ -322,6 +323,7 @@ final class FileStateStore(
     case "INCREMENTAL_BY_UNIQUE_KEY" => ModelKind.IncrementalByUniqueKey(
       uniqueKey = seqOf(n.path("unique_key")),
       whenMatchedUpdate = mapOf(n.path("when_matched_update")),
+      whenMatchedDelete = Option(n.get("when_matched_delete")).map(_.asText()),
       mergeFilter = Option(n.get("merge_filter")).map(_.asText()))
     case "INCREMENTAL_BY_PARTITION" =>
       ModelKind.IncrementalByPartition(seqOf(n.path("partitioned_by")))

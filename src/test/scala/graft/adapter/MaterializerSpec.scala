@@ -183,6 +183,17 @@ class MaterializerSpec extends AnyFunSuite {
     assert(got == Set((1, 10.0, "keep1"), (2, 25.0, "keep2"), (3, 30.0, "tag3")))
   }
 
+  test("merge honors when-matched DELETE (base.py when_matched then-delete)") {
+    val t = tbl("wmd")
+    m.replaceQuery(t, Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "v"))
+    // source touches 1 (delete: s_v < 0 tombstone), 2 (plain upsert), 4 (insert)
+    m.merge(t, Seq((1, -1.0), (2, 25.0), (4, 40.0)).toDF("id", "v"),
+      keys = Seq("id"),
+      whenMatchedDelete = Some(col("s_v") < 0))
+    val got = spark.table("graft__test.wmd").as[(Int, Double)].collect().toSet
+    assert(got == Set((2, 25.0), (3, 30.0), (4, 40.0)))
+  }
+
   test("SCD2-by-time: updated_at_as_valid_from opens new keys at their updated_at (base.py:1904)") {
     val t = tbl("scd_uavf")
     val kind = scdKind.copy(updatedAtAsValidFrom = true)
