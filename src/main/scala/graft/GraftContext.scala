@@ -366,6 +366,10 @@ class GraftContext(
       val live = p.snapshots.map(s => state.getSnapshot(s.model.name, s.version).getOrElse(s))
       scheduler.run(live, p.start, p.end, executionTs, mapping, signals.toMap, devFlags)
     }
+    // standalone audits gate promotion (audit/definition.py:559): they run
+    // against the PHYSICAL tables, so a failing blocking audit aborts before
+    // any environment view is repointed at the new data
+    runStandaloneAudits(p.snapshots, devFlags, p.start, p.end, executionTs)
     // EnvironmentRecordUpdate + VirtualLayerUpdate (materialized kinds only —
     // EMBEDDED/EXTERNAL have no physical object to point a view at)
     p.snapshots.filter(_.model.kind.isMaterialized).foreach(s =>
@@ -380,7 +384,6 @@ class GraftContext(
       // prod never does
       expirationTs = if (p.env == "prod") None else Some(executionTs + envTtlMs)))
     state.finalizeEnvironment(p.env)
-    runStandaloneAudits(p.snapshots, devFlags, p.start, p.end, executionTs)
   }
 
   /** `sqlmesh run` (context.py:756): backfill new missing intervals in an
@@ -438,16 +441,21 @@ class GraftContext(
   /** Query through the environment's virtual layer. */
   def fetch(sql: String): DataFrame = spark.sql(sql)
 
+  /** Demote an environment view by the state-recorded model NAME — works for
+    * models no longer registered in this context (deleted from the project),
+    * which `models.get` would silently skip, leaking views. */
+  private def demoteByName(envName: String, modelName: String): Unit = {
+    val parts = modelName.split('.')
+    val schema = parts.dropRight(1).mkString(".") match { case "" => "default"; case x => x }
+    materializer.demote(SparkMaterializer.envDb(schema, envName), parts.last)
+  }
+
   /** Invalidate an environment (reference `sqlmesh invalidate`): drop its
     * views and record, leaving physical cleanup to the janitor. */
   def invalidateEnvironment(env: String): Unit = {
     require(env != "prod", "refusing to invalidate prod")
     state.getEnvironment(env).foreach { rec =>
-      rec.snapshots.keys.foreach { name =>
-        models.get(name).foreach { m =>
-          materializer.demote(SparkMaterializer.envDb(m.schemaName, env), m.tableName)
-        }
-      }
+      rec.snapshots.keys.foreach(name => demoteByName(env, name))
     }
     state.promoteEnvironment(EnvironmentRecord(env, Map.empty, finalized = true))
   }
@@ -457,10 +465,7 @@ class GraftContext(
     * no environment references. */
   def janitor(now: Long = System.currentTimeMillis()): Unit = {
     state.expiredEnvironments(now).foreach { rec =>
-      rec.snapshots.keys.foreach { name =>
-        models.get(name).foreach(m =>
-          materializer.demote(SparkMaterializer.envDb(m.schemaName, rec.name), m.tableName))
-      }
+      rec.snapshots.keys.foreach(name => demoteByName(rec.name, name))
       state.deleteEnvironment(rec.name)
     }
     state.expiredSnapshots.foreach { s =>
@@ -475,10 +480,7 @@ class GraftContext(
     * and all state records. Irreversible; refuses nothing. */
   def destroy(): Unit = {
     state.environments.foreach { rec =>
-      rec.snapshots.keys.foreach { name =>
-        models.get(name).foreach(m =>
-          materializer.demote(SparkMaterializer.envDb(m.schemaName, rec.name), m.tableName))
-      }
+      rec.snapshots.keys.foreach(name => demoteByName(rec.name, name))
       state.deleteEnvironment(rec.name)
     }
     state.allSnapshots.foreach { s =>

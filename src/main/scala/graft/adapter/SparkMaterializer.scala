@@ -306,7 +306,11 @@ class SparkMaterializer(val spark: SparkSession) {
         val src =
           if (whenMatchedUpdate.isEmpty && whenMatchedDelete.isEmpty) src0
           else {
-            val tgt = read(t)
+            // matched-ness is decided against the mergeFilter-SCOPED target —
+            // the same scope the key anti-join uses below; an out-of-scope
+            // target row is NOT a match (the source row inserts as new)
+            val tgt = mergeFilter.fold(read(t))(fl =>
+              read(t).filter(coalesce(fl, lit(false))))
             val sPref = src0.select(src0.columns.map(c => col(c).as(s"s_$c")): _*)
             val tPref = tgt.select(tgt.columns.map(c => col(c).as(s"t_$c")) :+
               lit(true).as("__t_exists"): _*)

@@ -51,22 +51,31 @@ object IntervalAlgebra {
   }
 
   /** Split a contiguous interval into unit-aligned atomic intervals, then chunk
-    * into batches of `batchSize` units (reference scheduler.py:334 `batch_intervals`). */
-  def batch(interval: Interval, unit: IntervalUnit, batchSize: Int): Vector[Interval] = {
-    val units = expand(interval, unit)
+    * into batches of `batchSize` units (reference scheduler.py:334
+    * `batch_intervals`). `keepPartial` propagates allow_partials so sub-unit
+    * edges survive batching. */
+  def batch(interval: Interval, unit: IntervalUnit, batchSize: Int,
+            keepPartial: Boolean = false): Vector[Interval] = {
+    val units = expand(interval, unit, keepPartial)
     if (batchSize <= 0) Vector(interval)
     else units.grouped(batchSize).map(g => Interval(g.head.start, g.last.end)).toVector
   }
 
   /** Expand to one interval per cadence unit, aligned to unit boundaries.
-    * `keepPartial` keeps the trailing not-yet-elapsed fraction as its own
-    * (sub-unit) interval — the `allow_partials` semantics (model
-    * definition.py allow_partials; scheduler end-bounding). */
+    * `keepPartial` keeps sub-unit fractions at EITHER edge as their own
+    * intervals — the `allow_partials` semantics (model definition.py
+    * allow_partials; scheduler end-bounding). The leading case matters after
+    * a partial run: the gap [partial-end, unit-end) must stay backfillable. */
   def expand(interval: Interval, unit: IntervalUnit,
              keepPartial: Boolean = false): Vector[Interval] = {
+    if (interval.isEmpty) return Vector.empty
     val out = Vector.newBuilder[Interval]
     var cur = unit.floor(interval.start)
-    if (cur < interval.start) cur = unit.next(cur)
+    if (cur < interval.start) {
+      if (keepPartial)
+        out += Interval(interval.start, math.min(unit.next(cur), interval.end))
+      cur = unit.next(cur)
+    }
     while (unit.next(cur) <= interval.end) {
       out += Interval(cur, unit.next(cur))
       cur = unit.next(cur)

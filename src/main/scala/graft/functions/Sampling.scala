@@ -21,7 +21,10 @@ object Sampling {
   def hashBucket(key: Column, buckets: Int = 100, salt: String = ""): Column =
     pmod(PortableHash.h60(concat_ws("", lit(salt), key)), lit(buckets.toLong))
 
-  /** Keep ~`fraction` of rows, deterministically by key. */
+  /** Keep ~`fraction` of rows, deterministically by key. Thresholds FLOOR
+    * the rate×buckets product (toLong truncation; mirror with floor() in
+    * cross-engine SQL — a bare CAST rounds in some engines and would shift
+    * one bucket). */
   def sample(df: DataFrame, keyCol: String, fraction: Double,
              salt: String = ""): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")

@@ -239,8 +239,11 @@ object Jinja {
 
   private def quoteIfNeeded(v: String): String = {
     val t = v.trim
+    // only an actually-parseable number stays bare: date-like values
+    // ('2024-01-01') and versions ('1.2.3') must quote, or ConstEval would
+    // silently do arithmetic on them
     if (t.startsWith("'")) t
-    else if (t.nonEmpty && t.forall(c => c.isDigit || c == '.' || c == '-')) t
+    else if (scala.util.Try(BigDecimal(t)).isSuccess) t
     else s"'${t}'"
   }
 }

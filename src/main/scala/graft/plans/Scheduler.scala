@@ -87,16 +87,21 @@ class Scheduler(
               case _ => 0
             }
             val batches = contiguous.flatMap(c =>
-              if (batchSize > 0) IntervalAlgebra.batch(c, unit, batchSize) else Vector(c))
+              if (batchSize > 0)
+                IntervalAlgebra.batch(c, unit, batchSize, snap.model.allowPartials)
+              else Vector(c))
             // batch_concurrency (kind.py:517, scheduler.py:334): batches of
             // one model may run concurrently when the kind allows it. Safe
             // only for time-partitioned INCREMENTAL_BY_TIME_RANGE, where
             // parallel batches dynamic-overwrite DISJOINT partitions;
             // unique-key models force 1 (every batch rewrites shared keys),
             // as does any unpartitioned table (whole-table rewrite path).
+            // models with pre-statements also stay sequential: the parallel
+            // stage phase would race on session-global temp views/functions
             val batchConc = snap.model.kind match {
               case k: ModelKind.IncrementalByTimeRange
-                if snap.model.partitionedBy.nonEmpty => k.batchConcurrency.getOrElse(1)
+                if snap.model.partitionedBy.nonEmpty &&
+                  snap.model.preStatements.isEmpty => k.batchConcurrency.getOrElse(1)
               case _ => 1
             }
             var first = (if (dev) fresh.devIntervals else fresh.intervals).isEmpty
@@ -123,7 +128,8 @@ class Scheduler(
                 val staged = rest.map(b => b -> pool2.submit(
                   new java.util.concurrent.Callable[String] {
                     def call(): String =
-                      evaluator.stageBatch(fresh, b, executionTs, tableMapping(snap.model.name))
+                      evaluator.stageBatch(fresh, b, executionTs,
+                        tableMapping(snap.model.name), dev)
                   }))
                 staged.foreach { case (b, f) =>
                   evaluator.ingestStaged(fresh, b, executionTs,

@@ -18,5 +18,8 @@ object Signals {
     * metadata, no data scan. */
   def freshness(state: StateStore, upstreams: Seq[String]): Interval => Boolean = batch =>
     upstreams.forall(u => state.latestSnapshot(u).exists(up =>
-      IntervalAlgebra.missing(batch.start, batch.end, up.intervals).isEmpty))
+      // dev-preview upstreams record progress in devIntervals; either
+      // representation covering the batch means the data exists to read
+      IntervalAlgebra.missing(batch.start, batch.end,
+        up.intervals ++ up.devIntervals).isEmpty))
 }

@@ -69,9 +69,23 @@ class SnapshotEvaluator(
         if (!materializer.tableExists(t))
           createView(s, Interval(0L, 0L), executionTs, tableMapping)
       case k if k.isMaterialized =>
-        if (materializer.currentDataDir(t).isEmpty)
-          materializer.replaceQuery(t, Renderer.evaluate(
-            spark, s.model, 0L, 0L, executionTs, tableMapping, variables).limit(0))
+        if (materializer.currentDataDir(t).isEmpty) {
+          // SEED bodies must honor the kind's csv reader options here too,
+          // or the empty table gets a mis-parsed schema that conflicts with
+          // the later real backfill
+          val df = s.model.body match {
+            case SeedBody(path) =>
+              val opts = s.model.kind match {
+                case sk: ModelKind.Seed => sk.options
+                case _ => Map.empty[String, String]
+              }
+              spark.read.option("header", "true").option("inferSchema", "true")
+                .options(opts).csv(path)
+            case _ => Renderer.evaluate(
+              spark, s.model, 0L, 0L, executionTs, tableMapping, variables)
+          }
+          materializer.replaceQuery(t, df.limit(0))
+        }
       case _ => ()
     }
   }
@@ -83,10 +97,19 @@ class SnapshotEvaluator(
     * shared `.spark-staging` dirs). The expensive part — the transform — runs
     * here in parallel; [[ingestStaged]] then publishes serially. */
   def stageBatch(s: Snapshot, interval: Interval, executionTs: Long,
-                 tableMapping: Map[String, String]): String = {
+                 tableMapping: Map[String, String], dev: Boolean = false): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stage").toString
-    Renderer.evaluate(spark, s.model, interval.start, interval.end, executionTs,
-      tableMapping, variables).write.mode("overwrite").parquet(dir)
+    // render with @this resolved like evaluate() does; models with
+    // pre-statements never reach here (the scheduler keeps them sequential —
+    // concurrent pre-statements would race on session-global temp state)
+    val df = s.model.body match {
+      case SqlBody(_) =>
+        spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs,
+          tableMapping, variables, thisModel = Some(physicalTable(s, dev).qualified)))
+      case _ => Renderer.evaluate(spark, s.model, interval.start, interval.end,
+        executionTs, tableMapping, variables)
+    }
+    df.write.mode("overwrite").parquet(dir)
     dir
   }
 

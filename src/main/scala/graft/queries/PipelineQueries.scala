@@ -402,8 +402,8 @@ object PipelineQueries {
         |  FROM documents
         |)
         |SELECT source, count(*) AS n FROM b
-        |WHERE bkt < CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 1.0
-        |  WHEN 'src2' THEN 0.25 ELSE 0.0 END * 10000 AS BIGINT)
+        |WHERE bkt < CAST(floor(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 1.0
+        |  WHEN 'src2' THEN 0.25 ELSE 0.0 END * 10000) AS BIGINT)
         |GROUP BY source ORDER BY source""".stripMargin)),
 
     // --------------------------------------------- text analysis ---------

@@ -35,6 +35,31 @@ class IntervalSpec extends AnyFunSuite {
     assert(part == Vector(Interval(D, 2 * D)))
   }
 
+  test("expand keepPartial keeps sub-unit fractions at BOTH edges") {
+    val D = 86400000L
+    val day = IntervalUnit.Day
+    // trailing partial
+    assert(IntervalAlgebra.expand(Interval(0, D + D / 2), day, keepPartial = true) ==
+      Vector(Interval(0, D), Interval(D, D + D / 2)))
+    // leading partial: the gap left after a partial run must stay runnable
+    assert(IntervalAlgebra.expand(Interval(D / 2, 2 * D), day, keepPartial = true) ==
+      Vector(Interval(D / 2, D), Interval(D, 2 * D)))
+    // both inside one unit
+    assert(IntervalAlgebra.expand(Interval(D / 4, D / 2), day, keepPartial = true) ==
+      Vector(Interval(D / 4, D / 2)))
+    // default drops partials entirely (whole-unit-only semantics)
+    assert(IntervalAlgebra.expand(Interval(D / 2, 2 * D), day) == Vector(Interval(D, 2 * D)))
+  }
+
+  test("batch propagates keepPartial (allow_partials + batch_size)") {
+    val D = 86400000L
+    val day = IntervalUnit.Day
+    assert(IntervalAlgebra.batch(Interval(0, 2 * D + D / 2), day, 2, keepPartial = true) ==
+      Vector(Interval(0, 2 * D), Interval(2 * D, 2 * D + D / 2)))
+    assert(IntervalAlgebra.batch(Interval(0, 2 * D + D / 2), day, 2) ==
+      Vector(Interval(0, 2 * D)))
+  }
+
   test("batch chunks contiguous intervals") {
     val got = IntervalAlgebra.batch(Interval(0, 10 * D), IntervalUnit.Day, 4)
     assert(got == Vector(Interval(0, 4 * D), Interval(4 * D, 8 * D), Interval(8 * D, 10 * D)))
