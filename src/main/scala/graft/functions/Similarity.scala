@@ -13,9 +13,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity between two array columns, in double precision.
-    * `zip_with` + `aggregate` stay inside codegen; no UDF. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two `Array[Float]` columns, in double
+    * precision — a native codegen'd Catalyst expression ([[VectorCosine]]).
+    * The HOF formulation (`zip_with`+`aggregate`) evaluates interpreted,
+    * outside whole-stage codegen; same arithmetic, tight generated loop. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      VectorCosine(expression(a), expression(b)))
+
+  /** The interpreted HOF formulation — kept as the cross-check reference for
+    * [[VectorCosine]] (SimilaritySpec asserts bit-identical results). */
+  private[functions] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
@@ -25,32 +33,23 @@ object Similarity {
     dot / (na * nb)
   }
 
+  private def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
   /** L2 norm of an array column. */
   def norm(v: Column): Column =
     sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
-
-  /** dot(a,b) / (normA * normB) with both norms precomputed — in a top-k scan
-    * each corpus vector meets every query, so computing its norm inside the
-    * pair expression would redo it |queries| times. */
-  private def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot / (normA * normB)
-  }
 
   /** Brute-force exact top-k neighbors for each query vector.
     * `queries` is expected to be small (broadcast side). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id"): DataFrame = {
-    val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
-      .withColumn("__qnorm", norm(col("__qvec"))))
+    val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec")))
     val scored = corpus.select(col(idCol), col(vecCol))
-      .withColumn("__cnorm", norm(col(vecCol)))
       .join(q, col(idCol) =!= col(queryIdCol)) // exclude self-match
-      .withColumn("score", round(
-        cosineWithNorms(col(vecCol), col("__qvec"), col("__cnorm"), col("__qnorm")), 4))
+      .withColumn("score", round(cosine(col(vecCol), col("__qvec")), 4))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -86,13 +85,10 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
     val c = corpus.withColumn("__bucket", lshBucket(col(vecCol), nPlanes))
-      .withColumn("__cnorm", norm(col(vecCol)))
     val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
-      .withColumn("__bucket", lshBucket(col("__qvec"), nPlanes))
-      .withColumn("__qnorm", norm(col("__qvec"))))
+      .withColumn("__bucket", lshBucket(col("__qvec"), nPlanes)))
     val scored = c.join(q, Seq("__bucket")).filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("score", round(
-        cosineWithNorms(col(vecCol), col("__qvec"), col("__cnorm"), col("__qnorm")), 4))
+      .withColumn("score", round(cosine(col(vecCol), col("__qvec")), 4))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -109,11 +105,9 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b = df.select(col(idCol), col(vecCol))
       .withColumn("__bucket", lshBucket(col(vecCol), nPlanes))
-      .withColumn("__norm", norm(col(vecCol)))
     b.as("a").join(b.as("b"),
         col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cos", round(cosineWithNorms(
-        col(s"a.$vecCol"), col(s"b.$vecCol"), col("a.__norm"), col("b.__norm")), 4))
+      .withColumn("cos", round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 4))
       .filter(col("cos") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cos"))
   }
