@@ -63,11 +63,19 @@ object Similarity {
     when(conv(substring(md5(concat_ws(",", lit(plane), dim)), 1, 1), 16, 10)
       .cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Random-hyperplane LSH bucket id (nPlanes-bit signature) for a vector.
-    * The projection is rounded to 6 decimals before the sign test so the
-    * bucket decision is identical across engines (guards against
-    * floating-point noise flipping a near-zero projection). */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  /** Random-hyperplane LSH bucket id (nPlanes-bit signature) for a vector —
+    * native codegen'd expression ([[VectorLshBucket]]: the declarative form
+    * hashes per (plane, dim) per ROW, interpreted). The projection is rounded
+    * to 6 decimals before the sign test so the bucket decision is identical
+    * across engines (floating-point noise can't flip a near-zero
+    * projection). */
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      VectorLshBucket(expression(vec), nPlanes))
+
+  /** Declarative formulation — the cross-check reference for
+    * [[VectorLshBucket]] (spec asserts identical buckets). */
+  private[functions] def lshBucketHof(vec: Column, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i => hyperplaneSign(p, i)),

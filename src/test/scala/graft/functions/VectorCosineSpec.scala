@@ -31,6 +31,15 @@ class VectorCosineSpec extends AnyFunSuite {
     assert(math.abs(v - 1.0) < 1e-9)
   }
 
+  test("native VectorLshBucket matches the declarative formulation exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val diff = emb.select(
+        Similarity.lshBucket(col("embedding"), 4).as("native"),
+        Similarity.lshBucketHof(col("embedding"), 4).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty)
+  }
+
   test("VectorCosine rejects non-float-array inputs at analysis") {
     val df = Seq((Array(1.0, 2.0), Array(2.0, 1.0))).toDF("a", "b")
     assertThrows[org.apache.spark.sql.AnalysisException](
