@@ -80,7 +80,10 @@ class GraftContext(
   val materializer = new SparkMaterializer(spark)
   private val customStrategies =
     scala.collection.mutable.Map[String, (SparkMaterializer, PhysicalTable, DataFrame) => Unit]()
-  lazy val evaluator = new SnapshotEvaluator(materializer, workspace, customStrategies.toMap, variables)
+  private val customMacros =
+    scala.collection.mutable.Map[String, Seq[String] => String]()
+  lazy val evaluator = new SnapshotEvaluator(materializer, workspace, customStrategies.toMap,
+    variables, customMacros.toMap)
   lazy val scheduler = new Scheduler(evaluator, state, concurrency)
 
   private val models = scala.collection.mutable.LinkedHashMap[String, Model]()
@@ -120,7 +123,7 @@ class GraftContext(
                 executionTs: Long = System.currentTimeMillis()): String = {
     val snaps = snapshotsOf(models.keys.toSeq)
     Renderer.render(models(name), start, end, executionTs,
-      tableMappingFor(snaps.values.toSeq)(name), variables)
+      tableMappingFor(snaps.values.toSeq)(name), variables, macros = customMacros.toMap)
   }
 
   /** Register a pre-existing table (EXTERNAL kind) by parquet path,
@@ -137,6 +140,13 @@ class GraftContext(
   /** Signals gate interval readiness (reference core/signal.py:14). */
   def addSignal(modelName: String, signal: Interval => Boolean): this.type = {
     signals(modelName) = signal; this
+  }
+
+  /** User macro (the reference's Python `@macro()` registry, macros.py:592):
+    * a Scala function from rendered argument texts to SQL text, callable as
+    * `@NAME(...)` in model bodies. Register before the first plan/render. */
+  def addMacro(name: String)(fn: Seq[String] => String): this.type = {
+    customMacros(name) = fn; this
   }
 
   def registerCustomMaterialization(

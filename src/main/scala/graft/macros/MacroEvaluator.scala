@@ -17,9 +17,13 @@ final class MacroEvaluator(
     val execution: Long,
     val thisModel: Option[String] = None,
     val variables: Map[String, String] = Map.empty,
-    val schemaOf: String => Seq[(String, String)] = _ => Nil) {
+    val schemaOf: String => Seq[(String, String)] = _ => Nil,
+    /** user Scala macros (reference's Python `@macro()` registry,
+      * macros.py:592): name -> args => SQL text. */
+    val registry: Map[String, Seq[String] => String] = Map.empty) {
 
   private val defs = scala.collection.mutable.Map[String, (Seq[String], String)]()
+  private lazy val registryUpper = registry.map { case (k, v) => k.toUpperCase -> v }
 
   private def fmt(ms: Long, p: String) =
     DateTimeFormatter.ofPattern(p).withZone(ZoneOffset.UTC).format(Instant.ofEpochMilli(ms))
@@ -265,6 +269,7 @@ final class MacroEvaluator(
     case other if defs.contains(other) =>
       val (ps, body) = defs(other)
       substitute(body, ps, args)
+    case other if registryUpper.contains(other) => registryUpper(other)(args)
     case other =>
       throw new IllegalArgumentException(s"unknown macro @$other")
   }

@@ -28,12 +28,14 @@ object Renderer {
       tableMapping: Map[String, String],
       variables: Map[String, String] = Map.empty,
       thisModel: Option[String] = None,
-      schemaOf: String => Seq[(String, String)] = _ => Nil): String = {
+      schemaOf: String => Seq[(String, String)] = _ => Nil,
+      macros: Map[String, Seq[String] => String] = Map.empty): String = {
     val body = model.body match {
       case SqlBody(sql) => sql
       case _ => throw new IllegalArgumentException(s"${model.name} is not a SQL model")
     }
-    val evaluator = new MacroEvaluator(start, end, execution, thisModel, variables, schemaOf)
+    val evaluator = new MacroEvaluator(start, end, execution, thisModel, variables,
+      schemaOf, macros)
     resolveTables(evaluator.render(body), tableMapping)
   }
 
@@ -45,9 +47,11 @@ object Renderer {
       end: Long,
       execution: Long,
       tableMapping: Map[String, String],
-      variables: Map[String, String] = Map.empty): DataFrame = model.body match {
+      variables: Map[String, String] = Map.empty,
+      macros: Map[String, Seq[String] => String] = Map.empty): DataFrame = model.body match {
     case SqlBody(_) =>
-      spark.sql(render(model, start, end, execution, tableMapping, variables))
+      spark.sql(render(model, start, end, execution, tableMapping, variables,
+        macros = macros))
     case ScalaBody(fn) => fn(spark, tableMapping, start, end)
     case SeedBody(path) =>
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)

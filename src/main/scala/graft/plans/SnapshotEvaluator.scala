@@ -14,7 +14,8 @@ class SnapshotEvaluator(
     val materializer: SparkMaterializer,
     val workspace: String,
     customStrategies: Map[String, (SparkMaterializer, PhysicalTable, DataFrame) => Unit] = Map.empty,
-    variables: Map[String, String] = Map.empty) {
+    variables: Map[String, String] = Map.empty,
+    macros: Map[String, Seq[String] => String] = Map.empty) {
 
   def spark: SparkSession = materializer.spark
 
@@ -105,7 +106,8 @@ class SnapshotEvaluator(
     val df = s.model.body match {
       case SqlBody(_) =>
         spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs,
-          tableMapping, variables, thisModel = Some(physicalTable(s, dev).qualified)))
+          tableMapping, variables, thisModel = Some(physicalTable(s, dev).qualified),
+          macros = macros))
       case _ => Renderer.evaluate(spark, s.model, interval.start, interval.end,
         executionTs, tableMapping, variables)
     }
@@ -145,7 +147,7 @@ class SnapshotEvaluator(
     def rendered: DataFrame = s.model.body match {
       case SqlBody(_) =>
         spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs, mapping,
-          variables, thisModel = Some(thisName)))
+          variables, thisModel = Some(thisName), macros = macros))
       case ScalaBody(fn) => fn(spark, mapping, interval.start, interval.end)
       case SeedBody(path) =>
         val opts = s.model.kind match {
@@ -239,7 +241,7 @@ class SnapshotEvaluator(
                               thisName: String): String =
     Renderer.resolveTables(
       new graft.macros.MacroEvaluator(interval.start, interval.end, executionTs, Some(thisName),
-        variables).render(statement), mapping)
+        variables, registry = macros).render(statement), mapping)
 
   /** MigrateSchemas (evaluator.py:1105): evolve the (reused) physical table of
     * a forward-only snapshot to the new query's output schema — analyzed, not

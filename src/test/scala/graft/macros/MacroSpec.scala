@@ -123,6 +123,15 @@ class MacroSpec extends AnyFunSuite {
       "CAST(`x`.`a` AS INT) AS `pre_a_suf`, CAST(`x`.`c` AS DOUBLE) AS `pre_c_suf`")
   }
 
+  test("user Scala macros register and expand (the Python @macro() analog)") {
+    val ev = new MacroEvaluator(0, 1, 2, None, Map.empty, _ => Nil,
+      registry = Map("top_n" -> { args =>
+        s"(SELECT * FROM ${args(0)} ORDER BY ${args(1)} DESC LIMIT ${args(2)})"
+      }))
+    assert(ev.render("SELECT * FROM @TOP_N(orders, o_totalprice, 10)") ==
+      "SELECT * FROM (SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 10)")
+  }
+
   test("jinja: var(), this, if/elif/else, for, set (dbt compat)") {
     val e = ev(Map("env" -> "prod", "limit" -> "10"))
     assert(e.render("SELECT * FROM t LIMIT {{ var('limit') }}") ==
