@@ -74,5 +74,6 @@ object SparkEntry {
   val benchNames: Seq[String] = Seq(
     "q1_agg", "q2_join_agg", "q3_topn", "q6_filter", "q21_multi_join_star",
     "q22_sessionize", "q23_selfjoin_shuffle", "td_exact_dedup", "td_minhash_lsh",
-    "td_ngram_jaccard", "td_knn_bruteforce", "td_text_quality", "td_lang_id")
+    "td_ngram_jaccard", "td_knn_bruteforce", "td_text_quality", "td_lang_id",
+    "td_cosine_neardup_lsh", "td_ann_lsh", "td_hash_sample")
 }
