@@ -69,9 +69,9 @@ object Similarity {
     * to 6 decimals before the sign test so the bucket decision is identical
     * across engines (floating-point noise can't flip a near-zero
     * projection). */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
+  def lshBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
-      VectorLshBucket(expression(vec), nPlanes))
+      VectorLshBucket(expression(vec), nPlanes, planeOffset))
 
   /** Declarative formulation — the cross-check reference for
     * [[VectorLshBucket]] (spec asserts identical buckets). */
@@ -86,16 +86,28 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed approximate top-k: queries only probe their own bucket.
-    * Recall < 1.0 by construction; multiply buckets/probes for higher recall.
-    * At 100 TB this turns a full-scan-per-query into a bucket-join. */
+  /** LSH-bucketed approximate top-k: queries only probe their own bucket(s).
+    * `nBands` independent hash tables are the recall knob (a pair missed by
+    * one band is caught by another — standard multi-table LSH); candidates
+    * are the UNION of per-band bucket matches, deduplicated before scoring.
+    * At 100 TB this turns a full-scan-per-query into nBands bucket-joins. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              queryIdCol: String = "query_id"): DataFrame = {
-    val c = corpus.withColumn("__bucket", lshBucket(col(vecCol), nPlanes))
-    val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
-      .withColumn("__bucket", lshBucket(col("__qvec"), nPlanes)))
-    val scored = c.join(q, Seq("__bucket")).filter(col(idCol) =!= col(queryIdCol))
+              queryIdCol: String = "query_id", nBands: Int = 1): DataFrame = {
+    def banded(df: DataFrame, vc: String): DataFrame =
+      df.withColumn("__b", explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            lshBucket(col(vc), nPlanes, b * nPlanes).as("bucket"))): _*)))
+        .withColumn("__band", col("__b.band"))
+        .withColumn("__bucket", col("__b.bucket")).drop("__b")
+    val c = banded(corpus.select(col(idCol), col(vecCol)), vecCol)
+    val q = broadcast(banded(
+      queries.select(col(queryIdCol), col(vecCol).as("__qvec")), "__qvec"))
+    val cand = c.join(q, Seq("__band", "__bucket"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol), col(vecCol), col("__qvec"))
+      .dropDuplicates(queryIdCol, idCol)
+    val scored = cand
       .withColumn("score", round(cosine(col(vecCol), col("__qvec")), 4))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))

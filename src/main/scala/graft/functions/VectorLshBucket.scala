@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * derivation (parity of md5("plane,dim")'s first hex digit), same
   * left-to-right double summation, same HALF_UP round to 6 decimals before
   * the sign test. */
-case class VectorLshBucket(child: Expression, nPlanes: Int)
+case class VectorLshBucket(child: Expression, nPlanes: Int, planeOffset: Int = 0)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -32,7 +32,7 @@ case class VectorLshBucket(child: Expression, nPlanes: Int)
   // plane-major sign table, precomputed up to MaxDim dimensions
   @transient private lazy val signs: Array[Array[Float]] =
     Array.tabulate(nPlanes)(p =>
-      Array.tabulate(VectorLshBucket.MaxDim)(d => VectorLshBucket.sign(p, d)))
+      Array.tabulate(VectorLshBucket.MaxDim)(d => VectorLshBucket.sign(p + planeOffset, d)))
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

@@ -224,6 +224,42 @@ object PipelineQueries {
         |SELECT query_id, neighbor_id, score, rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    "td_ann_lsh_multi" -> Entry((s, dir) => {
+      // multi-table LSH (3 bands × 4 planes): the recall knob — candidates
+      // are the union of per-band bucket matches
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(emb, queries, k = 5, nPlanes = 4, nBands = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some(
+      """WITH buck AS (
+        |  SELECT vec_id, embedding, b,
+        |    list_sum(list_transform(range(0, 4), j ->
+        |      CASE WHEN round(list_sum(list_transform(range(1, len(embedding) + 1), d ->
+        |        CASE WHEN CAST('0x' || substring(md5((b*4 + j) || ',' || (d - 1)), 1, 1) AS INT) % 2 = 0
+        |          THEN CAST(embedding[d] AS DOUBLE) ELSE -CAST(embedding[d] AS DOUBLE) END)), 6) > 0
+        |        THEN CAST((CAST(1 AS BIGINT) << CAST(j AS INT)) AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END)) AS bucket
+        |  FROM embeddings, UNNEST(range(0, 3)) AS u(b)
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec, b, bucket
+        |  FROM buck WHERE vec_id < 20
+        |), cand AS (
+        |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, c.embedding, q.qvec
+        |  FROM buck c JOIN q ON c.b = q.b AND c.bucket = q.bucket AND c.vec_id <> q.query_id
+        |), scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 4) AS score
+        |  FROM cand
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, score, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     "td_ann_ivf" -> Entry((s, dir) => {
       // IVF-style ANN: coarse quantize the corpus to deterministic centroids,
       // queries probe only their own inverted list; assignment is rounded +
