@@ -146,10 +146,13 @@ object Similarity {
         x => floor(x.cast("double") * col(scaleCol) + lit(0.5)).cast("int")))
   }
 
-  /** IVF-style coarse quantization: assign vectors to the nearest of
-    * `centroids` (small, broadcast); ANN probes `nProbe` nearest lists. */
+  /** IVF-style coarse quantization: assign each vector to its `nProbe`
+    * nearest `centroids` (small, broadcast). Corpus vectors use nProbe=1
+    * (one inverted list each); queries probe several lists — the standard
+    * IVF recall knob (rows = vector × probed list). */
   def ivfAssign(df: DataFrame, centroids: DataFrame, vecCol: String = "embedding",
-                centIdCol: String = "centroid_id", centVecCol: String = "centroid"): DataFrame = {
+                centIdCol: String = "centroid_id", centVecCol: String = "centroid",
+                nProbe: Int = 1): DataFrame = {
     val c = broadcast(centroids.select(col(centIdCol), col(centVecCol)))
     // similarity rounded to 6 decimals + centroid-id tie-break: the argmax is
     // deterministic and engine-portable (floating-point noise below 1e-6
@@ -158,7 +161,7 @@ object Similarity {
       .withColumn("__sim", round(cosine(col(vecCol), col(centVecCol)), 6))
     val w = Window.partitionBy(df.columns.map(col): _*)
       .orderBy(col("__sim").desc, col(centIdCol))
-    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nProbe)
       .drop("__sim", "__rn", centVecCol)
   }
 }

@@ -307,6 +307,52 @@ object PipelineQueries {
         |SELECT query_id, neighbor_id, score, rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    "td_ann_ivf_probe2" -> Entry((s, dir) => {
+      // nProbe=2: queries search their two nearest inverted lists — IVF's
+      // recall knob (the corpus stays one-list-per-vector)
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val corpus = Similarity.ivfAssign(emb, centroids)
+      val queries = Similarity.ivfAssign(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+        centroids, vecCol = "qvec", nProbe = 2)
+      val scored = corpus.join(queries, Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("score", round(Similarity.cosine(col("embedding"), col("qvec")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some(
+      """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS centroid
+        |  FROM embeddings WHERE vec_id % 64 = 0
+        |), ranked_asg AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(c.centroid AS DOUBLE[])), 6) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e CROSS JOIN cent c
+        |), asg AS (
+        |  SELECT vec_id, embedding, centroid_id FROM ranked_asg WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec, centroid_id
+        |  FROM ranked_asg WHERE vec_id < 10 AND rn <= 2
+        |), scored AS (
+        |  SELECT q.query_id, a.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])), 4) AS score
+        |  FROM asg a JOIN q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, score, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     "td_quantize" -> Entry((s, dir) => {
       // int8 scalar quantization; floor(x*scale + 0.5) is engine-portable, so
       // the quantized vectors hash-check exactly against DuckDB

@@ -77,6 +77,25 @@ class IntervalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("expand(keepPartial) partitions ANY interval exactly — no gap, no overlap") {
+    val unit = IntervalUnit.Hour
+    val H = 3600000L
+    val r = rnd(5)
+    (1 to 200).foreach { _ =>
+      // arbitrary sub-unit edges on both sides
+      val start = r.nextLong(72L * H)
+      val iv = Interval(start, start + 1 + r.nextLong(48L * H))
+      val parts = IntervalAlgebra.expand(iv, unit, keepPartial = true)
+      assert(parts.head.start == iv.start && parts.last.end == iv.end)
+      parts.sliding(2).foreach {
+        case Vector(a, b) => assert(a.end == b.start)
+        case _ => ()
+      }
+      // interior boundaries are unit-aligned
+      parts.dropRight(1).foreach(p => assert(p.end % H == 0))
+    }
+  }
+
   test("fingerprint is stable under whitespace/comment/case noise") {
     val r = rnd(5)
     (1 to 100).foreach { _ =>
