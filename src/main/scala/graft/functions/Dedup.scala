@@ -166,6 +166,24 @@ object Dedup {
     labels
   }
 
+  /** Benchmark-contamination detection: corpus documents sharing at least
+    * `minOverlap` distinct word n-grams with ANY document of `benchmark`
+    * (the canonical "is eval data in the training set" check). Inverted-index
+    * semi-join on the shingle — shuffle ∝ shared postings, never the
+    * corpus × benchmark product; the benchmark side is typically tiny and
+    * broadcastable. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val corpusSh = shingles(corpus, textCol, idCol, n)
+    val benchSh = shingles(benchmark, textCol, idCol, n)
+      .select(col(idCol).as("bench_id"), col("shingle"))
+    corpusSh.join(benchSh, "shingle")
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: inverted index on shingles (the
     * bucket key), intersection counted per pair, |A∪B| = |A|+|B|−|A∩B|.
     * Shuffle ∝ Σ shingle postings, not n². */

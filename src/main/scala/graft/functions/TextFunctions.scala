@@ -85,6 +85,26 @@ object TextFunctions {
   def contentKey(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Unigram language-model quality score: mean log10 corpus probability of
+    * a document's tokens (add-one smoothed). The cheap statistical
+    * perplexity proxy used for quality filtering — far-from-corpus documents
+    * (wrong language, boilerplate, noise) score low. Two aggregations: token
+    * counts over the corpus, then a token→frequency join back; shuffle ∝
+    * token postings. */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => length(w) > 0))
+          .as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = toks.count().toDouble
+    val vSize = vocab.count().toDouble
+    toks.join(vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log10((col("tf") + 1) / lit(total + vSize))), 4).as("mean_logp"))
+  }
+
   /** Apply the full text-analysis bundle to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -442,6 +442,53 @@ object PipelineQueries {
       """SELECT user_id, min(epoch_us(ts)) AS ts_us FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ------------------------- contamination / LM quality ----------------
+    "td_contamination" -> Entry((s, dir) => {
+      // "is eval data in the training set": every 50th doc plays the
+      // benchmark; corpus docs sharing >= 5 distinct 3-grams are flagged
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          n = 3, minOverlap = 5)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+2], ' ')) > 0
+        |)
+        |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+        |FROM sh c JOIN sh b ON c.shingle = b.shingle
+        |WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+        |GROUP BY c.doc_id, b.doc_id
+        |HAVING count(*) >= 5
+        |ORDER BY c.doc_id, bench_id""".stripMargin)),
+
+    "td_unigram_lm" -> Entry((s, dir) => {
+      graft.functions.TextFunctions.unigramLogProb(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0)) AS tok
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+        |), sizes AS (
+        |  SELECT (SELECT count(*) FROM toks) AS total,
+        |         (SELECT count(*) FROM vocab) AS vsize
+        |)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(avg(log10((v.tf + 1) / (s.total + s.vsize))), 4) AS mean_logp
+        |FROM toks t JOIN vocab v USING (tok), sizes s
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
     // ------------------------------ deterministic sampling / splits ------
     // hash-based (not random): same row → same sample/split on every run and
     // every engine — the reproducibility property dataset curation needs
