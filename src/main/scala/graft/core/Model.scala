@@ -35,7 +35,16 @@ final case class Model(
     clusteredBy: Seq[String] = Nil,
     preStatements: Seq[String] = Nil,
     postStatements: Seq[String] = Nil,
-    allowPartials: Boolean = false) {
+    allowPartials: Boolean = false,
+    /** declared output schema contract (reference `columns (...)`,
+      * model/definition.py columns_to_types): when present, every insert is
+      * cast/projected to exactly these columns — a rename or type drift in
+      * the body fails loudly instead of silently changing the table. */
+    columns: Seq[(String, String)] = Nil,
+    /** forward-only migration guard (reference on_destructive_change):
+      * "error" (default) aborts a migration that drops/narrows columns,
+      * "warn" prints and proceeds, "allow" is silent. */
+    onDestructiveChange: String = "error") {
 
   require(name.nonEmpty)
   def schemaName: String = name.split('.').dropRight(1).mkString(".") match {

@@ -56,6 +56,7 @@ object Fingerprint {
   def of(model: Model, renderedBody: String, parents: Seq[SnapshotFingerprint]): SnapshotFingerprint = {
     val dataParts = Seq(canonicalSql(renderedBody), model.name, model.storageFormat) ++
       model.kind.dataFields ++ model.partitionedBy ++ model.clusteredBy ++
+      model.columns.map { case (c, t) => s"$c:${t.toLowerCase}" } ++
       model.preStatements.map(canonicalSql) ++ model.postStatements.map(canonicalSql)
     val metaParts = Seq(model.cron, model.owner.getOrElse(""), model.description.getOrElse("")) ++
       model.tags ++ model.grains ++

@@ -114,7 +114,20 @@ object ModelLoader {
       clusteredBy = props.get("clustered_by").map(listOf).getOrElse(Nil),
       preStatements = statements.take(qIdx),
       postStatements = statements.drop(qIdx + 1),
-      allowPartials = props.get("allow_partials").exists(_.trim.toBoolean))
+      allowPartials = props.get("allow_partials").exists(_.trim.toBoolean),
+      columns = props.get("columns").map(parseColumns).getOrElse(Nil),
+      onDestructiveChange = unq(props.getOrElse("on_destructive_change", "error")).toLowerCase)
+  }
+
+  /** `columns (a INT, b STRING)` — declared schema contract. */
+  private def parseColumns(spec: String): Seq[(String, String)] = {
+    val t = spec.trim
+    val inner = if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1) else t
+    splitTopLevel(inner, ',').map { cd =>
+      val sp = cd.trim.indexWhere(_.isWhitespace)
+      require(sp > 0, s"column declaration needs `name TYPE`: $cd")
+      (cd.trim.substring(0, sp), cd.trim.substring(sp + 1).trim)
+    }
   }
 
   // ------------------------------------------------------------------ kinds

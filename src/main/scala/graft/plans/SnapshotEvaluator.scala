@@ -144,18 +144,26 @@ class SnapshotEvaluator(
 
     s.model.preStatements.foreach(st => spark.sql(renderStatement(s, st, interval, executionTs, mapping, thisName)))
 
-    def rendered: DataFrame = s.model.body match {
-      case SqlBody(_) =>
-        spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs, mapping,
-          variables, thisModel = Some(thisName), macros = macros))
-      case ScalaBody(fn) => fn(spark, mapping, interval.start, interval.end)
-      case SeedBody(path) =>
-        val opts = s.model.kind match {
-          case k: ModelKind.Seed => k.options
-          case _ => Map.empty[String, String]
-        }
-        spark.read.option("header", "true").option("inferSchema", "true")
-          .options(opts).csv(path)
+    def rendered: DataFrame = {
+      val df = s.model.body match {
+        case SqlBody(_) =>
+          spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs, mapping,
+            variables, thisModel = Some(thisName), macros = macros))
+        case ScalaBody(fn) => fn(spark, mapping, interval.start, interval.end)
+        case SeedBody(path) =>
+          val opts = s.model.kind match {
+            case k: ModelKind.Seed => k.options
+            case _ => Map.empty[String, String]
+          }
+          spark.read.option("header", "true").option("inferSchema", "true")
+            .options(opts).csv(path)
+      }
+      // declared-columns contract (columns_to_types): project + cast to
+      // exactly the declared schema; a missing column fails analysis loudly
+      if (s.model.columns.isEmpty) df
+      else df.select(s.model.columns.map { case (c, t) =>
+        org.apache.spark.sql.functions.col(c).cast(t).as(c)
+      }: _*)
     }
 
     // write-audit-publish: remember the published version so a failing audit
@@ -257,6 +265,18 @@ class SnapshotEvaluator(
       case ScalaBody(fn) => fn(spark, mapping, start, end).schema
       case SeedBody(path) =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(path).schema
+    }
+    // on_destructive_change guard (reference model attr): forward-only
+    // migrations that would drop/narrow columns abort (or warn) — history
+    // destruction must be opted into, never accidental
+    val ops = graft.adapter.SchemaDiffer.diff(materializer.read(t).schema, target)
+    if (graft.adapter.SchemaDiffer.isDestructive(ops)) s.model.onDestructiveChange match {
+      case "allow" => ()
+      case "warn" =>
+        System.err.println(s"[graft] WARN destructive migration of ${s.model.name}: $ops")
+      case _ => throw new IllegalStateException(
+        s"destructive schema change on forward-only model ${s.model.name}: $ops " +
+          "(set on_destructive_change to 'warn' or 'allow' to permit)")
     }
     materializer.migrate(t, target)
   }

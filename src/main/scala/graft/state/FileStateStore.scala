@@ -227,6 +227,11 @@ final class FileStateStore(
     o.set[JsonNode]("pre", strArr(m.preStatements))
     o.set[JsonNode]("post", strArr(m.postStatements))
     o.put("allow_partials", m.allowPartials)
+    if (m.columns.nonEmpty) {
+      val cols = o.putObject("columns")
+      m.columns.foreach { case (c, t) => cols.put(c, t) }
+    }
+    o.put("on_destructive_change", m.onDestructiveChange)
     o
   }
 
@@ -262,7 +267,14 @@ final class FileStateStore(
       clusteredBy = seqOf(n.path("clustered_by")),
       preStatements = seqOf(n.path("pre")),
       postStatements = seqOf(n.path("post")),
-      allowPartials = n.path("allow_partials").asBoolean())
+      allowPartials = n.path("allow_partials").asBoolean(),
+      columns = {
+        val b = Seq.newBuilder[(String, String)]
+        n.path("columns").properties().forEach(e => b += e.getKey -> e.getValue.asText())
+        b.result()
+      },
+      onDestructiveChange = Option(n.get("on_destructive_change"))
+        .map(_.asText()).getOrElse("error"))
   }
 
   private def kindJson(k: ModelKind): ObjectNode = {

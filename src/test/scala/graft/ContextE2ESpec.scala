@@ -294,6 +294,42 @@ class ContextE2ESpec extends AnyFunSuite {
       Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-06"))))
   }
 
+  test("declared columns contract casts output and rejects drift") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.contract", SqlBody(
+      "SELECT o_custkey, count(*) AS n FROM raw.orders GROUP BY o_custkey"),
+      columns = Seq("o_custkey" -> "BIGINT", "n" -> "INT")))
+    ctx.apply(ctx.plan("prod", 0, D))
+    // declared INT wins over count(*)'s natural BIGINT
+    assert(spark.table("mart.contract").schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // a body rename breaks the contract loudly
+    val ctx2 = newCtx()
+    ctx2.addModel(Model("mart.contract2", SqlBody(
+      "SELECT o_custkey, count(*) AS renamed FROM raw.orders GROUP BY o_custkey"),
+      columns = Seq("o_custkey" -> "BIGINT", "n" -> "INT")))
+    assertThrows[Exception](ctx2.apply(ctx2.plan("prod", 0, D)))
+  }
+
+  test("on_destructive_change guards forward-only migrations") {
+    def body(cols: String) = SqlBody(
+      s"SELECT o_custkey$cols FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt")
+    def mk(name: String, cols: String, guard: String) = Model(name, body(cols),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate", forwardOnly = true),
+      start = Some(dayMs("1995-01-01")), onDestructiveChange = guard)
+    val ctx = newCtx()
+    ctx.addModel(mk("mart.guard", ", o_totalprice, o_orderdate", "error"))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
+    // dropping o_totalprice is destructive → default errors
+    ctx.addModel(mk("mart.guard", ", o_orderdate", "error"))
+    assertThrows[IllegalStateException](
+      ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05"))))
+    // 'allow' permits it
+    ctx.addModel(mk("mart.guard", ", o_orderdate", "allow"))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
+    assert(!spark.table("mart.guard").columns.contains("o_totalprice"))
+  }
+
   test("dev environments expire via the janitor; destroy removes everything") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.ttl_m", SqlBody(
