@@ -58,6 +58,20 @@ object Dedup {
         s => length(s) > 0))).as("shingle"))
   }
 
+  /** Exploded (id, shingle) n-grams WITHOUT distinctness — the repetition
+    * analysis input ([[TextFunctions.repetitionSignals]] counts duplicate
+    * n-grams, so collapsing them here would erase the signal). Same
+    * tokenizer and generator shape as [[shingles]]. */
+  def ngrams(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      w => length(w) > 0)
+    docs.select(col(idCol), words.as("__words"))
+      .select(col(idCol), explode(filter(
+        transform(sequence(lit(0), greatest(size(col("__words")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("__words"), i + 1, lit(n)))),
+        s => length(s) > 0)).as("shingle"))
+  }
+
   /** MinHash signature per document as ONE array column: k "permutations" via
     * portable double hashing (one md5 per shingle, slot j = min(h1 + j·h2) —
     * see [[PortableHash]]), each signature slot a separate min-aggregate — a

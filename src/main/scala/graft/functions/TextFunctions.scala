@@ -105,6 +105,52 @@ object TextFunctions {
         round(avg(log10((col("tf") + 1) / lit(total + vSize))), 4).as("mean_logp"))
   }
 
+  /** Word/n-gram repetition signals (the Gopher-rules repetition family:
+    * duplicate-token fraction and most-frequent-token fraction — boilerplate
+    * and spam score high on both). Tokens are lowercased alphanumeric runs;
+    * `n` > 1 measures n-gram repetition (Gopher's duplicate 2-/3-gram
+    * checks). Two aggregations, shuffle ∝ token postings — never holds a
+    * whole document's token multiset in one row. */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", n: Int = 1): DataFrame = {
+    val toks =
+      if (n <= 1)
+        docs.select(col(idCol),
+          explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+            w => length(w) > 0)).as("tok"))
+      else Dedup.ngrams(docs, textCol, idCol, n).withColumnRenamed("shingle", "tok")
+    val counts = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col(idCol), col("n_toks"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_toks"), 4).as("dup_frac"),
+        round(col("top_count") / col("n_toks"), 4).as("top_frac"))
+  }
+
+  // PII patterns: ASCII-only regex syntax shared by Java and RE2, so any
+  // engine reproduces the redaction byte-for-byte.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+  /** PII redaction at scan speed: emails, IPv4 addresses, and international
+    * phone numbers replaced with typed placeholders. Email first (it may
+    * embed digit runs), phone before IPv4 is irrelevant (disjoint shapes).
+    * Pure regexp_replace chain — codegen'd, no UDF. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
+  /** Per-kind PII match counts (audit/reporting companion to [[scrubPii]]). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailRe)),
+    "n_phones" -> regexp_count(text, lit(phoneRe)),
+    "n_ips" -> regexp_count(regexp_replace(text, phoneRe, "<PHONE>"), lit(ipv4Re)))
+
   /** Apply the full text-analysis bundle to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

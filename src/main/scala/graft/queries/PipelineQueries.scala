@@ -535,6 +535,114 @@ object PipelineQueries {
         |  WHEN 'src2' THEN 0.25 ELSE 0.0 END * 10000) AS BIGINT)
         |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ------------------------------------------ sequence packing ---------
+    "td_seq_pack" -> Entry((s, dir) => {
+      // concat-then-chunk training-sequence packing, per source shard:
+      // deterministic doc order, cumulative token offsets, 2048-token packs
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextFunctions.wordCount(col("text")))
+      graft.functions.Packing.packStats(docs, "n_tokens", budget = 2048,
+          shardCol = "source", orderCol = "doc_id")
+        .orderBy(col("source"), col("pack_id"))
+    }, Some(
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS token_offset
+        |  FROM tk
+        |)
+        |SELECT source, CAST(floor(token_offset / 2048.0) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY source, pack_id
+        |ORDER BY source, pack_id""".stripMargin)),
+
+    // ------------------------------------- repetition quality rules ------
+    "td_repetition" -> Entry((s, dir) => {
+      // Gopher-rules repetition family: duplicate/top fractions at word and
+      // bigram granularity — boilerplate and spam score high on both
+      val docs = t(s, dir, "documents")
+      val uni = TextFunctions.repetitionSignals(docs)
+      val bi = TextFunctions.repetitionSignals(docs, n = 2)
+        .select(col("doc_id"), col("dup_frac").as("dup_bigram_frac"),
+          col("top_frac").as("top_bigram_frac"))
+      uni.join(bi, "doc_id").orderBy(col("doc_id"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0)) AS tok
+        |  FROM documents
+        |), uc AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+        |), uni AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks, count(*) AS n_distinct,
+        |    round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_frac,
+        |    round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_frac
+        |  FROM uc GROUP BY doc_id
+        |), words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS tok
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 1, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+1], ' ')) > 0
+        |), bc AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM bg GROUP BY doc_id, tok
+        |), bi AS (
+        |  SELECT doc_id,
+        |    round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_bigram_frac,
+        |    round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+        |  FROM bc GROUP BY doc_id
+        |)
+        |SELECT uni.doc_id, n_toks, n_distinct, dup_frac, top_frac,
+        |  dup_bigram_frac, top_bigram_frac
+        |FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+        |ORDER BY uni.doc_id""".stripMargin)),
+
+    // --------------------------------------------- PII scrubbing ---------
+    "td_pii_scrub" -> Entry((s, dir) => {
+      // deterministic synthetic PII woven into the corpus (the raw corpus is
+      // synthetic words), then redacted + counted; the scrubbed text
+      // hash-checks byte-for-byte against DuckDB's RE2 replacements
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com via 10."),
+          (col("doc_id") % 200 + 1).cast("string"), lit(".0.1 or +1-555-"),
+          (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+          (col("doc_id") % 9000 + 1000).cast("string")).as("text"))
+      val counts = TextFunctions.piiCounts(col("text"))
+      withPii.select(col("doc_id") +: counts.map { case (n, c) => c.as(n) } :+
+          md5(TextFunctions.scrubPii(col("text"))).as("scrubbed_md5"): _*)
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com via 10.'
+        |      || CAST(doc_id % 200 + 1 AS VARCHAR) || '.0.1 or +1-555-'
+        |      || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+        |      || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(regexp_replace(text,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
     // --------------------------------------------- text analysis ---------
     "td_text_quality" -> Entry((s, dir) => {
       val docs = t(s, dir, "documents")

@@ -88,6 +88,70 @@ object YamlModelTest {
       expectedCtes = ctes))
   }
 
+  /** Auto-generate a YAML unit test from LIVE data (reference `sqlmesh
+    * create_test`, cli/main.py:677): sample up to `limit` rows from each
+    * upstream relation, execute the model's rendered query on exactly those
+    * rows, and emit the YAML fixture whose expectations match — a regression
+    * pin of today's behavior that [[runAll]] replays hermetically. */
+  def fromLive(spark: SparkSession, testName: String, model: Model,
+               resolve: String => DataFrame, limit: Int = 10,
+               start: Long = 0L, end: Long = 86400000L,
+               executionTs: Long = 0L): String = {
+    val deps = model.references.toSeq.sorted
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val mapping = deps.map { d =>
+      val view = s"__live_${d.replace('.', '_')}_$suffix"
+      d -> view
+    }.toMap
+    try {
+      val inputRows = deps.map { d =>
+        val df = resolve(d).limit(limit).cache()
+        df.createOrReplaceTempView(mapping(d))
+        d -> df
+      }
+      val out = graft.plans.Renderer.evaluate(spark, model, start, end,
+        executionTs, mapping)
+
+      val root = mapper.createObjectNode()
+      val test = root.putObject(testName)
+      test.put("model", model.name)
+      val inputs = test.putObject("inputs")
+      inputRows.foreach { case (d, df) =>
+        dfToRows(df, inputs.putObject(d).putArray("rows"))
+      }
+      dfToRows(out, test.putObject("outputs").putObject("query").putArray("rows"))
+      mapper.writeValueAsString(root)
+    } finally mapping.values.foreach(spark.catalog.dropTempView(_))
+  }
+
+  /** Serialize a DataFrame's rows into a YAML `rows:` array, typed the way
+    * [[rowsToDf]] reads them back (long/double/boolean/string). */
+  private def dfToRows(df: DataFrame,
+                       arr: com.fasterxml.jackson.databind.node.ArrayNode): Unit = {
+    val cols = df.columns
+    df.collect().foreach { r =>
+      val o = arr.addObject()
+      cols.zipWithIndex.foreach { case (c, i) =>
+        r.get(i) match {
+          case null => o.putNull(c)
+          case b: java.lang.Boolean => o.put(c, b.booleanValue())
+          case n: java.lang.Byte => o.put(c, n.longValue())
+          case n: java.lang.Short => o.put(c, n.longValue())
+          case n: java.lang.Integer => o.put(c, n.longValue())
+          case n: java.lang.Long => o.put(c, n.longValue())
+          case n: java.lang.Float => o.put(c, n.doubleValue())
+          case n: java.lang.Double => o.put(c, n.doubleValue())
+          case n: java.math.BigDecimal => o.put(c, n.doubleValue())
+          // ISO instant matches ModelTest.normalize's comparison form; the
+          // replayed fixture input becomes a string column (same lossy
+          // coercion the reference's create_test applies)
+          case t: java.sql.Timestamp => o.put(c, t.toInstant.toString)
+          case other => o.put(c, other.toString)
+        }
+      }
+    }
+  }
+
   private def rowsOf(n: JsonNode): Seq[JsonNode] = {
     val arr = if (n.has("rows")) n.path("rows") else n
     arr.elements().asScala.toSeq

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class TextQualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("repetitionSignals: duplicate and top-token fractions at word level") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),          // 4 toks, 1 distinct
+      (2L, "all words here are unique")).toDF("doc_id", "text")
+    val out = TextFunctions.repetitionSignals(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(out == Set(
+      (1L, 4L, 1L, 0.75, 1.0),
+      (2L, 5L, 5L, 0.0, 0.2)))
+  }
+
+  test("repetitionSignals n=2 measures bigram repetition") {
+    // "a b a b a" → bigrams: "a b","b a","a b","b a" → 4 toks, 2 distinct
+    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val Array(r) = TextFunctions.repetitionSignals(docs, n = 2).collect()
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)) ==
+      ((4L, 2L, 0.5, 0.5)))
+  }
+
+  test("scrubPii redacts emails, phones, and IPv4s; counts match") {
+    val text = "mail bob.smith+x@corp.example.org or call +1-555-123-4567 " +
+      "from 192.168.0.1 but not v1.2 or 1.2.3.4.5 leftover"
+    val df = Seq(text).toDF("text")
+      .select(TextFunctions.scrubPii(col("text")).as("s") +:
+        TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val r = df.collect()(0)
+    val scrubbed = r.getString(0)
+    assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>") && scrubbed.contains("<IP>"))
+    assert(!scrubbed.contains("@") && !scrubbed.contains("555-123"))
+    assert(scrubbed.contains("v1.2"))  // not an IP
+    // 1.2.3.4.5: the first four octets match the IPv4 shape — redacted;
+    // documented behavior of the \b-bounded pattern ("\b" sits between 4 and .5)
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) >= 1)
+  }
+
+  test("scrubPii leaves clean text untouched") {
+    val df = Seq("perfectly ordinary text with numbers 12 34").toDF("text")
+      .select(TextFunctions.scrubPii(col("text")).as("s"))
+    assert(df.collect()(0).getString(0) ==
+      "perfectly ordinary text with numbers 12 34")
+  }
+}
