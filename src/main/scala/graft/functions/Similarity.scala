@@ -146,6 +146,35 @@ object Similarity {
         x => floor(x.cast("double") * col(scaleCol) + lit(0.5)).cast("int")))
   }
 
+  /** Lloyd iterations for IVF centroid training, as pure DataFrame jobs:
+    * assign (broadcast centroids, deterministic argmax) → recompute
+    * (dimension-wise member mean via posexplode + two-phase aggregation).
+    * Per iteration: one broadcast join + two shuffles on (centroid, dim) /
+    * centroid — centroid count is small, so the recompute side is tiny
+    * regardless of corpus size; no vector ever reaches the driver. Means are
+    * rounded to 6 decimals and assignments are rounded + id-tie-broken, so
+    * the whole training trajectory is deterministic and engine-portable.
+    * Centroids that lose all members drop out (standard Lloyd behavior). */
+  def kmeansIterate(df: DataFrame, init: DataFrame, iterations: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centIdCol: String = "centroid_id",
+                    centVecCol: String = "centroid"): DataFrame = {
+    var cent = init
+    for (_ <- 1 to iterations) {
+      val asg = ivfAssign(df.select(col(idCol), col(vecCol)), cent,
+        vecCol, centIdCol, centVecCol)
+      cent = asg.select(col(centIdCol), posexplode(col(vecCol)))
+        .groupBy(col(centIdCol), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col(centIdCol))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__dm"))
+        .select(col(centIdCol),
+          transform(col("__dm"),
+            s => round(s.getField("m"), 6).cast("float")).as(centVecCol))
+    }
+    cent
+  }
+
   /** IVF-style coarse quantization: assign each vector to its `nProbe`
     * nearest `centroids` (small, broadcast). Corpus vectors use nProbe=1
     * (one inverted list each); queries probe several lists — the standard

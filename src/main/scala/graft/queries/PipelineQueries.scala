@@ -535,6 +535,103 @@ object PipelineQueries {
         |  WHEN 'src2' THEN 0.25 ELSE 0.0 END * 10000) AS BIGINT)
         |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ------------------------------------------ keyword retrieval --------
+    "td_top_terms" -> Entry((s, dir) => {
+      graft.functions.Search.topTerms(t(s, dir, "documents"), k = 20)
+    }, Some(
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0)) AS term
+        |  FROM documents
+        |)
+        |SELECT term, count(*) AS n FROM toks
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin)),
+
+    "td_bm25" -> Entry((s, dir) => {
+      graft.functions.Search.bm25(t(s, dir, "documents"),
+        terms = Seq("merge", "spark", "window"), topK = 10)
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0)) AS tok
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('merge', 'spark', 'window') GROUP BY doc_id, tok
+        |), dfreq AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+        |      * (tf.tf * (1.2 + 1))
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS w
+        |  FROM tf JOIN dfreq d USING (tok) JOIN dl USING (doc_id), stats s
+        |)
+        |SELECT doc_id, round(sum(w), 4) AS score, count(*) AS n_matched
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // --------------------------------------- IVF centroid training -------
+    "td_kmeans" -> Entry((s, dir) => {
+      // two Lloyd iterations from deterministic seeds, then a final
+      // assignment: the IVF training path (td_ann_ivf consumes the lists)
+      val emb = t(s, dir, "embeddings")
+      val init = emb.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val trained = Similarity.kmeansIterate(emb, init, iterations = 2)
+      val asg = Similarity.ivfAssign(emb.select(col("vec_id"), col("embedding")), trained)
+      asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_members"))
+        .join(trained.select(col("centroid_id"),
+          round(aggregate(col("centroid"), lit(0.0d),
+            (a, v) => a + v.cast("double")), 4).as("centroid_sum")), "centroid_id")
+        .orderBy(col("centroid_id"))
+    }, Some(
+      """WITH cent0 AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 64 = 0
+        |), asg1 AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cent0 c) WHERE rn = 1
+        |), cent1 AS (
+        |  SELECT cid, list(CAST(round(m, 6) AS REAL) ORDER BY dim) AS cv FROM (
+        |    SELECT a.cid, i AS dim, avg(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+        |    FROM asg1 a, UNNEST(range(1, len(a.embedding) + 1)) AS u(i)
+        |    GROUP BY a.cid, i)
+        |  GROUP BY cid
+        |), asg2 AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cent1 c) WHERE rn = 1
+        |), cent2 AS (
+        |  SELECT cid, list(CAST(round(m, 6) AS REAL) ORDER BY dim) AS cv FROM (
+        |    SELECT a.cid, i AS dim, avg(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+        |    FROM asg2 a, UNNEST(range(1, len(a.embedding) + 1)) AS u(i)
+        |    GROUP BY a.cid, i)
+        |  GROUP BY cid
+        |), asgf AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cent2 c) WHERE rn = 1
+        |)
+        |SELECT a.cid AS centroid_id, a.n_members, c.centroid_sum
+        |FROM (SELECT cid, count(*) AS n_members FROM asgf GROUP BY cid) a
+        |JOIN (SELECT cid, round(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE))), 4)
+        |        AS centroid_sum FROM cent2) c USING (cid)
+        |ORDER BY centroid_id""".stripMargin)),
+
     // ------------------------------------------ sequence packing ---------
     "td_seq_pack" -> Entry((s, dir) => {
       // concat-then-chunk training-sequence packing, per source shard:
