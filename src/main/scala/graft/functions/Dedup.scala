@@ -198,6 +198,27 @@ object Dedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /** Cross-document span duplication (the exact-substring dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    * at word-window granularity): a span = a `w`-word window at every
+    * position; a span is duplicated when it occurs in ≥2 distinct documents.
+    * Returns per-doc (n_spans, dup_spans, dup_frac) — the fraction of the
+    * document covered by cross-corpus boilerplate, the standard cut signal.
+    * Inverted index on the span: shuffle ∝ total span postings, never the
+    * doc-pair product; map-side partial aggregation collapses each doc's
+    * repeated spans before the exchange. */
+  def crossDocSpans(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", w: Int = 8): DataFrame = {
+    val spans = ngrams(docs, textCol, idCol, w) // every position, duplicates kept
+    val docsPerSpan = spans.select(col(idCol), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__n_docs"))
+    spans.join(docsPerSpan, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__n_docs") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_frac", round(col("dup_spans") / col("n_spans"), 4))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: inverted index on shingles (the
     * bucket key), intersection counted per pair, |A∪B| = |A|+|B|−|A∩B|.
     * Shuffle ∝ Σ shingle postings, not n². */

@@ -59,4 +59,17 @@ object Sampling {
     }
     df.filter(b < (rate * buckets).cast("long"))
   }
+
+  /** Stratified EXACT-quota sampling: the first `quota` rows of each group in
+    * hash-of-key order (+ key tie-break) — a deterministic uniform draw with
+    * a hard per-group cap, unlike rate-based [[sampleBy]] whose group sizes
+    * are only proportional in expectation. One shuffle on the group key; the
+    * window never sorts more than a group's rows per partition. */
+  def stratified(df: DataFrame, keyCol: String, groupCol: String, quota: Int,
+                 salt: String = ""): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(PortableHash.h60(concat_ws("", lit(salt), col(keyCol))), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota).drop("__rn")
+  }
 }

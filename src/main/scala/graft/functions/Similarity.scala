@@ -193,4 +193,116 @@ object Similarity {
     joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nProbe)
       .drop("__sim", "__rn", centVecCol)
   }
+
+  /** Squared L2 distance between two array columns (sequential HOF fold —
+    * deterministic accumulation order on every engine). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  // ------------------------------------------------------------------ PQ --
+
+  /** Explode each vector into its `m` subvectors: (id, sub ∈ [0,m),
+    * subvec of dim/m floats). The decomposition step of product quantization
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search"). */
+  def pqSubvectors(df: DataFrame, m: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val dsub = (size(col(vecCol)) / m).cast("int")
+    df.select(col(idCol), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col(vecCol), lit(s) * dsub + 1, dsub).as("subvec"))): _*)).as("__sv"))
+      .select(col(idCol), col("__sv.sub").as("sub"), col("__sv.subvec").as("subvec"))
+  }
+
+  /** Nearest sub-centroid per (vector, subspace): L2² rounded to 6 decimals +
+    * centroid-id tie-break (deterministic, engine-portable — same contract as
+    * [[ivfAssign]]). `cent` is (sub, cid, centroid), small, broadcast. */
+  def pqAssign(sv: DataFrame, cent: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    val c = broadcast(cent.select(col("sub"), col("cid"), col("centroid")))
+    val joined = sv.join(c, "sub")
+      .withColumn("__d", round(l2sq(col("subvec"), col("centroid")), 6))
+    val w = Window.partitionBy(col(idCol), col("sub")).orderBy(col("__d"), col("cid"))
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__d", "centroid")
+  }
+
+  /** PQ codebook training: per-subspace Lloyd iterations over the subvector
+    * relation. Init = subvectors of every `initStep`-th id (deterministic).
+    * Per iteration: one broadcast join + two small shuffles keyed by
+    * (sub, cid[, pos]) — the recompute side is centroid-count-sized
+    * regardless of corpus size. Returns (sub, cid, centroid). */
+  def pqTrain(df: DataFrame, m: Int, initStep: Int, iterations: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sv = pqSubvectors(df, m, idCol, vecCol)
+    var cent = pqSubvectors(df.filter(col(idCol) % initStep === 0), m, idCol, vecCol)
+      .select(col("sub"), col(idCol).as("cid"), col("subvec").as("centroid"))
+    for (_ <- 1 to iterations) {
+      cent = pqAssign(sv, cent, idCol)
+        .select(col("sub"), col("cid"), posexplode(col("subvec")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__dm"))
+        .select(col("sub"), col("cid"),
+          transform(col("__dm"), s => round(s.getField("m"), 6).cast("float")).as("centroid"))
+    }
+    cent
+  }
+
+  /** PQ encoding: each vector compressed to m centroid codes — (id, sub, cid).
+    * At 64 dims × 4 bytes → m=4 single-byte codes this is the 64× memory
+    * compression that makes billion-vector ANN fit a cluster's RAM. */
+  def pqEncode(df: DataFrame, cent: DataFrame, m: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqAssign(pqSubvectors(df, m, idCol, vecCol), cent, idCol)
+      .select(col(idCol), col("sub"), col("cid"))
+
+  /** PQ asymmetric-distance top-k: per query, a distance TABLE (query
+    * subvector × each sub-centroid — |queries|·m·|cids| rows, broadcast) is
+    * summed over the corpus CODES via a (sub, cid) join — the corpus
+    * vectors themselves are never touched at query time. Approximate by
+    * construction (distances are to centroids, not originals). */
+  def pqTopK(codes: DataFrame, cent: DataFrame, queries: DataFrame, k: Int, m: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             queryIdCol: String = "query_id"): DataFrame = {
+    val qsv = pqSubvectors(queries.select(col(queryIdCol).as("__qid"), col(vecCol)),
+      m, "__qid", vecCol)
+    val dt = broadcast(qsv.join(cent.select(col("sub"), col("cid"), col("centroid")), "sub")
+      .select(col("__qid"), col("sub"), col("cid"),
+        round(l2sq(col("subvec"), col("centroid")), 6).as("__d")))
+    val scored = codes.join(dt, Seq("sub", "cid"))
+      .filter(col(idCol) =!= col("__qid"))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(round(sum(col("__d")), 6).as("adist"), count(lit(1)).as("__n"))
+      .filter(col("__n") === m) // self-exclusion drops whole vectors only
+    val w = Window.partitionBy(col("__qid")).orderBy(col("adist"), col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("__qid").as(queryIdCol), col(idCol).as("neighbor_id"),
+        col("adist"), col("rank"))
+  }
+
+  // ------------------------------------------------------------ SemDeDup --
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup = cluster embeddings, then
+    * drop all-but-one of each within-cluster near-identical group. Pairs are
+    * confined to a cluster, so the quadratic step is bounded by cluster size
+    * (the k-means analog of LSH bucketing); a removed row is any higher-id
+    * member of a ≥-threshold pair. Returns per-cluster (centroid_id,
+    * n_members, n_removed). */
+  def semDedup(df: DataFrame, centroids: DataFrame, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = ivfAssign(df.select(col(idCol), col(vecCol)), centroids, vecCol)
+    val pairs = asg.as("a").join(asg.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a.centroid_id").as("centroid_id"), col(s"b.$idCol").as(idCol))
+      .distinct()
+    asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_members"))
+      .join(pairs.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_removed")),
+        Seq("centroid_id"), "left")
+      .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+  }
 }

@@ -30,6 +30,31 @@ object PipelineQueries {
         |      FROM documents)
         |GROUP BY k ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------ cross-doc span duplication -----
+    "td_span_dedup" -> Entry((s, dir) => {
+      // exact-substring dedup signal (Lee et al.): fraction of each doc's
+      // 8-word windows that occur verbatim in another document
+      Dedup.crossDocSpans(t(s, dir, "documents"), w = 8)
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS s
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 7, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+7], ' ')) > 0
+        |), nd AS (
+        |  SELECT s, count(DISTINCT doc_id) AS n_docs FROM sp GROUP BY s
+        |)
+        |SELECT sp.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+        |  round(sum(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+        |FROM sp JOIN nd USING (s)
+        |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin)),
+
     // ------------------------------------- exact n-gram Jaccard pairs ----
     "td_ngram_jaccard" -> Entry((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.35)
@@ -535,6 +560,20 @@ object PipelineQueries {
         |  WHEN 'src2' THEN 0.25 ELSE 0.0 END * 10000) AS BIGINT)
         |GROUP BY source ORDER BY source""".stripMargin)),
 
+    "td_stratified_sample" -> Entry((s, dir) => {
+      // exact per-source quota in hash order — deterministic stratified draw
+      graft.functions.Sampling.stratified(t(s, dir, "documents"), "doc_id", "source",
+          quota = 20, salt = "st")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))
+    }, Some(
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST('0x' || substring(md5('st' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |      doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20
+        |ORDER BY source, doc_id""".stripMargin)),
+
     // ------------------------------------------ keyword retrieval --------
     "td_top_terms" -> Entry((s, dir) => {
       graft.functions.Search.topTerms(t(s, dir, "documents"), k = 20)
@@ -630,6 +669,102 @@ object PipelineQueries {
         |FROM (SELECT cid, count(*) AS n_members FROM asgf GROUP BY cid) a
         |JOIN (SELECT cid, round(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE))), 4)
         |        AS centroid_sum FROM cent2) c USING (cid)
+        |ORDER BY centroid_id""".stripMargin)),
+
+    // ----------------------------------------- product quantization ------
+    "td_pq" -> Entry((s, dir) => {
+      // PQ ANN: train per-subspace codebooks (1 Lloyd iteration from
+      // deterministic seeds), encode the corpus to m=4 codes, answer queries
+      // by asymmetric distance over the codes — corpus vectors untouched at
+      // query time (the 64× memory-compression ANN path)
+      val emb = t(s, dir, "embeddings")
+      val cent = Similarity.pqTrain(emb, m = 4, initStep = 64, iterations = 1)
+      val codes = Similarity.pqEncode(emb, cent, m = 4)
+      val q = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.pqTopK(codes, cent, q, k = 5, m = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some(
+      """WITH e AS (
+        |  SELECT vec_id, embedding, len(embedding) // 4 AS dsub FROM embeddings
+        |), sv AS (
+        |  SELECT vec_id, CAST(s AS INT) AS sub,
+        |    embedding[(s * dsub + 1):(s * dsub + dsub)] AS subvec
+        |  FROM e, UNNEST(range(0, 4)) AS u(s)
+        |), cent0 AS (
+        |  SELECT sub, vec_id AS cid, subvec AS centroid FROM sv WHERE vec_id % 64 = 0
+        |), asg0 AS (
+        |  SELECT vec_id, sub, subvec, cid FROM (
+        |    SELECT v.vec_id, v.sub, v.subvec, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |        round(list_sum(list_transform(range(1, len(v.subvec) + 1), i ->
+        |          (CAST(v.subvec[CAST(i AS INT)] AS DOUBLE) - CAST(c.centroid[CAST(i AS INT)] AS DOUBLE))
+        |          * (CAST(v.subvec[CAST(i AS INT)] AS DOUBLE) - CAST(c.centroid[CAST(i AS INT)] AS DOUBLE)))), 6),
+        |        c.cid) AS rn
+        |    FROM sv v JOIN cent0 c ON v.sub = c.sub) WHERE rn = 1
+        |), cent1 AS (
+        |  SELECT sub, cid, list(CAST(round(m, 6) AS REAL) ORDER BY dim) AS centroid FROM (
+        |    SELECT a.sub, a.cid, i AS dim, avg(CAST(a.subvec[CAST(i AS INT)] AS DOUBLE)) AS m
+        |    FROM asg0 a, UNNEST(range(1, len(a.subvec) + 1)) AS u(i)
+        |    GROUP BY a.sub, a.cid, i)
+        |  GROUP BY sub, cid
+        |), enc AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT v.vec_id, v.sub, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |        round(list_sum(list_transform(range(1, len(v.subvec) + 1), i ->
+        |          (CAST(v.subvec[CAST(i AS INT)] AS DOUBLE) - CAST(c.centroid[CAST(i AS INT)] AS DOUBLE))
+        |          * (CAST(v.subvec[CAST(i AS INT)] AS DOUBLE) - CAST(c.centroid[CAST(i AS INT)] AS DOUBLE)))), 6),
+        |        c.cid) AS rn
+        |    FROM sv v JOIN cent1 c ON v.sub = c.sub) WHERE rn = 1
+        |), dt AS (
+        |  SELECT v.vec_id AS query_id, v.sub, c.cid,
+        |    round(list_sum(list_transform(range(1, len(v.subvec) + 1), i ->
+        |      (CAST(v.subvec[CAST(i AS INT)] AS DOUBLE) - CAST(c.centroid[CAST(i AS INT)] AS DOUBLE))
+        |      * (CAST(v.subvec[CAST(i AS INT)] AS DOUBLE) - CAST(c.centroid[CAST(i AS INT)] AS DOUBLE)))), 6) AS d
+        |  FROM sv v JOIN cent1 c ON v.sub = c.sub
+        |  WHERE v.vec_id % 97 = 0
+        |), scored AS (
+        |  SELECT dt.query_id, n.vec_id AS neighbor_id, round(sum(dt.d), 6) AS adist
+        |  FROM enc n JOIN dt ON n.sub = dt.sub AND n.cid = dt.cid
+        |  WHERE n.vec_id <> dt.query_id
+        |  GROUP BY dt.query_id, n.vec_id HAVING count(*) = 4
+        |)
+        |SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank FROM (
+        |  SELECT query_id, neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // ----------------------------------------------- SemDeDup ------------
+    "td_semdedup" -> Entry((s, dir) => {
+      // semantic dedup: cluster by nearest centroid, near-identical pairs
+      // confined to a cluster (cluster size bounds the quadratic step), any
+      // higher-id member of a ≥-threshold pair is removed
+      val emb = t(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      Similarity.semDedup(emb, cent, threshold = 0.3)
+        .orderBy(col("centroid_id"))
+    }, Some(
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 64 = 0
+        |), asg AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+        |), rem AS (
+        |  SELECT DISTINCT a.cid, b.vec_id
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+        |)
+        |SELECT g.cid AS centroid_id, g.n_members, coalesce(r.n_removed, 0) AS n_removed
+        |FROM (SELECT cid, count(*) AS n_members FROM asg GROUP BY cid) g
+        |LEFT JOIN (SELECT cid, count(*) AS n_removed FROM rem GROUP BY cid) r USING (cid)
         |ORDER BY centroid_id""".stripMargin)),
 
     // ------------------------------------------ sequence packing ---------
