@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Product quantization, SemDeDup, stratified sampling, cross-doc spans. */
+class PqSemDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("pqSubvectors splits a vector into m contiguous slices") {
+    val df = Seq((1L, Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f))).toDF("vec_id", "embedding")
+    val sv = Similarity.pqSubvectors(df, m = 4).orderBy("sub")
+      .select("sub", "subvec").as[(Int, Array[Float])].collect()
+    assert(sv.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(sv.map(_._2.toSeq).toSeq ==
+      Seq(Seq(1f, 2f), Seq(3f, 4f), Seq(5f, 6f), Seq(7f, 8f)))
+  }
+
+  test("pq round-trip: an exact codebook vector reconstructs distance 0 to itself") {
+    val cent = Similarity.pqTrain(emb, m = 4, initStep = 16, iterations = 1)
+    val codes = Similarity.pqEncode(emb, cent, m = 4)
+    // every vector gets exactly m codes
+    val bad = codes.groupBy("vec_id").count().filter(col("count") =!= 4)
+    assert(bad.isEmpty)
+    // codes reference existing codebook entries
+    val orphan = codes.join(cent, Seq("sub", "cid"), "left_anti")
+    assert(orphan.isEmpty)
+  }
+
+  test("pqTopK ranks a near-identical vector first") {
+    // duplicate vec 0 as id 9999: its PQ codes equal vec 0's, so asymmetric
+    // distance from query 0 to 9999 is the minimum possible (table lookup sum)
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"), col("embedding"), lit(0).as("label"))
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label")).union(dup)
+    val cent = Similarity.pqTrain(corpus, m = 4, initStep = 16, iterations = 1)
+    val codes = Similarity.pqEncode(corpus, cent, m = 4)
+    val q = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Similarity.pqTopK(codes, cent, q, k = 1, m = 4).collect().head
+    assert(top.getAs[Long]("neighbor_id") == 9999L)
+  }
+
+  test("semDedup removes the higher id of a within-cluster near-identical pair") {
+    val base = emb.limit(20).select(col("vec_id"), col("embedding"))
+    val dup = base.filter(col("vec_id") === 3)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val df = base.union(dup)
+    val cent = base.limit(2)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val out = Similarity.semDedup(df, cent, threshold = 0.999)
+    // exactly one removal: 9999 (the higher id of the identical pair)
+    assert(out.agg(sum("n_removed")).head().getLong(0) == 1L)
+    assert(out.agg(sum("n_members")).head().getLong(0) == 21L)
+  }
+
+  test("stratified sampling: exact quota per group, deterministic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s1 = Sampling.stratified(docs, "doc_id", "source", quota = 5, salt = "x")
+    val counts = s1.groupBy("source").count().collect()
+    assert(counts.forall(_.getLong(1) <= 5))
+    val s2 = Sampling.stratified(docs, "doc_id", "source", quota = 5, salt = "x")
+    assert(s1.select("doc_id").exceptAll(s2.select("doc_id")).isEmpty)
+    // different salt draws a different sample (overwhelmingly likely)
+    val s3 = Sampling.stratified(docs, "doc_id", "source", quota = 5, salt = "y")
+    assert(!s1.select("doc_id").exceptAll(s3.select("doc_id")).isEmpty)
+  }
+
+  test("crossDocSpans flags only spans shared across distinct documents") {
+    val docs = Seq(
+      (1L, "a b c d e f g h tail one"),   // shares 9-word prefix with doc 2
+      (2L, "a b c d e f g h tail two"),
+      (3L, "completely different words that never repeat anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocSpans(docs, w = 8).orderBy("doc_id").collect()
+    // doc 1: 3 spans (10 words → 3 positions); the two spans inside the
+    // shared 9-word prefix ("a..h", "b..tail") are duplicated, the one
+    // containing the unique last word is not
+    assert(out(0).getAs[Long]("n_spans") == 3L)
+    assert(out(0).getAs[Long]("dup_spans") == 2L)
+    assert(out(2).getAs[Long]("dup_spans") == 0L)
+  }
+}
