@@ -69,7 +69,11 @@ class GraftContext(
     val variables: Map[String, String] = Map.empty,
     val durableState: Boolean = false,
     /** dev-environment TTL (reference `--environment-ttl`, default 1 week) */
-    val envTtlMs: Long = 7L * 24 * 3600 * 1000) {
+    val envTtlMs: Long = 7L * 24 * 3600 * 1000,
+    /** where dev environments live (EnvironmentSuffixTarget,
+      * config/common.py:22): "schema" → views in `<schema>__<env>`;
+      * "table" → views named `<table>__<env>` in the prod schema. */
+    val envSuffixTarget: String = "schema") {
 
   /** Durable contexts persist snapshots/intervals/environments under
     * `<workspace>/state` (reference state_sync/db), so a new context over the
@@ -383,13 +387,14 @@ class GraftContext(
     // EnvironmentRecordUpdate + VirtualLayerUpdate (materialized kinds only —
     // EMBEDDED/EXTERNAL have no physical object to point a view at)
     p.snapshots.filter(_.model.kind.isMaterialized).foreach(s =>
-      evaluator.promote(s, p.env, devFlags(s.model.name)))
+      evaluator.promote(s, p.env, devFlags(s.model.name), envSuffixTarget, executionTs))
     p.removed.foreach { name =>
-      state.latestSnapshot(name).foreach(s => evaluator.demote(s, p.env))
+      state.latestSnapshot(name).foreach(s => evaluator.demote(s, p.env, envSuffixTarget))
     }
     state.promoteEnvironment(EnvironmentRecord(
       p.env, p.snapshots.map(s => s.model.name -> s.version).toMap, finalized = false,
       identifiers = p.snapshots.map(s => s.model.name -> s.fingerprint.full).toMap,
+      suffixTarget = envSuffixTarget,
       // dev environments expire (environment.py expiration_ts, default 1w);
       // prod never does
       expirationTs = if (p.env == "prod") None else Some(executionTs + envTtlMs)))
@@ -454,10 +459,12 @@ class GraftContext(
   /** Demote an environment view by the state-recorded model NAME — works for
     * models no longer registered in this context (deleted from the project),
     * which `models.get` would silently skip, leaking views. */
-  private def demoteByName(envName: String, modelName: String): Unit = {
+  private def demoteByName(envName: String, modelName: String,
+                           suffixTarget: String = "schema"): Unit = {
     val parts = modelName.split('.')
     val schema = parts.dropRight(1).mkString(".") match { case "" => "default"; case x => x }
-    materializer.demote(SparkMaterializer.envDb(schema, envName), parts.last)
+    val (db, view) = SparkMaterializer.envLocation(schema, parts.last, envName, suffixTarget)
+    materializer.demote(db, view)
   }
 
   /** Invalidate an environment (reference `sqlmesh invalidate`): drop its
@@ -465,7 +472,7 @@ class GraftContext(
   def invalidateEnvironment(env: String): Unit = {
     require(env != "prod", "refusing to invalidate prod")
     state.getEnvironment(env).foreach { rec =>
-      rec.snapshots.keys.foreach(name => demoteByName(env, name))
+      rec.snapshots.keys.foreach(name => demoteByName(env, name, rec.suffixTarget))
     }
     state.promoteEnvironment(EnvironmentRecord(env, Map.empty, finalized = true))
   }
@@ -475,7 +482,7 @@ class GraftContext(
     * no environment references. */
   def janitor(now: Long = System.currentTimeMillis()): Unit = {
     state.expiredEnvironments(now).foreach { rec =>
-      rec.snapshots.keys.foreach(name => demoteByName(rec.name, name))
+      rec.snapshots.keys.foreach(name => demoteByName(rec.name, name, rec.suffixTarget))
       state.deleteEnvironment(rec.name)
     }
     state.expiredSnapshots.foreach { s =>
@@ -490,7 +497,7 @@ class GraftContext(
     * and all state records. Irreversible; refuses nothing. */
   def destroy(): Unit = {
     state.environments.foreach { rec =>
-      rec.snapshots.keys.foreach(name => demoteByName(rec.name, name))
+      rec.snapshots.keys.foreach(name => demoteByName(rec.name, name, rec.suffixTarget))
       state.deleteEnvironment(rec.name)
     }
     state.allSnapshots.foreach { s =>

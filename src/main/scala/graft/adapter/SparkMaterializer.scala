@@ -563,4 +563,18 @@ object SparkMaterializer {
     * (reference EnvironmentSuffixTarget.SCHEMA, core/environment.py:41). */
   def envDb(schema: String, env: String): String =
     if (env == "prod") schema else s"${schema}__$env"
+
+  /** Environment (database, view) for a model under a suffix target
+    * (EnvironmentSuffixTarget, reference config/common.py:22-53): SCHEMA
+    * (default) isolates dev views in `<schema>__<env>`; TABLE keeps the prod
+    * schema and suffixes the view name `<table>__<env>`. CATALOG requires
+    * cross-catalog views — out of scope single-catalog. Prod is always the
+    * bare name under every target. */
+  def envLocation(schema: String, table: String, env: String,
+                  suffixTarget: String = "schema"): (String, String) =
+    if (env == "prod") (schema, table)
+    else suffixTarget.toLowerCase match {
+      case "table" => (schema, s"${table}__$env")
+      case _       => (s"${schema}__$env", table)
+    }
 }

@@ -35,6 +35,12 @@ final case class Model(
     clusteredBy: Seq[String] = Nil,
     preStatements: Seq[String] = Nil,
     postStatements: Seq[String] = Nil,
+    /** statements executed after the virtual-layer update (promote), with
+      * @this_model resolving to the environment VIEW, not the physical table
+      * (reference on_virtual_update: model/definition.py:158,1433, executed
+      * snapshot/evaluator.py:1284). Metadata-only: editing them never
+      * triggers a backfill (definition.py:2620). */
+    onVirtualUpdate: Seq[String] = Nil,
     allowPartials: Boolean = false,
     /** declared output schema contract (reference `columns (...)`,
       * model/definition.py columns_to_types): when present, every insert is

@@ -60,7 +60,8 @@ object Fingerprint {
       model.preStatements.map(canonicalSql) ++ model.postStatements.map(canonicalSql)
     val metaParts = Seq(model.cron, model.owner.getOrElse(""), model.description.getOrElse("")) ++
       model.tags ++ model.grains ++
-      model.audits.map { case (n, args) => n + args.toSeq.sorted.mkString(",") }
+      model.audits.map { case (n, args) => n + args.toSeq.sorted.mkString(",") } ++
+      model.onVirtualUpdate.map(canonicalSql) // metadata, not data (definition.py:2620)
     val sortedParents = parents.sortBy(_.dataHash)
     SnapshotFingerprint(
       dataHash = md5Short(dataParts.mkString("\u0000")),

@@ -89,9 +89,20 @@ object ModelLoader {
     val (headerBody, afterHeader) = balanced(noComments, open)
     val props = splitTopLevel(headerBody, ',').map(parseProp).toMap
 
-    // statements after the header: pre-statements, the query, post-statements
-    val statements = splitTopLevel(afterHeader.dropWhile(c => c == ';' || c.isWhitespace), ';')
+    // statements after the header: pre-statements, the query, post-statements,
+    // plus an optional ON_VIRTUAL_UPDATE_BEGIN; ...; ON_VIRTUAL_UPDATE_END
+    // block (reference dialect.py:848-849) whose statements run at promote
+    val allStatements = splitTopLevel(afterHeader.dropWhile(c => c == ';' || c.isWhitespace), ';')
       .map(_.trim).filter(_.nonEmpty)
+    val vuBegin = allStatements.indexWhere(_.equalsIgnoreCase("ON_VIRTUAL_UPDATE_BEGIN"))
+    val vuEnd   = allStatements.indexWhere(_.equalsIgnoreCase("ON_VIRTUAL_UPDATE_END"))
+    require(vuBegin < 0 == vuEnd < 0 && vuEnd >= vuBegin,
+      s"$source: unbalanced ON_VIRTUAL_UPDATE_BEGIN/END")
+    val onVirtualUpdate =
+      if (vuBegin >= 0) allStatements.slice(vuBegin + 1, vuEnd) else Nil
+    val statements =
+      if (vuBegin >= 0) allStatements.take(vuBegin) ++ allStatements.drop(vuEnd + 1)
+      else allStatements
     val qIdx = statements.indexWhere(s =>
       s.toUpperCase.startsWith("SELECT") || s.toUpperCase.startsWith("WITH"))
     require(qIdx >= 0, s"$source: no SELECT/WITH query after MODEL header")
@@ -114,6 +125,7 @@ object ModelLoader {
       clusteredBy = props.get("clustered_by").map(listOf).getOrElse(Nil),
       preStatements = statements.take(qIdx),
       postStatements = statements.drop(qIdx + 1),
+      onVirtualUpdate = onVirtualUpdate,
       allowPartials = props.get("allow_partials").exists(_.trim.toBoolean),
       columns = props.get("columns").map(parseColumns).getOrElse(Nil),
       onDestructiveChange = unq(props.getOrElse("on_destructive_change", "error")).toLowerCase)

@@ -281,11 +281,22 @@ class SnapshotEvaluator(
     materializer.migrate(t, target)
   }
 
-  /** VirtualLayerUpdate: promote env views (evaluator.py:1999-2016). */
-  def promote(s: Snapshot, env: String, dev: Boolean = false): Unit =
-    materializer.promote(SparkMaterializer.envDb(s.model.schemaName, env),
-      s.model.tableName, physicalTable(s, dev))
+  /** VirtualLayerUpdate: promote env views (evaluator.py:1999-2016), then run
+    * the model's on_virtual_update statements with @this_model bound to the
+    * environment VIEW (evaluator.py:1284) — e.g. GRANTs on the repointed view. */
+  def promote(s: Snapshot, env: String, dev: Boolean = false,
+              suffixTarget: String = "schema", executionTs: Long = 0L): Unit = {
+    val (db, view) =
+      SparkMaterializer.envLocation(s.model.schemaName, s.model.tableName, env, suffixTarget)
+    materializer.promote(db, view, physicalTable(s, dev))
+    s.model.onVirtualUpdate.foreach(st =>
+      spark.sql(renderStatement(s, st, Interval(0L, executionTs), executionTs,
+        Map.empty, s"`$db`.`$view`")))
+  }
 
-  def demote(s: Snapshot, env: String): Unit =
-    materializer.demote(SparkMaterializer.envDb(s.model.schemaName, env), s.model.tableName)
+  def demote(s: Snapshot, env: String, suffixTarget: String = "schema"): Unit = {
+    val (db, view) =
+      SparkMaterializer.envLocation(s.model.schemaName, s.model.tableName, env, suffixTarget)
+    materializer.demote(db, view)
+  }
 }

@@ -83,6 +83,7 @@ final class FileStateStore(
       o.put("name", e.name); o.put("finalized", e.finalized)
       e.planId.foreach(o.put("plan_id", _))
       e.expirationTs.foreach(o.put("expiration_ts", _))
+      o.put("suffix_target", e.suffixTarget)
       val m = o.putObject("snapshots")
       e.snapshots.foreach { case (k, v) => m.put(k, v) }
       val ids = o.putObject("identifiers")
@@ -121,7 +122,8 @@ final class FileStateStore(
       mem.promoteEnvironment(EnvironmentRecord(
         n.path("name").asText(), snapMap.toMap, n.path("finalized").asBoolean(),
         Option(n.get("plan_id")).map(_.asText()), idMap.toMap,
-        Option(n.get("expiration_ts")).map(_.asLong())))
+        Option(n.get("expiration_ts")).map(_.asLong()),
+        Option(n.get("suffix_target")).map(_.asText()).getOrElse("schema")))
     }
     root.path("auto_restatements").properties().forEach(e =>
       mem.setAutoRestatement(e.getKey, e.getValue.asLong()))
@@ -226,6 +228,7 @@ final class FileStateStore(
     o.set[JsonNode]("clustered_by", strArr(m.clusteredBy))
     o.set[JsonNode]("pre", strArr(m.preStatements))
     o.set[JsonNode]("post", strArr(m.postStatements))
+    o.set[JsonNode]("on_virtual_update", strArr(m.onVirtualUpdate))
     o.put("allow_partials", m.allowPartials)
     if (m.columns.nonEmpty) {
       val cols = o.putObject("columns")
@@ -267,6 +270,7 @@ final class FileStateStore(
       clusteredBy = seqOf(n.path("clustered_by")),
       preStatements = seqOf(n.path("pre")),
       postStatements = seqOf(n.path("post")),
+      onVirtualUpdate = seqOf(n.path("on_virtual_update")),
       allowPartials = n.path("allow_partials").asBoolean(),
       columns = {
         val b = Seq.newBuilder[(String, String)]

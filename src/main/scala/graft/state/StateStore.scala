@@ -21,7 +21,11 @@ final case class EnvironmentRecord(
     /** dev environments expire (reference environment.py expiration_ts,
       * default one week): the janitor demotes + deletes them past this. None
       * for prod — prod never expires. */
-    expirationTs: Option[Long] = None)
+    expirationTs: Option[Long] = None,
+    /** how this environment's views are named (environment.py:41
+      * suffix_target) — recorded so demotes/janitor drop the right objects
+      * even if the context's configured target changed since promotion. */
+    suffixTarget: String = "schema")
 
 trait StateStore {
   def pushSnapshot(s: Snapshot): Unit

@@ -592,6 +592,44 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(math.abs(childTotal - truthTotal) < 1e-6)
   }
 
+  test("on_virtual_update statements run at promote against the env view") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.ovu",
+      SqlBody("SELECT o_orderkey, o_totalprice FROM raw.orders LIMIT 10"),
+      kind = ModelKind.Full,
+      onVirtualUpdate = Seq(
+        "CREATE OR REPLACE VIEW mart.ovu_marker AS SELECT count(*) AS n FROM @this_model")))
+    ctx.apply(ctx.plan("prod", 0, D))
+    // the statement ran after the view repoint, with @this_model = env view
+    assert(spark.table("mart.ovu_marker").head().getLong(0) == 10)
+    // on_virtual_update is metadata-only: editing it must not re-version
+    val s1 = ctx.state.latestSnapshot("mart.ovu").get
+    ctx.addModel(ctx.model("mart.ovu").copy(onVirtualUpdate =
+      Seq("CREATE OR REPLACE VIEW mart.ovu_marker AS SELECT count(*) + 1 AS n FROM @this_model")))
+    val p2 = ctx.plan("prod", 0, D)
+    assert(p2.metadataOnly.map(_.model.name) == Seq("mart.ovu"))
+    ctx.apply(p2)
+    assert(ctx.state.latestSnapshot("mart.ovu").get.version == s1.version)
+    assert(spark.table("mart.ovu_marker").head().getLong(0) == 11)
+  }
+
+  test("TABLE suffix target puts dev views in the prod schema, suffixed") {
+    val ctx = new GraftContext(spark, SparkTestSession.tmpDir("ws"), concurrency = 2,
+      envSuffixTarget = "table")
+    ctx.addExternal("raw.orders", s"$sf/orders.parquet")
+    ctx.addModel(Model("mart.sfx",
+      SqlBody("SELECT o_orderkey FROM raw.orders LIMIT 5"), kind = ModelKind.Full))
+    ctx.apply(ctx.plan("dev_a", 0, D))
+    // view lives at mart.sfx__dev_a (config/common.py:30-32), not mart__dev_a.sfx
+    assert(spark.table("mart.sfx__dev_a").count() == 5)
+    assert(!spark.catalog.databaseExists("mart__dev_a"))
+    ctx.invalidateEnvironment("dev_a")
+    assert(!spark.catalog.tableExists("mart.sfx__dev_a"))
+    // prod promotion is the bare name regardless of target
+    ctx.apply(ctx.plan("prod", 0, D))
+    assert(spark.table("mart.sfx").count() == 5)
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",

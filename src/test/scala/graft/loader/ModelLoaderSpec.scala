@@ -66,6 +66,23 @@ class ModelLoaderSpec extends AnyFunSuite {
     assert(m.references.contains("raw.orders"))
   }
 
+  test("ON_VIRTUAL_UPDATE block parses separately from pre/post statements") {
+    val m = ModelLoader.parse(
+      """MODEL (name mart.v, kind FULL);
+        |SET spark.sql.shuffle.partitions = 8;
+        |SELECT 1 AS one;
+        |ANALYZE TABLE @this_model COMPUTE STATISTICS;
+        |ON_VIRTUAL_UPDATE_BEGIN;
+        |GRANT SELECT ON @this_model TO ROLE analysts;
+        |CREATE OR REPLACE VIEW mart.v_alias AS SELECT * FROM @this_model;
+        |ON_VIRTUAL_UPDATE_END;
+        |""".stripMargin)
+    assert(m.preStatements.size == 1 && m.preStatements.head.startsWith("SET"))
+    assert(m.postStatements.size == 1 && m.postStatements.head.startsWith("ANALYZE"))
+    assert(m.onVirtualUpdate.size == 2 && m.onVirtualUpdate.head.startsWith("GRANT"))
+    assert(m.body.asInstanceOf[SqlBody].sql == "SELECT 1 AS one")
+  }
+
   test("parses every kind header") {
     def kindOf(k: String): ModelKind =
       ModelLoader.parse(s"MODEL (name m.x, kind $k); SELECT 1 AS a").kind
