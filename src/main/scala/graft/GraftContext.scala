@@ -23,7 +23,15 @@ final case class Plan(
     /** `--skip-backfill`: apply the virtual update (snapshots, tables, env
       * views) without running any interval backfill (plan/definition.py
       * skip_backfill). */
-    skipBackfill: Boolean = false) {
+    skipBackfill: Boolean = false,
+    /** `--effective-from` (plan/builder.py:239): forward-only changes apply
+      * their new logic from this date — inherited intervals at/after it are
+      * dropped so the shared table re-runs them with the new query. */
+    effectiveFrom: Option[Long] = None,
+    /** `--no-gaps` (state_sync/db/facade.py:581 _ensure_no_gaps): refuse to
+      * promote a re-versioned incremental model whose new table has interval
+      * holes where its predecessor had data. */
+    noGaps: Boolean = false) {
   def snapshots: Seq[Snapshot] = added ++ modified.map(_._2) ++ metadataOnly ++ unchanged
 
   /** A snapshot previews in a `__dev` table instead of touching the shared
@@ -73,7 +81,12 @@ class GraftContext(
     /** where dev environments live (EnvironmentSuffixTarget,
       * config/common.py:22): "schema" → views in `<schema>__<env>`;
       * "table" → views named `<table>__<env>` in the prod schema. */
-    val envSuffixTarget: String = "schema") {
+    val envSuffixTarget: String = "schema",
+    /** project-level statements around every plan apply / run (reference
+      * config/root.py:172 before_all/after_all, executed as the BeforeAll /
+      * AfterAll plan stages, plan/stages.py) — e.g. session props, grants. */
+    val beforeAll: Seq[String] = Nil,
+    val afterAll: Seq[String] = Nil) {
 
   /** Durable contexts persist snapshots/intervals/environments under
     * `<workspace>/state` (reference state_sync/db), so a new context over the
@@ -211,7 +224,11 @@ class GraftContext(
         * local changes to UNSELECTED models are left out of the plan — their
         * currently-promoted snapshot is kept (plan/builder.py select_models /
         * selector.py). Empty = select everything. */
-      select: Seq[String] = Nil): Plan = {
+      select: Seq[String] = Nil,
+      effectiveFrom: Option[Long] = None,
+      noGaps: Boolean = false): Plan = {
+    require(effectiveFrom.isEmpty || forwardOnly,
+      "effective_from requires a forward-only plan (plan/builder.py:239)")
     def selected(name: String): Boolean = select.isEmpty || select.exists { pat =>
       if (pat.endsWith(".*")) name.startsWith(pat.dropRight(1)) else name == pat
     }
@@ -334,13 +351,16 @@ class GraftContext(
     val dag = allSnaps.map(s => s.model.name -> s.model.references).toMap
     Plan(env, start, end, added.result(), modified.result(), removed,
       metadataOnly.result(), unchanged.result(), cascaded,
-      DeployabilityIndex.of(allSnaps, dag), skipBackfill = skipBackfill)
+      DeployabilityIndex.of(allSnaps, dag), skipBackfill = skipBackfill,
+      effectiveFrom = effectiveFrom, noGaps = noGaps)
   }
 
   /** Evaluate a plan: stages per plan/stages.py:238 — snapshot records →
     * physical layer → restatement → backfill → environment record → virtual
     * layer → finalize. */
   def apply(p: Plan, executionTs: Long = System.currentTimeMillis()): Unit = {
+    // BeforeAll stage (plan/stages.py:238; config/root.py:172)
+    runEnvStatements(beforeAll, p.start, p.end, executionTs)
     // CreateSnapshotRecords
     p.snapshots.foreach(state.pushSnapshot)
     // Restatement: drop intervals so the scheduler re-runs them (builder.py:369)
@@ -349,6 +369,18 @@ class GraftContext(
       p.snapshots.find(_.model.name == name)
         .orElse(state.latestSnapshot(name))
         .foreach(s => state.removeInterval(name, s.version, ivl))
+    }
+    // effective_from (snapshot/definition.py:970-977): a forward-only change
+    // inherits its predecessor's intervals only BEFORE the effective date —
+    // everything at/after it is dropped from the shared version's accounting
+    // so the new logic re-runs it
+    p.effectiveFrom.foreach { ef =>
+      p.modified.foreach { case (_, nw) =>
+        if (nw.category.contains(ChangeCategory.ForwardOnly) && !p.isDevPreview(nw)) {
+          val floored = nw.model.intervalUnit.floor(ef) // cron_floor, definition.py:1425
+          state.removeInterval(nw.model.name, nw.version, Interval(floored, Long.MaxValue / 2))
+        }
+      }
     }
     // DeployabilityIndex: forward-only changes (and their downstream) preview
     // in __dev tables when the plan targets a non-prod environment
@@ -384,6 +416,25 @@ class GraftContext(
     // against the PHYSICAL tables, so a failing blocking audit aborts before
     // any environment view is repointed at the new data
     runStandaloneAudits(p.snapshots, devFlags, p.start, p.end, executionTs)
+    // no_gaps (_ensure_no_gaps, state_sync/db/facade.py:581): a re-versioned
+    // incremental model must cover everything its predecessor had before its
+    // env views repoint — promotion never silently serves interval holes
+    if (p.noGaps) p.modified.foreach { case (old, nw) =>
+      if (old.version != nw.version && nw.model.kind.isIncremental &&
+          old.model.kind.isIncremental) {
+        val prevEnd = state.getSnapshot(old.model.name, old.version)
+          .map(_.intervals).getOrElse(old.intervals).lastOption.map(_.end)
+        prevEnd.foreach { pe =>
+          val live = state.getSnapshot(nw.model.name, nw.version).getOrElse(nw)
+          // from the MODEL's start (facade.py:609 start_date), not the plan's
+          // — a narrow plan window must not mask holes behind it
+          val missing = live.missingIntervals(nw.model.start.getOrElse(p.start), pe)
+          if (missing.nonEmpty) throw new IllegalStateException(
+            s"no_gaps: ${nw.model.name} is missing ${missing.size} interval(s) " +
+              s"(first: ${missing.head}) its predecessor covered — aborting promotion")
+        }
+      }
+    }
     // EnvironmentRecordUpdate + VirtualLayerUpdate (materialized kinds only —
     // EMBEDDED/EXTERNAL have no physical object to point a view at)
     p.snapshots.filter(_.model.kind.isMaterialized).foreach(s =>
@@ -399,12 +450,25 @@ class GraftContext(
       // prod never does
       expirationTs = if (p.env == "prod") None else Some(executionTs + envTtlMs)))
     state.finalizeEnvironment(p.env)
+    // AfterAll stage
+    runEnvStatements(afterAll, p.start, p.end, executionTs)
   }
+
+  /** before_all/after_all statements: macro-rendered (time vars + user
+    * macros), executed on the session — the reference's environment
+    * statements (environment.py:265, plan BeforeAll/AfterAll stages). */
+  private def runEnvStatements(statements: Seq[String], start: Long, end: Long,
+                               executionTs: Long): Unit =
+    statements.foreach { st =>
+      spark.sql(new graft.macros.MacroEvaluator(start, end, executionTs, None,
+        variables, registry = customMacros.toMap).render(st))
+    }
 
   /** `sqlmesh run` (context.py:756): backfill new missing intervals in an
     * already-planned environment. */
   def run(env: String, start: Long, end: Long,
           executionTs: Long = System.currentTimeMillis()): Unit = {
+    runEnvStatements(beforeAll, start, end, executionTs)
     val envRec = state.getEnvironment(env).getOrElse(
       throw new IllegalStateException(s"environment $env not planned"))
     val snaps = envRec.snapshots.flatMap { case (n, v) =>
@@ -418,6 +482,7 @@ class GraftContext(
     scheduler.run(snaps, start, end, executionTs, tableMappingFor(snaps, devFlags),
       signals.toMap, devFlags)
     runStandaloneAudits(snaps, devFlags, start, end, executionTs)
+    runEnvStatements(afterAll, start, end, executionTs)
   }
 
   /** Standalone audits run after backfill against the environment's physical

@@ -20,6 +20,11 @@ final case class Model(
     body: ModelBody,
     kind: ModelKind = ModelKind.Full,
     cron: String = "@daily",
+    /** explicit interval unit (reference node.py:294 interval_unit_): how
+      * finely intervals are sliced, overriding the cron-derived cadence. May
+      * be finer than the cron (an @daily model backfilled hour-by-hour),
+      * never coarser. Part of the data hash (definition.py:1139). */
+    intervalUnitName: Option[String] = None,
     start: Option[Long] = None,         // default backfill start (epoch ms)
     dependsOn: Set[String] = Set.empty, // explicit upstream names (else extracted)
     grains: Seq[String] = Nil,
@@ -57,7 +62,16 @@ final case class Model(
     case "" => "default"; case s => s
   }
   def tableName: String = name.split('.').last
-  def intervalUnit: IntervalUnit = IntervalUnit.fromCron(cron)
+  def intervalUnit: IntervalUnit = intervalUnitName match {
+    case Some(n) =>
+      val u = IntervalUnit.fromName(n)
+      val cronUnit = IntervalUnit.fromCron(cron)
+      require(u.approxMillis <= cronUnit.approxMillis,
+        s"$name: interval_unit '${u.name}' is coarser than the cron cadence '${cronUnit.name}' " +
+          "(reference node.py: interval unit may only be equal or finer)")
+      u
+    case None => IntervalUnit.fromCron(cron)
+  }
 
   /** Upstream model/table references: declared, plus extracted from SQL bodies.
     * Extraction mirrors `d.find_tables` (renderer.py:607) at the level we need:
@@ -74,7 +88,13 @@ object Model {
 
   /** Cheap dependency extraction from SQL text; CTE names are excluded. */
   def extractTables(sql: String): Set[String] = {
-    val noStrings = sql.replaceAll("'[^']*'", "''")
+    // dbt relation calls resolve textually BEFORE string-blanking (their
+    // arguments are string literals): {{ ref('a.b') }} -> a.b,
+    // {{ source('s','t') }} -> s.t — so FROM {{ ref(...) }} extracts normally
+    val deJinjaed = sql
+      .replaceAll("(?is)\\{\\{\\s*ref\\(\\s*['\"]([^'\"]+)['\"]\\s*\\)\\s*\\}\\}", "$1")
+      .replaceAll("(?is)\\{\\{\\s*source\\(\\s*['\"]([^'\"]+)['\"]\\s*,\\s*['\"]([^'\"]+)['\"]\\s*\\)\\s*\\}\\}", "$1.$2")
+    val noStrings = deJinjaed.replaceAll("'[^']*'", "''")
     val ctes = """(?is)(?:with|,)\s*([a-zA-Z_]\w*)\s+as\s*\(""".r
       .findAllMatchIn(noStrings).map(_.group(1).toLowerCase).toSet
     tableRef.findAllMatchIn(noStrings)

@@ -27,6 +27,9 @@ sealed trait ModelKind {
   /** data-hash-relevant fields (fingerprint input), mirroring kind data fields
     * feeding `fingerprint_from_node` (snapshot/definition.py:1861). */
   def dataFields: Seq[String] = Seq(name)
+  /** accumulates history interval-by-interval (reference kind.is_incremental)
+    * — the kinds for which interval gaps are meaningful */
+  def isIncremental: Boolean = name.startsWith("INCREMENTAL")
 }
 
 object ModelKind {

@@ -229,6 +229,7 @@ final class FileStateStore(
     o.set[JsonNode]("pre", strArr(m.preStatements))
     o.set[JsonNode]("post", strArr(m.postStatements))
     o.set[JsonNode]("on_virtual_update", strArr(m.onVirtualUpdate))
+    m.intervalUnitName.foreach(o.put("interval_unit", _))
     o.put("allow_partials", m.allowPartials)
     if (m.columns.nonEmpty) {
       val cols = o.putObject("columns")
@@ -271,6 +272,7 @@ final class FileStateStore(
       preStatements = seqOf(n.path("pre")),
       postStatements = seqOf(n.path("post")),
       onVirtualUpdate = seqOf(n.path("on_virtual_update")),
+      intervalUnitName = Option(n.get("interval_unit")).map(_.asText()),
       allowPartials = n.path("allow_partials").asBoolean(),
       columns = {
         val b = Seq.newBuilder[(String, String)]

@@ -630,6 +630,78 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(spark.table("mart.sfx").count() == 5)
   }
 
+  test("effective_from re-runs a forward-only change only from the given date") {
+    val ctx = newCtx()
+    def body(mult: Int) = SqlBody(
+      s"""SELECT o_orderdate, count(*) * $mult AS n FROM raw.orders
+         |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin)
+    ctx.addModel(Model("mart.effrom", body(1),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate", forwardOnly = true),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-09")))
+
+    ctx.addModel(ctx.model("mart.effrom").copy(body = body(10)))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-09"),
+      forwardOnly = true, effectiveFrom = Some(dayMs("1995-01-05"))))
+
+    val truth = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-01-09").cast("timestamp"))
+      .groupBy("o_orderdate").agg(count(lit(1)).as("c"))
+    val got = spark.table("mart.effrom").join(truth, "o_orderdate")
+    // before the effective date the OLD logic's rows survive; from it on,
+    // the interval re-ran with the new one
+    assert(got.filter(col("o_orderdate") < lit("1995-01-05").cast("timestamp"))
+      .filter(col("n") =!= col("c")).isEmpty)
+    assert(got.filter(col("o_orderdate") >= lit("1995-01-05").cast("timestamp"))
+      .filter(col("n") =!= col("c") * 10).isEmpty)
+    // effective_from without forward_only is a config error (builder.py:239)
+    intercept[IllegalArgumentException](
+      ctx.plan("prod", 0, D, effectiveFrom = Some(0L)))
+  }
+
+  test("no_gaps blocks promoting a re-versioned incremental with holes") {
+    val ctx = newCtx()
+    def body(extra: String) = SqlBody(
+      s"""SELECT o_orderdate, count(*) AS n$extra FROM raw.orders
+         |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin)
+    ctx.addModel(Model("mart.nogaps", body(""),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate"),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-09")))
+
+    // breaking edit, but the plan window starts AFTER the predecessor's
+    // coverage — the new table would have a 4-day hole
+    ctx.addModel(ctx.model("mart.nogaps").copy(
+      body = body(", sum(o_totalprice) AS rev"), columns = Nil))
+    val ex = intercept[IllegalStateException](
+      ctx.apply(ctx.plan("prod", dayMs("1995-01-05"), dayMs("1995-01-09"), noGaps = true)))
+    assert(ex.getMessage.contains("no_gaps"))
+    // same plan without the flag promotes (holes allowed by default)
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-05"), dayMs("1995-01-09")))
+    assert(spark.table("mart.nogaps").columns.contains("rev"))
+  }
+
+  test("before_all/after_all statements run around apply and run") {
+    val ctx = new GraftContext(spark, SparkTestSession.tmpDir("ws"), concurrency = 2,
+      beforeAll = Seq(
+        "CREATE TABLE IF NOT EXISTS default.env_log (phase STRING, at STRING) USING parquet",
+        // @start_ds/@end_ds render to quoted literals ('1995-01-01') — the
+        // reference never expands macros INSIDE string literals, so the
+        // statement uses them bare (macros.py transform: Identifier-only template)
+        "INSERT INTO default.env_log VALUES ('before', @start_ds)"),
+      afterAll = Seq("INSERT INTO default.env_log VALUES ('after', @end_ds)"))
+    ctx.addExternal("raw.orders", s"$sf/orders.parquet")
+    ctx.addModel(Model("mart.envst",
+      SqlBody("SELECT o_orderkey FROM raw.orders LIMIT 3"), kind = ModelKind.Full))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-02")))
+    val log = spark.table("default.env_log").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(log.contains(("before", "1995-01-01")) && log.contains(("after", "1995-01-01")))
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-01-03"))
+    assert(spark.table("default.env_log").count() == 4)
+    spark.sql("DROP TABLE default.env_log")
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",

@@ -103,6 +103,23 @@ class IntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("explicit interval_unit refines the cron cadence; coarser is rejected") {
+    val m = Model("db.t", SqlBody("SELECT 1"), cron = "@daily",
+      intervalUnitName = Some("hour"))
+    assert(m.intervalUnit == IntervalUnit.Hour)
+    val snap = Snapshot(m, Fingerprint.of(m, "SELECT 1", Nil))
+    // a daily-cron model with hour interval_unit backfills hour-by-hour
+    assert(snap.missingIntervals(0, D).size == 24)
+    // coarser than cron is rejected (node.py validation)
+    val bad = Model("db.t", SqlBody("SELECT 1"), cron = "@hourly",
+      intervalUnitName = Some("day"))
+    intercept[IllegalArgumentException](bad.intervalUnit)
+    // interval_unit participates in the DATA hash (definition.py:1139)
+    val f1 = Fingerprint.of(m, "SELECT 1", Nil)
+    val f2 = Fingerprint.of(m.copy(intervalUnitName = None), "SELECT 1", Nil)
+    assert(f1.version != f2.version)
+  }
+
   test("fingerprint stability: whitespace/comments/case do not change version") {
     val m1 = Model("db.t", SqlBody("SELECT a, b FROM src WHERE a > 1"))
     val m2 = Model("db.t", SqlBody("select  a, b\n-- comment\nFROM src  WHERE a > 1"))
