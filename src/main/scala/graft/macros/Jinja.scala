@@ -5,6 +5,10 @@ package graft.macros
   * environment). Covers the common dbt idioms:
   *
   *  - `{{ var('name') }}` / `{{ var('name', default) }}` — project variables
+  *  - `{{ ref('model') }}` / `{{ source('src', 'table') }}` — dbt relation
+  *    references: `ref` resolves through the caller-supplied resolver (short
+  *    dbt names → full model names, then the physical table at render);
+  *    `source` is the external table `src.table`
   *  - `{{ this }}` — the physical table under evaluation
   *  - `{{ name }}` — loop/set bindings and project variables
   *  - `{% if c %} … {% elif c %} … {% else %} … {% endif %}` (nestable)
@@ -32,7 +36,21 @@ object Jinja {
   private final case class TStmt(s: String) extends Tok
 
   def render(template: String, vars: Map[String, String],
-             thisModel: Option[String] = None): String = {
+             thisModel: Option[String] = None,
+             refResolver: String => String = identity): String = {
+    refs.set(refResolver)
+    try renderImpl(template, vars, thisModel)
+    finally refs.remove()
+  }
+
+  /** dbt `ref()` resolution for the current render (threaded via a
+    * ThreadLocal so the recursive evaluators don't all grow a parameter). */
+  private val refs = new ThreadLocal[String => String] {
+    override def initialValue(): String => String = identity
+  }
+
+  private def renderImpl(template: String, vars: Map[String, String],
+                         thisModel: Option[String]): String = {
     val toks = tokenize(template)
     val (nodes, rest) = parseNodes(toks, Nil)
     require(rest.isEmpty, s"unexpected ${rest.head} outside a block")
@@ -169,6 +187,10 @@ object Jinja {
 
   private val varCall =
     "(?is)^var\\(\\s*['\"]([^'\"]+)['\"]\\s*(?:,\\s*(.+?)\\s*)?\\)$".r
+  private val refCall =
+    "(?is)^ref\\(\\s*['\"]([^'\"]+)['\"]\\s*\\)$".r
+  private val sourceCall =
+    "(?is)^source\\(\\s*['\"]([^'\"]+)['\"]\\s*,\\s*['\"]([^'\"]+)['\"]\\s*\\)$".r
 
   /** Raw string value of an output/set expression. */
   private def value(expr: String, vars: Map[String, String],
@@ -180,6 +202,11 @@ object Jinja {
           .getOrElse(throw new IllegalArgumentException(s"undefined jinja var('$name')"))
       case "this" =>
         thisModel.getOrElse(throw new IllegalArgumentException("{{ this }} outside evaluation"))
+      // dbt relation references (reference sqlmesh/dbt/: ref() → upstream
+      // model, source() → external table). The resolver maps short dbt names
+      // to full model names; physical-table mapping happens later in render.
+      case refCall(name)       => refs.get()(name)
+      case sourceCall(db, tab) => s"$db.$tab"
       case _ if bindings.contains(e) => bindings(e)
       case _ if vars.contains(e)     => vars(e)
       case _ if (e.startsWith("'") && e.endsWith("'") && e.length >= 2) ||

@@ -20,7 +20,9 @@ final class MacroEvaluator(
     val schemaOf: String => Seq[(String, String)] = _ => Nil,
     /** user Scala macros (reference's Python `@macro()` registry,
       * macros.py:592): name -> args => SQL text. */
-    val registry: Map[String, Seq[String] => String] = Map.empty) {
+    val registry: Map[String, Seq[String] => String] = Map.empty,
+    /** dbt `{{ ref('x') }}` resolution: short dbt name -> full model name. */
+    val refResolver: String => String = identity) {
 
   private val defs = scala.collection.mutable.Map[String, (Seq[String], String)]()
   private lazy val registryUpper = registry.map { case (k, v) => k.toUpperCase -> v }
@@ -57,7 +59,8 @@ final class MacroEvaluator(
     // grammar), then the native @-macro pass runs over the result
     val pre =
       if (Jinja.hasJinja(sql))
-        Jinja.render(sql, variables ++ timeVars.map { case (k, v) => k -> v }, thisModel)
+        Jinja.render(sql, variables ++ timeVars.map { case (k, v) => k -> v }, thisModel,
+          refResolver)
       else sql
     renderDepth(pre, 0)
   }

@@ -34,8 +34,16 @@ object Renderer {
       case SqlBody(sql) => sql
       case _ => throw new IllegalArgumentException(s"${model.name} is not a SQL model")
     }
+    // dbt {{ ref('x') }}: a short name resolves to the unique known model
+    // whose last segment matches; full names (and unknowns) pass through
+    val refResolver: String => String = name =>
+      if (name.contains(".")) name
+      else tableMapping.keys.filter(_.split('.').last.equalsIgnoreCase(name)).toList match {
+        case one :: Nil => one
+        case _          => name
+      }
     val evaluator = new MacroEvaluator(start, end, execution, thisModel, variables,
-      schemaOf, macros)
+      schemaOf, macros, refResolver)
     resolveTables(evaluator.render(body), tableMapping)
   }
 

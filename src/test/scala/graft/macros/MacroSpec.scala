@@ -153,4 +153,20 @@ class MacroSpec extends AnyFunSuite {
       "{% for c in [a, b] %}{% if c == 'a' %}[{{ c }}]{% else %}{{ c }}{% endif %}{% endfor %}") ==
       "[a]b")
   }
+
+  test("jinja: ref()/source() dbt relation references") {
+    val e = ev()
+    // full names pass through; source() is the external table
+    assert(e.render("SELECT * FROM {{ ref('raw.orders') }}") == "SELECT * FROM raw.orders")
+    assert(e.render("SELECT * FROM {{ source('raw', 'orders') }}") == "SELECT * FROM raw.orders")
+    // short names resolve through the injected resolver
+    val withResolver = new MacroEvaluator(start, start + 2 * D, start + 4 * D,
+      Some("phys.tbl"),
+      refResolver = n => if (n == "orders") "raw.orders" else n)
+    assert(withResolver.render("FROM {{ ref('orders') }} o") == "FROM raw.orders o")
+    // dependency extraction sees through both call forms
+    assert(graft.core.Model.extractTables(
+      "SELECT * FROM {{ ref('raw.orders') }} JOIN {{ source('raw', 'nation') }} USING (k)") ==
+      Set("raw.orders", "raw.nation"))
+  }
 }
