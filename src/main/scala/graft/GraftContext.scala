@@ -100,8 +100,13 @@ class GraftContext(
   private val customMacros =
     scala.collection.mutable.Map[String, Seq[String] => String]()
   lazy val evaluator = new SnapshotEvaluator(materializer, workspace, customStrategies.toMap,
-    variables, customMacros.toMap)
+    () => allVariables, customMacros.toMap)
   lazy val scheduler = new Scheduler(evaluator, state, concurrency)
+
+  /** vars merged at load time (dbt_project.yml `vars`) on top of the
+    * constructor-supplied project variables */
+  private val extraVariables = scala.collection.mutable.Map[String, String]()
+  def allVariables: Map[String, String] = variables ++ extraVariables
 
   private val models = scala.collection.mutable.LinkedHashMap[String, Model]()
   private val externals = scala.collection.mutable.Map[String, String]()
@@ -128,6 +133,17 @@ class GraftContext(
     this
   }
 
+  /** Load a dbt-layout project (reference sqlmesh/dbt/loader.py): models,
+    * seeds, snapshots become graft models; `dbt_project.yml` vars merge into
+    * the render variables; `sources:` entries are returned so callers bind
+    * them (`addExternal(src.relation, path)`). */
+  def loadDbtProject(dir: String, vars: Map[String, String] = Map.empty): Seq[graft.loader.DbtLoader.DbtSource] = {
+    val p = graft.loader.DbtLoader.loadProject(dir, vars)
+    p.models.foreach(addModel)
+    extraVariables ++= p.vars
+    p.sources
+  }
+
   /** Gate `modelName`'s batches on all its upstreams having processed the
     * batch interval first — the built-in `freshness` signal (signal.py:46). */
   def addFreshnessSignal(modelName: String): this.type =
@@ -140,7 +156,7 @@ class GraftContext(
                 executionTs: Long = System.currentTimeMillis()): String = {
     val snaps = snapshotsOf(models.keys.toSeq)
     Renderer.render(models(name), start, end, executionTs,
-      tableMappingFor(snaps.values.toSeq)(name), variables, macros = customMacros.toMap)
+      tableMappingFor(snaps.values.toSeq)(name), allVariables, macros = customMacros.toMap)
   }
 
   /** Register a pre-existing table (EXTERNAL kind) by parquet path,
@@ -461,7 +477,7 @@ class GraftContext(
                                executionTs: Long): Unit =
     statements.foreach { st =>
       spark.sql(new graft.macros.MacroEvaluator(start, end, executionTs, None,
-        variables, registry = customMacros.toMap).render(st))
+        allVariables, registry = customMacros.toMap).render(st))
     }
 
   /** `sqlmesh run` (context.py:756): backfill new missing intervals in an
@@ -500,7 +516,7 @@ class GraftContext(
           .map(s => r -> evaluator.physicalTable(s, devFlags.getOrElse(r, false)).qualified)
           .orElse(externals.get(r).map(r -> _))
       }.toMap
-      val sql = Renderer.render(synthetic, start, end, executionTs, mapping, variables)
+      val sql = Renderer.render(synthetic, start, end, executionTs, mapping, allVariables)
       val violations = spark.sql(sql).limit(1).collect()
       if (violations.nonEmpty) {
         val msg = s"standalone audit ${a.name} failed: ${violations.head}"
@@ -515,7 +531,7 @@ class GraftContext(
                executionTs: Long = System.currentTimeMillis()): DataFrame = {
     val snaps = snapshotsOf(models.keys.toSeq)
     Renderer.evaluate(spark, models(name), start, end, executionTs,
-      tableMappingFor(snaps.values.toSeq)(name), variables)
+      tableMappingFor(snaps.values.toSeq)(name), allVariables)
   }
 
   /** Query through the environment's virtual layer. */

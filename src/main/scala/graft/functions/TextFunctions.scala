@@ -20,16 +20,18 @@ object TextFunctions {
     "fr" -> Seq(" le ", " la ", " et ", " les ", " est "),
     "es" -> Seq(" el ", " la ", " los ", " es ", " y "))
 
-  private def padded(text: Column): Column = concat(lit(" "), lower(text), lit(" "))
-
   /** Count occurrences of a literal substring (codegen-friendly: length diff). */
   def substrCount(text: Column, token: String): Column =
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(token), ""))) /
       token.length).cast("int")
 
-  /** Stopword-hit score for one language. */
+  /** Stopword-hit score for one language: ONE word-boundary alternation scan
+    * (`regexp_count`) instead of a regexp_replace pass per stopword — 5×
+    * fewer regex passes and far smaller generated code, which matters both
+    * per-TB and for cold-start codegen latency. */
   def langScore(text: Column, lang: String): Column =
-    stopwords(lang).map(w => substrCount(padded(text), w)).reduce(_ + _)
+    regexp_count(lower(text),
+      lit("\\b(?:" + stopwords(lang).map(_.trim).mkString("|") + ")\\b")).cast("int")
 
   /** Heuristic language-ID: argmax of per-language stopword hits; null when no
     * hits at all. */

@@ -207,6 +207,11 @@ object Jinja {
       // to full model names; physical-table mapping happens later in render.
       case refCall(name)       => refs.get()(name)
       case sourceCall(db, tab) => s"$db.$tab"
+      // dbt incremental guard: true when the evaluator is running an
+      // incremental (non-first) insert — threaded via the "is_incremental"
+      // variable (reference sqlmesh/dbt/basemodel.py incremental handling)
+      case _ if e.equalsIgnoreCase("is_incremental()") =>
+        vars.getOrElse("is_incremental", "false")
       case _ if bindings.contains(e) => bindings(e)
       case _ if vars.contains(e)     => vars(e)
       case _ if (e.startsWith("'") && e.endsWith("'") && e.length >= 2) ||
@@ -233,6 +238,8 @@ object Jinja {
   private def substitute(expr: String, vars: Map[String, String],
                          bindings: Map[String, String], thisModel: Option[String]): String = {
     var e = expr.replaceAll("==", "=")
+    e = "(?i)is_incremental\\(\\s*\\)".r.replaceAllIn(e,
+      if (vars.get("is_incremental").exists(_.equalsIgnoreCase("true"))) "TRUE" else "FALSE")
     e = "(?is)var\\(\\s*['\"]([^'\"]+)['\"]\\s*(?:,\\s*([^)]+?)\\s*)?\\)".r
       .replaceAllIn(e, m => {
         val v = vars.get(m.group(1)).orElse(Option(m.group(2)).map(_.trim))

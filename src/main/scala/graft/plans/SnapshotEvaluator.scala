@@ -14,8 +14,12 @@ class SnapshotEvaluator(
     val materializer: SparkMaterializer,
     val workspace: String,
     customStrategies: Map[String, (SparkMaterializer, PhysicalTable, DataFrame) => Unit] = Map.empty,
-    variables: Map[String, String] = Map.empty,
+    /** live view of project variables — a function so late-registered vars
+      * (e.g. dbt_project.yml `vars` merged by loadDbtProject) are visible */
+    variablesFn: () => Map[String, String] = () => Map.empty,
     macros: Map[String, Seq[String] => String] = Map.empty) {
+
+  private def variables: Map[String, String] = variablesFn()
 
   def spark: SparkSession = materializer.spark
 
@@ -105,8 +109,11 @@ class SnapshotEvaluator(
     // concurrent pre-statements would race on session-global temp state)
     val df = s.model.body match {
       case SqlBody(_) =>
+        val t = physicalTable(s, dev)
+        val vars = variables + ("is_incremental" ->
+          (s.model.kind.isIncremental && materializer.currentDataDir(t).nonEmpty).toString)
         spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs,
-          tableMapping, variables, thisModel = Some(physicalTable(s, dev).qualified),
+          tableMapping, vars, thisModel = Some(t.qualified),
           macros = macros))
       case _ => Renderer.evaluate(spark, s.model, interval.start, interval.end,
         executionTs, tableMapping, variables)
@@ -145,10 +152,14 @@ class SnapshotEvaluator(
     s.model.preStatements.foreach(st => spark.sql(renderStatement(s, st, interval, executionTs, mapping, thisName)))
 
     def rendered: DataFrame = {
+      // dbt {% if is_incremental() %} guard: true only for an incremental
+      // kind writing into a table that already has data
+      val vars = variables + ("is_incremental" ->
+        (s.model.kind.isIncremental && materializer.currentDataDir(t).nonEmpty).toString)
       val df = s.model.body match {
         case SqlBody(_) =>
           spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs, mapping,
-            variables, thisModel = Some(thisName), macros = macros))
+            vars, thisModel = Some(thisName), macros = macros))
         case ScalaBody(fn) => fn(spark, mapping, interval.start, interval.end)
         case SeedBody(path) =>
           val opts = s.model.kind match {

@@ -425,6 +425,40 @@ object KindQueries {
         |FROM daily d CROSS JOIN (SELECT sum(rev) AS total FROM daily) t
         |ORDER BY o_orderdate""".stripMargin)),
 
+    // ------------- dbt project loading (reference sqlmesh/dbt/) -----------
+    "mk_dbt_project" -> Entry((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dbt")
+      def w(rel: String, text: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, text)
+      }
+      w("dbt_project.yml", "name: analytics\nvars:\n  cutoff: '1995-03-01'\n")
+      w("models/schema.yml",
+        "sources:\n  - name: raw\n    tables:\n      - name: orders\n      - name: customer\n")
+      w("models/staging/stg_orders.sql",
+        """{{ config(materialized='view', schema='dbtstg') }}
+          |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+          |FROM {{ source('raw', 'orders') }}
+          |WHERE o_orderdate < TIMESTAMP '{{ var("cutoff") }}'
+          |""".stripMargin)
+      w("models/marts/seg_revenue.sql",
+        """{{ config(materialized='table', schema='dbtmart') }}
+          |SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS rev
+          |FROM {{ ref('stg_orders') }} o
+          |JOIN {{ source('raw', 'customer') }} c ON o.o_custkey = c.c_custkey
+          |GROUP BY c.c_mktsegment
+          |""".stripMargin)
+      val c = ctx(s, dir)
+      c.loadDbtProject(root.toString)
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-03-01")))
+      s.table("dbtmart.seg_revenue").orderBy("c_mktsegment")
+    }, Some(
+      """SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS rev
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderdate < TIMESTAMP '1995-03-01'
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)),
+
     // ------------- Scala-bodied model (reference: Python models) ----------
     "mk_scala_model" -> Entry((s, dir) => {
       val c = ctx(s, dir)

@@ -911,10 +911,11 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred").asc_nulls_last)
     }, Some {
-      def score(lang: String) = graft.functions.TextFunctions.stopwords(lang)
-        .map(w => s"CAST((len(p) - len(replace(p, '$w', ''))) / ${w.length} AS INT)")
-        .mkString(" + ")
-      s"""WITH p AS (SELECT lang, ' ' || lower(text) || ' ' AS p FROM documents),
+      def score(lang: String) = {
+        val alt = graft.functions.TextFunctions.stopwords(lang).map(_.trim).mkString("|")
+        s"len(regexp_extract_all(p, '\\b(?:$alt)\\b'))"
+      }
+      s"""WITH p AS (SELECT lang, lower(text) AS p FROM documents),
          |scores AS (
          |  SELECT lang, ${graft.functions.TextFunctions.stopwords.keys.toSeq.sorted
              .map(l => s"${score(l)} AS s_$l").mkString(", ")}

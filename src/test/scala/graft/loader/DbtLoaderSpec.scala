@@ -1,0 +1,128 @@
+package graft.loader
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.{GraftContext, SparkTestSession}
+
+/** dbt project loading (reference sqlmesh/dbt/): layout parsing, config →
+  * kind mapping, sources, seeds, snapshots, and the is_incremental() guard
+  * running through a real plan/apply cycle. */
+class DbtLoaderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val D = 86400000L
+  private def dayMs(s: String): Long = java.time.LocalDate.parse(s).toEpochDay * D
+
+  private def write(p: java.nio.file.Path, text: String): Unit = {
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, text)
+  }
+
+  /** A small dbt project over the driver testdata. */
+  private def makeProject(): String = {
+    val root = java.nio.file.Files.createTempDirectory("dbt_proj")
+    write(root.resolve("dbt_project.yml"),
+      """name: analytics
+        |vars:
+        |  cutoff: '1995-02-01'
+        |""".stripMargin)
+    write(root.resolve("models/schema.yml"),
+      """sources:
+        |  - name: raw
+        |    tables:
+        |      - name: orders
+        |      - name: customer
+        |        identifier: customer
+        |""".stripMargin)
+    write(root.resolve("models/staging/stg_orders.sql"),
+      """{{ config(materialized='view', schema='dbtstg') }}
+        |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM {{ source('raw', 'orders') }}
+        |WHERE o_orderdate < TIMESTAMP '{{ var("cutoff") }}'
+        |""".stripMargin)
+    write(root.resolve("models/marts/seg_revenue.sql"),
+      """{{ config(materialized='table', schema='dbtmart', tags=['finance']) }}
+        |SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS rev
+        |FROM {{ ref('stg_orders') }} o
+        |JOIN {{ source('raw', 'customer') }} c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |""".stripMargin)
+    write(root.resolve("models/marts/order_log.sql"),
+      """{{ config(materialized='incremental', unique_key='o_orderkey', schema='dbtmart') }}
+        |SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM {{ source('raw', 'orders') }}
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+        |{% if is_incremental() %}
+        |  AND o_orderkey NOT IN (SELECT o_orderkey FROM {{ this }})
+        |{% endif %}
+        |""".stripMargin)
+    write(root.resolve("models/disabled.sql"),
+      "{{ config(enabled=false) }}\nSELECT 1 AS x\n")
+    write(root.resolve("seeds/segments.csv"),
+      "seg_code,seg_name\nBUILDING,Construction\nMACHINERY,Industrial\n")
+    write(root.resolve("snapshots/cust_snap.sql"),
+      """{% snapshot customer_snapshot %}
+        |{{ config(strategy='timestamp', unique_key='c_custkey', updated_at='c_updated') }}
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       TIMESTAMP '1995-01-01 00:00:00' AS c_updated
+        |FROM raw.customer
+        |{% endsnapshot %}
+        |""".stripMargin)
+    root.toString
+  }
+
+  test("config blocks map to the reference's kinds (dbt model.py:272)") {
+    val p = DbtLoader.loadProject(makeProject())
+    assert(p.name == "analytics")
+    val byName = p.models.map(m => m.name -> m).toMap
+    assert(byName("dbtstg.stg_orders").kind == ModelKind.View)
+    assert(byName("dbtmart.seg_revenue").kind == ModelKind.Full)
+    assert(byName("dbtmart.seg_revenue").tags == Seq("finance"))
+    assert(byName("dbtmart.order_log").kind ==
+      ModelKind.IncrementalByUniqueKey(uniqueKey = Seq("o_orderkey")))
+    assert(byName("analytics.segments").kind.isInstanceOf[ModelKind.Seed])
+    byName("analytics.customer_snapshot").kind match {
+      case k: ModelKind.ScdType2ByTime =>
+        assert(k.uniqueKey == Seq("c_custkey") && k.updatedAtCol == "c_updated")
+      case other => fail(s"expected SCD2-by-time, got $other")
+    }
+    assert(!byName.contains("analytics.disabled"))
+    assert(p.sources.map(_.relation).toSet == Set("raw.orders", "raw.customer"))
+    assert(p.vars("cutoff") == "1995-02-01")
+  }
+
+  test("dbt project plans and applies end-to-end; is_incremental() guards") {
+    val ctx = new GraftContext(spark, SparkTestSession.tmpDir("dbtws"), concurrency = 2)
+    ctx.addExternal("raw.orders", s"$sf/orders.parquet")
+    ctx.addExternal("raw.customer", s"$sf/customer.parquet")
+    val srcs = ctx.loadDbtProject(makeProject())
+    assert(srcs.nonEmpty)
+
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-15")))
+
+    // staging view + mart: equal to the direct query
+    val expected = spark.sql(
+      s"""SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS rev
+         |FROM parquet.`$sf/orders.parquet` o
+         |JOIN parquet.`$sf/customer.parquet` c ON o.o_custkey = c.c_custkey
+         |WHERE o.o_orderdate < TIMESTAMP '1995-02-01'
+         |GROUP BY c.c_mktsegment""".stripMargin).collect().toSet
+    assert(spark.table("dbtmart.seg_revenue").collect().toSet == expected)
+
+    // seed loaded
+    assert(spark.table("analytics.segments").count() == 2)
+
+    // SCD2 snapshot materialized with managed validity columns
+    val snapCols = spark.table("analytics.customer_snapshot").columns.toSet
+    assert(snapCols.contains("valid_from") && snapCols.contains("valid_to"))
+
+    // incremental guard: first window inserted; a second run over a window
+    // overlapping the first must not duplicate keys (NOT IN {{ this }})
+    val after1 = spark.table("dbtmart.order_log").count()
+    assert(after1 > 0)
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-01-25"))
+    val log = spark.table("dbtmart.order_log")
+    assert(log.count() == log.select("o_orderkey").distinct().count())
+    assert(log.count() >= after1)
+  }
+}
