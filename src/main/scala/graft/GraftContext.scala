@@ -155,8 +155,10 @@ class GraftContext(
   def renderSql(name: String, start: Long, end: Long,
                 executionTs: Long = System.currentTimeMillis()): String = {
     val snaps = snapshotsOf(models.keys.toSeq)
+    val mapping = tableMappingFor(snaps.values.toSeq)(name)
     Renderer.render(models(name), start, end, executionTs,
-      tableMappingFor(snaps.values.toSeq)(name), allVariables, macros = customMacros.toMap)
+      mapping, allVariables, macros = customMacros.toMap,
+      schemaOf = Renderer.catalogSchemaOf(spark, mapping))
   }
 
   /** Register a pre-existing table (EXTERNAL kind) by parquet path,

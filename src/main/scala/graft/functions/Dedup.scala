@@ -221,15 +221,30 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs: inverted index on shingles (the
     * bucket key), intersection counted per pair, |A∪B| = |A|+|B|−|A∩B|.
-    * Shuffle ∝ Σ shingle postings, not n². */
+    * Shuffle ∝ Σ shingle postings, not n².
+    *
+    * The pair generation is a codegen'd self-join on the shingle key — a
+    * posting-list variant (collect_list + nested-transform pair explosion)
+    * measured 1.5–3× SLOWER here: the interpreted HOF rebuilds O(M²) slice
+    * arrays per list, while the join stays inside Tungsten. `maxDf` drops
+    * shingles present in more than that many documents — the standard
+    * stop-shingle cut that bounds the per-shingle pair blowup (a boilerplate
+    * shingle in M docs otherwise yields M²/2 candidates) and the knob that
+    * keeps the join's hottest key bounded at corpus scale. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDf: Option[Int] = None): DataFrame = {
     // per-doc sizes come straight off the in-row shingle array (no groupBy);
     // the exploded relation feeds both self-join sides — persist so
     // tokenization runs once
     val arr = shingleArray(docs, textCol, idCol, n).persist()
     val sizes = arr.select(col(idCol), size(col("shingles")).as("n_sh"))
-    val sh = arr.select(col(idCol), explode(col("shingles")).as("shingle"))
+    val sh0 = arr.select(col(idCol), explode(col("shingles")).as("shingle"))
+    val sh = maxDf.fold(sh0) { m =>
+      val keep = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= m).select("shingle")
+      sh0.join(keep, "shingle") // broadcast-or-shuffle per AQE; df-capped
+    }
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

@@ -76,6 +76,27 @@ object TextFunctions {
       regexp_replace(text, "([a-z])([A-Z])|([A-Za-z])([0-9])|([0-9])([A-Za-z])", "$1$3$5 $2$4$6"),
       "[\\s\\p{Punct}]+"), t => length(t) > 0))
 
+  /** Overlapping word-window chunking (the RAG / context-window prep op):
+    * each document yields chunks of `chunkWords` words starting every
+    * `chunkWords - overlapWords` words, the last chunk covering the tail.
+    * Pure projection + generator — no shuffle, scan-speed at corpus scale;
+    * chunk count per doc = 1 + max(0, ceil((n_words - chunkWords) / step)).
+    * Returns (id, chunk_idx, chunk_text, n_words). */
+  def chunks(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+             chunkWords: Int = 100, overlapWords: Int = 20): DataFrame = {
+    require(overlapWords < chunkWords, "overlap must be smaller than the chunk")
+    val step = chunkWords - overlapWords
+    val words = filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => length(w) > 0)
+    val lastIdx = greatest(lit(0),
+      ceil((size(col("__ws")) - lit(chunkWords)).cast("double") / lit(step)).cast("int"))
+    docs.select(col(idCol), words.as("__ws"))
+      .select(col(idCol), posexplode(transform(sequence(lit(0), lastIdx),
+        i => slice(col("__ws"), i * step + 1, lit(chunkWords)))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).as("n_words"))
+  }
+
   /** Deterministic 60-bit document fingerprint: portable hash
     * ([[PortableHash.h60]]) of the whitespace-normalized lowercased text —
     * reproducible by any engine, so fingerprint-grouped dup structure can be

@@ -47,6 +47,19 @@ object Renderer {
     resolveTables(evaluator.render(body), tableMapping)
   }
 
+  /** Live schema lookup for schema-aware macros (@STAR, @UNION): resolve the
+    * model/external name through the table mapping, then ask the catalog.
+    * The reference does the same with its `mapping_schema` (renderer.py:
+    * 671-685 annotate/qualify against upstream schemas); here Spark IS the
+    * catalog, so a zero-row analysis gives the schema for free. */
+  def catalogSchemaOf(spark: SparkSession,
+                      mapping: Map[String, String]): String => Seq[(String, String)] =
+    name => try {
+      val resolved = mapping.getOrElse(name, name)
+      spark.sql(s"SELECT * FROM $resolved WHERE 1 = 0")
+        .schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+    } catch { case _: Exception => Nil }
+
   /** Render + execute → DataFrame; Scala-body models call their function. */
   def evaluate(
       spark: SparkSession,

@@ -55,7 +55,8 @@ class SnapshotEvaluator(
   private def createView(s: Snapshot, interval: Interval, executionTs: Long,
                          mapping: Map[String, String]): Unit = {
     val sql = Renderer.render(s.model, interval.start, interval.end, executionTs,
-      mapping, variables, thisModel = Some(physicalTable(s).qualified))
+      mapping, variables, thisModel = Some(physicalTable(s).qualified),
+      schemaOf = Renderer.catalogSchemaOf(spark, mapping))
     spark.sql(s"CREATE OR REPLACE VIEW ${physicalTable(s).qualified} AS $sql")
   }
 
@@ -114,7 +115,7 @@ class SnapshotEvaluator(
           (s.model.kind.isIncremental && materializer.currentDataDir(t).nonEmpty).toString)
         spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs,
           tableMapping, vars, thisModel = Some(t.qualified),
-          macros = macros))
+          schemaOf = Renderer.catalogSchemaOf(spark, tableMapping), macros = macros))
       case _ => Renderer.evaluate(spark, s.model, interval.start, interval.end,
         executionTs, tableMapping, variables)
     }
@@ -159,7 +160,8 @@ class SnapshotEvaluator(
       val df = s.model.body match {
         case SqlBody(_) =>
           spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs, mapping,
-            vars, thisModel = Some(thisName), macros = macros))
+            vars, thisModel = Some(thisName),
+            schemaOf = Renderer.catalogSchemaOf(spark, mapping), macros = macros))
         case ScalaBody(fn) => fn(spark, mapping, interval.start, interval.end)
         case SeedBody(path) =>
           val opts = s.model.kind match {

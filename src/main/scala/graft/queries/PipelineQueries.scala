@@ -932,6 +932,29 @@ object PipelineQueries {
          |GROUP BY lang, lang_pred ORDER BY lang, lang_pred NULLS LAST""".stripMargin
     }),
 
+    "td_chunks" -> Entry((s, dir) => {
+      // RAG-style overlapping word-window chunking; chunk text md5'd so the
+      // oracle comparison stays row-light
+      val docs = t(s, dir, "documents")
+      graft.functions.TextFunctions.chunks(docs, chunkWords = 40, overlapWords = 10)
+        .select(col("doc_id"), col("chunk_idx"), col("n_words"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }, Some(
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |    ws[(i*30+1):(i*30+40)] AS cw
+        |  FROM w, UNNEST(range(0,
+        |    greatest(0, CAST(ceil((len(ws) - 40) * 1.0 / 30) AS INT)) + 1)) AS t(i)
+        |)
+        |SELECT doc_id, chunk_idx, CAST(len(cw) AS INT) AS n_words,
+        |  md5(array_to_string(cw, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     "td_fingerprint" -> Entry((s, dir) => {
       // portable 60-bit fingerprints (PortableHash.h60 of normalized text):
       // the dup-group structure hash-checks against DuckDB

@@ -702,6 +702,21 @@ class ContextE2ESpec extends AnyFunSuite {
     spark.sql("DROP TABLE default.env_log")
   }
 
+  test("@STAR expands against the live catalog schema in model bodies") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.star_base", SqlBody(
+      "SELECT o_orderkey, o_orderpriority FROM raw.orders LIMIT 5"), kind = ModelKind.Full))
+    // @STAR(table, alias, [except...]) needs the upstream's schema — resolved
+    // through the table mapping against the catalog at evaluation time
+    ctx.addModel(Model("mart.star_sel", SqlBody(
+      "SELECT @STAR(mart.star_base, b, [o_orderpriority]) FROM mart.star_base b"),
+      kind = ModelKind.Full))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-02")))
+    val df = spark.table("mart.star_sel")
+    assert(df.columns.toSeq == Seq("o_orderkey"))
+    assert(df.count() == 5)
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",

@@ -50,4 +50,24 @@ class TextQualitySpec extends AnyFunSuite {
     assert(df.collect()(0).getString(0) ==
       "perfectly ordinary text with numbers 12 34")
   }
+
+  test("chunks: overlapping windows cover the text; short docs get one chunk") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 25 words
+      (2L, "just three words"),
+      (3L, "")).toDF("doc_id", "text")
+    val c = TextFunctions.chunks(docs, chunkWords = 10, overlapWords = 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: step 6, last start index = ceil((25-10)/6) = 3 → chunks at 0,6,12,18
+    val d1 = c.filter(_.getLong(0) == 1L)
+    assert(d1.length == 4)
+    assert(d1(0).getString(2).startsWith("w1 w2") && d1(0).getInt(3) == 10)
+    // consecutive chunks overlap by 4 words
+    assert(d1(1).getString(2).startsWith("w7 w8"))
+    assert(d1.last.getInt(3) == 25 - 18) // tail chunk is short
+    // short and empty docs: exactly one chunk
+    assert(c.count(_.getLong(0) == 2L) == 1)
+    assert(c.count(_.getLong(0) == 3L) == 1)
+    assert(c.filter(_.getLong(0) == 3L).head.getInt(3) == 0)
+  }
 }
