@@ -539,6 +539,67 @@ class GraftContext(
   /** Query through the environment's virtual layer. */
   def fetch(sql: String): DataFrame = spark.sql(sql)
 
+  /** The environment view a model resolves to (reference `sqlmesh
+    * table_name`): prod = bare name; other envs apply the suffix target. */
+  def envTable(modelName: String, env: String): String = {
+    val parts = modelName.split('.')
+    val schema = parts.dropRight(1).mkString(".") match { case "" => "default"; case x => x }
+    val (db, view) = SparkMaterializer.envLocation(schema, parts.last, env, envSuffixTarget)
+    s"`$db`.`$view`"
+  }
+
+  /** Diff one model's data between two environments (reference `sqlmesh
+    * table_diff source_env:target_env model`, cli/main.py:966): row-level
+    * full-outer comparison on the model's grain. */
+  def tableDiff(modelName: String, sourceEnv: String, targetEnv: String,
+                keys: Seq[String] = Nil): DataFrame = {
+    val m = models(modelName)
+    val grain = if (keys.nonEmpty) keys else m.grains
+    require(grain.nonEmpty, s"$modelName: table_diff needs keys (model has no grain)")
+    graft.adapter.TableDiff.rowDiff(
+      spark.table(envTable(modelName, sourceEnv)),
+      spark.table(envTable(modelName, targetEnv)), grain)
+  }
+
+  /** Write referenced-but-undefined relations to an external-models schema
+    * file (reference `sqlmesh create_external_models`, context.py): every
+    * reference that is not a model, with its introspected columns. Reload
+    * with [[loadExternalModels]] for schema-aware macros and linting when
+    * the physical tables are not reachable. */
+  def createExternalModels(path: String): Unit = {
+    val modelNames = models.keySet
+    val refs = models.values.flatMap(_.references).toSet.diff(modelNames).toSeq.sorted
+    val sb = new StringBuilder
+    refs.foreach { r =>
+      val cols = Renderer.catalogSchemaOf(spark, externals.toMap)(r)
+      if (cols.nonEmpty) {
+        sb.append(s"- name: $r\n  columns:\n")
+        cols.foreach { case (c, t) => sb.append(s"    $c: $t\n") }
+      }
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  /** Load an external-models schema file: each entry registers as an
+    * EXTERNAL model with declared columns (schema metadata only — the
+    * physical binding still comes from [[addExternal]]). */
+  def loadExternalModels(path: String): this.type = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val root = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    root.elements().forEachRemaining { e =>
+      val name = e.path("name").asText
+      val cols = Option(e.get("columns")).map { c =>
+        val b = Seq.newBuilder[(String, String)]
+        c.properties().forEach(p => b += p.getKey -> p.getValue.asText)
+        b.result()
+      }.getOrElse(Nil)
+      addModel(Model(name, SqlBody(s"SELECT 1"), kind = ModelKind.External,
+        columns = cols))
+    }
+    this
+  }
+
   /** Demote an environment view by the state-recorded model NAME — works for
     * models no longer registered in this context (deleted from the project),
     * which `models.get` would silently skip, leaking views. */
@@ -606,6 +667,10 @@ class GraftContext(
             // embedded model's own refs resolved recursively (evaluator.py:1965)
             val sub = Renderer.render(up.model, 0L, 0L, 0L, mappingFor(r))
             Some(r -> s"($sub)")
+          // EXTERNAL models carry schema metadata only — the physical
+          // binding is still the registered external relation
+          case Some(up) if up.model.kind == ModelKind.External =>
+            externals.get(r).map(r -> _)
           case Some(up) =>
             Some(r -> evaluator.physicalTable(up, devFlags.getOrElse(r, false)).qualified)
           case None => externals.get(r).map(r -> _)

@@ -717,6 +717,43 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(df.count() == 5)
   }
 
+  test("create_external_models round-trips referenced externals with columns") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.ext_consumer", SqlBody(
+      "SELECT o_orderkey FROM raw.orders LIMIT 1"), kind = ModelKind.Full))
+    val yml = SparkTestSession.tmpDir("extm") + "/external_models.yaml"
+    ctx.createExternalModels(yml)
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(yml))
+    assert(text.contains("name: raw.orders") && text.contains("o_orderkey: BIGINT"))
+
+    // a fresh context loads the schema metadata as EXTERNAL models; the
+    // physical binding still comes from addExternal, and plans run normally
+    val ctx2 = newCtx()
+    ctx2.loadExternalModels(yml)
+    assert(ctx2.model("raw.orders").kind == ModelKind.External)
+    assert(ctx2.model("raw.orders").columns.exists(_._1 == "o_orderkey"))
+    ctx2.addModel(Model("mart.ext_consumer", SqlBody(
+      "SELECT o_orderkey FROM raw.orders LIMIT 3"), kind = ModelKind.Full))
+    ctx2.apply(ctx2.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-02")))
+    assert(spark.table("mart.ext_consumer").count() == 3)
+  }
+
+  test("table_diff compares a model across environments") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.td_model", SqlBody(
+      "SELECT o_orderkey, o_totalprice FROM raw.orders WHERE o_orderkey <= 100"),
+      kind = ModelKind.Full, grains = Seq("o_orderkey")))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-02")))
+    // dev gets a modified version: same keys, shifted values
+    ctx.addModel(ctx.model("mart.td_model").copy(body = SqlBody(
+      "SELECT o_orderkey, o_totalprice + 1 AS o_totalprice FROM raw.orders WHERE o_orderkey <= 100")))
+    ctx.apply(ctx.plan("dev", dayMs("1995-01-01"), dayMs("1995-01-02")))
+    val diff = ctx.tableDiff("mart.td_model", "prod", "dev").collect().head
+    val byName = diff.schema.fieldNames.zipWithIndex.toMap
+    assert(diff.getLong(byName("full_match")) == 0L)
+    assert(diff.getLong(byName("s_only")) == 0L && diff.getLong(byName("t_only")) == 0L)
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",
