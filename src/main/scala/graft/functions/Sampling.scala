@@ -60,6 +60,33 @@ object Sampling {
     df.filter(b < (rate * buckets).cast("long"))
   }
 
+  /** α-temperature group re-balancing (the multilingual-corpus resampling
+    * rule: sample groups ∝ p_g^α, α<1 flattening the distribution so
+    * low-resource groups are upweighted). Per-group keep-rate
+    * `r_g = min(1, targetFraction · N · p_g^α / (Σ p^α · n_g))`, realized as
+    * a deterministic per-row hash draw — same row, same verdict, any engine.
+    * One tiny aggregation (|groups| rows) broadcast back; the corpus itself
+    * is filtered in one codegen'd pass. Rates are rounded to 9 dp before the
+    * bucket threshold so float-sum ordering noise can't flip a boundary
+    * between engines. */
+  def temperatureBalance(df: DataFrame, keyCol: String, groupCol: String,
+                         alpha: Double, targetFraction: Double,
+                         salt: String = ""): DataFrame = {
+    val buckets = 10000
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val withRate = counts
+      .withColumn("__pa", pow(col("__n").cast("double"), alpha))
+      .withColumn("__rate", least(lit(1.0),
+        lit(targetFraction) * sum(col("__n")).over(w) * col("__pa") /
+          (sum(col("__pa")).over(w) * col("__n"))))
+      .select(col(groupCol), col("__rate"))
+    df.join(broadcast(withRate), Seq(groupCol))
+      .filter(hashBucket(col(keyCol), buckets, salt) <
+        floor(round(col("__rate"), 9) * buckets).cast("long"))
+      .drop("__rate")
+  }
+
   /** Stratified EXACT-quota sampling: the first `quota` rows of each group in
     * hash-of-key order (+ key tie-break) — a deterministic uniform draw with
     * a hard per-group cap, unlike rate-based [[sampleBy]] whose group sizes

@@ -526,6 +526,27 @@ object PipelineQueries {
         |  % 10000 < 2500
         |ORDER BY doc_id""".stripMargin)),
 
+    "td_temp_balance" -> Entry((s, dir) => {
+      // α=0.3 temperature re-balancing over languages at half the corpus:
+      // rare languages keep a larger fraction than common ones
+      graft.functions.Sampling.temperatureBalance(t(s, dir, "documents"),
+          "doc_id", "lang", alpha = 0.3, targetFraction = 0.5, salt = "tb")
+        .groupBy(col("lang")).agg(count(lit(1)).as("kept"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("lang"))
+    }, Some(
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT lang, least(1.0,
+        |    0.5 * (SELECT sum(n) FROM c) * pow(n, 0.3)
+        |      / ((SELECT sum(pow(n, 0.3)) FROM c) * n)) AS rate
+        |  FROM c
+        |)
+        |SELECT d.lang, count(*) AS kept, min(d.doc_id) AS first_id
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST('0x' || substring(md5('tb' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |  % 10000 < CAST(floor(round(rate, 9) * 10000) AS BIGINT)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
     "td_train_split" -> Entry((s, dir) => {
       graft.functions.Sampling.split(t(s, dir, "documents"), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp")

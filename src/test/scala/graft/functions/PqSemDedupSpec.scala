@@ -70,6 +70,27 @@ class PqSemDedupSpec extends AnyFunSuite {
     assert(!s1.select("doc_id").exceptAll(s3.select("doc_id")).isEmpty)
   }
 
+  test("temperature balancing upweights rare groups (α<1 flattens)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.temperatureBalance(docs, "doc_id", "lang",
+        alpha = 0.3, targetFraction = 0.5, salt = "t")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracs = byLang.map { case (l, n) => l -> kept.getOrElse(l, 0L).toDouble / n }
+    val (biggest, smallest) = (byLang.maxBy(_._2)._1, byLang.minBy(_._2)._1)
+    // the rarest language keeps a strictly larger fraction than the most
+    // common one, and the overall kept volume is near the 50% target
+    assert(fracs(smallest) > fracs(biggest))
+    val total = kept.values.sum.toDouble / byLang.values.sum
+    assert(total > 0.35 && total < 0.65)
+    // deterministic
+    val again = Sampling.temperatureBalance(docs, "doc_id", "lang",
+      alpha = 0.3, targetFraction = 0.5, salt = "t").count()
+    assert(again == kept.values.sum)
+  }
+
   test("crossDocSpans flags only spans shared across distinct documents") {
     val docs = Seq(
       (1L, "a b c d e f g h tail one"),   // shares 9-word prefix with doc 2
