@@ -161,6 +161,40 @@ class GraftContext(
       schemaOf = Renderer.catalogSchemaOf(spark, mapping))
   }
 
+  /** Column-level lineage for a model (reference `sqlmesh lineage
+    * model.column`, core/lineage.py): output column → the upstream
+    * `relation.column` leaves it derives from, traced through the ANALYZED
+    * Catalyst plan (aliases, CTEs, stars, joins already resolved by the
+    * analyzer — see [[graft.plans.Lineage]]). Upstream models resolve to
+    * their physical tables, so their tables must exist (plan applied) or be
+    * externals. */
+  def columnLineage(name: String): Map[String, Set[String]] = {
+    val snaps = snapshotsOf(models.keys.toSeq)
+    val mapping = tableMappingFor(snaps.values.toSeq)(name)
+    val sql = Renderer.render(models(name), 0L, 86400000L, 0L, mapping, allVariables,
+      macros = customMacros.toMap,
+      schemaOf = Renderer.catalogSchemaOf(spark, mapping))
+    graft.plans.Lineage.columnLineage(spark.sql(sql),
+      graft.plans.Lineage.namerFromMapping(mapping))
+  }
+
+  /** The model DAG as graphviz DOT (reference `sqlmesh dag`,
+    * cli/main.py dag → web/ui rendering): models as nodes (labeled with
+    * their kind), dependency edges upstream → downstream; externals dashed. */
+  def dagDot: String = {
+    def q(s: String) = "\"" + s + "\""
+    val sb = new StringBuilder("digraph graft {\n  rankdir=LR;\n")
+    models.values.foreach { m =>
+      sb.append(s"  ${q(m.name)} [label=${q(s"${m.name}\\n${m.kind.name}")}];\n")
+    }
+    val ext = models.values.flatMap(_.references).toSet.diff(models.keySet)
+    ext.toSeq.sorted.foreach(e => sb.append(s"  ${q(e)} [style=dashed];\n"))
+    models.values.foreach { m =>
+      m.references.toSeq.sorted.foreach(r => sb.append(s"  ${q(r)} -> ${q(m.name)};\n"))
+    }
+    sb.append("}\n").toString
+  }
+
   /** Register a pre-existing table (EXTERNAL kind) by parquet path,
     * catalog-resolvable name, or inline `(SELECT …)` subquery. Inline
     * subqueries stay persistent-view-safe (unlike temp views, which a

@@ -754,6 +754,41 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(diff.getLong(byName("s_only")) == 0L && diff.getLong(byName("t_only")) == 0L)
   }
 
+  test("column lineage traces through joins, aggregates, and model views") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.lin_base", SqlBody(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM raw.orders"""),
+      kind = ModelKind.Full))
+    ctx.addModel(Model("mart.lin_top", SqlBody(
+      """SELECT b.o_custkey AS cust,
+        |  round(sum(b.o_totalprice + l.l_extendedprice), 2) AS combined,
+        |  count(*) AS n
+        |FROM mart.lin_base b JOIN raw.lineitem l ON b.o_orderkey = l.l_orderkey
+        |GROUP BY b.o_custkey""".stripMargin), kind = ModelKind.Full))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-02")))
+
+    val lin = ctx.columnLineage("mart.lin_top")
+    assert(lin("cust") == Set("mart.lin_base.o_custkey"))
+    assert(lin("combined") == Set("mart.lin_base.o_totalprice", "raw.lineitem.l_extendedprice"))
+    assert(lin("n") == Set.empty) // count(*) references no columns
+    // the base model's own lineage reaches the external
+    val lin2 = ctx.columnLineage("mart.lin_base")
+    assert(lin2("o_totalprice") == Set("raw.orders.o_totalprice"))
+  }
+
+  test("dagDot renders models, kinds, externals, and edges") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.dag_a", SqlBody("SELECT o_orderkey FROM raw.orders"),
+      kind = ModelKind.Full))
+    ctx.addModel(Model("mart.dag_b", SqlBody("SELECT * FROM mart.dag_a"),
+      kind = ModelKind.View))
+    val dot = ctx.dagDot
+    assert(dot.contains("\"mart.dag_a\" -> \"mart.dag_b\""))
+    assert(dot.contains("\"raw.orders\" -> \"mart.dag_a\""))
+    assert(dot.contains("FULL") && dot.contains("VIEW"))
+    assert(dot.contains("\"raw.orders\" [style=dashed]"))
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",
