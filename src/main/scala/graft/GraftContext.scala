@@ -178,6 +178,32 @@ class GraftContext(
       graft.plans.Lineage.namerFromMapping(mapping))
   }
 
+  /** All environment records (reference `sqlmesh environments`). */
+  def environments: Seq[EnvironmentRecord] = state.environments
+
+  /** Per-model missing interval gaps in an environment's window (reference
+    * `sqlmesh check_intervals`, cli/main.py): what a `run` would backfill. */
+  def checkIntervals(env: String, start: Long, end: Long): Map[String, Seq[Interval]] = {
+    val envRec = state.getEnvironment(env).getOrElse(
+      throw new IllegalStateException(s"environment $env not planned"))
+    envRec.snapshots.flatMap { case (name, v) =>
+      state.getSnapshot(name, v).filter(_.model.kind.isMaterialized)
+        .map(s => name -> IntervalAlgebra.merge(s.missingIntervals(start, end)).toSeq)
+    }
+  }
+
+  /** Project summary (reference `sqlmesh info`): model counts by kind,
+    * external count, environment count. */
+  def info: String = {
+    val byKind = models.values.groupBy(_.kind.name).toSeq.sortBy(_._1)
+      .map { case (k, ms) => s"  $k: ${ms.size}" }.mkString("\n")
+    s"""models: ${models.size}
+       |$byKind
+       |externals: ${externals.size}
+       |standalone audits: ${standaloneAudits.size}
+       |environments: ${state.environments.size}""".stripMargin
+  }
+
   /** The model DAG as graphviz DOT (reference `sqlmesh dag`,
     * cli/main.py dag → web/ui rendering): models as nodes (labeled with
     * their kind), dependency edges upstream → downstream; externals dashed. */

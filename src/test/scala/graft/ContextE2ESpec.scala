@@ -789,6 +789,24 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(dot.contains("\"raw.orders\" [style=dashed]"))
   }
 
+  test("check_intervals reports gaps a run would backfill; info summarizes") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.ci_model", SqlBody(
+      """SELECT o_orderdate, count(*) AS n FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate"),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
+    // processed [01-01, 01-05); asking through 01-09 reports the 4-day gap
+    val gaps = ctx.checkIntervals("prod", dayMs("1995-01-01"), dayMs("1995-01-09"))
+    assert(gaps("mart.ci_model") ==
+      Seq(Interval(dayMs("1995-01-05"), dayMs("1995-01-09"))))
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-01-09"))
+    assert(ctx.checkIntervals("prod", dayMs("1995-01-01"), dayMs("1995-01-09"))("mart.ci_model").isEmpty)
+    assert(ctx.info.contains("INCREMENTAL_BY_TIME_RANGE: 1"))
+    assert(ctx.environments.map(_.name) == Seq("prod"))
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",
