@@ -178,6 +178,45 @@ class GraftContext(
       graft.plans.Lineage.namerFromMapping(mapping))
   }
 
+  /** Lint the project (reference `sqlmesh lint`): the model-local rules
+    * plus two context-aware ones — `nomissingexternalmodels`
+    * (builtin.py:147: every reference must be a model or a registered
+    * external) and `ambiguousorinvalidcolumn` (builtin.py:98: the rendered
+    * query must pass the ANALYZER — Spark is the name resolver here, so
+    * ambiguity/typo detection is exactly Catalyst's). Throws on blocking
+    * violations when `enforce` is set. */
+  def lint(extraRules: Seq[graft.linter.Linter.Rule] = Nil,
+           enforce: Boolean = false): Seq[graft.linter.Linter.Violation] = {
+    import graft.linter.Linter
+    val base = Linter.lint(models.values.toSeq, Linter.defaultRules ++ extraRules)
+    val missingExt = models.values.flatMap { m =>
+      m.references.toSeq.sorted
+        .filterNot(r => models.contains(r) || externals.contains(r))
+        .map(r => Linter.Violation("nomissingexternalmodels", m.name,
+          s"reference '$r' is neither a model nor a registered external", blocking = true))
+    }
+    val analysis = models.values.flatMap { m =>
+      m.body match {
+        case SqlBody(_) if m.kind != ModelKind.External && m.kind != ModelKind.Embedded =>
+          try { spark.sql(renderSql(m.name, 0L, 86400000L, 0L)); None }
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if Option(e.getCondition).exists(c =>
+                  c.startsWith("AMBIGUOUS") || c.startsWith("UNRESOLVED_COLUMN")) =>
+              Some(Linter.Violation("ambiguousorinvalidcolumn", m.name,
+                e.getMessage.linesIterator.next(), blocking = true))
+            case _: Exception => None // missing physical tables etc. — not a lint
+          }
+        case _ => None
+      }
+    }
+    val all = base ++ missingExt ++ analysis
+    if (enforce && all.exists(_.blocking))
+      throw new IllegalStateException("linter: " + all.filter(_.blocking)
+        .map(v => s"[${v.rule}] ${v.model}: ${v.message}").mkString("; "))
+    all
+  }
+
   /** All environment records (reference `sqlmesh environments`). */
   def environments: Seq[EnvironmentRecord] = state.environments
 

@@ -807,6 +807,25 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(ctx.environments.map(_.name) == Seq("prod"))
   }
 
+  test("context lint flags missing externals and analyzer-invalid columns") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.lint_ok", SqlBody("SELECT o_orderkey FROM raw.orders"),
+      kind = ModelKind.Full, owner = Some("me"),
+      audits = Seq("not_null" -> Map("columns" -> "o_orderkey"))))
+    ctx.addModel(Model("mart.lint_missing", SqlBody("SELECT x FROM raw.nowhere"),
+      kind = ModelKind.Full, owner = Some("me"),
+      audits = Seq("not_null" -> Map("columns" -> "x"))))
+    ctx.addModel(Model("mart.lint_badcol", SqlBody(
+      "SELECT no_such_col FROM raw.orders"),
+      kind = ModelKind.Full, owner = Some("me"),
+      audits = Seq("not_null" -> Map("columns" -> "no_such_col"))))
+    val vs = ctx.lint()
+    assert(vs.exists(v => v.rule == "nomissingexternalmodels" && v.model == "mart.lint_missing"))
+    assert(vs.exists(v => v.rule == "ambiguousorinvalidcolumn" && v.model == "mart.lint_badcol"))
+    assert(!vs.exists(_.model == "mart.lint_ok"))
+    intercept[IllegalStateException](ctx.lint(enforce = true))
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",
