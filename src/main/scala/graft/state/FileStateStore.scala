@@ -70,6 +70,14 @@ final class FileStateStore(
     Files.copy(file, Paths.get(path), StandardCopyOption.REPLACE_EXISTING); ()
   }
 
+  /** `sqlmesh state import`: replace this store's contents with an exported
+    * state file (migrated through the schema versions like any load). */
+  def importFrom(path: String): Unit = synchronized {
+    Files.copy(Paths.get(path), file, StandardCopyOption.REPLACE_EXISTING)
+    mem.clearAll()
+    load()
+  }
+
   // -------------------------------------------------------------- persist
 
   private def persist(): Unit = {

@@ -77,6 +77,11 @@ final class InMemoryStateStore extends StateStore {
   private val envs = scala.collection.mutable.LinkedHashMap[String, EnvironmentRecord]()
   private val autoRestatements = scala.collection.mutable.Map[String, Long]()
 
+  /** Full reset — used by state import to replace contents wholesale. */
+  private[state] def clearAll(): Unit = synchronized {
+    snapshots.clear(); ivals.clear(); envs.clear(); autoRestatements.clear()
+  }
+
   def lastAutoRestatement(name: String): Option[Long] =
     synchronized(autoRestatements.get(name))
   def setAutoRestatement(name: String, ts: Long): Unit =

@@ -88,6 +88,27 @@ class FileStateStoreSpec extends AnyFunSuite {
     assert(loaded.asInstanceOf[ScalaBody].fn eq fn)
   }
 
+  test("state export / import replaces a store's contents wholesale") {
+    val d1 = SparkTestSession.tmpDir("state_src")
+    val s1 = new FileStateStore(d1)
+    val snap = mkSnapshot("mart.exp", "SELECT 2 AS id", ModelKind.Full)
+    s1.pushSnapshot(snap)
+    s1.promoteEnvironment(EnvironmentRecord("prod", Map("mart.exp" -> snap.version)))
+    val exported = SparkTestSession.tmpDir("state_exp") + "/state.json"
+    s1.exportTo(exported)
+
+    val d2 = SparkTestSession.tmpDir("state_dst")
+    val s2 = new FileStateStore(d2)
+    s2.pushSnapshot(mkSnapshot("mart.other", "SELECT 3 AS id", ModelKind.Full))
+    s2.importFrom(exported)
+    // old contents gone, imported contents present — and durable
+    assert(s2.latestSnapshot("mart.other").isEmpty)
+    assert(s2.getSnapshot("mart.exp", snap.version).nonEmpty)
+    val s3 = new FileStateStore(d2)
+    assert(s3.getSnapshot("mart.exp", snap.version).nonEmpty)
+    assert(s3.getEnvironment("prod").nonEmpty)
+  }
+
   test("v1 state files migrate on load (schema versioning, migrator.py)") {
     val dir = SparkTestSession.tmpDir("state")
     // write a version-1 file by hand: no `version`, no environment
