@@ -80,7 +80,18 @@ class Scheduler(
             val dev = devFlags.getOrElse(snap.model.name, false)
             val fresh = state.getSnapshot(snap.model.name, snap.version).getOrElse(snap)
             val unit = snap.model.intervalUnit
-            val missing = fresh.missingIntervals(start, end, dev)
+            // cron-tick readiness (reference croniter gating, scheduler.py
+            // merged_missing_intervals): an interval is runnable only once a
+            // cron fire at/after its end has passed — a "30 3 * * *" daily
+            // model's yesterday is NOT ready at 01:00. allow_partials opts
+            // out, exactly like it opts out of unit completeness.
+            // …only INCREMENTAL kinds: FULL/VIEW/SCD2 refresh wholesale on
+            // every run (FullRefreshStrategy replaces regardless of ticks)
+            val cappedEnd =
+              if (snap.model.allowPartials || !snap.model.kind.isIncremental) end
+              else math.min(end,
+                unit.floor(CronSchedule.lastTickAtOrBefore(snap.model.cron, executionTs)))
+            val missing = fresh.missingIntervals(start, cappedEnd, dev)
             val contiguous = IntervalAlgebra.merge(missing)
             val batchSize = snap.model.kind match {
               case k: ModelKind.IncrementalByTimeRange => k.batchSize.getOrElse(0)

@@ -826,6 +826,26 @@ class ContextE2ESpec extends AnyFunSuite {
     intercept[IllegalStateException](ctx.lint(enforce = true))
   }
 
+  test("cron gating: an off-midnight cron holds back yesterday until it fires") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.cron_m", SqlBody(
+      """SELECT o_orderdate, count(*) AS n FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate"),
+      cron = "30 3 * * *", start = Some(dayMs("1995-01-01"))))
+    // executing at 01:00 on Jan 5: the 03:30 tick of Jan 5 hasn't fired, so
+    // Jan 4's interval is NOT ready — only through Jan 4 00:00
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-06")),
+      executionTs = dayMs("1995-01-05") + 3600000L)
+    def maxMs(): Long = spark.table("mart.cron_m").agg(max(col("o_orderdate"))).head()
+      .getAs[java.time.LocalDateTime](0).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    assert(maxMs() < dayMs("1995-01-04"))
+    // at 04:00 the tick has fired: Jan 4 becomes ready
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-01-06"),
+      executionTs = dayMs("1995-01-05") + 4 * 3600000L)
+    assert(maxMs() >= dayMs("1995-01-04") && maxMs() < dayMs("1995-01-05"))
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",
