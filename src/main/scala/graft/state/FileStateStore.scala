@@ -29,9 +29,10 @@ final class FileStateStore(
   extends StateStore {
 
   private val mapper = new ObjectMapper()
-  private val file: Path = Paths.get(dir, "state.json")
+  private val blob: FileStateStore.Blob =
+    if (dir.contains("://")) new FileStateStore.HadoopBlob(dir)
+    else new FileStateStore.LocalBlob(dir)
   private val mem = new InMemoryStateStore
-  Files.createDirectories(Paths.get(dir))
   load()
 
   // ------------------------------------------------------------ StateStore
@@ -67,13 +68,13 @@ final class FileStateStore(
 
   /** export/import surface (reference state_sync/export_import.py). */
   def exportTo(path: String): Unit = synchronized {
-    Files.copy(file, Paths.get(path), StandardCopyOption.REPLACE_EXISTING); ()
+    Files.write(Paths.get(path), blob.readAll()); ()
   }
 
   /** `sqlmesh state import`: replace this store's contents with an exported
     * state file (migrated through the schema versions like any load). */
   def importFrom(path: String): Unit = synchronized {
-    Files.copy(Paths.get(path), file, StandardCopyOption.REPLACE_EXISTING)
+    blob.writeAtomic(Files.readAllBytes(Paths.get(path)))
     mem.clearAll()
     load()
   }
@@ -100,10 +101,7 @@ final class FileStateStore(
     }
     val ar = root.putObject("auto_restatements")
     mem.allAutoRestatements.foreach { case (k, v) => ar.put(k, v) }
-    val tmp = Paths.get(dir, s"state.json.tmp")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ()
+    blob.writeAtomic(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
   }
 
   /** Stepwise state-schema migrations (reference state_sync/db/migrator.py:
@@ -119,8 +117,8 @@ final class FileStateStore(
     root
   }
 
-  private def load(): Unit = if (Files.exists(file)) {
-    val root = migrate(mapper.readTree(Files.readAllBytes(file)))
+  private def load(): Unit = if (blob.exists) {
+    val root = migrate(mapper.readTree(blob.readAll()))
     root.path("snapshots").forEach(n => mem.pushSnapshot(snapshotFromJson(n)))
     root.path("environments").forEach { n =>
       val snapMap = scala.collection.mutable.Map[String, String]()
@@ -380,6 +378,60 @@ object FileStateStore {
   /** Current state-file schema version (reference `_versions` table,
     * state_sync/db/version.py:27). */
   val SchemaVersion = 2
+
+  /** Byte-level storage for the state image: local filesystem, or any
+    * Hadoop-supported shared store when `dir` carries a URI scheme. */
+  private[state] trait Blob {
+    def exists: Boolean
+    def readAll(): Array[Byte]
+    /** write-temp + rename so readers never observe a torn file */
+    def writeAtomic(bytes: Array[Byte]): Unit
+  }
+
+  private[state] final class LocalBlob(dir: String) extends Blob {
+    private val file = Paths.get(dir, "state.json")
+    Files.createDirectories(Paths.get(dir))
+    def exists: Boolean = Files.exists(file)
+    def readAll(): Array[Byte] = Files.readAllBytes(file)
+    def writeAtomic(bytes: Array[Byte]): Unit = {
+      val tmp = Paths.get(dir, "state.json.tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
+  /** Shared-storage state (hdfs://, s3a://, file://): the cluster story —
+    * any driver (or a failover driver) resumes the same state. Rename is
+    * atomic on HDFS; FileContext.rename(OVERWRITE) provides the
+    * replace-existing semantics java.nio gives locally. */
+  private[state] final class HadoopBlob(dir: String) extends Blob {
+    import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+    private val conf = new org.apache.hadoop.conf.Configuration()
+    private val root = new HPath(dir)
+    private val fc = FileContext.getFileContext(root.toUri, conf)
+    private val file = new HPath(root, "state.json")
+    fc.mkdir(root, org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+    def exists: Boolean = fc.util.exists(file)
+    def readAll(): Array[Byte] = {
+      val in = fc.open(file)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    }
+    def writeAtomic(bytes: Array[Byte]): Unit = {
+      val tmp = new HPath(root, "state.json.tmp")
+      val out = fc.create(tmp, java.util.EnumSet.of(
+        org.apache.hadoop.fs.CreateFlag.CREATE, org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(bytes) finally out.close()
+      fc.rename(tmp, file, Options.Rename.OVERWRITE)
+    }
+  }
 
   /** migrations(k) upgrades version k → k+1 (migrator.py ordered scripts).
     * v1 → v2: environments gained per-model `identifiers` (full-fingerprint

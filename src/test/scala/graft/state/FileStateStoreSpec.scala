@@ -109,6 +109,20 @@ class FileStateStoreSpec extends AnyFunSuite {
     assert(s3.getEnvironment("prod").nonEmpty)
   }
 
+  test("a URI-scheme dir stores through the Hadoop FileSystem API") {
+    val dir = "file://" + SparkTestSession.tmpDir("state_hdfs")
+    val s1 = new FileStateStore(dir)
+    val snap = mkSnapshot("mart.hfs", "SELECT 4 AS id", ModelKind.Full,
+      intervals = Vector(Interval(0L, 86400000L)))
+    s1.pushSnapshot(snap)
+    s1.promoteEnvironment(EnvironmentRecord("prod", Map("mart.hfs" -> snap.version)))
+    // a second store over the same shared path resumes the state
+    val s2 = new FileStateStore(dir)
+    assert(s2.getSnapshot("mart.hfs", snap.version).map(_.intervals) ==
+      Some(Vector(Interval(0L, 86400000L))))
+    assert(s2.getEnvironment("prod").nonEmpty)
+  }
+
   test("v1 state files migrate on load (schema versioning, migrator.py)") {
     val dir = SparkTestSession.tmpDir("state")
     // write a version-1 file by hand: no `version`, no environment
