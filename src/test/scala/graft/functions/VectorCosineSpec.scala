@@ -45,4 +45,24 @@ class VectorCosineSpec extends AnyFunSuite {
     assertThrows[org.apache.spark.sql.AnalysisException](
       df.select(Similarity.cosine(col("a"), col("b"))).collect())
   }
+
+  test("graft_cosine / graft_lsh_bucket register as SQL functions") {
+    GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_sqlfn")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id ia, b.vec_id ib, graft_cosine(a.embedding, b.embedding) c,
+        |       graft_lsh_bucket(a.embedding, 8) bkt
+        |FROM emb_sqlfn a JOIN emb_sqlfn b ON a.vec_id + 1 = b.vec_id
+        |WHERE a.vec_id < 20""".stripMargin)
+    val viaDf = {
+      val e = spark.table("emb_sqlfn")
+      val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+      a.join(b, col("ia") + 1 === col("ib")).filter(col("ia") < 20)
+        .select(col("ia"), col("ib"), Similarity.cosine(col("va"), col("vb")).as("c"),
+          Similarity.lshBucket(col("va"), 8).as("bkt"))
+    }
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+  }
 }
