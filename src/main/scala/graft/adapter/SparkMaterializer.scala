@@ -94,10 +94,17 @@ class SparkMaterializer(val spark: SparkSession) {
   def register(t: PhysicalTable): Unit = {
     createSchema(t.database)
     currentDataDir(t).foreach { dir =>
-      if (hasParquet(dir))
-        spark.sql(s"CREATE OR REPLACE VIEW ${t.qualified} AS SELECT * FROM parquet.`$dir`")
-      else schemaMarker(dir).foreach { st =>
-        val proj = st.map(fd =>
+      if (hasParquet(dir)) {
+        // managed columns (the derived __graft_* partition keys) live in the
+        // physical layout only — the catalog view hides them
+        val managed = spark.read.parquet(dir).schema.fieldNames
+          .filter(_.startsWith("__graft_"))
+        val proj =
+          if (managed.isEmpty) "*"
+          else "* EXCEPT (" + managed.map(c => s"`$c`").mkString(", ") + ")"
+        spark.sql(s"CREATE OR REPLACE VIEW ${t.qualified} AS SELECT $proj FROM parquet.`$dir`")
+      } else schemaMarker(dir).foreach { st =>
+        val proj = st.filterNot(_.name.startsWith("__graft_")).map(fd =>
           s"CAST(NULL AS ${fd.dataType.sql}) AS `${fd.name}`").mkString(", ")
         spark.sql(s"CREATE OR REPLACE VIEW ${t.qualified} AS SELECT $proj WHERE 1 = 0")
       }
@@ -270,12 +277,17 @@ class SparkMaterializer(val spark: SparkSession) {
     * exactly the forward-only contract (no historical recompute). */
   def migrate(t: PhysicalTable, target: org.apache.spark.sql.types.StructType): Unit = {
     val cur = read(t)
-    val ops = SchemaDiffer.diff(cur.schema, target)
+    // managed __graft_* columns are physical-layout internals: excluded from
+    // the diff (the target schema never mentions them) and carried through
+    val managed = cur.columns.filter(_.startsWith("__graft_"))
+    val curUser = org.apache.spark.sql.types.StructType(
+      cur.schema.filterNot(_.name.startsWith("__graft_")))
+    val ops = SchemaDiffer.diff(curUser, target)
     if (ops.isEmpty) return
     val projected = target.fields.map { f =>
       if (cur.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    }
+    } ++ managed.map(col)
     replaceQuery(t, cur.select(projected.toIndexedSeq: _*))
   }
 

@@ -846,6 +846,46 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(maxMs() >= dayMs("1995-01-04") && maxMs() < dayMs("1995-01-05"))
   }
 
+  test("time-range models auto-partition physically; restates touch only their dirs") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.autopt", SqlBody(
+      """SELECT o_orderdate, count(*) AS n FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate"),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-06")))
+    // physical layout: one __graft_pt=<day> dir per processed day
+    val snap = ctx.state.latestSnapshot("mart.autopt").get
+    val root = ctx.evaluator.physicalTable(snap).root
+    val dataDir = ctx.materializer.currentDataDir(ctx.evaluator.physicalTable(snap)).get
+    val dirs = new java.io.File(dataDir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    // one dir per day that actually has orders in the window
+    val expectDays = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-01-06").cast("timestamp"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d")).distinct()
+      .collect().map(r => "__graft_pt=" + r.getString(0)).sorted
+    assert(dirs.toSeq == expectDays.toSeq)
+    // the managed column is hidden from the catalog view
+    assert(!spark.table("mart.autopt").columns.contains("__graft_pt"))
+    // restating one present day rewrites ONLY that day's directory
+    val restDay = dirs.head.stripPrefix("__graft_pt=")
+    val mtimes = dirs.map(d => d -> new java.io.File(dataDir, d).lastModified()).toMap
+    Thread.sleep(1100)
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-06"),
+      restate = Map("mart.autopt" -> Interval(dayMs(restDay), dayMs(restDay) + D))))
+    val after = dirs.map(d => d -> new java.io.File(dataDir, d).lastModified()).toMap
+    assert(after(s"__graft_pt=$restDay") > mtimes(s"__graft_pt=$restDay"))
+    assert(dirs.filterNot(_ == s"__graft_pt=$restDay")
+      .forall(d => after(d) == mtimes(d)), "untouched partitions were rewritten")
+    // data correct after the partial rewrite
+    assert(spark.table("mart.autopt").count() ==
+      spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-01-06").cast("timestamp"))
+        .select("o_orderdate").distinct().count())
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",
