@@ -345,10 +345,12 @@ class SparkMaterializer(val spark: SparkSession) {
             }: _*)
           }
         // The pruned path is only key-stable when the partition columns are a
-        // subset of the key: then a key's partition value can never change
-        // between runs, so no stale duplicate row can hide in an untouched
-        // partition. Otherwise fall back to the full rewrite.
-        if (t.partitionedBy.nonEmpty && t.partitionedBy.forall(keys.contains)) {
+        // subset of the key — or the managed hash-of-key bucket, which is a
+        // pure function of the key: then a key's partition value can never
+        // change between runs, so no stale duplicate row can hide in an
+        // untouched partition. Otherwise fall back to the full rewrite.
+        if (t.partitionedBy.nonEmpty &&
+            t.partitionedBy.forall(c => keys.contains(c) || c == "__graft_bk")) {
           // partition-pruned merge: rewrite only partitions present in source
           val parts = src0.select(t.partitionedBy.map(col): _*).distinct()
           val affected = read(t).join(broadcast(parts), t.partitionedBy, "left_semi")

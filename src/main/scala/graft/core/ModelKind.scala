@@ -75,10 +75,16 @@ object ModelKind {
       uniqueKey: Seq[String],
       whenMatchedUpdate: Map[String, String] = Map.empty,
       whenMatchedDelete: Option[String] = None,
-      mergeFilter: Option[String] = None) extends ModelKind {
+      mergeFilter: Option[String] = None,
+      /** >0 partitions the physical table into `buckets` hash-of-key
+        * directories (a managed `__graft_bk` column): a key's bucket never
+        * changes, so merges dynamic-overwrite only the buckets the source
+        * touches instead of rewriting the table. The scale knob for big
+        * upsert targets. */
+      buckets: Int = 0) extends ModelKind {
     val name = "INCREMENTAL_BY_UNIQUE_KEY"
     override def dataFields: Seq[String] =
-      Seq(name) ++ uniqueKey ++ mergeFilter.toSeq ++ whenMatchedDelete.toSeq
+      Seq(name, buckets.toString) ++ uniqueKey ++ mergeFilter.toSeq ++ whenMatchedDelete.toSeq
   }
 
   final case class IncrementalByPartition(partitionedBy: Seq[String]) extends ModelKind {

@@ -39,6 +39,7 @@ class SnapshotEvaluator(
       root = s"$workspace/physical/$name",
       partitionedBy =
         if (autoTimePartitioned(s.model)) Seq(SnapshotEvaluator.TimePartitionCol)
+        else if (autoKeyBucketed(s.model)) Seq(SnapshotEvaluator.KeyBucketCol)
         else s.model.partitionedBy,
       clusteredBy = s.model.clusteredBy)
   }
@@ -81,6 +82,27 @@ class SnapshotEvaluator(
         df.withColumn(SnapshotEvaluator.TimePartitionCol, date_format(ts, pattern))
       case _ => df
     }
+
+  /** buckets>0 on a unique-key kind: hash-of-key bucket directories. A key's
+    * bucket is a pure function of the key — it can never move — so the merge
+    * path dynamic-overwrites only the buckets present in the source. */
+  private def autoKeyBucketed(m: Model): Boolean = m.kind match {
+    case k: ModelKind.IncrementalByUniqueKey =>
+      k.buckets > 0 && m.partitionedBy.isEmpty
+    case _ => false
+  }
+
+  private def withKeyBucket(df: DataFrame, m: Model): DataFrame = m.kind match {
+    case k: ModelKind.IncrementalByUniqueKey
+        if autoKeyBucketed(m) && !df.columns.contains(SnapshotEvaluator.KeyBucketCol) =>
+      import org.apache.spark.sql.functions._
+      df.withColumn(SnapshotEvaluator.KeyBucketCol,
+        pmod(hash(k.uniqueKey.map(col): _*), lit(k.buckets)))
+    case _ => df
+  }
+
+  private def withManagedCols(df: DataFrame, m: Model): DataFrame =
+    withKeyBucket(withTimePartition(df, m), m)
 
   /** PhysicalLayerUpdate: ensure schema + (empty) physical object exists
     * (evaluator.py:360). For parquet-backed tables, creation happens lazily on
@@ -131,7 +153,7 @@ class SnapshotEvaluator(
             case _ => Renderer.evaluate(
               spark, s.model, 0L, 0L, executionTs, tableMapping, variables)
           }
-          materializer.replaceQuery(t, withTimePartition(df, s.model).limit(0))
+          materializer.replaceQuery(t, withManagedCols(df, s.model).limit(0))
         }
       case _ => ()
     }
@@ -219,7 +241,7 @@ class SnapshotEvaluator(
         else df.select(s.model.columns.map { case (c, t) =>
           org.apache.spark.sql.functions.col(c).cast(t).as(c)
         }: _*)
-      withTimePartition(contracted, s.model)
+      withManagedCols(contracted, s.model)
     }
 
     // write-audit-publish: remember the published version so a failing audit
@@ -363,4 +385,6 @@ object SnapshotEvaluator {
   /** Managed partition-key column for auto-time-partitioned tables —
     * present in the physical files, hidden from the catalog view. */
   val TimePartitionCol = "__graft_pt"
+  /** Managed hash-of-key bucket column for bucketed unique-key tables. */
+  val KeyBucketCol = "__graft_bk"
 }

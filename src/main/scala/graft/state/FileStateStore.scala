@@ -304,6 +304,7 @@ final class FileStateStore(
         putMap(o, "when_matched_update", u.whenMatchedUpdate)
         u.whenMatchedDelete.foreach(o.put("when_matched_delete", _))
         u.mergeFilter.foreach(o.put("merge_filter", _))
+        if (u.buckets > 0) { o.put("buckets", u.buckets); () }
       case p: ModelKind.IncrementalByPartition =>
         o.set[JsonNode]("partitioned_by", strArr(p.partitionedBy))
       case u: ModelKind.IncrementalUnmanaged => o.put("insert_overwrite", u.insertOverwrite)
@@ -348,7 +349,8 @@ final class FileStateStore(
       uniqueKey = seqOf(n.path("unique_key")),
       whenMatchedUpdate = mapOf(n.path("when_matched_update")),
       whenMatchedDelete = Option(n.get("when_matched_delete")).map(_.asText()),
-      mergeFilter = Option(n.get("merge_filter")).map(_.asText()))
+      mergeFilter = Option(n.get("merge_filter")).map(_.asText()),
+      buckets = n.path("buckets").asInt(0))
     case "INCREMENTAL_BY_PARTITION" =>
       ModelKind.IncrementalByPartition(seqOf(n.path("partitioned_by")))
     case "INCREMENTAL_UNMANAGED" =>

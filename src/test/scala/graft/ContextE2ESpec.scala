@@ -886,6 +886,32 @@ class ContextE2ESpec extends AnyFunSuite {
         .select("o_orderdate").distinct().count())
   }
 
+  test("bucketed unique-key model merges by rewriting only touched buckets") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.bk_merge", SqlBody(
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt""".stripMargin),
+      kind = ModelKind.IncrementalByUniqueKey(uniqueKey = Seq("o_orderkey"), buckets = 8),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+    val snap = ctx.state.latestSnapshot("mart.bk_merge").get
+    val dataDir = ctx.materializer.currentDataDir(ctx.evaluator.physicalTable(snap)).get
+    val dirs = new java.io.File(dataDir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("__graft_bk=")) && dirs.nonEmpty)
+    assert(!spark.table("mart.bk_merge").columns.contains("__graft_bk"))
+    val n1 = spark.table("mart.bk_merge").count()
+
+    // second window merges new keys in; results equal an unbucketed baseline
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-03-01"))
+    val got = spark.table("mart.bk_merge")
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(got.count() > n1 && got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("embedded models inline into consumers") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.emb",
