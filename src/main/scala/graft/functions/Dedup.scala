@@ -198,6 +198,23 @@ object Dedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /** Canonicalization: the keep-one-per-cluster decision that turns a
+    * near-dup pair graph into a curation verdict. Docs outside any pair are
+    * their own singleton cluster; within a cluster the highest-`score`
+    * member wins (ties → lowest id). Cost = [[clusters]] over the pair
+    * graph + one window over cluster members — never over the corpus. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame, score: org.apache.spark.sql.Column,
+                   idCol: String = "doc_id"): DataFrame = {
+    val cl = clusters(pairs).withColumnRenamed("id", idCol)
+    val labeled = docs.select(col(idCol), score.as("__score"))
+      .join(cl, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      .orderBy(col("__score").desc, col(idCol))
+    labeled.withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster"), col("keep"))
+  }
+
   /** Cross-document span duplication (the exact-substring dedup signal of
     * Lee et al., "Deduplicating Training Data Makes Language Models Better",
     * at word-window granularity): a span = a `w`-word window at every

@@ -121,6 +121,50 @@ object PipelineQueries {
         |)
         |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    "td_canonicalize" -> Entry((s, dir) => {
+      // curation verdict: near-dup clusters keep their longest member
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.35)
+      Dedup.canonicalize(docs, pairs, score = col("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+2], ' ')) > 0
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.35
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        |), cl AS (
+        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        |), lbl AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster, d.n_chars
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+        |)
+        |SELECT doc_id, cluster,
+        |  (row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) = 1) AS keep
+        |FROM lbl ORDER BY doc_id""".stripMargin)),
+
     // ------------------------- MinHash+LSH / SimHash (signature-based) ---
     // signatures use the portable md5-derived hash (PortableHash), so the
     // full signature pipeline — shingles → double-hash minhash → banding →

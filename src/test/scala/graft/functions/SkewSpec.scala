@@ -54,6 +54,16 @@ class SkewSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("Dedup.canonicalize keeps the best-scored member per cluster") {
+    val docs = Seq((1L, 10), (2L, 50), (3L, 20), (9L, 7)).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalize(docs, pairs, score = col("quality")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // cluster {1,2,3}: doc 2 (quality 50) kept; doc 9 is a singleton, kept
+    assert(got == Map(1L -> ((1L, false)), 2L -> ((1L, true)),
+      3L -> ((1L, false)), 9L -> ((9L, true))))
+  }
+
   test("Funnel.funnel enforces strict step ordering") {
     def ts(x: String) = java.sql.Timestamp.valueOf(x)
     val ev = Seq(
