@@ -13,8 +13,12 @@ Test / fork := true
 run / fork := true
 // Inherit stdout/stderr in forked runs instead of routing through sbt's
 // logger: the logger prefixes every line with [info]/[error], which breaks
-// the driver's parse of Bench's single raw JSON output line.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// the driver's parse of Bench's single raw JSON output line. Unscoped on
+// purpose: `run / outputStrategy` is NOT in the delegation chain of
+// `Compile / runMain / forkOptions`, so the r02 bench line still came out
+// `[info] {...}` — the project-level setting is what every forked task
+// (run, runMain, test) actually inherits.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -337,18 +337,20 @@ class GraftContext(
       restate: Map[String, Interval] = Map.empty,
       forwardOnly: Boolean = false,
       skipBackfill: Boolean = false,
-      /** `--select-model` selectors (exact names or `schema.*` wildcards):
-        * local changes to UNSELECTED models are left out of the plan — their
-        * currently-promoted snapshot is kept (plan/builder.py select_models /
-        * selector.py). Empty = select everything. */
+      /** `--select-model` selector expressions (reference selector.py):
+        * `name`, `schema.*` wildcards, `+name` (include upstream), `name+`
+        * (downstream), `tag:pat`, `^` NOT, `&`/`|`, parens. Local changes to
+        * UNSELECTED models are left out of the plan — their currently-promoted
+        * snapshot is kept (plan/builder.py select_models). Empty = all. */
       select: Seq[String] = Nil,
       effectiveFrom: Option[Long] = None,
       noGaps: Boolean = false): Plan = {
     require(effectiveFrom.isEmpty || forwardOnly,
       "effective_from requires a forward-only plan (plan/builder.py:239)")
-    def selected(name: String): Boolean = select.isEmpty || select.exists { pat =>
-      if (pat.endsWith(".*")) name.startsWith(pat.dropRight(1)) else name == pat
-    }
+    val selectedSet: Set[String] =
+      if (select.isEmpty) models.keySet.toSet
+      else ModelSelector.expand(select, models.toMap)
+    def selected(name: String): Boolean = selectedSet.contains(name)
     // selectors: unselected models fingerprint (and cascade to dependents)
     // with their promoted definition, not the local edit; unselected NEW
     // models still enter the plan (dependents need them)

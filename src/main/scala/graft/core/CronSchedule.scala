@@ -57,11 +57,16 @@ object CronSchedule {
       (a to b by step)
     }.toSet
 
-  /** The latest fire time <= `ts` (epoch ms, UTC), or Long.MinValue if none
-    * within a ~366-day lookback (a valid spec always fires within that). */
-  def lastTickAtOrBefore(cron: String, ts: Long): Long = {
+  /** The latest fire time <= `ts` (epoch ms), or Long.MinValue if none
+    * within a ~366-day lookback (a valid spec always fires within that).
+    * `tz` is the IANA zone the cron's wall-clock fields are interpreted in
+    * (reference node.py:293 `cron_tz`, croniter evaluated in that zone) —
+    * "0 3 * * *" with tz America/New_York fires at 08:00/07:00 UTC depending
+    * on DST. Default UTC. */
+  def lastTickAtOrBefore(cron: String, ts: Long, tz: String = "UTC"): Long = {
     val spec = parse(cron)
-    var t = java.time.Instant.ofEpochMilli(ts).atZone(java.time.ZoneOffset.UTC)
+    val zone = java.time.ZoneId.of(tz)
+    var t = java.time.Instant.ofEpochMilli(ts).atZone(zone)
       .withSecond(0).withNano(0)
     var steps = 0
     val max = 366 * 24 * 60

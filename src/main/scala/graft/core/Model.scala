@@ -20,6 +20,10 @@ final case class Model(
     body: ModelBody,
     kind: ModelKind = ModelKind.Full,
     cron: String = "@daily",
+    /** IANA zone the cron's wall-clock fields fire in (reference node.py:293
+      * `cron_tz`; default UTC). Metadata, not data — changing it never
+      * triggers a backfill, matching the reference's metadata hash. */
+    cronTz: Option[String] = None,
     /** explicit interval unit (reference node.py:294 interval_unit_): how
       * finely intervals are sliced, overriding the cron-derived cadence. May
       * be finer than the cron (an @daily model backfilled hour-by-hour),

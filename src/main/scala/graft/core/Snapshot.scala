@@ -59,7 +59,8 @@ object Fingerprint {
       model.kind.dataFields ++ model.partitionedBy ++ model.clusteredBy ++
       model.columns.map { case (c, t) => s"$c:${t.toLowerCase}" } ++
       model.preStatements.map(canonicalSql) ++ model.postStatements.map(canonicalSql)
-    val metaParts = Seq(model.cron, model.owner.getOrElse(""), model.description.getOrElse("")) ++
+    val metaParts = Seq(model.cron, model.cronTz.getOrElse(""),
+      model.owner.getOrElse(""), model.description.getOrElse("")) ++
       model.tags ++ model.grains ++
       model.audits.map { case (n, args) => n + args.toSeq.sorted.mkString(",") } ++
       model.onVirtualUpdate.map(canonicalSql) // metadata, not data (definition.py:2620)

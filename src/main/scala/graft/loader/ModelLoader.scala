@@ -113,6 +113,7 @@ object ModelLoader {
       body = SqlBody(statements(qIdx)),
       kind = parseKind(props.getOrElse("kind", "FULL")),
       cron = unq(props.getOrElse("cron", "@daily")),
+      cronTz = props.get("cron_tz").map(unq),
       intervalUnitName = props.get("interval_unit").map(u => unq(u).toLowerCase),
       start = props.get("start").map(s =>
         java.time.LocalDate.parse(unq(s)).toEpochDay * 86400000L),

@@ -90,7 +90,8 @@ class Scheduler(
             val cappedEnd =
               if (snap.model.allowPartials || !snap.model.kind.isIncremental) end
               else math.min(end,
-                unit.floor(CronSchedule.lastTickAtOrBefore(snap.model.cron, executionTs)))
+                unit.floor(CronSchedule.lastTickAtOrBefore(snap.model.cron, executionTs,
+                  snap.model.cronTz.getOrElse("UTC"))))
             val missing = fresh.missingIntervals(start, cappedEnd, dev)
             val contiguous = IntervalAlgebra.merge(missing)
             val batchSize = snap.model.kind match {

@@ -219,6 +219,7 @@ final class FileStateStore(
     }
     o.set[JsonNode]("kind", kindJson(m.kind))
     o.put("cron", m.cron)
+    m.cronTz.foreach(o.put("cron_tz", _))
     m.start.foreach(o.put("start", _))
     o.set[JsonNode]("depends_on", strArr(m.dependsOn.toSeq.sorted))
     o.set[JsonNode]("grains", strArr(m.grains))
@@ -265,6 +266,7 @@ final class FileStateStore(
       body = body,
       kind = kindFromJson(n.path("kind")),
       cron = n.path("cron").asText(),
+      cronTz = Option(n.get("cron_tz")).map(_.asText()),
       start = Option(n.get("start")).map(_.asLong()),
       dependsOn = seqOf(n.path("depends_on")).toSet,
       grains = seqOf(n.path("grains")),

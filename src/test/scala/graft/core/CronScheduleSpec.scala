@@ -42,4 +42,20 @@ class CronScheduleSpec extends AnyFunSuite {
     assert(CronSchedule.lastTickAtOrBefore("5,50-55 6 * * *", day("1995-01-05") + 7 * H) ==
       day("1995-01-05") + 6 * H + 55 * M)
   }
+
+  test("cron_tz interprets wall-clock fields in the given zone") {
+    // 03:00 America/New_York in January (EST, UTC-5) = 08:00 UTC
+    assert(CronSchedule.lastTickAtOrBefore("0 3 * * *",
+      day("1995-01-05") + 10 * H, "America/New_York") ==
+      day("1995-01-05") + 8 * H)
+    // same cron in July (EDT, UTC-4) = 07:00 UTC
+    assert(CronSchedule.lastTickAtOrBefore("0 3 * * *",
+      day("1995-07-05") + 10 * H, "America/New_York") ==
+      day("1995-07-05") + 7 * H)
+    // before the zone's fire time, yesterday's tick is the latest:
+    // at 07:00 UTC in January (= 02:00 EST) the 03:00 EST tick hasn't fired
+    assert(CronSchedule.lastTickAtOrBefore("0 3 * * *",
+      day("1995-01-05") + 7 * H, "America/New_York") ==
+      day("1995-01-04") + 8 * H)
+  }
 }
