@@ -150,4 +150,35 @@ object ModelKind {
     override def dataFields: Seq[String] = Seq(name, strategyName) ++
       properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
   }
+
+  /** MANAGED (reference kind.py ManagedKind; evaluator.py:3089
+    * EngineManagedStrategy): an engine-refreshed table — on Snowflake a
+    * dynamic table with `target_lag`. The reference only CREATEs it and lets
+    * the warehouse refresh; our engine IS the warehouse, so the scheduler
+    * performs the refresh itself: a run fully refreshes the table only when
+    * its data watermark lags the requested end by more than `targetLag`
+    * ('N seconds|minutes|hours|days', or 'downstream' = always refresh when
+    * asked). Within the lag window a run is a no-op — the freshness/cost
+    * trade the kind exists to express. `targetLag` is refresh policy, not
+    * query identity, so it stays out of the data hash (changing it must not
+    * rebuild the table). */
+  final case class Managed(targetLag: String = "downstream",
+                           properties: Map[String, String] = Map.empty) extends ModelKind {
+    val name = "MANAGED"
+    override def dataFields: Seq[String] = Seq(name) ++
+      properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+  }
+  object Managed {
+    private val Lag = """(?i)\s*(\d+)\s*(second|minute|hour|day)s?\s*""".r
+    def lagMs(spec: String): Long = spec match {
+      case Lag(n, unit) =>
+        n.toLong * (unit.toLowerCase match {
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour"   => 3600000L
+          case "day"    => 86400000L
+        })
+      case _ => 0L // 'downstream' and unparsable lags refresh on demand
+    }
+  }
 }

@@ -198,6 +198,9 @@ object ModelLoader {
         unq(args.getOrElse("path", throw new IllegalArgumentException("SEED needs path"))),
         batchSize = args.get("batch_size").map(_.trim.toInt).getOrElse(1000),
         options = (args - "path" - "batch_size").map { case (k, v) => k -> unq(v) })
+      case "MANAGED" => ModelKind.Managed(
+        targetLag = unq(args.getOrElse("target_lag", "downstream")),
+        properties = (args - "target_lag").map { case (k, v) => k -> unq(v) })
       case "CUSTOM" => ModelKind.Custom(
         unq(args.getOrElse("materialization",
           throw new IllegalArgumentException("CUSTOM needs materialization"))),

@@ -92,7 +92,19 @@ class Scheduler(
               else math.min(end,
                 unit.floor(CronSchedule.lastTickAtOrBefore(snap.model.cron, executionTs,
                   snap.model.cronTz.getOrElse("UTC"))))
-            val missing = fresh.missingIntervals(start, cappedEnd, dev)
+            // MANAGED target_lag gate: the table refreshes only when its data
+            // watermark lags the requested end by more than the declared lag —
+            // inside the window the run is a no-op (ModelKind.Managed doc)
+            val withinTargetLag = snap.model.kind match {
+              case k: ModelKind.Managed =>
+                val covered = if (dev) fresh.devIntervals else fresh.intervals
+                covered.nonEmpty &&
+                  end - covered.map(_.end).max < ModelKind.Managed.lagMs(k.targetLag)
+              case _ => false
+            }
+            val missing =
+              if (withinTargetLag) Vector.empty[Interval]
+              else fresh.missingIntervals(start, cappedEnd, dev)
             val contiguous = IntervalAlgebra.merge(missing)
             val batchSize = snap.model.kind match {
               case k: ModelKind.IncrementalByTimeRange => k.batchSize.getOrElse(0)

@@ -256,6 +256,10 @@ class SnapshotEvaluator(
       // materialized=True → engine materialized view; parquet analog = full
       // refresh of the snapshot table)
       case ModelKind.MaterializedView => materializer.replaceQuery(t, rendered)
+      // MANAGED: the refresh itself is a full replace; WHEN it runs is the
+      // scheduler's target_lag gate (reference delegates this to the
+      // warehouse's dynamic-table refresh loop)
+      case _: ModelKind.Managed => materializer.replaceQuery(t, rendered)
       case k: ModelKind.IncrementalByTimeRange =>
         materializer.insertOverwriteByTimePartition(t, rendered, k.timeColumn,
           interval.start, interval.end, k.timeFormat)

@@ -244,6 +244,32 @@ object KindQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY r_name""".stripMargin)),
 
+    // ---------------- MANAGED: target_lag-gated engine refresh ------------
+    "mk_managed" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model("mart.order_watermark",
+        SqlBody(
+          """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+            |FROM raw.orders WHERE o_orderdate < @end_ts
+            |GROUP BY o_orderstatus""".stripMargin),
+        kind = ModelKind.Managed(targetLag = "30 days"),
+        start = Some(dayMs("1995-01-01"))))
+      // initial refresh materializes through Mar 1
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-03-01")))
+      // 9 days later: inside the 30-day lag window → refresh SKIPPED, the
+      // table keeps its Mar 1 watermark (this is what the oracle checks:
+      // a kind that refreshed eagerly would pick up the Mar 1–10 orders)
+      c.run("prod", dayMs("1995-01-01"), dayMs("1995-03-10"))
+      // 3 months later: watermark lags past target_lag → full refresh
+      c.run("prod", dayMs("1995-01-01"), dayMs("1995-06-01"))
+      // 4 days after that: inside the window again → skipped
+      c.run("prod", dayMs("1995-01-01"), dayMs("1995-06-05"))
+      s.table("mart.order_watermark").orderBy("o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-01'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // ---------------- VIEW (materialized true): physical refresh ----------
     "mk_materialized_view" -> Entry((s, dir) => {
       val c = ctx(s, dir)

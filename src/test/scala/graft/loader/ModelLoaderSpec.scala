@@ -99,6 +99,17 @@ class ModelLoaderSpec extends AnyFunSuite {
     assert(kindOf("SCD_TYPE_2_BY_COLUMN (unique_key (id), columns (c1, c2))") ==
       ModelKind.ScdType2ByColumn(Seq("id"), Seq("c1", "c2")))
     assert(kindOf("SEED (path 'data/x.csv')") == ModelKind.Seed("data/x.csv"))
+    assert(kindOf("MANAGED (target_lag '10 minutes')") ==
+      ModelKind.Managed("10 minutes"))
+    assert(kindOf("MANAGED") == ModelKind.Managed())
+  }
+
+  test("MANAGED target_lag parses duration specs") {
+    assert(ModelKind.Managed.lagMs("30 seconds") == 30000L)
+    assert(ModelKind.Managed.lagMs("10 minutes") == 600000L)
+    assert(ModelKind.Managed.lagMs("2 hours") == 7200000L)
+    assert(ModelKind.Managed.lagMs("1 day") == 86400000L)
+    assert(ModelKind.Managed.lagMs("downstream") == 0L)
   }
 
   test("VIEW (materialized true) parses to the materialized-view kind") {
