@@ -87,6 +87,47 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Deterministic training-export sharding: shard = hash(key) mod nShards,
+    * position = dense rank within the shard in hash order (key tie-break) —
+    * the "global shuffle + shard" step that fixes a training data order
+    * without rand(). Same corpus → identical shard files on every run and
+    * engine. One shuffle (the per-shard window); shards are balanced by the
+    * uniform hash. Returns the input plus (shard, pos). */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int,
+                  salt: String = ""): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", PortableHash.h60(concat_ws("", lit(salt), col(keyCol))))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w) - 1)
+      .drop("__h")
+  }
+
+  /** Token-budget mixture sampling: keep ~`budgets(g)` tokens of each group
+    * (keep-rate `min(1, budget_g / tokens_g)`, realized as a deterministic
+    * per-row hash draw). THE curation step that hits a training-mix spec
+    * ("300B tokens web, 50B code, …") from unevenly-sized sources. One tiny
+    * per-group aggregation broadcast back; the corpus itself is filtered in
+    * a single codegen'd pass. Groups without a budget drop entirely. Rates
+    * round to 9 dp before thresholding (same cross-engine guard as
+    * [[temperatureBalance]]). `tokens` is the per-row token-count column. */
+  def tokenBudgetMix(df: DataFrame, keyCol: String, groupCol: String,
+                     tokens: Column, budgets: Map[String, Long],
+                     salt: String = ""): DataFrame = {
+    val buckets = 10000
+    val totals = df.groupBy(col(groupCol)).agg(sum(tokens).as("__toks"))
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    val withRate = totals.withColumn("__rate",
+        least(lit(1.0), budget.cast("double") / col("__toks")))
+      .select(col(groupCol), col("__rate"))
+    df.join(broadcast(withRate), Seq(groupCol))
+      .filter(hashBucket(col(keyCol), buckets, salt) <
+        floor(round(col("__rate"), 9) * buckets).cast("long"))
+      .drop("__rate")
+  }
+
   /** Stratified EXACT-quota sampling: the first `quota` rows of each group in
     * hash-of-key order (+ key tie-break) — a deterministic uniform draw with
     * a hard per-group cap, unlike rate-based [[sampleBy]] whose group sizes

@@ -69,6 +69,21 @@ object TextFunctions {
     round(greatest(lit(0.0), lenScore * (lit(1.0) - punct) * (lit(1.0) - digit)), 4)
   }
 
+  /** Linear quality-classifier INFERENCE at scan speed: score =
+    * sigmoid(w·x + b) over the [[qualityFeatures]] vector — the "apply a
+    * trained fastText/DCLM-style quality classifier to the whole corpus"
+    * op. Training happens offline; what a 100 TB pipeline needs distributed
+    * is exactly this projection, which stays codegen'd and shuffle-free.
+    * `weights` keys must be feature names from [[qualityFeatures]]. */
+  def classifierScore(text: Column, weights: Map[String, Double],
+                      bias: Double = 0.0): Column = {
+    val feats = qualityFeatures(text).toMap
+    val z = weights.toSeq.sortBy(_._1).foldLeft(lit(bias)) { case (acc, (f, w)) =>
+      acc + feats(f).cast("double") * lit(w)
+    }
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+  }
+
   /** BPE-ish token estimate: whitespace words + sub-word splits on
     * case/digit/punct boundaries (a cheap proxy for byte-pair tokenizers). */
   def tokenEstimate(text: Column): Column =

@@ -570,6 +570,75 @@ object PipelineQueries {
         |  % 10000 < 2500
         |ORDER BY doc_id""".stripMargin)),
 
+    // ------- deterministic training-export sharding (shard, pos) ---------
+    "td_shard_export" -> Entry((s, dir) => {
+      graft.functions.Sampling.shardAssign(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8, salt = "sh")
+        .orderBy(col("shard"), col("pos"))
+    }, Some(
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5('sh' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS INT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin)),
+
+    // ------- token-budget mixture sampling (hit a training-mix spec) -----
+    "td_token_budget" -> Entry((s, dir) => {
+      // budgets in chars (the token column is caller-supplied): src1's
+      // budget exceeds its size → kept whole (rate capped at 1); src0/2/3
+      // are downsampled to ~budget; the other 16 sources have no budget
+      // and drop entirely
+      graft.functions.Sampling.tokenBudgetMix(t(s, dir, "documents"),
+          "doc_id", "source", col("n_chars"),
+          Map("src0" -> 4000L, "src1" -> 20000L, "src2" -> 2000L, "src3" -> 6000L),
+          salt = "tbm")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("first_id"))
+        .orderBy(col("source"))
+    }, Some(
+      """WITH t AS (SELECT source, sum(n_chars) AS toks FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source, least(1.0, CASE source
+        |      WHEN 'src0' THEN 4000 WHEN 'src1' THEN 20000
+        |      WHEN 'src2' THEN 2000 WHEN 'src3' THEN 6000 ELSE 0 END * 1.0 / toks) AS rate
+        |  FROM t
+        |)
+        |SELECT d.source, count(*) AS kept, sum(d.n_chars) AS chars, min(d.doc_id) AS first_id
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST('0x' || substring(md5('tbm' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |  % 10000 < CAST(floor(round(rate, 9) * 10000) AS BIGINT)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // ------- linear quality-classifier inference (sigmoid(w·x + b)) ------
+    "td_quality_classifier" -> Entry((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.classifierScore(col("text"),
+            Map("n_chars" -> -0.002, "n_words" -> 0.01,
+              "mean_word_len" -> 0.5, "stopword_hits" -> 0.3),
+            bias = -1.5).as("cls_score"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      // feature order mirrors the Scala fold (sorted by name:
+      // mean_word_len, n_chars, n_words, stopword_hits) so float addition
+      // associates identically in both engines
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS n_words,
+        |    len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|is)\b')) AS sw
+        |  FROM documents
+        |), z AS (
+        |  SELECT doc_id,
+        |    -1.5 + 0.5 * round(n_chars * 1.0 / greatest(n_words, 1.0), 4)
+        |      + (-0.002) * n_chars + 0.01 * n_words + 0.3 * sw AS z
+        |  FROM f
+        |)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS cls_score
+        |FROM z ORDER BY doc_id""".stripMargin)),
+
     "td_temp_balance" -> Entry((s, dir) => {
       // α=0.3 temperature re-balancing over languages at half the corpus:
       // rare languages keep a larger fraction than common ones

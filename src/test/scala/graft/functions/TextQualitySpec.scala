@@ -70,4 +70,50 @@ class TextQualitySpec extends AnyFunSuite {
     assert(c.count(_.getLong(0) == 3L) == 1)
     assert(c.filter(_.getLong(0) == 3L).head.getInt(3) == 0)
   }
+
+  test("classifierScore is sigmoid of the weighted feature sum") {
+    val docs = Seq((1L, "the cat and the dog"), (2L, "x")).toDF("doc_id", "text")
+    val scored = docs.select(col("doc_id"),
+      TextFunctions.classifierScore(col("text"),
+        Map("n_words" -> 0.5, "stopword_hits" -> 1.0), bias = -2.0).as("s"))
+      .orderBy("doc_id").collect()
+    // doc 1: n_words=5, stopword_hits=3 (the, and, the) → z = -2+2.5+3 = 3.5
+    assert(math.abs(scored(0).getDouble(1) - 1.0 / (1.0 + math.exp(-3.5))) < 1e-4)
+    // doc 2: n_words=1, hits=0 → z = -1.5
+    assert(math.abs(scored(1).getDouble(1) - 1.0 / (1.0 + math.exp(1.5))) < 1e-4)
+    // monotone: more stopword-y text scores strictly higher
+    assert(scored(0).getDouble(1) > scored(1).getDouble(1))
+  }
+
+  test("shardAssign is a deterministic balanced permutation") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val a = Sampling.shardAssign(docs, "doc_id", nShards = 4, salt = "t").collect()
+    val b = Sampling.shardAssign(docs, "doc_id", nShards = 4, salt = "t").collect()
+    // deterministic: identical assignment across runs
+    assert(a.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq ==
+      b.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq)
+    // every row lands in exactly one shard; positions are 0..n-1 per shard
+    assert(a.length == 200)
+    a.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (0 until rows.length))
+    }
+    // hash-balanced: no shard is pathologically empty or dominant
+    val sizes = a.groupBy(_.getInt(1)).values.map(_.length)
+    assert(sizes.size == 4 && sizes.min > 20 && sizes.max < 80)
+  }
+
+  test("tokenBudgetMix keeps ~budget tokens per group, caps at 1, drops unbudgeted") {
+    val rows = (1L to 300L).map(i =>
+      (i, if (i <= 100) "a" else if (i <= 200) "b" else "c", 10L))
+    val docs = rows.toDF("doc_id", "source", "toks")
+    val out = Sampling.tokenBudgetMix(docs, "doc_id", "source", col("toks"),
+      Map("a" -> 500L, "b" -> 100000L), salt = "bm")
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: budget 500 of 1000 → ~half kept; b: budget exceeds size → all kept
+    assert(bySrc("b") == 100L)
+    assert(bySrc("a") > 30 && bySrc("a") < 70)
+    // c has no budget → dropped entirely
+    assert(!bySrc.contains("c"))
+  }
 }
