@@ -629,6 +629,30 @@ class GraftContext(
     }
   }
 
+  /** Ad-hoc audit run (reference `sqlmesh audit`, cli/main.py:783): execute a
+    * model's attached audits against its environment table WITHOUT
+    * backfilling — the on-demand data-quality check. Incremental-by-time
+    * models audit only [start, end) when bounds are given, mirroring the
+    * evaluator's injected time condition. Returns audit name → violation
+    * count (0 = pass); counting is one aggregation per audit, never a
+    * driver-side row fetch. */
+  def audit(modelName: String, env: String = "prod",
+            start: Long = 0L, end: Long = Long.MaxValue): Map[String, Long] = {
+    val m = models(modelName)
+    val table = envTable(modelName, env)
+    m.audits.map { case (rawName, args) =>
+      val name = rawName.stripSuffix("_non_blocking")
+      val timeCond = m.kind match {
+        case k: ModelKind.IncrementalByTimeRange if end < Long.MaxValue =>
+          val lo = new java.sql.Timestamp(start)
+          val hi = new java.sql.Timestamp(end)
+          Map("condition" -> s"${k.timeColumn} >= TIMESTAMP '$lo' AND ${k.timeColumn} < TIMESTAMP '$hi'")
+        case _ => Map.empty[String, String]
+      }
+      rawName -> graft.audits.Audits.run(spark, name, table, args ++ timeCond).count()
+    }.toMap
+  }
+
   /** Ad-hoc evaluate (context.py:1168): render + execute, no materialization. */
   def evaluate(name: String, start: Long, end: Long,
                executionTs: Long = System.currentTimeMillis()): DataFrame = {

@@ -926,4 +926,31 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(!spark.catalog.databaseExists("graft__mart") ||
       !spark.catalog.listTables("graft__mart").collect().exists(_.name.contains("emb__")))
   }
+
+  test("ad-hoc audit verb runs attached audits without backfilling") {
+    val ctx = newCtx()
+    val base = Model("mart.audit_target",
+      SqlBody(
+        """SELECT o_orderkey, o_totalprice, o_orderdate FROM raw.orders
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate"),
+      start = Some(dayMs("1995-01-01")),
+      audits = Seq("not_null" -> Map("columns" -> "o_orderkey")))
+    ctx.addModel(base)
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-10")))
+
+    // tighten the audit spec AFTER materialization (audits are metadata — no
+    // rebuild); the ad-hoc verb checks the standing table on demand
+    ctx.addModel(base.copy(audits = base.audits :+
+      ("accepted_range" -> Map("column" -> "o_totalprice",
+        "min_v" -> "-1", "max_v" -> "0")))) // impossible range → violations
+    val r = ctx.audit("mart.audit_target", "prod",
+      dayMs("1995-01-01"), dayMs("1995-01-10"))
+    assert(r("not_null") == 0L)
+    assert(r("accepted_range") > 0L)
+    // time bounds respected: an empty window has nothing to violate
+    val empty = ctx.audit("mart.audit_target", "prod",
+      dayMs("1994-01-01"), dayMs("1994-01-02"))
+    assert(empty("accepted_range") == 0L)
+  }
 }
