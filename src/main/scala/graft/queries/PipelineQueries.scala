@@ -511,6 +511,28 @@ object PipelineQueries {
       """SELECT user_id, min(epoch_us(ts)) AS ts_us FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // CDC-style streaming upsert: two checkpointed drains merge waves of
+    // documents into one managed table; final state = latest doc per source
+    "td_stream_merge" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      val src = java.nio.file.Files.createTempDirectory("graft_smerge_src").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_smerge_chk").toString
+      val target = graft.adapter.PhysicalTable("graft__stream", "sm_target",
+        java.nio.file.Files.createTempDirectory("graft_smerge_tbl").toString)
+      def drain(): Unit = graft.streaming.Streaming.mergeStream(s, src, docs.schema,
+        target, keys = Seq("source"), orderCol = "doc_id", checkpointDir = chk)
+      // wave 1: older docs; wave 2: strictly newer ids upsert over them (CDC
+      // feeds deliver newer versions later — recency split, not round-robin)
+      docs.filter(col("doc_id") <= 250).write.mode("append").parquet(src)
+      drain()
+      docs.filter(col("doc_id") > 250).write.mode("append").parquet(src)
+      drain()
+      new graft.adapter.SparkMaterializer(s).read(target).orderBy(col("source"))
+    }, Some(
+      """SELECT source, max(doc_id) AS doc_id,
+        |  max_by(n_chars, doc_id) AS n_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // ------------------------- contamination / LM quality ----------------
     "td_contamination" -> Entry((s, dir) => {
       // "is eval data in the training set": every 50th doc plays the

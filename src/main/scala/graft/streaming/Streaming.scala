@@ -80,6 +80,36 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming CDC-style upsert into an engine-managed table: each
+    * micro-batch MERGEs on the unique key through the materializer (latest
+    * row per key wins, recency by `orderCol`) — the standard
+    * foreachBatch-upsert pattern, landing in the engine's copy-on-write
+    * table format so batch models and env views read the result through the
+    * same catalog. `Trigger.AvailableNow` + checkpoint = one exactly-once
+    * drain per invocation, the streaming analog of an
+    * INCREMENTAL_BY_UNIQUE_KEY scheduler batch; on a cluster the same code
+    * runs continuously. */
+  def mergeStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      target: graft.adapter.PhysicalTable,
+      keys: Seq[String],
+      orderCol: String,
+      checkpointDir: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    val mat = new graft.adapter.SparkMaterializer(spark)
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val upsert: (DataFrame, Long) => Unit = (batch, _) =>
+      mat.merge(target, mat.dedupByKey(batch, keys, Seq(col(orderCol))), keys)
+    val q = transform(in).writeStream
+      .foreachBatch(upsert)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exact-dedup with custom keyed state
     * (`KeyValueGroupedDataset.flatMapGroupsWithState`): the first event per
     * key is emitted, later duplicates — in the same micro-batch or any later

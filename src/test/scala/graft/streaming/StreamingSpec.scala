@@ -119,4 +119,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.filter(col("key") === "k1").count() == 1)
     assert(out2.filter(col("key") === "k3").head().getAs[String]("tag") == "new")
   }
+
+  test("mergeStream upserts micro-batches into a managed table by key") {
+    val src = SparkTestSession.tmpDir("ms_src")
+    val chk = SparkTestSession.tmpDir("ms_chk")
+    val target = graft.adapter.PhysicalTable("graft__stream", "cdc_target",
+      SparkTestSession.tmpDir("ms_tbl"))
+    val b1 = Seq(("k1", ts("2024-01-01 00:01:00"), 10.0),
+      ("k2", ts("2024-01-01 00:02:00"), 20.0),
+      ("k2", ts("2024-01-01 00:03:00"), 21.0)) // same-batch dup: latest wins
+      .toDF("key", "updated", "v")
+    b1.write.mode("append").parquet(src)
+
+    def drain(): Unit = Streaming.mergeStream(spark, src, b1.schema, target,
+      keys = Seq("key"), orderCol = "updated", checkpointDir = chk)
+
+    drain()
+    val mat = new graft.adapter.SparkMaterializer(spark)
+    val r1 = mat.read(target).collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(r1 == Map("k1" -> 10.0, "k2" -> 21.0))
+
+    // CDC wave 2: k2 updated again, k3 new; k1 untouched survives the merge
+    Seq(("k2", ts("2024-01-01 01:00:00"), 22.0),
+        ("k3", ts("2024-01-01 01:01:00"), 30.0)).toDF("key", "updated", "v")
+      .write.mode("append").parquet(src)
+    drain()
+    val r2 = mat.read(target).collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(r2 == Map("k1" -> 10.0, "k2" -> 22.0, "k3" -> 30.0))
+    // idempotent: a drain with no new files changes nothing
+    drain()
+    assert(mat.read(target).count() == 3)
+  }
 }
