@@ -128,7 +128,8 @@ class GraftContext(
     * `AUDIT (...)` headers become standalone audits. */
   def loadModels(dir: String): this.type = {
     val (ms, audits) = graft.loader.ModelLoader.loadProject(dir)
-    ms.foreach(addModel)
+    // disabled models are skipped entirely (reference meta.py:112 `enabled`)
+    ms.filter(_.enabled).foreach(addModel)
     audits.foreach(addStandaloneAudit)
     this
   }

@@ -59,7 +59,14 @@ final case class Model(
     /** forward-only migration guard (reference on_destructive_change):
       * "error" (default) aborts a migration that drops/narrows columns,
       * "warn" prints and proceeds, "allow" is silent. */
-    onDestructiveChange: String = "error") {
+    onDestructiveChange: String = "error",
+    /** arbitrary version-bust string (reference `stamp`, meta.py:131 /
+      * definition.py:1135): changing it changes the DATA hash — a new
+      * version and physical table without touching the query. */
+    stamp: Option[String] = None,
+    /** disabled models are skipped at load (reference `enabled`,
+      * meta.py:112) — kept out of plans, never materialized. */
+    enabled: Boolean = true) {
 
   require(name.nonEmpty)
   def schemaName: String = name.split('.').dropRight(1).mkString(".") match {

@@ -55,7 +55,8 @@ object Fingerprint {
     * fields; metadata hash from the rest; parent hashes folded in recursively. */
   def of(model: Model, renderedBody: String, parents: Seq[SnapshotFingerprint]): SnapshotFingerprint = {
     val dataParts = Seq(canonicalSql(renderedBody), model.name, model.storageFormat,
-      model.intervalUnitName.getOrElse("")) ++ // data, not metadata (definition.py:1139)
+      model.intervalUnitName.getOrElse(""),
+      model.stamp.getOrElse("")) ++ // stamp busts the data hash (definition.py:1135)
       model.kind.dataFields ++ model.partitionedBy ++ model.clusteredBy ++
       model.columns.map { case (c, t) => s"$c:${t.toLowerCase}" } ++
       model.preStatements.map(canonicalSql) ++ model.postStatements.map(canonicalSql)

@@ -130,7 +130,9 @@ object ModelLoader {
       onVirtualUpdate = onVirtualUpdate,
       allowPartials = props.get("allow_partials").exists(_.trim.toBoolean),
       columns = props.get("columns").map(parseColumns).getOrElse(Nil),
-      onDestructiveChange = unq(props.getOrElse("on_destructive_change", "error")).toLowerCase)
+      onDestructiveChange = unq(props.getOrElse("on_destructive_change", "error")).toLowerCase,
+      stamp = props.get("stamp").map(unq),
+      enabled = props.get("enabled").forall(_.trim.toBoolean))
   }
 
   /** `columns (a INT, b STRING)` — declared schema contract. */

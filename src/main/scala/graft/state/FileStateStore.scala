@@ -243,6 +243,8 @@ final class FileStateStore(
       m.columns.foreach { case (c, t) => cols.put(c, t) }
     }
     o.put("on_destructive_change", m.onDestructiveChange)
+    m.stamp.foreach(o.put("stamp", _))
+    if (!m.enabled) o.put("enabled", false)
     o
   }
 
@@ -288,7 +290,9 @@ final class FileStateStore(
         b.result()
       },
       onDestructiveChange = Option(n.get("on_destructive_change"))
-        .map(_.asText()).getOrElse("error"))
+        .map(_.asText()).getOrElse("error"),
+      stamp = Option(n.get("stamp")).map(_.asText()),
+      enabled = Option(n.get("enabled")).forall(_.asBoolean()))
   }
 
   private def kindJson(k: ModelKind): ObjectNode = {
@@ -327,6 +331,8 @@ final class FileStateStore(
         putMap(o, "options", s.options)
       case c: ModelKind.Custom =>
         o.put("strategy", c.strategyName); putMap(o, "properties", c.properties)
+      case m: ModelKind.Managed =>
+        o.put("target_lag", m.targetLag); putMap(o, "properties", m.properties)
       case ModelKind.MaterializedView => o.put("materialized", true)
       case _ => ()
     }
@@ -374,6 +380,8 @@ final class FileStateStore(
     case "SEED" => ModelKind.Seed(n.path("path").asText(), n.path("batch_size").asInt(),
       mapOf(n.path("options")))
     case "CUSTOM" => ModelKind.Custom(n.path("strategy").asText(), mapOf(n.path("properties")))
+    case "MANAGED" => ModelKind.Managed(n.path("target_lag").asText(),
+      mapOf(n.path("properties")))
     case other => throw new IllegalArgumentException(s"unknown kind in state file: $other")
   }
 }

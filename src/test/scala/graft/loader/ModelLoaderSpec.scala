@@ -104,6 +104,18 @@ class ModelLoaderSpec extends AnyFunSuite {
     assert(kindOf("MANAGED") == ModelKind.Managed())
   }
 
+  test("stamp busts the data hash; enabled=false models are skipped at load") {
+    val m = ModelLoader.parse(
+      "MODEL (name m.s, stamp 'v2', enabled false); SELECT 1 AS a")
+    assert(m.stamp.contains("v2") && !m.enabled)
+    val base = ModelLoader.parse("MODEL (name m.s); SELECT 1 AS a")
+    assert(base.enabled)
+    // same body, different stamp → different version (new physical table)
+    val f0 = Fingerprint.of(base, "SELECT 1 AS a", Nil)
+    val f1 = Fingerprint.of(m.copy(enabled = true), "SELECT 1 AS a", Nil)
+    assert(f0.version != f1.version)
+  }
+
   test("MANAGED target_lag parses duration specs") {
     assert(ModelKind.Managed.lagMs("30 seconds") == 30000L)
     assert(ModelKind.Managed.lagMs("10 minutes") == 600000L)

@@ -53,7 +53,8 @@ class FileStateStoreSpec extends AnyFunSuite {
       ModelKind.ScdType2ByColumn(Seq("id"), Seq("*"), "vf", "vt",
         executionTimeAsValidFrom = true),
       ModelKind.Seed("/tmp/x.csv", 500),
-      ModelKind.Custom("strat", Map("p" -> "v")))
+      ModelKind.Custom("strat", Map("p" -> "v")),
+      ModelKind.Managed("10 minutes", Map("warehouse" -> "xl")))
     val s1 = new FileStateStore(dir)
     kinds.zipWithIndex.foreach { case (k, i) =>
       s1.pushSnapshot(mkSnapshot(s"mart.k$i", s"SELECT $i AS id", k))
