@@ -21,7 +21,10 @@ final case class PhysicalTable(
     partitionedBy: Seq[String] = Nil,
     /** cluster/sort columns applied on write (reference clustered_by →
       * mixins.py:84 _build_partitioned_by_exp clustering half) */
-    clusteredBy: Seq[String] = Nil) {
+    clusteredBy: Seq[String] = Nil,
+    /** DataFrameWriter options from the model's physical_properties
+      * (e.g. compression codec) — applied on every write of this table. */
+    options: Map[String, String] = Map.empty) {
   def qualified: String = s"`$database`.`$table`"
 }
 
@@ -164,7 +167,8 @@ class SparkMaterializer(val spark: SparkSession) {
 
   private def write(df0: DataFrame, dir: String, partitionedBy: Seq[String],
                     mode: SaveMode = SaveMode.Overwrite, dynamic: Boolean = false,
-                    clusteredBy: Seq[String] = Nil): Unit = {
+                    clusteredBy: Seq[String] = Nil,
+                    options: Map[String, String] = Map.empty): Unit = {
     // clustering: co-locate rows by the cluster key (one shuffle) and sort
     // within partitions, so each parquet file holds a sorted, min/max-tight
     // key range — downstream scans on the key prune row groups for free
@@ -172,7 +176,7 @@ class SparkMaterializer(val spark: SparkSession) {
       if (clusteredBy.isEmpty) df0
       else df0.repartition(clusteredBy.map(col): _*)
         .sortWithinPartitions(clusteredBy.map(col): _*)
-    var w = df.write.mode(mode)
+    var w = df.write.mode(mode).options(options)
     if (partitionedBy.nonEmpty) w = w.partitionBy(partitionedBy: _*)
     if (dynamic) w = w.option("partitionOverwriteMode", "dynamic")
     w.parquet(dir)
@@ -189,7 +193,7 @@ class SparkMaterializer(val spark: SparkSession) {
     * fresh version dir then repoints — safe even when `df` reads the old one. */
   def replaceQuery(t: PhysicalTable, df: DataFrame): Unit = {
     val dir = nextDataDir(t)
-    write(df, dir, t.partitionedBy, clusteredBy = t.clusteredBy)
+    write(df, dir, t.partitionedBy, clusteredBy = t.clusteredBy, options = t.options)
     register(t)
   }
 
@@ -198,7 +202,8 @@ class SparkMaterializer(val spark: SparkSession) {
   /** insert_append (base.py:1500) — append into the CURRENT version dir. */
   def insertAppend(t: PhysicalTable, df: DataFrame): Unit = currentDataDir(t) match {
     case None      => replaceQuery(t, df)
-    case Some(dir) => write(df, dir, t.partitionedBy, SaveMode.Append, clusteredBy = t.clusteredBy); register(t)
+    case Some(dir) => write(df, dir, t.partitionedBy, SaveMode.Append,
+      clusteredBy = t.clusteredBy, options = t.options); register(t)
   }
 
   /** Render half-open `[startMs, endMs)` bounds as literals matching the time
@@ -231,7 +236,7 @@ class SparkMaterializer(val spark: SparkSession) {
       case Some(dir) =>
         if (t.partitionedBy.nonEmpty) {
           write(guarded, dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true,
-            clusteredBy = t.clusteredBy)
+            clusteredBy = t.clusteredBy, options = t.options)
           register(t)
         } else {
           // DELETE_INSERT strategy fallback (shared.py:235) on unpartitioned
@@ -250,7 +255,7 @@ class SparkMaterializer(val spark: SparkSession) {
       case Some(dir) =>
         require(t.partitionedBy.nonEmpty, "INCREMENTAL_BY_PARTITION needs partitioned_by")
         write(df, dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true,
-          clusteredBy = t.clusteredBy)
+          clusteredBy = t.clusteredBy, options = t.options)
         register(t)
     }
 
@@ -367,7 +372,7 @@ class SparkMaterializer(val spark: SparkSession) {
           val tmp = new Path(new Path(t.root), s"tmp_${System.nanoTime()}").toString
           write(merged, tmp, t.partitionedBy)
           write(spark.read.parquet(tmp), dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true,
-            clusteredBy = t.clusteredBy)
+            clusteredBy = t.clusteredBy, options = t.options)
           val p = new Path(tmp); fs(p).delete(p, true)
           register(t)
         } else {
@@ -561,11 +566,18 @@ class SparkMaterializer(val spark: SparkSession) {
   // ------------------------------------------------------------ virtual layer
 
   /** promote (snapshot/evaluator.py:1999): environments are sets of views over
-    * physical tables — prod/dev isolation is view re-pointing, never data copy. */
-  def promote(envDb: String, viewName: String, physical: PhysicalTable): Unit = {
+    * physical tables — prod/dev isolation is view re-pointing, never data copy.
+    * `virtualProperties` (model virtual_properties) land as TBLPROPERTIES. */
+  def promote(envDb: String, viewName: String, physical: PhysicalTable,
+              virtualProperties: Map[String, String] = Map.empty): Unit = {
     createSchema(envDb)
+    val props =
+      if (virtualProperties.isEmpty) ""
+      else virtualProperties.toSeq.sorted
+        .map { case (k, v) => s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'" }
+        .mkString(" TBLPROPERTIES (", ", ", ")")
     spark.sql(
-      s"CREATE OR REPLACE VIEW `$envDb`.`$viewName` AS SELECT * FROM ${physical.qualified}")
+      s"CREATE OR REPLACE VIEW `$envDb`.`$viewName`$props AS SELECT * FROM ${physical.qualified}")
   }
 
   def demote(envDb: String, viewName: String): Unit =

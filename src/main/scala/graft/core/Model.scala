@@ -64,6 +64,19 @@ final case class Model(
       * definition.py:1135): changing it changes the DATA hash — a new
       * version and physical table without touching the query. */
     stamp: Option[String] = None,
+    /** physical-table write options (reference physical_properties,
+      * meta.py:107; data hash per definition.py:1148). On parquet these pass
+      * straight to the DataFrameWriter — e.g. `compression = 'zstd'`, a real
+      * storage/scan-cost lever at 100 TB. */
+    physicalProperties: Map[String, String] = Map.empty,
+    /** per-evaluation Spark session confs (reference session_properties,
+      * meta.py:109; metadata — definition.py's data hash excludes them), set
+      * around this model's evaluation and restored after — e.g. a per-model
+      * `spark.sql.shuffle.partitions`. */
+    sessionProperties: Map[String, String] = Map.empty,
+    /** environment-view DDL properties (reference virtual_properties,
+      * meta.py:108; metadata) — applied as TBLPROPERTIES on promote. */
+    virtualProperties: Map[String, String] = Map.empty,
     /** disabled models are skipped at load (reference `enabled`,
       * meta.py:112) — kept out of plans, never materialized. */
     enabled: Boolean = true) {

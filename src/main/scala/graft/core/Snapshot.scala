@@ -59,9 +59,12 @@ object Fingerprint {
       model.stamp.getOrElse("")) ++ // stamp busts the data hash (definition.py:1135)
       model.kind.dataFields ++ model.partitionedBy ++ model.clusteredBy ++
       model.columns.map { case (c, t) => s"$c:${t.toLowerCase}" } ++
+      model.physicalProperties.toSeq.sorted.map { case (k, v) => s"$k=$v" } ++ // definition.py:1148
       model.preStatements.map(canonicalSql) ++ model.postStatements.map(canonicalSql)
     val metaParts = Seq(model.cron, model.cronTz.getOrElse(""),
       model.owner.getOrElse(""), model.description.getOrElse("")) ++
+      model.sessionProperties.toSeq.sorted.map { case (k, v) => s"$k=$v" } ++
+      model.virtualProperties.toSeq.sorted.map { case (k, v) => s"$k=$v" } ++
       model.tags ++ model.grains ++
       model.audits.map { case (n, args) => n + args.toSeq.sorted.mkString(",") } ++
       model.onVirtualUpdate.map(canonicalSql) // metadata, not data (definition.py:2620)

@@ -132,7 +132,23 @@ object ModelLoader {
       columns = props.get("columns").map(parseColumns).getOrElse(Nil),
       onDestructiveChange = unq(props.getOrElse("on_destructive_change", "error")).toLowerCase,
       stamp = props.get("stamp").map(unq),
-      enabled = props.get("enabled").forall(_.trim.toBoolean))
+      enabled = props.get("enabled").forall(_.trim.toBoolean),
+      physicalProperties = props.get("physical_properties").map(parseProps).getOrElse(Map.empty),
+      sessionProperties = props.get("session_properties").map(parseProps).getOrElse(Map.empty),
+      virtualProperties = props.get("virtual_properties").map(parseProps).getOrElse(Map.empty))
+  }
+
+  /** `(k1 = v1, k2 = 'v2', …)` property tuples (reference parse_properties,
+    * model/meta.py:107-109). */
+  private def parseProps(spec: String): Map[String, String] = {
+    val t = spec.trim
+    val inner = if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1) else t
+    if (inner.trim.isEmpty) Map.empty
+    else splitTopLevel(inner, ',').map { kv =>
+      val eq = kv.indexOf('=')
+      require(eq > 0, s"property needs key = value: $kv")
+      kv.substring(0, eq).trim -> unq(kv.substring(eq + 1).trim)
+    }.toMap
   }
 
   /** `columns (a INT, b STRING)` — declared schema contract. */

@@ -41,7 +41,8 @@ class SnapshotEvaluator(
         if (autoTimePartitioned(s.model)) Seq(SnapshotEvaluator.TimePartitionCol)
         else if (autoKeyBucketed(s.model)) Seq(SnapshotEvaluator.KeyBucketCol)
         else s.model.partitionedBy,
-      clusteredBy = s.model.clusteredBy)
+      clusteredBy = s.model.clusteredBy,
+      options = s.model.physicalProperties)
   }
 
   /** partition_by_time_column (reference kind.py: the time column joins the
@@ -209,6 +210,30 @@ class SnapshotEvaluator(
       tableMapping: Map[String, String],
       isFirstInsert: Boolean,
       dev: Boolean = false): Unit = {
+    // session_properties (meta.py:109): per-model Spark confs set for this
+    // evaluation only — e.g. a fat model's own shuffle partitioning — and
+    // restored afterwards so models never leak config into each other
+    if (s.model.sessionProperties.isEmpty)
+      evaluateInner(s, interval, executionTs, tableMapping, isFirstInsert, dev)
+    else {
+      val saved = s.model.sessionProperties.keys.map(k =>
+        k -> spark.conf.getOption(k)).toMap
+      s.model.sessionProperties.foreach { case (k, v) => spark.conf.set(k, v) }
+      try evaluateInner(s, interval, executionTs, tableMapping, isFirstInsert, dev)
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
+  private def evaluateInner(
+      s: Snapshot,
+      interval: Interval,
+      executionTs: Long,
+      tableMapping: Map[String, String],
+      isFirstInsert: Boolean,
+      dev: Boolean): Unit = {
     val t = physicalTable(s, dev)
     val mapping = tableMapping
     val thisName = t.qualified
@@ -372,7 +397,7 @@ class SnapshotEvaluator(
               suffixTarget: String = "schema", executionTs: Long = 0L): Unit = {
     val (db, view) =
       SparkMaterializer.envLocation(s.model.schemaName, s.model.tableName, env, suffixTarget)
-    materializer.promote(db, view, physicalTable(s, dev))
+    materializer.promote(db, view, physicalTable(s, dev), s.model.virtualProperties)
     s.model.onVirtualUpdate.foreach(st =>
       spark.sql(renderStatement(s, st, Interval(0L, executionTs), executionTs,
         Map.empty, s"`$db`.`$view`")))

@@ -245,6 +245,9 @@ final class FileStateStore(
     o.put("on_destructive_change", m.onDestructiveChange)
     m.stamp.foreach(o.put("stamp", _))
     if (!m.enabled) o.put("enabled", false)
+    if (m.physicalProperties.nonEmpty) putMap(o, "physical_properties", m.physicalProperties)
+    if (m.sessionProperties.nonEmpty) putMap(o, "session_properties", m.sessionProperties)
+    if (m.virtualProperties.nonEmpty) putMap(o, "virtual_properties", m.virtualProperties)
     o
   }
 
@@ -292,7 +295,10 @@ final class FileStateStore(
       onDestructiveChange = Option(n.get("on_destructive_change"))
         .map(_.asText()).getOrElse("error"),
       stamp = Option(n.get("stamp")).map(_.asText()),
-      enabled = Option(n.get("enabled")).forall(_.asBoolean()))
+      enabled = Option(n.get("enabled")).forall(_.asBoolean()),
+      physicalProperties = mapOf(n.path("physical_properties")),
+      sessionProperties = mapOf(n.path("session_properties")),
+      virtualProperties = mapOf(n.path("virtual_properties")))
   }
 
   private def kindJson(k: ModelKind): ObjectNode = {

@@ -927,6 +927,33 @@ class ContextE2ESpec extends AnyFunSuite {
       !spark.catalog.listTables("graft__mart").collect().exists(_.name.contains("emb__")))
   }
 
+  test("physical/session/virtual properties reach writes, confs, and views") {
+    val ctx = newCtx()
+    ctx.addModel(graft.loader.ModelLoader.parse(
+      """MODEL (
+        |  name mart.props_demo,
+        |  physical_properties (compression = 'zstd'),
+        |  session_properties ('spark.sql.shuffle.partitions' = '3'),
+        |  virtual_properties (team = 'curation')
+        |);
+        |SELECT o_orderkey, o_totalprice FROM raw.orders""".stripMargin))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    ctx.apply(ctx.plan("prod", 0L, D))
+    // session conf restored after evaluation
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    // physical_properties: parquet files actually written with zstd
+    val snap = ctx.snapshotsOf(Seq("mart.props_demo"))("mart.props_demo")
+    val dataDir = ctx.evaluator.materializer.currentDataDir(
+      ctx.evaluator.physicalTable(snap)).get
+    val files = new java.io.File(dataDir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")), files.mkString(","))
+    // virtual_properties: TBLPROPERTIES on the promoted env view
+    val props = spark.sql("SHOW TBLPROPERTIES mart.props_demo").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("team").contains("curation"))
+    assert(spark.table("mart.props_demo").count() > 0)
+  }
+
   test("ad-hoc audit verb runs attached audits without backfilling") {
     val ctx = newCtx()
     val base = Model("mart.audit_target",
