@@ -81,7 +81,14 @@ object ModelKind {
         * changes, so merges dynamic-overwrite only the buckets the source
         * touches instead of rewriting the table. The scale knob for big
         * upsert targets. */
-      buckets: Int = 0) extends ModelKind {
+      buckets: Int = 0,
+      /** periodic full restatement (reference kind.py:388 — on the shared
+        * _Incremental base, so unique-key kinds get it too): when the cron
+        * fires, ALL processed intervals drop and the table re-merges its
+        * whole history on the next run — the "re-sync my upsert table
+        * weekly" knob (no per-interval variant here: upserts have no
+        * interval-aligned partitions to restate selectively). */
+      autoRestatementCron: Option[String] = None) extends ModelKind {
     val name = "INCREMENTAL_BY_UNIQUE_KEY"
     override def dataFields: Seq[String] =
       Seq(name, buckets.toString) ++ uniqueKey ++ mergeFilter.toSeq ++ whenMatchedDelete.toSeq

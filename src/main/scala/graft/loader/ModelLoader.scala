@@ -193,7 +193,8 @@ object ModelLoader {
           throw new IllegalArgumentException("INCREMENTAL_BY_UNIQUE_KEY needs unique_key"))),
         whenMatchedDelete = args.get("when_matched_delete").map(unq),
         mergeFilter = args.get("merge_filter"),
-        buckets = args.get("buckets").map(_.trim.toInt).getOrElse(0))
+        buckets = args.get("buckets").map(_.trim.toInt).getOrElse(0),
+        autoRestatementCron = args.get("auto_restatement_cron").map(unq))
       case "INCREMENTAL_BY_PARTITION" =>
         ModelKind.IncrementalByPartition(args.get("partitioned_by").map(listOf).getOrElse(Nil))
       case "INCREMENTAL_UNMANAGED" =>

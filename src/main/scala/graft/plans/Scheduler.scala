@@ -75,6 +75,19 @@ class Scheduler(
                     }
                   state.setAutoRestatement(snap.model.name, lastFire)
                 }
+              case k: ModelKind.IncrementalByUniqueKey if k.autoRestatementCron.nonEmpty =>
+                // unique-key auto-restatement = FULL restatement (drop every
+                // processed interval; the next run re-merges all history)
+                val restateUnit = IntervalUnit.fromCron(k.autoRestatementCron.get)
+                val lastFire = restateUnit.floor(executionTs)
+                if (state.lastAutoRestatement(snap.model.name).forall(_ < lastFire)) {
+                  state.getSnapshot(snap.model.name, snap.version)
+                    .flatMap(_.intervals.lastOption).foreach { last =>
+                      state.removeInterval(snap.model.name, snap.version,
+                        Interval(0L, last.end))
+                    }
+                  state.setAutoRestatement(snap.model.name, lastFire)
+                }
               case _ => ()
             }
             val dev = devFlags.getOrElse(snap.model.name, false)

@@ -317,6 +317,7 @@ final class FileStateStore(
         u.whenMatchedDelete.foreach(o.put("when_matched_delete", _))
         u.mergeFilter.foreach(o.put("merge_filter", _))
         if (u.buckets > 0) { o.put("buckets", u.buckets); () }
+        u.autoRestatementCron.foreach(o.put("auto_restatement_cron", _))
       case p: ModelKind.IncrementalByPartition =>
         o.set[JsonNode]("partitioned_by", strArr(p.partitionedBy))
       case u: ModelKind.IncrementalUnmanaged => o.put("insert_overwrite", u.insertOverwrite)
@@ -364,7 +365,8 @@ final class FileStateStore(
       whenMatchedUpdate = mapOf(n.path("when_matched_update")),
       whenMatchedDelete = Option(n.get("when_matched_delete")).map(_.asText()),
       mergeFilter = Option(n.get("merge_filter")).map(_.asText()),
-      buckets = n.path("buckets").asInt(0))
+      buckets = n.path("buckets").asInt(0),
+      autoRestatementCron = Option(n.get("auto_restatement_cron")).map(_.asText()))
     case "INCREMENTAL_BY_PARTITION" =>
       ModelKind.IncrementalByPartition(seqOf(n.path("partitioned_by")))
     case "INCREMENTAL_UNMANAGED" =>

@@ -202,6 +202,36 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("unique-key auto-restatement drops all intervals and re-merges history") {
+    val ctx = newCtx()
+    ctx.addModel(Model(
+      name = "mart.uk_auto_rst",
+      body = SqlBody(
+        """SELECT o_custkey, count(*) AS n FROM raw.orders
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_custkey""".stripMargin),
+      kind = ModelKind.IncrementalByUniqueKey(uniqueKey = Seq("o_custkey"),
+        autoRestatementCron = Some("@daily")),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-10")),
+      executionTs = dayMs("1995-01-10"))
+    val snap = ctx.state.latestSnapshot("mart.uk_auto_rst").get
+    assert(snap.intervals == Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-10"))))
+    // next day: the restatement cron fired → ALL intervals drop, the whole
+    // window re-merges (unique-key kinds have no partial restatement)
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-01-11"),
+      executionTs = dayMs("1995-01-11"))
+    val snap2 = ctx.state.latestSnapshot("mart.uk_auto_rst").get
+    assert(snap2.intervals == Vector(Interval(dayMs("1995-01-01"), dayMs("1995-01-11"))))
+    // per-key counts match a one-shot query over the full window (the
+    // restated merge must not double-count the re-processed days)
+    val got = spark.table("mart.uk_auto_rst")
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-01-11").cast("timestamp"))
+      .groupBy("o_custkey").count().withColumnRenamed("count", "n")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("failed audit rolls the physical table back (write-audit-publish)") {
     val ctx = newCtx()
     ctx.addModel(Model(
