@@ -35,4 +35,27 @@ object Funnel {
       (1 to steps.size).map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
         .reduce(_ + _))
   }
+
+  /** Cohort retention: users are cohorted by their first-active period
+    * (`unit`-truncated first event time); each (cohort, offset) cell counts
+    * the distinct users of that cohort active `offset` units later — the
+    * standard retention triangle. Two aggregations: first-seen per user
+    * (one shuffle on the user key), then distinct (user, period) activity
+    * joined back and rolled up. Activity is deduped per (user, period)
+    * BEFORE the join, so a user's millionth event in a day adds nothing to
+    * the shuffle. */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                unit: String = "day"): DataFrame = {
+    val period = date_trunc(unit, col(tsCol))
+    val firstSeen = events.groupBy(col(userCol)).agg(min(period).as("cohort"))
+    val active = events.select(col(userCol), period.as("__p")).distinct()
+    val offset = unit.toLowerCase match {
+      case "day"  => datediff(col("__p"), col("cohort"))
+      case "week" => (datediff(col("__p"), col("cohort")) / 7).cast("int")
+      case _      => months_between(col("__p"), col("cohort")).cast("int")
+    }
+    active.join(firstSeen, userCol)
+      .groupBy(col("cohort"), offset.as("offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

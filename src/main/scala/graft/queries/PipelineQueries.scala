@@ -1184,6 +1184,22 @@ object PipelineQueries {
         |LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin)),
 
+    // --------------------------------- cohort retention triangle ---------
+    "td_retention" -> Entry((s, dir) => {
+      graft.functions.Funnel.retention(t(s, dir, "events"), "user_id", "ts", "day")
+        .withColumnRenamed("offset", "day_offset")
+        .orderBy(col("cohort"), col("day_offset"))
+    }, Some(
+      """WITH fs AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS p FROM events
+        |)
+        |SELECT fs.cohort, CAST(date_diff('day', fs.cohort, act.p) AS INT) AS day_offset,
+        |  count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN fs ON act.user_id = fs.user_id
+        |GROUP BY fs.cohort, day_offset ORDER BY cohort, day_offset""".stripMargin)),
+
     // --------------------------------------------- range join ------------
     "td_range_join" -> Entry((s, dir) => {
       // variable-width price bands (quadratic growth) joined to orders via
