@@ -82,7 +82,59 @@ class MaterializerSpec extends AnyFunSuite {
     assert(got == Set((1, "a"), (2, "b2")))
   }
 
+  test("pruned merge with mergeFilter keeps out-of-scope rows in touched partitions") {
+    // ADVICE r02 (high): the partition-pruned path rewrites whole partitions,
+    // so rows of a touched partition that FAIL the mergeFilter must survive
+    // the rewrite (they are outside merge scope, not deletable collateral)
+    val t = tbl("mg_scope", Seq("ds"))
+    m.merge(t, Seq((1, "keep-old", "d1"), (2, "b", "d1"), (3, "c", "d2"))
+      .toDF("id", "v", "ds"), Seq("id"))
+    // scope = id >= 2 only; partition d1 is touched by the source, and its
+    // out-of-scope row id=1 must come through unchanged
+    m.merge(t, Seq((2, "b2", "d1")).toDF("id", "v", "ds"), Seq("id"),
+      mergeFilter = Some(col("id") >= 2))
+    val got = m.read(t).select("id", "v").as[(Int, String)].collect().toSet
+    assert(got == Set((1, "keep-old"), (2, "b2"), (3, "c")))
+  }
+
   val scdKind = ModelKind.ScdType2ByTime(uniqueKey = Seq("id"))
+
+  test("SCD2-by-time: a legitimately-NULL key column is a real row, not an absence") {
+    // ADVICE r02: presence after the full-outer join comes from explicit
+    // `_exists` markers, never from key-column nullness
+    val t = tbl("scd_nullkey")
+    val src1 = Seq((Option(1), "a", ts("2024-01-01 00:00:00")),
+      (Option.empty[Int], "nullkey", ts("2024-01-01 00:00:00")))
+      .toDF("id", "st", "updated_at")
+    m.scdType2ByTime(t, src1, scdKind, ts("2024-01-01 12:00:00"))
+    assert(m.read(t).count() == 2) // the NULL-keyed row materialized
+    // second run updates the NULL-keyed row: null-safe key join matches it
+    val src2 = Seq((Option(1), "a", ts("2024-01-01 00:00:00")),
+      (Option.empty[Int], "nullkey-v2", ts("2024-01-03 00:00:00")))
+      .toDF("id", "st", "updated_at")
+    m.scdType2ByTime(t, src2, scdKind, ts("2024-01-03 12:00:00"))
+    val nullRows = m.read(t).filter($"id".isNull).orderBy("valid_from")
+      .select("st", "valid_to").as[(String, Option[java.sql.Timestamp])].collect()
+    assert(nullRows.toSeq == Seq(
+      ("nullkey", Some(ts("2024-01-03 00:00:00"))), ("nullkey-v2", None)))
+    // and the non-null key was never misclassified as deleted
+    assert(m.read(t).filter($"id" === 1 && $"valid_to".isNull).count() == 1)
+  }
+
+  test("SCD2-by-time: brand-new keys on INCREMENTAL runs open at epoch 0 (base.py:1909-1919)") {
+    // ADVICE r02: without updated_at_as_valid_from, a key first seen on a
+    // later run still opens at epoch 0 (full history assumed), NOT at its
+    // updated_at — that rule is reserved for updated_at_as_valid_from
+    val t = tbl("scd_newkey")
+    m.scdType2ByTime(t, Seq((1, "a", ts("2024-01-01 00:00:00"))).toDF("id", "st", "updated_at"),
+      scdKind, ts("2024-01-01 12:00:00"))
+    m.scdType2ByTime(t, Seq((1, "a", ts("2024-01-01 00:00:00")),
+      (2, "new", ts("2024-01-05 00:00:00"))).toDF("id", "st", "updated_at"),
+      scdKind, ts("2024-01-05 12:00:00"))
+    val vf = m.read(t).filter($"id" === 2).select("valid_from")
+      .as[java.sql.Timestamp].head()
+    assert(vf == ts("1970-01-01 00:00:00"))
+  }
 
   test("SCD2-by-time: initial load opens rows at epoch 0 (base.py:1916)") {
     val t = tbl("scd_init")
