@@ -128,6 +128,23 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must land
+    * in the SAME split, or evaluation leaks through paraphrases of training
+    * rows. Splits by the near-dup CLUSTER label (connected components over
+    * the pair graph; docs outside any pair are their own singleton) instead
+    * of the doc id — one hash draw per cluster, so the whole component moves
+    * together. Cost = [[Dedup.clusters]] over the pairs + a broadcast-sized
+    * join back; the corpus itself is never shuffled beyond that join. */
+  def leakSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    splits: Seq[(String, Double)], salt: String = "",
+                    outCol: String = "split"): DataFrame = {
+    val cl = Dedup.clusters(pairs).withColumnRenamed("id", idCol)
+    val labeled = docs.join(cl, Seq(idCol), "left")
+      .withColumn("__cluster", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+    split(labeled, "__cluster", splits, salt, outCol).drop("__cluster")
+  }
+
   /** Stratified EXACT-quota sampling: the first `quota` rows of each group in
     * hash-of-key order (+ key tie-break) — a deterministic uniform draw with
     * a hard per-group cap, unlike rate-based [[sampleBy]] whose group sizes

@@ -121,6 +121,57 @@ object PipelineQueries {
         |)
         |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // near-dup-aware split: a cluster's members all land in one split, so
+    // eval data can't leak through paraphrases of training rows
+    "td_leak_safe_split" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.35)
+      graft.functions.Sampling.leakSafeSplit(docs.select(col("doc_id")), pairs,
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "ls")
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+2], ' ')) > 0
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.35
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        |), cl AS (
+        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        |), fl AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+        |), b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5('ls' || CAST(cluster AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 10000 AS bkt
+        |  FROM fl
+        |)
+        |SELECT doc_id, CASE WHEN bkt < 8000 THEN 'train'
+        |  WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin)),
+
     "td_canonicalize" -> Entry((s, dir) => {
       // curation verdict: near-dup clusters keep their longest member
       val docs = t(s, dir, "documents")

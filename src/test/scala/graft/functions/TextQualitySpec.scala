@@ -102,6 +102,20 @@ class TextQualitySpec extends AnyFunSuite {
     assert(sizes.size == 4 && sizes.min > 20 && sizes.max < 80)
   }
 
+  test("leakSafeSplit co-assigns near-dup pairs to one split") {
+    val docs = (1L to 100L).toDF("doc_id")
+    // chain 1-2-3 is one component; 10-11 another; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakSafeSplit(docs, pairs, "doc_id",
+      Seq("train" -> 0.5, "test" -> 0.5), salt = "x").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 100)
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(10L) == out(11L))
+    // both splits actually used across the singletons
+    assert(out.values.toSet == Set("train", "test"))
+  }
+
   test("tokenBudgetMix keeps ~budget tokens per group, caps at 1, drops unbudgeted") {
     val rows = (1L to 300L).map(i =>
       (i, if (i <= 100) "a" else if (i <= 200) "b" else "c", 10L))
