@@ -128,6 +128,32 @@ class SparkMaterializer(val spark: SparkSession) {
     }
   }
 
+  /** All committed versions of the table, oldest first (the copy-on-write
+    * analog of Delta's DESCRIBE HISTORY). */
+  def versions(t: PhysicalTable): Seq[Int] = {
+    val root = new Path(t.root)
+    val f = fs(root)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted.toSeq
+  }
+
+  /** Time travel: read the table as of a specific committed version
+    * (`VERSION AS OF` analog). Every full-replace strategy leaves prior
+    * versions intact until the janitor reclaims them, so reproducing "the
+    * table my job read yesterday" is a directory pick, not a restore. */
+  def readVersion(t: PhysicalTable, version: Int): DataFrame = {
+    val dir = new Path(new Path(t.root), s"v$version").toString
+    require(versions(t).contains(version),
+      s"${t.qualified} has no version $version (have: ${versions(t).mkString(",")})")
+    if (hasParquet(dir)) spark.read.parquet(dir)
+    else schemaMarker(dir) match {
+      case Some(st) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None => spark.read.parquet(dir)
+    }
+  }
+
   def dropTable(t: PhysicalTable): Unit = {
     spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
     val root = new Path(t.root)

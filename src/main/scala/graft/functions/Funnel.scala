@@ -36,6 +36,23 @@ object Funnel {
         .reduce(_ + _))
   }
 
+  /** User-journey path analysis: each user's time-ordered event-type
+    * sequence (first `maxLen` events; (ts, type) sort = deterministic under
+    * timestamp ties), counted across users — "what do users actually do
+    * first" as one aggregation. Per-user state is one bounded list (capped
+    * at the user's events, emitted as a ≤`maxLen` path), shuffled once on
+    * the user key; the path rollup shuffles only distinct paths. */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, maxLen: Int = 5): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol), col(typeCol)))).as("__evs"))
+    perUser
+      .select(concat_ws(">",
+        slice(transform(col("__evs"), e => e.getField(typeCol)), 1, maxLen)).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Cohort retention: users are cohorted by their first-active period
     * (`unit`-truncated first event time); each (cohort, offset) cell counts
     * the distinct users of that cohort active `offset` units later — the

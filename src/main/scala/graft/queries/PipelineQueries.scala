@@ -1235,6 +1235,19 @@ object PipelineQueries {
         |LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin)),
 
+    // ------------------------------------ user journey paths -------------
+    "td_top_paths" -> Entry((s, dir) => {
+      graft.functions.Funnel.topPaths(t(s, dir, "events"),
+          "user_id", "ts", "event_type", maxLen = 5)
+        .orderBy(col("path"))
+    }, Some(
+      """WITH p AS (
+        |  SELECT user_id,
+        |    array_to_string((list(event_type ORDER BY ts, event_type))[1:5], '>') AS path
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path ORDER BY path""".stripMargin)),
+
     // --------------------------------- cohort retention triangle ---------
     "td_retention" -> Entry((s, dir) => {
       graft.functions.Funnel.retention(t(s, dir, "events"), "user_id", "ts", "day")

@@ -93,4 +93,17 @@ class DdlOpsSpec extends AnyFunSuite {
       assert(ks.sameElements(ks.sorted), s"file ${f.getName} not sorted")
     }
   }
+
+  test("versions + readVersion time-travel across full replaces") {
+    val t = tbl("tt")
+    m.replaceQuery(t, Seq((1, "v0")).toDF("id", "s"))
+    m.replaceQuery(t, Seq((1, "v1"), (2, "v1")).toDF("id", "s"))
+    m.replaceQuery(t, Seq((3, "v2")).toDF("id", "s"))
+    assert(m.versions(t) == Seq(0, 1, 2))
+    assert(m.readVersion(t, 0).collect().map(_.getString(1)).toSeq == Seq("v0"))
+    assert(m.readVersion(t, 1).count() == 2)
+    // current read == latest version
+    assert(m.read(t).collect().toSet == m.readVersion(t, 2).collect().toSet)
+    intercept[IllegalArgumentException] { m.readVersion(t, 9) }
+  }
 }
