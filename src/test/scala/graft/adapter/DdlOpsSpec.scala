@@ -106,4 +106,18 @@ class DdlOpsSpec extends AnyFunSuite {
     assert(m.read(t).collect().toSet == m.readVersion(t, 2).collect().toSet)
     intercept[IllegalArgumentException] { m.readVersion(t, 9) }
   }
+
+  test("compact merges accreted small files without changing data") {
+    val t = tbl("cmp")
+    // simulate an append-heavy table: 20 tiny appends → ≥20 files
+    m.replaceQuery(t, Seq((0, "x")).toDF("id", "s"))
+    (1 to 19).foreach(i => m.insertAppend(t, Seq((i, "x")).toDF("id", "s")))
+    val before = m.read(t).collect().toSet
+    val (nBefore, nAfter) = m.compact(t)
+    assert(nBefore >= 20 && nAfter < nBefore && nAfter <= 2,
+      s"expected big file-count drop, got $nBefore -> $nAfter")
+    assert(m.read(t).collect().toSet == before) // data identical
+    // compaction is itself a version: the pre-compaction state time-travels
+    assert(m.readVersion(t, m.versions(t).dropRight(1).last).collect().toSet == before)
+  }
 }
