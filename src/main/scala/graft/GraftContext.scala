@@ -630,6 +630,17 @@ class GraftContext(
     }
   }
 
+  /** Compact a model's physical table (the OPTIMIZE verb): merge accreted
+    * small files into ~targetFileBytes files, copy-on-write — run it on
+    * append/streaming-fed models whose scan cost has become
+    * file-count-bound. Returns (filesBefore, filesAfter). */
+  def optimizeTable(modelName: String,
+                    targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val snap = state.latestSnapshot(modelName).getOrElse(
+      throw new IllegalStateException(s"$modelName has no snapshot"))
+    materializer.compact(evaluator.physicalTable(snap), targetFileBytes)
+  }
+
   /** Ad-hoc audit run (reference `sqlmesh audit`, cli/main.py:783): execute a
     * model's attached audits against its environment table WITHOUT
     * backfilling — the on-demand data-quality check. Incremental-by-time

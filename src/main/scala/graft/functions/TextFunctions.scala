@@ -78,6 +78,9 @@ object TextFunctions {
   def classifierScore(text: Column, weights: Map[String, Double],
                       bias: Double = 0.0): Column = {
     val feats = qualityFeatures(text).toMap
+    val unknown = weights.keySet -- feats.keySet
+    require(unknown.isEmpty,
+      s"unknown classifier features ${unknown.mkString(",")}; have ${feats.keys.mkString(",")}")
     val z = weights.toSeq.sortBy(_._1).foldLeft(lit(bias)) { case (acc, (f, w)) =>
       acc + feats(f).cast("double") * lit(w)
     }
