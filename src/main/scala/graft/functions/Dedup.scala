@@ -103,18 +103,19 @@ object Dedup {
     // slices + both join sides + the zip_with verify) would otherwise inline
     // and re-evaluate the whole k×|shingles| hash computation
     val sig = minhash(docs, textCol, idCol, shingleN, numHashes).persist()
-    // band signature = the band's signature slice as a join-key string; one
-    // row per (doc, band) — a plain string key keeps it engine-portable
+    // band key = 64-bit hash of (band index, signature slice): one row per
+    // (doc, band). An 8-byte long join key instead of a concatenated string
+    // — the key is ONLY a bucket id (candidates are verified against full
+    // signatures below), so hashing it costs nothing semantically and cuts
+    // the banding shuffle's per-row key bytes ~5-10× at corpus scale
     val banded = sig.select(col(idCol), col("sig"),
       explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(",",
-            (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("sig")(i)): _*)
-            .as("band_sig"))
-      }: _*)).as("bs"))
-      .select(col(idCol), col("sig"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+        xxhash64((lit(b) +:
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("sig")(i))): _*)
+          .as("band_key")
+      }: _*)).as("band_key"))
     val est = banded.as("a").join(banded.as("b"),
-        col("a.band_sig") === col("b.band_sig") && col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
