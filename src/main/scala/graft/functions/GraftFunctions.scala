@@ -26,6 +26,17 @@ object GraftFunctions {
       s"$name must be an integer literal, got $other")
   }
 
+  import org.apache.spark.sql.graft.ColumnBridge.{column => col, expression => expr}
+
+  /** Lift a 1-arg Column composition into a SQL function builder. */
+  private def one(name: String,
+                  f: org.apache.spark.sql.Column => org.apache.spark.sql.Column):
+      Seq[Expression] => Expression = {
+    case Seq(a) => expr(f(col(a)))
+    case args => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${args.size}")
+  }
+
   /** (name, description, builder) for every exposed function. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
@@ -38,7 +49,37 @@ object GraftFunctions {
       { case Seq(v, n)    => VectorLshBucket(v, intArg(n, "nPlanes"))
         case Seq(v, n, o) => VectorLshBucket(v, intArg(n, "nPlanes"), intArg(o, "offset"))
         case args => throw new IllegalArgumentException(
-          s"graft_lsh_bucket expects 2-3 arguments, got ${args.size}") })
+          s"graft_lsh_bucket expects 2-3 arguments, got ${args.size}") }),
+    // text-curation ops as SQL functions: compositions of codegen'd
+    // built-ins (see TextFunctions), bridged Column→Expression so SQL model
+    // bodies can quality-gate / dedup-key / sample inline
+    ("graft_quality_score",
+      "graft_quality_score(text) - heuristic [0,1] document quality score.",
+      one("graft_quality_score", TextFunctions.qualityScore)),
+    ("graft_token_estimate",
+      "graft_token_estimate(text) - BPE-ish token count estimate.",
+      one("graft_token_estimate", TextFunctions.tokenEstimate)),
+    ("graft_fingerprint",
+      "graft_fingerprint(text) - portable 60-bit content fingerprint.",
+      one("graft_fingerprint", TextFunctions.fingerprint)),
+    ("graft_content_key",
+      "graft_content_key(text) - whitespace-normalized md5 exact-dup key.",
+      one("graft_content_key", TextFunctions.contentKey)),
+    ("graft_lang_id",
+      "graft_lang_id(text) - stopword-heuristic language id (en/de/fr/es or NULL).",
+      one("graft_lang_id", TextFunctions.langId)),
+    ("graft_scrub_pii",
+      "graft_scrub_pii(text) - redact emails/phones/IPv4s with typed placeholders.",
+      one("graft_scrub_pii", TextFunctions.scrubPii)),
+    ("graft_hash_bucket",
+      "graft_hash_bucket(key, buckets[, salt]) - deterministic sampling bucket in [0, buckets).",
+      { case args if args.size == 2 || args.size == 3 =>
+          val salt = if (args.size == 3) col(args(2)) else org.apache.spark.sql.functions.lit("")
+          expr(org.apache.spark.sql.functions.pmod(
+            PortableHash.h60(org.apache.spark.sql.functions.concat_ws("", salt, col(args(0)))),
+            col(args(1)).cast("long")))
+        case args => throw new IllegalArgumentException(
+          s"graft_hash_bucket expects 2-3 arguments, got ${args.size}") })
   )
 
   /** Register every function on a live session's catalog. */

@@ -65,4 +65,30 @@ class VectorCosineSpec extends AnyFunSuite {
     }
     assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
   }
+
+  test("text-curation SQL functions match their DataFrame formulations") {
+    GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_sqlfn")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_quality_score(text) q, graft_token_estimate(text) t,
+        |       graft_fingerprint(text) fp, graft_content_key(text) ck,
+        |       graft_lang_id(text) lang, graft_hash_bucket(doc_id, 100, 's') b
+        |FROM docs_sqlfn WHERE doc_id <= 50""".stripMargin)
+    val viaDf = spark.table("docs_sqlfn").filter(col("doc_id") <= 50)
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.tokenEstimate(col("text")).as("t"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.contentKey(col("text")).as("ck"),
+        TextFunctions.langId(col("text")).as("lang"),
+        Sampling.hashBucket(col("doc_id"), 100, "s").as("b"))
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+    // a model-body-style usage: quality gate + dedup key inline in SQL
+    val gated = spark.sql(
+      """SELECT graft_content_key(text) k, min(doc_id) keep
+        |FROM docs_sqlfn WHERE graft_quality_score(text) >= 0.3
+        |GROUP BY 1""".stripMargin)
+    assert(gated.count() > 0)
+  }
 }
