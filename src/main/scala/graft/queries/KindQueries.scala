@@ -270,6 +270,36 @@ object KindQueries {
         |FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-01'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ------- SQL model body using the graft_* curation functions ---------
+    "mk_curation_model" -> Entry((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val c = ctx(s, dir)
+      c.addExternal("raw.documents", s"$dir/documents.parquet")
+      c.addModel(Model("mart.curated_docs",
+        SqlBody(
+          """SELECT graft_content_key(text) AS k, min(doc_id) AS keep_id,
+            |  count(*) AS n_dups, sum(graft_token_estimate(text)) AS toks
+            |FROM raw.documents WHERE graft_quality_score(text) >= 0.3
+            |GROUP BY graft_content_key(text)""".stripMargin),
+        kind = ModelKind.Full))
+      c.apply(c.plan("prod", 0L, D))
+      s.table("mart.curated_docs").orderBy("keep_id")
+    }, Some(
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    round(greatest(0.0, least(len(text) / 500.0, 1.0)
+        |      * (1.0 - len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text))
+        |      * (1.0 - len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text))), 4) AS qs,
+        |    len(list_filter(string_split_regex(
+        |      regexp_replace(text, '([a-z])([A-Z])|([A-Za-z])([0-9])|([0-9])([A-Za-z])', '\1\3\5 \2\4\6', 'g'),
+        |      '[\s[:punct:]]+'), w -> len(w) > 0) ) AS toks,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+        |  FROM documents
+        |)
+        |SELECT k, min(doc_id) AS keep_id, count(*) AS n_dups, sum(toks) AS toks
+        |FROM q WHERE qs >= 0.3
+        |GROUP BY k ORDER BY keep_id""".stripMargin)),
+
     // ---------------- VIEW (materialized true): physical refresh ----------
     "mk_materialized_view" -> Entry((s, dir) => {
       val c = ctx(s, dir)
