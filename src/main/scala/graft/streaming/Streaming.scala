@@ -110,6 +110,40 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming CDC into a TYPE-2 HISTORY table: each micro-batch runs the
+    * full SCD2-by-time pipeline against the target, so the stream maintains
+    * valid_from/valid_to row versions instead of overwriting (the
+    * "dimension table fed by a change stream" pattern). Versioning follows
+    * the source `updated_at`, so replaying a batch after a crash is
+    * idempotent (stale updated_at ⇒ no new versions); within one batch a
+    * key keeps only its latest change (standard CDC compaction — drain more
+    * often to keep intermediate versions). `invalidate_hard_deletes` must
+    * be off: a micro-batch is a partial view of the key space, and an
+    * absent key is "no change this batch", never a delete. */
+  def scd2Stream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      target: graft.adapter.PhysicalTable,
+      kind: graft.core.ModelKind.ScdType2ByTime,
+      checkpointDir: String,
+      executionTs: () => java.sql.Timestamp = () =>
+        new java.sql.Timestamp(System.currentTimeMillis())): Unit = {
+    require(!kind.invalidateHardDeletes,
+      "scd2Stream: set invalidateHardDeletes=false — a micro-batch is a " +
+        "partial view, an absent key is not a hard delete")
+    val mat = new graft.adapter.SparkMaterializer(spark)
+    val upsert: (DataFrame, Long) => Unit = (batch, _) =>
+      if (!batch.isEmpty) mat.scdType2ByTime(target, batch, kind, executionTs())
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .foreachBatch(upsert)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exact-dedup with custom keyed state
     * (`KeyValueGroupedDataset.flatMapGroupsWithState`): the first event per
     * key is emitted, later duplicates — in the same micro-batch or any later

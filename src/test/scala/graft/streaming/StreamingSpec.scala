@@ -150,4 +150,42 @@ class StreamingSpec extends AnyFunSuite {
     drain()
     assert(mat.read(target).count() == 3)
   }
+
+  test("scd2Stream maintains type-2 history from a change stream") {
+    val src = SparkTestSession.tmpDir("s2s_src")
+    val chk = SparkTestSession.tmpDir("s2s_chk")
+    val target = graft.adapter.PhysicalTable("graft__stream", "scd2_target",
+      SparkTestSession.tmpDir("s2s_tbl"))
+    val kind = graft.core.ModelKind.ScdType2ByTime(uniqueKey = Seq("id"),
+      invalidateHardDeletes = false)
+    val b1 = Seq((1, "a", ts("2024-01-01 00:00:00")), (2, "x", ts("2024-01-01 00:00:00")))
+      .toDF("id", "st", "updated_at")
+    b1.write.mode("append").parquet(src)
+
+    def drain(): Unit = Streaming.scd2Stream(spark, src, b1.schema, target, kind, chk,
+      executionTs = () => ts("2024-01-10 00:00:00"))
+
+    drain()
+    val mat = new graft.adapter.SparkMaterializer(spark)
+    assert(mat.read(target).filter(col("valid_to").isNull).count() == 2)
+
+    // change wave: id=1 updated → old row closes at the new updated_at,
+    // id=2 absent → stays open (partial view, not a delete)
+    Seq((1, "a2", ts("2024-01-03 00:00:00"))).toDF("id", "st", "updated_at")
+      .write.mode("append").parquet(src)
+    drain()
+    val rows = mat.read(target).orderBy("id", "valid_from").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getTimestamp(4)).map(_.toString)))
+    assert(rows.toSeq == Seq(
+      (1, "a", Some("2024-01-03 00:00:00.0")),
+      (1, "a2", None),
+      (2, "x", None)))
+    // replay-idempotent: an empty drain leaves history untouched
+    drain()
+    assert(mat.read(target).count() == 3)
+    intercept[IllegalArgumentException] {
+      Streaming.scd2Stream(spark, src, b1.schema, target,
+        kind.copy(invalidateHardDeletes = true), chk)
+    }
+  }
 }
