@@ -32,6 +32,13 @@ final class FileStateStore(
   private val blob: FileStateStore.Blob =
     if (dir.contains("://")) new FileStateStore.HadoopBlob(dir)
     else new FileStateStore.LocalBlob(dir)
+  /** Last transaction counter this instance observed in the file. persist()
+    * rejects the write when the file moved past it — the optimistic
+    * lost-update guard standing in for the reference state DB's
+    * transactions (two concurrent writers must fail loudly, never silently
+    * drop each other's intervals/snapshots). */
+  private var txn: Long = 0L
+
   private val mem = new InMemoryStateStore
   load()
 
@@ -82,8 +89,18 @@ final class FileStateStore(
   // -------------------------------------------------------------- persist
 
   private def persist(): Unit = {
+    // optimistic concurrency: the file must still be at the txn this
+    // instance last read/wrote, else another writer has intervened
+    if (blob.exists) {
+      val onDisk = mapper.readTree(blob.readAll()).path("txn").asLong(0L)
+      if (onDisk != txn)
+        throw new java.util.ConcurrentModificationException(
+          s"state file advanced to txn $onDisk behind this store (at $txn): " +
+            "another writer holds this state dir — refusing to clobber its writes")
+    }
     val root = mapper.createObjectNode()
     root.put("version", FileStateStore.SchemaVersion)
+    root.put("txn", txn + 1)
     val snaps = root.putArray("snapshots")
     mem.allSnapshots.foreach(s => snaps.add(snapshotJson(s)))
     val envs = root.putArray("environments")
@@ -102,6 +119,7 @@ final class FileStateStore(
     val ar = root.putObject("auto_restatements")
     mem.allAutoRestatements.foreach { case (k, v) => ar.put(k, v) }
     blob.writeAtomic(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    txn += 1
   }
 
   /** Stepwise state-schema migrations (reference state_sync/db/migrator.py:
@@ -119,6 +137,7 @@ final class FileStateStore(
 
   private def load(): Unit = if (blob.exists) {
     val root = migrate(mapper.readTree(blob.readAll()))
+    txn = root.path("txn").asLong(0L)
     root.path("snapshots").forEach(n => mem.pushSnapshot(snapshotFromJson(n)))
     root.path("environments").forEach { n =>
       val snapMap = scala.collection.mutable.Map[String, String]()

@@ -65,6 +65,23 @@ class FileStateStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent writers are detected, not silently clobbered") {
+    val dir = SparkTestSession.tmpDir("state_cc")
+    val s1 = new FileStateStore(dir)
+    s1.pushSnapshot(mkSnapshot("mart.cc", "SELECT 1 AS id", ModelKind.Full))
+    // a second writer opens the same dir and advances the file…
+    val s2 = new FileStateStore(dir)
+    s2.pushSnapshot(mkSnapshot("mart.cc2", "SELECT 2 AS id", ModelKind.Full))
+    // …so the first instance's next write must refuse (lost-update guard)
+    intercept[java.util.ConcurrentModificationException] {
+      s1.pushSnapshot(mkSnapshot("mart.cc3", "SELECT 3 AS id", ModelKind.Full))
+    }
+    // s2's write survived; a fresh reader sees both committed snapshots
+    val s3 = new FileStateStore(dir)
+    assert(s3.latestSnapshot("mart.cc").nonEmpty && s3.latestSnapshot("mart.cc2").nonEmpty)
+    assert(s3.latestSnapshot("mart.cc3").isEmpty)
+  }
+
   test("interval removal persists (restatement)") {
     val dir = SparkTestSession.tmpDir("state")
     val s1 = new FileStateStore(dir)
