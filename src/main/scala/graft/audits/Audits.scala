@@ -31,6 +31,13 @@ object Audits {
     "accepted_values" -> { (t, a) =>
       s"SELECT * FROM $t WHERE ${a("column")} NOT IN (${a("is_in")}) ${andCond(a)}"
     },
+    // referential integrity (the dbt `relationships` test): child values
+    // must exist in the parent relation. NOT IN over the non-null parent
+    // keys — null-guarded on both sides so a NULL child value never trips
+    "relationships" -> { (t, a) =>
+      s"SELECT * FROM $t WHERE ${a("column")} IS NOT NULL AND ${a("column")} NOT IN " +
+        s"(SELECT ${a("field")} FROM ${a("to")} WHERE ${a("field")} IS NOT NULL) ${andCond(a)}"
+    },
     "not_accepted_values" -> { (t, a) =>
       s"SELECT * FROM $t WHERE ${a("column")} IN (${a("is_in")}) ${andCond(a)}"
     },

@@ -76,14 +76,31 @@ object DbtLoader {
       all.groupBy(_.name.split('.').last).collect {
         case (stem, ms) if ms.size == 1 => stem -> ms.head.name
       }
+    val refRe = "(?is)(?:\\{\\{\\s*)?ref\\(\\s*['\"]([^'\"]+)['\"]\\s*\\)(?:\\s*\\}\\})?".r
+    def resolveRefs(sql: String): String =
+      refRe.replaceAllIn(sql, mm => java.util.regex.Matcher.quoteReplacement(
+        byStem.getOrElse(mm.group(1), mm.group(1))))
+    // schema.yml column tests attach as audits (keyed by dbt's short name)
+    val tests = ymlFiles.flatMap(parseModelTests(_).toSeq).toMap
+    val allNames = all.map(_.name).toSet
     val resolved = all.map { m =>
-      m.body match {
-        case SqlBody(sql) =>
-          val r = "(?is)\\{\\{\\s*ref\\(\\s*['\"]([^'\"]+)['\"]\\s*\\)\\s*\\}\\}".r
-            .replaceAllIn(sql, mm => java.util.regex.Matcher.quoteReplacement(
-              byStem.getOrElse(mm.group(1), mm.group(1))))
-          m.copy(body = SqlBody(r))
-        case _ => m
+      val withAudits = tests.get(m.name.split('.').last) match {
+        case Some(as) =>
+          val resolvedAudits = as.map { case (n, args) =>
+            n -> args.map { case (k, v) => k -> resolveRefs(v) } // relationships `to:`
+          }
+          // a relationships parent is a real dependency: it must evaluate
+          // first and resolve to its physical table in the audit SQL (dbt
+          // adds the same test edge to its DAG)
+          val parents = resolvedAudits.collect {
+            case ("relationships", args) if allNames(args("to")) => args("to")
+          }
+          m.copy(audits = m.audits ++ resolvedAudits, dependsOn = m.dependsOn ++ parents)
+        case None => m
+      }
+      withAudits.body match {
+        case SqlBody(sql) => withAudits.copy(body = SqlBody(resolveRefs(sql)))
+        case _ => withAudits
       }
     }
     DbtProject(projName, resolved, sources, vars)
@@ -189,6 +206,58 @@ object DbtLoader {
         DbtSource(srcName, tab, s"$schema.$ident")
       }
     }
+  }
+
+  // ----------------------------------------------------- schema.yml tests
+
+  /** `models:` blocks in schema yml → per-model audits (the dbt column-test
+    * surface, mapped onto the builtin audit templates):
+    * `unique` → unique_values, `not_null` → not_null, `accepted_values` →
+    * accepted_values, `relationships` → relationships (referential check;
+    * `to: ref('parent')` resolves with the project's ref registry).
+    * Returns model-STEM → audits. */
+  def parseModelTests(p: Path): Map[String, Seq[(String, Map[String, String])]] = {
+    val node = mapper.readTree(new String(Files.readAllBytes(p), "UTF-8"))
+    val models = Option(node.get("models")).toSeq.flatMap(_.elements().asScala)
+    models.map { m =>
+      val name = m.path("name").asText
+      val audits = Option(m.get("columns")).toSeq.flatMap(_.elements().asScala).flatMap { c =>
+        val colName = c.path("name").asText
+        Option(c.get("tests")).orElse(Option(c.get("data_tests"))).toSeq
+          .flatMap(_.elements().asScala).flatMap { t =>
+            if (t.isTextual) t.asText match {
+              case "unique"   => Some("unique_values" -> Map("columns" -> colName))
+              case "not_null" => Some("not_null" -> Map("columns" -> colName))
+              case other =>
+                System.err.println(s"[graft] WARN unsupported dbt test '$other' on $name.$colName")
+                None
+            } else {
+              val fields = t.properties().asScala.toSeq
+              fields.headOption.flatMap { e =>
+                val args = e.getValue
+                e.getKey match {
+                  case "accepted_values" =>
+                    val vs = Option(args.get("values")).toSeq
+                      .flatMap(_.elements().asScala).map { v =>
+                        if (v.isNumber || v.isBoolean) v.asText
+                        else "'" + v.asText.replace("'", "''") + "'"
+                      }
+                    Some("accepted_values" ->
+                      Map("column" -> colName, "is_in" -> vs.mkString(", ")))
+                  case "relationships" =>
+                    Some("relationships" -> Map("column" -> colName,
+                      "to" -> args.path("to").asText,
+                      "field" -> args.path("field").asText))
+                  case other =>
+                    System.err.println(s"[graft] WARN unsupported dbt test '$other' on $name.$colName")
+                    None
+                }
+              }
+            }
+          }
+      }
+      name -> audits
+    }.filter(_._2.nonEmpty).toMap
   }
 
   // ------------------------------------------------------------- helpers

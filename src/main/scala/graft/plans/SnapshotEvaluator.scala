@@ -335,7 +335,12 @@ class SnapshotEvaluator(
           Map("condition" -> s"${k.timeColumn} >= TIMESTAMP '$lo' AND ${k.timeColumn} < TIMESTAMP '$hi'")
         case _ => Map.empty[String, String]
       }
-      val violations = Audits.run(spark, name, thisName, args ++ timeCond)
+      // audit args may reference OTHER models (e.g. relationships `to`) —
+      // resolve them to physical tables like any rendered statement
+      val resolvedArgs = (args ++ timeCond).map { case (k, v) =>
+        k -> Renderer.resolveTables(v, mapping)
+      }
+      val violations = Audits.run(spark, name, thisName, resolvedArgs)
       val sample = violations.limit(1).collect()
       if (sample.nonEmpty) {
         if (blocking) {

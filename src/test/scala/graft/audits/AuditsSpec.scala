@@ -92,7 +92,16 @@ class AuditsSpec extends AnyFunSuite {
       "dependent" -> "false") == 0)
   }
 
-  test("all 29 builtin audits are registered") {
-    assert(Audits.all.size == 29)
+  test("relationships flags orphaned child keys (dbt referential test)") {
+    val parent = view("rel_parent")(Seq(1, 2, 3).toDF("pid"))
+    val child = view("rel_child")(
+      Seq(Option(1), Option(2), Option(9), Option.empty[Int]).toDF("fk"))
+    // 9 is orphaned; NULL fk is not a violation (null-guarded both sides)
+    assert(violations("relationships", child,
+      "column" -> "fk", "to" -> parent, "field" -> "pid") == 1)
+  }
+
+  test("the 29 reference builtins + relationships are registered") {
+    assert(Audits.all.size == 30)
   }
 }

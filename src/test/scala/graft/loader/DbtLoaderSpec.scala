@@ -33,6 +33,25 @@ class DbtLoaderSpec extends AnyFunSuite {
         |      - name: orders
         |      - name: customer
         |        identifier: customer
+        |models:
+        |  - name: stg_orders
+        |    columns:
+        |      - name: o_orderkey
+        |        tests: [unique, not_null]
+        |  - name: seg_revenue
+        |    columns:
+        |      - name: c_mktsegment
+        |        tests:
+        |          - not_null
+        |          - accepted_values:
+        |              values: ['AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY']
+        |  - name: order_log
+        |    columns:
+        |      - name: o_orderkey
+        |        tests:
+        |          - relationships:
+        |              to: ref('stg_orders')
+        |              field: o_orderkey
         |""".stripMargin)
     write(root.resolve("models/staging/stg_orders.sql"),
       """{{ config(materialized='view', schema='dbtstg') }}
@@ -89,6 +108,16 @@ class DbtLoaderSpec extends AnyFunSuite {
     assert(!byName.contains("analytics.disabled"))
     assert(p.sources.map(_.relation).toSet == Set("raw.orders", "raw.customer"))
     assert(p.vars("cutoff") == "1995-02-01")
+    // schema.yml column tests became audits (dbt test → builtin mapping)
+    assert(byName("dbtstg.stg_orders").audits.toSet == Set(
+      "unique_values" -> Map("columns" -> "o_orderkey"),
+      "not_null" -> Map("columns" -> "o_orderkey")))
+    val segAudits = byName("dbtmart.seg_revenue").audits.toMap[String, Map[String, String]]
+    assert(segAudits("accepted_values")("column") == "c_mktsegment")
+    assert(segAudits("accepted_values")("is_in").contains("'AUTOMOBILE'"))
+    // relationships `to: ref(...)` resolved to the full model name
+    assert(byName("dbtmart.order_log").audits.toMap[String, Map[String, String]].apply("relationships") ==
+      Map("column" -> "o_orderkey", "to" -> "dbtstg.stg_orders", "field" -> "o_orderkey"))
   }
 
   test("dbt project plans and applies end-to-end; is_incremental() guards") {
