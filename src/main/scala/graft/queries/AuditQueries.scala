@@ -44,6 +44,19 @@ object AuditQueries {
           |WHERE p_type LIKE '%BRUSHED%' OR p_type LIKE '%POLISHED%'
           |GROUP BY p_type ORDER BY p_type""".stripMargin)),
 
+    "a_relationships" -> Entry(
+      // referential check with REAL violations: every 10th custkey referenced
+      // by orders is hidden from the parent side
+      audit("relationships", "orders",
+        Map("column" -> "o_custkey", "field" -> "c_custkey",
+          "to" -> "(SELECT * FROM customer WHERE c_custkey % 10 != 0)"),
+        _.selectExpr("count(*) AS n_viol", "min(o_orderkey) AS first_order")),
+      Some(
+        """SELECT count(*) AS n_viol, min(o_orderkey) AS first_order
+          |FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+          |  (SELECT c_custkey FROM customer
+          |   WHERE c_custkey % 10 != 0 AND c_custkey IS NOT NULL)""".stripMargin)),
+
     "a_not_constant" -> Entry(
       // passes (distinct > 1) → zero violation rows, shape still hash-checked
       audit("not_constant", "orders", Map("column" -> "o_orderstatus"),
