@@ -97,6 +97,28 @@ class MaterializerSpec extends AnyFunSuite {
     assert(got == Set((1, "keep-old"), (2, "b2"), (3, "c")))
   }
 
+  test("pruned and full merge paths converge identically under random waves") {
+    // the partition-pruned path (partition ⊆ key) must be indistinguishable
+    // from the plain full-rewrite path for any upsert sequence
+    val rnd = new scala.util.Random(7)
+    val pruned = tbl("mg_eq_p", Seq("id"))   // partitioned on the key → pruned path
+    val full = tbl("mg_eq_f")                // unpartitioned → full rewrite path
+    var expected = Map.empty[Int, String]
+    for (wave <- 1 to 5) {
+      val src = (1 to 50).flatMap { k =>
+        if (rnd.nextDouble() < 0.4) Some((k, s"w${wave}_$k")) else None
+      }
+      val df = src.toDF("id", "v")
+      m.merge(pruned, df, Seq("id"))
+      m.merge(full, df, Seq("id"))
+      expected ++= src.toMap
+      val gotP = m.read(pruned).select("id", "v").as[(Int, String)].collect().toMap
+      val gotF = m.read(full).select("id", "v").as[(Int, String)].collect().toMap
+      assert(gotP == expected, s"wave $wave pruned diverged")
+      assert(gotF == expected, s"wave $wave full diverged")
+    }
+  }
+
   val scdKind = ModelKind.ScdType2ByTime(uniqueKey = Seq("id"))
 
   test("SCD2-by-time: a legitimately-NULL key column is a real row, not an absence") {
