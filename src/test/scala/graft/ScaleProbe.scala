@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc scaling probe (test scope): replicate the sf0.1 documents corpus
+  * N× (shifted ids, perturbed text so dup structure doesn't explode) and
+  * time the dedup/similarity heavies at 1× vs N× — the local evidence for
+  * the "shuffle-bounded, near-linear" scaling claims in SURVEY §9. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val base = docs.count()
+    // replicate with id shift + a copy-tag word so replicas aren't exact dups
+    val big = (0 until n).map { i =>
+      docs.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" copytag$i")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("scale_docs").toString
+    big.write.mode("overwrite").parquet(dir)
+    val bigDocs = spark.read.parquet(dir)
+    println(s"base=$base rows, big=${bigDocs.count()} rows (${n}x)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val rows = f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($rows rows)")
+    }
+    import graft.functions._
+    for ((label, d) <- Seq("1x" -> docs, s"${n}x" -> bigDocs)) {
+      time(s"minhash_lsh $label") {
+        Dedup.minhashLsh(d, shingleN = 3, numHashes = 16, bands = 4, threshold = 0.3).count()
+      }
+      time(s"exact_dedup $label") { Dedup.exact(d).count() }
+      time(s"lang_id $label") {
+        d.select(TextFunctions.langId(col("text")).as("l")).groupBy("l").count().count()
+      }
+      time(s"quality+class $label") {
+        d.select(TextFunctions.classifierScore(col("text"),
+          Map("n_chars" -> -0.002, "n_words" -> 0.01), -1.0).as("s"))
+          .filter(col("s") > 0.5).count()
+      }
+    }
+    spark.stop()
+  }
+}
