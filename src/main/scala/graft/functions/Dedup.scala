@@ -95,9 +95,16 @@ object Dedup {
     * pairs; candidates are verified against the full signatures carried
     * through the join (zip_with — no extra join back to the signatures).
     * Returns candidate pairs (id_a < id_b) with estimated Jaccard. */
+  /** `maxBucketSize`: skip band buckets holding more than that many docs —
+    * a boilerplate-heavy bucket of B docs otherwise emits B²/2 candidate
+    * pairs (the quadratic step the banding exists to avoid). Dropping hot
+    * buckets loses only candidates that OTHER bands usually still catch;
+    * it is the standard LSH scale-safety valve (same role as maxDf on
+    * [[ngramJaccardPairs]]). None = unbounded. */
   def minhashLsh(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5,
+                 maxBucketSize: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     // persist = hard optimizer barrier: every downstream reference (4 band
     // slices + both join sides + the zip_with verify) would otherwise inline
@@ -108,12 +115,18 @@ object Dedup {
     // — the key is ONLY a bucket id (candidates are verified against full
     // signatures below), so hashing it costs nothing semantically and cuts
     // the banding shuffle's per-row key bytes ~5-10× at corpus scale
-    val banded = sig.select(col(idCol), col("sig"),
+    val banded0 = sig.select(col(idCol), col("sig"),
       explode(array((0 until bands).map { b =>
         xxhash64((lit(b) +:
           (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("sig")(i))): _*)
           .as("band_key")
       }: _*)).as("band_key"))
+    val banded = maxBucketSize.fold(banded0) { cap =>
+      val keep = banded0.groupBy(col("band_key"))
+        .agg(count(lit(1)).as("__bs")).filter(col("__bs") <= cap)
+        .select("band_key")
+      banded0.join(keep, "band_key")
+    }
     val est = banded.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

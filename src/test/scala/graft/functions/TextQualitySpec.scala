@@ -102,6 +102,20 @@ class TextQualitySpec extends AnyFunSuite {
     assert(sizes.size == 4 && sizes.min > 20 && sizes.max < 80)
   }
 
+  test("minhashLsh maxBucketSize caps hot-bucket pair blowup") {
+    // 30 near-identical docs: all land in the same band buckets → 435 pairs
+    // unbounded; a bucket cap of 10 suppresses the hot buckets entirely
+    val docs = (1L to 30L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog again and again $i"))
+      .toDF("doc_id", "text")
+    val unbounded = Dedup.minhashLsh(docs, shingleN = 2, numHashes = 8,
+      bands = 2, threshold = 0.1).count()
+    val capped = Dedup.minhashLsh(docs, shingleN = 2, numHashes = 8,
+      bands = 2, threshold = 0.1, maxBucketSize = Some(10)).count()
+    assert(unbounded > 100)
+    assert(capped < unbounded)
+  }
+
   test("leakSafeSplit co-assigns near-dup pairs to one split") {
     val docs = (1L to 100L).toDF("doc_id")
     // chain 1-2-3 is one component; 10-11 another; rest singletons
