@@ -169,28 +169,43 @@ object TextFunctions {
         round(col("top_count") / col("n_toks"), 4).as("top_frac"))
   }
 
-  // PII patterns: ASCII-only regex syntax shared by Java and RE2, so any
-  // engine reproduces the redaction byte-for-byte.
+  // PII patterns: ASCII-only regex syntax shared by Java and RE2 (no
+  // backreferences), so any engine reproduces the redaction byte-for-byte.
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+  val ssnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val ccRe = "\\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\\b"
 
-  /** PII redaction at scan speed: emails, IPv4 addresses, and international
-    * phone numbers replaced with typed placeholders. Email first (it may
-    * embed digit runs), phone before IPv4 is irrelevant (disjoint shapes).
-    * Pure regexp_replace chain — codegen'd, no UDF. */
+  /** PII redaction at scan speed: emails, phone numbers, SSNs, payment-card
+    * numbers, and IPv4 addresses replaced with typed placeholders. Order
+    * matters: email first (it may embed digit runs), phone before SSN (a
+    * phone tail must not half-match), cards before IPv4. Pure
+    * regexp_replace chain — codegen'd, no UDF. */
   def scrubPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, emailRe, "<EMAIL>"),
-        phoneRe, "<PHONE>"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          ssnRe, "<SSN>"),
+        ccRe, "<CARD>"),
       ipv4Re, "<IP>")
 
-  /** Per-kind PII match counts (audit/reporting companion to [[scrubPii]]). */
-  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
-    "n_emails" -> regexp_count(text, lit(emailRe)),
-    "n_phones" -> regexp_count(text, lit(phoneRe)),
-    "n_ips" -> regexp_count(regexp_replace(text, phoneRe, "<PHONE>"), lit(ipv4Re)))
+  /** Per-kind PII match counts (audit/reporting companion to [[scrubPii]]);
+    * each count is taken on the text with the earlier patterns already
+    * redacted, mirroring the scrub order exactly. */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val afterPhone = regexp_replace(text, phoneRe, "<PHONE>")
+    val afterSsn = regexp_replace(afterPhone, ssnRe, "<SSN>")
+    Seq(
+      "n_emails" -> regexp_count(text, lit(emailRe)),
+      "n_phones" -> regexp_count(text, lit(phoneRe)),
+      "n_ssns" -> regexp_count(afterPhone, lit(ssnRe)),
+      "n_cards" -> regexp_count(afterSsn, lit(ccRe)),
+      "n_ips" -> regexp_count(afterSsn, lit(ipv4Re)))
+  }
 
   /** Apply the full text-analysis bundle to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

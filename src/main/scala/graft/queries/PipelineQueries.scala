@@ -1054,6 +1054,9 @@ object PipelineQueries {
           lit("@example.com via 10."),
           (col("doc_id") % 200 + 1).cast("string"), lit(".0.1 or +1-555-"),
           (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+          (col("doc_id") % 9000 + 1000).cast("string"),
+          lit(" ssn 123-45-"), (col("doc_id") % 9000 + 1000).cast("string"),
+          lit(" card 4111-1111-1111-"),
           (col("doc_id") % 9000 + 1000).cast("string")).as("text"))
       val counts = TextFunctions.piiCounts(col("text"))
       withPii.select(col("doc_id") +: counts.map { case (n, c) => c.as(n) } :+
@@ -1065,22 +1068,39 @@ object PipelineQueries {
         |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com via 10.'
         |      || CAST(doc_id % 200 + 1 AS VARCHAR) || '.0.1 or +1-555-'
         |      || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
-        |      || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS text
+        |      || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |      || ' ssn 123-45-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |      || ' card 4111-1111-1111-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS text
         |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g') AS after_phone
+        |  FROM p
+        |), r2 AS (
+        |  SELECT doc_id, text, after_phone,
+        |    regexp_replace(after_phone,
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS after_ssn
+        |  FROM r
         |)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
         |  CAST(len(regexp_extract_all(text,
         |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS INT) AS n_phones,
-        |  CAST(len(regexp_extract_all(regexp_replace(text,
-        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g'),
+        |  CAST(len(regexp_extract_all(after_phone,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssns,
+        |  CAST(len(regexp_extract_all(after_ssn,
+        |    '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b')) AS INT) AS n_cards,
+        |  CAST(len(regexp_extract_all(after_ssn,
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b', '<CARD>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
-        |FROM p ORDER BY doc_id""".stripMargin)),
+        |FROM r2 ORDER BY doc_id""".stripMargin)),
 
     // --------------------------------------------- text analysis ---------
     "td_text_quality" -> Entry((s, dir) => {

@@ -28,20 +28,30 @@ class TextQualitySpec extends AnyFunSuite {
       ((4L, 2L, 0.5, 0.5)))
   }
 
-  test("scrubPii redacts emails, phones, and IPv4s; counts match") {
+  test("scrubPii redacts emails, phones, SSNs, cards, and IPv4s; counts match") {
     val text = "mail bob.smith+x@corp.example.org or call +1-555-123-4567 " +
+      "ssn 123-45-6789 card 4111-1111-1111-1111 " +
       "from 192.168.0.1 but not v1.2 or 1.2.3.4.5 leftover"
     val df = Seq(text).toDF("text")
       .select(TextFunctions.scrubPii(col("text")).as("s") +:
         TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
     val r = df.collect()(0)
     val scrubbed = r.getString(0)
-    assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>") && scrubbed.contains("<IP>"))
-    assert(!scrubbed.contains("@") && !scrubbed.contains("555-123"))
+    assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>") &&
+      scrubbed.contains("<SSN>") && scrubbed.contains("<CARD>") && scrubbed.contains("<IP>"))
+    assert(!scrubbed.contains("@") && !scrubbed.contains("555-123") &&
+      !scrubbed.contains("123-45") && !scrubbed.contains("4111"))
     assert(scrubbed.contains("v1.2"))  // not an IP
+    // columns: s, n_emails(1), n_phones(2), n_ssns(3), n_cards(4), n_ips(5)
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 1 && r.getInt(4) == 1)
     // 1.2.3.4.5: the first four octets match the IPv4 shape — redacted;
     // documented behavior of the \b-bounded pattern ("\b" sits between 4 and .5)
-    assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) >= 1)
+    assert(r.getInt(5) >= 1)
+    // a phone tail must never half-match as an SSN (scrub-order mirror)
+    val phoneOnly = Seq("call +1-555-123-4567 now").toDF("text")
+      .select(TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(phoneOnly.getInt(2) == 0 && phoneOnly.getInt(3) == 0) // ssn, cards
   }
 
   test("scrubPii leaves clean text untouched") {
