@@ -245,6 +245,47 @@ object Relational {
         |FROM seq s LEFT JOIN customer c ON c.c_nationkey = s.n
         |GROUP BY s.n ORDER BY s.n""".stripMargin),
 
+    "q31_struct_funcs" -> sqlEntry(
+      // nested struct build + field access (dialects differ only in the
+      // struct literal syntax)
+      """SELECT t.s.nm AS nm, t.s.rk AS rk FROM
+        |  (SELECT named_struct('nm', n_name, 'rk', n_regionkey) AS s FROM nation) t
+        |ORDER BY nm""".stripMargin,
+      """SELECT t.s.nm AS nm, t.s.rk AS rk FROM
+        |  (SELECT {'nm': n_name, 'rk': n_regionkey} AS s FROM nation) t
+        |ORDER BY nm""".stripMargin),
+
+    "q32_sql_hof" -> sqlEntry(
+      // higher-order functions in SQL over the embedding arrays
+      """SELECT label,
+        |  round(avg(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * 2.0),
+        |    CAST(0.0 AS DOUBLE), (a, x) -> a + x)), 3) AS avg_2sum,
+        |  max(size(filter(embedding, x -> x > 0))) AS max_pos
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+      """SELECT label,
+        |  round(avg(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0))), 3) AS avg_2sum,
+        |  max(len(list_filter(embedding, x -> x > 0))) AS max_pos
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin),
+
+    "q33_interval_arith" -> portableSqlEntry(
+      // INTERVAL arithmetic in predicates and projections
+      """SELECT count(*) AS n,
+        |  CAST(min(o_orderdate + INTERVAL 30 DAY) AS DATE) AS min_due,
+        |  CAST(max(o_orderdate - INTERVAL 1 DAY) AS DATE) AS max_prev
+        |FROM orders
+        |WHERE o_orderdate + INTERVAL 90 DAY < TIMESTAMP '1995-06-01'""".stripMargin),
+
+    "q34_exists_subquery" -> portableSqlEntry(
+      // correlated EXISTS / NOT EXISTS
+      """SELECT n_name,
+        |  (SELECT count(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) AS n_supp
+        |FROM nation n
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000)
+        |  AND NOT EXISTS (SELECT 1 FROM customer c2
+        |                  WHERE c2.c_nationkey = n.n_nationkey AND c2.c_acctbal < -999)
+        |ORDER BY n_name""".stripMargin),
+
     "q24_json_funcs" -> Entry((s, dir) => {
       registerAll(s, dir)
       s.sql(
