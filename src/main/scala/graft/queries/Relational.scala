@@ -286,6 +286,19 @@ object Relational {
         |                  WHERE c2.c_nationkey = n.n_nationkey AND c2.c_acctbal < -999)
         |ORDER BY n_name""".stripMargin),
 
+    "q35_unpivot" -> sqlEntry(
+      // wide→long UNPIVOT (same shape, different dialect syntax)
+      """SELECT n_name, metric, val FROM (
+        |  SELECT n_name, CAST(n_nationkey AS DOUBLE) AS k, CAST(n_regionkey AS DOUBLE) AS r
+        |  FROM nation
+        |) UNPIVOT (val FOR metric IN (k, r))
+        |ORDER BY n_name, metric""".stripMargin,
+      """SELECT n_name, metric, val FROM (
+        |  UNPIVOT (SELECT n_name, CAST(n_nationkey AS DOUBLE) AS k, CAST(n_regionkey AS DOUBLE) AS r
+        |           FROM nation)
+        |  ON k, r INTO NAME metric VALUE val
+        |) ORDER BY n_name, metric""".stripMargin),
+
     "q24_json_funcs" -> Entry((s, dir) => {
       registerAll(s, dir)
       s.sql(
