@@ -150,8 +150,12 @@ object ModelKind {
     val name = "EXTERNAL"; override def isMaterialized = false
   }
 
-  /** user-registered materialization (evaluator.py:2812 CustomMaterialization). */
-  final case class Custom(strategyName: String, properties: Map[String, String] = Map.empty)
+  /** user-registered materialization (evaluator.py:2812 CustomMaterialization;
+    * auto_restatement_cron on CustomKind per kind.py:966 — fires like the
+    * unique-key variant: all processed intervals drop, the strategy re-runs
+    * its whole window). */
+  final case class Custom(strategyName: String, properties: Map[String, String] = Map.empty,
+                          autoRestatementCron: Option[String] = None)
       extends ModelKind {
     val name = "CUSTOM"
     override def dataFields: Seq[String] = Seq(name, strategyName) ++
@@ -175,6 +179,14 @@ object ModelKind {
     override def dataFields: Seq[String] = Seq(name) ++
       properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
   }
+  /** The kinds whose auto-restatement drops ALL intervals (no
+    * interval-aligned partial variant): unique-key and custom. */
+  def fullAutoRestatementCron(k: ModelKind): Option[String] = k match {
+    case u: IncrementalByUniqueKey => u.autoRestatementCron
+    case c: Custom                 => c.autoRestatementCron
+    case _                         => None
+  }
+
   object Managed {
     private val Lag = """(?i)\s*(\d+)\s*(second|minute|hour|day)s?\s*""".r
     def lagMs(spec: String): Long = spec match {

@@ -223,7 +223,8 @@ object ModelLoader {
       case "CUSTOM" => ModelKind.Custom(
         unq(args.getOrElse("materialization",
           throw new IllegalArgumentException("CUSTOM needs materialization"))),
-        args - "materialization" map { case (k, v) => k -> unq(v) })
+        args - "materialization" - "auto_restatement_cron" map { case (k, v) => k -> unq(v) },
+        autoRestatementCron = args.get("auto_restatement_cron").map(unq))
       case other => throw new IllegalArgumentException(s"unknown kind: $other")
     }
   }

@@ -75,10 +75,11 @@ class Scheduler(
                     }
                   state.setAutoRestatement(snap.model.name, lastFire)
                 }
-              case k: ModelKind.IncrementalByUniqueKey if k.autoRestatementCron.nonEmpty =>
-                // unique-key auto-restatement = FULL restatement (drop every
-                // processed interval; the next run re-merges all history)
-                val restateUnit = IntervalUnit.fromCron(k.autoRestatementCron.get)
+              case k if ModelKind.fullAutoRestatementCron(k).nonEmpty =>
+                // unique-key/custom auto-restatement = FULL restatement (drop
+                // every processed interval; the next run recomputes history)
+                val cron = ModelKind.fullAutoRestatementCron(k).get
+                val restateUnit = IntervalUnit.fromCron(cron)
                 val lastFire = restateUnit.floor(executionTs)
                 if (state.lastAutoRestatement(snap.model.name).forall(_ < lastFire)) {
                   state.getSnapshot(snap.model.name, snap.version)

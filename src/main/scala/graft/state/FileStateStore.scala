@@ -357,6 +357,7 @@ final class FileStateStore(
         putMap(o, "options", s.options)
       case c: ModelKind.Custom =>
         o.put("strategy", c.strategyName); putMap(o, "properties", c.properties)
+        c.autoRestatementCron.foreach(o.put("auto_restatement_cron", _))
       case m: ModelKind.Managed =>
         o.put("target_lag", m.targetLag); putMap(o, "properties", m.properties)
       case ModelKind.MaterializedView => o.put("materialized", true)
@@ -406,7 +407,8 @@ final class FileStateStore(
       invalidateHardDeletes = n.path("invalidate_hard_deletes").asBoolean())
     case "SEED" => ModelKind.Seed(n.path("path").asText(), n.path("batch_size").asInt(),
       mapOf(n.path("options")))
-    case "CUSTOM" => ModelKind.Custom(n.path("strategy").asText(), mapOf(n.path("properties")))
+    case "CUSTOM" => ModelKind.Custom(n.path("strategy").asText(), mapOf(n.path("properties")),
+      Option(n.get("auto_restatement_cron")).map(_.asText()))
     case "MANAGED" => ModelKind.Managed(n.path("target_lag").asText(),
       mapOf(n.path("properties")))
     case other => throw new IllegalArgumentException(s"unknown kind in state file: $other")
