@@ -41,4 +41,37 @@ object Profiler {
       .select(col("column"), col("metric"), col("value"),
         round(col("value") / col("__rows"), 4).as("ratio"))
   }
+
+  /** Corpus card: the dataset-documentation summary ("model card for
+    * data") as one long-form relation (metric, k, v) — corpus size, token
+    * volume, mean quality, exact-dup rate, plus doc counts per requested
+    * group column. One aggregation pass for the scalars (the text-derived
+    * features are computed once, in that same codegen'd pass) and one tiny
+    * groupBy per group column — no joins, no collects, corpus-scale safe. */
+  def corpusCard(docs: DataFrame, textCol: String = "text",
+                 groupCols: Seq[String] = Nil): DataFrame = {
+    val base = docs.select(
+      (TextFunctions.tokenEstimate(col(textCol)).as("__t") +:
+        TextFunctions.qualityScore(col(textCol)).as("__q") +:
+        TextFunctions.contentKey(col(textCol)).as("__ck") +:
+        groupCols.map(col)): _*)
+    val scalars = base.agg(
+        count(lit(1)).as("n"), sum(col("__t")).as("toks"),
+        round(avg(col("__q")), 4).as("mq"), countDistinct(col("__ck")).as("nck"))
+      .select(explode(array(
+        struct(lit("n_docs").as("metric"), lit("all").as("k"),
+          col("n").cast("double").as("v")),
+        struct(lit("total_tokens").as("metric"), lit("all").as("k"),
+          col("toks").cast("double").as("v")),
+        struct(lit("mean_quality").as("metric"), lit("all").as("k"),
+          col("mq").cast("double").as("v")),
+        struct(lit("exact_dup_rate").as("metric"), lit("all").as("k"),
+          (round(lit(1.0) - col("nck").cast("double") / col("n"), 4)).cast("double").as("v")))).as("r"))
+      .select(col("r.metric"), col("r.k"), col("r.v"))
+    groupCols.foldLeft(scalars) { (acc, g) =>
+      acc.unionByName(base.groupBy(col(g)).agg(count(lit(1)).as("__n"))
+        .select(lit(s"docs_by_$g").as("metric"), col(g).cast("string").as("k"),
+          col("__n").cast("double").as("v")))
+    }
+  }
 }

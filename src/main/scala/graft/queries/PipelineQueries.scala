@@ -1102,6 +1102,33 @@ object PipelineQueries {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
         |FROM r2 ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------ corpus card (dataset summary) --------
+    "td_corpus_card" -> Entry((s, dir) => {
+      graft.functions.Profiler.corpusCard(t(s, dir, "documents"),
+          groupCols = Seq("lang", "source"))
+        .orderBy(col("metric"), col("k"))
+    }, Some(
+      """WITH f AS (
+        |  SELECT lang, source,
+        |    len(list_filter(string_split_regex(
+        |      regexp_replace(text, '([a-z])([A-Z])|([A-Za-z])([0-9])|([0-9])([A-Za-z])', '\1\3\5 \2\4\6', 'g'),
+        |      '[\s[:punct:]]+'), w -> len(w) > 0)) AS toks,
+        |    round(greatest(0.0, least(len(text) / 500.0, 1.0)
+        |      * (1.0 - len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text))
+        |      * (1.0 - len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text))), 4) AS q,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ck
+        |  FROM documents
+        |)
+        |SELECT metric, k, v FROM (
+        |  SELECT 'n_docs' AS metric, 'all' AS k, CAST(count(*) AS DOUBLE) AS v FROM f
+        |  UNION ALL SELECT 'total_tokens', 'all', CAST(sum(toks) AS DOUBLE) FROM f
+        |  UNION ALL SELECT 'mean_quality', 'all', round(avg(q), 4) FROM f
+        |  UNION ALL SELECT 'exact_dup_rate', 'all',
+        |    round(1.0 - count(DISTINCT ck) * 1.0 / count(*), 4) FROM f
+        |  UNION ALL SELECT 'docs_by_lang', lang, CAST(count(*) AS DOUBLE) FROM f GROUP BY lang
+        |  UNION ALL SELECT 'docs_by_source', source, CAST(count(*) AS DOUBLE) FROM f GROUP BY source
+        |) ORDER BY metric, k""".stripMargin)),
+
     // --------------------------------------------- text analysis ---------
     "td_text_quality" -> Entry((s, dir) => {
       val docs = t(s, dir, "documents")
