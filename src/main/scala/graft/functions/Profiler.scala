@@ -74,4 +74,28 @@ object Profiler {
           col("__n").cast("double").as("v")))
     }
   }
+
+  /** Column-level PII profile: for every string column, total matches per
+    * PII kind (email/phone/ssn/card/ip) — the "which columns leak PII"
+    * audit that decides where [[TextFunctions.scrubPii]] must run. One
+    * aggregation pass over all columns × kinds; long form
+    * (column, kind, n) keeps only non-zero cells. */
+  def piiProfile(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType ==
+      org.apache.spark.sql.types.StringType).map(_.name).toSeq
+    require(stringCols.nonEmpty, "piiProfile: no string columns")
+    val cells = for {
+      c <- stringCols
+      (kind, cnt) <- TextFunctions.piiCounts(col(c))
+    } yield sum(coalesce(cnt.cast("long"), lit(0L))).as(s"${c}__$kind")
+    val wide = df.agg(cells.head, cells.tail: _*)
+    val structs = for {
+      c <- stringCols
+      (kind, _) <- TextFunctions.piiCounts(col(c))
+    } yield struct(lit(c).as("column"), lit(kind.stripPrefix("n_")).as("kind"),
+      col(s"${c}__$kind").as("n"))
+    wide.select(explode(array(structs: _*)).as("r"))
+      .select(col("r.column"), col("r.kind"), col("r.n"))
+      .filter(col("n") > 0)
+  }
 }

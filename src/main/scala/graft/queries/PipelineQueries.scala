@@ -1102,6 +1102,37 @@ object PipelineQueries {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
         |FROM r2 ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------- column-level PII profile ----------------
+    "td_pii_profile" -> Entry((s, dir) => {
+      // weave synthetic PII into text; source column stays clean except an
+      // email planted in every 100th row — the profile must localize both
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+          lit("@ex.org from 10.0."), (col("doc_id") % 50).cast("string"),
+          lit(".7")).as("text"),
+        when(col("doc_id") % 100 === 0,
+          concat(col("source"), lit(" admin@leak.io"))).otherwise(col("source")).as("source"))
+      graft.functions.Profiler.piiProfile(docs)
+        .orderBy(col("column"), col("kind"))
+    }, Some(
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' u' || CAST(doc_id AS VARCHAR) || '@ex.org from 10.0.'
+        |      || CAST(doc_id % 50 AS VARCHAR) || '.7' AS text,
+        |    CASE WHEN doc_id % 100 = 0 THEN source || ' admin@leak.io'
+        |         ELSE source END AS source
+        |  FROM documents
+        |), cells AS (
+        |  SELECT 'text' AS col_name, 'emails' AS kind, CAST(sum(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n FROM p
+        |  UNION ALL SELECT 'text', 'ips', CAST(sum(len(regexp_extract_all(text,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) FROM p
+        |  UNION ALL SELECT 'source', 'emails', CAST(sum(len(regexp_extract_all(source,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) FROM p
+        |)
+        |SELECT col_name AS "column", kind, n FROM cells WHERE n > 0
+        |ORDER BY col_name, kind""".stripMargin)),
+
     // ------------------------------ corpus card (dataset summary) --------
     "td_corpus_card" -> Entry((s, dir) => {
       graft.functions.Profiler.corpusCard(t(s, dir, "documents"),
