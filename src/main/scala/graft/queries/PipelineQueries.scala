@@ -121,6 +121,42 @@ object PipelineQueries {
         |)
         |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // the maxDf stop-shingle cap: shingles shared by too many docs drop
+    // before the pair join (the per-key blowup bound at corpus scale);
+    // jaccard still uses FULL per-doc sizes, so scores only shrink
+    "td_jaccard_maxdf" -> Entry((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.2,
+          maxDf = Some(3))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+2], ' ')) > 0
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), keep AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 3
+        |), sh2 AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // near-dup-aware split: a cluster's members all land in one split, so
     // eval data can't leak through paraphrases of training rows
     "td_leak_safe_split" -> Entry((s, dir) => {
