@@ -630,6 +630,11 @@ class GraftContext(
     }
   }
 
+  /** Per-batch report of the LAST backfill (model, interval, wall millis) —
+    * what ran and what was slow (the reference's per-batch console
+    * progress, as data). */
+  def lastRunReport: Seq[(String, Interval, Long)] = scheduler.lastRunReport
+
   /** Compact a model's physical table (the OPTIMIZE verb): merge accreted
     * small files into ~targetFileBytes files, copy-on-write — run it on
     * append/streaming-fed models whose scan cost has become

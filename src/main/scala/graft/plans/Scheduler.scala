@@ -20,6 +20,24 @@ class Scheduler(
     state: StateStore,
     concurrency: Int = 4) {
 
+  /** One backfilled batch: (model, interval, wall millis). Reset at every
+    * [[run]]; read via [[lastRunReport]] after it returns — the
+    * observability surface for "what did this run actually do, and what
+    * was slow" (the reference prints the same per-batch progress). */
+  private val report = new java.util.concurrent.ConcurrentLinkedQueue[(String, Interval, Long)]
+
+  def lastRunReport: Seq[(String, Interval, Long)] = {
+    val b = Seq.newBuilder[(String, Interval, Long)]
+    report.forEach(e => b += e)
+    b.result()
+  }
+
+  private def timed(model: String, interval: Interval)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    f
+    report.add((model, interval, (System.nanoTime() - t0) / 1000000L)); ()
+  }
+
   /** Topological levels of the snapshot DAG (Kahn). */
   private def topoLevels(snapshots: Seq[Snapshot]): Seq[Seq[Snapshot]] = {
     val byName = snapshots.map(s => s.model.name -> s).toMap
@@ -52,6 +70,7 @@ class Scheduler(
       signals: Map[String, Interval => Boolean] = Map.empty,
       devFlags: Map[String, Boolean] = Map.empty): Unit = {
 
+    report.clear()
     val pool = Executors.newFixedThreadPool(concurrency)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
@@ -147,8 +166,10 @@ class Scheduler(
               signals.get(snap.model.name).forall(sig => sig(b)))
             if (batchConc <= 1 || ready.size <= 1) {
               ready.foreach { b =>
-                evaluator.evaluate(fresh, b, executionTs, tableMapping(snap.model.name),
-                  first, dev)
+                timed(snap.model.name, b) {
+                  evaluator.evaluate(fresh, b, executionTs, tableMapping(snap.model.name),
+                    first, dev)
+                }
                 state.addInterval(snap.model.name, snap.version, b, dev)
                 first = false
               }
@@ -158,8 +179,10 @@ class Scheduler(
               // dirs (phase 1) and publish serially (phase 2): concurrent
               // writers never share a destination path
               val (head, rest) = (ready.head, ready.tail)
-              evaluator.evaluate(fresh, head, executionTs, tableMapping(snap.model.name),
-                first, dev)
+              timed(snap.model.name, head) {
+                evaluator.evaluate(fresh, head, executionTs, tableMapping(snap.model.name),
+                  first, dev)
+              }
               state.addInterval(snap.model.name, snap.version, head, dev)
               val pool2 = Executors.newFixedThreadPool(batchConc)
               try {
@@ -170,8 +193,10 @@ class Scheduler(
                         tableMapping(snap.model.name), dev)
                   }))
                 staged.foreach { case (b, f) =>
-                  evaluator.ingestStaged(fresh, b, executionTs,
-                    tableMapping(snap.model.name), f.get(), dev)
+                  timed(snap.model.name, b) {
+                    evaluator.ingestStaged(fresh, b, executionTs,
+                      tableMapping(snap.model.name), f.get(), dev)
+                  }
                   state.addInterval(snap.model.name, snap.version, b, dev)
                 }
               } finally pool2.shutdown()

@@ -984,6 +984,26 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(spark.table("mart.props_demo").count() > 0)
   }
 
+  test("lastRunReport records each backfilled batch with its duration") {
+    val ctx = newCtx()
+    ctx.addModel(Model("mart.report_demo",
+      SqlBody(
+        """SELECT o_orderdate, count(*) AS n FROM raw.orders
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate",
+        batchSize = Some(3)),
+      start = Some(dayMs("1995-01-01"))))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-10")))
+    val rep = ctx.lastRunReport
+    // 9 days in batches of 3 → 3 recorded batches, durations populated
+    assert(rep.count(_._1 == "mart.report_demo") == 3)
+    assert(rep.forall(_._3 >= 0))
+    assert(rep.map(r => (r._2.start, r._2.end)).toSet == Set(
+      (dayMs("1995-01-01"), dayMs("1995-01-04")),
+      (dayMs("1995-01-04"), dayMs("1995-01-07")),
+      (dayMs("1995-01-07"), dayMs("1995-01-10"))))
+  }
+
   test("ad-hoc audit verb runs attached audits without backfilling") {
     val ctx = newCtx()
     val base = Model("mart.audit_target",
