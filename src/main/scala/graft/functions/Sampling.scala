@@ -108,24 +108,30 @@ object Sampling {
     * per-row hash draw). THE curation step that hits a training-mix spec
     * ("300B tokens web, 50B code, …") from unevenly-sized sources. One tiny
     * per-group aggregation broadcast back; the corpus itself is filtered in
-    * a single codegen'd pass. Groups without a budget drop entirely. Rates
-    * round to 9 dp before thresholding (same cross-engine guard as
-    * [[temperatureBalance]]). `tokens` is the per-row token-count column. */
+    * a single codegen'd pass. Groups without a budget drop entirely.
+    *
+    * The keep test is PURE INTEGER cross-multiplication — `hash%B < rate·B`
+    * with `rate = budget/toks` is exactly `(hash%B)·toks < budget·B` — so no
+    * float division/floor can land on a representability edge and flip a
+    * bucket between engines (decimal(38,0) products: no overflow even at
+    * 100 TB token totals). The rate=1 cap is implicit: budget ≥ toks ⇒
+    * `(hash%B)·toks < B·toks ≤ budget·B` for every row. `tokens` is the
+    * per-row token-count column. */
   def tokenBudgetMix(df: DataFrame, keyCol: String, groupCol: String,
                      tokens: Column, budgets: Map[String, Long],
                      salt: String = ""): DataFrame = {
     val buckets = 10000
-    val totals = df.groupBy(col(groupCol)).agg(sum(tokens).as("__toks"))
     val budget = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
       when(col(groupCol) === g, lit(b)).otherwise(acc)
     }
-    val withRate = totals.withColumn("__rate",
-        least(lit(1.0), budget.cast("double") / col("__toks")))
-      .select(col(groupCol), col("__rate"))
-    df.join(broadcast(withRate), Seq(groupCol))
-      .filter(hashBucket(col(keyCol), buckets, salt) <
-        floor(round(col("__rate"), 9) * buckets).cast("long"))
-      .drop("__rate")
+    val totals = df.groupBy(col(groupCol)).agg(sum(tokens).as("__toks"))
+      .withColumn("__budget", budget)
+      .select(col(groupCol), col("__toks"), col("__budget"))
+    val dec = "decimal(38,0)"
+    df.join(broadcast(totals), Seq(groupCol))
+      .filter(hashBucket(col(keyCol), buckets, salt).cast(dec) * col("__toks").cast(dec) <
+        col("__budget").cast(dec) * lit(buckets.toLong).cast(dec))
+      .drop("__toks", "__budget")
   }
 
   /** Leakage-safe train/val/test split: near-duplicate documents must land
