@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Negated ASCII-punctuation class, ENUMERATED as code-point ranges
+    * (0x21-0x2F, 0x3A-0x40, 0x5B-0x60, 0x7B-0x7E) instead of `\p{Punct}` /
+    * `[:punct:]`: the POSIX class name is engine- and version-sensitive
+    * (some regex engines widen it to Unicode punctuation), while explicit
+    * ranges mean the same 32 characters in every engine — the DuckDB
+    * correctness oracles enumerate the identical ranges. */
+  private val PunctComplement = "[^!-/:-@\\[-`{-~]"
+
   /** Per-language stopword markers for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny: the point is a cheap scan-time signal. */
   val stopwords: Map[String, Seq[String]] = Map(
@@ -52,7 +60,7 @@ object TextFunctions {
     Seq(
       "n_chars" -> length(text),
       "n_words" -> wordCount(text),
-      "punct_ratio" -> round(length(regexp_replace(text, "[^\\p{Punct}]", "")) / len, 4),
+      "punct_ratio" -> round(length(regexp_replace(text, PunctComplement, "")) / len, 4),
       "digit_ratio" -> round(length(regexp_replace(text, "[^0-9]", "")) / len, 4),
       "upper_ratio" -> round(length(regexp_replace(text, "[^A-Z]", "")) / len, 4),
       "mean_word_len" -> round(len / greatest(wordCount(text).cast("double"), lit(1.0)), 4),
@@ -63,7 +71,7 @@ object TextFunctions {
     * blend: long-enough, low-punct, low-digit text scores high). */
   def qualityScore(text: Column): Column = {
     val len = length(text).cast("double")
-    val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")) / len
+    val punct = length(regexp_replace(text, PunctComplement, "")) / len
     val digit = length(regexp_replace(text, "[^0-9]", "")) / len
     val lenScore = least(len / lit(500.0), lit(1.0))
     round(greatest(lit(0.0), lenScore * (lit(1.0) - punct) * (lit(1.0) - digit)), 4)
@@ -92,7 +100,7 @@ object TextFunctions {
   def tokenEstimate(text: Column): Column =
     size(filter(split(
       regexp_replace(text, "([a-z])([A-Z])|([A-Za-z])([0-9])|([0-9])([A-Za-z])", "$1$3$5 $2$4$6"),
-      "[\\s\\p{Punct}]+"), t => length(t) > 0))
+      "[\\s!-/:-@\\[-`{-~]+"), t => length(t) > 0))
 
   /** Overlapping word-window chunking (the RAG / context-window prep op):
     * each document yields chunks of `chunkWords` words starting every

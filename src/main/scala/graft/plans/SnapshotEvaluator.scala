@@ -210,20 +210,23 @@ class SnapshotEvaluator(
       tableMapping: Map[String, String],
       isFirstInsert: Boolean,
       dev: Boolean = false): Unit = {
-    // session_properties (meta.py:109): per-model Spark confs set for this
-    // evaluation only — e.g. a fat model's own shuffle partitioning — and
-    // restored afterwards so models never leak config into each other
+    // session_properties (meta.py:109): per-model Spark confs for this
+    // evaluation only — e.g. a fat model's own shuffle partitioning. The
+    // model runs on a CLONED session (conf/temp views/functions copied,
+    // SparkContext + external catalog shared) so concurrently-scheduled
+    // models never observe each other's confs and the parent session's conf
+    // is never touched — a set/restore on the shared session would race with
+    // the Scheduler's intra-level parallelism (another model could render
+    // under this model's `spark.sql.session.timeZone` and produce wrong
+    // RESULTS, and interleaved restores could clobber a conf permanently).
     if (s.model.sessionProperties.isEmpty)
       evaluateInner(s, interval, executionTs, tableMapping, isFirstInsert, dev)
     else {
-      val saved = s.model.sessionProperties.keys.map(k =>
-        k -> spark.conf.getOption(k)).toMap
-      s.model.sessionProperties.foreach { case (k, v) => spark.conf.set(k, v) }
-      try evaluateInner(s, interval, executionTs, tableMapping, isFirstInsert, dev)
-      finally saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None)    => spark.conf.unset(k)
-      }
+      val cloned = org.apache.spark.sql.graft.SessionClone.clone(spark)
+      s.model.sessionProperties.foreach { case (k, v) => cloned.conf.set(k, v) }
+      val isolated = new SnapshotEvaluator(new SparkMaterializer(cloned),
+        workspace, customStrategies, variablesFn, macros)
+      isolated.evaluateInner(s, interval, executionTs, tableMapping, isFirstInsert, dev)
     }
   }
 

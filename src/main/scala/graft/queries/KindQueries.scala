@@ -285,19 +285,24 @@ object KindQueries {
       c.apply(c.plan("prod", 0L, D))
       s.table("mart.curated_docs").orderBy("keep_id")
     }, Some(
+      // punct class enumerated (matches TextFunctions.PunctComplement) and
+      // the quality gate expressed as floor(q*10000 + 0.5) >= 3000 — the
+      // half-up rounding Spark's round(q, 4) >= 0.3 performs, without
+      // depending on the oracle engine's round(DOUBLE) implementation
       """WITH q AS (
         |  SELECT doc_id, text,
-        |    round(greatest(0.0, least(len(text) / 500.0, 1.0)
-        |      * (1.0 - len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text))
-        |      * (1.0 - len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text))), 4) AS qs,
+        |    greatest(0.0, least(len(text) / 500.0, 1.0)
+        |      * (1.0 - len(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 / len(text))
+        |      * (1.0 - len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text))) AS q,
         |    len(list_filter(string_split_regex(
         |      regexp_replace(text, '([a-z])([A-Z])|([A-Za-z])([0-9])|([0-9])([A-Za-z])', '\1\3\5 \2\4\6', 'g'),
-        |      '[\s[:punct:]]+'), w -> len(w) > 0) ) AS toks,
+        |      '[\s!-/:-@\[-`{-~]+'), w -> len(w) > 0) ) AS toks,
         |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
         |  FROM documents
         |)
-        |SELECT k, min(doc_id) AS keep_id, count(*) AS n_dups, sum(toks) AS toks
-        |FROM q WHERE qs >= 0.3
+        |SELECT k, min(doc_id) AS keep_id, count(*) AS n_dups,
+        |  CAST(sum(toks) AS BIGINT) AS toks
+        |FROM q WHERE floor(q * 10000 + 0.5) >= 3000
         |GROUP BY k ORDER BY keep_id""".stripMargin)),
 
     // ---------------- VIEW (materialized true): physical refresh ----------

@@ -709,17 +709,18 @@ object PipelineQueries {
           min(col("doc_id")).as("first_id"))
         .orderBy(col("source"))
     }, Some(
-      """WITH t AS (SELECT source, sum(n_chars) AS toks FROM documents GROUP BY source),
-        |r AS (
-        |  SELECT source, least(1.0, CASE source
+      // same PURE INTEGER cross-multiplication as Sampling.tokenBudgetMix:
+      // (hash % 10000) * toks < budget * 10000 — no float division/floor, so
+      // both engines evaluate the identical predicate (HUGEINT: no overflow)
+      """WITH t AS (SELECT source, sum(n_chars) AS toks FROM documents GROUP BY source)
+        |SELECT d.source, count(*) AS kept, CAST(sum(d.n_chars) AS BIGINT) AS chars,
+        |  min(d.doc_id) AS first_id
+        |FROM documents d JOIN t ON d.source = t.source
+        |WHERE CAST(CAST('0x' || substring(md5('tbm' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 10000 AS HUGEINT) * t.toks
+        |  < CAST(CASE d.source
         |      WHEN 'src0' THEN 4000 WHEN 'src1' THEN 20000
-        |      WHEN 'src2' THEN 2000 WHEN 'src3' THEN 6000 ELSE 0 END * 1.0 / toks) AS rate
-        |  FROM t
-        |)
-        |SELECT d.source, count(*) AS kept, sum(d.n_chars) AS chars, min(d.doc_id) AS first_id
-        |FROM documents d JOIN r ON d.source = r.source
-        |WHERE CAST('0x' || substring(md5('tbm' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-        |  % 10000 < CAST(floor(round(rate, 9) * 10000) AS BIGINT)
+        |      WHEN 'src2' THEN 2000 WHEN 'src3' THEN 6000 ELSE 0 END AS HUGEINT) * 10000
         |GROUP BY d.source ORDER BY d.source""".stripMargin)),
 
     // ------- linear quality-classifier inference (sigmoid(w·x + b)) ------
@@ -1179,9 +1180,9 @@ object PipelineQueries {
         |  SELECT lang, source,
         |    len(list_filter(string_split_regex(
         |      regexp_replace(text, '([a-z])([A-Z])|([A-Za-z])([0-9])|([0-9])([A-Za-z])', '\1\3\5 \2\4\6', 'g'),
-        |      '[\s[:punct:]]+'), w -> len(w) > 0)) AS toks,
+        |      '[\s!-/:-@\[-`{-~]+'), w -> len(w) > 0)) AS toks,
         |    round(greatest(0.0, least(len(text) / 500.0, 1.0)
-        |      * (1.0 - len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text))
+        |      * (1.0 - len(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 / len(text))
         |      * (1.0 - len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text))), 4) AS q,
         |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ck
         |  FROM documents
@@ -1215,9 +1216,9 @@ object PipelineQueries {
         |    len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS n_words,
         |    len(list_filter(string_split_regex(
         |      regexp_replace(text, '([a-z])([A-Z])|([A-Za-z])([0-9])|([0-9])([A-Za-z])', '\1\3\5 \2\4\6', 'g'),
-        |      '[\s[:punct:]]+'), w -> len(w) > 0)) AS n_tokens,
+        |      '[\s!-/:-@\[-`{-~]+'), w -> len(w) > 0)) AS n_tokens,
         |    greatest(0.0, least(len(text) / 500.0, 1.0)
-        |      * (1.0 - len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text))
+        |      * (1.0 - len(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 / len(text))
         |      * (1.0 - len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text))) AS q
         |  FROM documents
         |)
