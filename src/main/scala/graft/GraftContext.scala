@@ -666,7 +666,16 @@ class GraftContext(
           Map("condition" -> s"${k.timeColumn} >= TIMESTAMP '$lo' AND ${k.timeColumn} < TIMESTAMP '$hi'")
         case _ => Map.empty[String, String]
       }
-      rawName -> graft.audits.Audits.run(spark, name, table, args ++ timeCond).count()
+      // audit args may reference OTHER models (relationships `to:`) — resolve
+      // them against the SAME environment being audited, like the evaluator's
+      // resolvedArgs: a dev-env audit must check the dev parent, not prod's
+      // (checking a dev child against the prod parent reports phantom
+      // violations for any row the dev plan legitimately changed)
+      val mapping = models.keys.map(n => n -> envTable(n, env)).toMap
+      val resolvedArgs = (args ++ timeCond).map { case (k, v) =>
+        k -> Renderer.resolveTables(v, mapping)
+      }
+      rawName -> graft.audits.Audits.run(spark, name, table, resolvedArgs).count()
     }.toMap
   }
 

@@ -100,13 +100,30 @@ final case class Model(
   /** Upstream model/table references: declared, plus extracted from SQL bodies.
     * Extraction mirrors `d.find_tables` (renderer.py:607) at the level we need:
     * FROM/JOIN identifiers that look like qualified names. */
-  def references: Set[String] = body match {
-    case SqlBody(sql) => dependsOn ++ Model.extractTables(sql)
-    case _            => dependsOn
+  def references: Set[String] = {
+    val fromBody = body match {
+      case SqlBody(sql) => dependsOn ++ Model.extractTables(sql)
+      case _            => dependsOn
+    }
+    // audit args can reference OTHER relations (dbt `relationships` `to:`) —
+    // those are real dependencies: they must resolve through the same table
+    // mapping as the body, and the referenced model must be materialized
+    // BEFORE this model's post-insert audit runs (DAG ordering). Only bare
+    // qualified names count; expression args ("x >= 1") never match.
+    fromBody ++ auditTableRefs
   }
+
+  private def auditTableRefs: Set[String] =
+    audits.flatMap(_._2.values).collect {
+      case v if Model.qualifiedName.matches(v) => v
+    }.toSet
 }
 
 object Model {
+  /** A bare dot-qualified relation name (schema.table[...]) — what an audit
+    * arg must look like to be treated as a model/table dependency. */
+  private[core] val qualifiedName = """[a-zA-Z_]\w*(?:\.[a-zA-Z_]\w*)+""".r
+
   private val tableRef =
     """(?is)\b(?:from|join)\s+([a-zA-Z_][\w]*(?:\.[a-zA-Z_][\w]*)*)""".r
 

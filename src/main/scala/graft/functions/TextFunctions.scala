@@ -137,21 +137,26 @@ object TextFunctions {
   /** Unigram language-model quality score: mean log10 corpus probability of
     * a document's tokens (add-one smoothed). The cheap statistical
     * perplexity proxy used for quality filtering — far-from-corpus documents
-    * (wrong language, boilerplate, noise) score low. Two aggregations: token
-    * counts over the corpus, then a token→frequency join back; shuffle ∝
-    * token postings. */
+    * (wrong language, boilerplate, noise) score low.
+    *
+    * SINGLE Spark job, zero driver-side actions: the smoothing constants
+    * (corpus token total = Σtf, vocabulary size = |vocab|) are derived from
+    * the vocab aggregate itself — a one-row DataFrame broadcast-cross-joined
+    * into the scoring pass — instead of separate `count()` actions that
+    * would each re-scan the corpus. Shuffle ∝ token postings. */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol),
         explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => length(w) > 0))
           .as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val total = toks.count().toDouble
-    val vSize = vocab.count().toDouble
+    val stats = vocab.agg(
+      (sum(col("tf")) + count(lit(1))).cast("double").as("__denom"))
     toks.join(vocab, "tok")
+      .join(broadcast(stats))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log10((col("tf") + 1) / lit(total + vSize))), 4).as("mean_logp"))
+        round(avg(log10((col("tf") + 1) / col("__denom"))), 4).as("mean_logp"))
   }
 
   /** Word/n-gram repetition signals (the Gopher-rules repetition family:
