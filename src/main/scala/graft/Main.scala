@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{Interval, IntervalUnit}
+
+/** Command-line entry point — the reference's `sqlmesh` CLI verb surface
+  * (reference sqlmesh/cli/main.py: plan :392, run :573, render :680,
+  * evaluate :848, audit :783, lint, table_diff :966, janitor) over
+  * [[GraftContext]]. State is durable under `<workspace>/state`, so
+  * successive invocations (plan, then run, then audit) resume the same
+  * project exactly like the reference CLI does.
+  *
+  * Usage:
+  * {{{
+  * graft.Main <verb> [target...] [flags]
+  *   plan [env]            build + print the diff (apply with --auto-apply)
+  *   run [env]             backfill missing intervals in [--start, --end)
+  *   evaluate <model>      render + execute, print rows (no materialization)
+  *   render <model>        print the rendered SQL
+  *   audit <model>         run the model's audits, print violation counts
+  *   lint                  print linter violations (exit 2 if blocking)
+  *   table-diff <model> <srcEnv:tgtEnv>   row/schema diff between envs
+  *   check-intervals [env] per-model missing intervals in the window
+  *   environments          list environments
+  *   info                  project summary
+  *   dag                   model DAG as graphviz DOT
+  *   janitor               expire dev environments past their TTL
+  *   destroy               drop everything the project created
+  * Flags:
+  *   --project DIR     load `*.sql` models from DIR (repeatable)
+  *   --workspace DIR   physical/state root (default <project>/.graft)
+  *   --external NAME=PATH  register an external table (repeatable)
+  *   --var K=V         project variable (repeatable)
+  *   --start/--end     ISO date (yyyy-MM-dd) or epoch millis; end default now
+  *   --select EXPR     model selector (repeatable; plan only)
+  *   --auto-apply --forward-only --skip-backfill --no-gaps
+  *   --effective-from DATE   (with --forward-only)
+  *   --restate MODEL=START:END   restatement window (repeatable; plan only)
+  *   --keys A,B        grain override (table-diff)
+  *   --concurrency N   scheduler parallelism (default 4)
+  * }}}
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = try run(args.toIndexedSeq, spark, Console.out)
+    finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Testable core: parses args, drives the context, writes to `out`,
+    * returns the process exit code (0 ok, 1 usage/error, 2 failed gate). */
+  def run(args: Seq[String], spark: SparkSession, out: java.io.PrintStream): Int = {
+    if (args.isEmpty) { out.println(usage); return 1 }
+    val (flags, positional) = parse(args.tail)
+    val verb = args.head
+
+    def flag(name: String): Option[String] = flags.get(name).map(_.last)
+    def flagAll(name: String): Seq[String] = flags.getOrElse(name, Nil)
+    def has(name: String): Boolean = flags.contains(name)
+
+    try {
+      val projects = flagAll("project")
+      val workspace = flag("workspace")
+        .orElse(projects.headOption.map(p => s"$p/.graft"))
+        .getOrElse(sys.props("user.dir") + "/.graft")
+      val ctx = new GraftContext(spark, workspace,
+        concurrency = flag("concurrency").map(_.toInt).getOrElse(4),
+        variables = flagAll("var").map(kv => splitOnce(kv, '=', "--var")).toMap,
+        durableState = true)
+      projects.foreach(ctx.loadModels)
+      flagAll("external").foreach { kv =>
+        val (n, p) = splitOnce(kv, '=', "--external"); ctx.addExternal(n, p)
+      }
+
+      val now = System.currentTimeMillis()
+      val start = flag("start").map(parseTs).getOrElse(0L)
+      val end = flag("end").map(parseTs).getOrElse(IntervalUnit.Day.floor(now))
+
+      verb match {
+        case "plan" =>
+          val env = positional.headOption.getOrElse("prod")
+          val p = ctx.plan(env, start, end,
+            restate = flagAll("restate").map(parseRestate).toMap,
+            forwardOnly = has("forward-only"),
+            skipBackfill = has("skip-backfill"),
+            select = flagAll("select"),
+            effectiveFrom = flag("effective-from").map(parseTs),
+            noGaps = has("no-gaps"))
+          out.println(p.describe)
+          if (p.hasChanges && has("auto-apply")) {
+            ctx.apply(p)
+            out.println(s"applied → ${p.snapshots.size} snapshots promoted in '$env'")
+          } else if (p.hasChanges) {
+            out.println("(dry run — pass --auto-apply to apply)")
+          }
+          0
+        case "run" =>
+          val env = positional.headOption.getOrElse("prod")
+          ctx.run(env, start, end)
+          val report = ctx.lastRunReport
+          report.foreach { case (m, iv, ms) =>
+            out.println(f"  $m  [${fmtTs(iv.start)} … ${fmtTs(iv.end)})  $ms%d ms")
+          }
+          out.println(s"run '$env' complete: ${report.size} batches")
+          0
+        case "evaluate" =>
+          val model = positionalRequired(positional, "evaluate <model>")
+          printDf(out, ctx.evaluate(model, start, end))
+          0
+        case "render" =>
+          val model = positionalRequired(positional, "render <model>")
+          out.println(ctx.renderSql(model, start, end))
+          0
+        case "audit" =>
+          val model = positionalRequired(positional, "audit <model>")
+          val env = positional.drop(1).headOption.getOrElse("prod")
+          val results = ctx.audit(model, env, start,
+            if (has("end")) end else Long.MaxValue)
+          results.toSeq.sortBy(_._1).foreach { case (name, n) =>
+            out.println(s"  ${if (n == 0) "PASS" else "FAIL"}  $name  ($n violations)")
+          }
+          if (results.valuesIterator.exists(_ > 0)) 2 else 0
+        case "lint" =>
+          val vs = ctx.lint()
+          vs.foreach(v => out.println(
+            s"  ${if (v.blocking) "ERROR" else "WARN "} [${v.rule}] ${v.model}: ${v.message}"))
+          out.println(s"${vs.size} violations (${vs.count(_.blocking)} blocking)")
+          if (vs.exists(_.blocking)) 2 else 0
+        case "table-diff" =>
+          val model = positionalRequired(positional, "table-diff <model> <src:tgt>")
+          val envs = positional.drop(1).headOption.getOrElse(
+            throw new IllegalArgumentException("table-diff <model> <srcEnv:tgtEnv>"))
+          val (src, tgt) = splitOnce(envs, ':', "source:target envs")
+          printDf(out, ctx.tableDiff(model, src, tgt,
+            flag("keys").map(_.split(',').toSeq).getOrElse(Nil)))
+          0
+        case "check-intervals" =>
+          val env = positional.headOption.getOrElse("prod")
+          ctx.checkIntervals(env, start, end).toSeq.sortBy(_._1).foreach {
+            case (m, gaps) =>
+              val s = if (gaps.isEmpty) "complete"
+                else gaps.map(iv => s"[${fmtTs(iv.start)} … ${fmtTs(iv.end)})").mkString(", ")
+              out.println(s"  $m: $s")
+          }
+          0
+        case "environments" =>
+          ctx.environments.foreach(e => out.println(
+            s"  ${e.name}  (${e.snapshots.size} models" +
+              e.expirationTs.map(t => s", expires ${fmtTs(t)}").getOrElse("") + ")"))
+          0
+        case "info"    => out.println(ctx.info); 0
+        case "dag"     => out.println(ctx.dagDot); 0
+        case "janitor" => ctx.janitor(); out.println("janitor complete"); 0
+        case "destroy" => ctx.destroy(); out.println("project destroyed"); 0
+        case other =>
+          out.println(s"unknown verb '$other'\n$usage"); 1
+      }
+    } catch {
+      case e: IllegalArgumentException => out.println(s"error: ${e.getMessage}"); 1
+      case e: IllegalStateException    => out.println(s"error: ${e.getMessage}"); 2
+    }
+  }
+
+  // ---------------------------------------------------------- helpers ----
+
+  private def parse(args: Seq[String]): (Map[String, Seq[String]], Seq[String]) = {
+    val flags = scala.collection.mutable.Map[String, Vector[String]]()
+    val positional = Vector.newBuilder[String]
+    val boolFlags = Set("auto-apply", "forward-only", "skip-backfill", "no-gaps")
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val name = a.drop(2)
+        if (boolFlags(name)) { flags(name) = flags.getOrElse(name, Vector()) :+ "true" }
+        else {
+          if (i + 1 >= args.length)
+            throw new IllegalArgumentException(s"--$name requires a value")
+          flags(name) = flags.getOrElse(name, Vector()) :+ args(i + 1)
+          i += 1
+        }
+      } else positional += a
+      i += 1
+    }
+    (flags.toMap, positional.result())
+  }
+
+  private def positionalRequired(positional: Seq[String], what: String): String =
+    positional.headOption.getOrElse(
+      throw new IllegalArgumentException(s"usage: $what"))
+
+  private def splitOnce(s: String, sep: Char, what: String): (String, String) =
+    s.indexOf(sep) match {
+      case -1 => throw new IllegalArgumentException(s"$what expects KEY${sep}VALUE, got '$s'")
+      case i  => (s.take(i), s.drop(i + 1))
+    }
+
+  /** ISO date (UTC midnight) or raw epoch millis. */
+  private[graft] def parseTs(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else java.time.LocalDate.parse(s).toEpochDay * 86400000L
+
+  private def parseRestate(s: String): (String, Interval) = {
+    val (model, window) = splitOnce(s, '=', "--restate")
+    val (a, b) = splitOnce(window, ':', "--restate window")
+    model -> Interval(parseTs(a), parseTs(b))
+  }
+
+  private def fmtTs(ms: Long): String =
+    java.time.Instant.ofEpochMilli(ms).toString.stripSuffix("Z").stripSuffix("T00:00:00")
+
+  /** Bounded tabular print — never pulls more than `max` rows to the driver. */
+  private def printDf(out: java.io.PrintStream, df: DataFrame, max: Int = 50): Unit = {
+    val rows = df.limit(max + 1).collect()
+    val cols = df.columns
+    val cells = rows.take(max).map(r => cols.indices.map(i => String.valueOf(r.get(i))))
+    val widths = cols.indices.map(i =>
+      (cols(i).length +: cells.map(_(i).length)).max)
+    def line(vals: Seq[String]) =
+      out.println(vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("  "))
+    line(cols.toSeq)
+    line(widths.map("-" * _))
+    cells.foreach(line)
+    if (rows.length > max) out.println(s"… (truncated at $max rows)")
+  }
+
+  private val usage: String =
+    """usage: graft <verb> [target...] [flags]
+      |verbs: plan run evaluate render audit lint table-diff check-intervals
+      |       environments info dag janitor destroy
+      |run `graft <verb>` with --project DIR --start/--end dates; see Scaladoc.""".stripMargin
+}

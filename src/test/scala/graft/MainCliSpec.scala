@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI end-to-end over a file project (reference `sqlmesh plan/run/...`,
+  * cli/main.py): each verb is a SEPARATE Main.run invocation building a
+  * fresh context over the same durable workspace — exactly how a user
+  * drives the CLI — so this also pins that plan state, intervals, and
+  * environments persist across processes. */
+class MainCliSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cli(args: String*): (Int, String) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val code = Main.run(args.toIndexedSeq, spark, new java.io.PrintStream(buf, true))
+    (code, buf.toString)
+  }
+
+  test("plan / run / audit / render / lint / info drive a file project end-to-end") {
+    val proj = SparkTestSession.tmpDir("cli-proj")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
+      """MODEL (
+        |  name cli.daily,
+        |  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate, batch_size 14),
+        |  cron '@daily',
+        |  start '1995-01-01',
+        |  audits (not_null(columns = (o_orderdate)))
+        |);
+        |SELECT o_orderdate, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+        |GROUP BY o_orderdate
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "report.sql"),
+      """MODEL (name cli.report, kind VIEW);
+        |SELECT count(*) AS days, round(sum(rev), 2) AS total FROM cli.daily
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+
+    // dry-run plan prints the diff and applies nothing
+    val (c0, dry) = cli(Seq("plan", "prod", "--start", "1995-01-01",
+      "--end", "1995-01-15") ++ base: _*)
+    assert(c0 == 0 && dry.contains("+ cli.daily") && dry.contains("dry run"))
+    assert(!spark.catalog.tableExists("cli.daily"))
+
+    // plan --auto-apply materializes and promotes
+    val (c1, applied) = cli(Seq("plan", "prod", "--start", "1995-01-01",
+      "--end", "1995-01-15", "--auto-apply") ++ base: _*)
+    assert(c1 == 0 && applied.contains("applied"))
+    val afterPlan = spark.table("cli.daily").count()
+    assert(afterPlan > 0)
+    assert(spark.table("cli.report").select("days").head.getLong(0) == afterPlan)
+
+    // a fresh invocation sees the planned env (durable state) and extends it
+    val (c2, ran) = cli(Seq("run", "prod", "--start", "1995-01-01",
+      "--end", "1995-01-25") ++ base: _*)
+    assert(c2 == 0 && ran.contains("run 'prod' complete"))
+    assert(spark.table("cli.daily").count() > afterPlan)
+
+    // check-intervals reports the window complete after the run
+    val (c3, gaps) = cli(Seq("check-intervals", "prod", "--start", "1995-01-01",
+      "--end", "1995-01-25") ++ base: _*)
+    assert(c3 == 0 && gaps.contains("cli.daily: complete"))
+
+    val (c4, audited) = cli(Seq("audit", "cli.daily") ++ base: _*)
+    assert(c4 == 0 && audited.contains("PASS") && audited.contains("not_null"))
+
+    val (c5, rendered) = cli(Seq("render", "cli.daily", "--start", "1995-01-01",
+      "--end", "1995-01-02") ++ base: _*)
+    assert(c5 == 0 && rendered.toLowerCase.contains("group by"))
+    assert(rendered.contains("1995-01-01")) // time macros resolved
+
+    val (c6, linted) = cli(Seq("lint") ++ base: _*)
+    assert(c6 == 0 && linted.contains("0 blocking"))
+
+    val (c7, infod) = cli(Seq("info") ++ base: _*)
+    assert(c7 == 0 && infod.contains("models: 2"))
+
+    val (c8, envs) = cli(Seq("environments") ++ base: _*)
+    assert(c8 == 0 && envs.contains("prod"))
+
+    // evaluate executes without materializing and prints rows
+    val (c9, evaled) = cli(Seq("evaluate", "cli.daily", "--start", "1995-01-01",
+      "--end", "1995-01-05") ++ base: _*)
+    assert(c9 == 0 && evaled.contains("o_orderdate"))
+
+    // unknown verbs and missing targets fail cleanly
+    assert(cli(Seq("frobnicate") ++ base: _*)._1 == 1)
+    assert(cli(Seq("render") ++ base: _*)._1 == 1)
+  }
+
+  test("lint exits 2 on a blocking violation") {
+    val proj = SparkTestSession.tmpDir("cli-lint")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "bad.sql"),
+      """MODEL (name cli2.bad, kind FULL);
+        |SELECT x FROM not.registered
+        |""".stripMargin)
+    val (code, txt) = cli("lint", "--project", proj)
+    assert(code == 2 && txt.contains("nomissingexternalmodels"))
+  }
+}
