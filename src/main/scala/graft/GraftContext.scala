@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core._
 import graft.adapter.{PhysicalTable, SparkMaterializer}
@@ -180,12 +181,16 @@ class GraftContext(
   }
 
   /** Lint the project (reference `sqlmesh lint`): the model-local rules
-    * plus two context-aware ones — `nomissingexternalmodels`
-    * (builtin.py:147: every reference must be a model or a registered
-    * external) and `ambiguousorinvalidcolumn` (builtin.py:98: the rendered
-    * query must pass the ANALYZER — Spark is the name resolver here, so
-    * ambiguity/typo detection is exactly Catalyst's). Throws on blocking
-    * violations when `enforce` is set. */
+    * plus the context-aware ones from linter/rules/builtin.py —
+    * `nomissingexternalmodels` (:147 every reference must be a model or a
+    * registered external), `invalidselectstarexpansion` (:83 a star over an
+    * unresolvable reference can never be expanded),
+    * `ambiguousorinvalidcolumn` (:98 the rendered query must pass the
+    * ANALYZER — Spark is the name resolver here, so ambiguity/typo
+    * detection is exactly Catalyst's), `noambiguousprojections` (:292
+    * outer projections need unique, explicitly-aliasable names), and
+    * `nomissingunittest` (:132 every model should be covered by a loaded
+    * YAML unit test). Throws on blocking violations when `enforce` is set. */
   def lint(extraRules: Seq[graft.linter.Linter.Rule] = Nil,
            enforce: Boolean = false): Seq[graft.linter.Linter.Violation] = {
     import graft.linter.Linter
@@ -196,27 +201,98 @@ class GraftContext(
         .map(r => Linter.Violation("nomissingexternalmodels", m.name,
           s"reference '$r' is neither a model nor a registered external", blocking = true))
     }
-    val analysis = models.values.flatMap { m =>
+    // star-specific cousin of the above (builtin.py:83): a `SELECT *` whose
+    // upstream has no obtainable schema is not just an unregistered
+    // dependency — the projection itself can never be expanded, so schema
+    // inference and change categorization are impossible
+    val starRe = """(?is)select\s+(?:\w+\.)?\*""".r
+    val starExpansion = models.values.flatMap { m =>
       m.body match {
-        case SqlBody(_) if m.kind != ModelKind.External && m.kind != ModelKind.Embedded =>
-          try { spark.sql(renderSql(m.name, 0L, 86400000L, 0L)); None }
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if Option(e.getCondition).exists(c =>
-                  c.startsWith("AMBIGUOUS") || c.startsWith("UNRESOLVED_COLUMN")) =>
-              Some(Linter.Violation("ambiguousorinvalidcolumn", m.name,
-                e.getMessage.linesIterator.next(), blocking = true))
-            case _: Exception => None // missing physical tables etc. — not a lint
-          }
+        case SqlBody(sql) if starRe.findFirstIn(sql).nonEmpty =>
+          val unresolved = m.references.toSeq.sorted
+            .filterNot(r => models.contains(r) || externals.contains(r))
+          if (unresolved.nonEmpty)
+            Some(Linter.Violation("invalidselectstarexpansion", m.name,
+              s"SELECT * cannot be expanded: missing schema(s) for ${unresolved.mkString(", ")}" +
+                " — register them (addExternal / create_external_models)", blocking = true))
+          else None
         case _ => None
       }
     }
-    val all = base ++ missingExt ++ analysis
+    val analysis = models.values.flatMap { m =>
+      m.body match {
+        case SqlBody(_) if m.kind != ModelKind.External && m.kind != ModelKind.Embedded =>
+          try {
+            val out = spark.sql(renderSql(m.name, 0L, 86400000L, 0L)).schema.fieldNames
+            // noambiguousprojections (builtin.py:292): Spark auto-names
+            // unaliased expressions after their SQL text — anything that
+            // isn't a plain identifier needs an explicit alias; duplicate
+            // output names break schema contracts and downstream SELECTs
+            val dups = out.groupBy(_.toLowerCase).collect {
+              case (n, g) if g.length > 1 => n
+            }.toSeq.sorted
+            val unaliased = out.filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*")).sorted
+            dups.map(n => Linter.Violation("noambiguousprojections", m.name,
+                s"duplicate outer select name '$n'", blocking = true)) ++
+              unaliased.map(n => Linter.Violation("noambiguousprojections", m.name,
+                s"outer projection `$n` needs an explicit alias", blocking = true))
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if Option(e.getCondition).exists(c =>
+                  c.startsWith("AMBIGUOUS") || c.startsWith("UNRESOLVED_COLUMN")) =>
+              Seq(Linter.Violation("ambiguousorinvalidcolumn", m.name,
+                e.getMessage.linesIterator.next(), blocking = true))
+            case _: Exception => Nil // missing physical tables etc. — not a lint
+          }
+        case _ => Nil
+      }
+    }
+    // nomissingunittest (builtin.py:132): only meaningful once the project
+    // has loaded a tests/ directory — a purely programmatic context isn't
+    // nagged about a convention it never opted into
+    val missingTests =
+      if (testFiles.isEmpty) Nil
+      else models.values
+        .filterNot(m => m.kind == ModelKind.External || m.kind == ModelKind.Embedded)
+        .filterNot(m => testedModels.contains(m.name))
+        .map(m => Linter.Violation("nomissingunittest", m.name,
+          "model has no unit test in the loaded tests directory", blocking = false))
+    val all = base ++ missingExt ++ starExpansion ++ analysis ++ missingTests
     if (enforce && all.exists(_.blocking))
       throw new IllegalStateException("linter: " + all.filter(_.blocking)
         .map(v => s"[${v.rule}] ${v.model}: ${v.message}").mkString("; "))
     all
   }
+
+  // ------------------------------------------------------------ tests ----
+
+  private val testFiles = scala.collection.mutable.ArrayBuffer[String]()
+  private val testedModels = scala.collection.mutable.Set[String]()
+
+  /** Load every YAML unit test under `dir` (reference `sqlmesh test`,
+    * core/test/definition.py; yaml files with model/inputs/outputs).
+    * Registers which models are covered (for `nomissingunittest`) without
+    * running anything; [[runTests]] executes them. */
+  def loadTests(dir: String): this.type = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val stream = java.nio.file.Files.walk(root)
+      try stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".yaml") || p.toString.endsWith(".yml"))
+        .toSeq.sortBy(_.toString).foreach { p =>
+          testFiles += p.toString
+          testedModels ++= graft.testing.YamlModelTest.modelsUnderTest(
+            java.nio.file.Files.readString(p))
+        }
+      finally stream.close()
+    }
+    this
+  }
+
+  /** Run every loaded YAML test; returns one result per test case. */
+  def runTests(): Seq[graft.testing.YamlModelTest.Result] =
+    testFiles.toSeq.flatMap(f =>
+      graft.testing.YamlModelTest.runFile(spark, f, models.toMap))
 
   /** All environment records (reference `sqlmesh environments`). */
   def environments: Seq[EnvironmentRecord] = state.environments

@@ -19,6 +19,7 @@ import graft.core.{Interval, IntervalUnit}
   *   render <model>        print the rendered SQL
   *   audit <model>         run the model's audits, print violation counts
   *   lint                  print linter violations (exit 2 if blocking)
+  *   test                  run YAML unit tests (--tests DIR or <project>/tests)
   *   table-diff <model> <srcEnv:tgtEnv>   row/schema diff between envs
   *   check-intervals [env] per-model missing intervals in the window
   *   environments          list environments
@@ -130,7 +131,18 @@ object Main {
             out.println(s"  ${if (n == 0) "PASS" else "FAIL"}  $name  ($n violations)")
           }
           if (results.valuesIterator.exists(_ > 0)) 2 else 0
+        case "test" =>
+          flagAll("tests").foreach(ctx.loadTests)
+          projects.foreach(p => ctx.loadTests(s"$p/tests"))
+          val results = ctx.runTests()
+          results.foreach { r =>
+            out.println(s"  ${if (r.failure.isEmpty) "PASS" else "FAIL"}  ${r.name}" +
+              r.failure.map(f => s"  ($f)").getOrElse(""))
+          }
+          out.println(s"${results.count(_.failure.isEmpty)}/${results.size} tests passed")
+          if (results.exists(_.failure.nonEmpty)) 2 else 0
         case "lint" =>
+          projects.foreach(p => ctx.loadTests(s"$p/tests"))
           val vs = ctx.lint()
           vs.foreach(v => out.println(
             s"  ${if (v.blocking) "ERROR" else "WARN "} [${v.rule}] ${v.model}: ${v.message}"))
@@ -236,7 +248,7 @@ object Main {
 
   private val usage: String =
     """usage: graft <verb> [target...] [flags]
-      |verbs: plan run evaluate render audit lint table-diff check-intervals
-      |       environments info dag janitor destroy
+      |verbs: plan run evaluate render audit lint test table-diff
+      |       check-intervals environments info dag janitor destroy
       |run `graft <verb>` with --project DIR --start/--end dates; see Scaladoc.""".stripMargin
 }

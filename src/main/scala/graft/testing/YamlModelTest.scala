@@ -54,6 +54,15 @@ object YamlModelTest {
     }
   }
 
+  /** The models a YAML document declares tests FOR (each test's `model:`
+    * field) — the `nomissingunittest` lint's coverage registry; parsing
+    * only, nothing executes. */
+  def modelsUnderTest(yaml: String): Set[String] = {
+    val root = mapper.readTree(yaml)
+    root.properties().asScala.flatMap(e =>
+      Option(e.getValue.path("model").asText(null))).toSet
+  }
+
   def runFile(spark: SparkSession, path: String,
               models: Map[String, Model]): Seq[Result] =
     runAll(spark, new String(java.nio.file.Files.readAllBytes(
