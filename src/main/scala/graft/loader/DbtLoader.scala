@@ -80,8 +80,27 @@ object DbtLoader {
     def resolveRefs(sql: String): String =
       refRe.replaceAllIn(sql, mm => java.util.regex.Matcher.quoteReplacement(
         byStem.getOrElse(mm.group(1), mm.group(1))))
+    // project-defined {% macro %}s (reference sqlmesh/dbt macro support,
+    // utils/jinja.py MacroExtractor): macro sources are PREPENDED to each
+    // model body that calls one — definitions emit nothing when rendered,
+    // the model stays hermetic (a macro edit changes the model's
+    // fingerprint, so plans categorize it as a change — same reason the
+    // reference hashes macro references into the data hash)
+    val macroFiles = paths("macro-paths", "macros").flatMap(walk(_, ".sql"))
+    val macroSrc = macroFiles.sortBy(_.toString)
+      .map(p => new String(Files.readAllBytes(p), "UTF-8")).mkString("\n")
+    val macroNames: Set[String] =
+      if (macroSrc.trim.isEmpty) Set.empty
+      else graft.macros.Jinja.parseMacros(macroSrc).keySet
+    def withMacros(sql: String): String =
+      if (macroNames.exists(n => sql.contains(n + "("))) s"$macroSrc\n$sql" else sql
     // schema.yml column tests attach as audits (keyed by dbt's short name)
-    val tests = ymlFiles.flatMap(parseModelTests(_).toSeq).toMap
+    // MERGE per-model across yml files: several schema.yml files may declare
+    // tests for the same model (dbt model names are project-unique by stem,
+    // so the stem key is safe, but a bare .toMap would silently drop all but
+    // the LAST file's tests)
+    val tests = ymlFiles.flatMap(parseModelTests(_).toSeq)
+      .groupBy(_._1).map { case (stem, vs) => stem -> vs.flatMap(_._2) }
     val allNames = all.map(_.name).toSet
     val resolved = all.map { m =>
       val withAudits = tests.get(m.name.split('.').last) match {
@@ -99,7 +118,7 @@ object DbtLoader {
         case None => m
       }
       withAudits.body match {
-        case SqlBody(sql) => withAudits.copy(body = SqlBody(resolveRefs(sql)))
+        case SqlBody(sql) => withAudits.copy(body = SqlBody(withMacros(resolveRefs(sql))))
         case _ => withAudits
       }
     }

@@ -23,12 +23,20 @@ object Jinja {
 
   def hasJinja(s: String): Boolean = s.contains("{{") || s.contains("{%")
 
-  private sealed trait Node
+  sealed trait Node
   private final case class Text(s: String) extends Node
   private final case class Out(expr: String) extends Node
   private final case class If(branches: Seq[(String, Seq[Node])], orElse: Seq[Node]) extends Node
   private final case class For(v: String, list: String, body: Seq[Node]) extends Node
   private final case class SetVar(name: String, expr: String) extends Node
+  private final case class MacroNode(defn: MacroDef) extends Node
+
+  /** A `{% macro name(a, b='x') %} … {% endmacro %}` definition: params with
+    * optional defaults and the parsed body, invoked as `{{ name(...) }}`
+    * (reference utils/jinja.py MacroExtractor / dbt project `macros/`). */
+  final case class MacroDef(name: String,
+                            params: Seq[(String, Option[String])],
+                            body: Seq[Node])
 
   private sealed trait Tok
   private final case class TText(s: String) extends Tok
@@ -37,10 +45,19 @@ object Jinja {
 
   def render(template: String, vars: Map[String, String],
              thisModel: Option[String] = None,
-             refResolver: String => String = identity): String = {
+             refResolver: String => String = identity,
+             macros: Map[String, MacroDef] = Map.empty): String = {
     refs.set(refResolver)
-    try renderImpl(template, vars, thisModel)
+    try renderImpl(template, vars, thisModel, macros)
     finally refs.remove()
+  }
+
+  /** Extract the `{% macro %}` definitions from a source file WITHOUT
+    * rendering it — how a dbt project's macro files load. */
+  def parseMacros(source: String): Map[String, MacroDef] = {
+    val (nodes, rest) = parseNodes(tokenize(source), Nil)
+    require(rest.isEmpty, s"unexpected ${rest.head} outside a block")
+    nodes.collect { case MacroNode(d) => d.name -> d }.toMap
   }
 
   /** dbt `ref()` resolution for the current render (threaded via a
@@ -49,34 +66,80 @@ object Jinja {
     override def initialValue(): String => String = identity
   }
 
+  /** User macros visible to the current render (same threading rationale). */
+  private val macroEnv = new ThreadLocal[Map[String, MacroDef]] {
+    override def initialValue(): Map[String, MacroDef] = Map.empty
+  }
+
   private def renderImpl(template: String, vars: Map[String, String],
-                         thisModel: Option[String]): String = {
+                         thisModel: Option[String],
+                         macros: Map[String, MacroDef]): String = {
     val toks = tokenize(template)
     val (nodes, rest) = parseNodes(toks, Nil)
     require(rest.isEmpty, s"unexpected ${rest.head} outside a block")
-    val out = new StringBuilder
-    val bindings = scala.collection.mutable.Map[String, String]()
-    def evalNodes(ns: Seq[Node]): Unit = ns.foreach {
-      case Text(s) => out.append(s)
-      case Out(e)  => out.append(value(e, vars, bindings.toMap, thisModel))
-      case SetVar(n, e) => bindings(n) = value(e, vars, bindings.toMap, thisModel)
-      case If(branches, orElse) =>
-        branches.find { case (c, _) => truthy(c, vars, bindings.toMap, thisModel) } match {
-          case Some((_, body)) => evalNodes(body)
-          case None            => evalNodes(orElse)
-        }
-      case For(v, listExpr, body) =>
-        val items = parseList(listExpr).map(it => value(it, vars, bindings.toMap, thisModel))
-        items.zipWithIndex.foreach { case (it, idx) =>
-          val saved = (bindings.get(v), bindings.get("loop.index"))
-          bindings(v) = it; bindings("loop.index") = (idx + 1).toString
-          evalNodes(body)
-          saved._1.fold(bindings.remove(v): Unit)(bindings(v) = _)
-          saved._2.fold(bindings.remove("loop.index"): Unit)(bindings("loop.index") = _)
-        }
+    // definitions in the template itself join the supplied environment
+    // (local definitions shadow supplied ones)
+    macroEnv.set(macros ++ nodes.collect { case MacroNode(d) => d.name -> d })
+    try {
+      val out = new StringBuilder
+      evalNodes(nodes, out, scala.collection.mutable.Map[String, String](),
+        vars, thisModel)
+      out.toString
+    } finally macroEnv.remove()
+  }
+
+  private def evalNodes(ns: Seq[Node], out: StringBuilder,
+                        bindings: scala.collection.mutable.Map[String, String],
+                        vars: Map[String, String],
+                        thisModel: Option[String]): Unit = ns.foreach {
+    case Text(s) => out.append(s)
+    case Out(e)  => out.append(value(e, vars, bindings.toMap, thisModel))
+    case SetVar(n, e) => bindings(n) = value(e, vars, bindings.toMap, thisModel)
+    case MacroNode(_) => () // definitions emit nothing
+    case If(branches, orElse) =>
+      branches.find { case (c, _) => truthy(c, vars, bindings.toMap, thisModel) } match {
+        case Some((_, body)) => evalNodes(body, out, bindings, vars, thisModel)
+        case None            => evalNodes(orElse, out, bindings, vars, thisModel)
+      }
+    case For(v, listExpr, body) =>
+      val items = parseList(listExpr).map(it => value(it, vars, bindings.toMap, thisModel))
+      items.zipWithIndex.foreach { case (it, idx) =>
+        val saved = (bindings.get(v), bindings.get("loop.index"))
+        bindings(v) = it; bindings("loop.index") = (idx + 1).toString
+        evalNodes(body, out, bindings, vars, thisModel)
+        saved._1.fold(bindings.remove(v): Unit)(bindings(v) = _)
+        saved._2.fold(bindings.remove("loop.index"): Unit)(bindings("loop.index") = _)
+      }
+  }
+
+  /** Invoke a user macro: bind positional/keyword args over the params (with
+    * defaults), render the body in a FRESH scope — caller bindings are not
+    * visible inside the macro, exactly like Jinja's. */
+  private def callMacro(d: MacroDef, args: Seq[String], vars: Map[String, String],
+                        outerBindings: Map[String, String],
+                        thisModel: Option[String]): String = {
+    val kwRe = "(?s)^([A-Za-z_]\\w*)\\s*=\\s*(.+)$".r
+    val isKw = (a: String) => kwRe.findFirstMatchIn(a)
+      .exists(m => d.params.exists(_._1 == m.group(1)))
+    val (kw, positional) = args.partition(isKw)
+    val kwMap = kw.map { a =>
+      val m = kwRe.findFirstMatchIn(a).get; m.group(1) -> m.group(2).trim
+    }.toMap
+    val scope = scala.collection.mutable.Map[String, String]()
+    d.params.zipWithIndex.foreach { case ((p, default), i) =>
+      val raw = kwMap.get(p)
+        .orElse(if (i < positional.length) Some(positional(i)) else None)
+        .orElse(default)
+        .getOrElse(throw new IllegalArgumentException(
+          s"macro ${d.name}: missing argument '$p'"))
+      // args that aren't evaluable expressions are SQL fragments — dbt
+      // macros routinely take raw snippets (`guard(d > 5)`); pass verbatim
+      scope(p) = try value(raw, vars, outerBindings, thisModel)
+        catch { case _: IllegalArgumentException => raw }
     }
-    evalNodes(nodes)
-    out.toString
+    val out = new StringBuilder
+    evalNodes(d.body, out, scope, vars, thisModel)
+    out.toString.trim
   }
 
   // ------------------------------------------------------------- parsing
@@ -158,6 +221,20 @@ object Jinja {
                 case m(n, e) => nodes += SetVar(n, e.trim); rest = rest.tail
                 case _ => throw new IllegalArgumentException(s"bad set: {% $st %}")
               }
+            case "macro" =>
+              val m = "(?is)macro\\s+([A-Za-z_]\\w*)\\s*\\((.*)\\)\\s*".r
+              st match {
+                case m(name, paramSrc) =>
+                  val params = parseList(paramSrc).map { p =>
+                    p.indexOf('=') match {
+                      case -1 => (p.trim, None)
+                      case i  => (p.take(i).trim, Some(p.drop(i + 1).trim))
+                    }
+                  }
+                  val (body, r) = parseNodes(rest.tail, Seq("endmacro"))
+                  nodes += MacroNode(MacroDef(name, params, body)); rest = r.tail
+                case _ => throw new IllegalArgumentException(s"bad macro: {% $st %}")
+              }
             case other => throw new IllegalArgumentException(s"unsupported jinja tag: $other")
           }
       }
@@ -168,6 +245,15 @@ object Jinja {
   private def parseList(s: String): Seq[String] = {
     val t = s.trim
     val inner = if (t.startsWith("[") && t.endsWith("]")) t.substring(1, t.length - 1) else t
+    splitTop(inner)
+  }
+
+  /** Split a CALL's argument source on top-level commas WITHOUT unwrapping
+    * brackets — `(['a','b'], x)` has two args, the first a list literal. */
+  private def splitArgs(s: String): Seq[String] =
+    if (s.trim.isEmpty) Nil else splitTop(s)
+
+  private def splitTop(inner: String): Seq[String] = {
     val out = Seq.newBuilder[String]; val cur = new StringBuilder
     var depth = 0; var q = ' '
     inner.foreach {
@@ -184,6 +270,54 @@ object Jinja {
   }
 
   // ----------------------------------------------------------- evaluation
+
+  /** General call syntax `name(args)` / `pkg.name(args)` — user macros and
+    * the dbt_utils builtins. */
+  private val callRe = "(?s)^([A-Za-z_][\\w.]*)\\((.*)\\)$".r
+
+  /** The dbt_utils subset (reference sqlmesh_dbt compatibility surface;
+    * dbt-labs/dbt-utils cross-db macros re-expressed as Spark SQL). Args
+    * arrive RAW (quoted strings / `[list, literals]`) — each builtin does
+    * its own unwrapping because several take list arguments. */
+  private val dbtUtils: Map[String, Seq[String] => String] = {
+    def strip(s: String): String = {
+      val t = s.trim
+      if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
+          (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    def listOf(arg: String): Seq[String] = parseList(arg).map(strip)
+    Map(
+      // mirrors @GENERATE_SURROGATE_KEY (MacroEvaluator) / dbt_utils
+      // generate_surrogate_key: md5 of null-safe '|'-joined casts
+      "dbt_utils.generate_surrogate_key" -> { args =>
+        val fields = listOf(args.head)
+          .map(f => s"COALESCE(CAST($f AS STRING), '_graft_null_')")
+        s"MD5(CONCAT(${fields.mkString(", '|', ")}))"
+      },
+      "dbt_utils.safe_divide" -> { args =>
+        s"(${strip(args(0))}) / NULLIF((${strip(args(1))}), 0)"
+      },
+      "dbt_utils.hash" -> { args => s"MD5(CAST(${strip(args.head)} AS STRING))" },
+      "dbt_utils.star" -> { args =>
+        // star(from=ref('m'), except=[...]) — Spark's analyzer expands
+        // `* EXCEPT (...)` natively, so emit exactly that
+        val kw = args.map { a =>
+          a.indexOf('=') match {
+            case -1 => ("from", a.trim)
+            case i  => (a.take(i).trim, a.drop(i + 1).trim)
+          }
+        }.toMap
+        kw.get("except").map(listOf) match {
+          case Some(ex) if ex.nonEmpty => s"* EXCEPT (${ex.mkString(", ")})"
+          case _                       => "*"
+        }
+      },
+      "dbt_utils.concat" -> { args =>
+        s"CONCAT(${listOf(args.head).mkString(", ")})"
+      })
+  }
 
   private val varCall =
     "(?is)^var\\(\\s*['\"]([^'\"]+)['\"]\\s*(?:,\\s*(.+?)\\s*)?\\)$".r
@@ -212,6 +346,11 @@ object Jinja {
       // variable (reference sqlmesh/dbt/basemodel.py incremental handling)
       case _ if e.equalsIgnoreCase("is_incremental()") =>
         vars.getOrElse("is_incremental", "false")
+      // user {% macro %} invocation, then the dbt_utils builtin subset
+      case callRe(name, argSrc) if macroEnv.get.contains(name) =>
+        callMacro(macroEnv.get()(name), splitArgs(argSrc), vars, bindings, thisModel)
+      case callRe(name, argSrc) if dbtUtils.contains(name) =>
+        dbtUtils(name)(splitArgs(argSrc))
       case _ if bindings.contains(e) => bindings(e)
       case _ if vars.contains(e)     => vars(e)
       case _ if (e.startsWith("'") && e.endsWith("'") && e.length >= 2) ||

@@ -154,4 +154,62 @@ class DbtLoaderSpec extends AnyFunSuite {
     assert(log.count() == log.select("o_orderkey").distinct().count())
     assert(log.count() >= after1)
   }
+
+  test("project {% macro %}s and dbt_utils render through plan/apply") {
+    val root = java.nio.file.Files.createTempDirectory("dbt_macros")
+    write(root.resolve("dbt_project.yml"), "name: macroproj\n")
+    write(root.resolve("macros/util.sql"),
+      """{% macro money(col, scale=2) %}round({{ col }}, {{ scale }}){% endmacro %}
+        |{% macro seg_filter(seg) %}c_mktsegment = '{{ seg }}'{% endmacro %}
+        |""".stripMargin)
+    write(root.resolve("models/cust_keys.sql"),
+      """{{ config(materialized='table', schema='dbtm') }}
+        |SELECT {{ dbt_utils.generate_surrogate_key(['c_custkey', 'c_nationkey']) }} AS sk,
+        |  {{ money(c_acctbal) }} AS bal
+        |FROM {{ source('raw', 'customer') }}
+        |WHERE {{ seg_filter('BUILDING') }}
+        |""".stripMargin)
+    val ctx = new GraftContext(spark, SparkTestSession.tmpDir("dbtws-m"), concurrency = 2)
+    ctx.addExternal("raw.customer", s"$sf/customer.parquet")
+    ctx.loadDbtProject(root.toString)
+    ctx.apply(ctx.plan("prod", 0L, D))
+
+    val got = spark.table("dbtm.cust_keys")
+    val expected = spark.sql(
+      s"""SELECT MD5(CONCAT(COALESCE(CAST(c_custkey AS STRING), '_graft_null_'), '|',
+         |    COALESCE(CAST(c_nationkey AS STRING), '_graft_null_'))) AS sk,
+         |  round(c_acctbal, 2) AS bal
+         |FROM parquet.`$sf/customer.parquet`
+         |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    assert(got.count() > 0)
+    assert(got.collect().toSet == expected.collect().toSet)
+  }
+
+  test("schema.yml tests for one model MERGE across files (no last-wins drop)") {
+    val root = java.nio.file.Files.createTempDirectory("dbt_twofiles")
+    write(root.resolve("dbt_project.yml"), "name: twoproj\n")
+    write(root.resolve("models/m.sql"),
+      """{{ config(materialized='table', schema='twom') }}
+        |SELECT 1 AS id, 'x' AS v
+        |""".stripMargin)
+    write(root.resolve("models/a_tests.yml"),
+      """models:
+        |  - name: m
+        |    columns:
+        |      - name: id
+        |        tests: [not_null]
+        |""".stripMargin)
+    write(root.resolve("models/b_tests.yml"),
+      """models:
+        |  - name: m
+        |    columns:
+        |      - name: v
+        |        tests: [not_null]
+        |""".stripMargin)
+    val ctx = new GraftContext(spark, SparkTestSession.tmpDir("dbtws-t"))
+    ctx.loadDbtProject(root.toString)
+    val audits = ctx.model("twom.m").audits
+    val cols = audits.collect { case ("not_null", args) => args("columns") }.toSet
+    assert(cols == Set("id", "v"), s"expected both files' tests, got $audits")
+  }
 }

@@ -169,4 +169,37 @@ class MacroSpec extends AnyFunSuite {
       "SELECT * FROM {{ ref('raw.orders') }} JOIN {{ source('raw', 'nation') }} USING (k)") ==
       Set("raw.orders", "raw.nation"))
   }
+
+  test("jinja: {% macro %} definitions, defaults, kwargs, dbt_utils subset") {
+    val e = ev(Map("env" -> "prod"))
+    // inline definition + call; definition itself emits nothing
+    assert(e.render(
+      """{% macro money(col, scale=2) %}round({{ col }}, {{ scale }}){% endmacro %}
+        |SELECT {{ money(price) }}, {{ money(qty, 0) }}""".stripMargin).trim ==
+      "SELECT round(price, 2), round(qty, 0)")
+    // keyword args and nested macro-in-macro calls
+    assert(e.render(
+      """{% macro tag(v) %}'{{ v }}'{% endmacro %}
+        |{% macro pair(a, b='x') %}({{ tag(a) }}, {{ tag(b) }}){% endmacro %}
+        |{{ pair(b='z', a='y') }}""".stripMargin).trim == "('y', 'z')")
+    // macro body sees vars and control flow
+    assert(e.render(
+      """{% macro guard(c) %}{% if var('env') == 'prod' %}{{ c }}{% else %}1=1{% endif %}{% endmacro %}
+        |WHERE {{ guard(d > 5) }}""".stripMargin).trim == "WHERE d > 5")
+    // parseMacros extracts definitions without rendering
+    val defs = Jinja.parseMacros(
+      "{% macro a(x) %}A{{ x }}{% endmacro %}{% macro b() %}B{% endmacro %}")
+    assert(defs.keySet == Set("a", "b"))
+    // supplied environment is callable from another template
+    assert(Jinja.render("{{ a(1) }}-{{ b() }}", Map.empty, macros = defs) == "A1-B")
+    // dbt_utils subset
+    assert(e.render("{{ dbt_utils.generate_surrogate_key(['a', 'b']) }}") ==
+      "MD5(CONCAT(COALESCE(CAST(a AS STRING), '_graft_null_'), '|', " +
+        "COALESCE(CAST(b AS STRING), '_graft_null_')))")
+    assert(e.render("{{ dbt_utils.safe_divide(rev, n) }}") == "(rev) / NULLIF((n), 0)")
+    assert(e.render("{{ dbt_utils.hash(email) }}") == "MD5(CAST(email AS STRING))")
+    assert(e.render("SELECT {{ dbt_utils.star(from=ref('t'), except=['secret']) }} FROM t") ==
+      "SELECT * EXCEPT (secret) FROM t")
+    assert(e.render("{{ dbt_utils.concat(['a', 'b']) }}") == "CONCAT(a, b)")
+  }
 }
