@@ -194,14 +194,25 @@ class SparkMaterializer(val spark: SparkSession) {
   private def write(df0: DataFrame, dir: String, partitionedBy: Seq[String],
                     mode: SaveMode = SaveMode.Overwrite, dynamic: Boolean = false,
                     clusteredBy: Seq[String] = Nil,
-                    options: Map[String, String] = Map.empty): Unit = {
+                    options: Map[String, String] = Map.empty,
+                    clusterFiles: Option[Int] = None): Unit = {
     // clustering: co-locate rows by the cluster key (one shuffle) and sort
     // within partitions, so each parquet file holds a sorted, min/max-tight
-    // key range — downstream scans on the key prune row groups for free
+    // key range — downstream scans on the key prune row groups for free.
+    // `clusterFiles` (compact's target) overrides the shuffle-partition
+    // default with an exact range-partition count — without it a compaction
+    // of a clustered table would be silently re-split into
+    // spark.sql.shuffle.partitions files, defeating the file-count goal;
+    // range partitioning also gives globally-ordered, disjoint key ranges
+    // (tighter min/max than hash clustering)
     val df =
       if (clusteredBy.isEmpty) df0
-      else df0.repartition(clusteredBy.map(col): _*)
-        .sortWithinPartitions(clusteredBy.map(col): _*)
+      else clusterFiles match {
+        case Some(n) => df0.repartitionByRange(n, clusteredBy.map(col): _*)
+          .sortWithinPartitions(clusteredBy.map(col): _*)
+        case None => df0.repartition(clusteredBy.map(col): _*)
+          .sortWithinPartitions(clusteredBy.map(col): _*)
+      }
     var w = df.write.mode(mode).options(options)
     if (partitionedBy.nonEmpty) w = w.partitionBy(partitionedBy: _*)
     if (dynamic) w = w.option("partitionOverwriteMode", "dynamic")
@@ -217,9 +228,11 @@ class SparkMaterializer(val spark: SparkSession) {
 
   /** ctas / create-or-replace (base.py:680 ctas; replace_query :459). Writes a
     * fresh version dir then repoints — safe even when `df` reads the old one. */
-  def replaceQuery(t: PhysicalTable, df: DataFrame): Unit = {
+  def replaceQuery(t: PhysicalTable, df: DataFrame,
+                   clusterFiles: Option[Int] = None): Unit = {
     val dir = nextDataDir(t)
-    write(df, dir, t.partitionedBy, clusteredBy = t.clusteredBy, options = t.options)
+    write(df, dir, t.partitionedBy, clusteredBy = t.clusteredBy, options = t.options,
+      clusterFiles = clusterFiles)
     register(t)
   }
 
@@ -598,7 +611,11 @@ class SparkMaterializer(val spark: SparkSession) {
         // so each directory is written by few tasks, not every task
         cur.repartition(nFiles, t.partitionedBy.map(col): _*)
       else cur.repartition(nFiles)
-    replaceQuery(t, compacted)
+    // clustered tables: thread the target through to the cluster shuffle —
+    // write() would otherwise re-split into spark.sql.shuffle.partitions
+    // files and undo the compaction
+    replaceQuery(t, compacted,
+      clusterFiles = if (t.clusteredBy.nonEmpty) Some(nFiles) else None)
     val newDir = new Path(currentDataDir(t).get)
     val it2 = f.listFiles(newDir, true)
     var after = 0

@@ -88,11 +88,14 @@ final class FileStateStore(
 
   // -------------------------------------------------------------- persist
 
-  private def persist(): Unit = {
+  private def persist(): Unit = blob.withLock {
     // optimistic concurrency: the file must still be at the txn this
-    // instance last read/wrote, else another writer has intervened
+    // instance last read/wrote, else another writer has intervened. The txn
+    // check reads only the file HEAD (O(1), not O(state)), and on local
+    // filesystems the whole check-then-write runs under an OS file lock so
+    // a concurrent process can't slip a write into the gap (TOCTOU).
     if (blob.exists) {
-      val onDisk = mapper.readTree(blob.readAll()).path("txn").asLong(0L)
+      val onDisk = blob.readTxn()
       if (onDisk != txn)
         throw new java.util.ConcurrentModificationException(
           s"state file advanced to txn $onDisk behind this store (at $txn): " +
@@ -427,6 +430,20 @@ object FileStateStore {
     def readAll(): Array[Byte]
     /** write-temp + rename so readers never observe a torn file */
     def writeAtomic(bytes: Array[Byte]): Unit
+    /** The persisted txn counter WITHOUT decoding the whole image: `txn` is
+      * serialized in the first bytes of the file (field order is fixed), so
+      * the optimistic-concurrency check is O(1), not O(state) — at thousands
+      * of snapshots the old full readAll-per-persist dominated persist cost. */
+    def readTxn(): Long = {
+      val head = new String(readHead(256), "UTF-8")
+      "\"txn\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(head)
+        .map(_.group(1).toLong).getOrElse(0L)
+    }
+    protected def readHead(n: Int): Array[Byte]
+    /** Serialize the check-then-write critical section against OTHER
+      * PROCESSES where the filesystem can (OS file lock locally); stores
+      * that can't lock fall back to the optimistic check alone. */
+    def withLock[A](f: => A): A = f
   }
 
   private[state] final class LocalBlob(dir: String) extends Blob {
@@ -434,6 +451,22 @@ object FileStateStore {
     Files.createDirectories(Paths.get(dir))
     def exists: Boolean = Files.exists(file)
     def readAll(): Array[Byte] = Files.readAllBytes(file)
+    protected def readHead(n: Int): Array[Byte] = {
+      val in = Files.newByteChannel(file)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(n)
+        in.read(buf)
+        java.util.Arrays.copyOf(buf.array(), buf.position())
+      } finally in.close()
+    }
+    /** OS-level lock closes the check-then-rename TOCTOU window between
+      * processes sharing this state dir (threads already serialize on the
+      * store's monitor). */
+    override def withLock[A](f: => A): A = {
+      val ch = java.nio.channels.FileChannel.open(Paths.get(dir, "state.lock"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try f finally l.release() } finally ch.close()
+    }
     def writeAtomic(bytes: Array[Byte]): Unit = {
       val tmp = Paths.get(dir, "state.json.tmp")
       Files.write(tmp, bytes)
@@ -463,6 +496,16 @@ object FileStateStore {
         var n = in.read(buf)
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         out.toByteArray
+      } finally in.close()
+    }
+    protected def readHead(n: Int): Array[Byte] = {
+      val in = fc.open(file)
+      try {
+        val buf = new Array[Byte](n)
+        var off = 0
+        var r = in.read(buf, 0, n)
+        while (r > 0 && off + r < n) { off += r; r = in.read(buf, off, n - off) }
+        java.util.Arrays.copyOf(buf, math.max(off + math.max(r, 0), 0))
       } finally in.close()
     }
     def writeAtomic(bytes: Array[Byte]): Unit = {

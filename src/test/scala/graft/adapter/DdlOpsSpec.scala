@@ -120,4 +120,18 @@ class DdlOpsSpec extends AnyFunSuite {
     // compaction is itself a version: the pre-compaction state time-travels
     assert(m.readVersion(t, m.versions(t).dropRight(1).last).collect().toSet == before)
   }
+
+  test("compact honors the file-count target on CLUSTERED tables") {
+    val t = PhysicalTable("graft__test", "cmpc",
+      graft.SparkTestSession.tmpDir("pt_cmpc"), Nil, clusteredBy = Seq("id"))
+    m.replaceQuery(t, (0 until 50).map(i => (i, "x")).toDF("id", "s"))
+    (1 to 9).foreach(i =>
+      m.insertAppend(t, Seq((100 + i, "x")).toDF("id", "s")))
+    val before = m.read(t).collect().toSet
+    val (nBefore, nAfter) = m.compact(t)
+    // without the clusterFiles pass-through the cluster shuffle re-splits
+    // the rewrite into spark.sql.shuffle.partitions (4 in tests) files
+    assert(nAfter == 1, s"expected 1 compacted file, got $nBefore -> $nAfter")
+    assert(m.read(t).collect().toSet == before)
+  }
 }
