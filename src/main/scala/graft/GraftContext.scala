@@ -101,7 +101,8 @@ class GraftContext(
   private val customMacros =
     scala.collection.mutable.Map[String, Seq[String] => String]()
   lazy val evaluator = new SnapshotEvaluator(materializer, workspace, customStrategies.toMap,
-    () => allVariables, customMacros.toMap)
+    () => allVariables, customMacros.toMap,
+    onAuditFailure = (m, a, msg, blocking) => notifier.notifyAuditFailure(m, a, msg, blocking))
   lazy val scheduler = new Scheduler(evaluator, state, concurrency)
 
   /** vars merged at load time (dbt_project.yml `vars`) on top of the
@@ -118,6 +119,17 @@ class GraftContext(
   def addModel(m: Model): this.type = { models(m.name) = m; this }
   def model(name: String): Model = models(name)
 
+  /** Notification targets (reference core/notification_target.py): fire on
+    * apply/run start/end/failure and audit failures. Targets never throw
+    * into the flow they observe. */
+  private val notificationTargets =
+    scala.collection.mutable.ArrayBuffer[NotificationTarget]()
+  private[graft] val notifier =
+    new NotificationDispatcher(() => notificationTargets.toSeq)
+  def addNotificationTarget(t: NotificationTarget): this.type = {
+    notificationTargets += t; this
+  }
+
   /** Model-independent audit (reference audit/definition.py:559) — run after
     * every plan application / scheduled run against the environment's tables. */
   def addStandaloneAudit(a: graft.audits.StandaloneAudit): this.type = {
@@ -126,13 +138,32 @@ class GraftContext(
 
   /** Load every `*.sql` file under `dir` (reference Loader.load,
     * core/loader.py:191): `MODEL (...)` headers become models,
-    * `AUDIT (...)` headers become standalone audits. */
+    * `AUDIT (...)` headers become standalone audits, `METRIC (...)` headers
+    * become semantic-layer metrics. */
   def loadModels(dir: String): this.type = {
-    val (ms, audits) = graft.loader.ModelLoader.loadProject(dir)
+    val (ms, audits, metricDefs) = graft.loader.ModelLoader.loadProject(dir)
     // disabled models are skipped entirely (reference meta.py:112 `enabled`)
     ms.filter(_.enabled).foreach(addModel)
     audits.foreach(addStandaloneAudit)
+    metricDefs.foreach(addMetric)
     this
+  }
+
+  // ----------------------------------------------------------- metrics ----
+
+  private val metrics = scala.collection.mutable.LinkedHashMap[String, graft.metrics.Metric]()
+
+  def addMetric(m: graft.metrics.Metric): this.type = { metrics(m.name) = m; this }
+
+  /** Run a semantic-layer query (`SELECT dim, metric FROM __semantic.__table
+    * …`): the metric rewriter expands it into one aggregate subquery per
+    * base model FULL OUTER JOINed on the dims (reference metric/rewriter.py),
+    * with base models resolving through the environment's virtual layer. */
+  def semanticQuery(sql: String, env: String = "prod"): DataFrame = {
+    val registry = new graft.metrics.MetricRegistry(metrics.values.toSeq)
+    spark.sql(registry.rewrite(sql, tableFor = name =>
+      if (models.contains(name)) envTable(name, env)
+      else externals.getOrElse(name, name)))
   }
 
   /** Load a dbt-layout project (reference sqlmesh/dbt/loader.py): models,
@@ -555,6 +586,15 @@ class GraftContext(
     * physical layer → restatement → backfill → environment record → virtual
     * layer → finalize. */
   def apply(p: Plan, executionTs: Long = System.currentTimeMillis()): Unit = {
+    val planId = s"${p.env}@$executionTs"
+    notifier.notifyApplyStart(p.env, planId)
+    try { applyInner(p, executionTs); notifier.notifyApplyEnd(p.env, planId) }
+    catch { case e: Throwable =>
+      notifier.notifyApplyFailure(p.env, planId, e); throw e
+    }
+  }
+
+  private def applyInner(p: Plan, executionTs: Long): Unit = {
     // BeforeAll stage (plan/stages.py:238; config/root.py:172)
     runEnvStatements(beforeAll, p.start, p.end, executionTs)
     // CreateSnapshotRecords
@@ -664,6 +704,13 @@ class GraftContext(
     * already-planned environment. */
   def run(env: String, start: Long, end: Long,
           executionTs: Long = System.currentTimeMillis()): Unit = {
+    notifier.notifyRunStart(env)
+    try { runInner(env, start, end, executionTs); notifier.notifyRunEnd(env) }
+    catch { case e: Throwable => notifier.notifyRunFailure(env, e); throw e }
+  }
+
+  private def runInner(env: String, start: Long, end: Long,
+                       executionTs: Long): Unit = {
     runEnvStatements(beforeAll, start, end, executionTs)
     val envRec = state.getEnvironment(env).getOrElse(
       throw new IllegalStateException(s"environment $env not planned"))

@@ -40,20 +40,60 @@ object ModelLoader {
 
   /** Load a project directory: `MODEL (...)` files become models,
     * `AUDIT (...)` files become standalone audits (audit/definition.py:559). */
-  def loadProject(dir: String): (Seq[Model], Seq[graft.audits.StandaloneAudit]) = {
+  def loadProject(dir: String): (Seq[Model], Seq[graft.audits.StandaloneAudit],
+                                 Seq[graft.metrics.Metric]) = {
     val root = Paths.get(dir)
-    if (!Files.exists(root)) return (Nil, Nil)
+    if (!Files.exists(root)) return (Nil, Nil, Nil)
     val files = Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
       .map(p => (new String(Files.readAllBytes(p), "UTF-8"), p.toString))
-    val (auditFiles, modelFiles) = files.partition { case (text, _) =>
+    // route by FIRST header keyword: METRIC / AUDIT / MODEL files coexist in
+    // one project tree (reference loader.py routes models/, audits/, metrics/)
+    def headerOf(text: String): String = {
       val up = stripComments(text).toUpperCase
-      val a = up.indexOf("AUDIT"); val m = up.indexOf("MODEL")
-      a >= 0 && (m < 0 || a < m)
+      Seq("METRIC", "AUDIT", "MODEL").map(k => k -> up.indexOf(k))
+        .filter(_._2 >= 0).sortBy(_._2).headOption.map(_._1).getOrElse("MODEL")
     }
-    (modelFiles.map { case (t, src) => parse(t, src) },
-      auditFiles.map { case (t, src) => parseStandaloneAudit(t, src) })
+    val byHeader = files.groupBy { case (t, _) => headerOf(t) }
+    (byHeader.getOrElse("MODEL", Nil).map { case (t, src) => parse(t, src) },
+      byHeader.getOrElse("AUDIT", Nil).map { case (t, src) => parseStandaloneAudit(t, src) },
+      byHeader.getOrElse("METRIC", Nil).flatMap { case (t, src) => parseMetrics(t, src) })
+  }
+
+  /** `METRIC (name a, expression SUM(x), table raw.orders, dims (d expr, …))`
+    * — metric file DDL (reference metric/definition.py:69 MetricMeta,
+    * load_metric_ddl :24; several METRIC statements may share a file).
+    * `table`/`dims` locate the measure on a base model (the reference infers
+    * them from table-qualified column refs; explicit props keep the Spark
+    * rewriter's one-subquery-per-base-model expansion unambiguous). Derived
+    * metrics (formulas over other metrics) omit `table`. */
+  def parseMetrics(text: String, source: String = "<inline>"): Seq[graft.metrics.Metric] = {
+    val noComments = stripComments(text)
+    val out = Seq.newBuilder[graft.metrics.Metric]
+    var rest = noComments
+    var idx = rest.toUpperCase.indexOf("METRIC")
+    while (idx >= 0) {
+      val open = rest.indexOf('(', idx)
+      require(open > 0, s"$source: METRIC header missing '('")
+      val (headerBody, after) = balanced(rest, open)
+      val props = splitTopLevel(headerBody, ',').map(parseProp).toMap
+      val name = unq(props.getOrElse("name",
+        throw new IllegalArgumentException(s"$source: METRIC needs name"))).toLowerCase
+      val expression = props.getOrElse("expression",
+        throw new IllegalArgumentException(s"$source: METRIC $name needs expression"))
+      val dims = props.get("dims").map { spec =>
+        val t = spec.trim
+        val inner = if (t.startsWith("(") && t.endsWith(")"))
+          t.substring(1, t.length - 1) else t
+        splitTopLevel(inner, ',').map(parseProp).map { case (k, v) => k -> v }.toMap
+      }.getOrElse(Map.empty)
+      out += graft.metrics.Metric(name, expression,
+        table = props.get("table").map(unq).getOrElse(""), dims = dims)
+      rest = after
+      idx = rest.toUpperCase.indexOf("METRIC")
+    }
+    out.result()
   }
 
   /** `AUDIT (name ..., blocking ...); SELECT ...` — a standalone audit file. */
@@ -103,15 +143,23 @@ object ModelLoader {
     val statements =
       if (vuBegin >= 0) allStatements.take(vuBegin) ++ allStatements.drop(vuEnd + 1)
       else allStatements
+    val kind = parseKind(props.getOrElse("kind", "FULL"))
     val qIdx = statements.indexWhere(s =>
       s.toUpperCase.startsWith("SELECT") || s.toUpperCase.startsWith("WITH"))
-    require(qIdx >= 0, s"$source: no SELECT/WITH query after MODEL header")
+    // SEED models are body-less (the csv IS the body — reference seed files
+    // declare only the MODEL header); everything else needs a query
+    val body = kind match {
+      case sk: ModelKind.Seed if qIdx < 0 => SeedBody(sk.path)
+      case _ =>
+        require(qIdx >= 0, s"$source: no SELECT/WITH query after MODEL header")
+        SqlBody(statements(qIdx))
+    }
 
     val name = props.getOrElse("name", throw new IllegalArgumentException(s"$source: MODEL needs name"))
     Model(
       name = name,
-      body = SqlBody(statements(qIdx)),
-      kind = parseKind(props.getOrElse("kind", "FULL")),
+      body = body,
+      kind = kind,
       cron = unq(props.getOrElse("cron", "@daily")),
       cronTz = props.get("cron_tz").map(unq),
       intervalUnitName = props.get("interval_unit").map(u => unq(u).toLowerCase),
@@ -125,8 +173,8 @@ object ModelLoader {
       storageFormat = unq(props.getOrElse("storage_format", "parquet")),
       partitionedBy = props.get("partitioned_by").map(listOf).getOrElse(Nil),
       clusteredBy = props.get("clustered_by").map(listOf).getOrElse(Nil),
-      preStatements = statements.take(qIdx),
-      postStatements = statements.drop(qIdx + 1),
+      preStatements = if (qIdx < 0) Nil else statements.take(qIdx),
+      postStatements = if (qIdx < 0) statements else statements.drop(qIdx + 1),
       onVirtualUpdate = onVirtualUpdate,
       allowPartials = props.get("allow_partials").exists(_.trim.toBoolean),
       columns = props.get("columns").map(parseColumns).getOrElse(Nil),
@@ -213,10 +261,30 @@ object ModelLoader {
         checkColumns = listOf(args.getOrElse("columns", "*")),
         executionTimeAsValidFrom = args.get("execution_time_as_valid_from").exists(_.trim.toBoolean),
         invalidateHardDeletes = args.get("invalidate_hard_deletes").forall(_.trim.toBoolean))
-      case "SEED" => ModelKind.Seed(
-        unq(args.getOrElse("path", throw new IllegalArgumentException("SEED needs path"))),
-        batchSize = args.get("batch_size").map(_.trim.toInt).getOrElse(1000),
-        options = (args - "path" - "batch_size").map { case (k, v) => k -> unq(v) })
+      case "SEED" =>
+        // csv_settings (delimiter ',', quotechar '"', …) — the reference's
+        // CsvSettings block (model/seed.py:27), mapped onto Spark's csv
+        // reader option names; unknown keys pass through verbatim so any
+        // native Spark csv option also works
+        val csvNameMap = Map(
+          "delimiter" -> "sep", "quotechar" -> "quote", "escapechar" -> "escape",
+          "lineterminator" -> "lineSep", "encoding" -> "encoding",
+          "na_values" -> "nullValue",
+          "skipinitialspace" -> "ignoreLeadingWhiteSpace")
+        val csvSettings = args.get("csv_settings").map { spec =>
+          val t = spec.trim
+          val inner = if (t.startsWith("(") && t.endsWith(")"))
+            t.substring(1, t.length - 1) else t
+          splitTopLevel(inner, ',').map(parseProp).map { case (k, v) =>
+            csvNameMap.getOrElse(k, k) -> unq(v)
+          }.toMap
+        }.getOrElse(Map.empty)
+        ModelKind.Seed(
+          unq(args.getOrElse("path", throw new IllegalArgumentException("SEED needs path"))),
+          batchSize = args.get("batch_size").map(_.trim.toInt).getOrElse(1000),
+          options = csvSettings ++
+            (args - "path" - "batch_size" - "csv_settings")
+              .map { case (k, v) => k -> unq(v) })
       case "MANAGED" => ModelKind.Managed(
         targetLag = unq(args.getOrElse("target_lag", "downstream")),
         properties = (args - "target_lag").map { case (k, v) => k -> unq(v) })

@@ -17,7 +17,10 @@ class SnapshotEvaluator(
     /** live view of project variables — a function so late-registered vars
       * (e.g. dbt_project.yml `vars` merged by loadDbtProject) are visible */
     variablesFn: () => Map[String, String] = () => Map.empty,
-    macros: Map[String, Seq[String] => String] = Map.empty) {
+    macros: Map[String, Seq[String] => String] = Map.empty,
+    /** audit-failure hook (model, audit, message, blocking) — notification
+      * targets observe both blocking aborts and non-blocking warns. */
+    onAuditFailure: (String, String, String, Boolean) => Unit = (_, _, _, _) => ()) {
 
   private def variables: Map[String, String] = variablesFn()
 
@@ -225,7 +228,7 @@ class SnapshotEvaluator(
       val cloned = org.apache.spark.sql.graft.SessionClone.clone(spark)
       s.model.sessionProperties.foreach { case (k, v) => cloned.conf.set(k, v) }
       val isolated = new SnapshotEvaluator(new SparkMaterializer(cloned),
-        workspace, customStrategies, variablesFn, macros)
+        workspace, customStrategies, variablesFn, macros, onAuditFailure)
       isolated.evaluateInner(s, interval, executionTs, tableMapping, isFirstInsert, dev)
     }
   }
@@ -346,6 +349,7 @@ class SnapshotEvaluator(
       val violations = Audits.run(spark, name, thisName, resolvedArgs)
       val sample = violations.limit(1).collect()
       if (sample.nonEmpty) {
+        onAuditFailure(s.model.name, name, sample.head.toString, blocking)
         if (blocking) {
           if (materializer.currentDataDir(t) != publishedDir)
             materializer.rollbackTo(t, publishedDir)

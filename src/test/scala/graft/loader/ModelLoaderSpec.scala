@@ -151,7 +151,7 @@ class ModelLoaderSpec extends AnyFunSuite {
       "MODEL (name am.m, kind FULL);\nSELECT 1 AS one")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "check.sql"),
       "AUDIT (name am_check);\nSELECT * FROM am.m WHERE one < 0")
-    val (models, audits) = ModelLoader.loadProject(proj)
+    val (models, audits, _) = ModelLoader.loadProject(proj)
     assert(models.map(_.name) == Seq("am.m"))
     assert(audits.map(_.name) == Seq("am_check") && audits.head.blocking)
   }
