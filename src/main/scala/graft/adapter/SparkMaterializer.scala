@@ -167,25 +167,48 @@ class SparkMaterializer(val spark: SparkSession) {
       read(source).limit(0))
 
   /** clone_table (base.py:1059, Delta SHALLOW CLONE analog): the clone's
-    * catalog entry points at the source's CURRENT data dir — zero data copy,
-    * which is what makes dev previews of 100 TB tables free. Copy-on-write
-    * versioning keeps the clone stable: the source's next write lands in a new
-    * version dir, never mutating the cloned one. */
+    * catalog entry pins the source's data AS OF clone time — zero data copy,
+    * which is what makes dev previews of 100 TB tables free. Full replaces
+    * roll a NEW version dir (copy-on-write), but appends land in the CURRENT
+    * dir, so a dir-pointing view would see post-clone appends; unpartitioned
+    * sources therefore pin the exact FILE LIST via a `{f1,f2,…}` glob view
+    * (a Delta shallow clone pins the file manifest the same way).
+    * Partitioned sources keep the dir pointer — their leaf-file globs would
+    * lose partition-column inference — so their clones are stable under
+    * replaces, not appends. */
   def cloneTable(target: PhysicalTable, source: PhysicalTable): Unit = {
     val dir = currentDataDir(source).getOrElse(
       throw new IllegalStateException(s"clone source ${source.qualified} has no data"))
     createSchema(target.database)
-    spark.sql(s"CREATE OR REPLACE VIEW ${target.qualified} AS SELECT * FROM parquet.`$dir`")
+    val path =
+      if (source.partitionedBy.nonEmpty) dir
+      else {
+        val p = new Path(dir)
+        val files = fs(p).listStatus(p).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).sorted
+        if (files.isEmpty) dir else s"$dir/{${files.mkString(",")}}"
+      }
+    spark.sql(s"CREATE OR REPLACE VIEW ${target.qualified} AS SELECT * FROM parquet.`$path`")
   }
 
   /** rename_table (base.py:2273) — catalog-level move; data dirs stay. */
   def renameTable(t: PhysicalTable, newTable: String): PhysicalTable = {
     val renamed = t.copy(table = newTable)
-    currentDataDir(t).foreach { dir =>
-      createSchema(renamed.database)
-      spark.sql(s"CREATE OR REPLACE VIEW ${renamed.qualified} AS SELECT * FROM parquet.`$dir`")
+    currentDataDir(t) match {
+      case Some(dir) =>
+        createSchema(renamed.database)
+        spark.sql(s"CREATE OR REPLACE VIEW ${renamed.qualified} AS SELECT * FROM parquet.`$dir`")
+        spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
+      case None if tableExists(t) =>
+        // view-only tables (zero-copy clones point at ANOTHER table's data
+        // dir) have no version dirs of their own — a pure catalog move keeps
+        // whatever the view referenced; the old re-create-and-drop path
+        // silently DROPPED such tables
+        spark.sql(s"ALTER VIEW ${t.qualified} RENAME TO " +
+          s"`${renamed.database}`.`${renamed.table}`")
+      case None =>
+        spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
     }
-    spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
     renamed
   }
 

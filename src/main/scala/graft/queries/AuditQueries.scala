@@ -248,5 +248,113 @@ object AuditQueries {
         """SELECT p_brand, count(*) AS count FROM part
           |WHERE NOT (length(p_name) > 30) OR NOT (p_retailprice > 0)
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ------- previously spec-only templates, now oracle-confirmed ---------
+    // (violations are manufactured via inline source subqueries so every
+    // entry has a non-trivial deterministic violation set)
+
+    "a_not_null" -> Entry(
+      audit("not_null",
+        "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang FROM documents) src",
+        Map("columns" -> "lang"), _.orderBy("doc_id")),
+      Some(
+        """SELECT doc_id, CAST(NULL AS VARCHAR) AS lang FROM documents
+          |WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin)),
+
+    "a_unique_values" -> Entry(
+      audit("unique_values", "lineitem", Map("columns" -> "l_orderkey"),
+        _.orderBy("l_orderkey", "l_orderkey_rank")),
+      Some(
+        """SELECT l_orderkey, CAST(rn AS INT) AS l_orderkey_rank FROM (
+          |  SELECT l_orderkey,
+          |    row_number() OVER (PARTITION BY l_orderkey ORDER BY 1) AS rn
+          |  FROM lineitem)
+          |WHERE rn > 1 ORDER BY l_orderkey, l_orderkey_rank""".stripMargin)),
+
+    "a_number_of_rows" -> Entry(
+      // region has 5 rows < threshold 10 → the count row IS the violation
+      audit("number_of_rows", "region", Map("threshold" -> "10")),
+      Some(
+        """SELECT count(*) AS cnt FROM (SELECT 1 FROM region LIMIT 11)
+          |HAVING count(*) <= 10""".stripMargin)),
+
+    "a_at_least_one" -> Entry(
+      audit("at_least_one", "nation",
+        Map("column" -> "n_name", "condition" -> "n_regionkey = 99")),
+      Some(
+        """SELECT count(n_name) AS cnt FROM nation WHERE n_regionkey = 99
+          |HAVING count(n_name) = 0""".stripMargin)),
+
+    "a_not_empty_string" -> Entry(
+      audit("not_empty_string",
+        "(SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN '' ELSE lang END AS lang FROM documents) src",
+        Map("column" -> "lang"), _.orderBy("doc_id")),
+      Some(
+        """SELECT doc_id, '' AS lang FROM documents
+          |WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin)),
+
+    "a_not_accepted_values" -> Entry(
+      audit("not_accepted_values", "lineitem",
+        Map("column" -> "l_linestatus", "is_in" -> "'F'"),
+        _.selectExpr("count(*) AS n_viol", "min(l_orderkey) AS first_key")),
+      Some(
+        """SELECT count(*) AS n_viol, min(l_orderkey) AS first_key
+          |FROM lineitem WHERE l_linestatus IN ('F')""".stripMargin)),
+
+    "a_valid_uuid" -> Entry(
+      audit("valid_uuid",
+        "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'not-a-uuid' " +
+          "ELSE concat_ws('-', substr(md5(CAST(doc_id AS STRING)), 1, 8), " +
+          "substr(md5(CAST(doc_id AS STRING)), 9, 4), " +
+          "substr(md5(CAST(doc_id AS STRING)), 13, 4), " +
+          "substr(md5(CAST(doc_id AS STRING)), 17, 4), " +
+          "substr(md5(CAST(doc_id AS STRING)), 21, 12)) END AS uid FROM documents) src",
+        Map("column" -> "uid"),
+        _.selectExpr("count(*) AS n_viol", "min(doc_id) AS first_doc")),
+      Some(
+        """SELECT count(*) AS n_viol, min(doc_id) AS first_doc
+          |FROM documents WHERE doc_id % 5 = 0""".stripMargin)),
+
+    "a_valid_email" -> Entry(
+      audit("valid_email",
+        "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+          "THEN concat('u', doc_id, '@ex.org') ELSE 'not an email' END AS em " +
+          "FROM documents) src",
+        Map("column" -> "em"),
+        _.selectExpr("count(*) AS n_viol", "min(doc_id) AS first_doc")),
+      Some(
+        """SELECT count(*) AS n_viol, min(doc_id) AS first_doc
+          |FROM documents WHERE doc_id % 3 != 0""".stripMargin)),
+
+    "a_valid_url" -> Entry(
+      audit("valid_url",
+        "(SELECT doc_id, CASE WHEN doc_id % 2 = 0 " +
+          "THEN concat('https://ex.org/p/', doc_id) ELSE 'no url here' END AS u " +
+          "FROM documents) src",
+        Map("column" -> "u"),
+        _.selectExpr("count(*) AS n_viol", "min(doc_id) AS first_doc")),
+      Some(
+        """SELECT count(*) AS n_viol, min(doc_id) AS first_doc
+          |FROM documents WHERE doc_id % 2 != 0""".stripMargin)),
+
+    "a_valid_http_method" -> Entry(
+      audit("valid_http_method",
+        "(SELECT doc_id, CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'GET' " +
+          "WHEN 1 THEN 'POST' WHEN 2 THEN 'FETCH' ELSE 'PUT' END AS verb " +
+          "FROM documents) src",
+        Map("column" -> "verb"),
+        _.selectExpr("count(*) AS n_viol", "min(doc_id) AS first_doc")),
+      Some(
+        """SELECT count(*) AS n_viol, min(doc_id) AS first_doc
+          |FROM documents WHERE doc_id % 4 = 2""".stripMargin)),
+
+    "a_mean_in_range" -> Entry(
+      // order totals' mean far above [0, 10] → the summary row violates
+      audit("mean_in_range", "orders",
+        Map("column" -> "o_totalprice", "min_v" -> "0", "max_v" -> "10"),
+        _.selectExpr("round(mean_o_totalprice, 2) AS mean_price")),
+      Some(
+        """SELECT round(m, 2) AS mean_price FROM (
+          |  SELECT AVG(o_totalprice) AS m FROM orders) WHERE m < 0 OR m > 10""".stripMargin)),
   )
 }

@@ -570,5 +570,143 @@ object KindQueries {
         |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
         |  FROM customer) t
         |WHERE rk <= 2 ORDER BY c_nationkey, c_custkey""".stripMargin)),
+
+    // ------------- DDL verbs: clone (zero-copy) + rename -----------------
+    "mk_clone_rename" -> Entry((s, dir) => {
+      import graft.adapter.{PhysicalTable, SparkMaterializer}
+      QueryUtil.registerAll(s, dir)
+      val m = new SparkMaterializer(s)
+      def pt(n: String) = PhysicalTable("graft__ddl", n,
+        java.nio.file.Files.createTempDirectory(s"ddl_$n").toString)
+      val src = pt("src_rev")
+      m.replaceQuery(src, s.sql(
+        """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+          |FROM orders GROUP BY o_orderpriority""".stripMargin))
+      // zero-copy clone, then mutate the SOURCE — the clone must be stable
+      val clone = pt("rev_clone")
+      m.cloneTable(clone, src)
+      m.insertAppend(src, s.sql(
+        "SELECT 'X-EXTRA' AS o_orderpriority, CAST(0 AS BIGINT) AS n, CAST(0 AS DOUBLE) AS rev"))
+      // rename the clone; reads resolve through the new name
+      val renamed = m.renameTable(clone, "rev_gold")
+      s.table(renamed.qualified).orderBy("o_orderpriority")
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------- DDL verbs: delete_from + update_table -----------------
+    "mk_delete_update" -> Entry((s, dir) => {
+      import graft.adapter.{PhysicalTable, SparkMaterializer}
+      QueryUtil.registerAll(s, dir)
+      val m = new SparkMaterializer(s)
+      val t = PhysicalTable("graft__ddl", "cust_mut",
+        java.nio.file.Files.createTempDirectory("ddl_mut").toString)
+      m.replaceQuery(t, s.sql(
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer"))
+      m.deleteWhere(t, col("c_acctbal") < 0)
+      m.updateWhere(t, col("c_mktsegment") === "BUILDING",
+        Map("c_acctbal" -> round(col("c_acctbal") * 1.1, 2)))
+      m.read(t).groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+        .orderBy("c_mktsegment")
+    }, Some(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(CASE WHEN c_mktsegment = 'BUILDING'
+        |    THEN round(c_acctbal * 1.1, 2) ELSE c_acctbal END), 2) AS bal
+        |FROM customer WHERE NOT (c_acctbal < 0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- write-audit-publish: failed blocking audit rolls the table back --
+    "mk_wap_rollback" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      def model(where: String) = Model("mart.wap_nations",
+        SqlBody(s"SELECT n_nationkey, n_name FROM raw.nation $where"),
+        kind = ModelKind.Full,
+        audits = Seq("number_of_rows" -> Map("threshold" -> "10")))
+      c.addModel(model(""))                       // 25 rows → audit passes
+      c.apply(c.plan("prod", 0L, D))
+      // the bad edit yields 5 rows < threshold → blocking audit fails and
+      // the physical table ROLLS BACK to the published version
+      c.addModel(model("WHERE n_nationkey < 5"))
+      try c.apply(c.plan("prod", 0L, 2 * D))
+      catch { case _: IllegalStateException => () }
+      s.table("mart.wap_nations").orderBy("n_nationkey")
+    }, Some(
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
+
+    // ------------- EMBEDDED kind: inline expansion, no physical object ----
+    "mk_embedded" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model("mart.big_orders",
+        SqlBody("SELECT * FROM raw.orders WHERE o_totalprice > 200000"),
+        kind = ModelKind.Embedded))
+      c.addModel(Model("mart.big_by_prio",
+        SqlBody(
+          """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+            |FROM mart.big_orders GROUP BY o_orderpriority""".stripMargin),
+        kind = ModelKind.Full))
+      c.apply(c.plan("prod", 0L, D))
+      // no physical table/view for the embedded model itself
+      require(!s.catalog.tableExists("mart.big_orders"),
+        "EMBEDDED must not materialize")
+      s.table("mart.big_by_prio").orderBy("o_orderpriority")
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders WHERE o_totalprice > 200000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------- SEED csv_settings through the kind pipeline -----------
+    "mk_seed_csv" -> Entry((s, dir) => {
+      val proj = java.nio.file.Files.createTempDirectory("graft_seedcsv")
+      java.nio.file.Files.writeString(proj.resolve("regions.csv"),
+        "rid;label;pop\n1;|north;east|;10\n2;NA;20\n3;south;30\n")
+      java.nio.file.Files.writeString(proj.resolve("regions.sql"),
+        s"""MODEL (
+           |  name mart.seed_regions,
+           |  kind SEED (
+           |    path '${proj.resolve("regions.csv")}',
+           |    csv_settings (delimiter ';', quotechar '|', na_values 'NA')
+           |  )
+           |);
+           |""".stripMargin)
+      val c = ctx(s, dir)
+      c.loadModels(proj.toString)
+      c.apply(c.plan("prod", 0L, D))
+      s.table("mart.seed_regions").orderBy("rid")
+    }, Some(
+      """SELECT * FROM (VALUES (1, 'north;east', 10), (2, CAST(NULL AS VARCHAR), 20),
+        |  (3, 'south', 30)) AS t(rid, label, pop)
+        |ORDER BY rid""".stripMargin)),
+
+    // ------------- METRIC file DDL + semantic-layer query ----------------
+    "sm_metric_file" -> Entry((s, dir) => {
+      val proj = java.nio.file.Files.createTempDirectory("graft_metrics")
+      java.nio.file.Files.writeString(proj.resolve("metrics.sql"),
+        """METRIC (
+          |  name file_rev,
+          |  expression round(SUM(o_totalprice), 2),
+          |  table raw.orders,
+          |  dims (prio o_orderpriority)
+          |);
+          |METRIC (
+          |  name file_orders,
+          |  expression COUNT(*),
+          |  table raw.orders,
+          |  dims (prio o_orderpriority)
+          |);
+          |METRIC (
+          |  name file_avg,
+          |  expression round(file_rev / NULLIF(file_orders, 0), 2)
+          |);
+          |""".stripMargin)
+      val c = ctx(s, dir)
+      c.loadModels(proj.toString)
+      c.semanticQuery(
+        """SELECT prio, file_rev, file_avg FROM __semantic.__table
+          |GROUP BY prio ORDER BY prio""".stripMargin)
+    }, Some(
+      """SELECT o_orderpriority AS prio, round(SUM(o_totalprice), 2) AS file_rev,
+        |  round(round(SUM(o_totalprice), 2) / NULLIF(COUNT(*), 0), 2) AS file_avg
+        |FROM orders GROUP BY o_orderpriority ORDER BY prio""".stripMargin)),
   )
 }
