@@ -678,6 +678,56 @@ object KindQueries {
         |  (3, 'south', 30)) AS t(rid, label, pop)
         |ORDER BY rid""".stripMargin)),
 
+    // ---- cron-tick gating: a daily model can't run past its last tick ----
+    "mk_cron_gate" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model("mart.cron_rev",
+        SqlBody(
+          """SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+            |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin),
+        kind = ModelKind.IncrementalByTimeRange(timeColumn = "d"),
+        cron = "@daily",
+        start = Some(dayMs("1995-01-01"))))
+      // plan window reaches Jan 10, but execution happens at NOON Jan 8 —
+      // the cron gate caps the backfill at the last @daily tick (Jan 8),
+      // so Jan 8-9 stay unprocessed (reference croniter gating)
+      val noonJan8 = dayMs("1995-01-08") + 12 * 3600 * 1000
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-10")),
+        executionTs = noonJan8)
+      s.table("mart.cron_rev").orderBy("d")
+    }, Some(
+      """SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-01-08'
+        |GROUP BY CAST(o_orderdate AS DATE) ORDER BY d""".stripMargin)),
+
+    // ---- signal gating: an interval runs only when its signal fires ------
+    "mk_signal_gate" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model("mart.signal_rev",
+        SqlBody(
+          """SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+            |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin),
+        kind = ModelKind.IncrementalByTimeRange(timeColumn = "d", batchSize = Some(2)),
+        start = Some(dayMs("1995-01-01"))))
+      // upstream-readiness signal (reference signals.py): only batches
+      // ending by Jan 7 are ready — later ones stay unprocessed until the
+      // signal fires on a future run
+      c.addSignal("mart.signal_rev", iv => iv.end <= dayMs("1995-01-07"))
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-11")))
+      s.table("mart.signal_rev").orderBy("d")
+    }, Some(
+      """SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-01-07'
+        |GROUP BY CAST(o_orderdate AS DATE) ORDER BY d""".stripMargin)),
+
     // ------------- METRIC file DDL + semantic-layer query ----------------
     "sm_metric_file" -> Entry((s, dir) => {
       val proj = java.nio.file.Files.createTempDirectory("graft_metrics")

@@ -171,5 +171,45 @@ object MacroQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderstatus <> 'X'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // @OR drops NULL branches like @AND (macros.py and_/or_); the expansion
+    // is what Catalyst sees, so the oracle replicates the expanded predicate
+    "m_and_or" -> entry(
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE @OR(c_mktsegment = 'BUILDING', NULL, c_mktsegment = 'MACHINERY')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE c_mktsegment = 'BUILDING' OR c_mktsegment = 'MACHINERY'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // @RESOLVE_TEMPLATE / @this_model interpolation (macros.py:1372) — the
+    // template resolves against the model under evaluation
+    "m_resolve_template" -> Entry((s, dir) => {
+      registerAll(s, dir)
+      val ev = new MacroEvaluator(start, end, exec, thisModel = Some("orders"))
+      s.sql(ev.render(
+        """SELECT o_orderstatus, count(*) AS n
+          |FROM @RESOLVE_TEMPLATE('@this_model')
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // user Scala macro registry (the reference's Python @macro() registry,
+    // macros.py:592): a host-language macro generating SQL at render time
+    "m_scala_macro" -> Entry((s, dir) => {
+      registerAll(s, dir)
+      val ev = new MacroEvaluator(start, end, exec, None,
+        registry = Map("TOP_N_BY" -> { args =>
+          val Seq(table, col0, n) = args.take(3)
+          s"(SELECT * FROM $table ORDER BY $col0 DESC, c_custkey LIMIT $n)"
+        }))
+      s.sql(ev.render(
+        """SELECT c_custkey, round(c_acctbal, 2) AS bal
+          |FROM @TOP_N_BY(customer, c_acctbal, 5) ORDER BY c_custkey""".stripMargin))
+    }, Some(
+      """SELECT c_custkey, round(c_acctbal, 2) AS bal
+        |FROM (SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5)
+        |ORDER BY c_custkey""".stripMargin)),
   )
 }
