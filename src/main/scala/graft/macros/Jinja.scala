@@ -329,6 +329,13 @@ object Jinja {
   /** Raw string value of an output/set expression. */
   private def value(expr: String, vars: Map[String, String],
                     bindings: Map[String, String], thisModel: Option[String]): String = {
+    // Jinja filter pipeline `expr | f1 | f2(args)`: split on top-level pipes
+    // (outside quotes/brackets), evaluate the head, fold filters left-to-right
+    val segments = splitPipes(expr)
+    if (segments.length > 1)
+      return segments.tail.foldLeft(
+        value(segments.head, vars, bindings, thisModel))(
+        (v, f) => applyFilter(v, f.trim, vars, bindings, thisModel))
     val e = expr.trim
     e match {
       case varCall(name, default) =>
@@ -365,6 +372,60 @@ object Jinja {
           case Some(ConstEval.B(b)) => b.toString.toUpperCase
           case None => throw new IllegalArgumentException(s"cannot evaluate jinja expr: $e")
         }
+    }
+  }
+
+  /** Split on top-level single `|` (outside quotes and brackets/parens) —
+    * the Jinja filter separator. `||` is SQL concat inside raw fragments
+    * and never splits. A single segment means no filters. */
+  private def splitPipes(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder
+    var depth = 0; var q = ' '; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != ' ') { if (c == q) q = ' '; cur.append(c) }
+      else c match {
+        case '\'' | '"'          => q = c; cur.append(c)
+        case '(' | '['           => depth += 1; cur.append(c)
+        case ')' | ']'           => depth -= 1; cur.append(c)
+        case '|' if depth == 0 && i + 1 < s.length && s.charAt(i + 1) == '|' =>
+          cur.append("||"); i += 1
+        case '|' if depth == 0   => out += cur.toString; cur.clear()
+        case other               => cur.append(other)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** The common Jinja/dbt filter subset (jinja2 builtin filters), applied to
+    * the already-evaluated string value. */
+  private def applyFilter(v: String, filter: String, vars: Map[String, String],
+                          bindings: Map[String, String],
+                          thisModel: Option[String]): String = {
+    val call = "(?s)^([A-Za-z_]\\w*)\\s*(?:\\((.*)\\))?$".r
+    filter match {
+      case call(name, argSrc) =>
+        val args = Option(argSrc).map(a =>
+          splitArgs(a).map(x => value(x, vars, bindings, thisModel))).getOrElse(Nil)
+        name match {
+          case "upper"   => v.toUpperCase
+          case "lower"   => v.toLowerCase
+          case "trim"    => v.trim
+          case "length"  => v.length.toString
+          case "title"   => v.split(" ").map(w =>
+            if (w.isEmpty) w else w.head.toUpper + w.tail.toLowerCase).mkString(" ")
+          case "replace" => v.replace(args(0), args(1))
+          case "default" => if (v.nonEmpty) v else args.headOption.getOrElse("")
+          case "truncate" => v.take(args.headOption.map(_.toInt).getOrElse(255))
+          case "int"     => BigDecimal(v).toBigInt.toString
+          case "round"   =>
+            val d = args.headOption.map(_.toInt).getOrElse(0)
+            BigDecimal(v).setScale(d, BigDecimal.RoundingMode.HALF_UP).toString
+          case other => throw new IllegalArgumentException(s"unsupported jinja filter: $other")
+        }
+      case _ => throw new IllegalArgumentException(s"bad jinja filter: $filter")
     }
   }
 

@@ -89,4 +89,17 @@ class PlanQualitySpec extends AnyFunSuite {
     // partial_min/partial_count before the exchange = map-side combine
     assert(p.contains("partial_min") || p.contains("partial_count"), p)
   }
+
+  test("unigramLogProb is one lazy plan with broadcast smoothing constants") {
+    val df = graft.functions.TextFunctions.unigramLogProb(docs)
+    val p = planOf(df)
+    // the smoothing denominator joins in via a BROADCAST of the one-row
+    // stats aggregate - no driver-side count() actions (each was a full
+    // corpus pass before r5); the whole computation is ONE Spark job
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // shuffles: vocab groupBy + tok-vocab join + per-doc groupBy + the
+    // one-row stats aggregate; anything more means a regression to extra
+    // corpus passes
+    assert(shuffles(df) <= 5, p)
+  }
 }

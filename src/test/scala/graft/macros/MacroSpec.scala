@@ -202,4 +202,19 @@ class MacroSpec extends AnyFunSuite {
       "SELECT * EXCEPT (secret) FROM t")
     assert(e.render("{{ dbt_utils.concat(['a', 'b']) }}") == "CONCAT(a, b)")
   }
+
+  test("jinja: filter pipeline (upper/lower/replace/default/round/int ...)") {
+    val e = ev(Map("env" -> "prod", "name" -> "west coast"))
+    assert(e.render("{{ var('env') | upper }}") == "PROD")
+    assert(e.render("{{ name | title }}") == "West Coast")
+    assert(e.render("{{ var('env') | replace('ro', 'la') }}") == "plad")
+    assert(e.render("{{ var('missing', '') | default('fallback') }}") == "fallback")
+    assert(e.render("{{ var('env') | default('x') }}") == "prod")
+    assert(e.render("{{ name | length }}") == "10")
+    assert(e.render("{% set v = 3.14159 %}{{ v | round(2) }}") == "3.14")
+    assert(e.render("{% set v = 7.9 %}{{ v | int }}") == "7")
+    assert(e.render("{{ var('env') | upper | replace('P', 'B') }}") == "BROD")
+    // || is SQL concat, never a filter split
+    assert(e.render("{% macro cc(x) %}{{ x }}{% endmacro %}{{ cc(a || b) }}") == "a || b")
+  }
 }
