@@ -116,7 +116,19 @@ object Sampling {
     * bucket between engines (decimal(38,0) products: no overflow even at
     * 100 TB token totals). The rate=1 cap is implicit: budget ≥ toks ⇒
     * `(hash%B)·toks < B·toks ≤ budget·B` for every row. `tokens` is the
-    * per-row token-count column. */
+    * per-row token-count column.
+    *
+    * Boundary convention: the exact comparison keeps the boundary bucket
+    * when `rate·B` is fractional (slightly OVERSHOOTING the budget), while
+    * the rate-based ops above ([[sample]]/[[sampleBy]]/[[temperatureBalance]])
+    * FLOOR `rate·B` (slightly undershooting). Intentional: a budget is a
+    * target to hit, a sample rate is a ceiling — and the integer form is
+    * what makes the budget predicate engine-exact.
+    *
+    * Caveat: rows in a group whose token SUM overflows decimal(38,0)
+    * (≈1e38 — requires garbage token values, not real corpora) would make
+    * the product NULL in non-ANSI mode and be silently dropped; validate
+    * token columns upstream if corrupt extremes are possible. */
   def tokenBudgetMix(df: DataFrame, keyCol: String, groupCol: String,
                      tokens: Column, budgets: Map[String, Long],
                      salt: String = ""): DataFrame = {
