@@ -94,7 +94,12 @@ object Jinja {
                         thisModel: Option[String]): Unit = ns.foreach {
     case Text(s) => out.append(s)
     case Out(e)  => out.append(value(e, vars, bindings.toMap, thisModel))
-    case SetVar(n, e) => bindings(n) = value(e, vars, bindings.toMap, thisModel)
+    case SetVar(n, e) =>
+      // list literals bind RAW — they're iterables for a later {% for %},
+      // not scalar values
+      bindings(n) =
+        if (e.trim.startsWith("[")) e.trim
+        else value(e, vars, bindings.toMap, thisModel)
     case MacroNode(_) => () // definitions emit nothing
     case If(branches, orElse) =>
       branches.find { case (c, _) => truthy(c, vars, bindings.toMap, thisModel) } match {
@@ -102,7 +107,13 @@ object Jinja {
         case None            => evalNodes(orElse, out, bindings, vars, thisModel)
       }
     case For(v, listExpr, body) =>
-      val items = parseList(listExpr).map(it => value(it, vars, bindings.toMap, thisModel))
+      // the iterable may be a literal list OR an expression producing one
+      // (`{% for c in var('columns') %}` — dbt's common column-loop idiom)
+      val src =
+        if (listExpr.trim.startsWith("[")) listExpr
+        else try value(listExpr, vars, bindings.toMap, thisModel)
+        catch { case _: IllegalArgumentException => listExpr }
+      val items = parseList(src).map(it => value(it, vars, bindings.toMap, thisModel))
       items.zipWithIndex.foreach { case (it, idx) =>
         val saved = (bindings.get(v), bindings.get("loop.index"))
         bindings(v) = it; bindings("loop.index") = (idx + 1).toString

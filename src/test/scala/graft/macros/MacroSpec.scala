@@ -217,4 +217,13 @@ class MacroSpec extends AnyFunSuite {
     // || is SQL concat, never a filter split
     assert(e.render("{% macro cc(x) %}{{ x }}{% endmacro %}{{ cc(a || b) }}") == "a || b")
   }
+
+  test("jinja: for-loop over a var()-supplied list") {
+    val e = ev(Map("cols" -> "[o_orderkey, o_custkey]"))
+    assert(e.render("{% for c in var('cols') %}max({{ c }}) AS m_{{ c }},{% endfor %}") ==
+      "max(o_orderkey) AS m_o_orderkey,max(o_custkey) AS m_o_custkey,")
+    // set-binding as the iterable works the same way
+    assert(e.render("{% set xs = ['a', 'b'] %}{% for x in xs %}{{ x }};{% endfor %}") ==
+      "a;b;")
+  }
 }
