@@ -22,6 +22,12 @@ import graft.core.{Interval, IntervalUnit}
   *   test                  run YAML unit tests (--tests DIR or <project>/tests)
   *   table-diff <model> <srcEnv:tgtEnv>   row/schema diff between envs
   *   check-intervals [env] per-model missing intervals in the window
+  *   fetch <sql>           query through the virtual layer, print rows
+  *   table-name <model> [env]   the env view a model resolves to
+  *   invalidate <env>      demote an environment's views immediately
+  *   create-external-models     write external_models.yaml for unknown refs
+  *   create-test <model>   generate a YAML unit test from live data
+  *   state-export <path> / state-import <path>   durable state round-trip
   *   environments          list environments
   *   info                  project summary
   *   dag                   model DAG as graphviz DOT
@@ -170,6 +176,61 @@ object Main {
             s"  ${e.name}  (${e.snapshots.size} models" +
               e.expirationTs.map(t => s", expires ${fmtTs(t)}").getOrElse("") + ")"))
           0
+        case "fetch" =>
+          printDf(out, ctx.fetch(positionalRequired(positional, "fetch <sql>")))
+          0
+        case "table-name" =>
+          val model = positionalRequired(positional, "table-name <model> [env]")
+          out.println(ctx.envTable(model, positional.drop(1).headOption.getOrElse("prod")))
+          0
+        case "invalidate" =>
+          val env = positionalRequired(positional, "invalidate <env>")
+          ctx.invalidateEnvironment(env)
+          out.println(s"environment '$env' invalidated")
+          0
+        case "create-external-models" =>
+          val path = flag("output").getOrElse(
+            projects.headOption.map(p => s"$p/external_models.yaml")
+              .getOrElse("external_models.yaml"))
+          ctx.createExternalModels(path)
+          out.println(s"wrote $path")
+          0
+        case "create-test" =>
+          val model = positionalRequired(positional, "create-test <model>")
+          // upstream refs resolve like the planner's table mapping: CLI
+          // externals by path, models through the prod virtual layer
+          val externalPaths = flagAll("external")
+            .map(kv => splitOnce(kv, '=', "--external")).toMap
+          val resolve: String => DataFrame = name =>
+            externalPaths.get(name) match {
+              case Some(p) if !p.startsWith("(") => spark.read.parquet(p)
+              case Some(sub)                     => spark.sql(s"SELECT * FROM $sub g")
+              case None => spark.table(ctx.envTable(name, "prod"))
+            }
+          val yaml = graft.testing.YamlModelTest.fromLive(spark,
+            s"test_${model.replace('.', '_')}", ctx.model(model), resolve,
+            limit = flag("limit").map(_.toInt).getOrElse(10),
+            start = start, end = end)
+          flag("output") match {
+            case Some(p) =>
+              java.nio.file.Files.writeString(java.nio.file.Paths.get(p), yaml)
+              out.println(s"wrote $p")
+            case None => out.println(yaml)
+          }
+          0
+        case "state-export" =>
+          val path = positionalRequired(positional, "state-export <path>")
+          ctx.state match {
+            case f: graft.state.FileStateStore => f.exportTo(path); out.println(s"wrote $path"); 0
+            case _ => out.println("state-export requires a durable state store"); 1
+          }
+        case "state-import" =>
+          val path = positionalRequired(positional, "state-import <path>")
+          ctx.state match {
+            case f: graft.state.FileStateStore =>
+              f.importFrom(path); out.println(s"imported $path"); 0
+            case _ => out.println("state-import requires a durable state store"); 1
+          }
         case "info"    => out.println(ctx.info); 0
         case "dag"     => out.println(ctx.dagDot); 0
         case "janitor" => ctx.janitor(); out.println("janitor complete"); 0
@@ -249,6 +310,8 @@ object Main {
   private val usage: String =
     """usage: graft <verb> [target...] [flags]
       |verbs: plan run evaluate render audit lint test table-diff
-      |       check-intervals environments info dag janitor destroy
+      |       check-intervals environments fetch table-name invalidate
+      |       create-external-models create-test state-export state-import
+      |       info dag janitor destroy
       |run `graft <verb>` with --project DIR --start/--end dates; see Scaladoc.""".stripMargin
 }

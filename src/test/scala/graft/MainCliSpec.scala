@@ -98,4 +98,40 @@ class MainCliSpec extends AnyFunSuite {
     val (code, txt) = cli("lint", "--project", proj)
     assert(code == 2 && txt.contains("nomissingexternalmodels"))
   }
+
+  test("fetch / table-name / create-test / state round-trip / invalidate") {
+    val proj = SparkTestSession.tmpDir("cli-proj2")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "seg.sql"),
+      """MODEL (name cli3.seg, kind FULL);
+        |SELECT c_mktsegment, count(*) AS n FROM raw.customer GROUP BY c_mktsegment
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.customer=$sf/customer.parquet")
+    assert(cli(Seq("plan", "prod", "--auto-apply") ++ base: _*)._1 == 0)
+
+    val (c1, fetched) = cli(Seq("fetch", "SELECT count(*) AS n FROM cli3.seg") ++ base: _*)
+    assert(c1 == 0 && fetched.contains("n"))
+
+    val (c2, tn) = cli(Seq("table-name", "cli3.seg", "dev") ++ base: _*)
+    assert(c2 == 0 && tn.contains("cli3__dev"))
+
+    // create-test emits a replayable YAML fixture from live data
+    val testOut = SparkTestSession.tmpDir("cli-tests") + "/t.yaml"
+    val (c3, _) = cli(Seq("create-test", "cli3.seg", "--output", testOut,
+      "--limit", "50") ++ base: _*)
+    assert(c3 == 0)
+    val (c4, ran) = cli(Seq("test", "--tests",
+      java.nio.file.Paths.get(testOut).getParent.toString) ++ base: _*)
+    assert(c4 == 0 && ran.contains("PASS"), ran)
+
+    // durable state round-trips through export/import
+    val stateOut = SparkTestSession.tmpDir("cli-state") + "/state.json"
+    assert(cli(Seq("state-export", stateOut) ++ base: _*)._1 == 0)
+    assert(cli(Seq("state-import", stateOut) ++ base: _*)._1 == 0)
+    assert(cli(Seq("environments") ++ base: _*)._2.contains("prod"))
+
+    // dev env can be invalidated; prod refuses
+    assert(cli(Seq("plan", "dev", "--auto-apply") ++ base: _*)._1 == 0)
+    assert(cli(Seq("invalidate", "dev") ++ base: _*)._1 == 0)
+    assert(cli(Seq("invalidate", "prod") ++ base: _*)._1 != 0)
+  }
 }
