@@ -182,6 +182,64 @@ object TextFunctions {
         round(col("top_count") / col("n_toks"), 4).as("top_frac"))
   }
 
+  /** C4-style segment filtering (Raffel et al. 2020 §2.2 — the line-level
+    * cleaning pass of the C4 pipeline): split the document on `sep`, KEEP
+    * only segments with ≥ `minWords` words, (optionally) terminal
+    * punctuation, and none of the `banned` markers (C4 drops lines with
+    * "javascript", pages with braces/lorem ipsum); reassemble with `sep`.
+    * Pure HOF projection (filter over split) — codegen'd, scan-speed,
+    * zero shuffle at any corpus size. `sep` defaults to newline (C4's
+    * unit); sentence-level passes use `". "` with `requireTerminal=false`
+    * (splitting consumes the terminal dot). */
+  def segmentFilter(text: Column, sep: String = "\n", minWords: Int = 3,
+                    requireTerminal: Boolean = true,
+                    banned: Seq[String] = Seq("javascript", "lorem ipsum", "{")):
+      Column = {
+    val keep: Column => Column = s => {
+      val words = size(filter(split(s, " "), w => length(w) > 0)) >= minWords
+      val terminal =
+        if (requireTerminal) s.rlike("[.!?\"']$") else lit(true)
+      val clean = banned.map(b => !contains(lower(s), lit(b)))
+        .foldLeft(lit(true))(_ && _)
+      words && terminal && clean
+    }
+    array_join(filter(split(text, java.util.regex.Pattern.quote(sep)), keep), sep)
+  }
+
+  /** Gopher document-quality rules (Rae et al. 2021, Table A1 — the
+    * repetition-free subset computable per document at scan speed): word
+    * count bounds, mean word length bounds, symbol-to-word ratio
+    * (`#`/ellipsis), alphabetic-word fraction, and English stopword
+    * presence. Returns a struct of the raw signals plus a `pass` flag; all
+    * pure codegen'd projections, zero shuffle. */
+  def gopherQuality(text: Column,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1,
+                    minAlphaFrac: Double = 0.8,
+                    minStopwordHits: Int = 2): Column = {
+    val words = filter(split(text, " "), w => length(w) > 0)
+    val n = size(words).cast("double")
+    val meanLen = round(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        greatest(n, lit(1.0)), 4)
+    val symbols = length(regexp_replace(text, "[^#]", "")) +
+      (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote("..."), ""))) / 3
+    val symbolRatio = round(symbols / greatest(n, lit(1.0)), 4)
+    val alphaFrac = round(
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
+        greatest(n, lit(1.0)), 4)
+    val stopHits = langScore(text, "en")
+    val pass = n >= minWords && n <= maxWords &&
+      meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+      symbolRatio <= maxSymbolRatio && alphaFrac >= minAlphaFrac &&
+      stopHits >= minStopwordHits
+    struct(
+      n.cast("long").as("word_count"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+      stopHits.as("stopword_hits"), pass.as("pass"))
+  }
+
   // PII patterns: ASCII-only regex syntax shared by Java and RE2 (no
   // backreferences), so any engine reproduces the redaction byte-for-byte.
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

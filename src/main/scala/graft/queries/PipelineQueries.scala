@@ -1526,5 +1526,52 @@ object PipelineQueries {
         |SELECT media_id, true AS decode_ok, CAST(8 AS INT) AS dim,
         |  round(list_sum(list_transform(features, v -> CAST(v AS DOUBLE))), 4) AS feat_sum
         |FROM f ORDER BY media_id""".stripMargin)),
+
+    // ------- C4-style segment filtering (Raffel et al. 2020 §2.2) --------
+    "td_c4_filter" -> Entry((s, dir) => {
+      // sentence-level pass over the single-line corpus: keep segments with
+      // ≥8 words; terminal-punct check off (the split consumes the dot)
+      t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.segmentFilter(col("text"), ". ", minWords = 8,
+            requireTerminal = false, banned = Seq("lorem")).as("filtered"))
+        .select(col("doc_id"), md5(col("filtered")).as("k"),
+          length(col("filtered")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH f AS (
+        |  SELECT doc_id, array_to_string(list_filter(string_split(text, '. '), s ->
+        |    len(list_filter(string_split(s, ' '), w -> len(w) > 0)) >= 8
+        |    AND NOT contains(lower(s), 'lorem')), '. ') AS filtered
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(filtered) AS k, CAST(len(filtered) AS INT) AS n_chars
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ------- Gopher document-quality rules (Rae et al. 2021, A1) ---------
+    "td_gopher_quality" -> Entry((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.gopherQuality(col("text"), minWords = 40).as("q"))
+        .select(col("doc_id"), col("q.word_count"), col("q.mean_word_len"),
+          col("q.alpha_frac"), col("q.stopword_hits"), col("q.pass"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+        |    len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|is)\b')) AS sw
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, len(ws) AS wc,
+        |    round(list_sum(list_transform(ws, x -> len(x))) * 1.0
+        |      / greatest(len(ws), 1), 4) AS mwl,
+        |    round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+        |      / greatest(len(ws), 1), 4) AS af,
+        |    sw
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(wc AS BIGINT) AS word_count, mwl AS mean_word_len,
+        |  af AS alpha_frac, CAST(sw AS INT) AS stopword_hits,
+        |  (wc >= 40 AND wc <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |   AND af >= 0.8 AND sw >= 2) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin)),
   )
 }

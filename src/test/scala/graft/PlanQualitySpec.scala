@@ -38,7 +38,9 @@ class PlanQualitySpec extends AnyFunSuite {
       Sampling.split(docs, "doc_id", Seq("train" -> 0.9, "test" -> 0.1)),
       docs.select(TextFunctions.scrubPii(col("text"))),
       docs.select(TextFunctions.qualityScore(col("text"))),
-      docs.select(TextFunctions.fingerprint(col("text"))))
+      docs.select(TextFunctions.fingerprint(col("text"))),
+      docs.select(TextFunctions.segmentFilter(col("text"))),
+      docs.select(TextFunctions.gopherQuality(col("text"))))
     zeroShuffle.zipWithIndex.foreach { case (df, i) =>
       assert(shuffles(df) == 0, s"op $i shuffles:\n${planOf(df)}")
     }
