@@ -704,6 +704,57 @@ object KindQueries {
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-01-08'
         |GROUP BY CAST(o_orderdate AS DATE) ORDER BY d""".stripMargin)),
 
+    // ---- allow_partials: the partial trailing interval DOES run ----------
+    "mk_allow_partials" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model("mart.partial_rev",
+        SqlBody(
+          """SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+            |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin),
+        kind = ModelKind.IncrementalByTimeRange(timeColumn = "d"),
+        cron = "@daily",
+        start = Some(dayMs("1995-01-01")),
+        allowPartials = true))
+      // same mid-day execution as mk_cron_gate — but allow_partials opts out
+      // of the cron-tick cap, so the FULL plan window backfills
+      val noonJan8 = dayMs("1995-01-08") + 12 * 3600 * 1000
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-10")),
+        executionTs = noonJan8)
+      s.table("mart.partial_rev").orderBy("d")
+    }, Some(
+      """SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-01-10'
+        |GROUP BY CAST(o_orderdate AS DATE) ORDER BY d""".stripMargin)),
+
+    // ---- batch_concurrency: parallel staged batches publish serially -----
+    "mk_batch_concurrent" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      c.addModel(Model("mart.conc_rev",
+        SqlBody(
+          """SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+            |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin),
+        kind = ModelKind.IncrementalByTimeRange(timeColumn = "d",
+          batchSize = Some(7), batchConcurrency = Some(3)),
+        start = Some(dayMs("1995-01-01")),
+        partitionedBy = Seq("d")))
+      // 2 months / 7-day batches → 9 batches: first runs alone (creates the
+      // table), the rest COMPUTE concurrently into private staging dirs and
+      // publish serially — the oracle proves no batch was lost or doubled
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-03-01")))
+      s.table("mart.conc_rev").orderBy("d")
+    }, Some(
+      """SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'
+        |GROUP BY CAST(o_orderdate AS DATE) ORDER BY d""".stripMargin)),
+
     // ---- signal gating: an interval runs only when its signal fires ------
     "mk_signal_gate" -> Entry((s, dir) => {
       val c = ctx(s, dir)
