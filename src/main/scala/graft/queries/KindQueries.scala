@@ -704,6 +704,44 @@ object KindQueries {
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-01-08'
         |GROUP BY CAST(o_orderdate AS DATE) ORDER BY d""".stripMargin)),
 
+    // ---- effective_from: forward-only logic applies FROM a date ----------
+    "mk_effective_from" -> Entry((s, dir) => {
+      val ws = java.nio.file.Files.createTempDirectory("graft_ef").toString
+      def mk(body: String): GraftContext = {
+        val cc = new GraftContext(s, ws, 2, durableState = true)
+        tables.foreach(t => cc.addExternal(s"raw.$t", externalFor(s, dir, t)))
+        cc.addModel(Model("mart.ef_rev", SqlBody(body),
+          kind = ModelKind.IncrementalByTimeRange(
+            timeColumn = "d", timeFormat = "date", forwardOnly = true),
+          start = Some(dayMs("1995-01-01"))))
+        cc
+      }
+      val v1 = mk(
+        """SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS rev
+          |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+          |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin)
+      v1.apply(v1.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+      // v2 DOUBLES rev; --effective-from Jan 15 drops only the inherited
+      // intervals at/after that date, so history before it keeps the OLD
+      // logic and everything from it re-runs with the new one (the
+      // forward-only "apply new logic from here" contract)
+      val v2 = mk(
+        """SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice) * 2, 2) AS rev
+          |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+          |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin)
+      v2.apply(v2.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01"),
+        forwardOnly = true, effectiveFrom = Some(dayMs("1995-01-15"))))
+      s.table("mart.ef_rev").orderBy("d")
+    }, Some(
+      """SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CASE WHEN o_orderdate >= TIMESTAMP '1995-01-15'
+        |    THEN round(sum(o_totalprice) * 2, 2)
+        |    ELSE round(sum(o_totalprice), 2) END AS rev
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'
+        |GROUP BY CAST(o_orderdate AS DATE), o_orderdate >= TIMESTAMP '1995-01-15'
+        |ORDER BY d""".stripMargin)),
+
     // ---- allow_partials: the partial trailing interval DOES run ----------
     "mk_allow_partials" -> Entry((s, dir) => {
       val c = ctx(s, dir)
