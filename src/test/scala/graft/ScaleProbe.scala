@@ -46,6 +46,17 @@ object ScaleProbe {
           Map("n_chars" -> -0.002, "n_words" -> 0.01), -1.0).as("s"))
           .filter(col("s") > 0.5).count()
       }
+      time(s"gopher+c4 $label") {
+        d.select(TextFunctions.gopherQuality(col("text")).as("q"),
+            TextFunctions.segmentFilter(col("text"), ". ", 8,
+              requireTerminal = false).as("t"))
+          .filter(col("q.pass") && length(col("t")) > 0).count()
+      }
+      time(s"unigram_lm $label") { TextFunctions.unigramLogProb(d).count() }
+      time(s"token_budget $label") {
+        Sampling.tokenBudgetMix(d, "doc_id", "source", col("n_chars"),
+          (0 until 20).map(i => s"src$i" -> 100000L).toMap).count()
+      }
     }
     spark.stop()
   }
