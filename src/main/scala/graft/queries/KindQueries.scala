@@ -594,6 +594,34 @@ object KindQueries {
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS rev
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ------------- DDL verbs: create_table_like + time travel ------------
+    "mk_table_like_travel" -> Entry((s, dir) => {
+      import graft.adapter.{PhysicalTable, SparkMaterializer}
+      QueryUtil.registerAll(s, dir)
+      val m = new SparkMaterializer(s)
+      def pt(n: String) = PhysicalTable("graft__ddl", n,
+        java.nio.file.Files.createTempDirectory(s"ddl_$n").toString)
+      val src = pt("tl_src")
+      m.replaceQuery(src, s.sql(
+        "SELECT r_regionkey, r_name FROM region"))
+      // empty structural copy, then fill it with different data
+      val like = pt("tl_copy")
+      m.createTableLike(like, src)
+      m.insertAppend(like, s.sql(
+        "SELECT n_nationkey AS r_regionkey, n_name AS r_name FROM nation WHERE n_nationkey < 10"))
+      // time travel: v0 of the source (pre-replace) must still read after a
+      // second replace rewrites the current version
+      m.replaceQuery(src, s.sql(
+        "SELECT r_regionkey + 100 AS r_regionkey, r_name FROM region"))
+      val v0 = m.readVersion(src, 0).withColumnRenamed("r_name", "v0_name")
+      m.read(like).join(v0, "r_regionkey")
+        .select(col("r_regionkey"), col("r_name"), col("v0_name"))
+        .orderBy("r_regionkey")
+    }, Some(
+      """SELECT n_nationkey AS r_regionkey, n_name AS r_name, r.r_name AS v0_name
+        |FROM nation n JOIN region r ON n.n_nationkey = r.r_regionkey
+        |WHERE n.n_nationkey < 10 ORDER BY r_regionkey""".stripMargin)),
+
     // ------------- DDL verbs: delete_from + update_table -----------------
     "mk_delete_update" -> Entry((s, dir) => {
       import graft.adapter.{PhysicalTable, SparkMaterializer}
