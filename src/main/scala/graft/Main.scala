@@ -241,6 +241,11 @@ object Main {
     } catch {
       case e: IllegalArgumentException => out.println(s"error: ${e.getMessage}"); 1
       case e: IllegalStateException    => out.println(s"error: ${e.getMessage}"); 2
+      // engine/analysis failures (bad SQL in fetch/evaluate, missing tables)
+      // exit cleanly with the first message line, not a stack trace
+      case e: Exception =>
+        out.println(s"error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}")
+        2
     }
   }
 
