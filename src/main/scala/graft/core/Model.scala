@@ -108,13 +108,15 @@ final case class Model(
     // audit args can reference OTHER relations (dbt `relationships` `to:`) —
     // those are real dependencies: they must resolve through the same table
     // mapping as the body, and the referenced model must be materialized
-    // BEFORE this model's post-insert audit runs (DAG ordering). Only bare
-    // qualified names count; expression args ("x >= 1") never match.
+    // BEFORE this model's post-insert audit runs (DAG ordering). Only the
+    // relation-holding `to` key counts, and only bare qualified names — a
+    // dotted STRUCT-column arg (`column -> meta.ip`) or an expression never
+    // becomes a phantom dependency.
     fromBody ++ auditTableRefs
   }
 
   private def auditTableRefs: Set[String] =
-    audits.flatMap(_._2.values).collect {
+    audits.flatMap(_._2.get("to")).collect {
       case v if Model.qualifiedName.matches(v) => v
     }.toSet
 }
