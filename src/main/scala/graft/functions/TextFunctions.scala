@@ -134,6 +134,26 @@ object TextFunctions {
   def contentKey(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, SIGMOD — the MOSS
+    * document-fingerprinting algorithm): hash every `k`-char gram of the
+    * lowercased text ([[PortableHash.h60]], portable across engines), take
+    * the MINIMUM hash of each `w`-gram window, and return the sorted
+    * distinct selections. Guarantee: any shared substring of length
+    * ≥ `w + k - 1` yields at least one shared fingerprint, so fingerprint
+    * overlap is a robust copy/near-dup signal. Pure HOF projection —
+    * codegen-friendly, zero shuffle; downstream dedup explodes the
+    * fingerprint array and joins like any shingle-based op. */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val t = lower(text)
+    val grams = transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => PortableHash.h60(t.substr(i, lit(k))))
+    val mins = transform(
+      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+      j => array_min(slice(grams, j, lit(w))))
+    array_sort(array_distinct(mins))
+  }
+
   /** Unigram language-model quality score: mean log10 corpus probability of
     * a document's tokens (add-one smoothed). The cheap statistical
     * perplexity proxy used for quality filtering — far-from-corpus documents

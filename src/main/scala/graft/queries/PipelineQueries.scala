@@ -1547,6 +1547,32 @@ object PipelineQueries {
         |SELECT doc_id, md5(filtered) AS k, CAST(len(filtered) AS INT) AS n_chars
         |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // ------- winnowing fingerprints (Schleimer et al. 2003 / MOSS) -------
+    "td_winnow" -> Entry((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.winnowFingerprints(col("text"), k = 5, w = 4).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fp"),
+          element_at(col("fps"), 1).as("first_fp"),
+          element_at(col("fps"), -1).as("last_fp"),
+          md5(concat_ws(",", col("fps"))).as("set_md5"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH h AS (SELECT doc_id, lower(text) AS t, len(text) AS n FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(n - 4, 1) + 1), i ->
+        |    CAST('0x' || substring(md5(substring(t, CAST(i AS INT), 5)), 1, 15) AS BIGINT)) AS hs
+        |  FROM h
+        |), w AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    list_transform(range(1, greatest(len(hs) - 3, 1) + 1), j ->
+        |      list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)])))) AS fps
+        |  FROM g
+        |)
+        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp, fps[1] AS first_fp,
+        |  fps[len(fps)] AS last_fp,
+        |  md5(array_to_string(fps, ',')) AS set_md5
+        |FROM w ORDER BY doc_id""".stripMargin)),
+
     // ------- Gopher document-quality rules (Rae et al. 2021, A1) ---------
     "td_gopher_quality" -> Entry((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),

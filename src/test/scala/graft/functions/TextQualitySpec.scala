@@ -154,4 +154,31 @@ class TextQualitySpec extends AnyFunSuite {
     // c has no budget → dropped entirely
     assert(!bySrc.contains("c"))
   }
+
+  test("winnowing guarantee: shared substrings >= w+k-1 share a fingerprint") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    // k=5, w=4: any shared run of >= 8 chars must yield a common fingerprint
+    val shared = randText(30)
+    val docs = Seq(
+      (1L, randText(40) + shared + randText(40)),
+      (2L, randText(25) + shared + randText(55)),
+      (3L, randText(120))) // no planted overlap
+      .toDF("doc_id", "text")
+    val fps = docs.select($"doc_id",
+        graft.functions.TextFunctions.winnowFingerprints($"text", k = 5, w = 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty,
+      "planted 30-char overlap produced no shared fingerprint")
+    // fingerprints are sorted distinct
+    fps.values.foreach(f => assert(f == f.distinct.sorted))
+    // determinism
+    val again = docs.select(
+        graft.functions.TextFunctions.winnowFingerprints($"text", 5, 4).as("fps"))
+      .as[Seq[Long]].collect()
+    assert(again.toSeq == docs.select(
+      graft.functions.TextFunctions.winnowFingerprints($"text", 5, 4).as("fps"))
+      .as[Seq[Long]].collect().toSeq)
+  }
 }
