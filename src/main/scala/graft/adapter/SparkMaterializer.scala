@@ -474,7 +474,13 @@ class SparkMaterializer(val spark: SparkSession) {
     * `updated_at_as_valid_from` (:1904).
     */
   def scdType2ByTime(t: PhysicalTable, sourceDf: DataFrame,
-                     kind: ModelKind.ScdType2ByTime, executionTs: java.sql.Timestamp): Unit = {
+                     kind: ModelKind.ScdType2ByTime, executionTs: java.sql.Timestamp): Unit =
+    replaceQuery(t, scd2ByTimeFrame(t, sourceDf, kind, executionTs))
+
+  /** The SCD2-by-time result frame, exposed so PlanQualitySpec can pin the
+    * join strategy (no mandatory broadcast of the closed history). */
+  private[graft] def scd2ByTimeFrame(t: PhysicalTable, sourceDf: DataFrame,
+                     kind: ModelKind.ScdType2ByTime, executionTs: java.sql.Timestamp): DataFrame = {
     val keys = kind.uniqueKey
     val vf = kind.validFromCol; val vt = kind.validToCol; val ua = kind.updatedAtCol
     val source = dedupByKey(sourceDf, keys, Seq(col(ua)))
@@ -484,18 +490,14 @@ class SparkMaterializer(val spark: SparkSession) {
       case None =>
         // initial load: every row open; valid_from = epoch 0 unless
         // updated_at_as_valid_from (:1904,:1916)
-        val init = source
+        source
           .withColumn(vf, if (kind.updatedAtAsValidFrom) col(ua) else epoch0)
           .withColumn(vt, lit(null).cast("timestamp"))
-        replaceQuery(t, init)
 
       case Some(_) =>
         val target = read(t)
         val static = target.filter(col(vt).isNotNull)
         val latest = target.filter(col(vt).isNull)
-        // most recent closed row per key — for hard-delete re-inserts (:1921)
-        val latestDeleted = static.groupBy(keys.map(col): _*)
-          .agg(max(col(vt)).as("__del_vt"))
 
         // explicit `_exists` markers (reference exp.true().as("_exists")): a
         // legitimately-NULL first key column must not read as "row absent"
@@ -531,16 +533,27 @@ class SparkMaterializer(val spark: SparkSession) {
         // keys re-appearing after a hard delete open at
         // max(latest_deleted.valid_to, updated_at) (base.py:2004-2011)
         val newKeyVf = if (kind.updatedAtAsValidFrom) col(s"s_$ua") else epoch0
-        val inserted = j.filter(inSource && !inTarget).select(
+        val insertedBase = j.filter(inSource && !inTarget).select(
           (dataCols.map(c => col(s"s_$c").as(c)) :+
             newKeyVf.as(vf) :+
             lit(null).cast("timestamp").as(vt)): _*)
-          .join(broadcast(latestDeleted), keys, "left")
+        // most recent closed row per key — for hard-delete re-inserts (:1921,
+        // base.py:2004-2011 latest_deleted). The closed history's key
+        // cardinality is unbounded at scale, so prune it with a semi-join to
+        // the (typically tiny) set of keys inserted THIS batch before the
+        // aggregate, and leave join strategy to AQE — a forced broadcast of
+        // the full history would OOM the driver at 100 TB.
+        val latestDeleted = static
+          .join(insertedBase.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .groupBy(keys.map(col): _*)
+          .agg(max(col(vt)).as("__del_vt"))
+        val inserted = insertedBase
+          .join(latestDeleted, keys, "left")
           .withColumn(vf, when(col("__del_vt").isNotNull,
             greatest(col("__del_vt"), col(ua))).otherwise(col(vf)))
           .drop("__del_vt")
 
-        replaceQuery(t, static.unionByName(existing).unionByName(updatedNew).unionByName(inserted))
+        static.unionByName(existing).unionByName(updatedNew).unionByName(inserted)
     }
   }
 

@@ -58,6 +58,38 @@ object ScaleProbe {
           (0 until 20).map(i => s"src$i" -> 100000L).toMap).count()
       }
     }
+
+    // SCD2-by-time with a large closed history: the r5 verdict flagged a
+    // forced broadcast(latestDeleted); after the semi-join fix the closed-key
+    // cardinality must not reach the driver. 2e5 closed keys, tiny batch.
+    {
+      import graft.adapter.{PhysicalTable, SparkMaterializer}
+      import graft.core.ModelKind
+      val m = new SparkMaterializer(spark)
+      val dir2 = java.nio.file.Files.createTempDirectory("scale_scd2").toString
+      val t = PhysicalTable("graft__probe", "scd2_scale", dir2, Nil)
+      val kind = ModelKind.ScdType2ByTime(uniqueKey = Seq("id"))
+      val nKeys = 200000
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val gen1 = spark.range(nKeys).select(col("id"), lit("v1").as("st"), lit(t1).as("updated_at"))
+      m.scdType2ByTime(t, gen1, kind, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"))
+      val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      val gen2 = spark.range(nKeys).select(col("id"), lit("v2").as("st"), lit(t2).as("updated_at"))
+      time(s"scd2 close ${nKeys} keys") {
+        m.scdType2ByTime(t, gen2, kind, java.sql.Timestamp.valueOf("2024-02-01 12:00:00"))
+        m.read(t).count()
+      }
+      // hard-delete everything, then re-insert: exercises latestDeleted over
+      // the full 2e5-key closed history with a 1-row insert batch
+      val hd = ModelKind.ScdType2ByTime(uniqueKey = Seq("id"), invalidateHardDeletes = true)
+      m.scdType2ByTime(t, gen2.limit(0), hd, java.sql.Timestamp.valueOf("2024-03-01 12:00:00"))
+      val t3 = java.sql.Timestamp.valueOf("2024-04-01 00:00:00")
+      time("scd2 re-insert 1 row vs 2e5 closed") {
+        m.scdType2ByTime(t, spark.range(1).select(col("id"), lit("v3").as("st"),
+          lit(t3).as("updated_at")), hd, java.sql.Timestamp.valueOf("2024-04-01 12:00:00"))
+        m.read(t).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -121,6 +121,24 @@ class MaterializerSpec extends AnyFunSuite {
 
   val scdKind = ModelKind.ScdType2ByTime(uniqueKey = Seq("id"))
 
+  test("SCD2-by-time plan: no mandatory broadcast of the closed history") {
+    // VERDICT r5 #1: a forced broadcast(latestDeleted) OOMs at 100 TB — the
+    // closed history's key cardinality is unbounded. Pin that the plan carries
+    // no broadcast hint (AQE picks the strategy) and that the history side is
+    // pruned by a semi-join to the inserted keys before aggregation.
+    val t = tbl("scd_plan")
+    m.scdType2ByTime(t, Seq((1, "a", ts("2024-01-01 00:00:00"))).toDF("id", "st", "updated_at"),
+      scdKind, ts("2024-01-01 12:00:00"))
+    m.scdType2ByTime(t, Seq((1, "b", ts("2024-01-02 00:00:00"))).toDF("id", "st", "updated_at"),
+      scdKind, ts("2024-01-02 12:00:00")) // closes a row: history is non-empty
+    val frame = m.scd2ByTimeFrame(t,
+      Seq((2, "c", ts("2024-01-03 00:00:00"))).toDF("id", "st", "updated_at"),
+      scdKind, ts("2024-01-03 12:00:00"))
+    val analyzed = frame.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), s"broadcast hint leaked into SCD2 plan:\n$analyzed")
+    assert(analyzed.contains("LeftSemi"), s"closed history not semi-join pruned:\n$analyzed")
+  }
+
   test("SCD2-by-time: a legitimately-NULL key column is a real row, not an absence") {
     // ADVICE r02: presence after the full-outer join comes from explicit
     // `_exists` markers, never from key-column nullness
