@@ -146,8 +146,24 @@ class GraftContext(
     ms.filter(_.enabled).foreach(addModel)
     audits.foreach(addStandaloneAudit)
     metricDefs.foreach(addMetric)
+    // project config.yaml (reference core/config/root.py Config): variables
+    // merge under --var/programmatic ones; linter toggles apply contextwide
+    graft.loader.ProjectConfig.load(dir).foreach { cfg =>
+      // config vars are the LOWEST precedence: --var / programmatic wins
+      cfg.variables.foreach { case (k, v) =>
+        if (!variables.contains(k) && !extraVariables.contains(k)) extraVariables(k) = v
+      }
+      lintIgnoredRules ++= cfg.linterIgnored
+      if (!cfg.linterEnabled) lintEnabled = false
+    }
     this
   }
+
+  /** Linter toggles from config.yaml (reference core/config/linter.py):
+    * rules in `ignored_rules` never report; `enabled: false` silences lint
+    * entirely (models still analyze at plan time). */
+  private val lintIgnoredRules = scala.collection.mutable.Set[String]()
+  private var lintEnabled = true
 
   // ----------------------------------------------------------- metrics ----
 
@@ -254,15 +270,23 @@ class GraftContext(
       m.body match {
         case SqlBody(_) if m.kind != ModelKind.External && m.kind != ModelKind.Embedded =>
           try {
-            val out = spark.sql(renderSql(m.name, 0L, 86400000L, 0L)).schema.fieldNames
-            // noambiguousprojections (builtin.py:292): Spark auto-names
-            // unaliased expressions after their SQL text — anything that
-            // isn't a plain identifier needs an explicit alias; duplicate
-            // output names break schema contracts and downstream SELECTs
+            val outAttrs = spark.sql(renderSql(m.name, 0L, 86400000L, 0L))
+              .queryExecution.analyzed.output
+            val out = outAttrs.map(_.name)
+            // noambiguousprojections (builtin.py:292): duplicate output
+            // names break schema contracts and downstream SELECTs; an
+            // output whose name Spark invented from the expression's SQL
+            // text (it tags those with __autoGeneratedAlias metadata) needs
+            // an explicit alias. An explicit alias is always accepted, even
+            // a backtick-quoted one like AS `total rev` — only
+            // non-inferrable auto-generated names are violations.
             val dups = out.groupBy(_.toLowerCase).collect {
               case (n, g) if g.length > 1 => n
             }.toSeq.sorted
-            val unaliased = out.filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*")).sorted
+            val unaliased = outAttrs
+              .filter(a => a.metadata.contains("__autoGeneratedAlias") &&
+                !a.name.matches("[A-Za-z_][A-Za-z0-9_]*"))
+              .map(_.name).sorted
             dups.map(n => Linter.Violation("noambiguousprojections", m.name,
                 s"duplicate outer select name '$n'", blocking = true)) ++
               unaliased.map(n => Linter.Violation("noambiguousprojections", m.name,
@@ -288,7 +312,9 @@ class GraftContext(
         .filterNot(m => testedModels.contains(m.name))
         .map(m => Linter.Violation("nomissingunittest", m.name,
           "model has no unit test in the loaded tests directory", blocking = false))
-    val all = base ++ missingExt ++ starExpansion ++ analysis ++ missingTests
+    val all = (base ++ missingExt ++ starExpansion ++ analysis ++ missingTests)
+      .filterNot(v => lintIgnoredRules.contains(v.rule))
+      .filter(_ => lintEnabled)
     if (enforce && all.exists(_.blocking))
       throw new IllegalStateException("linter: " + all.filter(_.blocking)
         .map(v => s"[${v.rule}] ${v.model}: ${v.message}").mkString("; "))

@@ -92,8 +92,33 @@ object DbtLoader {
     val macroNames: Set[String] =
       if (macroSrc.trim.isEmpty) Set.empty
       else graft.macros.Jinja.parseMacros(macroSrc).keySet
-    def withMacros(sql: String): String =
-      if (macroNames.exists(n => sql.contains(n + "("))) s"$macroSrc\n$sql" else sql
+    // per-macro source spans, so a model is prepended ONLY the definitions
+    // it (transitively) references — concatenating every macro file would
+    // change the fingerprint of all macro-calling models whenever ANY macro
+    // is edited, forcing rebuilds of models that never reference it
+    // (reference hashes only referenced macros into the data hash)
+    val macroDefRe =
+      """(?s)\{%-?\s*macro\s+([A-Za-z_]\w*)\s*\(.*?\{%-?\s*endmacro\s*-?%\}""".r
+    val macroSrcByName: Map[String, String] =
+      macroDefRe.findAllMatchIn(macroSrc).map(m => m.group(1) -> m.matched).toMap
+    // call detection tolerates whitespace between name and '(' — jinja
+    // allows `{{ money (x) }}`
+    def callsIn(text: String): Set[String] = macroNames.filter { n =>
+      ("""\b""" + java.util.regex.Pattern.quote(n) + """\s*\(""").r
+        .findFirstIn(text).isDefined
+    }
+    def withMacros(sql: String): String = {
+      var seen = Set.empty[String]
+      var frontier = callsIn(sql)
+      while (frontier.nonEmpty) {
+        seen ++= frontier
+        frontier = frontier.flatMap(n =>
+          callsIn(macroSrcByName.getOrElse(n, ""))) -- seen
+      }
+      if (seen.isEmpty) sql
+      else if (!seen.forall(macroSrcByName.contains)) s"$macroSrc\n$sql" // span extraction missed one: keep old behavior
+      else seen.toSeq.sorted.map(macroSrcByName).mkString("\n") + "\n" + sql
+    }
     // schema.yml column tests attach as audits (keyed by dbt's short name)
     // MERGE per-model across yml files: several schema.yml files may declare
     // tests for the same model (dbt model names are project-unique by stem,

@@ -284,7 +284,26 @@ object Jinja {
 
   /** General call syntax `name(args)` / `pkg.name(args)` — user macros and
     * the dbt_utils builtins. */
-  private val callRe = "(?s)^([A-Za-z_][\\w.]*)\\((.*)\\)$".r
+  private val callRe = "(?s)^([A-Za-z_][\\w.]*)\\s*\\((.*)\\)$".r
+
+  /** `name(...)` is only a call when the captured argSrc is one balanced
+    * argument list: callRe's greedy (.*) would otherwise bind
+    * `{{ money(a) > money(b) }}` as money("a) > money(b") and silently
+    * render wrong SQL. Depth going negative = the first ')' closed the
+    * call mid-expression — fall through to ConstEval/error instead. */
+  private def balancedArgs(argSrc: String): Boolean = {
+    var depth = 0; var q = ' '; var ok = true
+    argSrc.foreach { c =>
+      if (q != ' ') { if (c == q) q = ' ' }
+      else c match {
+        case '\'' | '"' => q = c
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1; if (depth < 0) ok = false
+        case _ =>
+      }
+    }
+    ok && depth == 0
+  }
 
   /** The dbt_utils subset (reference sqlmesh_dbt compatibility surface;
     * dbt-labs/dbt-utils cross-db macros re-expressed as Spark SQL). Args
@@ -365,9 +384,9 @@ object Jinja {
       case _ if e.equalsIgnoreCase("is_incremental()") =>
         vars.getOrElse("is_incremental", "false")
       // user {% macro %} invocation, then the dbt_utils builtin subset
-      case callRe(name, argSrc) if macroEnv.get.contains(name) =>
+      case callRe(name, argSrc) if macroEnv.get.contains(name) && balancedArgs(argSrc) =>
         callMacro(macroEnv.get()(name), splitArgs(argSrc), vars, bindings, thisModel)
-      case callRe(name, argSrc) if dbtUtils.contains(name) =>
+      case callRe(name, argSrc) if dbtUtils.contains(name) && balancedArgs(argSrc) =>
         dbtUtils(name)(splitArgs(argSrc))
       case _ if bindings.contains(e) => bindings(e)
       case _ if vars.contains(e)     => vars(e)

@@ -446,6 +446,13 @@ object FileStateStore {
     def withLock[A](f: => A): A = f
   }
 
+  private[state] object LocalBlob {
+    /** One monitor per state dir: FileChannel.lock does not block against
+      * another channel in the same JVM — it throws — so intra-process
+      * serialization has to happen before the OS lock is taken. */
+    private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  }
+
   private[state] final class LocalBlob(dir: String) extends Blob {
     private val file = Paths.get(dir, "state.json")
     Files.createDirectories(Paths.get(dir))
@@ -455,17 +462,31 @@ object FileStateStore {
       val in = Files.newByteChannel(file)
       try {
         val buf = java.nio.ByteBuffer.allocate(n)
-        in.read(buf)
+        // loop: a single read() may return short of n before EOF, and a
+        // short head that misses the txn field would make readTxn() return 0
+        // and persist() throw a spurious concurrent-modification error
+        var r = in.read(buf)
+        while (r >= 0 && buf.hasRemaining) r = in.read(buf)
         java.util.Arrays.copyOf(buf.array(), buf.position())
       } finally in.close()
     }
     /** OS-level lock closes the check-then-rename TOCTOU window between
-      * processes sharing this state dir (threads already serialize on the
-      * store's monitor). */
+      * processes sharing this state dir. Within ONE JVM, FileChannel.lock
+      * throws OverlappingFileLockException instead of blocking, so same-dir
+      * callers serialize on a JVM-wide monitor first; if the OS lock still
+      * overlaps (held elsewhere in-process outside the monitor), fall back
+      * to the optimistic txn check alone rather than crashing. */
     override def withLock[A](f: => A): A = {
-      val ch = java.nio.channels.FileChannel.open(Paths.get(dir, "state.lock"),
-        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-      try { val l = ch.lock(); try f finally l.release() } finally ch.close()
+      val mon = LocalBlob.monitors.computeIfAbsent(
+        Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
+      mon.synchronized {
+        val ch = java.nio.channels.FileChannel.open(Paths.get(dir, "state.lock"),
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+        try {
+          try { val l = ch.lock(); try f finally l.release() }
+          catch { case _: java.nio.channels.OverlappingFileLockException => f }
+        } finally ch.close()
+      }
     }
     def writeAtomic(bytes: Array[Byte]): Unit = {
       val tmp = Paths.get(dir, "state.json.tmp")

@@ -185,6 +185,42 @@ class DbtLoaderSpec extends AnyFunSuite {
     assert(got.collect().toSet == expected.collect().toSet)
   }
 
+  test("macros: whitespace calls detected; only referenced defs prepended") {
+    // ADVICE r05: `{{ money (x) }}` must still find the macro, and editing an
+    // UNRELATED macro must not change this model's body (fingerprint) — the
+    // reference hashes only referenced macros into the data hash
+    val root = java.nio.file.Files.createTempDirectory("dbt_macro_refs")
+    write(root.resolve("dbt_project.yml"), "name: refproj\n")
+    write(root.resolve("macros/money.sql"),
+      "{% macro money(col, scale=2) %}round({{ col }}, {{ scale }}){% endmacro %}\n" +
+      "{% macro money_usd(col) %}{{ money(col, 2) }}{% endmacro %}\n")
+    write(root.resolve("macros/unrelated.sql"),
+      "{% macro unrelated(x) %}upper({{ x }}){% endmacro %}\n")
+    write(root.resolve("models/bal.sql"),
+      """{{ config(materialized='table', schema='dbtm2') }}
+        |SELECT {{ money_usd (c_acctbal) }} AS bal FROM {{ source('raw', 'customer') }}
+        |""".stripMargin)
+    def bodyOf(p: DbtLoader.DbtProject): String =
+      p.models.find(_.name == "dbtm2.bal").get.body match {
+        case SqlBody(sql) => sql
+        case other        => fail(s"expected SqlBody, got $other")
+      }
+    val b1 = bodyOf(DbtLoader.loadProject(root.toString))
+    // transitive: money_usd calls money, both prepended; unrelated is not
+    assert(b1.contains("macro money(") && b1.contains("macro money_usd("))
+    assert(!b1.contains("unrelated"))
+    // editing the unreferenced macro leaves the model body byte-identical
+    write(root.resolve("macros/unrelated.sql"),
+      "{% macro unrelated(x) %}lower({{ x }}){% endmacro %}\n")
+    assert(bodyOf(DbtLoader.loadProject(root.toString)) == b1)
+    // and the whitespace call renders through plan/apply
+    val ctx = new GraftContext(spark, SparkTestSession.tmpDir("dbtws-r"), concurrency = 2)
+    ctx.addExternal("raw.customer", s"$sf/customer.parquet")
+    ctx.loadDbtProject(root.toString)
+    ctx.apply(ctx.plan("prod", 0L, D))
+    assert(spark.table("dbtm2.bal").count() > 0)
+  }
+
   test("schema.yml tests for one model MERGE across files (no last-wins drop)") {
     val root = java.nio.file.Files.createTempDirectory("dbt_twofiles")
     write(root.resolve("dbt_project.yml"), "name: twoproj\n")

@@ -65,6 +65,15 @@ class LinterRulesSpec extends AnyFunSuite {
     c3.addModel(Model("l.clean",
       SqlBody("SELECT n_nationkey + 1 AS nk FROM raw.nation"), kind = ModelKind.Full))
     assert(!rulesFor(c3, "l.clean").contains("noambiguousprojections"))
+
+    // ADVICE r05: an EXPLICIT backtick alias is a deliberate name, not an
+    // auto-generated one — the rule must accept it even though it isn't a
+    // plain identifier (reference accepts any explicit alias)
+    val c4 = ctx()
+    c4.addModel(Model("l.backtick",
+      SqlBody("SELECT sum(n_nationkey) AS `total rev` FROM raw.nation"),
+      kind = ModelKind.Full))
+    assert(!rulesFor(c4, "l.backtick").contains("noambiguousprojections"))
   }
 
   test("nomissingunittest: warns per uncovered model once a tests dir is loaded") {

@@ -203,6 +203,23 @@ class MacroSpec extends AnyFunSuite {
     assert(e.render("{{ dbt_utils.concat(['a', 'b']) }}") == "CONCAT(a, b)")
   }
 
+  test("jinja: unbalanced pseudo-calls fail loudly; whitespace calls work") {
+    val e = ev(Map.empty)
+    // ADVICE r05: `money(a) > money(b)` starts with a macro name and ends in
+    // ')' — the greedy call regex used to bind args from `a) > money(b` and
+    // render wrong SQL; now it must fall through to the error path
+    val src = "{% macro money(c) %}round({{ c }}, 2){% endmacro %}{{ money(a) > money(b) }}"
+    intercept[IllegalArgumentException](e.render(src))
+    // a real call still works, including whitespace before the paren
+    assert(e.render(
+      "{% macro money(c) %}round({{ c }}, 2){% endmacro %}{{ money (a) }}") ==
+      "round(a, 2)")
+    // nested balanced parens inside args are fine
+    assert(e.render(
+      "{% macro money(c) %}round({{ c }}, 2){% endmacro %}{{ money(coalesce(a, 0)) }}") ==
+      "round(coalesce(a, 0), 2)")
+  }
+
   test("jinja: filter pipeline (upper/lower/replace/default/round/int ...)") {
     val e = ev(Map("env" -> "prod", "name" -> "west coast"))
     assert(e.render("{{ var('env') | upper }}") == "PROD")

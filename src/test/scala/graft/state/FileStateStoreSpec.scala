@@ -82,6 +82,34 @@ class FileStateStoreSpec extends AnyFunSuite {
     assert(s3.latestSnapshot("mart.cc3").isEmpty)
   }
 
+  test("two stores in ONE JVM persist concurrently without lock crashes") {
+    // ADVICE r05: FileChannel.lock throws OverlappingFileLockException (it
+    // does not block) against another channel in the same JVM — same-dir
+    // stores must serialize on a process-wide monitor instead of crashing
+    val dir = SparkTestSession.tmpDir("state_jvm")
+    import java.util.concurrent.{CountDownLatch, ConcurrentLinkedQueue}
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        start.await()
+        val s = new FileStateStore(dir)
+        (0 until 5).foreach { j =>
+          try s.pushSnapshot(mkSnapshot(s"mart.j${i}_$j", s"SELECT $i AS id", ModelKind.Full))
+          catch {
+            case _: java.util.ConcurrentModificationException => // expected optimistic loser
+            case t: Throwable => errors.add(t)
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errors.isEmpty, s"unexpected crash: ${Option(errors.peek())}")
+    // at least the winners' snapshots are durably readable
+    val reader = new FileStateStore(dir)
+    assert((0 until 8).exists(i => reader.latestSnapshot(s"mart.j${i}_0").nonEmpty))
+  }
+
   test("interval removal persists (restatement)") {
     val dir = SparkTestSession.tmpDir("state")
     val s1 = new FileStateStore(dir)
