@@ -13,6 +13,8 @@ import graft.core.{Interval, IntervalUnit}
   * Usage:
   * {{{
   * graft.Main <verb> [target...] [flags]
+  *   init [dir]            scaffold an example project (config.yaml, models/…)
+  *   format [dir...]       canonical SQL formatting (--check: report only)
   *   plan [env]            build + print the diff (apply with --auto-apply)
   *   run [env]             backfill missing intervals in [--start, --end)
   *   evaluate <model>      render + execute, print rows (no materialization)
@@ -77,13 +79,27 @@ object Main {
 
     try {
       val projects = flagAll("project")
+      // project config.yaml (reference core/config/root.py Config): CLI flags
+      // override file config, file config overrides built-in defaults
+      val config = projects.headOption
+        .flatMap(graft.loader.ProjectConfig.load)
+        .getOrElse(graft.loader.ProjectConfig())
       val workspace = flag("workspace")
+        .orElse(config.stateDir.map(sd => projects.headOption match {
+          case Some(p) if !java.nio.file.Paths.get(sd).isAbsolute => s"$p/$sd"
+          case _ => sd
+        }))
         .orElse(projects.headOption.map(p => s"$p/.graft"))
         .getOrElse(sys.props("user.dir") + "/.graft")
       val ctx = new GraftContext(spark, workspace,
-        concurrency = flag("concurrency").map(_.toInt).getOrElse(4),
+        concurrency = flag("concurrency").map(_.toInt)
+          .orElse(config.concurrency).getOrElse(4),
         variables = flagAll("var").map(kv => splitOnce(kv, '=', "--var")).toMap,
-        durableState = true)
+        durableState = true,
+        envTtlMs = config.environmentTtlMs.getOrElse(7L * 24 * 3600 * 1000),
+        envSuffixTarget = config.environmentSuffixTarget.getOrElse("schema"),
+        beforeAll = config.beforeAll,
+        afterAll = config.afterAll)
       projects.foreach(ctx.loadModels)
       flagAll("external").foreach { kv =>
         val (n, p) = splitOnce(kv, '=', "--external"); ctx.addExternal(n, p)
@@ -231,6 +247,29 @@ object Main {
               f.importFrom(path); out.println(s"imported $path"); 0
             case _ => out.println("state-import requires a durable state store"); 1
           }
+        case "init" =>
+          // scaffold an example project (reference `sqlmesh init`,
+          // cli/main.py:152); never overwrites existing files
+          val dir = positional.headOption.orElse(projects.headOption)
+            .getOrElse(sys.props("user.dir"))
+          val created = graft.loader.Scaffold.init(dir)
+          created.foreach(p => out.println(s"  created $p"))
+          out.println(
+            if (created.isEmpty) s"nothing to do — project files already exist in $dir"
+            else s"project scaffolded in $dir — try: plan --project $dir --auto-apply")
+          0
+        case "format" =>
+          // canonical SQL formatting (reference `sqlmesh format`,
+          // cli/main.py:343); --check reports instead of rewriting
+          val dirs = (projects ++ positional).distinct
+          if (dirs.isEmpty) { out.println("format: pass --project DIR"); 1 }
+          else {
+            val checkOnly = has("check")
+            val (changed, total) = graft.loader.Scaffold.formatDirs(dirs, write = !checkOnly)
+            changed.foreach(p => out.println(s"  ${if (checkOnly) "would format" else "formatted"} $p"))
+            out.println(s"${changed.size}/$total files ${if (checkOnly) "need formatting" else "rewritten"}")
+            if (checkOnly && changed.nonEmpty) 1 else 0
+          }
         case "info"    => out.println(ctx.info); 0
         case "dag"     => out.println(ctx.dagDot); 0
         case "janitor" => ctx.janitor(); out.println("janitor complete"); 0
@@ -254,7 +293,7 @@ object Main {
   private def parse(args: Seq[String]): (Map[String, Seq[String]], Seq[String]) = {
     val flags = scala.collection.mutable.Map[String, Vector[String]]()
     val positional = Vector.newBuilder[String]
-    val boolFlags = Set("auto-apply", "forward-only", "skip-backfill", "no-gaps")
+    val boolFlags = Set("auto-apply", "forward-only", "skip-backfill", "no-gaps", "check")
     var i = 0
     while (i < args.length) {
       val a = args(i)
@@ -314,7 +353,7 @@ object Main {
 
   private val usage: String =
     """usage: graft <verb> [target...] [flags]
-      |verbs: plan run evaluate render audit lint test table-diff
+      |verbs: init format plan run evaluate render audit lint test table-diff
       |       check-intervals environments fetch table-name invalidate
       |       create-external-models create-test state-export state-import
       |       info dag janitor destroy

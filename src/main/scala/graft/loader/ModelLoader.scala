@@ -44,6 +44,9 @@ object ModelLoader {
                                  Seq[graft.metrics.Metric]) = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return (Nil, Nil, Nil)
+    // project-wide defaults from config.yaml (reference core/config/root.py
+    // Config.model_defaults): merged UNDER each model's header props
+    val config = ProjectConfig.load(dir).getOrElse(ProjectConfig())
     val files = Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
@@ -56,7 +59,7 @@ object ModelLoader {
         .filter(_._2 >= 0).sortBy(_._2).headOption.map(_._1).getOrElse("MODEL")
     }
     val byHeader = files.groupBy { case (t, _) => headerOf(t) }
-    (byHeader.getOrElse("MODEL", Nil).map { case (t, src) => parse(t, src) },
+    (byHeader.getOrElse("MODEL", Nil).map { case (t, src) => parse(t, src, config) },
       byHeader.getOrElse("AUDIT", Nil).map { case (t, src) => parseStandaloneAudit(t, src) },
       byHeader.getOrElse("METRIC", Nil).flatMap { case (t, src) => parseMetrics(t, src) })
   }
@@ -117,7 +120,8 @@ object ModelLoader {
       description = props.get("description").map(unq))
   }
 
-  def parse(text: String, source: String = "<inline>"): Model = {
+  def parse(text: String, source: String = "<inline>",
+            config: ProjectConfig = ProjectConfig()): Model = {
     val noComments = stripComments(text)
     val mIdx = {
       val i = noComments.toUpperCase.indexOf("MODEL")
@@ -127,7 +131,9 @@ object ModelLoader {
     val open = noComments.indexOf('(', mIdx)
     require(open > 0, s"$source: MODEL header missing '('")
     val (headerBody, afterHeader) = balanced(noComments, open)
-    val props = splitTopLevel(headerBody, ',').map(parseProp).toMap
+    // config.yaml model_defaults sit UNDER the header props — a prop stated
+    // in the header always wins (reference config/model.py precedence)
+    val props = config.modelDefaults ++ splitTopLevel(headerBody, ',').map(parseProp).toMap
 
     // statements after the header: pre-statements, the query, post-statements,
     // plus an optional ON_VIRTUAL_UPDATE_BEGIN; ...; ON_VIRTUAL_UPDATE_END
@@ -143,7 +149,15 @@ object ModelLoader {
     val statements =
       if (vuBegin >= 0) allStatements.take(vuBegin) ++ allStatements.drop(vuEnd + 1)
       else allStatements
-    val kind = parseKind(props.getOrElse("kind", "FULL"))
+    val kind = parseKind(props.getOrElse("kind", "FULL")) match {
+      // relative SEED paths resolve against the model FILE, not the CWD
+      // (reference model/kind.py SeedKind path semantics)
+      case sk: ModelKind.Seed if source != "<inline>" &&
+          !java.nio.file.Paths.get(sk.path).isAbsolute =>
+        sk.copy(path = java.nio.file.Paths.get(source).toAbsolutePath
+          .getParent.resolve(sk.path).normalize.toString)
+      case k => k
+    }
     val qIdx = statements.indexWhere(s =>
       s.toUpperCase.startsWith("SELECT") || s.toUpperCase.startsWith("WITH"))
     // SEED models are body-less (the csv IS the body — reference seed files
@@ -166,10 +180,11 @@ object ModelLoader {
       start = props.get("start").map(s =>
         java.time.LocalDate.parse(unq(s)).toEpochDay * 86400000L),
       grains = props.get("grains").map(listOf).getOrElse(props.get("grain").map(listOf).getOrElse(Nil)),
-      audits = props.get("audits").map(parseAudits).getOrElse(Nil),
+      audits = props.get("audits").map(parseAudits)
+        .orElse(config.defaultAudits.map(parseAudits)).getOrElse(Nil),
       description = props.get("description").map(unq),
       owner = props.get("owner").map(unq),
-      tags = props.get("tags").map(listOf).getOrElse(Nil),
+      tags = (props.get("tags").map(listOf).getOrElse(Nil) ++ config.defaultTags).distinct,
       storageFormat = unq(props.getOrElse("storage_format", "parquet")),
       partitionedBy = props.get("partitioned_by").map(listOf).getOrElse(Nil),
       clusteredBy = props.get("clustered_by").map(listOf).getOrElse(Nil),

@@ -1,0 +1,131 @@
+package graft.loader
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+/** Project-level file configuration — the reference's `config.yaml` root
+  * config (core/config/root.py:91 `Config`, config/model.py
+  * `ModelDefaultsConfig`): a YAML file at the project root sets project-wide
+  * defaults that individual `MODEL (...)` headers override.
+  *
+  * Supported surface:
+  * {{{
+  * model_defaults:          # header props applied when a model omits them
+  *   kind: VIEW             # any header kind spec, incl. parameterized ones
+  *   cron: '@daily'
+  *   start: '2024-01-01'
+  *   owner: team_data
+  *   storage_format: parquet
+  *   interval_unit: hour
+  *   cron_tz: UTC
+  *   on_destructive_change: warn
+  *   allow_partials: true
+  *   tags: [finance]        # APPENDED to model tags (never overridden)
+  *   audits: "not_null(columns = (id))"   # applied when a model has none
+  * variables: {k: v}        # merged under model/user variables
+  * environment_ttl: 7 days  # dev-env TTL: '<n> days|hours|minutes' or ms
+  * environment_suffix_target: schema | table
+  * state_dir: .graft        # workspace root, relative to the project dir
+  * concurrency: 4
+  * before_all: [ "SET x=1" ]
+  * after_all: []
+  * linter:
+  *   enabled: true
+  *   ignored_rules: [noselectstar]
+  * }}}
+  */
+final case class ProjectConfig(
+    modelDefaults: Map[String, String] = Map.empty,
+    defaultTags: Seq[String] = Nil,
+    defaultAudits: Option[String] = None,
+    variables: Map[String, String] = Map.empty,
+    environmentTtlMs: Option[Long] = None,
+    environmentSuffixTarget: Option[String] = None,
+    stateDir: Option[String] = None,
+    concurrency: Option[Int] = None,
+    beforeAll: Seq[String] = Nil,
+    afterAll: Seq[String] = Nil,
+    linterEnabled: Boolean = true,
+    linterIgnored: Set[String] = Set.empty)
+
+object ProjectConfig {
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  /** Load `config.yaml` / `config.yml` from `dir`; None when absent (a
+    * config-less directory is a valid project, same as the reference). */
+  def load(dir: String): Option[ProjectConfig] = {
+    val p = Seq("config.yaml", "config.yml").map(Paths.get(dir, _)).find(Files.exists(_))
+    p.map(f => parse(new String(Files.readAllBytes(f), "UTF-8")))
+  }
+
+  def parse(yaml: String): ProjectConfig = {
+    val root = mapper.readTree(yaml)
+    if (root == null || root.isNull) return ProjectConfig()
+
+    def textOpt(n: JsonNode, k: String): Option[String] =
+      Option(n.get(k)).filterNot(_.isNull).map(_.asText)
+
+    val md = Option(root.get("model_defaults"))
+    // header-prop defaults: merged UNDER the parsed header props, so a model
+    // that states a prop always wins (config/model.py precedence)
+    val scalarKeys = Seq("kind", "cron", "cron_tz", "interval_unit", "start",
+      "owner", "storage_format", "on_destructive_change", "allow_partials")
+    val defaults = md.map { n =>
+      scalarKeys.flatMap(k => textOpt(n, k).map(k -> _)).toMap
+    }.getOrElse(Map.empty)
+    val tags = md.flatMap(n => Option(n.get("tags"))).map {
+      case t if t.isArray => t.elements.asScala.map(_.asText).toSeq
+      case t              => Seq(t.asText)
+    }.getOrElse(Nil)
+    val audits = md.flatMap(n => textOpt(n, "audits"))
+
+    val vars = Option(root.get("variables")).map { n =>
+      n.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty)
+
+    def strList(k: String): Seq[String] = Option(root.get(k)).map {
+      case n if n.isArray => n.elements.asScala.map(_.asText).toSeq
+      case n              => Seq(n.asText)
+    }.getOrElse(Nil)
+
+    val linter = Option(root.get("linter"))
+    ProjectConfig(
+      modelDefaults = defaults,
+      defaultTags = tags,
+      defaultAudits = audits,
+      variables = vars,
+      environmentTtlMs = textOpt(root, "environment_ttl").map(parseTtl),
+      environmentSuffixTarget = textOpt(root, "environment_suffix_target"),
+      stateDir = textOpt(root, "state_dir"),
+      concurrency = textOpt(root, "concurrency").map(_.toInt),
+      beforeAll = strList("before_all"),
+      afterAll = strList("after_all"),
+      linterEnabled = linter.flatMap(n => textOpt(n, "enabled")).forall(_.toBoolean),
+      linterIgnored = linter.map { n =>
+        Option(n.get("ignored_rules")).map {
+          case t if t.isArray => t.elements.asScala.map(_.asText).toSet
+          case t              => Set(t.asText)
+        }.getOrElse(Set.empty[String])
+      }.getOrElse(Set.empty))
+  }
+
+  /** `'7 days'`, `'12 hours'`, `'30 minutes'`, or plain epoch-ms. */
+  private[loader] def parseTtl(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val re = """(\d+)\s*(day|hour|minute|week)s?""".r
+    t match {
+      case re(n, unit) =>
+        val ms = unit match {
+          case "week"   => 7L * 24 * 3600 * 1000
+          case "day"    => 24L * 3600 * 1000
+          case "hour"   => 3600L * 1000
+          case "minute" => 60L * 1000
+        }
+        n.toLong * ms
+      case _ => t.toLong
+    }
+  }
+}

@@ -444,6 +444,14 @@ object KindQueries {
     // -------- file-based project: MODEL-header DSL loaded from disk -------
     "mk_file_project" -> Entry((s, dir) => {
       val proj = java.nio.file.Files.createTempDirectory("graft_proj")
+      // config.yaml project defaults (reference core/config/root.py Config):
+      // fp.report omits `kind` — the model_defaults make it a VIEW (the
+      // built-in default would be FULL); header-stated kinds still win
+      java.nio.file.Files.writeString(proj.resolve("config.yaml"),
+        """model_defaults:
+          |  kind: VIEW
+          |  owner: team_file
+          |""".stripMargin)
       java.nio.file.Files.writeString(proj.resolve("daily.sql"),
         """MODEL (
           |  name fp.daily,
@@ -464,7 +472,7 @@ object KindQueries {
         |GROUP BY o_orderpriority
         |""".stripMargin)
       java.nio.file.Files.writeString(proj.resolve("top.sql"),
-        """MODEL (name fp.report, kind VIEW);
+        """MODEL (name fp.report);
         |SELECT d.o_orderdate, d.n, d.rev,
         |  round(d.rev * 100.0 / t.total, 4) AS pct
         |FROM fp.daily d
@@ -472,6 +480,10 @@ object KindQueries {
         |""".stripMargin)
       val c = ctx(s, dir)
       c.loadModels(proj.toString)
+      require(c.model("fp.report").kind == graft.core.ModelKind.View,
+        "config.yaml model_defaults.kind did not apply")
+      require(c.model("fp.report").owner.contains("team_file"),
+        "config.yaml model_defaults.owner did not apply")
       c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-03-01")))
       s.table("fp.report").orderBy("o_orderdate")
     }, Some(

@@ -89,6 +89,55 @@ class MainCliSpec extends AnyFunSuite {
     assert(cli(Seq("render") ++ base: _*)._1 == 1)
   }
 
+  test("init scaffolds a runnable project; format is idempotent over it") {
+    val dir = SparkTestSession.tmpDir("cli-init")
+    val (c0, o0) = cli("init", dir)
+    assert(c0 == 0 && o0.contains("created config.yaml") && o0.contains("scaffolded"))
+    // re-running never overwrites
+    val (c1, o1) = cli("init", dir)
+    assert(c1 == 0 && o1.contains("nothing to do"))
+    // the scaffold plans + applies with zero external bindings (seed-driven)
+    val (c2, o2) = cli("plan", "prod", "--project", dir,
+      "--start", "2020-01-01", "--end", "2020-01-08", "--auto-apply")
+    assert(c2 == 0 && o2.contains("applied"), o2)
+    assert(spark.table("graft_example.full_model").count() > 0)
+    // the scaffolded YAML unit test passes
+    val (c3, o3) = cli("test", "--project", dir)
+    assert(c3 == 0 && o3.contains("1/1 tests passed"), o3)
+    // format: first pass may rewrite, second pass must be a no-op
+    val (c4, _) = cli("format", "--project", dir)
+    assert(c4 == 0)
+    val (c5, o5) = cli("format", "--project", dir, "--check")
+    assert(c5 == 0 && o5.contains("0/"), s"format not idempotent:\n$o5")
+    // and the formatted project still loads + plans cleanly
+    val (c6, o6) = cli("plan", "prod", "--project", dir,
+      "--start", "2020-01-01", "--end", "2020-01-08")
+    assert(c6 == 0, o6)
+  }
+
+  test("format is idempotent on a representative model file") {
+    import graft.loader.SqlFormatter
+    val src =
+      """-- top comment
+        |MODEL (name fmt.m, kind INCREMENTAL_BY_TIME_RANGE (time_column ds,
+        |   batch_size 10), cron '@daily', audits (not_null(columns = (ds))));
+        |SELECT a.ds, count(*) AS n,
+        |  sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS pos
+        |  FROM raw.t a LEFT JOIN raw.u b ON a.id = b.id
+        |  WHERE a.ds BETWEEN @start_ds AND @end_ds AND b.v IN (SELECT v FROM raw.w)
+        |  GROUP BY a.ds ORDER BY a.ds;
+        |""".stripMargin
+    val once = SqlFormatter.formatFile(src)
+    val twice = SqlFormatter.formatFile(once)
+    assert(once == twice, s"not idempotent:\n--- once ---\n$once\n--- twice ---\n$twice")
+    // still a loadable model with identical semantics-relevant parts
+    val m = graft.loader.ModelLoader.parse(once)
+    assert(m.name == "fmt.m" && m.cron == "@daily")
+    assert(m.audits.map(_._1) == Seq("not_null"))
+    // formatted SQL keeps the macro tokens and clause structure
+    assert(once.contains("@start_ds") && once.contains("LEFT JOIN"))
+  }
+
   test("lint exits 2 on a blocking violation") {
     val proj = SparkTestSession.tmpDir("cli-lint")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "bad.sql"),

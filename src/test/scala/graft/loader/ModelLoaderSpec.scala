@@ -185,4 +185,75 @@ class ModelLoaderSpec extends AnyFunSuite {
     val rendered = ctx.renderSql("filemart.daily", start, start + D)
     assert(rendered.contains("parquet.") && rendered.contains("1995-01-01"))
   }
+
+  test("config.yaml model_defaults apply when the header omits a prop") {
+    // reference core/config/root.py:91 Config + config/model.py
+    // ModelDefaultsConfig: file-level defaults, header always wins
+    val proj = SparkTestSession.tmpDir("proj_cfg")
+    def w(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, name), text)
+    w("config.yaml",
+      """model_defaults:
+        |  kind: VIEW
+        |  cron: '@hourly'
+        |  owner: team_cfg
+        |  start: '2023-06-01'
+        |  storage_format: parquet
+        |  tags: [managed]
+        |  audits: (not_null(columns = (n)))
+        |variables:
+        |  cutoff: '1995-01-01'
+        |linter:
+        |  ignored_rules: [nomissingowner]
+        |""".stripMargin)
+    w("bare.sql", "MODEL (name cfg.bare);\nSELECT 1 AS n\n")
+    w("annotated.sql",
+      """MODEL (name cfg.annotated, kind FULL, cron '@daily', owner me,
+        |       tags (custom), audits (at_least_one(column = n)));
+        |SELECT 2 AS n
+        |""".stripMargin)
+    val (ms, _, _) = ModelLoader.loadProject(proj)
+    val byName = ms.map(m => m.name -> m).toMap
+    val bare = byName("cfg.bare")
+    assert(bare.kind == ModelKind.View)          // default changed it from FULL
+    assert(bare.cron == "@hourly")
+    assert(bare.owner.contains("team_cfg"))
+    assert(bare.start.contains(java.time.LocalDate.parse("2023-06-01").toEpochDay * 86400000L))
+    assert(bare.tags == Seq("managed"))
+    assert(bare.audits.map(_._1) == Seq("not_null"))
+    val ann = byName("cfg.annotated")
+    assert(ann.kind == ModelKind.Full && ann.cron == "@daily") // header wins
+    assert(ann.owner.contains("me"))
+    assert(ann.tags == Seq("custom", "managed")) // default tags APPEND
+    assert(ann.audits.map(_._1) == Seq("at_least_one")) // header audits win
+    // context picks up variables + linter ignores from the same file
+    val ctx = new graft.GraftContext(SparkTestSession.spark,
+      SparkTestSession.tmpDir("ws_cfg"), 2)
+    ctx.loadModels(proj)
+    assert(ctx.allVariables.get("cutoff").contains("1995-01-01"))
+    assert(!ctx.lint().exists(_.rule == "nomissingowner"))
+  }
+
+  test("ProjectConfig parses TTL specs and linter toggles") {
+    assert(ProjectConfig.parseTtl("7 days") == 7L * 24 * 3600 * 1000)
+    assert(ProjectConfig.parseTtl("1 week") == 7L * 24 * 3600 * 1000)
+    assert(ProjectConfig.parseTtl("12 hours") == 12L * 3600 * 1000)
+    assert(ProjectConfig.parseTtl("30 minutes") == 30L * 60 * 1000)
+    assert(ProjectConfig.parseTtl("86400000") == 86400000L)
+    val c = ProjectConfig.parse(
+      """environment_ttl: 2 days
+        |environment_suffix_target: table
+        |state_dir: custom/.state
+        |concurrency: 8
+        |before_all: ["SET a=1"]
+        |linter:
+        |  enabled: false
+        |""".stripMargin)
+    assert(c.environmentTtlMs.contains(2L * 24 * 3600 * 1000))
+    assert(c.environmentSuffixTarget.contains("table"))
+    assert(c.stateDir.contains("custom/.state"))
+    assert(c.concurrency.contains(8))
+    assert(c.beforeAll == Seq("SET a=1"))
+    assert(!c.linterEnabled)
+  }
 }
