@@ -6,9 +6,11 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata. The Spark-side schema, partitioning, and batch shape
-  * are real; the actual codec step is STUBBED (this container ships no
-  * image/audio libraries) with a deterministic fake so pipelines are testable
-  * end-to-end.
+  * are real, and the image path is a REAL pure-JVM codec
+  * (`javax.imageio` PNG/BMP/GIF — no native libraries needed): payload bytes
+  * decode to pixels inside `mapPartitions`, with one codec context per
+  * partition. Audio/video feature extraction keeps the same distribution
+  * shape with byte-level operations (no codec ships in the JVM for those).
   */
 object Multimodal {
 
@@ -30,34 +32,108 @@ object Multimodal {
       .withColumn("crc", crc32(col(payloadCol)))
       .withColumn("content_hash", sha1(col(payloadCol)))
 
-  /** STUB decoder: derives deterministic fake features from the payload bytes
-    * — feature i = (md5 hex digits [3i, 3i+3) of the payload, as an int,
-    * mod 1000) / 1000, so the fake is reproducible by any engine with md5
-    * (dim ≤ 10 fits the 32 hex digits). In production this body is replaced
-    * by an actual codec call inside the same mapPartitions shape (one
-    * connection/codec per partition, batched rows) — the distribution
-    * contract is what matters here. */
-  def decodeFeatures(spark: SparkSession, df: DataFrame, dim: Int = 8): DataFrame = {
-    require(dim <= 10, s"stub decoder derives dim<=10 features from md5, got $dim")
+  /** Deterministic synthetic PNG: width×height image whose red channel is a
+    * horizontal gradient `(id + x) mod 251` and whose green/blue channels are
+    * `id`-derived constants. Runs through the REAL `javax.imageio` PNG
+    * encoder, so [[decodeImages]] exercises a genuine compress→decompress
+    * round trip; every pixel statistic is analytically computable from `id`
+    * (the correctness oracle recomputes them in SQL). */
+  def syntheticPng(id: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = (math.floorMod(id * 7, 251)).toInt
+    val b = (math.floorMod(id * 13, 251)).toInt
+    var x = 0
+    while (x < width) {
+      val r = math.floorMod(id + x, 251).toInt
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < height) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a deterministic synthetic PNG payload per row (test/benchmark
+    * fixture generator — a stand-in for reading real image files). Image
+    * dims derive from the id: width = 4 + id%5, height = 3 + id%4. */
+  def synthesizeImages(spark: SparkSession, df: DataFrame,
+                       idCol: String = "media_id"): DataFrame = {
+    val outSchema = df.schema.add("payload", BinaryType)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = 4 + math.floorMod(id, 5).toInt
+        val h = 3 + math.floorMod(id, 4).toInt
+        Row.fromSeq(r.toSeq :+ syntheticPng(id, w, h))
+      }
+    }(encoder)
+  }
+
+  /** REAL image decode (`javax.imageio`: PNG/BMP/GIF/JPEG in any stock JVM):
+    * payload bytes → pixels → per-image statistics (dims, channel means) and
+    * a `gridN`×`gridN` mean-luminance feature vector (the classic tiny
+    * thumbnail embedding). One codec context per PARTITION — `ImageIO`
+    * disk caching off, decode in-memory — and per-row failure isolation:
+    * undecodable payloads yield `decode_ok = false` nulls, never a task
+    * failure, so one corrupt image can't kill a 100 TB scan. */
+  def decodeImages(spark: SparkSession, df: DataFrame,
+                   payloadCol: String = "payload", gridN: Int = 4): DataFrame = {
     val outSchema = df.schema
+      .add("width", IntegerType)
+      .add("height", IntegerType)
+      .add("mean_r", DoubleType)
+      .add("mean_g", DoubleType)
+      .add("mean_b", DoubleType)
       .add("features", ArrayType(FloatType))
       .add("decode_ok", BooleanType)
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
-      // per-partition "codec" init happens here (stubbed): one digest instance
-      // per partition, reused across the batch — the real-codec lifecycle
-      val digest = java.security.MessageDigest.getInstance("MD5")
+      // per-partition codec init: no shared mutable state across partitions,
+      // no temp-file cache churn on executor disks
+      javax.imageio.ImageIO.setUseCache(false)
+      val nullTail = Seq(null, null, null, null, null, null, false)
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val feats: Array[Float] =
-          if (payload == null) Array.fill(dim)(0f)
-          else {
-            digest.reset()
-            val hex = digest.digest(payload).map("%02x".format(_)).mkString
-            Array.tabulate(dim)(i =>
-              (Integer.parseInt(hex.substring(i * 3, i * 3 + 3), 16) % 1000) / 1000f)
-          }
-        Row.fromSeq(r.toSeq :+ feats.toSeq :+ (payload != null))
+        val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        val decoded =
+          if (payload == null) None
+          else try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload)))
+          catch { case _: Exception => None }
+        decoded match {
+          case None => Row.fromSeq(r.toSeq ++ nullTail)
+          case Some(img) =>
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            val lumaSum = Array.ofDim[Double](gridN * gridN)
+            val lumaCnt = Array.ofDim[Long](gridN * gridN)
+            var x = 0
+            while (x < w) {
+              val gx = math.min(x * gridN / w, gridN - 1)
+              var y = 0
+              while (y < h) {
+                val rgb = img.getRGB(x, y)
+                val pr = (rgb >> 16) & 0xff; val pg = (rgb >> 8) & 0xff; val pb = rgb & 0xff
+                sr += pr; sg += pg; sb += pb
+                val cell = math.min(y * gridN / h, gridN - 1) * gridN + gx
+                lumaSum(cell) += (0.299 * pr + 0.587 * pg + 0.114 * pb) / 255.0
+                lumaCnt(cell) += 1
+                y += 1
+              }
+              x += 1
+            }
+            val n = w.toLong * h
+            val feats = Array.tabulate(gridN * gridN)(i =>
+              if (lumaCnt(i) == 0) 0f else (lumaSum(i) / lumaCnt(i)).toFloat)
+            Row.fromSeq(r.toSeq ++ Seq(w, h,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+              feats.toSeq, true))
+        }
       }
     }(encoder)
   }

@@ -1504,28 +1504,31 @@ object PipelineQueries {
         |ORDER BY media_id, frame_idx""".stripMargin)),
 
     "td_media_features" -> Entry((s, dir) => {
-      // stubbed decode inside the real mapPartitions distribution shape; the
-      // fake features are md5-derived, so DuckDB reproduces them bit-exactly
-      val media = t(s, dir, "documents")
-        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
-      Multimodal.decodeFeatures(s, media, dim = 8)
-        .select(col("media_id"), col("decode_ok"), size(col("features")).as("dim"),
-          round(aggregate(col("features"), lit(0.0d), (a, v) => a + v), 4).as("feat_sum"))
+      // REAL codec round trip (javax.imageio, pure JVM): synthesize one PNG
+      // per doc — red channel a horizontal gradient (id+x)%251, green/blue
+      // id-derived constants, dims id-derived — then DECODE it back and
+      // compute pixel statistics. The oracle recomputes every statistic
+      // analytically from the id, so a hash match proves the pixels really
+      // ran through the PNG encoder+decoder.
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      Multimodal.decodeImages(s, Multimodal.synthesizeImages(s, media))
+        .select(col("media_id"), col("decode_ok"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          col("mean_g").cast("int").as("mean_g"),
+          col("mean_b").cast("int").as("mean_b"))
         .orderBy(col("media_id"))
     }, Some(
-      // md5(VARCHAR) == Spark md5(cast(text as binary)) for this ascii corpus;
-      // REAL/REAL division reproduces the stub's float32 arithmetic bit-exactly
-      """WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
-        |f AS (
-        |  SELECT media_id,
-        |    list_transform(range(0, 8), i ->
-        |      CAST(CAST('0x' || substring(h, CAST(i * 3 + 1 AS INT), 3) AS INT) % 1000 AS REAL)
-        |        / CAST(1000 AS REAL)) AS features
-        |  FROM m
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents
         |)
-        |SELECT media_id, true AS decode_ok, CAST(8 AS INT) AS dim,
-        |  round(list_sum(list_transform(features, v -> CAST(v AS DOUBLE))), 4) AS feat_sum
-        |FROM f ORDER BY media_id""".stripMargin)),
+        |SELECT media_id, true AS decode_ok,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  round(list_avg(list_transform(range(0, w), x -> (media_id + x) % 251)), 4) AS mean_r,
+        |  CAST((media_id * 7) % 251 AS INT) AS mean_g,
+        |  CAST((media_id * 13) % 251 AS INT) AS mean_b
+        |FROM m ORDER BY media_id""".stripMargin)),
 
     // ------- C4-style segment filtering (Raffel et al. 2020 §2.2) --------
     "td_c4_filter" -> Entry((s, dir) => {
