@@ -87,13 +87,18 @@ class GraftContext(
       * config/root.py:172 before_all/after_all, executed as the BeforeAll /
       * AfterAll plan stages, plan/stages.py) — e.g. session props, grants. */
     val beforeAll: Seq[String] = Nil,
-    val afterAll: Seq[String] = Nil) {
+    val afterAll: Seq[String] = Nil,
+    /** explicit state location override — a directory, an `hdfs://`-style
+      * URI, or a `jdbc:` URL for a shared database-backed state (reference
+      * config/connection.py state_connection). Default: `<workspace>/state`. */
+    val stateLocation: Option[String] = None) {
 
   /** Durable contexts persist snapshots/intervals/environments under
     * `<workspace>/state` (reference state_sync/db), so a new context over the
     * same workspace resumes exactly where the last one stopped. */
   val state: StateStore =
-    if (durableState) new graft.state.FileStateStore(s"$workspace/state")
+    if (durableState) new graft.state.FileStateStore(
+      stateLocation.getOrElse(s"$workspace/state"))
     else new InMemoryStateStore
   val materializer = new SparkMaterializer(spark)
   private val customStrategies =

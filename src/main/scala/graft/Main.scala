@@ -99,7 +99,8 @@ object Main {
         envTtlMs = config.environmentTtlMs.getOrElse(7L * 24 * 3600 * 1000),
         envSuffixTarget = config.environmentSuffixTarget.getOrElse("schema"),
         beforeAll = config.beforeAll,
-        afterAll = config.afterAll)
+        afterAll = config.afterAll,
+        stateLocation = config.stateConnection)
       projects.foreach(ctx.loadModels)
       flagAll("external").foreach { kv =>
         val (n, p) = splitOnce(kv, '=', "--external"); ctx.addExternal(n, p)

@@ -28,6 +28,7 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   * environment_ttl: 7 days  # dev-env TTL: '<n> days|hours|minutes' or ms
   * environment_suffix_target: schema | table
   * state_dir: .graft        # workspace root, relative to the project dir
+  * state_connection: 'jdbc:derby:/shared/state;create=true'  # DB-backed state
   * concurrency: 4
   * before_all: [ "SET x=1" ]
   * after_all: []
@@ -44,6 +45,9 @@ final case class ProjectConfig(
     environmentTtlMs: Option[Long] = None,
     environmentSuffixTarget: Option[String] = None,
     stateDir: Option[String] = None,
+    /** shared state backend (`jdbc:` URL or `hdfs://` URI) — reference
+      * config/connection.py `state_connection`. */
+    stateConnection: Option[String] = None,
     concurrency: Option[Int] = None,
     beforeAll: Seq[String] = Nil,
     afterAll: Seq[String] = Nil,
@@ -100,6 +104,7 @@ object ProjectConfig {
       environmentTtlMs = textOpt(root, "environment_ttl").map(parseTtl),
       environmentSuffixTarget = textOpt(root, "environment_suffix_target"),
       stateDir = textOpt(root, "state_dir"),
+      stateConnection = textOpt(root, "state_connection"),
       concurrency = textOpt(root, "concurrency").map(_.toInt),
       beforeAll = strList("before_all"),
       afterAll = strList("after_all"),

@@ -30,7 +30,8 @@ final class FileStateStore(
 
   private val mapper = new ObjectMapper()
   private val blob: FileStateStore.Blob =
-    if (dir.contains("://")) new FileStateStore.HadoopBlob(dir)
+    if (dir.startsWith("jdbc:")) new FileStateStore.JdbcBlob(dir)
+    else if (dir.contains("://")) new FileStateStore.HadoopBlob(dir)
     else new FileStateStore.LocalBlob(dir)
   /** Last transaction counter this instance observed in the file. persist()
     * rejects the write when the file moved past it — the optimistic
@@ -535,6 +536,117 @@ object FileStateStore {
         org.apache.hadoop.fs.CreateFlag.CREATE, org.apache.hadoop.fs.CreateFlag.OVERWRITE))
       try out.write(bytes) finally out.close()
       fc.rename(tmp, file, Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Database-backed state (reference sqlmesh/core/state_sync/db): pass a
+    * `jdbc:` URL as the state dir and the image persists in a
+    * `GRAFT_STATE(id, txn, body)` row instead of a file. This is the
+    * multi-driver production story the file store can't give: the
+    * check-then-write critical section runs inside ONE database transaction
+    * holding a `SELECT … FOR UPDATE` row lock, so two schedulers on
+    * DIFFERENT hosts serialize through the database (Postgres/MySQL/Derby
+    * network server; embedded Derby remains single-process by Derby's own
+    * rules). The optimistic txn counter is also materialized in the TXN
+    * column so the staleness check is one indexed read, never a body fetch.
+    * Works with any JDBC 4 driver on the classpath (Derby ships with Spark).
+    */
+  private[state] final class JdbcBlob(url: String) extends Blob {
+    import java.sql.{Connection, DriverManager}
+
+    private def connect(): Connection = DriverManager.getConnection(url)
+
+    // one row holds the image; created on first touch. Derby has no
+    // CREATE TABLE IF NOT EXISTS — the duplicate-table error is the signal.
+    locally {
+      val c = connect()
+      try {
+        try {
+          val st = c.createStatement()
+          st.execute("CREATE TABLE GRAFT_STATE (ID INT PRIMARY KEY, TXN BIGINT, BODY BLOB)")
+          st.close()
+        } catch { case e: java.sql.SQLException if tableExists(e) => () }
+        val has = {
+          val st = c.createStatement()
+          val rs = st.executeQuery("SELECT COUNT(*) FROM GRAFT_STATE WHERE ID = 1")
+          rs.next(); val n = rs.getLong(1); rs.close(); st.close(); n > 0
+        }
+        if (!has) {
+          val ps = c.prepareStatement("INSERT INTO GRAFT_STATE (ID, TXN, BODY) VALUES (1, 0, NULL)")
+          try { ps.executeUpdate(); () }
+          catch { case _: java.sql.SQLException => () } // lost the init race: fine
+          finally ps.close()
+        }
+      } finally c.close()
+    }
+
+    private def tableExists(e: java.sql.SQLException): Boolean =
+      // Derby X0Y32 = object already exists; standard 42S01 elsewhere
+      e.getSQLState == "X0Y32" || e.getSQLState == "42S01" ||
+        Option(e.getMessage).exists(_.toLowerCase.contains("already exists"))
+
+    /** The connection holding the row lock for the current withLock scope;
+      * reads/writes inside the scope MUST reuse it or they'd deadlock
+      * against their own lock. */
+    private val lockConn = new ThreadLocal[Connection]
+
+    private def withConn[A](f: Connection => A): A =
+      Option(lockConn.get) match {
+        case Some(c) => f(c)
+        case None => val c = connect(); try f(c) finally c.close()
+      }
+
+    def exists: Boolean = withConn { c =>
+      val st = c.createStatement()
+      val rs = st.executeQuery("SELECT BODY FROM GRAFT_STATE WHERE ID = 1")
+      val r = rs.next() && rs.getBytes(1) != null
+      rs.close(); st.close(); r
+    }
+
+    def readAll(): Array[Byte] = withConn { c =>
+      val st = c.createStatement()
+      val rs = st.executeQuery("SELECT BODY FROM GRAFT_STATE WHERE ID = 1")
+      val r = if (rs.next()) rs.getBytes(1) else null
+      rs.close(); st.close()
+      if (r == null) throw new java.io.FileNotFoundException(s"no state at $url")
+      r
+    }
+
+    protected def readHead(n: Int): Array[Byte] = readAll().take(n)
+
+    /** O(1): the txn counter lives in its own column. */
+    override def readTxn(): Long = withConn { c =>
+      val st = c.createStatement()
+      val rs = st.executeQuery("SELECT TXN FROM GRAFT_STATE WHERE ID = 1")
+      val r = if (rs.next()) rs.getLong(1) else 0L
+      rs.close(); st.close(); r
+    }
+
+    def writeAtomic(bytes: Array[Byte]): Unit = withConn { c =>
+      // mirror the file layout's head-embedded counter into the TXN column
+      val head = new String(bytes.take(256), "UTF-8")
+      val txnVal = "\"txn\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(head)
+        .map(_.group(1).toLong).getOrElse(0L)
+      val ps = c.prepareStatement("UPDATE GRAFT_STATE SET TXN = ?, BODY = ? WHERE ID = 1")
+      ps.setLong(1, txnVal); ps.setBytes(2, bytes)
+      ps.executeUpdate(); ps.close()
+    }
+
+    /** The whole check-then-write runs in one DB transaction under a row
+      * lock — the database IS the mutex, across hosts. */
+    override def withLock[A](f: => A): A = {
+      val c = connect()
+      try {
+        c.setAutoCommit(false)
+        val st = c.createStatement(java.sql.ResultSet.TYPE_FORWARD_ONLY,
+          java.sql.ResultSet.CONCUR_UPDATABLE)
+        val rs = st.executeQuery("SELECT ID FROM GRAFT_STATE WHERE ID = 1 FOR UPDATE")
+        rs.next(); rs.close(); st.close()
+        lockConn.set(c)
+        try { val r = f; c.commit(); r }
+        catch { case e: Throwable => c.rollback(); throw e }
+        finally lockConn.remove()
+      } finally c.close()
     }
   }
 

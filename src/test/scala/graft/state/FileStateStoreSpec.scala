@@ -4,7 +4,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 import graft.core._
 
-class FileStateStoreSpec extends AnyFunSuite {
+/** Backend-agnostic contract for the durable state store: every test runs
+  * against BOTH the file backend and the JDBC (Derby) backend via the
+  * concrete subclasses below — same codec, same optimistic-txn semantics,
+  * different transport. */
+abstract class StateStoreContractSpec extends AnyFunSuite {
+
+  /** A fresh, isolated state location (a directory or a jdbc: URL). */
+  protected def stateDir(tag: String): String
+  protected def backend: String
 
   private def mkSnapshot(name: String, body: String, kind: ModelKind,
                          intervals: Vector[Interval] = Vector.empty): Snapshot = {
@@ -16,8 +24,8 @@ class FileStateStoreSpec extends AnyFunSuite {
       category = Some(ChangeCategory.Breaking), createdTs = 42L)
   }
 
-  test("snapshot round-trip survives a new store instance over the same dir") {
-    val dir = SparkTestSession.tmpDir("state")
+  test(s"[$backend] snapshot round-trip survives a new store instance over the same dir") {
+    val dir = stateDir("state")
     val s1 = new FileStateStore(dir)
     val snap = mkSnapshot("mart.a", "SELECT 1 AS id", ModelKind.IncrementalByTimeRange(
       timeColumn = "d", timeFormat = "date", batchSize = Some(5), lookback = 2),
@@ -39,8 +47,8 @@ class FileStateStoreSpec extends AnyFunSuite {
     assert(env.snapshots == Map("mart.a" -> snap.version) && env.finalized)
   }
 
-  test("all model kinds round-trip with their data fields") {
-    val dir = SparkTestSession.tmpDir("state")
+  test(s"[$backend] all model kinds round-trip with their data fields") {
+    val dir = stateDir("state_k")
     val kinds: Seq[ModelKind] = Seq(
       ModelKind.Full, ModelKind.View, ModelKind.MaterializedView,
       ModelKind.Embedded, ModelKind.External,
@@ -65,8 +73,8 @@ class FileStateStoreSpec extends AnyFunSuite {
     }
   }
 
-  test("concurrent writers are detected, not silently clobbered") {
-    val dir = SparkTestSession.tmpDir("state_cc")
+  test(s"[$backend] concurrent writers are detected, not silently clobbered") {
+    val dir = stateDir("state_cc")
     val s1 = new FileStateStore(dir)
     s1.pushSnapshot(mkSnapshot("mart.cc", "SELECT 1 AS id", ModelKind.Full))
     // a second writer opens the same dir and advances the file…
@@ -82,11 +90,12 @@ class FileStateStoreSpec extends AnyFunSuite {
     assert(s3.latestSnapshot("mart.cc3").isEmpty)
   }
 
-  test("two stores in ONE JVM persist concurrently without lock crashes") {
+  test(s"[$backend] two stores in ONE JVM persist concurrently without lock crashes") {
     // ADVICE r05: FileChannel.lock throws OverlappingFileLockException (it
     // does not block) against another channel in the same JVM — same-dir
-    // stores must serialize on a process-wide monitor instead of crashing
-    val dir = SparkTestSession.tmpDir("state_jvm")
+    // stores must serialize on a process-wide monitor instead of crashing.
+    // For the JDBC backend the database row lock is the serializer.
+    val dir = stateDir("state_jvm")
     import java.util.concurrent.{CountDownLatch, ConcurrentLinkedQueue}
     val errors = new ConcurrentLinkedQueue[Throwable]()
     val start = new CountDownLatch(1)
@@ -110,8 +119,8 @@ class FileStateStoreSpec extends AnyFunSuite {
     assert((0 until 8).exists(i => reader.latestSnapshot(s"mart.j${i}_0").nonEmpty))
   }
 
-  test("interval removal persists (restatement)") {
-    val dir = SparkTestSession.tmpDir("state")
+  test(s"[$backend] interval removal persists (restatement)") {
+    val dir = stateDir("state_r")
     val s1 = new FileStateStore(dir)
     val snap = mkSnapshot("mart.r", "SELECT 1 AS id", ModelKind.Full,
       intervals = Vector(Interval(0L, 10L)))
@@ -122,8 +131,8 @@ class FileStateStoreSpec extends AnyFunSuite {
       Vector(Interval(0L, 3L), Interval(5L, 10L)))
   }
 
-  test("scala bodies resolve through the registry") {
-    val dir = SparkTestSession.tmpDir("state")
+  test(s"[$backend] scala bodies resolve through the registry") {
+    val dir = stateDir("state_sc")
     val fn: (org.apache.spark.sql.SparkSession, Map[String, String], Long, Long) => org.apache.spark.sql.DataFrame =
       (sp, _, _, _) => sp.range(3).toDF("id")
     val s1 = new FileStateStore(dir, Map("my_model" -> fn))
@@ -134,8 +143,8 @@ class FileStateStoreSpec extends AnyFunSuite {
     assert(loaded.asInstanceOf[ScalaBody].fn eq fn)
   }
 
-  test("state export / import replaces a store's contents wholesale") {
-    val d1 = SparkTestSession.tmpDir("state_src")
+  test(s"[$backend] state export / import replaces a store's contents wholesale") {
+    val d1 = stateDir("state_src")
     val s1 = new FileStateStore(d1)
     val snap = mkSnapshot("mart.exp", "SELECT 2 AS id", ModelKind.Full)
     s1.pushSnapshot(snap)
@@ -143,7 +152,7 @@ class FileStateStoreSpec extends AnyFunSuite {
     val exported = SparkTestSession.tmpDir("state_exp") + "/state.json"
     s1.exportTo(exported)
 
-    val d2 = SparkTestSession.tmpDir("state_dst")
+    val d2 = stateDir("state_dst")
     val s2 = new FileStateStore(d2)
     s2.pushSnapshot(mkSnapshot("mart.other", "SELECT 3 AS id", ModelKind.Full))
     s2.importFrom(exported)
@@ -154,11 +163,20 @@ class FileStateStoreSpec extends AnyFunSuite {
     assert(s3.getSnapshot("mart.exp", snap.version).nonEmpty)
     assert(s3.getEnvironment("prod").nonEmpty)
   }
+}
+
+/** The local-filesystem backend, plus its file-only behaviors (Hadoop URI
+  * transport, on-disk schema migration). */
+class FileStateStoreSpec extends StateStoreContractSpec {
+  protected def backend: String = "file"
+  protected def stateDir(tag: String): String = SparkTestSession.tmpDir(tag)
 
   test("a URI-scheme dir stores through the Hadoop FileSystem API") {
     val dir = "file://" + SparkTestSession.tmpDir("state_hdfs")
     val s1 = new FileStateStore(dir)
-    val snap = mkSnapshot("mart.hfs", "SELECT 4 AS id", ModelKind.Full,
+    val snap = Snapshot(
+      Model("mart.hfs", SqlBody("SELECT 4 AS id"), kind = ModelKind.Full),
+      Fingerprint.of(Model("mart.hfs", SqlBody("SELECT 4 AS id")), "SELECT 4 AS id", Nil),
       intervals = Vector(Interval(0L, 86400000L)))
     s1.pushSnapshot(snap)
     s1.promoteEnvironment(EnvironmentRecord("prod", Map("mart.hfs" -> snap.version)))
@@ -187,4 +205,15 @@ class FileStateStoreSpec extends AnyFunSuite {
     assert(txt.contains(s""""version" : ${FileStateStore.SchemaVersion}"""))
     assert(new FileStateStore(dir).lastAutoRestatement("mart.a").contains(7L))
   }
+}
+
+/** The database backend over embedded Derby (the JDBC driver Spark already
+  * ships): the same contract, with the check-then-write critical section
+  * serialized by a database row lock instead of an OS file lock. */
+class JdbcStateStoreSpec extends StateStoreContractSpec {
+  System.setProperty("derby.stream.error.file",
+    java.nio.file.Files.createTempDirectory("derby_log").resolve("derby.log").toString)
+  protected def backend: String = "jdbc"
+  protected def stateDir(tag: String): String =
+    s"jdbc:derby:${SparkTestSession.tmpDir(tag)}/db;create=true"
 }
