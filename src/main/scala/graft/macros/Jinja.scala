@@ -30,6 +30,10 @@ object Jinja {
   private final case class For(v: String, list: String, body: Seq[Node]) extends Node
   private final case class SetVar(name: String, expr: String) extends Node
   private final case class MacroNode(defn: MacroDef) extends Node
+  /** `{% call name(args) %} body {% endcall %}` — the macro runs with the
+    * rendered body available as `{{ caller() }}` (jinja call blocks, used by
+    * dbt's `statement`/logging idioms). */
+  private final case class CallBlock(call: String, body: Seq[Node]) extends Node
 
   /** A `{% macro name(a, b='x') %} … {% endmacro %}` definition: params with
     * optional defaults and the parsed body, invoked as `{{ name(...) }}`
@@ -71,6 +75,12 @@ object Jinja {
     override def initialValue(): Map[String, MacroDef] = Map.empty
   }
 
+  /** Rendered bodies of enclosing `{% call %}` blocks — `caller()` inside a
+    * macro reads the top of this stack. */
+  private val callerStack = new ThreadLocal[List[String]] {
+    override def initialValue(): List[String] = Nil
+  }
+
   private def renderImpl(template: String, vars: Map[String, String],
                          thisModel: Option[String],
                          macros: Map[String, MacroDef]): String = {
@@ -101,6 +111,12 @@ object Jinja {
         if (e.trim.startsWith("[")) e.trim
         else value(e, vars, bindings.toMap, thisModel)
     case MacroNode(_) => () // definitions emit nothing
+    case CallBlock(call, body) =>
+      val inner = new StringBuilder
+      evalNodes(body, inner, bindings, vars, thisModel)
+      callerStack.set(inner.toString.trim :: callerStack.get)
+      try out.append(value(call, vars, bindings.toMap, thisModel))
+      finally callerStack.set(callerStack.get.tail)
     case If(branches, orElse) =>
       branches.find { case (c, _) => truthy(c, vars, bindings.toMap, thisModel) } match {
         case Some((_, body)) => evalNodes(body, out, bindings, vars, thisModel)
@@ -158,6 +174,14 @@ object Jinja {
   private def tokenize(s: String): List[Tok] = {
     val out = List.newBuilder[Tok]
     var i = 0
+    // jinja whitespace control: `{%- tag -%}` / `{{- expr -}}` strip the
+    // whitespace touching the tag on that side (dbt templates use this to
+    // keep generated SQL single-spaced)
+    var trimNextLeading = false
+    def addText(t0: String): Unit = {
+      val t = if (trimNextLeading) { trimNextLeading = false; t0.replaceAll("^\\s+", "") } else t0
+      if (t.nonEmpty) out += TText(t)
+    }
     while (i < s.length) {
       val e = s.indexOf("{{", i); val t = s.indexOf("{%", i)
       val next = (e, t) match {
@@ -166,20 +190,21 @@ object Jinja {
         case (x, -1)  => x
         case (a, b)   => math.min(a, b)
       }
-      if (next < 0) { out += TText(s.substring(i)); i = s.length }
+      if (next < 0) { addText(s.substring(i)); i = s.length }
       else {
-        if (next > i) out += TText(s.substring(i, next))
-        if (s.startsWith("{{", next)) {
-          val close = s.indexOf("}}", next)
-          require(close > 0, "unclosed {{")
-          out += TExpr(s.substring(next + 2, close).trim)
-          i = close + 2
-        } else {
-          val close = s.indexOf("%}", next)
-          require(close > 0, "unclosed {%")
-          out += TStmt(s.substring(next + 2, close).trim)
-          i = close + 2
-        }
+        val isExpr = s.startsWith("{{", next)
+        val closeTag = if (isExpr) "}}" else "%}"
+        val close = s.indexOf(closeTag, next)
+        require(close > 0, s"unclosed ${if (isExpr) "{{" else "{%"}")
+        var content = s.substring(next + 2, close)
+        var text = s.substring(i, next)
+        if (content.startsWith("-")) { text = text.replaceAll("\\s+$", ""); content = content.drop(1) }
+        // emit the preceding text BEFORE arming the trailing trim — addText
+        // consumes the flag, which belongs to the NEXT text, not this one
+        addText(text)
+        if (content.endsWith("-")) { trimNextLeading = true; content = content.dropRight(1) }
+        out += (if (isExpr) TExpr(content.trim) else TStmt(content.trim))
+        i = close + 2
       }
     }
     out.result()
@@ -232,6 +257,10 @@ object Jinja {
                 case m(n, e) => nodes += SetVar(n, e.trim); rest = rest.tail
                 case _ => throw new IllegalArgumentException(s"bad set: {% $st %}")
               }
+            case "call" =>
+              val call = st.stripPrefix("call").trim
+              val (body, r) = parseNodes(rest.tail, Seq("endcall"))
+              nodes += CallBlock(call, body); rest = r.tail
             case "macro" =>
               val m = "(?is)macro\\s+([A-Za-z_]\\w*)\\s*\\((.*)\\)\\s*".r
               st match {
@@ -346,6 +375,50 @@ object Jinja {
       },
       "dbt_utils.concat" -> { args =>
         s"CONCAT(${listOf(args.head).mkString(", ")})"
+      },
+      // date_spine(datepart, start_date, end_date) — one row per datepart in
+      // [start, end), column `date_<datepart>` (dbt-utils date_spine; same
+      // sequence+explode shape as the native @DATE_SPINE macro)
+      "dbt_utils.date_spine" -> { args =>
+        val pos = args.filterNot(_.trim.matches("(?s)^[A-Za-z_]\\w*\\s*=.*"))
+        val kw = args.flatMap { a =>
+          "(?s)^\\s*([A-Za-z_]\\w*)\\s*=\\s*(.+)$".r.findFirstMatchIn(a)
+            .map(m => m.group(1) -> m.group(2).trim)
+        }.toMap
+        def kwOr(i: Int, k: String): String = kw.getOrElse(k, pos(i))
+        val part = strip(kwOr(0, "datepart")).toLowerCase
+        val start = strip(kwOr(1, "start_date"))
+        val end = strip(kwOr(2, "end_date"))
+        s"SELECT explode(sequence(CAST($start AS TIMESTAMP), " +
+          s"CAST($end AS TIMESTAMP) - INTERVAL 1 $part, INTERVAL 1 $part)) AS date_$part"
+      },
+      // pivot(column, values, agg='sum', then_value=1, else_value=0,
+      // prefix='', suffix='') — the CASE-per-value projection list
+      "dbt_utils.pivot" -> { args =>
+        val pos = args.filterNot(_.trim.matches("(?s)^[A-Za-z_]\\w*\\s*=.*"))
+        val kw = args.flatMap { a =>
+          "(?s)^\\s*([A-Za-z_]\\w*)\\s*=\\s*(.+)$".r.findFirstMatchIn(a)
+            .map(m => m.group(1) -> m.group(2).trim)
+        }.toMap
+        val column = strip(pos.head)
+        val values = listOf(kw.getOrElse("values", pos(1)))
+        val agg = strip(kw.getOrElse("agg", "'sum'"))
+        val thenV = strip(kw.getOrElse("then_value", "1"))
+        val elseV = strip(kw.getOrElse("else_value", "0"))
+        val prefix = strip(kw.getOrElse("prefix", "''"))
+        val suffix = strip(kw.getOrElse("suffix", "''"))
+        values.map { v =>
+          val alias = (prefix + v + suffix).replaceAll("[^A-Za-z0-9_]", "_")
+          s"$agg(CASE WHEN $column = '$v' THEN $thenV ELSE $elseV END) AS $alias"
+        }.mkString(", ")
+      },
+      // union_relations(relations) — UNION ALL by position (the schema-
+      // aligning variant needs catalog introspection; Spark's unionByName
+      // lives in the DataFrame layer, so this macro documents the
+      // positional subset dbt projects on one warehouse actually rely on)
+      "dbt_utils.union_relations" -> { args =>
+        val rels = listOf(args.head)
+        rels.map(r => s"SELECT * FROM $r").mkString(" UNION ALL ")
       })
   }
 
@@ -383,6 +456,10 @@ object Jinja {
       // variable (reference sqlmesh/dbt/basemodel.py incremental handling)
       case _ if e.equalsIgnoreCase("is_incremental()") =>
         vars.getOrElse("is_incremental", "false")
+      // the enclosing {% call %} block's rendered body
+      case "caller()" =>
+        callerStack.get.headOption.getOrElse(
+          throw new IllegalArgumentException("caller() outside a {% call %} block"))
       // user {% macro %} invocation, then the dbt_utils builtin subset
       case callRe(name, argSrc) if macroEnv.get.contains(name) && balancedArgs(argSrc) =>
         callMacro(macroEnv.get()(name), splitArgs(argSrc), vars, bindings, thisModel)

@@ -203,6 +203,54 @@ class MacroSpec extends AnyFunSuite {
     assert(e.render("{{ dbt_utils.concat(['a', 'b']) }}") == "CONCAT(a, b)")
   }
 
+  test("jinja: whitespace control strips around {%- -%} and {{- -}}") {
+    val e = ev(Map("env" -> "prod"))
+    assert(e.render("a   {%- if true %}   b{% endif %}") == "a   b")
+    assert(e.render("a {%- if true -%}   b   {%- endif -%}  c") == "abc")
+    // loop bodies collapse to single-spaced output, the dbt idiom
+    assert(e.render(
+      "{% for c in [x, y] %}{{ c }},{%- endfor %}").trim == "x,y,")
+    assert(e.render("SELECT {{- ' a ' -}} FROM t") == "SELECT a FROM t")
+  }
+
+  test("jinja: {% call %} block body reaches the macro via caller()") {
+    val e = ev(Map.empty)
+    val src =
+      """{% macro wrap(tag) %}<{{ tag }}>{{ caller() }}</{{ tag }}>{% endmacro %}
+        |{% call wrap('b') %}hello {{ 'world' }}{% endcall %}""".stripMargin
+    assert(e.render(src).trim == "<b>hello world</b>")
+    // nested call blocks: inner caller() sees the inner body
+    val nested =
+      """{% macro w1() %}[{{ caller() }}]{% endmacro %}
+        |{% macro w2() %}({{ caller() }}){% endmacro %}
+        |{% call w1() %}{% call w2() %}x{% endcall %}{% endcall %}""".stripMargin
+    assert(e.render(nested).trim == "[(x)]")
+    // caller() outside a call block is an error
+    intercept[IllegalArgumentException](e.render(
+      "{% macro m() %}{{ caller() }}{% endmacro %}{{ m() }}"))
+  }
+
+  test("jinja: dbt_utils date_spine / pivot / union_relations") {
+    val e = ev(Map.empty)
+    assert(e.render(
+      "{{ dbt_utils.date_spine('day', \"CAST('2020-01-01' AS DATE)\", \"CAST('2020-01-04' AS DATE)\") }}") ==
+      "SELECT explode(sequence(CAST(CAST('2020-01-01' AS DATE) AS TIMESTAMP), " +
+        "CAST(CAST('2020-01-04' AS DATE) AS TIMESTAMP) - INTERVAL 1 day, INTERVAL 1 day)) AS date_day")
+    assert(e.render("{{ dbt_utils.pivot('seg', ['A', 'B']) }}") ==
+      "sum(CASE WHEN seg = 'A' THEN 1 ELSE 0 END) AS A, " +
+        "sum(CASE WHEN seg = 'B' THEN 1 ELSE 0 END) AS B")
+    assert(e.render(
+      "{{ dbt_utils.pivot('seg', ['A-1'], agg='count', prefix='p_', then_value=seg) }}") ==
+      "count(CASE WHEN seg = 'A-1' THEN seg ELSE 0 END) AS p_A_1")
+    assert(e.render("{{ dbt_utils.union_relations([raw.a, raw.b]) }}") ==
+      "SELECT * FROM raw.a UNION ALL SELECT * FROM raw.b")
+    // the emitted spine SQL actually runs on Spark
+    val spark = graft.SparkTestSession.spark
+    val n = spark.sql(e.render(
+      "{{ dbt_utils.date_spine('day', \"DATE'2020-01-01'\", \"DATE'2020-01-04'\") }}")).count()
+    assert(n == 3)
+  }
+
   test("jinja: unbalanced pseudo-calls fail loudly; whitespace calls work") {
     val e = ev(Map.empty)
     // ADVICE r05: `money(a) > money(b)` starts with a macro name and ends in
