@@ -101,7 +101,10 @@ object Main {
         beforeAll = config.beforeAll,
         afterAll = config.afterAll,
         stateLocation = config.stateConnection)
-      projects.foreach(ctx.loadModels)
+      // init/format operate on files, not the loaded model graph — and must
+      // work on projects that don't parse yet (that's what init creates and
+      // what format may be asked to clean up)
+      if (verb != "init" && verb != "format") projects.foreach(ctx.loadModels)
       flagAll("external").foreach { kv =>
         val (n, p) = splitOnce(kv, '=', "--external"); ctx.addExternal(n, p)
       }

@@ -112,12 +112,17 @@ object Scaffold {
         .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
         .toSeq.sortBy(_.toString)
       files.foreach { p =>
-        total += 1
         val before = new String(Files.readAllBytes(p), "UTF-8")
-        val after = SqlFormatter.formatFile(before)
-        if (after != before) {
-          changed += p.toString
-          if (write) Files.writeString(p, after)
+        // jinja-templated files (dbt models) are left untouched: `{{ ... }}`
+        // is not SQL token stream, and formatting through it would corrupt
+        // the template (the reference formats those jinja-aware via sqlglot)
+        if (!graft.macros.Jinja.hasJinja(before)) {
+          total += 1
+          val after = SqlFormatter.formatFile(before)
+          if (after != before) {
+            changed += p.toString
+            if (write) Files.writeString(p, after)
+          }
         }
       }
     }

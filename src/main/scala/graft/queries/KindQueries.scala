@@ -532,6 +532,48 @@ object KindQueries {
         |WHERE o.o_orderdate < TIMESTAMP '1995-03-01'
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)),
 
+    // ---- dbt_utils tier-2 macros through a real dbt model (r6) -----------
+    "mk_dbt_utils_spine_pivot" -> Entry((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dbtu")
+      def w(rel: String, text: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, text)
+      }
+      w("dbt_project.yml", "name: dbtu\n")
+      w("models/schema.yml",
+        "sources:\n  - name: raw\n    tables:\n      - name: orders\n")
+      // date_spine drives the calendar; pivot fans priorities into columns;
+      // whitespace-control keeps the rendered SQL tight
+      w("models/daily_prio.sql",
+        """{{ config(materialized='table', schema='dbtu') }}
+          |WITH spine AS (
+          |  {{ dbt_utils.date_spine('day', "DATE'1995-01-01'", "DATE'1995-01-08'") }}
+          |)
+          |SELECT d.date_day,
+          |  {{- ' ' -}}
+          |  {{ dbt_utils.pivot('o.o_orderpriority', ['1-URGENT', '2-HIGH'], prefix='n_') }}
+          |FROM spine d
+          |LEFT JOIN {{ source('raw', 'orders') }} o
+          |  ON CAST(o.o_orderdate AS DATE) = CAST(d.date_day AS DATE)
+          |GROUP BY d.date_day
+          |""".stripMargin)
+      val c = ctx(s, dir)
+      c.loadDbtProject(root.toString)
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+      s.table("dbtu.daily_prio").orderBy("date_day")
+    }, Some(
+      """WITH spine AS (
+        |  SELECT unnest(range(TIMESTAMP '1995-01-01', TIMESTAMP '1995-01-08',
+        |                      INTERVAL 1 DAY)) AS date_day
+        |)
+        |SELECT d.date_day,
+        |  CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_1_URGENT,
+        |  CAST(sum(CASE WHEN o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_2_HIGH
+        |FROM spine d
+        |LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = CAST(d.date_day AS DATE)
+        |GROUP BY d.date_day ORDER BY d.date_day""".stripMargin)),
+
     // ------------- Scala-bodied model (reference: Python models) ----------
     "mk_scala_model" -> Entry((s, dir) => {
       val c = ctx(s, dir)

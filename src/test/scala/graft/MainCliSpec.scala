@@ -115,6 +115,17 @@ class MainCliSpec extends AnyFunSuite {
     assert(c6 == 0, o6)
   }
 
+  test("format leaves jinja-templated (dbt) files untouched") {
+    val dir = SparkTestSession.tmpDir("cli-fmt-jinja")
+    val dbtModel = "{{ config(materialized='table') }}\nSELECT 1   AS x\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "m.sql"), dbtModel)
+    val (c, o) = cli("format", "--project", dir)
+    assert(c == 0, o)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "m.sql")) == dbtModel)
+  }
+
   test("format is idempotent on a representative model file") {
     import graft.loader.SqlFormatter
     val src =
