@@ -58,9 +58,10 @@ object Multimodal {
 
   /** Attach a deterministic synthetic PNG payload per row (test/benchmark
     * fixture generator — a stand-in for reading real image files). Image
-    * dims derive from the id: width = 4 + id%5, height = 3 + id%4. */
+    * dims derive from the id: width = 4 + id%5, height = 3 + id%4;
+    * `solid = true` uses the constant-color variant (resize oracles). */
   def synthesizeImages(spark: SparkSession, df: DataFrame,
-                       idCol: String = "media_id"): DataFrame = {
+                       idCol: String = "media_id", solid: Boolean = false): DataFrame = {
     val outSchema = df.schema.add("payload", BinaryType)
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val idIdx = df.schema.fieldIndex(idCol)
@@ -69,7 +70,8 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val w = 4 + math.floorMod(id, 5).toInt
         val h = 3 + math.floorMod(id, 4).toInt
-        Row.fromSeq(r.toSeq :+ syntheticPng(id, w, h))
+        val png = if (solid) syntheticSolidPng(id, w, h) else syntheticPng(id, w, h)
+        Row.fromSeq(r.toSeq :+ png)
       }
     }(encoder)
   }
@@ -133,6 +135,66 @@ object Multimodal {
             Row.fromSeq(r.toSeq ++ Seq(w, h,
               sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
               feats.toSeq, true))
+        }
+      }
+    }(encoder)
+  }
+
+  /** Deterministic SOLID-color synthetic PNG (all channels id-derived
+    * constants) — the fixture for resize oracles: any correct rescale of a
+    * constant image is the same constant at the new dims. */
+  def syntheticSolidPng(id: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val r = math.floorMod(id, 251).toInt
+    val g = math.floorMod(id * 7, 251).toInt
+    val b = math.floorMod(id * 13, 251).toInt
+    val rgb = (r << 16) | (g << 8) | b
+    var x = 0
+    while (x < width) { var y = 0; while (y < height) { img.setRGB(x, y, rgb); y += 1 }; x += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image resize: decode → bilinear rescale to `width`×`height`
+    * (Graphics2D, pure JVM) → re-encode PNG. Same per-partition codec
+    * lifecycle and per-row failure isolation as [[decodeImages]]; the
+    * payload column is REPLACED by the resized PNG (resize_ok=false rows
+    * keep the original payload untouched). The thumbnail-normalization step
+    * of an image-training pipeline. */
+  def resizeImages(spark: SparkSession, df: DataFrame, width: Int, height: Int,
+                   payloadCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema.add("resize_ok", BooleanType)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        val resized: Option[Array[Byte]] =
+          if (payload == null) None
+          else try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))).map { img =>
+              val out = new java.awt.image.BufferedImage(
+                width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g2 = out.createGraphics()
+              try {
+                g2.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g2.drawImage(img, 0, 0, width, height, null); ()
+              } finally g2.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              bos.toByteArray
+            }
+          } catch { case _: Exception => None }
+        val seq = r.toSeq
+        resized match {
+          case Some(bytes) => Row.fromSeq(seq.updated(payloadIdx, bytes) :+ true)
+          case None        => Row.fromSeq(seq :+ false)
         }
       }
     }(encoder)

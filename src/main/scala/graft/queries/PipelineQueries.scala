@@ -1530,6 +1530,28 @@ object PipelineQueries {
         |  CAST((media_id * 13) % 251 AS INT) AS mean_b
         |FROM m ORDER BY media_id""".stripMargin)),
 
+    "td_media_resize" -> Entry((s, dir) => {
+      // REAL bilinear resize through the codec: solid-color PNGs (id-derived
+      // constants, id-derived dims) → resize to 4×3 → decode back. Any
+      // correct rescale of a constant image is the same constant at the new
+      // dims, so the oracle recomputes the statistics from the id alone.
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val solid = Multimodal.synthesizeImages(s, media, solid = true)
+      Multimodal.decodeImages(s, Multimodal.resizeImages(s, solid, 4, 3))
+        .select(col("media_id"), col("resize_ok"), col("decode_ok"),
+          col("width"), col("height"),
+          col("mean_r").cast("int").as("mean_r"),
+          col("mean_g").cast("int").as("mean_g"),
+          col("mean_b").cast("int").as("mean_b"))
+        .orderBy(col("media_id"))
+    }, Some(
+      """SELECT doc_id AS media_id, true AS resize_ok, true AS decode_ok,
+        |  CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+        |  CAST(doc_id % 251 AS INT) AS mean_r,
+        |  CAST((doc_id * 7) % 251 AS INT) AS mean_g,
+        |  CAST((doc_id * 13) % 251 AS INT) AS mean_b
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
     // ------- C4-style segment filtering (Raffel et al. 2020 §2.2) --------
     "td_c4_filter" -> Entry((s, dir) => {
       // sentence-level pass over the single-line corpus: keep segments with

@@ -64,6 +64,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(failed.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("resize rescales through the codec; failures keep the original payload") {
+    val rows = Seq(
+      (1L, Multimodal.syntheticSolidPng(9L, 8, 6)),
+      (2L, Array[Byte](9, 9, 9))
+    ).toDF("media_id", "payload")
+    val resized = Multimodal.resizeImages(spark, rows, 4, 3)
+    val decoded = Multimodal.decodeImages(spark, resized)
+      .select("media_id", "resize_ok", "width", "height", "mean_r", "mean_g", "mean_b")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = decoded(1L)
+    assert(ok.getBoolean(1) && ok.getInt(2) == 4 && ok.getInt(3) == 3)
+    // constant image stays exactly constant through bilinear resize + PNG
+    assert(ok.getDouble(4) == (9L % 251).toDouble)
+    assert(ok.getDouble(5) == (9L * 7 % 251).toDouble)
+    assert(ok.getDouble(6) == (9L * 13 % 251).toDouble)
+    // undecodable payload: resize_ok=false, payload untouched
+    val bad = resized.filter(col("media_id") === 2L)
+      .select("resize_ok", "payload").head()
+    assert(!bad.getBoolean(0) && bad.getAs[Array[Byte]](1).toSeq == Seq[Byte](9, 9, 9))
+    // a non-constant image really resamples: gradient 8x8 -> 2x2 keeps the
+    // left-cell mean below the right-cell mean (x-gradient preserved)
+    val grad = Seq((3L, Multimodal.syntheticPng(0L, 8, 8))).toDF("media_id", "payload")
+    val g = Multimodal.decodeImages(spark,
+      Multimodal.resizeImages(spark, grad, 2, 2), gridN = 2)
+      .select("features").as[Seq[Float]].head()
+    assert(g(0) < g(1) && g(2) < g(3))
+  }
+
   test("decode also reads BMP and GIF payloads (stock-JVM codecs)") {
     def encode(fmt: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(3, 2,
