@@ -180,11 +180,33 @@ class GraftContext(
     * …`): the metric rewriter expands it into one aggregate subquery per
     * base model FULL OUTER JOINed on the dims (reference metric/rewriter.py),
     * with base models resolving through the environment's virtual layer. */
-  def semanticQuery(sql: String, env: String = "prod"): DataFrame = {
+  def semanticQuery(sql: String, env: String = "prod"): DataFrame =
+    spark.sql(rewriteSemantic(sql, env))
+
+  /** The `rewrite` verb (reference cli/main.py:1072 → context.rewrite): show
+    * the executable SQL a semantic-reference query expands to, without
+    * running it. */
+  def rewriteSemantic(sql: String, env: String = "prod"): String = {
     val registry = new graft.metrics.MetricRegistry(metrics.values.toSeq)
-    spark.sql(registry.rewrite(sql, tableFor = name =>
+    registry.rewrite(sql, tableFor = name =>
       if (models.contains(name)) envTable(name, env)
-      else externals.getOrElse(name, name)))
+      else externals.getOrElse(name, name))
+  }
+
+  /** `sqlmesh clean` (cli/main.py:1086 → context.clear_caches): drop cached
+    * Spark relations and remove crash-leftover staging dirs (`tmp_*` under
+    * the physical roots, debris of an interrupted compaction/merge). State
+    * and committed table versions are untouched. Returns the removed paths. */
+  def clean(): Seq[String] = {
+    spark.catalog.clearCache()
+    val physRoot = new org.apache.hadoop.fs.Path(s"$workspace/physical")
+    val f = physRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(physRoot)) Nil
+    else f.listStatus(physRoot).toSeq.filter(_.isDirectory).flatMap { tableDir =>
+      f.listStatus(tableDir.getPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp_"))
+        .map { s => f.delete(s.getPath, true); s.getPath.toString }
+    }
   }
 
   /** Load a dbt-layout project (reference sqlmesh/dbt/loader.py): models,

@@ -31,6 +31,11 @@ import graft.core.{Interval, IntervalUnit}
   *   create-test <model>   generate a YAML unit test from live data
   *   state-export <path> / state-import <path>   durable state round-trip
   *   environments          list environments
+  *   diff [env]            change summary against an environment (no apply)
+  *   rewrite <sql>         expand semantic metric references into runnable SQL
+  *   clean                 clear Spark cache + remove staging leftovers
+  *   migrate               persist the state file at the current schema version
+  *   rollback              restore the pre-migration state backup
   *   info                  project summary
   *   dag                   model DAG as graphviz DOT
   *   janitor               expire dev environments past their TTL
@@ -274,6 +279,39 @@ object Main {
             out.println(s"${changed.size}/$total files ${if (checkOnly) "need formatting" else "rewritten"}")
             if (checkOnly && changed.nonEmpty) 1 else 0
           }
+        case "diff" =>
+          // reference `sqlmesh diff [env]` (cli/main.py:386): the plan's
+          // change summary against the target environment, never applied
+          val env = positional.headOption.getOrElse("prod")
+          val p = ctx.plan(env, start, end, select = flagAll("select"))
+          out.println(p.describe)
+          0
+        case "rewrite" =>
+          val sql = positionalRequired(positional, "rewrite <sql>")
+          out.println(ctx.rewriteSemantic(sql, flag("env").getOrElse("prod")))
+          0
+        case "clean" =>
+          val removed = ctx.clean()
+          removed.foreach(p => out.println(s"  removed $p"))
+          out.println(s"cache cleared; ${removed.size} staging leftovers removed")
+          0
+        case "migrate" =>
+          ctx.state match {
+            case f: graft.state.FileStateStore =>
+              out.println(
+                if (f.migrateNow()) "state migrated to current schema version"
+                else "state already at current schema version")
+              0
+            case _ => out.println("migrate requires a durable state store"); 1
+          }
+        case "rollback" =>
+          ctx.state match {
+            case f: graft.state.FileStateStore =>
+              f.rollback()
+              out.println("state rolled back to pre-migration backup")
+              0
+            case _ => out.println("rollback requires a durable state store"); 1
+          }
         case "info"    => out.println(ctx.info); 0
         case "dag"     => out.println(ctx.dagDot); 0
         case "janitor" => ctx.janitor(); out.println("janitor complete"); 0
@@ -357,9 +395,10 @@ object Main {
 
   private val usage: String =
     """usage: graft <verb> [target...] [flags]
-      |verbs: init format plan run evaluate render audit lint test table-diff
-      |       check-intervals environments fetch table-name invalidate
-      |       create-external-models create-test state-export state-import
-      |       info dag janitor destroy
+      |verbs: init format plan run diff evaluate render audit lint test
+      |       table-diff check-intervals environments fetch table-name
+      |       invalidate create-external-models create-test state-export
+      |       state-import rewrite clean migrate rollback info dag janitor
+      |       destroy
       |run `graft <verb>` with --project DIR --start/--end dates; see Scaladoc.""".stripMargin
 }

@@ -39,6 +39,9 @@ final class FileStateStore(
     * transactions (two concurrent writers must fail loudly, never silently
     * drop each other's intervals/snapshots). */
   private var txn: Long = 0L
+  /** Schema version of the stored image as last read from disk (persist()
+    * always writes the current version; migrateNow() reports against this). */
+  private var loadedVersion: Int = FileStateStore.SchemaVersion
 
   private val mem = new InMemoryStateStore
   load()
@@ -84,6 +87,32 @@ final class FileStateStore(
   def importFrom(path: String): Unit = synchronized {
     blob.writeAtomic(Files.readAllBytes(Paths.get(path)))
     mem.clearAll()
+    load()
+  }
+
+  /** `sqlmesh migrate` (cli/main.py:938 → state_sync/db/migrator.py): rewrite
+    * the on-disk state at the CURRENT schema version, backing the
+    * pre-migration image up first so [[rollback]] can undo it. Loading
+    * already migrates in memory; this persists the upgrade explicitly.
+    * Returns true when the stored image was actually behind. */
+  def migrateNow(): Boolean = synchronized {
+    if (loadedVersion >= FileStateStore.SchemaVersion) false
+    else {
+      blob.backup()
+      persist()
+      loadedVersion = FileStateStore.SchemaVersion
+      true
+    }
+  }
+
+  /** `sqlmesh rollback` (cli/main.py:947): restore the pre-migration backup
+    * taken by the last [[migrateNow]] over the live state. */
+  def rollback(): Unit = synchronized {
+    if (!blob.restoreBackup())
+      throw new IllegalArgumentException(
+        s"no pre-migration backup to roll back to in $dir")
+    mem.clearAll()
+    txn = 0L
     load()
   }
 
@@ -140,7 +169,9 @@ final class FileStateStore(
   }
 
   private def load(): Unit = if (blob.exists) {
-    val root = migrate(mapper.readTree(blob.readAll()))
+    val raw = mapper.readTree(blob.readAll())
+    loadedVersion = raw.path("version").asInt(1)
+    val root = migrate(raw)
     txn = root.path("txn").asLong(0L)
     root.path("snapshots").forEach(n => mem.pushSnapshot(snapshotFromJson(n)))
     root.path("environments").forEach { n =>
@@ -445,6 +476,12 @@ object FileStateStore {
       * PROCESSES where the filesystem can (OS file lock locally); stores
       * that can't lock fall back to the optimistic check alone. */
     def withLock[A](f: => A): A = f
+    /** Copy the current image to the store's backup slot (the reference
+      * migrator's pre-migration backup tables, state_sync/db/migrator.py). */
+    def backup(): Unit
+    /** Restore the backup slot over the live image; false when no backup
+      * exists. */
+    def restoreBackup(): Boolean
   }
 
   private[state] object LocalBlob {
@@ -496,6 +533,12 @@ object FileStateStore {
         StandardCopyOption.REPLACE_EXISTING)
       ()
     }
+    private val bak = Paths.get(dir, "state.json.bak")
+    def backup(): Unit = {
+      Files.copy(file, bak, StandardCopyOption.REPLACE_EXISTING); ()
+    }
+    def restoreBackup(): Boolean =
+      Files.exists(bak) && { writeAtomic(Files.readAllBytes(bak)); true }
   }
 
   /** Shared-storage state (hdfs://, s3a://, file://): the cluster story —
@@ -536,6 +579,23 @@ object FileStateStore {
         org.apache.hadoop.fs.CreateFlag.CREATE, org.apache.hadoop.fs.CreateFlag.OVERWRITE))
       try out.write(bytes) finally out.close()
       fc.rename(tmp, file, Options.Rename.OVERWRITE)
+    }
+    private val bak = new HPath(root, "state.json.bak")
+    def backup(): Unit = {
+      val out = fc.create(bak, java.util.EnumSet.of(
+        org.apache.hadoop.fs.CreateFlag.CREATE, org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(readAll()) finally out.close()
+    }
+    def restoreBackup(): Boolean = fc.util.exists(bak) && {
+      val in = fc.open(bak)
+      val bytes = try {
+        val o = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
+        o.toByteArray
+      } finally in.close()
+      writeAtomic(bytes); true
     }
   }
 
@@ -630,6 +690,26 @@ object FileStateStore {
       val ps = c.prepareStatement("UPDATE GRAFT_STATE SET TXN = ?, BODY = ? WHERE ID = 1")
       ps.setLong(1, txnVal); ps.setBytes(2, bytes)
       ps.executeUpdate(); ps.close()
+    }
+
+    /** Backup slot = row ID 2 of the same table. */
+    def backup(): Unit = withConn { c =>
+      val st = c.createStatement()
+      st.executeUpdate("DELETE FROM GRAFT_STATE WHERE ID = 2")
+      st.executeUpdate(
+        "INSERT INTO GRAFT_STATE (ID, TXN, BODY) SELECT 2, TXN, BODY FROM GRAFT_STATE WHERE ID = 1")
+      st.close()
+    }
+    def restoreBackup(): Boolean = withConn { c =>
+      val st = c.createStatement()
+      val rs = st.executeQuery("SELECT TXN, BODY FROM GRAFT_STATE WHERE ID = 2")
+      val r = if (rs.next()) Some(rs.getLong(1) -> rs.getBytes(2)) else None
+      rs.close(); st.close()
+      r.exists { case (t, body) =>
+        val ps = c.prepareStatement("UPDATE GRAFT_STATE SET TXN = ?, BODY = ? WHERE ID = 1")
+        ps.setLong(1, t); ps.setBytes(2, body)
+        ps.executeUpdate(); ps.close(); true
+      }
     }
 
     /** The whole check-then-write runs in one DB transaction under a row

@@ -194,4 +194,57 @@ class MainCliSpec extends AnyFunSuite {
     assert(cli(Seq("invalidate", "dev") ++ base: _*)._1 == 0)
     assert(cli(Seq("invalidate", "prod") ++ base: _*)._1 != 0)
   }
+
+  test("diff / rewrite / clean / migrate / rollback verbs") {
+    val proj = SparkTestSession.tmpDir("cli-proj3")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "seg.sql"),
+      """MODEL (name cli4.seg, kind FULL);
+        |SELECT c_mktsegment, count(*) AS n FROM raw.customer GROUP BY c_mktsegment
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "metrics.sql"),
+      """METRIC (name seg_count, expression SUM(n), table cli4.seg,
+        |        dims (segment c_mktsegment));
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.customer=$sf/customer.parquet")
+
+    // diff against an empty prod: the new model shows as added, nothing applied
+    val (d0, diff0) = cli(Seq("diff", "prod") ++ base: _*)
+    assert(d0 == 0 && diff0.contains("+ cli4.seg"))
+    assert(cli(Seq("plan", "prod", "--auto-apply") ++ base: _*)._1 == 0)
+    // after apply, the diff is clean
+    val (d1, diff1) = cli(Seq("diff", "prod") ++ base: _*)
+    assert(d1 == 0 && !diff1.contains("+ cli4.seg"))
+
+    // rewrite expands __semantic.__table into executable SQL, unexecuted
+    val (r0, rewritten) = cli(Seq("rewrite",
+      "SELECT segment, seg_count FROM __semantic.__table GROUP BY segment") ++ base: _*)
+    assert(r0 == 0 && rewritten.toLowerCase.contains("sum(n)")
+      && rewritten.contains("`cli4`.`seg`"), rewritten)
+
+    // clean sweeps crash-leftover staging dirs, never committed versions
+    val ws = java.nio.file.Paths.get(proj, ".graft")
+    val tableDir = java.nio.file.Files.list(ws.resolve("physical")).findFirst().get()
+    java.nio.file.Files.createDirectories(tableDir.resolve("tmp_123"))
+    val (cl, cleaned) = cli(Seq("clean") ++ base: _*)
+    assert(cl == 0 && cleaned.contains("1 staging leftovers removed"))
+    assert(!java.nio.file.Files.exists(tableDir.resolve("tmp_123")))
+    assert(cli(Seq("fetch", "SELECT count(*) AS n FROM cli4.seg") ++ base: _*)._1 == 0)
+
+    // migrate is a no-op at the current schema version; after a forced
+    // downgrade-shaped (v1) state file it rewrites + backs up, and rollback
+    // restores the pre-migration image
+    val (m0, mig0) = cli(Seq("migrate") ++ base: _*)
+    assert(m0 == 0 && mig0.contains("already at current"))
+    val stateFile = ws.resolve("state/state.json")
+    val v1 = """{"snapshots": [],
+                | "environments": [{"name": "legacy", "finalized": true,
+                |                   "snapshots": {"cli4.seg": "v1"}}]}""".stripMargin
+    java.nio.file.Files.writeString(stateFile, v1)
+    val (m1, mig1) = cli(Seq("migrate") ++ base: _*)
+    assert(m1 == 0 && mig1.contains("migrated"))
+    assert(java.nio.file.Files.readString(stateFile).contains("\"version\""))
+    val (rb, rbOut) = cli(Seq("rollback") ++ base: _*)
+    assert(rb == 0 && rbOut.contains("rolled back"))
+    assert(!java.nio.file.Files.readString(stateFile).contains("\"version\""))
+  }
 }

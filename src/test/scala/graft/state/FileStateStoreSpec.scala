@@ -163,6 +163,33 @@ abstract class StateStoreContractSpec extends AnyFunSuite {
     assert(s3.getSnapshot("mart.exp", snap.version).nonEmpty)
     assert(s3.getEnvironment("prod").nonEmpty)
   }
+
+  test(s"[$backend] migrate persists the upgrade; rollback restores the backup") {
+    val dir = stateDir("migrate")
+    val s = new FileStateStore(dir)
+    // seed a v1 image through import (raw bytes land unmodified in the blob)
+    val v1 = java.nio.file.Files.createTempFile("state_v1", ".json")
+    java.nio.file.Files.writeString(v1,
+      """{"snapshots": [],
+        | "environments": [{"name": "prod", "finalized": true,
+        |                   "snapshots": {"mart.a": "v123"}}]}""".stripMargin)
+    s.importFrom(v1.toString)
+    assert(s.migrateNow())  // stored image was behind → backed up + rewritten
+    assert(!s.migrateNow()) // idempotent once current
+    // a fresh store over the migrated image sees it current
+    assert(!new FileStateStore(dir).migrateNow())
+    // post-migration writes, then rollback: the pre-migration image returns
+    s.setAutoRestatement("mart.a", 7L)
+    s.rollback()
+    assert(s.lastAutoRestatement("mart.a").isEmpty)
+    assert(s.getEnvironment("prod").exists(_.snapshots == Map("mart.a" -> "v123")))
+  }
+
+  test(s"[$backend] rollback without a backup refuses loudly") {
+    val s = new FileStateStore(stateDir("nobak"))
+    s.setAutoRestatement("m", 1L) // some live state, but no migration backup
+    intercept[IllegalArgumentException](s.rollback())
+  }
 }
 
 /** The local-filesystem backend, plus its file-only behaviors (Hadoop URI
