@@ -1552,6 +1552,29 @@ object PipelineQueries {
         |  CAST((doc_id * 13) % 251 AS INT) AS mean_b
         |FROM documents ORDER BY media_id""".stripMargin)),
 
+    "td_audio_features" -> Entry((s, dir) => {
+      // REAL WAV encode→decode round trip: square-wave clips (id-derived
+      // half-period/length/amplitude) through javax.sound.sampled; every
+      // signal statistic is analytically recomputable from the id alone, so
+      // a hash match proves a genuine codec pass, not byte bookkeeping.
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val wavs = Multimodal.synthesizeWavs(s, media)
+      Multimodal.decodeAudio(s, wavs)
+        .select(col("media_id"), col("audio_ok"), col("sample_rate"),
+          col("channels"), col("n_samples"), col("duration_ms"),
+          col("rms").cast("bigint").as("rms_int"), col("peak"),
+          col("zero_crossings"))
+        .orderBy(col("media_id"))
+    }, Some(
+      """SELECT doc_id AS media_id, true AS audio_ok,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(160 + (doc_id % 5) * 40 AS BIGINT) AS n_samples,
+        |  CAST((160 + (doc_id % 5) * 40) / 8 AS BIGINT) AS duration_ms,
+        |  CAST(1000 + (doc_id % 900) * 30 AS BIGINT) AS rms_int,
+        |  CAST(1000 + (doc_id % 900) * 30 AS INT) AS peak,
+        |  CAST(FLOOR((160 + (doc_id % 5) * 40 - 1) / (2 + doc_id % 7)) AS BIGINT) AS zero_crossings
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
     // ------- C4-style segment filtering (Raffel et al. 2020 §2.2) --------
     "td_c4_filter" -> Entry((s, dir) => {
       // sentence-level pass over the single-line corpus: keep segments with

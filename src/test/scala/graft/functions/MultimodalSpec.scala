@@ -92,6 +92,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g(0) < g(1) && g(2) < g(3))
   }
 
+  test("audio decode round-trips the WAV codec; stats match the analytic form") {
+    val ids = Seq(0L, 9L, 13L, 899L, 904L)
+    val rows = ids.map(id => (id, Multimodal.syntheticWav(id)))
+      .toDF("media_id", "payload")
+    val decoded = Multimodal.decodeAudio(spark, rows)
+      .select("media_id", "audio_ok", "sample_rate", "channels", "n_samples",
+        "duration_ms", "rms", "peak", "zero_crossings")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val h = 2 + (id % 7).toInt
+      val n = 160 + (id % 5).toInt * 40
+      val a = 1000 + (id % 900).toInt * 30
+      val r = decoded(id)
+      assert(r.getBoolean(1) && r.getInt(2) == 8000 && r.getInt(3) == 1)
+      assert(r.getLong(4) == n && r.getLong(5) == n / 8)
+      assert(r.getDouble(6) == a.toDouble && r.getInt(7) == a)
+      assert(r.getLong(8) == (n - 1) / h)
+    }
+  }
+
+  test("audio decode isolates undecodable payloads and reads AIFF too") {
+    // AIFF: same PCM samples, big-endian container — the codec's conversion
+    // chain normalizes it, so the stats are identical to the WAV form
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val a = 500
+    val pcm = Array.tabulate(80)(i => if ((i / 4) % 2 == 0) a else -a)
+    val bytes = pcm.flatMap(s => Array(((s >> 8) & 0xff).toByte, (s & 0xff).toByte))
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, 80L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val rows = Seq((1L, bos.toByteArray), (2L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeAudio(spark, rows)
+      .select("media_id", "audio_ok", "n_samples", "rms", "zero_crossings")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && out(1L).getLong(2) == 80
+      && out(1L).getDouble(3) == a.toDouble && out(1L).getLong(4) == 79 / 4)
+    assert(!out(2L).getBoolean(1) && out(2L).isNullAt(2))
+  }
+
   test("decode also reads BMP and GIF payloads (stock-JVM codecs)") {
     def encode(fmt: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(3, 2,
