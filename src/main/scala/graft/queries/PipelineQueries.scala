@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.functions.{Bpe, Dedup, Multimodal, Similarity, TextFunctions}
 import QueryUtil._
 
 /** Training-data pipeline coverage (builder prompt: dedup / similarity /
@@ -1551,6 +1551,29 @@ object PipelineQueries {
         |  CAST((doc_id * 7) % 251 AS INT) AS mean_g,
         |  CAST((doc_id * 13) % 251 AS INT) AS mean_b
         |FROM documents ORDER BY media_id""".stripMargin)),
+
+    "td_bpe_roundtrip" -> Entry((s, dir) => {
+      // Trained-BPE tokenization (Sennrich et al. 2016): learn 200 merges
+      // from the corpus itself (one distributed word count + driver-local
+      // merge loop), then encode every document. The oracle-checkable
+      // invariants: token concatenation losslessly reproduces the
+      // pre-tokenized character stream (roundtrip), and a document has
+      // tokens iff it has any non-whitespace character (the pre-tokenizer
+      // drops exactly whitespace). Merge-table correctness itself is pinned
+      // by BpeSpec against hand-computed merges.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val model = Bpe.train(docs, "text")
+      val unitsJoin = expr("concat_ws('', regexp_extract_all(text, " +
+        s"'${Bpe.UnitRegex.replace("\\", "\\\\")}', 0))")
+      Bpe.encode(s, docs, model, "text")
+        .select(col("doc_id"),
+          (concat_ws("", col("bpe_tokens")) === unitsJoin).as("roundtrip"),
+          (col("bpe_n_tokens") > 0).as("has_tokens"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """SELECT doc_id, true AS roundtrip,
+        |  LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) > 0 AS has_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "td_audio_features" -> Entry((s, dir) => {
       // REAL WAV encode→decode round trip: square-wave clips (id-derived
