@@ -32,7 +32,19 @@ final case class Plan(
     /** `--no-gaps` (state_sync/db/facade.py:581 _ensure_no_gaps): refuse to
       * promote a re-versioned incremental model whose new table has interval
       * holes where its predecessor had data. */
-    noGaps: Boolean = false) {
+    noGaps: Boolean = false,
+    /** `--empty-backfill` (plan/builder.py:76): like skip_backfill, but the
+      * plan window's would-be intervals are recorded as processed — empty
+      * tables, complete accounting, so the next `run` starts after them. */
+    emptyBackfill: Boolean = false,
+    /** `--backfill-model` (cli/main.py): when set, only these models
+      * backfill intervals; everything else still gets its physical object
+      * and env views (like skip_backfill for the unselected). */
+    backfillSelected: Option[Set[String]] = None,
+    /** `--allow-destructive-model` (plan/builder.py): forward-only
+      * migrations of these models may drop/narrow columns this apply,
+      * overriding their on_destructive_change guard. */
+    allowDestructive: Set[String] = Set.empty) {
   def snapshots: Seq[Snapshot] = added ++ modified.map(_._2) ++ metadataOnly ++ unchanged
 
   /** A snapshot previews in a `__dev` table instead of touching the shared
@@ -505,7 +517,16 @@ class GraftContext(
         * snapshot is kept (plan/builder.py select_models). Empty = all. */
       select: Seq[String] = Nil,
       effectiveFrom: Option[Long] = None,
-      noGaps: Boolean = false): Plan = {
+      noGaps: Boolean = false,
+      /** `--create-from` (plan/builder.py create_from): the environment a
+        * NEW environment diffs against (and effectively forks from) when
+        * the target doesn't exist yet. Default prod, like the reference. */
+      createFrom: String = "prod",
+      emptyBackfill: Boolean = false,
+      /** `--backfill-model` selector expressions; empty = backfill all. */
+      backfill: Seq[String] = Nil,
+      /** `--allow-destructive-model` selector expressions. */
+      allowDestructiveModels: Seq[String] = Nil): Plan = {
     require(effectiveFrom.isEmpty || forwardOnly,
       "effective_from requires a forward-only plan (plan/builder.py:239)")
     val selectedSet: Set[String] =
@@ -518,7 +539,7 @@ class GraftContext(
     val overrides: Map[String, Model] =
       if (select.isEmpty) Map.empty
       else models.keys.filterNot(selected).flatMap { n =>
-        state.getEnvironment(env).orElse(state.getEnvironment("prod"))
+        state.getEnvironment(env).orElse(state.getEnvironment(createFrom))
           .flatMap(e => e.identifiers.get(n).flatMap(id => state.getSnapshotById(n, id)))
           .orElse(state.latestSnapshot(n))
           .map(old => n -> old.model)
@@ -552,10 +573,11 @@ class GraftContext(
       case SqlBody(sql) => Some(sql); case _ => None
     }
 
-    // diff baseline: the snapshot the TARGET environment (or prod, for a new
-    // env) currently points at — reference ContextDiff diffs env snapshot ids,
-    // which is what keeps a dev preview from masking a pending prod change
-    val baseRec = state.getEnvironment(env).orElse(state.getEnvironment("prod"))
+    // diff baseline: the snapshot the TARGET environment (or, for a new env,
+    // the --create-from environment) currently points at — reference
+    // ContextDiff diffs env snapshot ids, which is what keeps a dev preview
+    // from masking a pending prod change
+    val baseRec = state.getEnvironment(env).orElse(state.getEnvironment(createFrom))
     def baseline(name: String): Option[Snapshot] =
       baseRec.flatMap(e => e.identifiers.get(name)
           .flatMap(id => state.getSnapshotById(name, id)))
@@ -632,7 +654,14 @@ class GraftContext(
     Plan(env, start, end, added.result(), modified.result(), removed,
       metadataOnly.result(), unchanged.result(), cascaded,
       DeployabilityIndex.of(allSnaps, dag), skipBackfill = skipBackfill,
-      effectiveFrom = effectiveFrom, noGaps = noGaps)
+      effectiveFrom = effectiveFrom, noGaps = noGaps,
+      emptyBackfill = emptyBackfill,
+      backfillSelected =
+        if (backfill.isEmpty) None
+        else Some(ModelSelector.expand(backfill, models.toMap)),
+      allowDestructive =
+        if (allowDestructiveModels.isEmpty) Set.empty
+        else ModelSelector.expand(allowDestructiveModels, models.toMap))
   }
 
   /** Evaluate a plan: stages per plan/stages.py:238 — snapshot records →
@@ -678,14 +707,23 @@ class GraftContext(
     val mapping = tableMappingFor(p.snapshots, devFlags)
     p.snapshots.foreach(s => evaluator.create(s, mapping(s.model.name)))
     // MigrateSchemas: forward-only changes evolve the reused physical table in
-    // place — but NEVER from a dev plan, whose preview table starts fresh
+    // place — but NEVER from a dev plan, whose preview table starts fresh.
+    // `--allow-destructive-model` lifts the on_destructive_change guard for
+    // the matching models for THIS apply only (plan/builder.py).
     p.modified.foreach { case (_, nw) =>
-      if (nw.category.contains(ChangeCategory.ForwardOnly) && !p.isDevPreview(nw))
-        evaluator.migrate(nw, p.start, p.end, executionTs, mapping(nw.model.name))
+      if (nw.category.contains(ChangeCategory.ForwardOnly) && !p.isDevPreview(nw)) {
+        val snap = if (p.allowDestructive.contains(nw.model.name))
+          nw.copy(model = nw.model.copy(onDestructiveChange = "allow")) else nw
+        evaluator.migrate(snap, p.start, p.end, executionTs, mapping(nw.model.name))
+      }
     }
-    // Backfill — or, for `--skip-backfill` plans, just the physical layer
-    // (empty tables/views created parents-first so the env views resolve)
-    if (p.skipBackfill) {
+    // Backfill. `--skip-backfill`/`--empty-backfill` plans build just the
+    // physical layer (empty tables/views created parents-first so the env
+    // views resolve); `--backfill-model` does the same for UNSELECTED models.
+    val backfillable: Set[String] =
+      if (p.skipBackfill || p.emptyBackfill) Set.empty
+      else p.backfillSelected.getOrElse(p.snapshots.map(_.model.name).toSet)
+    locally {
       val mat = p.snapshots.filter(_.model.kind.isMaterialized)
       val byName = mat.map(s => s.model.name -> s).toMap
       var remaining = byName.keySet
@@ -693,13 +731,17 @@ class GraftContext(
         val ready = remaining.filter(n =>
           !byName(n).model.references.exists(r => remaining.contains(r) && r != n))
         require(ready.nonEmpty, s"cycle among models: $remaining")
-        ready.toSeq.sorted.foreach(n => evaluator.ensurePhysical(
+        ready.toSeq.sorted.filterNot(backfillable).foreach(n => evaluator.ensurePhysical(
           byName(n), executionTs, mapping(n), devFlags.getOrElse(n, false)))
         remaining --= ready
       }
-    } else {
-      val live = p.snapshots.map(s => state.getSnapshot(s.model.name, s.version).getOrElse(s))
-      scheduler.run(live, p.start, p.end, executionTs, mapping, signals.toMap, devFlags)
+    }
+    if (!p.skipBackfill) {
+      val live = p.snapshots
+        .filter(s => p.emptyBackfill || backfillable(s.model.name))
+        .map(s => state.getSnapshot(s.model.name, s.version).getOrElse(s))
+      scheduler.run(live, p.start, p.end, executionTs, mapping, signals.toMap, devFlags,
+        recordOnly = p.emptyBackfill)
     }
     // standalone audits gate promotion (audit/definition.py:559): they run
     // against the PHYSICAL tables, so a failing blocking audit aborts before

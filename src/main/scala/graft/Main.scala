@@ -47,7 +47,13 @@ import graft.core.{Interval, IntervalUnit}
   *   --var K=V         project variable (repeatable)
   *   --start/--end     ISO date (yyyy-MM-dd) or epoch millis; end default now
   *   --select EXPR     model selector (repeatable; plan only)
-  *   --auto-apply --forward-only --skip-backfill --no-gaps
+  *   --auto-apply --forward-only --skip-backfill/--dry-run --no-gaps
+  *   --empty-backfill       record would-be intervals without computing them
+  *   --create-from ENV      baseline env for a new environment (default prod)
+  *   --backfill MODEL       restrict backfill to matching models (repeatable)
+  *   --allow-destructive-model EXPR   lift on_destructive_change (repeatable)
+  *   --skip-tests --skip-linter       bypass the plan-time gates
+  *   --run                  backfill immediately after --auto-apply
   *   --effective-from DATE   (with --forward-only)
   *   --restate MODEL=START:END   restatement window (repeatable; plan only)
   *   --keys A,B        grain override (table-diff)
@@ -121,21 +127,53 @@ object Main {
       verb match {
         case "plan" =>
           val env = positional.headOption.getOrElse("prod")
-          val p = ctx.plan(env, start, end,
-            restate = flagAll("restate").map(parseRestate).toMap,
-            forwardOnly = has("forward-only"),
-            skipBackfill = has("skip-backfill"),
-            select = flagAll("select"),
-            effectiveFrom = flag("effective-from").map(parseTs),
-            noGaps = has("no-gaps"))
-          out.println(p.describe)
-          if (p.hasChanges && has("auto-apply")) {
-            ctx.apply(p)
-            out.println(s"applied → ${p.snapshots.size} snapshots promoted in '$env'")
-          } else if (p.hasChanges) {
-            out.println("(dry run — pass --auto-apply to apply)")
+          // the reference plan gates on linter + unit tests before building
+          // (cli/main.py --skip-tests/--skip-linter; plan() runs both)
+          val lintBlockers =
+            if (has("skip-linter")) Nil else ctx.lint().filter(_.blocking)
+          lintBlockers.foreach(v =>
+            out.println(s"  ERROR [${v.rule}] ${v.model}: ${v.message}"))
+          val testFailures =
+            if (has("skip-tests") || lintBlockers.nonEmpty) Nil
+            else {
+              flagAll("tests").foreach(ctx.loadTests)
+              projects.map(p => s"$p/tests")
+                .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+                .foreach(ctx.loadTests)
+              ctx.runTests().filter(_.failure.nonEmpty)
+            }
+          testFailures.foreach(r => out.println(s"  FAIL  ${r.name}  (${r.failure.get})"))
+          if (lintBlockers.nonEmpty) {
+            out.println("plan aborted: blocking linter violations (pass --skip-linter to bypass)")
+            2
+          } else if (testFailures.nonEmpty) {
+            out.println("plan aborted: failing unit tests (pass --skip-tests to bypass)")
+            2
+          } else {
+            val p = ctx.plan(env, start, end,
+              restate = flagAll("restate").map(parseRestate).toMap,
+              forwardOnly = has("forward-only"),
+              skipBackfill = has("skip-backfill") || has("dry-run"),
+              select = flagAll("select"),
+              effectiveFrom = flag("effective-from").map(parseTs),
+              noGaps = has("no-gaps"),
+              createFrom = flag("create-from").getOrElse("prod"),
+              emptyBackfill = has("empty-backfill"),
+              backfill = flagAll("backfill"),
+              allowDestructiveModels = flagAll("allow-destructive-model"))
+            out.println(p.describe)
+            if (p.hasChanges && has("auto-apply")) {
+              ctx.apply(p)
+              out.println(s"applied → ${p.snapshots.size} snapshots promoted in '$env'")
+              if (has("run")) { // `--run` (cli/main.py): backfill right after apply
+                ctx.run(env, start, end)
+                out.println(s"run '$env' complete: ${ctx.lastRunReport.size} batches")
+              }
+            } else if (p.hasChanges) {
+              out.println("(dry run — pass --auto-apply to apply)")
+            }
+            0
           }
-          0
         case "run" =>
           val env = positional.headOption.getOrElse("prod")
           ctx.run(env, start, end)
@@ -283,7 +321,8 @@ object Main {
           // reference `sqlmesh diff [env]` (cli/main.py:386): the plan's
           // change summary against the target environment, never applied
           val env = positional.headOption.getOrElse("prod")
-          val p = ctx.plan(env, start, end, select = flagAll("select"))
+          val p = ctx.plan(env, start, end, select = flagAll("select"),
+            createFrom = flag("create-from").getOrElse("prod"))
           out.println(p.describe)
           0
         case "rewrite" =>
@@ -335,7 +374,8 @@ object Main {
   private def parse(args: Seq[String]): (Map[String, Seq[String]], Seq[String]) = {
     val flags = scala.collection.mutable.Map[String, Vector[String]]()
     val positional = Vector.newBuilder[String]
-    val boolFlags = Set("auto-apply", "forward-only", "skip-backfill", "no-gaps", "check")
+    val boolFlags = Set("auto-apply", "forward-only", "skip-backfill", "dry-run",
+      "no-gaps", "check", "empty-backfill", "skip-tests", "skip-linter", "run")
     var i = 0
     while (i < args.length) {
       val a = args(i)

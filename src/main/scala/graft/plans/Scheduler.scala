@@ -68,7 +68,12 @@ class Scheduler(
       executionTs: Long,
       tableMapping: String => Map[String, String],
       signals: Map[String, Interval => Boolean] = Map.empty,
-      devFlags: Map[String, Boolean] = Map.empty): Unit = {
+      devFlags: Map[String, Boolean] = Map.empty,
+      /** `--empty-backfill` (plan/builder.py:76): record every interval this
+        * run WOULD have processed — same cron capping, batching, and signal
+        * gating — without evaluating any of them. Tables must already exist
+        * (the plan's physical-layer stage creates them empty). */
+      recordOnly: Boolean = false): Unit = {
 
     report.clear()
     val pool = Executors.newFixedThreadPool(concurrency)
@@ -164,7 +169,9 @@ class Scheduler(
             var first = (if (dev) fresh.devIntervals else fresh.intervals).isEmpty
             val ready = batches.filter(b =>
               signals.get(snap.model.name).forall(sig => sig(b)))
-            if (batchConc <= 1 || ready.size <= 1) {
+            if (recordOnly) {
+              ready.foreach(b => state.addInterval(snap.model.name, snap.version, b, dev))
+            } else if (batchConc <= 1 || ready.size <= 1) {
               ready.foreach { b =>
                 timed(snap.model.name, b) {
                   evaluator.evaluate(fresh, b, executionTs, tableMapping(snap.model.name),

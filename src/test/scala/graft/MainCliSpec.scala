@@ -195,6 +195,77 @@ class MainCliSpec extends AnyFunSuite {
     assert(cli(Seq("invalidate", "prod") ++ base: _*)._1 != 0)
   }
 
+  test("plan flags: empty-backfill, backfill-model, create-from, lint gate, --run") {
+    val proj = SparkTestSession.tmpDir("cli-proj4")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
+      """MODEL (
+        |  name cli5.daily,
+        |  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate),
+        |  start '1995-01-01'
+        |);
+        |SELECT o_orderdate, count(*) AS n FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "sum.sql"),
+      """MODEL (name cli5.sum, kind FULL);
+        |SELECT count(*) AS days FROM cli5.daily
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    val window = Seq("--start", "1995-01-01", "--end", "1995-01-15")
+
+    // --empty-backfill: tables exist empty, intervals recorded as processed
+    val (e0, eOut) = cli(Seq("plan", "prod", "--empty-backfill", "--auto-apply")
+      ++ window ++ base: _*)
+    assert(e0 == 0 && eOut.contains("applied"), eOut)
+    assert(spark.table("cli5.daily").count() == 0)
+    val (g0, gaps) = cli(Seq("check-intervals", "prod") ++ window ++ base: _*)
+    assert(g0 == 0 && gaps.contains("cli5.daily: complete"), gaps)
+    // a later run backfills only NEW intervals — the recorded ones stay empty
+    assert(cli(Seq("run", "prod", "--start", "1995-01-01", "--end", "1995-01-20")
+      ++ base: _*)._1 == 0)
+    assert(spark.sql("SELECT min(o_orderdate) FROM cli5.daily").head.get(0)
+      .toString >= "1995-01-15")
+
+    // --backfill restricts interval computation to matching models
+    val proj2 = SparkTestSession.tmpDir("cli-proj5")
+    Seq("daily.sql", "sum.sql").foreach(f => java.nio.file.Files.copy(
+      java.nio.file.Paths.get(proj, f), java.nio.file.Paths.get(proj2, f)))
+    val base2 = Seq("--project", proj2, "--external", s"raw.orders=$sf/orders.parquet")
+    assert(cli(Seq("plan", "prod", "--backfill", "cli5.daily", "--auto-apply")
+      ++ window ++ base2: _*)._1 == 0)
+    assert(spark.table("cli5.daily").count() > 0)
+    assert(spark.table("cli5.sum").count() == 0) // physical-only, not backfilled
+
+    // --create-from: a NEW env baselines against the named env. Put an edit
+    // in 'stage' that prod doesn't have, then diff a fresh env both ways:
+    // against stage (has the edit) nothing changed; against prod (default,
+    // still on the old version) the edit shows as modified.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj2, "sum.sql"),
+      """MODEL (name cli5.sum, kind FULL);
+        |SELECT count(*) AS days, max(n) AS peak FROM cli5.daily
+        |""".stripMargin)
+    assert(cli(Seq("plan", "stage", "--auto-apply") ++ window ++ base2: _*)._1 == 0)
+    val (c0, cOut) = cli(Seq("diff", "feature", "--create-from", "stage")
+      ++ window ++ base2: _*)
+    assert(c0 == 0 && !cOut.contains("~ cli5.sum"), cOut)
+    val (c1, cOut1) = cli(Seq("diff", "feature") ++ window ++ base2: _*)
+    assert(c1 == 0 && cOut1.contains("~ cli5.sum"), cOut1)
+
+    // lint gate: a blocking violation aborts the plan unless --skip-linter
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj2, "bad.sql"),
+      """MODEL (name cli5.bad, kind FULL);
+        |SELECT x FROM not.registered
+        |""".stripMargin)
+    val (l0, lOut) = cli(Seq("plan", "prod") ++ window ++ base2: _*)
+    assert(l0 == 2 && lOut.contains("plan aborted: blocking linter"), lOut)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(proj2, "bad.sql"))
+    // --run: apply + immediate backfill in one invocation
+    val (l1, lOut1) = cli(Seq("plan", "prod", "--auto-apply", "--run")
+      ++ window ++ base2: _*)
+    assert(l1 == 0 && lOut1.contains("run 'prod' complete"), lOut1)
+    assert(spark.table("cli5.sum").count() > 0)
+  }
+
   test("diff / rewrite / clean / migrate / rollback verbs") {
     val proj = SparkTestSession.tmpDir("cli-proj3")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "seg.sql"),
