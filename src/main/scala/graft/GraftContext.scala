@@ -395,12 +395,19 @@ class GraftContext(
 
   /** Per-model missing interval gaps in an environment's window (reference
     * `sqlmesh check_intervals`, cli/main.py): what a `run` would backfill. */
-  def checkIntervals(env: String, start: Long, end: Long): Map[String, Seq[Interval]] = {
+  def checkIntervals(env: String, start: Long, end: Long,
+                     select: Seq[String] = Nil): Map[String, Seq[Interval]] = {
     val envRec = state.getEnvironment(env).getOrElse(
       throw new IllegalStateException(s"environment $env not planned"))
-    envRec.snapshots.flatMap { case (name, v) =>
-      state.getSnapshot(name, v).filter(_.model.kind.isMaterialized)
-        .map(s => name -> IntervalAlgebra.merge(s.missingIntervals(start, end)).toSeq)
+    val snapsByName = envRec.snapshots.flatMap { case (name, v) =>
+      state.getSnapshot(name, v).map(name -> _)
+    }
+    val chosen: String => Boolean =
+      if (select.isEmpty) _ => true
+      else ModelSelector.expand(select, snapsByName.map { case (n, s) => n -> s.model }.toMap)
+    snapsByName.collect { case (name, s)
+        if s.model.kind.isMaterialized && chosen(name) =>
+      name -> IntervalAlgebra.merge(s.missingIntervals(start, end)).toSeq
     }
   }
 
@@ -798,27 +805,59 @@ class GraftContext(
   /** `sqlmesh run` (context.py:756): backfill new missing intervals in an
     * already-planned environment. */
   def run(env: String, start: Long, end: Long,
-          executionTs: Long = System.currentTimeMillis()): Unit = {
+          executionTs: Long = System.currentTimeMillis(),
+          /** `--ignore-cron`: backfill every missing interval up to `end`,
+            * ignoring per-model cron-tick readiness (cli/main.py run). */
+          ignoreCron: Boolean = false,
+          /** `--select-model` selector expressions; empty = the whole env.
+            * Upstream dependencies are pulled in automatically unless
+            * `autoUpstream = false` (`--no-auto-upstream`). */
+          selectModels: Seq[String] = Nil,
+          autoUpstream: Boolean = true): Unit = {
     notifier.notifyRunStart(env)
-    try { runInner(env, start, end, executionTs); notifier.notifyRunEnd(env) }
+    try {
+      runInner(env, start, end, executionTs, ignoreCron, selectModels, autoUpstream)
+      notifier.notifyRunEnd(env)
+    }
     catch { case e: Throwable => notifier.notifyRunFailure(env, e); throw e }
   }
 
   private def runInner(env: String, start: Long, end: Long,
-                       executionTs: Long): Unit = {
+                       executionTs: Long, ignoreCron: Boolean = false,
+                       selectModels: Seq[String] = Nil,
+                       autoUpstream: Boolean = true): Unit = {
     runEnvStatements(beforeAll, start, end, executionTs)
     val envRec = state.getEnvironment(env).getOrElse(
       throw new IllegalStateException(s"environment $env not planned"))
-    val snaps = envRec.snapshots.flatMap { case (n, v) =>
+    val allSnaps = envRec.snapshots.flatMap { case (n, v) =>
       envRec.identifiers.get(n).flatMap(id => state.getSnapshotById(n, id))
         .orElse(state.getSnapshot(n, v))
     }.toSeq
+    val snaps =
+      if (selectModels.isEmpty) allSnaps
+      else {
+        val byName = allSnaps.map(s => s.model.name -> s).toMap
+        val selected = ModelSelector.expand(selectModels,
+          allSnaps.map(s => s.model.name -> s.model).toMap)
+        // `--select-model` always includes upstream dependencies so the
+        // selected models read fresh inputs; --no-auto-upstream opts out
+        var wanted = selected
+        if (autoUpstream) {
+          var frontier = selected
+          while (frontier.nonEmpty) {
+            val next = frontier.flatMap(n => byName.get(n).toSeq
+              .flatMap(_.model.references.filter(byName.contains))) -- wanted
+            wanted ++= next; frontier = next
+          }
+        }
+        allSnaps.filter(s => wanted(s.model.name))
+      }
     val dag = snaps.map(s => s.model.name -> s.model.references).toMap
     val index = DeployabilityIndex.of(snaps, dag)
     val devFlags = snaps.map(s =>
       s.model.name -> (env != "prod" && !index.isDeployable(s))).toMap
     scheduler.run(snaps, start, end, executionTs, tableMappingFor(snaps, devFlags),
-      signals.toMap, devFlags)
+      signals.toMap, devFlags, ignoreCron = ignoreCron)
     runStandaloneAudits(snaps, devFlags, start, end, executionTs)
     runEnvStatements(afterAll, start, end, executionTs)
   }
@@ -921,13 +960,41 @@ class GraftContext(
     * table_diff source_env:target_env model`, cli/main.py:966): row-level
     * full-outer comparison on the model's grain. */
   def tableDiff(modelName: String, sourceEnv: String, targetEnv: String,
-                keys: Seq[String] = Nil): DataFrame = {
+                keys: Seq[String] = Nil,
+                /** `--where`: filter both sides before diffing. */
+                where: Option[String] = None,
+                /** `--skip-columns`: ignore these data columns. */
+                skipColumns: Seq[String] = Nil,
+                /** `--decimals`: float comparison precision (default 3). */
+                decimals: Int = 3): DataFrame = {
+    val (src, tgt, grain) = tableDiffSides(modelName, sourceEnv, targetEnv, keys,
+      where, skipColumns)
+    graft.adapter.TableDiff.rowDiff(src, tgt, grain, decimals)
+  }
+
+  /** `--show-sample`: the differing rows themselves (side-by-side), capped
+    * at `limit` — the drill-down companion to the [[tableDiff]] summary. */
+  def tableDiffSample(modelName: String, sourceEnv: String, targetEnv: String,
+                      keys: Seq[String] = Nil, where: Option[String] = None,
+                      skipColumns: Seq[String] = Nil, limit: Int = 20): DataFrame = {
+    val (src, tgt, grain) = tableDiffSides(modelName, sourceEnv, targetEnv, keys,
+      where, skipColumns)
+    graft.adapter.TableDiff.rowDiffSamples(src, tgt, grain, limit)
+  }
+
+  private def tableDiffSides(modelName: String, sourceEnv: String,
+                             targetEnv: String, keys: Seq[String],
+                             where: Option[String], skipColumns: Seq[String]) = {
     val m = models(modelName)
     val grain = if (keys.nonEmpty) keys else m.grains
     require(grain.nonEmpty, s"$modelName: table_diff needs keys (model has no grain)")
-    graft.adapter.TableDiff.rowDiff(
-      spark.table(envTable(modelName, sourceEnv)),
-      spark.table(envTable(modelName, targetEnv)), grain)
+    def side(env: String): DataFrame = {
+      var df = spark.table(envTable(modelName, env))
+      where.foreach(w => df = df.where(w))
+      if (skipColumns.nonEmpty) df = df.drop(skipColumns: _*)
+      df
+    }
+    (side(sourceEnv), side(targetEnv), grain)
   }
 
   /** Write referenced-but-undefined relations to an external-models schema

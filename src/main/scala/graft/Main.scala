@@ -176,12 +176,17 @@ object Main {
           }
         case "run" =>
           val env = positional.headOption.getOrElse("prod")
-          ctx.run(env, start, end)
+          ctx.run(env, start, end,
+            ignoreCron = has("ignore-cron"),
+            selectModels = flagAll("select"),
+            autoUpstream = !has("no-auto-upstream"))
           val report = ctx.lastRunReport
           report.foreach { case (m, iv, ms) =>
             out.println(f"  $m  [${fmtTs(iv.start)} … ${fmtTs(iv.end)})  $ms%d ms")
           }
           out.println(s"run '$env' complete: ${report.size} batches")
+          // the reference runs the janitor after every `run` (context.py:855)
+          if (!has("skip-janitor")) ctx.janitor()
           0
         case "evaluate" =>
           val model = positionalRequired(positional, "evaluate <model>")
@@ -222,12 +227,18 @@ object Main {
           val envs = positional.drop(1).headOption.getOrElse(
             throw new IllegalArgumentException("table-diff <model> <srcEnv:tgtEnv>"))
           val (src, tgt) = splitOnce(envs, ':', "source:target envs")
-          printDf(out, ctx.tableDiff(model, src, tgt,
-            flag("keys").map(_.split(',').toSeq).getOrElse(Nil)))
+          val keys = flag("keys").map(_.split(',').toSeq).getOrElse(Nil)
+          val where = flag("where")
+          val skipCols = flag("skip-columns").map(_.split(',').toSeq).getOrElse(Nil)
+          printDf(out, ctx.tableDiff(model, src, tgt, keys, where, skipCols,
+            decimals = flag("decimals").map(_.toInt).getOrElse(3)))
+          if (has("show-sample"))
+            printDf(out, ctx.tableDiffSample(model, src, tgt, keys, where, skipCols,
+              limit = flag("limit").map(_.toInt).getOrElse(20)))
           0
         case "check-intervals" =>
           val env = positional.headOption.getOrElse("prod")
-          ctx.checkIntervals(env, start, end).toSeq.sortBy(_._1).foreach {
+          ctx.checkIntervals(env, start, end, select = flagAll("select")).toSeq.sortBy(_._1).foreach {
             case (m, gaps) =>
               val s = if (gaps.isEmpty) "complete"
                 else gaps.map(iv => s"[${fmtTs(iv.start)} … ${fmtTs(iv.end)})").mkString(", ")
@@ -375,7 +386,8 @@ object Main {
     val flags = scala.collection.mutable.Map[String, Vector[String]]()
     val positional = Vector.newBuilder[String]
     val boolFlags = Set("auto-apply", "forward-only", "skip-backfill", "dry-run",
-      "no-gaps", "check", "empty-backfill", "skip-tests", "skip-linter", "run")
+      "no-gaps", "check", "empty-backfill", "skip-tests", "skip-linter", "run",
+      "ignore-cron", "no-auto-upstream", "skip-janitor", "show-sample")
     var i = 0
     while (i < args.length) {
       val a = args(i)

@@ -29,11 +29,12 @@ object TableDiff {
 
   /** Decimal-rounded / nested-normalized comparison value (RowDiffMixin
     * normalization: decimals rounded to 3, nested → json). */
-  private def normalize(c: org.apache.spark.sql.Column, dt: org.apache.spark.sql.types.DataType) =
+  private def normalize(c: org.apache.spark.sql.Column, dt: org.apache.spark.sql.types.DataType,
+                        decimals: Int = 3) =
     dt match {
       case _: DecimalType | org.apache.spark.sql.types.DoubleType |
            org.apache.spark.sql.types.FloatType =>
-        round(c.cast(DecimalType(38, 9)), 3)
+        round(c.cast(DecimalType(38, 9)), decimals)
       case _: org.apache.spark.sql.types.ArrayType | _: StructType |
            _: org.apache.spark.sql.types.MapType => to_json(c)
       case _ => c
@@ -41,13 +42,15 @@ object TableDiff {
 
   /** Per-column match stats + row-presence counts. Returns one summary row:
     * s_only, t_only, full_match, partial_match, per-column match counts. */
-  def rowDiff(source: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame = {
+  def rowDiff(source: DataFrame, target: DataFrame, keys: Seq[String],
+              /** `--decimals` (cli/main.py table_diff): float precision. */
+              decimals: Int = 3): DataFrame = {
     val dataCols = source.columns.filterNot(keys.contains)
       .filter(target.columns.contains).toSeq
     val sNorm = source.select(
-      (keys.map(col) ++ dataCols.map(c => normalize(col(c), source.schema(c).dataType).as(c))): _*)
+      (keys.map(col) ++ dataCols.map(c => normalize(col(c), source.schema(c).dataType, decimals).as(c))): _*)
     val tNorm = target.select(
-      (keys.map(col) ++ dataCols.map(c => normalize(col(c), target.schema(c).dataType).as(c))): _*)
+      (keys.map(col) ++ dataCols.map(c => normalize(col(c), target.schema(c).dataType, decimals).as(c))): _*)
     val s = sNorm.select(sNorm.columns.map(c => col(c).as(s"s_$c")): _*)
       .withColumn("__in_s", lit(1))
     val t = tNorm.select(tNorm.columns.map(c => col(c).as(s"t_$c")): _*)

@@ -73,7 +73,10 @@ class Scheduler(
         * run WOULD have processed — same cron capping, batching, and signal
         * gating — without evaluating any of them. Tables must already exist
         * (the plan's physical-layer stage creates them empty). */
-      recordOnly: Boolean = false): Unit = {
+      recordOnly: Boolean = false,
+      /** `--ignore-cron` (cli/main.py run): process every missing interval
+        * up to `end`, ignoring per-model cron-tick readiness. */
+      ignoreCron: Boolean = false): Unit = {
 
     report.clear()
     val pool = Executors.newFixedThreadPool(concurrency)
@@ -126,7 +129,7 @@ class Scheduler(
             // …only INCREMENTAL kinds: FULL/VIEW/SCD2 refresh wholesale on
             // every run (FullRefreshStrategy replaces regardless of ticks)
             val cappedEnd =
-              if (snap.model.allowPartials || !snap.model.kind.isIncremental) end
+              if (ignoreCron || snap.model.allowPartials || !snap.model.kind.isIncremental) end
               else math.min(end,
                 unit.floor(CronSchedule.lastTickAtOrBefore(snap.model.cron, executionTs,
                   snap.model.cronTz.getOrElse("UTC"))))

@@ -266,6 +266,76 @@ class MainCliSpec extends AnyFunSuite {
     assert(spark.table("cli5.sum").count() > 0)
   }
 
+  test("run flags (ignore-cron, select-model) and table-diff options") {
+    val proj = SparkTestSession.tmpDir("cli-proj6")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "late.sql"),
+      """MODEL (
+        |  name cli6.late,
+        |  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate),
+        |  cron '30 23 * * *',
+        |  start '1995-01-01',
+        |  grains (o_orderdate)
+        |);
+        |SELECT o_orderdate, count(*) AS n FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "other.sql"),
+      """MODEL (name cli6.other, kind FULL);
+        |SELECT count(*) AS n FROM raw.orders
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    val window = Seq("--start", "1995-01-10", "--end", "1995-01-12")
+    assert(cli(Seq("plan", "prod", "--skip-backfill", "--auto-apply")
+      ++ window ++ base: _*)._1 == 0)
+
+    // the 23:30 cron has not fired for the window's tail "today", so a plain
+    // run leaves intervals pending; --ignore-cron backfills them all
+    val now = System.currentTimeMillis()
+    val today = java.time.Instant.ofEpochMilli(now).toString.take(10)
+    val wideWindow = Seq("--start", "1995-01-10", "--end", today)
+    val (r0, _) = cli(Seq("run", "prod") ++ wideWindow ++ base: _*)
+    assert(r0 == 0)
+    val (g0, gaps0) = cli(Seq("check-intervals", "prod") ++ wideWindow ++ base: _*)
+    assert(g0 == 0 && !gaps0.contains("cli6.late: complete"), gaps0)
+    val (r1, _) = cli(Seq("run", "prod", "--ignore-cron") ++ wideWindow ++ base: _*)
+    assert(r1 == 0)
+    val (g1, gaps1) = cli(Seq("check-intervals", "prod", "--select", "cli6.late")
+      ++ wideWindow ++ base: _*)
+    assert(g1 == 0 && gaps1.contains("cli6.late: complete")
+      && !gaps1.contains("cli6.other"), gaps1)
+
+    // --select restricts the run to matching models
+    val before = spark.table("cli6.other").count()
+    assert(cli(Seq("run", "prod", "--select", "cli6.late") ++ wideWindow ++ base: _*)._1 == 0)
+    assert(spark.table("cli6.other").count() == before)
+
+    // table-diff options against a drifted dev version of the model
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "late.sql"),
+      """MODEL (
+        |  name cli6.late,
+        |  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate),
+        |  cron '30 23 * * *',
+        |  start '1995-01-01',
+        |  grains (o_orderdate)
+        |);
+        |SELECT o_orderdate, count(*) + 1 AS n FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate
+        |""".stripMargin)
+    assert(cli(Seq("plan", "dev", "--auto-apply", "--ignore-cron")
+      ++ wideWindow ++ base: _*)._1 == 0)
+    // every key matches but n drifted by +1: the summary reports the n column
+    val (t0, diffAll) = cli(Seq("table-diff", "cli6.late", "prod:dev") ++ base: _*)
+    assert(t0 == 0 && diffAll.contains("match_n"), diffAll)
+    // --where 1=0 scopes both sides down to nothing
+    val (t1, diffW) = cli(Seq("table-diff", "cli6.late", "prod:dev",
+      "--where", "1=0") ++ base: _*)
+    assert(t1 == 0 && diffW.contains("null"), diffW)
+    // --skip-columns removes the drifted column from the comparison entirely
+    val (t2, diffSkip) = cli(Seq("table-diff", "cli6.late", "prod:dev",
+      "--skip-columns", "n", "--show-sample") ++ base: _*)
+    assert(t2 == 0 && !diffSkip.contains("match_n"), diffSkip)
+  }
+
   test("diff / rewrite / clean / migrate / rollback verbs") {
     val proj = SparkTestSession.tmpDir("cli-proj3")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "seg.sql"),
