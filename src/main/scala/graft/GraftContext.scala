@@ -1049,12 +1049,17 @@ class GraftContext(
 
   /** Invalidate an environment (reference `sqlmesh invalidate`): drop its
     * views and record, leaving physical cleanup to the janitor. */
-  def invalidateEnvironment(env: String): Unit = {
+  def invalidateEnvironment(env: String, sync: Boolean = false): Unit = {
     require(env != "prod", "refusing to invalidate prod")
     state.getEnvironment(env).foreach { rec =>
       rec.snapshots.keys.foreach(name => demoteByName(env, name, rec.suffixTarget))
     }
-    state.promoteEnvironment(EnvironmentRecord(env, Map.empty, finalized = true))
+    if (sync) {
+      // `--sync` (cli/main.py:830): tear down NOW — record deleted and the
+      // janitor pass reclaims any physical tables nothing references
+      state.deleteEnvironment(env)
+      janitor()
+    } else state.promoteEnvironment(EnvironmentRecord(env, Map.empty, finalized = true))
   }
 
   /** TTL janitor (core/janitor.py): expire dev environments past their TTL

@@ -259,8 +259,9 @@ object Main {
           0
         case "invalidate" =>
           val env = positionalRequired(positional, "invalidate <env>")
-          ctx.invalidateEnvironment(env)
-          out.println(s"environment '$env' invalidated")
+          ctx.invalidateEnvironment(env, sync = has("sync"))
+          out.println(s"environment '$env' invalidated" +
+            (if (has("sync")) " and removed" else ""))
           0
         case "create-external-models" =>
           val path = flag("output").getOrElse(
@@ -387,7 +388,7 @@ object Main {
     val positional = Vector.newBuilder[String]
     val boolFlags = Set("auto-apply", "forward-only", "skip-backfill", "dry-run",
       "no-gaps", "check", "empty-backfill", "skip-tests", "skip-linter", "run",
-      "ignore-cron", "no-auto-upstream", "skip-janitor", "show-sample")
+      "ignore-cron", "no-auto-upstream", "skip-janitor", "show-sample", "sync")
     var i = 0
     while (i < args.length) {
       val a = args(i)

@@ -1468,6 +1468,47 @@ object PipelineQueries {
         |WHERE session_end < w
         |ORDER BY user_id, session_start""".stripMargin)),
 
+    "td_stream_join" -> Entry((s, dir) => {
+      // watermarked stream-stream interval join: clicks enriched with the
+      // same user's purchases within 30 minutes. One AvailableNow drain =
+      // one micro-batch = complete inner join, hash-checked against the
+      // batch form; the watermark+time-bound is the state-eviction contract
+      // that keeps the join runnable on an unbounded stream.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val src = java.nio.file.Files.createTempDirectory("graft_sjoin_src")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        src.resolve("events.parquet"))
+      val sink = java.nio.file.Files.createTempDirectory("graft_sjoin_sink").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_sjoin_chk").toString
+      def side(tpe: String) = s.readStream.schema(raw.schema)
+        .parquet(src.toString)
+        .where(col("event_type") === tpe)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select("user_id", "ts", "value")
+      val joined = graft.streaming.Streaming.intervalJoin(
+        side("click"), side("purchase"), "ts", Seq("user_id"),
+        maxDelay = "30 MINUTES", watermarkDelay = "1 minute")
+      val q = joined
+        .select(col("l_user_id").as("user_id"), col("l_ts").as("click_ts"),
+          col("r_ts").as("purchase_ts"), col("r_value").as("purchase_value"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .orderBy(col("user_id"), col("click_ts"), col("purchase_ts"),
+          col("purchase_value"))
+    }, Some(
+      """SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+        |  p.value AS purchase_value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
     // --------------------------------------------- multimodal ------------
     "td_media_describe" -> Entry((s, dir) => {
       // documents' text bytes stand in for opaque media payloads; describe()

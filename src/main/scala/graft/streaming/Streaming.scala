@@ -80,6 +80,31 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Watermarked stream-stream interval join (the streaming enrichment
+    * pattern: left events joined to right events of the same key within
+    * `[0, maxDelay]` event-time skew). Both sides carry watermarks and the
+    * join condition bounds event time, so per-side join STATE is evicted
+    * once the watermark passes the bound — without the bound, stream-stream
+    * join state grows forever, the cardinal streaming-join mistake at
+    * scale. Inner join: matches emit as soon as both sides arrive. Column
+    * names collide between the sides, so both are prefixed (`l_`/`r_`). */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      maxDelay: String,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay)
+      .select(left.columns.map(c => col(c).as(s"l_$c")): _*)
+    val r = right.withWatermark(tsCol, watermarkDelay)
+      .select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+    val keyCond = keys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _)
+    val timeCond = col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+      col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $maxDelay")
+    l.join(r, keyCond && timeCond, "inner")
+  }
+
   /** Streaming CDC-style upsert into an engine-managed table: each
     * micro-batch MERGEs on the unique key through the materializer (latest
     * row per key wins, recency by `orderCol`) — the standard

@@ -193,6 +193,16 @@ class MainCliSpec extends AnyFunSuite {
     assert(cli(Seq("plan", "dev", "--auto-apply") ++ base: _*)._1 == 0)
     assert(cli(Seq("invalidate", "dev") ++ base: _*)._1 == 0)
     assert(cli(Seq("invalidate", "prod") ++ base: _*)._1 != 0)
+    // --sync removes the environment record immediately (cli/main.py:830).
+    // A metadata edit makes the dev2 plan a real change so the env exists.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "seg.sql"),
+      """MODEL (name cli3.seg, kind FULL, owner team2);
+        |SELECT c_mktsegment, count(*) AS n FROM raw.customer GROUP BY c_mktsegment
+        |""".stripMargin)
+    assert(cli(Seq("plan", "dev2", "--auto-apply") ++ base: _*)._1 == 0)
+    assert(cli(Seq("environments") ++ base: _*)._2.contains("dev2"))
+    assert(cli(Seq("invalidate", "dev2", "--sync") ++ base: _*)._2.contains("removed"))
+    assert(!cli(Seq("environments") ++ base: _*)._2.contains("dev2"))
   }
 
   test("plan flags: empty-backfill, backfill-model, create-from, lint gate, --run") {

@@ -90,6 +90,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("user") === "u2").head().getAs[Long]("n_events") == 1L)
   }
 
+  test("intervalJoin matches pairs within the time bound, streaming") {
+    val src = SparkTestSession.tmpDir("sjoin_src")
+    val sink = SparkTestSession.tmpDir("sjoin_sink")
+    val chk = SparkTestSession.tmpDir("sjoin_chk")
+    val events = Seq(
+      ("u1", "click",    ts("2024-01-01 00:00:00"), 0.0),
+      ("u1", "purchase", ts("2024-01-01 00:10:00"), 9.99),  // within 30 min ✓
+      ("u1", "purchase", ts("2024-01-01 00:50:00"), 5.00),  // beyond 30 min ✗
+      ("u2", "click",    ts("2024-01-01 00:00:00"), 0.0),   // no purchase ✗
+      ("u3", "purchase", ts("2024-01-01 00:05:00"), 1.00)   // no click ✗
+    ).toDF("user", "kind", "ts", "v")
+    events.write.mode("append").parquet(src)
+    def side(kind: String) = spark.readStream.schema(events.schema).parquet(src)
+      .where(col("kind") === kind).select("user", "ts", "v")
+    val q = Streaming.intervalJoin(side("click"), side("purchase"),
+        "ts", Seq("user"), "30 MINUTES", "1 minute")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(sink)
+      .select("l_user", "r_v").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("u1", 9.99)))
+  }
+
   test("dedupStream suppresses duplicates within and across micro-batches") {
     val src = SparkTestSession.tmpDir("dstream_src")
     val sink = SparkTestSession.tmpDir("dstream_sink")
