@@ -59,6 +59,31 @@ object ScaleProbe {
       }
     }
 
+    // BPE: train once on the 1× corpus (one word count + driver merge loop),
+    // then encode 1× vs N× — encoding must scale with rows, not vocab, and
+    // the per-partition word cache keeps the merge loop off the Zipfian head
+    {
+      val t0 = System.nanoTime()
+      val model = Bpe.train(docs, "text", numMerges = 200, maxWords = 20000)
+      println(f"bpe_train 1x          ${(System.nanoTime() - t0) / 1e9}%8.2f s   (${model.merges.size} merges)")
+      for ((label, d) <- Seq("1x" -> docs, s"${n}x" -> bigDocs))
+        time(s"bpe_encode $label") {
+          Bpe.encode(spark, d, model, "text")
+            .agg(sum(col("bpe_n_tokens"))).head.getLong(0)
+        }
+    }
+
+    // audio decode: synthesize+decode per row in one pass — pure
+    // mapPartitions compute, no shuffle, must be linear in rows
+    for ((label, d) <- Seq("1x" -> docs, s"${n}x" -> bigDocs)) {
+      time(s"audio_decode $label") {
+        val media = d.select(col("doc_id").as("media_id"))
+        Multimodal.decodeAudio(spark,
+            Multimodal.synthesizeWavs(spark, media))
+          .agg(sum(col("zero_crossings"))).head.getLong(0)
+      }
+    }
+
     // SCD2-by-time with a large closed history: the r5 verdict flagged a
     // forced broadcast(latestDeleted); after the semi-join fix the closed-key
     // cardinality must not reach the driver. 2e5 closed keys, tiny batch.
