@@ -310,7 +310,7 @@ object Multimodal {
 
   /** Frame sampling for video-ish payloads: slice the byte stream at fixed
     * strides (real `substring`-on-binary operations; stand-in for keyframe
-    * extraction). */
+    * extraction — see [[extractFrames]] for the real container-aware path). */
   def sampleFrames(df: DataFrame, payloadCol: String = "payload",
                    frameBytes: Int = 64, maxFrames: Int = 4): DataFrame =
     df.withColumn("frame_idx",
@@ -319,4 +319,307 @@ object Multimodal {
       .withColumn("frame",
         expr(s"substring($payloadCol, frame_idx * $frameBytes + 1, $frameBytes)"))
       .where(length(col("frame")) > 0)
+
+  // ------------------------------------------------------------------ video
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def rd32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def fcc(b: Array[Byte], o: Int): String = new String(b, o, 4, "US-ASCII")
+
+  /** RIFF chunk: id + LE size + body, padded to an even boundary. */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(id.getBytes("US-ASCII")); o.write(le32(body.length)); o.write(body)
+    if ((body.length & 1) == 1) o.write(0)
+    o.toByteArray
+  }
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("LIST".getBytes("US-ASCII")); o.write(le32(body.length + 4))
+    o.write(listType.getBytes("US-ASCII")); o.write(body)
+    o.toByteArray
+  }
+
+  /** Deterministic synthetic AVI video (a real RIFF container — `avih`/
+    * `strh`/`strf` headers + `movi` frame chunks). Frames are solid-color:
+    * uncompressed 24-bit DIB (`00db`, bottom-up BGR rows — byte-exact, the
+    * oracle fixture) or real JPEG via `javax.imageio` (`MJPG`/`00dc` — the
+    * spec fixture for lossy decode). Everything derives from `id`:
+    * `f = 2 + id%4` frames, `w = 4*(1 + id%3)`, `h = 2 + id%3`,
+    * `fps = 5 + id%6`; frame `k`'s red channel is `id%200 + 10k` (green/blue
+    * are id-derived constants), so the all-frame mean red is exactly
+    * `id%200 + 5*(f-1)` — decoding only the first frame, or dropping one,
+    * changes the value. */
+  def syntheticAvi(id: Long, mjpeg: Boolean = false): Array[Byte] = {
+    val f = 2 + math.floorMod(id, 4).toInt
+    val w = 4 * (1 + math.floorMod(id, 3).toInt)
+    val h = 2 + math.floorMod(id, 3).toInt
+    val fps = 5 + math.floorMod(id, 6).toInt
+    val g = math.floorMod(id * 7, 251).toInt
+    val b = math.floorMod(id * 13, 251).toInt
+    val frames: Seq[Array[Byte]] = (0 until f).map { k =>
+      val r = math.floorMod(id, 200).toInt + 10 * k
+      if (mjpeg) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        var x = 0
+        while (x < w) { var y = 0; while (y < h) { img.setRGB(x, y, rgb); y += 1 }; x += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      } else {
+        val stride = ((w * 3 + 3) / 4) * 4
+        val bytes = new Array[Byte](stride * h)
+        var row = 0
+        while (row < h) {
+          var x = 0
+          while (x < w) {
+            val off = row * stride + x * 3
+            bytes(off) = b.toByte; bytes(off + 1) = g.toByte; bytes(off + 2) = r.toByte
+            x += 1
+          }
+          row += 1
+        }
+        bytes
+      }
+    }
+    val maxFrame = frames.map(_.length).max
+    val handler = if (mjpeg) "MJPG" else "DIB "
+    val avih = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(le32(1000000L / fps)); o.write(le32(0)); o.write(le32(0)); o.write(le32(0))
+      o.write(le32(f)); o.write(le32(0)); o.write(le32(1)); o.write(le32(maxFrame))
+      o.write(le32(w)); o.write(le32(h)); (0 until 4).foreach(_ => o.write(le32(0)))
+      o.toByteArray
+    }
+    val strh = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("vids".getBytes("US-ASCII")); o.write(handler.getBytes("US-ASCII"))
+      o.write(le32(0)); o.write(le16(0)); o.write(le16(0)); o.write(le32(0))
+      o.write(le32(1)); o.write(le32(fps))          // scale=1, rate=fps → exact fps
+      o.write(le32(0)); o.write(le32(f)); o.write(le32(maxFrame)); o.write(le32(0))
+      o.write(le32(0))
+      o.write(le16(0)); o.write(le16(0)); o.write(le16(w)); o.write(le16(h))
+      o.toByteArray
+    }
+    val strf = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(le32(40)); o.write(le32(w)); o.write(le32(h))
+      o.write(le16(1)); o.write(le16(24))
+      if (mjpeg) o.write("MJPG".getBytes("US-ASCII")) else o.write(le32(0))
+      o.write(le32(maxFrame)); o.write(le32(0)); o.write(le32(0)); o.write(le32(0)); o.write(le32(0))
+      o.toByteArray
+    }
+    val strl = riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf))
+    val hdrl = riffList("hdrl", riffChunk("avih", avih) ++ strl)
+    val movi = riffList("movi",
+      frames.map(fr => riffChunk(if (mjpeg) "00dc" else "00db", fr))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val body = hdrl ++ movi
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.length + 4))
+    out.write("AVI ".getBytes("US-ASCII")); out.write(body)
+    out.toByteArray
+  }
+
+  /** Attach a deterministic synthetic AVI payload per row (the video analog
+    * of [[synthesizeWavs]]). */
+  def synthesizeAvis(spark: SparkSession, df: DataFrame,
+                     idCol: String = "media_id", mjpeg: Boolean = false): DataFrame = {
+    val outSchema = df.schema.add("payload", BinaryType)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ syntheticAvi(r.getLong(idIdx), mjpeg)))
+    }(encoder)
+  }
+
+  private case class AviStream(width: Int, height: Int, fps: Int,
+                               compression: Int, frames: Seq[Array[Byte]])
+
+  /** Minimal RIFF/AVI demuxer: walks the chunk tree, reads dims + exact fps
+    * (strh rate/scale) + the codec fourcc from the headers, and collects the
+    * `movi` frame chunks in order. Pure byte walking — no native code. */
+  private def parseAvi(bytes: Array[Byte]): Option[AviStream] = {
+    if (bytes.length < 12 || fcc(bytes, 0) != "RIFF" || fcc(bytes, 8) != "AVI ") return None
+    var width = 0; var height = 0; var fps = 0; var compression = 0
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = fcc(bytes, pos)
+        val sz = rd32(bytes, pos + 4)
+        if (sz < 0 || pos + 8 + sz > to) return
+        if (id == "LIST") {
+          if (sz >= 4) walk(pos + 12, pos + 8 + sz)
+        } else id match {
+          case "strh" if sz >= 32 && fcc(bytes, pos + 8) == "vids" =>
+            val scale = rd32(bytes, pos + 8 + 20)
+            val rate = rd32(bytes, pos + 8 + 24)
+            if (scale > 0) fps = rate / scale
+          case "strf" if sz >= 20 =>
+            width = rd32(bytes, pos + 8 + 4)
+            height = rd32(bytes, pos + 8 + 8)
+            compression = rd32(bytes, pos + 8 + 16)
+          case "00db" | "00dc" =>
+            frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + sz)
+          case _ => ()
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+    }
+    walk(12, bytes.length)
+    if (width <= 0 || height <= 0 || fps <= 0 || frames.isEmpty) None
+    else Some(AviStream(width, height, fps, compression, frames.toSeq))
+  }
+
+  private val MjpgFourcc = rd32("MJPG".getBytes("US-ASCII"), 0)
+
+  /** Decode one AVI frame to per-channel pixel sums `(sumR, sumG, sumB, n)`:
+    * uncompressed 24-bit DIB frames are read directly (bottom-up BGR rows,
+    * 4-byte stride), `MJPG` frames go through the REAL `javax.imageio` JPEG
+    * decoder. Returns None for undecodable frames. */
+  private def frameSums(s: AviStream, frame: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    val w = s.width; val h = s.height
+    if (s.compression == 0) {
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (frame.length < stride * h) return None
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var row = 0
+      while (row < h) {
+        var x = 0
+        while (x < w) {
+          val off = row * stride + x * 3
+          sb += frame(off) & 0xff; sg += frame(off + 1) & 0xff; sr += frame(off + 2) & 0xff
+          x += 1
+        }
+        row += 1
+      }
+      Some((sr, sg, sb, w.toLong * h))
+    } else if (s.compression == MjpgFourcc) {
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))).map { img =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var x = 0
+        while (x < img.getWidth) {
+          var y = 0
+          while (y < img.getHeight) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            y += 1
+          }
+          x += 1
+        }
+        (sr, sg, sb, img.getWidth.toLong * img.getHeight)
+      } catch { case _: Exception => None }
+    } else None
+  }
+
+  /** REAL video decode (pure JVM): RIFF/AVI demux + per-frame decode
+    * (uncompressed DIB directly, MJPG through `javax.imageio`) →
+    * frame count, dims, exact fps, duration, all-frame channel means, and a
+    * per-frame mean-luminance track (the scene-cut / shot-boundary feature).
+    * Same per-partition codec lifecycle and per-row failure isolation as
+    * [[decodeImages]]: an unparseable container or frame yields
+    * `video_ok = false` nulls, never a task failure. */
+  def decodeVideo(spark: SparkSession, df: DataFrame,
+                  payloadCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema
+      .add("n_frames", IntegerType)
+      .add("width", IntegerType)
+      .add("height", IntegerType)
+      .add("fps", IntegerType)
+      .add("duration_ms", LongType)
+      .add("mean_r", DoubleType)
+      .add("mean_g", DoubleType)
+      .add("mean_b", DoubleType)
+      .add("frame_luma", ArrayType(FloatType))
+      .add("video_ok", BooleanType)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val nullTail = Seq(null, null, null, null, null, null, null, null, null, false)
+      rows.map { r =>
+        val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        val decoded = Option(payload).flatMap(parseAvi).flatMap { s =>
+          val sums = s.frames.map(frameSums(s, _))
+          if (sums.exists(_.isEmpty)) None
+          else {
+            val good = sums.flatten
+            val (sr, sg, sb, n) = good.reduce((a, c) =>
+              (a._1 + c._1, a._2 + c._2, a._3 + c._3, a._4 + c._4))
+            val lumas = good.map { case (fr, fg, fb, fn) =>
+              ((0.299 * fr + 0.587 * fg + 0.114 * fb) / (255.0 * fn)).toFloat
+            }
+            Some(Seq(s.frames.size, s.width, s.height, s.fps,
+              s.frames.size.toLong * 1000L / s.fps,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+              lumas, true))
+          }
+        }
+        Row.fromSeq(r.toSeq ++ decoded.getOrElse(nullTail))
+      }
+    }(encoder)
+  }
+
+  /** REAL keyframe extraction: demux the AVI, keep every `everyK`-th frame,
+    * decode it, and re-encode as PNG — one output row per kept frame
+    * (`frame_idx`, `frame_png`). The frame-sampling step of a video-training
+    * pipeline, with the usual per-row failure isolation (undecodable rows
+    * emit zero frames). */
+  def extractFrames(spark: SparkSession, df: DataFrame, everyK: Int = 1,
+                    payloadCol: String = "payload"): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val outSchema = df.schema
+      .add("frame_idx", IntegerType)
+      .add("frame_png", BinaryType)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        Option(payload).flatMap(parseAvi).toSeq.flatMap { s =>
+          s.frames.zipWithIndex.collect { case (fr, i) if i % everyK == 0 =>
+            val img: Option[java.awt.image.BufferedImage] =
+              if (s.compression == 0) {
+                val stride = ((s.width * 3 + 3) / 4) * 4
+                if (fr.length < stride * s.height) None
+                else {
+                  val out = new java.awt.image.BufferedImage(
+                    s.width, s.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  var row = 0
+                  while (row < s.height) {
+                    var x = 0
+                    while (x < s.width) {
+                      val off = row * stride + x * 3
+                      // DIB rows are bottom-up
+                      out.setRGB(x, s.height - 1 - row,
+                        ((fr(off + 2) & 0xff) << 16) | ((fr(off + 1) & 0xff) << 8) | (fr(off) & 0xff))
+                      x += 1
+                    }
+                    row += 1
+                  }
+                  Some(out)
+                }
+              } else if (s.compression == MjpgFourcc) {
+                try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr)))
+                catch { case _: Exception => None }
+              } else None
+            img.map { im =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(im, "png", bos)
+              Row.fromSeq(r.toSeq ++ Seq(i, bos.toByteArray))
+            }
+          }.flatten
+        }
+      }
+    }(encoder)
+  }
 }

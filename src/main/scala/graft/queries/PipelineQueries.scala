@@ -1593,6 +1593,33 @@ object PipelineQueries {
         |  CAST((doc_id * 13) % 251 AS INT) AS mean_b
         |FROM documents ORDER BY media_id""".stripMargin)),
 
+    "td_video_features" -> Entry((s, dir) => {
+      // REAL video decode: a well-formed RIFF/AVI container per doc (avih/
+      // strh/strf headers + movi chunks, uncompressed 24-bit DIB frames) is
+      // demuxed and every frame decoded. Frame k's red channel is
+      // id%200 + 10k, so the all-frame mean red — id%200 + 5*(f-1) — is
+      // wrong if any frame is skipped or double-counted; fps comes from the
+      // strh rate/scale fields, not assumed. All analytically recomputable.
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      Multimodal.decodeVideo(s, Multimodal.synthesizeAvis(s, media))
+        .select(col("media_id"), col("video_ok"), col("n_frames"),
+          col("width"), col("height"), col("fps"), col("duration_ms"),
+          col("mean_r").cast("bigint").as("mean_r_int"),
+          col("mean_g").cast("bigint").as("mean_g_int"),
+          col("mean_b").cast("bigint").as("mean_b_int"))
+        .orderBy(col("media_id"))
+    }, Some(
+      """SELECT doc_id AS media_id, true AS video_ok,
+        |  CAST(2 + doc_id % 4 AS INT) AS n_frames,
+        |  CAST(4 * (1 + doc_id % 3) AS INT) AS width,
+        |  CAST(2 + doc_id % 3 AS INT) AS height,
+        |  CAST(5 + doc_id % 6 AS INT) AS fps,
+        |  CAST(FLOOR((2 + doc_id % 4) * 1000 / (5 + doc_id % 6)) AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 200 + 5 * (1 + doc_id % 4) AS BIGINT) AS mean_r_int,
+        |  CAST((doc_id * 7) % 251 AS BIGINT) AS mean_g_int,
+        |  CAST((doc_id * 13) % 251 AS BIGINT) AS mean_b_int
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
     "td_bpe_roundtrip" -> Entry((s, dir) => {
       // Trained-BPE tokenization (Sennrich et al. 2016): learn 200 merges
       // from the corpus itself (one distributed word count + driver-local

@@ -134,6 +134,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(2L).getBoolean(1) && out(2L).isNullAt(2))
   }
 
+  test("AVI/DIB video decode recovers exact per-frame statistics") {
+    val ids = Seq(0L, 1L, 5L, 11L, 197L, 404L)
+    val rows = ids.map(id => (id, Multimodal.syntheticAvi(id)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeVideo(spark, rows)
+      .select("media_id", "video_ok", "n_frames", "width", "height", "fps",
+        "duration_ms", "mean_r", "mean_g", "mean_b", "frame_luma")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val f = 2 + (id % 4).toInt
+      val r = got(id)
+      assert(r.getBoolean(1), s"video_ok for id=$id")
+      assert(r.getInt(2) == f && r.getInt(3) == 4 * (1 + (id % 3).toInt)
+        && r.getInt(4) == 2 + (id % 3).toInt && r.getInt(5) == 5 + (id % 6).toInt)
+      assert(r.getLong(6) == f.toLong * 1000L / (5 + (id % 6).toInt))
+      // mean red across frames: frame k is id%200 + 10k → exactly id%200 + 5(f-1)
+      assert(r.getDouble(7) == ((id % 200) + 5 * (f - 1)).toDouble, s"mean_r for id=$id")
+      assert(r.getDouble(8) == ((id * 7) % 251).toDouble)
+      assert(r.getDouble(9) == ((id * 13) % 251).toDouble)
+      // per-frame luminance track: one entry per frame, strictly increasing
+      // (red channel grows 10/frame, green/blue constant)
+      val lumas = r.getSeq[Float](10)
+      assert(lumas.length == f && lumas.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    }
+  }
+
+  test("MJPG video decodes through the real JPEG codec; garbage isolates") {
+    val rows = Seq(
+      (7L, Multimodal.syntheticAvi(7L, mjpeg = true)),
+      (8L, Array[Byte](82, 73, 70, 70, 0, 0))  // truncated RIFF
+    ).toDF("media_id", "payload")
+    val got = Multimodal.decodeVideo(spark, rows)
+      .select("media_id", "video_ok", "n_frames", "width", "height",
+        "mean_r", "mean_g", "mean_b")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = got(7L)
+    val f = 2 + (7L % 4).toInt
+    assert(ok.getBoolean(1) && ok.getInt(2) == f
+      && ok.getInt(3) == 4 * (1 + (7 % 3)) && ok.getInt(4) == 2 + (7 % 3))
+    // JPEG is lossy: channel means within a few levels of the target
+    assert(math.abs(ok.getDouble(5) - ((7L % 200) + 5 * (f - 1))) < 4.0)
+    assert(math.abs(ok.getDouble(6) - (7L * 7 % 251)) < 4.0)
+    assert(math.abs(ok.getDouble(7) - (7L * 13 % 251)) < 4.0)
+    assert(!got(8L).getBoolean(1) && got(8L).isNullAt(2))
+  }
+
+  test("extractFrames emits every k-th frame as a decodable PNG") {
+    val id = 3L // f = 2 + 3%4 = 5 frames, w=4*(1+0)=4, h=2+0=2
+    val rows = Seq((id, Multimodal.syntheticAvi(id))).toDF("media_id", "payload")
+    val frames = Multimodal.extractFrames(spark, rows, everyK = 2)
+      .select("media_id", "frame_idx", "frame_png")
+    // frames 0, 2, 4 kept; re-decode each PNG and check the frame color
+    val decoded = Multimodal.decodeImages(spark,
+        frames.withColumnRenamed("frame_png", "payload"))
+      .select("frame_idx", "decode_ok", "width", "height", "mean_r", "mean_g")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(decoded.keySet == Set(0, 2, 4))
+    decoded.foreach { case (k, r) =>
+      assert(r.getBoolean(1) && r.getInt(2) == 4 && r.getInt(3) == 2)
+      assert(r.getDouble(4) == ((id % 200) + 10 * k).toDouble, s"frame $k red")
+      assert(r.getDouble(5) == (id * 7 % 251).toDouble)
+    }
+  }
+
   test("decode also reads BMP and GIF payloads (stock-JVM codecs)") {
     def encode(fmt: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(3, 2,
