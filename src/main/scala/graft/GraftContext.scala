@@ -393,6 +393,15 @@ class GraftContext(
   /** All environment records (reference `sqlmesh environments`). */
   def environments: Seq[EnvironmentRecord] = state.environments
 
+  /** Read-only view of the loaded model graph (docs/tooling surface). */
+  def allModels: Map[String, Model] = models.toMap
+
+  /** Registered external relations: name → resolved relation/path. */
+  def externalRelations: Map[String, String] = externals.toMap
+
+  /** Names of loaded standalone AUDIT files. */
+  def standaloneAuditNames: Seq[String] = standaloneAudits.keys.toSeq
+
   /** Per-model missing interval gaps in an environment's window (reference
     * `sqlmesh check_intervals`, cli/main.py): what a `run` would backfill. */
   def checkIntervals(env: String, start: Long, end: Long,

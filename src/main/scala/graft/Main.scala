@@ -38,6 +38,7 @@ import graft.core.{Interval, IntervalUnit}
   *   rollback              restore the pre-migration state backup
   *   info                  project summary
   *   dag                   model DAG as graphviz DOT
+  *   docs [--out DIR]      static HTML project docs (lineage SVG, model browser)
   *   janitor               expire dev environments past their TTL
   *   destroy               drop everything the project created
   * Flags:
@@ -365,6 +366,15 @@ object Main {
           }
         case "info"    => out.println(ctx.info); 0
         case "dag"     => out.println(ctx.dagDot); 0
+        case "docs" =>
+          // static HTML project docs (the offline stand-in for the
+          // reference's web UI; reference web/, `sqlmesh ui`)
+          val outDir = flag("out").getOrElse(
+            projects.headOption.getOrElse(sys.props("user.dir")) + "/docs")
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+          val f = java.nio.file.Paths.get(outDir, "index.html")
+          java.nio.file.Files.writeString(f, graft.docs.DocsGenerator.html(ctx))
+          out.println(s"docs written to $f"); 0
         case "janitor" => ctx.janitor(); out.println("janitor complete"); 0
         case "destroy" => ctx.destroy(); out.println("project destroyed"); 0
         case other =>
@@ -451,7 +461,7 @@ object Main {
       |verbs: init format plan run diff evaluate render audit lint test
       |       table-diff check-intervals environments fetch table-name
       |       invalidate create-external-models create-test state-export
-      |       state-import rewrite clean migrate rollback info dag janitor
-      |       destroy
+      |       state-import rewrite clean migrate rollback info dag docs
+      |       janitor destroy
       |run `graft <verb>` with --project DIR --start/--end dates; see Scaladoc.""".stripMargin
 }

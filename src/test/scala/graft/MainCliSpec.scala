@@ -89,6 +89,44 @@ class MainCliSpec extends AnyFunSuite {
     assert(cli(Seq("render") ++ base: _*)._1 == 1)
   }
 
+  test("docs writes a standalone HTML page with lineage SVG and model detail") {
+    val proj = SparkTestSession.tmpDir("cli-docs")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "base.sql"),
+      """MODEL (name docs.base, kind FULL, owner 'data-eng', tags (docs, core),
+        |  audits (not_null(columns = (o_orderkey))));
+        |SELECT o_orderkey, o_totalprice FROM raw.orders WHERE o_totalprice < 1000
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "top.sql"),
+      """MODEL (name docs.top, kind VIEW, description 'cheap order count');
+        |SELECT count(*) AS n FROM docs.base
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    assert(cli(Seq("plan", "prod", "--auto-apply") ++ base: _*)._1 == 0)
+
+    val (c, outTxt) = cli(Seq("docs") ++ base: _*)
+    assert(c == 0 && outTxt.contains("index.html"))
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(proj, "docs", "index.html"))
+    // lineage SVG: nodes for both models + the external, and at least 2 edges
+    assert(html.contains("<svg") && html.contains("docs.base")
+      && html.contains("docs.top") && html.contains("raw.orders"))
+    assert("""<path d="M """.r.findAllIn(html).size >= 2)
+    assert(html.contains("stroke-dasharray")) // external node is dashed
+    // model table + detail: kind, owner, tags, description, audits, SQL body
+    assert(html.contains("FULL") && html.contains("VIEW")
+      && html.contains("data-eng") && html.contains("docs, core")
+      && html.contains("cheap order count") && html.contains("not_null"))
+    assert(html.contains("upstream") && html.contains("downstream"))
+    // SQL operators are HTML-escaped inside <pre>
+    assert(html.contains("o_totalprice &lt; 1000") && !html.contains("o_totalprice < 1000"))
+    // planned environment shows up
+    assert(html.contains("Environments") && html.contains("prod"))
+    // --out overrides the target directory
+    val alt = SparkTestSession.tmpDir("cli-docs-out")
+    assert(cli(Seq("docs", "--out", alt) ++ base: _*)._1 == 0)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(alt, "index.html")))
+  }
+
   test("init scaffolds a runnable project; format is idempotent over it") {
     val dir = SparkTestSession.tmpDir("cli-init")
     val (c0, o0) = cli("init", dir)
