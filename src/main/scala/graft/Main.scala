@@ -39,6 +39,7 @@ import graft.core.{Interval, IntervalUnit}
   *   info                  project summary
   *   dag                   model DAG as graphviz DOT
   *   docs [--out DIR]      static HTML project docs (lineage SVG, model browser)
+  *   lineage <model> [col] column-level lineage via the analyzed Catalyst plan
   *   janitor               expire dev environments past their TTL
   *   destroy               drop everything the project created
   * Flags:
@@ -366,6 +367,27 @@ object Main {
           }
         case "info"    => out.println(ctx.info); 0
         case "dag"     => out.println(ctx.dagDot); 0
+        case "lineage" =>
+          // column-level lineage (reference core/lineage.py, surfaced in the
+          // web UI/LSP): output column → upstream relation.column leaves
+          positional.headOption match {
+            case None => out.println("usage: lineage <model> [column]"); 1
+            case Some(modelName) =>
+              val lin = ctx.columnLineage(modelName)
+              val chosen = positional.lift(1) match {
+                case Some(c) => lin.view.filterKeys(_ == c).toMap
+                case None    => lin
+              }
+              if (chosen.isEmpty) { out.println("no matching columns"); 1 }
+              else {
+                chosen.toSeq.sortBy(_._1).foreach { case (c, ups) =>
+                  val src = if (ups.isEmpty) "(constant)"
+                            else ups.toSeq.sorted.mkString(", ")
+                  out.println(s"$c <- $src")
+                }
+                0
+              }
+          }
         case "docs" =>
           // static HTML project docs (the offline stand-in for the
           // reference's web UI; reference web/, `sqlmesh ui`)
@@ -462,6 +484,6 @@ object Main {
       |       table-diff check-intervals environments fetch table-name
       |       invalidate create-external-models create-test state-export
       |       state-import rewrite clean migrate rollback info dag docs
-      |       janitor destroy
+      |       lineage janitor destroy
       |run `graft <verb>` with --project DIR --start/--end dates; see Scaladoc.""".stripMargin
 }

@@ -95,6 +95,18 @@ object DocsGenerator {
          |<td>${m.audits.size}</td></tr>""".stripMargin
     }.mkString("\n")
     val details = models.values.toSeq.sortBy(_.name).map { m =>
+      // column-level lineage needs the upstream physical tables resolvable
+      // (plan applied); on an unplanned project the section is omitted
+      val lineage = try ctx.columnLineage(m.name).toSeq.sortBy(_._1)
+        catch { case _: Exception => Nil }
+      val lineageHtml =
+        if (lineage.isEmpty) ""
+        else "<h4>Column lineage</h4><table><tr><th>column</th><th>derives from</th></tr>" +
+          lineage.map { case (c, ups) =>
+            val src = if (ups.isEmpty) "<em>(constant)</em>"
+                      else ups.toSeq.sorted.map(u => s"<code>${esc(u)}</code>").mkString(", ")
+            s"<tr><td>${esc(c)}</td><td>$src</td></tr>"
+          }.mkString + "</table>"
       val cols =
         if (m.columns.isEmpty) ""
         else "<h4>Columns</h4><table><tr><th>name</th><th>type</th></tr>" +
@@ -115,7 +127,7 @@ object DocsGenerator {
          |${if (m.partitionedBy.isEmpty) "" else " · partitioned by " + esc(m.partitionedBy.mkString(", "))}</p>
          |${if (ups.isEmpty) "" else "<p>upstream: " + ups.map(u => s"<code>${esc(u)}</code>").mkString(", ") + "</p>"}
          |${if (downs.isEmpty) "" else "<p>downstream: " + downs.map(d => s"<code>${esc(d)}</code>").mkString(", ") + "</p>"}
-         |$cols$audits<h4>Definition</h4>${bodyHtml(m)}</details>""".stripMargin
+         |$cols$lineageHtml$audits<h4>Definition</h4>${bodyHtml(m)}</details>""".stripMargin
     }.mkString("\n")
     val envs = ctx.environments.sortBy(_.name).map { e =>
       s"<tr><td>${esc(e.name)}</td><td>${e.snapshots.size}</td>" +

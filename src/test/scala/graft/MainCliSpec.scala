@@ -121,10 +121,20 @@ class MainCliSpec extends AnyFunSuite {
     assert(html.contains("o_totalprice &lt; 1000") && !html.contains("o_totalprice < 1000"))
     // planned environment shows up
     assert(html.contains("Environments") && html.contains("prod"))
+    // column lineage rendered into the page (plan applied, so resolvable)
+    assert(html.contains("Column lineage")
+      && html.contains("raw.orders.o_totalprice"))
     // --out overrides the target directory
     val alt = SparkTestSession.tmpDir("cli-docs-out")
     assert(cli(Seq("docs", "--out", alt) ++ base: _*)._1 == 0)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(alt, "index.html")))
+
+    // the lineage verb prints column provenance; count(*) is constant-derived
+    val (cl, lin) = cli(Seq("lineage", "docs.base") ++ base: _*)
+    assert(cl == 0 && lin.contains("o_totalprice <- raw.orders.o_totalprice"))
+    val (cl2, lin2) = cli(Seq("lineage", "docs.base", "o_orderkey") ++ base: _*)
+    assert(cl2 == 0 && lin2.trim == "o_orderkey <- raw.orders.o_orderkey")
+    assert(cli(Seq("lineage", "docs.base", "nope") ++ base: _*)._1 == 1)
   }
 
   test("init scaffolds a runnable project; format is idempotent over it") {
