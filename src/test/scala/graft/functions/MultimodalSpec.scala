@@ -198,6 +198,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("video decode survives adversarial payloads without task failures") {
+    // deterministic pseudo-random garbage, truncated containers, and
+    // headers lying about sizes — all must isolate, never throw
+    val rnd = new scala.util.Random(42)
+    val good = Multimodal.syntheticAvi(5L)
+    val payloads: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      Array.fill(64)(rnd.nextInt().toByte),
+      good.take(20),                                  // truncated after header
+      good.take(good.length - 3),                     // truncated mid-frame
+      "RIFF".getBytes ++ Array.fill(8)(0xff.toByte),  // absurd declared size
+      good.updated(40, 0x7f.toByte)                   // corrupted header field
+    )
+    val rows = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeVideo(spark, rows)
+      .select("media_id", "video_ok").as[(Long, Boolean)].collect()
+    assert(out.length == payloads.size) // every row survived
+    // and a valid container among garbage still decodes
+    val mixed = (Seq((100L, good)) ++ payloads.zipWithIndex.map {
+      case (p, i) => (i.toLong, p)
+    }).toDF("media_id", "payload")
+    val okMap = Multimodal.decodeVideo(spark, mixed)
+      .select("media_id", "video_ok").as[(Long, Boolean)].collect().toMap
+    assert(okMap(100L))
+  }
+
   test("decode also reads BMP and GIF payloads (stock-JVM codecs)") {
     def encode(fmt: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(3, 2,
