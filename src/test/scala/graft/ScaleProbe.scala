@@ -84,6 +84,17 @@ object ScaleProbe {
       }
     }
 
+    // video decode: RIFF/AVI demux + per-frame DIB decode, same shape —
+    // embarrassingly parallel per-row codec work, linear in rows
+    for ((label, d) <- Seq("1x" -> docs, s"${n}x" -> bigDocs)) {
+      time(s"video_decode $label") {
+        val media = d.select(col("doc_id").as("media_id"))
+        Multimodal.decodeVideo(spark,
+            Multimodal.synthesizeAvis(spark, media))
+          .agg(sum(col("n_frames"))).head.getLong(0)
+      }
+    }
+
     // SCD2-by-time with a large closed history: the r5 verdict flagged a
     // forced broadcast(latestDeleted); after the semi-join fix the closed-key
     // cardinality must not reach the driver. 2e5 closed keys, tiny batch.
