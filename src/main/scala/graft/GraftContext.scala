@@ -246,7 +246,8 @@ class GraftContext(
     val mapping = tableMappingFor(snaps.values.toSeq)(name)
     Renderer.render(models(name), start, end, executionTs,
       mapping, allVariables, macros = customMacros.toMap,
-      schemaOf = Renderer.catalogSchemaOf(spark, mapping))
+      schemaOf = Renderer.catalogSchemaOf(spark, mapping),
+      columnValues = Renderer.catalogColumnValues(spark, mapping))
   }
 
   /** Column-level lineage for a model (reference `sqlmesh lineage
@@ -261,7 +262,8 @@ class GraftContext(
     val mapping = tableMappingFor(snaps.values.toSeq)(name)
     val sql = Renderer.render(models(name), 0L, 86400000L, 0L, mapping, allVariables,
       macros = customMacros.toMap,
-      schemaOf = Renderer.catalogSchemaOf(spark, mapping))
+      schemaOf = Renderer.catalogSchemaOf(spark, mapping),
+      columnValues = Renderer.catalogColumnValues(spark, mapping))
     graft.plans.Lineage.columnLineage(spark.sql(sql),
       graft.plans.Lineage.namerFromMapping(mapping))
   }

@@ -50,10 +50,12 @@ object Jinja {
   def render(template: String, vars: Map[String, String],
              thisModel: Option[String] = None,
              refResolver: String => String = identity,
-             macros: Map[String, MacroDef] = Map.empty): String = {
+             macros: Map[String, MacroDef] = Map.empty,
+             columnValues: Option[(String, String, Int) => Seq[String]] = None): String = {
     refs.set(refResolver)
+    valuesHook.set(columnValues)
     try renderImpl(template, vars, thisModel, macros)
-    finally refs.remove()
+    finally { refs.remove(); valuesHook.remove() }
   }
 
   /** Extract the `{% macro %}` definitions from a source file WITHOUT
@@ -73,6 +75,13 @@ object Jinja {
   /** User macros visible to the current render (same threading rationale). */
   private val macroEnv = new ThreadLocal[Map[String, MacroDef]] {
     override def initialValue(): Map[String, MacroDef] = Map.empty
+  }
+
+  /** Render-time introspection for dbt_utils.get_column_values:
+    * (relation, column, maxRecords) → distinct values. None outside a live
+    * catalog (pure-text renders) — using the macro then fails loudly. */
+  private val valuesHook = new ThreadLocal[Option[(String, String, Int) => Seq[String]]] {
+    override def initialValue(): Option[(String, String, Int) => Seq[String]] = None
   }
 
   /** Rendered bodies of enclosing `{% call %}` blocks — `caller()` inside a
@@ -419,7 +428,61 @@ object Jinja {
       "dbt_utils.union_relations" -> { args =>
         val rels = listOf(args.head)
         rels.map(r => s"SELECT * FROM $r").mkString(" UNION ALL ")
+      },
+      // deduplicate(relation, partition_by, order_by) — first row per key
+      // (Spark has no QUALIFY, so the row_number subquery form; `* EXCEPT`
+      // drops the helper column in the analyzer)
+      "dbt_utils.deduplicate" -> { args =>
+        val (pos, kw) = posKw(args)
+        def kwOr(k: String, i: Int): String = kw.getOrElse(k, pos(i))
+        val rel = resolveRelation(kwOr("relation", 0))
+        val part = strip(kwOr("partition_by", 1))
+        val ord = strip(kwOr("order_by", 2))
+        s"SELECT * EXCEPT (_graft_rn) FROM (SELECT *, ROW_NUMBER() OVER " +
+          s"(PARTITION BY $part ORDER BY $ord) AS _graft_rn FROM $rel) " +
+          "WHERE _graft_rn = 1"
+      },
+      // get_column_values(table, column, max_records, default) — render-time
+      // catalog introspection producing a jinja LIST literal, so the result
+      // feeds {% for %} loops and pivot(values=...) exactly like dbt. Needs
+      // the live-catalog hook (wired by the renderer); ordering is dbt's
+      // default count(*) desc with a value tie-break for determinism.
+      "dbt_utils.get_column_values" -> { args =>
+        val (pos, kw) = posKw(args)
+        def kwOr(k: String, i: Int): String = kw.getOrElse(k, pos(i))
+        val table = resolveRelation(kwOr("table", 0))
+        val column = strip(kwOr("column", 1))
+        val max = kw.get("max_records").map(strip).filter(_.matches("\\d+"))
+          .map(_.toInt).getOrElse(10000)
+        val hook = valuesHook.get().getOrElse(throw new IllegalArgumentException(
+          "dbt_utils.get_column_values needs a live catalog (render-time introspection)"))
+        val vs = hook(table, column, max)
+        val chosen = if (vs.nonEmpty) vs else kw.get("default").map(strip).toSeq
+        "[" + chosen.map(v => "'" + v.replace("'", "\\'") + "'").mkString(", ") + "]"
       })
+  }
+
+  /** Positional/keyword split shared by the kw-accepting dbt_utils macros. */
+  private def posKw(args: Seq[String]): (Seq[String], Map[String, String]) = {
+    val pos = args.filterNot(_.trim.matches("(?s)^[A-Za-z_]\\w*\\s*=.*"))
+    val kw = args.flatMap { a =>
+      "(?s)^\\s*([A-Za-z_]\\w*)\\s*=\\s*(.+)$".r.findFirstMatchIn(a)
+        .map(m => m.group(1) -> m.group(2).trim)
+    }.toMap
+    (pos, kw)
+  }
+
+  /** A relation argument may be `ref('m')` / `source('a','b')` / a quoted or
+    * bare name — resolve exactly as `value()` would. */
+  private def resolveRelation(raw: String): String = raw.trim match {
+    case refCall(name)       => refs.get()(name)
+    case sourceCall(db, tab) => s"$db.$tab"
+    case other =>
+      val t = other.trim
+      if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
+          (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
+        t.substring(1, t.length - 1)
+      else t
   }
 
   private val varCall =
@@ -464,7 +527,19 @@ object Jinja {
       case callRe(name, argSrc) if macroEnv.get.contains(name) && balancedArgs(argSrc) =>
         callMacro(macroEnv.get()(name), splitArgs(argSrc), vars, bindings, thisModel)
       case callRe(name, argSrc) if dbtUtils.contains(name) && balancedArgs(argSrc) =>
-        dbtUtils(name)(splitArgs(argSrc))
+        // jinja evaluates call args in scope; here only bare bound
+        // identifiers substitute (raw SQL fragments must pass through) —
+        // `pivot('cat', segs)` with {% set segs = get_column_values(...) %}
+        val kwRe = "(?s)^\\s*([A-Za-z_]\\w*)\\s*=\\s*(.+)$".r
+        val resolved = splitArgs(argSrc).map { a =>
+          kwRe.findFirstMatchIn(a) match {
+            case Some(m) if bindings.contains(m.group(2).trim) =>
+              s"${m.group(1)}=${bindings(m.group(2).trim)}"
+            case None if bindings.contains(a.trim) => bindings(a.trim)
+            case _ => a
+          }
+        }
+        dbtUtils(name)(resolved)
       case _ if bindings.contains(e) => bindings(e)
       case _ if vars.contains(e)     => vars(e)
       case _ if (e.startsWith("'") && e.endsWith("'") && e.length >= 2) ||

@@ -22,7 +22,10 @@ final class MacroEvaluator(
       * macros.py:592): name -> args => SQL text. */
     val registry: Map[String, Seq[String] => String] = Map.empty,
     /** dbt `{{ ref('x') }}` resolution: short dbt name -> full model name. */
-    val refResolver: String => String = identity) {
+    val refResolver: String => String = identity,
+    /** render-time catalog introspection for dbt_utils.get_column_values:
+      * (relation, column, maxRecords) -> distinct values. */
+    val columnValues: Option[(String, String, Int) => Seq[String]] = None) {
 
   private val defs = scala.collection.mutable.Map[String, (Seq[String], String)]()
   private lazy val registryUpper = registry.map { case (k, v) => k.toUpperCase -> v }
@@ -60,7 +63,7 @@ final class MacroEvaluator(
     val pre =
       if (Jinja.hasJinja(sql))
         Jinja.render(sql, variables ++ timeVars.map { case (k, v) => k -> v }, thisModel,
-          refResolver)
+          refResolver, columnValues = columnValues)
       else sql
     renderDepth(pre, 0)
   }

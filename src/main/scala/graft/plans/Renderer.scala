@@ -29,7 +29,8 @@ object Renderer {
       variables: Map[String, String] = Map.empty,
       thisModel: Option[String] = None,
       schemaOf: String => Seq[(String, String)] = _ => Nil,
-      macros: Map[String, Seq[String] => String] = Map.empty): String = {
+      macros: Map[String, Seq[String] => String] = Map.empty,
+      columnValues: Option[(String, String, Int) => Seq[String]] = None): String = {
     val body = model.body match {
       case SqlBody(sql) => sql
       case _ => throw new IllegalArgumentException(s"${model.name} is not a SQL model")
@@ -43,9 +44,21 @@ object Renderer {
         case _          => name
       }
     val evaluator = new MacroEvaluator(start, end, execution, thisModel, variables,
-      schemaOf, macros, refResolver)
+      schemaOf, macros, refResolver, columnValues)
     resolveTables(evaluator.render(body), tableMapping)
   }
+
+  /** Live distinct-value lookup for dbt_utils.get_column_values: resolve the
+    * relation through the table mapping, then one Spark aggregate — dbt's
+    * default ordering (count desc) with a value tie-break for determinism. */
+  def catalogColumnValues(spark: SparkSession,
+                          mapping: Map[String, String]): Option[(String, String, Int) => Seq[String]] =
+    Some { (name, column, max) =>
+      val resolved = mapping.getOrElse(name, name)
+      spark.sql(s"SELECT CAST($column AS STRING) AS v FROM $resolved " +
+          s"WHERE $column IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, v LIMIT $max")
+        .collect().toSeq.map(_.getString(0))
+    }
 
   /** Live schema lookup for schema-aware macros (@STAR, @UNION): resolve the
     * model/external name through the table mapping, then ask the catalog.

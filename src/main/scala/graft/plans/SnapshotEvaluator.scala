@@ -123,7 +123,8 @@ class SnapshotEvaluator(
                          mapping: Map[String, String]): Unit = {
     val sql = Renderer.render(s.model, interval.start, interval.end, executionTs,
       mapping, variables, thisModel = Some(physicalTable(s).qualified),
-      schemaOf = Renderer.catalogSchemaOf(spark, mapping))
+      schemaOf = Renderer.catalogSchemaOf(spark, mapping),
+      columnValues = Renderer.catalogColumnValues(spark, mapping))
     spark.sql(s"CREATE OR REPLACE VIEW ${physicalTable(s).qualified} AS $sql")
   }
 
@@ -182,7 +183,8 @@ class SnapshotEvaluator(
           (s.model.kind.isIncremental && materializer.currentDataDir(t).nonEmpty).toString)
         spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs,
           tableMapping, vars, thisModel = Some(t.qualified),
-          schemaOf = Renderer.catalogSchemaOf(spark, tableMapping), macros = macros))
+          schemaOf = Renderer.catalogSchemaOf(spark, tableMapping), macros = macros,
+          columnValues = Renderer.catalogColumnValues(spark, tableMapping)))
       case _ => Renderer.evaluate(spark, s.model, interval.start, interval.end,
         executionTs, tableMapping, variables)
     }
@@ -255,7 +257,8 @@ class SnapshotEvaluator(
         case SqlBody(_) =>
           spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs, mapping,
             vars, thisModel = Some(thisName),
-            schemaOf = Renderer.catalogSchemaOf(spark, mapping), macros = macros))
+            schemaOf = Renderer.catalogSchemaOf(spark, mapping),
+      columnValues = Renderer.catalogColumnValues(spark, mapping), macros = macros))
         case ScalaBody(fn) => fn(spark, mapping, interval.start, interval.end)
         case SeedBody(path) =>
           val opts = s.model.kind match {
@@ -380,7 +383,8 @@ class SnapshotEvaluator(
     val target = s.model.body match {
       case SqlBody(_) =>
         spark.sql(Renderer.render(s.model, start, end, executionTs, mapping,
-          thisModel = Some(t.qualified))).schema
+          thisModel = Some(t.qualified),
+          columnValues = Renderer.catalogColumnValues(spark, mapping))).schema
       case ScalaBody(fn) => fn(spark, mapping, start, end).schema
       case SeedBody(path) =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(path).schema

@@ -251,6 +251,43 @@ class MacroSpec extends AnyFunSuite {
     assert(n == 3)
   }
 
+  test("jinja: dbt_utils deduplicate and get_column_values") {
+    val e = ev(Map.empty)
+    assert(e.render(
+      "{{ dbt_utils.deduplicate(ref('raw.orders'), partition_by='user_id', order_by='ts desc') }}") ==
+      "SELECT * EXCEPT (_graft_rn) FROM (SELECT *, ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id ORDER BY ts desc) AS _graft_rn FROM raw.orders) " +
+        "WHERE _graft_rn = 1")
+    // get_column_values without a catalog hook fails loudly
+    intercept[IllegalArgumentException](
+      e.render("{{ dbt_utils.get_column_values(ref('m'), 'cat') }}"))
+    // with a hook: feeds {% for %} loops and pivot(values=...) like dbt
+    val hook = Some((rel: String, col: String, max: Int) => {
+      assert(rel == "raw.m" && col == "cat" && max == 2)
+      Seq("A", "B")
+    })
+    val rendered = Jinja.render(
+      "{% for v in dbt_utils.get_column_values(ref('m'), 'cat', max_records=2) %}[{{ v }}]{% endfor %}",
+      Map.empty, refResolver = n => if (n == "m") "raw.m" else n,
+      columnValues = hook)
+    assert(rendered == "[A][B]")
+    // values drive pivot: the classic get_column_values → pivot pairing
+    val piv = Jinja.render(
+      """{% set segs = dbt_utils.get_column_values(ref('m'), 'cat', max_records=2) %}
+        |SELECT {{ dbt_utils.pivot('cat', segs) }} FROM raw.m""".stripMargin,
+      Map.empty, refResolver = n => if (n == "m") "raw.m" else n,
+      columnValues = hook).trim
+    assert(piv == "SELECT sum(CASE WHEN cat = 'A' THEN 1 ELSE 0 END) AS A, " +
+      "sum(CASE WHEN cat = 'B' THEN 1 ELSE 0 END) AS B FROM raw.m")
+    // live-catalog path end-to-end: count-desc ordering, value tie-break
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    Seq("x", "y", "y", "z", "z").toDF("cat").createOrReplaceTempView("gcv_t")
+    val live = graft.plans.Renderer.catalogColumnValues(spark, Map("m" -> "gcv_t"))
+    assert(live.get("m", "cat", 10) == Seq("y", "z", "x"))
+    assert(live.get("m", "cat", 2) == Seq("y", "z"))
+  }
+
   test("jinja: unbalanced pseudo-calls fail loudly; whitespace calls work") {
     val e = ev(Map.empty)
     // ADVICE r05: `money(a) > money(b)` starts with a macro name and ends in
