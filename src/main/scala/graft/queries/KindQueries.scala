@@ -574,6 +574,40 @@ object KindQueries {
         |LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = CAST(d.date_day AS DATE)
         |GROUP BY d.date_day ORDER BY d.date_day""".stripMargin)),
 
+    // ---- dbt_utils.get_column_values → pivot: render-time introspection --
+    "mk_dbt_utils_colvalues" -> Entry((s, dir) => {
+      // the classic dbt pairing: column values read from the LIVE source at
+      // render time drive the pivot projection. All 5 TPC-H priorities occur
+      // at every SF, so the column SET is deterministic (the driver's
+      // compare sorts columns by name — data-dependent ORDER is harmless).
+      val root = java.nio.file.Files.createTempDirectory("graft_dbtcv")
+      def w(rel: String, text: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, text)
+      }
+      w("dbt_project.yml", "name: dbtcv\n")
+      w("models/schema.yml",
+        "sources:\n  - name: raw\n    tables:\n      - name: orders\n")
+      w("models/prio_pivot.sql",
+        """{{ config(materialized='table', schema='dbtcv') }}
+          |{% set prios = dbt_utils.get_column_values(source('raw', 'orders'), 'o_orderpriority') %}
+          |SELECT {{ dbt_utils.pivot('o_orderpriority', prios, prefix='n_') }}
+          |FROM {{ source('raw', 'orders') }}
+          |""".stripMargin)
+      val c = ctx(s, dir)
+      c.loadDbtProject(root.toString)
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+      s.table("dbtcv.prio_pivot")
+    }, Some(
+      """SELECT
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_1_URGENT,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_2_HIGH,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_3_MEDIUM,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_4_NOT_SPECIFIED,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_5_LOW
+        |FROM orders""".stripMargin)),
+
     // ------------- Scala-bodied model (reference: Python models) ----------
     "mk_scala_model" -> Entry((s, dir) => {
       val c = ctx(s, dir)
