@@ -25,15 +25,12 @@ object KindQueries {
   }
 
   /** External registration for a base table: raw parquet path, except
-    * `events` whose physical TIMESTAMP(NANOS) column Spark can't read
-    * directly — registered as an inline conversion subquery, which (unlike a
-    * temp view) persistent VIEW-kind models may reference. */
+    * `events` whose physical TIMESTAMP(NANOS) column needs a version-aware
+    * normalization — registered as an inline conversion subquery, which
+    * (unlike a temp view) persistent VIEW-kind models may reference. */
   private def externalFor(spark: SparkSession, dir: String, t: String): String =
-    if (t == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s"(SELECT * EXCEPT (ts), timestamp_micros(ts div 1000) AS ts " +
-        s"FROM parquet.`$dir/events.parquet`)"
-    } else s"$dir/$t.parquet"
+    if (t == "events") QueryUtil.eventsSubquerySql(spark, s"$dir/events.parquet")
+    else s"$dir/$t.parquet"
 
   val entries: Map[String, Entry] = Map(
 

@@ -577,9 +577,7 @@ object PipelineQueries {
     // duplicates suppressed across micro-batches; oracle = first event per
     // content key (events with ts under the final watermark)
     "td_stream_dedup" -> Entry((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = QueryUtil.readEvents(s, s"$dir/events.parquet")
       val src = java.nio.file.Files.createTempDirectory("graft_sdedup_src")
       raw.write.mode("append").parquet(src.toString)
       val sink = java.nio.file.Files.createTempDirectory("graft_sdedup_sink").toString
@@ -1434,18 +1432,16 @@ object PipelineQueries {
       // append mode emits exactly the sessions whose end precedes the final
       // watermark (max event time - delay) — reconstructible in SQL, so this
       // streaming run is hash-checked against a batch oracle
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      // file sources stream from a DIRECTORY; stage the single file into one
+      val raw = QueryUtil.readEvents(s, s"$dir/events.parquet")
+      // file sources stream from a DIRECTORY; stage the (ts-normalized)
+      // table into one
       val src = java.nio.file.Files.createTempDirectory("graft_stream_src")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-        src.resolve("events.parquet"))
+      raw.write.mode("append").parquet(src.toString)
       val sink = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
       val chk = java.nio.file.Files.createTempDirectory("graft_stream_chk").toString
       graft.streaming.Streaming.runAvailableNow(s, src.toString, raw.schema,
         df => graft.streaming.Streaming.sessionize(
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)")),
-          "ts", "user_id", "30 minutes", "1 minute"),
+          df, "ts", "user_id", "30 minutes", "1 minute"),
         sink, chk)
       s.read.parquet(sink).orderBy(col("user_id"), col("session_start"))
     }, Some(
@@ -1474,17 +1470,14 @@ object PipelineQueries {
       // one micro-batch = complete inner join, hash-checked against the
       // batch form; the watermark+time-bound is the state-eviction contract
       // that keeps the join runnable on an unbounded stream.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$dir/events.parquet")
+      val raw = QueryUtil.readEvents(s, s"$dir/events.parquet")
       val src = java.nio.file.Files.createTempDirectory("graft_sjoin_src")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-        src.resolve("events.parquet"))
+      raw.write.mode("append").parquet(src.toString)
       val sink = java.nio.file.Files.createTempDirectory("graft_sjoin_sink").toString
       val chk = java.nio.file.Files.createTempDirectory("graft_sjoin_chk").toString
       def side(tpe: String) = s.readStream.schema(raw.schema)
         .parquet(src.toString)
         .where(col("event_type") === tpe)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .select("user_id", "ts", "value")
       val joined = graft.streaming.Streaming.intervalJoin(
         side("click"), side("purchase"), "ts", Seq("user_id"),
