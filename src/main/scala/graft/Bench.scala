@@ -35,22 +35,41 @@ object Bench {
       SparkEntry.benchNames.foreach { name =>
         try { qs0(name)(spark, warmDir).count() } catch { case _: Throwable => () }
       }
+    // fixed-work CPU calibration: a constant in-memory codegen aggregate,
+    // machine-state independent of the query surface. Judges divide query
+    // times by (calib_s / historical calib) to normalize runs taken on a
+    // loaded machine — r4 and r6 both burned adjudication time on exactly
+    // that ambiguity. One untimed pass warms the codegen path first.
+    def calibPass(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id * 3 + (id & 7))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibPass()
+    val calib = calibPass()
     val results = SparkEntry.benchNames.map { name =>
       val t0 = System.nanoTime()
       val s0 = shuffleWrite.get()
-      try { qs0(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a query that crashes must be visible as FAILED in the JSON — r6
+      // silently reported time-to-exception as if the query ran
+      val ok = try { qs0(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       // listener events are async; give the bus a moment to drain
       Thread.sleep(150)
       val sec = (System.nanoTime() - t0) / 1e9
       val shuffleMb = (shuffleWrite.get() - s0) / 1e6
-      name -> ((sec, shuffleMb))
+      name -> ((sec, shuffleMb, ok))
     }.toMap
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, (_, mb)) => s"\"" + k + "\":" + f"$mb%.1f" }
+    val sh = results.map { case (k, (_, mb, _)) => s"\"" + k + "\":" + f"$mb%.1f" }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, (_, _, false)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$failed,"calib_s":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
