@@ -685,6 +685,131 @@ class GraftContext(
   /** Evaluate a plan: stages per plan/stages.py:238 — snapshot records →
     * physical layer → restatement → backfill → environment record → virtual
     * layer → finalize. */
+  /** `plan --explain` (reference sqlmesh/core/plan/explainer.py:38-160
+    * PlanExplainer): narrate, stage by stage, exactly what [[apply]] would
+    * do — snapshot records, restatement interval clears, physical-layer
+    * creates (dev previews flagged), in-place schema migrations, per-model
+    * backfill batches after cron capping, audit gates, the virtual-layer
+    * view repoints, and environment finalization — WITHOUT mutating state,
+    * tables, or views. The stage order below matches applyInner line for
+    * line, so the narration is the contract, not an approximation. */
+  def explain(p: Plan, executionTs: Long = System.currentTimeMillis()): String = {
+    val L = Seq.newBuilder[String]
+    L += s"explained plan → env '${p.env}'  [${java.time.Instant.ofEpochMilli(p.start)} … ${java.time.Instant.ofEpochMilli(p.end)})  (dry run — nothing applied)"
+    if (beforeAll.nonEmpty)
+      L += s"├─ before_all: execute ${beforeAll.size} statement(s)"
+    L += s"├─ snapshot records: push ${p.snapshots.size} snapshot(s) to state"
+    if (p.restatements.nonEmpty) {
+      L += "├─ restatement: clear processed intervals (re-run below)"
+      p.restatements.foreach { case (n, iv) =>
+        L += s"│    ↻ $n  [${java.time.Instant.ofEpochMilli(iv.start)} … ${java.time.Instant.ofEpochMilli(iv.end)})"
+      }
+    }
+    p.effectiveFrom.foreach { ef =>
+      val affected = p.modified.collect {
+        case (_, nw) if nw.category.contains(ChangeCategory.ForwardOnly) &&
+          !p.isDevPreview(nw) => nw.model.name
+      }
+      if (affected.nonEmpty)
+        L += s"├─ effective_from ${java.time.Instant.ofEpochMilli(ef)}: drop inherited intervals at/after it for ${affected.mkString(", ")}"
+    }
+    val devFlags = p.snapshots.map(s => s.model.name -> p.isDevPreview(s)).toMap
+    L += "├─ physical layer: validate SQL, create missing tables/views"
+    p.snapshots.filter(_.model.kind.isMaterialized).foreach { s =>
+      val t = evaluator.physicalTable(s, devFlags(s.model.name))
+      val exists = materializer.tableExists(t)
+      val tag =
+        (if (exists) "exists" else "create") +
+          (if (devFlags(s.model.name)) ", dev preview" else "")
+      L += s"│    ${t.qualified}  ($tag)"
+    }
+    val migrating = p.modified.collect {
+      case (_, nw) if nw.category.contains(ChangeCategory.ForwardOnly) &&
+        !p.isDevPreview(nw) => nw
+    }
+    if (migrating.nonEmpty) {
+      L += "├─ migrate schemas in place (forward-only reuses the physical table)"
+      migrating.foreach { nw =>
+        val destr = if (p.allowDestructive.contains(nw.model.name))
+          "  [destructive changes allowed this apply]" else ""
+        L += s"│    ~ ${nw.model.name} → ${evaluator.physicalTable(nw).qualified}$destr"
+      }
+    }
+    // Backfill preview: the scheduler's own cron-capping + batching math,
+    // run read-only (auto-restatement windows are narrated, never dropped)
+    val backfillable: Set[String] =
+      if (p.skipBackfill || p.emptyBackfill) Set.empty
+      else p.backfillSelected.getOrElse(p.snapshots.map(_.model.name).toSet)
+    if (p.skipBackfill)
+      L += "├─ backfill: SKIPPED (--skip-backfill: physical layer + views only)"
+    else {
+      L += (if (p.emptyBackfill)
+        "├─ backfill: record intervals as processed WITHOUT evaluating (--empty-backfill)"
+      else "├─ backfill missing intervals")
+      p.snapshots.filter(s => s.model.kind.isMaterialized &&
+          (p.emptyBackfill || backfillable(s.model.name))).foreach { s =>
+        val dev = devFlags(s.model.name)
+        val fresh = state.getSnapshot(s.model.name, s.version).getOrElse(s)
+        val unit = s.model.intervalUnit
+        val cappedEnd =
+          if (s.model.allowPartials || !s.model.kind.isIncremental) p.end
+          else math.min(p.end,
+            unit.floor(CronSchedule.lastTickAtOrBefore(s.model.cron, executionTs,
+              s.model.cronTz.getOrElse("UTC"))))
+        // restated intervals WILL be cleared by apply — fold them into the
+        // preview so the narration shows the re-run work (the reference's
+        // ExplainableRestatementStage brings the same calculation forward)
+        val restated = p.restatements.get(s.model.name).toVector
+          .map(iv => Interval(math.max(iv.start, p.start), math.min(iv.end, cappedEnd)))
+          .filter(iv => iv.start < iv.end)
+          .flatMap(iv => IntervalAlgebra.batch(iv, unit, 1, s.model.allowPartials))
+        val missing =
+          (fresh.missingIntervals(p.start, cappedEnd, dev) ++ restated).distinct.sortBy(_.start)
+        val contiguous = IntervalAlgebra.merge(missing)
+        val batchSize = s.model.kind match {
+          case k: ModelKind.IncrementalByTimeRange => k.batchSize.getOrElse(0)
+          case _ => 0
+        }
+        val batches = contiguous.flatMap(c =>
+          if (batchSize > 0)
+            IntervalAlgebra.batch(c, unit, batchSize, s.model.allowPartials)
+          else Vector(c))
+        val gate = if (signals.contains(s.model.name)) "  [signal-gated]" else ""
+        val capped = if (cappedEnd < p.end)
+          s"  (cron-capped at ${java.time.Instant.ofEpochMilli(cappedEnd)})" else ""
+        if (batches.isEmpty)
+          L += s"│    ${s.model.name}: up to date$capped$gate"
+        else
+          L += s"│    ${s.model.name}: ${missing.size} interval(s) in ${batches.size} batch(es)  [${java.time.Instant.ofEpochMilli(batches.head.start)} … ${java.time.Instant.ofEpochMilli(batches.last.end)})$capped$gate"
+      }
+    }
+    val standalone = standaloneAuditNames
+    if (standalone.nonEmpty)
+      L += s"├─ standalone audits gate promotion: ${standalone.mkString(", ")}"
+    if (p.noGaps)
+      L += "├─ no_gaps: verify re-versioned incremental models cover their predecessors' intervals"
+    L += "├─ virtual layer: repoint environment views"
+    p.snapshots.filter(_.model.kind.isMaterialized).foreach { s =>
+      val (db, view) = SparkMaterializer.envLocation(
+        s.model.schemaName, s.model.tableName, p.env, envSuffixTarget)
+      L += s"│    $db.$view → ${evaluator.physicalTable(s, devFlags(s.model.name)).qualified}"
+    }
+    p.removed.foreach { n =>
+      state.latestSnapshot(n).foreach { s =>
+        val (db, view) = SparkMaterializer.envLocation(
+          s.model.schemaName, s.model.tableName, p.env, envSuffixTarget)
+        L += s"│    - drop $db.$view  (removed from env)"
+      }
+    }
+    val ttl = if (p.env == "prod") "never expires"
+      else s"expires ${java.time.Instant.ofEpochMilli(executionTs + envTtlMs)}"
+    L += s"├─ environment record: promote + finalize '${p.env}'  ($ttl)"
+    if (afterAll.nonEmpty)
+      L += s"└─ after_all: execute ${afterAll.size} statement(s)"
+    else L += "└─ done"
+    L.result().mkString("\n")
+  }
+
   def apply(p: Plan, executionTs: Long = System.currentTimeMillis()): Unit = {
     val planId = s"${p.env}@$executionTs"
     notifier.notifyApplyStart(p.env, planId)
@@ -1117,7 +1242,8 @@ class GraftContext(
           case Some(up) if up.model.kind == ModelKind.Embedded =>
             // EMBEDDED: inline the upstream query as a subquery, with the
             // embedded model's own refs resolved recursively (evaluator.py:1965)
-            val sub = Renderer.render(up.model, 0L, 0L, 0L, mappingFor(r))
+            val sub = graft.plans.RenderCache.cachedRender(evaluator.renderCache,
+              up.fingerprint.full, up.model, 0L, 0L, 0L, mappingFor(r))
             Some(r -> s"($sub)")
           // EXTERNAL models carry schema metadata only — the physical
           // binding is still the registered external relation

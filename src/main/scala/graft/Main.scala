@@ -50,6 +50,7 @@ import graft.core.{Interval, IntervalUnit}
   *   --start/--end     ISO date (yyyy-MM-dd) or epoch millis; end default now
   *   --select EXPR     model selector (repeatable; plan only)
   *   --auto-apply --forward-only --skip-backfill/--dry-run --no-gaps
+  *   --explain              stage-by-stage dry-run narration (plan/explainer.py)
   *   --empty-backfill       record would-be intervals without computing them
   *   --create-from ENV      baseline env for a new environment (default prod)
   *   --backfill MODEL       restrict backfill to matching models (repeatable)
@@ -164,7 +165,11 @@ object Main {
               backfill = flagAll("backfill"),
               allowDestructiveModels = flagAll("allow-destructive-model"))
             out.println(p.describe)
-            if (p.hasChanges && has("auto-apply")) {
+            if (has("explain")) {
+              // `plan --explain` (reference plan/explainer.py): stage-by-stage
+              // dry-run narration; never applies, even with --auto-apply
+              out.println(ctx.explain(p))
+            } else if (p.hasChanges && has("auto-apply")) {
               ctx.apply(p)
               out.println(s"applied → ${p.snapshots.size} snapshots promoted in '$env'")
               if (has("run")) { // `--run` (cli/main.py): backfill right after apply
@@ -420,7 +425,8 @@ object Main {
     val positional = Vector.newBuilder[String]
     val boolFlags = Set("auto-apply", "forward-only", "skip-backfill", "dry-run",
       "no-gaps", "check", "empty-backfill", "skip-tests", "skip-linter", "run",
-      "ignore-cron", "no-auto-upstream", "skip-janitor", "show-sample", "sync")
+      "ignore-cron", "no-auto-upstream", "skip-janitor", "show-sample", "sync",
+      "explain")
     var i = 0
     while (i < args.length) {
       val a = args(i)

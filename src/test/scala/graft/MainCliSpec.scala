@@ -324,6 +324,60 @@ class MainCliSpec extends AnyFunSuite {
     assert(spark.table("cli5.sum").count() > 0)
   }
 
+  test("plan --explain narrates every apply stage and mutates nothing") {
+    val proj = SparkTestSession.tmpDir("cli-explain")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
+      """MODEL (
+        |  name clix.daily,
+        |  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate, batch_size 7),
+        |  start '1995-01-01'
+        |);
+        |SELECT o_orderdate, count(*) AS n FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "sum.sql"),
+      """MODEL (name clix.sum, kind FULL);
+        |SELECT count(*) AS days FROM clix.daily
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    val window = Seq("--start", "1995-01-01", "--end", "1995-01-15")
+
+    // --explain narrates stage by stage; --auto-apply alongside is IGNORED
+    val (c0, out) = cli(Seq("plan", "prod", "--explain", "--auto-apply")
+      ++ window ++ base: _*)
+    assert(c0 == 0, out)
+    assert(out.contains("explained plan"), out)
+    assert(out.contains("snapshot records: push 2 snapshot"), out)
+    assert(out.contains("physical layer"), out)
+    // 14 daily intervals, batch_size 7 → 2 batches for the incremental model
+    assert(out.contains("clix.daily: 14 interval(s) in 2 batch(es)"), out)
+    assert(out.contains("virtual layer"), out)
+    assert(out.contains("environment record: promote + finalize 'prod'"), out)
+    assert(out.contains("never expires"), out)
+    // nothing applied: no tables, no views, env not created
+    assert(!spark.catalog.tableExists("clix.daily"))
+    val (e0, envs) = cli(Seq("environments") ++ base: _*)
+    assert(e0 == 0 && !envs.contains("prod"), envs)
+
+    // after a real apply, explain shows backfill up to date + existing tables
+    assert(cli(Seq("plan", "prod", "--auto-apply") ++ window ++ base: _*)._1 == 0)
+    val (c1, out1) = cli(Seq("plan", "prod", "--explain") ++ window ++ base: _*)
+    assert(c1 == 0 && out1.contains("clix.daily: up to date"), out1)
+    assert(out1.contains("(exists)"), out1)
+
+    // restatement narration, still read-only: intervals stay complete
+    val (c2, out2) = cli(Seq("plan", "prod", "--explain",
+      "--restate", "clix.daily=1995-01-05:1995-01-08") ++ window ++ base: _*)
+    assert(c2 == 0 && out2.contains("restatement: clear processed intervals"), out2)
+    // (the ↻ glyph is charset-mangled through the CLI byte stream — assert
+    // on the model + interval text instead)
+    assert(out2.contains("clix.daily  [1995-01-05"), out2)
+    // the backfill preview folds the would-be-cleared intervals in
+    assert(out2.contains("clix.daily: 3 interval(s)"), out2)
+    val (g0, gaps) = cli(Seq("check-intervals", "prod") ++ window ++ base: _*)
+    assert(g0 == 0 && gaps.contains("clix.daily: complete"), gaps)
+  }
+
   test("run flags (ignore-cron, select-model) and table-diff options") {
     val proj = SparkTestSession.tmpDir("cli-proj6")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "late.sql"),
