@@ -12,6 +12,10 @@ import graft.macros.MacroEvaluator
   */
 object Renderer {
 
+  /** Total render invocations — observability for the render cache (spec
+    * asserts repeated cycles don't re-render; reference cache.py hit path). */
+  val renders = new java.util.concurrent.atomic.AtomicLong
+
   /** Replace upstream model names with resolved physical table names.
     * Longest-name-first so `a.b.c` wins over `a.b`. */
   def resolveTables(sql: String, mapping: Map[String, String]): String =
@@ -31,6 +35,7 @@ object Renderer {
       schemaOf: String => Seq[(String, String)] = _ => Nil,
       macros: Map[String, Seq[String] => String] = Map.empty,
       columnValues: Option[(String, String, Int) => Seq[String]] = None): String = {
+    renders.incrementAndGet()
     val body = model.body match {
       case SqlBody(sql) => sql
       case _ => throw new IllegalArgumentException(s"${model.name} is not a SQL model")

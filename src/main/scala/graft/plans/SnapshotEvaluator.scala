@@ -24,6 +24,10 @@ class SnapshotEvaluator(
 
   private def variables: Map[String, String] = variablesFn()
 
+  /** Rendered-SQL cache for this evaluator's lifetime (reference
+    * snapshot/cache.py) — see [[RenderCache]] for the key/bypass rules. */
+  val renderCache = new RenderCache()
+
   def spark: SparkSession = materializer.spark
 
   def physicalTable(s: Snapshot): PhysicalTable = physicalTable(s, dev = false)
@@ -121,7 +125,8 @@ class SnapshotEvaluator(
     * query — called from evaluate() so upstreams already exist. */
   private def createView(s: Snapshot, interval: Interval, executionTs: Long,
                          mapping: Map[String, String]): Unit = {
-    val sql = Renderer.render(s.model, interval.start, interval.end, executionTs,
+    val sql = RenderCache.cachedRender(renderCache, s.fingerprint.full, s.model,
+      interval.start, interval.end, executionTs,
       mapping, variables, thisModel = Some(physicalTable(s).qualified),
       schemaOf = Renderer.catalogSchemaOf(spark, mapping),
       columnValues = Renderer.catalogColumnValues(spark, mapping))
@@ -181,7 +186,8 @@ class SnapshotEvaluator(
         val t = physicalTable(s, dev)
         val vars = variables + ("is_incremental" ->
           (s.model.kind.isIncremental && materializer.currentDataDir(t).nonEmpty).toString)
-        spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs,
+        spark.sql(RenderCache.cachedRender(renderCache, s.fingerprint.full, s.model,
+          interval.start, interval.end, executionTs,
           tableMapping, vars, thisModel = Some(t.qualified),
           schemaOf = Renderer.catalogSchemaOf(spark, tableMapping), macros = macros,
           columnValues = Renderer.catalogColumnValues(spark, tableMapping)))
@@ -255,10 +261,11 @@ class SnapshotEvaluator(
         (s.model.kind.isIncremental && materializer.currentDataDir(t).nonEmpty).toString)
       val df = s.model.body match {
         case SqlBody(_) =>
-          spark.sql(Renderer.render(s.model, interval.start, interval.end, executionTs, mapping,
+          spark.sql(RenderCache.cachedRender(renderCache, s.fingerprint.full, s.model,
+            interval.start, interval.end, executionTs, mapping,
             vars, thisModel = Some(thisName),
             schemaOf = Renderer.catalogSchemaOf(spark, mapping),
-      columnValues = Renderer.catalogColumnValues(spark, mapping), macros = macros))
+            columnValues = Renderer.catalogColumnValues(spark, mapping), macros = macros))
         case ScalaBody(fn) => fn(spark, mapping, interval.start, interval.end)
         case SeedBody(path) =>
           val opts = s.model.kind match {
@@ -382,7 +389,8 @@ class SnapshotEvaluator(
     if (materializer.currentDataDir(t).isEmpty) return
     val target = s.model.body match {
       case SqlBody(_) =>
-        spark.sql(Renderer.render(s.model, start, end, executionTs, mapping,
+        spark.sql(RenderCache.cachedRender(renderCache, s.fingerprint.full, s.model,
+          start, end, executionTs, mapping,
           thisModel = Some(t.qualified),
           columnValues = Renderer.catalogColumnValues(spark, mapping))).schema
       case ScalaBody(fn) => fn(spark, mapping, start, end).schema
