@@ -135,6 +135,7 @@ class GraftContext(
 
   def addModel(m: Model): this.type = { models(m.name) = m; this }
   def model(name: String): Model = models(name)
+  def modelInventory: Map[String, Model] = models.toMap
 
   /** Notification targets (reference core/notification_target.py): fire on
     * apply/run start/end/failure and audit failures. Targets never throw

@@ -378,6 +378,77 @@ class MainCliSpec extends AnyFunSuite {
     assert(g0 == 0 && gaps.contains("clix.daily: complete"), gaps)
   }
 
+  test("dbt verb facade drives a dbt-layout project (run/list/compile/test/seed/build)") {
+    val proj = SparkTestSession.tmpDir("cli-dbt")
+    def w(rel: String, text: String): Unit = {
+      val p = java.nio.file.Paths.get(proj, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, text)
+    }
+    w("dbt_project.yml", "name: shop\nvars:\n  cutoff: '1995-03-01'\n")
+    w("seeds/channels.csv", "channel,region\nweb,EU\nstore,US\n")
+    w("models/schema.yml",
+      """sources:
+        |  - name: raw
+        |    tables:
+        |      - name: orders
+        |models:
+        |  - name: stg_orders
+        |    columns:
+        |      - name: o_orderkey
+        |        tests:
+        |          - not_null
+        |""".stripMargin)
+    w("models/stg_orders.sql",
+      """{{ config(materialized='view', schema='dshop') }}
+        |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM {{ source('raw', 'orders') }}
+        |WHERE o_orderdate < TIMESTAMP '{{ var("cutoff") }}'
+        |""".stripMargin)
+    w("models/daily_rev.sql",
+      """{{ config(materialized='table', schema='dshop') }}
+        |SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS rev
+        |FROM {{ ref('stg_orders') }} GROUP BY 1
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    val window = Seq("--start", "1995-01-01", "--end", "1995-02-01")
+
+    // list shows models and their schema-yml tests
+    val (l0, listed) = cli(Seq("dbt", "list") ++ base: _*)
+    assert(l0 == 0 && listed.contains("dshop.stg_orders") &&
+      listed.contains("dshop.daily_rev"), listed)
+    assert(listed.contains("test: dshop.stg_orders.not_null"), listed)
+
+    // compile renders jinja + source/ref resolution without executing
+    val (c0, compiled) = cli(Seq("dbt", "compile", "--select", "stg_orders")
+      ++ window ++ base: _*)
+    assert(c0 == 0 && compiled.contains("1995-03-01"), compiled)
+    assert(!compiled.contains("{{"), compiled)
+
+    // run materializes everything (plan auto-apply + backfill)
+    val (r0, ran) = cli(Seq("dbt", "run") ++ window ++ base: _*)
+    assert(r0 == 0 && ran.contains("Completed successfully"), ran)
+    assert(spark.table("dshop.daily_rev").count() > 0)
+
+    // seed materializes the csv seed (auto-loaded from seeds/)
+    val (s0, seeded) = cli(Seq("dbt", "seed") ++ window ++ base: _*)
+    assert(s0 == 0, seeded)
+
+    // test runs the schema-yml data tests as audits
+    val (t0, tested) = cli(Seq("dbt", "test") ++ window ++ base: _*)
+    assert(t0 == 0 && tested.contains("PASS"), tested)
+
+    // selection: --select with graph operator, --exclude
+    val (x0, only) = cli(Seq("dbt", "list", "--select", "+daily_rev",
+      "--exclude", "stg_orders") ++ base: _*)
+    assert(x0 == 0 && only.contains("daily_rev") && !only.contains("stg_orders"), only)
+
+    // build = seed + run + test
+    val (b0, built) = cli(Seq("dbt", "build") ++ window ++ base: _*)
+    assert(b0 == 0 && built.contains("Completed successfully") &&
+      built.contains("PASS"), built)
+  }
+
   test("run flags (ignore-cron, select-model) and table-diff options") {
     val proj = SparkTestSession.tmpDir("cli-proj6")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "late.sql"),
