@@ -95,6 +95,42 @@ object ScaleProbe {
       }
     }
 
+    // events-based analytics (funnel / retention / paths / as-of) at 1× vs
+    // N×: re-probed on Spark 4.1.2 after the TIMESTAMP(NANOS)→NTZ read
+    // change (r6 verdict #8) — all single-shuffle-on-user-key designs,
+    // must stay near-linear
+    {
+      val ev = graft.queries.QueryUtil.readEvents(spark,
+        "/root/testdata/sf0.1/events.parquet")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val bigEv = (0 until n).map { i =>
+        ev.select((col("user_id") + lit(i.toLong * 10000000L)).as("user_id"),
+          col("ts"), col("event_type"), col("value"))
+      }.reduce(_ unionByName _)
+      val dirE = java.nio.file.Files.createTempDirectory("scale_events").toString
+      bigEv.write.mode("overwrite").parquet(dirE)
+      val bigEvents = spark.read.parquet(dirE)
+      println(s"events base=${ev.count()} rows, big=${bigEvents.count()} rows (${n}x)")
+      val steps = Seq("view", "click", "purchase")
+      for ((label, d) <- Seq("1x" -> ev, s"${n}x" -> bigEvents)) {
+        time(s"funnel $label") {
+          Funnel.funnel(d, "user_id", "ts", "event_type", steps).count()
+        }
+        time(s"retention $label") {
+          Funnel.retention(d, "user_id", "ts", "day").count()
+        }
+        time(s"top_paths $label") {
+          Funnel.topPaths(d, "user_id", "ts", "event_type").count()
+        }
+        time(s"asof_join $label") {
+          val purchases = d.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("pts"), col("value"))
+          AsofJoin.asofJoin(d.filter(col("event_type") === "click"),
+            purchases, Seq("user_id"), "ts", "pts").count()
+        }
+      }
+    }
+
     // SCD2-by-time with a large closed history: the r5 verdict flagged a
     // forced broadcast(latestDeleted); after the semi-join fix the closed-key
     // cardinality must not reach the driver. 2e5 closed keys, tiny batch.
