@@ -488,6 +488,38 @@ object Main {
             case other =>
               out.println(s"dbt $other not implemented"); 1
           }
+        case "cicd" =>
+          // offline GitHub-bot analog (reference integrations/github/cicd):
+          // PR-scoped virtual environment + gated prod deploy, with the
+          // check results emitted as the would-be PR comment markdown
+          val sub = positionalRequired(positional,
+            "cicd <run-all|update-pr-environment|gen-prod-plan|deploy-production|invalidate-pr> --pr N")
+          val pr = flag("pr").map(_.toInt).getOrElse(
+            throw new IllegalArgumentException("cicd requires --pr <number>"))
+          val repo = flag("repo").orElse(projects.headOption.map(p =>
+            java.nio.file.Paths.get(p).toAbsolutePath.normalize.getFileName.toString))
+            .getOrElse("repo")
+          // the bot's unit-test check runs the project's tests (command.py:74)
+          flagAll("tests").foreach(ctx.loadTests)
+          projects.map(p => s"$p/tests")
+            .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+            .foreach(ctx.loadTests)
+          val bot = new graft.cicd.CicdBot(ctx, repo, pr, start, end,
+            skipPrBackfill = !has("pr-backfill"))
+          val code = sub match {
+            case "run-all" => if (bot.runAll(autoDeploy = has("deploy"))) 0 else 2
+            case "update-pr-environment" => bot.updatePrEnvironment(); 0
+            case "gen-prod-plan" => bot.prodPlanPreview(); 0
+            case "deploy-production" => bot.deployProduction(); 0
+            case "invalidate-pr" =>
+              ctx.invalidateEnvironment(bot.prEnvironmentName, sync = true)
+              ctx.janitor(); out.println(s"invalidated ${bot.prEnvironmentName}"); 0
+            case other => out.println(s"unknown cicd subcommand '$other'"); 1
+          }
+          flag("comment-file").foreach(f => java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(f), bot.comment))
+          out.println(bot.comment)
+          code
         case "janitor" => ctx.janitor(); out.println("janitor complete"); 0
         case "destroy" => ctx.destroy(); out.println("project destroyed"); 0
         case other =>
@@ -512,7 +544,7 @@ object Main {
     val boolFlags = Set("auto-apply", "forward-only", "skip-backfill", "dry-run",
       "no-gaps", "check", "empty-backfill", "skip-tests", "skip-linter", "run",
       "ignore-cron", "no-auto-upstream", "skip-janitor", "show-sample", "sync",
-      "explain", "full-refresh")
+      "explain", "full-refresh", "deploy", "pr-backfill")
     var i = 0
     while (i < args.length) {
       val a = args(i)
@@ -580,5 +612,8 @@ object Main {
       |       dbt run|list|compile|test|seed|build  (dbt-CLI facade over a
       |         dbt_project.yml project; --select/--models/--exclude,
       |         --full-refresh, --env)
+      |       cicd run-all|update-pr-environment|gen-prod-plan|
+      |         deploy-production|invalidate-pr  --pr N [--deploy]
+      |         [--pr-backfill] [--comment-file F]  (offline CICD bot)
       |run `graft <verb>` with --project DIR --start/--end dates; see Scaladoc.""".stripMargin
 }

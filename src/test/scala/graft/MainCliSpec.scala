@@ -449,6 +449,66 @@ class MainCliSpec extends AnyFunSuite {
       built.contains("PASS"), built)
   }
 
+  test("cicd bot: PR environment, prod preview, gated deploy, PR-env retirement") {
+    val proj = SparkTestSession.tmpDir("cli-cicd")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
+      """MODEL (
+        |  name clicd.daily,
+        |  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate),
+        |  start '1995-01-01'
+        |);
+        |SELECT o_orderdate, count(*) AS n FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    val window = Seq("--start", "1995-01-01", "--end", "1995-01-10")
+
+    // run-all without --deploy: checks pass, PR env exists, prod untouched
+    val (c0, out0) = cli(Seq("cicd", "run-all", "--pr", "42", "--repo", "shop")
+      ++ window ++ base: _*)
+    assert(c0 == 0, out0)
+    assert(out0.contains("| linter | :white_check_mark:"), out0)
+    assert(out0.contains("| unit tests | :white_check_mark:"), out0)
+    assert(out0.contains("`shop_42`"), out0)
+    assert(out0.contains("prod plan preview"), out0)
+    assert(out0.contains("explained plan"), out0) // stage-level preview
+    val (e0, envs0) = cli(Seq("environments") ++ base: _*)
+    assert(e0 == 0 && envs0.contains("shop_42") && !envs0.contains("prod"), envs0)
+    assert(!spark.catalog.tableExists("clicd.daily")) // prod view absent
+
+    // deploy-production: prod materializes + backfills, PR env retired
+    val (c1, out1) = cli(Seq("cicd", "deploy-production", "--pr", "42",
+      "--repo", "shop") ++ window ++ base: _*)
+    assert(c1 == 0 && out1.contains("| deploy production | :white_check_mark:"), out1)
+    assert(out1.contains("invalidate PR environment"), out1)
+    assert(spark.table("clicd.daily").count() > 0)
+    val (e1, envs1) = cli(Seq("environments") ++ base: _*)
+    assert(e1 == 0 && envs1.contains("prod") && !envs1.contains("shop_42"), envs1)
+
+    // a failing unit test blocks run-all (exit 2) before any env mutation
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(proj, "tests"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "tests/t.yaml"),
+      """test_daily_wrong:
+        |  model: clicd.daily
+        |  inputs:
+        |    raw.orders:
+        |      rows:
+        |        - { o_orderdate: 1995-01-02 00:00:00, o_totalprice: 1.0 }
+        |  outputs:
+        |    query:
+        |      rows:
+        |        - { o_orderdate: 1995-01-02 00:00:00, n: 999 }
+        |  vars:
+        |    start: 1995-01-01
+        |    end: 1995-01-10
+        |""".stripMargin)
+    val (c2, out2) = cli(Seq("cicd", "run-all", "--pr", "43", "--repo", "shop")
+      ++ window ++ base: _*)
+    assert(c2 == 2 && out2.contains("| unit tests | :x:"), out2)
+    val (e2, envs2) = cli(Seq("environments") ++ base: _*)
+    assert(e2 == 0 && !envs2.contains("shop_43"), envs2)
+  }
+
   test("run flags (ignore-cron, select-model) and table-diff options") {
     val proj = SparkTestSession.tmpDir("cli-proj6")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "late.sql"),
