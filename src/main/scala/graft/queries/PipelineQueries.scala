@@ -1502,6 +1502,60 @@ object PipelineQueries {
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3, 4""".stripMargin)),
 
+    "td_stream_join_outer" -> Entry((s, dir) => {
+      // watermarked LEFT OUTER interval join: matched rows emit like the
+      // inner join; a click whose 30-minute purchase window closes under
+      // the watermark with no match emits ONCE with null right columns as
+      // its state evicts. The oracle reconstructs both populations — the
+      // null-extension only for clicks whose window is fully below the
+      // final watermark, exactly Spark's state-eviction contract.
+      val raw = QueryUtil.readEvents(s, s"$dir/events.parquet")
+      val src = java.nio.file.Files.createTempDirectory("graft_sjoino_src")
+      raw.write.mode("append").parquet(src.toString)
+      val sink = java.nio.file.Files.createTempDirectory("graft_sjoino_sink").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_sjoino_chk").toString
+      def side(tpe: String) = s.readStream.schema(raw.schema)
+        .parquet(src.toString)
+        .where(col("event_type") === tpe)
+        .select("user_id", "ts", "value")
+      val joined = graft.streaming.Streaming.intervalJoin(
+        side("click"), side("purchase"), "ts", Seq("user_id"),
+        maxDelay = "30 MINUTES", watermarkDelay = "1 minute",
+        joinType = "leftOuter")
+      val q = joined
+        .select(col("l_user_id").as("user_id"), col("l_ts").as("click_ts"),
+          col("r_ts").as("purchase_ts"), col("r_value").as("purchase_value"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // matched rows always emit; unmatched emit only once the watermark
+      // clears their window — rows still in state at shutdown never emitted,
+      // so keep only rows the batch oracle can account for
+      s.read.parquet(sink)
+        .orderBy(col("user_id"), col("click_ts"), col("purchase_ts"),
+          col("purchase_value"))
+    }, Some(
+      """WITH wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events),
+        |clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+        |    p.value AS purchase_value
+        |  FROM clicks c JOIN purch p ON c.user_id = p.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+        |unmatched AS (
+        |  SELECT c.user_id, c.ts AS click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts,
+        |    CAST(NULL AS DOUBLE) AS purchase_value
+        |  FROM clicks c, wm
+        |  WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM purch p WHERE p.user_id = c.user_id
+        |      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE))
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
     // --------------------------------------------- multimodal ------------
     "td_media_describe" -> Entry((s, dir) => {
       // documents' text bytes stand in for opaque media payloads; describe()

@@ -86,15 +86,21 @@ object Streaming {
     * join condition bounds event time, so per-side join STATE is evicted
     * once the watermark passes the bound — without the bound, stream-stream
     * join state grows forever, the cardinal streaming-join mistake at
-    * scale. Inner join: matches emit as soon as both sides arrive. Column
-    * names collide between the sides, so both are prefixed (`l_`/`r_`). */
+    * scale. Inner join: matches emit as soon as both sides arrive.
+    * `leftOuter`: additionally, a left row whose match window closes
+    * unmatched — watermark past `l_ts + maxDelay` — emits once with null
+    * right columns when its state evicts (Spark emits these on the
+    * watermark-advancing no-data micro-batch, so a single AvailableNow
+    * drain flushes them). Column names collide between the sides, so both
+    * are prefixed (`l_`/`r_`). */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
       tsCol: String,
       keys: Seq[String],
       maxDelay: String,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermarkDelay)
       .select(left.columns.map(c => col(c).as(s"l_$c")): _*)
     val r = right.withWatermark(tsCol, watermarkDelay)
@@ -102,7 +108,7 @@ object Streaming {
     val keyCond = keys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _)
     val timeCond = col(s"r_$tsCol") >= col(s"l_$tsCol") &&
       col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $maxDelay")
-    l.join(r, keyCond && timeCond, "inner")
+    l.join(r, keyCond && timeCond, joinType)
   }
 
   /** Streaming CDC-style upsert into an engine-managed table: each
