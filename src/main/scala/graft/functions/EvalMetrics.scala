@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed classifier-evaluation metrics — the "did my quality filter
+  * actually work" step of a training-data pipeline (a trained filter is
+  * only as good as its measured ranking quality on held-out labels, and at
+  * corpus scale the evaluation itself must be a Spark job).
+  *
+  * Everything here is rank/aggregate algebra: one sort-shuffle for AUC,
+  * one hash-shuffle for the calibration table. No per-row UDFs, no
+  * driver-side score vectors.
+  */
+object EvalMetrics {
+
+  /** ROC AUC via the Mann-Whitney U statistic:
+    * AUC = (Σ rank⁺ − P(P+1)/2) / (P·N), with average ranks over score
+    * ties (the standard tie correction, identical to sklearn's
+    * `roc_auc_score`).
+    *
+    * Scale shape: the corpus first collapses to its SCORE DISTRIBUTION
+    * (one hash-shuffle groupBy on the score — classifier scores are
+    * quantized, e.g. [[TextFunctions.classifierScore]] rounds to 4
+    * decimals, so this is ≤ ~10⁴ rows regardless of corpus size); the
+    * global-order cumulative sum then runs over that tiny frame, never
+    * over the corpus. A naive `rank() OVER (ORDER BY score)` on the raw
+    * rows would funnel 100 TB through one window task. For unbounded-
+    * precision scores, quantize first (round) — the tie-corrected rank
+    * algebra stays exact for whatever precision is kept.
+    * Returns a 1-row DataFrame (auc, n_pos, n_neg). */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df.select(
+      col(scoreCol).cast("double").as("__s"),
+      col(labelCol).cast("int").as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    // cumulative count up to and including each score group; the group's
+    // average rank = cum − (n−1)/2 (midpoint of its rank run)
+    val cum = g.withColumn("__cum",
+      sum(col("__n")).over(Window.orderBy(col("__s"))))
+    cum.agg(
+      sum(col("__p") * (col("__cum") - (col("__n") - 1) / 2.0)).as("__sum_r_pos"),
+      sum(col("__p")).as("n_pos"),
+      (sum(col("__n")) - sum(col("__p"))).as("n_neg"))
+      .select(
+        round((col("__sum_r_pos") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+          (col("n_pos") * col("n_neg")), 6).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  /** Reliability (calibration) table: scores bucketed into `bins` equal-width
+    * bins over [0,1]; each row reports the bin's mean predicted score vs the
+    * observed positive rate and its share of the corpus. The gap column is
+    * the per-bin calibration error — weighted-summing |gap| gives ECE.
+    * One hash-shuffle on the bin id. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val bin = least(floor(s * bins).cast("int"), lit(bins - 1))
+    df.select(bin.as("bin"), s.as("__s"), col(labelCol).cast("double").as("__y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("__s")), 6).as("mean_score"),
+        round(avg(col("__y")), 6).as("pos_rate"))
+      .withColumn("gap", round(col("mean_score") - col("pos_rate"), 6))
+  }
+}

@@ -747,6 +747,54 @@ object PipelineQueries {
         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS cls_score
         |FROM z ORDER BY doc_id""".stripMargin)),
 
+    // classifier-evaluation metrics: a trained quality filter is only as
+    // good as its measured ranking quality; at corpus scale the eval is a
+    // Spark job. Score/label derived from portable columns so both engines
+    // compute identical inputs.
+    "td_auc" -> Entry((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        round(lit(1.0) / (lit(1.0) + exp(-(col("n_chars") - 900) / 200.0)), 4).as("score"),
+        when(col("lang") === "en", 1).otherwise(0).as("label"))
+      graft.functions.EvalMetrics.auc(d, "score", "label")
+    }, Some(
+      """WITH d AS (
+        |  SELECT round(1.0/(1.0 + exp(-(n_chars - 900)/200.0)), 4) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), g AS (
+        |  SELECT s, count(*) AS n, sum(y) AS p FROM d GROUP BY s
+        |), c AS (
+        |  SELECT s, n, p, sum(n) OVER (ORDER BY s) AS cum FROM g
+        |), t AS (
+        |  SELECT sum(p * (cum - (n - 1)/2.0)) AS srp, sum(p) AS np,
+        |    sum(n) - sum(p) AS nn
+        |  FROM c
+        |)
+        |SELECT round((srp - np*(np + 1)/2.0)/(np*nn), 6) AS auc,
+        |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+        |FROM t""".stripMargin)),
+
+    "td_calibration" -> Entry((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        round(lit(1.0) / (lit(1.0) + exp(-(col("n_chars") - 900) / 200.0)), 4).as("score"),
+        when(col("lang") === "en", 1).otherwise(0).as("label"))
+      graft.functions.EvalMetrics.calibration(d, "score", "label", bins = 10)
+        .orderBy(col("bin"))
+    }, Some(
+      """WITH d AS (
+        |  SELECT round(1.0/(1.0 + exp(-(n_chars - 900)/200.0)), 4) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), b AS (
+        |  SELECT least(CAST(floor(s*10) AS INT), 9) AS bin, s,
+        |    CAST(y AS DOUBLE) AS y
+        |  FROM d
+        |)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n, round(avg(s), 6) AS mean_score,
+        |  round(avg(y), 6) AS pos_rate,
+        |  round(round(avg(s), 6) - round(avg(y), 6), 6) AS gap
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
     "td_temp_balance" -> Entry((s, dir) => {
       // α=0.3 temperature re-balancing over languages at half the corpus:
       // rare languages keep a larger fraction than common ones
