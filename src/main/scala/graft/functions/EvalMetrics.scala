@@ -45,8 +45,11 @@ object EvalMetrics {
       sum(col("__p")).as("n_pos"),
       (sum(col("__n")) - sum(col("__p"))).as("n_neg"))
       .select(
-        round((col("__sum_r_pos") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
-          (col("n_pos") * col("n_neg")), 6).as("auc"),
+        // try_divide: single-class input (P or N = 0) is undefined AUC →
+        // null, not an ANSI divide-by-zero error
+        round(try_divide(
+          col("__sum_r_pos") - col("n_pos") * (col("n_pos") + 1) / 2.0,
+          col("n_pos") * col("n_neg")), 6).as("auc"),
         col("n_pos"), col("n_neg"))
   }
 

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** AUC/calibration against brute-force ground truth, including the tie and
+  * degenerate-label cases the rank algebra must get right. */
+class EvalMetricsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def bruteAuc(rows: Seq[(Double, Int)]): Double = {
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val u = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    u / (pos.size * neg.size)
+  }
+
+  test("AUC matches pairwise ground truth with heavy ties") {
+    // quantized scores → many ties across and within classes
+    val rows = (1 to 200).map { i =>
+      val s = math.round((i % 7) / 7.0 * 10) / 10.0
+      (s, if ((i * 31) % 5 < 2) 1 else 0)
+    }
+    val got = EvalMetrics.auc(rows.toDF("score", "label"), "score", "label")
+      .select("auc").as[Double].head()
+    assert(math.abs(got - bruteAuc(rows)) < 1e-6, s"$got vs ${bruteAuc(rows)}")
+  }
+
+  test("perfect and inverted rankings hit 1.0 and 0.0") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))
+    assert(EvalMetrics.auc(perfect.toDF("score", "label"), "score", "label")
+      .select("auc").as[Double].head() == 1.0)
+    val inverted = perfect.map { case (s, y) => (s, 1 - y) }
+    assert(EvalMetrics.auc(inverted.toDF("score", "label"), "score", "label")
+      .select("auc").as[Double].head() == 0.0)
+  }
+
+  test("single-class labels yield null AUC (0/0), not a crash") {
+    val onlyPos = Seq((0.9, 1), (0.1, 1))
+    val row = EvalMetrics.auc(onlyPos.toDF("score", "label"), "score", "label").head()
+    assert(row.isNullAt(0) && row.getLong(1) == 2 && row.getLong(2) == 0)
+  }
+
+  test("calibration bins cover [0,1] with score 1.0 clamped into the top bin") {
+    val rows = Seq((0.0, 0), (0.05, 0), (0.95, 1), (1.0, 1))
+    val bins = EvalMetrics.calibration(rows.toDF("score", "label"),
+      "score", "label", bins = 10).orderBy("bin").collect()
+    assert(bins.map(_.getInt(0)).toSeq == Seq(0, 9))
+    assert(bins.last.getLong(1) == 2) // 0.95 and the clamped 1.0
+    // weighted |gap| = ECE ingredients present
+    assert(bins.forall(r => !r.isNullAt(4)))
+  }
+}
