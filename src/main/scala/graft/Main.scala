@@ -520,6 +520,27 @@ object Main {
             java.nio.file.Paths.get(f), bot.comment))
           out.println(bot.comment)
           code
+        case "dlt-refresh" =>
+          // reference `sqlmesh dlt_refresh <pipeline> [table...]`
+          // (integrations/dlt.py:134 generate_dlt_models): scaffold
+          // incremental models from a dlt pipeline's persisted schema
+          val pipeline = positionalRequired(positional,
+            "dlt-refresh <pipeline> [table...] --dlt-path DIR")
+          val dltPath = flag("dlt-path").getOrElse(
+            sys.props("user.home") + "/.dlt/pipelines")
+          val dataset = flag("dataset")
+            .orElse(graft.loader.DltGenerator.datasetName(dltPath, pipeline))
+            .getOrElse(s"${pipeline}_dataset")
+          val gen = graft.loader.DltGenerator.generate(
+            dltPath, pipeline, dataset, positional.drop(1))
+          val projDir = projects.headOption.getOrElse(sys.props("user.dir"))
+          val written = graft.loader.DltGenerator.writeModels(
+            projDir, gen, ctx.modelInventory.keySet, has("force"))
+          written.foreach(n => out.println(s"  + $n"))
+          graft.loader.DltGenerator.startDateFromLoads(dltPath, pipeline)
+            .foreach(d => out.println(s"  suggested --start: $d"))
+          out.println(s"dlt-refresh: ${written.size} model(s) written to $projDir/models")
+          0
         case "janitor" => ctx.janitor(); out.println("janitor complete"); 0
         case "destroy" => ctx.destroy(); out.println("project destroyed"); 0
         case other =>
@@ -544,7 +565,7 @@ object Main {
     val boolFlags = Set("auto-apply", "forward-only", "skip-backfill", "dry-run",
       "no-gaps", "check", "empty-backfill", "skip-tests", "skip-linter", "run",
       "ignore-cron", "no-auto-upstream", "skip-janitor", "show-sample", "sync",
-      "explain", "full-refresh", "deploy", "pr-backfill")
+      "explain", "full-refresh", "deploy", "pr-backfill", "force")
     var i = 0
     while (i < args.length) {
       val a = args(i)
