@@ -82,10 +82,36 @@ object Main {
 
   /** Testable core: parses args, drives the context, writes to `out`,
     * returns the process exit code (0 ok, 1 usage/error, 2 failed gate). */
-  def run(args: Seq[String], spark: SparkSession, out: java.io.PrintStream): Int = {
+  def run(args: Seq[String], spark: SparkSession, out: java.io.PrintStream): Int =
+    run(args, spark, out, System.in)
+
+  def run(args: Seq[String], spark: SparkSession, out: java.io.PrintStream,
+          stdin: java.io.InputStream): Int = {
     if (args.isEmpty) { out.println(usage); return 1 }
     val (flags, positional) = parse(args.tail)
     val verb = args.head
+
+    if (verb == "repl") {
+      // the notebook-magics analog (reference sqlmesh/magics.py: %plan,
+      // %run_dag, %evaluate, %render, %fetchdf… — per-invocation commands
+      // bound to one project): each line is one verb, with the repl's own
+      // flags (--project/--external/--var/--workspace) appended, so state
+      // persists across lines through the durable workspace exactly like
+      // successive notebook cells.
+      val sticky = args.tail
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(stdin))
+      var line = in.readLine()
+      while (line != null && line.trim != "exit" && line.trim != "quit") {
+        val toks = tokenizeLine(line)
+        if (toks.nonEmpty) {
+          val c = try run(toks ++ sticky, spark, out)
+          catch { case e: Throwable => out.println(s"error: ${e.getMessage}"); 1 }
+          if (c != 0) out.println(s"[exit $c]")
+        }
+        line = in.readLine()
+      }
+      return 0
+    }
 
     def flag(name: String): Option[String] = flags.get(name).map(_.last)
     def flagAll(name: String): Seq[String] = flags.getOrElse(name, Nil)
@@ -558,6 +584,22 @@ object Main {
   }
 
   // ---------------------------------------------------------- helpers ----
+
+  /** Shell-ish line tokenizer for the repl: whitespace-separated, single or
+    * double quotes group. */
+  private def tokenizeLine(s: String): Seq[String] = {
+    val toks = Vector.newBuilder[String]; val cur = new StringBuilder
+    var q: Char = 0
+    for (c <- s) {
+      if (q != 0) { if (c == q) q = 0 else cur += c }
+      else if (c == '"' || c == '\'') q = c
+      else if (c.isWhitespace) {
+        if (cur.nonEmpty) { toks += cur.result(); cur.clear() }
+      } else cur += c
+    }
+    if (cur.nonEmpty) toks += cur.result()
+    toks.result()
+  }
 
   private def parse(args: Seq[String]): (Map[String, Seq[String]], Seq[String]) = {
     val flags = scala.collection.mutable.Map[String, Vector[String]]()

@@ -449,6 +449,33 @@ class MainCliSpec extends AnyFunSuite {
       built.contains("PASS"), built)
   }
 
+  test("repl drives successive verbs over one durable workspace") {
+    val proj = SparkTestSession.tmpDir("cli-repl")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
+      """MODEL (name clir.daily, kind FULL);
+        |SELECT count(*) AS n FROM raw.orders
+        |""".stripMargin)
+    val script =
+      """info
+        |plan prod --start 1995-01-01 --end 1995-01-10 --auto-apply
+        |fetch "SELECT n FROM clir.daily"
+        |nonsense-verb
+        |exit
+        |""".stripMargin
+    val buf = new java.io.ByteArrayOutputStream()
+    val code = Main.run(
+      Seq("repl", "--project", proj, "--external", s"raw.orders=$sf/orders.parquet"),
+      spark, new java.io.PrintStream(buf, true),
+      new java.io.ByteArrayInputStream(script.getBytes("UTF-8")))
+    val out = buf.toString
+    assert(code == 0, out)
+    assert(out.contains("models: 1"), out)          // info saw the project
+    assert(out.contains("applied"), out)            // plan applied
+    assert(spark.table("clir.daily").head.getLong(0) > 0)
+    assert(out.contains("unknown verb"), out)       // bad line reported…
+    assert(out.contains("[exit 1]"), out)           // …without killing the repl
+  }
+
   test("cicd bot: PR environment, prod preview, gated deploy, PR-env retirement") {
     val proj = SparkTestSession.tmpDir("cli-cicd")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
