@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation selection ops from the published pretraining-data
+  * pipelines — the steps between raw filtering and the final mixture.
+  *
+  * Everything is deterministic (hash-derived pseudo-randomness, no
+  * `rand()`): the same corpus produces the same selection on every run and
+  * every engine, which is what makes the ops oracle-checkable AND what a
+  * reproducible data pipeline needs.
+  */
+object Curation {
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl data"):
+    * score each document with the corpus unigram LM
+    * ([[TextFunctions.unigramLogProb]] — mean token log-prob, the
+    * perplexity proxy), then cut each LANGUAGE at its 1/3 and 2/3 score
+    * quantiles into head (most fluent) / middle / tail.
+    *
+    * Scale shape: the per-language thresholds are ONE percentile aggregate
+    * over the scored frame — a |languages|-row result broadcast back — and
+    * the bucket label is a codegen comparison. A per-language `ntile`
+    * window would funnel the dominant language (half the web is English)
+    * through a single window task; this form never does. */
+  def perplexityBuckets(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        langCol: String = "lang"): DataFrame = {
+    val scored = TextFunctions.unigramLogProb(docs, textCol, idCol)
+      .join(docs.select(col(idCol), col(langCol)), idCol)
+    val cuts = scored.groupBy(col(langCol)).agg(
+      round(percentile(col("mean_logp"), lit(1.0 / 3)), 6).as("__q33"),
+      round(percentile(col("mean_logp"), lit(2.0 / 3)), 6).as("__q67"))
+    scored.join(broadcast(cuts), langCol)
+      .select(col(idCol), col(langCol), col("mean_logp"),
+        when(col("mean_logp") >= col("__q67"), "head")
+          .when(col("mean_logp") >= col("__q33"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): estimate hashed
+    * n-gram feature distributions for a TARGET domain and for the full
+    * corpus, weight every document by its log importance ratio
+    * Σ_tok [log p_target(h(tok)) − log p_corpus(h(tok))], and select
+    * `sampleN` documents by Gumbel-top-k — which IS sampling without
+    * replacement ∝ exp(weight), made deterministic here by deriving the
+    * Gumbel noise from a salted document hash instead of an RNG.
+    *
+    * Scale shape: two feature-distribution aggregates (the hashed feature
+    * space is `buckets`-bounded, so each is a tiny result broadcast back),
+    * one token-level join + per-doc sum, and a global top-k
+    * (TakeOrderedAndProject — never a full sort). `isTarget` is any
+    * deterministic predicate over the document row (a labeled subset, a
+    * language, a source). */
+  def dsirSelect(docs: DataFrame, isTarget: Column, sampleN: Int,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 buckets: Int = 4096, salt: String = "dsir"): DataFrame = {
+    val toks = docs.select(col(idCol), isTarget.as("__t"),
+        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          w => length(w) > 0)).as("tok"))
+      .select(col(idCol), col("__t"),
+        pmod(PortableHash.h60(col("tok")), lit(buckets)).as("__f"))
+    // add-one-smoothed feature log-probs for target and corpus; the
+    // aggregate is bounded by the hashed feature space, broadcast back
+    val dist = toks.groupBy(col("__f")).agg(
+      count(lit(1)).as("__n_all"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__n_tgt"))
+    val totals = dist.agg(
+      (sum(col("__n_all")) + lit(buckets)).cast("double").as("__d_all"),
+      (sum(col("__n_tgt")) + lit(buckets)).cast("double").as("__d_tgt"))
+    val weighted = toks.join(broadcast(dist), "__f")
+      .join(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(round(sum(
+        log((col("__n_tgt") + 1) / col("__d_tgt")) -
+          log((col("__n_all") + 1) / col("__d_all"))), 4).as("log_w"))
+    // Gumbel-top-k: u ~ hash-uniform(0,1), g = -ln(-ln u); top-k of
+    // (log_w + g) is a without-replacement sample ∝ exp(log_w)
+    val u = (pmod(PortableHash.h60(concat(lit(salt), col(idCol).cast("string"))),
+      lit(1000000L)) + 1) / lit(1000001.0)
+    weighted
+      .withColumn("gumbel_key", round(col("log_w") - log(-log(u)), 4))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(sampleN)
+  }
+}

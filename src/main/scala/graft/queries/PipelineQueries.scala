@@ -665,6 +665,72 @@ object PipelineQueries {
         |FROM toks t JOIN vocab v USING (tok), sizes s
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
 
+    // CCNet perplexity bucketing (Wenzek et al. 2020): per-language
+    // head/middle/tail cut at the 1/3 and 2/3 unigram-LM score quantiles —
+    // thresholds from one percentile aggregate, no per-language window
+    "td_ccnet_buckets" -> Entry((s, dir) => {
+      graft.functions.Curation.perplexityBuckets(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0)) AS tok
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+        |), sizes AS (
+        |  SELECT (SELECT count(*) FROM toks) AS total,
+        |         (SELECT count(*) FROM vocab) AS vsize
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |    round(avg(log10((v.tf + 1) / (s.total + s.vsize))), 4) AS mean_logp
+        |  FROM toks t JOIN vocab v USING (tok), sizes s GROUP BY t.doc_id
+        |), sl AS (
+        |  SELECT sc.doc_id, d.lang, sc.mean_logp
+        |  FROM scored sc JOIN documents d USING (doc_id)
+        |), cuts AS (
+        |  SELECT lang, round(quantile_cont(mean_logp, 1.0/3), 6) AS q33,
+        |    round(quantile_cont(mean_logp, 2.0/3), 6) AS q67
+        |  FROM sl GROUP BY lang
+        |)
+        |SELECT sl.doc_id, sl.lang, sl.mean_logp,
+        |  CASE WHEN sl.mean_logp >= c.q67 THEN 'head'
+        |       WHEN sl.mean_logp >= c.q33 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sl JOIN cuts c USING (lang) ORDER BY sl.doc_id""".stripMargin)),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram feature
+    // log-ratio weights + deterministic Gumbel-top-k = without-replacement
+    // sampling toward the target distribution, reproducible on both engines
+    "td_dsir" -> Entry((s, dir) => {
+      graft.functions.Curation.dsirSelect(t(s, dir, "documents"),
+        isTarget = col("lang") === "en", sampleN = 100)
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |    CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) % 4096 AS f
+        |  FROM (SELECT doc_id, lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0)) AS tok
+        |    FROM documents)
+        |), dist AS (
+        |  SELECT f, count(*) AS n_all,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt
+        |  FROM toks GROUP BY f
+        |), tot AS (
+        |  SELECT CAST(sum(n_all) + 4096 AS DOUBLE) AS d_all,
+        |    CAST(sum(n_tgt) + 4096 AS DOUBLE) AS d_tgt
+        |  FROM dist
+        |), w AS (
+        |  SELECT doc_id, round(sum(
+        |    ln((n_tgt + 1) / d_tgt) - ln((n_all + 1) / d_all)), 4) AS log_w
+        |  FROM toks JOIN dist USING (f), tot GROUP BY doc_id
+        |)
+        |SELECT doc_id, log_w,
+        |  round(log_w - ln(-ln(
+        |    ((CAST('0x' || substring(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000) + 1) / 1000001.0)), 4) AS gumbel_key
+        |FROM w ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin)),
+
     // ------------------------------ deterministic sampling / splits ------
     // hash-based (not random): same row → same sample/split on every run and
     // every engine — the reproducibility property dataset curation needs

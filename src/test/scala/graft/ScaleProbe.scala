@@ -57,6 +57,10 @@ object ScaleProbe {
         Sampling.tokenBudgetMix(d, "doc_id", "source", col("n_chars"),
           (0 until 20).map(i => s"src$i" -> 100000L).toMap).count()
       }
+      time(s"ccnet_buckets $label") { Curation.perplexityBuckets(d).count() }
+      time(s"dsir_select $label") {
+        Curation.dsirSelect(d, col("lang") === "en", 1000).count()
+      }
     }
 
     // BPE: train once on the 1× corpus (one word count + driver merge loop),
