@@ -44,7 +44,11 @@ final case class Plan(
     /** `--allow-destructive-model` (plan/builder.py): forward-only
       * migrations of these models may drop/narrow columns this apply,
       * overriding their on_destructive_change guard. */
-    allowDestructive: Set[String] = Set.empty) {
+    allowDestructive: Set[String] = Set.empty,
+    /** `--min-intervals` (context.py:1345): per-model, pull the plan start
+      * back far enough that at least this many intervals are covered — how
+      * a narrow PR-environment window still proves every model runs. */
+    minIntervals: Int = 0) {
   def snapshots: Seq[Snapshot] = added ++ modified.map(_._2) ++ metadataOnly ++ unchanged
 
   /** A snapshot previews in a `__dev` table instead of touching the shared
@@ -545,7 +549,10 @@ class GraftContext(
       /** `--backfill-model` selector expressions; empty = backfill all. */
       backfill: Seq[String] = Nil,
       /** `--allow-destructive-model` selector expressions. */
-      allowDestructiveModels: Seq[String] = Nil): Plan = {
+      allowDestructiveModels: Seq[String] = Nil,
+      /** `--min-intervals` (context.py:1345): ensure every model's backfill
+        * covers at least this many intervals, pulling its start back. */
+      minIntervals: Int = 0): Plan = {
     require(effectiveFrom.isEmpty || forwardOnly,
       "effective_from requires a forward-only plan (plan/builder.py:239)")
     val selectedSet: Set[String] =
@@ -680,7 +687,8 @@ class GraftContext(
         else Some(ModelSelector.expand(backfill, models.toMap)),
       allowDestructive =
         if (allowDestructiveModels.isEmpty) Set.empty
-        else ModelSelector.expand(allowDestructiveModels, models.toMap))
+        else ModelSelector.expand(allowDestructiveModels, models.toMap),
+      minIntervals = minIntervals)
   }
 
   /** Evaluate a plan: stages per plan/stages.py:238 — snapshot records →
@@ -764,8 +772,11 @@ class GraftContext(
           .map(iv => Interval(math.max(iv.start, p.start), math.min(iv.end, cappedEnd)))
           .filter(iv => iv.start < iv.end)
           .flatMap(iv => IntervalAlgebra.batch(iv, unit, 1, s.model.allowPartials))
+        val effStart =
+          if (p.minIntervals <= 0) p.start
+          else math.min(p.start, unit.add(cappedEnd, -p.minIntervals))
         val missing =
-          (fresh.missingIntervals(p.start, cappedEnd, dev) ++ restated).distinct.sortBy(_.start)
+          (fresh.missingIntervals(effStart, cappedEnd, dev) ++ restated).distinct.sortBy(_.start)
         val contiguous = IntervalAlgebra.merge(missing)
         val batchSize = s.model.kind match {
           case k: ModelKind.IncrementalByTimeRange => k.batchSize.getOrElse(0)
@@ -885,7 +896,7 @@ class GraftContext(
         .filter(s => p.emptyBackfill || backfillable(s.model.name))
         .map(s => state.getSnapshot(s.model.name, s.version).getOrElse(s))
       scheduler.run(live, p.start, p.end, executionTs, mapping, signals.toMap, devFlags,
-        recordOnly = p.emptyBackfill)
+        recordOnly = p.emptyBackfill, minIntervals = p.minIntervals)
     }
     // standalone audits gate promotion (audit/definition.py:559): they run
     // against the PHYSICAL tables, so a failing blocking audit aborts before

@@ -196,7 +196,8 @@ object Main {
               createFrom = flag("create-from").getOrElse("prod"),
               emptyBackfill = has("empty-backfill"),
               backfill = flagAll("backfill"),
-              allowDestructiveModels = flagAll("allow-destructive-model"))
+              allowDestructiveModels = flagAll("allow-destructive-model"),
+              minIntervals = flag("min-intervals").map(_.toInt).getOrElse(0))
             out.println(p.describe)
             if (has("explain")) {
               // `plan --explain` (reference plan/explainer.py): stage-by-stage
@@ -531,7 +532,8 @@ object Main {
             .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
             .foreach(ctx.loadTests)
           val bot = new graft.cicd.CicdBot(ctx, repo, pr, start, end,
-            skipPrBackfill = !has("pr-backfill"))
+            skipPrBackfill = !has("pr-backfill"),
+            prMinIntervals = flag("min-intervals").map(_.toInt).getOrElse(0))
           val code = sub match {
             case "run-all" => if (bot.runAll(autoDeploy = has("deploy"))) 0 else 2
             case "update-pr-environment" => bot.updatePrEnvironment(); 0

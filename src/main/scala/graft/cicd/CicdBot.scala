@@ -28,7 +28,10 @@ class CicdBot(
     end: Long,
     /** reference BotConfig.skip_pr_backfill (config.py): PR envs default to
       * virtual-only; `false` backfills the PR window so reviewers see data. */
-    skipPrBackfill: Boolean = true) {
+    skipPrBackfill: Boolean = true,
+    /** reference BotConfig.pr_min_intervals: when the PR backfills, every
+      * model covers at least this many intervals even in a narrow window. */
+    prMinIntervals: Int = 0) {
 
   /** controller.py:367 — `<name-or-repo>_<pr>`, sanitized. */
   val prEnvironmentName: String =
@@ -59,7 +62,7 @@ class CicdBot(
   /** controller.py:742 — apply the PR's plan into the PR environment. */
   def updatePrEnvironment(): Plan = {
     val p = ctx.plan(prEnvironmentName, start, end, skipBackfill = skipPrBackfill,
-      createFrom = "prod")
+      createFrom = "prod", minIntervals = prMinIntervals)
     ctx.apply(p)
     check("PR environment", ok = true,
       s"- :eyes: To **review** this PR's changes, use virtual data environment:\n" +

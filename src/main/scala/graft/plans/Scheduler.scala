@@ -76,7 +76,11 @@ class Scheduler(
       recordOnly: Boolean = false,
       /** `--ignore-cron` (cli/main.py run): process every missing interval
         * up to `end`, ignoring per-model cron-tick readiness. */
-      ignoreCron: Boolean = false): Unit = {
+      ignoreCron: Boolean = false,
+      /** `--min-intervals` (reference context.py:1345): per model, pull the
+        * effective start back so at least this many intervals are covered
+        * (model.start still floors it, via missingIntervals). */
+      minIntervals: Int = 0): Unit = {
 
     report.clear()
     val pool = Executors.newFixedThreadPool(concurrency)
@@ -143,9 +147,12 @@ class Scheduler(
                   end - covered.map(_.end).max < ModelKind.Managed.lagMs(k.targetLag)
               case _ => false
             }
+            val effStart =
+              if (minIntervals <= 0) start
+              else math.min(start, unit.add(cappedEnd, -minIntervals))
             val missing =
               if (withinTargetLag) Vector.empty[Interval]
-              else fresh.missingIntervals(start, cappedEnd, dev)
+              else fresh.missingIntervals(effStart, cappedEnd, dev)
             val contiguous = IntervalAlgebra.merge(missing)
             val batchSize = snap.model.kind match {
               case k: ModelKind.IncrementalByTimeRange => k.batchSize.getOrElse(0)

@@ -449,6 +449,35 @@ class MainCliSpec extends AnyFunSuite {
       built.contains("PASS"), built)
   }
 
+  test("plan --min-intervals pulls a narrow window back to cover N intervals") {
+    val proj = SparkTestSession.tmpDir("cli-mini")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
+      """MODEL (
+        |  name clim.daily,
+        |  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate),
+        |  start '1995-01-01'
+        |);
+        |SELECT o_orderdate, count(*) AS n FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    // a 2-day window with --min-intervals 5 → 5 daily intervals backfill
+    val (c0, out0) = cli(Seq("plan", "prod", "--start", "1995-01-08",
+      "--end", "1995-01-10", "--min-intervals", "5", "--auto-apply") ++ base: _*)
+    assert(c0 == 0, out0)
+    val (g0, gaps) = cli(Seq("check-intervals", "prod", "--start", "1995-01-05",
+      "--end", "1995-01-10") ++ base: _*)
+    assert(g0 == 0 && gaps.contains("clim.daily: complete"), gaps)
+    // the explain preview reflects the pulled-back start too
+    val proj2 = SparkTestSession.tmpDir("cli-mini2")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(proj, "daily.sql"),
+      java.nio.file.Paths.get(proj2, "daily.sql"))
+    val base2 = Seq("--project", proj2, "--external", s"raw.orders=$sf/orders.parquet")
+    val (c1, out1) = cli(Seq("plan", "prod", "--start", "1995-01-08",
+      "--end", "1995-01-10", "--min-intervals", "5", "--explain") ++ base2: _*)
+    assert(c1 == 0 && out1.contains("5 interval(s)"), out1)
+  }
+
   test("repl drives successive verbs over one durable workspace") {
     val proj = SparkTestSession.tmpDir("cli-repl")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
