@@ -377,6 +377,17 @@ object Main {
           val p = ctx.plan(env, start, end, select = flagAll("select"),
             createFrom = flag("create-from").getOrElse("prod"))
           out.println(p.describe)
+          // unified text diff per modified SQL model (reference
+          // ContextDiff.text_diff, rendered by `sqlmesh diff`)
+          p.modified.foreach { case (old, nw) =>
+            (old.model.body, nw.model.body) match {
+              case (graft.core.SqlBody(o), graft.core.SqlBody(n)) if o != n =>
+                out.println(s"--- ${nw.model.name} (${old.version})")
+                out.println(s"+++ ${nw.model.name} (${nw.version})")
+                out.println(graft.core.TextDiff.unified(o, n))
+              case _ => ()
+            }
+          }
           0
         case "rewrite" =>
           val sql = positionalRequired(positional, "rewrite <sql>")
