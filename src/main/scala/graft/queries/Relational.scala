@@ -286,6 +286,18 @@ object Relational {
         |                  WHERE c2.c_nationkey = n.n_nationkey AND c2.c_acctbal < -999)
         |ORDER BY n_name""".stripMargin),
 
+    "q36_lateral_subquery" -> portableSqlEntry(
+      // LATERAL correlated derived table: per-nation top-2 customers by
+      // balance — the decorrelated form compiles to a partitioned window,
+      // never a per-row re-scan (same syntax both engines)
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+        |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c.c_acctbal DESC, c_name LIMIT 2
+        |) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin),
+
     "q35_unpivot" -> sqlEntry(
       // wide→long UNPIVOT (same shape, different dialect syntax)
       """SELECT n_name, metric, val FROM (
