@@ -502,8 +502,33 @@ object Main {
               0
             }
           }
+          def dbtSnapshot(): Int = {
+            // dbt snapshot: materialize only the SCD2-kind models (dbt
+            // snapshots/ blocks load as SCD_TYPE_2_* via DbtLoader)
+            val snaps = selectedNames.filter(n => ctx.model(n).kind match {
+              case _: graft.core.ModelKind.ScdType2ByTime => true
+              case _: graft.core.ModelKind.ScdType2ByColumn => true
+              case _ => false
+            })
+            if (snaps.isEmpty) { out.println("no snapshot models"); 0 }
+            else {
+              ctx.apply(ctx.plan(env, start, end, backfill = snaps))
+              ctx.run(env, start, end, selectModels = snaps)
+              snaps.foreach(s => out.println(s"  snapshotted $s"))
+              0
+            }
+          }
           sub match {
             case "run" => dbtRun()
+            case "snapshot" => dbtSnapshot()
+            case "docs" =>
+              // dbt docs generate → the engine's static docs page
+              val outDir = flag("out").getOrElse(
+                projects.headOption.getOrElse(sys.props("user.dir")) + "/docs")
+              java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+              val f = java.nio.file.Paths.get(outDir, "index.html")
+              java.nio.file.Files.writeString(f, graft.docs.DocsGenerator.html(ctx))
+              out.println(s"docs written to $f"); 0
             case "list" | "ls" =>
               // dbt list prints models and their data tests (operations.py:25)
               selectedNames.foreach { n =>

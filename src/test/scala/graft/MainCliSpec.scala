@@ -447,6 +447,24 @@ class MainCliSpec extends AnyFunSuite {
     val (b0, built) = cli(Seq("dbt", "build") ++ window ++ base: _*)
     assert(b0 == 0 && built.contains("Completed successfully") &&
       built.contains("PASS"), built)
+
+    // snapshot materializes only the SCD2-kind models
+    w("snapshots/cust_snap.sql",
+      """{% snapshot cust_snapshot %}
+        |{{ config(strategy='timestamp', unique_key='o_orderkey', updated_at='o_orderdate') }}
+        |SELECT o_orderkey, o_totalprice, o_orderdate FROM {{ source('raw', 'orders') }}
+        |WHERE o_orderdate < TIMESTAMP '1995-02-01'
+        |{% endsnapshot %}
+        |""".stripMargin)
+    val (n0, snapped) = cli(Seq("dbt", "snapshot") ++ window ++ base: _*)
+    assert(n0 == 0 && snapped.contains("snapshotted shop.cust_snapshot"), snapped)
+    assert(spark.table("shop.cust_snapshot").columns.contains("valid_from"))
+
+    // docs generates the static page
+    val docsDir = SparkTestSession.tmpDir("dbt-docs")
+    val (d0, docs) = cli(Seq("dbt", "docs", "--out", docsDir) ++ base: _*)
+    assert(d0 == 0 && docs.contains("docs written"), docs)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(docsDir, "index.html")) > 0)
   }
 
   test("plan --min-intervals pulls a narrow window back to cover N intervals") {
