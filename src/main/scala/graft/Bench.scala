@@ -48,28 +48,42 @@ object Bench {
     }
     calibPass()
     val calib = calibPass()
+    // median-of-k timing: a single GC/contention spike on one run must not
+    // define the round (r4/r6/r7 all burned adjudication on exactly that).
+    // Each query runs k=3 times; the headline number is the per-query MEDIAN,
+    // and the raw runs are emitted so a spike is visible instead of decisive.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.benchNames.map { name =>
-      val t0 = System.nanoTime()
-      val s0 = shuffleWrite.get()
-      // a query that crashes must be visible as FAILED in the JSON — r6
-      // silently reported time-to-exception as if the query ran
-      val ok = try { qs0(name)(spark, sfDir).count(); true }
+      var ok = true
+      var shuffleMb = 0.0
+      val runs = (0 until reps).map { rep =>
+        val t0 = System.nanoTime()
+        val s0 = shuffleWrite.get()
+        // a query that crashes must be visible as FAILED in the JSON — r6
+        // silently reported time-to-exception as if the query ran
+        try { qs0(name)(spark, sfDir).count() }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      // listener events are async; give the bus a moment to drain
-      Thread.sleep(150)
-      val sec = (System.nanoTime() - t0) / 1e9
-      val shuffleMb = (shuffleWrite.get() - s0) / 1e6
-      name -> ((sec, shuffleMb, ok))
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); ok = false }
+        // listener events are async; give the bus a moment to drain
+        Thread.sleep(150)
+        // shuffle volume is plan-determined, identical across reps: report run 1's
+        if (rep == 0) shuffleMb = (shuffleWrite.get() - s0) / 1e6
+        (System.nanoTime() - t0) / 1e9 - 0.150 // exclude the drain sleep
+      }
+      val median = runs.sorted.apply(reps / 2)
+      name -> ((median, runs.min, runs, shuffleMb, ok))
     }.toMap
-    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val sh = results.map { case (k, (_, mb, _)) => s"\"" + k + "\":" + f"$mb%.1f" }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (_, _, false)) => "\"" + k + "\"" }
+    def jmap(f: ((String, (Double, Double, Seq[Double], Double, Boolean))) => String) =
+      results.map(e => "\"" + e._1 + "\":" + f(e)).mkString("{", ",", "}")
+    val qs = jmap { case (_, (med, _, _, _, _)) => med.toString }
+    val mins = jmap { case (_, (_, mn, _, _, _)) => mn.toString }
+    val runsJ = jmap { case (_, (_, _, rs, _, _)) => rs.map(r => f"$r%.3f").mkString("[", ",", "]") }
+    val sh = jmap { case (_, (_, _, _, mb, _)) => f"$mb%.1f" }
+    val failed = results.collect { case (k, (_, _, _, _, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$failed,"calib_s":$calib,"sf":"$sfDir"}""")
+    val totalMin = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"runs":$runsJ,"shuffle_mb":$sh,"failed":$failed,"calib_s":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -121,9 +121,18 @@ class GraftContext(
     scala.collection.mutable.Map[String, (SparkMaterializer, PhysicalTable, DataFrame) => Unit]()
   private val customMacros =
     scala.collection.mutable.Map[String, Seq[String] => String]()
+  /** bumped on every addMacro (including same-name re-registration) — feeds
+    * the render-cache key so redefinition invalidates stale renders */
+  private val macroVersion = new java.util.concurrent.atomic.AtomicLong(0L)
   lazy val evaluator = new SnapshotEvaluator(materializer, workspace, customStrategies.toMap,
-    () => allVariables, customMacros.toMap,
-    onAuditFailure = (m, a, msg, blocking) => notifier.notifyAuditFailure(m, a, msg, blocking))
+    () => allVariables, () => (customMacros.toMap, macroVersion.get),
+    onAuditFailure = (m, a, msg, blocking) => {
+      notifier.notifyAuditFailure(m, a, msg, blocking)
+      // reference scheduler.py:924: the failing model's owner gets the event
+      // on their OWN targets, in addition to the global channel
+      models.get(m).flatMap(_.owner).foreach(owner =>
+        notifyUser(owner)(_.notifyAuditFailure(m, a, msg, blocking)))
+    })
   lazy val scheduler = new Scheduler(evaluator, state, concurrency)
 
   /** vars merged at load time (dbt_project.yml `vars`) on top of the
@@ -151,6 +160,27 @@ class GraftContext(
   def addNotificationTarget(t: NotificationTarget): this.type = {
     notificationTargets += t; this
   }
+
+  /** User registry (reference core/user.py + NotificationTargetManager
+    * .notify_user, notification_target.py:460): per-user targets receive
+    * events routed to a specific username — today the audit-failure path,
+    * which the scheduler routes to the failing model's `owner` (reference
+    * scheduler.py:924-926). */
+  private val userRegistry = scala.collection.mutable.LinkedHashMap[String, User]()
+  def addUser(u: User): this.type = { userRegistry(u.username) = u; this }
+  def users: Map[String, User] = userRegistry.toMap
+  def requiredApprovers: Seq[User] =
+    userRegistry.values.filter(_.isRequiredApprover).toSeq
+
+  /** Route an event to one user's own targets; like the dispatcher, a
+    * throwing target never breaks the flow being observed. */
+  private def notifyUser(username: String)(f: NotificationTarget => Unit): Unit =
+    userRegistry.get(username).toSeq.flatMap(_.notificationTargets).foreach { t =>
+      try f(t)
+      catch { case e: Exception =>
+        System.err.println(s"[graft] WARN user '$username' notification target threw: ${e.getMessage}")
+      }
+    }
 
   /** Model-independent audit (reference audit/definition.py:559) — run after
     * every plan application / scheduled run against the environment's tables. */
@@ -427,6 +457,45 @@ class GraftContext(
     }
   }
 
+  /** Read-only schedule export for an external orchestrator (reference
+    * `sqlmesh/schedulers/`): the environment's models with cron/unit/batch
+    * metadata, dependency edges, and the missing-interval batches a run
+    * over [start, end) would process — same merge + batch_size slicing as
+    * the built-in scheduler, computed WITHOUT recording anything. */
+  def exportSchedule(env: String, start: Long, end: Long): Seq[graft.plans.ScheduleExport.ModelSchedule] = {
+    val envRec = state.getEnvironment(env).getOrElse(
+      throw new IllegalStateException(s"environment $env not planned"))
+    val snapsByName = envRec.snapshots.flatMap { case (name, v) =>
+      state.getSnapshot(name, v).map(name -> _)
+    }
+    val names = snapsByName.map(_._1).toSet
+    snapsByName.collect { case (name, s) if s.model.kind.isMaterialized =>
+      val m = s.model
+      val unit = m.intervalUnit
+      val batchSize = m.kind match {
+        case k: ModelKind.IncrementalByTimeRange => k.batchSize
+        case _ => None
+      }
+      val gaps = IntervalAlgebra.merge(s.missingIntervals(start, end)).toSeq
+      val batches = gaps.flatMap(g => batchSize match {
+        case Some(bs) if bs > 0 => IntervalAlgebra.batch(g, unit, bs, m.allowPartials)
+        case _ => Seq(g)
+      })
+      graft.plans.ScheduleExport.ModelSchedule(
+        name = name,
+        kind = m.kind.name,
+        cron = m.cron,
+        cronTz = m.cronTz,
+        intervalUnit = unit.name,
+        batchSize = batchSize,
+        owner = m.owner,
+        // within-project dependencies only: externals are inputs, not tasks
+        dependsOn = m.references.filter(names.contains).toSeq.sorted,
+        hasSignal = signals.contains(name),
+        batches = batches)
+    }.toSeq.sortBy(_.name)
+  }
+
   /** Project summary (reference `sqlmesh info`): model counts by kind,
     * external count, environment count. */
   def info: String = {
@@ -476,7 +545,7 @@ class GraftContext(
     * a Scala function from rendered argument texts to SQL text, callable as
     * `@NAME(...)` in model bodies. Register before the first plan/render. */
   def addMacro(name: String)(fn: Seq[String] => String): this.type = {
-    customMacros(name) = fn; this
+    customMacros(name) = fn; macroVersion.incrementAndGet(); this
   }
 
   def registerCustomMaterialization(
@@ -1255,7 +1324,8 @@ class GraftContext(
             // EMBEDDED: inline the upstream query as a subquery, with the
             // embedded model's own refs resolved recursively (evaluator.py:1965)
             val sub = graft.plans.RenderCache.cachedRender(evaluator.renderCache,
-              up.fingerprint.full, up.model, 0L, 0L, 0L, mappingFor(r))
+              up.fingerprint.full, up.model, 0L, 0L, 0L, mappingFor(r),
+              macros = customMacros.toMap, macrosVersion = macroVersion.get)
             Some(r -> s"($sub)")
           // EXTERNAL models carry schema metadata only — the physical
           // binding is still the registered external relation

@@ -30,6 +30,8 @@ import graft.core.{Interval, IntervalUnit}
   *   create-external-models     write external_models.yaml for unknown refs
   *   create-test <model>   generate a YAML unit test from live data
   *   state-export <path> / state-import <path>   durable state round-trip
+  *   export-schedule [env]  DAG + crons + missing-interval batches for an
+  *                          external orchestrator (--format json|airflow)
   *   environments          list environments
   *   diff [env]            change summary against an environment (no apply)
   *   rewrite <sql>         expand semantic metric references into runnable SQL
@@ -104,8 +106,15 @@ object Main {
       while (line != null && line.trim != "exit" && line.trim != "quit") {
         val toks = tokenizeLine(line)
         if (toks.nonEmpty) {
-          val c = try run(toks ++ sticky, spark, out)
-          catch { case e: Throwable => out.println(s"error: ${e.getMessage}"); 1 }
+          // sticky flags go BEFORE the line's own tokens: flag() takes the
+          // last occurrence, so a per-line flag overrides a sticky one. The
+          // session's stdin is threaded through so stdin-consuming verbs in
+          // a scripted repl never grab the real process stdin; nested repl
+          // would fight this loop for the same reader, so reject it.
+          val c = try {
+            if (toks.head == "repl") { out.println("error: nested repl"); 1 }
+            else run(toks.head +: (sticky ++ toks.tail), spark, out, stdin)
+          } catch { case e: Throwable => out.println(s"error: ${e.getMessage}"); 1 }
           if (c != 0) out.println(s"[exit $c]")
         }
         line = in.readLine()
@@ -417,6 +426,24 @@ object Main {
           }
         case "info"    => out.println(ctx.info); 0
         case "dag"     => out.println(ctx.dagDot); 0
+        case "export-schedule" =>
+          // external-orchestrator export (reference sqlmesh/schedulers/):
+          // read-only — computes what a run WOULD backfill, mutates nothing
+          val env = positional.headOption.getOrElse("prod")
+          val sched = ctx.exportSchedule(env, start, end)
+          val text = flag("format").getOrElse("json") match {
+            case "airflow" => graft.plans.ScheduleExport.airflowDag(env, sched)
+            case "json" => graft.plans.ScheduleExport.json(env, start, end, sched)
+            case other => throw new IllegalArgumentException(
+              s"unknown --format '$other' (json|airflow)")
+          }
+          flag("out") match {
+            case Some(f) =>
+              java.nio.file.Files.writeString(java.nio.file.Paths.get(f), text)
+              out.println(s"schedule written to $f")
+            case None => out.println(text)
+          }
+          0
         case "lineage" =>
           // column-level lineage (reference core/lineage.py, surfaced in the
           // web UI/LSP): output column → upstream relation.column leaves
@@ -710,6 +737,7 @@ object Main {
       |       invalidate create-external-models create-test state-export
       |       state-import rewrite clean migrate rollback info dag docs
       |       lineage janitor destroy
+      |       export-schedule [env] [--format json|airflow] [--out F]
       |       dbt run|list|compile|test|seed|build  (dbt-CLI facade over a
       |         dbt_project.yml project; --select/--models/--exclude,
       |         --full-refresh, --env)

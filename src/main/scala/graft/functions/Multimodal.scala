@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
   * are real, and the image and audio paths are REAL pure-JVM codecs
   * (`javax.imageio` PNG/BMP/GIF and `javax.sound.sampled` WAV/AIFF/AU — no
   * native libraries needed): payload bytes decode to pixels/samples inside
-  * `mapPartitions`, with one codec context per partition. Video keeps the
-  * same distribution shape with byte-level operations (no video codec ships
-  * in the JVM).
+  * `mapPartitions`, with one codec context per partition. Video is a real
+  * from-scratch RIFF/AVI demuxer (see :351ff) decoding uncompressed DIB
+  * frames directly and MJPG frames via `javax.imageio` — frame extraction,
+  * per-frame pixel statistics, and frame sampling all run on decoded pixels,
+  * pure JVM, no native libraries.
   */
 object Multimodal {
 

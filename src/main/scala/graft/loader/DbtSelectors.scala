@@ -21,9 +21,11 @@ object DbtSelectors {
 
   private def atoms(exprs: Seq[String]): Seq[String] =
     exprs.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty).map { a =>
-      if (a.contains(',') && !a.contains('('))
-        "(" + a.split(',').filter(_.nonEmpty).mkString(" & ") + ")"
-      else a
+      if (a.contains(',') && !a.contains('(')) {
+        // ModelSelector's grammar allows one '&' per conjunction, so 3+ way
+        // intersections must left-nest: a,b,c → ((a & b) & c)
+        a.split(',').filter(_.nonEmpty).reduce((l, r) => s"($l & $r)")
+      } else a
     }
 
   /** Empty result = "no selection" (callers treat as select-all). */

@@ -74,6 +74,10 @@ object RenderCache {
       thisModel: Option[String] = None,
       schemaOf: String => Seq[(String, String)] = _ => Nil,
       macros: Map[String, Seq[String] => String] = Map.empty,
+      /** registry version counter (bumped on every registration, including
+        * re-registration under an existing name) — names alone can't see a
+        * behavior change behind the same name (r7 advisor finding). */
+      macrosVersion: Long = 0L,
       columnValues: Option[(String, String, Int) => Seq[String]] = None): String = {
     def run = Renderer.render(model, start, end, execution, tableMapping,
       variables, thisModel, schemaOf, macros, columnValues)
@@ -87,7 +91,8 @@ object RenderCache {
           tableMapping.toSeq.sorted.mkString(";"),
           variables.toSeq.sorted.mkString(";"),
           thisModel.getOrElse("-"),
-          macros.keys.toSeq.sorted.mkString(",")).mkString("\u0001")
+          macros.keys.toSeq.sorted.mkString(","),
+          macrosVersion.toString).mkString("\u0001")
         cache.getOrElseUpdate(key)(run)
       case _ => run
     }

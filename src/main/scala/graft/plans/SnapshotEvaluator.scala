@@ -17,12 +17,19 @@ class SnapshotEvaluator(
     /** live view of project variables — a function so late-registered vars
       * (e.g. dbt_project.yml `vars` merged by loadDbtProject) are visible */
     variablesFn: () => Map[String, String] = () => Map.empty,
-    macros: Map[String, Seq[String] => String] = Map.empty,
+    /** live view of the custom-macro registry plus its version counter — a
+      * function for the same reason as variablesFn, and the version feeds the
+      * render-cache key so re-registering a macro under an existing name
+      * invalidates stale renders (the reference folds macro definitions into
+      * the snapshot fingerprint, snapshot/cache.py). */
+    macrosFn: () => (Map[String, Seq[String] => String], Long) = () => (Map.empty, 0L),
     /** audit-failure hook (model, audit, message, blocking) — notification
       * targets observe both blocking aborts and non-blocking warns. */
     onAuditFailure: (String, String, String, Boolean) => Unit = (_, _, _, _) => ()) {
 
   private def variables: Map[String, String] = variablesFn()
+  private def macros: Map[String, Seq[String] => String] = macrosFn()._1
+  private def macrosVersion: Long = macrosFn()._2
 
   /** Rendered-SQL cache for this evaluator's lifetime (reference
     * snapshot/cache.py) — see [[RenderCache]] for the key/bypass rules. */
@@ -129,6 +136,7 @@ class SnapshotEvaluator(
       interval.start, interval.end, executionTs,
       mapping, variables, thisModel = Some(physicalTable(s).qualified),
       schemaOf = Renderer.catalogSchemaOf(spark, mapping),
+      macros = macros, macrosVersion = macrosVersion,
       columnValues = Renderer.catalogColumnValues(spark, mapping))
     spark.sql(s"CREATE OR REPLACE VIEW ${physicalTable(s).qualified} AS $sql")
   }
@@ -190,6 +198,7 @@ class SnapshotEvaluator(
           interval.start, interval.end, executionTs,
           tableMapping, vars, thisModel = Some(t.qualified),
           schemaOf = Renderer.catalogSchemaOf(spark, tableMapping), macros = macros,
+          macrosVersion = macrosVersion,
           columnValues = Renderer.catalogColumnValues(spark, tableMapping)))
       case _ => Renderer.evaluate(spark, s.model, interval.start, interval.end,
         executionTs, tableMapping, variables)
@@ -236,7 +245,7 @@ class SnapshotEvaluator(
       val cloned = org.apache.spark.sql.graft.SessionClone.clone(spark)
       s.model.sessionProperties.foreach { case (k, v) => cloned.conf.set(k, v) }
       val isolated = new SnapshotEvaluator(new SparkMaterializer(cloned),
-        workspace, customStrategies, variablesFn, macros, onAuditFailure)
+        workspace, customStrategies, variablesFn, macrosFn, onAuditFailure)
       isolated.evaluateInner(s, interval, executionTs, tableMapping, isFirstInsert, dev)
     }
   }
@@ -265,7 +274,8 @@ class SnapshotEvaluator(
             interval.start, interval.end, executionTs, mapping,
             vars, thisModel = Some(thisName),
             schemaOf = Renderer.catalogSchemaOf(spark, mapping),
-            columnValues = Renderer.catalogColumnValues(spark, mapping), macros = macros))
+            columnValues = Renderer.catalogColumnValues(spark, mapping),
+            macros = macros, macrosVersion = macrosVersion))
         case ScalaBody(fn) => fn(spark, mapping, interval.start, interval.end)
         case SeedBody(path) =>
           val opts = s.model.kind match {

@@ -298,6 +298,58 @@ object PipelineQueries {
         |SELECT id_a, id_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
 
+    "td_minhash_lsh_capped" -> Entry((s, dir) => {
+      // the 100 TB safety valve, oracle-pinned: maxBucketSize drops band
+      // buckets holding > cap docs BEFORE the candidate self-join, bounding
+      // the quadratic blowup a boilerplate-heavy bucket would emit (B²/2
+      // pairs for a bucket of B docs). cap=3 at sf0.01 drops the 4- and
+      // 7-doc buckets — 121 of the 157 uncapped pairs survive, so the entry
+      // is distinguishable from the uncapped one while other bands still
+      // catch most dropped candidates (recall pinned by DedupSpec).
+      Dedup.minhashLsh(t(s, dir, "documents"), shingleN = 3,
+        numHashes = 16, bands = 4, threshold = 0.3, maxBucketSize = Some(3))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+2], ' ')) > 0
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(shingle), 1, 7) AS BIGINT) AS h1,
+        |    CAST('0x' || substring(md5(shingle), 8, 7) AS BIGINT) AS h2
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, j, min(h1 + j * h2) AS mh
+        |  FROM hashed, UNNEST(range(0, 16)) AS u(j)
+        |  GROUP BY doc_id, j
+        |), sigarr AS (
+        |  SELECT doc_id, array_agg(mh ORDER BY j) AS sig FROM sig GROUP BY doc_id
+        |), banded0 AS (
+        |  SELECT doc_id, sig, b,
+        |    array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ',') AS band_sig
+        |  FROM sigarr, UNNEST(range(0, 4)) AS u(b)
+        |), banded AS (
+        |  SELECT * FROM banded0
+        |  QUALIFY count(*) OVER (PARTITION BY b, band_sig) <= 3
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM banded a JOIN banded b
+        |    ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |), est AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 16.0 AS est_jaccard
+        |  FROM cand
+        |)
+        |SELECT id_a, id_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
+
     "td_simhash" -> Entry((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), shingleN = 2)
         .orderBy(col("doc_id"))
@@ -1652,7 +1704,16 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("click_ts"), col("purchase_ts"),
           col("purchase_value"))
     }, Some(
-      """WITH wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events),
+      // watermark derived the way Spark does for a two-input join: each side
+      // is watermarked AFTER its event_type filter, so the GLOBAL watermark
+      // is min over inputs = least(max click ts, max purchase ts) - delay.
+      // max(ts) over ALL events would admit unmatched clicks whose window
+      // closes inside the gap between the two sides' maxima — rows Spark
+      // never emits (r7 advisor finding).
+      """WITH wm AS (
+        |  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |         - INTERVAL 1 MINUTE AS w),
         |clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
         |purch AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
         |matched AS (

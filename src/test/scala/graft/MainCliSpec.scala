@@ -496,29 +496,126 @@ class MainCliSpec extends AnyFunSuite {
     assert(c1 == 0 && out1.contains("5 interval(s)"), out1)
   }
 
+  test("export-schedule emits the DAG as JSON and an Airflow skeleton, mutating nothing") {
+    val proj = SparkTestSession.tmpDir("cli-export")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
+      """MODEL (
+        |  name exp.daily,
+        |  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate, batch_size 7),
+        |  cron '@daily',
+        |  start '1995-01-01',
+        |  owner 'dana'
+        |);
+        |SELECT o_orderdate, count(*) AS n FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "rollup.sql"),
+      """MODEL (name exp.rollup, kind FULL);
+        |SELECT count(*) AS days FROM exp.daily
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    // plan the env but backfill only part of the window: the export must
+    // carry the REMAINING batches
+    assert(cli(Seq("plan", "prod", "--start", "1995-01-01",
+      "--end", "1995-01-08", "--auto-apply") ++ base: _*)._1 == 0)
+
+    val (c, js) = cli(Seq("export-schedule", "prod", "--start", "1995-01-01",
+      "--end", "1995-01-22") ++ base: _*)
+    assert(c == 0, js)
+    val golden =
+      """{
+        |  "environment" : "prod",
+        |  "window" : {
+        |    "start" : "1995-01-01T00:00:00Z",
+        |    "end" : "1995-01-22T00:00:00Z"
+        |  },
+        |  "models" : [ {
+        |    "name" : "exp.daily",
+        |    "kind" : "INCREMENTAL_BY_TIME_RANGE",
+        |    "cron" : "@daily",
+        |    "interval_unit" : "day",
+        |    "batch_size" : 7,
+        |    "owner" : "dana",
+        |    "depends_on" : [ ],
+        |    "has_signal" : false,
+        |    "batches" : [ {
+        |      "start" : "1995-01-08T00:00:00Z",
+        |      "end" : "1995-01-15T00:00:00Z",
+        |      "command" : "graft run prod --select exp.daily --start 1995-01-08T00:00:00Z --end 1995-01-15T00:00:00Z"
+        |    }, {
+        |      "start" : "1995-01-15T00:00:00Z",
+        |      "end" : "1995-01-22T00:00:00Z",
+        |      "command" : "graft run prod --select exp.daily --start 1995-01-15T00:00:00Z --end 1995-01-22T00:00:00Z"
+        |    } ]
+        |  }, {
+        |    "name" : "exp.rollup",
+        |    "kind" : "FULL",
+        |    "cron" : "@daily",
+        |    "interval_unit" : "day",
+        |    "depends_on" : [ "exp.daily" ],
+        |    "has_signal" : false,
+        |    "batches" : [ {
+        |      "start" : "1995-01-08T00:00:00Z",
+        |      "end" : "1995-01-22T00:00:00Z",
+        |      "command" : "graft run prod --select exp.rollup --start 1995-01-08T00:00:00Z --end 1995-01-22T00:00:00Z"
+        |    } ]
+        |  } ],
+        |  "edges" : [ [ "exp.daily", "exp.rollup" ] ]
+        |}""".stripMargin
+    assert(js.trim.replaceAll("\r", "") == golden, js)
+
+    // airflow skeleton: one task per model, cron comment, dependency edge
+    val (c2, py) = cli(Seq("export-schedule", "prod", "--format", "airflow",
+      "--start", "1995-01-01", "--end", "1995-01-22") ++ base: _*)
+    assert(c2 == 0, py)
+    assert(py.contains("""dag_id="graft_prod""""), py)
+    assert(py.contains("t_exp_daily = BashOperator("), py)
+    assert(py.contains(
+      """bash_command="graft run prod --select exp.daily --project $GRAFT_PROJECT""""), py)
+    assert(py.contains("t_exp_daily >> t_exp_rollup"), py)
+    assert(py.contains("# cron @daily, unit day, owner dana"), py)
+
+    // read-only: the export recorded nothing — the same intervals are still
+    // missing afterwards
+    val (c3, gaps) = cli(Seq("check-intervals", "prod", "--start", "1995-01-01",
+      "--end", "1995-01-22") ++ base: _*)
+    assert(c3 == 0 && gaps.contains("exp.daily: [1995-01-08"), gaps)
+  }
+
   test("repl drives successive verbs over one durable workspace") {
     val proj = SparkTestSession.tmpDir("cli-repl")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
       """MODEL (name clir.daily, kind FULL);
         |SELECT count(*) AS n FROM raw.orders
         |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "tagged.sql"),
+      """MODEL (name clir.tagged, kind FULL);
+        |SELECT @VAR('tag', 0) AS tag_v FROM raw.orders LIMIT 1
+        |""".stripMargin)
     val script =
       """info
         |plan prod --start 1995-01-01 --end 1995-01-10 --auto-apply
         |fetch "SELECT n FROM clir.daily"
+        |render clir.tagged --var tag=2
+        |repl
         |nonsense-verb
         |exit
         |""".stripMargin
     val buf = new java.io.ByteArrayOutputStream()
     val code = Main.run(
-      Seq("repl", "--project", proj, "--external", s"raw.orders=$sf/orders.parquet"),
+      Seq("repl", "--project", proj, "--var", "tag=1",
+        "--external", s"raw.orders=$sf/orders.parquet"),
       spark, new java.io.PrintStream(buf, true),
       new java.io.ByteArrayInputStream(script.getBytes("UTF-8")))
     val out = buf.toString
     assert(code == 0, out)
-    assert(out.contains("models: 1"), out)          // info saw the project
+    assert(out.contains("models: 2"), out)          // info saw the project
     assert(out.contains("applied"), out)            // plan applied
     assert(spark.table("clir.daily").head.getLong(0) > 0)
+    // a per-line flag overrides the same sticky flag (sticky goes first)
+    assert(out.contains("2 AS tag_v"), out)
+    assert(!out.contains("1 AS tag_v"), out)
+    assert(out.contains("nested repl"), out)        // nested repl rejected…
     assert(out.contains("unknown verb"), out)       // bad line reported…
     assert(out.contains("[exit 1]"), out)           // …without killing the repl
   }

@@ -101,4 +101,41 @@ class NotificationsSpec extends AnyFunSuite {
     d.notifyRunFailure("prod", new RuntimeException("x"))
     assert(slackSent.size == 1 && mailSent.size == 1)
   }
+
+  test("audit failure on an owned model routes to the owner's own targets") {
+    // reference scheduler.py:924-926: AUDIT_FAILURE is additionally routed
+    // to the failing model's `owner` via their per-user targets
+    // (core/user.py + NotificationTargetManager.notify_user)
+    val spark = graft.SparkTestSession.spark
+    val ctx = new graft.GraftContext(spark,
+      graft.SparkTestSession.tmpDir("notif-owner"), concurrency = 2)
+    ctx.addExternal("raw.orders", "/root/testdata/sf0.001/orders.parquet")
+    val danaSeen = collection.mutable.Buffer[(String, String, Boolean)]()
+    val ravSeen = collection.mutable.Buffer[(String, String, Boolean)]()
+    def capture(buf: collection.mutable.Buffer[(String, String, Boolean)]) =
+      new NotificationTarget {
+        override def notifyAuditFailure(model: String, audit: String,
+                                        message: String, blocking: Boolean): Unit =
+          buf += ((model, audit, blocking))
+      }
+    ctx.addUser(User("dana", email = Some("dana@example.com"),
+      notificationTargets = Seq(capture(danaSeen))))
+    ctx.addUser(User("rav", roles = Seq(UserRole.RequiredApprover),
+      notificationTargets = Seq(capture(ravSeen))))
+    // global channel target still sees everything
+    val globalSeen = collection.mutable.Buffer[(String, String, Boolean)]()
+    ctx.addNotificationTarget(capture(globalSeen))
+    ctx.addModel(Model(
+      name = "mart.owned",
+      body = SqlBody("SELECT o_orderkey, o_totalprice FROM raw.orders"),
+      kind = ModelKind.Full,
+      owner = Some("dana"),
+      audits = Seq("accepted_range_non_blocking" ->
+        Map("column" -> "o_totalprice", "max_v" -> "0"))))
+    ctx.apply(ctx.plan("prod", 0L, 86400000L))
+    assert(danaSeen.toSeq == Seq(("mart.owned", "accepted_range", false)))
+    assert(ravSeen.isEmpty)           // not the owner: nothing routed
+    assert(globalSeen.nonEmpty)       // global channel unaffected
+    assert(ctx.requiredApprovers.map(_.username) == Seq("rav"))
+  }
 }

@@ -126,6 +126,23 @@ class TextQualitySpec extends AnyFunSuite {
     assert(capped < unbounded)
   }
 
+  test("capped LSH on the sf0.01 corpus: subset of uncapped, recall >= 0.7") {
+    // pins the 100 TB safety valve's behavior on real data: dropping hot
+    // band buckets (cap=3, the td_minhash_lsh_capped config) loses only
+    // candidates other bands mostly still catch — never invents pairs
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def pairs(cap: Option[Int]) =
+      Dedup.minhashLsh(docs, shingleN = 3, numHashes = 16, bands = 4,
+        threshold = 0.3, maxBucketSize = cap)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    val capped = pairs(Some(3))
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size >= 0.7 * uncapped.size,
+      s"capped recall ${capped.size}/${uncapped.size} below 0.7")
+  }
+
   test("leakSafeSplit co-assigns near-dup pairs to one split") {
     val docs = (1L to 100L).toDF("doc_id")
     // chain 1-2-3 is one component; 10-11 another; rest singletons

@@ -36,6 +36,17 @@ class DbtSelectorsSpec extends AnyFunSuite {
       sel(select = Seq("a"), models = Seq("b")))
   }
 
+  test("3+ atom comma intersections left-nest (one '&' per conjunction)") {
+    assert(sel(select = Seq("tag:nightly,main.model_a,main.model_b")) ==
+      Seq("((tag:nightly & main.model_a) & main.model_b)"))
+    // and the nested form must survive ModelSelector's grammar end-to-end
+    val ms = Map(
+      "main.model_a" -> Model("main.model_a", SqlBody("SELECT 1 AS x")),
+      "main.model_b" -> Model("main.model_b", SqlBody("SELECT 1 AS x")))
+    assert(ModelSelector.expand(
+      sel(select = Seq("main.*,*model*,main.model_a")), ms) == Set("main.model_a"))
+  }
+
   test("translated expressions expand correctly over a model graph") {
     val ms = Map(
       "stg.orders" -> Model("stg.orders", SqlBody("SELECT 1 AS x")),

@@ -75,6 +75,24 @@ class RenderCacheSpec extends AnyFunSuite {
     assert(Renderer.renders.get() > renders0)
   }
 
+  test("re-registering a custom macro under the same name invalidates the cache") {
+    val ctx = newCtx()
+    ctx.addMacro("PICK")(_ => "1")
+    ctx.addModel(Model(
+      name = "rc.macro",
+      body = SqlBody("SELECT @PICK() AS v FROM raw.orders LIMIT 1"),
+      kind = ModelKind.Full))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-10")))
+    assert(spark.table("rc.macro").select("v").head.get(0).toString == "1")
+    // same name, new behavior: the registry version must bust the key — a
+    // names-only key would serve the stale "1" render (r7 advisor finding)
+    ctx.addMacro("PICK")(_ => "2")
+    // extended window → the FULL model refreshes (same trigger as test 1);
+    // the refresh must render with the NEW macro, not the cached text
+    ctx.run("prod", dayMs("1995-01-01"), dayMs("1995-01-20"))
+    assert(spark.table("rc.macro").select("v").head.get(0).toString == "2")
+  }
+
   test("cacheable/sensitivity classification") {
     assert(RenderCache.cacheable("SELECT a FROM t"))
     assert(!RenderCache.cacheable("SELECT @STAR(x) FROM x"))
