@@ -264,8 +264,51 @@ class GraftContext(
     val p = graft.loader.DbtLoader.loadProject(dir, vars)
     p.models.foreach(addModel)
     extraVariables ++= p.vars
+    dbtSourcesBuf ++= p.sources
     p.sources
   }
+
+  private val dbtSourcesBuf =
+    scala.collection.mutable.ArrayBuffer[graft.loader.DbtLoader.DbtSource]()
+  /** The dbt `sources:` entries loaded so far (freshness metadata intact). */
+  def dbtSources: Seq[graft.loader.DbtLoader.DbtSource] = dbtSourcesBuf.toSeq
+
+  /** `dbt source freshness` (dbt's source-staleness check; the sources yml
+    * already carries `loaded_at_field` + warn_after/error_after): per source
+    * table, age = now − max(loaded_at_field), classified pass/warn/error
+    * against the declared thresholds. Sources without a `loaded_at_field`
+    * are skipped like dbt does; an unbound or unreadable relation is an
+    * error (staleness unknown ≠ fresh). Cost: one max() aggregate per
+    * source — at any scale this is a scan-bounded reduction, and on
+    * partitioned-by-time layouts Spark prunes to the scanned column only. */
+  def sourceFreshness(nowMs: Long = System.currentTimeMillis())
+      : Seq[(graft.loader.DbtLoader.DbtSource, Option[Long], String)] =
+    dbtSources.filter(_.loadedAtField.nonEmpty).map { src =>
+      externals.get(src.relation) match {
+        case None => (src, None, "error")
+        case Some(rel) =>
+          try {
+            val v = spark.sql(
+              s"SELECT max(${src.loadedAtField.get}) FROM $rel").head.get(0)
+            val tsMs = v match {
+              case t: java.sql.Timestamp => t.getTime
+              case d: java.sql.Date => d.getTime
+              case i: java.time.Instant => i.toEpochMilli
+              case l: java.time.LocalDateTime =>
+                l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              case n: Number => n.longValue
+              case _ => throw new IllegalArgumentException(
+                s"${src.relation}.${src.loadedAtField.get}: not a time column")
+            }
+            val age = nowMs - tsMs
+            val status =
+              if (src.errorAfterMs.exists(age > _)) "error"
+              else if (src.warnAfterMs.exists(age > _)) "warn"
+              else "pass"
+            (src, Some(age), status)
+          } catch { case _: Exception => (src, None, "error") }
+      }
+    }
 
   /** Gate `modelName`'s batches on all its upstreams having processed the
     * batch interval first — the built-in `freshness` signal (signal.py:46). */

@@ -548,6 +548,27 @@ object Main {
           sub match {
             case "run" => dbtRun()
             case "snapshot" => dbtSnapshot()
+            case "source" =>
+              // dbt source freshness: staleness per source table with a
+              // loaded_at_field; exit 2 on any error-stale source (dbt
+              // exits nonzero), warn-stale prints but passes
+              positional.drop(1).headOption match {
+                case Some("freshness") =>
+                  val results = ctx.sourceFreshness()
+                  if (results.isEmpty) { out.println("no sources with loaded_at_field"); 0 }
+                  else {
+                    results.sortBy(_._1.relation).foreach { case (src, age, status) =>
+                      val ageTxt = age.map(a => f"age ${a / 3600000.0}%.1fh").getOrElse("unreadable")
+                      out.println(s"  ${src.source}.${src.table}: ${status.toUpperCase} ($ageTxt)")
+                    }
+                    val errs = results.count(_._3 == "error")
+                    out.println(s"dbt source freshness: ${results.size} checked, " +
+                      s"${results.count(_._3 == "warn")} warn, $errs error")
+                    if (errs > 0) 2 else 0
+                  }
+                case other =>
+                  out.println(s"usage: dbt source freshness (got '${other.getOrElse("")}')"); 1
+              }
             case "docs" =>
               // dbt docs generate → the engine's static docs page
               val outDir = flag("out").getOrElse(
@@ -738,9 +759,10 @@ object Main {
       |       state-import rewrite clean migrate rollback info dag docs
       |       lineage janitor destroy
       |       export-schedule [env] [--format json|airflow] [--out F]
-      |       dbt run|list|compile|test|seed|build  (dbt-CLI facade over a
-      |         dbt_project.yml project; --select/--models/--exclude,
-      |         --full-refresh, --env)
+      |       dbt run|list|compile|test|seed|build|snapshot|source freshness
+      |         (dbt-CLI facade over a
+      |          dbt_project.yml project; --select/--models/--exclude,
+      |          --full-refresh, --env)
       |       cicd run-all|update-pr-environment|gen-prod-plan|
       |         deploy-production|invalidate-pr  --pr N [--deploy]
       |         [--pr-backfill] [--comment-file F]  (offline CICD bot)

@@ -34,11 +34,14 @@ final case class PhysicalTable(
   * this class owns the Plane-B relational operations: DDL, CTAS, inserts,
   * insert-overwrite-by-time, merge, and SCD2.
   */
-class SparkMaterializer(val spark: SparkSession) {
-  import SparkMaterializer._
+class SparkMaterializer(val spark: SparkSession,
+                        formatOverride: Option[TableFormat] = None) {
 
-  private def fs(p: Path) =
-    p.getFileSystem(spark.sessionState.newHadoopConf())
+  /** The storage/commit protocol (see [[TableFormat]]): every physical
+    * read/commit below routes through this seam, so an open-table-format
+    * backend swaps in without touching any strategy logic. */
+  val format: TableFormat = formatOverride.getOrElse(new DirVersionFormat(spark))
+  import SparkMaterializer._
 
   // ---------------------------------------------------------------- DDL
 
@@ -50,223 +53,53 @@ class SparkMaterializer(val spark: SparkSession) {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` ${if (cascade) "CASCADE" else ""}")
 
   /** Current committed data directory (highest v*), if any. */
-  def currentDataDir(t: PhysicalTable): Option[String] = {
-    val root = new Path(t.root)
-    val f = fs(root)
-    if (!f.exists(root)) None
-    else {
-      val versions = f.listStatus(root).map(_.getPath.getName)
-        .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
-      if (versions.isEmpty) None else Some(new Path(root, s"v${versions.max}").toString)
-    }
-  }
+  def currentDataDir(t: PhysicalTable): Option[String] = format.currentDataDir(t)
 
-  private def nextDataDir(t: PhysicalTable): String = {
-    val cur = currentDataDir(t).map(_.split('/').last.drop(1).toInt).getOrElse(-1)
-    new Path(new Path(t.root), s"v${cur + 1}").toString
-  }
-
-  /** True when `dir` holds at least one parquet data file. A partitioned
-    * write of ZERO rows emits no files at all, so schema inference over the
-    * bare dir fails — the `_graft_schema` marker (underscore-prefixed: Spark
-    * readers ignore it) preserves the schema for that legitimate empty case. */
-  private def hasParquet(dir: String): Boolean = {
-    val p = new Path(dir); val f = fs(p)
-    f.exists(p) && {
-      val it = f.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext)
-        if (it.next().getPath.getName.endsWith(".parquet")) found = true
-      found
-    }
-  }
-
-  private def schemaMarker(dir: String): Option[org.apache.spark.sql.types.StructType] = {
-    val p = new Path(dir, "_graft_schema"); val f = fs(p)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      Some(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-    }
-  }
-
-  /** (Re)point the catalog view at the current data dir. Partition columns are
-    * discovered from the directory layout at read time; empty tables resolve
-    * through the schema marker. */
-  def register(t: PhysicalTable): Unit = {
-    createSchema(t.database)
-    currentDataDir(t).foreach { dir =>
-      if (hasParquet(dir)) {
-        // managed columns (the derived __graft_* partition keys) live in the
-        // physical layout only — the catalog view hides them
-        val managed = spark.read.parquet(dir).schema.fieldNames
-          .filter(_.startsWith("__graft_"))
-        val proj =
-          if (managed.isEmpty) "*"
-          else "* EXCEPT (" + managed.map(c => s"`$c`").mkString(", ") + ")"
-        spark.sql(s"CREATE OR REPLACE VIEW ${t.qualified} AS SELECT $proj FROM parquet.`$dir`")
-      } else schemaMarker(dir).foreach { st =>
-        val proj = st.filterNot(_.name.startsWith("__graft_")).map(fd =>
-          s"CAST(NULL AS ${fd.dataType.sql}) AS `${fd.name}`").mkString(", ")
-        spark.sql(s"CREATE OR REPLACE VIEW ${t.qualified} AS SELECT $proj WHERE 1 = 0")
-      }
-    }
-  }
+  /** (Re)bind the catalog entry to the current snapshot (format-owned). */
+  def register(t: PhysicalTable): Unit = format.register(t)
 
   def tableExists(t: PhysicalTable): Boolean =
     spark.catalog.tableExists(s"${t.database}.${t.table}")
 
-  def read(t: PhysicalTable): DataFrame = {
-    val dir = currentDataDir(t).getOrElse(
-      throw new IllegalStateException(s"table ${t.qualified} has no data"))
-    if (hasParquet(dir)) spark.read.parquet(dir)
-    else schemaMarker(dir) match {
-      case Some(st) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-      case None => spark.read.parquet(dir) // surface the original error
-    }
-  }
+  def read(t: PhysicalTable): DataFrame = format.read(t)
 
   /** All committed versions of the table, oldest first (the copy-on-write
     * analog of Delta's DESCRIBE HISTORY). */
-  def versions(t: PhysicalTable): Seq[Int] = {
-    val root = new Path(t.root)
-    val f = fs(root)
-    if (!f.exists(root)) Nil
-    else f.listStatus(root).map(_.getPath.getName)
-      .filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted.toSeq
-  }
+  def versions(t: PhysicalTable): Seq[Int] = format.versions(t)
 
   /** Time travel: read the table as of a specific committed version
-    * (`VERSION AS OF` analog). Every full-replace strategy leaves prior
-    * versions intact until the janitor reclaims them, so reproducing "the
-    * table my job read yesterday" is a directory pick, not a restore. */
-  def readVersion(t: PhysicalTable, version: Int): DataFrame = {
-    val dir = new Path(new Path(t.root), s"v$version").toString
-    require(versions(t).contains(version),
-      s"${t.qualified} has no version $version (have: ${versions(t).mkString(",")})")
-    if (hasParquet(dir)) spark.read.parquet(dir)
-    else schemaMarker(dir) match {
-      case Some(st) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-      case None => spark.read.parquet(dir)
-    }
-  }
+    * (`VERSION AS OF` analog). */
+  def readVersion(t: PhysicalTable, version: Int): DataFrame =
+    format.timeTravel(t, version)
 
-  def dropTable(t: PhysicalTable): Unit = {
-    spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
-    val root = new Path(t.root)
-    val f = fs(root)
-    if (f.exists(root)) f.delete(root, true)
-  }
+  def dropTable(t: PhysicalTable): Unit = format.drop(t)
 
   /** create_table_like (base.py:1042): empty clone of the structure. */
   def createTableLike(target: PhysicalTable, source: PhysicalTable): Unit =
     replaceQuery(target.copy(partitionedBy = source.partitionedBy),
       read(source).limit(0))
 
-  /** clone_table (base.py:1059, Delta SHALLOW CLONE analog): the clone's
-    * catalog entry pins the source's data AS OF clone time — zero data copy,
-    * which is what makes dev previews of 100 TB tables free. Full replaces
-    * roll a NEW version dir (copy-on-write), but appends land in the CURRENT
-    * dir, so a dir-pointing view would see post-clone appends; unpartitioned
-    * sources therefore pin the exact FILE LIST via a `{f1,f2,…}` glob view
-    * (a Delta shallow clone pins the file manifest the same way).
-    * Partitioned sources keep the dir pointer — their leaf-file globs would
-    * lose partition-column inference — so their clones are stable under
-    * replaces, not appends. */
-  def cloneTable(target: PhysicalTable, source: PhysicalTable): Unit = {
-    val dir = currentDataDir(source).getOrElse(
-      throw new IllegalStateException(s"clone source ${source.qualified} has no data"))
-    createSchema(target.database)
-    val path =
-      if (source.partitionedBy.nonEmpty) dir
-      else {
-        val p = new Path(dir)
-        val files = fs(p).listStatus(p).map(_.getPath.getName)
-          .filter(_.endsWith(".parquet")).sorted
-        if (files.isEmpty) dir else s"$dir/{${files.mkString(",")}}"
-      }
-    spark.sql(s"CREATE OR REPLACE VIEW ${target.qualified} AS SELECT * FROM parquet.`$path`")
-  }
+  /** clone_table (base.py:1059): zero-copy clone pinning the source's data
+    * as of clone time — format-owned (Delta: SHALLOW CLONE). */
+  def cloneTable(target: PhysicalTable, source: PhysicalTable): Unit =
+    format.cloneTable(target, source)
 
-  /** rename_table (base.py:2273) — catalog-level move; data dirs stay. */
-  def renameTable(t: PhysicalTable, newTable: String): PhysicalTable = {
-    val renamed = t.copy(table = newTable)
-    currentDataDir(t) match {
-      case Some(dir) =>
-        createSchema(renamed.database)
-        spark.sql(s"CREATE OR REPLACE VIEW ${renamed.qualified} AS SELECT * FROM parquet.`$dir`")
-        spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
-      case None if tableExists(t) =>
-        // view-only tables (zero-copy clones point at ANOTHER table's data
-        // dir) have no version dirs of their own — a pure catalog move keeps
-        // whatever the view referenced; the old re-create-and-drop path
-        // silently DROPPED such tables
-        spark.sql(s"ALTER VIEW ${t.qualified} RENAME TO " +
-          s"`${renamed.database}`.`${renamed.table}`")
-      case None =>
-        spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
-    }
-    renamed
-  }
+  /** rename_table (base.py:2273) — catalog-level move; data stays. */
+  def renameTable(t: PhysicalTable, newTable: String): PhysicalTable =
+    format.renameTable(t, newTable)
 
   // ------------------------------------------------------------- writes
 
-  private def write(df0: DataFrame, dir: String, partitionedBy: Seq[String],
-                    mode: SaveMode = SaveMode.Overwrite, dynamic: Boolean = false,
-                    clusteredBy: Seq[String] = Nil,
-                    options: Map[String, String] = Map.empty,
-                    clusterFiles: Option[Int] = None): Unit = {
-    // clustering: co-locate rows by the cluster key (one shuffle) and sort
-    // within partitions, so each parquet file holds a sorted, min/max-tight
-    // key range — downstream scans on the key prune row groups for free.
-    // `clusterFiles` (compact's target) overrides the shuffle-partition
-    // default with an exact range-partition count — without it a compaction
-    // of a clustered table would be silently re-split into
-    // spark.sql.shuffle.partitions files, defeating the file-count goal;
-    // range partitioning also gives globally-ordered, disjoint key ranges
-    // (tighter min/max than hash clustering)
-    val df =
-      if (clusteredBy.isEmpty) df0
-      else clusterFiles match {
-        case Some(n) => df0.repartitionByRange(n, clusteredBy.map(col): _*)
-          .sortWithinPartitions(clusteredBy.map(col): _*)
-        case None => df0.repartition(clusteredBy.map(col): _*)
-          .sortWithinPartitions(clusteredBy.map(col): _*)
-      }
-    var w = df.write.mode(mode).options(options)
-    if (partitionedBy.nonEmpty) w = w.partitionBy(partitionedBy: _*)
-    if (dynamic) w = w.option("partitionOverwriteMode", "dynamic")
-    w.parquet(dir)
-    if (partitionedBy.nonEmpty && !hasParquet(dir)) {
-      // zero-row partitioned write produced no files: persist the schema so
-      // the table stays readable (register/read resolve via the marker)
-      val p = new Path(dir, "_graft_schema")
-      val out = fs(p).create(p, true)
-      try out.write(df.schema.toDDL.getBytes("UTF-8")) finally out.close()
-    }
-  }
-
-  /** ctas / create-or-replace (base.py:680 ctas; replace_query :459). Writes a
-    * fresh version dir then repoints — safe even when `df` reads the old one. */
+  /** ctas / create-or-replace (base.py:680 ctas; replace_query :459):
+    * publish a full new snapshot through the format's commit protocol. */
   def replaceQuery(t: PhysicalTable, df: DataFrame,
-                   clusterFiles: Option[Int] = None): Unit = {
-    val dir = nextDataDir(t)
-    write(df, dir, t.partitionedBy, clusteredBy = t.clusteredBy, options = t.options,
-      clusterFiles = clusterFiles)
-    register(t)
-  }
+                   clusterFiles: Option[Int] = None): Unit =
+    format.createOrReplace(t, df, clusterFiles)
 
   def ctas(t: PhysicalTable, df: DataFrame): Unit = replaceQuery(t, df)
 
-  /** insert_append (base.py:1500) — append into the CURRENT version dir. */
-  def insertAppend(t: PhysicalTable, df: DataFrame): Unit = currentDataDir(t) match {
-    case None      => replaceQuery(t, df)
-    case Some(dir) => write(df, dir, t.partitionedBy, SaveMode.Append,
-      clusteredBy = t.clusteredBy, options = t.options); register(t)
-  }
+  /** insert_append (base.py:1500) — append into the current snapshot. */
+  def insertAppend(t: PhysicalTable, df: DataFrame): Unit = format.append(t, df)
 
   /** Render half-open `[startMs, endMs)` bounds as literals matching the time
     * column's representation (reference base.py:1580 renders per time_format;
@@ -295,11 +128,9 @@ class SparkMaterializer(val spark: SparkSession) {
     val guarded = df.filter(col(timeCol) >= lo && col(timeCol) < hi)
     currentDataDir(t) match {
       case None => replaceQuery(t, guarded)
-      case Some(dir) =>
+      case Some(_) =>
         if (t.partitionedBy.nonEmpty) {
-          write(guarded, dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true,
-            clusteredBy = t.clusteredBy, options = t.options)
-          register(t)
+          format.overwritePartitions(t, guarded)
         } else {
           // DELETE_INSERT strategy fallback (shared.py:235) on unpartitioned
           // tables: rewrite = keep-outside-range ∪ new-rows, copy-on-write.
@@ -314,11 +145,9 @@ class SparkMaterializer(val spark: SparkSession) {
   def insertOverwriteByPartition(t: PhysicalTable, df: DataFrame): Unit =
     currentDataDir(t) match {
       case None      => replaceQuery(t, df)
-      case Some(dir) =>
+      case Some(_) =>
         require(t.partitionedBy.nonEmpty, "INCREMENTAL_BY_PARTITION needs partitioned_by")
-        write(df, dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true,
-          clusteredBy = t.clusteredBy, options = t.options)
-        register(t)
+        format.overwritePartitions(t, df)
     }
 
   /** delete_from (base.py:1497) as copy-on-write anti-filter. */
@@ -374,7 +203,7 @@ class SparkMaterializer(val spark: SparkSession) {
             whenMatchedDelete: Option[Column] = None): Unit = {
     currentDataDir(t) match {
       case None => replaceQuery(t, dedupByKey(source, keys))
-      case Some(dir) =>
+      case Some(_) =>
         val src0 = dedupByKey(source, keys)
         // custom when-matched clauses (base.py:2203 `when_matched`): matched
         // rows update only the given columns — emulated by joining the old row
@@ -430,13 +259,8 @@ class SparkMaterializer(val spark: SparkSession) {
           }
           val merged = inScope.join(src0.select(keys.map(col): _*), keys, "left_anti")
             .unionByName(src).unionByName(outOfScope)
-          // stage via temp dir: can't dynamic-overwrite the dir being read
-          val tmp = new Path(new Path(t.root), s"tmp_${System.nanoTime()}").toString
-          write(merged, tmp, t.partitionedBy)
-          write(spark.read.parquet(tmp), dir, t.partitionedBy, SaveMode.Overwrite, dynamic = true,
-            clusteredBy = t.clusteredBy, options = t.options)
-          val p = new Path(tmp); fs(p).delete(p, true)
-          register(t)
+          // staged: `merged` reads the snapshot being overwritten
+          format.overwritePartitions(t, merged, staged = true)
         } else {
           var target = read(t)
           val untouched = mergeFilter match {
@@ -621,61 +445,16 @@ class SparkMaterializer(val spark: SparkSession) {
   }
 
   /** Small-file compaction (the OPTIMIZE verb of Delta/Iceberg): rewrite the
-    * current version into ~`targetFileBytes` files — per partition directory
-    * when partitioned — and publish copy-on-write. Append-heavy and
-    * streaming-fed tables accrete files whose per-file overhead (task
-    * scheduling, footer reads, row-group fragmentation) dominates scan cost
-    * at 100 TB; periodic compaction restores scan speed without touching
-    * semantics. Cluster keys re-sort during the rewrite, restoring row-group
-    * pruning too. Returns (filesBefore, filesAfter). */
-  def compact(t: PhysicalTable, targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val dir = currentDataDir(t).getOrElse(
-      throw new IllegalStateException(s"compact: ${t.qualified} has no data"))
-    val p = new Path(dir); val f = fs(p)
-    val files = {
-      val it = f.listFiles(p, true)
-      val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
-      while (it.hasNext) { val s = it.next(); if (s.getPath.getName.endsWith(".parquet")) b += s }
-      b.result()
-    }
-    val totalBytes = files.map(_.getLen).sum
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val cur = spark.read.parquet(dir)
-    val compacted =
-      if (t.partitionedBy.nonEmpty)
-        // one file-group per partition dir: repartition on the partition key
-        // so each directory is written by few tasks, not every task
-        cur.repartition(nFiles, t.partitionedBy.map(col): _*)
-      else cur.repartition(nFiles)
-    // clustered tables: thread the target through to the cluster shuffle —
-    // write() would otherwise re-split into spark.sql.shuffle.partitions
-    // files and undo the compaction
-    replaceQuery(t, compacted,
-      clusterFiles = if (t.clusteredBy.nonEmpty) Some(nFiles) else None)
-    val newDir = new Path(currentDataDir(t).get)
-    val it2 = f.listFiles(newDir, true)
-    var after = 0
-    while (it2.hasNext) { if (it2.next().getPath.getName.endsWith(".parquet")) after += 1 }
-    (files.size, after)
-  }
+    * current snapshot into ~`targetFileBytes` files and publish copy-on-write
+    * — format-owned. Returns (filesBefore, filesAfter). */
+  def compact(t: PhysicalTable, targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    format.compact(t, targetFileBytes)
 
-  /** Write-audit-publish support (reference spark.py:492-533 WAP via Iceberg
-    * branches; our copy-on-write version dirs give the same isolation): drop
-    * any version dirs created after `keepDir` and repoint the catalog view —
-    * the rollback half of publish. Ops that write IN PLACE (append, dynamic
-    * partition overwrite) are not covered; full-replace strategies are. */
-  def rollbackTo(t: PhysicalTable, keepDir: Option[String]): Unit = {
-    val keepVersion = keepDir.map(_.split('/').last.drop(1).toInt).getOrElse(-1)
-    val root = new Path(t.root)
-    val f = fs(root)
-    if (f.exists(root)) {
-      f.listStatus(root).map(_.getPath).filter(_.getName.matches("v\\d+"))
-        .filter(_.getName.drop(1).toInt > keepVersion)
-        .foreach(p => f.delete(p, true))
-    }
-    if (keepVersion >= 0) register(t)
-    else spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
-  }
+  /** Write-audit-publish rollback half (reference spark.py:492-533 WAP via
+    * Iceberg branches): discard snapshots committed after `keepDir` —
+    * format-owned. */
+  def rollbackTo(t: PhysicalTable, keepDir: Option[String]): Unit =
+    format.rollbackTo(t, keepDir)
 
   // ------------------------------------------------------------ virtual layer
 

@@ -250,6 +250,55 @@ object Dedup {
       .withColumn("dup_frac", round(col("dup_spans") / col("n_spans"), 4))
   }
 
+  /** Suffix-granular exact-substring dedup (the character-offset signal of
+    * Lee et al.'s suffix-array dedup, via sorted k-mer anchoring): returns
+    * every maximal span (doc_id, start, len) whose every `minLen`-char
+    * window also occurs in at least one OTHER document — i.e. the regions a
+    * substring-level dedup would cut, with exact char offsets, unlike
+    * [[crossDocSpans]]'s word-window per-doc fractions.
+    *
+    * Equivalence to the suffix-array formulation: a substring of length
+    * ≥ minLen is duplicated across docs iff at least one of its minLen-char
+    * windows is, so anchoring on exactly-minLen k-mers finds every such
+    * region; consecutive duplicated anchors merge into maximal runs
+    * (start = first anchor offset, len = run + minLen − 1). Like all
+    * anchor-based approximations (and unlike a true suffix array), a merged
+    * run may stitch windows matching DIFFERENT source docs — fine for the
+    * cut-this-region use the signal exists for.
+    *
+    * Scale shape: the k-mer explosion is linear in corpus chars (one row
+    * per char offset), keyed by xxhash64 of the window — an 8-byte shuffle
+    * key. Duplicated anchors come from one map-side-combined groupBy plus a
+    * postings-bounded semi-join back (never a doc-pair product); the run
+    * merge is a per-doc window bounded by document length. Offsets are
+    * 0-based char offsets (byte offsets for ascii corpora). */
+  def substringSpans(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", minLen: Int = 30): DataFrame = {
+    val k = minLen
+    // one row per char offset: (doc, 0-based offset, hashed k-window)
+    val kmers = docs
+      .select(col(idCol), posexplode(expr(
+        s"CASE WHEN length($textCol) >= $k THEN " +
+          s"transform(sequence(1, length($textCol) - $k + 1), i -> substring($textCol, i, $k)) " +
+          "ELSE array() END")).as(Seq("off", "kmer")))
+      .select(col(idCol), col("off").cast("long").as("off"),
+        xxhash64(col("kmer")).as("kh"))
+      .persist() // feeds both the doc-frequency agg and the join back
+    val dupAnchors = kmers.select(col("kh"), col(idCol)).distinct()
+      .groupBy(col("kh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select("kh")
+    val anchored = kmers.join(dupAnchors, "kh").select(col(idCol), col("off"))
+    // consecutive offsets share (off - row_number) — the classic gaps-and-
+    // islands grouping, partitioned per doc so no global ordering exists
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("off"))
+    anchored.withColumn("__grp", col("off") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("off")).as("start"),
+        (max(col("off")) - min(col("off")) + k).as("len"))
+      .select(col(idCol), col("start"), col("len"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: inverted index on shingles (the
     * bucket key), intersection counted per pair, |A∪B| = |A|+|B|−|A∩B|.
     * Shuffle ∝ Σ shingle postings, not n².

@@ -34,7 +34,14 @@ import graft.core._
   */
 object DbtLoader {
 
-  final case class DbtSource(source: String, table: String, relation: String)
+  /** `loadedAtField` + warn/error staleness thresholds drive `dbt source
+    * freshness` (reference dbt source.config: `loaded_at_field`,
+    * `freshness.warn_after/error_after`); table-level settings override
+    * source-level ones. */
+  final case class DbtSource(source: String, table: String, relation: String,
+                             loadedAtField: Option[String] = None,
+                             warnAfterMs: Option[Long] = None,
+                             errorAfterMs: Option[Long] = None)
 
   final case class DbtProject(
       name: String,
@@ -241,13 +248,30 @@ object DbtLoader {
   def parseSources(p: Path): Seq[DbtSource] = {
     val node = mapper.readTree(new String(Files.readAllBytes(p), "UTF-8"))
     val srcs = Option(node.get("sources")).toSeq.flatMap(_.elements().asScala)
+    // freshness thresholds: {count: N, period: minute|hour|day} → millis
+    def thresholdMs(node: com.fasterxml.jackson.databind.JsonNode,
+                    key: String): Option[Long] =
+      Option(node.get("freshness")).flatMap(f => Option(f.get(key))).map { t =>
+        val count = t.path("count").asLong(0L)
+        val unit = t.path("period").asText("hour") match {
+          case "minute" => 60000L
+          case "day"    => 86400000L
+          case _        => 3600000L // hour (dbt's default period)
+        }
+        count * unit
+      }
     srcs.flatMap { s =>
       val srcName = s.path("name").asText
       val schema = Option(s.get("schema")).map(_.asText).getOrElse(srcName)
+      val srcLoadedAt = Option(s.get("loaded_at_field")).map(_.asText)
+      val (srcWarn, srcErr) = (thresholdMs(s, "warn_after"), thresholdMs(s, "error_after"))
       Option(s.get("tables")).toSeq.flatMap(_.elements().asScala).map { t =>
         val tab = t.path("name").asText
         val ident = Option(t.get("identifier")).map(_.asText).getOrElse(tab)
-        DbtSource(srcName, tab, s"$schema.$ident")
+        DbtSource(srcName, tab, s"$schema.$ident",
+          loadedAtField = Option(t.get("loaded_at_field")).map(_.asText).orElse(srcLoadedAt),
+          warnAfterMs = thresholdMs(t, "warn_after").orElse(srcWarn),
+          errorAfterMs = thresholdMs(t, "error_after").orElse(srcErr))
       }
     }
   }

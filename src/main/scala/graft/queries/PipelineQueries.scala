@@ -55,6 +55,35 @@ object PipelineQueries {
         |FROM sp JOIN nd USING (s)
         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin)),
 
+    "td_substring_dedup" -> Entry((s, dir) => {
+      // suffix-granular exact-substring spans (Lee et al. at char offsets):
+      // maximal (doc_id, start, len) regions whose every 30-char window
+      // also appears in another doc — the byte-offset cut list the 8-word
+      // td_span_dedup fraction only summarizes
+      Dedup.substringSpans(t(s, dir, "documents"), minLen = 30)
+        .orderBy(col("doc_id"), col("start"))
+    }, Some(
+      // same anchoring in DuckDB on the raw 30-char windows (Spark hashes
+      // them to 64-bit keys; collision-free at any realistic scale)
+      """WITH kmers AS (
+        |  SELECT doc_id, i - 1 AS off, substring(text, CAST(i AS INT), 30) AS kmer
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 30 + 2, 1))) AS u(i)
+        |), dupk AS (
+        |  SELECT kmer FROM (
+        |    SELECT kmer, count(DISTINCT doc_id) AS nd FROM kmers GROUP BY kmer) t
+        |  WHERE nd >= 2
+        |), danch AS (
+        |  SELECT DISTINCT k2.doc_id, k2.off FROM kmers k2 JOIN dupk USING (kmer)
+        |), runs AS (
+        |  SELECT doc_id, off,
+        |    off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
+        |  FROM danch
+        |)
+        |SELECT doc_id, CAST(min(off) AS BIGINT) AS start,
+        |  CAST(max(off) - min(off) + 30 AS BIGINT) AS len
+        |FROM runs GROUP BY doc_id, grp
+        |ORDER BY doc_id, start""".stripMargin)),
+
     // ------------------------------------- exact n-gram Jaccard pairs ----
     "td_ngram_jaccard" -> Entry((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.35)

@@ -496,6 +496,43 @@ class MainCliSpec extends AnyFunSuite {
     assert(c1 == 0 && out1.contains("5 interval(s)"), out1)
   }
 
+  test("dbt source freshness classifies fresh/stale sources from loaded_at_field") {
+    val proj = SparkTestSession.tmpDir("cli-fresh")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "dbt_project.yml"),
+      "name: fresh_proj\n")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(proj, "models"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "models", "schema.yml"),
+      """sources:
+        |  - name: raw
+        |    loaded_at_field: ts
+        |    freshness:
+        |      warn_after: {count: 1, period: hour}
+        |      error_after: {count: 24, period: hour}
+        |    tables:
+        |      - name: stale_tab
+        |      - name: fresh_tab
+        |  - name: nometa          # no loaded_at_field: skipped, like dbt
+        |    tables:
+        |      - name: opaque
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "models", "passthrough.sql"),
+      "SELECT ts FROM {{ source('raw', 'fresh_tab') }}\n")
+    // fresh: loaded this instant; stale: the 2023-era events testdata
+    val freshDir = SparkTestSession.tmpDir("cli-fresh-data")
+    spark.sql("SELECT current_timestamp() AS ts")
+      .write.mode("overwrite").parquet(freshDir)
+    val base = Seq("--project", proj,
+      "--external", s"raw.stale_tab=$sf/events.parquet",
+      "--external", s"raw.fresh_tab=$freshDir",
+      "--external", s"nometa.opaque=$sf/orders.parquet")
+    val (c, o) = cli(Seq("dbt", "source", "freshness") ++ base: _*)
+    assert(c == 2, o)                                  // an error-stale source fails the run
+    assert(o.contains("raw.stale_tab: ERROR"), o)
+    assert(o.contains("raw.fresh_tab: PASS"), o)
+    assert(!o.contains("nometa"), o)                   // no loaded_at_field → skipped
+    assert(o.contains("2 checked, 0 warn, 1 error"), o)
+  }
+
   test("export-schedule emits the DAG as JSON and an Airflow skeleton, mutating nothing") {
     val proj = SparkTestSession.tmpDir("cli-export")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),

@@ -126,6 +126,23 @@ class TextQualitySpec extends AnyFunSuite {
     assert(capped < unbounded)
   }
 
+  test("substringSpans: exact char offsets of maximal cross-doc duplicated regions") {
+    val shared = "The quick brown fox jumps over the lazy dog near the river bank today."
+    val docs = Seq(
+      (1L, s"AAA $shared BBB"),
+      (2L, s"CCCCC $shared DDDD"),
+      (3L, "totally unrelated text with no duplicated windows at all here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, minLen = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the shared sentence PLUS its flanking spaces (both docs surround it
+    // with " ") is the one duplicated region: exact 0-based offset and
+    // length per carrier doc; doc 3 clean
+    assert(spans.toSet == Set(
+      (1L, 3L, shared.length + 2L),
+      (2L, 5L, shared.length + 2L)))
+  }
+
   test("capped LSH on the sf0.01 corpus: subset of uncapped, recall >= 0.7") {
     // pins the 100 TB safety valve's behavior on real data: dropping hot
     // band buckets (cap=3, the td_minhash_lsh_capped config) loses only
