@@ -149,7 +149,8 @@ object Main {
         envSuffixTarget = config.environmentSuffixTarget.getOrElse("schema"),
         beforeAll = config.beforeAll,
         afterAll = config.afterAll,
-        stateLocation = config.stateConnection)
+        stateLocation = config.stateConnection,
+        tableFormat = flag("table-format").orElse(config.tableFormat))
       // init/format operate on files, not the loaded model graph — and must
       // work on projects that don't parse yet (that's what init creates and
       // what format may be asked to clean up)

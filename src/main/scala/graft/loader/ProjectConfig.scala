@@ -29,6 +29,7 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   * environment_suffix_target: schema | table
   * state_dir: .graft        # workspace root, relative to the project dir
   * state_connection: 'jdbc:derby:/shared/state;create=true'  # DB-backed state
+  * table_format: dir | manifest    # physical commit protocol (TableFormat)
   * concurrency: 4
   * before_all: [ "SET x=1" ]
   * after_all: []
@@ -48,6 +49,9 @@ final case class ProjectConfig(
     /** shared state backend (`jdbc:` URL or `hdfs://` URI) — reference
       * config/connection.py `state_connection`. */
     stateConnection: Option[String] = None,
+    /** physical storage backend: "dir" (default copy-on-write version dirs)
+      * or "manifest" (log-backed commits) — see graft.adapter.TableFormat. */
+    tableFormat: Option[String] = None,
     concurrency: Option[Int] = None,
     beforeAll: Seq[String] = Nil,
     afterAll: Seq[String] = Nil,
@@ -105,6 +109,7 @@ object ProjectConfig {
       environmentSuffixTarget = textOpt(root, "environment_suffix_target"),
       stateDir = textOpt(root, "state_dir"),
       stateConnection = textOpt(root, "state_connection"),
+      tableFormat = textOpt(root, "table_format"),
       concurrency = textOpt(root, "concurrency").map(_.toInt),
       beforeAll = strList("before_all"),
       afterAll = strList("after_all"),

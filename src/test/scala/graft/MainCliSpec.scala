@@ -496,6 +496,39 @@ class MainCliSpec extends AnyFunSuite {
     assert(c1 == 0 && out1.contains("5 interval(s)"), out1)
   }
 
+  test("table_format: manifest drives a full plan/run/audit cycle end-to-end") {
+    val proj = SparkTestSession.tmpDir("cli-manifest")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "config.yaml"),
+      "table_format: manifest\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
+      """MODEL (
+        |  name mfmt.daily,
+        |  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate),
+        |  start '1995-01-01',
+        |  audits (not_null(columns = (o_orderdate)))
+        |);
+        |SELECT o_orderdate, count(*) AS n FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY o_orderdate
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    assert(cli(Seq("plan", "prod", "--start", "1995-01-01",
+      "--end", "1995-01-08", "--auto-apply") ++ base: _*)._1 == 0)
+    val n1 = spark.table("mfmt.daily").count()
+    assert(n1 > 0)
+    // incremental extension commits through the manifest log, earlier
+    // intervals intact
+    assert(cli(Seq("run", "prod", "--start", "1995-01-01",
+      "--end", "1995-01-15") ++ base: _*)._1 == 0)
+    assert(spark.table("mfmt.daily").count() > n1)
+    val (ca, audited) = cli(Seq("audit", "mfmt.daily") ++ base: _*)
+    assert(ca == 0 && audited.contains("PASS"), audited)
+    // the physical root is manifest-shaped (no v* dirs)
+    val phys = java.nio.file.Paths.get(proj, ".graft", "physical")
+    val roots = java.nio.file.Files.list(phys).toArray.map(_.toString)
+    assert(roots.exists(r =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(r, "_manifests"))), roots.mkString(","))
+  }
+
   test("dbt source freshness classifies fresh/stale sources from loaded_at_field") {
     val proj = SparkTestSession.tmpDir("cli-fresh")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "dbt_project.yml"),

@@ -44,16 +44,26 @@ class TableFormatSpec extends AnyFunSuite {
       rec("renameTable")(inner.renameTable(t, newTable))
   }
 
-  private def harness() = {
-    val fmt = new Recording(new DirVersionFormat(spark))
+  // the whole contract runs against BOTH formats: the default dir scheme
+  // and the log-backed manifest format — same strategies, same results,
+  // different commit protocol (the point of the seam)
+  private val formats: Seq[(String, () => TableFormat)] = Seq(
+    "dir" -> (() => new DirVersionFormat(spark)),
+    "manifest" -> (() => new ManifestFormat(spark)))
+
+  private def harness(mk: () => TableFormat) = {
+    val fmt = new Recording(mk())
     (new SparkMaterializer(spark, Some(fmt)), fmt)
   }
-  private def tbl(name: String, parts: Seq[String] = Nil) =
-    PhysicalTable("graft__fmt", name, SparkTestSession.tmpDir(s"fmt_$name"), parts)
+  private def tbl(fmtName: String, name: String, parts: Seq[String] = Nil) =
+    PhysicalTable("graft__fmt", s"${name}_$fmtName",
+      SparkTestSession.tmpDir(s"fmt_${fmtName}_$name"), parts)
 
-  test("replace/append/overwrite/merge/compact all route through the format") {
-    val (m, fmt) = harness()
-    val t = tbl("routed", parts = Seq("d"))
+  for ((fmtName, mk) <- formats) {
+
+  test(s"[$fmtName] replace/append/overwrite/merge/compact route through the format") {
+    val (m, fmt) = harness(mk)
+    val t = tbl(fmtName, "routed", parts = Seq("d"))
     m.replaceQuery(t, Seq((1, "a", "x"), (2, "b", "y")).toDF("id", "v", "d"))
     m.insertAppend(t, Seq((3, "c", "y")).toDF("id", "v", "d"))
     m.insertOverwriteByPartition(t, Seq((4, "B", "y")).toDF("id", "v", "d"))
@@ -72,9 +82,9 @@ class TableFormatSpec extends AnyFunSuite {
     assert(got == Set((1, "a", "x"), (4, "B2", "y")))
   }
 
-  test("time-partition overwrite through the seam leaves other intervals intact") {
-    val (m, fmt) = harness()
-    val t = tbl("tp", parts = Seq("__graft_ts"))
+  test(s"[$fmtName] time-partition overwrite leaves other intervals intact") {
+    val (m, fmt) = harness(mk)
+    val t = tbl(fmtName, "tp", parts = Seq("__graft_ts"))
     def day(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
     def df(rows: (Int, String)*) = rows.toSeq
       .map { case (id, d) => (id, day(d)) }.toDF("id", "ts")
@@ -87,9 +97,9 @@ class TableFormatSpec extends AnyFunSuite {
     assert(m.read(t).select("id").as[Int].collect().toSet == Set(1, 20))
   }
 
-  test("versions/time travel/WAP rollback are format-owned") {
-    val (m, fmt) = harness()
-    val t = tbl("tt")
+  test(s"[$fmtName] versions/time travel/WAP rollback are format-owned") {
+    val (m, fmt) = harness(mk)
+    val t = tbl(fmtName, "tt")
     m.replaceQuery(t, Seq(1).toDF("id"))
     val bookmark = m.currentDataDir(t)
     m.replaceQuery(t, Seq(1, 2).toDF("id"))
@@ -101,9 +111,9 @@ class TableFormatSpec extends AnyFunSuite {
     assert(Seq("versions", "timeTravel", "rollbackTo").forall(fmt.calls.contains))
   }
 
-  test("SCD2 through an injected format produces the same history") {
-    val (m, fmt) = harness()
-    val t = tbl("scd")
+  test(s"[$fmtName] SCD2 through an injected format produces the same history") {
+    val (m, fmt) = harness(mk)
+    val t = tbl(fmtName, "scd")
     val kind = ModelKind.ScdType2ByTime(uniqueKey = Seq("id"), updatedAtCol = "ua")
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     m.scdType2ByTime(t, Seq((1, "a", ts("2024-01-01 00:00:00"))).toDF("id", "v", "ua"),
@@ -117,14 +127,15 @@ class TableFormatSpec extends AnyFunSuite {
     assert(fmt.calls.count(_ == "createOrReplace") == 2)
   }
 
-  test("clone and rename are format-owned") {
-    val (m, fmt) = harness()
-    val src = tbl("cl_src2"); val dst = tbl("cl_dst2")
+  test(s"[$fmtName] clone and rename are format-owned") {
+    val (m, fmt) = harness(mk)
+    val src = tbl(fmtName, "cl_src2"); val dst = tbl(fmtName, "cl_dst2")
     m.replaceQuery(src, Seq(1, 2).toDF("id"))
     m.cloneTable(dst, src)
-    assert(spark.table("graft__fmt.cl_dst2").count() == 2)
-    m.renameTable(src, "cl_src2_renamed")
-    assert(spark.table("graft__fmt.cl_src2_renamed").count() == 2)
+    assert(spark.table(s"graft__fmt.cl_dst2_$fmtName").count() == 2)
+    m.renameTable(src, s"cl_src2_renamed_$fmtName")
+    assert(spark.table(s"graft__fmt.cl_src2_renamed_$fmtName").count() == 2)
     assert(Seq("cloneTable", "renameTable").forall(fmt.calls.contains))
+  }
   }
 }
