@@ -287,6 +287,27 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
     (before, countFiles(current(t).get))
   }
 
+  /** Expire old manifests, then delete commit dirs no remaining manifest
+    * references — the two-phase shape of Delta VACUUM (log retention, then
+    * file GC), safe because live manifests never reference a dir that a
+    * newer commit rewrote. */
+  def vacuum(t: PhysicalTable, keepLast: Int): Int = {
+    require(keepLast >= 1, "vacuum must keep at least the current version")
+    val vs = versions(t)
+    val cut = vs.dropRight(keepLast)
+    val d = manifestDir(t); val f = fs(d)
+    cut.foreach(v => f.delete(new Path(d, s"m$v.json"), false))
+    val referenced = versions(t).map(loadManifest(t, _))
+      .flatMap(_.entries.map(_.dir.split('/').head)).toSet
+    val root = new Path(t.root)
+    var removed = 0
+    if (f.exists(root))
+      f.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.matches("c\\d+") && !referenced.contains(p.getName))
+        .foreach { p => f.delete(p, true); removed += 1 }
+    removed
+  }
+
   /** Zero-copy clone pinning the CURRENT manifest's view text — stable under
     * the source's future appends and replaces alike (the manifest entries it
     * names are immutable). */

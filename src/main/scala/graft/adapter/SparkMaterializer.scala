@@ -450,6 +450,10 @@ class SparkMaterializer(val spark: SparkSession,
   def compact(t: PhysicalTable, targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
     format.compact(t, targetFileBytes)
 
+  /** Reclaim storage held only by old snapshots, keeping the newest
+    * `keepLast` (Delta VACUUM analog) — format-owned. */
+  def vacuum(t: PhysicalTable, keepLast: Int = 1): Int = format.vacuum(t, keepLast)
+
   /** Write-audit-publish rollback half (reference spark.py:492-533 WAP via
     * Iceberg branches): discard snapshots committed after `keepDir` —
     * format-owned. */

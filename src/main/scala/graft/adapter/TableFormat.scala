@@ -48,6 +48,11 @@ trait TableFormat {
   def drop(t: PhysicalTable): Unit
   def rollbackTo(t: PhysicalTable, keepDir: Option[String]): Unit
   def compact(t: PhysicalTable, targetFileBytes: Long): (Int, Int)
+  /** Reclaim storage held only by old snapshots, keeping the newest
+    * `keepLast` (Delta VACUUM / Iceberg expire_snapshots analog). Returns
+    * the number of snapshot units removed. Time travel to vacuumed
+    * versions stops working — that's the deal. */
+  def vacuum(t: PhysicalTable, keepLast: Int): Int
   /** Zero-copy clone pinning the source's data as of clone time (Delta
     * SHALLOW CLONE analog). */
   def cloneTable(target: PhysicalTable, source: PhysicalTable): Unit
@@ -276,6 +281,14 @@ final class DirVersionFormat(spark: SparkSession) extends TableFormat {
     var after = 0
     while (it2.hasNext) { if (it2.next().getPath.getName.endsWith(".parquet")) after += 1 }
     (files.size, after)
+  }
+
+  def vacuum(t: PhysicalTable, keepLast: Int): Int = {
+    require(keepLast >= 1, "vacuum must keep at least the current version")
+    val cut = versions(t).dropRight(keepLast)
+    val root = new Path(t.root); val f = fs(root)
+    cut.foreach(v => f.delete(new Path(root, s"v$v"), true))
+    cut.size
   }
 
   /** clone_table (base.py:1059, Delta SHALLOW CLONE analog): the clone's

@@ -58,6 +58,36 @@ object KindQueries {
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
         |GROUP BY 1 ORDER BY d""".stripMargin)),
 
+    // ------------- same incremental cycle on the MANIFEST table format ----
+    "mk_manifest_format" -> Entry((s, dir) => {
+      // the log-backed commit protocol (adapter/ManifestFormat.scala) under
+      // the REAL framework: plan + batched run commit through versioned
+      // manifests (createOrReplace, then dynamic partition overwrites as
+      // manifest-entry replacement) — end state must hash-match the same
+      // oracle the dir-scheme entry uses
+      val c = new GraftContext(s,
+        java.nio.file.Files.createTempDirectory("graft_kind_mf").toString,
+        concurrency = 2, tableFormat = Some("manifest"))
+      tables.foreach(t => c.addExternal(s"raw.$t", externalFor(s, dir, t)))
+      c.addModel(Model(
+        name = "mart.mf_daily_rev",
+        body = SqlBody(
+          """SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS rev,
+            |  count(*) AS n
+            |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+            |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin),
+        kind = ModelKind.IncrementalByTimeRange(timeColumn = "d", batchSize = Some(10)),
+        start = Some(dayMs("1995-01-01")),
+        partitionedBy = Seq("d")))
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+      c.run("prod", dayMs("1995-01-01"), dayMs("1995-04-01"))
+      s.table("mart.mf_daily_rev").orderBy("d")
+    }, Some(
+      """SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS rev, count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+        |GROUP BY 1 ORDER BY d""".stripMargin)),
+
     // ------------- INCREMENTAL_BY_UNIQUE_KEY: two-wave merge --------------
     "mk_merge_unique_key" -> Entry((s, dir) => {
       val c = ctx(s, dir)

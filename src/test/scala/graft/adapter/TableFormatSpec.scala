@@ -38,6 +38,8 @@ class TableFormatSpec extends AnyFunSuite {
       rec("rollbackTo")(inner.rollbackTo(t, keepDir))
     def compact(t: PhysicalTable, targetFileBytes: Long) =
       rec("compact")(inner.compact(t, targetFileBytes))
+    def vacuum(t: PhysicalTable, keepLast: Int) =
+      rec("vacuum")(inner.vacuum(t, keepLast))
     def cloneTable(target: PhysicalTable, source: PhysicalTable) =
       rec("cloneTable")(inner.cloneTable(target, source))
     def renameTable(t: PhysicalTable, newTable: String) =
@@ -125,6 +127,24 @@ class TableFormatSpec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(1)) == 1)           // one open row
     assert(rows.find(!_.isNullAt(1)).get.getString(0) == "a")  // old version closed
     assert(fmt.calls.count(_ == "createOrReplace") == 2)
+  }
+
+  test(s"[$fmtName] vacuum reclaims old snapshots, keeps time travel for the rest") {
+    val (m, fmt) = harness(mk)
+    val t = tbl(fmtName, "vac")
+    m.replaceQuery(t, Seq(1).toDF("id"))
+    m.replaceQuery(t, Seq(1, 2).toDF("id"))
+    m.replaceQuery(t, Seq(1, 2, 3).toDF("id"))
+    assert(m.versions(t).size == 3)
+    val removed = m.vacuum(t, keepLast = 2)
+    assert(removed >= 1, s"vacuum removed nothing: $removed")
+    val kept = m.versions(t)
+    assert(kept.size == 2)
+    // current data intact, surviving history still time-travels
+    assert(m.read(t).count() == 3)
+    assert(m.readVersion(t, kept.head).count() == 2)
+    intercept[IllegalArgumentException](m.vacuum(t, keepLast = 0))
+    assert(fmt.calls.contains("vacuum"))
   }
 
   test(s"[$fmtName] clone and rename are format-owned") {
