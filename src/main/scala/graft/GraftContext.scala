@@ -1172,6 +1172,15 @@ class GraftContext(
     materializer.compact(evaluator.physicalTable(snap), targetFileBytes)
   }
 
+  /** Vacuum a model's physical table: expire all but the newest `keepLast`
+    * snapshots and reclaim their storage (Delta VACUUM analog, via the
+    * TableFormat seam). Time travel to expired versions stops working. */
+  def vacuumTable(modelName: String, keepLast: Int = 1): Int = {
+    val snap = state.latestSnapshot(modelName).getOrElse(
+      throw new IllegalStateException(s"$modelName has no snapshot"))
+    materializer.vacuum(evaluator.physicalTable(snap), keepLast)
+  }
+
   /** Ad-hoc audit run (reference `sqlmesh audit`, cli/main.py:783): execute a
     * model's attached audits against its environment table WITHOUT
     * backfilling — the on-demand data-quality check. Incremental-by-time

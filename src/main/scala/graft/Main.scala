@@ -427,6 +427,20 @@ object Main {
           }
         case "info"    => out.println(ctx.info); 0
         case "dag"     => out.println(ctx.dagDot); 0
+        case "optimize" =>
+          // small-file compaction (Delta OPTIMIZE analog; ctx.optimizeTable)
+          val model = positionalRequired(positional, "optimize <model>")
+          val (b, a) = ctx.optimizeTable(model,
+            flag("target-file-mb").map(_.toLong * 1024 * 1024)
+              .getOrElse(128L * 1024 * 1024))
+          out.println(s"  $model: $b -> $a files")
+          0
+        case "vacuum" =>
+          // expire old snapshots + reclaim storage (Delta VACUUM analog)
+          val model = positionalRequired(positional, "vacuum <model>")
+          val n = ctx.vacuumTable(model, flag("keep").map(_.toInt).getOrElse(1))
+          out.println(s"  $model: $n old snapshot(s) reclaimed")
+          0
         case "export-schedule" =>
           // external-orchestrator export (reference sqlmesh/schedulers/):
           // read-only — computes what a run WOULD backfill, mutates nothing
@@ -591,6 +605,18 @@ object Main {
                 out.println(s"-- $n"); out.println(ctx.renderSql(n, start, end))
               }
               0
+            case "show" =>
+              // dbt show: preview rows of each selected model's rendered
+              // query (compiled + executed with a LIMIT, like dbt's)
+              val limit = flag("limit").map(_.toInt).getOrElse(5)
+              if (selectedNames.isEmpty) { out.println("no models selected"); 1 }
+              else {
+                selectedNames.foreach { n =>
+                  out.println(s"-- $n")
+                  printDf(out, ctx.evaluate(n, start, end).limit(limit))
+                }
+                0
+              }
             case "test" => dbtTest()
             case "seed" => dbtSeed()
             case "build" =>
@@ -760,7 +786,8 @@ object Main {
       |       state-import rewrite clean migrate rollback info dag docs
       |       lineage janitor destroy
       |       export-schedule [env] [--format json|airflow] [--out F]
-      |       dbt run|list|compile|test|seed|build|snapshot|source freshness
+      |       optimize <model> [--target-file-mb N]   vacuum <model> [--keep N]
+      |       dbt run|list|compile|test|seed|build|snapshot|show|source freshness
       |         (dbt-CLI facade over a
       |          dbt_project.yml project; --select/--models/--exclude,
       |          --full-refresh, --env)

@@ -496,6 +496,39 @@ class MainCliSpec extends AnyFunSuite {
     assert(c1 == 0 && out1.contains("5 interval(s)"), out1)
   }
 
+  test("optimize and vacuum verbs manage physical snapshots; dbt show previews rows") {
+    val proj = SparkTestSession.tmpDir("cli-vac")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "dbt_project.yml"),
+      "name: vac_proj\n")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(proj, "models"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "models", "summary.sql"),
+      """{{ config(materialized='table') }}
+        |SELECT o_custkey, count(*) AS n FROM {{ source('raw', 'orders') }} GROUP BY o_custkey
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "models", "schema.yml"),
+      """sources:
+        |  - name: raw
+        |    tables:
+        |      - name: orders
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    // two applies → two physical snapshots (FULL refresh each run)
+    assert(cli(Seq("plan", "prod", "--start", "1995-01-01", "--end", "1995-01-08",
+      "--auto-apply") ++ base: _*)._1 == 0)
+    assert(cli(Seq("run", "prod", "--start", "1995-01-01", "--end", "1995-01-15")
+      ++ base: _*)._1 == 0)
+    val (co, opt) = cli(Seq("optimize", "vac_proj.summary") ++ base: _*)
+    assert(co == 0 && opt.contains("files"), opt)
+    val (cv, vac) = cli(Seq("vacuum", "vac_proj.summary", "--keep", "1") ++ base: _*)
+    assert(cv == 0 && vac.contains("reclaimed"), vac)
+    assert(spark.table("vac_proj.summary").count() > 0) // current snapshot intact
+    // dbt show previews the rendered query without materializing
+    val (cs, shown) = cli(Seq("dbt", "show", "--select", "summary", "--limit", "3")
+      ++ base: _*)
+    assert(cs == 0 && shown.contains("-- vac_proj.summary")
+      && shown.contains("o_custkey"), shown)
+  }
+
   test("table_format: manifest drives a full plan/run/audit cycle end-to-end") {
     val proj = SparkTestSession.tmpDir("cli-manifest")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "config.yaml"),
