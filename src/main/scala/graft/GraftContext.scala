@@ -45,6 +45,10 @@ final case class Plan(
       * migrations of these models may drop/narrow columns this apply,
       * overriding their on_destructive_change guard. */
     allowDestructive: Set[String] = Set.empty,
+    /** `--allow-additive-model` (cli/main.py): forward-only migrations of
+      * these models may add/widen columns this apply, overriding their
+      * on_additive_change guard. */
+    allowAdditive: Set[String] = Set.empty,
     /** `--min-intervals` (context.py:1345): per-model, pull the plan start
       * back far enough that at least this many intervals are covered — how
       * a narrow PR-environment window still proves every model runs. */
@@ -671,6 +675,8 @@ class GraftContext(
       backfill: Seq[String] = Nil,
       /** `--allow-destructive-model` selector expressions. */
       allowDestructiveModels: Seq[String] = Nil,
+      /** `--allow-additive-model` selector expressions. */
+      allowAdditiveModels: Seq[String] = Nil,
       /** `--min-intervals` (context.py:1345): ensure every model's backfill
         * covers at least this many intervals, pulling its start back. */
       minIntervals: Int = 0): Plan = {
@@ -809,6 +815,9 @@ class GraftContext(
       allowDestructive =
         if (allowDestructiveModels.isEmpty) Set.empty
         else ModelSelector.expand(allowDestructiveModels, models.toMap),
+      allowAdditive =
+        if (allowAdditiveModels.isEmpty) Set.empty
+        else ModelSelector.expand(allowAdditiveModels, models.toMap),
       minIntervals = minIntervals)
   }
 
@@ -988,9 +997,10 @@ class GraftContext(
     // the matching models for THIS apply only (plan/builder.py).
     p.modified.foreach { case (_, nw) =>
       if (nw.category.contains(ChangeCategory.ForwardOnly) && !p.isDevPreview(nw)) {
-        val snap = if (p.allowDestructive.contains(nw.model.name))
-          nw.copy(model = nw.model.copy(onDestructiveChange = "allow")) else nw
-        evaluator.migrate(snap, p.start, p.end, executionTs, mapping(nw.model.name))
+        var m = nw.model
+        if (p.allowDestructive.contains(m.name)) m = m.copy(onDestructiveChange = "allow")
+        if (p.allowAdditive.contains(m.name)) m = m.copy(onAdditiveChange = "allow")
+        evaluator.migrate(nw.copy(model = m), p.start, p.end, executionTs, mapping(nw.model.name))
       }
     }
     // Backfill. `--skip-backfill`/`--empty-backfill` plans build just the

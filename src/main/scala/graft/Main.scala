@@ -57,6 +57,7 @@ import graft.core.{Interval, IntervalUnit}
   *   --create-from ENV      baseline env for a new environment (default prod)
   *   --backfill MODEL       restrict backfill to matching models (repeatable)
   *   --allow-destructive-model EXPR   lift on_destructive_change (repeatable)
+  *   --allow-additive-model EXPR      lift on_additive_change (repeatable)
   *   --skip-tests --skip-linter       bypass the plan-time gates
   *   --run                  backfill immediately after --auto-apply
   *   --effective-from DATE   (with --forward-only)
@@ -207,6 +208,7 @@ object Main {
               emptyBackfill = has("empty-backfill"),
               backfill = flagAll("backfill"),
               allowDestructiveModels = flagAll("allow-destructive-model"),
+              allowAdditiveModels = flagAll("allow-additive-model"),
               minIntervals = flag("min-intervals").map(_.toInt).getOrElse(0))
             out.println(p.describe)
             if (has("explain")) {

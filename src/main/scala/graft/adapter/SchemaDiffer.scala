@@ -53,4 +53,13 @@ object SchemaDiffer {
     case ChangeType(_, from, to) => !isWidening(from, to)
     case AddColumn(_, _) => false
   }
+
+  /** Additive ops gain data shape without losing any: column adds and
+    * lossless widenings (reference TableAlterAddColumnOperation.is_additive,
+    * schema_diff.py:99). Guarded separately by on_additive_change. */
+  def additiveOps(ops: Seq[SchemaOp]): Seq[SchemaOp] = ops.filter {
+    case AddColumn(_, _) => true
+    case ChangeType(_, from, to) => isWidening(from, to)
+    case DropColumn(_) => false
+  }
 }

@@ -60,6 +60,11 @@ final case class Model(
       * "error" (default) aborts a migration that drops/narrows columns,
       * "warn" prints and proceeds, "allow" is silent. */
     onDestructiveChange: String = "error",
+    /** forward-only additive-migration guard (reference OnAdditiveChange,
+      * kind.py:220 via meta.py:618): "allow" (default) applies column adds /
+      * widenings in place, "warn" prints, "error" aborts, "ignore" migrates
+      * WITHOUT the additive ops (the new columns simply don't appear). */
+    onAdditiveChange: String = "allow",
     /** arbitrary version-bust string (reference `stamp`, meta.py:131 /
       * definition.py:1135): changing it changes the DATA hash — a new
       * version and physical table without touching the query. */

@@ -194,6 +194,7 @@ object ModelLoader {
       allowPartials = props.get("allow_partials").exists(_.trim.toBoolean),
       columns = props.get("columns").map(parseColumns).getOrElse(Nil),
       onDestructiveChange = unq(props.getOrElse("on_destructive_change", "error")).toLowerCase,
+      onAdditiveChange = unq(props.getOrElse("on_additive_change", "allow")).toLowerCase,
       stamp = props.get("stamp").map(unq),
       enabled = props.get("enabled").forall(_.trim.toBoolean),
       physicalProperties = props.get("physical_properties").map(parseProps).getOrElse(Map.empty),

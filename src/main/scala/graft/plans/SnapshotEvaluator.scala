@@ -421,7 +421,32 @@ class SnapshotEvaluator(
         s"destructive schema change on forward-only model ${s.model.name}: $ops " +
           "(set on_destructive_change to 'warn' or 'allow' to permit)")
     }
-    materializer.migrate(t, target)
+    // on_additive_change guard (reference OnAdditiveChange, meta.py:618):
+    // some forward-only deployments also gate column ADDS — a new column on
+    // a shared 100 TB table changes every consumer's SELECT *
+    val additive = graft.adapter.SchemaDiffer.additiveOps(ops)
+    val effectiveTarget =
+      if (additive.isEmpty) target
+      else s.model.onAdditiveChange match {
+        case "allow" => target
+        case "warn" =>
+          System.err.println(s"[graft] WARN additive migration of ${s.model.name}: $additive")
+          target
+        case "ignore" =>
+          // apply the migration WITHOUT the additive ops: adds dropped,
+          // widenings keep the current type
+          val added = additive.collect {
+            case graft.adapter.SchemaDiffer.AddColumn(n, _) => n }.toSet
+          val widened = additive.collect {
+            case graft.adapter.SchemaDiffer.ChangeType(n, from, _) => n -> from }.toMap
+          org.apache.spark.sql.types.StructType(
+            target.fields.filterNot(f => added.contains(f.name))
+              .map(f => f.copy(dataType = widened.getOrElse(f.name, f.dataType))))
+        case _ => throw new IllegalStateException(
+          s"additive schema change on forward-only model ${s.model.name}: $additive " +
+            "(set on_additive_change to 'warn', 'allow' or 'ignore' to permit)")
+      }
+    materializer.migrate(t, effectiveTarget)
   }
 
   /** VirtualLayerUpdate: promote env views (evaluator.py:1999-2016), then run

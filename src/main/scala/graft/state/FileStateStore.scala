@@ -297,6 +297,7 @@ final class FileStateStore(
       m.columns.foreach { case (c, t) => cols.put(c, t) }
     }
     o.put("on_destructive_change", m.onDestructiveChange)
+    o.put("on_additive_change", m.onAdditiveChange)
     m.stamp.foreach(o.put("stamp", _))
     if (!m.enabled) o.put("enabled", false)
     if (m.physicalProperties.nonEmpty) putMap(o, "physical_properties", m.physicalProperties)
@@ -346,6 +347,8 @@ final class FileStateStore(
         n.path("columns").properties().forEach(e => b += e.getKey -> e.getValue.asText())
         b.result()
       },
+      onAdditiveChange = Option(n.get("on_additive_change"))
+        .map(_.asText).getOrElse("allow"),
       onDestructiveChange = Option(n.get("on_destructive_change"))
         .map(_.asText()).getOrElse("error"),
       stamp = Option(n.get("stamp")).map(_.asText()),

@@ -360,6 +360,37 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(!spark.table("mart.guard").columns.contains("o_totalprice"))
   }
 
+  test("on_additive_change guards forward-only column adds; --allow-additive-model lifts") {
+    def body(cols: String) = SqlBody(
+      s"SELECT o_custkey$cols FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt")
+    def mk(cols: String, guard: String) = Model("mart.add_guard", body(cols),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate", forwardOnly = true),
+      start = Some(dayMs("1995-01-01")), onAdditiveChange = guard)
+    val ctx = newCtx()
+    ctx.addModel(mk(", o_orderdate", "error"))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
+    // adding o_totalprice is additive → 'error' guard aborts the migration
+    ctx.addModel(mk(", o_orderdate, o_totalprice", "error"))
+    assertThrows[IllegalStateException](
+      ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05"))))
+    // --allow-additive-model lifts the guard for this apply only
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05"),
+      allowAdditiveModels = Seq("mart.add_guard")))
+    assert(spark.table("mart.add_guard").columns.contains("o_totalprice"))
+
+    // 'ignore' migrates WITHOUT the add: the new column never appears
+    val ctx2 = newCtx()
+    ctx2.addModel(Model("mart.add_ignore", body(", o_orderdate"),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate", forwardOnly = true),
+      start = Some(dayMs("1995-01-01")), onAdditiveChange = "ignore"))
+    ctx2.apply(ctx2.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
+    ctx2.addModel(Model("mart.add_ignore", body(", o_orderdate, o_totalprice"),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate", forwardOnly = true),
+      start = Some(dayMs("1995-01-01")), onAdditiveChange = "ignore"))
+    ctx2.apply(ctx2.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
+    assert(!spark.table("mart.add_ignore").columns.contains("o_totalprice"))
+  }
+
   test("dev environments expire via the janitor; destroy removes everything") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.ttl_m", SqlBody(
