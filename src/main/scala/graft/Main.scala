@@ -211,6 +211,24 @@ object Main {
               allowAdditiveModels = flagAll("allow-additive-model"),
               minIntervals = flag("min-intervals").map(_.toInt).getOrElse(0))
             out.println(p.describe)
+            // reference plan console: unified text diff per changed model
+            // (--no-diff hides; --diff-rendered diffs the RENDERED queries,
+            // cli/main.py --diff-rendered)
+            if (!has("no-diff")) p.modified.foreach { case (old, nw) =>
+              (old.model.body, nw.model.body) match {
+                case (graft.core.SqlBody(o), graft.core.SqlBody(n)) if o != n =>
+                  def rendered(m: graft.core.Model, raw: String): String =
+                    if (!has("diff-rendered")) raw
+                    else try graft.plans.Renderer.render(m, start, end,
+                      System.currentTimeMillis(), Map.empty)
+                    catch { case _: Exception => raw }
+                  out.println(s"--- ${nw.model.name} (${old.version})")
+                  out.println(s"+++ ${nw.model.name} (${nw.version})")
+                  out.println(graft.core.TextDiff.unified(
+                    rendered(old.model, o), rendered(nw.model, n)))
+                case _ => ()
+              }
+            }
             if (has("explain")) {
               // `plan --explain` (reference plan/explainer.py): stage-by-stage
               // dry-run narration; never applies, even with --auto-apply
@@ -722,7 +740,8 @@ object Main {
     val boolFlags = Set("auto-apply", "forward-only", "skip-backfill", "dry-run",
       "no-gaps", "check", "empty-backfill", "skip-tests", "skip-linter", "run",
       "ignore-cron", "no-auto-upstream", "skip-janitor", "show-sample", "sync",
-      "explain", "full-refresh", "deploy", "pr-backfill", "force")
+      "explain", "full-refresh", "deploy", "pr-backfill", "force",
+      "no-diff", "diff-rendered")
     var i = 0
     while (i < args.length) {
       val a = args(i)

@@ -496,6 +496,31 @@ class MainCliSpec extends AnyFunSuite {
     assert(c1 == 0 && out1.contains("5 interval(s)"), out1)
   }
 
+  test("plan prints unified diffs for changed models; --no-diff and --diff-rendered") {
+    val proj = SparkTestSession.tmpDir("cli-pdiff")
+    def model(expr: String) = java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(proj, "m.sql"),
+      s"""MODEL (name pd.daily, kind FULL);
+         |SELECT count(*) AS n$expr FROM raw.orders WHERE o_orderdate < @end_dt
+         |""".stripMargin)
+    model("")
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    assert(cli(Seq("plan", "prod", "--start", "1995-01-01", "--end", "1995-01-05",
+      "--auto-apply") ++ base: _*)._1 == 0)
+    model(", 1 AS extra")
+    val (c1, o1) = cli(Seq("plan", "prod", "--start", "1995-01-01",
+      "--end", "1995-01-05") ++ base: _*)
+    assert(c1 == 0 && o1.contains("--- pd.daily") && o1.contains("+1 AS extra")
+      || o1.contains(", 1 AS extra"), o1)
+    val (c2, o2) = cli(Seq("plan", "prod", "--start", "1995-01-01",
+      "--end", "1995-01-05", "--no-diff") ++ base: _*)
+    assert(c2 == 0 && !o2.contains("--- pd.daily"), o2)
+    // rendered diff resolves the time macros before diffing
+    val (c3, o3) = cli(Seq("plan", "prod", "--start", "1995-01-01",
+      "--end", "1995-01-05", "--diff-rendered") ++ base: _*)
+    assert(c3 == 0 && o3.contains("--- pd.daily") && !o3.contains("@end_dt"), o3)
+  }
+
   test("optimize and vacuum verbs manage physical snapshots; dbt show previews rows") {
     val proj = SparkTestSession.tmpDir("cli-vac")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "dbt_project.yml"),
