@@ -49,11 +49,23 @@ final case class Plan(
       * these models may add/widen columns this apply, overriding their
       * on_additive_change guard. */
     allowAdditive: Set[String] = Set.empty,
+    /** `--include-unmodified` (cli/main.py; reference default False for new
+      * dev environments): when false on a non-prod plan, UNCHANGED models
+      * are left out of the environment — no dev views, no backfill; their
+      * references still resolve to the shared physical tables. Our CLI
+      * keeps the reference flag with the reference default. */
+    includeUnmodified: Boolean = true,
     /** `--min-intervals` (context.py:1345): per-model, pull the plan start
       * back far enough that at least this many intervals are covered — how
       * a narrow PR-environment window still proves every model runs. */
     minIntervals: Int = 0) {
   def snapshots: Seq[Snapshot] = added ++ modified.map(_._2) ++ metadataOnly ++ unchanged
+
+  /** Snapshots that belong to the target ENVIRONMENT: everything, unless a
+    * non-prod plan excludes unmodified models (include_unmodified=False). */
+  def envSnapshots: Seq[Snapshot] =
+    if (includeUnmodified || env == "prod") snapshots
+    else added ++ modified.map(_._2) ++ metadataOnly
 
   /** A snapshot previews in a `__dev` table instead of touching the shared
     * physical table when the plan targets a non-prod environment and the
@@ -677,6 +689,8 @@ class GraftContext(
       allowDestructiveModels: Seq[String] = Nil,
       /** `--allow-additive-model` selector expressions. */
       allowAdditiveModels: Seq[String] = Nil,
+      /** `--include-unmodified` — see Plan.includeUnmodified. */
+      includeUnmodified: Boolean = true,
       /** `--min-intervals` (context.py:1345): ensure every model's backfill
         * covers at least this many intervals, pulling its start back. */
       minIntervals: Int = 0): Plan = {
@@ -818,6 +832,7 @@ class GraftContext(
       allowAdditive =
         if (allowAdditiveModels.isEmpty) Set.empty
         else ModelSelector.expand(allowAdditiveModels, models.toMap),
+      includeUnmodified = includeUnmodified,
       minIntervals = minIntervals)
   }
 
@@ -1008,7 +1023,7 @@ class GraftContext(
     // views resolve); `--backfill-model` does the same for UNSELECTED models.
     val backfillable: Set[String] =
       if (p.skipBackfill || p.emptyBackfill) Set.empty
-      else p.backfillSelected.getOrElse(p.snapshots.map(_.model.name).toSet)
+      else p.backfillSelected.getOrElse(p.envSnapshots.map(_.model.name).toSet)
     locally {
       val mat = p.snapshots.filter(_.model.kind.isMaterialized)
       val byName = mat.map(s => s.model.name -> s).toMap
@@ -1054,14 +1069,14 @@ class GraftContext(
     }
     // EnvironmentRecordUpdate + VirtualLayerUpdate (materialized kinds only —
     // EMBEDDED/EXTERNAL have no physical object to point a view at)
-    p.snapshots.filter(_.model.kind.isMaterialized).foreach(s =>
+    p.envSnapshots.filter(_.model.kind.isMaterialized).foreach(s =>
       evaluator.promote(s, p.env, devFlags(s.model.name), envSuffixTarget, executionTs))
     p.removed.foreach { name =>
       state.latestSnapshot(name).foreach(s => evaluator.demote(s, p.env, envSuffixTarget))
     }
     state.promoteEnvironment(EnvironmentRecord(
-      p.env, p.snapshots.map(s => s.model.name -> s.version).toMap, finalized = false,
-      identifiers = p.snapshots.map(s => s.model.name -> s.fingerprint.full).toMap,
+      p.env, p.envSnapshots.map(s => s.model.name -> s.version).toMap, finalized = false,
+      identifiers = p.envSnapshots.map(s => s.model.name -> s.fingerprint.full).toMap,
       suffixTarget = envSuffixTarget,
       // dev environments expire (environment.py expiration_ts, default 1w);
       // prod never does

@@ -209,6 +209,11 @@ object Main {
               backfill = flagAll("backfill"),
               allowDestructiveModels = flagAll("allow-destructive-model"),
               allowAdditiveModels = flagAll("allow-additive-model"),
+              // reference default is exclusion for dev envs; ours is
+              // inclusion (dev views always resolve). --exclude-unmodified
+              // opts into the reference behavior; --include-unmodified is
+              // accepted for reference-compatible invocations.
+              includeUnmodified = !has("exclude-unmodified"),
               minIntervals = flag("min-intervals").map(_.toInt).getOrElse(0))
             out.println(p.describe)
             // reference plan console: unified text diff per changed model
@@ -447,6 +452,21 @@ object Main {
           }
         case "info"    => out.println(ctx.info); 0
         case "dag"     => out.println(ctx.dagDot); 0
+        case "join-path" =>
+          // entity-join inference (reference core/reference.py find_path):
+          // the grains/references chain that joins two models safely
+          val src = positionalRequired(positional, "join-path <source> <target>")
+          val tgt = positional.drop(1).headOption.getOrElse(
+            throw new IllegalArgumentException("join-path <source> <target>"))
+          val graph = new graft.core.ReferenceGraph(ctx.allModels.values)
+          val path = graph.findPath(src, tgt,
+            flag("max-depth").map(_.toInt).getOrElse(3))
+          if (path.isEmpty) { out.println(s"no references declared on $src"); 1 }
+          else {
+            out.println((Seq(src) ++ path.map(r =>
+              s"=[${r.name}${if (r.unique) "" else " *many"}]=> ${r.modelName}")).mkString(" "))
+            0
+          }
         case "optimize" =>
           // small-file compaction (Delta OPTIMIZE analog; ctx.optimizeTable)
           val model = positionalRequired(positional, "optimize <model>")
@@ -741,7 +761,7 @@ object Main {
       "no-gaps", "check", "empty-backfill", "skip-tests", "skip-linter", "run",
       "ignore-cron", "no-auto-upstream", "skip-janitor", "show-sample", "sync",
       "explain", "full-refresh", "deploy", "pr-backfill", "force",
-      "no-diff", "diff-rendered")
+      "no-diff", "diff-rendered", "include-unmodified", "exclude-unmodified")
     var i = 0
     while (i < args.length) {
       val a = args(i)

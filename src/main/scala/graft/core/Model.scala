@@ -32,6 +32,10 @@ final case class Model(
     start: Option[Long] = None,         // default backfill start (epoch ms)
     dependsOn: Set[String] = Set.empty, // explicit upstream names (else extracted)
     grains: Seq[String] = Nil,
+    /** non-unique entity references (reference `references` model property,
+      * core/reference.py:15): foreign-entity keys this model carries; shared
+      * names with other models' grains define join paths (ReferenceGraph). */
+    entityReferences: Seq[String] = Nil,
     audits: Seq[(String, Map[String, String])] = Nil, // (audit name, args)
     description: Option[String] = None,
     owner: Option[String] = None,

@@ -180,6 +180,7 @@ object ModelLoader {
       start = props.get("start").map(s =>
         java.time.LocalDate.parse(unq(s)).toEpochDay * 86400000L),
       grains = props.get("grains").map(listOf).getOrElse(props.get("grain").map(listOf).getOrElse(Nil)),
+      entityReferences = props.get("references").map(listOf).getOrElse(Nil),
       audits = props.get("audits").map(parseAudits)
         .orElse(config.defaultAudits.map(parseAudits)).getOrElse(Nil),
       description = props.get("description").map(unq),

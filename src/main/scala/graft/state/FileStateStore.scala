@@ -277,6 +277,7 @@ final class FileStateStore(
     m.start.foreach(o.put("start", _))
     o.set[JsonNode]("depends_on", strArr(m.dependsOn.toSeq.sorted))
     o.set[JsonNode]("grains", strArr(m.grains))
+    o.set[JsonNode]("references", strArr(m.entityReferences))
     val au = o.putArray("audits")
     m.audits.foreach { case (nm, args) =>
       val ao = mapper.createObjectNode(); ao.put("name", nm); putMap(ao, "args", args); au.add(ao)
@@ -330,6 +331,7 @@ final class FileStateStore(
       start = Option(n.get("start")).map(_.asLong()),
       dependsOn = seqOf(n.path("depends_on")).toSet,
       grains = seqOf(n.path("grains")),
+      entityReferences = seqOf(n.path("references")),
       audits = audits,
       description = Option(n.get("description")).map(_.asText()),
       owner = Option(n.get("owner")).map(_.asText()),

@@ -391,6 +391,26 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(!spark.table("mart.add_ignore").columns.contains("o_totalprice"))
   }
 
+  test("includeUnmodified=false keeps unchanged models out of a dev environment") {
+    val ctx = newCtx()
+    def base(expr: String) = Model("mart.iu_base", SqlBody(
+      s"SELECT count(*)$expr AS n FROM raw.orders"), kind = ModelKind.Full)
+    ctx.addModel(base(""))
+    ctx.addModel(Model("mart.iu_stable", SqlBody(
+      "SELECT 42 AS v FROM raw.orders LIMIT 1"), kind = ModelKind.Full))
+    ctx.apply(ctx.plan("prod", 0, D))
+    // edit ONE model, plan into dev with the reference's exclusion default
+    ctx.addModel(base(" + 1"))
+    ctx.apply(ctx.plan("dev", 0, D, includeUnmodified = false))
+    val env = ctx.state.getEnvironment("dev").get
+    assert(env.snapshots.keySet == Set("mart.iu_base"))   // changed model only
+    assert(spark.catalog.tableExists("mart__dev.iu_base"))
+    assert(!spark.catalog.tableExists("mart__dev.iu_stable")) // no dev view
+    // prod untouched, and the dev view carries the edit
+    assert(spark.table("mart.iu_base").head.getLong(0) + 1 ==
+      spark.table("mart__dev.iu_base").head.getLong(0))
+  }
+
   test("dev environments expire via the janitor; destroy removes everything") {
     val ctx = newCtx()
     ctx.addModel(Model("mart.ttl_m", SqlBody(

@@ -496,6 +496,26 @@ class MainCliSpec extends AnyFunSuite {
     assert(c1 == 0 && out1.contains("5 interval(s)"), out1)
   }
 
+  test("join-path prints the entity reference chain from grains/references") {
+    val proj = SparkTestSession.tmpDir("cli-jp")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "fact.sql"),
+      """MODEL (name jp.fact, kind FULL, grains (o_orderkey), references (o_custkey));
+        |SELECT o_orderkey, o_custkey FROM raw.orders
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "dim.sql"),
+      """MODEL (name jp.dim, kind FULL, grains (o_custkey));
+        |SELECT c_custkey AS o_custkey, c_mktsegment FROM raw.customer
+        |""".stripMargin)
+    val base = Seq("--project", proj,
+      "--external", s"raw.orders=$sf/orders.parquet",
+      "--external", s"raw.customer=$sf/customer.parquet")
+    val (c, o) = cli(Seq("join-path", "jp.fact", "jp.dim") ++ base: _*)
+    assert(c == 0 && o.contains("jp.fact") && o.contains("=> jp.dim"), o)
+    assert(o.contains("o_custkey"), o)
+    // unknown target → clean nonzero exit (generic error path)
+    assert(cli(Seq("join-path", "jp.dim", "jp.none") ++ base: _*)._1 != 0)
+  }
+
   test("plan prints unified diffs for changed models; --no-diff and --diff-rendered") {
     val proj = SparkTestSession.tmpDir("cli-pdiff")
     def model(expr: String) = java.nio.file.Files.writeString(

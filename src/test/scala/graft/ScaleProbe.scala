@@ -42,6 +42,11 @@ object ScaleProbe {
           threshold = 0.3, maxBucketSize = Some(32)).count()
       }
       time(s"exact_dedup $label") { Dedup.exact(d).count() }
+      time(s"substring_spans $label") {
+        // heaviest text op by row count: one k-mer row per char offset —
+        // must stay linear (hashed 8-byte keys, postings-bounded join back)
+        Dedup.substringSpans(d, minLen = 30).count()
+      }
       time(s"lang_id $label") {
         d.select(TextFunctions.langId(col("text")).as("l")).groupBy("l").count().count()
       }
