@@ -259,7 +259,8 @@ class GraftContext(
     * the executable SQL a semantic-reference query expands to, without
     * running it. */
   def rewriteSemantic(sql: String, env: String = "prod"): String = {
-    val registry = new graft.metrics.MetricRegistry(metrics.values.toSeq)
+    val registry = new graft.metrics.MetricRegistry(metrics.values.toSeq,
+      graph = Some(new graft.core.ReferenceGraph(models.values)))
     registry.rewrite(sql, tableFor = name =>
       if (models.contains(name)) envTable(name, env)
       else externals.getOrElse(name, name))

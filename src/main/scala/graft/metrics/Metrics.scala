@@ -29,7 +29,14 @@ final case class Metric(
   def isDerived: Boolean = table.isEmpty
 }
 
-final class MetricRegistry(metricSeq: Seq[Metric]) {
+final class MetricRegistry(
+    metricSeq: Seq[Metric],
+    /** entity-join inference (reference rewriter.py:136,151): when a
+      * requested dimension isn't declared on a metric's base model, the
+      * graph finds a carrier model and the rewriter LEFT JOINs it along the
+      * grains/references path before aggregating — the reference's
+      * auto-join. None = declared dims only. */
+    graph: Option[graft.core.ReferenceGraph] = None) {
   private val byName: Map[String, Metric] = metricSeq.map(m => m.name -> m).toMap
 
   val semanticTable = "__semantic.__table"
@@ -89,17 +96,47 @@ final class MetricRegistry(metricSeq: Seq[Metric]) {
     val grouped = metrics.groupBy(_._1.table).toSeq.sortBy(_._1)
     val subs = grouped.zipWithIndex.map { case ((table, ms), i) =>
       val alias = s"__m$i"
-      val dimCols = dimNames.map { d =>
-        val m = ms.head._1
-        val expr = m.dims.getOrElse(d,
-          throw new IllegalArgumentException(s"metric ${m.name} has no dim $d"))
-        s"$expr AS `$d`"
+      val m0 = ms.head._1
+      // dims either come from the base model's declared dim expressions, or
+      // — with a ReferenceGraph — from a carrier model auto-joined along
+      // the grains/references path (reference rewriter.py _add_joins)
+      val joins = scala.collection.mutable.LinkedHashMap[String, Seq[graft.core.EntityRef]]()
+      def modelAlias(name: String) = "__j_" + name.split('.').last
+      val dimSources: Seq[(String, String)] = dimNames.map { d =>
+        m0.dims.get(d) match {
+          case Some(expr) => d -> expr
+          case None =>
+            val carrier = graph.toSeq
+              .flatMap(_.modelsForColumn(table, d)).filterNot(_ == table)
+              .headOption.getOrElse(throw new IllegalArgumentException(
+                s"metric ${m0.name} has no dim $d and no joinable model carries it"))
+            val path = graph.get.findPath(table, carrier)
+            joins.getOrElseUpdate(carrier, path)
+            d -> s"${modelAlias(carrier)}.`$d`"
+        }
       }
+      val dimCols = dimSources.map { case (d, expr) => s"$expr AS `$d`" }
       val metCols = ms.map { case (m, out) => s"${m.expression} AS `$out`" }
+      // LEFT JOIN each consecutive path pair on the shared reference name
+      // (reference rewriter.py:151-176) — dimension joins happen BEFORE the
+      // aggregate; dims are small, so at scale these broadcast
+      val joinSql = joins.values.toSeq.flatMap { path =>
+        path.sliding(2).collect { case Seq(a, b) =>
+          val aAlias = if (a.modelName == table) "__base" else modelAlias(a.modelName)
+          val bAlias = modelAlias(b.modelName)
+          val on = a.columns.zip(b.columns)
+            .map { case (ac, bc) => s"$aAlias.`$ac` = $bAlias.`$bc`" }.mkString(" AND ")
+          s" LEFT JOIN ${tableFor(b.modelName)} AS $bAlias ON $on"
+        }
+      }.distinct.mkString
+      val fromSql =
+        if (joins.isEmpty) tableFor(table)
+        else s"${tableFor(table)} AS __base$joinSql"
       // dims in the semantic WHERE refer to semantic names; substitute each
       // model's own dim expression before pushing the predicate down
       val where = whereClause.map { w =>
-        val substituted = ms.head._1.dims.foldLeft(w) { case (acc, (dn, de)) =>
+        val substituted = (m0.dims ++ dimSources.filterNot(ds => m0.dims.contains(ds._1)))
+          .foldLeft(w) { case (acc, (dn, de)) =>
           acc.replaceAll("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(dn) + "(?![\\w.`])",
             java.util.regex.Matcher.quoteReplacement(s"($de)"))
         }
@@ -108,7 +145,7 @@ final class MetricRegistry(metricSeq: Seq[Metric]) {
       val groupBy = if (dimNames.nonEmpty)
         s" GROUP BY ${dimNames.indices.map(_ + 1).mkString(", ")}" else ""
       (alias,
-        s"(SELECT ${(dimCols ++ metCols).mkString(", ")} FROM ${tableFor(table)}$where$groupBy) $alias",
+        s"(SELECT ${(dimCols ++ metCols).mkString(", ")} FROM $fromSql$where$groupBy) $alias",
         ms.map(_._2))
     }
 

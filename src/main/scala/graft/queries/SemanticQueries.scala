@@ -47,6 +47,37 @@ object SemanticQueries {
         |FROM li FULL JOIN o ON li.d = o.d
         |ORDER BY d""".stripMargin)),
 
+    "sm_metrics_autojoin" -> Entry((s, dir) => {
+      // entity auto-join (reference metric/rewriter.py:136-151 via
+      // ReferenceGraph): the requested dimension lives on ANOTHER model —
+      // the rewriter finds the carrier through grains/references and LEFT
+      // JOINs it along the path before aggregating
+      registerAll(s, dir)
+      val meta = Seq(
+        graft.core.Model("orders", graft.core.SqlBody("SELECT 1 AS x"),
+          grains = Seq("o_orderkey"), entityReferences = Seq("o_custkey")),
+        graft.core.Model("cust_dim", graft.core.SqlBody("SELECT 1 AS x"),
+          grains = Seq("o_custkey"),
+          columns = Seq("o_custkey" -> "BIGINT", "c_mktsegment" -> "STRING")))
+      val registry = new MetricRegistry(
+        Seq(Metric("seg_rev", "ROUND(SUM(o_totalprice), 2)", "orders"),
+          Metric("seg_orders", "COUNT(*)", "orders")),
+        graph = Some(new graft.core.ReferenceGraph(meta)))
+      val sql = registry.rewrite(
+        """SELECT c_mktsegment, seg_rev, seg_orders FROM __semantic.__table
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+        tableFor = {
+          case "cust_dim" => "(SELECT c_custkey AS o_custkey, c_mktsegment FROM customer)"
+          case t => t
+        })
+      s.sql(sql).orderBy(col("c_mktsegment"))
+    }, Some(
+      """SELECT c.c_mktsegment AS c_mktsegment,
+        |  round(sum(o.o_totalprice), 2) AS seg_rev,
+        |  count(*) AS seg_orders
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ------------------- RowDiff: source vs target in one job -------------
     "sm_tablediff" -> Entry((s, dir) => {
       val orders = t(s, dir, "orders")
