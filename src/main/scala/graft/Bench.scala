@@ -52,26 +52,28 @@ object Bench {
     // define the round (r4/r6/r7 all burned adjudication on exactly that).
     // Each query runs k=3 times; the headline number is the per-query MEDIAN,
     // and the raw runs are emitted so a spike is visible instead of decisive.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     val results = SparkEntry.benchNames.map { name =>
       var ok = true
-      var shuffleMb = 0.0
-      val runs = (0 until reps).map { rep =>
+      var shuffleMb = -1.0
+      val runs = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         val s0 = shuffleWrite.get()
         // a query that crashes must be visible as FAILED in the JSON — r6
         // silently reported time-to-exception as if the query ran
-        try { qs0(name)(spark, sfDir).count() }
+        val repOk = try { qs0(name)(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); ok = false }
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); ok = false; false }
         // listener events are async; give the bus a moment to drain
         Thread.sleep(150)
-        // shuffle volume is plan-determined, identical across reps: report run 1's
-        if (rep == 0) shuffleMb = (shuffleWrite.get() - s0) / 1e6
+        // shuffle volume is plan-determined, identical across reps: report
+        // the first SUCCESSFUL run's (a failed run's partial bytes mislead)
+        if (repOk && shuffleMb < 0) shuffleMb = (shuffleWrite.get() - s0) / 1e6
         (System.nanoTime() - t0) / 1e9 - 0.150 // exclude the drain sleep
       }
       val median = runs.sorted.apply(reps / 2)
-      name -> ((median, runs.min, runs, shuffleMb, ok))
+      name -> ((median, runs.min, runs, math.max(shuffleMb, 0.0), ok))
     }.toMap
     def jmap(f: ((String, (Double, Double, Seq[Double], Double, Boolean))) => String) =
       results.map(e => "\"" + e._1 + "\":" + f(e)).mkString("{", ",", "}")

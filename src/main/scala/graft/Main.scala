@@ -463,8 +463,8 @@ object Main {
             flag("max-depth").map(_.toInt).getOrElse(3))
           if (path.isEmpty) { out.println(s"no references declared on $src"); 1 }
           else {
-            out.println((Seq(src) ++ path.map(r =>
-              s"=[${r.name}${if (r.unique) "" else " *many"}]=> ${r.modelName}")).mkString(" "))
+            out.println((Seq(src) ++ path.map(st =>
+              s"=[${st.name}${if (st.toUnique) "" else " *many"}]=> ${st.toModel}")).mkString(" "))
             0
           }
         case "optimize" =>
@@ -791,9 +791,16 @@ object Main {
     }
 
   /** ISO date (UTC midnight) or raw epoch millis. */
+  /** Epoch millis, `yyyy-MM-dd`, ISO instant (`…T00:00:00Z`), or local
+    * datetime (UTC). The instant form is what export-schedule emits in its
+    * batch commands, so exported commands must round-trip through here. */
   private[graft] def parseTs(s: String): Long =
     if (s.forall(_.isDigit)) s.toLong
-    else java.time.LocalDate.parse(s).toEpochDay * 86400000L
+    else if (!s.contains('T')) java.time.LocalDate.parse(s).toEpochDay * 86400000L
+    else if (s.endsWith("Z") || s.contains('+'))
+      java.time.Instant.parse(s).toEpochMilli
+    else java.time.LocalDateTime.parse(s)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
 
   private def parseRestate(s: String): (String, Interval) = {
     val (model, window) = splitOnce(s, '=', "--restate")

@@ -45,6 +45,21 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
 
   private def manifestDir(t: PhysicalTable) = new Path(t.root, "_manifests")
 
+  /** Inverse of Hive/Spark partition-path escaping (%XX hex escapes). */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          s.substring(i + 1, i + 3).forall(ch => Character.digit(ch, 16) >= 0)) {
+        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   def versions(t: PhysicalTable): Seq[Int] = {
     val d = manifestDir(t); val f = fs(d)
     if (!f.exists(d)) Nil
@@ -111,14 +126,7 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
   /** Write a commit dir and discover its (partition dir → values) entries. */
   private def writeCommit(t: PhysicalTable, df0: DataFrame,
                           clusterFiles: Option[Int]): (String, Seq[Entry], StructType) = {
-    val df =
-      if (t.clusteredBy.isEmpty) df0
-      else clusterFiles match {
-        case Some(n) => df0.repartitionByRange(n, t.clusteredBy.map(col): _*)
-          .sortWithinPartitions(t.clusteredBy.map(col): _*)
-        case None => df0.repartition(t.clusteredBy.map(col): _*)
-          .sortWithinPartitions(t.clusteredBy.map(col): _*)
-      }
+    val df = TableFormat.applyClustering(df0, t.clusteredBy, clusterFiles)
     val commit = nextCommitDir(t)
     val dir = new Path(t.root, commit).toString
     var w = df.write.mode("overwrite").options(t.options)
@@ -142,7 +150,12 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
       if (file.getName.endsWith(".parquet")) {
         val rel = file.getParent.toString.stripPrefix(base.toString).stripPrefix("/")
         val parts = rel.split('/').filter(_.contains('=')).toSeq
-          .map { seg => val i = seg.indexOf('='); seg.take(i) -> seg.drop(i + 1) }
+          .map { seg =>
+            val i = seg.indexOf('=')
+            // dir names carry Hive-escaped values (':' → %3A etc.) — store
+            // the REAL value so viewSql's literals round-trip (r8 review)
+            seg.take(i) -> unescapePathName(seg.drop(i + 1))
+          }
         val dir = if (rel.isEmpty) commit else s"$commit/$rel"
         found.getOrElseUpdate(dir, parts)
       }

@@ -29,6 +29,25 @@ import org.apache.spark.sql.functions._
   *  - `compact`: rewrite the current snapshot into ~targetFileBytes files
   *    (Delta/Iceberg OPTIMIZE)
   */
+object TableFormat {
+  /** Shared cluster-write shaping: co-locate rows by the cluster key (one
+    * shuffle) and sort within partitions so each file holds a sorted,
+    * min/max-tight key range. `clusterFiles` (compact's target) overrides
+    * the shuffle-partition default with an exact range-partition count —
+    * without it a compaction of a clustered table would re-split into
+    * spark.sql.shuffle.partitions files; range partitioning also gives
+    * globally-ordered, disjoint key ranges (tighter min/max than hash). */
+  def applyClustering(df: DataFrame, clusteredBy: Seq[String],
+                      clusterFiles: Option[Int]): DataFrame =
+    if (clusteredBy.isEmpty) df
+    else clusterFiles match {
+      case Some(n) => df.repartitionByRange(n, clusteredBy.map(col): _*)
+        .sortWithinPartitions(clusteredBy.map(col): _*)
+      case None => df.repartition(clusteredBy.map(col): _*)
+        .sortWithinPartitions(clusteredBy.map(col): _*)
+    }
+}
+
 trait TableFormat {
   def name: String
   /** Opaque token for the current committed snapshot (the dir scheme's
@@ -175,23 +194,7 @@ final class DirVersionFormat(spark: SparkSession) extends TableFormat {
                     clusteredBy: Seq[String] = Nil,
                     options: Map[String, String] = Map.empty,
                     clusterFiles: Option[Int] = None): Unit = {
-    // clustering: co-locate rows by the cluster key (one shuffle) and sort
-    // within partitions, so each parquet file holds a sorted, min/max-tight
-    // key range — downstream scans on the key prune row groups for free.
-    // `clusterFiles` (compact's target) overrides the shuffle-partition
-    // default with an exact range-partition count — without it a compaction
-    // of a clustered table would be silently re-split into
-    // spark.sql.shuffle.partitions files, defeating the file-count goal;
-    // range partitioning also gives globally-ordered, disjoint key ranges
-    // (tighter min/max than hash clustering)
-    val df =
-      if (clusteredBy.isEmpty) df0
-      else clusterFiles match {
-        case Some(n) => df0.repartitionByRange(n, clusteredBy.map(col): _*)
-          .sortWithinPartitions(clusteredBy.map(col): _*)
-        case None => df0.repartition(clusteredBy.map(col): _*)
-          .sortWithinPartitions(clusteredBy.map(col): _*)
-      }
+    val df = TableFormat.applyClustering(df0, clusteredBy, clusterFiles)
     var w = df.write.mode(mode).options(options)
     if (partitionedBy.nonEmpty) w = w.partitionBy(partitionedBy: _*)
     if (dynamic) w = w.option("partitionOverwriteMode", "dynamic")

@@ -4,9 +4,17 @@ package graft.core
   * `Reference` :15, `ReferenceGraph` :54): a model's `grains` declare its
   * unique entity keys, `references` its non-unique foreign-entity keys;
   * matching names ARE joinability. The graph answers "how do I join model A
-  * to model B" (find_path) and "which models can contribute column X to A"
-  * (models_for_column) — what powers entity-join inference in table-diff
-  * and semantic layers.
+  * to model B" (findPath) and "which models can contribute column X to A"
+  * (modelsForColumn) — what powers entity-join inference in the metric
+  * rewriter and the join-path verb.
+  *
+  * The path is returned as explicit [[JoinStep]]s — (from model+columns,
+  * to model+columns) per hop — rather than the reference's flat Reference
+  * list, because a flat list leaves the join pairing ambiguous on
+  * multi-hop paths (its consecutive elements need not share an entity).
+  * The accept/reject rule matches the reference exactly: a path may carry
+  * at most ONE non-unique reference (counting each hop's departing ref and
+  * the terminal arriving ref), so no chain can ever fan out twice.
   */
 final case class EntityRef(modelName: String, columns: Seq[String], unique: Boolean) {
   require(columns.nonEmpty && columns.forall(_.nonEmpty),
@@ -14,6 +22,12 @@ final case class EntityRef(modelName: String, columns: Seq[String], unique: Bool
   /** Composite keys join name parts with `__` (reference Reference.name :32). */
   def name: String = columns.mkString("__")
 }
+
+/** One hop of an entity join: `fromModel.fromColumns = toModel.toColumns`,
+  * both sides being the models' declarations of the SAME entity name. */
+final case class JoinStep(name: String, fromModel: String, fromColumns: Seq[String],
+                          toModel: String, toColumns: Seq[String],
+                          fromUnique: Boolean, toUnique: Boolean)
 
 class ReferenceGraph(models: Iterable[Model]) {
 
@@ -45,28 +59,37 @@ class ReferenceGraph(models: Iterable[Model]) {
           (m.grains ++ m.entityReferences).flatMap(parseCols).contains(c) => m.name
       }.toSet).toMap
 
-  /** Join path source → target as the reference chain to follow, BFS over
-    * shared reference names; paths never revisit a model and never chain
-    * two non-unique refs (a many-to-many join explodes rows) — exactly
-    * reference find_path :102. Throws when no safe path exists. */
-  def findPath(source: String, target: String, maxDepth: Int = 3): Seq[EntityRef] = {
-    val start = modelRefs.getOrElse(source, Map.empty)
-    if (start.isEmpty) return Nil
-    val queue = scala.collection.mutable.Queue[Seq[EntityRef]](
-      start.values.toSeq.sortBy(_.name).map(Seq(_)): _*)
+  /** Join path source → target, BFS over shared reference names. Each hop
+    * joins the departing model's ref to the arriving model's ref OF THE
+    * SAME NAME; paths never revisit a model and carry at most one
+    * non-unique ref over {each departing ref, the terminal arriving ref} —
+    * reference find_path :102's rule, which rejects anything that could
+    * fan out twice (clicks→views on a shared foreign key, or fact→dim
+    * chained through a second fact-side key). Returns Nil when the source
+    * declares no references; throws when no safe path exists. */
+  def findPath(source: String, target: String, maxDepth: Int = 3): Seq[JoinStep] = {
+    val srcRefs = modelRefs.getOrElse(source, Map.empty)
+    if (srcRefs.isEmpty) return Nil
+    // state: (steps so far, count of non-unique refs used)
+    val queue = scala.collection.mutable.Queue[(Seq[JoinStep], Int)]((Nil, 0))
     while (queue.nonEmpty) {
-      val path = queue.dequeue()
-      val visited = path.map(_.modelName).toSet
-      val many = path.exists(!_.unique)
-      val refName = path.last.name
+      val (steps, many) = queue.dequeue()
+      val at = steps.lastOption.map(_.toModel).getOrElse(source)
+      val visited = source +: steps.map(_.toModel)
       for {
-        modelName <- refModels.getOrElse(refName, Nil)
-        ref <- modelRefs(modelName).values.toSeq.sortBy(_.name)
-        if !visited.contains(modelName) && !(many && !ref.unique)
+        depart <- modelRefs.getOrElse(at, Map.empty).values.toSeq.sortBy(_.name)
+        next <- refModels.getOrElse(depart.name, Nil)
+        if !visited.contains(next)
+        arrive = modelRefs(next)(depart.name)
+        // each non-unique ref (departing or arriving) is a potential
+        // fan-out; at most one in the whole path
+        cost = many + (if (depart.unique) 0 else 1) + (if (arrive.unique) 0 else 1)
+        if cost <= 1
       } {
-        val newPath = path :+ ref
-        if (modelName == target) return newPath
-        if (newPath.length < maxDepth) queue.enqueue(newPath)
+        val step = JoinStep(depart.name, at, depart.columns, next, arrive.columns,
+          depart.unique, arrive.unique)
+        if (next == target) return steps :+ step
+        if (steps.length + 1 < maxDepth) queue.enqueue((steps :+ step, cost))
       }
     }
     throw new IllegalStateException(
@@ -75,10 +98,11 @@ class ReferenceGraph(models: Iterable[Model]) {
   }
 
   /** Models holding `column` that safely join to `source` (reference
-    * models_for_column :79). */
+    * models_for_column :79). A source with no declared references joins
+    * nothing but itself. */
   def modelsForColumn(source: String, column: String, maxDepth: Int = 3): Seq[String] =
     dimModels.getOrElse(column, Set.empty).toSeq.sorted.filter { m =>
-      m == source || (try { findPath(source, m, maxDepth); true }
+      m == source || (try { findPath(source, m, maxDepth).nonEmpty }
         catch { case _: IllegalStateException => false })
     }
 }

@@ -251,14 +251,16 @@ object DbtLoader {
     // freshness thresholds: {count: N, period: minute|hour|day} → millis
     def thresholdMs(node: com.fasterxml.jackson.databind.JsonNode,
                     key: String): Option[Long] =
-      Option(node.get("freshness")).flatMap(f => Option(f.get(key))).map { t =>
+      Option(node.get("freshness")).flatMap(f => Option(f.get(key))).flatMap { t =>
         val count = t.path("count").asLong(0L)
         val unit = t.path("period").asText("hour") match {
           case "minute" => 60000L
           case "day"    => 86400000L
           case _        => 3600000L // hour (dbt's default period)
         }
-        count * unit
+        // a malformed block (count missing/zero) must not become a 0 ms
+        // threshold that flags every fresh source (r8 review finding)
+        if (count > 0) Some(count * unit) else None
       }
     srcs.flatMap { s =>
       val srcName = s.path("name").asText

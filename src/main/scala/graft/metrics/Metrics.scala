@@ -100,7 +100,7 @@ final class MetricRegistry(
       // dims either come from the base model's declared dim expressions, or
       // — with a ReferenceGraph — from a carrier model auto-joined along
       // the grains/references path (reference rewriter.py _add_joins)
-      val joins = scala.collection.mutable.LinkedHashMap[String, Seq[graft.core.EntityRef]]()
+      val joins = scala.collection.mutable.LinkedHashMap[String, Seq[graft.core.JoinStep]]()
       def modelAlias(name: String) = "__j_" + name.split('.').last
       val dimSources: Seq[(String, String)] = dimNames.map { d =>
         m0.dims.get(d) match {
@@ -111,22 +111,27 @@ final class MetricRegistry(
               .headOption.getOrElse(throw new IllegalArgumentException(
                 s"metric ${m0.name} has no dim $d and no joinable model carries it"))
             val path = graph.get.findPath(table, carrier)
+            if (path.isEmpty) throw new IllegalArgumentException(
+              s"metric ${m0.name} has no dim $d and no joinable model carries it " +
+                s"(base $table declares no references)")
             joins.getOrElseUpdate(carrier, path)
             d -> s"${modelAlias(carrier)}.`$d`"
         }
       }
       val dimCols = dimSources.map { case (d, expr) => s"$expr AS `$d`" }
       val metCols = ms.map { case (m, out) => s"${m.expression} AS `$out`" }
-      // LEFT JOIN each consecutive path pair on the shared reference name
-      // (reference rewriter.py:151-176) — dimension joins happen BEFORE the
-      // aggregate; dims are small, so at scale these broadcast
+      // LEFT JOIN each path hop on its shared entity — both sides are the
+      // models' declarations of the SAME reference name (JoinStep carries
+      // the exact column pairing), so multi-hop chains join correctly
+      // (reference rewriter.py:151-176). Dimension joins happen BEFORE the
+      // aggregate; dims are small, so at scale these broadcast.
       val joinSql = joins.values.toSeq.flatMap { path =>
-        path.sliding(2).collect { case Seq(a, b) =>
-          val aAlias = if (a.modelName == table) "__base" else modelAlias(a.modelName)
-          val bAlias = modelAlias(b.modelName)
-          val on = a.columns.zip(b.columns)
-            .map { case (ac, bc) => s"$aAlias.`$ac` = $bAlias.`$bc`" }.mkString(" AND ")
-          s" LEFT JOIN ${tableFor(b.modelName)} AS $bAlias ON $on"
+        path.map { st =>
+          val fromAlias = if (st.fromModel == table) "__base" else modelAlias(st.fromModel)
+          val toAlias = modelAlias(st.toModel)
+          val on = st.fromColumns.zip(st.toColumns)
+            .map { case (ac, bc) => s"$fromAlias.`$ac` = $toAlias.`$bc`" }.mkString(" AND ")
+          s" LEFT JOIN ${tableFor(st.toModel)} AS $toAlias ON $on"
         }
       }.distinct.mkString
       val fromSql =

@@ -399,9 +399,14 @@ class SnapshotEvaluator(
     if (materializer.currentDataDir(t).isEmpty) return
     val target = s.model.body match {
       case SqlBody(_) =>
+        // full render context — a model using variables or custom macros
+        // must migrate the same way it evaluates (r8 review finding: the
+        // macro-less render here aborted migration of any @MACRO model)
         spark.sql(RenderCache.cachedRender(renderCache, s.fingerprint.full, s.model,
-          start, end, executionTs, mapping,
+          start, end, executionTs, mapping, variables,
           thisModel = Some(t.qualified),
+          schemaOf = Renderer.catalogSchemaOf(spark, mapping),
+          macros = macros, macrosVersion = macrosVersion,
           columnValues = Renderer.catalogColumnValues(spark, mapping))).schema
       case ScalaBody(fn) => fn(spark, mapping, start, end).schema
       case SeedBody(path) =>

@@ -391,6 +391,23 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(!spark.table("mart.add_ignore").columns.contains("o_totalprice"))
   }
 
+  test("forward-only migration renders with custom macros and variables") {
+    // r8 review finding: migrate()'s render omitted the macro registry, so
+    // a schema change on any @MACRO-using forward-only model aborted
+    val ctx = newCtx()
+    ctx.addMacro("PRICECOL")(_ => "o_totalprice")
+    def mk(extra: String) = Model("mart.macro_fwd", SqlBody(
+      s"SELECT o_custkey$extra FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt"),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate", forwardOnly = true),
+      start = Some(dayMs("1995-01-01")))
+    ctx.addModel(mk(", @PRICECOL() AS p, o_orderdate"))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
+    // additive change on the same macro-using body must migrate cleanly
+    ctx.addModel(mk(", @PRICECOL() AS p, o_orderdate, o_orderstatus"))
+    ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), dayMs("1995-01-05")))
+    assert(spark.table("mart.macro_fwd").columns.contains("o_orderstatus"))
+  }
+
   test("includeUnmodified=false keeps unchanged models out of a dev environment") {
     val ctx = newCtx()
     def base(expr: String) = Model("mart.iu_base", SqlBody(

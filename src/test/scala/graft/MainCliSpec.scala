@@ -625,6 +625,12 @@ class MainCliSpec extends AnyFunSuite {
         |  - name: nometa          # no loaded_at_field: skipped, like dbt
         |    tables:
         |      - name: opaque
+        |  - name: badcount        # freshness block with no count: threshold
+        |    loaded_at_field: ts   # ignored, never a 0ms "always stale"
+        |    freshness:
+        |      warn_after: {period: hour}
+        |    tables:
+        |      - name: recent
         |""".stripMargin)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "models", "passthrough.sql"),
       "SELECT ts FROM {{ source('raw', 'fresh_tab') }}\n")
@@ -635,13 +641,17 @@ class MainCliSpec extends AnyFunSuite {
     val base = Seq("--project", proj,
       "--external", s"raw.stale_tab=$sf/events.parquet",
       "--external", s"raw.fresh_tab=$freshDir",
-      "--external", s"nometa.opaque=$sf/orders.parquet")
+      "--external", s"nometa.opaque=$sf/orders.parquet",
+      "--external", s"badcount.recent=$freshDir")
     val (c, o) = cli(Seq("dbt", "source", "freshness") ++ base: _*)
     assert(c == 2, o)                                  // an error-stale source fails the run
     assert(o.contains("raw.stale_tab: ERROR"), o)
     assert(o.contains("raw.fresh_tab: PASS"), o)
     assert(!o.contains("nometa"), o)                   // no loaded_at_field → skipped
-    assert(o.contains("2 checked, 0 warn, 1 error"), o)
+    // badcount.recent is checked (it has loaded_at) but its malformed
+    // threshold is dropped → PASS, not warn-on-everything
+    assert(o.contains("badcount.recent: PASS"), o)
+    assert(o.contains("3 checked, 0 warn, 1 error"), o)
   }
 
   test("export-schedule emits the DAG as JSON and an Airflow skeleton, mutating nothing") {
@@ -722,6 +732,11 @@ class MainCliSpec extends AnyFunSuite {
       """bash_command="graft run prod --select exp.daily --project $GRAFT_PROJECT""""), py)
     assert(py.contains("t_exp_daily >> t_exp_rollup"), py)
     assert(py.contains("# cron @daily, unit day, owner dana"), py)
+
+    // the exported batch commands must round-trip through the CLI's own
+    // timestamp parser (r8 review finding: ISO instants were rejected)
+    assert(Main.parseTs("1995-01-08T00:00:00Z") ==
+      java.time.LocalDate.parse("1995-01-08").toEpochDay * 86400000L)
 
     // read-only: the export recorded nothing — the same intervals are still
     // missing afterwards

@@ -25,8 +25,22 @@ class ReferenceGraphSpec extends AnyFunSuite {
 
   test("direct path: fact's reference joins the dimension's grain") {
     val path = g.findPath("db.orders", "db.customers")
-    assert(path.map(_.modelName).last == "db.customers")
-    assert(path.last.name == "customer_id" && path.last.unique)
+    assert(path.length == 1)
+    val st = path.head
+    assert(st.fromModel == "db.orders" && st.toModel == "db.customers")
+    assert(st.name == "customer_id" && !st.fromUnique && st.toUnique)
+    assert(st.fromColumns == Seq("customer_id") && st.toColumns == Seq("customer_id"))
+  }
+
+  test("terminal hop pairs the SHARED entity, never an unrelated ref of the target") {
+    // dim carries an extra ref that sorts before customer_id — the join must
+    // still pair customer_id with customer_id (r8 review finding)
+    val g2 = new ReferenceGraph(Seq(
+      m("db.fact", refs = Seq("customer_id")),
+      m("db.dim", grains = Seq("customer_id"), refs = Seq("acct_id"))))
+    val path = g2.findPath("db.fact", "db.dim")
+    assert(path.length == 1 && path.head.name == "customer_id")
+    assert(path.head.toColumns == Seq("customer_id"))
   }
 
   test("multi-hop paths chain through UNIQUE refs; composite names join with __") {
@@ -37,8 +51,11 @@ class ReferenceGraphSpec extends AnyFunSuite {
       m("db.region_info", grains = Seq("region_id"), cols = Seq("region_name")) :+
       m("db.customers2", grains = Seq("customer_id"), refs = Seq("region_id")))
     val path = g2.findPath("db.cust_attr", "db.region_info")
-    assert(path.last.modelName == "db.region_info" && path.last.unique)
+    assert(path.last.toModel == "db.region_info" && path.last.toUnique)
     assert(path.map(_.name).contains("region_id"))
+    // every hop's join pairing is the shared entity on BOTH sides
+    assert(path.forall(st => st.name == st.fromColumns.mkString("__")
+      && st.name == st.toColumns.mkString("__")))
     // a SECOND non-unique hop is forbidden (reference find_path: a path may
     // carry at most one fan-out) — order_items → cust_attr would need the
     // items' order_id ref AND orders' customer_id ref, both non-unique
@@ -47,6 +64,7 @@ class ReferenceGraphSpec extends AnyFunSuite {
       m("db.a", grains = Seq("(k1, k2)")),
       m("db.b", refs = Seq("(k1, k2)"))))
     assert(comp.findPath("db.b", "db.a").last.name == "k1__k2")
+    assert(comp.findPath("db.b", "db.a").last.toColumns == Seq("k1", "k2"))
   }
 
   test("many-to-many chains are rejected, loops never revisit") {
