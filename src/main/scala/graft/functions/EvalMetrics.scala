@@ -70,4 +70,54 @@ object EvalMetrics {
         round(avg(col("__y")), 6).as("pos_rate"))
       .withColumn("gap", round(col("mean_score") - col("pos_rate"), 6))
   }
+
+  /** ROUGE-N / clipped-BLEU-style n-gram overlap between paired texts —
+    * the standard generation-eval primitive (summaries vs references,
+    * model outputs vs gold), run as a corpus-scale Spark job. Per pair:
+    * `overlap = Σ_g min(count_cand(g), count_ref(g))` (BLEU's clipped
+    * match count), `precision = overlap / |cand n-grams|` (BLEU-n modified
+    * precision), `recall = overlap / |ref n-grams|` (ROUGE-N recall), and
+    * their F1 (ROUGE-N F-measure).
+    *
+    * Scale design: each side tokenizes once into (pair, gram) counts — the
+    * n-gram forming is a pure projection (`transform` over index range →
+    * explode), the counts one hash-shuffle per side — then a full-outer
+    * join on (pair, gram) and a final per-pair aggregate. Never holds a
+    * document's gram multiset in a single row; shuffles ∝ gram postings.
+    * Pairs where a side has < n tokens have no grams there → that
+    * denominator is 0 and the metric is null (nullif), not an error. */
+  def ngramOverlap(pairs: DataFrame, idCol: String = "pair_id",
+                   candCol: String = "cand", refCol: String = "ref",
+                   n: Int = 2): DataFrame = {
+    def grams(c: String, side: String): DataFrame = {
+      val ws = filter(split(lower(col(c)), "[^a-z0-9]+"), w => length(w) > 0)
+      // guard: sequence(1, stop) DESCENDS when stop < 1, so short texts
+      // must take the empty-array branch (explode then drops the row)
+      pairs.select(col(idCol), ws.as("__ws"))
+        .select(col(idCol), explode(when(size(col("__ws")) >= n, transform(
+            sequence(lit(1), size(col("__ws")) - (n - 1)),
+            i => concat_ws(" ", slice(col("__ws"), i, lit(n)))))
+          .otherwise(array())).as("gram"))
+        .groupBy(col(idCol), col("gram"))
+        .agg(count(lit(1)).as(side))
+    }
+    val c = grams(candCol, "c_cand")
+    val r = grams(refCol, "c_ref")
+    c.join(r, Seq(idCol, "gram"), "full_outer")
+      .groupBy(col(idCol))
+      .agg(
+        coalesce(sum(col("c_cand")), lit(0)).as("n_cand"),
+        coalesce(sum(col("c_ref")), lit(0)).as("n_ref"),
+        coalesce(sum(least(coalesce(col("c_cand"), lit(0)),
+          coalesce(col("c_ref"), lit(0)))), lit(0)).as("overlap"))
+      .withColumn("precision",
+        round(col("overlap") / nullif(col("n_cand"), lit(0)), 4))
+      .withColumn("recall",
+        round(col("overlap") / nullif(col("n_ref"), lit(0)), 4))
+      .withColumn("f1", round(
+        lit(2) * (col("overlap") / nullif(col("n_cand"), lit(0))) *
+          (col("overlap") / nullif(col("n_ref"), lit(0))) /
+          nullif(col("overlap") / nullif(col("n_cand"), lit(0)) +
+            col("overlap") / nullif(col("n_ref"), lit(0)), lit(0.0)), 4))
+  }
 }

@@ -179,6 +179,78 @@ object TextFunctions {
         round(avg(log10((col("tf") + 1) / col("__denom"))), 4).as("mean_logp"))
   }
 
+  /** TF-IDF keyword extraction: the top-`topK` highest-scoring terms per
+    * document, `score = tf * ln((N + 1) / (df + 1))` (smoothed IDF). The
+    * classic corpus-keyword / topic-tagging primitive for curation reports
+    * and source labeling.
+    *
+    * Scale design: ONE corpus tokenization feeds both statistics — per-doc
+    * term frequencies (`tf`, one shuffle on (doc, term)) and document
+    * frequencies (`df`, an aggregate OVER the tf frame, no second corpus
+    * scan). N is a one-row aggregate broadcast into the scoring join. The
+    * ranking window partitions by document over the per-doc TERM frame
+    * (bounded by a doc's distinct-term count), never the corpus. Scores are
+    * rounded to 6 decimals BEFORE ranking so ordering is reproducible
+    * across engines (ln differs in the last ulp between runtimes); rounded
+    * ties break on the term itself. */
+  def tfidfKeywords(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        w => length(w) > 0)).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfc, "term").join(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("__n") + 1) / (col("df") + 1)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
+  /** Bigram language-model quality score: mean log10 add-one-smoothed
+    * conditional probability `p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)` of a
+    * document's bigrams under the corpus LM — the next step up from
+    * [[unigramLogProb]] (CCNet-style filtering with word-order sensitivity:
+    * shuffled or templated text scores low even when its unigrams are
+    * common).
+    *
+    * Scale design: bigrams are formed by a pure `zip_with(slice, slice)`
+    * projection (codegen, zero shuffle — no per-doc window, no positional
+    * self-join); corpus statistics are two aggregations (bigram counts,
+    * unigram counts) and the vocabulary size rides in as a one-row
+    * broadcast. Scoring joins on the raw (w1, w2) pair — exact, and the
+    * shuffle is ∝ token postings like every other LM pass here. Documents
+    * with fewer than two tokens have no bigrams and drop out. */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val words = docs.select(col(idCol),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        w => length(w) > 0).as("ws"))
+    val bi = words.filter(size(col("ws")) >= 2).select(col(idCol),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val toks = words.select(col(idCol), explode(col("ws")).as("tok"))
+    val c1 = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).cast("double").as("__v"))
+    bi.join(c2, Seq("w1", "w2"))
+      .join(c1.withColumnRenamed("tok", "w1"), "w1")
+      .join(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log10((col("c2") + 1) / (col("c1") + col("__v")))), 4)
+          .as("mean_logp2"))
+  }
+
   /** Word/n-gram repetition signals (the Gopher-rules repetition family:
     * duplicate-token fraction and most-frequent-token fraction — boilerplate
     * and spam score high on both). Tokens are lowercased alphanumeric runs;

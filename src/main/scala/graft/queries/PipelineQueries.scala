@@ -746,6 +746,108 @@ object PipelineQueries {
         |FROM toks t JOIN vocab v USING (tok), sizes s
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
 
+    // bigram LM: word-order-sensitive CCNet-style quality score — shuffled
+    // or templated text scores low even when its unigrams are common
+    "td_bigram_lm" -> Entry((s, dir) => {
+      TextFunctions.bigramLogProb(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), bi AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM words, UNNEST(range(1, len(ws))) AS u(i)
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT tok, count(*) AS c1
+        |  FROM (SELECT unnest(ws) AS tok FROM words) GROUP BY 1
+        |), v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1)
+        |SELECT bi.doc_id, count(*) AS n_bigrams,
+        |  round(avg(log10((c2.c2 + 1) / (c1.c1 + v.v))), 4) AS mean_logp2
+        |FROM bi JOIN c2 USING (w1, w2) JOIN c1 ON bi.w1 = c1.tok, v
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin)),
+
+    // TF-IDF keyword extraction: top-3 corpus-weighted terms per document
+    "td_tfidf" -> Entry((s, dir) => {
+      TextFunctions.tfidfKeywords(t(s, dir, "documents"), topK = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfc AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+        |    round(tf.tf * ln((n.n + 1) / (dfc.df + 1)), 6) AS tfidf
+        |  FROM tf JOIN dfc USING (term), n
+        |), ranked AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank,
+        |    term, tf, df, tfidf
+        |  FROM scored
+        |)
+        |SELECT * FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin)),
+
+    // ROUGE-2 / clipped-BLEU n-gram overlap between paired texts (each doc
+    // scored against the next doc_id as its "reference" — the corpus-scale
+    // generation-eval shape; real use pairs model output with gold)
+    "td_rouge" -> Entry((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = d.as("a").join(d.as("b"),
+          col("a.doc_id") + 1 === col("b.doc_id"))
+        .select(col("a.doc_id").as("pair_id"),
+          col("a.text").as("cand"), col("b.text").as("ref"))
+      graft.functions.EvalMetrics.ngramOverlap(pairs, n = 2)
+        .orderBy(col("pair_id"))
+    }, Some(
+      """WITH pairs AS (
+        |  SELECT a.doc_id AS pair_id, a.text AS cand, b.text AS ref
+        |  FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+        |), cw AS (
+        |  SELECT pair_id, list_filter(
+        |    string_split_regex(lower(cand), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+        |  FROM pairs
+        |), rw AS (
+        |  SELECT pair_id, list_filter(
+        |    string_split_regex(lower(ref), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+        |  FROM pairs
+        |), cc AS (
+        |  SELECT pair_id, array_to_string(ws[i:i+1], ' ') AS gram,
+        |    count(*) AS c_cand
+        |  FROM cw, UNNEST(range(1, len(ws))) AS u(i) GROUP BY 1, 2
+        |), rc AS (
+        |  SELECT pair_id, array_to_string(ws[i:i+1], ' ') AS gram,
+        |    count(*) AS c_ref
+        |  FROM rw, UNNEST(range(1, len(ws))) AS u(i) GROUP BY 1, 2
+        |), j AS (
+        |  SELECT coalesce(cc.pair_id, rc.pair_id) AS pair_id,
+        |    coalesce(cc.c_cand, 0) AS c_cand, coalesce(rc.c_ref, 0) AS c_ref
+        |  FROM cc FULL OUTER JOIN rc
+        |    ON cc.pair_id = rc.pair_id AND cc.gram = rc.gram
+        |), agg AS (
+        |  SELECT pair_id, CAST(sum(c_cand) AS BIGINT) AS n_cand,
+        |    CAST(sum(c_ref) AS BIGINT) AS n_ref,
+        |    CAST(sum(least(c_cand, c_ref)) AS BIGINT) AS overlap
+        |  FROM j GROUP BY pair_id
+        |)
+        |SELECT pair_id, n_cand, n_ref, overlap,
+        |  round(overlap / CAST(nullif(n_cand, 0) AS DOUBLE), 4) AS "precision",
+        |  round(overlap / CAST(nullif(n_ref, 0) AS DOUBLE), 4) AS recall,
+        |  round(2 * (overlap / CAST(nullif(n_cand, 0) AS DOUBLE))
+        |      * (overlap / CAST(nullif(n_ref, 0) AS DOUBLE))
+        |    / nullif(overlap / CAST(nullif(n_cand, 0) AS DOUBLE)
+        |      + overlap / CAST(nullif(n_ref, 0) AS DOUBLE), 0.0), 4) AS f1
+        |FROM agg ORDER BY pair_id""".stripMargin)),
+
     // CCNet perplexity bucketing (Wenzek et al. 2020): per-language
     // head/middle/tail cut at the 1/3 and 2/3 unigram-LM score quantiles —
     // thresholds from one percentile aggregate, no per-language window

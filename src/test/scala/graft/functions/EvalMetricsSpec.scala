@@ -53,4 +53,38 @@ class EvalMetricsSpec extends AnyFunSuite {
     // weighted |gap| = ECE ingredients present
     assert(bins.forall(r => !r.isNullAt(4)))
   }
+
+  test("ngramOverlap n=1: clipped counts, empty side yields null metric") {
+    val pairs = Seq(
+      (1L, "the cat sat", "the cat ran"), // overlap {the,cat} = 2/3 each way
+      (2L, "a a a", "a b"),               // clipping: min(3,1)=1
+      (3L, "", "x y")                     // no cand grams → precision null
+    ).toDF("pair_id", "cand", "ref")
+    val out = EvalMetrics.ngramOverlap(pairs, n = 1).orderBy("pair_id").collect()
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((3L, 3L, 2L)))
+    assert(r1.getDouble(4) == 0.6667 && r1.getDouble(5) == 0.6667 &&
+      r1.getDouble(6) == 0.6667)
+    val r2 = out(1)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((3L, 2L, 1L)))
+    assert(r2.getDouble(4) == 0.3333 && r2.getDouble(5) == 0.5 &&
+      r2.getDouble(6) == 0.4)
+    val r3 = out(2)
+    assert((r3.getLong(1), r3.getLong(2), r3.getLong(3)) == ((0L, 2L, 0L)))
+    assert(r3.isNullAt(4) && r3.getDouble(5) == 0.0 && r3.isNullAt(6))
+  }
+
+  test("ngramOverlap n=2 forms bigrams; short sides produce no grams") {
+    val pairs = Seq(
+      (1L, "a b c", "b c d"),  // cand {a b, b c}, ref {b c, c d} → overlap 1
+      (2L, "solo", "x y")      // 1-token cand: zero bigrams
+    ).toDF("pair_id", "cand", "ref")
+    val out = EvalMetrics.ngramOverlap(pairs, n = 2).orderBy("pair_id").collect()
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((2L, 2L, 1L)))
+    assert(r1.getDouble(4) == 0.5 && r1.getDouble(5) == 0.5 && r1.getDouble(6) == 0.5)
+    val r2 = out(1)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((0L, 1L, 0L)))
+    assert(r2.isNullAt(4))
+  }
 }

@@ -215,4 +215,35 @@ class TextQualitySpec extends AnyFunSuite {
       graft.functions.TextFunctions.winnowFingerprints($"text", 5, 4).as("fps"))
       .as[Seq[Long]].collect().toSeq)
   }
+
+  test("tfidfKeywords ranks corpus-weighted terms, rare beats common") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian")).toDF("doc_id", "text")
+    val out = TextFunctions.tfidfKeywords(docs, topK = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // N=3; idf = ln(4/(df+1)): apple df=1 → ln2, banana df=2 → ln(4/3)
+    assert(out.toSeq == Seq(
+      (1L, 1, "apple", 2L, 1L, 1.386294),   // 2·ln2
+      (1L, 2, "banana", 1L, 2L, 0.287682),  // ln(4/3)
+      (2L, 1, "cherry", 1L, 1L, 0.693147),
+      (2L, 2, "banana", 1L, 2L, 0.287682),
+      (3L, 1, "durian", 1L, 1L, 0.693147)))
+  }
+
+  test("bigramLogProb: add-one conditional probs; <2-token docs drop") {
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.bigramLogProb(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // c1: a=3 b=2, V=3 (a,b,solo); c2: (a,b)=1 (b,a)=2
+    // p(b|a)=(1+1)/(3+3)=1/3, p(a|b)=(2+1)/(2+3)=0.6
+    val l1 = math.log10(1.0 / 3); val l2 = math.log10(0.6)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out.toSeq == Seq(
+      (1L, 2L, r4((l1 + l2) / 2)), (2L, 1L, r4(l2))))
+  }
 }
