@@ -232,6 +232,17 @@ class GraftContext(
       }
       lintIgnoredRules ++= cfg.linterIgnored
       if (!cfg.linterEnabled) lintEnabled = false
+      // severity overrides (reference LinterConfig rules/warn_rules with the
+      // "all" sentinel): expand, then reject overlap — definition.py:41
+      // raises on rules ∩ warn_rules
+      def expand(s: Set[String]) =
+        if (s.contains("all")) graft.linter.Linter.allRuleNames.toSet else s
+      val err = expand(cfg.linterRules); val warn = expand(cfg.linterWarnRules)
+      val overlap = err.intersect(warn)
+      require(overlap.isEmpty,
+        s"linter: rules and warn_rules overlap on ${overlap.toSeq.sorted.mkString(", ")}")
+      lintErrorRules ++= err
+      lintWarnRules ++= warn
     }
     this
   }
@@ -241,6 +252,11 @@ class GraftContext(
     * entirely (models still analyze at plan time). */
   private val lintIgnoredRules = scala.collection.mutable.Set[String]()
   private var lintEnabled = true
+  /** config.yaml severity selections (reference LinterConfig.rules /
+    * warn_rules): when either is non-empty, ONLY selected rules report —
+    * `lintErrorRules` as blocking, `lintWarnRules` as warnings. */
+  private val lintErrorRules = scala.collection.mutable.Set[String]()
+  private val lintWarnRules = scala.collection.mutable.Set[String]()
 
   // ----------------------------------------------------------- metrics ----
 
@@ -457,8 +473,21 @@ class GraftContext(
         .filterNot(m => testedModels.contains(m.name))
         .map(m => Linter.Violation("nomissingunittest", m.name,
           "model has no unit test in the loaded tests directory", blocking = false))
+    val severityConfigured = lintErrorRules.nonEmpty || lintWarnRules.nonEmpty
     val all = (base ++ missingExt ++ starExpansion ++ analysis ++ missingTests)
       .filterNot(v => lintIgnoredRules.contains(v.rule))
+      // per-model ignored_rules (reference linter/definition.py:63)
+      .filterNot(v => models.get(v.model).exists(_.ignoredRules.contains(v.rule)))
+      // config severity selection: when rules/warn_rules are configured only
+      // the selected rules report, at the configured severity (reference
+      // opt-in semantics, definition.py:49-55); unconfigured keeps the
+      // built-in severities
+      .flatMap { v =>
+        if (!severityConfigured) Some(v)
+        else if (lintErrorRules.contains(v.rule)) Some(v.copy(blocking = true))
+        else if (lintWarnRules.contains(v.rule)) Some(v.copy(blocking = false))
+        else None
+      }
       .filter(_ => lintEnabled)
     if (enforce && all.exists(_.blocking))
       throw new IllegalStateException("linter: " + all.filter(_.blocking)

@@ -88,7 +88,11 @@ final case class Model(
     virtualProperties: Map[String, String] = Map.empty,
     /** disabled models are skipped at load (reference `enabled`,
       * meta.py:112) — kept out of plans, never materialized. */
-    enabled: Boolean = true) {
+    enabled: Boolean = true,
+    /** per-model linter opt-outs (reference `ignored_rules` model property,
+      * linter/definition.py:63): these rules never report for THIS model.
+      * Lint metadata only — excluded from both hashes. */
+    ignoredRules: Set[String] = Set.empty) {
 
   require(name.nonEmpty)
   def schemaName: String = name.split('.').dropRight(1).mkString(".") match {

@@ -62,6 +62,16 @@ object Linter {
   val defaultRules: Seq[Rule] =
     Seq(noSelectStar, noMissingAudits, noMissingOwner, incrementalMustFilterTime)
 
+  /** Every rule name the engine can emit — the model-local rules above plus
+    * the context-aware ones raised by GraftContext.lint. The "all" sentinel
+    * in config rules/warn_rules expands to this set (reference
+    * linter/definition.py:19 select_rules). */
+  val allRuleNames: Seq[String] = Seq(
+    "noselectstar", "nomissingaudits", "nomissingowner",
+    "incrementalmustfiltertime", "nomissingexternalmodels",
+    "invalidselectstarexpansion", "ambiguousorinvalidcolumn",
+    "noambiguousprojections", "nomissingunittest")
+
   def lint(models: Seq[Model], rules: Seq[Rule] = defaultRules): Seq[Violation] =
     for { m <- models; r <- rules; v <- r(m) } yield v
 

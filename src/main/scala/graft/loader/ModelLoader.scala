@@ -198,6 +198,8 @@ object ModelLoader {
       onAdditiveChange = unq(props.getOrElse("on_additive_change", "allow")).toLowerCase,
       stamp = props.get("stamp").map(unq),
       enabled = props.get("enabled").forall(_.trim.toBoolean),
+      ignoredRules = props.get("ignored_rules")
+        .map(listOf(_).map(_.toLowerCase).toSet).getOrElse(Set.empty),
       physicalProperties = props.get("physical_properties").map(parseProps).getOrElse(Map.empty),
       sessionProperties = props.get("session_properties").map(parseProps).getOrElse(Map.empty),
       virtualProperties = props.get("virtual_properties").map(parseProps).getOrElse(Map.empty))

@@ -36,6 +36,8 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   * linter:
   *   enabled: true
   *   ignored_rules: [noselectstar]
+  *   rules: [nomissingowner]       # opt-in selection, forced to ERROR
+  *   warn_rules: [nomissingaudits] # selected at WARN severity ("all" expands)
   * }}}
   */
 final case class ProjectConfig(
@@ -56,7 +58,15 @@ final case class ProjectConfig(
     beforeAll: Seq[String] = Nil,
     afterAll: Seq[String] = Nil,
     linterEnabled: Boolean = true,
-    linterIgnored: Set[String] = Set.empty)
+    linterIgnored: Set[String] = Set.empty,
+    /** rules forced to ERROR severity (reference LinterConfig.rules;
+      * the "all" sentinel selects every rule). When either severity list is
+      * present, ONLY the listed rules report — the reference's opt-in
+      * selection semantics (linter/definition.py:49-55). */
+    linterRules: Set[String] = Set.empty,
+    /** rules downgraded to warnings (reference LinterConfig.warn_rules);
+      * must be disjoint from [[linterRules]] (definition.py:41). */
+    linterWarnRules: Set[String] = Set.empty)
 
 object ProjectConfig {
 
@@ -114,13 +124,18 @@ object ProjectConfig {
       beforeAll = strList("before_all"),
       afterAll = strList("after_all"),
       linterEnabled = linter.flatMap(n => textOpt(n, "enabled")).forall(_.toBoolean),
-      linterIgnored = linter.map { n =>
-        Option(n.get("ignored_rules")).map {
-          case t if t.isArray => t.elements.asScala.map(_.asText).toSet
-          case t              => Set(t.asText)
-        }.getOrElse(Set.empty[String])
-      }.getOrElse(Set.empty))
+      linterIgnored = ruleSet(linter, "ignored_rules"),
+      linterRules = ruleSet(linter, "rules"),
+      linterWarnRules = ruleSet(linter, "warn_rules"))
   }
+
+  /** A linter rule list: YAML array or a single scalar, lowercased
+    * (reference LinterConfig.rules_validator). */
+  private def ruleSet(linter: Option[JsonNode], key: String): Set[String] =
+    linter.flatMap(n => Option(n.get(key))).map {
+      case t if t.isArray => t.elements.asScala.map(_.asText.toLowerCase).toSet
+      case t              => Set(t.asText.toLowerCase)
+    }.getOrElse(Set.empty)
 
   /** `'7 days'`, `'12 hours'`, `'30 minutes'`, or plain epoch-ms. */
   private[loader] def parseTtl(s: String): Long = {

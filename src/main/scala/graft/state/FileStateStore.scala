@@ -301,6 +301,8 @@ final class FileStateStore(
     o.put("on_additive_change", m.onAdditiveChange)
     m.stamp.foreach(o.put("stamp", _))
     if (!m.enabled) o.put("enabled", false)
+    if (m.ignoredRules.nonEmpty)
+      o.set[JsonNode]("ignored_rules", strArr(m.ignoredRules.toSeq.sorted))
     if (m.physicalProperties.nonEmpty) putMap(o, "physical_properties", m.physicalProperties)
     if (m.sessionProperties.nonEmpty) putMap(o, "session_properties", m.sessionProperties)
     if (m.virtualProperties.nonEmpty) putMap(o, "virtual_properties", m.virtualProperties)
@@ -355,6 +357,7 @@ final class FileStateStore(
         .map(_.asText()).getOrElse("error"),
       stamp = Option(n.get("stamp")).map(_.asText()),
       enabled = Option(n.get("enabled")).forall(_.asBoolean()),
+      ignoredRules = seqOf(n.path("ignored_rules")).toSet,
       physicalProperties = mapOf(n.path("physical_properties")),
       sessionProperties = mapOf(n.path("session_properties")),
       virtualProperties = mapOf(n.path("virtual_properties")))

@@ -106,4 +106,48 @@ class LinterRulesSpec extends AnyFunSuite {
     // and the loaded test actually runs green
     assert(c.runTests().forall(_.failure.isEmpty))
   }
+
+  test("config rules/warn_rules re-severity and select; model ignored_rules opt out") {
+    val proj = SparkTestSession.tmpDir("proj-lint-sev")
+    def w(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, name), text)
+    w("config.yaml",
+      """linter:
+        |  rules: [nomissingowner]
+        |  warn_rules: [noselectstar]
+        |""".stripMargin)
+    // ownerless + outer star (over a registered external, so it lints clean
+    // otherwise); second model opts out of the owner rule per-model
+    w("m1.sql", "MODEL (name l.sev1, kind FULL);\nSELECT * FROM raw.nation\n")
+    w("m2.sql",
+      "MODEL (name l.sev2, kind FULL, ignored_rules (nomissingowner));\n" +
+        "SELECT n_name AS n FROM raw.nation\n")
+    val c = ctx()
+    c.loadModels(proj)
+    val vs = c.lint()
+    // nomissingowner escalated warn → error by `rules`
+    assert(vs.exists(v => v.model == "l.sev1" && v.rule == "nomissingowner" && v.blocking))
+    // noselectstar downgraded error → warn by `warn_rules`
+    assert(vs.exists(v => v.model == "l.sev1" && v.rule == "noselectstar" && !v.blocking))
+    // unselected rules are NOT applied (reference opt-in selection):
+    // nomissingaudits would fire on both models otherwise
+    assert(!vs.exists(_.rule == "nomissingaudits"))
+    // per-model ignored_rules (reference linter/definition.py:63)
+    assert(!vs.exists(v => v.model == "l.sev2" && v.rule == "nomissingowner"))
+  }
+
+  test("rules/warn_rules overlap is a config error; 'all' expands") {
+    val proj = SparkTestSession.tmpDir("proj-lint-overlap")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(proj, "config.yaml"),
+      """linter:
+        |  rules: ALL
+        |  warn_rules: [noselectstar]
+        |""".stripMargin)
+    val ex = intercept[IllegalArgumentException](ctx().loadModels(proj))
+    assert(ex.getMessage.contains("noselectstar"))
+    // parse side: ALL lowercases into the set
+    val cfg = ProjectConfig.parse("linter:\n  rules: ALL\n")
+    assert(cfg.linterRules == Set("all"))
+  }
 }
