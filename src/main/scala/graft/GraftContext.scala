@@ -230,6 +230,7 @@ class GraftContext(
       cfg.variables.foreach { case (k, v) =>
         if (!variables.contains(k) && !extraVariables.contains(k)) extraVariables(k) = v
       }
+      cfg.defaultTargetEnvironment.foreach(defaultTargetEnvironment = _)
       lintIgnoredRules ++= cfg.linterIgnored
       if (!cfg.linterEnabled) lintEnabled = false
       // severity overrides (reference LinterConfig rules/warn_rules with the
@@ -250,6 +251,10 @@ class GraftContext(
   /** Linter toggles from config.yaml (reference core/config/linter.py):
     * rules in `ignored_rules` never report; `enabled: false` silences lint
     * entirely (models still analyze at plan time). */
+  /** env `plan`/`run` target when the CLI names none (reference
+    * config/root.py:161 default_target_environment). */
+  var defaultTargetEnvironment: String = "prod"
+
   private val lintIgnoredRules = scala.collection.mutable.Set[String]()
   private var lintEnabled = true
   /** config.yaml severity selections (reference LinterConfig.rules /

@@ -173,7 +173,7 @@ object Main {
 
       verb match {
         case "plan" =>
-          val env = positional.headOption.getOrElse("prod")
+          val env = positional.headOption.getOrElse(ctx.defaultTargetEnvironment)
           // the reference plan gates on linter + unit tests before building
           // (cli/main.py --skip-tests/--skip-linter; plan() runs both)
           val lintBlockers =
@@ -251,7 +251,7 @@ object Main {
             0
           }
         case "run" =>
-          val env = positional.headOption.getOrElse("prod")
+          val env = positional.headOption.getOrElse(ctx.defaultTargetEnvironment)
           ctx.run(env, start, end,
             ignoreCron = has("ignore-cron"),
             selectModels = flagAll("select"),

@@ -199,7 +199,11 @@ object TextFunctions {
     val toks = docs.select(col(idCol),
       explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
         w => length(w) > 0)).as("term"))
+    // persist: tf feeds BOTH the df aggregate and the scoring join — without
+    // the barrier each branch re-tokenizes the corpus and repeats the
+    // (doc, term) shuffle (the expensive pass at 100 TB)
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("__n"))
     val w = Window.partitionBy(col(idCol))

@@ -57,6 +57,9 @@ final case class ProjectConfig(
     concurrency: Option[Int] = None,
     beforeAll: Seq[String] = Nil,
     afterAll: Seq[String] = Nil,
+    /** default env for `plan`/`run` when none is given (reference
+      * config/root.py:161 default_target_environment; default "prod"). */
+    defaultTargetEnvironment: Option[String] = None,
     linterEnabled: Boolean = true,
     linterIgnored: Set[String] = Set.empty,
     /** rules forced to ERROR severity (reference LinterConfig.rules;
@@ -123,6 +126,7 @@ object ProjectConfig {
       concurrency = textOpt(root, "concurrency").map(_.toInt),
       beforeAll = strList("before_all"),
       afterAll = strList("after_all"),
+      defaultTargetEnvironment = textOpt(root, "default_target_environment"),
       linterEnabled = linter.flatMap(n => textOpt(n, "enabled")).forall(_.toBoolean),
       linterIgnored = ruleSet(linter, "ignored_rules"),
       linterRules = ruleSet(linter, "rules"),

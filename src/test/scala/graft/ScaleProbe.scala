@@ -62,6 +62,19 @@ object ScaleProbe {
           .filter(col("q.pass") && length(col("t")) > 0).count()
       }
       time(s"unigram_lm $label") { TextFunctions.unigramLogProb(d).count() }
+      time(s"bigram_lm $label") { TextFunctions.bigramLogProb(d).count() }
+      time(s"tfidf_top3 $label") {
+        TextFunctions.tfidfKeywords(d, topK = 3).count()
+      }
+      time(s"rouge2_pairs $label") {
+        // consecutive-id pairing as in td_rouge: join then gram-overlap
+        val dd = d.select(col("doc_id"), col("text"))
+        val pairs = dd.as("a").join(dd.as("b"),
+            col("a.doc_id") + 1 === col("b.doc_id"))
+          .select(col("a.doc_id").as("pair_id"),
+            col("a.text").as("cand"), col("b.text").as("ref"))
+        EvalMetrics.ngramOverlap(pairs, n = 2).count()
+      }
       time(s"token_budget $label") {
         Sampling.tokenBudgetMix(d, "doc_id", "source", col("n_chars"),
           (0 until 20).map(i => s"src$i" -> 100000L).toMap).count()

@@ -242,6 +242,7 @@ class ModelLoaderSpec extends AnyFunSuite {
     assert(ProjectConfig.parseTtl("86400000") == 86400000L)
     val c = ProjectConfig.parse(
       """environment_ttl: 2 days
+        |default_target_environment: dev
         |environment_suffix_target: table
         |state_dir: custom/.state
         |concurrency: 8
@@ -250,6 +251,7 @@ class ModelLoaderSpec extends AnyFunSuite {
         |  enabled: false
         |""".stripMargin)
     assert(c.environmentTtlMs.contains(2L * 24 * 3600 * 1000))
+    assert(c.defaultTargetEnvironment.contains("dev"))
     assert(c.environmentSuffixTarget.contains("table"))
     assert(c.stateDir.contains("custom/.state"))
     assert(c.concurrency.contains(8))
