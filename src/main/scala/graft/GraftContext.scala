@@ -1294,6 +1294,18 @@ class GraftContext(
     s"`$db`.`$view`"
   }
 
+  /** Models whose snapshot version differs between two environments —
+    * `table_diff source:target` WITHOUT a model diffs exactly this set
+    * (reference cli/main.py:966: model optional; env-pair invocations diff
+    * the changed models, optionally narrowed by --select-model). */
+  def changedModelsBetween(sourceEnv: String, targetEnv: String): Seq[String] = {
+    val s = state.environments.find(_.name == sourceEnv).map(_.snapshots)
+      .getOrElse(Map.empty[String, String])
+    val t = state.environments.find(_.name == targetEnv).map(_.snapshots)
+      .getOrElse(Map.empty[String, String])
+    (s.keySet intersect t.keySet).filter(m => s(m) != t(m)).toSeq.sorted
+  }
+
   /** Diff one model's data between two environments (reference `sqlmesh
     * table_diff source_env:target_env model`, cli/main.py:966): row-level
     * full-outer comparison on the model's grain. */

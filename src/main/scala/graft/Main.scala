@@ -22,7 +22,7 @@ import graft.core.{Interval, IntervalUnit}
   *   audit <model>         run the model's audits, print violation counts
   *   lint                  print linter violations (exit 2 if blocking)
   *   test                  run YAML unit tests (--tests DIR or <project>/tests)
-  *   table-diff <model> <srcEnv:tgtEnv>   row/schema diff between envs
+  *   table-diff [<model>] <srcEnv:tgtEnv>  row/schema diff (no model: all changed)
   *   check-intervals [env] per-model missing intervals in the window
   *   fetch <sql>           query through the virtual layer, print rows
   *   table-name <model> [env]   the env view a model resolves to
@@ -299,18 +299,47 @@ object Main {
           out.println(s"${vs.size} violations (${vs.count(_.blocking)} blocking)")
           if (vs.exists(_.blocking)) 2 else 0
         case "table-diff" =>
-          val model = positionalRequired(positional, "table-diff <model> <src:tgt>")
-          val envs = positional.drop(1).headOption.getOrElse(
-            throw new IllegalArgumentException("table-diff <model> <srcEnv:tgtEnv>"))
+          val first = positionalRequired(positional, "table-diff [<model>] <src:tgt>")
+          // model is OPTIONAL (reference cli/main.py:966): an env-pair-only
+          // invocation diffs every model changed between the environments
+          val (modelOpt, envs) = positional.drop(1).headOption match {
+            case Some(e) => (Some(first), e)
+            case None if first.contains(":") => (None, first)
+            case None => throw new IllegalArgumentException(
+              "table-diff [<model>] <srcEnv:tgtEnv>")
+          }
           val (src, tgt) = splitOnce(envs, ':', "source:target envs")
           val keys = flag("keys").map(_.split(',').toSeq).getOrElse(Nil)
           val where = flag("where")
           val skipCols = flag("skip-columns").map(_.split(',').toSeq).getOrElse(Nil)
-          printDf(out, ctx.tableDiff(model, src, tgt, keys, where, skipCols,
-            decimals = flag("decimals").map(_.toInt).getOrElse(3)))
-          if (has("show-sample"))
-            printDf(out, ctx.tableDiffSample(model, src, tgt, keys, where, skipCols,
-              limit = flag("limit").map(_.toInt).getOrElse(20)))
+          val targets = modelOpt match {
+            case Some(m) => Seq(m)
+            case None =>
+              val changed = ctx.changedModelsBetween(src, tgt)
+              val sel = flagAll("select")
+              if (sel.isEmpty) changed
+              else {
+                val all = ctx.allModels
+                val wanted = graft.core.ModelSelector.expand(sel, all)
+                changed.filter(wanted)
+              }
+          }
+          if (modelOpt.isEmpty)
+            out.println(s"${targets.size} changed model(s) between $src and $tgt")
+          targets.foreach { model =>
+            if (modelOpt.isEmpty) out.println(s"--- $model")
+            // in multi-model mode a grain-less model is reported, not fatal
+            if (modelOpt.isEmpty && keys.isEmpty &&
+                ctx.allModels.get(model).exists(_.grains.isEmpty))
+              out.println(s"  (skipped: no grain declared)")
+            else {
+              printDf(out, ctx.tableDiff(model, src, tgt, keys, where, skipCols,
+                decimals = flag("decimals").map(_.toInt).getOrElse(3)))
+              if (has("show-sample"))
+                printDf(out, ctx.tableDiffSample(model, src, tgt, keys, where,
+                  skipCols, limit = flag("limit").map(_.toInt).getOrElse(20)))
+            }
+          }
           0
         case "check-intervals" =>
           val env = positional.headOption.getOrElse("prod")

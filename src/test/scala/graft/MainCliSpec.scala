@@ -911,6 +911,16 @@ class MainCliSpec extends AnyFunSuite {
     val (t2, diffSkip) = cli(Seq("table-diff", "cli6.late", "prod:dev",
       "--skip-columns", "n", "--show-sample") ++ base: _*)
     assert(t2 == 0 && !diffSkip.contains("match_n"), diffSkip)
+    // env-pair-only invocation (reference: model optional) diffs exactly
+    // the models changed between the envs — cli6.other is unchanged
+    val (t3, diffEnvs) = cli(Seq("table-diff", "prod:dev") ++ base: _*)
+    assert(t3 == 0 && diffEnvs.contains("1 changed model(s)") &&
+      diffEnvs.contains("--- cli6.late") && !diffEnvs.contains("cli6.other"),
+      diffEnvs)
+    // --select narrows the changed set; a non-matching selector diffs nothing
+    val (t4, diffSel) = cli(Seq("table-diff", "prod:dev",
+      "--select", "cli6.other") ++ base: _*)
+    assert(t4 == 0 && !diffSel.contains("--- cli6.late"), diffSel)
   }
 
   test("diff / rewrite / clean / migrate / rollback verbs") {
