@@ -1761,6 +1761,36 @@ object PipelineQueries {
         |WHERE session_end < w
         |ORDER BY user_id, session_start""".stripMargin)),
 
+    "td_stream_window_agg" -> Entry((s, dir) => {
+      // watermarked tumbling-window aggregation (the streaming analog of the
+      // hourly rollup): append mode emits exactly the windows closed by the
+      // final watermark (max event time - delay) — batch-reconstructible,
+      // so the streaming run is hash-checked like the other stream entries
+      val raw = QueryUtil.readEvents(s, s"$dir/events.parquet")
+      val src = java.nio.file.Files.createTempDirectory("graft_wagg_src")
+      raw.write.mode("append").parquet(src.toString)
+      val sink = java.nio.file.Files.createTempDirectory("graft_wagg_sink").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_wagg_chk").toString
+      graft.streaming.Streaming.runAvailableNow(s, src.toString, raw.schema,
+        df => graft.streaming.Streaming.windowedAgg(
+          df, "ts", "1 hour", "1 minute",
+          keys = Seq(col("event_type")),
+          aggs = Seq(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("total"))),
+        sink, chk)
+      s.read.parquet(sink).orderBy(col("window_start"), col("event_type"))
+    }, Some(
+      """WITH wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+        |    time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+        |    event_type, count(*) AS n, round(sum(value), 4) AS total
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT window_start, window_end, event_type, n, total FROM agg, wm
+        |WHERE window_end < w
+        |ORDER BY window_start, event_type""".stripMargin)),
+
     "td_stream_join" -> Entry((s, dir) => {
       // watermarked stream-stream interval join: clicks enriched with the
       // same user's purchases within 30 minutes. One AvailableNow drain =
