@@ -22,6 +22,24 @@ object Dedup {
       .drop("__key")
   }
 
+  /** Incremental (cross-batch) exact dedup — the ingest shape: an incoming
+    * batch is kept only where its content key appears in neither the
+    * existing corpus NOR earlier in the batch itself (within-batch ties keep
+    * the smallest id). At 100 TB the corpus side reduces to its distinct
+    * key set before the anti-join, so the shuffle carries keys, not
+    * documents, and successive ingests pay ∝ batch + |corpus keys| — never
+    * a corpus rescan per document. */
+  def incrementalExact(corpus: DataFrame, incoming: DataFrame,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val seen = corpus
+      .select(TextFunctions.contentKey(col(textCol)).as("__key")).distinct()
+    incoming.withColumn("__key", TextFunctions.contentKey(col(textCol)))
+      .groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
+      .join(seen, Seq("__key"), "left_anti")
+      .drop("__key")
+  }
+
   /** Distinct word n-gram shingles per document as ONE array column — fully
     * in-row (tokenize → slice → array_distinct), NO shuffle. Per-doc
     * signatures and sizes derive from this row without any aggregation.

@@ -30,6 +30,26 @@ object PipelineQueries {
         |      FROM documents)
         |GROUP BY k ORDER BY doc_id""".stripMargin)),
 
+    // incremental ingest dedup: an incoming batch survives only where its
+    // content key is new to the corpus AND first within the batch — the
+    // per-snapshot ingest path (corpus side collapses to distinct keys)
+    "td_incremental_dedup" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalExact(
+          docs.filter(col("doc_id") <= 250), docs.filter(col("doc_id") > 250))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH keyed AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS k
+        |  FROM documents
+        |), inc AS (
+        |  SELECT k, min(doc_id) AS doc_id FROM keyed WHERE doc_id > 250
+        |  GROUP BY k
+        |)
+        |SELECT doc_id FROM inc
+        |WHERE k NOT IN (SELECT DISTINCT k FROM keyed WHERE doc_id <= 250)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------ cross-doc span duplication -----
     "td_span_dedup" -> Entry((s, dir) => {
       // exact-substring dedup signal (Lee et al.): fraction of each doc's

@@ -216,6 +216,19 @@ class TextQualitySpec extends AnyFunSuite {
       .as[Seq[Long]].collect().toSeq)
   }
 
+  test("incrementalExact keeps only batch docs new to corpus and batch") {
+    val corpus = Seq((1L, "seen before"), (2L, "also  seen")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "Seen Before"),       // normalizes to a corpus key → dropped
+      (11L, "fresh content"),     // new → kept
+      (12L, "fresh content"),     // within-batch dup → only 11 survives
+      (13L, "also seen")          // whitespace-normalized corpus dup → dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(corpus, incoming)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L))
+  }
+
   test("tfidfKeywords ranks corpus-weighted terms, rare beats common") {
     val docs = Seq(
       (1L, "apple banana apple"),
