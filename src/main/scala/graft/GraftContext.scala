@@ -231,19 +231,19 @@ class GraftContext(
         if (!variables.contains(k) && !extraVariables.contains(k)) extraVariables(k) = v
       }
       cfg.defaultTargetEnvironment.foreach(defaultTargetEnvironment = _)
-      lintIgnoredRules ++= cfg.linterIgnored
       if (!cfg.linterEnabled) lintEnabled = false
       // severity overrides (reference LinterConfig rules/warn_rules with the
       // "all" sentinel): expand, then reject overlap — definition.py:41
-      // raises on rules ∩ warn_rules
+      // raises on rules ∩ warn_rules. The check runs on the ACCUMULATED sets
+      // so two --project configs can't smuggle a rule into both severities.
       def expand(s: Set[String]) =
         if (s.contains("all")) graft.linter.Linter.allRuleNames.toSet else s
-      val err = expand(cfg.linterRules); val warn = expand(cfg.linterWarnRules)
-      val overlap = err.intersect(warn)
+      lintIgnoredRules ++= expand(cfg.linterIgnored)
+      lintErrorRules ++= expand(cfg.linterRules)
+      lintWarnRules ++= expand(cfg.linterWarnRules)
+      val overlap = lintErrorRules.toSet.intersect(lintWarnRules.toSet)
       require(overlap.isEmpty,
         s"linter: rules and warn_rules overlap on ${overlap.toSeq.sorted.mkString(", ")}")
-      lintErrorRules ++= err
-      lintWarnRules ++= warn
     }
     this
   }
@@ -481,16 +481,21 @@ class GraftContext(
     val severityConfigured = lintErrorRules.nonEmpty || lintWarnRules.nonEmpty
     val all = (base ++ missingExt ++ starExpansion ++ analysis ++ missingTests)
       .filterNot(v => lintIgnoredRules.contains(v.rule))
-      // per-model ignored_rules (reference linter/definition.py:63)
-      .filterNot(v => models.get(v.model).exists(_.ignoredRules.contains(v.rule)))
+      // per-model ignored_rules (reference linter/definition.py:63); the
+      // "all" sentinel opts a model out of linting entirely
+      .filterNot(v => models.get(v.model).exists(m =>
+        m.ignoredRules.contains(v.rule) || m.ignoredRules.contains("all")))
       // config severity selection: when rules/warn_rules are configured only
       // the selected rules report, at the configured severity (reference
       // opt-in semantics, definition.py:49-55); unconfigured keeps the
-      // built-in severities
+      // built-in severities. Rules the registry doesn't know (caller-supplied
+      // extraRules) keep their own severity — an opt-in list over BUILTIN
+      // names must not silently swallow custom rules.
       .flatMap { v =>
         if (!severityConfigured) Some(v)
         else if (lintErrorRules.contains(v.rule)) Some(v.copy(blocking = true))
         else if (lintWarnRules.contains(v.rule)) Some(v.copy(blocking = false))
+        else if (!Linter.allRuleNames.contains(v.rule)) Some(v)
         else None
       }
       .filter(_ => lintEnabled)
@@ -1299,10 +1304,11 @@ class GraftContext(
     * (reference cli/main.py:966: model optional; env-pair invocations diff
     * the changed models, optionally narrowed by --select-model). */
   def changedModelsBetween(sourceEnv: String, targetEnv: String): Seq[String] = {
-    val s = state.environments.find(_.name == sourceEnv).map(_.snapshots)
-      .getOrElse(Map.empty[String, String])
-    val t = state.environments.find(_.name == targetEnv).map(_.snapshots)
-      .getOrElse(Map.empty[String, String])
+    // a typo'd env must fail loudly, not read as "no changes"
+    def snaps(e: String) = state.environments.find(_.name == e)
+      .getOrElse(throw new IllegalArgumentException(s"unknown environment '$e'"))
+      .snapshots
+    val s = snaps(sourceEnv); val t = snaps(targetEnv)
     (s.keySet intersect t.keySet).filter(m => s(m) != t(m)).toSeq.sorted
   }
 

@@ -312,25 +312,25 @@ object Main {
           val keys = flag("keys").map(_.split(',').toSeq).getOrElse(Nil)
           val where = flag("where")
           val skipCols = flag("skip-columns").map(_.split(',').toSeq).getOrElse(Nil)
+          val all = ctx.allModels
           val targets = modelOpt match {
             case Some(m) => Seq(m)
             case None =>
               val changed = ctx.changedModelsBetween(src, tgt)
               val sel = flagAll("select")
               if (sel.isEmpty) changed
-              else {
-                val all = ctx.allModels
-                val wanted = graft.core.ModelSelector.expand(sel, all)
-                changed.filter(wanted)
-              }
+              else changed.filter(graft.core.ModelSelector.expand(sel, all))
           }
           if (modelOpt.isEmpty)
             out.println(s"${targets.size} changed model(s) between $src and $tgt")
           targets.foreach { model =>
             if (modelOpt.isEmpty) out.println(s"--- $model")
-            // in multi-model mode a grain-less model is reported, not fatal
-            if (modelOpt.isEmpty && keys.isEmpty &&
-                ctx.allModels.get(model).exists(_.grains.isEmpty))
+            // in multi-model mode, a model still in env state but no longer
+            // in the project, or one without a grain, is reported — not fatal
+            if (modelOpt.isEmpty && !all.contains(model))
+              out.println(s"  (skipped: not in the loaded project)")
+            else if (modelOpt.isEmpty && keys.isEmpty &&
+                all.get(model).exists(_.grains.isEmpty))
               out.println(s"  (skipped: no grain declared)")
             else {
               printDf(out, ctx.tableDiff(model, src, tgt, keys, where, skipCols,

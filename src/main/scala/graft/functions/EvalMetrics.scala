@@ -84,8 +84,11 @@ object EvalMetrics {
     * explode), the counts one hash-shuffle per side — then a full-outer
     * join on (pair, gram) and a final per-pair aggregate. Never holds a
     * document's gram multiset in a single row; shuffles ∝ gram postings.
-    * Pairs where a side has < n tokens have no grams there → that
-    * denominator is 0 and the metric is null (nullif), not an error. */
+    * Every input pair yields a row: a side with < n tokens has no grams, so
+    * its denominator is 0 and precision/recall/F1 are null (undefined, not
+    * an error); zero overlap with BOTH sides non-empty is a defined score
+    * of 0 — F1 is 0 there, never null, so corpus means don't silently drop
+    * the worst pairs. */
   def ngramOverlap(pairs: DataFrame, idCol: String = "pair_id",
                    candCol: String = "cand", refCol: String = "ref",
                    n: Int = 2): DataFrame = {
@@ -103,21 +106,28 @@ object EvalMetrics {
     }
     val c = grams(candCol, "c_cand")
     val r = grams(refCol, "c_ref")
-    c.join(r, Seq(idCol, "gram"), "full_outer")
+    val perPair = c.join(r, Seq(idCol, "gram"), "full_outer")
       .groupBy(col(idCol))
       .agg(
         coalesce(sum(col("c_cand")), lit(0)).as("n_cand"),
         coalesce(sum(col("c_ref")), lit(0)).as("n_ref"),
         coalesce(sum(least(coalesce(col("c_cand"), lit(0)),
           coalesce(col("c_ref"), lit(0)))), lit(0)).as("overlap"))
-      .withColumn("precision",
-        round(col("overlap") / nullif(col("n_cand"), lit(0)), 4))
-      .withColumn("recall",
-        round(col("overlap") / nullif(col("n_ref"), lit(0)), 4))
+    // left-join from the pair universe so both-sides-empty pairs still
+    // report (as 0/0/0 with null metrics) instead of vanishing
+    val p = col("overlap") / nullif(col("n_cand"), lit(0))
+    val rr = col("overlap") / nullif(col("n_ref"), lit(0))
+    pairs.select(col(idCol)).distinct()
+      .join(perPair, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("precision", round(p, 4))
+      .withColumn("recall", round(rr, 4))
       .withColumn("f1", round(
-        lit(2) * (col("overlap") / nullif(col("n_cand"), lit(0))) *
-          (col("overlap") / nullif(col("n_ref"), lit(0))) /
-          nullif(col("overlap") / nullif(col("n_cand"), lit(0)) +
-            col("overlap") / nullif(col("n_ref"), lit(0)), lit(0.0)), 4))
+        when(p.isNull || rr.isNull, lit(null).cast("double"))
+          .when(p + rr === 0, lit(0.0))
+          .otherwise(lit(2) * p * rr / (p + rr)), 4))
   }
 }

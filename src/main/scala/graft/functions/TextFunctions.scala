@@ -230,7 +230,14 @@ object TextFunctions {
     * unigram counts) and the vocabulary size rides in as a one-row
     * broadcast. Scoring joins on the raw (w1, w2) pair — exact, and the
     * shuffle is ∝ token postings like every other LM pass here. Documents
-    * with fewer than two tokens have no bigrams and drop out. */
+    * with fewer than two tokens have no bigrams and drop out.
+    *
+    * Deliberately NOT persisted: the shared subtrees here (`words`, `bi`)
+    * are corpus-sized pure projections — caching them trades executor
+    * memory/disk for re-running a scan-speed regex pass, and each branch
+    * needs its own shuffle regardless. Contrast [[tfidfKeywords]], whose
+    * persisted `tf` frame is post-shuffle and sub-corpus-sized: there the
+    * barrier eliminates a repeated (doc, term) SHUFFLE, not just a scan. */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
     val words = docs.select(col(idCol),

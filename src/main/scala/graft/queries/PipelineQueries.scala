@@ -858,15 +858,21 @@ object PipelineQueries {
         |    CAST(sum(c_ref) AS BIGINT) AS n_ref,
         |    CAST(sum(least(c_cand, c_ref)) AS BIGINT) AS overlap
         |  FROM j GROUP BY pair_id
+        |), filled AS (
+        |  SELECT p.pair_id, coalesce(a.n_cand, 0) AS n_cand,
+        |    coalesce(a.n_ref, 0) AS n_ref, coalesce(a.overlap, 0) AS overlap
+        |  FROM pairs p LEFT JOIN agg a USING (pair_id)
         |)
         |SELECT pair_id, n_cand, n_ref, overlap,
         |  round(overlap / CAST(nullif(n_cand, 0) AS DOUBLE), 4) AS "precision",
         |  round(overlap / CAST(nullif(n_ref, 0) AS DOUBLE), 4) AS recall,
-        |  round(2 * (overlap / CAST(nullif(n_cand, 0) AS DOUBLE))
-        |      * (overlap / CAST(nullif(n_ref, 0) AS DOUBLE))
-        |    / nullif(overlap / CAST(nullif(n_cand, 0) AS DOUBLE)
-        |      + overlap / CAST(nullif(n_ref, 0) AS DOUBLE), 0.0), 4) AS f1
-        |FROM agg ORDER BY pair_id""".stripMargin)),
+        |  round(CASE WHEN n_cand = 0 OR n_ref = 0 THEN NULL
+        |    WHEN overlap = 0 THEN 0.0
+        |    ELSE 2 * (overlap / CAST(n_cand AS DOUBLE))
+        |        * (overlap / CAST(n_ref AS DOUBLE))
+        |      / (overlap / CAST(n_cand AS DOUBLE)
+        |        + overlap / CAST(n_ref AS DOUBLE)) END, 4) AS f1
+        |FROM filled ORDER BY pair_id""".stripMargin)),
 
     // CCNet perplexity bucketing (Wenzek et al. 2020): per-language
     // head/middle/tail cut at the 1/3 and 2/3 unigram-LM score quantiles —
@@ -1778,7 +1784,7 @@ object PipelineQueries {
         |  FROM sess GROUP BY user_id, sid
         |)
         |SELECT user_id, session_start, session_end, n_events FROM agg, wm
-        |WHERE session_end < w
+        |WHERE session_end <= w
         |ORDER BY user_id, session_start""".stripMargin)),
 
     "td_stream_window_agg" -> Entry((s, dir) => {
@@ -1808,7 +1814,7 @@ object PipelineQueries {
         |  FROM events GROUP BY 1, 2, 3
         |)
         |SELECT window_start, window_end, event_type, n, total FROM agg, wm
-        |WHERE window_end < w
+        |WHERE window_end <= w
         |ORDER BY window_start, event_type""".stripMargin)),
 
     "td_stream_join" -> Entry((s, dir) => {

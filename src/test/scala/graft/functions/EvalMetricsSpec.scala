@@ -58,7 +58,9 @@ class EvalMetricsSpec extends AnyFunSuite {
     val pairs = Seq(
       (1L, "the cat sat", "the cat ran"), // overlap {the,cat} = 2/3 each way
       (2L, "a a a", "a b"),               // clipping: min(3,1)=1
-      (3L, "", "x y")                     // no cand grams → precision null
+      (3L, "", "x y"),                    // no cand grams → precision null
+      (4L, "", ""),                       // both empty → row kept, all null
+      (5L, "a b", "c d")                  // zero overlap, both non-empty → F1 0
     ).toDF("pair_id", "cand", "ref")
     val out = EvalMetrics.ngramOverlap(pairs, n = 1).orderBy("pair_id").collect()
     val r1 = out(0)
@@ -72,6 +74,15 @@ class EvalMetricsSpec extends AnyFunSuite {
     val r3 = out(2)
     assert((r3.getLong(1), r3.getLong(2), r3.getLong(3)) == ((0L, 2L, 0L)))
     assert(r3.isNullAt(4) && r3.getDouble(5) == 0.0 && r3.isNullAt(6))
+    // both-sides-empty pair still reports (would otherwise vanish and
+    // silently shrink corpus means)
+    val r4 = out(3)
+    assert((r4.getLong(1), r4.getLong(2), r4.getLong(3)) == ((0L, 0L, 0L)))
+    assert(r4.isNullAt(4) && r4.isNullAt(5) && r4.isNullAt(6))
+    // zero overlap with both sides non-empty is a DEFINED score: F1 = 0
+    val r5 = out(4)
+    assert((r5.getLong(1), r5.getLong(2), r5.getLong(3)) == ((2L, 2L, 0L)))
+    assert(r5.getDouble(4) == 0.0 && r5.getDouble(5) == 0.0 && r5.getDouble(6) == 0.0)
   }
 
   test("ngramOverlap n=2 forms bigrams; short sides produce no grams") {
