@@ -175,6 +175,45 @@ object Similarity {
     cent
   }
 
+  /** Label-quality audit (mislabel detection) over an embedding column:
+    * per-label centroid (dim-wise mean, quantized like [[kmeansIterate]] so
+    * both engines see identical centroids), each vector's cosine to its OWN
+    * label's centroid vs the best OTHER label's, and a per-label margin
+    * report — `n_mislabeled` counts vectors closer to a foreign centroid
+    * (margin < 0), the classic "these examples are probably labeled wrong"
+    * curation signal.
+    *
+    * Scale shape: centroids are a (labels × dims)-row aggregate collapsed
+    * to ONE tiny broadcast frame; scoring is the codegen'd [[VectorCosine]]
+    * over corpus × |labels| (labels are few by construction — never an
+    * all-pairs product); the report is one hash-shuffle on the label. */
+  def labelMargin(df: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val cents = df.select(col(labelCol).as("__lbl"),
+        posexplode(col(vecCol)))
+      .groupBy(col("__lbl"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("__lbl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__dm"))
+      .select(col("__lbl"),
+        transform(col("__dm"), s => round(s.getField("m"), 6).cast("float"))
+          .as("__cv"))
+    val scored = df.select(col(idCol), col(labelCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", round(cosine(col(vecCol), col("__cv")), 6))
+    val own = scored.filter(col(labelCol) === col("__lbl"))
+      .select(col(idCol), col(labelCol), col("__cos").as("own_cos"))
+    val other = scored.filter(col(labelCol) =!= col("__lbl"))
+      .groupBy(col(idCol)).agg(max(col("__cos")).as("other_cos"))
+    own.join(other, idCol)
+      .withColumn("margin", round(col("own_cos") - col("other_cos"), 4))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("margin")), 4).as("mean_margin"),
+        sum(when(col("margin") < 0, 1L).otherwise(0L)).as("n_mislabeled"))
+  }
+
   /** IVF-style coarse quantization: assign each vector to its `nProbe`
     * nearest `centroids` (small, broadcast). Corpus vectors use nProbe=1
     * (one inverted list each); queries probe several lists — the standard

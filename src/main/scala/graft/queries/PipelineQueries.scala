@@ -1180,6 +1180,39 @@ object PipelineQueries {
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
     // --------------------------------------- IVF centroid training -------
+    // label-quality audit: per-label centroids, own-vs-best-other cosine
+    // margin, margin<0 = likely mislabeled (the embedding-space curation
+    // signal for labeled corpora)
+    "td_label_margin" -> Entry((s, dir) => {
+      Similarity.labelMargin(t(s, dir, "embeddings"))
+        .orderBy(col("label"))
+    }, Some(
+      """WITH cent AS (
+        |  SELECT lbl, list(CAST(round(m, 6) AS REAL) ORDER BY dim) AS cv FROM (
+        |    SELECT label AS lbl, i AS dim,
+        |      avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+        |    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        |    GROUP BY label, i)
+        |  GROUP BY lbl
+        |), scored AS (
+        |  SELECT e.vec_id, e.label, c.lbl,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(c.cv AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e CROSS JOIN cent c
+        |), own AS (
+        |  SELECT vec_id, label, cos AS own_cos FROM scored WHERE label = lbl
+        |), oth AS (
+        |  SELECT vec_id, max(cos) AS other_cos FROM scored WHERE label <> lbl
+        |  GROUP BY vec_id
+        |), m AS (
+        |  SELECT o.label, round(o.own_cos - t.other_cos, 4) AS margin
+        |  FROM own o JOIN oth t USING (vec_id)
+        |)
+        |SELECT label, count(*) AS n, round(avg(margin), 4) AS mean_margin,
+        |  CAST(sum(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mislabeled
+        |FROM m GROUP BY label ORDER BY label""".stripMargin)),
+
     "td_kmeans" -> Entry((s, dir) => {
       // two Lloyd iterations from deterministic seeds, then a final
       // assignment: the IVF training path (td_ann_ivf consumes the lists)

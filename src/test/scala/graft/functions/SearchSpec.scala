@@ -52,4 +52,20 @@ class SearchSpec extends AnyFunSuite {
     assert(math.abs(cents(0L).head - 0.9f) < 1e-4 && math.abs(cents(0L)(1) - 0.1f) < 1e-4)
     assert(math.abs(cents(10L).head - 0.1f) < 1e-4 && math.abs(cents(10L)(1) - 0.9f) < 1e-4)
   }
+
+  test("labelMargin flags the vector sitting in the other label's cluster") {
+    // label 0 clusters near (1,0), label 1 near (0,1); vec 5 is labeled 0
+    // but sits at (0,1) — margin < 0 only for it
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0), (5L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelMargin(rows).orderBy("label").collect()
+    assert(out.length == 2)
+    val l0 = out(0); val l1 = out(1)
+    assert(l0.getInt(0) == 0 && l0.getLong(1) == 3 && l0.getLong(3) == 1)
+    assert(l1.getInt(0) == 1 && l1.getLong(1) == 2 && l1.getLong(3) == 0)
+    // healthy label's mean margin is positive
+    assert(l1.getDouble(2) > 0)
+  }
 }
