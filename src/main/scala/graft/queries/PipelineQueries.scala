@@ -1180,6 +1180,46 @@ object PipelineQueries {
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
     // --------------------------------------- IVF centroid training -------
+    // Z-order (Morton) clustering key: the multi-column data-skipping
+    // layout (Delta OPTIMIZE ZORDER / Iceberg sort_order analog) — the
+    // interleave arithmetic pinned bit-exactly against the oracle
+    "td_zorder_key" -> Entry((s, dir) => {
+      val part = t(s, dir, "part")
+      val cols = Seq("p_size", "p_retailprice")
+      val stats = part.agg(
+        min(col("p_size")).cast("double").as("__lo_p_size"),
+        max(col("p_size")).cast("double").as("__hi_p_size"),
+        min(col("p_retailprice")).cast("double").as("__lo_p_retailprice"),
+        max(col("p_retailprice")).cast("double").as("__hi_p_retailprice"))
+      part.crossJoin(broadcast(stats))
+        .withColumn("zkey", graft.functions.Clustering.interleave(
+          cols.map(c => graft.functions.Clustering.normalize(
+            col(c), col(s"__lo_$c"), col(s"__hi_$c"), 8)), 8))
+        .select(col("p_partkey"), col("zkey"))
+        .orderBy(col("p_partkey"))
+    }, Some(
+      """WITH s AS (
+        |  SELECT CAST(min(p_size) AS DOUBLE) AS lo1,
+        |    CAST(max(p_size) AS DOUBLE) AS hi1,
+        |    CAST(min(p_retailprice) AS DOUBLE) AS lo2,
+        |    CAST(max(p_retailprice) AS DOUBLE) AS hi2
+        |  FROM part
+        |), n AS (
+        |  SELECT p_partkey,
+        |    least(greatest(CAST(round(CASE WHEN hi1 - lo1 <= 0 THEN 0.0
+        |      ELSE (CAST(p_size AS DOUBLE) - lo1) / (hi1 - lo1) * 255 END)
+        |      AS BIGINT), 0), 255) AS n1,
+        |    least(greatest(CAST(round(CASE WHEN hi2 - lo2 <= 0 THEN 0.0
+        |      ELSE (CAST(p_retailprice AS DOUBLE) - lo2) / (hi2 - lo2) * 255 END)
+        |      AS BIGINT), 0), 255) AS n2
+        |  FROM part, s
+        |)
+        |SELECT p_partkey,
+        |  CAST(sum((((n1 >> i) & 1) << (2 * i))
+        |    + (((n2 >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zkey
+        |FROM n, UNNEST(range(0, 8)) AS u(i)
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)),
+
     // label-quality audit: per-label centroids, own-vs-best-other cosine
     // margin, margin<0 = likely mislabeled (the embedding-space curation
     // signal for labeled corpora)
