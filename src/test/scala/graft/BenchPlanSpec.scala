@@ -63,4 +63,24 @@ class BenchPlanSpec extends AnyFunSuite {
         s"$name fell out of whole-stage codegen:\n$p")
     }
   }
+
+  test("r8 operators keep their scale shapes") {
+    // tfidf: the ranking window must be PARTITIONED (per-doc frame, never a
+    // single-task global window), and the tf frame persisted (the barrier
+    // that stops each branch re-shuffling the corpus)
+    val tfidf = planOf("td_tfidf")
+    assert(!tfidf.contains("Window partitionSpec=[]"),
+      "tfidf window lost its doc partitioning")
+    assert(tfidf.contains("InMemoryTableScan") || tfidf.contains("InMemoryRelation"),
+      "tfidf tf frame lost its persist barrier")
+    // bigram LM: bigrams come from a projection (zip_with), NOT a per-doc
+    // window or positional self-join; no cartesian anywhere
+    val bigram = planOf("td_bigram_lm")
+    assert(!bigram.contains("Window"), "bigram LM grew a window")
+    assert(!bigram.contains("CartesianProduct"))
+    // label margin / zorder: corpus × tiny-stats joins must broadcast
+    Seq("td_label_margin", "td_zorder_key", "td_rouge").foreach { n =>
+      assert(!planOf(n).contains("CartesianProduct"), s"$n plans a cartesian")
+    }
+  }
 }
