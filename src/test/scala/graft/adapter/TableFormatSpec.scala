@@ -172,4 +172,41 @@ class TableFormatSpec extends AnyFunSuite {
     assert(Seq("cloneTable", "renameTable").forall(fmt.calls.contains))
   }
   }
+
+  test("manifest commits serialize over a concurrent writer; rename guards the race") {
+    // optimistic-concurrency contract (Delta/Iceberg commit shape), both
+    // halves: (1) a writer whose base snapshot is superseded BEFORE it reads
+    // re-reads the latest manifest and serializes on top — no lost update;
+    // (2) the read→publish window is guarded by Hadoop rename refusing an
+    // existing destination, so a true same-version race loses loudly
+    // instead of clobbering the winner.
+    val m = new SparkMaterializer(spark, Some(new ManifestFormat(spark)))
+    val t = tbl("conflict", "race")
+    m.replaceQuery(t, Seq((1, "a")).toDF("id", "v")) // publishes m0
+    // a "concurrent writer" lands m1 (same content, bumped version)
+    val mdir = new java.io.File(t.root, "_manifests")
+    val m0 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(mdir, "m0.json").toPath), "UTF-8")
+    java.nio.file.Files.writeString(new java.io.File(mdir, "m1.json").toPath,
+      m0.replace("\"version\":0", "\"version\":1"))
+    // (1) append sees m1 as its base and publishes m2 on top of it
+    m.insertAppend(t, Seq((2, "b")).toDF("id", "v"))
+    assert(new java.io.File(mdir, "m2.json").exists)
+    assert(m.read(t).select("id").as[Int].collect().toSet == Set(1, 2))
+    // (2) the atomic-publish primitive: rename onto an existing manifest
+    // returns false (POSIX-overwrite semantics would silently lose m2)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(mdir.toString)
+    val hfs = dirPath.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, ".m2.json.tmp")
+    val out = hfs.create(tmp, true)
+    out.write("{\"version\":2,\"entries\":[]}".getBytes("UTF-8")); out.close()
+    val before = java.nio.file.Files.readAllBytes(
+      new java.io.File(mdir, "m2.json").toPath).toSeq
+    assert(!hfs.rename(tmp, new org.apache.hadoop.fs.Path(dirPath, "m2.json")),
+      "rename over an existing manifest must fail — the conflict guard " +
+        "ManifestFormat.publish relies on")
+    assert(java.nio.file.Files.readAllBytes(
+      new java.io.File(mdir, "m2.json").toPath).toSeq == before)
+  }
 }
