@@ -733,7 +733,14 @@ class GraftContext(
       includeUnmodified: Boolean = true,
       /** `--min-intervals` (context.py:1345): ensure every model's backfill
         * covers at least this many intervals, pulling its start back. */
-      minIntervals: Int = 0): Plan = {
+      minIntervals: Int = 0,
+      /** `--no-auto-categorization` (reference plan/builder.py
+        * auto_categorization / config plan.auto_categorize_changes): when
+        * false, the additive-projection NON_BREAKING inference is skipped
+        * and every direct data change takes the conservative BREAKING
+        * category — the reference's non-interactive fallback for
+        * uncategorized changes. */
+      autoCategorize: Boolean = true): Plan = {
     require(effectiveFrom.isEmpty || forwardOnly,
       "effective_from requires a forward-only plan (plan/builder.py:239)")
     val selectedSet: Set[String] =
@@ -823,10 +830,11 @@ class GraftContext(
             modified += ((old, s.copy(category = Some(ChangeCategory.ForwardOnly),
               forcedVersion = Some(old.version), intervals = old.intervals)))
           } else {
-            val additive = (bodySql(old.model), bodySql(s.model)) match {
-              case (Some(o), Some(n)) => QueryDiff.isAdditiveProjection(o, n)
-              case _ => false
-            }
+            val additive = autoCategorize &&
+              ((bodySql(old.model), bodySql(s.model)) match {
+                case (Some(o), Some(n)) => QueryDiff.isAdditiveProjection(o, n)
+                case _ => false
+              })
             val cat = if (additive) ChangeCategory.NonBreaking else ChangeCategory.Breaking
             categories(name) = cat
             modified += ((old, s.copy(category = Some(cat))))

@@ -214,7 +214,8 @@ object Main {
               // opts into the reference behavior; --include-unmodified is
               // accepted for reference-compatible invocations.
               includeUnmodified = !has("exclude-unmodified"),
-              minIntervals = flag("min-intervals").map(_.toInt).getOrElse(0))
+              minIntervals = flag("min-intervals").map(_.toInt).getOrElse(0),
+              autoCategorize = !has("no-auto-categorization"))
             out.println(p.describe)
             // reference plan console: unified text diff per changed model
             // (--no-diff hides; --diff-rendered diffs the RENDERED queries,
@@ -790,7 +791,8 @@ object Main {
       "no-gaps", "check", "empty-backfill", "skip-tests", "skip-linter", "run",
       "ignore-cron", "no-auto-upstream", "skip-janitor", "show-sample", "sync",
       "explain", "full-refresh", "deploy", "pr-backfill", "force",
-      "no-diff", "diff-rendered", "include-unmodified", "exclude-unmodified")
+      "no-diff", "diff-rendered", "include-unmodified", "exclude-unmodified",
+      "no-auto-categorization")
     var i = 0
     while (i < args.length) {
       val a = args(i)

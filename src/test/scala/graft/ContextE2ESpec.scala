@@ -271,6 +271,16 @@ class ContextE2ESpec extends AnyFunSuite {
     ctx.apply(p)
     assert(spark.table("mart.base_nb").columns.contains("spend"))
     assert(spark.table("mart.child_nb").head().getLong(0) > 0)
+
+    // --no-auto-categorization (reference plan auto_categorization off):
+    // the SAME additive edit takes the conservative BREAKING path
+    ctx.addModel(ctx.model("mart.base_nb").copy(body = SqlBody(
+      "SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS spend, " +
+        "max(o_totalprice) AS top FROM raw.orders GROUP BY o_custkey")))
+    val p2 = ctx.plan("prod", 0, D, autoCategorize = false)
+    val cats2 = p2.modified.map(x => x._2.model.name -> x._2.category.get).toMap
+    assert(cats2("mart.base_nb") == ChangeCategory.Breaking)
+    assert(cats2("mart.child_nb") == ChangeCategory.IndirectBreaking)
   }
 
   test("signals gate interval readiness (core/signal.py)") {
