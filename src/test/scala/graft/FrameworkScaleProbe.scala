@@ -1,0 +1,87 @@
+package graft
+
+import graft.core._
+
+/** Framework-at-volume probe (test scope, run by hand like [[ScaleProbe]]):
+  * the full plan → apply → backfill → incremental-catch-up → vacuum cycle on
+  * the sf0.1 tables (600k lineitem / 150k orders) with the MANIFEST commit
+  * protocol — evidence that the ORCHESTRATION layer (snapshots, interval
+  * accounting, batched backfills, env promotion, log-backed commits) holds
+  * its "incremental cost ∝ interval size" claim when the data is 100× the
+  * unit-test fixtures, not just the operators.
+  *
+  * `Test/runMain graft.FrameworkScaleProbe`
+  */
+object FrameworkScaleProbe {
+  private val D = 86400000L
+  private def dayMs(s: String): Long = java.time.LocalDate.parse(s).toEpochDay * D
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkTestSession.spark
+    val sf = "/root/testdata/sf0.1"
+    val ctx = new GraftContext(spark, SparkTestSession.tmpDir("ws-fw-scale"),
+      concurrency = 4, tableFormat = Some("manifest"))
+    ctx.addExternal("raw.orders", s"$sf/orders.parquet")
+    ctx.addExternal("raw.lineitem", s"$sf/lineitem.parquet")
+
+    ctx.addModel(Model(
+      name = "scale.daily_rev",
+      body = SqlBody(
+        """SELECT o_orderdate, round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+          |FROM raw.orders WHERE o_orderdate BETWEEN @start_dt AND @end_dt
+          |GROUP BY o_orderdate""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate",
+        batchSize = Some(31)),
+      cron = "@daily", start = Some(dayMs("1995-01-01")),
+      audits = Seq("not_null" -> Map("columns" -> "o_orderdate"))))
+    ctx.addModel(Model(
+      name = "scale.rev_summary",
+      body = SqlBody(
+        """SELECT count(*) AS days, round(sum(revenue), 2) AS total
+          |FROM scale.daily_rev""".stripMargin),
+      kind = ModelKind.Full))
+    ctx.addModel(Model(
+      name = "scale.items",
+      body = SqlBody(
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+          |FROM raw.lineitem
+          |WHERE l_shipdate BETWEEN @start_dt AND @end_dt""".stripMargin),
+      kind = ModelKind.IncrementalByTimeRange(timeColumn = "l_shipdate",
+        batchSize = Some(31)),
+      cron = "@daily", start = Some(dayMs("1995-01-01"))))
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); a
+    }
+
+    val end1 = dayMs("1995-07-01")
+    time("plan+apply (bootstrap)") {
+      ctx.apply(ctx.plan("prod", dayMs("1995-01-01"), end1))
+    }
+    val days = spark.table("scale.rev_summary").head().getLong(0)
+    println(s"  backfilled $days days of revenue; " +
+      s"items rows = ${spark.table("scale.items").count()}")
+    require(days == 181, s"expected 181 days, got $days")
+
+    // incremental catch-up: ONE new day — must be far cheaper than bootstrap
+    val t0 = System.nanoTime()
+    ctx.run("prod", dayMs("1995-01-01"), end1 + D)
+    val catchup = (System.nanoTime() - t0) / 1e9
+    println(f"catch-up (1 day)             $catchup%8.2f s   " +
+      s"(${ctx.lastRunReport.size} batches)")
+    require(ctx.lastRunReport.nonEmpty && ctx.lastRunReport.size <= 4,
+      s"1-day catch-up ran ${ctx.lastRunReport.size} batches — interval " +
+        "accounting is re-processing history")
+
+    // manifest housekeeping at volume: compact + vacuum + time travel
+    time("optimize (compact)") { ctx.optimizeTable("scale.daily_rev") }
+    time("vacuum keepLast=2") { ctx.vacuumTable("scale.daily_rev", keepLast = 2) }
+    val snap = ctx.state.latestSnapshot("scale.daily_rev").get
+    val t = ctx.evaluator.physicalTable(snap)
+    val vs = ctx.materializer.versions(t)
+    println(s"  daily_rev versions after vacuum: $vs")
+    require(vs.size <= 2, s"vacuum kept ${vs.size} versions")
+    println("FRAMEWORK SCALE PROBE OK")
+  }
+}
