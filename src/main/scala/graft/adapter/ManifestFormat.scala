@@ -41,7 +41,16 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
 
   private case class Entry(dir: String, partitions: Seq[(String, String)])
   private case class Manifest(version: Int, schema: StructType,
-                              partitionedBy: Seq[String], entries: Seq[Entry])
+                              partitionedBy: Seq[String], entries: Seq[Entry],
+                              /** commit dir → partition-dir count AT WRITE:
+                                * a commit whose live-entry count still equals
+                                * this is FULLY live and the view reads its
+                                * root with partition inference — one UNION
+                                * branch per COMMIT, not per partition (the
+                                * O(partitions) view-text cliff at daily/
+                                * hourly grain). Absent (older manifests) →
+                                * per-entry fallback. */
+                              commitSizes: Map[String, Int] = Map.empty)
 
   private def manifestDir(t: PhysicalTable) = new Path(t.root, "_manifests")
 
@@ -84,7 +93,9 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
         Entry(e.get("dir").asText,
           e.get("partitions").properties().asScala.toSeq
             .map(kv => kv.getKey -> kv.getValue.asText))
-      }.toSeq)
+      }.toSeq,
+      Option(node.get("commitSizes")).map(_.properties().asScala
+        .map(kv => kv.getKey -> kv.getValue.asInt).toMap).getOrElse(Map.empty))
   }
 
   private def current(t: PhysicalTable): Option[Manifest] =
@@ -103,6 +114,8 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
       val ps = n.putObject("partitions")
       e.partitions.foreach { case (k, v) => ps.put(k, v) }
     }
+    val cs = root.putObject("commitSizes")
+    m.commitSizes.toSeq.sortBy(_._1).foreach { case (c, n) => cs.put(c, n) }
     val dir = manifestDir(t); val f = fs(dir)
     f.mkdirs(dir)
     val tmp = new Path(dir, s".m${m.version}.json.tmp")
@@ -202,7 +215,7 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
         s"CAST(NULL AS ${fd.dataType.sql}) AS `${fd.name}`").mkString(", ")
       return s"SELECT $proj WHERE 1 = 0"
     }
-    m.entries.map { e =>
+    def entrySelect(e: Entry): String = {
       val partLits = exposedParts.map { c =>
         val fd = m.schema(c)
         val raw = e.partitions.toMap.get(c)
@@ -215,7 +228,23 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
       val cols = (dataCols.map(c => s"`$c`") ++ partLits).mkString(", ")
       val abs = new Path(t.root, e.dir).toString
       s"SELECT $cols FROM parquet.`$abs`"
-    }.mkString(" UNION ALL ")
+    }
+    // FULLY-live commits (live entries == dirs written) collapse to one
+    // SELECT over the commit root with Spark partition inference — view
+    // text and analysis are O(commits), not O(partitions). The append-only
+    // incremental-by-time shape (every batch = new partitions, nothing ever
+    // replaced) stays fully live forever; partially-superseded commits fall
+    // back to per-entry selects so stale dirs are never resurrected.
+    m.entries.groupBy(_.dir.split('/').head).toSeq.sortBy(_._1)
+      .flatMap { case (commit, es) =>
+        if (m.commitSizes.get(commit).contains(es.size)) {
+          val cols = (dataCols.map(c => s"`$c`") ++ exposedParts.map { c =>
+            s"CAST(`$c` AS ${m.schema(c).dataType.sql}) AS `$c`"
+          }).mkString(", ")
+          val abs = new Path(t.root, commit).toString
+          Seq(s"SELECT $cols FROM parquet.`$abs`")
+        } else es.sortBy(_.dir).map(entrySelect)
+      }.mkString(" UNION ALL ")
   }
 
   def register(t: PhysicalTable): Unit = {
@@ -227,9 +256,10 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
 
   def createOrReplace(t: PhysicalTable, df: DataFrame,
                       clusterFiles: Option[Int] = None): Unit = {
-    val (_, entries, schema) = writeCommit(t, df, clusterFiles)
+    val (commit, entries, schema) = writeCommit(t, df, clusterFiles)
     val v = versions(t).lastOption.map(_ + 1).getOrElse(0)
-    publish(t, Manifest(v, schema, t.partitionedBy, entries))
+    publish(t, Manifest(v, schema, t.partitionedBy, entries,
+      Map(commit -> entries.size)))
     register(t)
   }
 
@@ -238,9 +268,10 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
     case Some(prev) =>
       // log-structured append: a fresh commit dir joins the manifest — no
       // existing file or directory is touched
-      val (_, entries, _) = writeCommit(t, df, None)
+      val (commit, entries, _) = writeCommit(t, df, None)
       publish(t, prev.copy(version = prev.version + 1,
-        entries = prev.entries ++ entries))
+        entries = prev.entries ++ entries,
+        commitSizes = prev.commitSizes + (commit -> entries.size)))
       register(t)
   }
 
@@ -252,10 +283,11 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
     case Some(prev) =>
       require(t.partitionedBy.nonEmpty,
         s"${t.qualified}: dynamic overwrite needs partitioned_by")
-      val (_, entries, _) = writeCommit(t, df, None)
+      val (commit, entries, _) = writeCommit(t, df, None)
       val replaced = entries.map(_.partitions.toMap).toSet
       val kept = prev.entries.filterNot(e => replaced.contains(e.partitions.toMap))
-      publish(t, prev.copy(version = prev.version + 1, entries = kept ++ entries))
+      publish(t, prev.copy(version = prev.version + 1, entries = kept ++ entries,
+        commitSizes = prev.commitSizes + (commit -> entries.size)))
       register(t)
   }
 

@@ -173,6 +173,34 @@ class TableFormatSpec extends AnyFunSuite {
   }
   }
 
+  test("manifest view text is O(commits): fully-live commits collapse, partial fall back") {
+    val m = new SparkMaterializer(spark, Some(new ManifestFormat(spark)))
+    val t = tbl("vtext", "collapse", parts = Seq("d"))
+    def branches: Int = {
+      val text = spark.sql(s"SHOW CREATE TABLE ${t.qualified}")
+        .head().getString(0)
+      "FROM parquet".r.findAllIn(text).length
+    }
+    // c0: three partitions, fully live → ONE select for the whole commit
+    m.replaceQuery(t, Seq((1, "x", "a"), (2, "y", "b"), (3, "z", "c"))
+      .toDF("id", "v", "d"))
+    assert(branches == 1, s"fully-live commit not collapsed: $branches")
+    // c1 appends two more partitions → one more branch, still O(commits)
+    m.insertAppend(t, Seq((4, "p", "e"), (5, "q", "f")).toDF("id", "v", "d"))
+    assert(branches == 2)
+    assert(m.read(t).count() == 5)
+    // replacing ONE of c0's partitions supersedes part of c0: c0 falls back
+    // to per-entry selects (2 live) so the stale dir is never resurrected;
+    // c1 and the new c2 stay collapsed → 2 + 1 + 1
+    m.insertOverwriteByPartition(t, Seq((30, "Z", "c")).toDF("id", "v", "d"))
+    assert(branches == 4, s"partial commit must fall back per-entry: $branches")
+    val got = m.read(t).select("id").as[Int].collect().toSet
+    assert(got == Set(1, 2, 30, 4, 5))
+    // the collapsed read recovers partition VALUES via inference
+    assert(m.read(t).filter($"d" === "e").select("id").as[Int].collect().toSeq == Seq(4))
+    assert(spark.table(t.qualified).filter($"d" === "a").count() == 1)
+  }
+
   test("manifest commits serialize over a concurrent writer; rename guards the race") {
     // optimistic-concurrency contract (Delta/Iceberg commit shape), both
     // halves: (1) a writer whose base snapshot is superseded BEFORE it reads
