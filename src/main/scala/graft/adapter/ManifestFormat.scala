@@ -181,11 +181,15 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
     // per commit dir: basePath-anchored read so partition columns infer from
-    // the entry paths; snapshots mixing commits union together
+    // the entry paths; snapshots mixing commits union together. Fully-live
+    // commits read their ROOT (one listing, inference finds the partitions);
+    // partially-superseded ones enumerate the live entry paths explicitly.
     val byCommit = m.entries.groupBy(_.dir.split('/').head)
     val parts = byCommit.toSeq.sortBy(_._1).map { case (commit, entries) =>
       val basePath = new Path(t.root, commit).toString
-      val paths = entries.map(e => new Path(t.root, e.dir).toString)
+      val paths =
+        if (m.commitSizes.get(commit).contains(entries.size)) Seq(basePath)
+        else entries.map(e => new Path(t.root, e.dir).toString)
       spark.read.option("basePath", basePath).parquet(paths: _*)
     }
     val ordered = m.schema.map(f => col(f.name).cast(f.dataType).as(f.name))
