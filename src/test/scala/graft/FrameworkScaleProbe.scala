@@ -19,8 +19,11 @@ object FrameworkScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkTestSession.spark
     val sf = "/root/testdata/sf0.1"
+    // arg selects the commit protocol under test (default: manifest)
+    val fmt = args.headOption.getOrElse("manifest")
+    println(s"table_format = $fmt")
     val ctx = new GraftContext(spark, SparkTestSession.tmpDir("ws-fw-scale"),
-      concurrency = 4, tableFormat = Some("manifest"))
+      concurrency = 4, tableFormat = Some(fmt))
     ctx.addExternal("raw.orders", s"$sf/orders.parquet")
     ctx.addExternal("raw.lineitem", s"$sf/lineitem.parquet")
 
