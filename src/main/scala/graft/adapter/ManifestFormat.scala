@@ -190,7 +190,10 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
       val paths =
         if (m.commitSizes.get(commit).contains(entries.size)) Seq(basePath)
         else entries.map(e => new Path(t.root, e.dir).toString)
-      spark.read.option("basePath", basePath).parquet(paths: _*)
+      // EXPLICIT schema: partition columns take their declared types instead
+      // of inferred ones — inference would turn a StringType value like
+      // "0001" into int 1 ("1" after cast). Also skips file-schema merging.
+      spark.read.schema(m.schema).option("basePath", basePath).parquet(paths: _*)
     }
     val ordered = m.schema.map(f => col(f.name).cast(f.dataType).as(f.name))
     parts.map(_.select(ordered: _*)).reduce(_ unionByName _)
@@ -239,9 +242,22 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
     // incremental-by-time shape (every batch = new partitions, nothing ever
     // replaced) stays fully live forever; partially-superseded commits fall
     // back to per-entry selects so stale dirs are never resurrected.
+    // a SQL view can't pin a read schema, so the collapsed branch relies on
+    // partition-type INFERENCE — only safe when no StringType partition
+    // value would be coerced (inference turns "0001" into int 1, and the
+    // identity cast back to string yields "1", not "0001"). Non-string
+    // partition types are normalizing casts on both paths — always safe.
+    val stringParts = exposedParts
+      .filter(c => m.schema(c).dataType == org.apache.spark.sql.types.StringType).toSet
+    def inferenceStable(es: Seq[Entry]): Boolean =
+      stringParts.isEmpty || es.forall(_.partitions.forall { case (k, v) =>
+        !stringParts.contains(k) || v == "__HIVE_DEFAULT_PARTITION__" ||
+          (v.nonEmpty && (v.head.isLetter || v.head == '_') &&
+            v != "Infinity" && v != "NaN")
+      })
     m.entries.groupBy(_.dir.split('/').head).toSeq.sortBy(_._1)
       .flatMap { case (commit, es) =>
-        if (m.commitSizes.get(commit).contains(es.size)) {
+        if (m.commitSizes.get(commit).contains(es.size) && inferenceStable(es)) {
           val cols = (dataCols.map(c => s"`$c`") ++ exposedParts.map { c =>
             s"CAST(`$c` AS ${m.schema(c).dataType.sql}) AS `$c`"
           }).mkString(", ")

@@ -201,6 +201,28 @@ class TableFormatSpec extends AnyFunSuite {
     assert(spark.table(t.qualified).filter($"d" === "a").count() == 1)
   }
 
+  test("manifest: numeric-looking STRING partition values survive exactly") {
+    // partition inference would coerce "0001" to int 1 ("1" after cast), so
+    // such commits must NOT take the collapsed inference path — on either
+    // the view or the DataFrame read (which pins the declared schema)
+    val m = new SparkMaterializer(spark, Some(new ManifestFormat(spark)))
+    val t = tbl("strpart", "codes", parts = Seq("code"))
+    m.replaceQuery(t, Seq((1, "0001"), (2, "007"), (3, "plain"))
+      .toDF("id", "code"))
+    assert(m.read(t).select("code").as[String].collect().toSet ==
+      Set("0001", "007", "plain"))
+    assert(spark.table(t.qualified).select("code").as[String].collect().toSet ==
+      Set("0001", "007", "plain"))
+    assert(spark.table(t.qualified).filter($"code" === "0001")
+      .select("id").as[Int].collect().toSeq == Seq(1))
+    // letter-safe string partitions DO collapse
+    val t2 = tbl("strpart2", "names", parts = Seq("src"))
+    m.replaceQuery(t2, Seq((1, "alpha"), (2, "beta")).toDF("id", "src"))
+    val text = spark.sql(s"SHOW CREATE TABLE ${t2.qualified}").head().getString(0)
+    assert("FROM parquet".r.findAllIn(text).length == 1)
+    assert(spark.table(t2.qualified).count() == 2)
+  }
+
   test("manifest commits serialize over a concurrent writer; rename guards the race") {
     // optimistic-concurrency contract (Delta/Iceberg commit shape), both
     // halves: (1) a writer whose base snapshot is superseded BEFORE it reads
