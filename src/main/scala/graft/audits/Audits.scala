@@ -16,21 +16,40 @@ object Audits {
 
   type Args = Map[String, String]
 
+  /** The row-predicate audit family: a violation IS a row satisfying this
+    * predicate. Shared by the query templates below AND by
+    * [[ObservedAudits]], which folds these checks into the write pass as
+    * `sum(case when pred …)` observed metrics (one scan, not two). */
+  val rowPredicates: Map[String, Args => String] = Map(
+    "not_null" -> (a => list(a("columns")).map(c => s"$c IS NULL").mkString(" OR ")),
+    "accepted_values" -> (a => s"${a("column")} NOT IN (${a("is_in")})"),
+    "not_accepted_values" -> (a => s"${a("column")} IN (${a("is_in")})"),
+    "forall" -> (a => list(a("criteria")).map(c => s"NOT ($c)").mkString(" OR ")),
+    "accepted_range" -> { a =>
+      val c = a("column")
+      val inclusive = a.getOrElse("inclusive", "true").toBoolean
+      val lo = a.get("min_v").map(v => if (inclusive) s"$c < $v" else s"$c <= $v")
+      val hi = a.get("max_v").map(v => if (inclusive) s"$c > $v" else s"$c >= $v")
+      (lo ++ hi).mkString(" OR ")
+    },
+    "not_empty_string" -> (a => s"${a("column")} = ''"))
+
+  private def rowPredicateSql(name: String): (String, Args) => String = { (t, a) =>
+    // predicate parenthesized so a `condition` ANDs over the WHOLE check,
+    // not just the last OR-disjunct
+    s"SELECT * FROM $t WHERE (${rowPredicates(name)(a)}) ${andCond(a)}"
+  }
+
   /** name -> (table, args) -> spark SQL returning violations */
   val all: Map[String, (String, Args) => String] = Map(
-    "not_null" -> { (t, a) =>
-      val cols = list(a("columns"))
-      s"SELECT * FROM $t WHERE ${cols.map(c => s"$c IS NULL").mkString(" OR ")} ${andCond(a)}"
-    },
+    "not_null" -> rowPredicateSql("not_null"),
     "unique_values" -> { (t, a) =>
       val cols = list(a("columns"))
       val ranks = cols.map(c => s"row_number() OVER (PARTITION BY $c ORDER BY 1) AS ${c}_rank")
       val checks = cols.map(c => s"${c}_rank > 1").mkString(" OR ")
       s"SELECT * FROM (SELECT ${cols.mkString(", ")}, ${ranks.mkString(", ")} FROM $t WHERE ${cond(a)}) WHERE $checks"
     },
-    "accepted_values" -> { (t, a) =>
-      s"SELECT * FROM $t WHERE ${a("column")} NOT IN (${a("is_in")}) ${andCond(a)}"
-    },
+    "accepted_values" -> rowPredicateSql("accepted_values"),
     // referential integrity (the dbt `relationships` test): child values
     // must exist in the parent relation. NOT IN over the non-null parent
     // keys — null-guarded on both sides so a NULL child value never trips
@@ -38,34 +57,21 @@ object Audits {
       s"SELECT * FROM $t WHERE ${a("column")} IS NOT NULL AND ${a("column")} NOT IN " +
         s"(SELECT ${a("field")} FROM ${a("to")} WHERE ${a("field")} IS NOT NULL) ${andCond(a)}"
     },
-    "not_accepted_values" -> { (t, a) =>
-      s"SELECT * FROM $t WHERE ${a("column")} IN (${a("is_in")}) ${andCond(a)}"
-    },
+    "not_accepted_values" -> rowPredicateSql("not_accepted_values"),
     "number_of_rows" -> { (t, a) =>
       // LIMIT threshold+1 trick (builtin.py:73): never scans beyond threshold+1 rows
       val thr = a("threshold").toLong
       s"SELECT COUNT(*) AS cnt FROM (SELECT 1 FROM $t WHERE ${cond(a)} LIMIT ${thr + 1}) HAVING COUNT(*) <= $thr"
     },
-    "forall" -> { (t, a) =>
-      val crits = list(a("criteria"))
-      s"SELECT * FROM $t WHERE ${crits.map(c => s"NOT ($c)").mkString(" OR ")} ${andCond(a)}"
-    },
-    "accepted_range" -> { (t, a) =>
-      val c = a("column")
-      val inclusive = a.getOrElse("inclusive", "true").toBoolean
-      val lo = a.get("min_v").map(v => if (inclusive) s"$c < $v" else s"$c <= $v")
-      val hi = a.get("max_v").map(v => if (inclusive) s"$c > $v" else s"$c >= $v")
-      s"SELECT * FROM $t WHERE (${(lo ++ hi).mkString(" OR ")}) ${andCond(a)}"
-    },
+    "forall" -> rowPredicateSql("forall"),
+    "accepted_range" -> rowPredicateSql("accepted_range"),
     "at_least_one" -> { (t, a) =>
       s"SELECT COUNT(${a("column")}) AS cnt FROM $t WHERE ${cond(a)} HAVING COUNT(${a("column")}) = 0"
     },
     "not_constant" -> { (t, a) =>
       s"SELECT COUNT(DISTINCT ${a("column")}) AS cnt FROM $t WHERE ${cond(a)} HAVING COUNT(DISTINCT ${a("column")}) <= 1"
     },
-    "not_empty_string" -> { (t, a) =>
-      s"SELECT * FROM $t WHERE ${a("column")} = '' ${andCond(a)}"
-    },
+    "not_empty_string" -> rowPredicateSql("not_empty_string"),
     "not_null_proportion" -> { (t, a) =>
       val c = a("column")
       s"""SELECT cnt, not_null_cnt, not_null_proportion FROM (

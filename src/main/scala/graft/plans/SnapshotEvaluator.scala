@@ -300,19 +300,75 @@ class SnapshotEvaluator(
     // dir, so deleting it restores the pre-write state exactly)
     val publishedDir = materializer.currentDataDir(t)
 
+    // ---- audit planning (before the write so aggregate-form audits can
+    // ride the write action itself as observed metrics — one scan, not
+    // write + N audit scans; see ObservedAudits) ------------------------
+    val timeCondStr: Option[String] = s.model.kind match {
+      case k: ModelKind.IncrementalByTimeRange =>
+        val lo = new java.sql.Timestamp(interval.start)
+        val hi = new java.sql.Timestamp(interval.end)
+        Some(s"${k.timeColumn} >= TIMESTAMP '$lo' AND ${k.timeColumn} < TIMESTAMP '$hi'")
+      case _ => None
+    }
+    final case class AuditSpec(name: String, blocking: Boolean,
+                               userArgs: Map[String, String],
+                               queryArgs: Map[String, String])
+    val auditSpecs = s.model.audits.map { case (rawName, args) =>
+      val blocking = !rawName.endsWith("_non_blocking")
+      val name = rawName.stripSuffix("_non_blocking")
+      // audit args may reference OTHER models (e.g. relationships `to`) —
+      // resolve them to physical tables like any rendered statement
+      val userArgs = args.map { case (k, v) =>
+        k -> Renderer.resolveTables(v, mapping)
+      }
+      // interval predicate ANDed with (not clobbering) a user condition
+      val combinedCond = (userArgs.get("condition"), timeCondStr) match {
+        case (Some(u), Some(tc)) => Some(s"($u) AND ($tc)")
+        case (u, tc)             => u.orElse(tc)
+      }
+      AuditSpec(name, blocking, userArgs,
+        userArgs ++ combinedCond.map("condition" -> _))
+    }
+    // one-pass eligibility: the strategy must consume the rendered frame in
+    // exactly one write action whose rows (within timeCondStr) ARE the
+    // audited scope — full replaces and time-range inserts qualify; merge/
+    // SCD2/append audit the whole resulting table, which differs from the
+    // batch, so they keep the post-write query path
+    val observeEligible = s.model.kind match {
+      case ModelKind.Full | ModelKind.MaterializedView => true
+      case _: ModelKind.Managed => true
+      case _: ModelKind.IncrementalByTimeRange => true
+      case _ => false
+    }
+    val observedPlans: Map[Int, graft.audits.ObservedAudits.Planned] =
+      if (!observeEligible) Map.empty
+      else auditSpecs.zipWithIndex.flatMap { case (a, i) =>
+        graft.audits.ObservedAudits.plan(i, a.name, a.userArgs, timeCondStr)
+          .map(i -> _)
+      }.toMap
+    val observation =
+      if (observedPlans.isEmpty) None
+      else Some(org.apache.spark.sql.Observation())
+    val toWrite = observation match {
+      case Some(o) =>
+        val ms = observedPlans.values.flatMap(_.metrics).toSeq
+        rendered.observe(o, ms.head, ms.tail: _*)
+      case None => rendered
+    }
+
     s.model.kind match {
-      case ModelKind.Full => materializer.replaceQuery(t, rendered)
+      case ModelKind.Full => materializer.replaceQuery(t, toWrite)
       case ModelKind.View => createView(s, interval, executionTs, mapping)
       // materialized view: physically refreshed every run (ViewStrategy with
       // materialized=True → engine materialized view; parquet analog = full
       // refresh of the snapshot table)
-      case ModelKind.MaterializedView => materializer.replaceQuery(t, rendered)
+      case ModelKind.MaterializedView => materializer.replaceQuery(t, toWrite)
       // MANAGED: the refresh itself is a full replace; WHEN it runs is the
       // scheduler's target_lag gate (reference delegates this to the
       // warehouse's dynamic-table refresh loop)
-      case _: ModelKind.Managed => materializer.replaceQuery(t, rendered)
+      case _: ModelKind.Managed => materializer.replaceQuery(t, toWrite)
       case k: ModelKind.IncrementalByTimeRange =>
-        materializer.insertOverwriteByTimePartition(t, rendered, k.timeColumn,
+        materializer.insertOverwriteByTimePartition(t, toWrite, k.timeColumn,
           interval.start, interval.end, k.timeFormat)
       case k: ModelKind.IncrementalByUniqueKey =>
         if (isFirstInsert && materializer.currentDataDir(t).isEmpty)
@@ -352,32 +408,29 @@ class SnapshotEvaluator(
     // (the "publish" half of write-audit-publish) before propagating; a
     // `_non_blocking`-suffixed audit only warns (builtin.py:11
     // create_non_blocking_copy).
-    s.model.audits.foreach { case (rawName, args) =>
-      val blocking = !rawName.endsWith("_non_blocking")
-      val name = rawName.stripSuffix("_non_blocking")
-      val timeCond = s.model.kind match {
-        case k: ModelKind.IncrementalByTimeRange =>
-          val lo = new java.sql.Timestamp(interval.start); val hi = new java.sql.Timestamp(interval.end)
-          Map("condition" -> s"${k.timeColumn} >= TIMESTAMP '$lo' AND ${k.timeColumn} < TIMESTAMP '$hi'")
-        case _ => Map.empty[String, String]
-      }
-      // audit args may reference OTHER models (e.g. relationships `to`) —
-      // resolve them to physical tables like any rendered statement
-      val resolvedArgs = (args ++ timeCond).map { case (k, v) =>
-        k -> Renderer.resolveTables(v, mapping)
-      }
-      val violations = Audits.run(spark, name, thisName, resolvedArgs)
-      val sample = violations.limit(1).collect()
-      if (sample.nonEmpty) {
-        onAuditFailure(s.model.name, name, sample.head.toString, blocking)
-        if (blocking) {
-          if (materializer.currentDataDir(t) != publishedDir)
-            materializer.rollbackTo(t, publishedDir)
-          throw new IllegalStateException(
-            s"audit $name failed for ${s.model.name}: e.g. ${sample.head}")
-        } else {
-          System.err.println(
-            s"[graft] WARNING: non-blocking audit $name failed for ${s.model.name}: ${sample.head}")
+    // the write completed — observed audit metrics are available without
+    // touching the table again (the common all-pass case costs zero scans)
+    val observedValues: Map[String, Any] =
+      observation.map(_.get).getOrElse(Map.empty)
+    auditSpecs.zipWithIndex.foreach { case (a, i) =>
+      val observedPass = observedPlans.get(i).exists(!_.failed(observedValues))
+      if (!observedPass) {
+        // not observable, or the in-pass metrics flagged a violation — run
+        // the classic audit query (the failure path also needs its sample
+        // row for the message)
+        val violations = Audits.run(spark, a.name, thisName, a.queryArgs)
+        val sample = violations.limit(1).collect()
+        if (sample.nonEmpty) {
+          onAuditFailure(s.model.name, a.name, sample.head.toString, a.blocking)
+          if (a.blocking) {
+            if (materializer.currentDataDir(t) != publishedDir)
+              materializer.rollbackTo(t, publishedDir)
+            throw new IllegalStateException(
+              s"audit ${a.name} failed for ${s.model.name}: e.g. ${sample.head}")
+          } else {
+            System.err.println(
+              s"[graft] WARNING: non-blocking audit ${a.name} failed for ${s.model.name}: ${sample.head}")
+          }
         }
       }
     }

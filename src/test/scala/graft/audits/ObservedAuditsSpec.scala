@@ -1,0 +1,106 @@
+package graft.audits
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.core._
+
+/** One-pass write+audit (ObservedAudits): verdict parity with the query
+  * templates, zero extra scans on the all-pass path, and the classic
+  * fallback (sample row + WAP rollback) on violation. */
+class ObservedAuditsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def observedVerdict(name: String, args: Map[String, String],
+                              df: org.apache.spark.sql.DataFrame): Boolean = {
+    val p = ObservedAudits.plan(0, name, args, None)
+      .getOrElse(fail(s"$name not observable"))
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, p.metrics.head, p.metrics.tail: _*).write
+      .mode("overwrite").parquet(SparkTestSession.tmpDir("obs_sink"))
+    p.failed(obs.get)
+  }
+
+  test("observed verdicts match the audit-query semantics") {
+    val df = Seq((1, "a", 5), (2, null, 50), (3, "c", 7))
+      .toDF("id", "name", "v")
+    assert(observedVerdict("not_null", Map("columns" -> "name"), df))
+    assert(!observedVerdict("not_null", Map("columns" -> "id"), df))
+    assert(observedVerdict("accepted_range",
+      Map("column" -> "v", "min_v" -> "0", "max_v" -> "10"), df))
+    assert(!observedVerdict("accepted_range",
+      Map("column" -> "v", "min_v" -> "0", "max_v" -> "100"), df))
+    // condition scopes the check: the null name sits at id=2, excluded
+    assert(!observedVerdict("not_null",
+      Map("columns" -> "name", "condition" -> "id <> 2"), df))
+    assert(observedVerdict("number_of_rows", Map("threshold" -> "5"), df))
+    assert(!observedVerdict("number_of_rows", Map("threshold" -> "2"), df))
+    assert(!observedVerdict("at_least_one", Map("column" -> "name"), df))
+    assert(observedVerdict("at_least_one",
+      Map("column" -> "name", "condition" -> "id = 99"), df))
+    assert(observedVerdict("not_null_proportion",
+      Map("column" -> "name", "threshold" -> "0.9"), df))
+    assert(!observedVerdict("not_null_proportion",
+      Map("column" -> "name", "threshold" -> "0.5"), df))
+    // non-observable families stay on the query path
+    assert(ObservedAudits.plan(0, "unique_values", Map("columns" -> "id"), None).isEmpty)
+    assert(ObservedAudits.plan(0, "relationships",
+      Map("column" -> "id", "to" -> "t", "field" -> "f"), None).isEmpty)
+    // args embedding a subquery are rejected even for observable names
+    assert(ObservedAudits.plan(0, "forall",
+      Map("criteria" -> "v < (SELECT max(x) FROM t)"), None).isEmpty)
+  }
+
+  test("all-pass observable audits add zero post-write queries; failure keeps WAP") {
+    val sf = "/root/testdata/sf0.001"
+    def newCtx() = {
+      val c = new graft.GraftContext(spark, SparkTestSession.tmpDir("ws-obs"))
+      c.addExternal("raw.orders", s"$sf/orders.parquet")
+      c
+    }
+    def countQueries(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                      d: Long): Unit = n.incrementAndGet()
+        def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                      e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      try { f; Thread.sleep(500) } // let the async listener bus drain
+      finally spark.listenerManager.unregister(l)
+      n.get
+    }
+    def model(audits: Seq[(String, Map[String, String])]) = Model(
+      name = "obs.orders_copy",
+      body = SqlBody("SELECT o_orderkey, o_totalprice FROM raw.orders"),
+      kind = ModelKind.Full, audits = audits)
+
+    // same model, observable (riding the write) vs query-backed audits: the
+    // observable run must plan strictly fewer queries
+    val observable = Seq(
+      "not_null" -> Map("columns" -> "o_orderkey"),
+      "accepted_range" -> Map("column" -> "o_totalprice", "min_v" -> "0"),
+      "number_of_rows" -> Map("threshold" -> "1"))
+    val queryBacked = Seq(
+      "unique_values" -> Map("columns" -> "o_orderkey"),
+      "not_constant" -> Map("column" -> "o_totalprice"),
+      "sequential_values" -> Map("column" -> "o_orderkey"))
+    val c1 = newCtx(); c1.addModel(model(observable))
+    val nObs = countQueries(c1.apply(c1.plan("prod", 0, 86400000L)))
+    val c2 = newCtx()
+    c2.addModel(model(queryBacked).copy(name = "obs.orders_copy"))
+    val nQry = countQueries(c2.apply(c2.plan("prod", 0, 86400000L)))
+    assert(nObs < nQry, s"observed audits should skip audit queries ($nObs vs $nQry)")
+
+    // failing observed audit: fallback query supplies the sample, WAP rolls back
+    val c3 = newCtx()
+    c3.addModel(model(Seq(
+      "accepted_range" -> Map("column" -> "o_totalprice", "max_v" -> "0"))))
+    val ex = intercept[Exception](c3.apply(c3.plan("prod", 0, 86400000L)))
+    assert(ex.getMessage.contains("accepted_range") && ex.getMessage.contains("e.g."))
+    val snap = c3.state.latestSnapshot("obs.orders_copy").get
+    assert(c3.materializer.currentDataDir(c3.evaluator.physicalTable(snap)).isEmpty)
+  }
+}
