@@ -32,7 +32,39 @@ object Audits {
       val hi = a.get("max_v").map(v => if (inclusive) s"$c > $v" else s"$c >= $v")
       (lo ++ hi).mkString(" OR ")
     },
-    "not_empty_string" -> (a => s"${a("column")} = ''"))
+    "not_empty_string" -> (a => s"${a("column")} = ''"),
+    "string_length_between" -> { a =>
+      val c = a("column")
+      val inclusive = a.getOrElse("inclusive", "true").toBoolean
+      val lo = a.get("min_v").map(v => if (inclusive) s"LENGTH($c) < $v" else s"LENGTH($c) <= $v")
+      val hi = a.get("max_v").map(v => if (inclusive) s"LENGTH($c) > $v" else s"LENGTH($c) >= $v")
+      (lo ++ hi).mkString(" OR ")
+    },
+    "string_length_equal" -> (a => s"LENGTH(${a("column")}) != ${a("v")}"),
+    "valid_http_method" -> (a =>
+      s"${a("column")} NOT IN ('GET','POST','PUT','DELETE','PATCH','HEAD','OPTIONS','TRACE','CONNECT')"),
+    "valid_uuid" -> regexPredicate("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    "valid_email" -> regexPredicate("^[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z0-9-.]+$"),
+    "valid_url" -> regexPredicate("^(https?|ftp)://[^\\s/$.?#].[^\\s]*$"),
+    "match_regex_pattern_list" -> { a =>
+      val c = a("column")
+      s"NOT (${list(a("patterns")).map(p => s"$c RLIKE $p").mkString(" OR ")})"
+    },
+    "not_match_regex_pattern_list" -> { a =>
+      val c = a("column")
+      list(a("patterns")).map(p => s"$c RLIKE $p").mkString(" OR ")
+    },
+    "match_like_pattern_list" -> { a =>
+      val c = a("column")
+      s"NOT (${list(a("patterns")).map(p => s"$c LIKE $p").mkString(" OR ")})"
+    },
+    "not_match_like_pattern_list" -> { a =>
+      val c = a("column")
+      list(a("patterns")).map(p => s"$c LIKE $p").mkString(" OR ")
+    })
+
+  private def regexPredicate(pattern: String): Args => String =
+    a => s"${a("column")} IS NOT NULL AND NOT (${a("column")} RLIKE '$pattern')"
 
   private def rowPredicateSql(name: String): (String, Args) => String = { (t, a) =>
     // predicate parenthesized so a `condition` ANDs over the WHOLE check,
@@ -109,29 +141,14 @@ object Audits {
          |FROM calc
          |WHERE NOT (lower_bound_lte_upper_bound AND upper_bound_lte_next_lower_bound)""".stripMargin
     },
-    "valid_uuid" -> regexAudit("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
-    "valid_email" -> regexAudit("^[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z0-9-.]+$"),
-    "valid_url" -> regexAudit("^(https?|ftp)://[^\\s/$.?#].[^\\s]*$"),
-    "valid_http_method" -> { (t, a) =>
-      val c = a("column")
-      s"SELECT * FROM $t WHERE $c NOT IN ('GET','POST','PUT','DELETE','PATCH','HEAD','OPTIONS','TRACE','CONNECT') ${andCond(a)}"
-    },
-    "match_regex_pattern_list" -> { (t, a) =>
-      val c = a("column"); val pats = list(a("patterns"))
-      s"SELECT * FROM $t WHERE NOT (${pats.map(p => s"$c RLIKE $p").mkString(" OR ")}) ${andCond(a)}"
-    },
-    "not_match_regex_pattern_list" -> { (t, a) =>
-      val c = a("column"); val pats = list(a("patterns"))
-      s"SELECT * FROM $t WHERE ${pats.map(p => s"$c RLIKE $p").mkString(" OR ")} ${andCond(a)}"
-    },
-    "match_like_pattern_list" -> { (t, a) =>
-      val c = a("column"); val pats = list(a("patterns"))
-      s"SELECT * FROM $t WHERE NOT (${pats.map(p => s"$c LIKE $p").mkString(" OR ")}) ${andCond(a)}"
-    },
-    "not_match_like_pattern_list" -> { (t, a) =>
-      val c = a("column"); val pats = list(a("patterns"))
-      s"SELECT * FROM $t WHERE ${pats.map(p => s"$c LIKE $p").mkString(" OR ")} ${andCond(a)}"
-    },
+    "valid_uuid" -> rowPredicateSql("valid_uuid"),
+    "valid_email" -> rowPredicateSql("valid_email"),
+    "valid_url" -> rowPredicateSql("valid_url"),
+    "valid_http_method" -> rowPredicateSql("valid_http_method"),
+    "match_regex_pattern_list" -> rowPredicateSql("match_regex_pattern_list"),
+    "not_match_regex_pattern_list" -> rowPredicateSql("not_match_regex_pattern_list"),
+    "match_like_pattern_list" -> rowPredicateSql("match_like_pattern_list"),
+    "not_match_like_pattern_list" -> rowPredicateSql("not_match_like_pattern_list"),
     "z_score" -> { (t, a) =>
       val c = a("column")
       s"""WITH stats AS (
@@ -141,16 +158,8 @@ object Audits {
          |FROM $t, stats
          |WHERE ABS(($c - mean_$c) / NULLIF(stddev_$c, 0)) > ${a("threshold")}""".stripMargin
     },
-    "string_length_between" -> { (t, a) =>
-      val c = a("column")
-      val inclusive = a.getOrElse("inclusive", "true").toBoolean
-      val lo = a.get("min_v").map(v => if (inclusive) s"LENGTH($c) < $v" else s"LENGTH($c) <= $v")
-      val hi = a.get("max_v").map(v => if (inclusive) s"LENGTH($c) > $v" else s"LENGTH($c) >= $v")
-      s"SELECT * FROM $t WHERE (${(lo ++ hi).mkString(" OR ")}) ${andCond(a)}"
-    },
-    "string_length_equal" -> { (t, a) =>
-      s"SELECT * FROM $t WHERE LENGTH(${a("column")}) != ${a("v")} ${andCond(a)}"
-    },
+    "string_length_between" -> rowPredicateSql("string_length_between"),
+    "string_length_equal" -> rowPredicateSql("string_length_equal"),
     "stddev_in_range" -> statInRange("STDDEV", "stddev"),
     "mean_in_range" -> statInRange("AVG", "mean"),
     "kl_divergence" -> { (t, a) =>
@@ -214,11 +223,6 @@ object Audits {
   private def cond(a: Args): String = a.getOrElse("condition", "TRUE")
   private def andCond(a: Args): String =
     a.get("condition").map(c => s"AND ($c)").getOrElse("")
-
-  private def regexAudit(pattern: String): (String, Args) => String = { (t, a) =>
-    val c = a("column")
-    s"SELECT * FROM $t WHERE $c IS NOT NULL AND NOT ($c RLIKE '$pattern') ${andCond(a)}"
-  }
 
   private def statInRange(fn: String, alias: String): (String, Args) => String = { (t, a) =>
     val c = a("column")

@@ -72,6 +72,20 @@ object ObservedAudits {
             // 0-row scope: the query form yields 0/0 = null → no violation
             n > 0 && metricLong(mm, mNN).toDouble / n < thr
           }))
+      case "mean_in_range" | "stddev_in_range" =>
+        val m = s"__audit_s$idx"
+        val c = when(condExpr, expr(args("column")))
+        val agg = if (name == "mean_in_range") avg(c) else stddev(c)
+        val inclusive = args.getOrElse("inclusive", "true").toBoolean
+        val lo = args.get("min_v").map(_.toDouble)
+        val hi = args.get("max_v").map(_.toDouble)
+        Some(Planned(Seq(agg.as(m)), mm => mm.get(m) match {
+          case None | Some(null) => false // empty scope: stat undefined → pass
+          case Some(v) =>
+            val d = v.toString.toDouble
+            lo.exists(x => if (inclusive) d < x else d <= x) ||
+              hi.exists(x => if (inclusive) d > x else d >= x)
+        }))
       case _ => None
     })
   }

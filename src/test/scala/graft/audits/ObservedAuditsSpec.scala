@@ -43,6 +43,19 @@ class ObservedAuditsSpec extends AnyFunSuite {
       Map("column" -> "name", "threshold" -> "0.9"), df))
     assert(!observedVerdict("not_null_proportion",
       Map("column" -> "name", "threshold" -> "0.5"), df))
+    // regex / like / length / stat families are observable too
+    assert(observedVerdict("valid_email", Map("column" -> "name"), df))
+    assert(!observedVerdict("match_like_pattern_list",
+      Map("column" -> "name", "patterns" -> "'%a%', '%c%'"), df))
+    assert(observedVerdict("string_length_equal",
+      Map("column" -> "name", "v" -> "5"), df))
+    // v values: 5, 50, 7 → mean ≈ 20.67
+    assert(!observedVerdict("mean_in_range",
+      Map("column" -> "v", "min_v" -> "0", "max_v" -> "100"), df))
+    assert(observedVerdict("mean_in_range",
+      Map("column" -> "v", "max_v" -> "10"), df))
+    assert(observedVerdict("stddev_in_range",
+      Map("column" -> "v", "max_v" -> "1"), df))
     // non-observable families stay on the query path
     assert(ObservedAudits.plan(0, "unique_values", Map("columns" -> "id"), None).isEmpty)
     assert(ObservedAudits.plan(0, "relationships",
