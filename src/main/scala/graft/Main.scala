@@ -59,6 +59,7 @@ import graft.core.{Interval, IntervalUnit}
   *   --allow-destructive-model EXPR   lift on_destructive_change (repeatable)
   *   --allow-additive-model EXPR      lift on_additive_change (repeatable)
   *   --skip-tests --skip-linter       bypass the plan-time gates
+  *   --no-auto-categorization         direct changes categorize BREAKING
   *   --run                  backfill immediately after --auto-apply
   *   --effective-from DATE   (with --forward-only)
   *   --restate MODEL=START:END   restatement window (repeatable; plan only)
