@@ -39,6 +39,44 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Per-micro-batch quality metrics for a stream — the streaming
+    * counterpart of the batch one-pass write+audit
+    * ([[graft.audits.ObservedAudits]]): `Dataset.observe` aggregates ride
+    * every micro-batch for free (no second pass over the stream) and
+    * surface in each progress event's `observedMetrics`. Pair with
+    * [[drainWithMetrics]] (or any StreamingQueryListener in continuous
+    * deployments) to monitor row counts / null rates / bounds violations
+    * per batch at any scale. */
+  def withMetrics(df: DataFrame, name: String, aggs: Seq[Column]): DataFrame =
+    df.observe(name, aggs.head, aggs.tail: _*)
+
+  /** [[runAvailableNow]] + collection of the named observed metrics from
+    * every micro-batch this drain processed. Returns one (batchId → metric
+    * map) entry per batch that carried the observation. */
+  def drainWithMetrics(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      transform: DataFrame => DataFrame,
+      sinkDir: String,
+      checkpointDir: String,
+      metricsName: String): Seq[(Long, Map[String, Any])] = {
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = transform(in).writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.toSeq.flatMap { p =>
+      Option(p.observedMetrics.get(metricsName)).map { row =>
+        p.batchId -> row.schema.fieldNames.zip(row.toSeq).toMap
+      }
+    }
+  }
+
   /** Event-time tumbling-window aggregation with a watermark: the streaming
     * analog of INCREMENTAL_BY_TIME_RANGE — late data within the watermark
     * still lands in its window; beyond it, the window is closed and emitted

@@ -36,6 +36,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("id") === 3).head().getAs[Double]("doubled") == 60.0)
   }
 
+  test("drainWithMetrics observes per-batch quality counters for free") {
+    val src = SparkTestSession.tmpDir("met_src")
+    val sink = SparkTestSession.tmpDir("met_sink")
+    val chk = SparkTestSession.tmpDir("met_chk")
+    val b1 = Seq((1L, "ok"), (2L, null), (3L, "ok")).toDF("id", "tag")
+    b1.write.mode("append").parquet(src)
+    def drain() = Streaming.drainWithMetrics(spark, src, b1.schema,
+      df => Streaming.withMetrics(df, "quality", Seq(
+        count(lit(1)).as("rows"),
+        sum(when(col("tag").isNull, 1L).otherwise(0L)).as("null_tags"))),
+      sink, chk, "quality")
+    val m1 = drain()
+    assert(m1.nonEmpty)
+    val agg1 = m1.map(_._2)
+    assert(agg1.map(_("rows").toString.toLong).sum == 3)
+    assert(agg1.map(_("null_tags").toString.toLong).sum == 1)
+    // second drain sees only the NEW file's rows (metrics are per-batch,
+    // checkpoint-resumed like the data itself)
+    Seq((4L, Option.empty[String]), (5L, Option.empty[String]))
+      .toDF("id", "tag").write.mode("append").parquet(src)
+    val m2 = drain()
+    assert(m2.map(_._2("rows").toString.toLong).sum == 2)
+    assert(m2.map(_._2("null_tags").toString.toLong).sum == 2)
+    // the data itself flowed through untouched
+    assert(spark.read.parquet(sink).count() == 5)
+  }
+
   test("watermarked windowed aggregation emits closed windows") {
     val src = SparkTestSession.tmpDir("wstream_src")
     val sink = SparkTestSession.tmpDir("wstream_sink")
