@@ -54,20 +54,8 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
 
   private def manifestDir(t: PhysicalTable) = new Path(t.root, "_manifests")
 
-  /** Inverse of Hive/Spark partition-path escaping (%XX hex escapes). */
-  private def unescapePathName(s: String): String = {
-    if (!s.contains('%')) return s
-    val b = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-          s.substring(i + 1, i + 3).forall(ch => Character.digit(ch, 16) >= 0)) {
-        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
-      } else { b.append(c); i += 1 }
-    }
-    b.toString
-  }
+  private def unescapePathName(s: String): String =
+    TableFormat.unescapePathName(s)
 
   def versions(t: PhysicalTable): Seq[Int] = {
     val d = manifestDir(t); val f = fs(d)
@@ -79,6 +67,10 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
 
   def currentDataDir(t: PhysicalTable): Option[String] =
     versions(t).lastOption.map(v => new Path(manifestDir(t), s"m$v.json").toString)
+
+  /** Free for this format: partition values ARE manifest metadata. */
+  override def partitionValues(t: PhysicalTable): Option[Seq[Map[String, String]]] =
+    Some(current(t).map(_.entries.map(_.partitions.toMap)).getOrElse(Nil))
 
   private def loadManifest(t: PhysicalTable, version: Int): Manifest = {
     val p = new Path(manifestDir(t), s"m$version.json")

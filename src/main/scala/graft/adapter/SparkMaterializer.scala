@@ -67,6 +67,11 @@ class SparkMaterializer(val spark: SparkSession,
     * analog of Delta's DESCRIBE HISTORY). */
   def versions(t: PhysicalTable): Seq[Int] = format.versions(t)
 
+  /** Driver-side partition metadata of the current snapshot (see
+    * [[TableFormat.partitionValues]]); None when the format can't say. */
+  def partitionValues(t: PhysicalTable): Option[Seq[Map[String, String]]] =
+    format.partitionValues(t)
+
   /** Time travel: read the table as of a specific committed version
     * (`VERSION AS OF` analog). */
   def readVersion(t: PhysicalTable, version: Int): DataFrame =

@@ -30,6 +30,21 @@ import org.apache.spark.sql.functions._
   *    (Delta/Iceberg OPTIMIZE)
   */
 object TableFormat {
+  /** Inverse of Hive/Spark partition-path escaping (%XX hex escapes). */
+  private[adapter] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          s.substring(i + 1, i + 3).forall(ch => Character.digit(ch, 16) >= 0)) {
+        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** Shared cluster-write shaping: co-locate rows by the cluster key (one
     * shuffle) and sort within partitions so each file holds a sorted,
     * min/max-tight key range. `clusterFiles` (compact's target) overrides
@@ -77,6 +92,12 @@ trait TableFormat {
   def cloneTable(target: PhysicalTable, source: PhysicalTable): Unit
   /** Catalog-level rename; data stays where it is. */
   def renameTable(t: PhysicalTable, newTable: String): PhysicalTable
+  /** Committed partition values of the current snapshot, as driver-side
+    * METADATA (dir names / manifest entries — never a data scan). None =
+    * this format can't say (callers must assume anything may exist);
+    * Some(Nil) = table exists with no partition dirs (or no data). Used by
+    * the one-pass audit fast-path to prove an interval has no prior rows. */
+  def partitionValues(t: PhysicalTable): Option[Seq[Map[String, String]]] = None
 }
 
 /** Default [[TableFormat]]: plain parquet under copy-on-write version
@@ -108,6 +129,27 @@ final class DirVersionFormat(spark: SparkSession) extends TableFormat {
     val cur = currentDataDir(t).map(_.split('/').last.drop(1).toInt).getOrElse(-1)
     new Path(new Path(t.root), s"v${cur + 1}").toString
   }
+
+  /** One recursive listing of the current version dir — metadata only. */
+  override def partitionValues(t: PhysicalTable): Option[Seq[Map[String, String]]] =
+    Some(currentDataDir(t).map { dir =>
+      val base0 = new Path(dir); val f = fs(base0)
+      val base = f.makeQualified(base0)
+      val found = scala.collection.mutable.Set[Map[String, String]]()
+      val it = f.listFiles(base, true)
+      while (it.hasNext) {
+        val file = it.next().getPath
+        if (file.getName.endsWith(".parquet")) {
+          val rel = file.getParent.toString.stripPrefix(base.toString).stripPrefix("/")
+          val parts = rel.split('/').filter(_.contains('=')).map { seg =>
+            val i = seg.indexOf('=')
+            seg.take(i) -> TableFormat.unescapePathName(seg.drop(i + 1))
+          }.toMap
+          if (parts.nonEmpty) found += parts
+        }
+      }
+      found.toSeq
+    }.getOrElse(Nil))
 
   /** True when `dir` holds at least one parquet data file. A partitioned
     * write of ZERO rows emits no files at all, so schema inference over the

@@ -202,11 +202,17 @@ object Similarity {
     val scored = df.select(col(idCol), col(labelCol), col(vecCol))
       .crossJoin(broadcast(cents))
       .withColumn("__cos", round(cosine(col(vecCol), col("__cv")), 6))
-    val own = scored.filter(col(labelCol) === col("__lbl"))
-      .select(col(idCol), col(labelCol), col("__cos").as("own_cos"))
-    val other = scored.filter(col(labelCol) =!= col("__lbl"))
-      .groupBy(col(idCol)).agg(max(col("__cos")).as("other_cos"))
-    own.join(other, idCol)
+    // ONE pass over the corpus × labels frame: own and best-other cosines
+    // are conditional aggregates of the same groupBy — no self-join, no
+    // second evaluation of the scoring crossJoin
+    scored.groupBy(col(idCol), col(labelCol))
+      .agg(
+        max(when(col(labelCol) === col("__lbl"), col("__cos"))).as("own_cos"),
+        max(when(col(labelCol) =!= col("__lbl"), col("__cos"))).as("other_cos"),
+        sum(when(col(labelCol) =!= col("__lbl"), 1).otherwise(0)).as("__n_other"))
+      // single-label corpora have no "other" centroid — no margin (mirrors
+      // the inner own⋈other join semantics)
+      .filter(col("__n_other") > 0)
       .withColumn("margin", round(col("own_cos") - col("other_cos"), 4))
       .groupBy(col(labelCol))
       .agg(count(lit(1)).as("n"),

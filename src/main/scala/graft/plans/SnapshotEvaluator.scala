@@ -87,16 +87,20 @@ class SnapshotEvaluator(
           case "epoch_millis" => timestamp_millis(col(k.timeColumn))
           case _              => col(k.timeColumn).cast("timestamp")
         }
-        val pattern = m.intervalUnit match {
-          case IntervalUnit.Year  => "yyyy"
-          case IntervalUnit.Month => "yyyy-MM"
-          case IntervalUnit.Day   => "yyyy-MM-dd"
-          case IntervalUnit.Hour  => "yyyy-MM-dd-HH"
-          case _                  => "yyyy-MM-dd-HH-mm"
-        }
-        df.withColumn(SnapshotEvaluator.TimePartitionCol, date_format(ts, pattern))
+        df.withColumn(SnapshotEvaluator.TimePartitionCol,
+          date_format(ts, timePartPattern(m)))
       case _ => df
     }
+
+  /** Interval-unit-granular partition-key pattern (shared by the managed
+    * column writer and the observed-audit freshness check). */
+  private def timePartPattern(m: Model): String = m.intervalUnit match {
+    case IntervalUnit.Year  => "yyyy"
+    case IntervalUnit.Month => "yyyy-MM"
+    case IntervalUnit.Day   => "yyyy-MM-dd"
+    case IntervalUnit.Hour  => "yyyy-MM-dd-HH"
+    case _                  => "yyyy-MM-dd-HH-mm"
+  }
 
   /** buckets>0 on a unique-key kind: hash-of-key bucket directories. A key's
     * bucket is a pure function of the key — it can never move — so the merge
@@ -303,11 +307,25 @@ class SnapshotEvaluator(
     // ---- audit planning (before the write so aggregate-form audits can
     // ride the write action itself as observed metrics — one scan, not
     // write + N audit scans; see ObservedAudits) ------------------------
+    // the audit interval predicate must match the COLUMN's representation,
+    // exactly like the write guard (SparkMaterializer.timeBounds): a
+    // TIMESTAMP literal against an epoch/date column is a wrong predicate,
+    // and timestamp text is rendered in UTC explicitly so a JVM default
+    // zone differing from the session zone can't shift the window
     val timeCondStr: Option[String] = s.model.kind match {
       case k: ModelKind.IncrementalByTimeRange =>
-        val lo = new java.sql.Timestamp(interval.start)
-        val hi = new java.sql.Timestamp(interval.end)
-        Some(s"${k.timeColumn} >= TIMESTAMP '$lo' AND ${k.timeColumn} < TIMESTAMP '$hi'")
+        def utc(ms: Long) = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(ms))
+        val (lo, hi) = k.timeFormat match {
+          case "date" =>
+            (s"DATE '${java.time.LocalDate.ofEpochDay(Math.floorDiv(interval.start, 86400000L))}'",
+              s"DATE '${java.time.LocalDate.ofEpochDay(Math.floorDiv(interval.end + 86399999L, 86400000L))}'")
+          case "epoch"        => ((interval.start / 1000).toString, (interval.end / 1000).toString)
+          case "epoch_millis" => (interval.start.toString, interval.end.toString)
+          case _ => (s"TIMESTAMP '${utc(interval.start)}'", s"TIMESTAMP '${utc(interval.end)}'")
+        }
+        Some(s"${k.timeColumn} >= $lo AND ${k.timeColumn} < $hi")
       case _ => None
     }
     final case class AuditSpec(name: String, blocking: Boolean,
@@ -337,7 +355,26 @@ class SnapshotEvaluator(
     val observeEligible = s.model.kind match {
       case ModelKind.Full | ModelKind.MaterializedView => true
       case _: ModelKind.Managed => true
-      case _: ModelKind.IncrementalByTimeRange => true
+      case _: ModelKind.IncrementalByTimeRange =>
+        // batch-scoped metrics are authoritative only when the interval has
+        // no PRIOR rows in the table: a partitioned dynamic overwrite whose
+        // source shrank (restatement) keeps stale partitions INSIDE the
+        // audited interval, which the batch can't see. Unpartitioned
+        // tables rewrite the whole range (DELETE_INSERT) — always sound;
+        // auto-time partitioning proves freshness from driver-side
+        // partition METADATA (manifest entries / one dir listing); custom
+        // partitioning can't prove it, so it keeps the query path.
+        if (t.partitionedBy.isEmpty) true
+        else if (!autoTimePartitioned(s.model)) false
+        else {
+          val fmtr = java.time.format.DateTimeFormatter
+            .ofPattern(timePartPattern(s.model)).withZone(java.time.ZoneOffset.UTC)
+          val loS = fmtr.format(java.time.Instant.ofEpochMilli(interval.start))
+          val hiS = fmtr.format(java.time.Instant.ofEpochMilli(interval.end - 1))
+          materializer.partitionValues(t).exists(_.forall(pv =>
+            pv.get(SnapshotEvaluator.TimePartitionCol)
+              .forall(v => v < loS || v > hiS)))
+        }
       case _ => false
     }
     val observedPlans: Map[Int, graft.audits.ObservedAudits.Planned] =
@@ -349,7 +386,10 @@ class SnapshotEvaluator(
     val observation =
       if (observedPlans.isEmpty) None
       else Some(org.apache.spark.sql.Observation())
-    val toWrite = observation match {
+    // lazy: `rendered` is a def — kinds that never write (View/Embedded/
+    // External, already-seeded Seed) must not build it, and kinds that use
+    // `rendered` directly must not build it twice
+    lazy val toWrite = observation match {
       case Some(o) =>
         val ms = observedPlans.values.flatMap(_.metrics).toSeq
         rendered.observe(o, ms.head, ms.tail: _*)

@@ -52,7 +52,14 @@ object Streaming {
 
   /** [[runAvailableNow]] + collection of the named observed metrics from
     * every micro-batch this drain processed. Returns one (batchId → metric
-    * map) entry per batch that carried the observation. */
+    * map) entry per batch that carried the observation.
+    *
+    * A listener captures every batch — `recentProgress` alone retains only
+    * the last `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    * events, which would silently drop the earliest batches of a large
+    * backlog drain; the two sources are unioned (dedup on batchId) so the
+    * tail is covered even if a listener event is still in flight at
+    * termination. */
   def drainWithMetrics(
       spark: SparkSession,
       sourceDir: String,
@@ -61,20 +68,41 @@ object Streaming {
       sinkDir: String,
       checkpointDir: String,
       metricsName: String): Seq[(Long, Map[String, Any])] = {
-    val in = spark.readStream.schema(schema).parquet(sourceDir)
-    val q = transform(in).writeStream
-      .format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.recentProgress.toSeq.flatMap { p =>
-      Option(p.observedMetrics.get(metricsName)).map { row =>
-        p.batchId -> row.schema.fieldNames.zip(row.toSeq).toMap
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val buf = scala.collection.mutable.ArrayBuffer[(java.util.UUID, Long, Map[String, Any])]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        Option(p.observedMetrics.get(metricsName)).foreach { row =>
+          buf.synchronized {
+            buf += ((p.id, p.batchId, row.schema.fieldNames.zip(row.toSeq).toMap))
+          }
+        }
       }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
+    spark.streams.addListener(listener)
+    try {
+      val in = spark.readStream.schema(schema).parquet(sourceDir)
+      val q = transform(in).writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val fromListener = buf.synchronized {
+        buf.toSeq.collect { case (id, b, m) if id == q.id => b -> m }
+      }
+      val fromRecent = q.recentProgress.toSeq.flatMap { p =>
+        Option(p.observedMetrics.get(metricsName)).map { row =>
+          p.batchId -> row.schema.fieldNames.zip(row.toSeq).toMap
+        }
+      }
+      (fromListener ++ fromRecent).distinctBy(_._1).sortBy(_._1)
+    } finally spark.streams.removeListener(listener)
   }
 
   /** Event-time tumbling-window aggregation with a watermark: the streaming

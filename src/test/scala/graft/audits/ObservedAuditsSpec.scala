@@ -65,6 +65,45 @@ class ObservedAuditsSpec extends AnyFunSuite {
       Map("criteria" -> "v < (SELECT max(x) FROM t)"), None).isEmpty)
   }
 
+  test("stale-partition restatement cannot false-pass an observed audit") {
+    // day-partitioned incremental: run 1 backfills day1 (v=5) + day2 (v=50)
+    // under accepted_range max 100; the audit is then TIGHTENED to max 30
+    // (metadata-only — same version, same physical table) and the source
+    // loses day2. Restating [day1, day3) in one batch rewrites only the
+    // day1 partition — day2's stale v=50 rows sit INSIDE the audited
+    // interval but OUTSIDE the batch, so batch-scoped observed metrics
+    // would pass; the partition-metadata freshness gate must force the
+    // classic query, which fails.
+    def day(s: String) = java.time.LocalDate.parse(s).toEpochDay * 86400000L
+    val srcDir = SparkTestSession.tmpDir("obs-stale-src")
+    def writeSrc(days: Seq[(String, Int)]): Unit =
+      days.flatMap { case (d, v) =>
+        (1 to 5).map(i => (i.toLong, java.sql.Timestamp.valueOf(s"$d 00:00:00"), v))
+      }.toDF("id", "ts", "v").write.mode("overwrite").parquet(srcDir)
+    writeSrc(Seq("2024-01-01" -> 5, "2024-01-02" -> 50))
+    val ws = SparkTestSession.tmpDir("ws-obs-stale")
+    def ctx(maxV: String) = {
+      val c = new graft.GraftContext(spark, ws)
+      c.addExternal("raw.obsev", srcDir)
+      c.addModel(Model("obs.daily",
+        SqlBody("SELECT id, ts, v FROM raw.obsev WHERE ts BETWEEN @start_ts AND @end_ts"),
+        kind = ModelKind.IncrementalByTimeRange(timeColumn = "ts", batchSize = Some(31)),
+        cron = "@daily", start = Some(day("2024-01-01")),
+        audits = Seq("accepted_range" -> Map("column" -> "v", "max_v" -> maxV))))
+      c
+    }
+    val c1 = ctx("100")
+    c1.apply(c1.plan("prod", day("2024-01-01"), day("2024-01-03")))
+    assert(spark.table("obs.daily").count() == 10)
+    writeSrc(Seq("2024-01-01" -> 5))
+    val c2 = ctx("30")
+    val p = c2.plan("prod", day("2024-01-01"), day("2024-01-03"),
+      restate = Map("obs.daily" ->
+        graft.core.Interval(day("2024-01-01"), day("2024-01-03"))))
+    val ex = intercept[Exception](c2.apply(p))
+    assert(ex.getMessage.contains("accepted_range"), ex.getMessage)
+  }
+
   test("all-pass observable audits add zero post-write queries; failure keeps WAP") {
     val sf = "/root/testdata/sf0.001"
     def newCtx() = {
