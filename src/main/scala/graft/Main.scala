@@ -26,6 +26,7 @@ import graft.core.{Interval, IntervalUnit}
   *   check-intervals [env] per-model missing intervals in the window
   *   fetch <sql>           query through the virtual layer, print rows
   *   table-name <model> [env]   the env view a model resolves to
+  *   partitions <model>    committed partition values (metadata only)
   *   invalidate <env>      demote an environment's views immediately
   *   create-external-models     write external_models.yaml for unknown refs
   *   create-test <model>   generate a YAML unit test from live data
@@ -364,6 +365,23 @@ object Main {
           val model = positionalRequired(positional, "table-name <model> [env]")
           out.println(ctx.envTable(model, positional.drop(1).headOption.getOrElse("prod")))
           0
+        case "partitions" =>
+          // SHOW PARTITIONS analog over the TableFormat metadata (dir names
+          // / manifest entries — never a data scan)
+          val model = positionalRequired(positional, "partitions <model>")
+          val snap = ctx.state.latestSnapshot(model).getOrElse(
+            throw new IllegalArgumentException(s"$model has no snapshot"))
+          val t = ctx.evaluator.physicalTable(snap)
+          ctx.materializer.partitionValues(t) match {
+            case None => out.println("(format reports no partition metadata)"); 0
+            case Some(Nil) => out.println("(unpartitioned or empty)"); 0
+            case Some(pvs) =>
+              pvs.map(_.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+                  .mkString("/"))
+                .sorted.foreach(out.println)
+              out.println(s"${pvs.size} partition(s)")
+              0
+          }
         case "invalidate" =>
           val env = positionalRequired(positional, "invalidate <env>")
           ctx.invalidateEnvironment(env, sync = has("sync"))

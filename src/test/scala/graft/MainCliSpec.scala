@@ -911,6 +911,10 @@ class MainCliSpec extends AnyFunSuite {
     val (t2, diffSkip) = cli(Seq("table-diff", "cli6.late", "prod:dev",
       "--skip-columns", "n", "--show-sample") ++ base: _*)
     assert(t2 == 0 && !diffSkip.contains("match_n"), diffSkip)
+    // partitions verb: metadata-only listing of committed partition dirs
+    val (pc, parts) = cli(Seq("partitions", "cli6.late") ++ base: _*)
+    assert(pc == 0 && parts.contains("__graft_pt=1995-01-1") &&
+      parts.contains("partition(s)"), parts)
     // env-pair-only invocation (reference: model optional) diffs exactly
     // the models changed between the envs — cli6.other is unchanged
     val (t3, diffEnvs) = cli(Seq("table-diff", "prod:dev") ++ base: _*)
