@@ -53,6 +53,37 @@ object EvalMetrics {
         col("n_pos"), col("n_neg"))
   }
 
+  /** Average precision (area under the precision–recall curve by step
+    * integration): `AP = Σ_k ΔR_k · P_k` over distinct score thresholds
+    * descending — the ranking metric that, unlike ROC AUC, stays honest
+    * under the extreme class imbalance of corpus quality filtering (tiny
+    * positive rates make ROC look great while precision is terrible).
+    *
+    * Same scale shape as [[auc]]: the corpus collapses to its quantized
+    * SCORE DISTRIBUTION first (one hash-shuffle, ≤ ~10⁴ rows), the
+    * cumulative window then runs over that tiny frame — never a
+    * corpus-wide single-task window. Returns (ap, n_pos, n_neg); single
+    * class → null AP. */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df.select(
+      col(scoreCol).cast("double").as("__s"),
+      col(labelCol).cast("int").as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val w = Window.orderBy(col("__s").desc)
+    val c = g.select(col("__n"), col("__p"),
+      sum(col("__p")).over(w).as("__tp"),
+      sum(col("__n")).over(w).as("__cnt"))
+    c.agg(
+      // Σ (p_k / P) · (tp_k / cnt_k): ΔR at threshold k times precision@k
+      sum(col("__p") * col("__tp") / col("__cnt")).as("__num"),
+      sum(col("__p")).as("n_pos"),
+      (sum(col("__n")) - sum(col("__p"))).as("n_neg"))
+      .select(
+        round(try_divide(col("__num"), col("n_pos")), 6).as("ap"),
+        col("n_pos"), col("n_neg"))
+  }
+
   /** Reliability (calibration) table: scores bucketed into `bins` equal-width
     * bins over [0,1]; each row reports the bin's mean predicted score vs the
     * observed positive rate and its share of the corpus. The gap column is

@@ -1049,6 +1049,33 @@ object PipelineQueries {
         |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
         |FROM t""".stripMargin)),
 
+    // average precision (PR-AUC): the imbalance-honest ranking metric —
+    // same quantized-distribution collapse as td_auc
+    "td_average_precision" -> Entry((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        round(lit(1.0) / (lit(1.0) + exp(-(col("n_chars") - 900) / 200.0)), 4).as("score"),
+        when(col("lang") === "en", 1).otherwise(0).as("label"))
+      graft.functions.EvalMetrics.averagePrecision(d, "score", "label")
+    }, Some(
+      """WITH d AS (
+        |  SELECT round(1.0/(1.0 + exp(-(n_chars - 900)/200.0)), 4) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), g AS (
+        |  SELECT s, count(*) AS n, sum(y) AS p FROM d GROUP BY s
+        |), c AS (
+        |  SELECT n, p, sum(p) OVER (ORDER BY s DESC) AS tp,
+        |    sum(n) OVER (ORDER BY s DESC) AS cnt
+        |  FROM g
+        |), t AS (
+        |  SELECT sum(p * tp / cnt) AS num, sum(p) AS np,
+        |    sum(n) - sum(p) AS nn
+        |  FROM c
+        |)
+        |SELECT round(num / nullif(np, 0), 6) AS ap, CAST(np AS BIGINT) AS n_pos,
+        |  CAST(nn AS BIGINT) AS n_neg
+        |FROM t""".stripMargin)),
+
     "td_calibration" -> Entry((s, dir) => {
       val d = t(s, dir, "documents").select(
         round(lit(1.0) / (lit(1.0) + exp(-(col("n_chars") - 900) / 200.0)), 4).as("score"),

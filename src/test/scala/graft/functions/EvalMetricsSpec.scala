@@ -54,6 +54,23 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(bins.forall(r => !r.isNullAt(4)))
   }
 
+  test("averagePrecision: step-integrated PR curve, hand-checked") {
+    // scores desc: 0.9(+), 0.8(-), 0.7(+), 0.6(-)
+    // thresholds: k1 P=1/1 ΔR=1/2; k3 P=2/3 ΔR=1/2 → AP = 0.5 + 0.3333…
+    val rows = Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0))
+    val r = EvalMetrics.averagePrecision(rows.toDF("score", "label"),
+      "score", "label").head()
+    assert(r.getDouble(0) == 0.833333 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    // perfect ranking → AP 1; inverted ranking < 0.5 for balanced classes
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))
+    assert(EvalMetrics.averagePrecision(perfect.toDF("score", "label"),
+      "score", "label").head().getDouble(0) == 1.0)
+    // single-class input: undefined → null, like auc
+    val onlyNeg = Seq((0.9, 0), (0.1, 0))
+    assert(EvalMetrics.averagePrecision(onlyNeg.toDF("score", "label"),
+      "score", "label").head().isNullAt(0))
+  }
+
   test("ngramOverlap n=1: clipped counts, empty side yields null metric") {
     val pairs = Seq(
       (1L, "the cat sat", "the cat ran"), // overlap {the,cat} = 2/3 each way
