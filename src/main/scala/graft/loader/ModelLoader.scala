@@ -59,7 +59,7 @@ object ModelLoader {
         .filter(_._2 >= 0).sortBy(_._2).headOption.map(_._1).getOrElse("MODEL")
     }
     val byHeader = files.groupBy { case (t, _) => headerOf(t) }
-    (byHeader.getOrElse("MODEL", Nil).map { case (t, src) => parse(t, src, config) },
+    (byHeader.getOrElse("MODEL", Nil).flatMap { case (t, src) => parseAll(t, src, config) },
       byHeader.getOrElse("AUDIT", Nil).map { case (t, src) => parseStandaloneAudit(t, src) },
       byHeader.getOrElse("METRIC", Nil).flatMap { case (t, src) => parseMetrics(t, src) })
   }
@@ -118,6 +118,63 @@ object ModelLoader {
       sql = statements(qIdx),
       blocking = props.get("blocking").forall(_.trim.toBoolean),
       description = props.get("description").map(unq))
+  }
+
+  /** Blueprint expansion (reference `blueprints` model property,
+    * definition.py:2019 create_models_from_blueprints): ONE template file
+    * yields one model per key-value mapping — `@{key}` interpolations
+    * (names, identifiers) resolve to the UNQUOTED value and
+    * `@BLUEPRINT_VAR('key')` references to the raw value, at LOAD time, so
+    * every instance carries a concrete name, body, and fingerprint exactly
+    * like a hand-written model. Files without the property parse 1:1. */
+  def parseAll(text: String, source: String = "<inline>",
+               config: ProjectConfig = ProjectConfig()): Seq[Model] = {
+    val noComments = stripComments(text)
+    val mIdx = noComments.toUpperCase.indexOf("MODEL")
+    val open = if (mIdx < 0) -1 else noComments.indexOf('(', mIdx)
+    if (open < 0) return Seq(parse(text, source, config))
+    val (headerBody, afterHeader) = balanced(noComments, open)
+    val headerProps = splitTopLevel(headerBody, ',')
+    val bp = headerProps.map(p => p -> parseProp(p)).find(_._2._1 == "blueprints")
+    bp match {
+      case None => Seq(parse(text, source, config))
+      case Some((_, (_, spec))) =>
+        val instances = parseBlueprints(spec)
+        require(instances.nonEmpty, s"$source: blueprints property is empty")
+        val cleanedHeader = headerProps
+          .filterNot(p => parseProp(p)._1 == "blueprints").mkString(", ")
+        val prefix = noComments.substring(0, mIdx)
+        instances.map { vars =>
+          var inst = s"${prefix}MODEL ($cleanedHeader)$afterHeader"
+          vars.foreach { case (k, v) =>
+            inst = inst.replace(s"@{$k}", unq(v))
+            inst = inst.replaceAll(
+              "(?i)@BLUEPRINT_VAR\\(\\s*'" + java.util.regex.Pattern.quote(k) + "'\\s*\\)",
+              java.util.regex.Matcher.quoteReplacement(v))
+          }
+          parse(inst, source, config)
+        }
+    }
+  }
+
+  /** `((k = v, …), (k = v2, …))` — or a single `(k = v, …)` mapping. */
+  private def parseBlueprints(spec: String): Seq[Map[String, String]] = {
+    val t = spec.trim
+    val inner =
+      if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1).trim
+      else t
+    val groups = splitTopLevel(inner, ',').map(_.trim).filter(_.nonEmpty)
+    if (groups.nonEmpty && groups.forall(_.startsWith("(")))
+      groups.map(g => splitTopLevel(g.stripPrefix("(").stripSuffix(")"), ',')
+        .map(_.trim).filter(_.nonEmpty).map(kv).toMap)
+    else Seq(groups.map(kv).toMap)
+  }
+
+  /** `key = value` (blueprint mappings use '=' like parse_properties). */
+  private def kv(p: String): (String, String) = {
+    val eq = p.indexOf('=')
+    require(eq > 0, s"blueprint mapping needs key = value: $p")
+    p.substring(0, eq).trim.toLowerCase -> p.substring(eq + 1).trim
   }
 
   def parse(text: String, source: String = "<inline>",

@@ -258,4 +258,43 @@ class ModelLoaderSpec extends AnyFunSuite {
     assert(c.beforeAll == Seq("SET a=1"))
     assert(!c.linterEnabled)
   }
+
+  test("blueprints expand one template into per-mapping models, end-to-end") {
+    val ms = ModelLoader.parseAll(
+      """MODEL (
+        |  name mart.@{segment}_rev,
+        |  kind FULL,
+        |  blueprints ((segment = 'retail', floor = 10),
+        |              (segment = 'corp', floor = 100)),
+        |  owner team_data
+        |);
+        |SELECT count(*) AS n, @BLUEPRINT_VAR('floor') AS floor_v
+        |FROM raw.orders WHERE o_totalprice > @BLUEPRINT_VAR('floor')
+        |""".stripMargin)
+    assert(ms.map(_.name) == Seq("mart.retail_rev", "mart.corp_rev"))
+    assert(ms.forall(_.owner.contains("team_data")))
+    val bodies = ms.map(_.body.asInstanceOf[SqlBody].sql)
+    assert(bodies.head.contains("o_totalprice > 10") &&
+      bodies(1).contains("o_totalprice > 100"))
+    // distinct fingerprint inputs → independent snapshots/tables
+    assert(bodies.distinct.size == 2)
+    // a blueprint-less file parses exactly one model
+    assert(ModelLoader.parseAll(
+      "MODEL (name a.b, kind FULL);\nSELECT 1 AS x\n").map(_.name) == Seq("a.b"))
+    // end-to-end: the expanded instances plan + materialize independently
+    val proj = SparkTestSession.tmpDir("proj-blueprint")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "tpl.sql"),
+      """MODEL (name bp.@{lang}_docs, kind FULL,
+        |       blueprints ((lang = 'en'), (lang = 'de')));
+        |SELECT count(*) AS n FROM raw.docs WHERE lang = @BLUEPRINT_VAR('lang')
+        |""".stripMargin)
+    val ctx = new graft.GraftContext(SparkTestSession.spark,
+      SparkTestSession.tmpDir("ws-bp"), 2)
+    ctx.addExternal("raw.docs", "/root/testdata/sf0.001/documents.parquet")
+    ctx.loadModels(proj)
+    ctx.apply(ctx.plan("prod", 0, 86400000L))
+    val en = SparkTestSession.spark.table("bp.en_docs").head().getLong(0)
+    val de = SparkTestSession.spark.table("bp.de_docs").head().getLong(0)
+    assert(en > 0 && de > 0 && en != de)
+  }
 }
