@@ -271,6 +271,30 @@ object KindQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY r_name""".stripMargin)),
 
+    // blueprint expansion: one template file → one model per mapping,
+    // planned and materialized independently (reference `blueprints`,
+    // definition.py:2019)
+    "mk_blueprints" -> Entry((s, dir) => {
+      val c = ctx(s, dir)
+      graft.loader.ModelLoader.parseAll(
+        """MODEL (name mart.@{seg}_orders, kind FULL,
+          |       blueprints ((seg = 'f', st = 'F'), (seg = 'o', st = 'O')));
+          |SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM raw.orders WHERE o_orderstatus = @BLUEPRINT_VAR('st')
+          |""".stripMargin).foreach(c.addModel)
+      c.apply(c.plan("prod", 0L, D))
+      s.table("mart.f_orders").withColumn("seg", org.apache.spark.sql.functions.lit("f"))
+        .unionByName(s.table("mart.o_orders")
+          .withColumn("seg", org.apache.spark.sql.functions.lit("o")))
+        .orderBy("seg")
+    }, Some(
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total, 'f' AS seg
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total, 'o' AS seg
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY seg""".stripMargin)),
+
     // ---------------- MANAGED: target_lag-gated engine refresh ------------
     "mk_managed" -> Entry((s, dir) => {
       val c = ctx(s, dir)
