@@ -880,6 +880,7 @@ object Main {
     """usage: graft <verb> [target...] [flags]
       |verbs: init format plan run diff evaluate render audit lint test
       |       table-diff check-intervals environments fetch table-name
+      |       partitions
       |       invalidate create-external-models create-test state-export
       |       state-import rewrite clean migrate rollback info dag docs
       |       lineage janitor destroy

@@ -80,7 +80,10 @@ object EvalMetrics {
       sum(col("__p")).as("n_pos"),
       (sum(col("__n")) - sum(col("__p"))).as("n_neg"))
       .select(
-        round(try_divide(col("__num"), col("n_pos")), 6).as("ap"),
+        // single-class input (P or N = 0) is undefined, like auc: a set
+        // with no negatives would otherwise score a meaningless 1.0
+        when(col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(round(try_divide(col("__num"), col("n_pos")), 6)).as("ap"),
         col("n_pos"), col("n_neg"))
   }
 

@@ -135,39 +135,59 @@ object ModelLoader {
     if (open < 0) return Seq(parse(text, source, config))
     val (headerBody, afterHeader) = balanced(noComments, open)
     val headerProps = splitTopLevel(headerBody, ',')
-    val bp = headerProps.map(p => p -> parseProp(p)).find(_._2._1 == "blueprints")
-    bp match {
+    val parsedProps = headerProps.map(parseProp)
+    parsedProps.find(_._1 == "blueprints").map(_._2) match {
       case None => Seq(parse(text, source, config))
-      case Some((_, (_, spec))) =>
-        val instances = parseBlueprints(spec)
+      case Some(spec) =>
+        val instances = parseBlueprints(spec, source)
         require(instances.nonEmpty, s"$source: blueprints property is empty")
-        val cleanedHeader = headerProps
-          .filterNot(p => parseProp(p)._1 == "blueprints").mkString(", ")
+        val cleanedHeader = headerProps.zip(parsedProps)
+          .collect { case (raw, (k, _)) if k != "blueprints" => raw }
+          .mkString(", ")
         val prefix = noComments.substring(0, mIdx)
         instances.map { vars =>
           var inst = s"${prefix}MODEL ($cleanedHeader)$afterHeader"
           vars.foreach { case (k, v) =>
-            inst = inst.replace(s"@{$k}", unq(v))
+            val kq = java.util.regex.Pattern.quote(k)
+            // both interpolation forms resolve case-insensitively (mapping
+            // keys are lowercased, like the reference's validator)
+            inst = inst.replaceAll("(?i)@\\{" + kq + "\\}",
+              java.util.regex.Matcher.quoteReplacement(unq(v)))
             inst = inst.replaceAll(
-              "(?i)@BLUEPRINT_VAR\\(\\s*'" + java.util.regex.Pattern.quote(k) + "'\\s*\\)",
+              "(?i)@BLUEPRINT_VAR\\(\\s*'" + kq + "'\\s*\\)",
               java.util.regex.Matcher.quoteReplacement(v))
           }
+          // an unbound @BLUEPRINT_VAR in an EXPANDED instance is a mapping
+          // that forgot a key — fail at load with the key named, not at
+          // plan time inside Spark analysis (the reference raises the same)
+          "(?i)@BLUEPRINT_VAR\\(\\s*'([^']*)'\\s*\\)".r.findFirstMatchIn(inst)
+            .foreach(m => throw new IllegalArgumentException(
+              s"$source: blueprint mapping $vars leaves " +
+                s"@BLUEPRINT_VAR('${m.group(1)}') unbound"))
           parse(inst, source, config)
         }
     }
   }
 
   /** `((k = v, …), (k = v2, …))` — or a single `(k = v, …)` mapping. */
-  private def parseBlueprints(spec: String): Seq[Map[String, String]] = {
+  private def parseBlueprints(spec: String,
+                              source: String): Seq[Map[String, String]] = {
     val t = spec.trim
     val inner =
       if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1).trim
       else t
     val groups = splitTopLevel(inner, ',').map(_.trim).filter(_.nonEmpty)
-    if (groups.nonEmpty && groups.forall(_.startsWith("(")))
+    if (groups.isEmpty) Nil
+    else if (groups.forall(_.startsWith("(")))
       groups.map(g => splitTopLevel(g.stripPrefix("(").stripSuffix(")"), ',')
         .map(_.trim).filter(_.nonEmpty).map(kv).toMap)
-    else Seq(groups.map(kv).toMap)
+    else {
+      // a MIXED list (some mappings parenthesized, some bare) is a typo,
+      // not a single flat mapping — reject instead of silently mis-keying
+      require(!groups.exists(_.startsWith("(")),
+        s"$source: blueprints mixes parenthesized and bare mappings: $spec")
+      Seq(groups.map(kv).toMap)
+    }
   }
 
   /** `key = value` (blueprint mappings use '=' like parse_properties). */

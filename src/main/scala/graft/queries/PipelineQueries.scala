@@ -1072,8 +1072,9 @@ object PipelineQueries {
         |    sum(n) - sum(p) AS nn
         |  FROM c
         |)
-        |SELECT round(num / nullif(np, 0), 6) AS ap, CAST(np AS BIGINT) AS n_pos,
-        |  CAST(nn AS BIGINT) AS n_neg
+        |SELECT CASE WHEN nn = 0 THEN NULL
+        |  ELSE round(num / nullif(np, 0), 6) END AS ap,
+        |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
         |FROM t""".stripMargin)),
 
     "td_calibration" -> Entry((s, dir) => {

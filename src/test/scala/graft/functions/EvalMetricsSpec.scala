@@ -65,9 +65,13 @@ class EvalMetricsSpec extends AnyFunSuite {
     val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))
     assert(EvalMetrics.averagePrecision(perfect.toDF("score", "label"),
       "score", "label").head().getDouble(0) == 1.0)
-    // single-class input: undefined → null, like auc
+    // single-class input: undefined → null, like auc — BOTH directions
+    // (an all-positive set must not score a meaningless 1.0)
     val onlyNeg = Seq((0.9, 0), (0.1, 0))
     assert(EvalMetrics.averagePrecision(onlyNeg.toDF("score", "label"),
+      "score", "label").head().isNullAt(0))
+    val onlyPos = Seq((0.9, 1), (0.1, 1))
+    assert(EvalMetrics.averagePrecision(onlyPos.toDF("score", "label"),
       "score", "label").head().isNullAt(0))
   }
 

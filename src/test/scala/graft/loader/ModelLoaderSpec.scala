@@ -281,6 +281,22 @@ class ModelLoaderSpec extends AnyFunSuite {
     // a blueprint-less file parses exactly one model
     assert(ModelLoader.parseAll(
       "MODEL (name a.b, kind FULL);\nSELECT 1 AS x\n").map(_.name) == Seq("a.b"))
+    // load-time errors, not plan-time Spark mysteries: empty blueprints,
+    // a mapping that leaves a template var unbound, a mixed mapping list
+    assert(intercept[IllegalArgumentException](ModelLoader.parseAll(
+      "MODEL (name a.c, kind FULL, blueprints ());\nSELECT 1 AS x\n"))
+      .getMessage.contains("empty"))
+    assert(intercept[IllegalArgumentException](ModelLoader.parseAll(
+      """MODEL (name a.d, kind FULL, blueprints ((x = '1'), (y = '2')));
+        |SELECT @BLUEPRINT_VAR('x') AS v
+        |""".stripMargin)).getMessage.contains("unbound"))
+    assert(intercept[IllegalArgumentException](ModelLoader.parseAll(
+      "MODEL (name a.e, kind FULL, blueprints ((x = '1'), x = '2'));\nSELECT 1 AS v\n"))
+      .getMessage.contains("mixes"))
+    // case-insensitive interpolation: lowercased key binds @{Seg} too
+    val ci = ModelLoader.parseAll(
+      "MODEL (name m.@{Seg}_x, kind FULL, blueprints (SEG = 'a'));\nSELECT 1 AS v\n")
+    assert(ci.map(_.name) == Seq("m.a_x"))
     // end-to-end: the expanded instances plan + materialize independently
     val proj = SparkTestSession.tmpDir("proj-blueprint")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "tpl.sql"),
