@@ -86,7 +86,12 @@ class Scheduler(
     val pool = Executors.newFixedThreadPool(concurrency)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      topoLevels(snapshots).foreach { level =>
+      // one durable state write per DAG wave, not per batch: a 181-day
+      // backfill of B batches otherwise rewrites the whole state image B
+      // times (quadratic at 1000-model scale). Crash mid-wave loses only
+      // bookkeeping — the batches themselves are idempotent overwrites/
+      // merges, so the re-run redoes at most one wave.
+      topoLevels(snapshots).foreach { level => state.deferPersist {
         val fs = level.filter(_.model.kind.isMaterialized).map { snap =>
           Future {
             // auto-restatement (kind.py:388/:470 + `_auto_restatements` state):
@@ -221,7 +226,7 @@ class Scheduler(
           }
         }
         Await.result(Future.sequence(fs), Duration.Inf)
-      }
+      } }
     } finally pool.shutdown()
   }
 }

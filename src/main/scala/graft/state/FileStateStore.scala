@@ -118,7 +118,36 @@ final class FileStateStore(
 
   // -------------------------------------------------------------- persist
 
-  private def persist(): Unit = blob.withLock {
+  /** deferPersist nesting depth + whether a mutation happened inside the
+    * scope. Guarded by this store's monitor (every mutator is synchronized);
+    * the scope is store-global, not thread-local, because the scheduler's
+    * worker threads mutate while the coordinating thread holds the scope. */
+  private var deferDepth = 0
+  private var deferDirty = false
+
+  /** Durable writes performed so far (the txn counter) — probe/spec
+    * observability for "how many whole-image rewrites did this workload
+    * cost", nothing functional reads it. */
+  private[graft] def durableWrites: Long = synchronized(txn)
+
+  override def deferPersist[T](f: => T): T = {
+    synchronized { deferDepth += 1 }
+    try f
+    finally {
+      val flush = synchronized {
+        deferDepth -= 1
+        val d = deferDepth == 0 && deferDirty
+        if (d) deferDirty = false
+        d
+      }
+      if (flush) synchronized(persist())
+    }
+  }
+
+  private def persist(): Unit =
+    if (deferDepth > 0) deferDirty = true else persistNow()
+
+  private def persistNow(): Unit = blob.withLock {
     // optimistic concurrency: the file must still be at the txn this
     // instance last read/wrote, else another writer has intervened. The txn
     // check reads only the file HEAD (O(1), not O(state)), and on local

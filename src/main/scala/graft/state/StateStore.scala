@@ -57,6 +57,17 @@ trait StateStore {
   def lastAutoRestatement(name: String): Option[Long]
   def setAutoRestatement(name: String, ts: Long): Unit
 
+  /** Run `f` with durable persistence batched: implementations that write
+    * state on every mutation may defer the write until `f` completes, so a
+    * scheduler wave adding B intervals costs ONE state write instead of B
+    * whole-image rewrites (the reference's relational store pays per-row,
+    * state_sync/db/interval.py:47 — a blob store must batch to match).
+    * Mutations made inside `f` are visible to readers immediately (the
+    * in-memory image is always current); only durability is deferred, so a
+    * crash mid-scope re-processes at most one wave of idempotent batches.
+    * Nests; default is pass-through for stores with cheap writes. */
+  def deferPersist[T](f: => T): T = f
+
   /** janitor: snapshots referenced by no environment (core/janitor.py) */
   def expiredSnapshots: Seq[Snapshot] = {
     val referenced = environments.flatMap(e => e.snapshots.map { case (n, v) => s"$n@$v" }).toSet

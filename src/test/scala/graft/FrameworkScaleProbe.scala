@@ -85,6 +85,40 @@ object FrameworkScaleProbe {
     val vs = ctx.materializer.versions(t)
     println(s"  daily_rev versions after vacuum: $vs")
     require(vs.size <= 2, s"vacuum kept ${vs.size} versions")
+
+    // --- control-plane state cost at 200-model width -----------------------
+    // A wide scheduler wave must cost ONE durable state write, not one per
+    // batch: the store's whole-image persist is O(state), so per-batch
+    // persisting makes a B-batch backfill O(state·B) — quadratic over long
+    // backfills. recordOnly isolates the control plane (interval accounting
+    // + state I/O, no Spark jobs).
+    val st = new graft.state.FileStateStore(SparkTestSession.tmpDir("ws-fw-state"))
+    val day0 = dayMs("1995-01-01")
+    val wide: Seq[Snapshot] = (0 until 200).map { i =>
+      val m = Model(s"wide.m$i", SqlBody("SELECT 1 AS id"),
+        kind = ModelKind.IncrementalByTimeRange(timeColumn = "d", batchSize = Some(1)),
+        cron = "@daily", start = Some(day0))
+      Snapshot(m, Fingerprint.of(m, "SELECT 1 AS id", Nil))
+    }
+    st.deferPersist { wide.foreach(st.pushSnapshot) }
+    val w0 = st.durableWrites
+    val sched = new graft.plans.Scheduler(ctx.evaluator, st, concurrency = 4)
+    val waveT0 = System.nanoTime()
+    sched.run(wide, day0, day0 + 30 * D, executionTs = day0 + 40 * D,
+      tableMapping = _ => Map.empty, recordOnly = true)
+    val waveS = (System.nanoTime() - waveT0) / 1e9
+    val waveWrites = st.durableWrites - w0
+    // per-mutation persist cost at this state size, for the counterfactual
+    val soloT0 = System.nanoTime()
+    (0 until 20).foreach(i => st.addInterval("wide.m0", wide.head.version,
+      Interval(day0 + (40 + 2 * i) * D, day0 + (41 + 2 * i) * D)))
+    val perWrite = (System.nanoTime() - soloT0) / 1e9 / 20
+    println(f"wave: 200 models x 30 batches  $waveS%8.2f s   " +
+      f"($waveWrites durable writes; per-batch persisting would add ~${6000 * perWrite}%.1f s)")
+    require(waveWrites == 1,
+      s"200-model wave cost $waveWrites durable state writes — expected 1 per wave")
+    require(st.getSnapshot("wide.m0", wide.head.version).get.intervals.head ==
+      Interval(day0, day0 + 30 * D), "wave intervals not recorded/compacted")
     println("FRAMEWORK SCALE PROBE OK")
   }
 }

@@ -190,6 +190,42 @@ abstract class StateStoreContractSpec extends AnyFunSuite {
     s.setAutoRestatement("m", 1L) // some live state, but no migration backup
     intercept[IllegalArgumentException](s.rollback())
   }
+
+  test(s"[$backend] deferPersist batches N mutations into one durable write") {
+    val dir = stateDir("state_defer")
+    val s = new FileStateStore(dir)
+    val snap = mkSnapshot("mart.d", "SELECT 1 AS id", ModelKind.IncrementalByTimeRange(
+      timeColumn = "d", timeFormat = "date"))
+    s.pushSnapshot(snap)
+    val day = 86400000L
+    s.deferPersist {
+      // a scheduler wave: many interval adds, widely-spaced so compaction
+      // can't merge them away
+      (0 until 20).foreach(i =>
+        s.addInterval("mart.d", snap.version, Interval(2 * i * day, (2 * i + 1) * day)))
+      // visible immediately to readers of THIS store (in-memory image current)
+      assert(s.getSnapshot("mart.d", snap.version).get.intervals.size == 20)
+      // but NOT yet durable: a fresh store over the same location sees the
+      // pre-wave image — proof the per-mutation write was actually deferred
+      assert(new FileStateStore(dir).getSnapshot("mart.d", snap.version)
+        .get.intervals.isEmpty)
+    }
+    // one flush at scope close makes the whole wave durable
+    assert(new FileStateStore(dir).getSnapshot("mart.d", snap.version)
+      .get.intervals.size == 20)
+    // nesting: only the OUTERMOST close flushes
+    s.deferPersist {
+      s.deferPersist { s.setAutoRestatement("mart.d", 5L) }
+      assert(new FileStateStore(dir).lastAutoRestatement("mart.d").isEmpty)
+    }
+    assert(new FileStateStore(dir).lastAutoRestatement("mart.d").contains(5L))
+    // an exception inside the scope still flushes the mutations that DID
+    // happen (durability of partial waves beats losing them)
+    intercept[RuntimeException](s.deferPersist {
+      s.setAutoRestatement("mart.d", 9L); throw new RuntimeException("boom")
+    })
+    assert(new FileStateStore(dir).lastAutoRestatement("mart.d").contains(9L))
+  }
 }
 
 /** The local-filesystem backend, plus its file-only behaviors (Hadoop URI
