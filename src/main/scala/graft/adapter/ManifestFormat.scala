@@ -202,6 +202,45 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
     readManifest(t, loadManifest(t, version))
   }
 
+  /** Catalog database for per-commit external tables backing collapsed view
+    * branches. A commit dir is immutable, so its helper is created once
+    * (CREATE + RECOVER PARTITIONS, one listing) and never touched again;
+    * helpers are keyed by the commit dir's absolute path, so clones and
+    * renames pointing at the same commit share one helper. */
+  private val extDb = "graft_sys"
+
+  private def helperName(absCommitDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "c_" + md.digest(absCommitDir.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+  }
+
+  /** Ensure the external table over a fully-live commit exists and return its
+    * qualified name. The DECLARED schema (data + partition columns) is what
+    * kills partition-type inference: a StringType partition value "0001"
+    * reads back as "0001" from a catalog table, where `parquet.`path``
+    * inference would coerce it to int 1. */
+  private def helperFor(t: PhysicalTable, m: Manifest, commit: String): String = {
+    val abs = new Path(t.root, commit).toString
+    val nm = helperName(abs)
+    if (!spark.catalog.tableExists(extDb, nm)) {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$extDb`")
+      val cols = (m.schema.filterNot(f => m.partitionedBy.contains(f.name)) ++
+        m.partitionedBy.map(m.schema(_)))
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(
+        s"CREATE TABLE `$extDb`.`$nm` ($cols) USING PARQUET " +
+          s"PARTITIONED BY (${m.partitionedBy.map(c => s"`$c`").mkString(", ")}) " +
+          s"LOCATION '$abs'")
+      spark.sql(s"ALTER TABLE `$extDb`.`$nm` RECOVER PARTITIONS")
+    }
+    s"`$extDb`.`$nm`"
+  }
+
+  /** Drop the helper (if any) for a commit dir that is being deleted. */
+  private def dropHelper(absCommitDir: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `$extDb`.`${helperName(absCommitDir)}`")
+
   /** View text for a snapshot: UNION ALL over entries, partition values
     * rebuilt as typed literals (they live in dir names, not data files);
     * managed `__graft_*` columns stay physical-only like the dir scheme. */
@@ -229,32 +268,28 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
       s"SELECT $cols FROM parquet.`$abs`"
     }
     // FULLY-live commits (live entries == dirs written) collapse to one
-    // SELECT over the commit root with Spark partition inference — view
-    // text and analysis are O(commits), not O(partitions). The append-only
-    // incremental-by-time shape (every batch = new partitions, nothing ever
-    // replaced) stays fully live forever; partially-superseded commits fall
-    // back to per-entry selects so stale dirs are never resurrected.
-    // a SQL view can't pin a read schema, so the collapsed branch relies on
-    // partition-type INFERENCE — only safe when no StringType partition
-    // value would be coerced (inference turns "0001" into int 1, and the
-    // identity cast back to string yields "1", not "0001"). Non-string
-    // partition types are normalizing casts on both paths — always safe.
-    val stringParts = exposedParts
-      .filter(c => m.schema(c).dataType == org.apache.spark.sql.types.StringType).toSet
-    def inferenceStable(es: Seq[Entry]): Boolean =
-      stringParts.isEmpty || es.forall(_.partitions.forall { case (k, v) =>
-        !stringParts.contains(k) || v == "__HIVE_DEFAULT_PARTITION__" ||
-          (v.nonEmpty && (v.head.isLetter || v.head == '_') &&
-            v != "Infinity" && v != "NaN")
-      })
+    // SELECT — view text and analysis are O(commits), not O(partitions).
+    // The append-only incremental-by-time shape (every batch = new
+    // partitions, nothing ever replaced) stays fully live forever;
+    // partially-superseded commits fall back to per-entry selects so stale
+    // dirs are never resurrected. A SQL view can't pin a read schema, so
+    // partitioned commits collapse onto a per-commit EXTERNAL TABLE with the
+    // declared schema (helperFor) — partition values keep their declared
+    // types with no inference ("0001" stays the string "0001", where
+    // `parquet.`path`` inference coerces it to int 1). Unpartitioned commits
+    // read `parquet.`path`` directly: data-column types come from parquet
+    // footers, which are exact.
     m.entries.groupBy(_.dir.split('/').head).toSeq.sortBy(_._1)
       .flatMap { case (commit, es) =>
-        if (m.commitSizes.get(commit).contains(es.size) && inferenceStable(es)) {
+        if (m.commitSizes.get(commit).contains(es.size)) {
           val cols = (dataCols.map(c => s"`$c`") ++ exposedParts.map { c =>
             s"CAST(`$c` AS ${m.schema(c).dataType.sql}) AS `$c`"
           }).mkString(", ")
-          val abs = new Path(t.root, commit).toString
-          Seq(s"SELECT $cols FROM parquet.`$abs`")
+          val src =
+            if (exposedParts.isEmpty && m.partitionedBy.isEmpty)
+              s"parquet.`${new Path(t.root, commit).toString}`"
+            else helperFor(t, m, commit)
+          Seq(s"SELECT $cols FROM $src")
         } else es.sortBy(_.dir).map(entrySelect)
       }.mkString(" UNION ALL ")
   }
@@ -306,7 +341,14 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
   def drop(t: PhysicalTable): Unit = {
     spark.sql(s"DROP VIEW IF EXISTS ${t.qualified}")
     val root = new Path(t.root); val f = fs(root)
-    if (f.exists(root)) f.delete(root, true)
+    if (f.exists(root)) {
+      // helper names hash the same `new Path(root, commit)` spelling
+      // helperFor used — not the scheme-qualified listing path
+      f.listStatus(root).map(_.getPath.getName)
+        .filter(_.matches("c\\d+"))
+        .foreach(n => dropHelper(new Path(t.root, n).toString))
+      f.delete(root, true)
+    }
   }
 
   def rollbackTo(t: PhysicalTable, keepDir: Option[String]): Unit = {
@@ -361,7 +403,10 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
     if (f.exists(root))
       f.listStatus(root).map(_.getPath)
         .filter(p => p.getName.matches("c\\d+") && !referenced.contains(p.getName))
-        .foreach { p => f.delete(p, true); removed += 1 }
+        .foreach { p =>
+          dropHelper(new Path(t.root, p.getName).toString)
+          f.delete(p, true); removed += 1
+        }
     removed
   }
 

@@ -333,7 +333,15 @@ final class DirVersionFormat(spark: SparkSession) extends TableFormat {
     val cut = versions(t).dropRight(keepLast)
     val root = new Path(t.root); val f = fs(root)
     cut.foreach(v => f.delete(new Path(root, s"v$v"), true))
-    cut.size
+    // crashed staged overwrites leave orphaned tmp_* staging dirs (the happy
+    // path deletes them inline) — object-store deployments accumulate these;
+    // vacuum is the janitor pass, assumed not concurrent with writers
+    var orphans = 0
+    if (f.exists(root))
+      f.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("tmp_"))
+        .foreach { p => f.delete(p, true); orphans += 1 }
+    cut.size + orphans
   }
 
   /** clone_table (base.py:1059, Delta SHALLOW CLONE analog): the clone's

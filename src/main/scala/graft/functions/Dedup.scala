@@ -301,7 +301,11 @@ object Dedup {
           "ELSE array() END")).as(Seq("off", "kmer")))
       .select(col(idCol), col("off").cast("long").as("off"),
         xxhash64(col("kmer")).as("kh"))
-      .persist() // feeds both the doc-frequency agg and the join back
+    // NO persist: this frame is one row per corpus CHARACTER (2–3× corpus
+    // bytes) — caching it materializes petabytes at 100 TB. It feeds both
+    // the doc-frequency agg and the join back, so dropping the cache costs
+    // one extra scan-speed explode+hash pass over the input, which is the
+    // right trade (CPU-cheap, storage-free); shuffle volume is unchanged.
     val dupAnchors = kmers.select(col("kh"), col(idCol)).distinct()
       .groupBy(col("kh")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2).select("kh")

@@ -95,6 +95,80 @@ object TextFunctions {
     round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
   }
 
+  /** A trained linear quality classifier: weights over STANDARDIZED
+    * [[qualityFeatures]] (x' = round((x − μ)/σ, 4)) plus the frozen
+    * standardization stats, so [[score]] reproduces training-time inputs
+    * exactly on any corpus. All numbers are rounded (stats 4 dp, weights
+    * 6 dp) — the fixed-iteration trajectory is engine-portable. */
+  final case class TrainedClassifier(
+      features: Seq[String], weights: Seq[Double], bias: Double,
+      means: Seq[Double], stds: Seq[Double]) {
+    /** Inference column: sigmoid over the standardized features — the same
+      * shuffle-free scan-speed projection as [[classifierScore]]. */
+    def score(text: Column): Column = {
+      val featMap = qualityFeatures(text).toMap
+      val z = features.zipWithIndex.foldLeft(lit(bias)) { case (acc, (f, i)) =>
+        acc + round((featMap(f).cast("double") - means(i)) / stds(i), 4) * lit(weights(i))
+      }
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+    }
+  }
+
+  /** Distributed quality-classifier TRAINING: full-batch gradient-descent
+    * logistic regression over [[qualityFeatures]] — the missing half of the
+    * filter loop ([[classifierScore]] applies weights; this learns them,
+    * the way reference-world pipelines train fastText/LR quality filters
+    * before the corpus-wide filter pass).
+    *
+    * Scale shape: the model is a TINY driver-side weight vector; the corpus
+    * appears only through ONE aggregate per iteration (avg gradient — map-
+    * side combined, no shuffle of rows, no collect of data). The
+    * standardized feature frame (a handful of doubles per row, 1–2% of
+    * corpus bytes) is persisted serialized so k iterations cost k
+    * scan-speed aggregates instead of k regex feature extractions.
+    *
+    * Determinism: per-row math is identical IEEE arithmetic in any engine;
+    * aggregation-order noise (~1e-12) is quashed by rounding stats to 4 dp
+    * and gradients/weights to 6 dp each step, so a fixed iteration count
+    * yields a bit-identical trajectory — the DuckDB oracle replays it with
+    * unrolled CTEs ([[trainQualityClassifierOracleSql]]). */
+  def trainQualityClassifier(docs: DataFrame, label: Column,
+                             features: Seq[String], textCol: String = "text",
+                             iterations: Int = 10, lr: Double = 2.0): TrainedClassifier = {
+    val featMap = qualityFeatures(col(textCol)).toMap
+    val unknown = features.filterNot(featMap.contains)
+    require(unknown.isEmpty, s"unknown classifier features ${unknown.mkString(",")}")
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = docs.select(label.cast("double").as("__y") +:
+      features.map(f => featMap(f).cast("double").as(f)): _*)
+    val statRow = raw.agg(
+      avg(col(features.head)),
+      features.tail.map(f => avg(col(f))) ++ features.map(f => stddev_pop(col(f))): _*).head()
+    val mu = features.indices.map(i => r4(statRow.getDouble(i)))
+    val sd = features.indices.map { i =>
+      val s = r4(statRow.getDouble(features.size + i)); if (s == 0.0) 1.0 else s
+    }
+    val std = raw.select(col("__y") +: features.zipWithIndex.map { case (f, i) =>
+      round((col(f) - mu(i)) / sd(i), 4).as(f)
+    }: _*).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val w = Array.fill(features.size)(0.0)
+      var b = 0.0
+      for (_ <- 1 to iterations) {
+        val z = features.zipWithIndex.foldLeft(lit(b)) { case (acc, (f, i)) =>
+          acc + col(f) * lit(w(i))
+        }
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val gs = features.map(f => avg((p - col("__y")) * col(f))) :+ avg(p - col("__y"))
+        val g = std.agg(gs.head, gs.tail: _*).head()
+        for (i <- features.indices) w(i) = r6(w(i) - lr * r6(g.getDouble(i)))
+        b = r6(b - lr * r6(g.getDouble(features.size)))
+      }
+      TrainedClassifier(features, w.toSeq, b, mu, sd)
+    } finally { std.unpersist(); () }
+  }
+
   /** BPE-ish token estimate: whitespace words + sub-word splits on
     * case/digit/punct boundaries (a cheap proxy for byte-pair tokenizers). */
   def tokenEstimate(text: Column): Column =

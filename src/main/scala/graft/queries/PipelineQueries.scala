@@ -18,6 +18,58 @@ import QueryUtil._
   */
 object PipelineQueries {
 
+  /** Fixed hyperparameters of the td_classifier_train trajectory — one
+    * constant feeds BOTH the Spark trainer and the oracle-SQL generator. */
+  private final val ClassifierTrainIters = 10
+  private final val ClassifierTrainLr = 2.0
+
+  /** DuckDB replay of [[TextFunctions.trainQualityClassifier]]'s trajectory
+    * for features (n_words, stopword_hits, punct_ratio) and label
+    * lang = 'en': the iteration loop is UNROLLED into chained CTEs
+    * (standard SQL bans aggregates in recursive terms), with the identical
+    * feature SQL, standardization, z-association, and per-step rounding. */
+  private def classifierTrainSql(iterations: Int, lr: Double): String = {
+    val sw = TextFunctions.stopwords("en").map(_.trim).mkString("|")
+    val f1 = "CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS DOUBLE)"
+    val f2 = s"CAST(len(regexp_extract_all(lower(text), '\\b(?:$sw)\\b')) AS DOUBLE)"
+    val f3 = """round(len(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 / len(text), 4)"""
+    def stat(i: Int) =
+      s"round(avg(f$i), 4) AS m$i, CASE WHEN round(stddev_pop(f$i), 4) = 0 " +
+        s"THEN 1.0 ELSE round(stddev_pop(f$i), 4) END AS s$i"
+    // z associates exactly like the Scala foldLeft: ((b + x1·w1) + x2·w2) + x3·w3
+    val z = "(((b + (x1 * w1)) + (x2 * w2)) + (x3 * w3))"
+    val p = s"(1.0 / (1.0 + exp(-$z)))"
+    val steps = (1 to iterations).map { k =>
+      s"""g$k AS (
+         |  SELECT round(avg(($p - y) * x1), 6) AS g1,
+         |    round(avg(($p - y) * x2), 6) AS g2,
+         |    round(avg(($p - y) * x3), 6) AS g3,
+         |    round(avg($p - y), 6) AS gb
+         |  FROM s, wk${k - 1}
+         |), wk$k AS (
+         |  SELECT round(w1 - $lr * g1, 6) AS w1, round(w2 - $lr * g2, 6) AS w2,
+         |    round(w3 - $lr * g3, 6) AS w3, round(b - $lr * gb, 6) AS b
+         |  FROM wk${k - 1}, g$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH f AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    $f1 AS f1, $f2 AS f2, $f3 AS f3
+       |  FROM documents
+       |), st AS (
+       |  SELECT ${stat(1)}, ${stat(2)}, ${stat(3)} FROM f
+       |), s AS (
+       |  SELECT y, round((f1 - m1) / s1, 4) AS x1, round((f2 - m2) / s2, 4) AS x2,
+       |    round((f3 - m3) / s3, 4) AS x3
+       |  FROM f, st
+       |), wk0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),
+       |$steps
+       |SELECT wk.b AS bias, wk.w1 AS w_words, wk.w2 AS w_stop, wk.w3 AS w_punct,
+       |  st.m1 AS m_words, st.m2 AS m_stop, st.m3 AS m_punct,
+       |  st.s1 AS s_words, st.s2 AS s_stop, st.s3 AS s_punct
+       |FROM wk$iterations wk, st""".stripMargin
+  }
+
   val entries: Map[String, Entry] = Map(
 
     // -------------------------------------------------- exact dedup ------
@@ -1021,6 +1073,24 @@ object PipelineQueries {
         |)
         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS cls_score
         |FROM z ORDER BY doc_id""".stripMargin)),
+
+    // ------- distributed classifier TRAINING (full-batch logistic GD) ----
+    // the learn-the-weights half of the filter loop: tiny driver-side
+    // weight vector, one corpus-scale avg-gradient aggregate per iteration.
+    // The rounded fixed-iteration trajectory is engine-portable, so the
+    // DuckDB oracle replays the IDENTICAL gradient path with unrolled CTEs.
+    "td_classifier_train" -> Entry((s, dir) => {
+      import s.implicits._
+      val c = TextFunctions.trainQualityClassifier(
+        t(s, dir, "documents"),
+        when(col("lang") === "en", 1.0).otherwise(0.0),
+        Seq("n_words", "stopword_hits", "punct_ratio"),
+        iterations = ClassifierTrainIters, lr = ClassifierTrainLr)
+      Seq((c.bias, c.weights(0), c.weights(1), c.weights(2),
+          c.means(0), c.means(1), c.means(2), c.stds(0), c.stds(1), c.stds(2)))
+        .toDF("bias", "w_words", "w_stop", "w_punct",
+          "m_words", "m_stop", "m_punct", "s_words", "s_stop", "s_punct")
+    }, Some(classifierTrainSql(ClassifierTrainIters, ClassifierTrainLr))),
 
     // classifier-evaluation metrics: a trained quality filter is only as
     // good as its measured ranking quality; at corpus scale the eval is a

@@ -45,7 +45,14 @@ object ScaleProbe {
       time(s"substring_spans $label") {
         // heaviest text op by row count: one k-mer row per char offset —
         // must stay linear (hashed 8-byte keys, postings-bounded join back)
-        Dedup.substringSpans(d, minLen = 30).count()
+        val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+        val rows = Dedup.substringSpans(d, minLen = 30).count()
+        // storage footprint FLAT: the per-char k-mer frame (2–3× corpus
+        // bytes — petabytes at 100 TB) must not be persisted; the op pays a
+        // second scan-speed pass instead
+        require(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+          "substringSpans cached a corpus-sized frame")
+        rows
       }
       time(s"lang_id $label") {
         d.select(TextFunctions.langId(col("text")).as("l")).groupBy("l").count().count()

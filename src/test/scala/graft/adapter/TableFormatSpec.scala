@@ -171,16 +171,39 @@ class TableFormatSpec extends AnyFunSuite {
     assert(spark.table(s"graft__fmt.cl_src2_renamed_$fmtName").count() == 2)
     assert(Seq("cloneTable", "renameTable").forall(fmt.calls.contains))
   }
+
+  test(s"[$fmtName] vacuum reclaims a crashed writer's orphan dirs, live commits untouched") {
+    val (m, _) = harness(mk)
+    val t = tbl(fmtName, "orphan", parts = Seq("d"))
+    m.replaceQuery(t, Seq((1, "a"), (2, "b")).toDF("id", "d"))
+    m.insertAppend(t, Seq((3, "c")).toDF("id", "d"))
+    // simulate crashed writers: a data dir that no manifest/pointer ever
+    // published (c99 for the log format) and an abandoned staging dir
+    // (tmp_* in the dir scheme) — both accumulate on object stores
+    val root = new java.io.File(t.root)
+    val debris = Seq(new java.io.File(root, if (fmtName == "manifest") "c99" else "tmp_123"),
+      new java.io.File(root, if (fmtName == "manifest") "c42" else "tmp_9"))
+    debris.foreach { d =>
+      d.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "part-crashed.parquet").toPath, "junk")
+    }
+    m.vacuum(t, keepLast = 2)
+    debris.foreach(d => assert(!d.exists(), s"orphan ${d.getName} not reclaimed"))
+    // live data intact through the same view and a fresh read
+    assert(m.read(t).select("id").as[Int].collect().toSet == Set(1, 2, 3))
+    assert(spark.table(t.qualified).count() == 3)
+  }
   }
 
   test("manifest view text is O(commits): fully-live commits collapse, partial fall back") {
     val m = new SparkMaterializer(spark, Some(new ManifestFormat(spark)))
     val t = tbl("vtext", "collapse", parts = Seq("d"))
-    def branches: Int = {
-      val text = spark.sql(s"SHOW CREATE TABLE ${t.qualified}")
-        .head().getString(0)
-      "FROM parquet".r.findAllIn(text).length
-    }
+    def viewText: String =
+      spark.sql(s"SHOW CREATE TABLE ${t.qualified}").head().getString(0)
+    // one UNION branch per live unit: collapsed commits read their external
+    // helper table (`graft_sys`.…), per-entry fallbacks read parquet.`dir`
+    def branches: Int = "UNION ALL".r.findAllIn(viewText).length + 1
     // c0: three partitions, fully live → ONE select for the whole commit
     m.replaceQuery(t, Seq((1, "x", "a"), (2, "y", "b"), (3, "z", "c"))
       .toDF("id", "v", "d"))
@@ -194,33 +217,46 @@ class TableFormatSpec extends AnyFunSuite {
     // c1 and the new c2 stay collapsed → 2 + 1 + 1
     m.insertOverwriteByPartition(t, Seq((30, "Z", "c")).toDF("id", "v", "d"))
     assert(branches == 4, s"partial commit must fall back per-entry: $branches")
+    // the fallback branches are the only parquet-path reads; collapsed
+    // commits go through their declared-schema helper tables
+    assert("FROM parquet".r.findAllIn(viewText).length == 2)
+    assert("`graft_sys`".r.findAllIn(viewText).length == 2)
     val got = m.read(t).select("id").as[Int].collect().toSet
     assert(got == Set(1, 2, 30, 4, 5))
-    // the collapsed read recovers partition VALUES via inference
     assert(m.read(t).filter($"d" === "e").select("id").as[Int].collect().toSeq == Seq(4))
     assert(spark.table(t.qualified).filter($"d" === "a").count() == 1)
   }
 
-  test("manifest: numeric-looking STRING partition values survive exactly") {
-    // partition inference would coerce "0001" to int 1 ("1" after cast), so
-    // such commits must NOT take the collapsed inference path — on either
-    // the view or the DataFrame read (which pins the declared schema)
+  test("manifest: numeric-looking STRING partition values collapse AND survive exactly") {
+    // partition inference would coerce "0001" to int 1 ("1" after cast). The
+    // collapsed branch reads a per-commit external table whose DECLARED
+    // schema pins the type, so even digit-leading string partitions stay
+    // O(commits) in the view text with exact round-trip — no inference
+    // anywhere (the daily-grain "2024-01-01" string partition is the common
+    // case this protects).
     val m = new SparkMaterializer(spark, Some(new ManifestFormat(spark)))
     val t = tbl("strpart", "codes", parts = Seq("code"))
     m.replaceQuery(t, Seq((1, "0001"), (2, "007"), (3, "plain"))
       .toDF("id", "code"))
+    val text = spark.sql(s"SHOW CREATE TABLE ${t.qualified}").head().getString(0)
+    assert(!text.contains("UNION ALL") && text.contains("`graft_sys`"),
+      s"digit-leading string partitions must still collapse via helper: $text")
     assert(m.read(t).select("code").as[String].collect().toSet ==
       Set("0001", "007", "plain"))
     assert(spark.table(t.qualified).select("code").as[String].collect().toSet ==
       Set("0001", "007", "plain"))
     assert(spark.table(t.qualified).filter($"code" === "0001")
       .select("id").as[Int].collect().toSeq == Seq(1))
-    // letter-safe string partitions DO collapse
-    val t2 = tbl("strpart2", "names", parts = Seq("src"))
-    m.replaceQuery(t2, Seq((1, "alpha"), (2, "beta")).toDF("id", "src"))
-    val text = spark.sql(s"SHOW CREATE TABLE ${t2.qualified}").head().getString(0)
-    assert("FROM parquet".r.findAllIn(text).length == 1)
-    assert(spark.table(t2.qualified).count() == 2)
+    // a daily-grain string date partition: collapsed, exact, prunable
+    val t2 = tbl("strpart2", "days", parts = Seq("d"))
+    m.replaceQuery(t2, Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("id", "d"))
+    m.insertAppend(t2, Seq((3, "2024-01-03")).toDF("id", "d"))
+    val text2 = spark.sql(s"SHOW CREATE TABLE ${t2.qualified}").head().getString(0)
+    assert("UNION ALL".r.findAllIn(text2).length == 1) // 2 commits, O(commits)
+    assert(spark.table(t2.qualified).select("d").as[String].collect().toSet ==
+      Set("2024-01-01", "2024-01-02", "2024-01-03"))
+    assert(spark.table(t2.qualified).filter($"d" === "2024-01-03")
+      .select("id").as[Int].collect().toSeq == Seq(3))
   }
 
   test("manifest commits serialize over a concurrent writer; rename guards the race") {

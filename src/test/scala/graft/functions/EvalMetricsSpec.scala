@@ -38,6 +38,33 @@ class EvalMetricsSpec extends AnyFunSuite {
       .select("auc").as[Double].head() == 0.0)
   }
 
+  test("trained classifier beats hand weights on AUC (the training closes the loop)") {
+    // label derived from document length; the trainer sees n_words +
+    // mean_word_len (strongly informative), the hand baseline scores on
+    // stopword density (uninformative for length) — training must learn a
+    // ranking the hand weights can't reach
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val label = when(col("n_chars") >= 300, 1.0).otherwise(0.0)
+    val trained = TextFunctions.trainQualityClassifier(
+      docs, label, Seq("n_words", "mean_word_len"), iterations = 10, lr = 2.0)
+    assert(trained.features == Seq("n_words", "mean_word_len"))
+    assert(trained.weights.exists(_ != 0.0), "training moved no weight")
+    def aucOf(score: org.apache.spark.sql.Column): Double =
+      EvalMetrics.auc(docs.select(score.as("score"),
+          label.cast("int").as("label")), "score", "label")
+        .select("auc").as[Double].head()
+    val aucTrained = aucOf(trained.score(col("text")))
+    val aucHand = aucOf(TextFunctions.classifierScore(col("text"),
+      Map("stopword_hits" -> 0.3), bias = -0.5))
+    assert(aucTrained >= aucHand,
+      s"trained AUC $aucTrained < hand AUC $aucHand")
+    assert(aucTrained > 0.9, s"trained AUC $aucTrained — label should be learnable")
+    // determinism: the same fixed-iteration run reproduces the weights
+    val again = TextFunctions.trainQualityClassifier(
+      docs, label, Seq("n_words", "mean_word_len"), iterations = 10, lr = 2.0)
+    assert(again == trained)
+  }
+
   test("single-class labels yield null AUC (0/0), not a crash") {
     val onlyPos = Seq((0.9, 1), (0.1, 1))
     val row = EvalMetrics.auc(onlyPos.toDF("score", "label"), "score", "label").head()
