@@ -604,6 +604,16 @@ class GraftContext(
     }.toSeq.sortBy(_.name)
   }
 
+  /** Signal-gate probe backing the `signal-ready` CLI verb (the poke target
+    * of exported Airflow BashSensors): true when every missing batch of the
+    * model inside [start, end) passes its signal — or the model has no
+    * signal / nothing missing. Read-only, like exportSchedule. */
+  def signalReady(env: String, model: String, start: Long, end: Long): Boolean = {
+    val sched = exportSchedule(env, start, end).find(_.name == model).getOrElse(
+      throw new IllegalArgumentException(s"model $model not in environment $env"))
+    signals.get(model).forall(g => sched.batches.forall(g))
+  }
+
   /** Project summary (reference `sqlmesh info`): model counts by kind,
     * external count, environment count. */
   def info: String = {

@@ -548,6 +548,15 @@ object Main {
             case None => out.println(text)
           }
           0
+        case "signal-ready" =>
+          // sensor poke target for exported Airflow DAGs: exit 0 iff every
+          // missing batch of the model in the window passes its signal gate
+          val env = positional.headOption.getOrElse("prod")
+          val sel = flag("select").getOrElse(throw new IllegalArgumentException(
+            "usage: signal-ready <env> --select <model> [--start S --end E]"))
+          val ready = ctx.signalReady(env, sel, start, end)
+          out.println(s"$sel: " + (if (ready) "ready" else "waiting"))
+          if (ready) 0 else 1
         case "lineage" =>
           // column-level lineage (reference core/lineage.py, surfaced in the
           // web UI/LSP): output column → upstream relation.column leaves
@@ -885,6 +894,7 @@ object Main {
       |       state-import rewrite clean migrate rollback info dag docs
       |       lineage janitor destroy
       |       export-schedule [env] [--format json|airflow] [--out F]
+      |       signal-ready <env> --select <model> [--start S --end E]
       |       optimize <model> [--target-file-mb N]   vacuum <model> [--keep N]
       |       dbt run|list|compile|test|seed|build|snapshot|show|source freshness
       |         (dbt-CLI facade over a

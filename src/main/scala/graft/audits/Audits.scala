@@ -217,7 +217,7 @@ object Audits {
 
   // ------------------------------------------------------------- helpers
 
-  private def list(s: String): Seq[String] =
+  private[audits] def list(s: String): Seq[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   private def cond(a: Args): String = a.getOrElse("condition", "TRUE")

@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * to fetch the sample row for the failure message. At 100 TB an audited
   * incremental batch drops from write-scan + N audit-scans to write-scan.
   *
-  * Only audits with exact aggregate forms participate: the
+  * Audits with exact aggregate forms participate fully: the
   * [[Audits.rowPredicates]] family (violations = rows matching a
   * predicate → `sum(case when pred then 1 end)`), plus `at_least_one`,
-  * `number_of_rows`, and `not_null_proportion` (count algebra).
-  * `unique_values` / `not_constant` need DISTINCT aggregates, which
-  * observed metrics disallow — they keep their own query, as do audits
-  * whose args embed subqueries (`relationships` etc.).
+  * `number_of_rows`, and `not_null_proportion` (count algebra). The
+  * DISTINCT families (`unique_values`, `unique_combination_of_columns`,
+  * `not_constant`) can't ride exactly — `count_distinct` is disallowed in
+  * observed metrics — but `approx_count_distinct` is not: they ride as a
+  * SCREEN whose pass skips the classic query and whose fail falls back to
+  * it, so their verdict stays exact either way. Audits whose args embed
+  * subqueries (`relationships` etc.) keep their own query.
   */
 object ObservedAudits {
 
@@ -86,6 +89,52 @@ object ObservedAudits {
             lo.exists(x => if (inclusive) d < x else d <= x) ||
               hi.exists(x => if (inclusive) d > x else d >= x)
         }))
+      // DISTINCT families: exact count_distinct is disallowed in observed
+      // metrics, but approx_count_distinct is not — used as a SCREEN, never
+      // as the verdict. Screen-pass skips the classic query; screen-fail
+      // (or any ambiguity) falls through to the exact query, so the final
+      // verdict is always exact.
+      case "unique_values" =>
+        // per column: HLL estimate == exact non-null count ⇒ no duplicated
+        // non-null value (at HLL error bounds: for small-register occupancy
+        // the linear-counting estimate is near-deterministic; a false
+        // equality on a true duplicate needs the ±σ estimate noise to land
+        // on one exact integer, ~1/σ — and a false INEQUALITY only costs
+        // the query we used to always run). NULL duplicates are invisible
+        // to both count(c) and the HLL (nulls are ignored), and the classic
+        // query groups NULLs together as violations — screened separately
+        // by an exact null count ≤ 1.
+        val cols = Audits.list(args("columns"))
+        val ms = cols.zipWithIndex.flatMap { case (c, j) =>
+          val v = when(condExpr, expr(c))
+          Seq(approx_count_distinct(v).as(s"__audit_ad${idx}_$j"),
+            count(v).as(s"__audit_cn${idx}_$j"),
+            counted(condExpr && expr(c).isNull).as(s"__audit_nl${idx}_$j"))
+        }
+        Some(Planned(ms, mm => cols.indices.exists { j =>
+          metricLong(mm, s"__audit_ad${idx}_$j") != metricLong(mm, s"__audit_cn${idx}_$j") ||
+            metricLong(mm, s"__audit_nl${idx}_$j") > 1
+        }))
+      case "unique_combination_of_columns" =>
+        // the classic query GROUPs BY the column tuple (NULLs equal), which
+        // is exactly struct-distinct semantics; a struct of nulls is itself
+        // non-null, so the HLL sees every in-scope row
+        val cols = Audits.list(args("columns"))
+        val v = when(condExpr, struct(cols.map(expr): _*))
+        val mA = s"__audit_ad$idx"; val mC = s"__audit_cn$idx"
+        Some(Planned(Seq(approx_count_distinct(v).as(mA), count(v).as(mC)),
+          mm => metricLong(mm, mA) != metricLong(mm, mC)))
+      case "not_constant" =>
+        // SOUND screen, not just probable: one distinct value occupies one
+        // HLL register, whose estimate is deterministically 1 — so
+        // estimate ≥ 2 proves ≥ 2 distinct values. estimate ≤ 1 could
+        // still be 2 colliding values → classic query decides exactly.
+        // An EMPTY scope estimates 0 < 2 → classic query, which fails it
+        // exactly (count ≤ 1), as the audit requires.
+        val mA = s"__audit_ad$idx"
+        val v = when(condExpr, expr(args("column")))
+        Some(Planned(Seq(approx_count_distinct(v).as(mA)),
+          mm => metricLong(mm, mA) < 2))
       case _ => None
     })
   }

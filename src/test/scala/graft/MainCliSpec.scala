@@ -722,16 +722,78 @@ class MainCliSpec extends AnyFunSuite {
         |}""".stripMargin
     assert(js.trim.replaceAll("\r", "") == golden, js)
 
-    // airflow skeleton: one task per model, cron comment, dependency edge
+    // airflow DAG file: complete and runnable — cron → schedule, one
+    // BashOperator per exported batch, sequential chaining within a model,
+    // upstream-last >> downstream-first across models
     val (c2, py) = cli(Seq("export-schedule", "prod", "--format", "airflow",
       "--start", "1995-01-01", "--end", "1995-01-22") ++ base: _*)
     assert(c2 == 0, py)
     assert(py.contains("""dag_id="graft_prod""""), py)
-    assert(py.contains("t_exp_daily = BashOperator("), py)
-    assert(py.contains(
-      """bash_command="graft run prod --select exp.daily --project $GRAFT_PROJECT""""), py)
-    assert(py.contains("t_exp_daily >> t_exp_rollup"), py)
-    assert(py.contains("# cron @daily, unit day, owner dana"), py)
+    assert(py.contains("""schedule="@daily""""), py) // finest model cadence
+    assert(py.contains("t_exp_daily__b0 = BashOperator("), py)
+    assert(py.contains("t_exp_daily__b1 = BashOperator("), py)
+    assert(py.contains("t_exp_daily__b0 >> t_exp_daily__b1"), py)
+    assert(py.contains("t_exp_daily__b1 >> t_exp_rollup__b0"), py)
+    assert(py.contains("# model exp.daily - cron @daily, unit day, owner dana"), py)
+    // EVERY exported batch command appears as a task command (+ --project)
+    val batchCmds = """graft run prod --select [^"]+ --start [^ ]+ --end [^"]+""".r
+      .findAllIn(golden).toSeq.map(_.trim.stripSuffix("\","))
+    assert(batchCmds.size == 3)
+    batchCmds.foreach(cmd => assert(
+      py.contains(cmd + " --project $GRAFT_PROJECT"), s"missing batch task: $cmd"))
+    // string-level python validity: balanced parens/quotes, every task
+    // referenced by a >> edge is defined, consistent 4-space indentation
+    assert(py.count(_ == '(') == py.count(_ == ')'), py)
+    assert(py.count(_ == '"') % 2 == 0, py)
+    val defined = """(?m)^    (t_\w+) = """.r.findAllMatchIn(py).map(_.group(1)).toSet ++
+      """(?m)^    (t_\w+__signal) = """.r.findAllMatchIn(py).map(_.group(1))
+    """(t_\w+) >> (t_\w+)""".r.findAllMatchIn(py).foreach { mm =>
+      assert(defined(mm.group(1)) && defined(mm.group(2)),
+        s"edge references undefined task: ${mm.matched}")
+    }
+    assert(py.linesIterator.filter(_.nonEmpty).forall(l =>
+      !l.startsWith(" ") || l.startsWith("    ")), "inconsistent indentation")
+
+    // signal-gated models get a BashSensor sequenced before the first run
+    // task (signals are programmatic, so exercise the generator directly)
+    val gated = graft.plans.ScheduleExport.ModelSchedule(
+      name = "exp.gated", kind = "INCREMENTAL_BY_TIME_RANGE", cron = "@hourly",
+      cronTz = None, intervalUnit = "hour", batchSize = None, owner = None,
+      dependsOn = Seq("exp.daily"), hasSignal = true,
+      batches = Seq(graft.core.Interval(0L, 3600000L)))
+    val py2 = graft.plans.ScheduleExport.airflowDag("prod",
+      Seq(gated, gated.copy(name = "exp.daily", cron = "@daily",
+        intervalUnit = "day", dependsOn = Nil, hasSignal = false)))
+    assert(py2.contains("from airflow.sensors.bash import BashSensor"), py2)
+    assert(py2.contains(
+      """bash_command="graft signal-ready prod --select exp.gated --project $GRAFT_PROJECT""""), py2)
+    assert(py2.contains("t_exp_gated__signal >> t_exp_gated__b0"), py2)
+    assert(py2.contains("t_exp_daily__b0 >> t_exp_gated__signal"), py2)
+    assert(py2.contains("""schedule="@hourly""""), py2) // hour beats day
+
+    // the sensor's poke target: signal-ready is true iff every missing
+    // batch in the window passes the model's signal gate
+    val day = 86400000L
+    def d(s: String) = java.time.LocalDate.parse(s).toEpochDay * day
+    val ws = SparkTestSession.tmpDir("ws-sigready")
+    val sctx = new GraftContext(spark, ws)
+    sctx.addExternal("raw.orders", s"$sf/orders.parquet")
+    sctx.addModel(graft.core.Model(name = "sig.daily",
+      body = graft.core.SqlBody(
+        """SELECT o_orderdate, count(*) AS n FROM raw.orders
+          |WHERE o_orderdate BETWEEN @start_dt AND @end_dt GROUP BY 1""".stripMargin),
+      kind = graft.core.ModelKind.IncrementalByTimeRange(timeColumn = "o_orderdate"),
+      cron = "@daily", start = Some(d("1995-01-01"))))
+    sctx.apply(sctx.plan("prod", d("1995-01-01"), d("1995-01-05")))
+    // nothing missing in the applied window → ready no matter the gate
+    sctx.addSignal("sig.daily", _ => false)
+    assert(sctx.signalReady("prod", "sig.daily", d("1995-01-01"), d("1995-01-05")))
+    // pending batches + failing gate → waiting; passing gate → ready
+    assert(!sctx.signalReady("prod", "sig.daily", d("1995-01-01"), d("1995-01-08")))
+    sctx.addSignal("sig.daily", _ => true)
+    assert(sctx.signalReady("prod", "sig.daily", d("1995-01-01"), d("1995-01-08")))
+    intercept[IllegalArgumentException](
+      sctx.signalReady("prod", "sig.nope", 0L, day))
 
     // the exported batch commands must round-trip through the CLI's own
     // timestamp parser (r8 review finding: ISO instants were rejected)

@@ -57,12 +57,45 @@ class ObservedAuditsSpec extends AnyFunSuite {
     assert(observedVerdict("stddev_in_range",
       Map("column" -> "v", "max_v" -> "1"), df))
     // non-observable families stay on the query path
-    assert(ObservedAudits.plan(0, "unique_values", Map("columns" -> "id"), None).isEmpty)
     assert(ObservedAudits.plan(0, "relationships",
       Map("column" -> "id", "to" -> "t", "field" -> "f"), None).isEmpty)
+    assert(ObservedAudits.plan(0, "sequential_values",
+      Map("column" -> "id"), None).isEmpty)
     // args embedding a subquery are rejected even for observable names
     assert(ObservedAudits.plan(0, "forall",
       Map("criteria" -> "v < (SELECT max(x) FROM t)"), None).isEmpty)
+  }
+
+  test("DISTINCT-family screens: pass skips the query, any ambiguity falls back") {
+    val df = Seq((1, "a", 5), (2, null, 50), (3, "c", 7)).toDF("id", "name", "v")
+    // unique_values: all-distinct id → screen passes (no classic query)
+    assert(!observedVerdict("unique_values", Map("columns" -> "id"), df))
+    assert(!observedVerdict("unique_values", Map("columns" -> "id, v"), df))
+    // a real duplicate → screen fails → classic query gives the verdict
+    val dup = Seq((1, "a"), (1, "b"), (2, "c")).toDF("id", "name")
+    assert(observedVerdict("unique_values", Map("columns" -> "id"), dup))
+    // NULL duplicates are invisible to the HLL but violations to the
+    // classic query (NULLs group together) → the null-count metric must
+    // force the fallback
+    val nulls = Seq((Some(1), "a"), (None, "b"), (None, "c"))
+      .toDF("id", "name")
+    assert(observedVerdict("unique_values", Map("columns" -> "id"), nulls))
+    // condition scopes the screen: dup sits outside → pass
+    assert(!observedVerdict("unique_values",
+      Map("columns" -> "id", "condition" -> "name <> 'b'"), dup))
+    // unique_combination_of_columns: tuple-distinct via struct HLL
+    val comb = Seq((1, "x"), (1, "y"), (2, "x")).toDF("a", "b")
+    assert(!observedVerdict("unique_combination_of_columns",
+      Map("columns" -> "a, b"), comb))
+    assert(observedVerdict("unique_combination_of_columns",
+      Map("columns" -> "a, b"), comb.union(comb.limit(1))))
+    // not_constant: ≥2 occupied registers PROVES ≥2 distinct → pass;
+    // single value or empty scope → fallback (which fails them exactly)
+    assert(!observedVerdict("not_constant", Map("column" -> "v"), df))
+    assert(observedVerdict("not_constant", Map("column" -> "v"),
+      Seq((1, "a", 5), (2, "b", 5)).toDF("id", "name", "v")))
+    assert(observedVerdict("not_constant",
+      Map("column" -> "v", "condition" -> "id > 99"), df))
   }
 
   test("stale-partition restatement cannot false-pass an observed audit") {
@@ -130,21 +163,35 @@ class ObservedAuditsSpec extends AnyFunSuite {
       kind = ModelKind.Full, audits = audits)
 
     // same model, observable (riding the write) vs query-backed audits: the
-    // observable run must plan strictly fewer queries
+    // observable run must plan strictly fewer queries. The DISTINCT screens
+    // (unique_values / not_constant) count as observable on the all-pass
+    // path — their HLL screen passes, so no classic query runs.
     val observable = Seq(
       "not_null" -> Map("columns" -> "o_orderkey"),
-      "accepted_range" -> Map("column" -> "o_totalprice", "min_v" -> "0"),
-      "number_of_rows" -> Map("threshold" -> "1"))
-    val queryBacked = Seq(
       "unique_values" -> Map("columns" -> "o_orderkey"),
-      "not_constant" -> Map("column" -> "o_totalprice"),
-      "sequential_values" -> Map("column" -> "o_orderkey"))
+      "not_constant" -> Map("column" -> "o_totalprice"))
+    val queryBacked = Seq(
+      "relationships" -> Map("column" -> "o_orderkey", "to" -> "raw.orders",
+        "field" -> "o_orderkey"),
+      "sequential_values" -> Map("column" -> "o_orderkey"),
+      "mutually_exclusive_ranges" -> Map(
+        "lower_bound_column" -> "o_orderkey", "upper_bound_column" -> "o_orderkey"))
     val c1 = newCtx(); c1.addModel(model(observable))
     val nObs = countQueries(c1.apply(c1.plan("prod", 0, 86400000L)))
     val c2 = newCtx()
     c2.addModel(model(queryBacked).copy(name = "obs.orders_copy"))
     val nQry = countQueries(c2.apply(c2.plan("prod", 0, 86400000L)))
     assert(nObs < nQry, s"observed audits should skip audit queries ($nObs vs $nQry)")
+
+    // a unique_values VIOLATION goes screen-fail → classic query → exact
+    // verdict with a sample row and WAP rollback
+    val c4 = newCtx()
+    c4.addModel(Model(name = "obs.orders_dup",
+      body = SqlBody("SELECT o_orderkey % 2 AS k, o_totalprice FROM raw.orders"),
+      kind = ModelKind.Full,
+      audits = Seq("unique_values" -> Map("columns" -> "k"))))
+    val exDup = intercept[Exception](c4.apply(c4.plan("prod", 0, 86400000L)))
+    assert(exDup.getMessage.contains("unique_values") && exDup.getMessage.contains("e.g."))
 
     // failing observed audit: fallback query supplies the sample, WAP rolls back
     val c3 = newCtx()
