@@ -548,6 +548,16 @@ object Main {
             case None => out.println(text)
           }
           0
+        case "ui" =>
+          // browser UI (reference `sqlmesh ui`, cli/main.py:900): serves the
+          // API + single-page app until interrupted
+          val srv = new graft.web.UiServer(ctx,
+            host = flag("host").getOrElse("127.0.0.1"),
+            port = flag("port").map(_.toInt).getOrElse(8000),
+            projectDir = flag("project")).start()
+          out.println(s"graft ui listening on ${srv.address} (ctrl-c to stop)")
+          Thread.currentThread().join()
+          0
         case "signal-ready" =>
           // sensor poke target for exported Airflow DAGs: exit 0 iff every
           // missing batch of the model in the window passes its signal gate
@@ -895,6 +905,7 @@ object Main {
       |       lineage janitor destroy
       |       export-schedule [env] [--format json|airflow] [--out F]
       |       signal-ready <env> --select <model> [--start S --end E]
+      |       ui [--host H] [--port N]   browser UI + HTTP API
       |       optimize <model> [--target-file-mb N]   vacuum <model> [--keep N]
       |       dbt run|list|compile|test|seed|build|snapshot|show|source freshness
       |         (dbt-CLI facade over a

@@ -1,0 +1,114 @@
+package graft.web
+
+/** The single-page app served at `/` — self-contained HTML+JS, no external
+  * assets (the sandboxed deployments the reference's React bundle can't
+  * reach are exactly where a zero-dependency page keeps working). Tabs map
+  * to the reference UI's modes: catalog (models + detail), lineage, console
+  * (render / evaluate / fetchdf), plan (+apply), environments, tests,
+  * files (IDE half). All data comes from the `/api/...` endpoints.
+  */
+private[web] object Ui {
+  val page: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft</title>
+      |<style>
+      | body{font-family:system-ui,sans-serif;margin:0;background:#f6f7f9;color:#1c2330}
+      | header{background:#1c2330;color:#fff;padding:10px 16px;display:flex;gap:16px;align-items:baseline}
+      | header h1{font-size:16px;margin:0}
+      | nav button{background:none;border:none;color:#aeb8c9;padding:6px 10px;cursor:pointer;font-size:14px}
+      | nav button.on{color:#fff;border-bottom:2px solid #5b9cff}
+      | main{padding:16px;max-width:1100px;margin:0 auto}
+      | table{border-collapse:collapse;width:100%;background:#fff}
+      | th,td{border:1px solid #dde2ea;padding:4px 8px;text-align:left;font-size:13px}
+      | th{background:#eef1f5}
+      | pre{background:#fff;border:1px solid #dde2ea;padding:10px;overflow:auto;font-size:12px}
+      | textarea,input,select{font:12px monospace;padding:4px;border:1px solid #c6cdd8}
+      | textarea{width:100%;min-height:90px}
+      | .row{display:flex;gap:8px;margin:8px 0;flex-wrap:wrap;align-items:center}
+      | .btn{background:#2b6cb0;color:#fff;border:none;padding:5px 12px;cursor:pointer}
+      | .err{color:#b03030;white-space:pre-wrap}
+      | .pass{color:#20803c}.fail{color:#b03030}
+      |</style></head><body>
+      |<header><h1>graft</h1><nav id="nav"></nav></header>
+      |<main id="main"></main>
+      |<script>
+      |const tabs=["catalog","lineage","console","plan","environments","tests","files"];
+      |const $=(h)=>{const d=document.createElement("div");d.innerHTML=h;return d};
+      |const esc=s=>String(s==null?"∅":s).replace(/&/g,"&amp;").replace(/</g,"&lt;");
+      |async function j(url,opts){const r=await fetch(url,opts);const b=await r.json();
+      |  if(!r.ok)throw new Error(b.error||r.status);return b}
+      |function table(cols,rows){return "<table><tr>"+cols.map(c=>"<th>"+esc(c)+"</th>").join("")+
+      |  "</tr>"+rows.map(r=>"<tr>"+r.map(v=>"<td>"+esc(v)+"</td>").join("")+"</tr>").join("")+"</table>"}
+      |const main=document.getElementById("main");
+      |function setTab(t){localStorage.tab=t;
+      |  document.querySelectorAll("nav button").forEach(b=>b.className=b.textContent===t?"on":"");
+      |  views[t]().catch(e=>main.innerHTML="<p class='err'>"+esc(e.message)+"</p>")}
+      |const views={
+      | async catalog(){const ms=await j("/api/models");
+      |  main.innerHTML=table(["model","kind","cron","owner","depends on"],
+      |   ms.map(m=>[m.name,m.kind,m.cron,m.owner||"",(m.depends_on||[]).join(", ")]))+
+      |   "<div class='row'><input id='mname' placeholder='model name'>"+
+      |   "<button class='btn' onclick='detail()'>detail</button></div><div id='det'></div>";},
+      | async lineage(){main.innerHTML="<div class='row'><input id='lmodel' placeholder='model'>"+
+      |   "<button class='btn' onclick='lin()'>lineage</button></div><div id='lout'></div>";},
+      | async console(){main.innerHTML=
+      |   "<div class='row'><select id='cmd'><option>render</option><option>evaluate</option>"+
+      |   "<option>fetchdf</option></select><input id='cmodel' placeholder='model (or leave blank for sql)'>"+
+      |   "<input id='cstart' placeholder='start (1995-01-01)'><input id='cend' placeholder='end'>"+
+      |   "<button class='btn' onclick='runCmd()'>run</button></div>"+
+      |   "<textarea id='csql' placeholder='SQL for fetchdf'></textarea><div id='cout'></div>";},
+      | async plan(){main.innerHTML="<div class='row'><input id='penv' value='prod'>"+
+      |   "<input id='pstart' placeholder='start'><input id='pend' placeholder='end'>"+
+      |   "<button class='btn' onclick='doPlan(false)'>plan</button>"+
+      |   "<button class='btn' onclick='doPlan(true)'>apply</button></div><div id='pout'></div>";},
+      | async environments(){const es=await j("/api/environments");
+      |  main.innerHTML=table(["environment","finalized","models"],
+      |   es.map(e=>[e.name,e.finalized,Object.keys(e.snapshots||{}).length]));},
+      | async tests(){const t=await j("/api/commands/test");
+      |  main.innerHTML="<p>"+t.total+" tests, <span class='"+(t.failed?"fail":"pass")+"'>"+
+      |   t.failed+" failed</span></p>"+table(["test","result","message"],
+      |   t.tests.map(x=>[x.name,x.passed?"pass":"FAIL",x.message||""]));},
+      | async files(){const fs=await j("/api/files");
+      |  main.innerHTML="<div class='row'><select id='fsel'>"+
+      |   fs.map(f=>"<option>"+esc(f)+"</option>").join("")+"</select>"+
+      |   "<button class='btn' onclick='loadF()'>open</button>"+
+      |   "<button class='btn' onclick='saveF()'>save</button></div>"+
+      |   "<textarea id='fbody' style='min-height:300px'></textarea>";}
+      |};
+      |async function detail(){const d=await j("/api/models/"+document.getElementById("mname").value);
+      | document.getElementById("det").innerHTML="<h3>"+esc(d.name)+"</h3><p>"+esc(d.kind)+
+      |  " · cron "+esc(d.cron)+(d.owner?" · "+esc(d.owner):"")+"</p>"+
+      |  "<h4>definition</h4><pre>"+esc(d.definition)+"</pre><h4>rendered</h4><pre>"+esc(d.rendered)+"</pre>"}
+      |async function lin(){const m=document.getElementById("lmodel").value;
+      | const d=await j("/api/lineage/"+m);
+      | document.getElementById("lout").innerHTML=table(["column","derives from"],
+      |  Object.entries(d.columns).map(([c,u])=>[c,u.join(", ")]))}
+      |async function runCmd(){const cmd=document.getElementById("cmd").value;
+      | const body={model:document.getElementById("cmodel").value,
+      |  sql:document.getElementById("csql").value,
+      |  start:document.getElementById("cstart").value||undefined,
+      |  end:document.getElementById("cend").value||undefined};
+      | const out=document.getElementById("cout");
+      | try{const d=await j("/api/commands/"+cmd,{method:"POST",body:JSON.stringify(body)});
+      |  out.innerHTML=d.sql?"<pre>"+esc(d.sql)+"</pre>":table(d.columns,d.rows)}
+      | catch(e){out.innerHTML="<p class='err'>"+esc(e.message)+"</p>"}}
+      |async function doPlan(apply){const body={environment:document.getElementById("penv").value,
+      |  start:document.getElementById("pstart").value||undefined,
+      |  end:document.getElementById("pend").value||undefined};
+      | const out=document.getElementById("pout");
+      | try{const d=await j(apply?"/api/commands/apply":"/api/plan",
+      |   {method:"POST",body:JSON.stringify(body)});
+      |  out.innerHTML="<pre>"+esc(d.describe)+(d.applied?"\n\nAPPLIED":"")+"</pre>"}
+      | catch(e){out.innerHTML="<p class='err'>"+esc(e.message)+"</p>"}}
+      |async function loadF(){const f=document.getElementById("fsel").value;
+      | const d=await j("/api/files/"+f);document.getElementById("fbody").value=d.content}
+      |async function saveF(){const f=document.getElementById("fsel").value;
+      | await j("/api/files/"+f,{method:"POST",
+      |  body:JSON.stringify({content:document.getElementById("fbody").value})});alert("saved")}
+      |const nav=document.getElementById("nav");
+      |tabs.forEach(t=>{const b=document.createElement("button");b.textContent=t;
+      | b.onclick=()=>setTab(t);nav.appendChild(b)});
+      |setTab(localStorage.tab&&tabs.includes(localStorage.tab)?localStorage.tab:"catalog");
+      |</script></body></html>
+      |""".stripMargin
+}
