@@ -555,7 +555,7 @@ object Main {
             host = flag("host").getOrElse("127.0.0.1"),
             port = flag("port").map(_.toInt).getOrElse(8000),
             projectDir = flag("project")).start()
-          out.println(s"graft ui listening on ${srv.address} (ctrl-c to stop)")
+          out.println(s"graft ui listening on ${srv.address}/?token=${srv.token} (ctrl-c to stop)")
           Thread.currentThread().join()
           0
         case "signal-ready" =>

@@ -220,26 +220,48 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
     * kills partition-type inference: a StringType partition value "0001"
     * reads back as "0001" from a catalog table, where `parquet.`path``
     * inference would coerce it to int 1. */
+  /** Helpers known to exist, so register() costs one catalog probe per
+    * commit per JVM, not one per commit per publish (O(commits²) over a
+    * table's life at daily-commit grain). Safe as a cache: helpers are
+    * created once and only dropped when their commit dir is deleted. */
+  private val knownHelpers =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def helperFor(t: PhysicalTable, m: Manifest, commit: String): String = {
     val abs = new Path(t.root, commit).toString
     val nm = helperName(abs)
-    if (!spark.catalog.tableExists(extDb, nm)) {
+    if (!knownHelpers.contains(nm) && !spark.catalog.tableExists(extDb, nm)) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$extDb`")
       val cols = (m.schema.filterNot(f => m.partitionedBy.contains(f.name)) ++
         m.partitionedBy.map(m.schema(_)))
         .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      // create under a writer-private name and RENAME into place after the
+      // partition recovery: a concurrent register() racing on the same
+      // commit either wins the rename or sees the winner's fully-recovered
+      // helper — never a half-built one, and never a spurious
+      // TableAlreadyExists failure of the publish
+      val tmp = s"${nm}_w${java.util.UUID.randomUUID().toString.take(8)}"
       spark.sql(
-        s"CREATE TABLE `$extDb`.`$nm` ($cols) USING PARQUET " +
+        s"CREATE TABLE `$extDb`.`$tmp` ($cols) USING PARQUET " +
           s"PARTITIONED BY (${m.partitionedBy.map(c => s"`$c`").mkString(", ")}) " +
           s"LOCATION '$abs'")
-      spark.sql(s"ALTER TABLE `$extDb`.`$nm` RECOVER PARTITIONS")
+      spark.sql(s"ALTER TABLE `$extDb`.`$tmp` RECOVER PARTITIONS")
+      try spark.sql(s"ALTER TABLE `$extDb`.`$tmp` RENAME TO `$extDb`.`$nm`")
+      catch {
+        case _: Throwable if spark.catalog.tableExists(extDb, nm) =>
+          spark.sql(s"DROP TABLE IF EXISTS `$extDb`.`$tmp`") // race lost
+      }
     }
+    knownHelpers.add(nm)
     s"`$extDb`.`$nm`"
   }
 
   /** Drop the helper (if any) for a commit dir that is being deleted. */
-  private def dropHelper(absCommitDir: String): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS `$extDb`.`${helperName(absCommitDir)}`")
+  private def dropHelper(absCommitDir: String): Unit = {
+    val nm = helperName(absCommitDir)
+    knownHelpers.remove(nm)
+    spark.sql(s"DROP TABLE IF EXISTS `$extDb`.`$nm`")
+  }
 
   /** View text for a snapshot: UNION ALL over entries, partition values
     * rebuilt as typed literals (they live in dir names, not data files);

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * DISTINCT families (`unique_values`, `unique_combination_of_columns`,
   * `not_constant`) can't ride exactly — `count_distinct` is disallowed in
   * observed metrics — but `approx_count_distinct` is not: they ride as a
-  * SCREEN whose pass skips the classic query and whose fail falls back to
-  * it, so their verdict stays exact either way. Audits whose args embed
-  * subqueries (`relationships` etc.) keep their own query.
+  * SCREEN whose fail falls back to the classic query (those verdicts are
+  * exact), and whose pass skips it. `not_constant`'s pass is provably
+  * sound; the uniqueness screens' pass carries the HLL equality guarantee —
+  * a real duplicate false-passes only when the ±σ estimate noise lands on
+  * one exact integer (~1/σ per batch, vanishing as batches grow). Audits
+  * whose args embed subqueries (`relationships` etc.) keep their own query.
   */
 object ObservedAudits {
 

@@ -132,6 +132,43 @@ object Similarity {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cos"))
   }
 
+  /** Johnson–Lindenstrauss ±1 random projection to `outDims` dimensions:
+    * out[p] = round(Σ_d sign(p,d)·v[d] / √outDims, 6). Signs reuse the
+    * portable md5 parity convention of the LSH hyperplanes, but are
+    * precomputed DRIVER-side into literal arrays (outDims × inDims is a few
+    * KB), so the per-row work is a codegen'd zip_with/aggregate — no per-row
+    * hashing, zero shuffle, scan speed.
+    *
+    * The 100 TB use: shrink wide embeddings ~8–10× before ANN candidate
+    * generation — candidate shuffles and cosine math then scale with the
+    * reduced width, while JL keeps pairwise geometry within ~1/√outDims
+    * distortion (rank the shortlist by full-width cosine afterwards). */
+  def randomProject(df: DataFrame, inDims: Int, outDims: Int,
+                    vecCol: String = "embedding",
+                    outCol: String = "projected"): DataFrame = {
+    require(outDims > 0 && inDims > 0, "dims must be positive")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, d: Int): Double = {
+      val hex = md.digest(s"$p,$d".getBytes("UTF-8"))
+      // parity of the first hex digit = parity of the high nibble
+      if (((hex(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val comps = (0 until outDims).map { p =>
+      val signs = array((0 until inDims).map(d => lit(sign(p, d))): _*)
+      round(aggregate(
+        zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
+        lit(0.0d), (acc, v) => acc + v) * lit(scale), 6).cast("float")
+    }
+    // fail FAST on a width mismatch: zip_with would null-pad the shorter
+    // side and the aggregate would silently project every row to null
+    val guarded = when(
+      assert_true(size(col(vecCol)) === inDims,
+        lit(s"randomProject: expected $inDims-dim vectors in '$vecCol'")).isNull,
+      array(comps: _*))
+    df.withColumn(outCol, guarded)
+  }
+
   /** Scalar int8 quantization: q[i] = floor(v[i] * scale + 0.5) with
     * scale = 127 / max|v| — 4× smaller vectors, so candidate-generation
     * shuffles move a quarter of the bytes; cosine over quantized vectors is

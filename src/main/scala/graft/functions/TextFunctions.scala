@@ -145,6 +145,8 @@ object TextFunctions {
     val statRow = raw.agg(
       avg(col(features.head)),
       features.tail.map(f => avg(col(f))) ++ features.map(f => stddev_pop(col(f))): _*).head()
+    require(!statRow.isNullAt(0),
+      "trainQualityClassifier: empty corpus — nothing to train on")
     val mu = features.indices.map(i => r4(statRow.getDouble(i)))
     val sd = features.indices.map { i =>
       val s = r4(statRow.getDouble(features.size + i)); if (s == 0.0) 1.0 else s

@@ -1503,6 +1503,48 @@ object PipelineQueries {
         |LEFT JOIN (SELECT cid, count(*) AS n_removed FROM rem GROUP BY cid) r USING (cid)
         |ORDER BY centroid_id""".stripMargin)),
 
+    // ------------------------- JL random projection (dim reduction) ------
+    // shrink 64-d embeddings to 8-d with portable ±1 signs before ANN: the
+    // candidate-generation shuffle then moves 8× fewer vector bytes, and the
+    // pair metric pins both the projection values and how much pairwise
+    // geometry survives (JL distortion ~1/√outDims)
+    "td_random_projection" -> Entry((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val proj = Similarity.randomProject(emb, inDims = 64, outDims = 8)
+      val a = proj.select(col("vec_id"), col("embedding"), col("projected"))
+      a.as("x").join(a.as("y"), col("x.vec_id") + 1 === col("y.vec_id"))
+        .select(
+          round(Similarity.cosine(col("x.embedding"), col("y.embedding")), 4).as("cf"),
+          round(Similarity.cosine(col("x.projected"), col("y.projected")), 4).as("cp"),
+          element_at(col("x.projected"), 1).as("p0"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(abs(col("cf") - col("cp"))), 4).as("mean_abs_err"),
+          round(max(abs(col("cf") - col("cp"))), 4).as("max_abs_err"),
+          min(col("p0")).as("min_p0"), max(col("p0")).as("max_p0"))
+    }, Some(
+      """WITH pr AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(range(0, 8), p -> CAST(round(list_sum(
+        |      list_transform(range(1, len(embedding) + 1), d ->
+        |        CASE WHEN CAST('0x' || substring(md5(p || ',' || (d - 1)), 1, 1) AS INT) % 2 = 0
+        |          THEN CAST(embedding[CAST(d AS INT)] AS DOUBLE)
+        |          ELSE -CAST(embedding[CAST(d AS INT)] AS DOUBLE) END))
+        |      * (1.0 / sqrt(8.0)), 6) AS REAL)) AS projected
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT
+        |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |      CAST(y.embedding AS DOUBLE[])), 4) AS cf,
+        |    round(list_cosine_similarity(CAST(x.projected AS DOUBLE[]),
+        |      CAST(y.projected AS DOUBLE[])), 4) AS cp,
+        |    x.projected[1] AS p0
+        |  FROM pr x JOIN pr y ON x.vec_id + 1 = y.vec_id
+        |)
+        |SELECT count(*) AS n_pairs, round(avg(abs(cf - cp)), 4) AS mean_abs_err,
+        |  round(max(abs(cf - cp)), 4) AS max_abs_err,
+        |  min(p0) AS min_p0, max(p0) AS max_p0
+        |FROM pairs""".stripMargin)),
+
     // ------------------------------------------ sequence packing ---------
     "td_seq_pack" -> Entry((s, dir) => {
       // concat-then-chunk training-sequence packing, per source shard:

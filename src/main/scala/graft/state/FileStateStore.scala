@@ -132,7 +132,9 @@ final class FileStateStore(
 
   override def deferPersist[T](f: => T): T = {
     synchronized { deferDepth += 1 }
+    var primary: Throwable = null
     try f
+    catch { case t: Throwable => primary = t; throw t }
     finally {
       val flush = synchronized {
         deferDepth -= 1
@@ -140,7 +142,14 @@ final class FileStateStore(
         if (d) deferDirty = false
         d
       }
-      if (flush) synchronized(persist())
+      // a flush failure must not MASK the body's exception (the root cause
+      // of a failed wave) — attach it as suppressed instead
+      if (flush)
+        try synchronized(persist())
+        catch {
+          case t: Throwable =>
+            if (primary == null) throw t else primary.addSuppressed(t)
+        }
     }
   }
 

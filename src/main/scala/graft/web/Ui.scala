@@ -35,8 +35,10 @@ private[web] object Ui {
       |const tabs=["catalog","lineage","console","plan","environments","tests","files"];
       |const $=(h)=>{const d=document.createElement("div");d.innerHTML=h;return d};
       |const esc=s=>String(s==null?"∅":s).replace(/&/g,"&amp;").replace(/</g,"&lt;");
-      |async function j(url,opts){const r=await fetch(url,opts);const b=await r.json();
-      |  if(!r.ok)throw new Error(b.error||r.status);return b}
+      |const TOKEN=new URLSearchParams(location.search).get("token");
+      |async function j(url,opts){const r=await fetch(url,Object.assign({},opts,
+      |  {headers:Object.assign({"X-Graft-Token":TOKEN},(opts||{}).headers)}));
+      |  const b=await r.json();if(!r.ok)throw new Error(b.error||r.status);return b}
       |function table(cols,rows){return "<table><tr>"+cols.map(c=>"<th>"+esc(c)+"</th>").join("")+
       |  "</tr>"+rows.map(r=>"<tr>"+r.map(v=>"<td>"+esc(v)+"</td>").join("")+"</tr>").join("")+"</table>"}
       |const main=document.getElementById("main");

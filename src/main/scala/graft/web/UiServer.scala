@@ -26,6 +26,14 @@ final class UiServer(ctx: GraftContext, host: String = "127.0.0.1",
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
 
+  /** Per-process bearer token: every request must carry it (query param for
+    * the HTML pages, `X-Graft-Token` header from the SPA). Without it, any
+    * web page the user browses could fire cross-origin "simple" POSTs at
+    * localhost — arbitrary SQL via fetchdf, file writes, plan applies —
+    * that need no CORS preflight to EXECUTE server-side. A secret baked
+    * into the printed URL is the standard localhost-UI defense (Jupyter's). */
+  val token: String = java.util.UUID.randomUUID().toString.replace("-", "")
+
   def address: String =
     s"http://${server.getAddress.getHostString}:${server.getAddress.getPort}"
 
@@ -59,8 +67,9 @@ final class UiServer(ctx: GraftContext, host: String = "127.0.0.1",
       if (v.isNumber) v.asLong else graft.Main.parseTs(v.asText)
     }.getOrElse(default)
 
-  private def dayFloor(msArg: Long): Long = msArg - Math.floorMod(msArg, 86400000L)
-  private def defaultEnd: Long = dayFloor(System.currentTimeMillis())
+  // same default window end as the CLI (Main.scala run/plan flags)
+  private def defaultEnd: Long =
+    graft.core.IntervalUnit.Day.floor(System.currentTimeMillis())
 
   /** DataFrame → {columns:[...], rows:[[str|null,...],...]} with a row cap —
     * the UI is a preview surface, never a data exporter. */
@@ -92,6 +101,13 @@ final class UiServer(ctx: GraftContext, host: String = "127.0.0.1",
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
     val parts = path.split('/').filter(_.nonEmpty).toList
+    val qTok = Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split('&')).collectFirst {
+        case s if s.startsWith("token=") => s.drop(6)
+      }
+    val hTok = Option(ex.getRequestHeaders.getFirst("X-Graft-Token"))
+    if (!qTok.contains(token) && !hTok.contains(token))
+      return err(ex, 403, "missing or invalid token — open the URL printed by `graft ui`")
     (method, parts) match {
       case ("GET", Nil)            => send(ex, 200, Ui.page, "text/html")
       case ("GET", List("docs"))   =>

@@ -733,7 +733,10 @@ class MainCliSpec extends AnyFunSuite {
     assert(py.contains("t_exp_daily__b0 = BashOperator("), py)
     assert(py.contains("t_exp_daily__b1 = BashOperator("), py)
     assert(py.contains("t_exp_daily__b0 >> t_exp_daily__b1"), py)
-    assert(py.contains("t_exp_daily__b1 >> t_exp_rollup__b0"), py)
+    // every model ends in a windowless catch-up task so post-backfill ticks
+    // keep processing new intervals; cross-model edges hang off it
+    assert(py.contains("t_exp_daily__b1 >> t_exp_daily"), py)
+    assert(py.contains("t_exp_daily >> t_exp_rollup__b0"), py)
     assert(py.contains("# model exp.daily - cron @daily, unit day, owner dana"), py)
     // EVERY exported batch command appears as a task command (+ --project)
     val batchCmds = """graft run prod --select [^"]+ --start [^ ]+ --end [^"]+""".r
@@ -768,7 +771,8 @@ class MainCliSpec extends AnyFunSuite {
     assert(py2.contains(
       """bash_command="graft signal-ready prod --select exp.gated --project $GRAFT_PROJECT""""), py2)
     assert(py2.contains("t_exp_gated__signal >> t_exp_gated__b0"), py2)
-    assert(py2.contains("t_exp_daily__b0 >> t_exp_gated__signal"), py2)
+    assert(py2.contains("t_exp_gated__b0 >> t_exp_gated"), py2)
+    assert(py2.contains("t_exp_daily >> t_exp_gated__signal"), py2)
     assert(py2.contains("""schedule="@hourly""""), py2) // hour beats day
 
     // the sensor's poke target: signal-ready is true iff every missing

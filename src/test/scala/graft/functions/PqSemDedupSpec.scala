@@ -58,6 +58,34 @@ class PqSemDedupSpec extends AnyFunSuite {
     assert(out.agg(sum("n_members")).head().getLong(0) == 21L)
   }
 
+  test("randomProject: deterministic JL projection preserves geometry roughly") {
+    val base = emb.limit(50).select(col("vec_id"), col("embedding"))
+    val p1 = Similarity.randomProject(base, inDims = 64, outDims = 16)
+    // shape + determinism (portable signs: same matrix every run)
+    assert(p1.select(size(col("projected"))).distinct().head().getInt(0) == 16)
+    val p2 = Similarity.randomProject(base, inDims = 64, outDims = 16)
+    assert(p1.select("vec_id", "projected").exceptAll(
+      p2.select("vec_id", "projected")).isEmpty)
+    // a vector projected twice lands on itself → cosine of projections of
+    // IDENTICAL vectors is exactly 1; near-orthogonal originals stay far
+    // from ±1 on average (JL distortion is bounded, not zero)
+    val dup = base.filter(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val withDup = Similarity.randomProject(base.union(dup), 64, 16)
+    val both = withDup.filter(col("vec_id").isin(0L, 9999L))
+      .select(col("projected")).collect()
+    assert(both(0).getSeq[Float](0) == both(1).getSeq[Float](0))
+    // mean |cos_full − cos_proj| over consecutive pairs stays under the
+    // ~2/√16 JL ballpark for 16 output dims
+    val a = p1.select(col("vec_id"), col("embedding"), col("projected"))
+    val errs = a.as("x").join(a.as("y"), col("x.vec_id") + 1 === col("y.vec_id"))
+      .select(abs(
+        Similarity.cosine(col("x.embedding"), col("y.embedding")) -
+          Similarity.cosine(col("x.projected"), col("y.projected"))).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
+    assert(errs < 0.5, s"JL distortion unexpectedly large: $errs")
+  }
+
   test("stratified sampling: exact quota per group, deterministic") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val s1 = Sampling.stratified(docs, "doc_id", "source", quota = 5, salt = "x")

@@ -24,7 +24,7 @@ object UiDemo {
     ctx.apply(ctx.plan("prod", 0L, 86400000L))
     val srv = new UiServer(ctx, port = args.headOption.map(_.toInt).getOrElse(8765),
       projectDir = Some(proj)).start()
-    println(s"UI demo at ${srv.address}")
+    println(s"UI demo at ${srv.address}/?token=${srv.token}")
     Thread.currentThread().join()
   }
 }

@@ -16,11 +16,16 @@ class UiServerSpec extends AnyFunSuite {
   private val D = 86400000L
   private def day(s: String) = java.time.LocalDate.parse(s).toEpochDay * D
 
+  /** Bearer token attached to every request (set once the server is up);
+    * the 403 test clears it temporarily. */
+  private var tok: Option[String] = None
+
   private def http(base: String, method: String, path: String,
                    body: Option[String] = None): (Int, String) = {
     val conn = new java.net.URI(base + path).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod(method)
+    tok.foreach(conn.setRequestProperty("X-Graft-Token", _))
     body.foreach { b =>
       conn.setDoOutput(true)
       conn.getOutputStream.write(b.getBytes("UTF-8"))
@@ -50,6 +55,16 @@ class UiServerSpec extends AnyFunSuite {
     val srv = new UiServer(ctx, port = 0, projectDir = Some(proj)).start()
     val base = srv.address
     try {
+      // no token → 403 on every route, including "simple" cross-origin
+      // POSTs (the CSRF shape that needs no preflight to execute)
+      tok = None
+      assert(http(base, "GET", "/api/models")._1 == 403)
+      assert(http(base, "POST", "/api/commands/fetchdf",
+        Some("""{"sql":"SELECT 1"}"""))._1 == 403)
+      // ...and the query-param form alone works (the browser-URL case)
+      assert(http(base, "GET", s"/?token=${srv.token}")._1 == 200)
+      tok = Some(srv.token)
+
       // the SPA and the docs page serve as HTML
       val (hc, html) = http(base, "GET", "/")
       assert(hc == 200 && html.contains("<html>") && html.contains("graft"))
