@@ -96,6 +96,17 @@ object Main {
     val (flags, positional) = parse(args.tail)
     val verb = args.head
 
+    if (verb == "lsp") {
+      // language server over stdio (reference `sqlmesh_lsp`, sqlmesh/lsp/):
+      // intercepted BEFORE context construction — the LSP needs only the
+      // loader/linter/formatter, never a SparkSession, so editors get an
+      // instant start. `out` carries the JSON-RPC frames; diagnostics for
+      // humans go through the protocol, not the console.
+      new graft.lsp.LspServer(stdin, out,
+        flags.get("project").map(_.last)).run()
+      return 0
+    }
+
     if (verb == "repl") {
       // the notebook-magics analog (reference sqlmesh/magics.py: %plan,
       // %run_dag, %evaluate, %render, %fetchdf… — per-invocation commands
@@ -906,6 +917,7 @@ object Main {
       |       export-schedule [env] [--format json|airflow] [--out F]
       |       signal-ready <env> --select <model> [--start S --end E]
       |       ui [--host H] [--port N]   browser UI + HTTP API
+      |       lsp [--project DIR]        language server (JSON-RPC on stdio)
       |       optimize <model> [--target-file-mb N]   vacuum <model> [--keep N]
       |       dbt run|list|compile|test|seed|build|snapshot|show|source freshness
       |         (dbt-CLI facade over a

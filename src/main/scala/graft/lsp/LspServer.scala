@@ -1,0 +1,304 @@
+package graft.lsp
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import java.io.{InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Language server (reference `sqlmesh/lsp/` — pygls-based; main.py
+  * registers completions, hover, go-to-definition, formatting, and
+  * diagnostics published on open/save). Re-expressed as a dependency-free
+  * JSON-RPC 2.0 loop over the LSP base protocol (`Content-Length` framed
+  * messages on stdio), so any LSP-capable editor can drive a graft project:
+  *
+  *  - diagnostics on didOpen/didChange/didSave: MODEL-block parse errors
+  *    plus [[graft.linter.Linter]] violations, anchored to the model header
+  *  - completion: project model names, `@MACRO` names, MODEL() property
+  *    keywords
+  *  - hover: model summary (kind/cron/owner/description) for the name
+  *    under the cursor
+  *  - definition: model name → the project file whose MODEL block declares
+  *    it (the model→file index refreshes on save)
+  *  - formatting: [[graft.loader.SqlFormatter]] over the whole document
+  *
+  * The loop serves one editor over stdio (`graft lsp`), or any stream pair
+  * in tests. State is a document map + a lazily-refreshed project index;
+  * nothing touches Spark, so the server starts instantly.
+  */
+final class LspServer(in: InputStream, out: OutputStream,
+                      projectDir: Option[String] = None) {
+
+  private val mapper = new ObjectMapper()
+  private var running = true
+  /** uri → current text (full-document sync). */
+  private val docs = scala.collection.mutable.Map[String, String]()
+  /** model name → (file path, 0-based line of its MODEL header). */
+  private var modelIndex: Map[String, (String, Int)] = Map.empty
+  private var root: Option[String] = projectDir
+
+  def run(): Unit = while (running) readMessage() match {
+    case None => running = false
+    case Some(msg) => handle(msg)
+  }
+
+  // --------------------------------------------------------- transport
+
+  private def readMessage(): Option[JsonNode] = {
+    var len = -1
+    var line = readLine()
+    while (line.exists(_.nonEmpty)) {
+      line.foreach { l =>
+        if (l.toLowerCase.startsWith("content-length:"))
+          len = l.split(':')(1).trim.toInt
+      }
+      line = readLine()
+    }
+    if (line.isEmpty || len < 0) return None
+    val buf = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val n = in.read(buf, off, len - off)
+      if (n < 0) return None
+      off += n
+    }
+    Some(mapper.readTree(new String(buf, UTF_8)))
+  }
+
+  private def readLine(): Option[String] = {
+    val sb = new StringBuilder
+    var c = in.read()
+    if (c < 0) return None
+    while (c >= 0 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+    Some(sb.toString)
+  }
+
+  private def write(node: ObjectNode): Unit = out.synchronized {
+    val bytes = node.toString.getBytes(UTF_8)
+    out.write(s"Content-Length: ${bytes.length}\r\n\r\n".getBytes(UTF_8))
+    out.write(bytes)
+    out.flush()
+  }
+
+  private def respond(id: JsonNode, result: JsonNode): Unit = {
+    val r = mapper.createObjectNode()
+    r.put("jsonrpc", "2.0"); r.set[JsonNode]("id", id); r.set[JsonNode]("result", result)
+    write(r)
+  }
+
+  private def notify(method: String, params: ObjectNode): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("jsonrpc", "2.0"); n.put("method", method); n.set[JsonNode]("params", params)
+    write(n)
+  }
+
+  // ---------------------------------------------------------- dispatch
+
+  private def handle(msg: JsonNode): Unit = {
+    val method = Option(msg.get("method")).map(_.asText).getOrElse("")
+    val id = msg.get("id")
+    val params = Option(msg.get("params")).getOrElse(mapper.createObjectNode())
+    try method match {
+      case "initialize" =>
+        // rootUri (or CLI --project) anchors the model index
+        Option(params.get("rootUri")).filterNot(_.isNull)
+          .map(u => uriToPath(u.asText)).foreach(p => root = Some(p))
+        refreshIndex()
+        val caps = mapper.createObjectNode()
+        caps.put("textDocumentSync", 1) // full-document sync
+        caps.putObject("completionProvider").putArray("triggerCharacters")
+          .add("@").add(".")
+        caps.put("hoverProvider", true)
+        caps.put("definitionProvider", true)
+        caps.put("documentFormattingProvider", true)
+        val res = mapper.createObjectNode()
+        res.set[JsonNode]("capabilities", caps)
+        val info = res.putObject("serverInfo")
+        info.put("name", "graft-lsp"); info.put("version", "1")
+        respond(id, res)
+      case "initialized" => ()
+      case "shutdown" => respond(id, mapper.nullNode())
+      case "exit" => running = false
+      case "textDocument/didOpen" =>
+        val td = params.get("textDocument")
+        val uri = td.get("uri").asText
+        docs(uri) = td.get("text").asText
+        publishDiagnostics(uri)
+      case "textDocument/didChange" =>
+        val uri = params.get("textDocument").get("uri").asText
+        val changes = params.get("contentChanges")
+        if (changes.size > 0) docs(uri) = changes.get(changes.size - 1).get("text").asText
+        publishDiagnostics(uri)
+      case "textDocument/didSave" =>
+        refreshIndex()
+        publishDiagnostics(params.get("textDocument").get("uri").asText)
+      case "textDocument/didClose" =>
+        docs.remove(params.get("textDocument").get("uri").asText); ()
+      case "textDocument/completion" => respond(id, completions(params))
+      case "textDocument/hover" => respond(id, hover(params))
+      case "textDocument/definition" => respond(id, definition(params))
+      case "textDocument/formatting" => respond(id, formatting(params))
+      case _ if id != null => respond(id, mapper.nullNode()) // politely decline
+      case _ => ()
+    } catch {
+      case e: Throwable if id != null =>
+        val r = mapper.createObjectNode()
+        r.put("jsonrpc", "2.0"); r.set[JsonNode]("id", id)
+        val err = r.putObject("error")
+        err.put("code", -32603); err.put("message", String.valueOf(e.getMessage))
+        write(r)
+    }
+  }
+
+  // ---------------------------------------------------------- features
+
+  private def uriToPath(uri: String): String =
+    if (uri.startsWith("file://")) java.nio.file.Paths.get(new java.net.URI(uri)).toString
+    else uri
+
+  private def refreshIndex(): Unit = modelIndex = root match {
+    case None => Map.empty
+    case Some(dir) =>
+      val d = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(d)) Map.empty
+      else {
+        val it = java.nio.file.Files.walk(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          it.iterator().asScala
+            .filter(p => p.toString.endsWith(".sql") &&
+              java.nio.file.Files.isRegularFile(p))
+            .flatMap { p =>
+              val text = java.nio.file.Files.readString(p)
+              indexOfModels(text).map { case (name, line) => name -> ((p.toString, line)) }
+            }.toMap
+        } finally it.close()
+      }
+  }
+
+  /** (model name, 0-based header line) for every MODEL block in a file. */
+  private def indexOfModels(text: String): Seq[(String, Int)] = {
+    val lines = text.split('\n')
+    val headerLine = lines.indexWhere(_.matches("(?i)\\s*MODEL\\s*\\(.*"))
+    "(?is)MODEL\\s*\\([^)]*?name\\s+([A-Za-z0-9_.]+)".r
+      .findAllMatchIn(text).map { m =>
+        val line = text.take(m.start).count(_ == '\n')
+        m.group(1) -> (if (line >= 0) line else math.max(headerLine, 0))
+      }.toSeq
+  }
+
+  private def wordAt(params: JsonNode): Option[String] = {
+    val uri = params.get("textDocument").get("uri").asText
+    val pos = params.get("position")
+    val (lineNo, chNo) = (pos.get("line").asInt, pos.get("character").asInt)
+    docs.get(uri).flatMap { text =>
+      val lines = text.split('\n')
+      if (lineNo >= lines.length) None
+      else {
+        val l = lines(lineNo)
+        def isWord(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
+        var a = math.min(chNo, l.length); var b = a
+        while (a > 0 && isWord(l(a - 1))) a -= 1
+        while (b < l.length && isWord(l(b))) b += 1
+        Some(l.substring(a, b)).filter(_.nonEmpty)
+      }
+    }
+  }
+
+  private def publishDiagnostics(uri: String): Unit = {
+    val text = docs.getOrElse(uri, "")
+    val diags = mapper.createArrayNode()
+    def add(line: Int, msg: String, severity: Int, source: String): Unit = {
+      val d = diags.addObject()
+      val r = d.putObject("range")
+      val s = r.putObject("start"); s.put("line", line); s.put("character", 0)
+      val e = r.putObject("end"); e.put("line", line); e.put("character", 9999)
+      d.put("severity", severity)
+      d.put("source", source)
+      d.put("message", msg)
+    }
+    val headerLine = math.max(0,
+      text.split('\n').indexWhere(_.matches("(?i)\\s*MODEL\\s*\\(.*")))
+    if (text.matches("(?is).*\\bMODEL\\s*\\(.*"))
+      try {
+        val models = graft.loader.ModelLoader.parseAll(text, uri)
+        graft.linter.Linter.lint(models).foreach { v =>
+          add(headerLine, s"${v.rule}: ${v.message}",
+            if (v.blocking) 1 else 2, "graft-lint")
+        }
+      } catch {
+        case e: Throwable =>
+          add(headerLine, String.valueOf(e.getMessage), 1, "graft-parse")
+      }
+    val p = mapper.createObjectNode()
+    p.put("uri", uri)
+    p.set[JsonNode]("diagnostics", diags)
+    notify("textDocument/publishDiagnostics", p)
+  }
+
+  private val modelPropKeywords = Seq("name", "kind", "cron", "owner", "start",
+    "audits", "grains", "references", "tags", "description", "partitioned_by",
+    "clustered_by", "dialect", "signals", "blueprints")
+  private val macroNames = Seq("EACH", "IF", "REDUCE", "FILTER", "EVAL", "STAR",
+    "UNION", "AND", "OR", "VAR", "BLUEPRINT_VAR", "DEF", "DEDUPLICATE",
+    "DATE_SPINE", "PIVOT", "GENERATE_SURROGATE_KEY", "HAVERSINE_DISTANCE",
+    "SAFE_ADD", "SAFE_SUB", "SAFE_DIV", "RESOLVE_TEMPLATE",
+    "start_ds", "end_ds", "start_dt", "end_dt", "execution_ds", "execution_dt")
+
+  private def completions(params: JsonNode): ArrayNode = {
+    val items = mapper.createArrayNode()
+    def add(label: String, kind: Int, detail: String): Unit = {
+      val i = items.addObject()
+      i.put("label", label); i.put("kind", kind); i.put("detail", detail)
+    }
+    modelIndex.keys.toSeq.sorted.foreach(add(_, 9 /*Module*/, "model"))
+    macroNames.foreach(n => add(s"@$n", 3 /*Function*/, "macro"))
+    modelPropKeywords.foreach(add(_, 14 /*Keyword*/, "MODEL property"))
+    items
+  }
+
+  private def hover(params: JsonNode): JsonNode =
+    wordAt(params).filter(modelIndex.contains).map { name =>
+      val (file, _) = modelIndex(name)
+      val text = java.nio.file.Files.readString(java.nio.file.Paths.get(file))
+      val summary =
+        try {
+          val models = graft.loader.ModelLoader.parseAll(text, file)
+          models.find(_.name == name).map { m =>
+            val owner = m.owner.map(o => s"\n- owner: $o").getOrElse("")
+            val desc = m.description.map(d => s"\n\n$d").getOrElse("")
+            s"**$name**\n- kind: ${m.kind.name}\n- cron: ${m.cron}$owner$desc"
+          }.getOrElse(s"**$name**")
+        } catch { case _: Throwable => s"**$name** (defined in $file)" }
+      val h = mapper.createObjectNode()
+      val c = h.putObject("contents")
+      c.put("kind", "markdown"); c.put("value", summary)
+      h: JsonNode
+    }.getOrElse(mapper.nullNode())
+
+  private def definition(params: JsonNode): JsonNode =
+    wordAt(params).flatMap(modelIndex.get).map { case (file, line) =>
+      val loc = mapper.createObjectNode()
+      loc.put("uri", java.nio.file.Paths.get(file).toUri.toString)
+      val r = loc.putObject("range")
+      val s = r.putObject("start"); s.put("line", line); s.put("character", 0)
+      val e = r.putObject("end"); e.put("line", line); e.put("character", 0)
+      loc: JsonNode
+    }.getOrElse(mapper.nullNode())
+
+  private def formatting(params: JsonNode): JsonNode = {
+    val uri = params.get("textDocument").get("uri").asText
+    val text = docs.getOrElse(uri, "")
+    val formatted = graft.loader.SqlFormatter.formatFile(text)
+    val edits = mapper.createArrayNode()
+    if (formatted != text) {
+      val e = edits.addObject()
+      val r = e.putObject("range")
+      val s = r.putObject("start"); s.put("line", 0); s.put("character", 0)
+      val lines = text.split('\n')
+      val en = r.putObject("end")
+      en.put("line", lines.length); en.put("character", 0)
+      e.put("newText", formatted)
+    }
+    edits
+  }
+}

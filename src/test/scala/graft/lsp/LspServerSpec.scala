@@ -1,0 +1,144 @@
+package graft.lsp
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Drives the language server end-to-end over real JSON-RPC framing
+  * (Content-Length headers on piped streams), the same bytes an editor
+  * sends: initialize → open/edit (diagnostics) → completion / hover /
+  * definition / formatting → shutdown/exit. */
+class LspServerSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  /** Frame a message LSP-style. */
+  private def frame(json: String): Array[Byte] = {
+    val b = json.getBytes("UTF-8")
+    (s"Content-Length: ${b.length}\r\n\r\n").getBytes("UTF-8") ++ b
+  }
+
+  /** Run a scripted session; returns every server message in order. */
+  private def session(project: String, messages: Seq[String]): Seq[JsonNode] = {
+    val in = new java.io.ByteArrayInputStream(
+      messages.flatMap(m => frame(m).toSeq).toArray)
+    val outBuf = new java.io.ByteArrayOutputStream()
+    new LspServer(in, outBuf, Some(project)).run()
+    // parse the framed responses back out
+    val bytes = outBuf.toByteArray
+    val out = Seq.newBuilder[JsonNode]
+    var i = 0
+    while (i < bytes.length) {
+      val headEnd = {
+        var j = i
+        while (!(bytes(j) == '\r' && bytes(j + 1) == '\n' &&
+          bytes(j + 2) == '\r' && bytes(j + 3) == '\n')) j += 1
+        j
+      }
+      val head = new String(bytes, i, headEnd - i, "UTF-8")
+      val len = head.split(':')(1).trim.toInt
+      out += mapper.readTree(new String(bytes, headEnd + 4, len, "UTF-8"))
+      i = headEnd + 4 + len
+    }
+    out.result()
+  }
+
+  private def req(id: Int, method: String, params: String): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"$method","params":$params}"""
+  private def note(method: String, params: String): String =
+    s"""{"jsonrpc":"2.0","method":"$method","params":$params}"""
+
+  test("initialize, diagnostics, completion, hover, definition, formatting") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-proj")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
+      """MODEL (name lsp.daily, kind FULL, owner 'dana',
+        |  audits (not_null(columns = (n))), description 'daily rollup');
+        |SELECT o_orderdate, count(*) AS n FROM raw.orders GROUP BY o_orderdate
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "report.sql"),
+      """MODEL (name lsp.report, kind FULL, owner 'dana',
+        |  audits (not_null(columns = (days))));
+        |SELECT count(*) AS days FROM lsp.daily
+        |""".stripMargin)
+    val uri = "file://" + proj + "/report.sql"
+    // a dirty buffer: SELECT * (lint) + no owner (warning)
+    val dirty = "MODEL (name lsp.report, kind FULL);\\nSELECT * FROM lsp.daily\\n"
+
+    val msgs = session(proj, Seq(
+      req(1, "initialize", s"""{"rootUri":null,"capabilities":{}}"""),
+      note("initialized", "{}"),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$uri","languageId":"sql","version":1,"text":"$dirty"}}"""),
+      req(2, "textDocument/completion",
+        s"""{"textDocument":{"uri":"$uri"},"position":{"line":1,"character":0}}"""),
+      // hover/definition over "lsp.daily" on line 1: "SELECT * FROM lsp.daily"
+      req(3, "textDocument/hover",
+        s"""{"textDocument":{"uri":"$uri"},"position":{"line":1,"character":17}}"""),
+      req(4, "textDocument/definition",
+        s"""{"textDocument":{"uri":"$uri"},"position":{"line":1,"character":17}}"""),
+      req(5, "textDocument/formatting",
+        s"""{"textDocument":{"uri":"$uri"},"options":{}}"""),
+      req(6, "shutdown", "null"),
+      note("exit", "{}")))
+
+    def byId(id: Int): JsonNode =
+      msgs.find(m => m.has("id") && m.get("id").asInt == id).get.get("result")
+
+    // initialize: capabilities advertised
+    val caps = byId(1).get("capabilities")
+    assert(caps.get("hoverProvider").asBoolean && caps.get("definitionProvider").asBoolean)
+    assert(byId(1).get("serverInfo").get("name").asText == "graft-lsp")
+
+    // diagnostics pushed for the dirty buffer: select-star (blocking=error)
+    // and missing-owner (warning)
+    val diag = msgs.find(m =>
+      m.has("method") && m.get("method").asText == "textDocument/publishDiagnostics").get
+    assert(diag.get("params").get("uri").asText == uri)
+    val ds = diag.get("params").get("diagnostics")
+    val texts = (0 until ds.size).map(i => ds.get(i))
+    assert(texts.exists(d => d.get("message").asText.contains("noselectstar") &&
+      d.get("severity").asInt == 1), ds.toString)
+    assert(texts.exists(d => d.get("message").asText.contains("nomissingowner") &&
+      d.get("severity").asInt == 2), ds.toString)
+
+    // completion carries project models, macros, and MODEL properties
+    val items = byId(2)
+    val labels = (0 until items.size).map(i => items.get(i).get("label").asText).toSet
+    assert(labels.contains("lsp.daily") && labels.contains("lsp.report"))
+    assert(labels.contains("@EACH") && labels.contains("partitioned_by"))
+
+    // hover shows the daily model's summary
+    val hov = byId(3)
+    assert(hov.get("contents").get("value").asText.contains("lsp.daily"))
+    assert(hov.get("contents").get("value").asText.contains("daily rollup"))
+
+    // definition jumps to daily.sql's MODEL header
+    val defn = byId(4)
+    assert(defn.get("uri").asText.endsWith("daily.sql"))
+    assert(defn.get("range").get("start").get("line").asInt == 0)
+
+    // formatting returns a whole-document edit
+    val edits = byId(5)
+    assert(edits.isArray)
+    // shutdown answered null
+    assert(byId(6).isNull)
+  }
+
+  test("parse errors surface as diagnostics; non-model files stay quiet") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-proj2")
+    val uri = "file://" + proj + "/broken.sql"
+    val msgs = session(proj, Seq(
+      req(1, "initialize", """{"rootUri":null,"capabilities":{}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$uri","text":"MODEL (name broken.x, kind NO_SUCH_KIND);\\nSELECT 1"}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"file://$proj/plain.sql","text":"SELECT 1 AS x"}}"""),
+      note("exit", "{}")))
+    val diags = msgs.filter(m =>
+      m.has("method") && m.get("method").asText == "textDocument/publishDiagnostics")
+    assert(diags.size == 2)
+    val broken = diags.find(_.get("params").get("uri").asText == uri).get
+    assert(broken.get("params").get("diagnostics").size >= 1)
+    assert(broken.get("params").get("diagnostics").get(0).get("source").asText == "graft-parse")
+    val plain = diags.find(_.get("params").get("uri").asText.endsWith("plain.sql")).get
+    assert(plain.get("params").get("diagnostics").size == 0)
+  }
+}
