@@ -71,6 +71,15 @@ import graft.core.{Interval, IntervalUnit}
 object Main {
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("lsp")) {
+      // fast path BEFORE SparkSession construction: the language server
+      // needs only the loader/linter/formatter — editors must not wait for
+      // (or fail on) Spark startup. stdout is the protocol channel.
+      val (flags, _) = parse(args.toIndexedSeq.tail)
+      new graft.lsp.LspServer(System.in, System.out,
+        flags.get("project").map(_.last)).run()
+      return
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")

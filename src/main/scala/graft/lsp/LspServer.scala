@@ -49,11 +49,17 @@ final class LspServer(in: InputStream, out: OutputStream,
     while (line.exists(_.nonEmpty)) {
       line.foreach { l =>
         if (l.toLowerCase.startsWith("content-length:"))
-          len = l.split(':')(1).trim.toInt
+          // a malformed value must not crash the loop; the missing-header
+          // case below reports before treating the stream as unusable
+          len = l.split(':')(1).trim.toIntOption.getOrElse(-1)
       }
       line = readLine()
     }
-    if (line.isEmpty || len < 0) return None
+    if (line.isEmpty) return None
+    if (len < 0) {
+      System.err.println("[graft-lsp] header block without a valid Content-Length — closing")
+      return None
+    }
     val buf = new Array[Byte](len)
     var off = 0
     while (off < len) {
@@ -137,15 +143,27 @@ final class LspServer(in: InputStream, out: OutputStream,
       case "textDocument/hover" => respond(id, hover(params))
       case "textDocument/definition" => respond(id, definition(params))
       case "textDocument/formatting" => respond(id, formatting(params))
-      case _ if id != null => respond(id, mapper.nullNode()) // politely decline
-      case _ => ()
-    } catch {
-      case e: Throwable if id != null =>
+      case _ if id != null =>
+        // JSON-RPC MethodNotFound — a null RESULT would read as "supported,
+        // empty answer" and stop clients from falling back
         val r = mapper.createObjectNode()
         r.put("jsonrpc", "2.0"); r.set[JsonNode]("id", id)
         val err = r.putObject("error")
-        err.put("code", -32603); err.put("message", String.valueOf(e.getMessage))
+        err.put("code", -32601); err.put("message", s"method not found: $method")
         write(r)
+      case _ => ()
+    } catch {
+      // a handler failure must NEVER kill the server loop: requests get a
+      // protocol error; notification failures only log (stderr — stdout is
+      // the protocol channel)
+      case e: Throwable =>
+        if (id != null) {
+          val r = mapper.createObjectNode()
+          r.put("jsonrpc", "2.0"); r.set[JsonNode]("id", id)
+          val err = r.putObject("error")
+          err.put("code", -32603); err.put("message", String.valueOf(e.getMessage))
+          write(r)
+        } else System.err.println(s"[graft-lsp] $method failed: ${e.getMessage}")
     }
   }
 
@@ -160,7 +178,7 @@ final class LspServer(in: InputStream, out: OutputStream,
     case Some(dir) =>
       val d = java.nio.file.Paths.get(dir)
       if (!java.nio.file.Files.isDirectory(d)) Map.empty
-      else {
+      else scala.util.Try {
         val it = java.nio.file.Files.walk(d)
         try {
           import scala.jdk.CollectionConverters._
@@ -168,22 +186,37 @@ final class LspServer(in: InputStream, out: OutputStream,
             .filter(p => p.toString.endsWith(".sql") &&
               java.nio.file.Files.isRegularFile(p))
             .flatMap { p =>
-              val text = java.nio.file.Files.readString(p)
-              indexOfModels(text).map { case (name, line) => name -> ((p.toString, line)) }
+              // per-file tolerance: one unreadable/unparseable file must not
+              // blank the whole project's completion/hover/definition
+              scala.util.Try {
+                val text = java.nio.file.Files.readString(p)
+                indexOfModels(text).map { case (name, line) =>
+                  name -> ((p.toString, line))
+                }
+              }.getOrElse(Nil)
             }.toMap
         } finally it.close()
-      }
+      }.getOrElse(Map.empty)
   }
 
-  /** (model name, 0-based header line) for every MODEL block in a file. */
+  /** (model name, 0-based header line) for every MODEL block in a file —
+    * names come from the REAL parser (comment stripping, nested-paren
+    * properties, blueprints all handled; a `name` after a parenthesized
+    * `audits (...)` is found, a commented-out MODEL is not); the line is
+    * where the name first appears in the source, falling back to the MODEL
+    * header. */
   private def indexOfModels(text: String): Seq[(String, Int)] = {
+    val models = scala.util.Try(
+      graft.loader.ModelLoader.parseAll(text, "<lsp-index>")).getOrElse(Nil)
     val lines = text.split('\n')
-    val headerLine = lines.indexWhere(_.matches("(?i)\\s*MODEL\\s*\\(.*"))
-    "(?is)MODEL\\s*\\([^)]*?name\\s+([A-Za-z0-9_.]+)".r
-      .findAllMatchIn(text).map { m =>
-        val line = text.take(m.start).count(_ == '\n')
-        m.group(1) -> (if (line >= 0) line else math.max(headerLine, 0))
-      }.toSeq
+    val headerLine = math.max(0,
+      lines.indexWhere(_.matches("(?i)\\s*MODEL\\s*\\(.*")))
+    models.map { m =>
+      val short = m.name.split('.').last
+      val line = lines.indexWhere(l =>
+        l.contains(m.name) || l.matches(s"(?i).*\\bname\\s+.*\\b$short\\b.*"))
+      m.name -> (if (line >= 0) line else headerLine)
+    }
   }
 
   private def wordAt(params: JsonNode): Option[String] = {
@@ -238,11 +271,9 @@ final class LspServer(in: InputStream, out: OutputStream,
   private val modelPropKeywords = Seq("name", "kind", "cron", "owner", "start",
     "audits", "grains", "references", "tags", "description", "partitioned_by",
     "clustered_by", "dialect", "signals", "blueprints")
-  private val macroNames = Seq("EACH", "IF", "REDUCE", "FILTER", "EVAL", "STAR",
-    "UNION", "AND", "OR", "VAR", "BLUEPRINT_VAR", "DEF", "DEDUPLICATE",
-    "DATE_SPINE", "PIVOT", "GENERATE_SURROGATE_KEY", "HAVERSINE_DISTANCE",
-    "SAFE_ADD", "SAFE_SUB", "SAFE_DIV", "RESOLVE_TEMPLATE",
-    "start_ds", "end_ds", "start_dt", "end_dt", "execution_ds", "execution_dt")
+  // single source of truth next to the dispatch — new macros appear here
+  // without touching the LSP
+  private val macroNames = graft.macros.MacroEvaluator.builtinNames
 
   private def completions(params: JsonNode): ArrayNode = {
     val items = mapper.createArrayNode()
@@ -294,9 +325,12 @@ final class LspServer(in: InputStream, out: OutputStream,
       val e = edits.addObject()
       val r = e.putObject("range")
       val s = r.putObject("start"); s.put("line", 0); s.put("character", 0)
-      val lines = text.split('\n')
+      // exact end-of-document: split with limit -1 keeps trailing empty
+      // lines (plain split drops them, leaving stray newlines outside the
+      // replaced range on every format pass)
+      val lines = text.split("\n", -1)
       val en = r.putObject("end")
-      en.put("line", lines.length); en.put("character", 0)
+      en.put("line", lines.length - 1); en.put("character", lines.last.length)
       e.put("newText", formatted)
     }
     edits

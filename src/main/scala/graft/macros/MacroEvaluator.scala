@@ -294,6 +294,19 @@ final class MacroEvaluator(
 
 object MacroEvaluator {
   private[macros] val ident = "^[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Every builtin @-macro name `applyMacro` dispatches on, plus the
+    * predefined time variables — keep in lockstep with the match above (the
+    * LSP's completion list reads THIS, so a macro added to the dispatch
+    * without a name here is invisible to editors). */
+  val builtinNames: Seq[String] = Seq(
+    "EACH", "IF", "REDUCE", "FILTER", "EVAL", "STAR", "UNION", "AND", "OR",
+    "VAR", "BLUEPRINT_VAR", "DEF", "DEDUPLICATE", "DATE_SPINE", "PIVOT",
+    "GENERATE_SURROGATE_KEY", "HAVERSINE_DISTANCE",
+    "SAFE_ADD", "SAFE_SUB", "SAFE_DIV", "RESOLVE_TEMPLATE") ++
+    (for (base <- Seq("start", "end", "execution");
+          suffix <- Seq("ds", "ts", "tstz", "date", "dt", "epoch", "millis", "hour"))
+      yield s"${base}_$suffix")
 }
 
 /** Tiny constant evaluator for macro-time arithmetic/conditions

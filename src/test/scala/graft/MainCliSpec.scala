@@ -811,6 +811,24 @@ class MainCliSpec extends AnyFunSuite {
     assert(c3 == 0 && gaps.contains("exp.daily: [1995-01-08"), gaps)
   }
 
+  test("lsp verb serves JSON-RPC on the provided stdio without a context") {
+    def frame(json: String) = {
+      val b = json.getBytes("UTF-8")
+      s"Content-Length: ${b.length}\r\n\r\n".getBytes("UTF-8") ++ b
+    }
+    val script =
+      frame("""{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"rootUri":null,"capabilities":{}}}""") ++
+        frame("""{"jsonrpc":"2.0","id":2,"method":"shutdown","params":null}""") ++
+        frame("""{"jsonrpc":"2.0","method":"exit","params":{}}""")
+    val buf = new java.io.ByteArrayOutputStream()
+    val code = Main.run(Seq("lsp"), spark, new java.io.PrintStream(buf, true),
+      new java.io.ByteArrayInputStream(script))
+    assert(code == 0)
+    val out = buf.toString
+    assert(out.contains("Content-Length:"), out)
+    assert(out.contains(""""name":"graft-lsp""""), out)
+  }
+
   test("repl drives successive verbs over one durable workspace") {
     val proj = SparkTestSession.tmpDir("cli-repl")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),

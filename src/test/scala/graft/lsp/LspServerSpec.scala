@@ -122,6 +122,54 @@ class LspServerSpec extends AnyFunSuite {
     assert(byId(6).isNull)
   }
 
+  test("robustness: bad notifications don't kill the loop, unknown methods err, name-after-parens indexes") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-proj3")
+    // name AFTER a parenthesized property — the parser-backed index must
+    // still find it (a naive regex stops at the audits ')')
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "late.sql"),
+      """MODEL (audits (not_null(columns = (id))), name lsp.late, kind FULL, owner 'o');
+        |SELECT 1 AS id
+        |""".stripMargin)
+    // a commented-out MODEL must NOT index
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "dead.sql"),
+      "-- MODEL (name lsp.ghost, kind FULL);\n-- SELECT 1\n")
+    // an unreadable (non-UTF-8) file must not blank the index
+    java.nio.file.Files.write(java.nio.file.Paths.get(proj, "latin.sql"),
+      Array[Byte]('M', 'O', 'D', 'E', 'L', ' ', 0xff.toByte, 0xfe.toByte))
+    val uri = "file://" + proj + "/late.sql"
+    val msgs = session(proj, Seq(
+      req(1, "initialize", """{"rootUri":null,"capabilities":{}}"""),
+      // malformed notification (no text field) — must not kill the server
+      note("textDocument/didOpen", s"""{"textDocument":{"uri":"$uri"}}"""),
+      // unsupported request — must answer MethodNotFound, not null result
+      req(2, "textDocument/references",
+        s"""{"textDocument":{"uri":"$uri"},"position":{"line":0,"character":0}}"""),
+      req(3, "textDocument/completion",
+        s"""{"textDocument":{"uri":"$uri"},"position":{"line":0,"character":0}}"""),
+      // formatting a doc with trailing blank lines replaces the WHOLE doc
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$uri","text":"MODEL (name lsp.late, kind FULL, owner 'o', audits (not_null(columns = (id))));\\nSELECT 1 AS id\\n\\n\\n"}}"""),
+      req(4, "textDocument/formatting",
+        s"""{"textDocument":{"uri":"$uri"},"options":{}}"""),
+      note("exit", "{}")))
+    def byId(id: Int): JsonNode =
+      msgs.find(m => m.has("id") && m.get("id").asInt == id).get
+    assert(byId(2).has("error") &&
+      byId(2).get("error").get("code").asInt == -32601)
+    val labels = {
+      val items = byId(3).get("result")
+      (0 until items.size).map(i => items.get(i).get("label").asText).toSet
+    }
+    assert(labels.contains("lsp.late"), labels.toString)
+    assert(!labels.contains("lsp.ghost"), "commented-out MODEL was indexed")
+    val edits = byId(4).get("result")
+    if (edits.size > 0) {
+      val end = edits.get(0).get("range").get("end")
+      assert(end.get("line").asInt == 4 && end.get("character").asInt == 0,
+        end.toString) // "...\n\n\n" = 5 split(-1) lines, last empty
+    }
+  }
+
   test("parse errors surface as diagnostics; non-model files stay quiet") {
     val proj = graft.SparkTestSession.tmpDir("lsp-proj2")
     val uri = "file://" + proj + "/broken.sql"
