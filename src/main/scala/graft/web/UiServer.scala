@@ -262,7 +262,23 @@ final class UiServer(ctx: GraftContext, host: String = "127.0.0.1",
 
   private def planJson(b: JsonNode, apply: Boolean): ObjectNode = {
     val env = Option(b.get("environment")).map(_.asText).getOrElse("prod")
-    val p = ctx.plan(env, ts(b, "start", 0L), ts(b, "end", defaultEnd))
+    def strs(field: String): Seq[String] =
+      Option(b.get(field)).filter(_.isArray).toSeq
+        .flatMap(a => (0 until a.size).map(a.get(_).asText))
+    def bool(field: String, default: Boolean): Boolean =
+      Option(b.get(field)).map(_.asBoolean).getOrElse(default)
+    // the CLI plan surface (select/backfill selectors, forward-only,
+    // skip/empty backfill, gap guard, categorization) — reference
+    // web/server/api/endpoints/plan.py forwards the same options
+    val p = ctx.plan(env, ts(b, "start", 0L), ts(b, "end", defaultEnd),
+      select = strs("select"),
+      backfill = strs("backfill"),
+      forwardOnly = bool("forward_only", default = false),
+      skipBackfill = bool("skip_backfill", default = false),
+      emptyBackfill = bool("empty_backfill", default = false),
+      noGaps = bool("no_gaps", default = false),
+      includeUnmodified = bool("include_unmodified", default = true),
+      autoCategorize = bool("auto_categorize", default = true))
     val o = mapper.createObjectNode()
     o.put("environment", env)
     o.put("has_changes", p.hasChanges)

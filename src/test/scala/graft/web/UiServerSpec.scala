@@ -133,6 +133,21 @@ class UiServerSpec extends AnyFunSuite {
       val (tc, ttext) = http(base, "GET", "/api/files/../escape.sql")
       assert(tc == 400 && ttext.contains("escapes"), s"$tc $ttext")
 
+      // plan options thread through: with a LOCAL change to ui.rollup, a
+      // selector excluding it keeps the promoted snapshot (no modification
+      // planned); selecting it plans the change (select only bites when
+      // local state diverges from the promoted env)
+      ctx.addModel(Model(name = "ui.rollup",
+        body = SqlBody("SELECT count(*) + 0 AS days FROM ui.daily"),
+        kind = ModelKind.Full))
+      val pKeep = mapper.readTree(http(base, "POST", "/api/plan", Some(
+        s"""{"environment":"prod","start":${day("1995-01-01")},"end":${day("1995-01-03")},"select":["ui.daily"]}"""))._2)
+      assert(pKeep.get("modified").size == 0, pKeep.toString)
+      val pSel = mapper.readTree(http(base, "POST", "/api/plan", Some(
+        s"""{"environment":"prod","start":${day("1995-01-01")},"end":${day("1995-01-03")},"select":["ui.rollup"]}"""))._2)
+      assert(pSel.get("modified").size == 1 &&
+        pSel.get("modified").get(0).get("name").asText == "ui.rollup", pSel.toString)
+
       // unknown route
       assert(http(base, "GET", "/api/nope")._1 == 404)
     } finally srv.stop()
