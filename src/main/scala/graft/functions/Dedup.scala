@@ -40,6 +40,49 @@ object Dedup {
       .drop("__key")
   }
 
+  /** [[incrementalExact]] with a Bloom pre-screen — the shape that holds at
+    * 100 TB: the plain anti-join SHUFFLES the corpus's keys for every
+    * incoming batch, while here the corpus is only ever SCANNED:
+    *
+    *  1. one pass builds a Bloom filter of corpus keys (treeAggregate of
+    *     bit arrays; duplicate keys just re-set bits, so no distinct — and
+    *     no shuffle — is needed);
+    *  2. batch rows whose key misses the filter are DEFINITELY new (Bloom
+    *     has no false negatives) — they skip the join entirely;
+    *  3. the few maybe-duplicates broadcast as a semi-filter over a corpus
+    *     scan; the confirmed keys (≤ maybe size) broadcast back for the
+    *     exact anti-join.
+    *
+    * The result is EXACT — identical to [[incrementalExact]] for any fpp;
+    * fpp only tunes how many rows take the confirm path. Filter size is
+    * ~1.2 GB per 10⁹ keys at 1% fpp (driver + broadcast budget — shard the
+    * corpus and screen per shard beyond that). In steady state the filter
+    * would be built once and reused across batches; this builds it inline
+    * so the operator is self-contained. */
+  def incrementalExactBloom(corpus: DataFrame, incoming: DataFrame,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusKeys = corpus.select(TextFunctions.contentKey(col(textCol)).as("__key"))
+    val keyed = incoming.withColumn("__key", TextFunctions.contentKey(col(textCol)))
+      .groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
+    // row count over-estimates distinct keys — just a few more bits. An
+    // EMPTY corpus can't build a filter (and needs none): every batch key
+    // is new.
+    val n = corpus.count()
+    if (n == 0) return keyed.drop("__key")
+    val bf = corpusKeys.stat.bloomFilter("__key", n, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mc = udf((k: String) => k != null && bfB.value.mightContainString(k))
+    val definitelyNew = keyed.filter(!mc(col("__key")))
+    val maybe = keyed.filter(mc(col("__key")))
+    val confirmed = corpusKeys
+      .join(broadcast(maybe.select("__key")), Seq("__key"), "left_semi")
+      .distinct()
+    val stillNew = maybe.join(broadcast(confirmed), Seq("__key"), "left_anti")
+    definitelyNew.unionByName(stillNew).drop("__key")
+  }
+
   /** Distinct word n-gram shingles per document as ONE array column — fully
     * in-row (tokenize → slice → array_distinct), NO shuffle. Per-doc
     * signatures and sizes derive from this row without any aggregation.

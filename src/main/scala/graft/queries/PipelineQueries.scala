@@ -102,6 +102,28 @@ object PipelineQueries {
         |WHERE k NOT IN (SELECT DISTINCT k FROM keyed WHERE doc_id <= 250)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Bloom-screened variant: same EXACT result (Bloom has no false
+    // negatives; false positives just take the confirm path), but the
+    // corpus is only scanned, never shuffled — the per-batch shape that
+    // holds when the corpus is 100 TB and the batch is small. Same oracle
+    // as td_incremental_dedup by construction.
+    "td_incremental_dedup_bloom" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalExactBloom(
+          docs.filter(col("doc_id") <= 250), docs.filter(col("doc_id") > 250))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH keyed AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS k
+        |  FROM documents
+        |), inc AS (
+        |  SELECT k, min(doc_id) AS doc_id FROM keyed WHERE doc_id > 250
+        |  GROUP BY k
+        |)
+        |SELECT doc_id FROM inc
+        |WHERE k NOT IN (SELECT DISTINCT k FROM keyed WHERE doc_id <= 250)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------ cross-doc span duplication -----
     "td_span_dedup" -> Entry((s, dir) => {
       // exact-substring dedup signal (Lee et al.): fraction of each doc's

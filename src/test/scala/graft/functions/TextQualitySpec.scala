@@ -229,6 +229,26 @@ class TextQualitySpec extends AnyFunSuite {
     assert(out == Set(11L))
   }
 
+  test("incrementalExactBloom is exact for any fpp (Bloom only screens)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" <= 30)
+    val batch = docs.filter($"doc_id" > 30)
+    val exact = Dedup.incrementalExact(corpus, batch)
+      .collect().map(_.getLong(0)).toSet
+    // coarse filter (high fpp → many maybe-dups take the confirm path) and
+    // a fine one both land on the exact result
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Dedup.incrementalExactBloom(corpus, batch, fpp = fpp)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == exact, s"fpp=$fpp diverged from exact")
+    }
+    // empty corpus: everything in the batch is definitely new
+    val none = Dedup.incrementalExactBloom(corpus.limit(0), batch)
+      .count()
+    assert(none == batch.select(
+      graft.functions.TextFunctions.contentKey($"text")).distinct().count())
+  }
+
   test("tfidfKeywords ranks corpus-weighted terms, rare beats common") {
     val docs = Seq(
       (1L, "apple banana apple"),
