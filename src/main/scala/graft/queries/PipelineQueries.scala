@@ -124,6 +124,23 @@ object PipelineQueries {
         |WHERE k NOT IN (SELECT DISTINCT k FROM keyed WHERE doc_id <= 250)
         |ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------- k-anonymity release gate ----------
+    // quasi-identifier combinations shared by fewer than k rows are
+    // re-identification risks (Sweeney 2002) — the audit a pipeline runs
+    // after PII scrubbing, before shipping user-derived data. One
+    // map-side-combined groupBy on the QI tuple.
+    "td_k_anonymity" -> Entry((s, dir) => {
+      graft.functions.Curation.kAnonymityViolations(
+          t(s, dir, "documents")
+            .withColumn("len_bucket", (col("n_chars") / lit(50)).cast("int")),
+          Seq("lang", "source", "len_bucket"), k = 3)
+        .orderBy(col("lang"), col("source"), col("len_bucket"))
+    }, Some(
+      """SELECT lang, source, CAST(floor(n_chars / 50) AS INT) AS len_bucket,
+        |  count(*) AS group_size
+        |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 3
+        |ORDER BY 1, 2, 3""".stripMargin)),
+
     // ------------------------------------ cross-doc span duplication -----
     "td_span_dedup" -> Entry((s, dir) => {
       // exact-substring dedup signal (Lee et al.): fraction of each doc's

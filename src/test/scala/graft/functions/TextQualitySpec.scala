@@ -229,6 +229,24 @@ class TextQualitySpec extends AnyFunSuite {
     assert(out == Set(11L))
   }
 
+  test("kAnonymityViolations: groups under k flagged, NULL QIs group together") {
+    val rows = Seq(
+      (1L, "en", Some("a")), (2L, "en", Some("a")), (3L, "en", Some("a")),
+      (4L, "de", Some("b")),                      // singleton → violation
+      (5L, "fr", None), (6L, "fr", None)          // NULLs group: size 2
+    ).toDF("id", "lang", "src")
+    val v3 = Curation.kAnonymityViolations(rows, Seq("lang", "src"), k = 3)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2))).toSet
+    // (en,a) has 3 ≥ k → safe; (de,b)=1 and (fr,NULL)=2 violate
+    assert(v3 == Set(("de", Some("b"), 1L), ("fr", None, 2L)))
+    assert(Curation.kAnonymityViolations(rows, Seq("lang", "src"), k = 2)
+      .count() == 1) // only the singleton
+    intercept[IllegalArgumentException](
+      Curation.kAnonymityViolations(rows, Nil, k = 3))
+    intercept[IllegalArgumentException](
+      Curation.kAnonymityViolations(rows, Seq("lang"), k = 1))
+  }
+
   test("incrementalExactBloom is exact for any fpp (Bloom only screens)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter($"doc_id" <= 30)
