@@ -34,6 +34,22 @@ object Curation {
       .filter(col("group_size") < k)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007), k-anonymity's
+    * companion: a QI group where every row shares the same sensitive value
+    * leaks that value even when the group is large (the homogeneity
+    * attack). Flags groups whose sensitive column carries fewer than l
+    * DISTINCT values. Same one-groupBy scale shape; null sensitive values
+    * don't count toward diversity (count distinct ignores them). */
+  def lDiversityViolations(df: DataFrame, quasiIdentifiers: Seq[String],
+                           sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiIdentifiers.nonEmpty && l >= 2,
+      "need at least one quasi-identifier and l >= 2")
+    df.groupBy(quasiIdentifiers.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .filter(col("distinct_sensitive") < l)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting high quality monolingual datasets from web crawl data"):
     * score each document with the corpus unigram LM

@@ -141,6 +141,18 @@ object PipelineQueries {
         |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 3
         |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // l-diversity: the homogeneity-attack companion — a large QI group
+    // whose rows all share one sensitive value still leaks it
+    "td_l_diversity" -> Entry((s, dir) => {
+      graft.functions.Curation.lDiversityViolations(
+          t(s, dir, "documents"), Seq("source"), sensitiveCol = "lang", l = 5)
+        .orderBy(col("source"))
+    }, Some(
+      """SELECT source, count(*) AS group_size,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS distinct_sensitive
+        |FROM documents GROUP BY source HAVING count(DISTINCT lang) < 5
+        |ORDER BY source""".stripMargin)),
+
     // ------------------------------------ cross-doc span duplication -----
     "td_span_dedup" -> Entry((s, dir) => {
       // exact-substring dedup signal (Lee et al.): fraction of each doc's

@@ -247,6 +247,17 @@ class TextQualitySpec extends AnyFunSuite {
       Curation.kAnonymityViolations(rows, Seq("lang"), k = 1))
   }
 
+  test("lDiversityViolations: homogeneous groups flagged regardless of size") {
+    val rows = Seq(
+      (1L, "a", "en"), (2L, "a", "en"), (3L, "a", "en"),  // big but homogeneous
+      (4L, "b", "en"), (5L, "b", "de"),                   // diverse enough (l=2)
+      (6L, "c", null.asInstanceOf[String])                // null ≠ diversity
+    ).toDF("id", "src", "lang")
+    val v = Curation.lDiversityViolations(rows, Seq("src"), "lang", l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v == Set(("a", 3L, 1L), ("c", 1L, 0L)))
+  }
+
   test("incrementalExactBloom is exact for any fpp (Bloom only screens)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter($"doc_id" <= 30)
