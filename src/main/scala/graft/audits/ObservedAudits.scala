@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * observed metrics — but `approx_count_distinct` is not: they ride as a
   * SCREEN whose fail falls back to the classic query (those verdicts are
   * exact), and whose pass skips it. `not_constant`'s pass is provably
-  * sound; the uniqueness screens' pass carries the HLL equality guarantee —
-  * a real duplicate false-passes only when the ±σ estimate noise lands on
-  * one exact integer (~1/σ per batch, vanishing as batches grow). Audits
+  * sound; the uniqueness screens' pass requires TWO HLL estimates at
+  * different precisions to both equal the exact count — a real duplicate
+  * false-passes only when both independent-width noises land on one exact
+  * integer (probabilities multiply; vanishing as batches grow). Audits
   * whose args embed subqueries (`relationships` etc.) keep their own query.
   */
 object ObservedAudits {
@@ -108,14 +109,21 @@ object ObservedAudits {
         // query groups NULLs together as violations — screened separately
         // by an exact null count ≤ 1.
         val cols = Audits.list(args("columns"))
+        // TWO HLLs at different precisions: a real duplicate false-passes
+        // only when BOTH estimates' noise lands exactly on the count —
+        // the precisions use different register widths, so their errors
+        // differ and the probabilities multiply
         val ms = cols.zipWithIndex.flatMap { case (c, j) =>
           val v = when(condExpr, expr(c))
           Seq(approx_count_distinct(v).as(s"__audit_ad${idx}_$j"),
+            approx_count_distinct(v, 0.01).as(s"__audit_ae${idx}_$j"),
             count(v).as(s"__audit_cn${idx}_$j"),
             counted(condExpr && expr(c).isNull).as(s"__audit_nl${idx}_$j"))
         }
         Some(Planned(ms, mm => cols.indices.exists { j =>
-          metricLong(mm, s"__audit_ad${idx}_$j") != metricLong(mm, s"__audit_cn${idx}_$j") ||
+          val n = metricLong(mm, s"__audit_cn${idx}_$j")
+          metricLong(mm, s"__audit_ad${idx}_$j") != n ||
+            metricLong(mm, s"__audit_ae${idx}_$j") != n ||
             metricLong(mm, s"__audit_nl${idx}_$j") > 1
         }))
       case "unique_combination_of_columns" =>
@@ -124,9 +132,12 @@ object ObservedAudits {
         // non-null, so the HLL sees every in-scope row
         val cols = Audits.list(args("columns"))
         val v = when(condExpr, struct(cols.map(expr): _*))
-        val mA = s"__audit_ad$idx"; val mC = s"__audit_cn$idx"
-        Some(Planned(Seq(approx_count_distinct(v).as(mA), count(v).as(mC)),
-          mm => metricLong(mm, mA) != metricLong(mm, mC)))
+        val mA = s"__audit_ad$idx"; val mB = s"__audit_ae$idx"
+        val mC = s"__audit_cn$idx"
+        Some(Planned(Seq(approx_count_distinct(v).as(mA),
+            approx_count_distinct(v, 0.01).as(mB), count(v).as(mC)),
+          mm => metricLong(mm, mA) != metricLong(mm, mC) ||
+            metricLong(mm, mB) != metricLong(mm, mC)))
       case "not_constant" =>
         // SOUND screen, not just probable: one distinct value occupies one
         // HLL register, whose estimate is deterministically 1 — so
