@@ -134,10 +134,13 @@ object Similarity {
 
   /** Johnson–Lindenstrauss ±1 random projection to `outDims` dimensions:
     * out[p] = round(Σ_d sign(p,d)·v[d] / √outDims, 6). Signs reuse the
-    * portable md5 parity convention of the LSH hyperplanes, but are
-    * precomputed DRIVER-side into literal arrays (outDims × inDims is a few
-    * KB), so the per-row work is a codegen'd zip_with/aggregate — no per-row
-    * hashing, zero shuffle, scan speed.
+    * portable md5 parity convention of the LSH hyperplanes, precomputed
+    * once; the per-row work is a native codegen'd Catalyst expression
+    * ([[VectorJlProject]]) — two primitive nested loops inside the generated
+    * stage, no per-row hashing, zero shuffle, scan speed. (The earlier
+    * zip_with/aggregate formulation evaluated INTERPRETED — Spark HOFs are
+    * CodegenFallback — ~inDims×outDims boxed lambda calls per row; it stays
+    * below as [[randomProjectHof]], the bit-identical cross-check.)
     *
     * The 100 TB use: shrink wide embeddings ~8–10× before ANN candidate
     * generation — candidate shuffles and cosine math then scale with the
@@ -147,21 +150,30 @@ object Similarity {
                     vecCol: String = "embedding",
                     outCol: String = "projected"): DataFrame = {
     require(outDims > 0 && inDims > 0, "dims must be positive")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def sign(p: Int, d: Int): Double = {
-      val hex = md.digest(s"$p,$d".getBytes("UTF-8"))
-      // parity of the first hex digit = parity of the high nibble
-      if (((hex(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
-    }
+    val proj = org.apache.spark.sql.graft.ColumnBridge.column(
+      VectorJlProject(expression(col(vecCol)), inDims, outDims))
+    // fail FAST on a width mismatch: a short vector would silently fold
+    // over its prefix and skew the projected geometry
+    val guarded = when(
+      assert_true(size(col(vecCol)) === inDims,
+        lit(s"randomProject: expected $inDims-dim vectors in '$vecCol'")).isNull,
+      proj)
+    df.withColumn(outCol, guarded)
+  }
+
+  /** The interpreted HOF formulation — kept as the cross-check reference for
+    * [[VectorJlProject]] (PqSemDedupSpec asserts bit-identical results). */
+  private[graft] def randomProjectHof(df: DataFrame, inDims: Int, outDims: Int,
+                                          vecCol: String = "embedding",
+                                          outCol: String = "projected"): DataFrame = {
+    val signsAll = VectorJlProject.signMatrix(inDims, outDims)
     val scale = 1.0 / math.sqrt(outDims.toDouble)
     val comps = (0 until outDims).map { p =>
-      val signs = array((0 until inDims).map(d => lit(sign(p, d))): _*)
+      val signs = array((0 until inDims).map(d => lit(signsAll(p * inDims + d))): _*)
       round(aggregate(
         zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
         lit(0.0d), (acc, v) => acc + v) * lit(scale), 6).cast("float")
     }
-    // fail FAST on a width mismatch: zip_with would null-pad the shorter
-    // side and the aggregate would silently project every row to null
     val guarded = when(
       assert_true(size(col(vecCol)) === inDims,
         lit(s"randomProject: expected $inDims-dim vectors in '$vecCol'")).isNull,

@@ -106,6 +106,31 @@ object ScaleProbe {
         }
     }
 
+    // JL random projection: native codegen expression vs the interpreted
+    // HOF formulation it replaced (r9 verdict #2) — same arithmetic, so the
+    // gap is pure evaluation mode; must stay scan-shaped (no shuffle)
+    {
+      val embF = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val bigEmb = (0 until n).map { i =>
+        embF.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionByName _)
+      val dirJ = java.nio.file.Files.createTempDirectory("scale_emb").toString
+      bigEmb.write.mode("overwrite").parquet(dirJ)
+      val big = spark.read.parquet(dirJ)
+      for ((label, d) <- Seq("1x" -> embF, s"${n}x" -> big)) {
+        time(s"jl_native $label") {
+          Similarity.randomProject(d, inDims = 64, outDims = 16)
+            .agg(sum(element_at(col("projected"), 1))).head; d.count()
+        }
+        time(s"jl_hof $label") {
+          Similarity.randomProjectHof(d, inDims = 64, outDims = 16)
+            .agg(sum(element_at(col("projected"), 1))).head; d.count()
+        }
+      }
+    }
+
     // audio decode: synthesize+decode per row in one pass — pure
     // mapPartitions compute, no shuffle, must be linear in rows
     for ((label, d) <- Seq("1x" -> docs, s"${n}x" -> bigDocs)) {

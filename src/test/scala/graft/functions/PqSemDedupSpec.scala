@@ -86,6 +86,30 @@ class PqSemDedupSpec extends AnyFunSuite {
     assert(errs < 0.5, s"JL distortion unexpectedly large: $errs")
   }
 
+  test("randomProject: native codegen expression, bit-identical to the HOF form") {
+    val base = emb.limit(100).select(col("vec_id"), col("embedding"))
+    val native = Similarity.randomProject(base, inDims = 64, outDims = 16)
+    val hof = Similarity.randomProjectHof(base, inDims = 64, outDims = 16)
+    // bit-identical both ways (exceptAll is bag semantics — empty in both
+    // directions means the multisets of (id, projected) rows are equal)
+    assert(native.select("vec_id", "projected")
+      .exceptAll(hof.select("vec_id", "projected")).isEmpty)
+    assert(hof.select("vec_id", "projected")
+      .exceptAll(native.select("vec_id", "projected")).isEmpty)
+    // the projection must run INSIDE whole-stage codegen — the generated
+    // code calls the static round6f helper; an interpreted fallback wouldn't
+    val gen = native.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(gen.contains("round6f"),
+      "vector_jl_project fell out of whole-stage codegen")
+    // width guard unchanged: wrong inDims fails fast, not null-projects
+    val err = intercept[Exception] {
+      Similarity.randomProject(base, inDims = 63, outDims = 16).collect()
+    }
+    assert(err.getMessage.contains("randomProject") ||
+      err.getCause != null, err.getMessage)
+  }
+
   test("stratified sampling: exact quota per group, deterministic") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val s1 = Sampling.stratified(docs, "doc_id", "source", quota = 5, salt = "x")
