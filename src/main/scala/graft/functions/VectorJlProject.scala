@@ -83,12 +83,12 @@ case class VectorJlProject(child: Expression, inDims: Int, outDims: Int)
          |  }
          |  $out[$p] = graft.functions.VectorJlProject.round6f($acc * $scale);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
   }
 
-  override protected def withNewChildrenInternal(newChild: Expression): VectorJlProject =
+  override protected def withNewChildInternal(newChild: Expression): VectorJlProject =
     copy(child = newChild)
 }
 
