@@ -56,31 +56,139 @@ object Dedup {
     * The result is EXACT — identical to [[incrementalExact]] for any fpp;
     * fpp only tunes how many rows take the confirm path. Filter size is
     * ~1.2 GB per 10⁹ keys at 1% fpp (driver + broadcast budget — shard the
-    * corpus and screen per shard beyond that). In steady state the filter
-    * would be built once and reused across batches; this builds it inline
-    * so the operator is self-contained. */
+    * corpus and screen per shard beyond that). This variant builds the
+    * filter inline (self-contained, 2 corpus passes); steady-state ingest
+    * should use [[incrementalExactBloomCached]], which persists the filter
+    * keyed by the corpus version and pays ZERO corpus passes on a hit. */
   def incrementalExactBloom(corpus: DataFrame, incoming: DataFrame,
                             textCol: String = "text", idCol: String = "doc_id",
                             fpp: Double = 0.01): DataFrame = {
-    val spark = corpus.sparkSession
-    val corpusKeys = corpus.select(TextFunctions.contentKey(col(textCol)).as("__key"))
-    val keyed = incoming.withColumn("__key", TextFunctions.contentKey(col(textCol)))
-      .groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
     // row count over-estimates distinct keys — just a few more bits. An
     // EMPTY corpus can't build a filter (and needs none): every batch key
     // is new.
     val n = corpus.count()
-    if (n == 0) return keyed.drop("__key")
-    val bf = corpusKeys.stat.bloomFilter("__key", n, fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mc = udf((k: String) => k != null && bfB.value.mightContainString(k))
-    val definitelyNew = keyed.filter(!mc(col("__key")))
-    val maybe = keyed.filter(mc(col("__key")))
-    val confirmed = corpusKeys
-      .join(broadcast(maybe.select("__key")), Seq("__key"), "left_semi")
-      .distinct()
-    val stillNew = maybe.join(broadcast(confirmed), Seq("__key"), "left_anti")
-    definitelyNew.unionByName(stillNew).drop("__key")
+    val bf =
+      if (n == 0) None
+      else Some(corpus.select(TextFunctions.contentKey(col(textCol)).as("__key"))
+        .stat.bloomFilter("__key", n, fpp))
+    bloomScreened(corpus, incoming, bf, textCol, idCol)
+  }
+
+  /** The Bloom screen/confirm core shared by the inline and cached variants:
+    * filter misses are definitely new (no join at all); hits confirm via a
+    * broadcast semi over ONE corpus scan, then a broadcast anti back. With
+    * `bf == None` (empty corpus) every batch key is new — no corpus job.
+    *
+    * The confirm branch is gated by a RUNTIME count of filter hits (a
+    * batch-sized job — the declarative join alone would still scan the
+    * corpus even when `maybe` turns out empty, because the plan can't know
+    * that): an all-new batch therefore touches the corpus ZERO times. */
+  private def bloomScreened(corpus: DataFrame, incoming: DataFrame,
+                            bf: Option[org.apache.spark.util.sketch.BloomFilter],
+                            textCol: String, idCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val keyed = incoming.withColumn("__key", TextFunctions.contentKey(col(textCol)))
+      .groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
+    bf match {
+      case None => keyed.drop("__key")
+      case Some(filter) =>
+        val bfB = spark.sparkContext.broadcast(filter)
+        val mc = udf((k: String) => k != null && bfB.value.mightContainString(k))
+        val definitelyNew = keyed.filter(!mc(col("__key")))
+        val maybe = keyed.filter(mc(col("__key")))
+        if (maybe.isEmpty) definitelyNew.drop("__key")
+        else {
+          val corpusKeys = corpus.select(TextFunctions.contentKey(col(textCol)).as("__key"))
+          val confirmed = corpusKeys
+            .join(broadcast(maybe.select("__key")), Seq("__key"), "left_semi")
+            .distinct()
+          val stillNew = maybe.join(broadcast(confirmed), Seq("__key"), "left_anti")
+          definitelyNew.unionByName(stillNew).drop("__key")
+        }
+    }
+  }
+
+  /** [[incrementalExactBloom]] with the filter PERSISTED across ingest
+    * batches — the steady-state 100 TB ingest shape (r9 verdict #3):
+    *
+    *  - the filter bytes live at `cacheDir/<md5(versionToken)>.bloom`
+    *    (Hadoop FS API — works on HDFS/object stores); `versionToken`
+    *    should change exactly when the corpus changes (e.g. the
+    *    TableFormat's `versions(t).last` — see the two-batch spec);
+    *  - cache HIT: zero corpus passes to screen — batch keys that miss the
+    *    filter skip every join; only filter HITS (true dups + fpp noise)
+    *    pay the one confirm scan, and an all-new batch pays none;
+    *  - cache MISS: ONE corpus pass (the treeAggregate filter build);
+    *    the usual second pass — `corpus.count()` for sizing — is dropped
+    *    when `expectedKeys` is supplied (from table metadata: parquet
+    *    footers via [[parquetRowCount]], the manifest, or the state store);
+    *  - an EMPTY corpus persists a `.empty` marker, so later batches skip
+    *    even the existence check's rebuild.
+    *
+    * Result is EXACT — identical to [[incrementalExact]] — for any fpp and
+    * any stale-token mishap short of reusing a token across different corpus
+    * contents (the caller's contract: token ⇔ corpus version). */
+  def incrementalExactBloomCached(corpus: DataFrame, incoming: DataFrame,
+                                  cacheDir: String, versionToken: String,
+                                  textCol: String = "text", idCol: String = "doc_id",
+                                  fpp: Double = 0.01,
+                                  expectedKeys: Option[Long] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(versionToken.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = new org.apache.hadoop.fs.Path(cacheDir)
+    val fs = dir.getFileSystem(conf)
+    val bloomPath = new org.apache.hadoop.fs.Path(dir, s"$hash.bloom")
+    val emptyPath = new org.apache.hadoop.fs.Path(dir, s"$hash.empty")
+    val bf: Option[org.apache.spark.util.sketch.BloomFilter] =
+      if (fs.exists(emptyPath)) None
+      else if (fs.exists(bloomPath)) {
+        val in = fs.open(bloomPath)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      } else {
+        val n = expectedKeys.getOrElse(corpus.count())
+        val built =
+          if (n == 0) None
+          else Some(corpus.select(TextFunctions.contentKey(col(textCol)).as("__key"))
+            .stat.bloomFilter("__key", math.max(n, 1L), fpp))
+        // atomic publish: write to a tmp name, rename into place — a
+        // concurrent builder of the same version just wins the rename race
+        // with identical bytes
+        fs.mkdirs(dir)
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s"$hash.tmp${System.nanoTime()}")
+        val out = fs.create(tmp, true)
+        try built.foreach(_.writeTo(out)) finally out.close()
+        if (!fs.rename(tmp, if (built.isEmpty) emptyPath else bloomPath))
+          fs.delete(tmp, false)
+        built
+      }
+    bloomScreened(corpus, incoming, bf, textCol, idCol)
+  }
+
+  /** Exact row count from parquet footers — driver-side metadata reads
+    * only, no executor scan. The metadata-sizing source for
+    * [[incrementalExactBloomCached]]'s `expectedKeys` when the corpus is a
+    * parquet-backed table (dir-version and manifest TableFormats both
+    * store plain parquet under the data dir). None when the dir is absent. */
+  def parquetRowCount(spark: org.apache.spark.sql.SparkSession, dir: String): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    var total = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try total += r.getRecordCount finally r.close()
+      }
+    }
+    Some(total)
   }
 
   /** Distinct word n-gram shingles per document as ONE array column — fully

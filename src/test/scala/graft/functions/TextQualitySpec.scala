@@ -278,6 +278,93 @@ class TextQualitySpec extends AnyFunSuite {
       graft.functions.TextFunctions.contentKey($"text")).distinct().count())
   }
 
+  test("incrementalExactBloomCached: steady-state batch pays zero corpus passes") {
+    import graft.adapter.{DirVersionFormat, PhysicalTable}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // corpus as a TableFormat table — its VERSION is the cache token, so the
+    // filter rebuilds exactly when the corpus changes
+    val root = java.nio.file.Files.createTempDirectory("bloom_corpus").toString
+    val cacheDir = java.nio.file.Files.createTempDirectory("bloom_cache").toString
+    val fmt = new DirVersionFormat(spark)
+    val t = PhysicalTable("graft__test", "bloom_corpus", root)
+    fmt.createOrReplace(t, docs.filter($"doc_id" <= 300))
+    def corpus = fmt.read(t)
+    def tokenNow = s"${t.root}@v${fmt.versions(t).last}"
+    val token = tokenNow
+    val corpusRows = corpus.count()
+    // expectedKeys from parquet FOOTERS — metadata only, no scan, so a cache
+    // miss costs exactly ONE corpus pass (the filter treeAggregate)
+    val expected = Dedup.parquetRowCount(spark, fmt.currentDataDir(t).get)
+    assert(expected.contains(corpusRows), s"footer count $expected != $corpusRows")
+
+    // records-read listener: the evidence the steady-state batch never
+    // rescans the corpus (listener events are async — drain via waitUntilEmpty)
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    def measured[A](f: => A): (A, Long) = {
+      Thread.sleep(300) // drain in-flight listener events from earlier work
+      spark.sparkContext.addSparkListener(listener); recordsRead.set(0L)
+      try { val r = f; Thread.sleep(300); (r, recordsRead.get()) }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // batch 1 (cache MISS): builds + persists the filter — one corpus pass
+    val batch1 = docs.filter($"doc_id" > 300 && $"doc_id" <= 350)
+    val (r1, read1) = measured {
+      Dedup.incrementalExactBloomCached(corpus, batch1, cacheDir, token,
+        expectedKeys = expected).collect().map(_.getLong(0)).toSet
+    }
+    assert(r1 == Dedup.incrementalExact(corpus, batch1)
+      .collect().map(_.getLong(0)).toSet, "cached diverged from exact on miss")
+    // miss cost = filter build (1 corpus pass) + confirm (batch1 has true
+    // dups, 1 more pass) + the batch re-reads of the union branches — a few
+    // corpus passes, never corpus×batch
+    assert(read1 < 8 * corpusRows,
+      s"cache miss read $read1 records — not O(corpus)")
+
+    // batch 2 (cache HIT, all-new content): ZERO corpus passes — records
+    // read must be bounded by the BATCH, nowhere near the corpus size.
+    // Materialized to its own parquet so recordsRead attributes cleanly
+    // (filters over the shared documents file read all its row groups).
+    val b2dir = java.nio.file.Files.createTempDirectory("bloom_b2").toString
+    docs.filter($"doc_id" > 350 && $"doc_id" <= 400)
+      .withColumn("text", concat($"text", lit(" entirely-novel-suffix-xyzzy")))
+      .write.mode("overwrite").parquet(b2dir)
+    val batch2 = spark.read.parquet(b2dir)
+    val batch2Rows = batch2.count()
+    val (r2, read2) = measured {
+      Dedup.incrementalExactBloomCached(corpus, batch2, cacheDir, token,
+        expectedKeys = expected).count()
+    }
+    assert(r2 == batch2.select(TextFunctions.contentKey($"text")).distinct().count())
+    assert(read2 <= 3 * batch2Rows,
+      s"steady-state batch read $read2 records (corpus=$corpusRows, batch=$batch2Rows) — corpus was rescanned")
+
+    // batch with a TRUE duplicate: the confirm path scans the corpus once
+    // and the result is still exact
+    val batch3 = docs.filter($"doc_id" > 350 && $"doc_id" <= 400)
+    val exact3 = Dedup.incrementalExact(corpus, batch3)
+      .collect().map(_.getLong(0)).toSet
+    val got3 = Dedup.incrementalExactBloomCached(corpus, batch3, cacheDir, token,
+      expectedKeys = expected).collect().map(_.getLong(0)).toSet
+    assert(got3 == exact3, "confirm path diverged from exact")
+
+    // corpus version moves → new token → filter rebuilds and stays exact
+    fmt.createOrReplace(t, corpus.unionByName(batch1.select(corpus.columns.map(col): _*)))
+    val token3 = tokenNow
+    assert(token3 != token, "replace must roll the version")
+    val exact4 = Dedup.incrementalExact(fmt.read(t), batch3)
+      .collect().map(_.getLong(0)).toSet
+    val got4 = Dedup.incrementalExactBloomCached(fmt.read(t), batch3, cacheDir, token3,
+      expectedKeys = Dedup.parquetRowCount(spark, fmt.currentDataDir(t).get))
+      .collect().map(_.getLong(0)).toSet
+    assert(got4 == exact4, "rebuilt filter diverged from exact")
+    fmt.drop(t)
+  }
+
   test("tfidfKeywords ranks corpus-weighted terms, rare beats common") {
     val docs = Seq(
       (1L, "apple banana apple"),
