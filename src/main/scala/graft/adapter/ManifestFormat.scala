@@ -245,11 +245,18 @@ final class ManifestFormat(spark: SparkSession) extends TableFormat {
         s"CREATE TABLE `$extDb`.`$tmp` ($cols) USING PARQUET " +
           s"PARTITIONED BY (${m.partitionedBy.map(c => s"`$c`").mkString(", ")}) " +
           s"LOCATION '$abs'")
-      spark.sql(s"ALTER TABLE `$extDb`.`$tmp` RECOVER PARTITIONS")
-      try spark.sql(s"ALTER TABLE `$extDb`.`$tmp` RENAME TO `$extDb`.`$nm`")
-      catch {
-        case _: Throwable if spark.catalog.tableExists(extDb, nm) =>
-          spark.sql(s"DROP TABLE IF EXISTS `$extDb`.`$tmp`") // race lost
+      // whatever happens, the writer-private tmp entry must not outlive this
+      // block: a lost rename race OR any other failure (recovery error,
+      // catalog hiccup) would otherwise leak an orphan catalog entry over
+      // the commit location in graft_sys — drop it unconditionally and
+      // rethrow unless the race was simply lost to a fully-built winner
+      try {
+        spark.sql(s"ALTER TABLE `$extDb`.`$tmp` RECOVER PARTITIONS")
+        spark.sql(s"ALTER TABLE `$extDb`.`$tmp` RENAME TO `$extDb`.`$nm`")
+      } catch {
+        case e: Throwable =>
+          spark.sql(s"DROP TABLE IF EXISTS `$extDb`.`$tmp`")
+          if (!spark.catalog.tableExists(extDb, nm)) throw e // not a lost race
       }
     }
     knownHelpers.add(nm)

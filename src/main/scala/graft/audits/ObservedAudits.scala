@@ -14,16 +14,28 @@ import org.apache.spark.sql.functions._
   * [[Audits.rowPredicates]] family (violations = rows matching a
   * predicate → `sum(case when pred then 1 end)`), plus `at_least_one`,
   * `number_of_rows`, and `not_null_proportion` (count algebra). The
-  * DISTINCT families (`unique_values`, `unique_combination_of_columns`,
-  * `not_constant`) can't ride exactly — `count_distinct` is disallowed in
-  * observed metrics — but `approx_count_distinct` is not: they ride as a
-  * SCREEN whose fail falls back to the classic query (those verdicts are
-  * exact), and whose pass skips it. `not_constant`'s pass is provably
-  * sound; the uniqueness screens' pass requires TWO HLL estimates at
-  * different precisions to both equal the exact count — a real duplicate
-  * false-passes only when both independent-width noises land on one exact
-  * integer (probabilities multiply; vanishing as batches grow). Audits
-  * whose args embed subqueries (`relationships` etc.) keep their own query.
+  * DISTINCT families can't ride exactly (`count_distinct` is disallowed in
+  * observed metrics), and a skip must be PROVABLY sound — the audit verdict
+  * the user declared is exact, so a screen may only skip the exact query
+  * when no duplicate could possibly exist:
+  *
+  *  - `not_constant` rides a sound HLL screen: one distinct value occupies
+  *    one register whose estimate is deterministically 1, so estimate ≥ 2
+  *    PROVES ≥ 2 distinct values (pass); estimate ≤ 1 falls back.
+  *  - `unique_values` / `unique_combination_of_columns` ride EXACT counts
+  *    only: the skip fires just for the degenerate scopes where uniqueness
+  *    is implied by cardinality (≤ 1 in-scope row per group domain);
+  *    anything larger runs the classic exact query. An earlier design
+  *    gated the skip on two `approx_count_distinct` estimates at different
+  *    precisions both equaling the exact count, arguing their errors were
+  *    independent — they are NOT (both sketches hash the same fixed-seed
+  *    XxHash64, and the low-precision register index is a bit-prefix of
+  *    the high-precision one), so a real duplicate could silently pass at
+  *    a non-vanishing rate on small batches. Removed; uniqueness verdicts
+  *    are now always exact, matching the reference.
+  *
+  * Audits whose args embed subqueries (`relationships` etc.) keep their
+  * own query.
   */
 object ObservedAudits {
 
@@ -93,51 +105,30 @@ object ObservedAudits {
             lo.exists(x => if (inclusive) d < x else d <= x) ||
               hi.exists(x => if (inclusive) d > x else d >= x)
         }))
-      // DISTINCT families: exact count_distinct is disallowed in observed
-      // metrics, but approx_count_distinct is not — used as a SCREEN, never
-      // as the verdict. Screen-pass skips the classic query; screen-fail
-      // (or any ambiguity) falls through to the exact query, so the final
-      // verdict is always exact.
+      // DISTINCT uniqueness families: the skip must be PROVABLE from exact
+      // observed aggregates (HLL equality-gating was unsound — correlated
+      // errors, see the object doc). Uniqueness is implied by cardinality
+      // alone only in the degenerate scopes below; everything else keeps
+      // the classic exact query (failed = true → fall through).
       case "unique_values" =>
-        // per column: HLL estimate == exact non-null count ⇒ no duplicated
-        // non-null value (at HLL error bounds: for small-register occupancy
-        // the linear-counting estimate is near-deterministic; a false
-        // equality on a true duplicate needs the ±σ estimate noise to land
-        // on one exact integer, ~1/σ — and a false INEQUALITY only costs
-        // the query we used to always run). NULL duplicates are invisible
-        // to both count(c) and the HLL (nulls are ignored), and the classic
-        // query groups NULLs together as violations — screened separately
-        // by an exact null count ≤ 1.
+        // per column: ≤ 1 non-null in-scope row AND ≤ 1 null row ⇒ no value
+        // (the classic query groups NULLs together) can repeat — sound pass
         val cols = Audits.list(args("columns"))
-        // TWO HLLs at different precisions: a real duplicate false-passes
-        // only when BOTH estimates' noise lands exactly on the count —
-        // the precisions use different register widths, so their errors
-        // differ and the probabilities multiply
         val ms = cols.zipWithIndex.flatMap { case (c, j) =>
           val v = when(condExpr, expr(c))
-          Seq(approx_count_distinct(v).as(s"__audit_ad${idx}_$j"),
-            approx_count_distinct(v, 0.01).as(s"__audit_ae${idx}_$j"),
-            count(v).as(s"__audit_cn${idx}_$j"),
+          Seq(count(v).as(s"__audit_cn${idx}_$j"),
             counted(condExpr && expr(c).isNull).as(s"__audit_nl${idx}_$j"))
         }
         Some(Planned(ms, mm => cols.indices.exists { j =>
-          val n = metricLong(mm, s"__audit_cn${idx}_$j")
-          metricLong(mm, s"__audit_ad${idx}_$j") != n ||
-            metricLong(mm, s"__audit_ae${idx}_$j") != n ||
+          metricLong(mm, s"__audit_cn${idx}_$j") > 1 ||
             metricLong(mm, s"__audit_nl${idx}_$j") > 1
         }))
       case "unique_combination_of_columns" =>
-        // the classic query GROUPs BY the column tuple (NULLs equal), which
-        // is exactly struct-distinct semantics; a struct of nulls is itself
-        // non-null, so the HLL sees every in-scope row
-        val cols = Audits.list(args("columns"))
-        val v = when(condExpr, struct(cols.map(expr): _*))
-        val mA = s"__audit_ad$idx"; val mB = s"__audit_ae$idx"
+        // the classic query GROUPs BY the column tuple (NULLs equal); with
+        // ≤ 1 in-scope row no tuple can repeat — sound pass
         val mC = s"__audit_cn$idx"
-        Some(Planned(Seq(approx_count_distinct(v).as(mA),
-            approx_count_distinct(v, 0.01).as(mB), count(v).as(mC)),
-          mm => metricLong(mm, mA) != metricLong(mm, mC) ||
-            metricLong(mm, mB) != metricLong(mm, mC)))
+        Some(Planned(Seq(counted(condExpr).as(mC)),
+          mm => metricLong(mm, mC) > 1))
       case "not_constant" =>
         // SOUND screen, not just probable: one distinct value occupies one
         // HLL register, whose estimate is deterministically 1 — so

@@ -71,10 +71,13 @@ object ScheduleExport {
   /** Complete, runnable Airflow DAG file (reference `sqlmesh/schedulers/
     * airflow` semantics, re-expressed over the graft CLI):
     *
-    *  - cron → schedule: the DAG ticks at the FINEST model cadence; each
-    *    task shells into `graft run`, which re-checks per-model cron
-    *    readiness and missing intervals itself, so a finer DAG tick is a
-    *    cheap no-op, never a duplicate run (idempotent by construction).
+    *  - cron → schedule: the DAG ticks ONE unit finer than the finest model
+    *    cadence (hourly for day-unit projects, etc.), so models whose crons
+    *    fire at different offsets within the unit are all picked up within
+    *    a finer-unit period; each task shells into `graft run`, which
+    *    re-checks per-model cron readiness and missing intervals itself, so
+    *    the finer tick is a cheap no-op, never a duplicate run (idempotent
+    *    by construction).
     *  - batches → one BashOperator per exported batch, chained sequentially
     *    within a model (a backfill's batch order), plus one catch-up task
     *    per model with no pending batches so future ticks keep it current.
@@ -91,8 +94,21 @@ object ScheduleExport {
     val names = sorted.map(_.name).toSet
     val unitRank = Map("five_minute" -> 1, "quarter_hour" -> 2, "half_hour" -> 3,
       "hour" -> 4, "day" -> 5, "month" -> 6, "year" -> 7)
-    val schedule = sorted.sortBy(m => unitRank.getOrElse(m.intervalUnit, 9))
-      .headOption.map(_.cron).getOrElse("@daily")
+    // tick ONE unit finer than the finest model cadence, not some model's own
+    // cron: two day-unit models with crons 01:00 and 06:00 would otherwise
+    // ride a DAG that only ticks at one of them — with catchup=False the
+    // other runs up to a full day late. graft run re-checks per-model cron
+    // readiness, so the finer tick costs a cheap no-op, never a double run;
+    // staleness is bounded by the finer unit, not by cron-tie arbitration.
+    val finest = sorted.map(m => unitRank.getOrElse(m.intervalUnit, 9)).min
+    val schedule = finest match {
+      case 1 | 2 => "*/5 * * * *"   // five_minute/quarter_hour → 5-min tick
+      case 3     => "*/15 * * * *"  // half_hour → quarter-hour tick
+      case 4     => "*/30 * * * *"  // hour → half-hour tick
+      case 5     => "@hourly"       // day → hourly tick
+      case 6     => "@daily"        // month → daily tick
+      case _     => "@daily"        // year/unknown → daily tick
+    }
     val proj = " --project $GRAFT_PROJECT"
     val anySignal = sorted.exists(_.hasSignal)
     val b = new StringBuilder
@@ -105,7 +121,7 @@ object ScheduleExport {
     b ++= "with DAG(\n"
     b ++= s"""    dag_id="graft_$env",\n"""
     b ++= "    start_date=datetime(2020, 1, 1),\n"
-    b ++= s"""    schedule="$schedule",  # finest model cadence; per-model crons gate inside graft run\n"""
+    b ++= s"""    schedule="$schedule",  # one unit finer than the finest model cadence; per-model crons gate inside graft run\n"""
     b ++= "    catchup=False,\n"
     b ++= "    max_active_runs=1,\n"
     b ++= ") as dag:\n"

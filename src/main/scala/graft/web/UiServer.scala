@@ -303,11 +303,22 @@ final class UiServer(ctx: GraftContext, host: String = "127.0.0.1",
       "file API needs a project dir (`graft ui --project DIR`)")
   }
 
-  /** Resolve a request path inside the project root, refusing traversal. */
+  /** Resolve a request path inside the project root, refusing traversal.
+    * normalize() alone would not resolve SYMLINKS — a link inside the
+    * project pointing outside would pass the prefix check — so the deepest
+    * existing ancestor is resolved to its real path first and re-checked
+    * (the file itself may not exist yet on writes). */
   private def resolveSafe(rel: String): java.nio.file.Path = {
     val p = projectRoot.resolve(rel).normalize()
     if (!p.startsWith(projectRoot))
       throw new IllegalArgumentException(s"path escapes project: $rel")
+    val realRoot = projectRoot.toRealPath()
+    var anc = p
+    while (!java.nio.file.Files.exists(anc,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS) && anc.getParent != null)
+      anc = anc.getParent
+    if (!anc.toRealPath().startsWith(realRoot))
+      throw new IllegalArgumentException(s"path escapes project via symlink: $rel")
     p
   }
 

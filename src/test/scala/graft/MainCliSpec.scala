@@ -729,7 +729,7 @@ class MainCliSpec extends AnyFunSuite {
       "--start", "1995-01-01", "--end", "1995-01-22") ++ base: _*)
     assert(c2 == 0, py)
     assert(py.contains("""dag_id="graft_prod""""), py)
-    assert(py.contains("""schedule="@daily""""), py) // finest model cadence
+    assert(py.contains("""schedule="@hourly""""), py) // one unit finer than day
     assert(py.contains("t_exp_daily__b0 = BashOperator("), py)
     assert(py.contains("t_exp_daily__b1 = BashOperator("), py)
     assert(py.contains("t_exp_daily__b0 >> t_exp_daily__b1"), py)
@@ -773,7 +773,7 @@ class MainCliSpec extends AnyFunSuite {
     assert(py2.contains("t_exp_gated__signal >> t_exp_gated__b0"), py2)
     assert(py2.contains("t_exp_gated__b0 >> t_exp_gated"), py2)
     assert(py2.contains("t_exp_daily >> t_exp_gated__signal"), py2)
-    assert(py2.contains("""schedule="@hourly""""), py2) // hour beats day
+    assert(py2.contains("""schedule="*/30 * * * *""""), py2) // finer than hour
 
     // the sensor's poke target: signal-ready is true iff every missing
     // batch in the window passes the model's signal gate

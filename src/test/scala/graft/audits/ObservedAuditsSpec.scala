@@ -66,29 +66,31 @@ class ObservedAuditsSpec extends AnyFunSuite {
       Map("criteria" -> "v < (SELECT max(x) FROM t)"), None).isEmpty)
   }
 
-  test("DISTINCT-family screens: pass skips the query, any ambiguity falls back") {
+  test("DISTINCT-family screens: only provably-sound passes skip the query") {
     val df = Seq((1, "a", 5), (2, null, 50), (3, "c", 7)).toDF("id", "name", "v")
-    // unique_values: all-distinct id → screen passes (no classic query)
-    assert(!observedVerdict("unique_values", Map("columns" -> "id"), df))
-    assert(!observedVerdict("unique_values", Map("columns" -> "id, v"), df))
-    // a real duplicate → screen fails → classic query gives the verdict
+    // uniqueness can NOT be proven by HLL estimates (both sketches hash the
+    // same fixed-seed XxHash64 — correlated errors): any scope with more
+    // than one row falls back to the exact classic query, duplicates or not
+    assert(observedVerdict("unique_values", Map("columns" -> "id"), df))
     val dup = Seq((1, "a"), (1, "b"), (2, "c")).toDF("id", "name")
     assert(observedVerdict("unique_values", Map("columns" -> "id"), dup))
-    // NULL duplicates are invisible to the HLL but violations to the
-    // classic query (NULLs group together) → the null-count metric must
-    // force the fallback
+    // NULL duplicates (violations to the classic query — NULLs group
+    // together) force the fallback too
     val nulls = Seq((Some(1), "a"), (None, "b"), (None, "c"))
       .toDF("id", "name")
     assert(observedVerdict("unique_values", Map("columns" -> "id"), nulls))
-    // condition scopes the screen: dup sits outside → pass
+    // degenerate scopes are provably unique from EXACT counts alone:
+    // ≤ 1 non-null row and ≤ 1 null row ⇒ no group can repeat — sound skip
     assert(!observedVerdict("unique_values",
-      Map("columns" -> "id", "condition" -> "name <> 'b'"), dup))
-    // unique_combination_of_columns: tuple-distinct via struct HLL
+      Map("columns" -> "id", "condition" -> "name = 'a'"), dup))
+    val oneEach = Seq((Some(1), "a"), (None, "b")).toDF("id", "name")
+    assert(!observedVerdict("unique_values", Map("columns" -> "id"), oneEach))
+    // unique_combination_of_columns: only the ≤ 1-in-scope-row case passes
     val comb = Seq((1, "x"), (1, "y"), (2, "x")).toDF("a", "b")
-    assert(!observedVerdict("unique_combination_of_columns",
-      Map("columns" -> "a, b"), comb))
     assert(observedVerdict("unique_combination_of_columns",
-      Map("columns" -> "a, b"), comb.union(comb.limit(1))))
+      Map("columns" -> "a, b"), comb))
+    assert(!observedVerdict("unique_combination_of_columns",
+      Map("columns" -> "a, b", "condition" -> "b = 'y'"), comb))
     // not_constant: ≥2 occupied registers PROVES ≥2 distinct → pass;
     // single value or empty scope → fallback (which fails them exactly)
     assert(!observedVerdict("not_constant", Map("column" -> "v"), df))
@@ -163,9 +165,9 @@ class ObservedAuditsSpec extends AnyFunSuite {
       kind = ModelKind.Full, audits = audits)
 
     // same model, observable (riding the write) vs query-backed audits: the
-    // observable run must plan strictly fewer queries. The DISTINCT screens
-    // (unique_values / not_constant) count as observable on the all-pass
-    // path — their HLL screen passes, so no classic query runs.
+    // observable run must plan strictly fewer queries. unique_values rides
+    // the write but (soundly) falls back to ONE exact query for any
+    // multi-row scope; not_null and not_constant skip theirs entirely.
     val observable = Seq(
       "not_null" -> Map("columns" -> "o_orderkey"),
       "unique_values" -> Map("columns" -> "o_orderkey"),
@@ -183,7 +185,7 @@ class ObservedAuditsSpec extends AnyFunSuite {
     val nQry = countQueries(c2.apply(c2.plan("prod", 0, 86400000L)))
     assert(nObs < nQry, s"observed audits should skip audit queries ($nObs vs $nQry)")
 
-    // a unique_values VIOLATION goes screen-fail → classic query → exact
+    // a unique_values VIOLATION goes fallback → classic query → exact
     // verdict with a sample row and WAP rollback
     val c4 = newCtx()
     c4.addModel(Model(name = "obs.orders_dup",
