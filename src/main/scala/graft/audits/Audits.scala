@@ -3,10 +3,12 @@ package graft.audits
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The 29 built-in data-quality audits (reference: sqlmesh/core/audit/builtin.py
-  * :17-660). Each renders to a SELECT that must return 0 rows; a non-empty
-  * result fails the audit (snapshot/evaluator.py:1363 `_audit`). Templates are
-  * Spark SQL over a table (or view) name; incremental models additionally get
-  * the interval predicate injected via `condition`.
+  * :17-660), plus the privacy triad (k_anonymity / l_diversity / t_closeness)
+  * as first-class builtins beyond the reference registry. Each renders to a
+  * SELECT that must return 0 rows; a non-empty result fails the audit
+  * (snapshot/evaluator.py:1363 `_audit`). Templates are Spark SQL over a
+  * table (or view) name; incremental models additionally get the interval
+  * predicate injected via `condition`.
   *
   * Scale note: every audit is a single declarative query — Catalyst pushes the
   * predicates to the scan, and `number_of_rows`-style audits use LIMIT-k tricks
@@ -200,6 +202,58 @@ object Audits {
          |  FROM contingency_table
          |)
          |SELECT degrees_of_freedom, chi_square FROM stats WHERE NOT ($check)""".stripMargin
+    },
+    // ---- privacy triad (beyond the reference registry): the release gates
+    // a training-data pipeline runs after PII scrubbing, declared on a model
+    // exactly like any builtin — `audits (k_anonymity(quasi_identifiers :=
+    // (a, b), k := 5))`. All three are one groupBy on the QI tuple (map-side
+    // combined), t_closeness adds a tiny broadcast of the global sensitive
+    // distribution — no self-joins, no unpartitioned windows.
+    // k-anonymity (Sweeney 2002): a QI combination shared by fewer than k
+    // rows re-identifies its members. NULL QIs group together (GROUP BY
+    // semantics) — an all-null combination is still a combination.
+    "k_anonymity" -> { (t, a) =>
+      val qis = list(a("quasi_identifiers")).mkString(", ")
+      s"""SELECT $qis, COUNT(*) AS group_size FROM $t WHERE ${cond(a)}
+         |GROUP BY $qis HAVING COUNT(*) < ${a("k")}""".stripMargin
+    },
+    // l-diversity (Machanavajjhala et al. 2007): a large QI group whose rows
+    // all share one sensitive value still leaks it (homogeneity attack) —
+    // flag groups with fewer than l distinct sensitive values. NULL
+    // sensitive values don't count toward diversity.
+    "l_diversity" -> { (t, a) =>
+      val qis = list(a("quasi_identifiers")).mkString(", ")
+      val c = a("column")
+      s"""SELECT $qis, COUNT(*) AS group_size,
+         |  COUNT(DISTINCT $c) AS distinct_sensitive
+         |FROM $t WHERE ${cond(a)}
+         |GROUP BY $qis HAVING COUNT(DISTINCT $c) < ${a("l")}""".stripMargin
+    },
+    // t-closeness (Li et al. 2007): even a diverse group leaks when its
+    // sensitive-value DISTRIBUTION differs sharply from the global one —
+    // flag groups whose total-variation distance exceeds t. Values absent
+    // from a group contribute their global mass, so
+    // TVD = ½(Σ_{v∈G}|p_g−p_G| + 1 − Σ_{v∈G} p_G) needs only the group's
+    // own values joined to the (tiny, broadcastable) global distribution.
+    // NULL sensitive values are out of scope, like l_diversity.
+    "t_closeness" -> { (t, a) =>
+      val qis = list(a("quasi_identifiers")).mkString(", ")
+      val c = a("column")
+      s"""WITH scoped AS (
+         |  SELECT $qis, $c AS sv FROM $t WHERE $c IS NOT NULL AND ${cond(a)}
+         |), global_p AS (
+         |  SELECT sv, COUNT(*) / SUM(COUNT(*)) OVER () AS p_global
+         |  FROM scoped GROUP BY sv
+         |), grp AS (
+         |  SELECT $qis, sv, COUNT(*) AS n FROM scoped GROUP BY $qis, sv
+         |), gtot AS (
+         |  SELECT *, SUM(n) OVER (PARTITION BY $qis) AS g_n FROM grp
+         |)
+         |SELECT $qis,
+         |  ROUND(0.5 * (SUM(ABS(n / g_n - p_global)) + 1 - SUM(p_global)), 6) AS tvd
+         |FROM gtot JOIN global_p USING (sv)
+         |GROUP BY $qis
+         |HAVING ROUND(0.5 * (SUM(ABS(n / g_n - p_global)) + 1 - SUM(p_global)), 6) > ${a("t")}""".stripMargin
     },
   )
 

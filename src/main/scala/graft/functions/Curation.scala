@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Corpus-curation selection ops from the published pretraining-data
   * pipelines — the steps between raw filtering and the final mixture.
@@ -48,6 +49,42 @@ object Curation {
       .agg(count(lit(1)).as("group_size"),
         countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
       .filter(col("distinct_sensitive") < l)
+  }
+
+  /** t-closeness audit (Li et al. 2007), completing the privacy triad: even
+    * an l-diverse QI group leaks when its sensitive-value DISTRIBUTION
+    * differs sharply from the global one (skew attack — "everyone in this
+    * zip has SOME diagnosis, but 90% have the rare one"). Flags groups whose
+    * total-variation distance from the global distribution exceeds t.
+    *
+    * Values absent from a group contribute their global mass, so
+    * TVD = ½(Σ_{v∈G}|p_g−p_G| + 1 − Σ_{v∈G} p_G) — computable from the
+    * group's OWN values joined to the global distribution, which is tiny
+    * (one row per distinct sensitive value) and broadcast. Scale shape: one
+    * groupBy on (QI, sensitive) with map-side combine, one QI-partitioned
+    * window for group totals, one broadcast join — no self-join, no
+    * unpartitioned window. NULL sensitive values are out of scope (as in
+    * [[lDiversityViolations]]); a corpus with NO in-scope rows flags
+    * nothing. TVD is rounded to 6 decimals for engine portability. */
+  def tClosenessViolations(df: DataFrame, quasiIdentifiers: Seq[String],
+                           sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiIdentifiers.nonEmpty && t > 0 && t < 1,
+      "need at least one quasi-identifier and 0 < t < 1")
+    val qis = quasiIdentifiers.map(col)
+    val scoped = df.filter(col(sensitiveCol).isNotNull)
+      .select(qis :+ col(sensitiveCol).as("__sv"): _*)
+    val globalP = scoped.groupBy(col("__sv")).agg(count(lit(1)).as("__n"))
+      .select(col("__sv"),
+        (col("__n") / sum(col("__n")).over(Window.partitionBy())).as("__pg"))
+    val grp = scoped.groupBy(qis :+ col("__sv"): _*).agg(count(lit(1)).as("__n"))
+      .withColumn("__gn",
+        sum(col("__n")).over(Window.partitionBy(quasiIdentifiers.map(col): _*)))
+    val tvd = round((sum(abs(col("__n") / col("__gn") - col("__pg"))) +
+      lit(1.0) - sum(col("__pg"))) * 0.5, 6)
+    grp.join(broadcast(globalP), "__sv")
+      .groupBy(qis: _*)
+      .agg(tvd.as("tvd"))
+      .filter(col("tvd") > t)
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:

@@ -164,6 +164,50 @@ object AuditQueries {
           |)
           |SELECT count(*) AS n_overlaps FROM calc WHERE NOT (ok1 AND ok2)""".stripMargin)),
 
+    // privacy triad as BUILT-IN audits (beyond the reference registry):
+    // declared on models like any builtin; these entries hash-check the
+    // rendered templates cross-engine on real data with violations present
+    "a_k_anonymity" -> Entry(
+      audit("k_anonymity", "documents",
+        Map("quasi_identifiers" -> "lang, source", "k" -> "5"),
+        _.orderBy("lang", "source")),
+      Some(
+        """SELECT lang, source, count(*) AS group_size
+          |FROM documents GROUP BY lang, source HAVING count(*) < 5
+          |ORDER BY lang, source""".stripMargin)),
+
+    "a_l_diversity" -> Entry(
+      audit("l_diversity", "documents",
+        Map("quasi_identifiers" -> "source", "column" -> "lang", "l" -> "5"),
+        _.orderBy("source")),
+      Some(
+        """SELECT source, count(*) AS group_size,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS distinct_sensitive
+          |FROM documents GROUP BY source HAVING count(DISTINCT lang) < 5
+          |ORDER BY source""".stripMargin)),
+
+    "a_t_closeness" -> Entry(
+      audit("t_closeness", "documents",
+        Map("quasi_identifiers" -> "lang", "column" -> "source", "t" -> "0.16"),
+        _.orderBy("lang")),
+      Some(
+        """WITH scoped AS (
+          |  SELECT lang, source AS sv FROM documents WHERE source IS NOT NULL
+          |), global_p AS (
+          |  SELECT sv, COUNT(*) / SUM(COUNT(*)) OVER () AS p_global
+          |  FROM scoped GROUP BY sv
+          |), grp AS (
+          |  SELECT lang, sv, COUNT(*) AS n FROM scoped GROUP BY lang, sv
+          |), gtot AS (
+          |  SELECT *, SUM(n) OVER (PARTITION BY lang) AS g_n FROM grp
+          |)
+          |SELECT lang,
+          |  ROUND(0.5 * (SUM(ABS(n / g_n - p_global)) + 1 - SUM(p_global)), 6) AS tvd
+          |FROM gtot JOIN global_p USING (sv)
+          |GROUP BY lang
+          |HAVING ROUND(0.5 * (SUM(ABS(n / g_n - p_global)) + 1 - SUM(p_global)), 6) > 0.16
+          |ORDER BY lang""".stripMargin)),
+
     "a_chi_square" -> Entry(
       audit("chi_square", "orders",
         Map("column_a" -> "o_orderstatus", "column_b" -> "o_orderpriority",

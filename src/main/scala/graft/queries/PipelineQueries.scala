@@ -153,6 +153,32 @@ object PipelineQueries {
         |FROM documents GROUP BY source HAVING count(DISTINCT lang) < 5
         |ORDER BY source""".stripMargin)),
 
+    // t-closeness: the skew-attack companion completing the privacy triad —
+    // a diverse group still leaks when its sensitive distribution diverges
+    // from the global one (TVD > t). One (QI, sensitive) groupBy + a
+    // QI-partitioned window + a broadcast of the global distribution.
+    "td_t_closeness" -> Entry((s, dir) => {
+      graft.functions.Curation.tClosenessViolations(
+          t(s, dir, "documents"), Seq("lang"), sensitiveCol = "source", t = 0.16)
+        .orderBy(col("lang"))
+    }, Some(
+      """WITH scoped AS (
+        |  SELECT lang, source AS sv FROM documents WHERE source IS NOT NULL
+        |), global_p AS (
+        |  SELECT sv, COUNT(*) / SUM(COUNT(*)) OVER () AS pg
+        |  FROM scoped GROUP BY sv
+        |), grp AS (
+        |  SELECT lang, sv, COUNT(*) AS n FROM scoped GROUP BY lang, sv
+        |), gtot AS (
+        |  SELECT *, SUM(n) OVER (PARTITION BY lang) AS g_n FROM grp
+        |)
+        |SELECT lang,
+        |  ROUND(0.5 * (SUM(ABS(n / g_n - pg)) + 1 - SUM(pg)), 6) AS tvd
+        |FROM gtot JOIN global_p USING (sv)
+        |GROUP BY lang
+        |HAVING ROUND(0.5 * (SUM(ABS(n / g_n - pg)) + 1 - SUM(pg)), 6) > 0.16
+        |ORDER BY lang""".stripMargin)),
+
     // ------------------------------------ cross-doc span duplication -----
     "td_span_dedup" -> Entry((s, dir) => {
       // exact-substring dedup signal (Lee et al.): fraction of each doc's

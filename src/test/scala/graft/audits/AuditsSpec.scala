@@ -101,7 +101,78 @@ class AuditsSpec extends AnyFunSuite {
       "column" -> "fk", "to" -> parent, "field" -> "pid") == 1)
   }
 
-  test("the 29 reference builtins + relationships are registered") {
-    assert(Audits.all.size == 30)
+  test("the 29 reference builtins + relationships + privacy triad are registered") {
+    assert(Audits.all.size == 33)
+  }
+
+  test("k_anonymity flags QI groups below k; NULL QIs group together") {
+    val t = view("ka_t")(Seq(
+      ("a", Option("x")), ("a", Option("x")), ("a", Option("x")),
+      ("b", Option("y")), ("b", Option.empty[String]), ("b", Option.empty[String]))
+      .toDF("q1", "q2"))
+    // groups: (a,x)=3, (b,y)=1, (b,NULL)=2 → k=3 flags the last two
+    assert(violations("k_anonymity", t,
+      "quasi_identifiers" -> "q1, q2", "k" -> "3") == 2)
+    assert(violations("k_anonymity", t,
+      "quasi_identifiers" -> "q1", "k" -> "3") == 0)
+    // condition scopes the gate like any builtin
+    assert(violations("k_anonymity", t,
+      "quasi_identifiers" -> "q1", "k" -> "3", "condition" -> "q2 = 'x'") == 0)
+  }
+
+  test("l_diversity flags homogeneous groups; null sensitive values don't count") {
+    val t = view("ld_t")(Seq(
+      ("a", Option("s1")), ("a", Option("s2")), ("b", Option("s1")),
+      ("b", Option("s1")), ("c", Option.empty[String]), ("c", Option("s3")))
+      .toDF("q", "sv"))
+    // a: 2 distinct → ok; b: 1 distinct → flagged; c: 1 non-null distinct → flagged
+    assert(violations("l_diversity", t,
+      "quasi_identifiers" -> "q", "column" -> "sv", "l" -> "2") == 2)
+  }
+
+  test("t_closeness flags skewed groups, passes uniform ones") {
+    // global: s1 8/12, s2 4/12. Groups a and b split 2-2 (TVD = 1/6 each);
+    // group c is all-s1: TVD = ½(|1 − 2/3| + (1 − 2/3)) = 1/3 ≈ 0.333333
+    val t = view("tc_t")(Seq(
+      ("a", "s1"), ("a", "s2"), ("a", "s1"), ("a", "s2"),
+      ("b", "s1"), ("b", "s1"), ("b", "s2"), ("b", "s2"),
+      ("c", "s1"), ("c", "s1"), ("c", "s1"), ("c", "s1"))
+      .toDF("q", "sv"))
+    val v = Audits.run(spark, "t_closeness", t, Map(
+      "quasi_identifiers" -> "q", "column" -> "sv", "t" -> "0.2")).collect()
+    assert(v.map(_.getString(0)).toSet == Set("c"))
+    assert(math.abs(v.head.getDouble(1) - 0.333333) < 1e-6, v.head.getDouble(1))
+  }
+
+  test("privacy audits run through a full model plan/apply cycle") {
+    // a model declaring the gates exactly like any builtin: the violating
+    // frame fails the apply (WAP keeps the table unpublished), the
+    // conforming frame publishes
+    val sf = "/root/testdata/sf0.001"
+    def ctx(audits: Seq[(String, Map[String, String])], body: String) = {
+      val c = new graft.GraftContext(spark,
+        SparkTestSession.tmpDir("ws-privacy"))
+      c.addExternal("raw.docs", s"$sf/documents.parquet")
+      c.addModel(graft.core.Model(name = "priv.release",
+        body = graft.core.SqlBody(body), kind = graft.core.ModelKind.Full,
+        audits = audits))
+      c
+    }
+    // k=2 over (lang, source, n_chars): plenty of singleton combos → fail
+    val bad = ctx(Seq("k_anonymity" ->
+      Map("quasi_identifiers" -> "lang, source, n_chars", "k" -> "2")),
+      "SELECT lang, source, n_chars FROM raw.docs")
+    val ex = intercept[Exception](bad.apply(bad.plan("prod", 0, 86400000L)))
+    assert(ex.getMessage.contains("k_anonymity"), ex.getMessage)
+    // coarse QIs pass both gates and the table publishes
+    val good = ctx(Seq(
+      "k_anonymity" -> Map("quasi_identifiers" -> "lang", "k" -> "2"),
+      "l_diversity" -> Map("quasi_identifiers" -> "lang",
+        "column" -> "source", "l" -> "2"),
+      "t_closeness" -> Map("quasi_identifiers" -> "lang",
+        "column" -> "source", "t" -> "0.9")),
+      "SELECT lang, source, n_chars FROM raw.docs")
+    good.apply(good.plan("prod", 0, 86400000L))
+    assert(spark.table("priv.release").count() > 0)
   }
 }

@@ -365,6 +365,33 @@ class TextQualitySpec extends AnyFunSuite {
     fmt.drop(t)
   }
 
+  test("tClosenessViolations: single group has TVD 0; null sensitive out of scope") {
+    // one QI group = the group IS the global distribution → TVD exactly 0,
+    // never flagged at any t
+    val single = Seq(("g", "s1"), ("g", "s2"), ("g", "s1")).toDF("q", "sv")
+    assert(Curation.tClosenessViolations(single, Seq("q"), "sv", t = 0.001).isEmpty)
+    // null sensitive rows don't shift either distribution: group b is all
+    // nulls → no in-scope rows → not flagged (and not crashed)
+    val nulls = Seq(("a", Option("s1")), ("a", Option("s2")),
+      ("b", Option.empty[String]), ("b", Option.empty[String])).toDF("q", "sv")
+    val v = Curation.tClosenessViolations(nulls, Seq("q"), "sv", t = 0.1)
+    assert(v.isEmpty)
+    // agreement with the SQL audit template on a skewed case:
+    // global s1=2/3 s2=1/3; a splits 2-2 (TVD 1/6), b is all-s1 (TVD 1/3)
+    val skew = Seq(("a", "s1"), ("a", "s2"), ("a", "s1"), ("a", "s2"),
+      ("b", "s1"), ("b", "s1")).toDF("q", "sv")
+    skew.createOrReplaceTempView("tc_skew")
+    val fromSql = graft.audits.Audits.run(spark, "t_closeness", "tc_skew",
+      Map("quasi_identifiers" -> "q", "column" -> "sv", "t" -> "0.2"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val fromDf = Curation.tClosenessViolations(skew, Seq("q"), "sv", t = 0.2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(fromSql == fromDf && fromDf.map(_._1) == Set("b"))
+    // empty in-scope corpus flags nothing
+    assert(Curation.tClosenessViolations(
+      nulls.filter(col("sv").isNull), Seq("q"), "sv", t = 0.1).isEmpty)
+  }
+
   test("tfidfKeywords ranks corpus-weighted terms, rare beats common") {
     val docs = Seq(
       (1L, "apple banana apple"),
