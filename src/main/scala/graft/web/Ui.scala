@@ -52,6 +52,7 @@ private[web] object Ui {
       |   "<div class='row'><input id='mname' placeholder='model name'>"+
       |   "<button class='btn' onclick='detail()'>detail</button></div><div id='det'></div>";},
       | async lineage(){main.innerHTML="<div class='row'><input id='lmodel' placeholder='model'>"+
+      |   "<input id='lcol' placeholder='column (optional)'>"+
       |   "<button class='btn' onclick='lin()'>lineage</button></div><div id='lout'></div>";},
       | async console(){main.innerHTML=
       |   "<div class='row'><select id='cmd'><option>render</option><option>evaluate</option>"+
@@ -82,9 +83,21 @@ private[web] object Ui {
       |  " · cron "+esc(d.cron)+(d.owner?" · "+esc(d.owner):"")+"</p>"+
       |  "<h4>definition</h4><pre>"+esc(d.definition)+"</pre><h4>rendered</h4><pre>"+esc(d.rendered)+"</pre>"}
       |async function lin(){const m=document.getElementById("lmodel").value;
-      | const d=await j("/api/lineage/"+m);
+      | const c=document.getElementById("lcol").value;
+      | const d=await j("/api/lineage/"+m+(c?"/"+encodeURIComponent(c):""));
+      | const cols=Object.keys(d.columns);
+      | const ups=[...new Set(Object.values(d.columns).flat())];
+      | const y=i=>24+i*26, h=Math.max(ups.length,cols.length,1)*26+20;
+      | const box=(x,yy,t)=>"<rect x='"+x+"' y='"+(yy-14)+"' width='220' height='20' fill='#fff' stroke='#8899aa'/>"+
+      |  "<text x='"+(x+5)+"' y='"+yy+"' font-size='11' font-family='monospace'>"+esc(t)+"</text>";
+      | let svg="<svg xmlns='http://www.w3.org/2000/svg' width='700' height='"+h+"'>";
+      | ups.forEach((u,i)=>svg+=box(10,y(i),u));
+      | cols.forEach((cc,i)=>svg+=box(450,y(i),m+"."+cc));
+      | cols.forEach((cc,i)=>(d.columns[cc]||[]).forEach(u=>{const k=ups.indexOf(u);
+      |  svg+="<line x1='232' y1='"+(y(k)-4)+"' x2='448' y2='"+(y(i)-4)+"' stroke='#5b9cff'/>"}));
+      | svg+="</svg>";
       | document.getElementById("lout").innerHTML=table(["column","derives from"],
-      |  Object.entries(d.columns).map(([c,u])=>[c,u.join(", ")]))}
+      |  Object.entries(d.columns).map(([cc,u])=>[cc,u.join(", ")]))+svg}
       |async function runCmd(){const cmd=document.getElementById("cmd").value;
       | const body={model:document.getElementById("cmodel").value,
       |  sql:document.getElementById("csql").value,

@@ -152,4 +152,32 @@ class UiServerSpec extends AnyFunSuite {
       assert(http(base, "GET", "/api/nope")._1 == 404)
     } finally srv.stop()
   }
+
+  test("every /api path the SPA's JS references exists in the router match") {
+    // string-level (no JS engine runs in tests): each `/api/...` literal in
+    // the SPA source must have a router case — either the exact
+    // List("api", ...) pattern, a trailing-parameter variant (the SPA
+    // concatenates a name after a trailing slash), or the `:: rest` form
+    val page = graft.web.Ui.page
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/web/UiServer.scala")), "UTF-8")
+    val refs = """/api/[a-zA-Z/]*""".r.findAllIn(page).toSet
+    assert(refs.nonEmpty, "SPA references no /api paths — extraction broke")
+    refs.foreach { ref =>
+      val trailingParam = ref.endsWith("/")
+      val segs = ref.stripPrefix("/api").split('/').filter(_.nonEmpty)
+      val listForm = ("""List\("api"""" + segs.map(s => s""", "$s"""").mkString +
+        (if (trailingParam) """, [^)]+""" else "") + """\)""").r
+      val consForm = (""""api" :: """ + segs.map(s => s""""$s" :: """).mkString +
+        "rest").r
+      assert(listForm.findFirstIn(src).nonEmpty || consForm.findFirstIn(src).nonEmpty,
+        s"SPA references $ref but no router case matches it")
+    }
+    // the lineage tab wires the COLUMN-level endpoint (two-param route) and
+    // renders the graph as inline SVG boxes + edges
+    assert(page.contains("""j("/api/lineage/"+m+(c?"/"+encodeURIComponent(c):""))"""),
+      "SPA lost the column-lineage endpoint wiring")
+    assert(page.contains("<svg") && page.contains("<line") && page.contains("<rect"),
+      "SPA lineage tab lost its inline SVG rendering")
+  }
 }
