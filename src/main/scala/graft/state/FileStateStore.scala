@@ -11,11 +11,18 @@ import graft.core._
   *
   * Snapshot/interval/environment records are driver-side metadata, tiny even
   * for thousands of models, so durability — not distribution — is the
-  * requirement. The store delegates to an in-memory image and persists the
-  * whole image as JSON on every mutation via write-to-temp + atomic rename, so
-  * a crashed run never leaves a torn state file (the reference gets the same
-  * guarantee from its database transactions). Intervals are compacted on every
-  * write (`is_compacted` flag semantics, interval.py:50-66) because
+  * requirement. The store delegates to an in-memory image persisted in two
+  * tiers: STRUCTURAL mutations (snapshots, environments, restatements)
+  * rewrite the whole image as JSON via write-to-temp + atomic rename, so a
+  * crashed run never leaves a torn state file (the reference gets the same
+  * guarantee from its database transactions); INTERVAL mutations — the
+  * per-batch hot path, the only thing a scheduler wave touches — append to
+  * a delta log (`state.delta.jsonl` / `GRAFT_STATE_DELTA`), so a wave flush
+  * costs ∝ its own dirty intervals, not O(total snapshots × intervals)
+  * (the reference's `_intervals` table gets this for free from row
+  * INSERTs, interval.py:47-66). The log replays over the image on load and
+  * compacts into the next full rewrite. Intervals are compacted in memory
+  * on every write (`is_compacted` flag semantics) because
   * [[Snapshot.addInterval]] merges.
   *
   * Scala-bodied models (the reference's Python models, which it round-trips
@@ -44,48 +51,73 @@ final class FileStateStore(
   private var loadedVersion: Int = FileStateStore.SchemaVersion
 
   private val mem = new InMemoryStateStore
+
+  /** Interval mutations buffered since the last durable flush — the
+    * delta-log payload. Any OTHER mutation sets `dirtyFull`, forcing the
+    * next flush to rewrite (and thereby compact) the whole image, so a
+    * delta record can never outlive the snapshot it references. (Declared
+    * before load(): the constructor-time load replays the on-disk log into
+    * `deltaLines`.) */
+  private val pendingDeltas = scala.collection.mutable.ArrayBuffer[ObjectNode]()
+  private var dirtyFull = false
+  /** Records currently in the on-disk delta log (compaction trigger). */
+  private var deltaLines = 0L
+
   load()
 
   // ------------------------------------------------------------ StateStore
 
-  def pushSnapshot(s: Snapshot): Unit = synchronized { mem.pushSnapshot(s); persist() }
+  def pushSnapshot(s: Snapshot): Unit = synchronized { mem.pushSnapshot(s); persistFull() }
   def getSnapshot(name: String, version: String): Option[Snapshot] = mem.getSnapshot(name, version)
   def getSnapshotById(name: String, identifier: String): Option[Snapshot] =
     mem.getSnapshotById(name, identifier)
   def latestSnapshot(name: String): Option[Snapshot] = mem.latestSnapshot(name)
   def allSnapshots: Seq[Snapshot] = mem.allSnapshots
   def deleteSnapshot(name: String, version: String): Unit = synchronized {
-    mem.deleteSnapshot(name, version); persist()
+    mem.deleteSnapshot(name, version); persistFull()
   }
   def addInterval(name: String, version: String, interval: Interval, dev: Boolean): Unit =
-    synchronized { mem.addInterval(name, version, interval, dev); persist() }
+    synchronized {
+      mem.addInterval(name, version, interval, dev)
+      pendingDeltas += deltaRecord("add", name, version, interval, dev)
+      persist()
+    }
   def removeInterval(name: String, version: String, interval: Interval): Unit =
-    synchronized { mem.removeInterval(name, version, interval); persist() }
+    synchronized {
+      mem.removeInterval(name, version, interval)
+      pendingDeltas += deltaRecord("remove", name, version, interval, dev = false)
+      persist()
+    }
   def promoteEnvironment(env: EnvironmentRecord): Unit = synchronized {
-    mem.promoteEnvironment(env); persist()
+    mem.promoteEnvironment(env); persistFull()
   }
   def getEnvironment(name: String): Option[EnvironmentRecord] = mem.getEnvironment(name)
   def finalizeEnvironment(name: String): Unit = synchronized {
-    mem.finalizeEnvironment(name); persist()
+    mem.finalizeEnvironment(name); persistFull()
   }
   def deleteEnvironment(name: String): Unit = synchronized {
-    mem.deleteEnvironment(name); persist()
+    mem.deleteEnvironment(name); persistFull()
   }
   def environments: Seq[EnvironmentRecord] = mem.environments
   def lastAutoRestatement(name: String): Option[Long] = mem.lastAutoRestatement(name)
   def setAutoRestatement(name: String, ts: Long): Unit = synchronized {
-    mem.setAutoRestatement(name, ts); persist()
+    mem.setAutoRestatement(name, ts); persistFull()
   }
 
-  /** export/import surface (reference state_sync/export_import.py). */
+  /** export/import surface (reference state_sync/export_import.py). The
+    * export serializes the LIVE in-memory image (image + replayed deltas),
+    * so a delta-log tail is never lost to a raw file copy. */
   def exportTo(path: String): Unit = synchronized {
-    Files.write(Paths.get(path), blob.readAll()); ()
+    Files.write(Paths.get(path), imageBytes(txn)); ()
   }
 
   /** `sqlmesh state import`: replace this store's contents with an exported
     * state file (migrated through the schema versions like any load). */
   def importFrom(path: String): Unit = synchronized {
     blob.writeAtomic(Files.readAllBytes(Paths.get(path)))
+    blob.clearDelta()
+    deltaLines = 0L
+    pendingDeltas.clear()
     mem.clearAll()
     load()
   }
@@ -99,18 +131,23 @@ final class FileStateStore(
     if (loadedVersion >= FileStateStore.SchemaVersion) false
     else {
       blob.backup()
-      persist()
+      persistFull()
       loadedVersion = FileStateStore.SchemaVersion
       true
     }
   }
 
   /** `sqlmesh rollback` (cli/main.py:947): restore the pre-migration backup
-    * taken by the last [[migrateNow]] over the live state. */
+    * taken by the last [[migrateNow]] over the live state. The delta log is
+    * discarded with the live image — its records describe post-backup
+    * intervals that no longer apply. */
   def rollback(): Unit = synchronized {
     if (!blob.restoreBackup())
       throw new IllegalArgumentException(
         s"no pre-migration backup to roll back to in $dir")
+    blob.clearDelta()
+    deltaLines = 0L
+    pendingDeltas.clear()
     mem.clearAll()
     txn = 0L
     load()
@@ -153,25 +190,67 @@ final class FileStateStore(
     }
   }
 
+  private def deltaRecord(op: String, name: String, version: String,
+                          iv: Interval, dev: Boolean): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("op", op); o.put("name", name); o.put("version", version)
+    o.put("s", iv.start); o.put("e", iv.end)
+    if (dev) o.put("dev", true)
+    o
+  }
+
+  private def persistFull(): Unit = { dirtyFull = true; persist() }
+
   private def persist(): Unit =
     if (deferDepth > 0) deferDirty = true else persistNow()
 
   private def persistNow(): Unit = blob.withLock {
-    // optimistic concurrency: the file must still be at the txn this
+    // optimistic concurrency: the store must still be at the txn this
     // instance last read/wrote, else another writer has intervened. The txn
-    // check reads only the file HEAD (O(1), not O(state)), and on local
-    // filesystems the whole check-then-write runs under an OS file lock so
-    // a concurrent process can't slip a write into the gap (TOCTOU).
+    // check reads the image HEAD or the delta-log tail (O(1)/O(log), never
+    // O(state)), and on local filesystems the whole check-then-write runs
+    // under an OS file lock so a concurrent process can't slip a write into
+    // the gap (TOCTOU).
     if (blob.exists) {
-      val onDisk = blob.readTxn()
+      val onDisk = blob.readLastDeltaTxn().getOrElse(blob.readTxn())
       if (onDisk != txn)
         throw new java.util.ConcurrentModificationException(
-          s"state file advanced to txn $onDisk behind this store (at $txn): " +
+          s"state advanced to txn $onDisk behind this store (at $txn): " +
             "another writer holds this state dir — refusing to clobber its writes")
     }
+    // hot path: a flush that is ONLY buffered interval records appends them
+    // to the delta log — cost ∝ the records in THIS flush (the dirty
+    // intervals of one scheduler wave), not the whole image, which at
+    // 10k-model scale is the difference between bytes and megabytes per
+    // wave. Everything else (or a log past its compaction bound, or a store
+    // with no base image yet) rewrites the full image, which also truncates
+    // the log.
+    val deltaOnly = !dirtyFull && pendingDeltas.nonEmpty && blob.deltaSupported &&
+      blob.exists && deltaLines + pendingDeltas.size <= FileStateStore.DeltaCompactBound
+    if (deltaOnly) {
+      val sb = new StringBuilder
+      pendingDeltas.foreach { d =>
+        d.put("txn", txn + 1)
+        sb.append(d.toString).append('\n')
+      }
+      blob.appendDelta(sb.toString.getBytes("UTF-8"))
+      deltaLines += pendingDeltas.size
+    } else {
+      blob.writeAtomic(imageBytes(txn + 1))
+      blob.clearDelta()
+      deltaLines = 0L
+    }
+    pendingDeltas.clear()
+    dirtyFull = false
+    txn += 1
+  }
+
+  /** The full state image at a given txn — persistNow's full-write payload
+    * and the export format. */
+  private def imageBytes(txnVal: Long): Array[Byte] = {
     val root = mapper.createObjectNode()
     root.put("version", FileStateStore.SchemaVersion)
-    root.put("txn", txn + 1)
+    root.put("txn", txnVal)
     val snaps = root.putArray("snapshots")
     mem.allSnapshots.foreach(s => snaps.add(snapshotJson(s)))
     val envs = root.putArray("environments")
@@ -189,8 +268,7 @@ final class FileStateStore(
     }
     val ar = root.putObject("auto_restatements")
     mem.allAutoRestatements.foreach { case (k, v) => ar.put(k, v) }
-    blob.writeAtomic(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    txn += 1
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
 
   /** Stepwise state-schema migrations (reference state_sync/db/migrator.py:
@@ -225,6 +303,28 @@ final class FileStateStore(
     }
     root.path("auto_restatements").properties().forEach(e =>
       mem.setAutoRestatement(e.getKey, e.getValue.asLong()))
+    // replay the interval delta log over the image. A crash mid-append
+    // leaves ONE torn (unparseable) line — that flush's durability is lost,
+    // the same failure class as crashing before the write — and a recovered
+    // store appends AFTER the fragment, so torn lines can sit mid-log:
+    // skip them, keep every complete record (all of which are parseable).
+    val deltaBytes = blob.readDeltaAll()
+    if (deltaBytes.nonEmpty) {
+      new String(deltaBytes, "UTF-8").linesIterator.filter(_.nonEmpty).foreach { line =>
+        try {
+          val n = mapper.readTree(line)
+          val iv = Interval(n.path("s").asLong(), n.path("e").asLong())
+          val name = n.path("name").asText(); val ver = n.path("version").asText()
+          n.path("op").asText() match {
+            case "add"    => mem.addInterval(name, ver, iv, n.path("dev").asBoolean(false))
+            case "remove" => mem.removeInterval(name, ver, iv)
+            case other    => throw new IllegalArgumentException(s"unknown delta op $other")
+          }
+          txn = n.path("txn").asLong(txn)
+          deltaLines += 1
+        } catch { case _: Exception => () }
+      }
+    }
   }
 
   // ---------------------------------------------------------------- codec
@@ -501,6 +601,10 @@ object FileStateStore {
     * state_sync/db/version.py:27). */
   val SchemaVersion = 2
 
+  /** Delta-log records before a flush compacts into a full image rewrite
+    * (~100 bytes/record → the log stays a few MB; load replay stays cheap). */
+  val DeltaCompactBound = 50000
+
   /** Byte-level storage for the state image: local filesystem, or any
     * Hadoop-supported shared store when `dir` carries a URI scheme. */
   private[state] trait Blob {
@@ -522,6 +626,19 @@ object FileStateStore {
       * PROCESSES where the filesystem can (OS file lock locally); stores
       * that can't lock fall back to the optimistic check alone. */
     def withLock[A](f: => A): A = f
+    // ---- interval delta log (the hot-path append channel; see persistNow).
+    // Backends that can't append atomically keep the default (full-image
+    // rewrites only): HadoopBlob stays image-only because object stores
+    // (s3a et al.) have no append.
+    def deltaSupported: Boolean = false
+    /** Append one flush's worth of newline-terminated JSON records. */
+    def appendDelta(bytes: Array[Byte]): Unit =
+      throw new UnsupportedOperationException("delta log unsupported")
+    def readDeltaAll(): Array[Byte] = Array.emptyByteArray
+    def clearDelta(): Unit = ()
+    /** txn of the last durable delta flush, None when the log is empty.
+      * O(log size), which compaction bounds. */
+    def readLastDeltaTxn(): Option[Long] = None
     /** Copy the current image to the store's backup slot (the reference
       * migrator's pre-migration backup tables, state_sync/db/migrator.py). */
     def backup(): Unit
@@ -585,6 +702,36 @@ object FileStateStore {
     }
     def restoreBackup(): Boolean =
       Files.exists(bak) && { writeAtomic(Files.readAllBytes(bak)); true }
+
+    private val delta = Paths.get(dir, "state.delta.jsonl")
+    override def deltaSupported: Boolean = true
+    override def appendDelta(bytes: Array[Byte]): Unit = {
+      // a crash mid-append leaves a torn, newline-less tail; the next append
+      // must start on a fresh line or it would concatenate into the fragment
+      // and corrupt ITS OWN first record too
+      val needsNl = Files.exists(delta) && Files.size(delta) > 0 && {
+        val ch = Files.newByteChannel(delta)
+        try {
+          ch.position(ch.size() - 1)
+          val b = java.nio.ByteBuffer.allocate(1)
+          ch.read(b); b.array()(0) != '\n'.toByte
+        } finally ch.close()
+      }
+      val payload = if (needsNl) ('\n'.toByte +: bytes) else bytes
+      Files.write(delta, payload, java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      ()
+    }
+    override def readDeltaAll(): Array[Byte] =
+      if (Files.exists(delta)) Files.readAllBytes(delta) else Array.emptyByteArray
+    override def clearDelta(): Unit = { Files.deleteIfExists(delta); () }
+    override def readLastDeltaTxn(): Option[Long] = {
+      val bytes = readDeltaAll()
+      if (bytes.isEmpty) None
+      else new String(bytes, "UTF-8").linesIterator
+        .flatMap("\"txn\"\\s*:\\s*(\\d+)".r.findAllMatchIn(_).map(_.group(1).toLong))
+        .foldLeft(Option.empty[Long])((_, t) => Some(t))
+    }
   }
 
   /** Shared-storage state (hdfs://, s3a://, file://): the cluster story —
@@ -672,6 +819,13 @@ object FileStateStore {
           st.execute("CREATE TABLE GRAFT_STATE (ID INT PRIMARY KEY, TXN BIGINT, BODY BLOB)")
           st.close()
         } catch { case e: java.sql.SQLException if tableExists(e) => () }
+        try {
+          val st = c.createStatement()
+          st.execute("CREATE TABLE GRAFT_STATE_DELTA (" +
+            "SEQ BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY, " +
+            "TXN BIGINT, LINE VARCHAR(32000))")
+          st.close()
+        } catch { case e: java.sql.SQLException if tableExists(e) => () }
         val has = {
           val st = c.createStatement()
           val rs = st.executeQuery("SELECT COUNT(*) FROM GRAFT_STATE WHERE ID = 1")
@@ -756,6 +910,36 @@ object FileStateStore {
         ps.setLong(1, t); ps.setBytes(2, body)
         ps.executeUpdate(); ps.close(); true
       }
+    }
+
+    override def deltaSupported: Boolean = true
+    override def appendDelta(bytes: Array[Byte]): Unit = withConn { c =>
+      val ps = c.prepareStatement(
+        "INSERT INTO GRAFT_STATE_DELTA (TXN, LINE) VALUES (?, ?)")
+      try new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty).foreach { ln =>
+        val t = "\"txn\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(ln)
+          .map(_.group(1).toLong).getOrElse(0L)
+        ps.setLong(1, t); ps.setString(2, ln); ps.executeUpdate(); ()
+      } finally ps.close()
+    }
+    override def readDeltaAll(): Array[Byte] = withConn { c =>
+      val st = c.createStatement()
+      val rs = st.executeQuery("SELECT LINE FROM GRAFT_STATE_DELTA ORDER BY SEQ")
+      val sb = new StringBuilder
+      while (rs.next()) { sb.append(rs.getString(1)).append('\n') }
+      rs.close(); st.close()
+      sb.toString.getBytes("UTF-8")
+    }
+    override def clearDelta(): Unit = withConn { c =>
+      val st = c.createStatement()
+      st.executeUpdate("DELETE FROM GRAFT_STATE_DELTA"); st.close()
+    }
+    override def readLastDeltaTxn(): Option[Long] = withConn { c =>
+      val st = c.createStatement()
+      val rs = st.executeQuery("SELECT MAX(TXN) FROM GRAFT_STATE_DELTA")
+      val r = if (rs.next()) { val v = rs.getLong(1); if (rs.wasNull()) None else Some(v) }
+              else None
+      rs.close(); st.close(); r
     }
 
     /** The whole check-then-write runs in one DB transaction under a row

@@ -92,7 +92,8 @@ object FrameworkScaleProbe {
     // persisting makes a B-batch backfill O(state·B) — quadratic over long
     // backfills. recordOnly isolates the control plane (interval accounting
     // + state I/O, no Spark jobs).
-    val st = new graft.state.FileStateStore(SparkTestSession.tmpDir("ws-fw-state"))
+    val stDir = SparkTestSession.tmpDir("ws-fw-state")
+    val st = new graft.state.FileStateStore(stDir)
     val day0 = dayMs("1995-01-01")
     val wide: Seq[Snapshot] = (0 until 200).map { i =>
       val m = Model(s"wide.m$i", SqlBody("SELECT 1 AS id"),
@@ -102,6 +103,8 @@ object FrameworkScaleProbe {
     }
     st.deferPersist { wide.foreach(st.pushSnapshot) }
     val w0 = st.durableWrites
+    val imgPath = java.nio.file.Paths.get(stDir, "state.json")
+    val imgBytesBefore = java.nio.file.Files.readAllBytes(imgPath)
     val sched = new graft.plans.Scheduler(ctx.evaluator, st, concurrency = 4)
     val waveT0 = System.nanoTime()
     sched.run(wide, day0, day0 + 30 * D, executionTs = day0 + 40 * D,
@@ -119,6 +122,17 @@ object FrameworkScaleProbe {
       s"200-model wave cost $waveWrites durable state writes — expected 1 per wave")
     require(st.getSnapshot("wide.m0", wide.head.version).get.intervals.head ==
       Interval(day0, day0 + 30 * D), "wave intervals not recorded/compacted")
+    // r9 verdict #7: the wave's ONE durable write must also be INCREMENTAL —
+    // a delta-log append ∝ the wave's dirty intervals, never a whole-image
+    // rewrite (O(total snapshots × intervals) at 10k-model scale). The image
+    // stays byte-identical through the wave; the log carries ~6000 records.
+    require(java.util.Arrays.equals(imgBytesBefore,
+      java.nio.file.Files.readAllBytes(imgPath)),
+      "wave flush rewrote the whole state image instead of appending deltas")
+    val logPath = java.nio.file.Paths.get(stDir, "state.delta.jsonl")
+    val logKb = java.nio.file.Files.size(logPath) / 1024
+    println(f"  wave flush: image untouched (${imgBytesBefore.length / 1024} KB), " +
+      f"delta log $logKb KB ∝ 6000 dirty intervals")
     println("FRAMEWORK SCALE PROBE OK")
   }
 }
