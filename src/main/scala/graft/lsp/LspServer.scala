@@ -19,6 +19,10 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    under the cursor
   *  - definition: model name → the project file whose MODEL block declares
   *    it (the model→file index refreshes on save)
+  *  - references: models whose query reads the name under the cursor (the
+  *    DAG's inverse edge); workspace/symbol: all models, query-filtered
+  *  - code actions: quick fixes for the mechanical linter rules — insert a
+  *    missing `owner` / minimal `audits` property into the MODEL block
   *  - formatting: [[graft.loader.SqlFormatter]] over the whole document
   *
   * The loop serves one editor over stdio (`graft lsp`), or any stream pair
@@ -116,6 +120,10 @@ final class LspServer(in: InputStream, out: OutputStream,
         caps.put("hoverProvider", true)
         caps.put("definitionProvider", true)
         caps.put("documentFormattingProvider", true)
+        caps.put("referencesProvider", true)
+        caps.put("workspaceSymbolProvider", true)
+        caps.putObject("codeActionProvider").putArray("codeActionKinds")
+          .add("quickfix")
         val res = mapper.createObjectNode()
         res.set[JsonNode]("capabilities", caps)
         val info = res.putObject("serverInfo")
@@ -143,6 +151,9 @@ final class LspServer(in: InputStream, out: OutputStream,
       case "textDocument/hover" => respond(id, hover(params))
       case "textDocument/definition" => respond(id, definition(params))
       case "textDocument/formatting" => respond(id, formatting(params))
+      case "textDocument/references" => respond(id, references(params))
+      case "workspace/symbol" => respond(id, workspaceSymbols(params))
+      case "textDocument/codeAction" => respond(id, codeActions(params))
       case _ if id != null =>
         // JSON-RPC MethodNotFound — a null RESULT would read as "supported,
         // empty answer" and stop clients from falling back
@@ -315,6 +326,94 @@ final class LspServer(in: InputStream, out: OutputStream,
       val e = r.putObject("end"); e.put("line", line); e.put("character", 0)
       loc: JsonNode
     }.getOrElse(mapper.nullNode())
+
+  private def location(file: String, line: Int): ObjectNode = {
+    val loc = mapper.createObjectNode()
+    loc.put("uri", java.nio.file.Paths.get(file).toUri.toString)
+    val r = loc.putObject("range")
+    val s = r.putObject("start"); s.put("line", line); s.put("character", 0)
+    val e = r.putObject("end"); e.put("line", line); e.put("character", 0)
+    loc
+  }
+
+  /** workspace/symbol: every project model, filtered by the query
+    * (case-insensitive substring — the LSP convention editors expect). */
+  private def workspaceSymbols(params: JsonNode): ArrayNode = {
+    val q = Option(params.get("query")).map(_.asText.toLowerCase).getOrElse("")
+    val arr = mapper.createArrayNode()
+    modelIndex.toSeq.sortBy(_._1)
+      .filter { case (name, _) => q.isEmpty || name.toLowerCase.contains(q) }
+      .foreach { case (name, (file, line)) =>
+        val s = arr.addObject()
+        s.put("name", name)
+        s.put("kind", 5) // SymbolKind.Class — the closest fit for a model
+        s.set[JsonNode]("location", location(file, line))
+      }
+    arr
+  }
+
+  /** textDocument/references: models whose query READS the name under the
+    * cursor — the DAG's inverse edge, answered from the same parsed project
+    * the definition index uses. includeDeclaration prepends the model's own
+    * declaration site. */
+  private def references(params: JsonNode): ArrayNode = {
+    val arr = mapper.createArrayNode()
+    wordAt(params).foreach { name =>
+      val includeDecl = Option(params.get("context"))
+        .exists(_.path("includeDeclaration").asBoolean(false))
+      if (includeDecl)
+        modelIndex.get(name).foreach { case (f, l) => arr.add(location(f, l)) }
+      modelIndex.values.map(_._1).toSeq.distinct.sorted.foreach { file =>
+        scala.util.Try {
+          val text = java.nio.file.Files.readString(java.nio.file.Paths.get(file))
+          graft.loader.ModelLoader.parseAll(text, file)
+            .filter(m => m.name != name && m.references.contains(name))
+            .foreach(m => modelIndex.get(m.name)
+              .foreach { case (f, l) => arr.add(location(f, l)) })
+        }
+      }
+    }
+    arr
+  }
+
+  /** Quick fixes for the two MECHANICAL linter rules — the ones whose fix
+    * is a pure property insertion (nomissingowner / nomissingaudits). The
+    * edit lands right after the `name` property (or the MODEL header),
+    * growing a trailing comma on that line when it lacks one, so the block
+    * stays parseable either way. */
+  private def codeActions(params: JsonNode): ArrayNode = {
+    val arr = mapper.createArrayNode()
+    val uri = params.get("textDocument").get("uri").asText
+    val text = docs.getOrElse(uri, "")
+    if (!text.matches("(?is).*\\bMODEL\\s*\\(.*")) return arr
+    val rules = scala.util.Try {
+      graft.linter.Linter.lint(
+        graft.loader.ModelLoader.parseAll(text, uri)).map(_.rule).toSet
+    }.getOrElse(Set.empty[String])
+    val lines = text.split('\n')
+    // zero-width insertion right after the `MODEL (` paren: property order
+    // is free, so the inserted property is valid in single-line and
+    // multi-line blocks alike, with no comma bookkeeping on other lines
+    val hdrLine = math.max(0, lines.indexWhere(_.matches("(?i).*\\bMODEL\\s*\\(.*")))
+    val hdrCh = lines(hdrLine).indexOf('(') + 1
+    def quickfix(title: String, insert: String): Unit = {
+      val a = arr.addObject()
+      a.put("title", title)
+      a.put("kind", "quickfix")
+      val edits = a.putObject("edit").putObject("changes").putArray(uri)
+      val e = edits.addObject()
+      val r = e.putObject("range")
+      val s = r.putObject("start"); s.put("line", hdrLine); s.put("character", hdrCh)
+      val en = r.putObject("end"); en.put("line", hdrLine); en.put("character", hdrCh)
+      e.put("newText", insert)
+    }
+    if (rules.contains("nomissingowner"))
+      quickfix("Add an owner property", "owner unknown, ")
+    if (rules.contains("nomissingaudits"))
+      quickfix("Add a minimal audit (number_of_rows)",
+        "audits (number_of_rows(threshold := 0)), ")
+    arr
+  }
 
   private def formatting(params: JsonNode): JsonNode = {
     val uri = params.get("textDocument").get("uri").asText

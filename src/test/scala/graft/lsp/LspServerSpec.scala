@@ -122,6 +122,95 @@ class LspServerSpec extends AnyFunSuite {
     assert(byId(6).isNull)
   }
 
+  test("workspace/symbol, references (DAG inverse edge), and quick-fix code actions") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-proj2")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
+      """MODEL (name lsp2.daily, kind FULL, owner 'dana',
+        |  audits (not_null(columns = (n))));
+        |SELECT o_orderdate, count(*) AS n FROM raw.orders GROUP BY o_orderdate
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "report.sql"),
+      """MODEL (name lsp2.report, kind FULL, owner 'dana',
+        |  audits (not_null(columns = (days))));
+        |SELECT count(*) AS days FROM lsp2.daily
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "weekly.sql"),
+      """MODEL (name lsp2.weekly, kind FULL, owner 'dana',
+        |  audits (not_null(columns = (w))));
+        |SELECT count(*) AS w FROM lsp2.daily WHERE o_orderdate > '1995'
+        |""".stripMargin)
+    val uri = "file://" + proj + "/report.sql"
+    // buffer with the cursor target on line 1 ("FROM lsp2.daily") and the
+    // two mechanical lint violations: no owner, no audits
+    val dirty = "MODEL (name lsp2.report, kind FULL);\\nSELECT days FROM lsp2.daily\\n"
+
+    val msgs = session(proj, Seq(
+      req(1, "initialize", s"""{"rootUri":null,"capabilities":{}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$uri","languageId":"sql","version":1,"text":"$dirty"}}"""),
+      req(2, "workspace/symbol", s"""{"query":"lsp2"}"""),
+      req(3, "workspace/symbol", s"""{"query":"WEEK"}"""),
+      // references of lsp2.daily (cursor inside the name on line 1)
+      req(4, "textDocument/references",
+        s"""{"textDocument":{"uri":"$uri"},"position":{"line":1,"character":20},"context":{"includeDeclaration":true}}"""),
+      req(5, "textDocument/references",
+        s"""{"textDocument":{"uri":"$uri"},"position":{"line":1,"character":20},"context":{"includeDeclaration":false}}"""),
+      req(6, "textDocument/codeAction",
+        s"""{"textDocument":{"uri":"$uri"},"range":{"start":{"line":0,"character":0},"end":{"line":0,"character":0}},"context":{"diagnostics":[]}}"""),
+      req(7, "shutdown", "null"),
+      note("exit", "{}")))
+
+    def byId(id: Int): JsonNode =
+      msgs.find(m => m.has("id") && m.get("id").asInt == id).get.get("result")
+
+    // capabilities advertise the three new providers
+    val caps = byId(1).get("capabilities")
+    assert(caps.get("referencesProvider").asBoolean &&
+      caps.get("workspaceSymbolProvider").asBoolean &&
+      caps.get("codeActionProvider").has("codeActionKinds"))
+
+    // workspace/symbol: all three models; query filter is case-insensitive
+    val syms = byId(2)
+    val names = (0 until syms.size).map(i => syms.get(i).get("name").asText)
+    assert(names == Seq("lsp2.daily", "lsp2.report", "lsp2.weekly"), names)
+    assert(syms.get(0).get("location").get("uri").asText.endsWith("daily.sql"))
+    val weekOnly = byId(3)
+    assert(weekOnly.size == 1 && weekOnly.get(0).get("name").asText == "lsp2.weekly")
+
+    // references: report + weekly read lsp2.daily; includeDeclaration
+    // prepends daily.sql's own header
+    val refs = byId(4)
+    val refFiles = (0 until refs.size).map(i => refs.get(i).get("uri").asText)
+    assert(refFiles.head.endsWith("daily.sql"), refFiles)
+    assert(refFiles.exists(_.endsWith("report.sql")) &&
+      refFiles.exists(_.endsWith("weekly.sql")), refFiles)
+    val refsNoDecl = byId(5)
+    val ndFiles = (0 until refsNoDecl.size).map(i => refsNoDecl.get(i).get("uri").asText)
+    assert(!ndFiles.exists(_.endsWith("daily.sql")), ndFiles)
+
+    // code actions: one quick fix per mechanical violation, and applying
+    // the edit yields a buffer the parser+linter accept as fixed
+    val actions = byId(6)
+    val titles = (0 until actions.size).map(i => actions.get(i).get("title").asText)
+    assert(titles.exists(_.contains("owner")) && titles.exists(_.contains("audit")), titles)
+    val dirtyText = "MODEL (name lsp2.report, kind FULL);\nSELECT days FROM lsp2.daily\n"
+    var patched = dirtyText
+    (0 until actions.size).foreach { i =>
+      val e = actions.get(i).get("edit").get("changes").get(uri).get(0)
+      // both fixes insert at the same zero-width anchor — apply by string
+      // insertion at (line 0, char) on the CURRENT patched text
+      val ch = e.get("range").get("start").get("character").asInt
+      val lines = patched.split("\n", -1)
+      lines(0) = lines(0).substring(0, ch) + e.get("newText").asText + lines(0).substring(ch)
+      patched = lines.mkString("\n")
+    }
+    val fixed = graft.loader.ModelLoader.parseAll(patched, "<patched>")
+    assert(fixed.head.owner.contains("unknown"), patched)
+    assert(fixed.head.audits.nonEmpty, patched)
+    val vio = graft.linter.Linter.lint(fixed).map(_.rule)
+    assert(!vio.contains("nomissingowner") && !vio.contains("nomissingaudits"), vio)
+  }
+
   test("robustness: bad notifications don't kill the loop, unknown methods err, name-after-parens indexes") {
     val proj = graft.SparkTestSession.tmpDir("lsp-proj3")
     // name AFTER a parenthesized property — the parser-backed index must
@@ -142,8 +231,8 @@ class LspServerSpec extends AnyFunSuite {
       // malformed notification (no text field) — must not kill the server
       note("textDocument/didOpen", s"""{"textDocument":{"uri":"$uri"}}"""),
       // unsupported request — must answer MethodNotFound, not null result
-      req(2, "textDocument/references",
-        s"""{"textDocument":{"uri":"$uri"},"position":{"line":0,"character":0}}"""),
+      req(2, "textDocument/rename",
+        s"""{"textDocument":{"uri":"$uri"},"position":{"line":0,"character":0},"newName":"x"}"""),
       req(3, "textDocument/completion",
         s"""{"textDocument":{"uri":"$uri"},"position":{"line":0,"character":0}}"""),
       // formatting a doc with trailing blank lines replaces the WHOLE doc
