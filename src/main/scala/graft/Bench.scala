@@ -77,16 +77,21 @@ object Bench {
     }.toMap
     def jmap(f: ((String, (Double, Double, Seq[Double], Double, Boolean))) => String) =
       results.map(e => "\"" + e._1 + "\":" + f(e)).mkString("{", ",", "}")
-    val qs = jmap { case (_, (med, _, _, _, _)) => f"$med%.4f" }
-    val mins = jmap { case (_, (_, mn, _, _, _)) => f"$mn%.4f" }
-    val runsJ = jmap { case (_, (_, _, rs, _, _)) => rs.map(r => f"$r%.3f").mkString("[", ",", "]") }
-    val sh = jmap { case (_, (_, _, _, mb, _)) => f"$mb%.1f" }
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma decimal separator (de_DE etc.) would corrupt the one JSON line
+    // the driver parses
+    def num(v: Double, digits: Int): String =
+      s"%.${digits}f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = jmap { case (_, (med, _, _, _, _)) => num(med, 4) }
+    val mins = jmap { case (_, (_, mn, _, _, _)) => num(mn, 4) }
+    val runsJ = jmap { case (_, (_, _, rs, _, _)) => rs.map(num(_, 3)).mkString("[", ",", "]") }
+    val sh = jmap { case (_, (_, _, _, mb, _)) => num(mb, 1) }
     // calib-normalized medians (median / calib_s): machine-state independent
     // up to CPU-bound scaling, so an environment-wide slowdown shows up as a
     // uniform shift in `queries` with FLAT `norm` — and a real plan regression
     // shows in both. r9 burned adjudication on exactly this ambiguity
     // (q6_filter/q3_topn elevated 3–4× with byte-identical shuffles).
-    val norm = jmap { case (_, (med, _, _, _, _)) => f"${med / calib}%.3f" }
+    val norm = jmap { case (_, (med, _, _, _, _)) => num(med / calib, 3) }
     val failed = results.collect { case (k, (_, _, _, _, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.map(_._1).sum

@@ -187,7 +187,7 @@ object Audits {
                   else s"chi_square <= ${a("critical_value")}"
       s"""WITH samples AS (
          |  SELECT $ca AS x_a, $cb AS x_b FROM $t
-         |  WHERE $ca IS NOT NULL AND $cb IS NOT NULL AND ${cond(a)}
+         |  WHERE $ca IS NOT NULL AND $cb IS NOT NULL AND (${cond(a)})
          |), contingency_table AS (
          |  SELECT x_a, x_b, COUNT(*) AS observed,
          |    SUM(COUNT(*)) OVER (PARTITION BY x_a) AS tot_a,
@@ -240,7 +240,7 @@ object Audits {
       val qis = list(a("quasi_identifiers")).mkString(", ")
       val c = a("column")
       s"""WITH scoped AS (
-         |  SELECT $qis, $c AS sv FROM $t WHERE $c IS NOT NULL AND ${cond(a)}
+         |  SELECT $qis, $c AS sv FROM $t WHERE $c IS NOT NULL AND (${cond(a)})
          |), global_p AS (
          |  SELECT sv, COUNT(*) / SUM(COUNT(*)) OVER () AS p_global
          |  FROM scoped GROUP BY sv

@@ -148,7 +148,13 @@ object Dedup {
         try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
         finally in.close()
       } else {
-        val n = expectedKeys.getOrElse(corpus.count())
+        val metaN = expectedKeys.getOrElse(corpus.count())
+        // a zero from METADATA is verified against the corpus before the
+        // durable .empty marker is written — a wrong Some(0) (bad dir,
+        // non-.parquet layout) would otherwise silently disable dedup for
+        // every later batch under this token; the recount costs one scan
+        // only in that mismatch case
+        val n = if (metaN == 0 && expectedKeys.isDefined) corpus.count() else metaN
         val built =
           if (n == 0) None
           else Some(corpus.select(TextFunctions.contentKey(col(textCol)).as("__key"))

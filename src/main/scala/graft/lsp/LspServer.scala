@@ -386,32 +386,45 @@ final class LspServer(in: InputStream, out: OutputStream,
     val uri = params.get("textDocument").get("uri").asText
     val text = docs.getOrElse(uri, "")
     if (!text.matches("(?is).*\\bMODEL\\s*\\(.*")) return arr
-    val rules = scala.util.Try {
-      graft.linter.Linter.lint(
-        graft.loader.ModelLoader.parseAll(text, uri)).map(_.rule).toSet
-    }.getOrElse(Set.empty[String])
-    val lines = text.split('\n')
-    // zero-width insertion right after the `MODEL (` paren: property order
-    // is free, so the inserted property is valid in single-line and
-    // multi-line blocks alike, with no comma bookkeeping on other lines
-    val hdrLine = math.max(0, lines.indexWhere(_.matches("(?i).*\\bMODEL\\s*\\(.*")))
-    val hdrCh = lines(hdrLine).indexOf('(') + 1
+    val models = scala.util.Try(
+      graft.loader.ModelLoader.parseAll(text, uri)).getOrElse(Nil)
+    if (models.isEmpty) return arr
+    val violations = scala.util.Try(graft.linter.Linter.lint(models))
+      .getOrElse(Nil)
+    // zero-width insertion right after the block's `MODEL (` paren:
+    // property order is free, so the inserted property is valid in
+    // single-line and multi-line blocks alike, with no comma bookkeeping.
+    // The header offset comes from a DOTALL regex over the whole text — the
+    // parser accepts `MODEL\n(`, so a per-line match would mis-anchor the
+    // edit at (0,0) and corrupt the file on apply. Files hold one MODEL
+    // block (blueprints expand N models from that ONE header — a property
+    // inserted there fixes every instance, so fixes dedupe per rule).
+    val headers = "(?is)\\bMODEL\\s*\\(".r.findAllMatchIn(text).map(_.end).toSeq
+    if (headers.isEmpty) return arr
+    def posOf(off: Int): (Int, Int) = {
+      val pre = text.substring(0, off)
+      val nl = pre.lastIndexOf('\n')
+      (pre.count(_ == '\n'), off - (nl + 1))
+    }
     def quickfix(title: String, insert: String): Unit = {
+      val (line, ch) = posOf(headers.head)
       val a = arr.addObject()
       a.put("title", title)
       a.put("kind", "quickfix")
       val edits = a.putObject("edit").putObject("changes").putArray(uri)
       val e = edits.addObject()
       val r = e.putObject("range")
-      val s = r.putObject("start"); s.put("line", hdrLine); s.put("character", hdrCh)
-      val en = r.putObject("end"); en.put("line", hdrLine); en.put("character", hdrCh)
+      val s = r.putObject("start"); s.put("line", line); s.put("character", ch)
+      val en = r.putObject("end"); en.put("line", line); en.put("character", ch)
       e.put("newText", insert)
     }
-    if (rules.contains("nomissingowner"))
-      quickfix("Add an owner property", "owner unknown, ")
-    if (rules.contains("nomissingaudits"))
-      quickfix("Add a minimal audit (number_of_rows)",
-        "audits (number_of_rows(threshold := 0)), ")
+    val byRule = violations.filter(v => models.exists(_.name == v.model))
+      .groupBy(_.rule)
+    byRule.get("nomissingowner").foreach(vs =>
+      quickfix(s"Add an owner property to ${vs.head.model}", "owner unknown, "))
+    byRule.get("nomissingaudits").foreach(vs =>
+      quickfix(s"Add a minimal audit (number_of_rows) to ${vs.head.model}",
+        "audits (number_of_rows(threshold := 0)), "))
     arr
   }
 

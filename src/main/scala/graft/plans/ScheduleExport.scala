@@ -100,7 +100,10 @@ object ScheduleExport {
     // other runs up to a full day late. graft run re-checks per-model cron
     // readiness, so the finer tick costs a cheap no-op, never a double run;
     // staleness is bounded by the finer unit, not by cron-tie arbitration.
-    val finest = sorted.map(m => unitRank.getOrElse(m.intervalUnit, 9)).min
+    // minOption: an empty export (no selected models) still emits a valid
+    // DAG skeleton rather than crashing on empty.min
+    val finest = sorted.map(m => unitRank.getOrElse(m.intervalUnit, 9))
+      .minOption.getOrElse(5)
     val schedule = finest match {
       case 1 | 2 => "*/5 * * * *"   // five_minute/quarter_hour → 5-min tick
       case 3     => "*/15 * * * *"  // half_hour → quarter-hour tick

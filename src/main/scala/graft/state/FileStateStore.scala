@@ -212,7 +212,9 @@ final class FileStateStore(
     // under an OS file lock so a concurrent process can't slip a write into
     // the gap (TOCTOU).
     if (blob.exists) {
-      val onDisk = blob.readLastDeltaTxn().getOrElse(blob.readTxn())
+      // max of both channels: a stale log (crash between a full rewrite and
+      // its clearDelta) can trail the image, and a live log always leads it
+      val onDisk = math.max(blob.readTxn(), blob.readLastDeltaTxn().getOrElse(0L))
       if (onDisk != txn)
         throw new java.util.ConcurrentModificationException(
           s"state advanced to txn $onDisk behind this store (at $txn): " +
@@ -308,20 +310,31 @@ final class FileStateStore(
     // the same failure class as crashing before the write — and a recovered
     // store appends AFTER the fragment, so torn lines can sit mid-log:
     // skip them, keep every complete record (all of which are parseable).
+    // Records whose txn is not PAST the image's are skipped too: a crash
+    // between a full rewrite's writeAtomic and its clearDelta leaves stale
+    // pre-rewrite records behind, and replaying them would mutate state the
+    // newer image already supersedes (live records always carry
+    // txn > image txn by construction).
+    val imageTxn = txn
     val deltaBytes = blob.readDeltaAll()
     if (deltaBytes.nonEmpty) {
       new String(deltaBytes, "UTF-8").linesIterator.filter(_.nonEmpty).foreach { line =>
         try {
           val n = mapper.readTree(line)
-          val iv = Interval(n.path("s").asLong(), n.path("e").asLong())
-          val name = n.path("name").asText(); val ver = n.path("version").asText()
-          n.path("op").asText() match {
-            case "add"    => mem.addInterval(name, ver, iv, n.path("dev").asBoolean(false))
-            case "remove" => mem.removeInterval(name, ver, iv)
-            case other    => throw new IllegalArgumentException(s"unknown delta op $other")
-          }
-          txn = n.path("txn").asLong(txn)
+          val recTxn = n.path("txn").asLong(0L)
+          // stale lines still occupy the file — count them so compaction
+          // (and the on-disk tail the optimistic check reads) stays honest
           deltaLines += 1
+          if (recTxn > imageTxn) {
+            val iv = Interval(n.path("s").asLong(), n.path("e").asLong())
+            val name = n.path("name").asText(); val ver = n.path("version").asText()
+            n.path("op").asText() match {
+              case "add"    => mem.addInterval(name, ver, iv, n.path("dev").asBoolean(false))
+              case "remove" => mem.removeInterval(name, ver, iv)
+              case other    => throw new IllegalArgumentException(s"unknown delta op $other")
+            }
+            txn = math.max(txn, recTxn)
+          }
         } catch { case _: Exception => () }
       }
     }
@@ -726,11 +739,28 @@ object FileStateStore {
       if (Files.exists(delta)) Files.readAllBytes(delta) else Array.emptyByteArray
     override def clearDelta(): Unit = { Files.deleteIfExists(delta); () }
     override def readLastDeltaTxn(): Option[Long] = {
-      val bytes = readDeltaAll()
-      if (bytes.isEmpty) None
-      else new String(bytes, "UTF-8").linesIterator
-        .flatMap("\"txn\"\\s*:\\s*(\\d+)".r.findAllMatchIn(_).map(_.group(1).toLong))
-        .foldLeft(Option.empty[Long])((_, t) => Some(t))
+      // the per-flush optimistic check must stay O(1), not O(log): read a
+      // fixed tail (records are ~100 B, the tail holds tens of them) and
+      // take the last txn in it; an empty tail match on a non-empty file
+      // can only mean torn garbage at the end — fall back to the full read
+      if (!Files.exists(delta) || Files.size(delta) == 0) return None
+      val size = Files.size(delta)
+      val tailLen = math.min(size, 4096L).toInt
+      val ch = Files.newByteChannel(delta)
+      val tail = try {
+        ch.position(size - tailLen)
+        val buf = java.nio.ByteBuffer.allocate(tailLen)
+        var r = ch.read(buf)
+        while (r >= 0 && buf.hasRemaining) r = ch.read(buf)
+        new String(buf.array(), 0, buf.position(), "UTF-8")
+      } finally ch.close()
+      val inTail = "\"txn\"\\s*:\\s*(\\d+)".r.findAllMatchIn(tail)
+        .map(_.group(1).toLong).foldLeft(Option.empty[Long])((_, t) => Some(t))
+      inTail.orElse {
+        "\"txn\"\\s*:\\s*(\\d+)".r
+          .findAllMatchIn(new String(readDeltaAll(), "UTF-8"))
+          .map(_.group(1).toLong).foldLeft(Option.empty[Long])((_, t) => Some(t))
+      }
     }
   }
 

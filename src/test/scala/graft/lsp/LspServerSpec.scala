@@ -211,6 +211,35 @@ class LspServerSpec extends AnyFunSuite {
     assert(!vio.contains("nomissingowner") && !vio.contains("nomissingaudits"), vio)
   }
 
+  test("code actions anchor after the paren even when MODEL and ( split lines") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-proj3")
+    val uri = "file://" + proj + "/split.sql"
+    // the parser accepts `MODEL\n(` (header located by indexOf, not per
+    // line) — a per-line header regex would mis-anchor the fix at (0,0),
+    // corrupting the file when the client applies it
+    val dirty = "MODEL\\n(name lsp3.dirty, kind FULL, " +
+      "audits (not_null(columns = (b))));\\nSELECT 2 AS b\\n"
+    val msgs = session(proj, Seq(
+      req(1, "initialize", s"""{"rootUri":null,"capabilities":{}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$uri","languageId":"sql","version":1,"text":"$dirty"}}"""),
+      req(2, "textDocument/codeAction",
+        s"""{"textDocument":{"uri":"$uri"},"range":{"start":{"line":0,"character":0},"end":{"line":0,"character":0}},"context":{"diagnostics":[]}}"""),
+      note("exit", "{}")))
+    val actions = msgs.find(m => m.has("id") && m.get("id").asInt == 2).get.get("result")
+    val titles = (0 until actions.size).map(i => actions.get(i).get("title").asText)
+    // one fix (missing owner), anchored after the paren on LINE 1, char 1
+    assert(titles.size == 1 && titles.head.contains("lsp3.dirty"), titles)
+    val e = actions.get(0).get("edit").get("changes").get(uri).get(0)
+    assert(e.get("range").get("start").get("line").asInt == 1, e.toString)
+    assert(e.get("range").get("start").get("character").asInt == 1, e.toString)
+    // applying the edit yields a parseable model with the owner set
+    val lines = dirty.replace("\\n", "\n").split("\n", -1)
+    lines(1) = lines(1).take(1) + e.get("newText").asText + lines(1).drop(1)
+    val fixed = graft.loader.ModelLoader.parseAll(lines.mkString("\n"), "<p>")
+    assert(fixed.head.owner.contains("unknown"), lines.mkString("\n"))
+  }
+
   test("robustness: bad notifications don't kill the loop, unknown methods err, name-after-parens indexes") {
     val proj = graft.SparkTestSession.tmpDir("lsp-proj3")
     // name AFTER a parenthesized property — the parser-backed index must

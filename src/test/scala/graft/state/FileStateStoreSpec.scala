@@ -323,6 +323,31 @@ class FileStateStoreSpec extends StateStoreContractSpec {
     assert(lines == 50, s"log holds $lines records, wave dirtied 50")
   }
 
+  test("stale delta records (crash between rewrite and clearDelta) don't replay") {
+    val dir = stateDir("state_stale")
+    val s = new FileStateStore(dir)
+    val snap = {
+      val m = Model("mart.st", SqlBody("SELECT 1 AS id"), kind = ModelKind.Full)
+      Snapshot(m, Fingerprint.of(m, "SELECT 1 AS id", Nil),
+        intervals = Vector(Interval(0L, 10L)))
+    }
+    s.pushSnapshot(snap) // full image at txn 1 carries interval (0,10)
+    // a crash between writeAtomic and clearDelta leaves PRE-rewrite records
+    // behind: simulate one claiming to remove the interval the newer image
+    // recorded — its txn (1 ≤ image txn) marks it superseded
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "state.delta.jsonl"),
+      s"""{"op":"remove","name":"mart.st","version":"${snap.version}","s":0,"e":10,"txn":1}\n""")
+    val s2 = new FileStateStore(dir)
+    assert(s2.getSnapshot("mart.st", snap.version).get.intervals ==
+      Vector(Interval(0L, 10L)), "stale delta record replayed over the newer image")
+    // and the txn chain survives: the next write must not see a spurious
+    // concurrent-modification (the stale tail trails the image's txn)
+    s2.addInterval("mart.st", snap.version, Interval(20L, 30L))
+    assert(new FileStateStore(dir).getSnapshot("mart.st", snap.version)
+      .get.intervals.size == 2)
+  }
+
   test("a torn final delta line is tolerated (crash mid-append)") {
     val dir = stateDir("state_torn")
     val s = new FileStateStore(dir)
