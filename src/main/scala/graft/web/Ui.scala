@@ -32,7 +32,7 @@ private[web] object Ui {
       |<header><h1>graft</h1><nav id="nav"></nav></header>
       |<main id="main"></main>
       |<script>
-      |const tabs=["catalog","lineage","console","plan","environments","tests","files"];
+      |const tabs=["catalog","dag","lineage","console","plan","environments","tests","files"];
       |const $=(h)=>{const d=document.createElement("div");d.innerHTML=h;return d};
       |const esc=s=>String(s==null?"∅":s).replace(/&/g,"&amp;").replace(/</g,"&lt;");
       |const TOKEN=new URLSearchParams(location.search).get("token");
@@ -51,6 +51,25 @@ private[web] object Ui {
       |   ms.map(m=>[m.name,m.kind,m.cron,m.owner||"",(m.depends_on||[]).join(", ")]))+
       |   "<div class='row'><input id='mname' placeholder='model name'>"+
       |   "<button class='btn' onclick='detail()'>detail</button></div><div id='det'></div>";},
+      | async dag(){const d=await j("/api/dag");
+      |  if(!d.models.length){main.innerHTML="<p>no models</p>";return}
+      |  const deps={};d.models.forEach(m=>deps[m]=[]);
+      |  d.edges.forEach(e=>deps[e[1]].push(e[0]));
+      |  const lvl={};const L=m=>lvl[m]!==undefined?lvl[m]:
+      |   (lvl[m]=deps[m].length?Math.max.apply(null,deps[m].map(L))+1:0);
+      |  d.models.forEach(L);
+      |  const cols={};d.models.forEach(m=>{(cols[lvl[m]]=cols[lvl[m]]||[]).push(m)});
+      |  const pos={};Object.keys(cols).forEach(c=>cols[c].forEach((m,i)=>pos[m]=[20+c*250,24+i*30]));
+      |  const ps=Object.values(pos);
+      |  const h=Math.max.apply(null,ps.map(p=>p[1]))+30;
+      |  const w=Math.max.apply(null,ps.map(p=>p[0]))+240;
+      |  let svg="<svg xmlns='http://www.w3.org/2000/svg' width='"+w+"' height='"+h+"'>";
+      |  d.edges.forEach(e=>{const a=pos[e[0]],b=pos[e[1]];
+      |   svg+="<line x1='"+(a[0]+210)+"' y1='"+(a[1]-6)+"' x2='"+b[0]+"' y2='"+(b[1]-6)+"' stroke='#5b9cff'/>"});
+      |  d.models.forEach(m=>{const p=pos[m];
+      |   svg+="<rect x='"+p[0]+"' y='"+(p[1]-16)+"' width='210' height='22' fill='#fff' stroke='#8899aa'/>"+
+      |    "<text x='"+(p[0]+5)+"' y='"+p[1]+"' font-size='11' font-family='monospace'>"+esc(m)+"</text>"});
+      |  main.innerHTML=svg+"</svg>";},
       | async lineage(){main.innerHTML="<div class='row'><input id='lmodel' placeholder='model'>"+
       |   "<input id='lcol' placeholder='column (optional)'>"+
       |   "<button class='btn' onclick='lin()'>lineage</button></div><div id='lout'></div>";},

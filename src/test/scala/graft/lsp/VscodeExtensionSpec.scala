@@ -6,10 +6,12 @@ import com.fasterxml.jackson.databind.ObjectMapper
 /** The in-repo VSCode extension (vscode/package.json + extension.js —
   * reference surface: vscode/extension in the reference repo) is plain
   * JavaScript against the host-provided `vscode` module with a hand-rolled
-  * stdio LSP client, so no JS toolchain exists to compile it here. This
-  * spec pins what CAN break silently: the manifest's JSON shape, the
-  * command registry wiring, and — crucially — that every LSP method the
-  * client sends is one the graft server actually dispatches. */
+  * stdio LSP client. No VSCode host runs here, but node does: this spec
+  * pins the manifest's JSON shape, the command-registry wiring, that every
+  * LSP method the client sends is one the graft server dispatches,
+  * `node --check` parses of both JS files, and a headless END-TO-END where
+  * a stubbed `vscode` module activates the extension against the REAL
+  * `graft lsp` and lint diagnostics round-trip over real stdio framing. */
 class VscodeExtensionSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
   private def read(p: String): String =
@@ -70,9 +72,47 @@ class VscodeExtensionSpec extends AnyFunSuite {
     assert(js.contains("""concat(["--project""""), "runCli lost --project")
   }
 
+  test("node syntax-checks extension.js and the harness") {
+    // node ships in this container: a parse error in either file would
+    // otherwise only surface inside a real VSCode host
+    Seq("vscode/extension.js", "vscode/test/headless.js").foreach { f =>
+      val p = new ProcessBuilder("node", "--check", f).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"node --check $f failed:\n$out")
+    }
+  }
+
+  test("headless end-to-end: the extension drives the REAL graft lsp in node") {
+    // the harness stubs the `vscode` host module, activate() spawns the
+    // actual server through a classpath shim, the stub's open buffer flows
+    // through didOpen, and real lint diagnostics must come back over real
+    // stdio framing — the closest thing to an editor this container can run
+    val dir = java.nio.file.Files.createTempDirectory("vsx").toString
+    val shim = java.nio.file.Paths.get(dir, "graft-shim.sh")
+    val cp = System.getProperty("java.class.path")
+    java.nio.file.Files.writeString(shim,
+      s"""#!/bin/sh
+         |exec java -cp '$cp' graft.Main "$$@"
+         |""".stripMargin)
+    shim.toFile.setExecutable(true)
+    val proj = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "proj"))
+    java.nio.file.Files.writeString(proj.resolve("daily.sql"),
+      "MODEL (name hx.daily, kind FULL, owner 'dana', " +
+        "audits (not_null(columns = (n))));\nSELECT 1 AS n\n")
+    val pb = new ProcessBuilder("node", "vscode/test/headless.js")
+      .redirectErrorStream(true)
+    pb.environment().put("GRAFT_LSP_CMD", shim.toString)
+    pb.environment().put("GRAFT_PROJECT", proj.toString)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0 && out.contains("HEADLESS OK"),
+      s"headless harness failed:\n$out")
+  }
+
   test("extension.js is balanced (string-level syntax sanity)") {
-    // no JS engine in this container: catch the gross corruption classes —
-    // unbalanced braces/parens/brackets outside string literals
+    // complements node --check: catches corruption even where node is
+    // absent (string-stripped brace/paren/bracket balance)
     val stripped = js.replaceAll("\"(\\\\.|[^\"\\\\])*\"", "\"\"")
       .replaceAll("'(\\\\.|[^'\\\\])*'", "''")
       .replaceAll("(?m)//.*$", "")

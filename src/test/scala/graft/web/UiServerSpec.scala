@@ -179,5 +179,23 @@ class UiServerSpec extends AnyFunSuite {
       "SPA lost the column-lineage endpoint wiring")
     assert(page.contains("<svg") && page.contains("<line") && page.contains("<rect"),
       "SPA lineage tab lost its inline SVG rendering")
+    // the dag tab layers models by longest upstream path and draws the
+    // project graph from /api/dag
+    assert(page.contains("\"dag\"") && page.contains("""j("/api/dag")"""),
+      "SPA lost its dag tab")
+  }
+
+  test("node syntax-checks the SPA's inline script") {
+    // a JS parse error would blank the whole SPA silently — node ships in
+    // this container, so the script block is actually parsed
+    val page = graft.web.Ui.page
+    val script = page.substring(
+      page.indexOf("<script>") + "<script>".length, page.indexOf("</script>"))
+    val f = java.nio.file.Files.createTempFile("ui", ".js")
+    java.nio.file.Files.writeString(f, script)
+    val p = new ProcessBuilder("node", "--check", f.toString)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, s"SPA script failed node --check:\n$out")
   }
 }

@@ -101,6 +101,14 @@ function startServer(context) {
   server.stdout.on("data", onData);
   server.stderr.on("data", (d) => console.error("[graft-lsp] " + d));
   server.on("exit", () => { server = null; });
+  // a missing/broken `graft` binary must degrade to a message, not crash
+  // the extension host (an unhandled 'error' event throws)
+  server.on("error", (e) => {
+    server = null;
+    vscode.window.showErrorMessage("Graft: failed to start '" + cfg.command +
+      " lsp' - " + e.message);
+  });
+  server.stdin.on("error", () => {});
   request("initialize", {
     rootUri: vscode.Uri.file(cfg.project).toString(),
     capabilities: {},
