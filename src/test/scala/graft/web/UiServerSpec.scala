@@ -188,14 +188,31 @@ class UiServerSpec extends AnyFunSuite {
   test("node syntax-checks the SPA's inline script") {
     // a JS parse error would blank the whole SPA silently — node ships in
     // this container, so the script block is actually parsed
+    val p = new ProcessBuilder("node", "--check", spaScriptFile.toString)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, s"SPA script failed node --check:\n$out")
+  }
+
+  test("node RUNS the SPA views headlessly: catalog, dag layering, lineage SVG") {
+    // micro-DOM + canned API responses (src/test/resources/ui_harness.js):
+    // the catalog table renders, the dag tab layers downstream models into
+    // later columns with one SVG line per edge, and the lineage tab draws
+    // upstream→column edges and hits the two-param endpoint when a column
+    // is given — the view code executes, not just parses
+    val p = new ProcessBuilder("node", "src/test/resources/ui_harness.js",
+      spaScriptFile.toString).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0 && out.contains("UI HEADLESS OK"),
+      s"SPA headless run failed:\n$out")
+  }
+
+  private lazy val spaScriptFile: java.nio.file.Path = {
     val page = graft.web.Ui.page
     val script = page.substring(
       page.indexOf("<script>") + "<script>".length, page.indexOf("</script>"))
     val f = java.nio.file.Files.createTempFile("ui", ".js")
     java.nio.file.Files.writeString(f, script)
-    val p = new ProcessBuilder("node", "--check", f.toString)
-      .redirectErrorStream(true).start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    assert(p.waitFor() == 0, s"SPA script failed node --check:\n$out")
+    f
   }
 }
