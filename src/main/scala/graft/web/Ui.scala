@@ -54,7 +54,7 @@ private[web] object Ui {
       | async dag(){const d=await j("/api/dag");
       |  if(!d.models.length){main.innerHTML="<p>no models</p>";return}
       |  const deps={};d.models.forEach(m=>deps[m]=[]);
-      |  d.edges.forEach(e=>deps[e[1]].push(e[0]));
+      |  d.edges.forEach(e=>{if(e[0]!==e[1])deps[e[1]].push(e[0])});
       |  const lvl={};const L=m=>lvl[m]!==undefined?lvl[m]:
       |   (lvl[m]=deps[m].length?Math.max.apply(null,deps[m].map(L))+1:0);
       |  d.models.forEach(L);
@@ -64,7 +64,7 @@ private[web] object Ui {
       |  const h=Math.max.apply(null,ps.map(p=>p[1]))+30;
       |  const w=Math.max.apply(null,ps.map(p=>p[0]))+240;
       |  let svg="<svg xmlns='http://www.w3.org/2000/svg' width='"+w+"' height='"+h+"'>";
-      |  d.edges.forEach(e=>{const a=pos[e[0]],b=pos[e[1]];
+      |  d.edges.forEach(e=>{if(e[0]===e[1])return;const a=pos[e[0]],b=pos[e[1]];
       |   svg+="<line x1='"+(a[0]+210)+"' y1='"+(a[1]-6)+"' x2='"+b[0]+"' y2='"+(b[1]-6)+"' stroke='#5b9cff'/>"});
       |  d.models.forEach(m=>{const p=pos[m];
       |   svg+="<rect x='"+p[0]+"' y='"+(p[1]-16)+"' width='210' height='22' fill='#fff' stroke='#8899aa'/>"+

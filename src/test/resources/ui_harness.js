@@ -44,7 +44,11 @@ responses["/api/models"] = [
 ];
 responses["/api/dag"] = {
   models: ["m.daily", "m.mid", "m.rollup"],
-  edges: [["m.daily", "m.mid"], ["m.mid", "m.rollup"], ["m.daily", "m.rollup"]],
+  // the self-edge is real: graft supports self-referencing incremental
+  // models and dagJson passes the edge through — the layout must neither
+  // recurse forever nor draw a degenerate line for it
+  edges: [["m.daily", "m.mid"], ["m.mid", "m.rollup"], ["m.daily", "m.rollup"],
+    ["m.rollup", "m.rollup"]],
 };
 responses["/api/lineage/m.rollup"] = {
   model: "m.rollup", columns: { days: ["m.daily.n", "m.daily.d"], note: [] },

@@ -112,10 +112,24 @@ class VscodeExtensionSpec extends AnyFunSuite {
 
   test("extension.js is balanced (string-level syntax sanity)") {
     // complements node --check: catches corruption even where node is
-    // absent (string-stripped brace/paren/bracket balance)
-    val stripped = js.replaceAll("\"(\\\\.|[^\"\\\\])*\"", "\"\"")
-      .replaceAll("'(\\\\.|[^'\\\\])*'", "''")
-      .replaceAll("(?m)//.*$", "")
+    // absent. Linear scan, not regex — the alternation-in-loop string
+    // pattern recurses ~1 frame/char and overflows on files this size
+    val stripped = {
+      val sb = new StringBuilder
+      var i = 0; var quote: Char = 0
+      while (i < js.length) {
+        val c = js.charAt(i)
+        if (quote != 0) {
+          if (c == '\\') i += 1
+          else if (c == quote) quote = 0
+        } else if (c == '"' || c == '\'') quote = c
+        else if (c == '/' && i + 1 < js.length && js.charAt(i + 1) == '/') {
+          while (i < js.length && js.charAt(i) != '\n') i += 1
+        } else sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
     Seq('{' -> '}', '(' -> ')', '[' -> ']').foreach { case (o, c) =>
       assert(stripped.count(_ == o) == stripped.count(_ == c),
         s"unbalanced $o$c in extension.js")

@@ -12,15 +12,32 @@ let server = null; // child process running `graft lsp`
 let nextId = 1;
 const pending = new Map(); // request id -> resolve fn
 let diagnostics = null; // vscode.DiagnosticCollection
+let output = null; // one shared OutputChannel for CLI commands
 let buffer = Buffer.alloc(0);
 
 function config() {
   const c = vscode.workspace.getConfiguration("graft");
   const ws = vscode.workspace.workspaceFolders;
-  return {
-    command: c.get("command") || "graft",
-    project: c.get("projectPath") || (ws && ws.length ? ws[0].uri.fsPath : "."),
-  };
+  let project = c.get("projectPath");
+  if (!project) {
+    if (ws && ws.length) project = ws[0].uri.fsPath;
+    else {
+      // a lone file without a workspace: '.' would be the extension HOST's
+      // cwd, not a graft project — say so instead of silently mis-loading
+      vscode.window.showWarningMessage(
+        "Graft: no workspace folder and graft.projectPath is unset - " +
+        "open the project folder or set graft.projectPath.");
+      project = ".";
+    }
+  }
+  return { command: c.get("command") || "graft", project: project };
+}
+
+/** Settle every in-flight request with null — a dead/restarted server must
+  * not leave provider awaits hanging as perpetual spinners. */
+function drainPending() {
+  pending.forEach((resolve) => resolve(null));
+  pending.clear();
 }
 
 // ---------------------------------------------------------------- transport
@@ -95,20 +112,25 @@ function docPos(document, position) {
 
 function startServer(context) {
   const cfg = config();
-  server = cp.spawn(cfg.command, ["lsp", "--project", cfg.project], {
+  const child = cp.spawn(cfg.command, ["lsp", "--project", cfg.project], {
     stdio: ["pipe", "pipe", "pipe"],
   });
-  server.stdout.on("data", onData);
-  server.stderr.on("data", (d) => console.error("[graft-lsp] " + d));
-  server.on("exit", () => { server = null; });
+  server = child;
+  child.stdout.on("data", onData);
+  child.stderr.on("data", (d) => console.error("[graft-lsp] " + d));
+  // only null out OUR OWN slot: after a restart, the old child's async exit
+  // must not clobber the freshly spawned server and silence the extension
+  child.on("exit", () => {
+    if (server === child) { server = null; drainPending(); }
+  });
   // a missing/broken `graft` binary must degrade to a message, not crash
   // the extension host (an unhandled 'error' event throws)
-  server.on("error", (e) => {
-    server = null;
+  child.on("error", (e) => {
+    if (server === child) { server = null; drainPending(); }
     vscode.window.showErrorMessage("Graft: failed to start '" + cfg.command +
       " lsp' - " + e.message);
   });
-  server.stdin.on("error", () => {});
+  child.stdin.on("error", () => {});
   request("initialize", {
     rootUri: vscode.Uri.file(cfg.project).toString(),
     capabilities: {},
@@ -136,16 +158,19 @@ function stopServer() {
   notify("exit", {});
   server.kill();
   server = null;
-  pending.clear();
+  drainPending();
   buffer = Buffer.alloc(0);
 }
 
 function runCli(args, title) {
   const cfg = config();
-  const out = vscode.window.createOutputChannel("Graft");
+  const out = output; // one shared channel, created at activate()
   out.show(true);
   out.appendLine("$ " + cfg.command + " " + args.join(" "));
   const p = cp.spawn(cfg.command, args.concat(["--project", cfg.project]));
+  // same hazard as the LSP spawn: a missing binary emits 'error', and an
+  // unhandled 'error' event would crash the command in the extension host
+  p.on("error", (e) => out.appendLine(title + " failed to start: " + e.message));
   p.stdout.on("data", (d) => out.append(d.toString()));
   p.stderr.on("data", (d) => out.append(d.toString()));
   p.on("exit", (code) => out.appendLine(title + " exited with " + code));
@@ -153,6 +178,8 @@ function runCli(args, title) {
 
 function activate(context) {
   diagnostics = vscode.languages.createDiagnosticCollection("graft");
+  output = vscode.window.createOutputChannel("Graft");
+  context.subscriptions.push(output);
   startServer(context);
 
   context.subscriptions.push(
