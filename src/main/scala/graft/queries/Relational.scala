@@ -204,8 +204,13 @@ object Relational {
     "q21_multi_join_star" -> Entry((s, dir) => {
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val su = t(s, dir, "supplier"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      // supplier GROWS with scale factor (SF×10k rows) — no broadcast hint:
+      // AQE broadcasts it at small SF and flips to a shuffled join when its
+      // runtime size crosses the threshold (a forced hint would OOM at
+      // 100×). nation (25 rows) and region (5) are fixed-cardinality, safe
+      // to pin. ScaleProbe `q21_inflated_supplier` demonstrates the flip.
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))

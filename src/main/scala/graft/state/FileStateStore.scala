@@ -618,6 +618,20 @@ object FileStateStore {
     * (~100 bytes/record → the log stays a few MB; load replay stays cheap). */
   val DeltaCompactBound = 50000
 
+  /** txn of the last line that parses as a JSON record carrying a "txn"
+    * field — the exact set of lines load-replay applies. Shared by the
+    * append-capable blobs' O(1) tail check; records average ~100 B so a
+    * 4 KB tail holds tens of them. */
+  private val txnMapper = new ObjectMapper() // thread-safe once configured
+  private[state] def lastParsedTxn(s: String): Option[Long] = {
+    s.linesIterator.toSeq.reverseIterator.flatMap { line =>
+      try {
+        val n = txnMapper.readTree(line)
+        if (n != null && n.has("txn")) Some(n.path("txn").asLong()) else None
+      } catch { case _: Exception => None }
+    }.nextOption()
+  }
+
   /** Byte-level storage for the state image: local filesystem, or any
     * Hadoop-supported shared store when `dir` carries a URI scheme. */
   private[state] trait Blob {
@@ -754,13 +768,18 @@ object FileStateStore {
         while (r >= 0 && buf.hasRemaining) r = ch.read(buf)
         new String(buf.array(), 0, buf.position(), "UTF-8")
       } finally ch.close()
-      val inTail = "\"txn\"\\s*:\\s*(\\d+)".r.findAllMatchIn(tail)
-        .map(_.group(1).toLong).foldLeft(Option.empty[Long])((_, t) => Some(t))
-      inTail.orElse {
-        "\"txn\"\\s*:\\s*(\\d+)".r
-          .findAllMatchIn(new String(readDeltaAll(), "UTF-8"))
-          .map(_.group(1).toLong).foldLeft(Option.empty[Long])((_, t) => Some(t))
-      }
+      // "complete record" must mean exactly what load-replay means by it —
+      // a PARSEABLE line — or crash recovery wedges the store: a tear
+      // inside the txn field (the last field serialized) leaves a fragment
+      // like `..."txn": 12` whose regex-extracted 12 is a digit-truncated
+      // 123; replay skips the unparseable fragment, so a raw-regex read
+      // here would disagree with the replayed in-memory txn forever and
+      // every persist would throw ConcurrentModificationException. Walk
+      // lines back-to-front and take the first that parses with a txn —
+      // the same records replay applies, no more, no less. (A front-cut
+      // first tail line never parses; the fallback rereads the whole log.)
+      lastParsedTxn(tail).orElse(
+        lastParsedTxn(new String(readDeltaAll(), "UTF-8")))
     }
   }
 

@@ -56,11 +56,17 @@ class BenchPlanSpec extends AnyFunSuite {
     assert(shuffles(p) <= 2, s"q1_agg grew to ${shuffles(p)} shuffles")
   }
 
-  test("q2_join_agg: all three dim joins broadcast, no sort-merge") {
+  test("q2_join_agg: joins broadcast AT THIS SF, pushdown intact") {
     val p = planOf("q2_join_agg")
+    // size-tiered assertion: at sf0.001 every join side is under the
+    // broadcast threshold, so the SIZE-BASED planner picks broadcast for
+    // all three — the right plan for THIS data volume. customer and orders
+    // grow with SF; only fixed-25-row nation carries a hint, and the
+    // optimizer must stay free to sort-merge the scaling sides at 100×
+    // (asserting "never SortMergeJoin" here would pin an OOM at scale).
     assert("BroadcastHashJoin".r.findAllIn(p).length / 2 >= 3 ||
-      p.split("BroadcastHashJoin").length - 1 >= 3, "q2 lost a broadcast dim join")
-    assert(!p.contains("SortMergeJoin"), "q2 shuffled a dim join")
+      p.split("BroadcastHashJoin").length - 1 >= 3,
+      "q2 lost a broadcast join at a SF where every side is tiny")
     assert(pushed(p).contains("IsNotNull"), pushed(p))
   }
 
@@ -71,7 +77,10 @@ class BenchPlanSpec extends AnyFunSuite {
     // global Sort node would mean the limit stopped pushing through
     assert(!"\\(\\d+\\) Sort".r.findAllIn(p).hasNext, "q3 grew a global sort")
     assert(shuffles(p) == 1, s"q3_topn has ${shuffles(p)} shuffles, want 1 (agg)")
-    assert(p.contains("BroadcastHashJoin"), "q3 customer join stopped broadcasting")
+    // size-tiered: customer is unhinted (it scales); at sf0.001 the
+    // size-based planner broadcasts it, which this asserts — at 100× the
+    // optimizer is free to re-make that call
+    assert(p.contains("BroadcastHashJoin"), "q3 customer join stopped broadcasting at tiny SF")
   }
 
   test("q6_filter: full pushdown, narrow scan, single agg shuffle, no join") {
@@ -88,11 +97,41 @@ class BenchPlanSpec extends AnyFunSuite {
     assert(mapSideCombine(p), "q6 lost map-side combine")
   }
 
-  test("q21_multi_join_star: dims broadcast, orderdate pushed") {
+  test("q21_multi_join_star: fixed dims broadcast, orderdate pushed, " +
+      "scaling supplier left to the size-based planner") {
     val p = planOf("q21_multi_join_star")
-    assert(p.contains("BroadcastHashJoin"))
+    // nation/region are fixed-cardinality (25/5 rows) and hinted — always
+    // broadcast. supplier is SF×10k rows and carries NO hint: at sf0.001
+    // the size-based planner broadcasts it; at 100× AQE flips it to a
+    // shuffled join instead of OOMing the executors (ScaleProbe
+    // q21_inflated_supplier exercises the flip). So: broadcasts present,
+    // but no "never SortMergeJoin" pin.
+    assert("BroadcastHashJoin".r.findAllIn(p).length / 2 >= 3 ||
+      p.split("BroadcastHashJoin").length - 1 >= 3,
+      "q21 lost a broadcast join at a SF where every dim is tiny")
     assert(pushed(p).contains("o_orderdate"), pushed(p))
-    assert(!p.contains("SortMergeJoin"), "q21 shuffled a dim join")
+  }
+
+  test("q2/q21: scaling tables are UNHINTED — size tier off ⇒ they " +
+      "sort-merge while fixed dims stay pinned broadcast") {
+    // the direct proof no scaling table carries a forced broadcast: with
+    // size-based broadcasting disabled, ONLY hint-pinned joins may remain
+    // BroadcastHashJoin. supplier/customer/orders must drop to a shuffled
+    // join (what AQE would do at 100× when their runtime size crosses the
+    // threshold); fixed-cardinality nation (q2, q21) and region (q21) keep
+    // broadcasting because their hints say so at every scale.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      for (name <- Seq("q2_join_agg", "q21_multi_join_star")) {
+        val p = planOf(name)
+        assert(p.contains("SortMergeJoin"),
+          s"$name: a scaling table is still forced-broadcast (no SMJ with size tier off)")
+        assert(p.contains("BroadcastHashJoin"),
+          s"$name: fixed-dim broadcast hint lost")
+      }
+    } finally spark.conf.set(key, prev)
   }
 
   test("q22_sessionize: windows partitioned per-user, bounded shuffles") {

@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * the "shuffle-bounded, near-linear" scaling claims in SURVEY §9. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(10)
+    // `Test/runMain graft.ScaleProbe q21` runs only the q21 size-tier probe
+    val q21Only = args.contains("q21")
+    val n = args.filterNot(_ == "q21").headOption.map(_.toInt).getOrElse(10)
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (q21Only) { q21SupplierProbe(spark); spark.stop(); return }
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val base = docs.count()
     // replicate with id shift + a copy-tag word so replicas aren't exact dups
@@ -220,6 +223,60 @@ object ScaleProbe {
         m.read(t).count()
       }
     }
+
+    // q21 with an INFLATED supplier (r10 verdict #1): supplier is SF×10k
+    // rows — the one join side in the bench set that both grows with scale
+    // and was historically hint-broadcast. The hint is gone; this probes
+    // the size tier end-to-end with real file sizes: small supplier →
+    // planner broadcasts it; 50 MB supplier → the same UNCHANGED query
+    // picks a shuffled join (what saves the executors at 100×) and still
+    // completes with identical aggregate semantics.
+    q21SupplierProbe(spark)
     spark.stop()
+  }
+
+  private def q21SupplierProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    {
+      val src = "/root/testdata/sf0.01"
+      val dirQ = java.nio.file.Files.createTempDirectory("scale_q21").toString
+      for (tbl <- Seq("lineitem", "orders", "nation", "region"))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(dirQ, s"$tbl.parquet"),
+          java.nio.file.Paths.get(src, s"$tbl.parquet"))
+      val su = spark.read.parquet(s"$src/supplier.parquet")
+      // keep the real rows (so results match) and append key-shifted junk
+      // rows whose names carry incompressible md5 padding, until the file
+      // comfortably exceeds the 10 MB broadcast threshold
+      val junk = spark.range(200000).select(
+        (col("id") + lit(10000000L)).as("s_suppkey"),
+        concat((1 to 8).map(s =>
+          md5(concat(col("id"), lit(s"salt$s")))): _*).as("s_name"),
+        lit(0).cast("int").as("s_nationkey"),
+        lit(0.0).as("s_acctbal"))
+      su.unionByName(junk).write.mode("overwrite")
+        .parquet(s"$dirQ/supplier.parquet")
+      val szMb = {
+        def walk(p: java.io.File): Long =
+          if (p.isDirectory) p.listFiles().map(walk).sum else p.length()
+        walk(new java.io.File(s"$dirQ/supplier.parquet")) / 1024.0 / 1024.0
+      }
+      println(f"q21 inflated supplier: $szMb%.1f MB on disk (threshold 10 MB)")
+      def joinNodes(dir: String): (String, Long) = {
+        val df = SparkEntry.queries("q21_multi_join_star")(spark, dir)
+        val rows = df.count()
+        val plan = df.queryExecution.executedPlan.toString
+        val kind = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+          .filter(plan.contains).mkString("+")
+        (kind, rows)
+      }
+      val (smallKind, smallRows) = joinNodes(src)
+      val (bigKind, bigRows) = joinNodes(dirQ)
+      println(s"q21 small supplier: joins=[$smallKind] rows=$smallRows")
+      println(s"q21 50MB supplier:  joins=[$bigKind] rows=$bigRows")
+      require(bigKind.contains("SortMergeJoin") || bigKind.contains("ShuffledHashJoin"),
+        "inflated supplier was still broadcast — the scale-killer hint is back")
+      require(smallRows == bigRows,
+        "junk supplier rows changed the aggregate — key shifting broke")
+    }
   }
 }

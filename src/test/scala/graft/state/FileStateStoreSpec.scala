@@ -372,6 +372,61 @@ class FileStateStoreSpec extends StateStoreContractSpec {
       .get.intervals.size == 3)
   }
 
+  test("a torn tail cut inside the txn field cannot wedge the store") {
+    // the nastier crash window: txn is the LAST field serialized, so a tear
+    // inside its digits leaves `..."txn": 99` — unparseable (no closing
+    // brace), rightly skipped by replay, but a raw regex over the tail
+    // would extract the phantom 99 and every later persist would throw
+    // ConcurrentModificationException until someone hand-deleted the log.
+    for (frag <- Seq(
+      """{"op":"add","name":"mart.tw","version":"v1","s":0,"e":1,"txn": 99""",
+      """{"op":"add","name":"mart.tw","version":"v1","s":0,"e":1,"txn""")) {
+      val dir = stateDir("state_torn_txn_" + frag.length)
+      val s = new FileStateStore(dir)
+      val snap = {
+        val m = Model("mart.tw", SqlBody("SELECT 1 AS id"), kind = ModelKind.Full)
+        Snapshot(m, Fingerprint.of(m, "SELECT 1 AS id", Nil))
+      }
+      s.pushSnapshot(snap)
+      s.addInterval("mart.tw", snap.version, Interval(0L, 10L))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "state.delta.jsonl"),
+        frag.getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+      val s2 = new FileStateStore(dir)
+      // the recovered instance must both read and WRITE cleanly
+      s2.addInterval("mart.tw", snap.version, Interval(20L, 30L))
+      assert(new FileStateStore(dir).getSnapshot("mart.tw", snap.version)
+        .get.intervals == Vector(Interval(0L, 10L), Interval(20L, 30L)),
+        s"fragment <$frag> wedged or corrupted the store")
+    }
+  }
+
+  test("a record torn after '}' but before its newline stays COMMITTED " +
+      "consistently (replay applies it and the lock check honors its txn)") {
+    val dir = stateDir("state_torn_nl")
+    val s = new FileStateStore(dir)
+    val snap = {
+      val m = Model("mart.tn", SqlBody("SELECT 1 AS id"), kind = ModelKind.Full)
+      Snapshot(m, Fingerprint.of(m, "SELECT 1 AS id", Nil))
+    }
+    s.pushSnapshot(snap)
+    s.addInterval("mart.tn", snap.version, Interval(0L, 10L))
+    // strip the log's final newline: the record bytes all landed, only the
+    // terminator was lost — replay parses and applies it, so the recovered
+    // in-memory txn includes it; the O(1) tail check must agree or the
+    // next persist false-positives the optimistic lock
+    val p = java.nio.file.Paths.get(dir, "state.delta.jsonl")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    assert(bytes.last == '\n'.toByte)
+    java.nio.file.Files.write(p, bytes.dropRight(1))
+    val s2 = new FileStateStore(dir)
+    assert(s2.getSnapshot("mart.tn", snap.version).get.intervals ==
+      Vector(Interval(0L, 10L)))
+    s2.addInterval("mart.tn", snap.version, Interval(20L, 30L))
+    assert(new FileStateStore(dir).getSnapshot("mart.tn", snap.version)
+      .get.intervals == Vector(Interval(0L, 10L), Interval(20L, 30L)))
+  }
+
   test("v1 state files migrate on load (schema versioning, migrator.py)") {
     val dir = SparkTestSession.tmpDir("state")
     // write a version-1 file by hand: no `version`, no environment
