@@ -55,8 +55,9 @@ object Dedup {
     *
     * The result is EXACT — identical to [[incrementalExact]] for any fpp;
     * fpp only tunes how many rows take the confirm path. Filter size is
-    * ~1.2 GB per 10⁹ keys at 1% fpp (driver + broadcast budget — shard the
-    * corpus and screen per shard beyond that). This variant builds the
+    * ~1.2 GB per 10⁹ keys at 1% fpp (driver + broadcast budget); past
+    * [[AutoShardKeys]] the cached variant switches to a SHARDED layout that
+    * never holds a filter on the driver at all. This variant builds the
     * filter inline (self-contained, 2 corpus passes); steady-state ingest
     * should use [[incrementalExactBloomCached]], which persists the filter
     * keyed by the corpus version and pays ZERO corpus passes on a hit. */
@@ -127,12 +128,21 @@ object Dedup {
     *
     * Result is EXACT — identical to [[incrementalExact]] — for any fpp and
     * any stale-token mishap short of reusing a token across different corpus
-    * contents (the caller's contract: token ⇔ corpus version). */
+    * contents (the caller's contract: token ⇔ corpus version).
+    *
+    * Corpora past [[AutoShardKeys]] keys (or a forced `shards`) publish a
+    * SHARDED layout instead — S per-key-hash-range filters built in one
+    * corpus pass and streamed per batch partition at screen time, so no
+    * single filter ever has to fit the driver or a broadcast (the 10⁹-key
+    * ceiling of the single-filter layout). The cache records the layout
+    * (`.shardmeta`, written last), so later batches under the same token
+    * follow it regardless of their own `shards` argument. */
   def incrementalExactBloomCached(corpus: DataFrame, incoming: DataFrame,
                                   cacheDir: String, versionToken: String,
                                   textCol: String = "text", idCol: String = "doc_id",
                                   fpp: Double = 0.01,
-                                  expectedKeys: Option[Long] = None): DataFrame = {
+                                  expectedKeys: Option[Long] = None,
+                                  shards: Option[Int] = None): DataFrame = {
     val spark = corpus.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val hash = java.security.MessageDigest.getInstance("MD5")
@@ -141,37 +151,207 @@ object Dedup {
     val fs = dir.getFileSystem(conf)
     val bloomPath = new org.apache.hadoop.fs.Path(dir, s"$hash.bloom")
     val emptyPath = new org.apache.hadoop.fs.Path(dir, s"$hash.empty")
-    val bf: Option[org.apache.spark.util.sketch.BloomFilter] =
-      if (fs.exists(emptyPath)) None
-      else if (fs.exists(bloomPath)) {
-        val in = fs.open(bloomPath)
-        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-        finally in.close()
-      } else {
-        val metaN = expectedKeys.getOrElse(corpus.count())
-        // a zero from METADATA is verified against the corpus before the
-        // durable .empty marker is written — a wrong Some(0) (bad dir,
-        // non-.parquet layout) would otherwise silently disable dedup for
-        // every later batch under this token; the recount costs one scan
-        // only in that mismatch case
-        val n = if (metaN == 0 && expectedKeys.isDefined) corpus.count() else metaN
-        val built =
-          if (n == 0) None
-          else Some(corpus.select(TextFunctions.contentKey(col(textCol)).as("__key"))
-            .stat.bloomFilter("__key", math.max(n, 1L), fpp))
-        // atomic publish: write to a tmp name, rename into place — a
-        // concurrent builder of the same version just wins the rename race
-        // with identical bytes
-        fs.mkdirs(dir)
-        val tmp = new org.apache.hadoop.fs.Path(dir,
-          s"$hash.tmp${System.nanoTime()}")
-        val out = fs.create(tmp, true)
-        try built.foreach(_.writeTo(out)) finally out.close()
-        if (!fs.rename(tmp, if (built.isEmpty) emptyPath else bloomPath))
-          fs.delete(tmp, false)
-        built
+    val metaPath = new org.apache.hadoop.fs.Path(dir, s"$hash.shardmeta")
+    // cache HIT follows whatever layout was published for this token —
+    // the shard meta file is written LAST, so its presence means the full
+    // shard set is in place
+    if (fs.exists(emptyPath))
+      return bloomScreened(corpus, incoming, None, textCol, idCol)
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val s = try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt
+      } finally in.close()
+      return shardScreened(corpus, incoming, cacheDir, hash, s, textCol, idCol)
+    }
+    if (fs.exists(bloomPath)) {
+      val in = fs.open(bloomPath)
+      val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+      return bloomScreened(corpus, incoming, Some(bf), textCol, idCol)
+    }
+    // cache MISS: size from metadata when offered, then pick the layout
+    val metaN = expectedKeys.getOrElse(corpus.count())
+    // a zero from METADATA is verified against the corpus before the
+    // durable .empty marker is written — a wrong Some(0) (bad dir,
+    // non-.parquet layout) would otherwise silently disable dedup for
+    // every later batch under this token; the recount costs one scan
+    // only in that mismatch case
+    val n = if (metaN == 0 && expectedKeys.isDefined) corpus.count() else metaN
+    fs.mkdirs(dir)
+    if (n == 0) {
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"$hash.tmp${System.nanoTime()}")
+      fs.create(tmp, true).close()
+      if (!fs.rename(tmp, emptyPath)) fs.delete(tmp, false)
+      bloomScreened(corpus, incoming, None, textCol, idCol)
+    } else if (shards.exists(_ > 1) || n > AutoShardKeys) {
+      val s = shards.getOrElse(
+        math.min(4096L, (n + TargetKeysPerShard - 1) / TargetKeysPerShard).toInt)
+      buildShardFilters(corpus, cacheDir, hash, s, n, fpp, textCol)
+      // meta last: readers treat the shard set as published only once it lands
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"$hash.tmp${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(s.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, metaPath)) fs.delete(tmp, false)
+      shardScreened(corpus, incoming, cacheDir, hash, s, textCol, idCol)
+    } else {
+      val built = corpus.select(TextFunctions.contentKey(col(textCol)).as("__key"))
+        .stat.bloomFilter("__key", math.max(n, 1L), fpp)
+      // atomic publish: write to a tmp name, rename into place — a
+      // concurrent builder of the same version just wins the rename race
+      // with identical bytes
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"$hash.tmp${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try built.writeTo(out) finally out.close()
+      if (!fs.rename(tmp, bloomPath)) fs.delete(tmp, false)
+      bloomScreened(corpus, incoming, Some(built), textCol, idCol)
+    }
+  }
+
+  /** Auto-shard threshold for [[incrementalExactBloomCached]]: above this
+    * many corpus keys a single filter (~1.2 GB per 10⁹ keys at 1% fpp)
+    * strains the driver/broadcast budget, so the build switches to the
+    * sharded layout. 4×10⁸ keys ≈ 480 MB of filter — comfortably under a
+    * typical 2–4 GB driver heap while keeping small corpora on the
+    * single-broadcast fast path. */
+  val AutoShardKeys: Long = 400000000L
+
+  /** Sharded sizing target: each shard filter covers ≤ this many keys
+    * (~240 MB at 1% fpp) — the per-TASK memory bound of the build and the
+    * per-partition load bound of the screen. A 10¹⁰-key corpus shards into
+    * S=50 filters; S also sets the build's parallelism. */
+  val TargetKeysPerShard: Long = 200000000L
+
+  /** [[incrementalExactBloomCached]] with the key space partitioned into S
+    * Bloom filters — the layout for corpora past the single-filter driver
+    * budget (10⁹+ keys). One corpus pass builds ALL shard filters: keys
+    * route to shards by hash, a repartition co-locates each shard in one
+    * task, and each task writes its shard's filter bytes straight to the
+    * version-keyed cache dir (tmp+rename) — no filter ever transits the
+    * driver or a broadcast. Screening routes batch rows the same way and
+    * each partition streams its shard's filter from the cache dir once.
+    * Exactness is identical to [[incrementalExact]] (per-key routing is
+    * deterministic, Bloom has no false negatives, hits confirm against the
+    * corpus). `shards` forces S; production callers should use
+    * [[incrementalExactBloomCached]] and let [[AutoShardKeys]] decide. */
+  def incrementalExactBloomSharded(corpus: DataFrame, incoming: DataFrame,
+                                   cacheDir: String, versionToken: String,
+                                   shards: Int,
+                                   textCol: String = "text", idCol: String = "doc_id",
+                                   fpp: Double = 0.01,
+                                   expectedKeys: Option[Long] = None): DataFrame =
+    incrementalExactBloomCached(corpus, incoming, cacheDir, versionToken,
+      textCol, idCol, fpp, expectedKeys, shards = Some(shards))
+
+  private def shardOf(key: org.apache.spark.sql.Column, s: Int) =
+    pmod(xxhash64(coalesce(key, lit(""))), lit(s.toLong)).cast("int")
+
+  private def shardFile(hash: String, s: Int, shard: Int) =
+    s"$hash.s$s-$shard.bloom"
+
+  /** One-pass sharded filter build: repartition corpus KEYS (never
+    * documents) by shard so each shard lands whole in one task, build that
+    * shard's filter locally, write it executor-side to the cache dir. A
+    * shard with no corpus keys gets no file — the screen treats a missing
+    * file as the empty filter (nothing to collide with). */
+  private def buildShardFilters(corpus: DataFrame, cacheDir: String,
+                                hash: String, s: Int, n: Long, fpp: Double,
+                                textCol: String): Unit = {
+    val spark = corpus.sparkSession
+    val perShard = math.max(n / s + 1, 64L)
+    val sConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val routed = corpus
+      .select(TextFunctions.contentKey(col(textCol)).as("__key"))
+      .withColumn("__shard", shardOf(col("__key"), s))
+      .repartition(s, col("__shard"))
+    val outSchema = StructType(Seq(StructField("shard", IntegerType)))
+    routed.mapPartitions { it =>
+      // hash-partitioning can fold 2+ shards into one task; each shard is
+      // still WHOLE here, so filters never need cross-task merging
+      val filters = scala.collection.mutable.HashMap
+        .empty[Int, org.apache.spark.util.sketch.BloomFilter]
+      it.foreach { row =>
+        val f = filters.getOrElseUpdate(row.getInt(1),
+          org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp))
+        if (!row.isNullAt(0)) f.putString(row.getString(0))
       }
-    bloomScreened(corpus, incoming, bf, textCol, idCol)
+      val dir = new org.apache.hadoop.fs.Path(cacheDir)
+      val fs = dir.getFileSystem(sConf.value)
+      fs.mkdirs(dir)
+      filters.iterator.map { case (shard, f) =>
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s"$hash.tmp$shard-${System.nanoTime()}")
+        val out = fs.create(tmp, true)
+        try f.writeTo(out) finally out.close()
+        val dst = new org.apache.hadoop.fs.Path(dir, shardFile(hash, s, shard))
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+        org.apache.spark.sql.Row(shard)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema)).collect()
+    ()
+  }
+
+  /** The sharded screen: batch keys route by the SAME shard hash as the
+    * build, each partition streams its shard's filter from the cache dir
+    * once (no broadcast, no driver copy), misses skip every join, hits
+    * confirm via one broadcast-semi corpus scan exactly like the unsharded
+    * path. The screened frame is persisted — it is batch-sized and read by
+    * both the miss and hit branches. */
+  private def shardScreened(corpus: DataFrame, incoming: DataFrame,
+                            cacheDir: String, hash: String, s: Int,
+                            textCol: String, idCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val sConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    import org.apache.spark.sql.types.{BooleanType, StructField}
+    val keyed = incoming
+      .withColumn("__key", TextFunctions.contentKey(col(textCol)))
+      .groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
+      .withColumn("__shard", shardOf(col("__key"), s))
+      .repartition(s, col("__shard"))
+    val keyIdx = keyed.schema.fieldIndex("__key")
+    val shardIdx = keyed.schema.fieldIndex("__shard")
+    val outSchema = keyed.schema.add(StructField("__might", BooleanType))
+    val screened = keyed.mapPartitions { it =>
+      val loaded = scala.collection.mutable.HashMap
+        .empty[Int, Option[org.apache.spark.util.sketch.BloomFilter]]
+      def filterFor(shard: Int) = loaded.getOrElseUpdate(shard, {
+        val p = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(cacheDir), shardFile(hash, s, shard))
+        val fs = p.getFileSystem(sConf.value)
+        if (!fs.exists(p)) None // no corpus keys in this shard
+        else {
+          val in = fs.open(p)
+          try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+          finally in.close()
+        }
+      })
+      it.map { row =>
+        val might = !row.isNullAt(keyIdx) &&
+          filterFor(row.getInt(shardIdx))
+            .exists(_.mightContainString(row.getString(keyIdx)))
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ might)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = screened.filter(!col("__might"))
+    val maybe = screened.filter(col("__might"))
+    val result =
+      if (maybe.isEmpty) definitelyNew
+      else {
+        val corpusKeys = corpus
+          .select(TextFunctions.contentKey(col(textCol)).as("__key"))
+        val confirmed = corpusKeys
+          .join(broadcast(maybe.select("__key")), Seq("__key"), "left_semi")
+          .distinct()
+        val stillNew = maybe.join(broadcast(confirmed), Seq("__key"), "left_anti")
+        definitelyNew.unionByName(stillNew)
+      }
+    result.drop("__key", "__shard", "__might")
   }
 
   /** Exact row count from parquet footers — driver-side metadata reads

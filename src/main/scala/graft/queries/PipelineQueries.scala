@@ -124,6 +124,28 @@ object PipelineQueries {
         |WHERE k NOT IN (SELECT DISTINCT k FROM keyed WHERE doc_id <= 250)
         |ORDER BY doc_id""".stripMargin)),
 
+    // sharded Bloom layout (corpora past the single-filter driver budget):
+    // same exact result as the anti-join — S=3 forced so the oracle also
+    // exercises per-shard filter files + routing, not just the happy path
+    "td_incremental_dedup_bloom_sharded" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cache = java.nio.file.Files.createTempDirectory("oracle_shbloom").toString
+      Dedup.incrementalExactBloomSharded(
+          docs.filter(col("doc_id") <= 250), docs.filter(col("doc_id") > 250),
+          cache, "oracle@v1", shards = 3)
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH keyed AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS k
+        |  FROM documents
+        |), inc AS (
+        |  SELECT k, min(doc_id) AS doc_id FROM keyed WHERE doc_id > 250
+        |  GROUP BY k
+        |)
+        |SELECT doc_id FROM inc
+        |WHERE k NOT IN (SELECT DISTINCT k FROM keyed WHERE doc_id <= 250)
+        |ORDER BY doc_id""".stripMargin)),
+
     // --------------------------------- k-anonymity release gate ----------
     // quasi-identifier combinations shared by fewer than k rows are
     // re-identification risks (Sweeney 2002) — the audit a pipeline runs

@@ -365,6 +365,89 @@ class TextQualitySpec extends AnyFunSuite {
     fmt.drop(t)
   }
 
+  test("incrementalExactBloomSharded: S=3 exactness, zero corpus passes on hit") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // corpus on its own parquet so listener recordsRead attributes cleanly
+    val corpusDir = Files.createTempDirectory("shbloom_corpus").toString
+    docs.filter($"doc_id" <= 300).write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val corpusRows = corpus.count()
+    val cacheDir = Files.createTempDirectory("shbloom_cache").toString
+    val token = "shard-spec@v1"
+
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    def measured[A](f: => A): (A, Long) = {
+      Thread.sleep(300)
+      spark.sparkContext.addSparkListener(listener); recordsRead.set(0L)
+      try { val r = f; Thread.sleep(300); (r, recordsRead.get()) }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // batch 1 (cache MISS): mixed true-dups + new rows — must equal the
+    // plain anti-join exactly; the build is ONE corpus pass (plus confirm)
+    val batch1 = docs.filter($"doc_id" > 280 && $"doc_id" <= 350)
+    val exact1 = Dedup.incrementalExact(corpus, batch1)
+      .collect().map(_.getLong(0)).toSet
+    val (got1, read1) = measured {
+      Dedup.incrementalExactBloomSharded(corpus, batch1, cacheDir, token,
+        shards = 3, expectedKeys = Some(corpusRows))
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(got1 == exact1, "sharded screen diverged from incrementalExact on miss")
+    assert(read1 < 8 * corpusRows, s"cache miss read $read1 — not O(corpus)")
+
+    // the published layout: per-shard filter files + meta written last
+    val files = new java.io.File(cacheDir).listFiles().map(_.getName).toSet
+    assert(files.exists(_.matches(".*\\.s3-\\d+\\.bloom")), files.toString)
+    val meta = files.find(_.endsWith(".shardmeta"))
+    assert(meta.isDefined, files.toString)
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(cacheDir, meta.get)), "UTF-8").trim == "3")
+
+    // batch 2 (cache HIT, all-new): ZERO corpus passes — reads bounded by
+    // the batch, nowhere near corpusRows
+    val b2dir = Files.createTempDirectory("shbloom_b2").toString
+    docs.filter($"doc_id" > 350 && $"doc_id" <= 400)
+      .withColumn("text", concat($"text", lit(" sharded-novel-suffix-qwfp")))
+      .write.mode("overwrite").parquet(b2dir)
+    val batch2 = spark.read.parquet(b2dir)
+    val batch2Rows = batch2.count()
+    val (r2, read2) = measured {
+      Dedup.incrementalExactBloomSharded(corpus, batch2, cacheDir, token,
+        shards = 3, expectedKeys = Some(corpusRows)).count()
+    }
+    assert(r2 == batch2Rows)
+    assert(read2 <= 3 * batch2Rows,
+      s"steady-state sharded batch read $read2 records (corpus=$corpusRows) — corpus was rescanned")
+
+    // the GENERIC cached entry point follows the published sharded layout
+    // (no shards argument) and stays exact on a true-dup batch
+    val batch3 = docs.filter($"doc_id" > 250 && $"doc_id" <= 320)
+    val exact3 = Dedup.incrementalExact(corpus, batch3)
+      .collect().map(_.getLong(0)).toSet
+    val got3 = Dedup.incrementalExactBloomCached(corpus, batch3, cacheDir, token,
+      expectedKeys = Some(corpusRows)).collect().map(_.getLong(0)).toSet
+    assert(got3 == exact3, "generic entry point diverged on the sharded layout")
+
+    // empty shards: 1-row corpus, S=5 — most shards have no filter file;
+    // batch rows routed to fileless shards must come out definitely-new
+    val tinyDir = Files.createTempDirectory("shbloom_tiny").toString
+    docs.filter($"doc_id" === 1).write.mode("overwrite").parquet(tinyDir)
+    val tiny = spark.read.parquet(tinyDir)
+    val batch4 = docs.filter($"doc_id" <= 40)
+    val exact4 = Dedup.incrementalExact(tiny, batch4)
+      .collect().map(_.getLong(0)).toSet
+    val got4 = Dedup.incrementalExactBloomSharded(tiny, batch4,
+      cacheDir, "shard-spec-tiny@v1", shards = 5, expectedKeys = Some(1L))
+      .collect().map(_.getLong(0)).toSet
+    assert(got4 == exact4, "fileless shards broke exactness")
+  }
+
   test("tClosenessViolations: single group has TVD 0; null sensitive out of scope") {
     // one QI group = the group IS the global distribution → TVD exactly 0,
     // never flagged at any t
