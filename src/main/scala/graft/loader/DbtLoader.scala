@@ -75,18 +75,48 @@ object DbtLoader {
     }
     val snaps = snapFiles.flatMap(p => parseSnapshots(p, projName))
     val sources = ymlFiles.flatMap(parseSources)
+
+    // ---- vendored packages (reference sqlmesh/dbt/package.py): every
+    // subdirectory of `packages-install-path` (default dbt_packages/) with
+    // its own dbt_project.yml is a package — its macros join the Jinja
+    // surface (qualified `pkg.m(...)` and, when unambiguous, bare `m(...)`),
+    // its models/seeds load like project ones, its global-scoped vars merge
+    // UNDER project vars. Unsupported package features fail loudly with the
+    // package name rather than rendering wrong SQL.
+    val pkgInstall = Option(proj.get("packages-install-path"))
+      .map(_.asText).getOrElse("dbt_packages")
+    val pkgs = loadPackages(root.resolve(pkgInstall))
+    val pkgVars = pkgs.flatMap(_.vars).toMap
+    val allVars = pkgVars ++ vars // project vars win over package vars
     // dbt refs are project-internal SHORT names ({{ ref('stg_orders') }});
     // resolve them here, where the whole registry is known — so both
-    // dependency extraction and rendering see the full model name
-    val all = models ++ seeds ++ snaps
+    // dependency extraction and rendering see the full model name. Package
+    // models join the registry: one-arg refs reach them cross-package (the
+    // project's own stem wins a collision, dbt's resolution order), and the
+    // two-arg `ref('pkg', 'model')` form pins the package explicitly.
+    val projectOwn = models ++ seeds ++ snaps
+    val projectSet = projectOwn.map(_.name).toSet
+    val all = projectOwn ++ pkgs.flatMap(_.models)
     val byStem: Map[String, String] =
-      all.groupBy(_.name.split('.').last).collect {
-        case (stem, ms) if ms.size == 1 => stem -> ms.head.name
+      all.groupBy(_.name.split('.').last).flatMap {
+        case (st, ms) if ms.size == 1 => Some(st -> ms.head.name)
+        case (st, ms) if ms.count(m => projectSet(m.name)) == 1 =>
+          Some(st -> ms.find(m => projectSet(m.name)).get.name)
+        case _ => None
       }
+    val byPkgStem: Map[(String, String), String] =
+      (pkgs.flatMap(p => p.models.map(m =>
+        (p.name, m.name.split('.').last) -> m.name)) ++
+       projectOwn.map(m => (projName, m.name.split('.').last) -> m.name)).toMap
+    val ref2Re = ("(?is)(?:\\{\\{\\s*)?ref\\(\\s*['\"]([^'\"]+)['\"]\\s*,\\s*" +
+      "['\"]([^'\"]+)['\"]\\s*\\)(?:\\s*\\}\\})?").r
     val refRe = "(?is)(?:\\{\\{\\s*)?ref\\(\\s*['\"]([^'\"]+)['\"]\\s*\\)(?:\\s*\\}\\})?".r
-    def resolveRefs(sql: String): String =
-      refRe.replaceAllIn(sql, mm => java.util.regex.Matcher.quoteReplacement(
+    def resolveRefs(sql: String): String = {
+      val two = ref2Re.replaceAllIn(sql, mm => java.util.regex.Matcher.quoteReplacement(
+        byPkgStem.getOrElse((mm.group(1), mm.group(2)), mm.group(2))))
+      refRe.replaceAllIn(two, mm => java.util.regex.Matcher.quoteReplacement(
         byStem.getOrElse(mm.group(1), mm.group(1))))
+    }
     // project-defined {% macro %}s (reference sqlmesh/dbt macro support,
     // utils/jinja.py MacroExtractor): macro sources are PREPENDED to each
     // model body that calls one — definitions emit nothing when rendered,
@@ -104,13 +134,18 @@ object DbtLoader {
     // change the fingerprint of all macro-calling models whenever ANY macro
     // is edited, forcing rebuilds of models that never reference it
     // (reference hashes only referenced macros into the data hash)
-    val macroDefRe =
-      """(?s)\{%-?\s*macro\s+([A-Za-z_]\w*)\s*\(.*?\{%-?\s*endmacro\s*-?%\}""".r
     val macroSrcByName: Map[String, String] =
       macroDefRe.findAllMatchIn(macroSrc).map(m => m.group(1) -> m.matched).toMap
+    // package macros join the registry under their namespaced rename
+    // (pkg__name — see loadPackages); bodies are rewritten below so calls
+    // land on these names, and the existing prepend machinery handles the
+    // rest (a package macro edit re-fingerprints exactly the models that
+    // reference it, same as a project macro)
+    val allMacroSrcByName = macroSrcByName ++ pkgs.flatMap(_.macroSrcByName)
+    val allMacroNames = macroNames ++ pkgs.flatMap(_.macroSrcByName.keys)
     // call detection tolerates whitespace between name and '(' — jinja
     // allows `{{ money (x) }}`
-    def callsIn(text: String): Set[String] = macroNames.filter { n =>
+    def callsIn(text: String): Set[String] = allMacroNames.filter { n =>
       ("""\b""" + java.util.regex.Pattern.quote(n) + """\s*\(""").r
         .findFirstIn(text).isDefined
     }
@@ -120,11 +155,37 @@ object DbtLoader {
       while (frontier.nonEmpty) {
         seen ++= frontier
         frontier = frontier.flatMap(n =>
-          callsIn(macroSrcByName.getOrElse(n, ""))) -- seen
+          callsIn(allMacroSrcByName.getOrElse(n, ""))) -- seen
       }
       if (seen.isEmpty) sql
-      else if (!seen.forall(macroSrcByName.contains)) s"$macroSrc\n$sql" // span extraction missed one: keep old behavior
-      else seen.toSeq.sorted.map(macroSrcByName).mkString("\n") + "\n" + sql
+      else if (!seen.forall(allMacroSrcByName.contains)) s"$macroSrc\n$sql" // span extraction missed one: keep old behavior
+      else seen.toSeq.sorted.map(allMacroSrcByName).mkString("\n") + "\n" + sql
+    }
+    // rewrite package-macro calls onto their namespaced names: qualified
+    // `pkg.m(...)` always (except the builtin dbt_utils surface, which
+    // renders natively and wins over a vendored copy); bare `m(...)` when
+    // the project doesn't define m and exactly ONE package does (dbt's
+    // global macro namespace) — two owners is ambiguous and fails loudly.
+    val q = (s: String) => java.util.regex.Pattern.quote(s)
+    val stemOwners: Map[String, Seq[String]] = pkgs
+      .flatMap(p => p.macroStems.toSeq.map(_ -> p.name))
+      .groupBy(_._1).map { case (st, vs) => st -> vs.map(_._2) }
+    def rewritePkgCalls(sql: String): String = {
+      var out = sql
+      for (pkg <- pkgs; m <- pkg.macroStems
+           if !graft.macros.Jinja.hasBuiltin(s"${pkg.name}.$m"))
+        out = (s"\\b${q(pkg.name)}\\s*\\.\\s*${q(m)}\\s*\\(").r
+          .replaceAllIn(out, s"${pkg.name}__$m(")
+      for ((m, owners) <- stemOwners if !macroNames.contains(m)) {
+        val re = (s"\\b${q(m)}\\s*\\(").r
+        if (re.findFirstIn(out).isDefined) {
+          if (owners.size > 1) throw new IllegalArgumentException(
+            s"macro '$m(' is defined by multiple dbt packages " +
+              s"(${owners.sorted.mkString(", ")}) — call it package-qualified")
+          out = re.replaceAllIn(out, s"${owners.head}__$m(")
+        }
+      }
+      out
     }
     // schema.yml column tests attach as audits (keyed by dbt's short name)
     // MERGE per-model across yml files: several schema.yml files may declare
@@ -149,12 +210,18 @@ object DbtLoader {
           m.copy(audits = m.audits ++ resolvedAudits, dependsOn = m.dependsOn ++ parents)
         case None => m
       }
-      withAudits.body match {
-        case SqlBody(sql) => withAudits.copy(body = SqlBody(withMacros(resolveRefs(sql))))
-        case _ => withAudits
+      // hooks resolve/namespace/prepend exactly like the body — a hook
+      // calling a package macro must render standalone at evaluation time
+      val expand = (sql: String) => withMacros(rewritePkgCalls(resolveRefs(sql)))
+      val withHooks = withAudits.copy(
+        preStatements = withAudits.preStatements.map(expand),
+        postStatements = withAudits.postStatements.map(expand))
+      withHooks.body match {
+        case SqlBody(sql) => withHooks.copy(body = SqlBody(expand(sql)))
+        case _ => withHooks
       }
     }
-    DbtProject(projName, resolved, sources, vars)
+    DbtProject(projName, resolved, sources, allVars)
   }
 
   // ------------------------------------------------------------- models
@@ -171,11 +238,20 @@ object DbtLoader {
     val body = configBlock.replaceAllIn(text, "").trim
     val schema = cfg.getOrElse("schema", projName)
     val name = s"$schema.${cfg.getOrElse("alias", stem(p))}"
+    // pre/post hooks (reference dbt/basemodel.py:138 pre_hook/post_hook,
+    // aliases "pre-hook"/"post-hook"; model.py:83 sql_header runs as a
+    // pre-hook) → graft pre/postStatements, rendered per evaluation with
+    // the same jinja context as the body ({{ this }}, vars, macros)
+    def hooks(key: String): Seq[String] =
+      cfg.get(key).orElse(cfg.get(key.replace('_', '-'))).toSeq
+        .flatMap(splitSqlList)
     Some(Model(name, SqlBody(body),
       kind = kindOf(cfg, name),
       tags = cfg.get("tags").map(splitList).getOrElse(Nil),
       partitionedBy = cfg.get("partition_by").map(splitList).getOrElse(Nil),
-      clusteredBy = cfg.get("cluster_by").map(splitList).getOrElse(Nil)))
+      clusteredBy = cfg.get("cluster_by").map(splitList).getOrElse(Nil),
+      preStatements = cfg.get("sql_header").toSeq ++ hooks("pre_hook"),
+      postStatements = hooks("post_hook")))
   }
 
   /** Materialization → ModelKind, following reference model.py:272
@@ -330,6 +406,83 @@ object DbtLoader {
     }.filter(_._2.nonEmpty).toMap
   }
 
+  // ------------------------------------------------------------ packages
+
+  /** per-macro source spans (shared by project and package loading) */
+  private val macroDefRe =
+    """(?s)\{%-?\s*macro\s+([A-Za-z_]\w*)\s*\(.*?\{%-?\s*endmacro\s*-?%\}""".r
+
+  /** One vendored package: its models/seeds (loaded like project ones), its
+    * macros RENAMED into a flat namespace (`m` in package `p` → `p__m`,
+    * applied to the def header and every intra-package call), and its
+    * global-scoped vars. The rename keeps the single-namespace prepend /
+    * fingerprint machinery intact while making `p.m(...)` and cross-package
+    * collisions unambiguous. */
+  private[loader] final case class LoadedPackage(
+      name: String, models: Seq[Model], macroStems: Set[String],
+      macroSrcByName: Map[String, String], vars: Map[String, String])
+
+  /** Load every package vendored under `packages-install-path` (reference
+    * sqlmesh/dbt/package.py PackageLoader; project.py:93 discovers the
+    * install dir). A package is any subdirectory with its own
+    * dbt_project.yml — the layout `dbt deps` produces. Unsupported package
+    * features (custom materializations, on-run-start/end hooks) throw with
+    * the package name: silently skipping them would materialize wrong. */
+  private def loadPackages(installDir: Path): Seq[LoadedPackage] = {
+    if (!Files.isDirectory(installDir)) return Nil
+    val dirs = Files.list(installDir).iterator().asScala
+      .filter(d => Files.isDirectory(d) && Files.exists(d.resolve("dbt_project.yml")))
+      .toSeq.sortBy(_.toString)
+    dirs.map { pdir =>
+      val node = mapper.readTree(new String(
+        Files.readAllBytes(pdir.resolve("dbt_project.yml")), "UTF-8"))
+      val pname = Option(node.get("name")).map(_.asText)
+        .getOrElse(pdir.getFileName.toString)
+      for (k <- Seq("on-run-start", "on-run-end") if node.has(k))
+        throw new IllegalArgumentException(
+          s"dbt package '$pname': $k hooks are not supported")
+      def ppaths(key: String, default: String): Seq[Path] =
+        Option(node.get(key)).map(_.elements().asScala.map(_.asText).toSeq)
+          .getOrElse(Seq(default)).map(pdir.resolve)
+      val macroSrc = ppaths("macro-paths", "macros").flatMap(walk(_, ".sql"))
+        .sortBy(_.toString)
+        .map(p => new String(Files.readAllBytes(p), "UTF-8")).mkString("\n")
+      if ("\\{%-?\\s*materialization\\b".r.findFirstIn(macroSrc).isDefined)
+        throw new IllegalArgumentException(
+          s"dbt package '$pname': custom materializations are not supported")
+      val spans = macroDefRe.findAllMatchIn(macroSrc)
+        .map(m => m.group(1) -> m.matched).toMap
+      val stems = spans.keySet
+      val qq = (s: String) => java.util.regex.Pattern.quote(s)
+      val renamed: Map[String, String] = spans.map { case (m, src0) =>
+        var src = src0
+        // qualified self-references first, then bare calls — the bare rule
+        // also renames the def header itself (`macro m(` → `macro p__m(`)
+        for (o <- stems) {
+          src = (s"\\b${qq(pname)}\\s*\\.\\s*${qq(o)}\\s*\\(").r
+            .replaceAllIn(src, s"${pname}__$o(")
+          src = (s"\\b${qq(o)}\\s*\\(").r.replaceAllIn(src, s"${pname}__$o(")
+        }
+        s"${pname}__$m" -> src
+      }
+      // global-scope vars only (reference filters package-scoped dicts);
+      // entries under the package's own name promote to that scope
+      val rawVars = Option(node.get("vars"))
+      val flat = rawVars.toSeq.flatMap(_.properties().asScala)
+        .filter(!_.getValue.isObject).map(e => e.getKey -> e.getValue.asText)
+      val scoped = rawVars.flatMap(v => Option(v.get(pname))).toSeq
+        .flatMap(_.properties().asScala)
+        .filter(!_.getValue.isObject).map(e => e.getKey -> e.getValue.asText)
+      val pmodels = ppaths("model-paths", "models").flatMap(walk(_, ".sql"))
+        .flatMap(f => parseModel(f, pname))
+      val pseeds = ppaths("seed-paths", "seeds").flatMap(walk(_, ".csv")).map(f =>
+        Model(s"$pname.${stem(f)}", SeedBody(f.toString),
+          kind = ModelKind.Seed(f.toString)))
+      LoadedPackage(pname, pmodels ++ pseeds, stems, renamed,
+        (flat ++ scoped).toMap)
+    }
+  }
+
   // ------------------------------------------------------------- helpers
 
   private def walk(dir: Path, suffix: String): Seq[Path] =
@@ -372,6 +525,30 @@ object DbtLoader {
     if (s.length >= 2 && ((s.head == '\'' && s.last == '\'') ||
         (s.head == '"' && s.last == '"'))) s.substring(1, s.length - 1)
     else s
+
+  /** Hook config value → SQL statements: either one quoted statement or a
+    * `['stmt1', 'stmt2']` list. Unlike [[splitList]], the element split is
+    * quote-aware — hook SQL routinely contains commas. */
+  private[loader] def splitSqlList(s: String): Seq[String] = {
+    val t = s.trim
+    if (!(t.startsWith("[") && t.endsWith("]"))) Seq(unquote(t)).filter(_.nonEmpty)
+    else {
+      val inner = t.substring(1, t.length - 1)
+      val parts = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var qch = ' '
+      inner.foreach { c =>
+        if (qch != ' ') { if (c == qch) qch = ' '; cur.append(c) }
+        else c match {
+          case '\'' | '"' => qch = c; cur.append(c)
+          case ','        => parts += cur.toString; cur.clear()
+          case _          => cur.append(c)
+        }
+      }
+      if (cur.nonEmpty) parts += cur.toString
+      parts.result().map(x => unquote(x.trim)).filter(_.nonEmpty)
+    }
+  }
 
   /** `[a, 'b']` or `a` → Seq(a, b). */
   private def splitList(s: String): Seq[String] = {

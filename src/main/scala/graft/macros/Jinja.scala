@@ -343,6 +343,12 @@ object Jinja {
     ok && depth == 0
   }
 
+  /** Whether `pkg.name` is a natively-rendered builtin (the dbt_utils
+    * subset below). DbtLoader consults this so a VENDORED dbt_utils copy
+    * doesn't shadow the native rendering — the vendored macros dispatch on
+    * `adapter.*`, which a pure-text render can't satisfy. */
+  def hasBuiltin(name: String): Boolean = dbtUtils.contains(name)
+
   /** The dbt_utils subset (reference sqlmesh_dbt compatibility surface;
     * dbt-labs/dbt-utils cross-db macros re-expressed as Spark SQL). Args
     * arrive RAW (quoted strings / `[list, literals]`) — each builtin does

@@ -467,6 +467,59 @@ class MainCliSpec extends AnyFunSuite {
     assert(java.nio.file.Files.size(java.nio.file.Paths.get(docsDir, "index.html")) > 0)
   }
 
+  test("dbt packages + hooks: vendored macro, package model/var, pre/post hooks") {
+    val proj = SparkTestSession.tmpDir("cli-dbt-pkg")
+    def w(rel: String, text: String): Unit = {
+      val p = java.nio.file.Paths.get(proj, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, text)
+    }
+    w("dbt_project.yml", "name: shopk\n")
+    // vendored package, dbt-deps layout: own project yml (with a
+    // global-scope var), a macro, and a model the project refs two-arg
+    w("dbt_packages/util_pkg/dbt_project.yml",
+      "name: util_pkg\nvars:\n  fx_rate: '2'\n")
+    w("dbt_packages/util_pkg/macros/money.sql",
+      "{% macro money(c) %}round({{ c }} * {{ var('fx_rate') }}, 2){% endmacro %}")
+    w("dbt_packages/util_pkg/models/pkg_base.sql",
+      "{{ config(materialized='view') }}\nSELECT 1 AS one\n")
+    // project model: BARE package-macro call (global namespace), a two-arg
+    // ref into the package, and pre/post hooks — the pre-hook creates the
+    // audit schema, the post-hook snapshots a rowcount off {{ this }}
+    w("models/hooked_rev.sql",
+      """{{ config(materialized='table', schema='dshopk',
+        |   pre_hook="CREATE SCHEMA IF NOT EXISTS hookaudit",
+        |   post_hook="CREATE OR REPLACE VIEW hookaudit.rev_audit AS SELECT count(*) AS n FROM {{ this }}") }}
+        |SELECT o_orderkey, o_totalprice, {{ money('o_totalprice') }} AS rev2, b.one
+        |FROM {{ source('raw', 'orders') }} CROSS JOIN {{ ref('util_pkg', 'pkg_base') }} b
+        |WHERE o_orderdate < TIMESTAMP '1995-02-01'
+        |""".stripMargin)
+    w("models/schema.yml",
+      "sources:\n  - name: raw\n    tables:\n      - name: orders\n")
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    val window = Seq("--start", "1995-01-01", "--end", "1995-02-01")
+
+    val (b0, built) = cli(Seq("dbt", "build") ++ window ++ base: _*)
+    assert(b0 == 0 && built.contains("Completed successfully"), built)
+    // macro + package var rendered: rev2 = round(o_totalprice * 2, 2)
+    val rows = spark.table("dshopk.hooked_rev")
+    assert(rows.count() > 0)
+    val bad = rows.filter(
+      org.apache.spark.sql.functions.expr("rev2 != round(o_totalprice * 2, 2) OR one != 1"))
+    assert(bad.isEmpty, "package macro/var or two-arg ref rendered wrong")
+    // hooks ran in order: schema from the pre-hook, view from the post-hook
+    assert(spark.table("hookaudit.rev_audit").head.getLong(0) == rows.count(),
+      "post-hook rowcount view disagrees with the materialized table")
+
+    // ambiguity fails loudly with the package names
+    w("dbt_packages/util_pkg2/dbt_project.yml", "name: util_pkg2\n")
+    w("dbt_packages/util_pkg2/macros/money.sql",
+      "{% macro money(c) %}{{ c }}{% endmacro %}")
+    val (a0, ambig) = cli(Seq("dbt", "list") ++ base: _*)
+    assert(a0 != 0 && ambig.contains("util_pkg") && ambig.contains("util_pkg2"),
+      s"ambiguous package macro should fail loudly: $ambig")
+  }
+
   test("plan --min-intervals pulls a narrow window back to cover N intervals") {
     val proj = SparkTestSession.tmpDir("cli-mini")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
