@@ -48,6 +48,27 @@ object Bench {
     }
     calibPass()
     val calib = calibPass()
+    // second, SCAN-SHAPED calibration (r10 verdict #4): the CPU probe above
+    // normalizes arithmetic-bound work, but scan-dominated queries
+    // (td_hash_sample, q6) are bounded by parquet decode + page-cache/IO
+    // state, which the CPU constant doesn't capture — r10's td_hash_sample
+    // sat at norm 0.9 vs ~0.45 purely because of that mismatch. Fixed work:
+    // write an incompressible ~8M-row parquet once (untimed), then time a
+    // scan+aggregate over it. Scan-shaped queries should be adjudicated
+    // against norm_scan; arithmetic-shaped ones against norm.
+    val scanDir = java.nio.file.Files.createTempDirectory("graft_calib_scan").toString
+    spark.range(0L, 8000000L, 1L, cpus.toInt)
+      .selectExpr("id", "md5(cast(id AS string)) AS s",
+        "CAST(id % 1000 AS double) AS d")
+      .write.mode("overwrite").parquet(scanDir)
+    def scanCalibPass(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(scanDir)
+        .selectExpr("sum(length(s))", "sum(d)", "count(*)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    scanCalibPass()
+    val calibScan = scanCalibPass()
     // median-of-k timing: a single GC/contention spike on one run must not
     // define the round (r4/r6/r7 all burned adjudication on exactly that).
     // Each query runs k=3 times; the headline number is the per-query MEDIAN,
@@ -92,6 +113,7 @@ object Bench {
     // shows in both. r9 burned adjudication on exactly this ambiguity
     // (q6_filter/q3_topn elevated 3–4× with byte-identical shuffles).
     val norm = jmap { case (_, (med, _, _, _, _)) => num(med / calib, 3) }
+    val normScan = jmap { case (_, (med, _, _, _, _)) => num(med / calibScan, 3) }
     val failed = results.collect { case (k, (_, _, _, _, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.map(_._1).sum
@@ -102,8 +124,8 @@ object Bench {
     // parsed:null). The headline stays small (rounded medians + norm ratios);
     // per-run/min/shuffle detail lives on its own preceding line for judges
     // who want the raw evidence.
-    println(s"""{"detail":"bench_runs","stat":"median_of_$reps","total_min":$totalMin,"queries_min":$mins,"runs":$runsJ,"shuffle_mb":$sh}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"norm":$norm,"failed":$failed,"calib_s":$calib,"sf":"$sfDir"}""")
+    println(s"""{"detail":"bench_runs","stat":"median_of_$reps","total_min":$totalMin,"queries_min":$mins,"runs":$runsJ,"shuffle_mb":$sh,"norm_scan":$normScan}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"norm":$norm,"failed":$failed,"calib_s":$calib,"calib_scan_s":$calibScan,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
