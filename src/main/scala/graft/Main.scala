@@ -293,7 +293,18 @@ object Main {
           0
         case "render" =>
           val model = positionalRequired(positional, "render <model>")
-          out.println(ctx.renderSql(model, start, end))
+          val sql = ctx.renderSql(model, start, end)
+          if (has("html")) {
+            // the VSCode render webview's payload: rendered SQL + the same
+            // lineage SVG the SPA draws, generated server-side. Lineage is
+            // best-effort — a model that renders but whose lineage analysis
+            // trips must still preview.
+            val ups = ctx.allModels.get(model).map(_.references.toSeq.sorted)
+              .getOrElse(Nil)
+            val lin = scala.util.Try(ctx.columnLineage(model))
+              .getOrElse(Map.empty[String, Set[String]])
+            out.println(graft.web.RenderHtml.renderPage(model, sql, ups, lin))
+          } else out.println(sql)
           0
         case "audit" =>
           val model = positionalRequired(positional, "audit <model>")
@@ -848,7 +859,7 @@ object Main {
     val boolFlags = Set("auto-apply", "forward-only", "skip-backfill", "dry-run",
       "no-gaps", "check", "empty-backfill", "skip-tests", "skip-linter", "run",
       "ignore-cron", "no-auto-upstream", "skip-janitor", "show-sample", "sync",
-      "explain", "full-refresh", "deploy", "pr-backfill", "force",
+      "explain", "full-refresh", "deploy", "pr-backfill", "force", "html",
       "no-diff", "diff-rendered", "include-unmodified", "exclude-unmodified",
       "no-auto-categorization")
     var i = 0

@@ -124,6 +124,9 @@ final class LspServer(in: InputStream, out: OutputStream,
         caps.put("workspaceSymbolProvider", true)
         caps.putObject("codeActionProvider").putArray("codeActionKinds")
           .add("quickfix")
+        caps.putObject("renameProvider").put("prepareProvider", true)
+        caps.put("inlayHintProvider", true)
+        caps.putObject("codeLensProvider").put("resolveProvider", false)
         val res = mapper.createObjectNode()
         res.set[JsonNode]("capabilities", caps)
         val info = res.putObject("serverInfo")
@@ -154,6 +157,10 @@ final class LspServer(in: InputStream, out: OutputStream,
       case "textDocument/references" => respond(id, references(params))
       case "workspace/symbol" => respond(id, workspaceSymbols(params))
       case "textDocument/codeAction" => respond(id, codeActions(params))
+      case "textDocument/prepareRename" => respond(id, prepareRename(params))
+      case "textDocument/rename" => respond(id, rename(params))
+      case "textDocument/inlayHint" => respond(id, inlayHints(params))
+      case "textDocument/codeLens" => respond(id, codeLenses(params))
       case _ if id != null =>
         // JSON-RPC MethodNotFound — a null RESULT would read as "supported,
         // empty answer" and stop clients from falling back
@@ -352,10 +359,41 @@ final class LspServer(in: InputStream, out: OutputStream,
     arr
   }
 
+  /** Current text of a project file: the in-memory overlay when the editor
+    * has it open (unsaved didChange edits included), else disk. */
+  private def textOf(file: String): String = {
+    val uri = java.nio.file.Paths.get(file).toUri.toString
+    docs.getOrElse(uri,
+      java.nio.file.Files.readString(java.nio.file.Paths.get(file)))
+  }
+
+  /** First usage site of `name` in a file: the (line, startChar..endChar)
+    * of its first non-identifier-bounded occurrence, falling back to the
+    * given declaration line when the text form differs. */
+  private def usageLocation(file: String, text: String, name: String,
+                            declLine: Int): ObjectNode = {
+    val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(name) + "(?![\\w.])").r
+    val lines = text.split('\n')
+    lines.iterator.zipWithIndex
+      .flatMap { case (l, i) => re.findFirstMatchIn(l).map(m => (i, m.start, m.end)) }
+      .nextOption() match {
+      case Some((line, a, b)) =>
+        val loc = mapper.createObjectNode()
+        loc.put("uri", java.nio.file.Paths.get(file).toUri.toString)
+        val r = loc.putObject("range")
+        val s = r.putObject("start"); s.put("line", line); s.put("character", a)
+        val e = r.putObject("end"); e.put("line", line); e.put("character", b)
+        loc
+      case None => location(file, declLine)
+    }
+  }
+
   /** textDocument/references: models whose query READS the name under the
     * cursor — the DAG's inverse edge, answered from the same parsed project
-    * the definition index uses. includeDeclaration prepends the model's own
-    * declaration site. */
+    * the definition index uses. Open documents resolve through the overlay
+    * (unsaved edits count), and each hit points at the actual usage site in
+    * the referencing file, not its declaration line. includeDeclaration
+    * prepends the model's own declaration site. */
   private def references(params: JsonNode): ArrayNode = {
     val arr = mapper.createArrayNode()
     wordAt(params).foreach { name =>
@@ -365,11 +403,13 @@ final class LspServer(in: InputStream, out: OutputStream,
         modelIndex.get(name).foreach { case (f, l) => arr.add(location(f, l)) }
       modelIndex.values.map(_._1).toSeq.distinct.sorted.foreach { file =>
         scala.util.Try {
-          val text = java.nio.file.Files.readString(java.nio.file.Paths.get(file))
+          val text = textOf(file)
           graft.loader.ModelLoader.parseAll(text, file)
             .filter(m => m.name != name && m.references.contains(name))
-            .foreach(m => modelIndex.get(m.name)
-              .foreach { case (f, l) => arr.add(location(f, l)) })
+            .foreach { m =>
+              val declLine = modelIndex.get(m.name).map(_._2).getOrElse(0)
+              arr.add(usageLocation(file, text, name, declLine))
+            }
         }
       }
     }
@@ -396,10 +436,14 @@ final class LspServer(in: InputStream, out: OutputStream,
     // single-line and multi-line blocks alike, with no comma bookkeeping.
     // The header offset comes from a DOTALL regex over the whole text — the
     // parser accepts `MODEL\n(`, so a per-line match would mis-anchor the
-    // edit at (0,0) and corrupt the file on apply. Files hold one MODEL
-    // block (blueprints expand N models from that ONE header — a property
+    // edit at (0,0) and corrupt the file on apply. The text is MASKED first
+    // (comments and string literals blanked, offsets preserved) so a
+    // `MODEL (` inside a leading comment or string can't capture the anchor
+    // and corrupt the real block on apply. Files hold one MODEL block
+    // (blueprints expand N models from that ONE header — a property
     // inserted there fixes every instance, so fixes dedupe per rule).
-    val headers = "(?is)\\bMODEL\\s*\\(".r.findAllMatchIn(text).map(_.end).toSeq
+    val headers = "(?is)\\bMODEL\\s*\\(".r.findAllMatchIn(maskNonCode(text))
+      .map(_.end).toSeq
     if (headers.isEmpty) return arr
     def posOf(off: Int): (Int, Int) = {
       val pre = text.substring(0, off)
@@ -425,6 +469,197 @@ final class LspServer(in: InputStream, out: OutputStream,
     byRule.get("nomissingaudits").foreach(vs =>
       quickfix(s"Add a minimal audit (number_of_rows) to ${vs.head.model}",
         "audits (number_of_rows(threshold := 0)), "))
+    arr
+  }
+
+  /** Blank out `--` line comments, `/* */` block comments and quoted
+    * string literals with spaces — LENGTH-PRESERVING, so offsets/lines
+    * computed over the mask apply verbatim to the original text. */
+  private[lsp] def maskNonCode(text: String): String = {
+    val out = text.toCharArray
+    var i = 0; val n = text.length
+    def blankUntil(end: Int): Unit =
+      while (i < end) { if (out(i) != '\n') out(i) = ' '; i += 1 }
+    while (i < n) text.charAt(i) match {
+      case '-' if i + 1 < n && text.charAt(i + 1) == '-' =>
+        val nl = text.indexOf('\n', i); blankUntil(if (nl < 0) n else nl)
+      case '/' if i + 1 < n && text.charAt(i + 1) == '*' =>
+        val close = text.indexOf("*/", i + 2)
+        blankUntil(if (close < 0) n else close + 2)
+      case q @ ('\'' | '"') =>
+        out(i) = ' '; i += 1
+        while (i < n && text.charAt(i) != q) { if (out(i) != '\n') out(i) = ' '; i += 1 }
+        if (i < n) { out(i) = ' '; i += 1 }
+      case _ => i += 1
+    }
+    new String(out)
+  }
+
+  // -------------------------------------------------- rename (CTE + model)
+
+  /** CTE aliases defined in a document: `WITH x AS (` / `, x AS (`. */
+  private def cteNames(text: String): Set[String] =
+    "(?is)(?:\\bwith|,)\\s+([A-Za-z_]\\w*)\\s+as\\s*\\(".r
+      .findAllMatchIn(maskNonCode(text)).map(_.group(1)).toSet
+
+  /** The identifier under the cursor with its exact range. */
+  private def wordRangeAt(params: JsonNode): Option[(String, Int, Int, Int)] = {
+    val uri = params.get("textDocument").get("uri").asText
+    val pos = params.get("position")
+    val (lineNo, chNo) = (pos.get("line").asInt, pos.get("character").asInt)
+    docs.get(uri).flatMap { text =>
+      val lines = text.split('\n')
+      if (lineNo >= lines.length) None
+      else {
+        val l = lines(lineNo)
+        def isWord(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
+        var a = math.min(chNo, l.length); var b = a
+        while (a > 0 && isWord(l(a - 1))) a -= 1
+        while (b < l.length && isWord(l(b))) b += 1
+        if (a == b) None else Some((l.substring(a, b), lineNo, a, b))
+      }
+    }
+  }
+
+  /** textDocument/prepareRename (reference lsp/rename.py:21): renameable
+    * symbols are CTE aliases (document-local) and project model names
+    * (cross-file). Anything else → null, so the editor never opens a
+    * rename box it can't honor. */
+  private def prepareRename(params: JsonNode): JsonNode =
+    wordRangeAt(params).flatMap { case (word, line, a, b) =>
+      val uri = params.get("textDocument").get("uri").asText
+      val isCte = docs.get(uri).exists(t => cteNames(t).contains(word))
+      if (isCte || modelIndex.contains(word)) {
+        val res = mapper.createObjectNode()
+        val r = res.putObject("range")
+        val s = r.putObject("start"); s.put("line", line); s.put("character", a)
+        val e = r.putObject("end"); e.put("line", line); e.put("character", b)
+        res.put("placeholder", word)
+        Some(res: JsonNode)
+      } else None
+    }.getOrElse(mapper.nullNode())
+
+  /** textDocument/rename: CTE aliases rename every occurrence in the
+    * document; model names rename across the project — the declaring file
+    * plus every file that references the model (open-document overlays
+    * included), as one WorkspaceEdit keyed by uri. */
+  private def rename(params: JsonNode): JsonNode = {
+    val newName = params.get("newName").asText
+    wordRangeAt(params).flatMap { case (word, _, _, _) =>
+      val uri = params.get("textDocument").get("uri").asText
+      val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(word) + "(?![\\w.])").r
+      def editsIn(text: String): ArrayNode = {
+        val edits = mapper.createArrayNode()
+        text.split('\n').iterator.zipWithIndex.foreach { case (l, i) =>
+          re.findAllMatchIn(l).foreach { m =>
+            val e = edits.addObject()
+            val r = e.putObject("range")
+            val s = r.putObject("start"); s.put("line", i); s.put("character", m.start)
+            val en = r.putObject("end"); en.put("line", i); en.put("character", m.end)
+            e.put("newText", newName)
+          }
+        }
+        edits
+      }
+      if (docs.get(uri).exists(t => cteNames(t).contains(word))) {
+        val res = mapper.createObjectNode()
+        res.putObject("changes").set[JsonNode](uri, editsIn(docs(uri)))
+        Some(res: JsonNode)
+      } else if (modelIndex.contains(word)) {
+        val res = mapper.createObjectNode()
+        val changes = res.putObject("changes")
+        val files = (modelIndex(word)._1 +:
+          modelIndex.values.map(_._1).toSeq).distinct.sorted
+        files.foreach { file =>
+          scala.util.Try {
+            val text = textOf(file)
+            if (re.findFirstIn(text).isDefined) {
+              val furi = java.nio.file.Paths.get(file).toUri.toString
+              changes.set[JsonNode](docs.keys.find(_ == furi).getOrElse(furi),
+                editsIn(text))
+            }
+          }
+        }
+        Some(res: JsonNode)
+      } else None
+    }.getOrElse(mapper.nullNode())
+  }
+
+  // ------------------------------------------------------- inlay hints
+
+  /** textDocument/inlayHint (reference lsp/hints.py:15): type hints for
+    * SELECT output columns of a model with a DECLARED `columns (...)`
+    * schema — after `AS alias` aliases and after bare column names that
+    * are select-list items on their own line. Alias hints skip lines with
+    * an explicit cast (the type is already on screen — the reference skips
+    * exp.Cast the same way). */
+  private def inlayHints(params: JsonNode): ArrayNode = {
+    val arr = mapper.createArrayNode()
+    val uri = params.get("textDocument").get("uri").asText
+    val text = docs.getOrElse(uri, "")
+    if (text.isEmpty) return arr
+    val range = Option(params.get("range"))
+    val (from, to) = (
+      range.map(_.path("start").path("line").asInt(0)).getOrElse(0),
+      range.map(_.path("end").path("line").asInt(Int.MaxValue))
+        .getOrElse(Int.MaxValue))
+    val declared: Map[String, String] = scala.util.Try(
+      graft.loader.ModelLoader.parseAll(text, uri)).getOrElse(Nil)
+      .flatMap(_.columns).map { case (c, t) => c.toLowerCase -> t }.toMap
+    if (declared.isEmpty) return arr
+    def add(line: Int, ch: Int, tpe: String): Unit = {
+      val h = arr.addObject()
+      val p = h.putObject("position"); p.put("line", line); p.put("character", ch)
+      h.put("label", s": $tpe"); h.put("kind", 1); h.put("paddingLeft", true)
+    }
+    val aliasRe = "(?i)\\bAS\\s+([A-Za-z_]\\w*)".r
+    val bareRe = "^\\s*([A-Za-z_]\\w*)\\s*,?\\s*$".r
+    val masked = maskNonCode(text).split('\n')
+    masked.iterator.zipWithIndex
+      .filter { case (_, i) => i >= from && i <= to }
+      .foreach { case (l, i) =>
+        if (!l.toLowerCase.contains("cast(") && !l.toLowerCase.contains("cast ("))
+          aliasRe.findAllMatchIn(l).foreach { m =>
+            declared.get(m.group(1).toLowerCase).foreach(add(i, m.end, _)) }
+        bareRe.findFirstMatchIn(l).foreach { m =>
+          declared.get(m.group(1).toLowerCase)
+            .foreach(add(i, m.end(1), _)) }
+      }
+    arr
+  }
+
+  // -------------------------------------------------------- code lenses
+
+  /** textDocument/codeLens (reference lsp/tests_ranges.py:13): each test in
+    * a YAML unit-test file surfaces as a runnable lens — top-level keys
+    * whose block declares a `model:`, with a `graft.test <name>` command
+    * the client binds to `graft test` (the vscode extension does). */
+  private def codeLenses(params: JsonNode): ArrayNode = {
+    val arr = mapper.createArrayNode()
+    val uri = params.get("textDocument").get("uri").asText
+    if (!uri.endsWith(".yml") && !uri.endsWith(".yaml")) return arr
+    val text = docs.get(uri).orElse(scala.util.Try(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(uriToPath(uri)))).toOption).getOrElse("")
+    val lines = text.split('\n')
+    val keyRe = "^([A-Za-z_]\\w*):\\s*$".r
+    val tops = lines.iterator.zipWithIndex
+      .flatMap { case (l, i) => keyRe.findFirstMatchIn(l).map(m => (m.group(1), i)) }
+      .toSeq
+    tops.zipWithIndex.foreach { case ((name, line), idx) =>
+      val blockEnd = tops.lift(idx + 1).map(_._2).getOrElse(lines.length)
+      val block = lines.slice(line, blockEnd)
+      if (block.exists(_.matches("\\s+model:.*"))) {
+        val lens = arr.addObject()
+        val r = lens.putObject("range")
+        val s = r.putObject("start"); s.put("line", line); s.put("character", 0)
+        val e = r.putObject("end"); e.put("line", line); e.put("character", name.length)
+        val c = lens.putObject("command")
+        c.put("title", s"Run test $name")
+        c.put("command", "graft.test")
+        c.putArray("arguments").add(name).add(uriToPath(uri))
+      }
+    }
     arr
   }
 

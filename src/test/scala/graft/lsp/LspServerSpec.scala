@@ -240,6 +240,228 @@ class LspServerSpec extends AnyFunSuite {
     assert(fixed.head.owner.contains("unknown"), lines.mkString("\n"))
   }
 
+  test("code actions ignore a MODEL( inside a leading comment or string") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-proj-mask")
+    val uri = "file://" + proj + "/masked.sql"
+    // the decoy `MODEL (` lives in a comment ABOVE the real block — a raw
+    // regex over the text would anchor the quick-fix inside the comment and
+    // corrupt the real header on apply
+    val dirty = "-- wrap in MODEL (name ...) like this\\n" +
+      "MODEL (name lspm.dirty, kind FULL, " +
+      "audits (not_null(columns = (b))));\\nSELECT 'MODEL (' AS b\\n"
+    val msgs = session(proj, Seq(
+      req(1, "initialize", s"""{"rootUri":null,"capabilities":{}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$uri","languageId":"sql","version":1,"text":"$dirty"}}"""),
+      req(2, "textDocument/codeAction",
+        s"""{"textDocument":{"uri":"$uri"},"range":{"start":{"line":0,"character":0},"end":{"line":0,"character":0}},"context":{"diagnostics":[]}}"""),
+      note("exit", "{}")))
+    val actions = msgs.find(m => m.has("id") && m.get("id").asInt == 2).get.get("result")
+    assert(actions.size == 1, actions.toString)
+    val e = actions.get(0).get("edit").get("changes").get(uri).get(0)
+    // anchored after the REAL header's paren on line 1 — not the comment's
+    assert(e.get("range").get("start").get("line").asInt == 1, e.toString)
+    val lines = dirty.replace("\\n", "\n").split("\n", -1)
+    val ch = e.get("range").get("start").get("character").asInt
+    lines(1) = lines(1).take(ch) + e.get("newText").asText + lines(1).drop(ch)
+    val fixed = graft.loader.ModelLoader.parseAll(lines.mkString("\n"), "<p>")
+    assert(fixed.head.owner.contains("unknown"), lines.mkString("\n"))
+  }
+
+  /** Apply a WorkspaceEdit's edits for one uri to a text (bottom-up so
+    * earlier edits don't shift later ranges). */
+  private def applyEdits(text: String, edits: JsonNode): String = {
+    val lines = text.split("\n", -1).toBuffer
+    val es = (0 until edits.size).map(edits.get).sortBy { e =>
+      (-e.get("range").get("start").get("line").asInt,
+       -e.get("range").get("start").get("character").asInt)
+    }
+    es.foreach { e =>
+      val l = e.get("range").get("start").get("line").asInt
+      val a = e.get("range").get("start").get("character").asInt
+      val b = e.get("range").get("end").get("character").asInt
+      lines(l) = lines(l).take(a) + e.get("newText").asText + lines(l).drop(b)
+    }
+    lines.mkString("\n")
+  }
+
+  test("rename: CTE aliases in-document, model names across files, both re-lint clean") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-rename")
+    val dailyText =
+      """MODEL (name lspr.daily, kind FULL, owner 'dana',
+        |  audits (not_null(columns = (n))));
+        |WITH base AS (SELECT o_orderdate, 1 AS one FROM raw.orders)
+        |SELECT o_orderdate, count(one) AS n FROM base GROUP BY o_orderdate
+        |""".stripMargin
+    val reportText =
+      """MODEL (name lspr.report, kind FULL, owner 'dana',
+        |  audits (not_null(columns = (days))));
+        |SELECT count(*) AS days FROM lspr.daily
+        |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(proj, "daily.sql"), dailyText)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(proj, "report.sql"), reportText)
+    val dailyUri = java.nio.file.Paths.get(proj, "daily.sql").toUri.toString
+    val esc = dailyText.replace("\n", "\\n").replace("\"", "\\\"")
+    val msgs = session(proj, Seq(
+      req(1, "initialize", s"""{"rootUri":"file://$proj","capabilities":{}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$dailyUri","languageId":"sql","version":1,"text":"$esc"}}"""),
+      // cursor on `base` in `FROM base` (line 3) — a CTE alias
+      req(2, "textDocument/prepareRename",
+        s"""{"textDocument":{"uri":"$dailyUri"},"position":{"line":3,"character":${dailyText.split('\n')(3).indexOf("base") + 1}}}"""),
+      req(3, "textDocument/rename",
+        s"""{"textDocument":{"uri":"$dailyUri"},"position":{"line":3,"character":${dailyText.split('\n')(3).indexOf("base") + 1}},"newName":"orders_base"}"""),
+      // cursor on `lspr.daily` in the name property (line 0) — a model name
+      req(4, "textDocument/prepareRename",
+        s"""{"textDocument":{"uri":"$dailyUri"},"position":{"line":0,"character":14}}"""),
+      req(5, "textDocument/rename",
+        s"""{"textDocument":{"uri":"$dailyUri"},"position":{"line":0,"character":14},"newName":"lspr.daily_v2"}"""),
+      // something unrenameable: a bare keyword
+      req(6, "textDocument/prepareRename",
+        s"""{"textDocument":{"uri":"$dailyUri"},"position":{"line":3,"character":${dailyText.split('\n')(3).indexOf("GROUP") + 1}}}"""),
+      note("exit", "{}")))
+    def result(id: Int) = msgs.find(m => m.has("id") && m.get("id").asInt == id).get.get("result")
+    // CTE prepare: range + placeholder
+    assert(result(2).get("placeholder").asText == "base", result(2).toString)
+    // CTE rename: in-document, both the definition and the usage
+    val cteEdits = result(3).get("changes").get(dailyUri)
+    assert(cteEdits.size == 2, cteEdits.toString)
+    val renamedCte = applyEdits(dailyText, cteEdits)
+    assert(renamedCte.contains("WITH orders_base AS") &&
+      renamedCte.contains("FROM orders_base") && !renamedCte.contains(" base"),
+      renamedCte)
+    assert(graft.loader.ModelLoader.parseAll(renamedCte, "<p>").nonEmpty)
+    // model prepare + rename: WorkspaceEdit spans BOTH files
+    assert(result(4).get("placeholder").asText == "lspr.daily")
+    val changes = result(5).get("changes")
+    val reportUri = java.nio.file.Paths.get(proj, "report.sql").toUri.toString
+    assert(changes.has(dailyUri) && changes.has(reportUri), changes.toString)
+    val newDaily = applyEdits(dailyText, changes.get(dailyUri))
+    val newReport = applyEdits(reportText, changes.get(reportUri))
+    val pd = graft.loader.ModelLoader.parseAll(newDaily, "<p>")
+    val pr = graft.loader.ModelLoader.parseAll(newReport, "<p>")
+    assert(pd.head.name == "lspr.daily_v2", newDaily)
+    assert(pr.head.references.contains("lspr.daily_v2") &&
+      !pr.head.references.contains("lspr.daily"), newReport)
+    // and the renamed project lints clean (no new violations)
+    assert(graft.linter.Linter.lint(pd ++ pr)
+      .forall(v => !v.message.contains("lspr.daily")), "rename left a dangling ref")
+    // keyword: not renameable
+    assert(result(6).isNull, result(6).toString)
+  }
+
+  test("inlay hints: declared-schema types after SELECT aliases and bare columns") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-hints")
+    val uri = "file://" + proj + "/typed.sql"
+    val text =
+      """MODEL (name lsph.typed, kind FULL, owner 'dana',
+        |  columns (d DATE, n BIGINT, amt DOUBLE),
+        |  audits (not_null(columns = (n))));
+        |SELECT
+        |  d,
+        |  count(*) AS n,
+        |  CAST(sum(x) AS DOUBLE) AS amt
+        |FROM raw.t GROUP BY d
+        |""".stripMargin
+    val esc = text.replace("\n", "\\n").replace("\"", "\\\"")
+    val msgs = session(proj, Seq(
+      req(1, "initialize", s"""{"rootUri":null,"capabilities":{}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$uri","languageId":"sql","version":1,"text":"$esc"}}"""),
+      req(2, "textDocument/inlayHint",
+        s"""{"textDocument":{"uri":"$uri"},"range":{"start":{"line":3,"character":0},"end":{"line":8,"character":0}}}"""),
+      note("exit", "{}")))
+    val hints = msgs.find(m => m.has("id") && m.get("id").asInt == 2).get.get("result")
+    val got = (0 until hints.size).map { i =>
+      val h = hints.get(i)
+      (h.get("position").get("line").asInt, h.get("label").asText)
+    }.toSet
+    // bare `d,` line hints DATE; `AS n` hints BIGINT; the CAST alias line
+    // is skipped (type already explicit — reference hints.py skips Cast)
+    assert(got.contains((4, ": DATE")), got.toString)
+    assert(got.contains((5, ": BIGINT")), got.toString)
+    assert(!got.exists(_._1 == 6), s"cast alias should not hint: $got")
+  }
+
+  test("code lenses: YAML unit tests surface as runnable graft.test commands") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-lens")
+    val uri = "file://" + proj + "/tests.yaml"
+    val yaml =
+      """test_revenue_ok:
+        |  model: lspl.rev
+        |  outputs:
+        |    query:
+        |      - n: 1
+        |vars_block:
+        |  start: 2020-01-01
+        |test_rowcount:
+        |  model: lspl.rev
+        |  outputs:
+        |    query:
+        |      - n: 2
+        |""".stripMargin
+    val esc = yaml.replace("\n", "\\n").replace("\"", "\\\"")
+    val msgs = session(proj, Seq(
+      req(1, "initialize", s"""{"rootUri":null,"capabilities":{}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$uri","languageId":"yaml","version":1,"text":"$esc"}}"""),
+      req(2, "textDocument/codeLens", s"""{"textDocument":{"uri":"$uri"}}"""),
+      note("exit", "{}")))
+    val lenses = msgs.find(m => m.has("id") && m.get("id").asInt == 2).get.get("result")
+    val got = (0 until lenses.size).map { i =>
+      val l = lenses.get(i)
+      (l.get("range").get("start").get("line").asInt,
+        l.get("command").get("command").asText,
+        l.get("command").get("arguments").get(0).asText)
+    }
+    // the two test_ blocks (model: present) lens; the vars block does not
+    assert(got == Seq((0, "graft.test", "test_revenue_ok"),
+      (7, "graft.test", "test_rowcount")), got.toString)
+  }
+
+  test("references resolve through unsaved overlays at the usage site") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-refs-overlay")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "a.sql"),
+      """MODEL (name lspo.a, kind FULL, owner 'o', audits (number_of_rows(threshold := 0)));
+        |SELECT 1 AS x
+        |""".stripMargin)
+    // on DISK b does not reference a...
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "b.sql"),
+      """MODEL (name lspo.b, kind FULL, owner 'o', audits (number_of_rows(threshold := 0)));
+        |SELECT 2 AS y
+        |""".stripMargin)
+    val aUri = java.nio.file.Paths.get(proj, "a.sql").toUri.toString
+    val bUri = java.nio.file.Paths.get(proj, "b.sql").toUri.toString
+    // ...but the UNSAVED overlay edit makes it reference a
+    val bEdited =
+      """MODEL (name lspo.b, kind FULL, owner 'o', audits (number_of_rows(threshold := 0)));
+        |SELECT count(*) AS y FROM lspo.a
+        |""".stripMargin
+    val escA =
+      """MODEL (name lspo.a, kind FULL, owner 'o', audits (number_of_rows(threshold := 0)));\nSELECT 1 AS x\n"""
+    val escB = bEdited.replace("\n", "\\n")
+    val msgs = session(proj, Seq(
+      req(1, "initialize", s"""{"rootUri":"file://$proj","capabilities":{}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$aUri","languageId":"sql","version":1,"text":"$escA"}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$bUri","languageId":"sql","version":1,"text":"$escB"}}"""),
+      // cursor on lspo.a in a.sql's name property
+      req(2, "textDocument/references",
+        s"""{"textDocument":{"uri":"$aUri"},"position":{"line":0,"character":13},"context":{"includeDeclaration":false}}"""),
+      note("exit", "{}")))
+    val refs = msgs.find(m => m.has("id") && m.get("id").asInt == 2).get.get("result")
+    assert(refs.size == 1, refs.toString)
+    val loc = refs.get(0)
+    assert(loc.get("uri").asText == bUri, loc.toString)
+    // usage-accurate: line 1 (the FROM), character at `lspo.a`, not line 0
+    assert(loc.get("range").get("start").get("line").asInt == 1, loc.toString)
+    assert(loc.get("range").get("start").get("character").asInt ==
+      bEdited.split('\n')(1).indexOf("lspo.a"), loc.toString)
+  }
+
   test("robustness: bad notifications don't kill the loop, unknown methods err, name-after-parens indexes") {
     val proj = graft.SparkTestSession.tmpDir("lsp-proj3")
     // name AFTER a parenthesized property — the parser-backed index must
@@ -260,8 +482,8 @@ class LspServerSpec extends AnyFunSuite {
       // malformed notification (no text field) — must not kill the server
       note("textDocument/didOpen", s"""{"textDocument":{"uri":"$uri"}}"""),
       // unsupported request — must answer MethodNotFound, not null result
-      req(2, "textDocument/rename",
-        s"""{"textDocument":{"uri":"$uri"},"position":{"line":0,"character":0},"newName":"x"}"""),
+      req(2, "textDocument/semanticTokens/full",
+        s"""{"textDocument":{"uri":"$uri"}}"""),
       req(3, "textDocument/completion",
         s"""{"textDocument":{"uri":"$uri"},"position":{"line":0,"character":0}}"""),
       // formatting a doc with trailing blank lines replaces the WHOLE doc

@@ -108,6 +108,10 @@ class VscodeExtensionSpec extends AnyFunSuite {
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     assert(p.waitFor() == 0 && out.contains("HEADLESS OK"),
       s"headless harness failed:\n$out")
+    // phase 2: graft.renderModel opened a webview whose HTML is the
+    // server-rendered preview (rendered SQL + lineage SVG) — the harness
+    // drives the registered command against the real `graft render --html`
+    assert(out.contains("WEBVIEW OK"), s"render webview phase failed:\n$out")
   }
 
   test("extension.js is balanced (string-level syntax sanity)") {

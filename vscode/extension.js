@@ -176,6 +176,24 @@ function runCli(args, title) {
   p.on("exit", (code) => out.appendLine(title + " exited with " + code));
 }
 
+/** Run the CLI capturing stdout (stderr goes to the output channel), then
+  * hand the text to `done(code, stdout)` — the webview commands need the
+  * payload, not a console dump. */
+function runCliCapture(args, title, done) {
+  const cfg = config();
+  const out = output;
+  out.appendLine("$ " + cfg.command + " " + args.join(" "));
+  const p = cp.spawn(cfg.command, args.concat(["--project", cfg.project]));
+  let stdout = "";
+  p.on("error", (e) => {
+    out.appendLine(title + " failed to start: " + e.message);
+    done(-1, "");
+  });
+  p.stdout.on("data", (d) => { stdout += d.toString(); });
+  p.stderr.on("data", (d) => out.append(d.toString()));
+  p.on("exit", (code) => done(code, stdout));
+}
+
 function activate(context) {
   diagnostics = vscode.languages.createDiagnosticCollection("graft");
   output = vscode.window.createOutputChannel("Graft");
@@ -297,7 +315,19 @@ function activate(context) {
         vscode.window.showWarningMessage("Graft: no MODEL name in this file");
         return;
       }
-      runCli(["render", m[1]], "render");
+      // render preview panel (reference vscode webviews): the server
+      // produces the whole page — rendered SQL + the SPA's lineage SVG —
+      // so the webview is a dumb host with no scripts enabled
+      runCliCapture(["render", m[1], "--html"], "render", (code, html) => {
+        if (code !== 0 || !html.trim()) {
+          vscode.window.showErrorMessage("Graft: render " + m[1] + " failed (exit " + code + ")");
+          return;
+        }
+        const panel = vscode.window.createWebviewPanel(
+          "graftRender", "render " + m[1],
+          vscode.ViewColumn.Beside, {});
+        panel.webview.html = html;
+      });
     }),
     vscode.commands.registerCommand("graft.formatProject", () =>
       runCli(["format"], "format")),

@@ -12,6 +12,8 @@ const path = require("path");
 const Module = require("module");
 
 const registered = { commands: [], providers: [] };
+const handlers = {}; // command id -> handler, so the harness can invoke them
+const panels = []; // webview panels the extension opened
 let onDiagnostics = null;
 
 function ctor(name) {
@@ -51,6 +53,11 @@ const vscodeStub = {
     showWarningMessage: () => {},
     showErrorMessage: (m) => { console.error("EXT ERROR: " + m); },
     activeTextEditor: null,
+    createWebviewPanel: (type, title) => {
+      const p = { type: type, title: title, webview: { html: "" } };
+      panels.push(p);
+      return p;
+    },
   },
   languages: {
     createDiagnosticCollection: () => ({
@@ -67,8 +74,13 @@ const vscodeStub = {
     registerDocumentFormattingEditProvider: provider("formatting"),
   },
   commands: {
-    registerCommand: (id) => { registered.commands.push(id); return disposable(); },
+    registerCommand: (id, fn) => {
+      registered.commands.push(id);
+      handlers[id] = fn;
+      return disposable();
+    },
   },
+  ViewColumn: { Active: 1, Beside: 2 },
   Uri: {
     file: (p) => ({ toString: () => "file://" + p }),
     parse: (s) => ({ toString: () => s }),
@@ -129,8 +141,37 @@ onDiagnostics = (uri, ds) => {
     process.exit(1);
   }
   clearTimeout(timeout);
-  ext.deactivate();
-  process.exit(0);
+  onDiagnostics = null;
+  // phase 2: the render webview — graft.renderModel must open a panel whose
+  // HTML is the server-rendered preview (rendered SQL + lineage SVG) for
+  // the model named in the active editor. The render CLI boots a Spark
+  // session in this container, so this phase gets its own generous timeout.
+  vscodeStub.window.activeTextEditor = {
+    document: { getText: () => "MODEL (name hx.daily, kind FULL);" },
+  };
+  const webviewTimeout = setTimeout(() => {
+    console.error("TIMEOUT: no webview HTML from graft render within 240s");
+    process.exit(1);
+  }, 240000);
+  handlers["graft.renderModel"]();
+  const poll = setInterval(() => {
+    if (!panels.length || !panels[0].webview.html) return;
+    clearInterval(poll);
+    clearTimeout(webviewTimeout);
+    try {
+      const html = panels[0].webview.html;
+      assert(panels[0].title.includes("hx.daily"), panels[0].title);
+      assert(html.includes("hx.daily"), "webview html lacks the model name");
+      assert(/SELECT/i.test(html), "webview html lacks the rendered query");
+      assert(html.includes("<svg"), "webview html lacks the lineage SVG");
+      console.log("WEBVIEW OK bytes=" + html.length);
+    } catch (e) {
+      console.error("ASSERTION FAILED: " + (e && e.message));
+      process.exit(1);
+    }
+    ext.deactivate();
+    process.exit(0);
+  }, 250);
 };
 
 ext.activate({ subscriptions: subs });
