@@ -133,6 +133,92 @@ object FrameworkScaleProbe {
     val logKb = java.nio.file.Files.size(logPath) / 1024
     println(f"  wave flush: image untouched (${imgBytesBefore.length / 1024} KB), " +
       f"delta log $logKb KB ∝ 6000 dirty intervals")
+
+    // --- 2,000-model control plane (r10 verdict #8) ------------------------
+    // One order of magnitude past the 200-model wave: per-stage timings for
+    // the paths that could hide the next cliff — model registration + DAG,
+    // plan build (render + fingerprint + diff of 2,000 models in 4 layers),
+    // the state store's wide wave, the delta log CROSSING its compaction
+    // bound mid-flight, cold-start replay, and env promotion fan-out.
+    {
+      val ctx2 = new GraftContext(spark, SparkTestSession.tmpDir("ws-fw-2k"),
+        concurrency = 4)
+      val n2 = 2000
+      time(s"register $n2 models + DAG") {
+        (0 until n2).foreach { i =>
+          val body =
+            if (i < 500) s"SELECT $i AS id, CURRENT_DATE AS d"
+            else s"SELECT id + 1 AS id, d FROM wide2.m${i - 500}"
+          ctx2.addModel(Model(s"wide2.m$i", SqlBody(body), kind = ModelKind.Full))
+        }
+      }
+      val plan2 = time(s"plan build ($n2 models)") {
+        ctx2.plan("prod", day0, day0 + D, skipBackfill = true)
+      }
+      require(plan2.added.size == n2,
+        s"plan missed models: ${plan2.added.size}")
+
+      val st2Dir = SparkTestSession.tmpDir("ws-fw-state2k")
+      val st2 = new graft.state.FileStateStore(st2Dir)
+      val snaps2: Seq[Snapshot] = (0 until n2).map { i =>
+        val m = Model(s"wide2.m$i", SqlBody("SELECT 1 AS id"),
+          kind = ModelKind.IncrementalByTimeRange(timeColumn = "d",
+            batchSize = Some(1)),
+          cron = "@daily", start = Some(day0))
+        Snapshot(m, Fingerprint.of(m, "SELECT 1 AS id", Nil))
+      }
+      time(s"state push $n2 snapshots") {
+        st2.deferPersist { snaps2.foreach(st2.pushSnapshot) }
+      }
+      val sched2 = new graft.plans.Scheduler(ctx.evaluator, st2, concurrency = 4)
+      val img2 = java.nio.file.Paths.get(st2Dir, "state.json")
+      val img2Before = java.nio.file.Files.readAllBytes(img2)
+      val ww0 = st2.durableWrites
+      time(s"wave $n2 models x 15 batches") {
+        sched2.run(snaps2, day0, day0 + 15 * D, executionTs = day0 + 40 * D,
+          tableMapping = _ => Map.empty, recordOnly = true)
+      }
+      require(st2.durableWrites - ww0 == 1,
+        s"2k wave cost ${st2.durableWrites - ww0} durable writes — expected 1")
+      require(java.util.Arrays.equals(img2Before,
+        java.nio.file.Files.readAllBytes(img2)),
+        "2k wave rewrote the image instead of appending deltas")
+      val log2 = java.nio.file.Paths.get(st2Dir, "state.delta.jsonl")
+      println(f"  30k-record wave: image untouched, delta log " +
+        f"${java.nio.file.Files.size(log2) / 1024} KB")
+      // second wave pushes the log past DeltaCompactBound (50k): the flush
+      // must COMPACT — one full-image rewrite, log truncated — and stay one
+      // durable write for the whole wave
+      val ww1 = st2.durableWrites
+      time(s"wave crossing compaction bound") {
+        sched2.run(snaps2, day0 + 15 * D, day0 + 30 * D,
+          executionTs = day0 + 40 * D,
+          tableMapping = _ => Map.empty, recordOnly = true)
+      }
+      require(st2.durableWrites - ww1 == 1,
+        s"compacting wave cost ${st2.durableWrites - ww1} durable writes")
+      require(!java.nio.file.Files.exists(log2) ||
+        java.nio.file.Files.size(log2) == 0,
+        "crossing the bound did not truncate the delta log")
+      require(!java.util.Arrays.equals(img2Before,
+        java.nio.file.Files.readAllBytes(img2)),
+        "compaction did not fold the deltas into the image")
+      // cold start: replay cost at this width, and the state is intact
+      val st2b = time("cold reload (image, no log)") {
+        new graft.state.FileStateStore(st2Dir)
+      }
+      require(st2b.getSnapshot("wide2.m0", snaps2.head.version).get.intervals ==
+        Vector(Interval(day0, day0 + 30 * D)), "post-compaction state wrong")
+      // promotion fan-out: one env record carrying all 2,000 snapshots
+      time(s"promote env with $n2 snapshots") {
+        st2b.promoteEnvironment(graft.state.EnvironmentRecord("prod",
+          snaps2.map(s => s.model.name -> s.version).toMap, finalized = true,
+          planId = Some("probe-2k"),
+          identifiers = snaps2.map(s => s.model.name -> s.fingerprint.full).toMap))
+      }
+      require(new graft.state.FileStateStore(st2Dir)
+        .getEnvironment("prod").get.snapshots.size == n2)
+    }
     println("FRAMEWORK SCALE PROBE OK")
   }
 }
