@@ -307,13 +307,22 @@ class GraftContext(
     * seeds, snapshots become graft models; `dbt_project.yml` vars merge into
     * the render variables; `sources:` entries are returned so callers bind
     * them (`addExternal(src.relation, path)`). */
-  def loadDbtProject(dir: String, vars: Map[String, String] = Map.empty): Seq[graft.loader.DbtLoader.DbtSource] = {
-    val p = graft.loader.DbtLoader.loadProject(dir, vars)
+  def loadDbtProject(dir: String, vars: Map[String, String] = Map.empty,
+                     target: Option[String] = None): Seq[graft.loader.DbtLoader.DbtSource] = {
+    val p = graft.loader.DbtLoader.loadProject(dir, vars, target)
     p.models.foreach(addModel)
     extraVariables ++= p.vars
     dbtSourcesBuf ++= p.sources
+    dbtTargetOpt = p.target
+    dbtProjectName = Some(p.name)
     p.sources
   }
+
+  /** The resolved profiles.yml target of the last dbt project loaded
+    * (None for plain graft projects or profile-less dbt ones). */
+  var dbtTargetOpt: Option[graft.loader.DbtLoader.DbtTarget] = None
+  /** `name:` of the last dbt project loaded (artifact node-id namespace). */
+  var dbtProjectName: Option[String] = None
 
   private val dbtSourcesBuf =
     scala.collection.mutable.ArrayBuffer[graft.loader.DbtLoader.DbtSource]()

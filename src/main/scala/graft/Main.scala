@@ -182,7 +182,7 @@ object Main {
       // registry, so `plan`/`run`/`dbt` all work on either layout
       if (verb != "init" && verb != "format") projects.foreach { p =>
         if (java.nio.file.Files.exists(java.nio.file.Paths.get(p, "dbt_project.yml")))
-          ctx.loadDbtProject(p)
+          ctx.loadDbtProject(p, target = flag("target"))
         else ctx.loadModels(p)
       }
       flagAll("external").foreach { kv =>
@@ -635,6 +635,16 @@ object Main {
           // naturally onto the engine so they work here too.
           val sub = positional.headOption.getOrElse("")
           val env = flag("env").orElse(flag("environment")).getOrElse("prod")
+          // dbt writes target/manifest.json on every command; run-shaped
+          // verbs add run_results.json below — the artifact surface
+          // downstream dbt tooling (docs sites, monitors) consumes
+          val dbtProjDir = projects.headOption.getOrElse(sys.props("user.dir"))
+          val dbtProjName = ctx.dbtProjectName.getOrElse(
+            java.nio.file.Paths.get(dbtProjDir)
+              .toAbsolutePath.normalize.getFileName.toString)
+          if (sub.nonEmpty)
+            graft.loader.DbtArtifacts.writeManifest(dbtProjDir, dbtProjName,
+              ctx.allModels.values, ctx.dbtSources)
           val selExprs = graft.loader.DbtSelectors.toSelector(
             flagAll("select") ++ flagAll("s"),
             flagAll("models") ++ flagAll("m"), flagAll("exclude"))
@@ -651,11 +661,17 @@ object Main {
                 .map(n => n -> graft.core.Interval(0L, end)).toMap
             val p = ctx.plan(env, start, end, select = selExprs, restate = restate)
             ctx.apply(p)
+            // apply's backfill and the catch-up run are separate scheduler
+            // passes; the run report (console + run_results.json) is their
+            // union — apply-time batches would otherwise vanish from it
+            val applyReport = ctx.lastRunReport
             ctx.run(env, start, end, selectModels = selExprs)
-            val report = ctx.lastRunReport
+            val report = applyReport ++ ctx.lastRunReport
             report.foreach { case (m, iv, ms) =>
               out.println(f"  $m  [${fmtTs(iv.start)} … ${fmtTs(iv.end)})  $ms%d ms")
             }
+            graft.loader.DbtArtifacts.writeRunResults(dbtProjDir, dbtProjName,
+              ctx.allModels, report)
             out.println(s"Completed successfully: ${report.size} batches in '$env'")
             0
           }

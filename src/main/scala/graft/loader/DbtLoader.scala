@@ -43,15 +43,25 @@ object DbtLoader {
                              warnAfterMs: Option[Long] = None,
                              errorAfterMs: Option[Long] = None)
 
+  /** The resolved profiles.yml output (reference sqlmesh/dbt/profile.py +
+    * target.py TargetConfig): the base schema models materialize into, the
+    * warehouse type (must be a Spark flavor — graft IS the engine), and
+    * threads. Exposed to renders as `{{ target.name }}` etc. */
+  final case class DbtTarget(name: String, targetType: String,
+                             schema: Option[String], database: Option[String],
+                             threads: Int)
+
   final case class DbtProject(
       name: String,
       models: Seq[Model],
       sources: Seq[DbtSource],
-      vars: Map[String, String])
+      vars: Map[String, String],
+      target: Option[DbtTarget] = None)
 
   private val mapper = new ObjectMapper(new YAMLFactory())
 
-  def loadProject(dir: String, extraVars: Map[String, String] = Map.empty): DbtProject = {
+  def loadProject(dir: String, extraVars: Map[String, String] = Map.empty,
+                  targetName: Option[String] = None): DbtProject = {
     val root = Paths.get(dir)
     val projFile = root.resolve("dbt_project.yml")
     require(Files.exists(projFile), s"not a dbt project: $dir (no dbt_project.yml)")
@@ -62,15 +72,27 @@ object DbtLoader {
         .getOrElse(Seq(default))).map(root.resolve)
     val vars = Option(proj.get("vars")).map(nodeToVars).getOrElse(Map.empty) ++ extraVars
 
+    // profiles.yml / target semantics (reference dbt/profile.py, target.py):
+    // the profile keyed by `profile:` (default: project name) selects an
+    // output by --target (default: its `target:`); that output's schema is
+    // the BASE schema models materialize into, with `+schema` configs
+    // SUFFIXED dbt-style (generate_schema_name default: <target>_<custom>).
+    // No profiles.yml → the prior graft defaulting (schema config verbatim,
+    // else project name), so profile-less projects keep working.
+    val profileName = Option(proj.get("profile")).map(_.asText).getOrElse(projName)
+    val target = loadProfile(root, profileName, targetName)
+    val baseSchema = target.flatMap(_.schema)
+
     val modelFiles = paths("model-paths", "models").flatMap(walk(_, ".sql"))
     val ymlFiles = paths("model-paths", "models").flatMap(p =>
       walk(p, ".yml") ++ walk(p, ".yaml"))
     val seedFiles = paths("seed-paths", "seeds").flatMap(walk(_, ".csv"))
     val snapFiles = paths("snapshot-paths", "snapshots").flatMap(walk(_, ".sql"))
 
-    val models = modelFiles.flatMap(p => parseModel(p, projName))
+    val models = modelFiles.flatMap(p => parseModel(p, projName, baseSchema))
+    val seedSchema = baseSchema.getOrElse(projName)
     val seeds = seedFiles.map { p =>
-      Model(s"$projName.${stem(p)}", SeedBody(p.toString),
+      Model(s"$seedSchema.${stem(p)}", SeedBody(p.toString),
         kind = ModelKind.Seed(p.toString))
     }
     val snaps = snapFiles.flatMap(p => parseSnapshots(p, projName))
@@ -85,9 +107,15 @@ object DbtLoader {
     // package name rather than rendering wrong SQL.
     val pkgInstall = Option(proj.get("packages-install-path"))
       .map(_.asText).getOrElse("dbt_packages")
-    val pkgs = loadPackages(root.resolve(pkgInstall))
+    val pkgs = loadPackages(root.resolve(pkgInstall), baseSchema)
     val pkgVars = pkgs.flatMap(_.vars).toMap
-    val allVars = pkgVars ++ vars // project vars win over package vars
+    // `{{ target.* }}` render context (reference target.py attribute_dict)
+    val targetVars = target.toSeq.flatMap(t => Seq(
+      "target.name" -> t.name, "target.type" -> t.targetType,
+      "target.schema" -> t.schema.getOrElse(""),
+      "target.database" -> t.database.getOrElse(""),
+      "target.threads" -> t.threads.toString))
+    val allVars = pkgVars ++ vars ++ targetVars // project vars win over package vars
     // dbt refs are project-internal SHORT names ({{ ref('stg_orders') }});
     // resolve them here, where the whole registry is known — so both
     // dependency extraction and rendering see the full model name. Package
@@ -221,7 +249,7 @@ object DbtLoader {
         case _ => withHooks
       }
     }
-    DbtProject(projName, resolved, sources, allVars)
+    DbtProject(projName, resolved, sources, allVars, target)
   }
 
   // ------------------------------------------------------------- models
@@ -229,14 +257,22 @@ object DbtLoader {
   private val configBlock =
     "(?is)\\{\\{\\s*config\\s*\\((.*?)\\)\\s*\\}\\}".r
 
-  /** One models/x.sql file → Model (None when config(enabled=false)). */
-  def parseModel(p: Path, projName: String): Option[Model] = {
+  /** One models/x.sql file → Model (None when config(enabled=false)).
+    * With a profile's `baseSchema`, dbt's generate_schema_name default
+    * applies: no `+schema` config → the target schema; a custom schema →
+    * `<target>_<custom>`. Without a profile the config is used verbatim
+    * (else the project name). */
+  def parseModel(p: Path, projName: String,
+                 baseSchema: Option[String] = None): Option[Model] = {
     val text = new String(Files.readAllBytes(p), "UTF-8")
     val cfg = configBlock.findFirstMatchIn(text).map(m => parseConfig(m.group(1)))
       .getOrElse(Map.empty)
     if (cfg.get("enabled").exists(_.equalsIgnoreCase("false"))) return None
     val body = configBlock.replaceAllIn(text, "").trim
-    val schema = cfg.getOrElse("schema", projName)
+    val schema = baseSchema match {
+      case Some(ts) => cfg.get("schema").map(cs => s"${ts}_$cs").getOrElse(ts)
+      case None     => cfg.getOrElse("schema", projName)
+    }
     val name = s"$schema.${cfg.getOrElse("alias", stem(p))}"
     // pre/post hooks (reference dbt/basemodel.py:138 pre_hook/post_hook,
     // aliases "pre-hook"/"post-hook"; model.py:83 sql_header runs as a
@@ -406,6 +442,58 @@ object DbtLoader {
     }.filter(_._2.nonEmpty).toMap
   }
 
+  // ------------------------------------------------------------- profile
+
+  /** Locate and resolve profiles.yml (reference dbt/profile.py:60-110):
+    * search $DBT_PROFILES_DIR, then the project root, then ~/.dbt. Inside
+    * the selected output, `{{ env_var('K'[, 'default']) }}` renders from
+    * the environment (profile files routinely templatize credentials).
+    * Graft is the warehouse, so the output's `type` must be a Spark
+    * flavor — anything else fails loudly naming the type and target, the
+    * same contract as an unsupported adapter in the reference. Returns
+    * None when no profiles.yml exists (profile-less projects keep the
+    * plain-graft schema defaulting). */
+  def loadProfile(root: Path, profileName: String,
+                  targetName: Option[String]): Option[DbtTarget] = {
+    val candidates =
+      sys.env.get("DBT_PROFILES_DIR").map(d => Paths.get(d, "profiles.yml")).toSeq ++
+        Seq(root.resolve("profiles.yml"),
+          Paths.get(sys.props.getOrElse("user.home", "/"), ".dbt", "profiles.yml"))
+    val file = candidates.find(Files.exists(_)).getOrElse(return None)
+    val node = mapper.readTree(new String(Files.readAllBytes(file), "UTF-8"))
+    val prof = Option(node.get(profileName)).getOrElse(throw new IllegalArgumentException(
+      s"profile '$profileName' not found in $file"))
+    val outputs = Option(prof.get("outputs")).getOrElse(throw new IllegalArgumentException(
+      s"profile '$profileName' has no outputs in $file"))
+    val tname = targetName
+      .orElse(Option(prof.get("target")).map(n => renderEnvVars(n.asText)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"profile '$profileName': no target specified (add `target:` or pass --target)"))
+    val out = Option(outputs.get(tname)).getOrElse(throw new IllegalArgumentException(
+      s"target '$tname' not in profile '$profileName' — valid: " +
+        outputs.properties().asScala.map(_.getKey).mkString(", ")))
+    def str(k: String): Option[String] =
+      Option(out.get(k)).map(n => renderEnvVars(n.asText)).filter(_.nonEmpty)
+    val tpe = str("type").getOrElse("spark")
+    if (!Set("spark", "databricks")(tpe.toLowerCase))
+      throw new IllegalArgumentException(
+        s"profiles.yml target '$tname' has type '$tpe' — graft runs on Spark; " +
+          "set type: spark (or databricks) or pick another --target")
+    Some(DbtTarget(tname, tpe, str("schema"), str("database").orElse(str("catalog")),
+      str("threads").flatMap(_.toIntOption).getOrElse(1)))
+  }
+
+  private val envVarRe =
+    "\\{\\{\\s*env_var\\(\\s*['\"]([^'\"]+)['\"](?:\\s*,\\s*['\"]([^'\"]*)['\"])?\\s*\\)\\s*\\}\\}".r
+
+  /** `{{ env_var('K', 'default') }}` inside profile values. An unset var
+    * with no default fails loudly like dbt's env_var does. */
+  private[loader] def renderEnvVars(s: String): String =
+    envVarRe.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      sys.env.get(m.group(1)).orElse(Option(m.group(2))).getOrElse(
+        throw new IllegalArgumentException(
+          s"profiles.yml: env_var('${m.group(1)}') is unset and has no default"))))
+
   // ------------------------------------------------------------ packages
 
   /** per-macro source spans (shared by project and package loading) */
@@ -428,7 +516,8 @@ object DbtLoader {
     * dbt_project.yml — the layout `dbt deps` produces. Unsupported package
     * features (custom materializations, on-run-start/end hooks) throw with
     * the package name: silently skipping them would materialize wrong. */
-  private def loadPackages(installDir: Path): Seq[LoadedPackage] = {
+  private def loadPackages(installDir: Path,
+                           baseSchema: Option[String]): Seq[LoadedPackage] = {
     if (!Files.isDirectory(installDir)) return Nil
     val dirs = Files.list(installDir).iterator().asScala
       .filter(d => Files.isDirectory(d) && Files.exists(d.resolve("dbt_project.yml")))
@@ -474,7 +563,7 @@ object DbtLoader {
         .flatMap(_.properties().asScala)
         .filter(!_.getValue.isObject).map(e => e.getKey -> e.getValue.asText)
       val pmodels = ppaths("model-paths", "models").flatMap(walk(_, ".sql"))
-        .flatMap(f => parseModel(f, pname))
+        .flatMap(f => parseModel(f, pname, baseSchema))
       val pseeds = ppaths("seed-paths", "seeds").flatMap(walk(_, ".csv")).map(f =>
         Model(s"$pname.${stem(f)}", SeedBody(f.toString),
           kind = ModelKind.Seed(f.toString)))

@@ -520,6 +520,74 @@ class MainCliSpec extends AnyFunSuite {
       s"ambiguous package macro should fail loudly: $ambig")
   }
 
+  test("dbt profiles.yml: target schema + suffixing, --target, {{ target.* }}, artifacts") {
+    val proj = SparkTestSession.tmpDir("cli-dbt-prof")
+    def w(rel: String, text: String): Unit = {
+      val p = java.nio.file.Paths.get(proj, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, text)
+    }
+    w("dbt_project.yml", "name: shopp\nprofile: shopp\n")
+    w("profiles.yml",
+      """shopp:
+        |  target: dev
+        |  outputs:
+        |    dev:
+        |      type: spark
+        |      schema: "{{ env_var('GRAFT_MISSING_SCHEMA', 'dv') }}"
+        |      threads: 4
+        |    prod:
+        |      type: spark
+        |      schema: pv
+        |    warehouse:
+        |      type: snowflake
+        |      schema: wh
+        |""".stripMargin)
+    w("models/schema.yml",
+      "sources:\n  - name: raw\n    tables:\n      - name: orders\n")
+    // no +schema → the target's base schema; {{ target.name }} renders
+    w("models/stg_orders.sql",
+      """{{ config(materialized='table') }}
+        |SELECT o_orderkey, '{{ target.name }}' AS tgt
+        |FROM {{ source('raw', 'orders') }} WHERE o_orderdate < TIMESTAMP '1995-02-01'
+        |""".stripMargin)
+    // +schema → dbt generate_schema_name default: <target>_<custom>
+    w("models/rollup.sql",
+      """{{ config(materialized='table', schema='mart') }}
+        |SELECT count(*) AS n FROM {{ ref('stg_orders') }}
+        |""".stripMargin)
+    val base = Seq("--project", proj, "--external", s"raw.orders=$sf/orders.parquet")
+    val window = Seq("--start", "1995-01-01", "--end", "1995-02-01")
+
+    val (r0, ran) = cli(Seq("dbt", "run") ++ window ++ base: _*)
+    assert(r0 == 0 && ran.contains("Completed successfully"), ran)
+    // base schema from the dev target (env_var default path), suffixed mart
+    assert(spark.table("dv.stg_orders").head.getString(1) == "dev",
+      "{{ target.name }} did not render from the profile")
+    assert(spark.table("dv_mart.rollup").head.getLong(0) ==
+      spark.table("dv.stg_orders").count())
+    // artifacts: manifest nodes + depends_on edge, run_results timings
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(proj, "target", "manifest.json")), "UTF-8")
+    assert(mf.contains("\"model.shopp.rollup\"") &&
+      mf.contains("\"model.shopp.stg_orders\"") &&
+      mf.contains("source.shopp.raw.orders"), mf.take(600))
+    val mfNode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(mf)
+    assert(mfNode.path("nodes").path("model.shopp.rollup")
+      .path("depends_on").path("nodes").toString.contains("model.shopp.stg_orders"))
+    val rr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(proj, "target", "run_results.json")), "UTF-8")
+    assert(rr.contains("model.shopp.stg_orders") && rr.contains("\"success\""), rr.take(400))
+
+    // --target prod switches the base schema without touching the project
+    val (p0, pRan) = cli(Seq("dbt", "run", "--target", "prod") ++ window ++ base: _*)
+    assert(p0 == 0, pRan)
+    assert(spark.table("pv.stg_orders").head.getString(1) == "prod")
+    // a non-Spark warehouse type fails loudly naming type and target
+    val (w0code, wErr) = cli(Seq("dbt", "list", "--target", "warehouse") ++ base: _*)
+    assert(w0code != 0 && wErr.contains("snowflake") && wErr.contains("warehouse"), wErr)
+  }
+
   test("plan --min-intervals pulls a narrow window back to cover N intervals") {
     val proj = SparkTestSession.tmpDir("cli-mini")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
