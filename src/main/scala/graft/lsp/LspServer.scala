@@ -127,6 +127,7 @@ final class LspServer(in: InputStream, out: OutputStream,
         caps.putObject("renameProvider").put("prepareProvider", true)
         caps.put("inlayHintProvider", true)
         caps.putObject("codeLensProvider").put("resolveProvider", false)
+        caps.put("documentHighlightProvider", true)
         val res = mapper.createObjectNode()
         res.set[JsonNode]("capabilities", caps)
         val info = res.putObject("serverInfo")
@@ -161,6 +162,8 @@ final class LspServer(in: InputStream, out: OutputStream,
       case "textDocument/rename" => respond(id, rename(params))
       case "textDocument/inlayHint" => respond(id, inlayHints(params))
       case "textDocument/codeLens" => respond(id, codeLenses(params))
+      case "textDocument/documentHighlight" => respond(id, documentHighlights(params))
+      case "graft/supportedMethods" => respond(id, supportedMethods())
       case _ if id != null =>
         // JSON-RPC MethodNotFound — a null RESULT would read as "supported,
         // empty answer" and stop clients from falling back
@@ -583,6 +586,48 @@ final class LspServer(in: InputStream, out: OutputStream,
         Some(res: JsonNode)
       } else None
     }.getOrElse(mapper.nullNode())
+  }
+
+  /** textDocument/documentHighlight (reference lsp/main.py:826): light up
+    * every occurrence of the CTE alias or model name under the cursor in
+    * this document — the same symbols rename accepts. Kind 1 = Text. */
+  private def documentHighlights(params: JsonNode): ArrayNode = {
+    val arr = mapper.createArrayNode()
+    val uri = params.get("textDocument").get("uri").asText
+    wordRangeAt(params).foreach { case (word, _, _, _) =>
+      val known = docs.get(uri).exists(t => cteNames(t).contains(word)) ||
+        modelIndex.contains(word)
+      if (known) {
+        val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(word) + "(?![\\w.])").r
+        docs.getOrElse(uri, "").split('\n').iterator.zipWithIndex.foreach {
+          case (l, i) => re.findAllMatchIn(l).foreach { m =>
+            val h = arr.addObject()
+            val r = h.putObject("range")
+            val s = r.putObject("start"); s.put("line", i); s.put("character", m.start)
+            val e = r.putObject("end"); e.put("line", i); e.put("character", m.end)
+            h.put("kind", 1)
+          }
+        }
+      }
+    }
+    arr
+  }
+
+  /** graft/supportedMethods (reference lsp/custom.py:104
+    * sqlmesh/supported_methods): the dispatch table as data, so clients can
+    * feature-detect instead of probing with requests that may 404. */
+  private def supportedMethods(): ArrayNode = {
+    val arr = mapper.createArrayNode()
+    Seq("textDocument/completion", "textDocument/hover",
+      "textDocument/definition", "textDocument/references",
+      "textDocument/formatting", "workspace/symbol",
+      "textDocument/codeAction", "textDocument/prepareRename",
+      "textDocument/rename", "textDocument/inlayHint",
+      "textDocument/codeLens", "textDocument/documentHighlight",
+      "graft/supportedMethods").foreach { m =>
+      arr.addObject().put("name", m)
+    }
+    arr
   }
 
   // ------------------------------------------------------- inlay hints

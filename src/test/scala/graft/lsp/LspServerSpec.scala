@@ -421,6 +421,33 @@ class LspServerSpec extends AnyFunSuite {
       (7, "graft.test", "test_rowcount")), got.toString)
   }
 
+  test("documentHighlight lights every occurrence; supportedMethods lists the dispatch") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-hl")
+    val uri = "file://" + proj + "/hl.sql"
+    val text =
+      """MODEL (name lsphl.m, kind FULL, owner 'o', audits (number_of_rows(threshold := 0)));
+        |WITH base AS (SELECT 1 AS x)
+        |SELECT x FROM base JOIN base b ON 1 = 1
+        |""".stripMargin
+    val esc = text.replace("\n", "\\n").replace("\"", "\\\"")
+    val cteCol = text.split('\n')(1).indexOf("base") + 1
+    val msgs = session(proj, Seq(
+      req(1, "initialize", s"""{"rootUri":null,"capabilities":{}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$uri","languageId":"sql","version":1,"text":"$esc"}}"""),
+      req(2, "textDocument/documentHighlight",
+        s"""{"textDocument":{"uri":"$uri"},"position":{"line":1,"character":$cteCol}}"""),
+      req(3, "graft/supportedMethods", "{}"),
+      note("exit", "{}")))
+    def result(id: Int) = msgs.find(m => m.has("id") && m.get("id").asInt == id).get.get("result")
+    // definition + two usages of `base` (the `b` alias is not a match)
+    assert(result(2).size == 3, result(2).toString)
+    val methods = (0 until result(3).size).map(i => result(3).get(i).get("name").asText)
+    assert(methods.contains("textDocument/rename") &&
+      methods.contains("textDocument/documentHighlight") &&
+      methods.contains("graft/supportedMethods"), methods.toString)
+  }
+
   test("references resolve through unsaved overlays at the usage site") {
     val proj = graft.SparkTestSession.tmpDir("lsp-refs-overlay")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "a.sql"),
