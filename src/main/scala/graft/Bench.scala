@@ -69,6 +69,15 @@ object Bench {
     }
     scanCalibPass()
     val calibScan = scanCalibPass()
+    // the calib parquet is per-run scratch (~250 MB, incompressible by
+    // construction) — delete it now or repeated bench rounds fill /tmp
+    locally {
+      import scala.jdk.CollectionConverters._
+      val rootP = java.nio.file.Paths.get(scanDir)
+      java.nio.file.Files.walk(rootP).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     // median-of-k timing: a single GC/contention spike on one run must not
     // define the round (r4/r6/r7 all burned adjudication on exactly that).
     // Each query runs k=3 times; the headline number is the per-query MEDIAN,

@@ -315,6 +315,7 @@ class GraftContext(
     dbtSourcesBuf ++= p.sources
     dbtTargetOpt = p.target
     dbtProjectName = Some(p.name)
+    dbtPackageOf ++= p.pkgOf
     p.sources
   }
 
@@ -323,6 +324,9 @@ class GraftContext(
   var dbtTargetOpt: Option[graft.loader.DbtLoader.DbtTarget] = None
   /** `name:` of the last dbt project loaded (artifact node-id namespace). */
   var dbtProjectName: Option[String] = None
+  /** model name → owning vendored dbt package (artifact node-id namespace;
+    * dbt ids package models as `model.<pkg>.<name>`, not the project). */
+  var dbtPackageOf: Map[String, String] = Map.empty
 
   private val dbtSourcesBuf =
     scala.collection.mutable.ArrayBuffer[graft.loader.DbtLoader.DbtSource]()

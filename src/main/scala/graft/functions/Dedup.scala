@@ -351,7 +351,15 @@ object Dedup {
         val stillNew = maybe.join(broadcast(confirmed), Seq("__key"), "left_anti")
         definitelyNew.unionByName(stillNew)
       }
-    result.drop("__key", "__shard", "__might")
+    // materialize the (batch-sized) result while the persist is alive, then
+    // RELEASE the persist — the documented steady-state use is one call per
+    // ingest batch in a long-running job, and a leaked MEMORY_AND_DISK block
+    // per batch would crowd out useful cache. localCheckpoint blocks are
+    // freed by the ContextCleaner once the caller drops the frame; a
+    // cacheManager-registered persist is not.
+    val out = result.drop("__key", "__shard", "__might").localCheckpoint()
+    screened.unpersist()
+    out
   }
 
   /** Exact row count from parquet footers — driver-side metadata reads

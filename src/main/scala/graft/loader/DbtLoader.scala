@@ -56,7 +56,10 @@ object DbtLoader {
       models: Seq[Model],
       sources: Seq[DbtSource],
       vars: Map[String, String],
-      target: Option[DbtTarget] = None)
+      target: Option[DbtTarget] = None,
+      /** model full name → owning vendored package (absent = the project
+        * itself); dbt artifact node ids namespace by the owning package */
+      pkgOf: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper(new YAMLFactory())
 
@@ -140,8 +143,14 @@ object DbtLoader {
       "['\"]([^'\"]+)['\"]\\s*\\)(?:\\s*\\}\\})?").r
     val refRe = "(?is)(?:\\{\\{\\s*)?ref\\(\\s*['\"]([^'\"]+)['\"]\\s*\\)(?:\\s*\\}\\})?".r
     def resolveRefs(sql: String): String = {
+      // a two-arg ref that misses fails loudly at load time (dbt parse-time
+      // behavior) — falling back to the bare stem would emit SQL referencing
+      // a nonexistent relation and surface as a confusing run-time error
       val two = ref2Re.replaceAllIn(sql, mm => java.util.regex.Matcher.quoteReplacement(
-        byPkgStem.getOrElse((mm.group(1), mm.group(2)), mm.group(2))))
+        byPkgStem.getOrElse((mm.group(1), mm.group(2)),
+          throw new IllegalArgumentException(
+            s"ref('${mm.group(1)}', '${mm.group(2)}') does not resolve — " +
+              s"package '${mm.group(1)}' has no model '${mm.group(2)}'"))))
       refRe.replaceAllIn(two, mm => java.util.regex.Matcher.quoteReplacement(
         byStem.getOrElse(mm.group(1), mm.group(1))))
     }
@@ -164,12 +173,51 @@ object DbtLoader {
     // (reference hashes only referenced macros into the data hash)
     val macroSrcByName: Map[String, String] =
       macroDefRe.findAllMatchIn(macroSrc).map(m => m.group(1) -> m.matched).toMap
+    // rewrite package-macro calls onto their namespaced names — ONLY inside
+    // Jinja spans ({{ }} / {% %}): macro calls are Jinja constructs, and
+    // plain SQL text that shares a name with a vendored macro (packages ship
+    // `concat`, `hash`, `split_part`, ...) must not be captured — rewriting
+    // a SQL builtin into a nonexistent pkg__ function breaks the query.
+    // Qualified `pkg.m(...)` always rewrites (except the builtin dbt_utils
+    // surface, which renders natively and wins over a vendored copy); bare
+    // `m(...)` when the project doesn't define m and exactly ONE package
+    // does (dbt's global macro namespace) — two owners is ambiguous and
+    // fails loudly.
+    val q = (s: String) => java.util.regex.Pattern.quote(s)
+    val stemOwners: Map[String, Seq[String]] = pkgs
+      .flatMap(p => p.macroStems.toSeq.map(_ -> p.name))
+      .groupBy(_._1).map { case (st, vs) => st -> vs.map(_._2) }
+    val jinjaSpan = "(?s)\\{\\{.*?\\}\\}|\\{%.*?%\\}".r
+    def rewriteSpan(span: String): String = {
+      var out = span
+      for (pkg <- pkgs; m <- pkg.macroStems
+           if !graft.macros.Jinja.hasBuiltin(s"${pkg.name}.$m"))
+        out = (s"\\b${q(pkg.name)}\\s*\\.\\s*${q(m)}\\s*\\(").r
+          .replaceAllIn(out, s"${pkg.name}__$m(")
+      for ((m, owners) <- stemOwners if !macroNames.contains(m)) {
+        val re = (s"\\b${q(m)}\\s*\\(").r
+        if (re.findFirstIn(out).isDefined) {
+          if (owners.size > 1) throw new IllegalArgumentException(
+            s"macro '$m(' is defined by multiple dbt packages " +
+              s"(${owners.sorted.mkString(", ")}) — call it package-qualified")
+          out = re.replaceAllIn(out, s"${owners.head}__$m(")
+        }
+      }
+      out
+    }
+    def rewritePkgCalls(sql: String): String =
+      if (pkgs.isEmpty) sql
+      else jinjaSpan.replaceAllIn(sql, sp =>
+        java.util.regex.Matcher.quoteReplacement(rewriteSpan(sp.matched)))
     // package macros join the registry under their namespaced rename
-    // (pkg__name — see loadPackages); bodies are rewritten below so calls
-    // land on these names, and the existing prepend machinery handles the
-    // rest (a package macro edit re-fingerprints exactly the models that
+    // (pkg__name — see loadPackages); call sites in model bodies AND in
+    // macro sources themselves (a project macro calling {{ pkg.m(...) }},
+    // or one package's macro calling another's) are rewritten so calls land
+    // on these names, and the existing prepend machinery handles the rest
+    // (a package macro edit re-fingerprints exactly the models that
     // reference it, same as a project macro)
-    val allMacroSrcByName = macroSrcByName ++ pkgs.flatMap(_.macroSrcByName)
+    val allMacroSrcByName = (macroSrcByName ++ pkgs.flatMap(_.macroSrcByName))
+      .map { case (n, src) => n -> rewritePkgCalls(src) }
     val allMacroNames = macroNames ++ pkgs.flatMap(_.macroSrcByName.keys)
     // call detection tolerates whitespace between name and '(' — jinja
     // allows `{{ money (x) }}`
@@ -186,34 +234,8 @@ object DbtLoader {
           callsIn(allMacroSrcByName.getOrElse(n, ""))) -- seen
       }
       if (seen.isEmpty) sql
-      else if (!seen.forall(allMacroSrcByName.contains)) s"$macroSrc\n$sql" // span extraction missed one: keep old behavior
+      else if (!seen.forall(allMacroSrcByName.contains)) s"${rewritePkgCalls(macroSrc)}\n$sql" // span extraction missed one: keep old behavior
       else seen.toSeq.sorted.map(allMacroSrcByName).mkString("\n") + "\n" + sql
-    }
-    // rewrite package-macro calls onto their namespaced names: qualified
-    // `pkg.m(...)` always (except the builtin dbt_utils surface, which
-    // renders natively and wins over a vendored copy); bare `m(...)` when
-    // the project doesn't define m and exactly ONE package does (dbt's
-    // global macro namespace) — two owners is ambiguous and fails loudly.
-    val q = (s: String) => java.util.regex.Pattern.quote(s)
-    val stemOwners: Map[String, Seq[String]] = pkgs
-      .flatMap(p => p.macroStems.toSeq.map(_ -> p.name))
-      .groupBy(_._1).map { case (st, vs) => st -> vs.map(_._2) }
-    def rewritePkgCalls(sql: String): String = {
-      var out = sql
-      for (pkg <- pkgs; m <- pkg.macroStems
-           if !graft.macros.Jinja.hasBuiltin(s"${pkg.name}.$m"))
-        out = (s"\\b${q(pkg.name)}\\s*\\.\\s*${q(m)}\\s*\\(").r
-          .replaceAllIn(out, s"${pkg.name}__$m(")
-      for ((m, owners) <- stemOwners if !macroNames.contains(m)) {
-        val re = (s"\\b${q(m)}\\s*\\(").r
-        if (re.findFirstIn(out).isDefined) {
-          if (owners.size > 1) throw new IllegalArgumentException(
-            s"macro '$m(' is defined by multiple dbt packages " +
-              s"(${owners.sorted.mkString(", ")}) — call it package-qualified")
-          out = re.replaceAllIn(out, s"${owners.head}__$m(")
-        }
-      }
-      out
     }
     // schema.yml column tests attach as audits (keyed by dbt's short name)
     // MERGE per-model across yml files: several schema.yml files may declare
@@ -249,7 +271,8 @@ object DbtLoader {
         case _ => withHooks
       }
     }
-    DbtProject(projName, resolved, sources, allVars, target)
+    val pkgOf = pkgs.flatMap(p => p.models.map(_.name -> p.name)).toMap
+    DbtProject(projName, resolved, sources, allVars, target, pkgOf)
   }
 
   // ------------------------------------------------------------- models
@@ -455,14 +478,28 @@ object DbtLoader {
     * plain-graft schema defaulting). */
   def loadProfile(root: Path, profileName: String,
                   targetName: Option[String]): Option[DbtTarget] = {
+    val homeFile =
+      Paths.get(sys.props.getOrElse("user.home", "/"), ".dbt", "profiles.yml")
     val candidates =
       sys.env.get("DBT_PROFILES_DIR").map(d => Paths.get(d, "profiles.yml")).toSeq ++
-        Seq(root.resolve("profiles.yml"),
-          Paths.get(sys.props.getOrElse("user.home", "/"), ".dbt", "profiles.yml"))
-    val file = candidates.find(Files.exists(_)).getOrElse(return None)
-    val node = mapper.readTree(new String(Files.readAllBytes(file), "UTF-8"))
-    val prof = Option(node.get(profileName)).getOrElse(throw new IllegalArgumentException(
-      s"profile '$profileName' not found in $file"))
+        Seq(root.resolve("profiles.yml"), homeFile)
+    val parsed = candidates.filter(Files.exists(_)).map(f =>
+      f -> mapper.readTree(new String(Files.readAllBytes(f), "UTF-8")))
+    if (parsed.isEmpty) return None
+    // search every existing candidate for the profile KEY, not just the
+    // first file: a machine-level ~/.dbt/profiles.yml written for other
+    // projects must not break a profile-less project (it keeps the plain
+    // defaulting), while an explicit file ($DBT_PROFILES_DIR or the project
+    // root) that lacks the profile is a config error — dbt's behavior
+    val (file, node) = parsed
+      .find { case (_, n) => Option(n.get(profileName)).isDefined }
+      .getOrElse {
+        if (parsed.forall(_._1 == homeFile)) return None
+        throw new IllegalArgumentException(
+          s"profile '$profileName' not found in " +
+            parsed.map(_._1).mkString(", "))
+      }
+    val prof = node.get(profileName)
     val outputs = Option(prof.get("outputs")).getOrElse(throw new IllegalArgumentException(
       s"profile '$profileName' has no outputs in $file"))
     val tname = targetName

@@ -375,7 +375,7 @@ final class LspServer(in: InputStream, out: OutputStream,
     * given declaration line when the text form differs. */
   private def usageLocation(file: String, text: String, name: String,
                             declLine: Int): ObjectNode = {
-    val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(name) + "(?![\\w.])").r
+    val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(name) + "(?!\\w)").r
     val lines = text.split('\n')
     lines.iterator.zipWithIndex
       .flatMap { case (l, i) => re.findFirstMatchIn(l).map(m => (i, m.start, m.end)) }
@@ -550,7 +550,10 @@ final class LspServer(in: InputStream, out: OutputStream,
     val newName = params.get("newName").asText
     wordRangeAt(params).flatMap { case (word, _, _, _) =>
       val uri = params.get("textDocument").get("uri").asText
-      val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(word) + "(?![\\w.])").r
+      // lookahead admits a following '.' — `base.x` references the CTE/model
+      // `base` as a qualifier and must rename with it; a PRECEDING '.' still
+      // rejects (`o.base` is a column on another relation, not this symbol)
+      val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(word) + "(?!\\w)").r
       def editsIn(text: String): ArrayNode = {
         val edits = mapper.createArrayNode()
         text.split('\n').iterator.zipWithIndex.foreach { case (l, i) =>
@@ -578,8 +581,7 @@ final class LspServer(in: InputStream, out: OutputStream,
             val text = textOf(file)
             if (re.findFirstIn(text).isDefined) {
               val furi = java.nio.file.Paths.get(file).toUri.toString
-              changes.set[JsonNode](docs.keys.find(_ == furi).getOrElse(furi),
-                editsIn(text))
+              changes.set[JsonNode](furi, editsIn(text))
             }
           }
         }
@@ -598,7 +600,7 @@ final class LspServer(in: InputStream, out: OutputStream,
       val known = docs.get(uri).exists(t => cteNames(t).contains(word)) ||
         modelIndex.contains(word)
       if (known) {
-        val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(word) + "(?![\\w.])").r
+        val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(word) + "(?!\\w)").r
         docs.getOrElse(uri, "").split('\n').iterator.zipWithIndex.foreach {
           case (l, i) => re.findAllMatchIn(l).foreach { m =>
             val h = arr.addObject()

@@ -291,7 +291,7 @@ class LspServerSpec extends AnyFunSuite {
       """MODEL (name lspr.daily, kind FULL, owner 'dana',
         |  audits (not_null(columns = (n))));
         |WITH base AS (SELECT o_orderdate, 1 AS one FROM raw.orders)
-        |SELECT o_orderdate, count(one) AS n FROM base GROUP BY o_orderdate
+        |SELECT o_orderdate, count(base.one) AS n FROM base GROUP BY o_orderdate
         |""".stripMargin
     val reportText =
       """MODEL (name lspr.report, kind FULL, owner 'dana',
@@ -310,9 +310,9 @@ class LspServerSpec extends AnyFunSuite {
         s"""{"textDocument":{"uri":"$dailyUri","languageId":"sql","version":1,"text":"$esc"}}"""),
       // cursor on `base` in `FROM base` (line 3) — a CTE alias
       req(2, "textDocument/prepareRename",
-        s"""{"textDocument":{"uri":"$dailyUri"},"position":{"line":3,"character":${dailyText.split('\n')(3).indexOf("base") + 1}}}"""),
+        s"""{"textDocument":{"uri":"$dailyUri"},"position":{"line":3,"character":${dailyText.split('\n')(3).indexOf("FROM base") + 6}}}"""),
       req(3, "textDocument/rename",
-        s"""{"textDocument":{"uri":"$dailyUri"},"position":{"line":3,"character":${dailyText.split('\n')(3).indexOf("base") + 1}},"newName":"orders_base"}"""),
+        s"""{"textDocument":{"uri":"$dailyUri"},"position":{"line":3,"character":${dailyText.split('\n')(3).indexOf("FROM base") + 6}},"newName":"orders_base"}"""),
       // cursor on `lspr.daily` in the name property (line 0) — a model name
       req(4, "textDocument/prepareRename",
         s"""{"textDocument":{"uri":"$dailyUri"},"position":{"line":0,"character":14}}"""),
@@ -326,10 +326,14 @@ class LspServerSpec extends AnyFunSuite {
     // CTE prepare: range + placeholder
     assert(result(2).get("placeholder").asText == "base", result(2).toString)
     // CTE rename: in-document, both the definition and the usage
+    // 3 edits: the definition, the DOT-QUALIFIED column reference
+    // (`base.one` — a rename that missed it would corrupt the document),
+    // and the FROM usage
     val cteEdits = result(3).get("changes").get(dailyUri)
-    assert(cteEdits.size == 2, cteEdits.toString)
+    assert(cteEdits.size == 3, cteEdits.toString)
     val renamedCte = applyEdits(dailyText, cteEdits)
     assert(renamedCte.contains("WITH orders_base AS") &&
+      renamedCte.contains("count(orders_base.one)") &&
       renamedCte.contains("FROM orders_base") && !renamedCte.contains(" base"),
       renamedCte)
     assert(graft.loader.ModelLoader.parseAll(renamedCte, "<p>").nonEmpty)
