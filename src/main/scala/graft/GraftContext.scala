@@ -316,6 +316,7 @@ class GraftContext(
     dbtTargetOpt = p.target
     dbtProjectName = Some(p.name)
     dbtPackageOf ++= p.pkgOf
+    dbtStemOf ++= p.stemOf
     p.sources
   }
 
@@ -327,6 +328,8 @@ class GraftContext(
   /** model name → owning vendored dbt package (artifact node-id namespace;
     * dbt ids package models as `model.<pkg>.<name>`, not the project). */
   var dbtPackageOf: Map[String, String] = Map.empty
+  /** aliased model name → source-file stem (dbt unique_ids use the stem). */
+  var dbtStemOf: Map[String, String] = Map.empty
 
   private val dbtSourcesBuf =
     scala.collection.mutable.ArrayBuffer[graft.loader.DbtLoader.DbtSource]()

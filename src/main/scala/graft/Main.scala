@@ -644,7 +644,8 @@ object Main {
               .toAbsolutePath.normalize.getFileName.toString)
           if (sub.nonEmpty)
             graft.loader.DbtArtifacts.writeManifest(dbtProjDir, dbtProjName,
-              ctx.allModels.values, ctx.dbtSources, ctx.dbtPackageOf)
+              ctx.allModels.values, ctx.dbtSources, ctx.dbtPackageOf,
+              ctx.dbtStemOf)
           val selExprs = graft.loader.DbtSelectors.toSelector(
             flagAll("select") ++ flagAll("s"),
             flagAll("models") ++ flagAll("m"), flagAll("exclude"))
@@ -671,7 +672,7 @@ object Main {
               out.println(f"  $m  [${fmtTs(iv.start)} … ${fmtTs(iv.end)})  $ms%d ms")
             }
             graft.loader.DbtArtifacts.writeRunResults(dbtProjDir, dbtProjName,
-              ctx.allModels, report, ctx.dbtPackageOf)
+              ctx.allModels, report, ctx.dbtPackageOf, ctx.dbtStemOf)
             out.println(s"Completed successfully: ${report.size} batches in '$env'")
             0
           }

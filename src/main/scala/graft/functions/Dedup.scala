@@ -251,6 +251,17 @@ object Dedup {
   private def shardFile(hash: String, s: Int, shard: Int) =
     s"$hash.s$s-$shard.bloom"
 
+  /** Routes shard ids to partitions by IDENTITY (partition index == shard
+    * id), unlike `repartition(s, col)`, which murmur3-hashes the id mod s
+    * and routinely folds several shards into one task — with each folded
+    * filter allocated at full perShard capacity, that silently multiplies
+    * the documented per-TASK memory bound the sharded layout exists for. */
+  private final class IdentityShardPartitioner(s: Int)
+      extends org.apache.spark.Partitioner {
+    def numPartitions: Int = s
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
   /** One-pass sharded filter build: repartition corpus KEYS (never
     * documents) by shard so each shard lands whole in one task, build that
     * shard's filter locally, write it executor-side to the cache dir. A
@@ -263,35 +274,38 @@ object Dedup {
     val perShard = math.max(n / s + 1, 64L)
     val sConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
-    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val routed = corpus
       .select(TextFunctions.contentKey(col(textCol)).as("__key"))
       .withColumn("__shard", shardOf(col("__key"), s))
-      .repartition(s, col("__shard"))
-    val outSchema = StructType(Seq(StructField("shard", IntegerType)))
-    routed.mapPartitions { it =>
-      // hash-partitioning can fold 2+ shards into one task; each shard is
-      // still WHOLE here, so filters never need cross-task merging
-      val filters = scala.collection.mutable.HashMap
-        .empty[Int, org.apache.spark.util.sketch.BloomFilter]
-      it.foreach { row =>
-        val f = filters.getOrElseUpdate(row.getInt(1),
-          org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp))
-        if (!row.isNullAt(0)) f.putString(row.getString(0))
-      }
-      val dir = new org.apache.hadoop.fs.Path(cacheDir)
-      val fs = dir.getFileSystem(sConf.value)
-      fs.mkdirs(dir)
-      filters.iterator.map { case (shard, f) =>
-        val tmp = new org.apache.hadoop.fs.Path(dir,
-          s"$hash.tmp$shard-${System.nanoTime()}")
-        val out = fs.create(tmp, true)
-        try f.writeTo(out) finally out.close()
-        val dst = new org.apache.hadoop.fs.Path(dir, shardFile(hash, s, shard))
-        if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
-        org.apache.spark.sql.Row(shard)
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema)).collect()
+    val keyIdx = routed.schema.fieldIndex("__key")
+    val shardIdx = routed.schema.fieldIndex("__shard")
+    // identity-partition the shard id: partition index == shard id, so a
+    // task holds exactly ONE perShard-capacity filter — the per-task bound
+    routed.rdd
+      .map(r => (r.getInt(shardIdx),
+        if (r.isNullAt(keyIdx)) null else r.getString(keyIdx)))
+      .partitionBy(new IdentityShardPartitioner(s))
+      .mapPartitionsWithIndex { (shard, it) =>
+        var f: org.apache.spark.util.sketch.BloomFilter = null
+        it.foreach { case (_, k) =>
+          if (f == null)
+            f = org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp)
+          if (k != null) f.putString(k)
+        }
+        if (f == null) Iterator.empty // empty shard → no file (empty filter)
+        else {
+          val dir = new org.apache.hadoop.fs.Path(cacheDir)
+          val fs = dir.getFileSystem(sConf.value)
+          fs.mkdirs(dir)
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s"$hash.tmp$shard-${System.nanoTime()}")
+          val out = fs.create(tmp, true)
+          try f.writeTo(out) finally out.close()
+          val dst = new org.apache.hadoop.fs.Path(dir, shardFile(hash, s, shard))
+          if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+          Iterator.single(shard)
+        }
+      }.count()
     ()
   }
 
@@ -312,31 +326,41 @@ object Dedup {
       .withColumn("__key", TextFunctions.contentKey(col(textCol)))
       .groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
       .withColumn("__shard", shardOf(col("__key"), s))
-      .repartition(s, col("__shard"))
     val keyIdx = keyed.schema.fieldIndex("__key")
     val shardIdx = keyed.schema.fieldIndex("__shard")
     val outSchema = keyed.schema.add(StructField("__might", BooleanType))
-    val screened = keyed.mapPartitions { it =>
-      val loaded = scala.collection.mutable.HashMap
-        .empty[Int, Option[org.apache.spark.util.sketch.BloomFilter]]
-      def filterFor(shard: Int) = loaded.getOrElseUpdate(shard, {
-        val p = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(cacheDir), shardFile(hash, s, shard))
-        val fs = p.getFileSystem(sConf.value)
-        if (!fs.exists(p)) None // no corpus keys in this shard
-        else {
-          val in = fs.open(p)
-          try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-          finally in.close()
+    // identity routing (partition index == shard id): each task streams
+    // exactly one shard's filter and holds nothing else — no per-partition
+    // multi-filter cache to bound or evict
+    val screenedRdd = keyed.rdd
+      .map(r => (r.getInt(shardIdx), r))
+      .partitionBy(new IdentityShardPartitioner(s))
+      .mapPartitionsWithIndex { (shard, it) =>
+        var loaded = false
+        var filter: Option[org.apache.spark.util.sketch.BloomFilter] = None
+        def filterFor(): Option[org.apache.spark.util.sketch.BloomFilter] = {
+          if (!loaded) {
+            loaded = true
+            val p = new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(cacheDir), shardFile(hash, s, shard))
+            val fs = p.getFileSystem(sConf.value)
+            filter =
+              if (!fs.exists(p)) None // no corpus keys in this shard
+              else {
+                val in = fs.open(p)
+                try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+                finally in.close()
+              }
+          }
+          filter
         }
-      })
-      it.map { row =>
-        val might = !row.isNullAt(keyIdx) &&
-          filterFor(row.getInt(shardIdx))
-            .exists(_.mightContainString(row.getString(keyIdx)))
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ might)
+        it.map { case (_, row) =>
+          val might = !row.isNullAt(keyIdx) &&
+            filterFor().exists(_.mightContainString(row.getString(keyIdx)))
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ might)
+        }
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val screened = spark.createDataFrame(screenedRdd, outSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = screened.filter(!col("__might"))
     val maybe = screened.filter(col("__might"))

@@ -34,10 +34,14 @@ object DbtArtifacts {
   /** dbt's node-id namespace is the OWNING package, not the top-level
     * project: vendored package models must emit `model.<pkg>.<name>` or
     * cross-referencing this manifest with dbt-generated artifacts (docs
-    * sites, monitors, manifest diffing) mismatches every package node. */
-  def nodeId(projName: String, pkgOf: Map[String, String], m: Model): String =
+    * sites, monitors, manifest diffing) mismatches every package node.
+    * The trailing segment is the RESOURCE (source-file stem) name: an
+    * `alias` config changes only the relation name, never the unique_id,
+    * so aliased models look up their original stem in `stemOf`. */
+  def nodeId(projName: String, pkgOf: Map[String, String], m: Model,
+             stemOf: Map[String, String] = Map.empty): String =
     s"${resourceTypeOf(m.kind)}.${pkgOf.getOrElse(m.name, projName)}." +
-      m.name.split('.').last
+      stemOf.getOrElse(m.name, m.name.split('.').last)
 
   /** Write `target/manifest.json`: every loaded model as a node with its
     * depends_on edges (model refs → node ids, dbt sources → source ids),
@@ -45,7 +49,8 @@ object DbtArtifacts {
   def writeManifest(projDir: String, projName: String,
                     models: Iterable[Model],
                     sources: Seq[DbtLoader.DbtSource],
-                    pkgOf: Map[String, String] = Map.empty): java.nio.file.Path = {
+                    pkgOf: Map[String, String] = Map.empty,
+                    stemOf: Map[String, String] = Map.empty): java.nio.file.Path = {
     val byName = models.map(m => m.name -> m).toMap
     val srcByRelation = sources.map(s => s.relation -> s).toMap
     val root = mapper.createObjectNode()
@@ -55,16 +60,16 @@ object DbtArtifacts {
     meta.put("dbt_schema_version", "https://schemas.getdbt.com/dbt/manifest/v12.json")
     val nodes = root.putObject("nodes")
     models.toSeq.sortBy(_.name).foreach { m =>
-      val n = nodes.putObject(nodeId(projName, pkgOf, m))
-      n.put("unique_id", nodeId(projName, pkgOf, m))
-      n.put("name", m.name.split('.').last)
+      val n = nodes.putObject(nodeId(projName, pkgOf, m, stemOf))
+      n.put("unique_id", nodeId(projName, pkgOf, m, stemOf))
+      n.put("name", stemOf.getOrElse(m.name, m.name.split('.').last))
       n.put("schema", m.name.split('.').head)
       n.put("alias", m.name.split('.').last)
       n.put("resource_type", resourceTypeOf(m.kind))
       n.putObject("config").put("materialized", materializationOf(m.kind))
       val deps = n.putObject("depends_on").putArray("nodes")
       m.references.toSeq.sorted.foreach { r =>
-        byName.get(r).map(up => deps.add(nodeId(projName, pkgOf, up))).getOrElse {
+        byName.get(r).map(up => deps.add(nodeId(projName, pkgOf, up, stemOf))).getOrElse {
           srcByRelation.get(r).foreach(s =>
             deps.add(s"source.$projName.${s.source}.${s.table}"))
         }
@@ -90,7 +95,8 @@ object DbtArtifacts {
   def writeRunResults(projDir: String, projName: String,
                       byModel: Map[String, Model],
                       report: Seq[(String, Interval, Long)],
-                      pkgOf: Map[String, String] = Map.empty): java.nio.file.Path = {
+                      pkgOf: Map[String, String] = Map.empty,
+                      stemOf: Map[String, String] = Map.empty): java.nio.file.Path = {
     val root = mapper.createObjectNode()
     val meta = root.putObject("metadata")
     meta.put("project_name", projName)
@@ -98,7 +104,8 @@ object DbtArtifacts {
     val results = root.putArray("results")
     report.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, batches) =>
       val r = results.addObject()
-      val id = byModel.get(name).map(nodeId(projName, pkgOf, _)).getOrElse(s"model.$projName.$name")
+      val id = byModel.get(name).map(nodeId(projName, pkgOf, _, stemOf))
+        .getOrElse(s"model.$projName.$name")
       r.put("unique_id", id)
       r.put("status", "success")
       r.put("execution_time", batches.map(_._3).sum / 1000.0)

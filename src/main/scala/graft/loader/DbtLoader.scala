@@ -59,7 +59,12 @@ object DbtLoader {
       target: Option[DbtTarget] = None,
       /** model full name → owning vendored package (absent = the project
         * itself); dbt artifact node ids namespace by the owning package */
-      pkgOf: Map[String, String] = Map.empty)
+      pkgOf: Map[String, String] = Map.empty,
+      /** model full name → source-file stem where an `alias` config made
+        * them differ; dbt's unique_id/name use the RESOURCE (file-stem)
+        * name — alias only changes the relation — so artifacts must see
+        * the stem or every aliased node mismatches dbt-generated ones */
+      stemOf: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper(new YAMLFactory())
 
@@ -92,7 +97,9 @@ object DbtLoader {
     val seedFiles = paths("seed-paths", "seeds").flatMap(walk(_, ".csv"))
     val snapFiles = paths("snapshot-paths", "snapshots").flatMap(walk(_, ".sql"))
 
-    val models = modelFiles.flatMap(p => parseModel(p, projName, baseSchema))
+    val modelPairs = modelFiles.flatMap(p =>
+      parseModel(p, projName, baseSchema).map(m => (m, stem(p))))
+    val models = modelPairs.map(_._1)
     val seedSchema = baseSchema.getOrElse(projName)
     val seeds = seedFiles.map { p =>
       Model(s"$seedSchema.${stem(p)}", SeedBody(p.toString),
@@ -194,8 +201,11 @@ object DbtLoader {
            if !graft.macros.Jinja.hasBuiltin(s"${pkg.name}.$m"))
         out = (s"\\b${q(pkg.name)}\\s*\\.\\s*${q(m)}\\s*\\(").r
           .replaceAllIn(out, s"${pkg.name}__$m(")
+      // (?<![\w.]) not \b: '.' is a word boundary, so \b would re-capture
+      // the stem of a qualified call the qualified pass skipped (builtin
+      // dbt_utils.m renders natively) and emit pkg.pkg__m( — broken SQL
       for ((m, owners) <- stemOwners if !macroNames.contains(m)) {
-        val re = (s"\\b${q(m)}\\s*\\(").r
+        val re = (s"(?<![\\w.])${q(m)}\\s*\\(").r
         if (re.findFirstIn(out).isDefined) {
           if (owners.size > 1) throw new IllegalArgumentException(
             s"macro '$m(' is defined by multiple dbt packages " +
@@ -222,7 +232,7 @@ object DbtLoader {
     // call detection tolerates whitespace between name and '(' — jinja
     // allows `{{ money (x) }}`
     def callsIn(text: String): Set[String] = allMacroNames.filter { n =>
-      ("""\b""" + java.util.regex.Pattern.quote(n) + """\s*\(""").r
+      ("""(?<![\w.])""" + java.util.regex.Pattern.quote(n) + """\s*\(""").r
         .findFirstIn(text).isDefined
     }
     def withMacros(sql: String): String = {
@@ -272,7 +282,10 @@ object DbtLoader {
       }
     }
     val pkgOf = pkgs.flatMap(p => p.models.map(_.name -> p.name)).toMap
-    DbtProject(projName, resolved, sources, allVars, target, pkgOf)
+    val stemOf = (modelPairs.collect {
+      case (m, st) if m.name.split('.').last != st => m.name -> st
+    } ++ pkgs.flatMap(_.stemOf)).toMap
+    DbtProject(projName, resolved, sources, allVars, target, pkgOf, stemOf)
   }
 
   // ------------------------------------------------------------- models
@@ -545,7 +558,8 @@ object DbtLoader {
     * collisions unambiguous. */
   private[loader] final case class LoadedPackage(
       name: String, models: Seq[Model], macroStems: Set[String],
-      macroSrcByName: Map[String, String], vars: Map[String, String])
+      macroSrcByName: Map[String, String], vars: Map[String, String],
+      stemOf: Map[String, String] = Map.empty)
 
   /** Load every package vendored under `packages-install-path` (reference
     * sqlmesh/dbt/package.py PackageLoader; project.py:93 discovers the
@@ -587,7 +601,10 @@ object DbtLoader {
         for (o <- stems) {
           src = (s"\\b${qq(pname)}\\s*\\.\\s*${qq(o)}\\s*\\(").r
             .replaceAllIn(src, s"${pname}__$o(")
-          src = (s"\\b${qq(o)}\\s*\\(").r.replaceAllIn(src, s"${pname}__$o(")
+          // (?<![\w.]) keeps cross-package qualified calls (other_pkg.o()
+          // intact for rewriteSpan's qualified pass; \b matches after '.'
+          src = (s"(?<![\\w.])${qq(o)}\\s*\\(").r
+            .replaceAllIn(src, s"${pname}__$o(")
         }
         s"${pname}__$m" -> src
       }
@@ -599,13 +616,20 @@ object DbtLoader {
       val scoped = rawVars.flatMap(v => Option(v.get(pname))).toSeq
         .flatMap(_.properties().asScala)
         .filter(!_.getValue.isObject).map(e => e.getKey -> e.getValue.asText)
-      val pmodels = ppaths("model-paths", "models").flatMap(walk(_, ".sql"))
-        .flatMap(f => parseModel(f, pname, baseSchema))
+      val pmodelPairs = ppaths("model-paths", "models").flatMap(walk(_, ".sql"))
+        .flatMap(f => parseModel(f, pname, baseSchema).map(m => (m, stem(f))))
+      val pmodels = pmodelPairs.map(_._1)
+      // dbt materializes package seeds into the profile's target schema,
+      // same as project seeds — only unprofiled projects fall back to pname
+      val pseedSchema = baseSchema.getOrElse(pname)
       val pseeds = ppaths("seed-paths", "seeds").flatMap(walk(_, ".csv")).map(f =>
-        Model(s"$pname.${stem(f)}", SeedBody(f.toString),
+        Model(s"$pseedSchema.${stem(f)}", SeedBody(f.toString),
           kind = ModelKind.Seed(f.toString)))
       LoadedPackage(pname, pmodels ++ pseeds, stems, renamed,
-        (flat ++ scoped).toMap)
+        (flat ++ scoped).toMap,
+        pmodelPairs.collect {
+          case (m, st) if m.name.split('.').last != st => m.name -> st
+        }.toMap)
     }
   }
 

@@ -30,7 +30,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   * nothing touches Spark, so the server starts instantly.
   */
 final class LspServer(in: InputStream, out: OutputStream,
-                      projectDir: Option[String] = None) {
+                      projectDir: Option[String] = None,
+                      /** (testName, yamlPath) → per-case (name, failure) —
+                        * injected by the CLI host so `graft/runTest` can run
+                        * YAML unit tests without this class touching Spark
+                        * (reference lsp/custom.py RUN_TEST_FEATURE). */
+                      testRunner: Option[(String, String) => Seq[(String, Option[String])]] = None) {
 
   private val mapper = new ObjectMapper()
   private var running = true
@@ -164,6 +169,14 @@ final class LspServer(in: InputStream, out: OutputStream,
       case "textDocument/codeLens" => respond(id, codeLenses(params))
       case "textDocument/documentHighlight" => respond(id, documentHighlights(params))
       case "graft/supportedMethods" => respond(id, supportedMethods())
+      case "graft/allModels" => respond(id, allModels())
+      case "graft/allModelsForRender" => respond(id, allModelsForRender())
+      case "graft/renderModel" => respond(id, renderModel(params))
+      case "graft/formatProject" => respond(id, formatProject())
+      case "graft/getEnvironments" => respond(id, getEnvironments())
+      case "graft/listWorkspaceTests" => respond(id, listWorkspaceTests())
+      case "graft/listDocumentTests" => respond(id, listDocumentTests(params))
+      case "graft/runTest" => respond(id, runTest(params))
       case _ if id != null =>
         // JSON-RPC MethodNotFound — a null RESULT would read as "supported,
         // empty answer" and stop clients from falling back
@@ -370,24 +383,25 @@ final class LspServer(in: InputStream, out: OutputStream,
       java.nio.file.Files.readString(java.nio.file.Paths.get(file)))
   }
 
-  /** First usage site of `name` in a file: the (line, startChar..endChar)
-    * of its first non-identifier-bounded occurrence, falling back to the
-    * given declaration line when the text form differs. */
-  private def usageLocation(file: String, text: String, name: String,
-                            declLine: Int): ObjectNode = {
+  /** Every usage site of `name` in a file: one (line, startChar..endChar)
+    * per non-identifier-bounded occurrence, matched over comment/string-
+    * MASKED text (offsets are position-preserving) so a mention in a
+    * comment or literal is not a usage; falls back to the given declaration
+    * line when the text form differs (quoted, line-split). */
+  private def usageLocations(file: String, text: String, name: String,
+                             declLine: Int): Seq[ObjectNode] = {
     val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(name) + "(?!\\w)").r
-    val lines = text.split('\n')
-    lines.iterator.zipWithIndex
-      .flatMap { case (l, i) => re.findFirstMatchIn(l).map(m => (i, m.start, m.end)) }
-      .nextOption() match {
-      case Some((line, a, b)) =>
-        val loc = mapper.createObjectNode()
-        loc.put("uri", java.nio.file.Paths.get(file).toUri.toString)
-        val r = loc.putObject("range")
-        val s = r.putObject("start"); s.put("line", line); s.put("character", a)
-        val e = r.putObject("end"); e.put("line", line); e.put("character", b)
-        loc
-      case None => location(file, declLine)
+    val sites = maskNonCode(text).split('\n').iterator.zipWithIndex
+      .flatMap { case (l, i) => re.findAllMatchIn(l).map(m => (i, m.start, m.end)) }
+      .toSeq
+    if (sites.isEmpty) Seq(location(file, declLine))
+    else sites.map { case (line, a, b) =>
+      val loc = mapper.createObjectNode()
+      loc.put("uri", java.nio.file.Paths.get(file).toUri.toString)
+      val r = loc.putObject("range")
+      val s = r.putObject("start"); s.put("line", line); s.put("character", a)
+      val e = r.putObject("end"); e.put("line", line); e.put("character", b)
+      loc
     }
   }
 
@@ -407,12 +421,21 @@ final class LspServer(in: InputStream, out: OutputStream,
       modelIndex.values.map(_._1).toSeq.distinct.sorted.foreach { file =>
         scala.util.Try {
           val text = textOf(file)
-          graft.loader.ModelLoader.parseAll(text, file)
+          // all usage sites in the file, reported ONCE — several referencing
+          // models in one file must not each re-add the same first match
+          val referencing = graft.loader.ModelLoader.parseAll(text, file)
             .filter(m => m.name != name && m.references.contains(name))
-            .foreach { m =>
-              val declLine = modelIndex.get(m.name).map(_._2).getOrElse(0)
-              arr.add(usageLocation(file, text, name, declLine))
-            }
+          if (referencing.nonEmpty) {
+            val declLine = modelIndex.get(referencing.head.name)
+              .map(_._2).getOrElse(0)
+            // the symbol's own declaration header in a file that ALSO
+            // references it is covered by includeDeclaration, not a usage
+            val ownDecl = modelIndex.get(name).filter(_._1 == file).map(_._2)
+            usageLocations(file, text, name, declLine)
+              .filterNot(loc => ownDecl.contains(
+                loc.path("range").path("start").path("line").asInt(-1)))
+              .foreach(arr.add)
+          }
         }
       }
     }
@@ -556,7 +579,9 @@ final class LspServer(in: InputStream, out: OutputStream,
       val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(word) + "(?!\\w)").r
       def editsIn(text: String): ArrayNode = {
         val edits = mapper.createArrayNode()
-        text.split('\n').iterator.zipWithIndex.foreach { case (l, i) =>
+        // match over masked text (position-preserving): occurrences inside
+        // comments and string literals are not the symbol and must survive
+        maskNonCode(text).split('\n').iterator.zipWithIndex.foreach { case (l, i) =>
           re.findAllMatchIn(l).foreach { m =>
             val e = edits.addObject()
             val r = e.putObject("range")
@@ -579,7 +604,7 @@ final class LspServer(in: InputStream, out: OutputStream,
         files.foreach { file =>
           scala.util.Try {
             val text = textOf(file)
-            if (re.findFirstIn(text).isDefined) {
+            if (re.findFirstIn(maskNonCode(text)).isDefined) {
               val furi = java.nio.file.Paths.get(file).toUri.toString
               changes.set[JsonNode](furi, editsIn(text))
             }
@@ -601,7 +626,7 @@ final class LspServer(in: InputStream, out: OutputStream,
         modelIndex.contains(word)
       if (known) {
         val re = ("(?<![\\w.])" + java.util.regex.Pattern.quote(word) + "(?!\\w)").r
-        docs.getOrElse(uri, "").split('\n').iterator.zipWithIndex.foreach {
+        maskNonCode(docs.getOrElse(uri, "")).split('\n').iterator.zipWithIndex.foreach {
           case (l, i) => re.findAllMatchIn(l).foreach { m =>
             val h = arr.addObject()
             val r = h.putObject("range")
@@ -626,10 +651,236 @@ final class LspServer(in: InputStream, out: OutputStream,
       "textDocument/codeAction", "textDocument/prepareRename",
       "textDocument/rename", "textDocument/inlayHint",
       "textDocument/codeLens", "textDocument/documentHighlight",
-      "graft/supportedMethods").foreach { m =>
+      "graft/supportedMethods", "graft/allModels",
+      "graft/allModelsForRender", "graft/renderModel",
+      "graft/formatProject", "graft/getEnvironments",
+      "graft/listWorkspaceTests", "graft/listDocumentTests",
+      "graft/runTest").foreach { m =>
       arr.addObject().put("name", m)
     }
     arr
+  }
+
+  // ---------------------------------------- custom methods (lsp/custom.py)
+
+  /** Parsed models of every indexed file, overlay-aware, one parse per
+    * file per request — the project is editor-sized; tolerant per file. */
+  private def projectModels(): Seq[graft.core.Model] =
+    modelIndex.values.map(_._1).toSeq.distinct.sorted.flatMap { f =>
+      scala.util.Try(
+        graft.loader.ModelLoader.parseAll(textOf(f), f)).getOrElse(Nil)
+    }
+
+  /** graft/allModels (reference lsp/custom.py:17 sqlmesh/all_models):
+    * completion data as DATA — model names with descriptions plus the
+    * builtin @-macro names — for clients that render their own pickers. */
+  private def allModels(): ObjectNode = {
+    val res = mapper.createObjectNode()
+    val models = res.putArray("models")
+    val parsed = projectModels().map(m => m.name -> m).toMap
+    modelIndex.keys.toSeq.sorted.foreach { name =>
+      val o = models.addObject()
+      o.put("name", name)
+      parsed.get(name).flatMap(_.description).foreach(o.put("description", _))
+    }
+    val macros = res.putArray("macros")
+    graft.macros.MacroEvaluator.builtinNames.foreach(n =>
+      macros.addObject().put("name", s"@$n"))
+    res
+  }
+
+  /** graft/allModelsForRender (reference lsp/custom.py:78): the render
+    * dropdown's model list — name, fqn, declaring uri. */
+  private def allModelsForRender(): ObjectNode = {
+    val res = mapper.createObjectNode()
+    val arr = res.putArray("models")
+    modelIndex.toSeq.sortBy(_._1).foreach { case (name, (file, _)) =>
+      val o = arr.addObject()
+      o.put("name", name.split('.').last)
+      o.put("fqn", name)
+      o.put("uri", java.nio.file.Paths.get(file).toUri.toString)
+    }
+    res
+  }
+
+  /** graft/renderModel (reference lsp/custom.py:52 sqlmesh/render_model):
+    * macro-expanded SQL for every model in the given document, overlay-
+    * aware. Tables keep their LOGICAL names (identity mapping) — the
+    * preview shows the query a plan would render, not physical snapshot
+    * tables. `start`/`end` (epoch ms) are optional; default one UTC day
+    * ending at the request's wall clock. Per-model errors are reported in
+    * the entry, never failing the sibling renders. */
+  private def renderModel(params: JsonNode): ObjectNode = {
+    val res = mapper.createObjectNode()
+    val arr = res.putArray("entries")
+    val uri = Option(params.get("textDocumentUri")).map(_.asText)
+      .orElse(Option(params.get("textDocument")).map(_.path("uri").asText))
+      .getOrElse("")
+    val text = docs.getOrElse(uri,
+      scala.util.Try(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(uriToPath(uri)))).getOrElse(""))
+    val end = Option(params.get("end")).map(_.asLong)
+      .getOrElse(System.currentTimeMillis / 86400000L * 86400000L)
+    val start = Option(params.get("start")).map(_.asLong)
+      .getOrElse(end - 86400000L)
+    val mapping = modelIndex.keys.map(n => n -> n).toMap
+    scala.util.Try(graft.loader.ModelLoader.parseAll(text, uri))
+      .getOrElse(Nil).foreach { m =>
+        val e = arr.addObject()
+        e.put("name", m.name.split('.').last)
+        e.put("fqn", m.name)
+        m.description.foreach(e.put("description", _))
+        scala.util.Try(graft.plans.Renderer.render(
+            m, start, end, end, mapping + (m.name -> m.name))) match {
+          case scala.util.Success(sql) => e.put("definition", sql)
+          case scala.util.Failure(ex)  =>
+            e.put("response_error", String.valueOf(ex.getMessage))
+        }
+      }
+    res
+  }
+
+  /** graft/formatProject (reference lsp/custom.py:131
+    * sqlmesh/format_project): [[graft.loader.SqlFormatter]] over every
+    * indexed project file ON DISK (the reference formats files the same
+    * way); open-document overlays are refreshed so diagnostics keep
+    * matching what the editor reloads. */
+  private def formatProject(): ObjectNode = {
+    val res = mapper.createObjectNode()
+    val changed = res.putArray("files")
+    var n = 0
+    modelIndex.values.map(_._1).toSeq.distinct.sorted.foreach { f =>
+      scala.util.Try {
+        val path = java.nio.file.Paths.get(f)
+        val text = java.nio.file.Files.readString(path)
+        val formatted = graft.loader.SqlFormatter.formatFile(text)
+        if (formatted != text) {
+          java.nio.file.Files.writeString(path, formatted)
+          val furi = path.toUri.toString
+          if (docs.contains(furi)) { docs(furi) = formatted; publishDiagnostics(furi) }
+          changed.add(f); n += 1
+        }
+      }
+    }
+    res.put("formatted", n)
+    res
+  }
+
+  /** graft/getEnvironments (reference lsp/custom.py:161
+    * sqlmesh/get_environments): environment records from the project's
+    * default durable state root (`<project>/.graft/state` — the CLI's
+    * --workspace default); absent state → empty list, never an error. */
+  private def getEnvironments(): ObjectNode = {
+    val res = mapper.createObjectNode()
+    val arr = res.putArray("environments")
+    root.map(r => s"$r/.graft/state").foreach { stateDir =>
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(stateDir)))
+        scala.util.Try(new graft.state.FileStateStore(stateDir).environments)
+          .getOrElse(Nil).sortBy(_.name).foreach { e =>
+            val o = arr.addObject()
+            o.put("name", e.name)
+            o.put("finalized", e.finalized)
+            o.put("snapshots", e.snapshots.size)
+            e.expirationTs.foreach(o.put("expiration_ts", _))
+          }
+    }
+    res
+  }
+
+  /** Top-level YAML test entries of one file: (name, 0-based line), the
+    * same scan the code-lens feature uses — keys whose block has `model:`. */
+  private def testEntriesIn(text: String): Seq[(String, Int)] = {
+    val lines = text.split('\n')
+    val keyRe = "^([A-Za-z_]\\w*):\\s*$".r
+    val tops = lines.iterator.zipWithIndex
+      .flatMap { case (l, i) => keyRe.findFirstMatchIn(l).map(m => (m.group(1), i)) }
+      .toSeq
+    tops.zipWithIndex.collect { case ((name, line), idx)
+        if lines.slice(line, tops.lift(idx + 1).map(_._2).getOrElse(lines.length))
+          .exists(_.matches("\\s+model:.*")) =>
+      (name, line)
+    }
+  }
+
+  private def testEntryNode(arr: ArrayNode, file: String, name: String,
+                            line: Int): Unit = {
+    val o = arr.addObject()
+    o.put("name", name)
+    o.put("uri", java.nio.file.Paths.get(file).toUri.toString)
+    val r = o.putObject("range")
+    val st = r.putObject("start"); st.put("line", line); st.put("character", 0)
+    val en = r.putObject("end"); en.put("line", line); en.put("character", name.length)
+  }
+
+  /** graft/listWorkspaceTests (reference lsp/custom.py:150): every YAML
+    * unit test under `<project>/tests` with its range (the CLI's test-dir
+    * convention; reference tests_ranges.py walks the same way). */
+  private def listWorkspaceTests(): ObjectNode = {
+    val res = mapper.createObjectNode()
+    val arr = res.putArray("tests")
+    root.map(r => java.nio.file.Paths.get(r, "tests")).foreach { d =>
+      if (java.nio.file.Files.isDirectory(d)) {
+        val it = java.nio.file.Files.walk(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          it.iterator().asScala
+            .filter(p => (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")) &&
+              java.nio.file.Files.isRegularFile(p))
+            .toSeq.sortBy(_.toString).foreach { p =>
+              scala.util.Try(testEntriesIn(textOf(p.toString))).getOrElse(Nil)
+                .foreach { case (name, line) => testEntryNode(arr, p.toString, name, line) }
+            }
+        } finally it.close()
+      }
+    }
+    res
+  }
+
+  /** graft/listDocumentTests (reference lsp/custom.py:186): the same
+    * entries for ONE document (overlay-aware). */
+  private def listDocumentTests(params: JsonNode): ObjectNode = {
+    val res = mapper.createObjectNode()
+    val arr = res.putArray("tests")
+    val uri = Option(params.get("textDocumentUri")).map(_.asText)
+      .orElse(Option(params.get("textDocument")).map(_.path("uri").asText))
+      .getOrElse("")
+    val file = uriToPath(uri)
+    scala.util.Try(testEntriesIn(textOf(file))).getOrElse(Nil)
+      .foreach { case (name, line) => testEntryNode(arr, file, name, line) }
+    res
+  }
+
+  /** graft/runTest (reference lsp/custom.py:197 sqlmesh/run_test): run one
+    * YAML unit test through the host-injected runner (the CLI host wires
+    * [[graft.testing.YamlModelTest]] behind a lazily-started Spark
+    * session); a server without a runner reports response_error rather
+    * than pretending the test passed. */
+  private def runTest(params: JsonNode): ObjectNode = {
+    val res = mapper.createObjectNode()
+    val name = Option(params.get("test")).orElse(Option(params.get("name")))
+      .map(_.asText).getOrElse("")
+    val uri = Option(params.get("textDocumentUri")).map(_.asText)
+      .orElse(Option(params.get("uri")).map(_.asText)).getOrElse("")
+    testRunner match {
+      case None =>
+        res.put("response_error",
+          "test running is not available in this server (no Spark host)")
+      case Some(run) =>
+        scala.util.Try(run(name, uriToPath(uri))) match {
+          case scala.util.Failure(ex) =>
+            res.put("response_error", String.valueOf(ex.getMessage))
+          case scala.util.Success(results) =>
+            val arr = res.putArray("results")
+            results.foreach { case (n, failure) =>
+              val o = arr.addObject()
+              o.put("name", n)
+              o.put("success", failure.isEmpty)
+              failure.foreach(o.put("failure", _))
+            }
+            res.put("success", results.nonEmpty && results.forall(_._2.isEmpty))
+        }
+    }
+    res
   }
 
   // ------------------------------------------------------- inlay hints

@@ -248,4 +248,112 @@ class DbtLoaderSpec extends AnyFunSuite {
     val cols = audits.collect { case ("not_null", args) => args("columns") }.toSet
     assert(cols == Set("id", "v"), s"expected both files' tests, got $audits")
   }
+
+  test("vendored dbt_utils: qualified BUILTIN call survives the bare rewrite") {
+    // ADVICE r11: with dbt_utils vendored (the common case), the qualified
+    // pass skips {{ dbt_utils.generate_surrogate_key(...) }} (native builtin
+    // wins over the vendored copy) — the bare pass must not then re-capture
+    // the stem after the '.' and emit dbt_utils.dbt_utils__...( broken SQL
+    val root = java.nio.file.Files.createTempDirectory("dbt_vendored_utils")
+    write(root.resolve("dbt_project.yml"), "name: vproj\n")
+    write(root.resolve("dbt_packages/dbt_utils/dbt_project.yml"), "name: dbt_utils\n")
+    write(root.resolve("dbt_packages/dbt_utils/macros/surrogate_key.sql"),
+      "{% macro generate_surrogate_key(flds) %}vendored_should_not_run{% endmacro %}\n" +
+      "{% macro star(rel) %}vendored_star{% endmacro %}\n")
+    write(root.resolve("models/keys.sql"),
+      """{{ config(materialized='table', schema='dbtv') }}
+        |SELECT {{ dbt_utils.generate_surrogate_key(['c_custkey', 'c_nationkey']) }} AS sk
+        |FROM {{ source('raw', 'customer') }}
+        |""".stripMargin)
+    write(root.resolve("models/schema.yml"),
+      "sources:\n  - name: raw\n    tables:\n      - name: customer\n")
+    val proj = DbtLoader.loadProject(root.toString)
+    val body = proj.models.find(_.name == "dbtv.keys").get.body match {
+      case SqlBody(sql) => sql
+      case other        => fail(s"expected SqlBody, got $other")
+    }
+    assert(!body.contains("dbt_utils__"), s"bare pass re-captured a qualified builtin: $body")
+    assert(body.contains("dbt_utils.generate_surrogate_key("), body)
+    // and it renders the NATIVE builtin end-to-end (not the vendored stub)
+    val ctx = new GraftContext(spark, SparkTestSession.tmpDir("dbtws-v"), concurrency = 2)
+    ctx.addExternal("raw.customer", s"$sf/customer.parquet")
+    ctx.loadDbtProject(root.toString)
+    ctx.apply(ctx.plan("prod", 0L, D))
+    val got = spark.table("dbtv.keys")
+    assert(got.count() > 0)
+    assert(got.filter(org.apache.spark.sql.functions
+      .col("sk").contains("vendored")).isEmpty, "vendored stub ran instead of the builtin")
+  }
+
+  test("package seeds land in the profile's target schema; cross-pkg qualified calls survive") {
+    val root = java.nio.file.Files.createTempDirectory("dbt_pkg_seed")
+    write(root.resolve("dbt_project.yml"), "name: sproj\nprofile: sproj\n")
+    write(root.resolve("profiles.yml"),
+      """sproj:
+        |  target: dev
+        |  outputs:
+        |    dev:
+        |      type: spark
+        |      schema: tgt
+        |""".stripMargin)
+    write(root.resolve("dbt_packages/util_a/dbt_project.yml"), "name: util_a\n")
+    // util_a's macro calls util_b's QUALIFIED — the intra-package bare
+    // rename must leave `util_b.twice(` intact for the qualified pass
+    // (ADVICE r11: \\b matched after the '.', mangling it to util_b.util_a__…;
+    // util_a ALSO defines its own `twice` to force the collision)
+    write(root.resolve("dbt_packages/util_a/macros/quad.sql"),
+      "{% macro twice(c) %}({{ c }} * 2){% endmacro %}\n" +
+      "{% macro quad(c) %}{{ util_b.twice(c) }} * 2{% endmacro %}\n")
+    write(root.resolve("dbt_packages/util_a/seeds/rates.csv"), "code,rate\nUS,2\n")
+    write(root.resolve("dbt_packages/util_b/dbt_project.yml"), "name: util_b\n")
+    write(root.resolve("dbt_packages/util_b/macros/twice.sql"),
+      "{% macro twice(c) %}({{ c }} + {{ c }}){% endmacro %}\n")
+    write(root.resolve("models/quads.sql"),
+      """{{ config(materialized='table') }}
+        |SELECT {{ util_a.quad(3) }} AS q
+        |""".stripMargin)
+    val proj = DbtLoader.loadProject(root.toString)
+    // dbt materializes package seeds into the target schema, like project seeds
+    assert(proj.models.exists(m => m.name == "tgt.rates" &&
+      m.kind.isInstanceOf[ModelKind.Seed]),
+      s"package seed not in target schema: ${proj.models.map(_.name)}")
+    val body = proj.models.find(_.name == "tgt.quads").get.body match {
+      case SqlBody(sql) => sql
+      case other        => fail(s"expected SqlBody, got $other")
+    }
+    assert(body.contains("util_b__twice("), body)
+    assert(!body.contains("util_b.util_a__"), s"cross-pkg qualified call mangled: $body")
+    // and the chain renders: util_b's twice (3 + 3), quad'd * 2 = 12
+    val ctx2 = new GraftContext(spark, SparkTestSession.tmpDir("dbtws-x"), concurrency = 2)
+    ctx2.loadDbtProject(root.toString)
+    ctx2.apply(ctx2.plan("prod", 0L, D))
+    assert(spark.table("tgt.quads").head.getInt(0) == 12)
+  }
+
+  test("aliased models keep their file-stem unique_id in dbt artifacts") {
+    // ADVICE r11: dbt's unique_id/name use the RESOURCE (file-stem) name;
+    // alias only changes the relation. An aliased model must cross-reference
+    // dbt-generated artifacts by stem, with the alias in the alias field.
+    val root = java.nio.file.Files.createTempDirectory("dbt_alias_art")
+    write(root.resolve("dbt_project.yml"), "name: aproj\n")
+    write(root.resolve("models/orders_base.sql"),
+      """{{ config(materialized='table', schema='dbta', alias='orders_current') }}
+        |SELECT 1 AS one
+        |""".stripMargin)
+    val proj = DbtLoader.loadProject(root.toString)
+    val m = proj.models.find(_.name == "dbta.orders_current").get
+    assert(proj.stemOf == Map("dbta.orders_current" -> "orders_base"), proj.stemOf)
+    val dir = SparkTestSession.tmpDir("dbt-alias-art")
+    DbtArtifacts.writeManifest(dir, proj.name, proj.models, Nil,
+      proj.pkgOf, proj.stemOf)
+    val mf = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "target", "manifest.json")))
+    val node = mf.path("nodes").path("model.aproj.orders_base")
+    assert(!node.isMissingNode, mf.path("nodes").toString.take(300))
+    assert(node.path("name").asText == "orders_base")
+    assert(node.path("alias").asText == "orders_current")
+    assert(node.path("schema").asText == "dbta")
+    assert(mf.path("nodes").path("model.aproj.orders_current").isMissingNode,
+      "alias leaked into the node id")
+  }
 }

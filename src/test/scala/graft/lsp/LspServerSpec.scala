@@ -493,6 +493,62 @@ class LspServerSpec extends AnyFunSuite {
       bEdited.split('\n')(1).indexOf("lspo.a"), loc.toString)
   }
 
+  test("references list every usage once; rename skips comments and strings") {
+    // ADVICE r11: a blueprint file expands to SEVERAL models — each used to
+    // re-add the file's FIRST match, yielding duplicate identical locations
+    // instead of one per usage site; and rename rewrote occurrences inside
+    // comments/strings because matching ran over raw text.
+    val proj = graft.SparkTestSession.tmpDir("lsp-refs-dedup")
+    val baseText =
+      """MODEL (name lspm.base, kind FULL, owner 'o', audits (number_of_rows(threshold := 0)));
+        |SELECT 1 AS x
+        |""".stripMargin
+    val blueText =
+      """MODEL (name lspm.@{seg}_agg, kind FULL, owner 'o',
+        |  blueprints ((seg = 'retail'), (seg = 'corp')),
+        |  audits (number_of_rows(threshold := 0)));
+        |-- lspm.base mentioned in a comment is not a reference
+        |SELECT count(*) AS n, 'lspm.base' AS tag FROM lspm.base a JOIN lspm.base b ON 1 = 1
+        |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "base.sql"), baseText)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "blue.sql"), blueText)
+    val baseUri = java.nio.file.Paths.get(proj, "base.sql").toUri.toString
+    val msgs = session(proj, Seq(
+      req(1, "initialize", s"""{"rootUri":"file://$proj","capabilities":{}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$baseUri","languageId":"sql","version":1,"text":"${baseText.replace("\n", "\\n")}"}}"""),
+      // cursor on lspm.base in base.sql's name property
+      req(2, "textDocument/references",
+        s"""{"textDocument":{"uri":"$baseUri"},"position":{"line":0,"character":13},"context":{"includeDeclaration":false}}"""),
+      req(3, "textDocument/rename",
+        s"""{"textDocument":{"uri":"$baseUri"},"position":{"line":0,"character":13},"newName":"lspm.base2"}"""),
+      note("exit", "{}")))
+    def result(id: Int) = msgs.find(m => m.has("id") && m.get("id").asInt == id).get.get("result")
+
+    // exactly the two FROM/JOIN sites — not 2 models x first-match, and
+    // neither the comment (line 3) nor the string literal counts
+    val refs = result(2)
+    val sites = (0 until refs.size).map { i =>
+      val st = refs.get(i).get("range").get("start")
+      (st.get("line").asInt, st.get("character").asInt)
+    }
+    val fromLine = 4
+    val lineText = blueText.split('\n')(fromLine)
+    val first = lineText.indexOf("FROM lspm.base") + 5
+    val second = lineText.indexOf("JOIN lspm.base") + 5
+    assert(sites.toSet == Set((fromLine, first), (fromLine, second)), sites.toString)
+    assert(sites.size == 2, s"duplicate locations: $sites")
+
+    // rename edits only the two code sites; comment and string survive
+    val blueUri = java.nio.file.Paths.get(proj, "blue.sql").toUri.toString
+    val changes = result(3).get("changes")
+    assert(changes.has(blueUri), changes.toString)
+    val renamed = applyEdits(blueText, changes.get(blueUri))
+    assert(renamed.contains("-- lspm.base mentioned"), renamed)
+    assert(renamed.contains("'lspm.base'"), renamed)
+    assert(renamed.contains("FROM lspm.base2 a JOIN lspm.base2 b"), renamed)
+  }
+
   test("robustness: bad notifications don't kill the loop, unknown methods err, name-after-parens indexes") {
     val proj = graft.SparkTestSession.tmpDir("lsp-proj3")
     // name AFTER a parenthesized property — the parser-backed index must
