@@ -74,10 +74,13 @@ object Main {
     if (args.headOption.contains("lsp")) {
       // fast path BEFORE SparkSession construction: the language server
       // needs only the loader/linter/formatter — editors must not wait for
-      // (or fail on) Spark startup. stdout is the protocol channel.
+      // (or fail on) Spark startup. stdout is the protocol channel. The
+      // graft/runTest runner starts Spark LAZILY on the first test run, so
+      // the instant start survives while tests stay runnable in-editor.
       val (flags, _) = parse(args.toIndexedSeq.tail)
-      new graft.lsp.LspServer(System.in, System.out,
-        flags.get("project").map(_.last)).run()
+      val proj = flags.get("project").map(_.last)
+      new graft.lsp.LspServer(System.in, System.out, proj,
+        proj.map(lspTestRunner)).run()
       return
     }
     val spark = SparkSession.builder()
@@ -92,6 +95,28 @@ object Main {
     val code = try run(args.toIndexedSeq, spark, Console.out)
     finally spark.stop()
     if (code != 0) sys.exit(code)
+  }
+
+  /** graft/runTest backend for the LSP host: YAML unit tests through
+    * [[graft.testing.YamlModelTest]] over the project's models, with the
+    * SparkSession created on FIRST use only (editors get the instant
+    * Spark-free start; the first in-editor test run pays the startup). */
+  private def lspTestRunner(proj: String): (String, String) => Seq[(String, Option[String])] = {
+    lazy val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-lsp-tests")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    (name, yamlPath) => {
+      val models = graft.loader.ModelLoader.loadDirectory(proj)
+        .map(m => m.name -> m).toMap
+      graft.testing.YamlModelTest.runFile(spark, yamlPath, models)
+        .filter(r => name.isEmpty || r.name == name)
+        .map(r => (r.name, r.failure))
+    }
   }
 
   /** Testable core: parses args, drives the context, writes to `out`,
@@ -111,8 +136,9 @@ object Main {
       // loader/linter/formatter, never a SparkSession, so editors get an
       // instant start. `out` carries the JSON-RPC frames; diagnostics for
       // humans go through the protocol, not the console.
-      new graft.lsp.LspServer(stdin, out,
-        flags.get("project").map(_.last)).run()
+      val lspProj = flags.get("project").map(_.last)
+      new graft.lsp.LspServer(stdin, out, lspProj,
+        lspProj.map(lspTestRunner)).run()
       return 0
     }
 

@@ -17,11 +17,12 @@ class LspServerSpec extends AnyFunSuite {
   }
 
   /** Run a scripted session; returns every server message in order. */
-  private def session(project: String, messages: Seq[String]): Seq[JsonNode] = {
+  private def session(project: String, messages: Seq[String],
+      runner: Option[(String, String) => Seq[(String, Option[String])]] = None): Seq[JsonNode] = {
     val in = new java.io.ByteArrayInputStream(
       messages.flatMap(m => frame(m).toSeq).toArray)
     val outBuf = new java.io.ByteArrayOutputStream()
-    new LspServer(in, outBuf, Some(project)).run()
+    new LspServer(in, outBuf, Some(project), runner).run()
     // parse the framed responses back out
     val bytes = outBuf.toByteArray
     val out = Seq.newBuilder[JsonNode]
@@ -547,6 +548,115 @@ class LspServerSpec extends AnyFunSuite {
     assert(renamed.contains("-- lspm.base mentioned"), renamed)
     assert(renamed.contains("'lspm.base'"), renamed)
     assert(renamed.contains("FROM lspm.base2 a JOIN lspm.base2 b"), renamed)
+  }
+
+  test("custom methods: allModels, renderModel, tests, environments, formatProject") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-custom")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "daily.sql"),
+      """MODEL (name lspc.daily, kind FULL, owner 'o', description 'daily rollup',
+        |  audits (number_of_rows(threshold := 0)));
+        |SELECT o_orderdate, count(*) AS n FROM raw.orders
+        |WHERE o_orderdate BETWEEN @start_ds AND @end_ds GROUP BY o_orderdate
+        |""".stripMargin)
+    // a scruffy file formatProject must rewrite on disk
+    val scruffy = java.nio.file.Paths.get(proj, "scruffy.sql")
+    java.nio.file.Files.writeString(scruffy,
+      "MODEL (name lspc.scruffy, kind FULL, owner 'o', audits (number_of_rows(threshold := 0)));\nselect   o_orderkey,o_totalprice from raw.orders\n")
+    val testsDir = java.nio.file.Paths.get(proj, "tests")
+    java.nio.file.Files.createDirectories(testsDir)
+    val yamlPath = testsDir.resolve("test_daily.yaml")
+    java.nio.file.Files.writeString(yamlPath,
+      """test_daily_counts:
+        |  model: lspc.daily
+        |  inputs:
+        |    raw.orders:
+        |      - o_orderdate: 2020-01-01
+        |  outputs:
+        |    query:
+        |      - o_orderdate: 2020-01-01
+        |        n: 1
+        |""".stripMargin)
+    // a durable state image so getEnvironments has something to read
+    val st = new graft.state.FileStateStore(proj + "/.graft/state")
+    st.promoteEnvironment(graft.state.EnvironmentRecord(
+      "prod", Map("lspc.daily" -> "v1"), finalized = true))
+
+    var ranTest: Option[(String, String)] = None
+    val runner: (String, String) => Seq[(String, Option[String])] = { (n, y) =>
+      ranTest = Some((n, y)); Seq((n, None))
+    }
+    val dailyUri = java.nio.file.Paths.get(proj, "daily.sql").toUri.toString
+    val yamlUri = yamlPath.toUri.toString
+    val msgs = session(proj, Seq(
+      req(1, "initialize", s"""{"rootUri":"file://$proj","capabilities":{}}"""),
+      req(2, "graft/allModels", "{}"),
+      req(3, "graft/allModelsForRender", "{}"),
+      req(4, "graft/renderModel",
+        s"""{"textDocumentUri":"$dailyUri","start":1577836800000,"end":1577923200000}"""),
+      req(5, "graft/listWorkspaceTests", "{}"),
+      req(6, "graft/listDocumentTests", s"""{"textDocumentUri":"$yamlUri"}"""),
+      req(7, "graft/runTest", s"""{"test":"test_daily_counts","uri":"$yamlUri"}"""),
+      req(8, "graft/getEnvironments", "{}"),
+      req(9, "graft/formatProject", "{}"),
+      req(10, "graft/supportedMethods", "{}"),
+      note("exit", "{}")), Some(runner))
+    def result(id: Int) = msgs.find(m => m.has("id") && m.get("id").asInt == id).get.get("result")
+
+    // allModels: both models with the declared description, builtin macros
+    val am = result(2)
+    val amNames = (0 until am.get("models").size)
+      .map(i => am.get("models").get(i).get("name").asText)
+    assert(amNames == Seq("lspc.daily", "lspc.scruffy"), amNames)
+    assert(am.get("models").get(0).get("description").asText == "daily rollup")
+    val macroNames = (0 until am.get("macros").size)
+      .map(i => am.get("macros").get(i).get("name").asText)
+    assert(macroNames.contains("@EACH") && macroNames.contains("@start_ds"), macroNames.take(5))
+
+    // allModelsForRender: fqn + declaring uri
+    val afr = result(3)
+    val fqns = (0 until afr.get("models").size)
+      .map(i => afr.get("models").get(i).get("fqn").asText)
+    assert(fqns == Seq("lspc.daily", "lspc.scruffy"), fqns)
+    assert(afr.get("models").get(0).get("uri").asText.endsWith("daily.sql"))
+
+    // renderModel: @start_ds/@end_ds rendered to the requested window
+    val rm = result(4).get("entries")
+    assert(rm.size == 1, rm.toString)
+    val definition = rm.get(0).get("definition").asText
+    // @end_ds is the INCLUSIVE end date — one-day window renders twice
+    assert(definition.contains("BETWEEN '2020-01-01' AND '2020-01-01'"), definition)
+    assert(!definition.contains("@start_ds"), definition)
+
+    // workspace + document tests: the YAML entry with its range
+    val wt = result(5).get("tests")
+    assert(wt.size == 1 && wt.get(0).get("name").asText == "test_daily_counts", wt.toString)
+    assert(wt.get(0).get("uri").asText == yamlUri, wt.toString)
+    assert(wt.get(0).get("range").get("start").get("line").asInt == 0)
+    val dt = result(6).get("tests")
+    assert(dt.size == 1 && dt.get(0).get("name").asText == "test_daily_counts")
+
+    // runTest routed through the injected runner
+    val rt = result(7)
+    assert(rt.get("success").asBoolean, rt.toString)
+    assert(ranTest.contains(("test_daily_counts", yamlPath.toString)), ranTest)
+
+    // environments from the durable state image
+    val envs = result(8).get("environments")
+    assert(envs.size == 1 && envs.get(0).get("name").asText == "prod" &&
+      envs.get(0).get("finalized").asBoolean &&
+      envs.get(0).get("snapshots").asInt == 1, envs.toString)
+
+    // formatProject rewrote the scruffy file in place
+    assert(result(9).get("formatted").asInt >= 1, result(9).toString)
+    val formatted = java.nio.file.Files.readString(scruffy)
+    assert(formatted != null && formatted.contains("SELECT"), formatted)
+
+    // discovery lists every custom method
+    val methods = (0 until result(10).size).map(i => result(10).get(i).get("name").asText)
+    Seq("graft/allModels", "graft/renderModel", "graft/formatProject",
+      "graft/getEnvironments", "graft/listWorkspaceTests",
+      "graft/listDocumentTests", "graft/runTest").foreach(m =>
+      assert(methods.contains(m), s"$m missing from supportedMethods"))
   }
 
   test("robustness: bad notifications don't kill the loop, unknown methods err, name-after-parens indexes") {
