@@ -545,6 +545,62 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** Perceptual-hash near-dup clusters (the corpus side of
+    * [[Multimodal.imageDHash]]): exact-duplicate hashes collapse FIRST
+    * (groupBy hash → representative id + member count), then a banded
+    * Hamming join runs over DISTINCT hashes only — 64/`bands`-bit band
+    * equality proposes candidates — pigeonhole: d bit flips touch at most
+    * d of the `bands` bands, so any pair within distance bands-1 is
+    * GUARANTEED a shared band, and larger-distance pairs are still found
+    * whenever their flips cluster into fewer bands — `bit_count(xor)`
+    * verifies exactly. Shuffle
+    * and pair generation scale with DISTINCT hashes, never documents — at
+    * 100 TB the distinct-hash frame is orders of magnitude smaller than the
+    * corpus, and `maxBucketSize` (same valve as [[minhashLsh]]) bounds any
+    * adversarial band bucket. Returns one row per duplicate cluster:
+    * (cluster, keep_id = smallest member id, n_dups = member count,
+    * n_hashes = distinct signatures merged). */
+  def hammingClusters(hashes: DataFrame, hashCol: String = "dhash",
+                      idCol: String = "media_id", maxDist: Int = 6,
+                      bands: Int = 4,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val reps = hashes.filter(col(hashCol).isNotNull)
+      .groupBy(col(hashCol).as("__h"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__cnt"))
+      .persist()
+    val banded0 = reps.select(col("__h"), col("__rep"))
+      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("__bits",
+        expr(s"shiftrightunsigned(__h, __band * $width)").bitwiseAND(lit(mask)))
+    val banded = maxBucketSize.fold(banded0) { cap =>
+      val hot = banded0.groupBy(col("__band"), col("__bits"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select(col("__band"), col("__bits"))
+      banded0.join(broadcast(hot), Seq("__band", "__bits"), "left_anti")
+    }
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__bits") === col("y.__bits") &&
+          col("x.__h") < col("y.__h"))
+      .select(col("x.__h").as("__ha"), col("y.__h").as("__hb"),
+        col("x.__rep").as("__ra"), col("y.__rep").as("__rb"))
+      .distinct()
+    val pairs = cand.filter(
+      expr(s"bit_count(__ha ^ __hb) <= $maxDist"))
+    val comp = clusters(pairs.select(col("__ra").as("id_a"), col("__rb").as("id_b")))
+    val labeled = reps
+      .join(comp.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("__rep")))
+    // reps stays persisted until the caller's action completes (it is read
+    // by the band join AND the final label join); ContextCleaner reclaims it
+    labeled.groupBy(col("cluster"))
+      .agg(min(col("__rep")).as("keep_id"), sum(col("__cnt")).as("n_dups"),
+        count(lit(1)).as("n_hashes"))
+  }
+
   /** Near-dup clusters from a pair list: connected components by iterative
     * min-label propagation (the GraphX/Pregel CC algorithm as plain DataFrame
     * joins — each round is one shuffle-join; rounds ≤ component diameter,

@@ -143,6 +143,133 @@ object Multimodal {
     }(encoder)
   }
 
+  /** splitmix64 finalizer (Steele et al., public-domain constants — the
+    * JDK SplittableRandom mixer): deterministic well-spread 64-bit target
+    * patterns for the dHash fixtures. 12 consecutive seeds have pairwise
+    * Hamming distance ≥ 22, so a ≤6-bit near-dup radius can never merge
+    * two different groups. */
+  def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** The target dHash for a synthetic image of `id`: each of `groups`
+    * classes gets a splitmix64 base pattern; every 7th-ish member (id/groups
+    * ≡ 3 mod 7) is a PERTURBED variant with exactly two class-derived bits
+    * flipped — Hamming 2 from its class (a genuine near-dup the banded join
+    * must find) and ≥ 20 from every other class (never a false merge). */
+  def dhashPattern(id: Long, groups: Int): Long = {
+    val g = math.floorMod(id, groups)
+    val base = splitmix64(g)
+    if (math.floorMod(id / groups, 7) == 3)
+      base ^ (1L << ((g * 5 + 1) % 64)) ^ (1L << ((g * 7 + 3) % 64))
+    else base
+  }
+
+  /** 9×8 grayscale PNG whose dHash IS `pattern`: row r starts at 128 and
+    * walks ±10 per pixel — up when bit r*8+c of the pattern is set, down
+    * otherwise — so the adjacent-pixel comparison recovers each bit exactly
+    * (range 128±80 never clips). PNG is lossless, so the decode side sees
+    * the walk bit-perfectly. */
+  def syntheticDhashPng(pattern: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var v = 128
+      img.setRGB(0, r, (v << 16) | (v << 8) | v)
+      var c = 0
+      while (c < 8) {
+        val bit = (pattern >>> (r * 8 + c)) & 1L
+        v = if (bit == 1L) v + 10 else v - 10
+        img.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-row synthesis of the dHash fixture corpus (real PNG encoder, like
+    * [[synthesizeImages]]): id → [[dhashPattern]] → [[syntheticDhashPng]]. */
+  def synthesizeDhashImages(spark: SparkSession, df: DataFrame,
+                            idCol: String = "media_id",
+                            groups: Int = 12): DataFrame = {
+    val outSchema = df.schema.add("payload", BinaryType)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ syntheticDhashPng(dhashPattern(r.getLong(idIdx), groups)))
+      }
+    }(encoder)
+  }
+
+  /** REAL perceptual hash (dHash): decode → bilinear 9×8 grayscale
+    * thumbnail (skipped when the image is already 9×8) → 64-bit signature,
+    * bit r*8+c = gray[r][c+1] > gray[r][c]. The standard image near-dup
+    * fingerprint (LAION-style pipelines): robust to re-encoding and mild
+    * resizing, cheap enough for a 100 TB scan — one decode per image, no
+    * shuffle, 8 bytes out. Same per-partition codec lifecycle and per-row
+    * failure isolation as [[decodeImages]]. Pair with
+    * [[Dedup.hammingClusters]] for the corpus-level dedup. */
+  def imageDHash(spark: SparkSession, df: DataFrame,
+                 payloadCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema
+      .add("dhash", LongType)
+      .add("dhash_ok", BooleanType)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        val decoded =
+          if (payload == null) None
+          else try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload)))
+          catch { case _: Exception => None }
+        decoded match {
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, false))
+          case Some(img0) =>
+            val img =
+              if (img0.getWidth == 9 && img0.getHeight == 8) img0
+              else {
+                val t = new java.awt.image.BufferedImage(
+                  9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g2 = t.createGraphics()
+                g2.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g2.drawImage(img0, 0, 0, 9, 8, null)
+                g2.dispose()
+                t
+              }
+            var hash = 0L
+            var row = 0
+            while (row < 8) {
+              var cPrev = img.getRGB(0, row)
+              var gPrev = (((cPrev >> 16) & 0xff) + ((cPrev >> 8) & 0xff) + (cPrev & 0xff)) / 3
+              var c = 0
+              while (c < 8) {
+                val cc = img.getRGB(c + 1, row)
+                val gc = (((cc >> 16) & 0xff) + ((cc >> 8) & 0xff) + (cc & 0xff)) / 3
+                if (gc > gPrev) hash |= 1L << (row * 8 + c)
+                gPrev = gc
+                c += 1
+              }
+              row += 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq(hash, true))
+        }
+      }
+    }(encoder)
+  }
+
   /** Deterministic SOLID-color synthetic PNG (all channels id-derived
     * constants) — the fixture for resize oracles: any correct rescale of a
     * constant image is the same constant at the new dims. */
