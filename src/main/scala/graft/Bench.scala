@@ -69,6 +69,29 @@ object Bench {
     }
     scanCalibPass()
     val calibScan = scanCalibPass()
+    // third, REGEX/BRANCH-SHAPED calibration (r12 verdict #4): r12's driver
+    // machine was loaded in a way that slowed ONLY branchy string/regex
+    // compute (td_lang_id 3.8×, td_text_quality 5.3×) while the arithmetic
+    // probe above rose 12% — the pipeline's text-analysis queries are
+    // regex-bound, not ALU-bound, and need their own constant. Fixed work:
+    // generate short synthetic strings in-memory and push them through the
+    // same expression shapes as td_lang_id/td_text_quality (regexp_replace,
+    // rlike, split) — all codegen'd, zero shuffle, zero IO. A loaded machine
+    // now shows up as an elevated calib_cpu_s in the artifact itself.
+    def cpuCalibPass(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 600000L, 1L, cpus.toInt)
+        .selectExpr("concat('Doc ', id, ': the quick? brown fox #', id % 97, " +
+          "' jumps; over the lazy dog, ', id % 13, ' times. und der die das!') AS s")
+        .selectExpr(
+          "sum(length(regexp_replace(s, '[^a-z ]', ''))) AS a",
+          "sum(CASE WHEN s RLIKE '[0-9]{2,}\\\\s' THEN 1 ELSE 0 END) AS b",
+          "sum(size(split(s, '[ ,;.!?]+'))) AS c")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    cpuCalibPass()
+    val calibCpu = cpuCalibPass()
     // the calib parquet is per-run scratch (~250 MB, incompressible by
     // construction) — delete it now or repeated bench rounds fill /tmp
     locally {
@@ -123,6 +146,7 @@ object Bench {
     // (q6_filter/q3_topn elevated 3–4× with byte-identical shuffles).
     val norm = jmap { case (_, (med, _, _, _, _)) => num(med / calib, 3) }
     val normScan = jmap { case (_, (med, _, _, _, _)) => num(med / calibScan, 3) }
+    val normCpu = jmap { case (_, (med, _, _, _, _)) => num(med / calibCpu, 3) }
     val failed = results.collect { case (k, (_, _, _, _, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.map(_._1).sum
@@ -134,7 +158,7 @@ object Bench {
     // per-run/min/shuffle detail lives on its own preceding line for judges
     // who want the raw evidence.
     println(s"""{"detail":"bench_runs","stat":"median_of_$reps","total_min":$totalMin,"queries_min":$mins,"runs":$runsJ,"shuffle_mb":$sh,"norm_scan":$normScan}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"norm":$norm,"failed":$failed,"calib_s":$calib,"calib_scan_s":$calibScan,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"norm":$norm,"norm_cpu":$normCpu,"failed":$failed,"calib_s":$calib,"calib_scan_s":$calibScan,"calib_cpu_s":$calibCpu,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

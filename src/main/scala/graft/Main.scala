@@ -80,7 +80,7 @@ object Main {
       val (flags, _) = parse(args.toIndexedSeq.tail)
       val proj = flags.get("project").map(_.last)
       new graft.lsp.LspServer(System.in, System.out, proj,
-        proj.map(lspTestRunner)).run()
+        Some(lspTestRunner)).run()
       return
     }
     val spark = SparkSession.builder()
@@ -100,21 +100,38 @@ object Main {
   /** graft/runTest backend for the LSP host: YAML unit tests through
     * [[graft.testing.YamlModelTest]] over the project's models, with the
     * SparkSession created on FIRST use only (editors get the instant
-    * Spark-free start; the first in-editor test run pays the startup). */
-  private def lspTestRunner(proj: String): (String, String) => Seq[(String, Option[String])] = {
-    lazy val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-lsp-tests")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    (name, yamlPath) => {
+    * Spark-free start; the first in-editor test run pays the startup).
+    * The project directory arrives PER CALL — the server resolves it from
+    * its live root (initialize rootUri or a later --project override), so
+    * editors that never pass --project still get test running, and the
+    * runner can never target a stale directory. */
+  private val lspTestRunner: (String, String, String) => Seq[(String, Option[String])] = {
+    lazy val spark = {
+      // stdout is the JSON-RPC channel while this runs inside `graft lsp`:
+      // any Spark/Ivy/JVM banner reaching System.out on first use would
+      // corrupt the protocol stream (the LSP frames themselves go through
+      // the server's captured stream, not System.out), so route System.out
+      // to stderr for the duration of session startup
+      val realOut = System.out
+      System.setOut(new java.io.PrintStream(
+        new java.io.FileOutputStream(java.io.FileDescriptor.err), true))
+      try SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-lsp-tests")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      finally System.setOut(realOut)
+    }
+    (proj, name, yamlPath) => {
       val models = graft.loader.ModelLoader.loadDirectory(proj)
         .map(m => m.name -> m).toMap
-      graft.testing.YamlModelTest.runFile(spark, yamlPath, models)
-        .filter(r => name.isEmpty || r.name == name)
+      // name filter applied BEFORE execution: a single-test run from the
+      // editor must not execute (or pay for) its sibling tests
+      graft.testing.YamlModelTest.runFile(spark, yamlPath, models,
+          nameFilter = Option(name).filter(_.nonEmpty))
         .map(r => (r.name, r.failure))
     }
   }
@@ -138,7 +155,7 @@ object Main {
       // humans go through the protocol, not the console.
       val lspProj = flags.get("project").map(_.last)
       new graft.lsp.LspServer(stdin, out, lspProj,
-        lspProj.map(lspTestRunner)).run()
+        Some(lspTestRunner)).run()
       return 0
     }
 

@@ -160,4 +160,37 @@ object Curation {
       .orderBy(col("gumbel_key").desc, col(idCol))
       .limit(sampleN)
   }
+
+  /** Corpus-level image dedup in one call (the LAION-style recipe:
+    * perceptual hash → Hamming near-dup clusters → keep one per cluster),
+    * mirroring [[Dedup.incrementalExact]]'s ergonomics. Composes
+    * [[Multimodal.imageDHash]] (decode + 64-bit dHash, per-row failure
+    * isolation) with [[Dedup.hammingLabels]] (banded join over DISTINCT
+    * hashes only). Returns every input row plus:
+    *  - `dhash` / `dhash_ok` — the signature, null/false on decode failure
+    *  - `cluster` — smallest media id in the row's near-dup component
+    *    (null for undecodable rows: no evidence either way)
+    *  - `keep` — true for the cluster's smallest id AND for every
+    *    undecodable row (dropping what we cannot judge silently loses data;
+    *    callers quarantine on `!dhash_ok` explicitly if they want to)
+    *
+    * 100 TB shape: the hash pass is a scan (one decode per image, 8 bytes
+    * out, no shuffle); clustering shuffles DISTINCT hashes, never media
+    * bytes; the label map (one row per distinct hash — orders of magnitude
+    * smaller than the corpus) joins back on the 8-byte key, so AQE
+    * broadcasts it and the payload side never moves. */
+  def mediaDedup(spark: org.apache.spark.sql.SparkSession, media: DataFrame,
+                 payloadCol: String = "payload", idCol: String = "media_id",
+                 maxDist: Int = 6, bands: Int = 8,
+                 maxBucketSize: Option[Int] = None): DataFrame = {
+    val hashed = Multimodal.imageDHash(spark, media, payloadCol)
+    val labels = Dedup.hammingLabels(
+        hashed.filter(col("dhash_ok")).select(col(idCol), col("dhash")),
+        "dhash", idCol, maxDist, bands, maxBucketSize)
+      .select(col("dhash"), col("cluster"))
+    // equi-join on dhash: null keys (undecodable rows) match nothing, so
+    // their cluster stays null and keep falls through to true
+    hashed.join(labels, Seq("dhash"), "left")
+      .withColumn("keep", !col("dhash_ok") || col(idCol) === col("cluster"))
+  }
 }

@@ -235,7 +235,14 @@ object Dedup {
     * Exactness is identical to [[incrementalExact]] (per-key routing is
     * deterministic, Bloom has no false negatives, hits confirm against the
     * corpus). `shards` forces S; production callers should use
-    * [[incrementalExactBloomCached]] and let [[AutoShardKeys]] decide. */
+    * [[incrementalExactBloomCached]] and let [[AutoShardKeys]] decide.
+    *
+    * Sizing rule: a 1%-fpp Bloom filter costs ~9.6 bits ≈ 1.2 bytes per
+    * key, so pick S with `corpusKeys / S <= taskBudgetBytes / 1.2` — each
+    * build task allocates exactly one perShard-capacity filter (identity
+    * routing: partition index == shard id; ScaleProbe pins the per-task
+    * bound by file size). E.g. a 10¹⁰-key corpus under a 240 MB per-task
+    * filter budget needs S ≥ 50 — the [[TargetKeysPerShard]] auto path. */
   def incrementalExactBloomSharded(corpus: DataFrame, incoming: DataFrame,
                                    cacheDir: String, versionToken: String,
                                    shards: Int,
@@ -545,25 +552,33 @@ object Dedup {
         .as("simhash"))
   }
 
-  /** Perceptual-hash near-dup clusters (the corpus side of
-    * [[Multimodal.imageDHash]]): exact-duplicate hashes collapse FIRST
-    * (groupBy hash → representative id + member count), then a banded
-    * Hamming join runs over DISTINCT hashes only — 64/`bands`-bit band
-    * equality proposes candidates — pigeonhole: d bit flips touch at most
-    * d of the `bands` bands, so any pair within distance bands-1 is
-    * GUARANTEED a shared band, and larger-distance pairs are still found
-    * whenever their flips cluster into fewer bands — `bit_count(xor)`
-    * verifies exactly. Shuffle
-    * and pair generation scale with DISTINCT hashes, never documents — at
-    * 100 TB the distinct-hash frame is orders of magnitude smaller than the
-    * corpus, and `maxBucketSize` (same valve as [[minhashLsh]]) bounds any
-    * adversarial band bucket. Returns one row per duplicate cluster:
-    * (cluster, keep_id = smallest member id, n_dups = member count,
-    * n_hashes = distinct signatures merged). */
-  def hammingClusters(hashes: DataFrame, hashCol: String = "dhash",
-                      idCol: String = "media_id", maxDist: Int = 6,
-                      bands: Int = 4,
-                      maxBucketSize: Option[Int] = None): DataFrame = {
+  /** Per-distinct-hash cluster labels — the shared core of
+    * [[hammingClusters]] and [[Curation.mediaDedup]]: exact-duplicate
+    * hashes collapse FIRST (groupBy hash → representative id + member
+    * count), then a banded Hamming join runs over DISTINCT hashes only —
+    * 64/`bands`-bit band equality proposes candidates — pigeonhole: d bit
+    * flips touch at most d of the `bands` bands, so any pair within
+    * distance `bands - 1` is GUARANTEED a shared band, and larger-distance
+    * pairs are still found whenever their flips cluster into fewer bands —
+    * `bit_count(xor)` verifies exactly.
+    *
+    * RECALL CONTRACT: complete within `maxDist` only when
+    * `bands > maxDist` (the default 8 bands cover the default radius 6 with
+    * headroom to 7; HammingBandPropertySpec pins this). `bands <= maxDist`
+    * is accepted — it trades recall in the [bands, maxDist] ring for fewer
+    * candidate pairs — but the guaranteed radius is always `bands - 1`.
+    *
+    * Shuffle and pair generation scale with DISTINCT hashes, never
+    * documents — at 100 TB the distinct-hash frame is orders of magnitude
+    * smaller than the corpus, and `maxBucketSize` (same valve as
+    * [[minhashLsh]]) bounds any adversarial band bucket. Returns one row
+    * per distinct hash: (hashCol, rep_id = smallest id carrying the hash,
+    * n_ids = rows carrying it, cluster = smallest id in the connected
+    * near-dup component). */
+  def hammingLabels(hashes: DataFrame, hashCol: String = "dhash",
+                    idCol: String = "media_id", maxDist: Int = 6,
+                    bands: Int = 8,
+                    maxBucketSize: Option[Int] = None): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -591,15 +606,28 @@ object Dedup {
     val pairs = cand.filter(
       expr(s"bit_count(__ha ^ __hb) <= $maxDist"))
     val comp = clusters(pairs.select(col("__ra").as("id_a"), col("__rb").as("id_b")))
-    val labeled = reps
-      .join(comp.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
-      .withColumn("cluster", coalesce(col("cluster"), col("__rep")))
     // reps stays persisted until the caller's action completes (it is read
     // by the band join AND the final label join); ContextCleaner reclaims it
-    labeled.groupBy(col("cluster"))
-      .agg(min(col("__rep")).as("keep_id"), sum(col("__cnt")).as("n_dups"),
-        count(lit(1)).as("n_hashes"))
+    reps
+      .join(comp.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("__rep")))
+      .select(col("__h").as(hashCol), col("__rep").as("rep_id"),
+        col("__cnt").as("n_ids"), col("cluster"))
   }
+
+  /** Perceptual-hash near-dup clusters (the corpus side of
+    * [[Multimodal.imageDHash]]): [[hammingLabels]] rolled up to one row per
+    * duplicate cluster — (cluster, keep_id = smallest member id, n_dups =
+    * member count, n_hashes = distinct signatures merged). Same recall
+    * contract and 100 TB shape as [[hammingLabels]]. */
+  def hammingClusters(hashes: DataFrame, hashCol: String = "dhash",
+                      idCol: String = "media_id", maxDist: Int = 6,
+                      bands: Int = 8,
+                      maxBucketSize: Option[Int] = None): DataFrame =
+    hammingLabels(hashes, hashCol, idCol, maxDist, bands, maxBucketSize)
+      .groupBy(col("cluster"))
+      .agg(min(col("rep_id")).as("keep_id"), sum(col("n_ids")).as("n_dups"),
+        count(lit(1)).as("n_hashes"))
 
   /** Near-dup clusters from a pair list: connected components by iterative
     * min-label propagation (the GraphX/Pregel CC algorithm as plain DataFrame

@@ -31,11 +31,16 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class LspServer(in: InputStream, out: OutputStream,
                       projectDir: Option[String] = None,
-                      /** (testName, yamlPath) → per-case (name, failure) —
-                        * injected by the CLI host so `graft/runTest` can run
-                        * YAML unit tests without this class touching Spark
-                        * (reference lsp/custom.py RUN_TEST_FEATURE). */
-                      testRunner: Option[(String, String) => Seq[(String, Option[String])]] = None) {
+                      /** (projectDir, testName, yamlPath) → per-case
+                        * (name, failure) — injected by the CLI host so
+                        * `graft/runTest` can run YAML unit tests without
+                        * this class touching Spark (reference lsp/custom.py
+                        * RUN_TEST_FEATURE). The project directory is passed
+                        * PER CALL from the server's live root, so an editor
+                        * workspace supplied via initialize rootUri (no
+                        * --project flag) runs tests against the right
+                        * project. */
+                      testRunner: Option[(String, String, String) => Seq[(String, Option[String])]] = None) {
 
   private val mapper = new ObjectMapper()
   private var running = true
@@ -173,6 +178,7 @@ final class LspServer(in: InputStream, out: OutputStream,
       case "graft/allModelsForRender" => respond(id, allModelsForRender())
       case "graft/renderModel" => respond(id, renderModel(params))
       case "graft/formatProject" => respond(id, formatProject())
+      case "graft/getModels" => respond(id, getModels())
       case "graft/getEnvironments" => respond(id, getEnvironments())
       case "graft/listWorkspaceTests" => respond(id, listWorkspaceTests())
       case "graft/listDocumentTests" => respond(id, listDocumentTests(params))
@@ -653,7 +659,7 @@ final class LspServer(in: InputStream, out: OutputStream,
       "textDocument/codeLens", "textDocument/documentHighlight",
       "graft/supportedMethods", "graft/allModels",
       "graft/allModelsForRender", "graft/renderModel",
-      "graft/formatProject", "graft/getEnvironments",
+      "graft/formatProject", "graft/getModels", "graft/getEnvironments",
       "graft/listWorkspaceTests", "graft/listDocumentTests",
       "graft/runTest").foreach { m =>
       arr.addObject().put("name", m)
@@ -742,9 +748,10 @@ final class LspServer(in: InputStream, out: OutputStream,
 
   /** graft/formatProject (reference lsp/custom.py:131
     * sqlmesh/format_project): [[graft.loader.SqlFormatter]] over every
-    * indexed project file ON DISK (the reference formats files the same
-    * way); open-document overlays are refreshed so diagnostics keep
-    * matching what the editor reloads. */
+    * indexed project file. For files with an OPEN editor overlay the
+    * overlay text is what gets formatted and written — unsaved edits are
+    * formatted, never silently discarded — and the refreshed overlay keeps
+    * diagnostics/positions matching the buffer the editor reloads. */
   private def formatProject(): ObjectNode = {
     val res = mapper.createObjectNode()
     val changed = res.putArray("files")
@@ -752,17 +759,33 @@ final class LspServer(in: InputStream, out: OutputStream,
     modelIndex.values.map(_._1).toSeq.distinct.sorted.foreach { f =>
       scala.util.Try {
         val path = java.nio.file.Paths.get(f)
-        val text = java.nio.file.Files.readString(path)
+        val furi = path.toUri.toString
+        val text = docs.getOrElse(furi, java.nio.file.Files.readString(path))
         val formatted = graft.loader.SqlFormatter.formatFile(text)
         if (formatted != text) {
           java.nio.file.Files.writeString(path, formatted)
-          val furi = path.toUri.toString
           if (docs.contains(furi)) { docs(furi) = formatted; publishDiagnostics(furi) }
           changed.add(f); n += 1
         }
       }
     }
     res.put("formatted", n)
+    res
+  }
+
+  /** graft/getModels (reference lsp/custom.py:231 sqlmesh/get_models): the
+    * model list feeding table-diff pickers — name, fqn, description —
+    * from the same overlay-aware index as [[allModels]]. */
+  private def getModels(): ObjectNode = {
+    val res = mapper.createObjectNode()
+    val arr = res.putArray("models")
+    val parsed = projectModels().map(m => m.name -> m).toMap
+    modelIndex.keys.toSeq.sorted.foreach { name =>
+      val o = arr.addObject()
+      o.put("name", name.split('.').last)
+      o.put("fqn", name)
+      parsed.get(name).flatMap(_.description).foreach(o.put("description", _))
+    }
     res
   }
 
@@ -861,12 +884,14 @@ final class LspServer(in: InputStream, out: OutputStream,
       .map(_.asText).getOrElse("")
     val uri = Option(params.get("textDocumentUri")).map(_.asText)
       .orElse(Option(params.get("uri")).map(_.asText)).getOrElse("")
-    testRunner match {
+    testRunner.zip(root) match {
       case None =>
         res.put("response_error",
-          "test running is not available in this server (no Spark host)")
-      case Some(run) =>
-        scala.util.Try(run(name, uriToPath(uri))) match {
+          if (testRunner.isEmpty)
+            "test running is not available in this server (no Spark host)"
+          else "test running needs a project root (initialize rootUri or --project)")
+      case Some((run, proj)) =>
+        scala.util.Try(run(proj, name, uriToPath(uri))) match {
           case scala.util.Failure(ex) =>
             res.put("response_error", String.valueOf(ex.getMessage))
           case scala.util.Success(results) =>

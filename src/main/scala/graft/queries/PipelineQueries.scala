@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Bpe, Dedup, Multimodal, Similarity, TextFunctions}
+import graft.functions.{Bpe, Curation, Dedup, Multimodal, Similarity, TextFunctions}
 import QueryUtil._
 
 /** Training-data pipeline coverage (builder prompt: dedup / similarity /
@@ -2340,6 +2340,84 @@ object PipelineQueries {
         |  CAST((doc_id * 7) % 251 AS BIGINT) AS mean_g_int,
         |  CAST((doc_id * 13) % 251 AS BIGINT) AS mean_b_int
         |FROM documents ORDER BY media_id""".stripMargin)),
+
+    "td_image_dhash" -> Entry((s, dir) => {
+      // REAL perceptual hash through the codec: one 9×8 grayscale PNG per
+      // doc whose pixel walk encodes a known 64-bit pattern
+      // ([[Multimodal.syntheticDhashPng]]) → decode → dHash. The oracle
+      // carries the 12 splitmix64 class patterns as literals (DuckDB's
+      // checked BIGINT arithmetic can't wrap a 64×64-bit multiply) and
+      // replays the perturbation arithmetic — every 7th-ish member is its
+      // class pattern with two class-derived bits flipped — so a hash match
+      // proves the PNG encode→decode→bit-recovery pipeline end-to-end.
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      Multimodal.imageDHash(s, Multimodal.synthesizeDhashImages(s, media))
+        .select(col("media_id"), col("dhash_ok"), col("dhash"))
+        .orderBy(col("media_id"))
+    }, Some(
+      // base(g): splitmix64(g), signed-64 literals; hp = h with bits
+      // (g*5+1)%64 and (g*7+3)%64 flipped (Multimodal.dhashPattern)
+      """WITH base(g, h, hp) AS (VALUES
+        |  (0, -2152535657050944081, -2152535657050944091),
+        |  (1, -7995527694508729151, -7995527694508730239),
+        |  (2, -7541218347953203506, -7541218347953332530),
+        |  (3, 2092789425003139053, 2092789424986296301),
+        |  (4, 7958955049054603978, 7958955046905023178),
+        |  (5, 7134611160154358618, 7134611435099374426),
+        |  (6, -4799528948525441024, -4799564135045013504),
+        |  (7, 7191089600892374487, 7195593269239221719),
+        |  (8, -7037347547344193994, -7613806100624361930),
+        |  (9, -5859373336115519388, -5859443704859697056),
+        |  (10, 614480483733483466, 616732283547168202),
+        |  (11, 5833679380957638813, 5905736974995632285))
+        |SELECT d.doc_id AS media_id, true AS dhash_ok,
+        |  CAST(CASE WHEN (d.doc_id // 12) % 7 = 3 THEN b.hp ELSE b.h END AS BIGINT) AS dhash
+        |FROM documents d JOIN base b ON d.doc_id % 12 = b.g
+        |ORDER BY media_id""".stripMargin)),
+
+    "td_hamming_clusters" -> Entry((s, dir) => {
+      // the corpus side of the image-dedup story: dHash the synthetic
+      // corpus, then banded-Hamming cluster the signatures. The fixture
+      // guarantees ≥ 20-bit separation between the 12 classes and exactly
+      // 2-bit perturbation within a class, so each class is exactly one
+      // cluster (base + perturbed signature) and the oracle is a pure
+      // groupBy over the id arithmetic.
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val hashed = Multimodal.imageDHash(s, Multimodal.synthesizeDhashImages(s, media))
+      Dedup.hammingClusters(hashed.select(col("media_id"), col("dhash")))
+        .orderBy(col("cluster"))
+    }, Some(
+      // cluster/keep_id = the class's smallest doc_id = g (ids 0..11 are
+      // unperturbed: id/12 = 0); n_hashes counts the present variants
+      """SELECT doc_id % 12 AS cluster, min(doc_id) AS keep_id,
+        |  count(*) AS n_dups,
+        |  count(DISTINCT CASE WHEN (doc_id // 12) % 7 = 3 THEN 1 ELSE 0 END) AS n_hashes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "td_media_dedup" -> Entry((s, dir) => {
+      // e2e corpus dedup over a MIXED fixture: most rows carry a real dHash
+      // PNG (dup/near-dup classes), every 31st-ish row a corrupt payload
+      // that must fail decode in isolation and pass through with keep=true.
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val mixed = Multimodal.synthesizeDhashImages(s, media)
+        .withColumn("payload",
+          when(col("media_id") % 31 === 7, lit("not an image".getBytes("UTF-8")))
+            .otherwise(col("payload")))
+      Curation.mediaDedup(s, mixed)
+        .select(col("media_id"), col("dhash_ok"), col("cluster"), col("keep"))
+        .orderBy(col("media_id"))
+    }, Some(
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 31 = 7 AS corrupt FROM documents
+        |), cl AS (
+        |  SELECT media_id % 12 AS g, min(media_id) AS cmin
+        |  FROM m WHERE NOT corrupt GROUP BY 1
+        |)
+        |SELECT m.media_id, NOT m.corrupt AS dhash_ok,
+        |  CASE WHEN m.corrupt THEN NULL ELSE cl.cmin END AS cluster,
+        |  (m.corrupt OR m.media_id = cl.cmin) AS keep
+        |FROM m LEFT JOIN cl ON m.media_id % 12 = cl.g
+        |ORDER BY media_id""".stripMargin)),
 
     "td_bpe_roundtrip" -> Entry((s, dir) => {
       // Trained-BPE tokenization (Sennrich et al. 2016): learn 200 merges

@@ -43,15 +43,21 @@ object YamlModelTest {
   final case class Result(name: String, failure: Option[String])
 
   /** Run every test in a YAML document against the given model registry.
-    * Returns one Result per test; callers assert no failures. */
+    * Returns one Result per test; callers assert no failures. A
+    * `nameFilter` selects ONE test before anything executes — a
+    * single-test run never pays for (or triggers the side effects of) its
+    * sibling tests. */
   def runAll(spark: SparkSession, yaml: String,
-             models: Map[String, Model]): Seq[Result] = {
+             models: Map[String, Model],
+             nameFilter: Option[String] = None): Seq[Result] = {
     val root = mapper.readTree(yaml)
-    root.properties().asScala.toSeq.map { e =>
-      val (name, spec) = (e.getKey, e.getValue)
-      try { runOne(spark, name, spec, models); Result(name, None) }
-      catch { case ex: Throwable => Result(name, Some(ex.getMessage)) }
-    }
+    root.properties().asScala.toSeq
+      .filter(e => nameFilter.forall(_ == e.getKey))
+      .map { e =>
+        val (name, spec) = (e.getKey, e.getValue)
+        try { runOne(spark, name, spec, models); Result(name, None) }
+        catch { case ex: Throwable => Result(name, Some(ex.getMessage)) }
+      }
   }
 
   /** The models a YAML document declares tests FOR (each test's `model:`
@@ -64,9 +70,10 @@ object YamlModelTest {
   }
 
   def runFile(spark: SparkSession, path: String,
-              models: Map[String, Model]): Seq[Result] =
+              models: Map[String, Model],
+              nameFilter: Option[String] = None): Seq[Result] =
     runAll(spark, new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8"), models)
+      java.nio.file.Paths.get(path)), "UTF-8"), models, nameFilter)
 
   private def runOne(spark: SparkSession, name: String, spec: JsonNode,
                      models: Map[String, Model]): Unit = {

@@ -53,9 +53,14 @@ object FrameworkScaleProbe {
         batchSize = Some(31)),
       cron = "@daily", start = Some(dayMs("1995-01-01"))))
 
+    // per-stage wall clock, recorded so the 10k section can compute decade
+    // ratios against the 2k section's like-named stages
+    val stageSecs = scala.collection.mutable.Map[String, Double]()
     def time[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val a = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); a
+      val secs = (System.nanoTime() - t0) / 1e9
+      stageSecs(name) = secs
+      println(f"$name%-34s $secs%8.2f s"); a
     }
 
     val end1 = dayMs("1995-07-01")
@@ -218,6 +223,109 @@ object FrameworkScaleProbe {
       }
       require(new graft.state.FileStateStore(st2Dir)
         .getEnvironment("prod").get.snapshots.size == n2)
+    }
+
+    // --- 10,000-model control plane (r12 verdict task #8) -------------------
+    // The next decade up from 2k. New coverage beyond the 2k section: the
+    // STEADY-STATE re-plan (fingerprint recompute + ContextDiff against a
+    // promoted env — the reference's every-deploy hot path, and the stage
+    // the r12 verdict named as the likely next cliff) and the
+    // one-model-edited re-plan (diff + downstream cascade). The wave here
+    // writes 150k interval records, PAST the 50k compaction bound, so the
+    // single wave flush must compact inline and still cost one durable
+    // write. Decade ratios vs the like-named 2k stages print at the end —
+    // linear scaling is 5×; anything past 12× is flagged SUPER-LINEAR.
+    {
+      val n10 = 10000
+      val ctx10 = new GraftContext(spark, SparkTestSession.tmpDir("ws-fw-10k"),
+        concurrency = 4)
+      time(s"register $n10 models + DAG") {
+        (0 until n10).foreach { i =>
+          val body =
+            if (i < 2500) s"SELECT $i AS id, CURRENT_DATE AS d"
+            else s"SELECT id + 1 AS id, d FROM wide10.m${i - 2500}"
+          ctx10.addModel(Model(s"wide10.m$i", SqlBody(body), kind = ModelKind.Full))
+        }
+      }
+      val day0b = dayMs("1995-01-01")
+      val plan10 = time(s"plan build ($n10 models)") {
+        ctx10.plan("prod", day0b, day0b + D, skipBackfill = true)
+      }
+      require(plan10.added.size == n10, s"plan missed models: ${plan10.added.size}")
+      // promote the plan's snapshots without materializing (state-only):
+      // re-plans below then diff against a fully-populated environment
+      time(s"push+promote $n10 snapshots") {
+        ctx10.state.deferPersist(plan10.added.foreach(ctx10.state.pushSnapshot))
+        ctx10.state.promoteEnvironment(graft.state.EnvironmentRecord("prod",
+          plan10.added.map(s => s.model.name -> s.version).toMap,
+          finalized = true, planId = Some("probe-10k"),
+          identifiers = plan10.added.map(s => s.model.name -> s.fingerprint.full).toMap))
+      }
+      val replan = time(s"steady-state re-plan ($n10 unchanged)") {
+        ctx10.plan("prod", day0b, day0b + D, skipBackfill = true)
+      }
+      require(replan.added.isEmpty && replan.modified.isEmpty &&
+        replan.unchanged.size == n10,
+        s"steady-state diff wrong: +${replan.added.size} ~${replan.modified.size}")
+      // one edited root: the diff must see exactly one direct change and
+      // cascade only to its downstream chain (depth 4 in this layering)
+      ctx10.addModel(Model("wide10.m0",
+        SqlBody("SELECT 0 AS id, 7 AS extra, CURRENT_DATE AS d"),
+        kind = ModelKind.Full))
+      val editPlan = time("re-plan after 1 model edit") {
+        ctx10.plan("prod", day0b, day0b + D, skipBackfill = true)
+      }
+      require(editPlan.modified.size == 4 && editPlan.added.isEmpty,
+        s"1-edit cascade: ~${editPlan.modified.size} (want m0 + 3 downstream)")
+
+      val st10Dir = SparkTestSession.tmpDir("ws-fw-state10k")
+      val st10 = new graft.state.FileStateStore(st10Dir)
+      val snaps10: Seq[Snapshot] = (0 until n10).map { i =>
+        val m = Model(s"wide10.m$i", SqlBody("SELECT 1 AS id"),
+          kind = ModelKind.IncrementalByTimeRange(timeColumn = "d",
+            batchSize = Some(1)),
+          cron = "@daily", start = Some(day0b))
+        Snapshot(m, Fingerprint.of(m, "SELECT 1 AS id", Nil))
+      }
+      time(s"state push $n10 snapshots") {
+        st10.deferPersist(snaps10.foreach(st10.pushSnapshot))
+      }
+      val sched10 = new graft.plans.Scheduler(ctx.evaluator, st10, concurrency = 4)
+      val w10 = st10.durableWrites
+      time(s"wave $n10 models x 15 batches") {
+        sched10.run(snaps10, day0b, day0b + 15 * D, executionTs = day0b + 40 * D,
+          tableMapping = _ => Map.empty, recordOnly = true)
+      }
+      // 150k dirty intervals > DeltaCompactBound: the one flush compacts
+      require(st10.durableWrites - w10 == 1,
+        s"10k wave cost ${st10.durableWrites - w10} durable writes — expected 1")
+      val log10 = java.nio.file.Paths.get(st10Dir, "state.delta.jsonl")
+      require(!java.nio.file.Files.exists(log10) ||
+        java.nio.file.Files.size(log10) == 0,
+        "150k-record wave should have compacted the delta log inline")
+      val st10b = time("cold reload (image, no log)") {
+        new graft.state.FileStateStore(st10Dir)
+      }
+      require(st10b.getSnapshot("wide10.m0", snaps10.head.version).get.intervals ==
+        Vector(Interval(day0b, day0b + 15 * D)), "post-compaction state wrong")
+      time(s"promote env with $n10 snapshots") {
+        st10b.promoteEnvironment(graft.state.EnvironmentRecord("prod",
+          snaps10.map(s => s.model.name -> s.version).toMap, finalized = true,
+          planId = Some("probe-10k-b"),
+          identifiers = snaps10.map(s => s.model.name -> s.fingerprint.full).toMap))
+      }
+
+      // decade ratios: 10k stage vs the like-named 2k stage; 5× is linear
+      println("decade ratios (10k / 2k; linear = 5.0):")
+      Seq("register %d models + DAG", "plan build (%d models)",
+        "state push %d snapshots", "wave %d models x 15 batches",
+        "promote env with %d snapshots").foreach { tpl =>
+        for (a <- stageSecs.get(tpl.format(2000)); b <- stageSecs.get(tpl.format(10000))) {
+          val ratio = b / math.max(a, 1e-9)
+          val flag = if (ratio > 12 && b > 2.0) "  << SUPER-LINEAR" else ""
+          println(f"  ${tpl.format(10000)}%-34s ${ratio}%6.1fx$flag")
+        }
+      }
     }
     println("FRAMEWORK SCALE PROBE OK")
   }

@@ -224,6 +224,66 @@ object ScaleProbe {
       }
     }
 
+    // image dHash + Hamming clustering (r12 verdict task #1): the scan side
+    // (decode→hash, per-row codec work like audio/video above) must be
+    // linear in rows; the cluster side's pair generation must scale with
+    // DISTINCT hashes — probed at 10× distinct-hash count, where an
+    // all-pairs design would go 100×.
+    {
+      for ((label, d) <- Seq("1x" -> docs, s"${n}x" -> bigDocs)) {
+        time(s"image_dhash $label") {
+          val media = d.select(col("doc_id").as("media_id"))
+          Multimodal.imageDHash(spark,
+              Multimodal.synthesizeDhashImages(spark, media))
+            .agg(sum(col("dhash"))).head; d.count()
+        }
+      }
+      // distinct-hash scaling: same row count, 10× the distinct signatures
+      // (groups scales the class count; each class = base + perturbed hash)
+      val pat = udf((id: Long, g: Int) => Multimodal.dhashPattern(id, g))
+      for ((label, groups) <- Seq("2k-distinct" -> 1000, "20k-distinct" -> 10000)) {
+        time(s"hamming_clusters $label") {
+          Dedup.hammingClusters(
+            bigDocs.select(col("doc_id").as("media_id"),
+              pat(col("doc_id"), lit(groups)).as("dhash"))).count()
+        }
+      }
+    }
+
+    // sharded Bloom screen per-task memory bound (r12 verdict task #7):
+    // identity routing means partition index == shard id, so each build
+    // task allocates exactly ONE perShard-capacity filter. The observable
+    // proof: every published shard file is byte-identical in size to an
+    // independently-constructed filter of perShard capacity — no task
+    // folded two shards' filters (the r11 murmur-fold bug would leave
+    // fewer, larger-capacity allocations and fewer files).
+    {
+      val s = 8
+      val cacheDir = java.nio.file.Files.createTempDirectory("scale_bloom").toString
+      val corpusN = docs.count()
+      val incoming = docs.select((col("doc_id") + 500000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      time(s"bloom_sharded build+screen s=$s") {
+        Dedup.incrementalExactBloomSharded(docs, incoming, cacheDir,
+          versionToken = "probe-v1", shards = s).count()
+      }
+      val perShard = math.max(corpusN / s + 1, 64L)
+      val expectedBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter.create(perShard, 0.01).writeTo(bos)
+        bos.size().toLong
+      }
+      val shardFiles = new java.io.File(cacheDir).listFiles()
+        .filter(_.getName.endsWith(".bloom")).sortBy(_.getName)
+      println(s"bloom shards: ${shardFiles.length} files, " +
+        s"sizes ${shardFiles.map(_.length).distinct.mkString(",")} B " +
+        s"(perShard capacity $perShard → $expectedBytes B each)")
+      require(shardFiles.length <= s, s"more shard files than shards")
+      require(shardFiles.forall(_.length == expectedBytes),
+        "a shard file deviates from the perShard-capacity filter size — " +
+          "some task allocated more than its one documented filter")
+    }
+
     // q21 with an INFLATED supplier (r10 verdict #1): supplier is SF×10k
     // rows — the one join side in the bench set that both grows with scale
     // and was historically hint-broadcast. The hint is gone; this probes

@@ -243,4 +243,59 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getDouble(4) == 0x10 && r.getDouble(5) == 0x20 && r.getDouble(6) == 0x30)
     }
   }
+
+  test("dHash recovers the encoded pattern and isolates decode failures per row") {
+    val ids = spark.range(0, 40).select(col("id").as("media_id"))
+    // every 5th payload is corrupt — valid neighbors in the SAME partition
+    // must still hash (per-row failure isolation, not per-partition)
+    val mixed = Multimodal.synthesizeDhashImages(spark, ids)
+      .withColumn("payload",
+        when(col("media_id") % 5 === 3, lit("garbage".getBytes("UTF-8")))
+          .otherwise(col("payload")))
+      .coalesce(1)
+    val out = Multimodal.imageDHash(spark, mixed)
+      .select("media_id", "dhash_ok", "dhash").collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 5 == 3) assert(!r.getBoolean(1) && r.isNullAt(2), s"corrupt id=$id")
+      else {
+        assert(r.getBoolean(1), s"ok flag id=$id")
+        assert(r.getLong(2) == Multimodal.dhashPattern(id, 12),
+          s"pattern for id=$id: got ${r.getLong(2).toHexString}")
+      }
+    }
+    // perturbation arithmetic: id=36 (36/12 = 3, 3%7 == 3) is the PERTURBED
+    // variant of class 0 (id=0) — exactly two bits apart, a genuine near-dup
+    assert(java.lang.Long.bitCount(
+      Multimodal.dhashPattern(36L, 12) ^ Multimodal.dhashPattern(0L, 12)) == 2)
+  }
+
+  test("dHash non-9x8 path: bilinear resize runs, constant and monotone images pin it") {
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    // constant image: any correct rescale is the same constant, so every
+    // adjacent-pixel comparison is false — dhash must be exactly 0
+    val solid = Multimodal.syntheticSolidPng(5L, 20, 15)
+    // strictly x-increasing grayscale (gray = 7x, 36 wide): any convex
+    // resampling at increasing x positions stays strictly increasing, so
+    // every comparison is true — dhash must be all 64 bits set (-1L)
+    val grad = {
+      val img = new java.awt.image.BufferedImage(36, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 36).foreach { x =>
+        val v = x * 7
+        (0 until 32).foreach(y => img.setRGB(x, y, (v << 16) | (v << 8) | v))
+      }
+      png(img)
+    }
+    val df = Seq((0L, solid), (1L, grad)).toDF("media_id", "payload")
+    val got = Multimodal.imageDHash(spark, df)
+      .select("media_id", "dhash_ok", "dhash").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(got(0L) == ((true, 0L)), s"solid: ${got(0L)}")
+    assert(got(1L) == ((true, -1L)), s"gradient: ${got(1L)}")
+  }
 }

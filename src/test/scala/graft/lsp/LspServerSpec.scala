@@ -18,11 +18,17 @@ class LspServerSpec extends AnyFunSuite {
 
   /** Run a scripted session; returns every server message in order. */
   private def session(project: String, messages: Seq[String],
-      runner: Option[(String, String) => Seq[(String, Option[String])]] = None): Seq[JsonNode] = {
+      runner: Option[(String, String, String) => Seq[(String, Option[String])]] = None): Seq[JsonNode] =
+    sessionOpt(Some(project), messages, runner)
+
+  /** Same, but the server may start WITHOUT a --project dir (the plain
+    * editor flow: the workspace arrives via initialize rootUri). */
+  private def sessionOpt(project: Option[String], messages: Seq[String],
+      runner: Option[(String, String, String) => Seq[(String, Option[String])]] = None): Seq[JsonNode] = {
     val in = new java.io.ByteArrayInputStream(
       messages.flatMap(m => frame(m).toSeq).toArray)
     val outBuf = new java.io.ByteArrayOutputStream()
-    new LspServer(in, outBuf, Some(project), runner).run()
+    new LspServer(in, outBuf, project, runner).run()
     // parse the framed responses back out
     val bytes = outBuf.toByteArray
     val out = Seq.newBuilder[JsonNode]
@@ -581,9 +587,9 @@ class LspServerSpec extends AnyFunSuite {
     st.promoteEnvironment(graft.state.EnvironmentRecord(
       "prod", Map("lspc.daily" -> "v1"), finalized = true))
 
-    var ranTest: Option[(String, String)] = None
-    val runner: (String, String) => Seq[(String, Option[String])] = { (n, y) =>
-      ranTest = Some((n, y)); Seq((n, None))
+    var ranTest: Option[(String, String, String)] = None
+    val runner: (String, String, String) => Seq[(String, Option[String])] = { (p, n, y) =>
+      ranTest = Some((p, n, y)); Seq((n, None))
     }
     val dailyUri = java.nio.file.Paths.get(proj, "daily.sql").toUri.toString
     val yamlUri = yamlPath.toUri.toString
@@ -599,6 +605,7 @@ class LspServerSpec extends AnyFunSuite {
       req(8, "graft/getEnvironments", "{}"),
       req(9, "graft/formatProject", "{}"),
       req(10, "graft/supportedMethods", "{}"),
+      req(11, "graft/getModels", "{}"),
       note("exit", "{}")), Some(runner))
     def result(id: Int) = msgs.find(m => m.has("id") && m.get("id").asInt == id).get.get("result")
 
@@ -635,10 +642,11 @@ class LspServerSpec extends AnyFunSuite {
     val dt = result(6).get("tests")
     assert(dt.size == 1 && dt.get(0).get("name").asText == "test_daily_counts")
 
-    // runTest routed through the injected runner
+    // runTest routed through the injected runner, with the project dir
+    // resolved from the server's LIVE root at call time
     val rt = result(7)
     assert(rt.get("success").asBoolean, rt.toString)
-    assert(ranTest.contains(("test_daily_counts", yamlPath.toString)), ranTest)
+    assert(ranTest.contains((proj, "test_daily_counts", yamlPath.toString)), ranTest)
 
     // environments from the durable state image
     val envs = result(8).get("environments")
@@ -654,9 +662,57 @@ class LspServerSpec extends AnyFunSuite {
     // discovery lists every custom method
     val methods = (0 until result(10).size).map(i => result(10).get(i).get("name").asText)
     Seq("graft/allModels", "graft/renderModel", "graft/formatProject",
-      "graft/getEnvironments", "graft/listWorkspaceTests",
+      "graft/getModels", "graft/getEnvironments", "graft/listWorkspaceTests",
       "graft/listDocumentTests", "graft/runTest").foreach(m =>
       assert(methods.contains(m), s"$m missing from supportedMethods"))
+
+    // getModels: the table-diff picker list — short name, fqn, description
+    val gm = result(11).get("models")
+    val gmFqns = (0 until gm.size).map(i => gm.get(i).get("fqn").asText)
+    assert(gmFqns == Seq("lspc.daily", "lspc.scruffy"), gmFqns)
+    assert(gm.get(0).get("name").asText == "daily")
+    assert(gm.get(0).get("description").asText == "daily rollup")
+  }
+
+  test("rootUri-only workspace runs tests; formatProject formats open overlays") {
+    val proj = graft.SparkTestSession.tmpDir("lsp-proj-rooturi")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "m.sql"),
+      """MODEL (name lspr.m, kind FULL, owner 'o', audits (number_of_rows(threshold := 0)));
+        |select   1 as x
+        |""".stripMargin)
+    val testsDir = java.nio.file.Paths.get(proj, "tests")
+    java.nio.file.Files.createDirectories(testsDir)
+    val yamlPath = testsDir.resolve("test_m.yaml")
+    java.nio.file.Files.writeString(yamlPath,
+      "test_m:\n  model: lspr.m\n  outputs:\n    query:\n      - x: 1\n")
+    var ran: Option[(String, String, String)] = None
+    val runner: (String, String, String) => Seq[(String, Option[String])] = { (p, n, y) =>
+      ran = Some((p, n, y)); Seq((n, None))
+    }
+    val mUri = java.nio.file.Paths.get(proj, "m.sql").toUri.toString
+    // an open buffer with UNSAVED edits (x2 exists only in the overlay):
+    // formatProject must format THIS text, not the stale disk content
+    val overlay =
+      "MODEL (name lspr.m, kind FULL, owner 'o', audits (number_of_rows(threshold := 0)));\\nselect   1 as x, 2 as x2\\n"
+    // the server starts with NO --project: the workspace arrives via rootUri
+    val msgs = sessionOpt(None, Seq(
+      req(1, "initialize", s"""{"rootUri":"file://$proj","capabilities":{}}"""),
+      note("textDocument/didOpen",
+        s"""{"textDocument":{"uri":"$mUri","languageId":"sql","version":1,"text":"$overlay"}}"""),
+      req(2, "graft/runTest",
+        s"""{"test":"test_m","uri":"${yamlPath.toUri}"}"""),
+      req(3, "graft/formatProject", "{}"),
+      note("exit", "{}")), Some(runner))
+    def result(id: Int) = msgs.find(m => m.has("id") && m.get("id").asInt == id).get.get("result")
+    // runTest resolved the project dir from the live root (ADVICE r12 medium)
+    assert(result(2).get("success").asBoolean, result(2).toString)
+    assert(ran.contains((proj, "test_m", yamlPath.toString)), ran)
+    // formatProject formatted the OVERLAY: the unsaved x2 edit survives on
+    // disk, formatted — not discarded for the stale disk text
+    assert(result(3).get("formatted").asInt >= 1, result(3).toString)
+    val onDisk = java.nio.file.Files.readString(java.nio.file.Paths.get(proj, "m.sql"))
+    assert(onDisk.contains("x2"), s"unsaved edit lost: $onDisk")
+    assert(onDisk.contains("SELECT"), s"not formatted: $onDisk")
   }
 
   test("robustness: bad notifications don't kill the loop, unknown methods err, name-after-parens indexes") {
