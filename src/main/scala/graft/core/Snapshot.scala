@@ -68,12 +68,21 @@ object Fingerprint {
       model.tags ++ model.grains ++
       model.audits.map { case (n, args) => n + args.toSeq.sorted.mkString(",") } ++
       model.onVirtualUpdate.map(canonicalSql) // metadata, not data (definition.py:2620)
-    val sortedParents = parents.sortBy(_.dataHash)
+    // TRANSITIVE parent folding (reference definition.py:1861
+    // fingerprint_from_node): parent_data_hash hashes each parent's
+    // to_version() — which already folds THAT parent's own parents — so an
+    // edit anywhere upstream re-versions the entire downstream cone.
+    // Hashing only the parents' own dataHash (the pre-r13 bug, caught by
+    // the 10k-model probe's 1-edit cascade check) stopped the cascade at
+    // depth 1: grandchildren kept their versions and never migrated.
+    val sortedParents = parents.sortBy(_.version)
     SnapshotFingerprint(
       dataHash = md5Short(dataParts.mkString("\u0000")),
       metadataHash = md5Short(metaParts.mkString("\u0000")),
-      parentDataHash = md5Short(sortedParents.map(_.dataHash).mkString(",")),
-      parentMetadataHash = md5Short(sortedParents.map(_.metadataHash).mkString(",")))
+      parentDataHash = md5Short(sortedParents.map(_.version).mkString(",")),
+      parentMetadataHash = md5Short(sortedParents
+        .flatMap(p => Seq(p.metadataHash, p.parentMetadataHash))
+        .sorted.mkString(",")))
   }
 }
 

@@ -182,15 +182,76 @@ object Curation {
   def mediaDedup(spark: org.apache.spark.sql.SparkSession, media: DataFrame,
                  payloadCol: String = "payload", idCol: String = "media_id",
                  maxDist: Int = 6, bands: Int = 8,
-                 maxBucketSize: Option[Int] = None): DataFrame = {
-    val hashed = Multimodal.imageDHash(spark, media, payloadCol)
+                 maxBucketSize: Option[Int] = None): DataFrame =
+    hashDedup(Multimodal.imageDHash(spark, media, payloadCol),
+      "dhash", "dhash_ok", idCol, maxDist, bands, maxBucketSize)
+
+  /** [[mediaDedup]] for audio: [[Multimodal.audioFingerprint]] (energy
+    * hash) in place of the image dHash, same clustering, same keep
+    * semantics, same 100 TB shape. */
+  def audioDedup(spark: org.apache.spark.sql.SparkSession, media: DataFrame,
+                 payloadCol: String = "payload", idCol: String = "media_id",
+                 maxDist: Int = 6, bands: Int = 8,
+                 maxBucketSize: Option[Int] = None): DataFrame =
+    hashDedup(Multimodal.audioFingerprint(spark, media, payloadCol),
+      "afp", "afp_ok", idCol, maxDist, bands, maxBucketSize)
+
+  /** Shared tail of the perceptual-dedup recipes: cluster the ok rows'
+    * hashes, label every row, keep the cluster's smallest id and every
+    * row the hasher could not judge. */
+  private def hashDedup(hashed: DataFrame, hashCol: String, okCol: String,
+                        idCol: String, maxDist: Int, bands: Int,
+                        maxBucketSize: Option[Int]): DataFrame = {
     val labels = Dedup.hammingLabels(
-        hashed.filter(col("dhash_ok")).select(col(idCol), col("dhash")),
-        "dhash", idCol, maxDist, bands, maxBucketSize)
-      .select(col("dhash"), col("cluster"))
-    // equi-join on dhash: null keys (undecodable rows) match nothing, so
+        hashed.filter(col(okCol)).select(col(idCol), col(hashCol)),
+        hashCol, idCol, maxDist, bands, maxBucketSize)
+      .select(col(hashCol), col("cluster"))
+    // equi-join on the hash: null keys (undecodable rows) match nothing, so
     // their cluster stays null and keep falls through to true
-    hashed.join(labels, Seq("dhash"), "left")
-      .withColumn("keep", !col("dhash_ok") || col(idCol) === col("cluster"))
+    hashed.join(labels, Seq(hashCol), "left")
+      .withColumn("keep", !col(okCol) || col(idCol) === col("cluster"))
+  }
+
+  /** [[mediaDedup]] for video — the full content-ID pipeline in one call:
+    * [[Multimodal.videoFrameDHash]] (demux → per-frame perceptual hash) →
+    * [[Dedup.videoNearDups]] (videos sharing ≥ `minShared` frame-hash
+    * clusters) → [[Dedup.clusters]] (connected components) → keep-one.
+    * Returns a per-video verdict frame — (`idCol`, `video_ok`, `cluster`,
+    * `keep`) — NOT the input columns: video payloads are the heaviest rows
+    * in any corpus, so the verdict stays 4 thin columns and the caller
+    * joins it back on the id (the join broadcasts; the payload never
+    * shuffles). Semantics mirror [[mediaDedup]]: a video the demuxer can't
+    * read keeps `video_ok = false`, null cluster, `keep = true`; a video
+    * with no near-dup is its own cluster.
+    *
+    * 100 TB shape: one demux+decode pass (scan-shaped, 8 bytes/frame out);
+    * clustering operates on DISTINCT frame hashes; pair generation ∝
+    * cluster postings with the `maxPostings` valve for ubiquitous frames
+    * (intros, black frames) — video bytes never enter a shuffle. */
+  def videoDedup(spark: org.apache.spark.sql.SparkSession, media: DataFrame,
+                 payloadCol: String = "payload", idCol: String = "media_id",
+                 minShared: Int = 2, maxDist: Int = 6, bands: Int = 8,
+                 maxBucketSize: Option[Int] = None,
+                 maxPostings: Option[Int] = None): DataFrame = {
+    // project to the 17-byte verdict columns BEFORE persisting: the frame
+    // table is read twice (ok-aggregate + pair generation) and one more
+    // decode pass per read would double the pipeline's dominant cost
+    val frames = Multimodal.videoFrameDHash(spark, media, payloadCol)
+      .select(col(idCol), col("dhash"), col("frame_ok")).persist()
+    val vidOk = frames.groupBy(col(idCol))
+      .agg((sum(when(col("frame_ok"), 1).otherwise(0)) > 0).as("video_ok"))
+    val pairs = Dedup.videoNearDups(frames, idCol, "dhash", minShared,
+      maxDist, bands, maxBucketSize, maxPostings)
+    val labels = Dedup.clusters(pairs).withColumnRenamed("id", idCol)
+    val verdict = vidOk.join(labels, Seq(idCol), "left")
+      .withColumn("cluster",
+        when(col("video_ok"), coalesce(col("cluster"), col(idCol))))
+      .withColumn("keep", !col("video_ok") || col(idCol) === col("cluster"))
+      // materialize the (small, 1-row-per-video) verdict EAGERLY so the
+      // frame cache can be dropped here — returning a lazy plan over a
+      // frame we just unpersisted would silently re-run the decode pass
+      .localCheckpoint(true)
+    frames.unpersist()
+    verdict
   }
 }

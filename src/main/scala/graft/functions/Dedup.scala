@@ -499,22 +499,11 @@ object Dedup {
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.5,
                  maxBucketSize: Option[Int] = None): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // persist = hard optimizer barrier: every downstream reference (4 band
     // slices + both join sides + the zip_with verify) would otherwise inline
     // and re-evaluate the whole k×|shingles| hash computation
     val sig = minhash(docs, textCol, idCol, shingleN, numHashes).persist()
-    // band key = 64-bit hash of (band index, signature slice): one row per
-    // (doc, band). An 8-byte long join key instead of a concatenated string
-    // — the key is ONLY a bucket id (candidates are verified against full
-    // signatures below), so hashing it costs nothing semantically and cuts
-    // the banding shuffle's per-row key bytes ~5-10× at corpus scale
-    val banded0 = sig.select(col(idCol), col("sig"),
-      explode(array((0 until bands).map { b =>
-        xxhash64((lit(b) +:
-          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("sig")(i))): _*)
-          .as("band_key")
-      }: _*)).as("band_key"))
+    val banded0 = bandKeys(sig, idCol, numHashes, bands)
     val banded = maxBucketSize.fold(banded0) { cap =>
       val keep = banded0.groupBy(col("band_key"))
         .agg(count(lit(1)).as("__bs")).filter(col("__bs") <= cap)
@@ -532,6 +521,92 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / numHashes)
     est.filter(col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Band-key projection shared by [[minhashLsh]] / [[minhashBands]] /
+    * [[incrementalMinhashLsh]]: one row per (doc, band), band key = 64-bit
+    * hash of (band index, signature slice). An 8-byte long join key instead
+    * of a concatenated string — the key is ONLY a bucket id (candidates are
+    * verified against full signatures downstream), so hashing it costs
+    * nothing semantically and cuts the banding shuffle's per-row key bytes
+    * ~5-10× at corpus scale. */
+  private def bandKeys(sig: DataFrame, idCol: String,
+                       numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sig.select(col(idCol), col("sig"),
+      explode(array((0 until bands).map { b =>
+        xxhash64((lit(b) +:
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("sig")(i))): _*)
+      }: _*)).as("band_key"))
+  }
+
+  /** The persisted-corpus side of steady-state NEAR-dup ingest (the
+    * [[minhashLsh]] analog of [[incrementalExact]]'s key set): one row per
+    * (doc, band) — (`idCol`, `sig`, `band_key`) — computed once per corpus
+    * and stored (parquet, ideally bucketed by `band_key`), then extended
+    * per batch by appending the accepted docs' own `minhashBands` delta.
+    * At 100 TB successive ingests never re-shingle or re-hash the corpus:
+    * the screen joins the stored 8-byte band keys, touching corpus TEXT
+    * zero times. Parameters must match the later
+    * [[incrementalMinhashLsh]] call exactly — the band key folds the band
+    * index and signature slice, so a mismatch silently yields no
+    * collisions. */
+  def minhashBands(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", shingleN: Int = 3,
+                   numHashes: Int = 16, bands: Int = 4): DataFrame =
+    bandKeys(minhash(docs, textCol, idCol, shingleN, numHashes),
+      idCol, numHashes, bands)
+
+  /** Incremental (cross-batch) near-dup screen — the MinHash analog of
+    * [[incrementalExactBloom]]'s ingest shape: an incoming batch is
+    * screened against a PRE-COMPUTED corpus band table
+    * ([[minhashBands]]) without touching corpus text. Returns one row per
+    * (incoming, corpus) near-dup pair above `threshold`:
+    * (`doc_id`, `corpus_id`, `est_jaccard`) — an incoming doc with no row
+    * is novel; the accept/append recipe is
+    * `incoming.join(pairs, Seq(idCol), "left_anti")` then
+    * `corpusBands union minhashBands(accepted)`.
+    *
+    * Scale shape: only the BATCH is shingled/hashed (∝ batch, not corpus);
+    * the screen is an equi-join on the 8-byte band key. With
+    * `broadcastIncoming` (default — ingest batches are small next to a
+    * 100 TB corpus) the corpus band table is scanned once with ZERO
+    * shuffle: each scan task hash-probes the broadcast batch bands in
+    * place, and only collisions (∝ true near-dups) leave the scan. For
+    * batch-vs-batch scale set it false → plain shuffle join ∝ postings.
+    * `maxBucketSize` is the same valve as [[minhashLsh]]'s, applied to the
+    * CORPUS side postings per band key (an intro/boilerplate band bucket
+    * of B corpus docs would otherwise emit B candidates per colliding
+    * incoming doc). */
+  def incrementalMinhashLsh(corpusBands: DataFrame, incoming: DataFrame,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            shingleN: Int = 3, numHashes: Int = 16,
+                            bands: Int = 4, threshold: Double = 0.5,
+                            maxBucketSize: Option[Int] = None,
+                            broadcastIncoming: Boolean = true): DataFrame = {
+    // persist: the batch signature feeds the band explode AND the verify
+    // columns; without the barrier the k×|shingles| hash computation
+    // re-evaluates per reference (same reasoning as [[minhashLsh]])
+    val incSig = minhash(incoming, textCol, idCol, shingleN, numHashes).persist()
+    val incBands0 = bandKeys(incSig, idCol, numHashes, bands)
+    val incBands = if (broadcastIncoming) broadcast(incBands0) else incBands0
+    val corpus = maxBucketSize.fold(corpusBands) { cap =>
+      val keep = corpusBands.groupBy(col("band_key"))
+        .agg(count(lit(1)).as("__bs")).filter(col("__bs") <= cap)
+        .select("band_key")
+      corpusBands.join(keep, "band_key")
+    }
+    corpus.as("c").join(incBands.as("i"),
+        col("c.band_key") === col("i.band_key"))
+      .select(col(s"i.$idCol").as(idCol), col(s"c.$idCol").as("corpus_id"),
+        col("i.sig").as("sig_i"), col("c.sig").as("sig_c"))
+      .dropDuplicates(idCol, "corpus_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_i"), col("sig_c"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(idCol, "corpus_id", "est_jaccard")
   }
 
   /** SimHash: 60-bit signature where bit b = sign of the weighted sum of
@@ -628,6 +703,48 @@ object Dedup {
       .groupBy(col("cluster"))
       .agg(min(col("rep_id")).as("keep_id"), sum(col("n_ids")).as("n_dups"),
         count(lit(1)).as("n_hashes"))
+
+  /** Video near-dup pairs by frame-signature overlap (content-ID style:
+    * two videos are near-dups when ≥ `minShared` of their frame hashes
+    * fall in the same Hamming clusters — re-encoded or slightly-edited
+    * copies share most frames within a few bits). Input is one row per
+    * (video, frame) from [[Multimodal.videoFrameDHash]]. Pipeline:
+    * [[hammingLabels]] over DISTINCT frame hashes → each video's distinct
+    * cluster set → inverted-index self-join on the cluster label, so pair
+    * generation is ∝ cluster postings, never videos² — and `maxPostings`
+    * (the [[ngramJaccard]] maxDf valve) drops ubiquitous frames (intros,
+    * black frames) that would otherwise pair everything with everything.
+    * Returns (id_a, id_b, shared_frames) with id_a < id_b. */
+  def videoNearDups(frameHashes: DataFrame, idCol: String = "media_id",
+                    hashCol: String = "dhash", minShared: Int = 2,
+                    maxDist: Int = 6, bands: Int = 8,
+                    maxBucketSize: Option[Int] = None,
+                    maxPostings: Option[Int] = None): DataFrame = {
+    val frames = frameHashes.filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol))
+    // cluster FRAME HASHES, labeled by the smallest hash in the component —
+    // NOT by media id ([[hammingLabels]]' default): one video carries many
+    // distinct frame hashes, and id-based labels would collapse them all
+    // into one cluster per video (every frame's rep is the same min id)
+    val labels = hammingLabels(
+        frames.select(col(hashCol).as("__fid"), col(hashCol)),
+        hashCol, "__fid", maxDist, bands, maxBucketSize)
+      .select(col(hashCol), col("cluster"))
+    val vidClusters = frames.join(labels, Seq(hashCol))
+      .select(col(idCol), col("cluster")).distinct()
+    val pruned = maxPostings.fold(vidClusters) { cap =>
+      val hot = vidClusters.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select(col("cluster"))
+      vidClusters.join(broadcast(hot), Seq("cluster"), "left_anti")
+    }
+    pruned.as("a").join(pruned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
 
   /** Near-dup clusters from a pair list: connected components by iterative
     * min-label propagation (the GraphX/Pregel CC algorithm as plain DataFrame

@@ -235,39 +235,45 @@ object Multimodal {
           catch { case _: Exception => None }
         decoded match {
           case None => Row.fromSeq(r.toSeq ++ Seq(null, false))
-          case Some(img0) =>
-            val img =
-              if (img0.getWidth == 9 && img0.getHeight == 8) img0
-              else {
-                val t = new java.awt.image.BufferedImage(
-                  9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-                val g2 = t.createGraphics()
-                g2.setRenderingHint(
-                  java.awt.RenderingHints.KEY_INTERPOLATION,
-                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-                g2.drawImage(img0, 0, 0, 9, 8, null)
-                g2.dispose()
-                t
-              }
-            var hash = 0L
-            var row = 0
-            while (row < 8) {
-              var cPrev = img.getRGB(0, row)
-              var gPrev = (((cPrev >> 16) & 0xff) + ((cPrev >> 8) & 0xff) + (cPrev & 0xff)) / 3
-              var c = 0
-              while (c < 8) {
-                val cc = img.getRGB(c + 1, row)
-                val gc = (((cc >> 16) & 0xff) + ((cc >> 8) & 0xff) + (cc & 0xff)) / 3
-                if (gc > gPrev) hash |= 1L << (row * 8 + c)
-                gPrev = gc
-                c += 1
-              }
-              row += 1
-            }
-            Row.fromSeq(r.toSeq ++ Seq(hash, true))
+          case Some(img0) => Row.fromSeq(r.toSeq ++ Seq(grayDHash(img0), true))
         }
       }
     }(encoder)
+  }
+
+  /** 64-bit dHash of one decoded image — the shared core of [[imageDHash]]
+    * and [[videoFrameDHash]]: bilinear 9×8 grayscale thumbnail (skipped
+    * when already 9×8), bit r*8+c = gray[r][c+1] > gray[r][c]. */
+  private def grayDHash(img0: java.awt.image.BufferedImage): Long = {
+    val img =
+      if (img0.getWidth == 9 && img0.getHeight == 8) img0
+      else {
+        val t = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = t.createGraphics()
+        g2.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(img0, 0, 0, 9, 8, null)
+        g2.dispose()
+        t
+      }
+    var hash = 0L
+    var row = 0
+    while (row < 8) {
+      val cPrev = img.getRGB(0, row)
+      var gPrev = (((cPrev >> 16) & 0xff) + ((cPrev >> 8) & 0xff) + (cPrev & 0xff)) / 3
+      var c = 0
+      while (c < 8) {
+        val cc = img.getRGB(c + 1, row)
+        val gc = (((cc >> 16) & 0xff) + ((cc >> 8) & 0xff) + (cc & 0xff)) / 3
+        if (gc > gPrev) hash |= 1L << (row * 8 + c)
+        gPrev = gc
+        c += 1
+      }
+      row += 1
+    }
+    hash
   }
 
   /** Deterministic SOLID-color synthetic PNG (all channels id-derived
@@ -434,6 +440,123 @@ object Multimodal {
           } catch { case _: Exception => None }
         Row.fromSeq(r.toSeq ++ decoded.getOrElse(nullTail))
       }
+    }(encoder)
+  }
+
+  /** Audio perceptual fingerprint (the audio analog of [[imageDHash]], an
+    * energy-envelope hash in the Haitsma-Kalker family): decode to PCM
+    * through the same conversion chain as [[decodeAudio]], split channel-0
+    * samples into 65 equal windows, bit w = meanAbs(window w+1) >
+    * meanAbs(window w). Adjacent-window comparisons survive level scaling
+    * and re-encoding (any monotone amplitude transform preserves them), so
+    * near-identical clips collide within a few bits — pair with
+    * [[Dedup.hammingClusters]] / [[Curation.audioDedup]] for corpus-level
+    * dedup. Scan-shaped: one decode per clip, 8 bytes out, no shuffle.
+    * Clips shorter than 65 samples (nothing to compare) and undecodable
+    * payloads yield `afp_ok = false`, never a task failure. */
+  def audioFingerprint(spark: SparkSession, df: DataFrame,
+                       payloadCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema
+      .add("afp", LongType)
+      .add("afp_ok", BooleanType)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      rows.map { r =>
+        val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        val fp: Option[Long] =
+          if (payload == null) None
+          else try {
+            val raw = AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val f = raw.getFormat
+            val target = new AudioFormat(
+              AudioFormat.Encoding.PCM_SIGNED, f.getSampleRate, 16,
+              f.getChannels, f.getChannels * 2, f.getSampleRate, false)
+            val ais =
+              if (f.matches(target)) raw
+              else AudioSystem.getAudioInputStream(target, raw)
+            val bytes = ais.readAllBytes()
+            val frameSize = target.getChannels * 2
+            val n = bytes.length / frameSize
+            val win = n / 65
+            if (win == 0) None
+            else {
+              val sums = new Array[Long](65)
+              var w = 0
+              while (w < 65) {
+                var s = 0L
+                var i = w * win
+                val end = i + win
+                while (i < end) {
+                  val off = i * frameSize
+                  val v = ((bytes(off + 1).toInt << 8) | (bytes(off) & 0xff)).toShort.toInt
+                  s += math.abs(v)
+                  i += 1
+                }
+                sums(w) = s
+                w += 1
+              }
+              var hash = 0L
+              var b = 0
+              while (b < 64) {
+                if (sums(b + 1) > sums(b)) hash |= 1L << b
+                b += 1
+              }
+              Some(hash)
+            }
+          } catch { case _: Exception => None }
+        Row.fromSeq(r.toSeq ++ fp.map(h => Seq[Any](h, true)).getOrElse(Seq(null, false)))
+      }
+    }(encoder)
+  }
+
+  /** WAV whose [[audioFingerprint]] IS `pattern` (the audio analog of
+    * [[syntheticDhashPng]]): 65 windows × 16 samples, window amplitude
+    * walks ±50 from 5000 following the pattern bits, samples alternate
+    * ±amplitude (no DC) — meanAbs(window w) is exactly the walk value, so
+    * each adjacent-window comparison recovers one bit. PCM16 WAV is
+    * lossless; written through the real `javax.sound.sampled` encoder. */
+  def syntheticFingerprintWav(pattern: Long): Array[Byte] = {
+    val win = 16
+    val n = 65 * win
+    val pcm = new Array[Byte](n * 2)
+    var a = 5000
+    var w = 0
+    while (w < 65) {
+      var i = 0
+      while (i < win) {
+        val s = if (i % 2 == 0) a else -a
+        val off = (w * win + i) * 2
+        pcm(off) = (s & 0xff).toByte
+        pcm(off + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      if (w < 64) a = if (((pattern >>> w) & 1L) == 1L) a + 50 else a - 50
+      w += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Per-row synthesis of the audio-fingerprint fixture corpus: id →
+    * [[dhashPattern]] (the same 12-class near-dup structure as the image
+    * fixture) → [[syntheticFingerprintWav]]. */
+  def synthesizeFingerprintWavs(spark: SparkSession, df: DataFrame,
+                                idCol: String = "media_id",
+                                groups: Int = 12): DataFrame = {
+    val outSchema = df.schema.add("payload", BinaryType)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+
+        syntheticFingerprintWav(dhashPattern(r.getLong(idIdx), groups))))
     }(encoder)
   }
 
@@ -702,6 +825,36 @@ object Multimodal {
     * (`frame_idx`, `frame_png`). The frame-sampling step of a video-training
     * pipeline, with the usual per-row failure isolation (undecodable rows
     * emit zero frames). */
+  /** Decode one AVI frame to a BufferedImage: uncompressed 24-bit DIB
+    * frames pixel-by-pixel (bottom-up BGR rows, 4-byte stride), `MJPG`
+    * frames through the real `javax.imageio` JPEG decoder. */
+  private def frameImage(s: AviStream,
+                         fr: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (s.compression == 0) {
+      val stride = ((s.width * 3 + 3) / 4) * 4
+      if (fr.length < stride * s.height) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          s.width, s.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var row = 0
+        while (row < s.height) {
+          var x = 0
+          while (x < s.width) {
+            val off = row * stride + x * 3
+            // DIB rows are bottom-up
+            out.setRGB(x, s.height - 1 - row,
+              ((fr(off + 2) & 0xff) << 16) | ((fr(off + 1) & 0xff) << 8) | (fr(off) & 0xff))
+            x += 1
+          }
+          row += 1
+        }
+        Some(out)
+      }
+    } else if (s.compression == MjpgFourcc) {
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr)))
+      catch { case _: Exception => None }
+    } else None
+
   def extractFrames(spark: SparkSession, df: DataFrame, everyK: Int = 1,
                     payloadCol: String = "payload"): DataFrame = {
     require(everyK >= 1, "everyK must be >= 1")
@@ -716,32 +869,7 @@ object Multimodal {
         val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
         Option(payload).flatMap(parseAvi).toSeq.flatMap { s =>
           s.frames.zipWithIndex.collect { case (fr, i) if i % everyK == 0 =>
-            val img: Option[java.awt.image.BufferedImage] =
-              if (s.compression == 0) {
-                val stride = ((s.width * 3 + 3) / 4) * 4
-                if (fr.length < stride * s.height) None
-                else {
-                  val out = new java.awt.image.BufferedImage(
-                    s.width, s.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-                  var row = 0
-                  while (row < s.height) {
-                    var x = 0
-                    while (x < s.width) {
-                      val off = row * stride + x * 3
-                      // DIB rows are bottom-up
-                      out.setRGB(x, s.height - 1 - row,
-                        ((fr(off + 2) & 0xff) << 16) | ((fr(off + 1) & 0xff) << 8) | (fr(off) & 0xff))
-                      x += 1
-                    }
-                    row += 1
-                  }
-                  Some(out)
-                }
-              } else if (s.compression == MjpgFourcc) {
-                try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr)))
-                catch { case _: Exception => None }
-              } else None
-            img.map { im =>
+            frameImage(s, fr).map { im =>
               val bos = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(im, "png", bos)
               Row.fromSeq(r.toSeq ++ Seq(i, bos.toByteArray))
@@ -749,6 +877,134 @@ object Multimodal {
           }.flatten
         }
       }
+    }(encoder)
+  }
+
+  /** Per-frame perceptual hashes for video near-dup (content-ID style:
+    * a video's signature is its ordered frame dHash list): RIFF/AVI demux →
+    * each frame decoded ([[frameImage]]: DIB directly, MJPG through the
+    * real JPEG codec) → [[grayDHash]]. One output row per frame
+    * (frame_idx, dhash, frame_ok); a payload that fails demux yields a
+    * single frame_ok=false row so the video stays visible downstream.
+    * Scan-shaped: one demux+decode per video, 8 bytes per frame out, no
+    * shuffle — feed [[Dedup.videoNearDups]] for the corpus-level join. */
+  def videoFrameDHash(spark: SparkSession, df: DataFrame,
+                      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema
+      .add("frame_idx", IntegerType)
+      .add("dhash", LongType)
+      .add("frame_ok", BooleanType)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val payload = r.get(payloadIdx).asInstanceOf[Array[Byte]]
+        Option(payload).flatMap(parseAvi) match {
+          case None => Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null, false)))
+          case Some(s) =>
+            s.frames.iterator.zipWithIndex.map { case (fr, i) =>
+              frameImage(s, fr) match {
+                case Some(im) => Row.fromSeq(r.toSeq ++ Seq(i, grayDHash(im), true))
+                case None     => Row.fromSeq(r.toSeq ++ Seq(i, null, false))
+              }
+            }
+        }
+      }
+    }(encoder)
+  }
+
+  /** Frame-k target pattern for the video near-dup fixture: each of
+    * `groups` classes gets `frames` splitmix64 base patterns (seed offset
+    * 1000 keeps them disjoint from [[dhashPattern]]'s family); every
+    * 7th-ish member perturbs FRAME 0 by two class-derived bits — the video
+    * is a near-dup of its class (frame 0 within Hamming 2, other frames
+    * exact) and never of another (cross-pattern distance ≥ 16, verified
+    * for groups ≤ 25 × frames ≤ 3). */
+  def videoFramePattern(id: Long, groups: Int, frame: Int): Long = {
+    val g = math.floorMod(id, groups)
+    val base = splitmix64(1000L + g * 64 + frame)
+    if (frame == 0 && math.floorMod(id / groups, 7) == 3)
+      base ^ (1L << ((g * 5 + 1) % 64)) ^ (1L << ((g * 7 + 3) % 64))
+    else base
+  }
+
+  /** AVI whose per-frame dHashes ARE [[videoFramePattern]]: `frames` 9×8
+    * uncompressed-DIB frames, each carrying the same ±10 pixel walk as
+    * [[syntheticDhashPng]] (written bottom-up, so the decoded image reads
+    * top-down). Real RIFF container through the same header builder shapes
+    * as [[syntheticAvi]]. */
+  def syntheticDhashAvi(id: Long, groups: Int, frames: Int = 3): Array[Byte] = {
+    val w = 9; val h = 8; val fps = 5
+    val frameBytes: Seq[Array[Byte]] = (0 until frames).map { k =>
+      val pattern = videoFramePattern(id, groups, k)
+      val stride = ((w * 3 + 3) / 4) * 4
+      val bytes = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val dibRow = h - 1 - y // bottom-up storage
+        var v = 128
+        var x = 0
+        while (x < w) {
+          if (x > 0) {
+            val bit = (pattern >>> (y * 8 + (x - 1))) & 1L
+            v = if (bit == 1L) v + 10 else v - 10
+          }
+          val off = dibRow * stride + x * 3
+          bytes(off) = v.toByte; bytes(off + 1) = v.toByte; bytes(off + 2) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+      bytes
+    }
+    val maxFrame = frameBytes.map(_.length).max
+    val avih = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(le32(1000000L / fps)); o.write(le32(0)); o.write(le32(0)); o.write(le32(0))
+      o.write(le32(frames)); o.write(le32(0)); o.write(le32(1)); o.write(le32(maxFrame))
+      o.write(le32(w)); o.write(le32(h)); (0 until 4).foreach(_ => o.write(le32(0)))
+      o.toByteArray
+    }
+    val strh = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("vids".getBytes("US-ASCII")); o.write("DIB ".getBytes("US-ASCII"))
+      o.write(le32(0)); o.write(le16(0)); o.write(le16(0)); o.write(le32(0))
+      o.write(le32(1)); o.write(le32(fps))
+      o.write(le32(0)); o.write(le32(frames)); o.write(le32(maxFrame)); o.write(le32(0))
+      o.write(le32(0))
+      o.write(le16(0)); o.write(le16(0)); o.write(le16(w)); o.write(le16(h))
+      o.toByteArray
+    }
+    val strf = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(le32(40)); o.write(le32(w)); o.write(le32(h))
+      o.write(le16(1)); o.write(le16(24)); o.write(le32(0))
+      o.write(le32(maxFrame)); o.write(le32(0)); o.write(le32(0)); o.write(le32(0)); o.write(le32(0))
+      o.toByteArray
+    }
+    val strl = riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf))
+    val hdrl = riffList("hdrl", riffChunk("avih", avih) ++ strl)
+    val movi = riffList("movi",
+      frameBytes.map(fr => riffChunk("00db", fr))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val body = hdrl ++ movi
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.length + 4))
+    out.write("AVI ".getBytes("US-ASCII")); out.write(body)
+    out.toByteArray
+  }
+
+  /** Per-row synthesis of the video near-dup fixture corpus. */
+  def synthesizeDhashAvis(spark: SparkSession, df: DataFrame,
+                          idCol: String = "media_id", groups: Int = 25,
+                          frames: Int = 3): DataFrame = {
+    val outSchema = df.schema.add("payload", BinaryType)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+
+        syntheticDhashAvi(r.getLong(idIdx), groups, frames)))
     }(encoder)
   }
 }

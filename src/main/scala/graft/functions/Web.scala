@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL / domain curation for web-scale corpus pipelines (the RefinedWeb /
+  * CCNet preprocessing family): URL canonicalization, registered-domain
+  * extraction, and per-domain quota sampling. Everything here is a pure
+  * codegen-friendly Column expression or a bounded-shuffle DataFrame op —
+  * scan-shaped at 100 TB except the quota's single domain-keyed shuffle.
+  *
+  * URL dedup composition: `urlNormalize` collapses the crawl-side aliasing
+  * (tracking params, casing, default ports, fragments) so a plain
+  * [[Dedup.exact]]-style groupBy on the normalized URL becomes the
+  * first-stage web dedup; `registeredDomain` + [[Web.domainQuota]] bound
+  * any single site's contribution to the training mix. */
+object Web {
+
+  /** Query parameters dropped by [[urlNormalize]]: click/campaign trackers
+    * that vary per crawl visit without changing the fetched content — the
+    * dominant source of spurious URL-level "uniqueness" in web corpora. */
+  val trackingParamPattern = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)"
+
+  /** Canonicalize an absolute http(s) URL (pure string expressions, stays
+    * in whole-stage codegen; no UDF, no java.net.URL object per row):
+    * lowercase scheme and host, strip userinfo and the scheme's default
+    * port (:80 / :443), collapse trailing slashes on the path, drop the
+    * fragment, drop tracking params ([[trackingParamPattern]]), sort the
+    * surviving query params. Two crawl records of the same resource
+    * normalize to byte-identical strings — the key for exact URL dedup.
+    * Rows that don't parse as scheme://… pass through unchanged. */
+  def urlNormalize(u: Column): Column = {
+    val base = regexp_extract(u, "^[^#]*", 0) // fragment gone
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport0 = lower(regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val hostport = regexp_replace(hostport0, "^[^@]*@", "") // userinfo
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path0 = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(regexp_replace(path0, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(path0, "/+$", ""))
+    val query = regexp_extract(base, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike(trackingParamPattern))
+    val qs = array_join(array_sort(params), "&")
+    val norm = concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+    when(scheme === "", u).otherwise(norm)
+  }
+
+  /** Lowercased host of an absolute URL (userinfo and port stripped) —
+    * the grouping key for host-level stats and blocklists. */
+  def urlHost(u: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+        "^[^@]*@", ""),
+      ":[0-9]+$", "")
+
+  /** Multi-label public suffixes recognized by [[registeredDomain]] — the
+    * high-traffic subset of the public-suffix list (the full list is data,
+    * not code: swap in a broadcast lookup for exhaustive coverage). */
+  val multiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.in", "co.nz", "com.br", "com.cn",
+    "com.mx", "com.sg", "co.kr", "com.tr", "com.ar")
+
+  /** Registered domain (eTLD+1) of a host: `news.bbc.co.uk` → `bbc.co.uk`,
+    * `a.b.example.com` → `example.com`. The unit of per-site quotas —
+    * host-level grouping splits one site into thousands of subdomains and
+    * defeats the cap. Pure array expressions over the split host. */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // try_element_at, not element_at: under ANSI mode (Spark 4 default) an
+    // out-of-range index THROWS, and CaseWhen evaluates the first branch's
+    // condition — which references these — even for single-label hosts
+    // (localhost, intranet names) where -2/-3 are out of range
+    val last2 = concat_ws(".",
+      try_element_at(labels, lit(-2)), try_element_at(labels, lit(-1)))
+    when(n >= 3 && last2.isin(multiPartSuffixes: _*),
+        concat_ws(".", try_element_at(labels, lit(-3)), last2))
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** Per-domain quota: keep at most `cap` rows per `domainCol`, the best
+    * first by (`scoreCol` desc, `idCol` asc) — bounding any single site's
+    * share of the training mix regardless of how much of it the crawl
+    * fetched. Output = input + `domain_rank` (1-based within the kept
+    * rows), rows beyond the cap dropped.
+    *
+    * Skew-safe at 100 TB: a naive window row_number sorts EVERY row of a
+    * domain in one task — a mega-domain (pinterest, youtube) becomes one
+    * task sorting billions of rows. Two-stage rank instead: stage 1 ranks
+    * within (domain, salt) — `salts` tasks share the hot domain, each
+    * keeping its local top-`cap` — stage 2 ranks the ≤ salts·cap
+    * survivors per domain. The global top-cap is a subset of the per-salt
+    * top-caps (any row in the true top-cap is in its own salt's top-cap),
+    * so the result is exactly the single-stage answer with per-task sort
+    * memory bounded by salts·cap rows per domain. */
+  def domainQuota(docs: DataFrame, cap: Int, domainCol: String = "domain",
+                  scoreCol: String = "score", idCol: String = "doc_id",
+                  salts: Int = 16): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    val salted = Window
+      .partitionBy(col(domainCol), pmod(xxhash64(col(idCol)), lit(salts)))
+      .orderBy(order: _*)
+    val perDomain = Window.partitionBy(col(domainCol)).orderBy(order: _*)
+    docs
+      .withColumn("__salt_rank", row_number().over(salted))
+      .filter(col("__salt_rank") <= cap)
+      .drop("__salt_rank")
+      .withColumn("domain_rank", row_number().over(perDomain))
+      .filter(col("domain_rank") <= cap)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Bpe, Curation, Dedup, Multimodal, Similarity, TextFunctions}
+import graft.functions.{Bpe, Curation, Dedup, Multimodal, Similarity, TextFunctions, Web}
 import QueryUtil._
 
 /** Training-data pipeline coverage (builder prompt: dedup / similarity /
@@ -69,6 +69,44 @@ object PipelineQueries {
        |  st.s1 AS s_words, st.s2 AS s_stop, st.s3 AS s_punct
        |FROM wk$iterations wk, st""".stripMargin
   }
+
+  /** Deterministic messy-URL fixture for the web-curation oracles: id
+    * arithmetic drives every [[Web.urlNormalize]] path — mixed-case scheme
+    * and host, userinfo, default (:80/:443) and explicit ports, trailing
+    * slashes, empty paths, tracking params, fragments. [[synthUrlSql]] is
+    * the DuckDB twin (same arithmetic, same pieces). */
+  private def synthUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      when(id % 2 === 0, "HTTP://").otherwise("https://"),
+      when(id % 5 === 0, "crawler:pw@").otherwise(""),
+      when(id % 4 === 0, "WWW.Example.COM")
+        .when(id % 4 === 1, "news.BBC.co.uk")
+        .when(id % 4 === 2, concat(lit("cdn"), id % 10, lit(".Site.org")))
+        .otherwise(concat(lit("shop.example"), id % 10, lit(".com"))),
+      when(id % 6 === 0, ":80").when(id % 6 === 2, ":443")
+        .when(id % 6 === 4, ":8080").otherwise(""),
+      when(id % 11 === 0, "")
+        .otherwise(concat(lit("/Articles/"), id % 7,
+          when(id % 3 === 0, "/").otherwise(""))),
+      when(id % 3 === 0, "?utm_source=Feed&b=2&a=1&gclid=XYZ")
+        .when(id % 3 === 1, "?z=9&ref=tw").otherwise(""),
+      when(id % 4 === 0, "#Sec2").otherwise(""))
+
+  private val synthUrlSql: String =
+    """CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN 'crawler:pw@' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.Example.COM'
+      |         WHEN doc_id % 4 = 1 THEN 'news.BBC.co.uk'
+      |         WHEN doc_id % 4 = 2 THEN 'cdn' || CAST(doc_id % 10 AS VARCHAR) || '.Site.org'
+      |         ELSE 'shop.example' || CAST(doc_id % 10 AS VARCHAR) || '.com' END ||
+      |    CASE WHEN doc_id % 6 = 0 THEN ':80' WHEN doc_id % 6 = 2 THEN ':443'
+      |         WHEN doc_id % 6 = 4 THEN ':8080' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ''
+      |         ELSE '/Articles/' || CAST(doc_id % 7 AS VARCHAR) ||
+      |              CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END END ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=Feed&b=2&a=1&gclid=XYZ'
+      |         WHEN doc_id % 3 = 1 THEN '?z=9&ref=tw' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '#Sec2' ELSE '' END""".stripMargin
 
   val entries: Map[String, Entry] = Map(
 
@@ -549,6 +587,140 @@ object PipelineQueries {
         |)
         |SELECT id_a, id_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
+
+    "td_incremental_minhash" -> Entry((s, dir) => {
+      // steady-state NEAR-dup ingest (the minhashLsh analog of
+      // td_incremental_dedup): the corpus (doc_id % 5 != 0) is banded ONCE
+      // via minhashBands — the stored table a real pipeline persists — and
+      // the incoming batch (doc_id % 5 == 0) is screened against it without
+      // ever re-shingling corpus text. Broadcast-incoming: the corpus band
+      // scan probes the batch in place, zero corpus shuffle.
+      val docs = t(s, dir, "documents")
+      val corpusBands = Dedup.minhashBands(
+        docs.filter(col("doc_id") % 5 =!= 0), shingleN = 3,
+        numHashes = 16, bands = 4)
+      Dedup.incrementalMinhashLsh(corpusBands,
+          docs.filter(col("doc_id") % 5 === 0), shingleN = 3,
+          numHashes = 16, bands = 4, threshold = 0.3)
+        .orderBy(col("doc_id"), col("corpus_id"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+2], ' ')) > 0
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(shingle), 1, 7) AS BIGINT) AS h1,
+        |    CAST('0x' || substring(md5(shingle), 8, 7) AS BIGINT) AS h2
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, j, min(h1 + j * h2) AS mh
+        |  FROM hashed, UNNEST(range(0, 16)) AS u(j)
+        |  GROUP BY doc_id, j
+        |), sigarr AS (
+        |  SELECT doc_id, array_agg(mh ORDER BY j) AS sig FROM sig GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, sig, b,
+        |    array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ',') AS band_sig
+        |  FROM sigarr, UNNEST(range(0, 4)) AS u(b)
+        |), cand AS (
+        |  SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corpus_id,
+        |    i.sig AS sig_i, c.sig AS sig_c
+        |  FROM banded i JOIN banded c
+        |    ON i.b = c.b AND i.band_sig = c.band_sig
+        |  WHERE i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+        |), est AS (
+        |  SELECT doc_id, corpus_id,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> CASE WHEN sig_i[i] = sig_c[i] THEN 1 ELSE 0 END)) / 16.0 AS est_jaccard
+        |  FROM cand
+        |)
+        |SELECT doc_id, corpus_id, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.3 ORDER BY doc_id, corpus_id""".stripMargin)),
+
+    "td_url_normalize" -> Entry((s, dir) => {
+      // URL canonicalization + registered-domain over the messy-URL fixture:
+      // the oracle replays the full normalization (scheme/host case, userinfo,
+      // default ports, trailing slashes, tracking params, param sort,
+      // fragments) in DuckDB string functions — operator parity, not just
+      // plumbing.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", synthUrl(col("doc_id")))
+      docs.select(col("doc_id"),
+          Web.urlNormalize(col("url")).as("url_norm"),
+          Web.urlHost(col("url")).as("host"))
+        .withColumn("domain", Web.registeredDomain(col("host")))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH u0 AS (
+         |  SELECT doc_id, $synthUrlSql AS url
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, url, regexp_extract(url, '^[^#]*') AS base FROM u0
+         |), parts AS (
+         |  SELECT doc_id, url,
+         |    lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^[^@]*@', '') AS hostport,
+         |    regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+         |    regexp_extract(base, '\\?(.*)$$', 1) AS q
+         |  FROM p
+         |), np AS (
+         |  SELECT doc_id, url, scheme,
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |         ELSE hostport END AS nhost,
+         |    CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
+         |         ELSE regexp_replace(path0, '/+$$', '') END AS npath,
+         |    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+         |      s -> len(s) > 0 AND NOT regexp_matches(s, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$$)'))), '&'), '') AS qs,
+         |    regexp_replace(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^[^@]*@', ''), ':[0-9]+$$', '') AS host
+         |  FROM parts
+         |), dom AS (
+         |  SELECT doc_id,
+         |    scheme || '://' || nhost || npath ||
+         |      CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_norm,
+         |    host, string_split(host, '.') AS ls
+         |  FROM np
+         |)
+         |SELECT doc_id, url_norm, host,
+         |  CASE WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN
+         |      ('co.uk','org.uk','gov.uk','ac.uk','co.jp','ne.jp','or.jp','com.au','net.au','org.au','co.in','co.nz','com.br','com.cn','com.mx','com.sg','co.kr','com.tr','com.ar')
+         |    THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         |    WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+         |    ELSE host END AS domain
+         |FROM dom ORDER BY doc_id""".stripMargin)),
+
+    "td_domain_quota" -> Entry((s, dir) => {
+      // per-domain quota end-to-end: synth URL → urlHost → registeredDomain
+      // → skew-safe two-stage top-cap by (score desc, id). The oracle states
+      // the expected domains by the fixture's id arithmetic and replays the
+      // quota as one QUALIFY row_number — the two-stage Spark rank must
+      // reproduce the single-stage answer exactly.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .withColumn("domain",
+          Web.registeredDomain(Web.urlHost(synthUrl(col("doc_id")))))
+        .select(col("doc_id"), col("domain"), col("n_chars").as("score"))
+      Web.domainQuota(docs, cap = 5).orderBy(col("doc_id"))
+    }, Some(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'example.com'
+        |         WHEN doc_id % 4 = 1 THEN 'bbc.co.uk'
+        |         WHEN doc_id % 4 = 2 THEN 'site.org'
+        |         ELSE 'example' || CAST(doc_id % 10 AS VARCHAR) || '.com' END AS domain,
+        |    n_chars AS score
+        |  FROM documents
+        |)
+        |SELECT doc_id, domain, score, CAST(rn AS INT) AS domain_rank FROM (
+        |  SELECT doc_id, domain, score,
+        |    row_number() OVER (PARTITION BY domain ORDER BY score DESC, doc_id) AS rn
+        |  FROM d
+        |) WHERE rn <= 5 ORDER BY doc_id""".stripMargin)),
 
     "td_simhash" -> Entry((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), shingleN = 2)
@@ -2417,6 +2589,106 @@ object PipelineQueries {
         |  CASE WHEN m.corrupt THEN NULL ELSE cl.cmin END AS cluster,
         |  (m.corrupt OR m.media_id = cl.cmin) AS keep
         |FROM m LEFT JOIN cl ON m.media_id % 12 = cl.g
+        |ORDER BY media_id""".stripMargin)),
+
+    "td_audio_fingerprint" -> Entry((s, dir) => {
+      // REAL audio perceptual hash through the codec: one PCM16 WAV per doc
+      // whose 65-window amplitude walk encodes a known 64-bit pattern
+      // ([[Multimodal.syntheticFingerprintWav]]) → decode → energy hash.
+      // Same 12-class splitmix64 pattern family (and oracle constants) as
+      // td_image_dhash — the fixture arithmetic is shared by construction.
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      Multimodal.audioFingerprint(s, Multimodal.synthesizeFingerprintWavs(s, media))
+        .select(col("media_id"), col("afp_ok"), col("afp"))
+        .orderBy(col("media_id"))
+    }, Some(
+      """WITH base(g, h, hp) AS (VALUES
+        |  (0, -2152535657050944081, -2152535657050944091),
+        |  (1, -7995527694508729151, -7995527694508730239),
+        |  (2, -7541218347953203506, -7541218347953332530),
+        |  (3, 2092789425003139053, 2092789424986296301),
+        |  (4, 7958955049054603978, 7958955046905023178),
+        |  (5, 7134611160154358618, 7134611435099374426),
+        |  (6, -4799528948525441024, -4799564135045013504),
+        |  (7, 7191089600892374487, 7195593269239221719),
+        |  (8, -7037347547344193994, -7613806100624361930),
+        |  (9, -5859373336115519388, -5859443704859697056),
+        |  (10, 614480483733483466, 616732283547168202),
+        |  (11, 5833679380957638813, 5905736974995632285))
+        |SELECT d.doc_id AS media_id, true AS afp_ok,
+        |  CAST(CASE WHEN (d.doc_id // 12) % 7 = 3 THEN b.hp ELSE b.h END AS BIGINT) AS afp
+        |FROM documents d JOIN base b ON d.doc_id % 12 = b.g
+        |ORDER BY media_id""".stripMargin)),
+
+    "td_audio_dedup" -> Entry((s, dir) => {
+      // e2e audio dedup over a mixed fixture: every 29th-ish row a corrupt
+      // payload that must fail decode in isolation and pass through with
+      // keep=true — the audio twin of td_media_dedup.
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val mixed = Multimodal.synthesizeFingerprintWavs(s, media)
+        .withColumn("payload",
+          when(col("media_id") % 29 === 11, lit("static noise".getBytes("UTF-8")))
+            .otherwise(col("payload")))
+      Curation.audioDedup(s, mixed)
+        .select(col("media_id"), col("afp_ok"), col("cluster"), col("keep"))
+        .orderBy(col("media_id"))
+    }, Some(
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 29 = 11 AS corrupt FROM documents
+        |), cl AS (
+        |  SELECT media_id % 12 AS g, min(media_id) AS cmin
+        |  FROM m WHERE NOT corrupt GROUP BY 1
+        |)
+        |SELECT m.media_id, NOT m.corrupt AS afp_ok,
+        |  CASE WHEN m.corrupt THEN NULL ELSE cl.cmin END AS cluster,
+        |  (m.corrupt OR m.media_id = cl.cmin) AS keep
+        |FROM m LEFT JOIN cl ON m.media_id % 12 = cl.g
+        |ORDER BY media_id""".stripMargin)),
+
+    "td_video_neardup" -> Entry((s, dir) => {
+      // video near-dup by frame-signature overlap: 25 classes × 3 frames of
+      // known per-frame dHash patterns (cross-pattern separation ≥ 16 bits,
+      // within-class: frame 0 perturbed by 2 bits on every 7th-ish member),
+      // demuxed and hashed through the REAL RIFF/DIB path — so every
+      // within-class video pair shares exactly 3 frame clusters and no
+      // cross-class pair shares any.
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val frames = Multimodal.videoFrameDHash(s,
+        Multimodal.synthesizeDhashAvis(s, media, groups = 25))
+      Dedup.videoNearDups(frames, minShared = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(3 AS BIGINT) AS shared_frames
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    "td_video_dedup" -> Entry((s, dir) => {
+      // e2e video dedup over a mixed fixture — demux → frame dHash → shared
+      // frame clusters → connected components → keep-one: every 31st-ish
+      // row a corrupt payload that must fail demux in isolation and pass
+      // through with keep=true; each intact class collapses to its smallest
+      // member (within-class pairs share all 3 frame clusters → one
+      // component per class, never across classes).
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val mixed = Multimodal.synthesizeDhashAvis(s, media, groups = 25)
+        .withColumn("payload",
+          when(col("media_id") % 31 === 7, lit("not an avi".getBytes("UTF-8")))
+            .otherwise(col("payload")))
+      Curation.videoDedup(s, mixed, minShared = 3)
+        .orderBy(col("media_id"))
+    }, Some(
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 31 = 7 AS corrupt FROM documents
+        |), cl AS (
+        |  SELECT media_id % 25 AS g, min(media_id) AS cmin
+        |  FROM m WHERE NOT corrupt GROUP BY 1
+        |)
+        |SELECT m.media_id, NOT m.corrupt AS video_ok,
+        |  CASE WHEN m.corrupt THEN NULL ELSE cl.cmin END AS cluster,
+        |  (m.corrupt OR m.media_id = cl.cmin) AS keep
+        |FROM m LEFT JOIN cl ON m.media_id % 25 = cl.g
         |ORDER BY media_id""".stripMargin)),
 
     "td_bpe_roundtrip" -> Entry((s, dir) => {

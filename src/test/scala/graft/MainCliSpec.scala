@@ -1050,11 +1050,18 @@ class MainCliSpec extends AnyFunSuite {
 
   test("run flags (ignore-cron, select-model) and table-diff options") {
     val proj = SparkTestSession.tmpDir("cli-proj6")
+    // a cron that fires only on TOMORROW's day-of-month: its last firing is
+    // ~a month ago at ANY wall-clock time, so the run always leaves the
+    // window's tail pending. (The previous '30 23 * * *' fixture was
+    // time-of-day flaky — between 23:30 and midnight UTC today's tick HAS
+    // fired and the plain run legitimately completed the window.)
+    val tomorrowDom = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+      .plusDays(1).getDayOfMonth
     java.nio.file.Files.writeString(java.nio.file.Paths.get(proj, "late.sql"),
-      """MODEL (
+      s"""MODEL (
         |  name cli6.late,
         |  kind INCREMENTAL_BY_TIME_RANGE (time_column o_orderdate),
-        |  cron '30 23 * * *',
+        |  cron '30 23 $tomorrowDom * *',
         |  start '1995-01-01',
         |  grains (o_orderdate)
         |);
@@ -1070,8 +1077,8 @@ class MainCliSpec extends AnyFunSuite {
     assert(cli(Seq("plan", "prod", "--skip-backfill", "--auto-apply")
       ++ window ++ base: _*)._1 == 0)
 
-    // the 23:30 cron has not fired for the window's tail "today", so a plain
-    // run leaves intervals pending; --ignore-cron backfills them all
+    // the tomorrow-dom cron last fired ~a month ago, so a plain run leaves
+    // the window's tail pending; --ignore-cron backfills it all
     val now = System.currentTimeMillis()
     val today = java.time.Instant.ofEpochMilli(now).toString.take(10)
     val wideWindow = Seq("--start", "1995-01-10", "--end", today)

@@ -298,4 +298,85 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(0L) == ((true, 0L)), s"solid: ${got(0L)}")
     assert(got(1L) == ((true, -1L)), s"gradient: ${got(1L)}")
   }
+
+  test("audio fingerprint recovers the encoded pattern; short/corrupt clips isolate") {
+    val ids = spark.range(0, 30).select(col("id").as("media_id"))
+    val mixed = Multimodal.synthesizeFingerprintWavs(spark, ids)
+      .withColumn("payload",
+        when(col("media_id") % 7 === 2, lit("hiss".getBytes("UTF-8")))
+          .otherwise(col("payload")))
+      .coalesce(1)
+    val out = Multimodal.audioFingerprint(spark, mixed)
+      .select("media_id", "afp_ok", "afp").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 7 == 2) assert(!r.getBoolean(1) && r.isNullAt(2), s"corrupt id=$id")
+      else assert(r.getBoolean(1) &&
+        r.getLong(2) == Multimodal.dhashPattern(id, 12), s"pattern id=$id")
+    }
+    // a clip with fewer than 65 samples has no 65-window split: ok=false,
+    // not a garbage fingerprint (syntheticWav(id) length 160+: use a tiny
+    // hand-built WAV instead)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val tiny = {
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](40 * 2)), fmt, 40L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val short = Multimodal.audioFingerprint(spark,
+      Seq((0L, tiny)).toDF("media_id", "payload")).select("afp_ok").head()
+    assert(!short.getBoolean(0), "a 40-sample clip must not fingerprint")
+  }
+
+  test("video frame dHash recovers per-frame patterns; failed demux stays visible") {
+    val ids = spark.range(0, 10).select(col("id").as("media_id"))
+    val mixed = Multimodal.synthesizeDhashAvis(spark, ids, groups = 5)
+      .withColumn("payload",
+        when(col("media_id") === 7, lit("not an avi".getBytes("UTF-8")))
+          .otherwise(col("payload")))
+    val out = Multimodal.videoFrameDHash(spark, mixed)
+      .select("media_id", "frame_idx", "dhash", "frame_ok").collect()
+    val byVideo = out.groupBy(_.getLong(0))
+    assert(byVideo(7L).length == 1 && !byVideo(7L).head.getBoolean(3),
+      "failed demux must yield exactly one ok=false row")
+    byVideo.filterNot(_._1 == 7L).foreach { case (id, rows) =>
+      assert(rows.length == 3, s"video $id frame count")
+      rows.foreach { r =>
+        assert(r.getBoolean(3))
+        assert(r.getLong(2) ==
+          Multimodal.videoFramePattern(id, 5, r.getInt(1)), s"video $id frame ${r.getInt(1)}")
+      }
+    }
+    // near-dup composition: 5 classes x 2 videos -> each pair shares all 3
+    // frame clusters (frame 0 of the perturbed member is 2 bits away)
+    val pairs = Dedup.videoNearDups(
+      Multimodal.videoFrameDHash(spark,
+        Multimodal.synthesizeDhashAvis(spark, ids, groups = 5)), minShared = 3)
+      .collect()
+    assert(pairs.length == 5, s"got ${pairs.length} pairs")
+    pairs.foreach(p => assert(p.getLong(2) == 3, p.toString))
+  }
+
+  test("videoDedup: classes collapse to smallest member, corrupt rows kept") {
+    val ids = spark.range(0, 10).select(col("id").as("media_id"))
+    val mixed = Multimodal.synthesizeDhashAvis(spark, ids, groups = 5)
+      .withColumn("payload",
+        when(col("media_id") === 6, lit("garbage".getBytes("UTF-8")))
+          .otherwise(col("payload")))
+    val out = Curation.videoDedup(spark, mixed, minShared = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size == 10)
+    assert(out(6L) == ((false, -1L, true)), s"corrupt row: ${out(6L)}")
+    // classes are id%5 over 0..9: {0,5} {1,6} {2,7} {3,8} {4,9}; 6 corrupt
+    // → 1 becomes a singleton (own cluster, kept)
+    assert(out(1L) == ((true, 1L, true)))
+    assert(out(0L) == ((true, 0L, true)) && out(5L) == ((true, 0L, false)))
+    assert(out(2L) == ((true, 2L, true)) && out(7L) == ((true, 2L, false)))
+    assert(out(9L) == ((true, 4L, false)))
+  }
 }

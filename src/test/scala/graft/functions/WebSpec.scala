@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class WebSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("url").select(Web.urlNormalize(col("url")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("urlNormalize: case, ports, userinfo, fragment, tracking params, slashes") {
+    assert(norm(
+      "HTTP://WWW.Example.COM:80/A/b/?utm_source=x&b=2&a=1#frag",
+      "https://example.com:443/x",
+      "https://example.com:80/x", // :80 is NOT https's default — kept
+      "http://user:pw@Site.org:8080/p/?gclid=1&fbclid=2&msclkid=3&ref=t&utm_campaign=c",
+      "https://example.com", // empty path → /
+      "http://example.com/a//", // slash run collapses
+      "https://h.io/p?z=9&a=1&m=5" // params sorted
+    ) == Seq(
+      "http://www.example.com/A/b?a=1&b=2",
+      "https://example.com/x",
+      "https://example.com:80/x",
+      "http://site.org:8080/p",
+      "https://example.com/",
+      "http://example.com/a",
+      "https://h.io/p?a=1&m=5&z=9"))
+    // dedup collapse: two crawl aliases of one resource → one key
+    assert(norm("HTTPS://News.Site.COM/a/?utm_medium=rss",
+      "https://news.site.com:443/a").distinct.size == 1)
+    // non-URL rows pass through unchanged
+    assert(norm("not a url at all") == Seq("not a url at all"))
+  }
+
+  test("urlHost and registeredDomain") {
+    val got = Seq(
+      "https://news.BBC.co.uk:8443/x",
+      "http://crawler@a.b.Example.com/",
+      "https://localhost/x")
+      .toDF("url")
+      .select(Web.urlHost(col("url")).as("h"))
+      .withColumn("d", Web.registeredDomain(col("h")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("news.bbc.co.uk", "bbc.co.uk"),
+      ("a.b.example.com", "example.com"),
+      ("localhost", "localhost")))
+  }
+
+  test("domainQuota keeps top-cap by (score desc, id asc) per domain, exactly") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 30) "big.com" else "small.org", (i % 10).toDouble))
+      .toDF("doc_id", "domain", "score")
+    val out = Web.domainQuota(docs, cap = 3, salts = 4)
+      .select("doc_id", "domain", "domain_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // big.com: score 9 → ids 9,19,29; ranks by (score desc, id asc)
+    // small.org: ids 31..40, scores i%10 → 39 (s9), 38 (s8), 37 (s7)
+    assert(out == Set(
+      (9L, "big.com", 1), (19L, "big.com", 2), (29L, "big.com", 3),
+      (39L, "small.org", 1), (38L, "small.org", 2), (37L, "small.org", 3)))
+    // two-stage == single-stage under every salt count (subset property)
+    val single = Web.domainQuota(docs, cap = 3, salts = 1)
+      .select("doc_id", "domain", "domain_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(single == out)
+  }
+
+  test("incrementalMinhashLsh screens a batch against stored corpus bands") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different corpus text about spark catalyst optimizer internals"),
+      (3L, "yet another unrelated corpus document mentioning tungsten codegen stages"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      // near-dup of corpus doc 1 (one word changed)
+      (10L, "the quick brown fox jumps over the lazy dog near the river shore"),
+      // novel
+      (11L, "structured streaming watermark state semantics with flatMapGroupsWithState"))
+      .toDF("doc_id", "text")
+    val bandsDf = Dedup.minhashBands(corpus, shingleN = 2, numHashes = 16, bands = 8)
+    val pairs = Dedup.incrementalMinhashLsh(bandsDf, incoming,
+      shingleN = 2, numHashes = 16, bands = 8, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 1L)), s"near-dup must screen: $pairs")
+    assert(!pairs.exists(_._1 == 11L), s"novel doc must pass: $pairs")
+    // shuffle-join path (broadcastIncoming=false) gives the identical answer
+    val pairs2 = Dedup.incrementalMinhashLsh(bandsDf, incoming,
+      shingleN = 2, numHashes = 16, bands = 8, threshold = 0.3,
+      broadcastIncoming = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 == pairs)
+    // the ingest recipe: accepted = incoming minus screened
+    val accepted = incoming.join(
+        Dedup.incrementalMinhashLsh(bandsDf, incoming, shingleN = 2,
+          numHashes = 16, bands = 8, threshold = 0.3)
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(accepted == Seq(11L))
+  }
+
+  test("incrementalMinhashLsh broadcast path: corpus bands never shuffle for the screen") {
+    val corpus = (1L to 50L).map(i => (i, s"corpus doc number $i with words $i"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((100L, "corpus doc number 7 with words 7")).toDF("doc_id", "text")
+    val bandsDf = Dedup.minhashBands(corpus, shingleN = 2, numHashes = 16, bands = 4)
+    val p = Dedup.incrementalMinhashLsh(bandsDf, incoming,
+        shingleN = 2, numHashes = 16, bands = 4, threshold = 0.3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the screen join must broadcast the batch side — at 100 TB a sort-merge
+    // here would shuffle the entire corpus band table per ingest
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), "screen join degraded to sort-merge")
+  }
+
+  test("incrementalMinhashLsh maxBucketSize drops hot corpus buckets") {
+    // 6 identical corpus docs: every band bucket holds 6 postings; cap 3
+    // drops them all, so the screen reports NO pairs for an exact dup batch
+    val corpus = (1L to 6L)
+      .map(i => (i, "same boilerplate header repeated across the mirror set"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, "same boilerplate header repeated across the mirror set"))
+      .toDF("doc_id", "text")
+    val bandsDf = Dedup.minhashBands(corpus, shingleN = 2, numHashes = 16, bands = 4)
+    val capped = Dedup.incrementalMinhashLsh(bandsDf, incoming,
+      shingleN = 2, numHashes = 16, bands = 4, threshold = 0.3,
+      maxBucketSize = Some(3))
+    assert(capped.count() == 0)
+    val uncapped = Dedup.incrementalMinhashLsh(bandsDf, incoming,
+      shingleN = 2, numHashes = 16, bands = 4, threshold = 0.3)
+    assert(uncapped.count() == 6)
+  }
+}
