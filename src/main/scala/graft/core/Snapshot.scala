@@ -75,13 +75,16 @@ object Fingerprint {
     // Hashing only the parents' own dataHash (the pre-r13 bug, caught by
     // the 10k-model probe's 1-edit cascade check) stopped the cascade at
     // depth 1: grandchildren kept their versions and never migrated.
-    val sortedParents = parents.sortBy(_.version)
+    // version is a def that allocates a digest per call — compute it once
+    // per parent, not once per sort comparison (this runs per model per
+    // plan; at 10k models the redundant MD5s were measurable)
+    val parentVersions = parents.map(p => (p.version, p)).sortBy(_._1)
     SnapshotFingerprint(
       dataHash = md5Short(dataParts.mkString("\u0000")),
       metadataHash = md5Short(metaParts.mkString("\u0000")),
-      parentDataHash = md5Short(sortedParents.map(_.version).mkString(",")),
-      parentMetadataHash = md5Short(sortedParents
-        .flatMap(p => Seq(p.metadataHash, p.parentMetadataHash))
+      parentDataHash = md5Short(parentVersions.map(_._1).mkString(",")),
+      parentMetadataHash = md5Short(parentVersions
+        .flatMap { case (_, p) => Seq(p.metadataHash, p.parentMetadataHash) }
         .sorted.mkString(",")))
   }
 }

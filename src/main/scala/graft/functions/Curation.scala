@@ -183,7 +183,7 @@ object Curation {
                  payloadCol: String = "payload", idCol: String = "media_id",
                  maxDist: Int = 6, bands: Int = 8,
                  maxBucketSize: Option[Int] = None): DataFrame =
-    hashDedup(Multimodal.imageDHash(spark, media, payloadCol),
+    hashDedup(media, Multimodal.imageDHash(spark, media, payloadCol),
       "dhash", "dhash_ok", idCol, maxDist, bands, maxBucketSize)
 
   /** [[mediaDedup]] for audio: [[Multimodal.audioFingerprint]] (energy
@@ -193,23 +193,34 @@ object Curation {
                  payloadCol: String = "payload", idCol: String = "media_id",
                  maxDist: Int = 6, bands: Int = 8,
                  maxBucketSize: Option[Int] = None): DataFrame =
-    hashDedup(Multimodal.audioFingerprint(spark, media, payloadCol),
+    hashDedup(media, Multimodal.audioFingerprint(spark, media, payloadCol),
       "afp", "afp_ok", idCol, maxDist, bands, maxBucketSize)
 
   /** Shared tail of the perceptual-dedup recipes: cluster the ok rows'
     * hashes, label every row, keep the cluster's smallest id and every
-    * row the hasher could not judge. */
-  private def hashDedup(hashed: DataFrame, hashCol: String, okCol: String,
-                        idCol: String, maxDist: Int, bands: Int,
-                        maxBucketSize: Option[Int]): DataFrame = {
+    * row the hasher could not judge. `hashed` is the decode pass's output
+    * (input columns + `hashCol` + `okCol`); `media` is the UNDECODED input.
+    * The decode runs exactly once: a thin (id, hash, ok) projection is
+    * persisted and feeds both the clustering and the verdict, and the
+    * verdict — 4 thin columns, eagerly materialized so the cache can drop —
+    * joins back to `media` on the id, so payload bytes are never decoded a
+    * second time (the pre-r13 shape referenced `hashed` on both sides of
+    * the label join, re-running the decode scan per reference). */
+  private def hashDedup(media: DataFrame, hashed: DataFrame, hashCol: String,
+                        okCol: String, idCol: String, maxDist: Int,
+                        bands: Int, maxBucketSize: Option[Int]): DataFrame = {
+    val thin = hashed.select(col(idCol), col(hashCol), col(okCol)).persist()
     val labels = Dedup.hammingLabels(
-        hashed.filter(col(okCol)).select(col(idCol), col(hashCol)),
+        thin.filter(col(okCol)).select(col(idCol), col(hashCol)),
         hashCol, idCol, maxDist, bands, maxBucketSize)
       .select(col(hashCol), col("cluster"))
     // equi-join on the hash: null keys (undecodable rows) match nothing, so
     // their cluster stays null and keep falls through to true
-    hashed.join(labels, Seq(hashCol), "left")
+    val verdict = thin.join(labels, Seq(hashCol), "left")
       .withColumn("keep", !col(okCol) || col(idCol) === col("cluster"))
+      .localCheckpoint(true)
+    thin.unpersist()
+    media.join(verdict, Seq(idCol))
   }
 
   /** [[mediaDedup]] for video — the full content-ID pipeline in one call:

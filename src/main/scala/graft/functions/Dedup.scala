@@ -530,32 +530,47 @@ object Dedup {
     * verified against full signatures downstream), so hashing it costs
     * nothing semantically and cuts the banding shuffle's per-row key bytes
     * ~5-10× at corpus scale. */
-  private def bandKeys(sig: DataFrame, idCol: String,
-                       numHashes: Int, bands: Int): DataFrame = {
+  /** The `bands` 64-bit band keys of a signature column: key b = hash of
+    * (band index, signature slice b). An 8-byte long join key instead of a
+    * concatenated string — the key is ONLY a bucket id (candidates are
+    * verified against full signatures downstream), so hashing it costs
+    * nothing semantically and cuts the banding shuffle's per-row key bytes
+    * ~5-10× at corpus scale. */
+  private def bandKeyArray(numHashes: Int, bands: Int): org.apache.spark.sql.Column = {
     val rowsPerBand = numHashes / bands
-    sig.select(col(idCol), col("sig"),
-      explode(array((0 until bands).map { b =>
-        xxhash64((lit(b) +:
-          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("sig")(i))): _*)
-      }: _*)).as("band_key"))
+    array((0 until bands).map { b =>
+      xxhash64((lit(b) +:
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("sig")(i))): _*)
+    }: _*)
   }
 
+  /** Band-key projection shared by [[minhashLsh]] /
+    * [[incrementalMinhashLsh]]: one row per (doc, band). */
+  private def bandKeys(sig: DataFrame, idCol: String,
+                       numHashes: Int, bands: Int): DataFrame =
+    sig.select(col(idCol), col("sig"),
+      explode(bandKeyArray(numHashes, bands)).as("band_key"))
+
   /** The persisted-corpus side of steady-state NEAR-dup ingest (the
-    * [[minhashLsh]] analog of [[incrementalExact]]'s key set): one row per
-    * (doc, band) — (`idCol`, `sig`, `band_key`) — computed once per corpus
-    * and stored (parquet, ideally bucketed by `band_key`), then extended
-    * per batch by appending the accepted docs' own `minhashBands` delta.
-    * At 100 TB successive ingests never re-shingle or re-hash the corpus:
-    * the screen joins the stored 8-byte band keys, touching corpus TEXT
-    * zero times. Parameters must match the later
-    * [[incrementalMinhashLsh]] call exactly — the band key folds the band
-    * index and signature slice, so a mismatch silently yields no
-    * collisions. */
+    * [[minhashLsh]] analog of [[incrementalExact]]'s key set): ONE row per
+    * doc — (`idCol`, `sig`, `band_keys` array<long>) — computed once per
+    * corpus and stored (parquet), then extended per batch by appending the
+    * accepted docs' own `minhashBands` delta. One row per doc, not per
+    * (doc, band): the signature is the wide field (~8 B × `numHashes`),
+    * and a per-band layout would copy it `bands` times — nesting the keys
+    * keeps the stored table and every screen scan ~`bands`× smaller while
+    * the screen explodes the 8-byte keys in-task, post-scan. At 100 TB
+    * successive ingests never re-shingle or re-hash the corpus: the screen
+    * reads this table, touching corpus TEXT zero times. Parameters must
+    * match the later [[incrementalMinhashLsh]] call exactly — the band key
+    * folds the band index and signature slice, so a mismatch silently
+    * yields no collisions. */
   def minhashBands(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", shingleN: Int = 3,
                    numHashes: Int = 16, bands: Int = 4): DataFrame =
-    bandKeys(minhash(docs, textCol, idCol, shingleN, numHashes),
-      idCol, numHashes, bands)
+    minhash(docs, textCol, idCol, shingleN, numHashes)
+      .select(col(idCol), col("sig"),
+        bandKeyArray(numHashes, bands).as("band_keys"))
 
   /** Incremental (cross-batch) near-dup screen — the MinHash analog of
     * [[incrementalExactBloom]]'s ingest shape: an incoming batch is
@@ -590,11 +605,14 @@ object Dedup {
     val incSig = minhash(incoming, textCol, idCol, shingleN, numHashes).persist()
     val incBands0 = bandKeys(incSig, idCol, numHashes, bands)
     val incBands = if (broadcastIncoming) broadcast(incBands0) else incBands0
-    val corpus = maxBucketSize.fold(corpusBands) { cap =>
-      val keep = corpusBands.groupBy(col("band_key"))
+    // one stored row per doc ([[minhashBands]]) → per-band rows in-task
+    val corpus0 = corpusBands.select(col(idCol), col("sig"),
+      explode(col("band_keys")).as("band_key"))
+    val corpus = maxBucketSize.fold(corpus0) { cap =>
+      val keep = corpus0.groupBy(col("band_key"))
         .agg(count(lit(1)).as("__bs")).filter(col("__bs") <= cap)
         .select("band_key")
-      corpusBands.join(keep, "band_key")
+      corpus0.join(keep, "band_key")
     }
     corpus.as("c").join(incBands.as("i"),
         col("c.band_key") === col("i.band_key"))

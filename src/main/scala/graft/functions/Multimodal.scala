@@ -820,11 +820,6 @@ object Multimodal {
     }(encoder)
   }
 
-  /** REAL keyframe extraction: demux the AVI, keep every `everyK`-th frame,
-    * decode it, and re-encode as PNG — one output row per kept frame
-    * (`frame_idx`, `frame_png`). The frame-sampling step of a video-training
-    * pipeline, with the usual per-row failure isolation (undecodable rows
-    * emit zero frames). */
   /** Decode one AVI frame to a BufferedImage: uncompressed 24-bit DIB
     * frames pixel-by-pixel (bottom-up BGR rows, 4-byte stride), `MJPG`
     * frames through the real `javax.imageio` JPEG decoder. */
@@ -855,6 +850,11 @@ object Multimodal {
       catch { case _: Exception => None }
     } else None
 
+  /** REAL keyframe extraction: demux the AVI, keep every `everyK`-th frame,
+    * decode it, and re-encode as PNG — one output row per kept frame
+    * (`frame_idx`, `frame_png`). The frame-sampling step of a video-training
+    * pipeline, with the usual per-row failure isolation (undecodable rows
+    * emit zero frames). */
   def extractFrames(spark: SparkSession, df: DataFrame, everyK: Int = 1,
                     payloadCol: String = "payload"): DataFrame = {
     require(everyK >= 1, "everyK must be >= 1")

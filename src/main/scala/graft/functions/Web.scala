@@ -47,7 +47,10 @@ object Web {
     val qs = array_join(array_sort(params), "&")
     val norm = concat(scheme, lit("://"), host, path,
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
-    when(scheme === "", u).otherwise(norm)
+    // empty host ⇒ pass through too: authority-less URLs (file:///a/b,
+    // malformed http:///x) fail the host regex, and normalizing them all
+    // to 'scheme:///' would collapse DISTINCT resources into one dedup key
+    when(scheme === "" || host === "", u).otherwise(norm)
   }
 
   /** Lowercased host of an absolute URL (userinfo and port stripped) —

@@ -111,12 +111,29 @@ final class LspServer(in: InputStream, out: OutputStream,
     write(n)
   }
 
+  // server→client requests get their own id namespace ("graft-srv-N") so
+  // they can never collide with client request ids; responses are accepted
+  // and dropped in [[handle]] (fire-and-forget — nothing here blocks on the
+  // client's answer)
+  private var srvReqId = 0
+  private def sendRequest(method: String, params: ObjectNode): Unit = {
+    srvReqId += 1
+    val n = mapper.createObjectNode()
+    n.put("jsonrpc", "2.0"); n.put("id", s"graft-srv-$srvReqId")
+    n.put("method", method); n.set[JsonNode]("params", params)
+    write(n)
+  }
+
   // ---------------------------------------------------------- dispatch
 
   private def handle(msg: JsonNode): Unit = {
     val method = Option(msg.get("method")).map(_.asText).getOrElse("")
     val id = msg.get("id")
     val params = Option(msg.get("params")).getOrElse(mapper.createObjectNode())
+    // a message with an id but no method is the client's RESPONSE to one of
+    // our own requests (workspace/applyEdit) — fire-and-forget, drop it
+    // (without this it would fall through to MethodNotFound)
+    if (method.isEmpty && id != null) return
     try method match {
       case "initialize" =>
         // rootUri (or CLI --project) anchors the model index
@@ -748,10 +765,12 @@ final class LspServer(in: InputStream, out: OutputStream,
 
   /** graft/formatProject (reference lsp/custom.py:131
     * sqlmesh/format_project): [[graft.loader.SqlFormatter]] over every
-    * indexed project file. For files with an OPEN editor overlay the
-    * overlay text is what gets formatted and written — unsaved edits are
-    * formatted, never silently discarded — and the refreshed overlay keeps
-    * diagnostics/positions matching the buffer the editor reloads. */
+    * indexed project file. Files with an OPEN editor overlay format the
+    * OVERLAY text (unsaved edits are formatted, never discarded for stale
+    * disk content) and round-trip through a `workspace/applyEdit` request —
+    * the EDITOR BUFFER receives the formatted text and syncs back via
+    * didChange — instead of a silent disk write the client's dirty buffer
+    * would clobber on its next save. Closed files are rewritten in place. */
   private def formatProject(): ObjectNode = {
     val res = mapper.createObjectNode()
     val changed = res.putArray("files")
@@ -760,11 +779,24 @@ final class LspServer(in: InputStream, out: OutputStream,
       scala.util.Try {
         val path = java.nio.file.Paths.get(f)
         val furi = path.toUri.toString
-        val text = docs.getOrElse(furi, java.nio.file.Files.readString(path))
+        val overlay = docs.get(furi)
+        val text = overlay.getOrElse(java.nio.file.Files.readString(path))
         val formatted = graft.loader.SqlFormatter.formatFile(text)
         if (formatted != text) {
-          java.nio.file.Files.writeString(path, formatted)
-          if (docs.contains(furi)) { docs(furi) = formatted; publishDiagnostics(furi) }
+          if (overlay.isDefined) {
+            // full-document TextEdit: a huge end position is the standard
+            // whole-buffer replacement (clients clamp to document end)
+            val p = mapper.createObjectNode()
+            val edit = p.putObject("edit")
+            val te = edit.putObject("changes").putArray(furi).addObject()
+            val range = te.putObject("range")
+            range.putObject("start").put("line", 0).put("character", 0)
+            range.putObject("end").put("line", Int.MaxValue).put("character", 0)
+            te.put("newText", formatted)
+            sendRequest("workspace/applyEdit", p)
+            // the overlay is NOT mutated here: the client applies the edit
+            // and echoes it back as didChange, keeping one source of truth
+          } else java.nio.file.Files.writeString(path, formatted)
           changed.add(f); n += 1
         }
       }

@@ -34,6 +34,11 @@ class WebSpec extends AnyFunSuite {
       "https://news.site.com:443/a").distinct.size == 1)
     // non-URL rows pass through unchanged
     assert(norm("not a url at all") == Seq("not a url at all"))
+    // authority-less URLs pass through too — normalizing them would
+    // collapse every file:///… (and malformed http:///…) to 'scheme:///',
+    // merging DISTINCT resources into one dedup key
+    assert(norm("file:///data/a.txt", "file:///data/b.txt", "http:///x?a=1") ==
+      Seq("file:///data/a.txt", "file:///data/b.txt", "http:///x?a=1"))
   }
 
   test("urlHost and registeredDomain") {
@@ -83,6 +88,11 @@ class WebSpec extends AnyFunSuite {
       (11L, "structured streaming watermark state semantics with flatMapGroupsWithState"))
       .toDF("doc_id", "text")
     val bandsDf = Dedup.minhashBands(corpus, shingleN = 2, numHashes = 16, bands = 8)
+    // ONE stored row per doc (sig once + nested band keys), not per band:
+    // a per-band layout would copy the wide signature `bands` times
+    assert(bandsDf.count() == 3)
+    assert(bandsDf.columns.toSeq == Seq("doc_id", "sig", "band_keys"))
+    assert(bandsDf.select(size(col("band_keys"))).collect().forall(_.getInt(0) == 8))
     val pairs = Dedup.incrementalMinhashLsh(bandsDf, incoming,
       shingleN = 2, numHashes = 16, bands = 8, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -707,12 +707,23 @@ class LspServerSpec extends AnyFunSuite {
     // runTest resolved the project dir from the live root (ADVICE r12 medium)
     assert(result(2).get("success").asBoolean, result(2).toString)
     assert(ran.contains((proj, "test_m", yamlPath.toString)), ran)
-    // formatProject formatted the OVERLAY: the unsaved x2 edit survives on
-    // disk, formatted — not discarded for the stale disk text
+    // formatProject formatted the OVERLAY and routed it through a
+    // workspace/applyEdit server→client request: the editor buffer gets the
+    // formatted text (unsaved x2 edit preserved), and the DISK is left for
+    // the client to save — a silent disk write would be clobbered by the
+    // still-dirty client buffer's next save
     assert(result(3).get("formatted").asInt >= 1, result(3).toString)
+    val applyEdit = msgs.find(m =>
+      m.has("method") && m.get("method").asText == "workspace/applyEdit")
+    assert(applyEdit.isDefined, msgs.map(_.toString).mkString("\n"))
+    val newText = applyEdit.get.get("params").get("edit").get("changes")
+      .get(mUri).get(0).get("newText").asText
+    assert(newText.contains("x2"), s"unsaved edit lost: $newText")
+    assert(newText.contains("SELECT"), s"not formatted: $newText")
+    // the edit round-trips via the client's didChange; disk stays stale
+    // until the user saves
     val onDisk = java.nio.file.Files.readString(java.nio.file.Paths.get(proj, "m.sql"))
-    assert(onDisk.contains("x2"), s"unsaved edit lost: $onDisk")
-    assert(onDisk.contains("SELECT"), s"not formatted: $onDisk")
+    assert(!onDisk.contains("x2"), s"open-buffer format must not hit disk: $onDisk")
   }
 
   test("robustness: bad notifications don't kill the loop, unknown methods err, name-after-parens indexes") {

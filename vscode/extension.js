@@ -79,6 +79,13 @@ function onData(chunk) {
       const resolve = pending.get(msg.id);
       pending.delete(msg.id);
       resolve(msg.result);
+    } else if (msg.method === "workspace/applyEdit") {
+      // server->client request (formatProject routes open-buffer formats
+      // here so the editor buffer gets the text instead of a disk write
+      // the dirty buffer would clobber); apply and answer
+      applyWorkspaceEdit(msg.params && msg.params.edit).then((ok) => {
+        send({ jsonrpc: "2.0", id: msg.id, result: { applied: ok } });
+      });
     } else if (msg.method === "textDocument/publishDiagnostics") {
       publishDiagnostics(msg.params);
     }
@@ -89,6 +96,21 @@ function onData(chunk) {
 
 function toVsRange(r) {
   return new vscode.Range(r.start.line, r.start.character, r.end.line, r.end.character);
+}
+
+async function applyWorkspaceEdit(edit) {
+  if (!edit || !edit.changes) return false;
+  try {
+    const we = new vscode.WorkspaceEdit();
+    for (const uri of Object.keys(edit.changes)) {
+      for (const te of edit.changes[uri]) {
+        we.replace(vscode.Uri.parse(uri), toVsRange(te.range), te.newText);
+      }
+    }
+    return await vscode.workspace.applyEdit(we);
+  } catch (e) {
+    return false;
+  }
 }
 
 function publishDiagnostics(params) {
