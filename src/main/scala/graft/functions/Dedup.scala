@@ -22,6 +22,62 @@ object Dedup {
       .drop("__key")
   }
 
+  /** Paragraph-granularity dedup (the CCNet / RefinedWeb line-dedup stage,
+    * Wenzek et al. 2020 §3.1): instead of dropping whole documents, remove
+    * DUPLICATED PARAGRAPHS from every document and rebuild the text —
+    * boilerplate (nav bars, cookie banners, license headers) repeats across
+    * pages whose bodies are unique, so document-level dedup never catches
+    * it. A paragraph occurring in ≥ `minDupCount` places corpus-wide is
+    * dropped everywhere except (with `keepFirst`, the CCNet default) its
+    * globally first occurrence — smallest (`idCol`, position); with
+    * `keepFirst = false` every copy is dropped (aggressive boilerplate
+    * kill). Whitespace-only paragraphs are formatting, not content: always
+    * kept, never counted.
+    *
+    * Returns (`idCol`, `textCol` rebuilt, `n_paras`, `n_kept`) — one row
+    * per input document, empty text when everything was dropped.
+    *
+    * Scale shape: the dup-stat aggregate groups by an 8-byte xxhash64 of
+    * the paragraph — count/min are map-side-combinable, so a boilerplate
+    * paragraph with 10⁹ copies costs one combined row per task, not a 10⁹-
+    * row hot partition (a window over the hash would buffer exactly that).
+    * Only hashes at ≥ `minDupCount` survive into the verdict table, which
+    * is ∝ DISTINCT duplicated paragraphs — the small side AQE broadcasts
+    * for the verdict join in the common case. Paragraph TEXT rides one
+    * intrinsic shuffle at most (the id-keyed rebuild; the verdict join
+    * moves nothing when broadcast). */
+  def paragraphDedup(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", sep: String = "\n",
+                     minDupCount: Int = 2,
+                     keepFirst: Boolean = true): DataFrame = {
+    require(minDupCount >= 2, "minDupCount must be >= 2")
+    val paras = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+      .withColumn("__blank", trim(col("__para")) === "")
+      .withColumn("__h", xxhash64(col("__para")))
+    // dup stats per paragraph hash, kept only where a verdict is needed
+    val stats = paras.filter(!col("__blank"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol), col("__pos"))).as("__first"))
+      .filter(col("__n") >= minDupCount)
+    val judged = paras.join(stats, Seq("__h"), "left")
+      .withColumn("__keep",
+        col("__blank") || col("__n").isNull ||
+          (lit(keepFirst) && col("__first") === struct(col(idCol), col("__pos"))))
+    // rebuild: second shuffle keyed by doc id; sort_array restores order
+    judged.groupBy(col(idCol))
+      .agg(
+        concat_ws(sep,
+          transform(
+            sort_array(collect_list(when(col("__keep"),
+              struct(col("__pos"), col("__para"))))),
+            s => s("__para"))).as(textCol),
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Incremental (cross-batch) exact dedup — the ingest shape: an incoming
     * batch is kept only where its content key appears in neither the
     * existing corpus NOR earlier in the batch itself (within-batch ties keep
@@ -536,12 +592,46 @@ object Dedup {
     * verified against full signatures downstream), so hashing it costs
     * nothing semantically and cuts the banding shuffle's per-row key bytes
     * ~5-10× at corpus scale. */
-  private def bandKeyArray(numHashes: Int, bands: Int): org.apache.spark.sql.Column = {
+  private[graft] def bandKeyArray(numHashes: Int, bands: Int,
+                                  sigCol: String = "sig"): org.apache.spark.sql.Column = {
     val rowsPerBand = numHashes / bands
     array((0 until bands).map { b =>
       xxhash64((lit(b) +:
-        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col("sig")(i))): _*)
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(sigCol)(i))): _*)
     }: _*)
+  }
+
+  /** Per-ROW minhash signature as a pure Column — bit-identical to
+    * [[minhash]]'s groupBy form (same shingling, same Kirsch–Mitzenmacher
+    * family) but computed entirely in-row with array HOFs: tokenize →
+    * shingle → one md5 pair per shingle → k seeded minima. No aggregation,
+    * no shuffle, so it works where a groupBy can't — per-row enrichment and
+    * APPEND-mode STREAMING micro-batches ([[graft.streaming.Streaming
+    * .nearDupStream]]). A doc with zero shingles yields an array of nulls
+    * (array_min over empty) — callers filter on `sig[0] IS NOT NULL`, the
+    * row-wise analog of such docs simply having no [[minhash]] row. */
+  def minhashColumn(text: org.apache.spark.sql.Column, shingleN: Int,
+                    k: Int): org.apache.spark.sql.Column = {
+    val words = filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+    val shingleArr = array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(words) - shingleN, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(shingleN)))),
+      s => length(s) > 0))
+    // one md5 per shingle (via the pair), reused across all k members
+    val hp = transform(shingleArr, s => {
+      val (h1, h2) = PortableHash.pair(s)
+      struct(h1.as("h1"), h2.as("h2"))
+    })
+    // single aggregate pass so `hp` appears ONCE in the expression tree —
+    // k separate array_min(transform(hp, …)) calls would inline (and
+    // re-md5) the whole shingle hash k times. MaxValue sentinel → null for
+    // the zero-shingle case (family values are < 2^38, no collision).
+    aggregate(hp,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, p) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (a, j) => least(a, p("h1") + j.cast("long") * p("h2"))),
+      acc => transform(acc,
+        v => when(v === Long.MaxValue, lit(null).cast("long")).otherwise(v)))
   }
 
   /** Band-key projection shared by [[minhashLsh]] /

@@ -120,6 +120,37 @@ object PipelineQueries {
         |      FROM documents)
         |GROUP BY k ORDER BY doc_id""".stripMargin)),
 
+    // CCNet-style paragraph-granularity dedup: duplicated segments drop
+    // everywhere except their globally-first occurrence, documents rebuilt.
+    // The single-line corpus splits on '. ' (the td_c4_filter convention);
+    // the oracle replays count + first-occurrence + rebuild as windows.
+    "td_paragraph_dedup" -> Entry((s, dir) => {
+      Dedup.paragraphDedup(t(s, dir, "documents"), sep = ". ")
+        .select(col("doc_id"), md5(col("text")).as("k"),
+          col("n_paras"), col("n_kept"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH p AS (
+        |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        |  FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM documents),
+        |       UNNEST(range(1, len(ps) + 1)) AS u(i)
+        |), judged AS (
+        |  SELECT doc_id, pos, para,
+        |    trim(para) = '' AS blank,
+        |    count(*) OVER (PARTITION BY para) AS n,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM p
+        |), k AS (
+        |  SELECT doc_id, pos, para, (blank OR n < 2 OR rn = 1) AS keep
+        |  FROM judged
+        |)
+        |SELECT doc_id,
+        |  md5(coalesce(string_agg(para, '. ' ORDER BY pos)
+        |    FILTER (WHERE keep), '')) AS k,
+        |  count(*) AS n_paras,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // incremental ingest dedup: an incoming batch survives only where its
     // content key is new to the corpus AND first within the batch — the
     // per-snapshot ingest path (corpus side collapses to distinct keys)
@@ -494,6 +525,40 @@ object PipelineQueries {
     // signatures use the portable md5-derived hash (PortableHash), so the
     // full signature pipeline — shingles → double-hash minhash → banding →
     // candidate verify — is reproduced verbatim in DuckDB and hash-checked.
+    // per-ROW minhash signature (the aggregation-free form the STREAMING
+    // near-dup screen runs inside append-mode micro-batches): bit-identical
+    // to the groupBy minhash — the oracle replays the same md5 double-hash
+    // family and compares the full 16-long signature per document
+    "td_minhash_rowwise" -> Entry((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.minhashColumn(col("text"), shingleN = 3, k = 16).as("sig"))
+        .filter(col("sig")(0).isNotNull)
+        .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_csv"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+2], ' ')) > 0
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(shingle), 1, 7) AS BIGINT) AS h1,
+        |    CAST('0x' || substring(md5(shingle), 8, 7) AS BIGINT) AS h2
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, j, min(h1 + j * h2) AS mh
+        |  FROM hashed, UNNEST(range(0, 16)) AS u(j)
+        |  GROUP BY doc_id, j
+        |)
+        |SELECT doc_id, string_agg(mh, ',' ORDER BY j) AS sig_csv
+        |FROM sig GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     "td_minhash_lsh" -> Entry((s, dir) => {
       Dedup.minhashLsh(t(s, dir, "documents"), shingleN = 3,
         numHashes = 16, bands = 4, threshold = 0.3)

@@ -287,4 +287,87 @@ object Streaming {
     emitted.toDF("__row")
       .select(from_json(col("__row"), schema).as("r")).select("r.*")
   }
+
+  /** Streaming NEAR-dup screen — the streaming analog of
+    * [[graft.functions.Dedup.incrementalMinhashLsh]]: each arriving
+    * document's per-row MinHash signature
+    * ([[graft.functions.Dedup.minhashColumn]] — aggregation-free, so it
+    * runs inside an append-mode micro-batch) is banded, and each band
+    * bucket keeps the signatures it has seen in custom keyed state. A new
+    * doc colliding with a stored one verifies est-Jaccard in place and
+    * emits a pair row (`doc_id`, `corpus_id`, `est_jaccard`, `tsCol`);
+    * docs with no emitted pair are novel. Every doc joins its buckets'
+    * state (accepted-or-not — that's LSH corpus membership), within-batch
+    * in event-time order so earlier batch-mates screen later ones.
+    *
+    * The same pair can surface from several bands (bounded by `bands` rows
+    * per pair; per-bucket emissions are deduped). Chaining a streaming
+    * dedup after custom keyed state trips Spark's global-watermark
+    * correctness check, so the collapse belongs to the caller's sink —
+    * `.dropDuplicates("doc_id","corpus_id")` in a foreachBatch, or a batch
+    * `distinct` over the sink table. The duplicates are bit-identical
+    * rows, so any collapse point is correct.
+    *
+    * State is bounded on BOTH axes, which is what lets it run forever:
+    * per-bucket entries cap at `maxBucketSize` (a boilerplate bucket stops
+    * absorbing new members — the [[graft.functions.Dedup.minhashLsh]]
+    * hot-bucket valve; late members of a full bucket still SCREEN against
+    * it), and buckets idle past `stateTtlMs` of event time expire wholesale
+    * (the dedup horizon slides with the stream). Per-bucket bytes ≈
+    * `maxBucketSize × (8 × numHashes + id)`. */
+  def nearDupStream(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", tsCol: String = "ts",
+                    watermarkDelay: String = "10 minutes",
+                    shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                    threshold: Double = 0.5, maxBucketSize: Int = 64,
+                    stateTtlMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucketSize >= 1, "maxBucketSize must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .withColumn("__sig",
+        graft.functions.Dedup.minhashColumn(col(textCol), shingleN, numHashes))
+      // zero-shingle docs have no signature: trivially novel, never stored
+      .filter(col("__sig")(0).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .select(
+        explode(graft.functions.Dedup.bandKeyArray(numHashes, bands, "__sig"))
+          .as("_1"),
+        col(idCol).cast("string").as("_2"), col(tsCol).as("_3"),
+        unix_micros(col(tsCol)).as("_4"), col("__sig").as("_5"))
+      .as[(Long, String, java.sql.Timestamp, Long, Seq[Long])]
+      .groupByKey(_._1)
+    val pairs = keyed.flatMapGroupsWithState[
+        List[(String, Seq[Long])],
+        (String, String, Double, java.sql.Timestamp)](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long, Seq[Long])],
+       state: GroupState[List[(String, Seq[Long])]]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          // event-time order so earlier batch-mates screen later ones
+          val rs = rows.toVector.sortBy(r => (r._4, r._2))
+          var bucket = state.getOption.getOrElse(Nil)
+          val out = Vector.newBuilder[(String, String, Double, java.sql.Timestamp)]
+          rs.foreach { case (_, id, tsv, _, sig) =>
+            bucket.foreach { case (cid, csig) =>
+              if (cid != id) {
+                val matches = sig.iterator.zip(csig.iterator).count { case (a, b) => a == b }
+                val est = matches.toDouble / numHashes
+                if (est >= threshold) out += ((id, cid, est, tsv))
+              }
+            }
+            if (bucket.size < maxBucketSize) bucket = (id, sig) :: bucket
+          }
+          state.update(bucket)
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs(), rs.map(_._4 / 1000L).max) + stateTtlMs)
+          out.result().distinct.iterator
+        }
+    }
+    pairs.toDF("__id", "corpus_id", "est_jaccard", tsCol)
+      .withColumnRenamed("__id", idCol)
+  }
 }

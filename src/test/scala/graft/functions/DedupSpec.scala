@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    // doc 1: unique body + the shared cookie banner
+    (1L, "We use cookies on this site\nAlpha unique body one\n\nAlpha tail"),
+    // doc 2: banner again (dup), unique body
+    (2L, "We use cookies on this site\nBeta unique body two"),
+    // doc 3: banner + a line also repeated inside doc 3 itself
+    (3L, "Gamma start\nRepeated inside\nRepeated inside\nWe use cookies on this site"))
+    .toDF("doc_id", "text")
+
+  test("paragraphDedup keeps the globally first occurrence, drops later copies") {
+    val out = Dedup.paragraphDedup(corpus, minDupCount = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // banner first occurs at (1, 0); "Repeated inside" first at (3, 1);
+    // blank line in doc 1 is formatting — kept, never counted
+    assert(out(0) == ((1L,
+      "We use cookies on this site\nAlpha unique body one\n\nAlpha tail", 4L, 4L)))
+    assert(out(1) == ((2L, "Beta unique body two", 2L, 1L)))
+    assert(out(2) == ((3L, "Gamma start\nRepeated inside", 4L, 2L)))
+  }
+
+  test("paragraphDedup keepFirst=false kills every copy of a duplicated paragraph") {
+    val out = Dedup.paragraphDedup(corpus, minDupCount = 2, keepFirst = false)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq(
+      (1L, "Alpha unique body one\n\nAlpha tail"),
+      (2L, "Beta unique body two"),
+      (3L, "Gamma start")))
+  }
+
+  test("paragraphDedup: every-paragraph-dropped doc survives as an empty row") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "same")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, keepFirst = false)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(out == Seq((1L, "", 0L), (2L, "", 0L), (3L, "", 0L)))
+  }
+
+  test("paragraphDedup dup-stat aggregate is map-side combinable (no window over the hash)") {
+    val plan = Dedup.paragraphDedup(corpus).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // a Window over the paragraph hash would buffer a boilerplate key's
+    // entire posting list in one task; the stats must come from a partial
+    // (map-side) HashAggregate instead
+    assert(!plan.contains("Window"), plan.linesIterator.take(25).mkString("\n"))
+    assert(plan.contains("HashAggregate"), plan.linesIterator.take(25).mkString("\n"))
+  }
+}

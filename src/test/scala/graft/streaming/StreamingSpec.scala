@@ -174,6 +174,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.filter(col("key") === "k3").head().getAs[String]("tag") == "new")
   }
 
+  test("nearDupStream emits near-dup pairs within and across micro-batches") {
+    val src = SparkTestSession.tmpDir("ndstream_src")
+    val sink = SparkTestSession.tmpDir("ndstream_sink")
+    val chk = SparkTestSession.tmpDir("ndstream_chk")
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:01:00"),
+        "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, ts("2024-01-01 00:02:00"),
+        "completely different corpus text about spark catalyst optimizer internals"))
+      .toDF("doc_id", "ts", "text")
+    b1.write.mode("append").parquet(src)
+
+    def drain(): Unit = Streaming.runAvailableNow(spark, src, b1.schema,
+      df => Streaming.nearDupStream(df, shingleN = 2, numHashes = 16,
+        bands = 8, threshold = 0.3, watermarkDelay = "1 minute"),
+      sink, chk)
+
+    drain()
+    // two unrelated docs: no pairs
+    assert(spark.read.schema(
+      "doc_id string, corpus_id string, est_jaccard double, ts timestamp")
+      .parquet(sink).count() == 0)
+    // batch 2: a near-dup of stored doc 1 (cross-batch state), a novel doc,
+    // and a same-batch exact copy of the novel doc (within-batch screen)
+    Seq(
+      (10L, ts("2024-01-01 00:09:00"),
+        "the quick brown fox jumps over the lazy dog near the river shore"),
+      (11L, ts("2024-01-01 00:10:00"),
+        "structured streaming watermark state semantics explained with examples"),
+      (12L, ts("2024-01-01 00:11:00"),
+        "structured streaming watermark state semantics explained with examples"))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(src)
+    drain()
+    val pairs = spark.read.parquet(sink)
+      .select("doc_id", "corpus_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("10", "1")), s"cross-batch near-dup missed: $pairs")
+    assert(pairs.contains(("12", "11")), s"within-batch dup missed: $pairs")
+    assert(!pairs.exists(_._1 == "11"), s"novel doc must screen clean: $pairs")
+    // cross-band duplicates are bounded by `bands` bit-identical rows per
+    // pair (the caller collapses at the sink); per-bucket emission dedupes
+    val rows = spark.read.parquet(sink)
+      .groupBy("doc_id", "corpus_id").count().collect()
+    assert(rows.forall(_.getLong(2) <= 8L), rows.mkString(","))
+    assert(spark.read.parquet(sink).select("doc_id", "corpus_id", "est_jaccard")
+      .distinct().count() == pairs.size)
+  }
+
   test("mergeStream upserts micro-batches into a managed table by key") {
     val src = SparkTestSession.tmpDir("ms_src")
     val chk = SparkTestSession.tmpDir("ms_chk")
