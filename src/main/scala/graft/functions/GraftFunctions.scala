@@ -79,7 +79,24 @@ object GraftFunctions {
             PortableHash.h60(org.apache.spark.sql.functions.concat_ws("", salt, col(args(0)))),
             col(args(1)).cast("long")))
         case args => throw new IllegalArgumentException(
-          s"graft_hash_bucket expects 2-3 arguments, got ${args.size}") })
+          s"graft_hash_bucket expects 2-3 arguments, got ${args.size}") }),
+    // web-curation ops (Web.scala): pure codegen string expressions, so SQL
+    // model bodies can key URL dedup / domain quotas inline
+    ("graft_url_normalize",
+      "graft_url_normalize(url) - canonical URL (case, ports, tracking params, fragments).",
+      one("graft_url_normalize", Web.urlNormalize)),
+    ("graft_url_host",
+      "graft_url_host(url) - lowercased host, userinfo and port stripped.",
+      one("graft_url_host", Web.urlHost)),
+    ("graft_registered_domain",
+      "graft_registered_domain(host) - eTLD+1 registered domain of a host.",
+      one("graft_registered_domain", Web.registeredDomain)),
+    ("graft_minhash",
+      "graft_minhash(text, shingleN, k) - per-row MinHash signature (portable md5 family).",
+      { case Seq(t, n, k) =>
+          expr(Dedup.minhashColumn(col(t), intArg(n, "shingleN"), intArg(k, "k")))
+        case args => throw new IllegalArgumentException(
+          s"graft_minhash expects 3 arguments, got ${args.size}") })
   )
 
   /** Register every function on a live session's catalog. */

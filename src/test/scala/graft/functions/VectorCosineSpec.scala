@@ -91,4 +91,26 @@ class VectorCosineSpec extends AnyFunSuite {
         |GROUP BY 1""".stripMargin)
     assert(gated.count() > 0)
   }
+
+  test("web-curation and minhash SQL functions match their DataFrame formulations") {
+    GraftFunctions.register(spark)
+    Seq((1L, "HTTP://WWW.Example.COM:80/A/?utm_source=x&b=2&a=1#f",
+        "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "url", "text").createOrReplaceTempView("web_sqlfn")
+    val viaSql = spark.sql(
+      """SELECT graft_url_normalize(url) n, graft_url_host(url) h,
+        |       graft_registered_domain(graft_url_host(url)) d,
+        |       graft_minhash(text, 2, 8) sig
+        |FROM web_sqlfn""".stripMargin)
+    val viaDf = spark.table("web_sqlfn").select(
+      Web.urlNormalize(col("url")).as("n"),
+      Web.urlHost(col("url")).as("h"),
+      Web.registeredDomain(Web.urlHost(col("url"))).as("d"),
+      Dedup.minhashColumn(col("text"), 2, 8).as("sig"))
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+    val r = viaSql.head()
+    assert(r.getString(0) == "http://www.example.com/A?a=1&b=2")
+    assert(r.getString(2) == "example.com")
+    assert(r.getSeq[Long](3).length == 8)
+  }
 }
