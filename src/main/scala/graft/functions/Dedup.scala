@@ -96,6 +96,81 @@ object Dedup {
       .drop("__key")
   }
 
+  /** The persisted-corpus side of steady-state PARAGRAPH dedup (the
+    * [[paragraphDedup]] analog of [[incrementalExact]]'s key set): one row
+    * per distinct non-blank paragraph — (`para_h` xxhash64, `n` count) —
+    * computed once and stored, then maintained per batch by unioning the
+    * accepted batch's own counts and re-summing
+    * (`(corpus union delta).groupBy(para_h).sum(n)` — or an additive MERGE
+    * on the stored table). 16 bytes per distinct paragraph; corpus TEXT is
+    * never touched again. */
+  def paragraphHashCounts(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          sep: String = "\n"): DataFrame =
+    docs.select(
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as("__para"))
+      .filter(trim(col("__para")) =!= "")
+      .select(xxhash64(col("__para")).as("para_h"))
+      .groupBy(col("para_h")).agg(count(lit(1)).as("n"))
+
+  /** Incremental (cross-batch) paragraph dedup — [[paragraphDedup]]'s
+    * ingest shape: an incoming batch is cleaned against a PRE-COMPUTED
+    * corpus paragraph-count table ([[paragraphHashCounts]]) without
+    * touching corpus text, with semantics identical to running
+    * [[paragraphDedup]] over corpus∪batch where every corpus occurrence
+    * precedes the batch: a batch paragraph occurrence is kept iff it is
+    * blank, its corpus+batch total stays under `minDupCount`, or (with
+    * `keepFirst`) it is the GLOBAL first occurrence — which it can only be
+    * when the paragraph is absent from the corpus. Returns the same
+    * (`idCol`, `textCol`, `n_paras`, `n_kept`) shape as [[paragraphDedup]].
+    *
+    * Scale shape: only the BATCH is exploded and hashed (∝ batch, not
+    * corpus). With `broadcastBatch` (default — ingest batches are small
+    * next to a 100 TB corpus) the stored count table is SCANNED once, each
+    * task hash-probing the broadcast batch-hash set in place; only the
+    * batch's own hashes (∝ batch) leave the scan, and nothing shuffles.
+    * For batch-vs-batch scale set it false → plain shuffle join on the
+    * 8-byte hash. */
+  def incrementalParagraphDedup(corpusCounts: DataFrame, incoming: DataFrame,
+                                textCol: String = "text",
+                                idCol: String = "doc_id", sep: String = "\n",
+                                minDupCount: Int = 2, keepFirst: Boolean = true,
+                                broadcastBatch: Boolean = true): DataFrame = {
+    require(minDupCount >= 2, "minDupCount must be >= 2")
+    val paras = incoming.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+      .withColumn("__blank", trim(col("__para")) === "")
+      .withColumn("__h", xxhash64(col("__para")))
+    val batchStats0 = paras.filter(!col("__blank"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__bn"),
+        min(struct(col(idCol), col("__pos"))).as("__first"))
+    val batchStats = if (broadcastBatch) broadcast(batchStats0) else batchStats0
+    // corpus side: scan + probe, emitting only hashes the batch carries
+    val verdicts = batchStats.as("b").join(
+        corpusCounts.select(col("para_h").as("__h"), col("n").as("__cn")).as("c"),
+        Seq("__h"), "left")
+      .select(col("__h"),
+        (coalesce(col("__cn"), lit(0L)) + col("__bn")).as("__n"),
+        when(coalesce(col("__cn"), lit(0L)) === 0 && lit(keepFirst),
+          col("__first")).as("__keepFirst"))
+    val judged = paras.join(verdicts, Seq("__h"), "left")
+      .withColumn("__keep",
+        col("__blank") || col("__n") < minDupCount ||
+          col("__keepFirst") === struct(col(idCol), col("__pos")))
+    judged.groupBy(col(idCol))
+      .agg(
+        concat_ws(sep,
+          transform(
+            sort_array(collect_list(when(col("__keep"),
+              struct(col("__pos"), col("__para"))))),
+            s => s("__para"))).as(textCol),
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** [[incrementalExact]] with a Bloom pre-screen — the shape that holds at
     * 100 TB: the plain anti-join SHUFFLES the corpus's keys for every
     * incoming batch, while here the corpus is only ever SCANNED:

@@ -151,6 +151,50 @@ object PipelineQueries {
         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // steady-state paragraph-dedup ingest: the batch (doc_id % 5 == 0) is
+    // cleaned against the stored corpus paragraph-count table — corpus
+    // text untouched; semantics = paragraphDedup over corpus∪batch with
+    // corpus occurrences first. Oracle replays counts + batch-first +
+    // rebuild in DuckDB windows.
+    "td_incremental_paragraph_dedup" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = Dedup.paragraphHashCounts(
+        docs.filter(col("doc_id") % 5 =!= 0), sep = ". ")
+      Dedup.incrementalParagraphDedup(counts,
+          docs.filter(col("doc_id") % 5 === 0), sep = ". ")
+        .select(col("doc_id"), md5(col("text")).as("k"),
+          col("n_paras"), col("n_kept"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH cp AS (
+        |  SELECT para, count(*) AS cn FROM (
+        |    SELECT UNNEST(string_split(text, '. ')) AS para
+        |    FROM documents WHERE doc_id % 5 <> 0)
+        |  WHERE trim(para) <> '' GROUP BY para
+        |), p AS (
+        |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        |  FROM (SELECT doc_id, string_split(text, '. ') AS ps
+        |        FROM documents WHERE doc_id % 5 = 0),
+        |       UNNEST(range(1, len(ps) + 1)) AS u(i)
+        |), judged AS (
+        |  SELECT p.doc_id, p.pos, p.para,
+        |    trim(p.para) = '' AS blank,
+        |    coalesce(cp.cn, 0) AS cn,
+        |    count(*) OVER (PARTITION BY p.para) AS bn,
+        |    row_number() OVER (PARTITION BY p.para ORDER BY p.doc_id, p.pos) AS rn
+        |  FROM p LEFT JOIN cp ON p.para = cp.para
+        |), k AS (
+        |  SELECT doc_id, pos, para,
+        |    (blank OR cn + bn < 2 OR (cn = 0 AND rn = 1)) AS keep
+        |  FROM judged
+        |)
+        |SELECT doc_id,
+        |  md5(coalesce(string_agg(para, '. ' ORDER BY pos)
+        |    FILTER (WHERE keep), '')) AS k,
+        |  count(*) AS n_paras,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // incremental ingest dedup: an incoming batch survives only where its
     // content key is new to the corpus AND first within the batch — the
     // per-snapshot ingest path (corpus side collapses to distinct keys)

@@ -47,6 +47,47 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, "", 0L), (2L, "", 0L), (3L, "", 0L)))
   }
 
+  test("incrementalParagraphDedup screens a batch against stored corpus counts") {
+    val corpusDocs = Seq(
+      (1L, "We use cookies on this site\nAlpha unique body one"),
+      (2L, "Corpus only line"))
+      .toDF("doc_id", "text")
+    val counts = Dedup.paragraphHashCounts(corpusDocs)
+    // 3 distinct non-blank paragraphs, 16 bytes each — corpus text never
+    // re-read by the screen
+    assert(counts.count() == 3)
+    val batch = Seq(
+      // banner known to the corpus (dropped), novel line (kept)
+      (10L, "We use cookies on this site\nDelta novel body"),
+      // novel line duplicated WITHIN the batch: first kept, second dropped
+      (11L, "Batch repeated line\nOwn content eleven"),
+      (12L, "Batch repeated line\nOwn content twelve"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalParagraphDedup(counts, batch)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (10L, "Delta novel body", 1L),
+      (11L, "Batch repeated line\nOwn content eleven", 2L),
+      (12L, "Own content twelve", 1L)))
+    // keepFirst=false: within-batch dup killed everywhere; shuffle-join
+    // path (broadcastBatch=false) agrees with the broadcast path
+    val strict = Dedup.incrementalParagraphDedup(counts, batch,
+        keepFirst = false, broadcastBatch = false)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(strict == Seq(
+      (10L, "Delta novel body"),
+      (11L, "Own content eleven"),
+      (12L, "Own content twelve")))
+    // the maintenance recipe: corpus ∪ batch counts re-sum additively —
+    // equivalent to rebuilding from scratch over both doc sets
+    val merged = counts.union(Dedup.paragraphHashCounts(batch))
+      .groupBy("para_h").agg(sum("n").as("n"))
+    val rebuilt = Dedup.paragraphHashCounts(corpusDocs.union(batch))
+    assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty)
+  }
+
   test("paragraphDedup dup-stat aggregate is map-side combinable (no window over the hash)") {
     val plan = Dedup.paragraphDedup(corpus).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
