@@ -51,11 +51,20 @@ object Dedup {
                      minDupCount: Int = 2,
                      keepFirst: Boolean = true): DataFrame = {
     require(minDupCount >= 2, "minDupCount must be >= 2")
+    // coalesce: split(NULL) explodes to zero rows, which would DROP the
+    // document from the one-row-per-doc output; a null-text doc instead
+    // becomes one blank (always-kept) paragraph and survives as "".
+    // persist: paras feeds both the stats aggregate and the probe side of
+    // the verdict join — unpersisted, the full text scan + explode + hash
+    // runs twice (the [[minhashLsh]] persist rationale; freed by the
+    // ContextCleaner when the caller drops the frame)
     val paras = docs.select(col(idCol),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep)))
           .as(Seq("__pos", "__para")))
       .withColumn("__blank", trim(col("__para")) === "")
       .withColumn("__h", xxhash64(col("__para")))
+      .persist()
     // dup stats per paragraph hash, kept only where a verdict is needed
     val stats = paras.filter(!col("__blank"))
       .groupBy(col("__h"))
@@ -105,10 +114,10 @@ object Dedup {
     * on the stored table). 16 bytes per distinct paragraph; corpus TEXT is
     * never touched again. */
   def paragraphHashCounts(docs: DataFrame, textCol: String = "text",
-                          idCol: String = "doc_id",
                           sep: String = "\n"): DataFrame =
     docs.select(
-        explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        explode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep)))
           .as("__para"))
       .filter(trim(col("__para")) =!= "")
       .select(xxhash64(col("__para")).as("para_h"))
@@ -138,20 +147,31 @@ object Dedup {
                                 minDupCount: Int = 2, keepFirst: Boolean = true,
                                 broadcastBatch: Boolean = true): DataFrame = {
     require(minDupCount >= 2, "minDupCount must be >= 2")
+    // coalesce + persist: same rationale as [[paragraphDedup]] (null-text
+    // docs must survive; paras feeds stats AND the verdict probe)
     val paras = incoming.select(col(idCol),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep)))
           .as(Seq("__pos", "__para")))
       .withColumn("__blank", trim(col("__para")) === "")
       .withColumn("__h", xxhash64(col("__para")))
-    val batchStats0 = paras.filter(!col("__blank"))
+      .persist()
+    val batchStats = paras.filter(!col("__blank"))
       .groupBy(col("__h"))
       .agg(count(lit(1)).as("__bn"),
         min(struct(col(idCol), col("__pos"))).as("__first"))
-    val batchStats = if (broadcastBatch) broadcast(batchStats0) else batchStats0
-    // corpus side: scan + probe, emitting only hashes the batch carries
-    val verdicts = batchStats.as("b").join(
-        corpusCounts.select(col("para_h").as("__h"), col("n").as("__cn")).as("c"),
-        Seq("__h"), "left")
+    val corpus = corpusCounts.select(col("para_h").as("__h"), col("n").as("__cn"))
+    // a broadcast hint on the PRESERVED side of a left-outer join is
+    // dropped by Spark (no valid build side), so the scan-and-probe shape
+    // needs two steps: (1) INNER join the corpus scan against the
+    // broadcast batch-hash set — batch is the build side, output ∝ batch,
+    // corpus never shuffles; (2) left-join the (batch-sized) matched
+    // counts back, broadcast as the BUILD side of the outer join.
+    val matchedCounts =
+      if (broadcastBatch)
+        broadcast(corpus.join(broadcast(batchStats.select(col("__h"))), Seq("__h")))
+      else corpus
+    val verdicts = batchStats.join(matchedCounts, Seq("__h"), "left")
       .select(col("__h"),
         (coalesce(col("__cn"), lit(0L)) + col("__bn")).as("__n"),
         when(coalesce(col("__cn"), lit(0L)) === 0 && lit(keepFirst),
@@ -687,26 +707,36 @@ object Dedup {
     * row-wise analog of such docs simply having no [[minhash]] row. */
   def minhashColumn(text: org.apache.spark.sql.Column, shingleN: Int,
                     k: Int): org.apache.spark.sql.Column = {
+    require(shingleN >= 1, "shingleN must be >= 1")
+    require(k >= 1, "k must be >= 1") // k=0 would silently yield a
+    // wrong-shaped array via sequence(0, -1) = [0, -1] (descending)
     val words = filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
-    val shingleArr = array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(words) - shingleN, lit(0))),
-        i => concat_ws(" ", slice(words, i + 1, lit(shingleN)))),
-      s => length(s) > 0))
-    // one md5 per shingle (via the pair), reused across all k members
-    val hp = transform(shingleArr, s => {
-      val (h1, h2) = PortableHash.pair(s)
-      struct(h1.as("h1"), h2.as("h2"))
-    })
-    // single aggregate pass so `hp` appears ONCE in the expression tree —
-    // k separate array_min(transform(hp, …)) calls would inline (and
-    // re-md5) the whole shingle hash k times. MaxValue sentinel → null for
-    // the zero-shingle case (family values are < 2^38, no collision).
-    aggregate(hp,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, p) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-        (a, j) => least(a, p("h1") + j.cast("long") * p("h2"))),
-      acc => transform(acc,
-        v => when(v === Long.MaxValue, lit(null).cast("long")).otherwise(v)))
+    // bind the word array as a lambda variable (transform over a 1-element
+    // wrapper): referencing the split subtree directly inside the shingle
+    // lambda would re-tokenize the full document once per shingle index —
+    // the 10× slowdown [[shingleArray]]'s projection exists to avoid,
+    // expressed here in pure-Column form
+    element_at(transform(array(words), ws => {
+      val shingleArr = array_distinct(filter(
+        transform(sequence(lit(0), greatest(size(ws) - shingleN, lit(0))),
+          i => concat_ws(" ", slice(ws, i + 1, lit(shingleN)))),
+        s => length(s) > 0))
+      // one md5 per shingle (via the pair), reused across all k members
+      val hp = transform(shingleArr, s => {
+        val (h1, h2) = PortableHash.pair(s)
+        struct(h1.as("h1"), h2.as("h2"))
+      })
+      // single aggregate pass so `hp` appears ONCE in the expression tree —
+      // k separate array_min(transform(hp, …)) calls would inline (and
+      // re-md5) the whole shingle hash k times. MaxValue sentinel → null
+      // for the zero-shingle case (family values are < 2^38, no collision).
+      aggregate(hp,
+        array_repeat(lit(Long.MaxValue), k),
+        (acc, p) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+          (a, j) => least(a, p("h1") + j.cast("long") * p("h2"))),
+        acc => transform(acc,
+          v => when(v === Long.MaxValue, lit(null).cast("long")).otherwise(v)))
+    }), 1)
   }
 
   /** Band-key projection shared by [[minhashLsh]] /

@@ -359,7 +359,11 @@ object Streaming {
                 if (est >= threshold) out += ((id, cid, est, tsv))
               }
             }
-            if (bucket.size < maxBucketSize) bucket = (id, sig) :: bucket
+            // id-guard: an at-least-once redelivery (same id, later ts)
+            // must not re-append — it would fill the bucket with copies of
+            // one doc and evict capacity for real members
+            if (bucket.size < maxBucketSize && !bucket.exists(_._1 == id))
+              bucket = (id, sig) :: bucket
           }
           state.update(bucket)
           state.setTimeoutTimestamp(

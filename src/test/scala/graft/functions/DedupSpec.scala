@@ -88,6 +88,24 @@ class DedupSpec extends AnyFunSuite {
     assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty)
   }
 
+  test("paragraphDedup: null-text docs survive as empty rows (one row per input doc)") {
+    val docs = Seq((1L, Some("a\nb")), (2L, None), (3L, Some("a\nc")))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a\nb"), (2L, ""), (3L, "c")))
+    val inc = Dedup.incrementalParagraphDedup(
+        Dedup.paragraphHashCounts(docs),
+        Seq((10L, None: Option[String])).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(inc == Seq((10L, "")))
+  }
+
+  test("minhashColumn rejects degenerate parameters") {
+    intercept[IllegalArgumentException](Dedup.minhashColumn(col("text"), 3, 0))
+    intercept[IllegalArgumentException](Dedup.minhashColumn(col("text"), 0, 16))
+  }
+
   test("paragraphDedup dup-stat aggregate is map-side combinable (no window over the hash)") {
     val plan = Dedup.paragraphDedup(corpus).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
