@@ -166,7 +166,9 @@ object Curation {
     * mirroring [[Dedup.incrementalExact]]'s ergonomics. Composes
     * [[Multimodal.imageDHash]] (decode + 64-bit dHash, per-row failure
     * isolation) with [[Dedup.hammingLabels]] (banded join over DISTINCT
-    * hashes only). Returns every input row plus:
+    * hashes only). Returns the thin per-image VERDICT frame (the
+    * [[videoDedup]] convention — payloads never ride the verdict):
+    *  - `idCol`
     *  - `dhash` / `dhash_ok` — the signature, null/false on decode failure
     *  - `cluster` — smallest media id in the row's near-dup component
     *    (null for undecodable rows: no evidence either way)
@@ -178,12 +180,15 @@ object Curation {
     * out, no shuffle); clustering shuffles DISTINCT hashes, never media
     * bytes; the label map (one row per distinct hash — orders of magnitude
     * smaller than the corpus) joins back on the 8-byte key, so AQE
-    * broadcasts it and the payload side never moves. */
+    * broadcasts it and the thin side never moves either. Joining the
+    * verdict back to the payloads is the CALLER's move (where the payload
+    * actually needs to flow), not this recipe's — a corpus-sized verdict
+    * joined here would shuffle payload bytes by id. */
   def mediaDedup(spark: org.apache.spark.sql.SparkSession, media: DataFrame,
                  payloadCol: String = "payload", idCol: String = "media_id",
                  maxDist: Int = 6, bands: Int = 8,
                  maxBucketSize: Option[Int] = None): DataFrame =
-    hashDedup(media, Multimodal.imageDHash(spark, media, payloadCol),
+    hashDedup(Multimodal.imageDHash(spark, media, payloadCol),
       "dhash", "dhash_ok", idCol, maxDist, bands, maxBucketSize)
 
   /** [[mediaDedup]] for audio: [[Multimodal.audioFingerprint]] (energy
@@ -193,20 +198,21 @@ object Curation {
                  payloadCol: String = "payload", idCol: String = "media_id",
                  maxDist: Int = 6, bands: Int = 8,
                  maxBucketSize: Option[Int] = None): DataFrame =
-    hashDedup(media, Multimodal.audioFingerprint(spark, media, payloadCol),
+    hashDedup(Multimodal.audioFingerprint(spark, media, payloadCol),
       "afp", "afp_ok", idCol, maxDist, bands, maxBucketSize)
 
   /** Shared tail of the perceptual-dedup recipes: cluster the ok rows'
     * hashes, label every row, keep the cluster's smallest id and every
     * row the hasher could not judge. `hashed` is the decode pass's output
-    * (input columns + `hashCol` + `okCol`); `media` is the UNDECODED input.
-    * The decode runs exactly once: a thin (id, hash, ok) projection is
-    * persisted and feeds both the clustering and the verdict, and the
-    * verdict — 4 thin columns, eagerly materialized so the cache can drop —
-    * joins back to `media` on the id, so payload bytes are never decoded a
-    * second time (the pre-r13 shape referenced `hashed` on both sides of
-    * the label join, re-running the decode scan per reference). */
-  private def hashDedup(media: DataFrame, hashed: DataFrame, hashCol: String,
+    * (input columns + `hashCol` + `okCol`). The decode runs exactly once:
+    * a thin (id, hash, ok) projection is persisted and feeds both the
+    * clustering and the verdict join. The RETURN is the thin per-media
+    * verdict — (`idCol`, `hashCol`, `okCol`, `cluster`, `keep`) — NOT the
+    * input columns (the [[videoDedup]] convention): payloads are the
+    * heaviest rows in any corpus, and joining the corpus-sized verdict
+    * back here would shuffle payload bytes by id — the caller joins on the
+    * id (or semi-filters on keep ids) where the payload actually flows. */
+  private def hashDedup(hashed: DataFrame, hashCol: String,
                         okCol: String, idCol: String, maxDist: Int,
                         bands: Int, maxBucketSize: Option[Int]): DataFrame = {
     val thin = hashed.select(col(idCol), col(hashCol), col(okCol)).persist()
@@ -215,12 +221,14 @@ object Curation {
         hashCol, idCol, maxDist, bands, maxBucketSize)
       .select(col(hashCol), col("cluster"))
     // equi-join on the hash: null keys (undecodable rows) match nothing, so
-    // their cluster stays null and keep falls through to true
+    // their cluster stays null and keep falls through to true; the label
+    // map is one row per DISTINCT hash — AQE broadcasts it, thin never
+    // shuffles. Eager localCheckpoint so the decode cache can drop here.
     val verdict = thin.join(labels, Seq(hashCol), "left")
       .withColumn("keep", !col(okCol) || col(idCol) === col("cluster"))
       .localCheckpoint(true)
     thin.unpersist()
-    media.join(verdict, Seq(idCol))
+    verdict
   }
 
   /** [[mediaDedup]] for video — the full content-ID pipeline in one call:

@@ -45,6 +45,15 @@ object ScaleProbe {
           threshold = 0.3, maxBucketSize = Some(32)).count()
       }
       time(s"exact_dedup $label") { Dedup.exact(d).count() }
+      time(s"paragraph_dedup $label") {
+        // paragraph-granularity rebuild: two paragraph-sized shuffles
+        // (hash-keyed stats with map-side combine, id-keyed rebuild) —
+        // must scale with paragraph count, no hot-key blowup from the
+        // corpus's repeated sentences
+        val r = Dedup.paragraphDedup(d, sep = ". ").count()
+        spark.catalog.clearCache() // drop the op's internal paras persist
+        r
+      }
       time(s"substring_spans $label") {
         // heaviest text op by row count: one k-mer row per char offset —
         // must stay linear (hashed 8-byte keys, postings-bounded join back)

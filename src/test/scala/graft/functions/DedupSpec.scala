@@ -106,6 +106,24 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.minhashColumn(col("text"), 0, 16))
   }
 
+  test("paragraphDedup is idempotent (keepFirst): a deduped corpus has nothing left to drop") {
+    // seeded generator: 40 docs over a small paragraph vocabulary so
+    // duplicates are dense; splitmix-style arithmetic keeps it deterministic
+    val rnd = new scala.util.Random(1337)
+    val vocab = (0 until 12).map(i => s"paragraph body number $i")
+    val docs = (1L to 40L).map { id =>
+      val n = 1 + rnd.nextInt(5)
+      (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val once = Dedup.paragraphDedup(docs).select("doc_id", "text")
+    val twice = Dedup.paragraphDedup(once).select("doc_id", "text")
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+    // and the pass really dropped something, so idempotence is non-vacuous
+    val kept = Dedup.paragraphDedup(docs).agg(
+      sum("n_kept").cast("long"), sum("n_paras").cast("long")).head()
+    assert(kept.getLong(0) < kept.getLong(1))
+  }
+
   test("paragraphDedup dup-stat aggregate is map-side combinable (no window over the hash)") {
     val plan = Dedup.paragraphDedup(corpus).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
