@@ -831,6 +831,95 @@ object PipelineQueries {
         |  FROM d
         |) WHERE rn <= 5 ORDER BY doc_id""".stripMargin)),
 
+    // end-to-end web-curation pipeline (the RefinedWeb/CCNet recipe in one
+    // composed query): crawl-aliased URLs canonicalize → exact URL dedup
+    // (smallest id per normalized URL) → paragraph-granularity dedup over
+    // the survivors → per-domain quota by kept-paragraph count. The oracle
+    // replays every stage in one DuckDB CTE chain — composition parity,
+    // not just per-operator parity.
+    "td_web_pipeline" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("url", synthUrl(col("doc_id")))
+        .withColumn("url_norm", Web.urlNormalize(col("url")))
+        .withColumn("domain", Web.registeredDomain(Web.urlHost(col("url"))))
+      val urlKeep = docs.groupBy(col("url_norm"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val kept = docs.join(urlKeep, Seq("url_norm", "doc_id"))
+      val reb = Dedup.paragraphDedup(
+        kept.select(col("doc_id"), col("text")), sep = ". ")
+      val scored = reb.join(kept.select(col("doc_id"), col("domain")), Seq("doc_id"))
+        .select(col("doc_id"), col("domain"), md5(col("text")).as("k"),
+          col("n_kept"))
+      Web.domainQuota(scored, cap = 20, scoreCol = "n_kept")
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH u0 AS (
+         |  SELECT doc_id, text, $synthUrlSql AS url
+         |  FROM documents
+         |), pr AS (
+         |  SELECT doc_id, text, url, regexp_extract(url, '^[^#]*') AS base FROM u0
+         |), parts AS (
+         |  SELECT doc_id, text, url,
+         |    lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^[^@]*@', '') AS hostport,
+         |    regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+         |    regexp_extract(base, '\\?(.*)$$', 1) AS q
+         |  FROM pr
+         |), np AS (
+         |  SELECT doc_id, text, scheme,
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |         ELSE hostport END AS nhost,
+         |    CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
+         |         ELSE regexp_replace(path0, '/+$$', '') END AS npath,
+         |    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+         |      s -> len(s) > 0 AND NOT regexp_matches(s, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$$)'))), '&'), '') AS qs,
+         |    regexp_replace(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^[^@]*@', ''), ':[0-9]+$$', '') AS host
+         |  FROM parts
+         |), dom AS (
+         |  SELECT doc_id, text,
+         |    scheme || '://' || nhost || npath ||
+         |      CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_norm,
+         |    (SELECT CASE
+         |       WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN
+         |         ('co.uk','org.uk','gov.uk','ac.uk','co.jp','ne.jp','or.jp','com.au','net.au','org.au','co.in','co.nz','com.br','com.cn','com.mx','com.sg','co.kr','com.tr','com.ar')
+         |       THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         |       WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+         |       ELSE host END
+         |     FROM (SELECT string_split(host, '.') AS ls)) AS domain
+         |  FROM np
+         |), kept AS (
+         |  SELECT doc_id, text, domain FROM dom
+         |  QUALIFY row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
+         |), pp AS (
+         |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+         |  FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM kept),
+         |       UNNEST(range(1, len(ps) + 1)) AS u(i)
+         |), judged AS (
+         |  SELECT doc_id, pos, para,
+         |    trim(para) = '' AS blank,
+         |    count(*) OVER (PARTITION BY para) AS n,
+         |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+         |  FROM pp
+         |), kf AS (
+         |  SELECT doc_id, pos, para, (blank OR n < 2 OR rn = 1) AS keep
+         |  FROM judged
+         |), reb AS (
+         |  SELECT doc_id,
+         |    md5(coalesce(string_agg(para, '. ' ORDER BY pos)
+         |      FILTER (WHERE keep), '')) AS k,
+         |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+         |  FROM kf GROUP BY doc_id
+         |), scored AS (
+         |  SELECT r.doc_id, d.domain, r.k, r.n_kept
+         |  FROM reb r JOIN kept d USING (doc_id)
+         |)
+         |SELECT doc_id, domain, k, n_kept, CAST(rn AS INT) AS domain_rank FROM (
+         |  SELECT doc_id, domain, k, n_kept,
+         |    row_number() OVER (PARTITION BY domain ORDER BY n_kept DESC, doc_id) AS rn
+         |  FROM scored
+         |) WHERE rn <= 20 ORDER BY doc_id""".stripMargin)),
+
     "td_simhash" -> Entry((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), shingleN = 2)
         .orderBy(col("doc_id"))
