@@ -603,6 +603,71 @@ object PipelineQueries {
         |SELECT doc_id, string_agg(mh, ',' ORDER BY j) AS sig_csv
         |FROM sig GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // the STREAMING near-dup screen, oracle-checked end-to-end: documents
+    // flow through a real AvailableNow drain (readStream → per-row minhash
+    // → banded keyed state → append sink) with event time monotone in
+    // doc_id, so the emitted (later, earlier) pairs equal the batch LSH
+    // candidate set — which DuckDB replays by BAND-SLICE equality over the
+    // same md5 signature family (band keys only bucket; slice equality is
+    // the semantics they encode).
+    "td_neardup_stream" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("text"))
+      val src = java.nio.file.Files.createTempDirectory("graft_nds_src").toString
+      val sink = java.nio.file.Files.createTempDirectory("graft_nds_sink").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_nds_chk").toString
+      docs.write.mode("overwrite").parquet(src)
+      graft.streaming.Streaming.runAvailableNow(s, src, docs.schema,
+        df => graft.streaming.Streaming.nearDupStream(df,
+          watermarkDelay = "1 minute", shingleN = 3, numHashes = 16,
+          bands = 4, threshold = 0.3, maxBucketSize = Int.MaxValue),
+        sink, chk)
+      s.read.schema("doc_id string, corpus_id string, est_jaccard double, ts timestamp")
+        .parquet(sink)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("corpus_id").cast("long").as("corpus_id"), col("est_jaccard"))
+        .distinct()
+        .orderBy(col("doc_id"), col("corpus_id"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+2], ' ')) > 0
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(shingle), 1, 7) AS BIGINT) AS h1,
+        |    CAST('0x' || substring(md5(shingle), 8, 7) AS BIGINT) AS h2
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, j, min(h1 + j * h2) AS mh
+        |  FROM hashed, UNNEST(range(0, 16)) AS u(j)
+        |  GROUP BY doc_id, j
+        |), sigarr AS (
+        |  SELECT doc_id, array_agg(mh ORDER BY j) AS sig FROM sig GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, sig, b,
+        |    array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ',') AS band_sig
+        |  FROM sigarr, UNNEST(range(0, 4)) AS u(b)
+        |), cand AS (
+        |  SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corpus_id,
+        |    i.sig AS sig_i, c.sig AS sig_c
+        |  FROM banded i JOIN banded c
+        |    ON i.b = c.b AND i.band_sig = c.band_sig AND i.doc_id > c.doc_id
+        |), est AS (
+        |  SELECT doc_id, corpus_id,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> CASE WHEN sig_i[i] = sig_c[i] THEN 1 ELSE 0 END)) / 16.0 AS est_jaccard
+        |  FROM cand
+        |)
+        |SELECT doc_id, corpus_id, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.3 ORDER BY doc_id, corpus_id""".stripMargin)),
+
     "td_minhash_lsh" -> Entry((s, dir) => {
       Dedup.minhashLsh(t(s, dir, "documents"), shingleN = 3,
         numHashes = 16, bands = 4, threshold = 0.3)

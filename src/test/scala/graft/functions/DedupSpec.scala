@@ -124,6 +124,26 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.getLong(0) < kept.getLong(1))
   }
 
+  test("incrementalParagraphDedup broadcast path survives with auto-broadcast off") {
+    // with the auto threshold disabled, only EXPLICIT hints can produce a
+    // BroadcastHashJoin — this fails if either hint lands on an invalid
+    // build side and gets dropped (the pre-fix shape: a hint on the
+    // preserved side of the left-outer join, silently ignored)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val counts = Dedup.paragraphHashCounts(corpus)
+      val plan = Dedup.incrementalParagraphDedup(counts,
+          Seq((10L, "We use cookies on this site\nNovel")).toDF("doc_id", "text"))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      assert(bhj >= 2, s"expected both screen joins broadcast, got $bhj:\n" +
+        plan.linesIterator.take(30).mkString("\n"))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("paragraphDedup dup-stat aggregate is map-side combinable (no window over the hash)") {
     val plan = Dedup.paragraphDedup(corpus).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -47,6 +47,9 @@ const vscodeStub = {
     onDidChangeTextDocument: () => disposable(),
     onDidSaveTextDocument: () => disposable(),
     onDidCloseTextDocument: () => disposable(),
+    // server→client workspace/applyEdit lands here (formatProject routes
+    // open-buffer formats through it); record and accept
+    applyEdit: async (we) => { registered.appliedEdits = (registered.appliedEdits || 0) + 1; return true; },
   },
   window: {
     createOutputChannel: () => ({ append() {}, appendLine() {}, show() {} }),
