@@ -917,6 +917,57 @@ object Dedup {
       .agg(min(col("rep_id")).as("keep_id"), sum(col("n_ids")).as("n_dups"),
         count(lit(1)).as("n_hashes"))
 
+  /** Incremental (cross-batch) Hamming screen — the perceptual-hash analog
+    * of [[incrementalMinhashLsh]], completing the multimodal ingest story:
+    * a new media batch (hashed once by [[Multimodal.imageDHash]] /
+    * `audioFingerprint` / `videoFrameDHash`) is screened against the
+    * STORED corpus hash table — (`idCol`, `hashCol`), 16 bytes per row,
+    * extended by appending accepted rows — without re-decoding a single
+    * corpus payload. Returns one row per (incoming, corpus) pair within
+    * `maxDist` bits: (`idCol`, `corpus_id`, `dist`); an incoming id with
+    * no row is novel. Same banded recall contract as [[hammingLabels]]:
+    * complete for distance < `bands`, `maxDist` beyond that is
+    * verify-only.
+    *
+    * Scale shape: the corpus table is SCANNED once — bands explode
+    * in-task, each task hash-probes the broadcast incoming bands
+    * (`broadcastIncoming`, default: ingest batches are small next to the
+    * corpus), and only candidate collisions (∝ true near-dups) leave the
+    * scan; nothing shuffles. `maxBucketSize` caps per-(band, bits) CORPUS
+    * postings — the black-frame/solid-color valve. */
+  def incrementalHamming(corpusHashes: DataFrame, incoming: DataFrame,
+                         hashCol: String = "dhash", idCol: String = "media_id",
+                         maxDist: Int = 6, bands: Int = 8,
+                         maxBucketSize: Option[Int] = None,
+                         broadcastIncoming: Boolean = true): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def banded(df: DataFrame): DataFrame = df
+      .filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol))
+      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("__bits",
+        expr(s"shiftrightunsigned($hashCol, __band * $width)").bitwiseAND(lit(mask)))
+    val inc0 = banded(incoming)
+    val inc = if (broadcastIncoming) broadcast(inc0) else inc0
+    val corp0 = banded(corpusHashes)
+    val corp = maxBucketSize.fold(corp0) { cap =>
+      val hot = corp0.groupBy(col("__band"), col("__bits"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select(col("__band"), col("__bits"))
+      corp0.join(broadcast(hot), Seq("__band", "__bits"), "left_anti")
+    }
+    corp.as("c").join(inc.as("i"),
+        col("c.__band") === col("i.__band") && col("c.__bits") === col("i.__bits"))
+      .select(col(s"i.$idCol").as(idCol), col(s"c.$idCol").as("corpus_id"),
+        col(s"i.$hashCol").as("__hi"), col(s"c.$hashCol").as("__hc"))
+      .distinct()
+      .withColumn("dist", expr("bit_count(__hi ^ __hc)"))
+      .filter(col("dist") <= maxDist)
+      .select(idCol, "corpus_id", "dist")
+  }
+
   /** Video near-dup pairs by frame-signature overlap (content-ID style:
     * two videos are near-dups when ≥ `minShared` of their frame hashes
     * fall in the same Hamming clusters — re-encoded or slightly-edited

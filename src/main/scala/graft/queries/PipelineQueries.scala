@@ -2837,6 +2837,29 @@ object PipelineQueries {
         |  count(DISTINCT CASE WHEN (doc_id // 12) % 7 = 3 THEN 1 ELSE 0 END) AS n_hashes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // steady-state MEDIA ingest dedup: the batch (doc_id % 5 == 0) is
+    // hashed ONCE and screened against the stored corpus (id, dhash)
+    // table — no corpus payload is ever re-decoded. The fixture's ≥ 20-bit
+    // class separation and exactly-2-bit perturbation make the oracle pure
+    // id arithmetic: every (incoming, corpus) same-class pair matches at
+    // dist 0 (same variant) or 2 (one perturbed), nothing cross-class.
+    "td_incremental_hamming" -> Entry((s, dir) => {
+      val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val hashed = Multimodal.imageDHash(s, Multimodal.synthesizeDhashImages(s, media))
+        .select(col("media_id"), col("dhash"))
+      Dedup.incrementalHamming(
+          hashed.filter(col("media_id") % 5 =!= 0),
+          hashed.filter(col("media_id") % 5 === 0))
+        .orderBy(col("media_id"), col("corpus_id"))
+    }, Some(
+      """SELECT i.doc_id AS media_id, c.doc_id AS corpus_id,
+        |  CAST(CASE WHEN ((i.doc_id // 12) % 7 = 3) = ((c.doc_id // 12) % 7 = 3)
+        |       THEN 0 ELSE 2 END AS INT) AS dist
+        |FROM documents i JOIN documents c
+        |  ON i.doc_id % 12 = c.doc_id % 12
+        | AND i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+        |ORDER BY media_id, corpus_id""".stripMargin)),
+
     "td_media_dedup" -> Entry((s, dir) => {
       // e2e corpus dedup over a MIXED fixture: most rows carry a real dHash
       // PNG (dup/near-dup classes), every 31st-ish row a corrupt payload

@@ -147,6 +147,31 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("incrementalHamming screens new hashes against a stored corpus table") {
+    val corpus = Seq((1L, 0x00000000000000FFL), (2L, 0x7F00FF0000FF00FFL))
+      .toDF("media_id", "dhash")
+    val batch = Seq[(Long, java.lang.Long)](
+      (10L, 0x00000000000000FDL), // 1 bit from corpus id 1
+      (11L, 0x123456789ABCDEF0L), // novel
+      (12L, null)) // undecodable: screens clean
+      .toDF("media_id", "dhash")
+    val pairs = Dedup.incrementalHamming(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((10L, 1L, 1)))
+    // broadcast path survives with auto-broadcast off (valid build side)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = Dedup.incrementalHamming(corpus, batch)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) / 2 >= 1,
+        plan.linesIterator.take(25).mkString("\n"))
+      assert(!plan.contains("SortMergeJoin"), "corpus screen degraded to sort-merge")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("paragraphDedup dup-stat aggregate is map-side combinable (no window over the hash)") {
     val plan = Dedup.paragraphDedup(corpus).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
