@@ -172,6 +172,34 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("incrementalParagraphDedup ≡ paragraphDedup over corpus∪batch (seeded property)") {
+    // the documented contract, checked wholesale: for corpus ids < batch
+    // ids (so corpus occurrences globally precede), the incremental screen
+    // must reproduce EXACTLY the batch operator's verdict on the batch rows
+    val rnd = new scala.util.Random(7331)
+    val vocab = (0 until 10).map(i => s"vocab paragraph $i with shared words")
+    def gen(ids: Range) = ids.map { id =>
+      val n = 1 + rnd.nextInt(4)
+      (id.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString("\n"))
+    }
+    for (trial <- 1 to 3) {
+      val corpusDocs = gen(1 to 30).toDF("doc_id", "text")
+      val batch = gen(31 to 45).toDF("doc_id", "text")
+      for (keepFirst <- Seq(true, false)) {
+        val incremental = Dedup.incrementalParagraphDedup(
+            Dedup.paragraphHashCounts(corpusDocs), batch, keepFirst = keepFirst)
+          .select("doc_id", "text", "n_paras", "n_kept")
+        val global = Dedup.paragraphDedup(
+            corpusDocs.union(batch), keepFirst = keepFirst)
+          .filter(col("doc_id") >= 31)
+          .select("doc_id", "text", "n_paras", "n_kept")
+        assert(incremental.exceptAll(global).isEmpty &&
+          global.exceptAll(incremental).isEmpty,
+          s"trial $trial keepFirst=$keepFirst diverged")
+      }
+    }
+  }
+
   test("paragraphDedup dup-stat aggregate is map-side combinable (no window over the hash)") {
     val plan = Dedup.paragraphDedup(corpus).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -114,6 +114,32 @@ class WebSpec extends AnyFunSuite {
     assert(accepted == Seq(11L))
   }
 
+  test("incrementalMinhashLsh ≡ minhashLsh cross-pairs over corpus∪batch (seeded property)") {
+    // the screen's contract checked wholesale: with corpus ids < batch ids,
+    // the incremental pairs must equal the batch LSH's (corpus, batch)
+    // cross-pairs — same bands, same verify, same threshold
+    val rnd = new scala.util.Random(4242)
+    val vocab = Seq("spark", "catalyst", "tungsten", "shuffle", "codegen",
+      "broadcast", "partition", "stream", "state", "minhash")
+    def gen(ids: Range) = ids.map { id =>
+      (id.toLong, (0 until 8 + rnd.nextInt(5))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val corpus = gen(1 to 25).toDF("doc_id", "text")
+    val batch = gen(26 to 40).toDF("doc_id", "text")
+    val inc = Dedup.incrementalMinhashLsh(
+        Dedup.minhashBands(corpus, shingleN = 2, numHashes = 16, bands = 8),
+        batch, shingleN = 2, numHashes = 16, bands = 8, threshold = 0.3)
+      .select(col("doc_id"), col("corpus_id"), col("est_jaccard"))
+    val cross = Dedup.minhashLsh(corpus.union(batch), shingleN = 2,
+        numHashes = 16, bands = 8, threshold = 0.3)
+      .filter(col("id_a") <= 25 && col("id_b") >= 26)
+      .select(col("id_b").as("doc_id"), col("id_a").as("corpus_id"),
+        col("est_jaccard"))
+    assert(inc.exceptAll(cross).isEmpty && cross.exceptAll(inc).isEmpty,
+      s"incremental=${inc.count()} cross=${cross.count()}")
+  }
+
   test("incrementalMinhashLsh broadcast path: corpus bands never shuffle for the screen") {
     val corpus = (1L to 50L).map(i => (i, s"corpus doc number $i with words $i"))
       .toDF("doc_id", "text")
