@@ -867,17 +867,12 @@ object Dedup {
                     idCol: String = "media_id", maxDist: Int = 6,
                     bands: Int = 8,
                     maxBucketSize: Option[Int] = None): DataFrame = {
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     val reps = hashes.filter(col(hashCol).isNotNull)
       .groupBy(col(hashCol).as("__h"))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__cnt"))
       .persist()
-    val banded0 = reps.select(col("__h"), col("__rep"))
-      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("__bits",
-        expr(s"shiftrightunsigned(__h, __band * $width)").bitwiseAND(lit(mask)))
+    val banded0 = hammingBandBits(
+      reps.select(col("__h"), col("__rep")), "__h", "__rep", bands)
     val banded = maxBucketSize.fold(banded0) { cap =>
       val hot = banded0.groupBy(col("__band"), col("__bits"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
@@ -940,32 +935,63 @@ object Dedup {
                          maxDist: Int = 6, bands: Int = 8,
                          maxBucketSize: Option[Int] = None,
                          broadcastIncoming: Boolean = true): DataFrame = {
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    def banded(df: DataFrame): DataFrame = df
-      .filter(col(hashCol).isNotNull)
-      .select(col(idCol), col(hashCol))
-      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("__bits",
-        expr(s"shiftrightunsigned($hashCol, __band * $width)").bitwiseAND(lit(mask)))
-    val inc0 = banded(incoming)
+    val inc0 = hammingBandBits(
+      incoming.select(col(idCol), col(hashCol)), hashCol, idCol, bands)
     val inc = if (broadcastIncoming) broadcast(inc0) else inc0
-    val corp0 = banded(corpusHashes)
-    val corp = maxBucketSize.fold(corp0) { cap =>
-      val hot = corp0.groupBy(col("__band"), col("__bits"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
-        .select(col("__band"), col("__bits"))
-      corp0.join(broadcast(hot), Seq("__band", "__bits"), "left_anti")
+    val corp0 = hammingBandBits(
+      corpusHashes.select(col(idCol).as("corpus_id"), col(hashCol)),
+      hashCol, "corpus_id", bands)
+    // keep the one-corpus-scan contract on the capped path too: restrict
+    // the scan to the buckets the batch actually probes FIRST (semi-join
+    // against the broadcast batch-bucket set — the probed postings are
+    // small, ∝ collisions), then count/cap over THAT, never over the
+    // full corpus twice
+    val corp = (broadcastIncoming, maxBucketSize) match {
+      case (true, Some(cap)) =>
+        val probed = corp0.join(
+          broadcast(inc0.select(col("__band"), col("__bits")).distinct()),
+          Seq("__band", "__bits")).persist()
+        val hot = probed.groupBy(col("__band"), col("__bits"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+          .select(col("__band"), col("__bits"))
+        probed.join(broadcast(hot), Seq("__band", "__bits"), "left_anti")
+      case (true, None) => corp0
+      case (false, cap) =>
+        cap.fold(corp0) { c =>
+          val hot = corp0.groupBy(col("__band"), col("__bits"))
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > c)
+            .select(col("__band"), col("__bits"))
+          corp0.join(broadcast(hot), Seq("__band", "__bits"), "left_anti")
+        }
     }
     corp.as("c").join(inc.as("i"),
         col("c.__band") === col("i.__band") && col("c.__bits") === col("i.__bits"))
-      .select(col(s"i.$idCol").as(idCol), col(s"c.$idCol").as("corpus_id"),
-        col(s"i.$hashCol").as("__hi"), col(s"c.$hashCol").as("__hc"))
+      .select(col(s"i.$idCol").as(idCol), col("c.corpus_id"),
+        col("i.__h").as("__hi"), col("c.__h").as("__hc"))
       .distinct()
-      .withColumn("dist", expr("bit_count(__hi ^ __hc)"))
-      .filter(col("dist") <= maxDist)
-      .select(idCol, "corpus_id", "dist")
+      .withColumn("__dist", expr("bit_count(__hi ^ __hc)"))
+      .filter(col("__dist") <= maxDist)
+      // one row per (incoming, corpus) pair even if an id was ever stored
+      // under two hashes (re-hash after a codec change): keep the closest,
+      // deterministically
+      .groupBy(col(idCol), col("corpus_id"))
+      .agg(min(col("__dist")).as("dist"))
+  }
+
+  /** One row per (id, band) over non-null 64-bit hashes: `__h` (the hash,
+    * renamed so caller column names never reach a SQL `expr`), `__band`,
+    * `__bits` (the band's bit slice). Shared by [[hammingLabels]] and
+    * [[incrementalHamming]]. */
+  private def hammingBandBits(df: DataFrame, hashCol: String, idCol: String,
+                              bands: Int): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    df.filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol).as("__h"))
+      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("__bits",
+        expr(s"shiftrightunsigned(__h, __band * $width)").bitwiseAND(lit(mask)))
   }
 
   /** Video near-dup pairs by frame-signature overlap (content-ID style:

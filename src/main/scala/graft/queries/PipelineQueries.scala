@@ -2845,8 +2845,11 @@ object PipelineQueries {
     // dist 0 (same variant) or 2 (one perturbed), nothing cross-class.
     "td_incremental_hamming" -> Entry((s, dir) => {
       val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      // persist: both %5 filter branches read this frame, and the filters
+      // can't push below imageDHash's mapPartitions — unpersisted, every
+      // PNG would encode+decode twice
       val hashed = Multimodal.imageDHash(s, Multimodal.synthesizeDhashImages(s, media))
-        .select(col("media_id"), col("dhash"))
+        .select(col("media_id"), col("dhash")).persist()
       Dedup.incrementalHamming(
           hashed.filter(col("media_id") % 5 =!= 0),
           hashed.filter(col("media_id") % 5 === 0))

@@ -200,6 +200,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalHamming ≡ brute-force banded candidates (seeded property)") {
+    // wholesale contract check against a driver-side reference: every
+    // (incoming, corpus) pair that shares ≥ 1 band slice AND sits within
+    // maxDist bits must surface with the exact distance — across
+    // non-default band widths and a dense near-dup hash population
+    val rnd = new scala.util.Random(9001)
+    def hashes(n: Int, idBase: Long): Seq[(Long, Long)] = (0 until n).map { i =>
+      val base = rnd.nextLong()
+      // half the population: a 1-3 bit perturbation of a fresh base —
+      // guarantees pairs at several distances in [1, maxDist]
+      val h = if (i % 2 == 0) base
+        else base ^ (1 to 1 + rnd.nextInt(3)).map(_ => 1L << rnd.nextInt(64))
+          .foldLeft(0L)(_ | _)
+      (idBase + i, h)
+    }
+    for (bands <- Seq(4, 8); maxDist <- Seq(3, 6)) {
+      val corpusH = hashes(40, 1L)
+      val batchH = hashes(25, 1001L)
+      // make guaranteed cross near-dups: 10 batch hashes are perturbations
+      // of corpus hashes
+      val linked = batchH.take(10).zip(corpusH.take(10)).map {
+        case ((bi, _), (_, ch)) => (bi, ch ^ (1L << rnd.nextInt(64)))
+      } ++ batchH.drop(10)
+      val width = 64 / bands
+      def slice(h: Long, b: Int) = (h >>> (b * width)) & (if (width == 64) -1L else (1L << width) - 1)
+      val expected = (for {
+        (ci, ch) <- corpusH; (bi, bh) <- linked
+        if (0 until bands).exists(b => slice(ch, b) == slice(bh, b))
+        d = java.lang.Long.bitCount(ch ^ bh) if d <= maxDist
+      } yield (bi, ci, d)).toSet
+      val got = Dedup.incrementalHamming(
+          corpusH.toDF("media_id", "dhash"), linked.toDF("media_id", "dhash"),
+          maxDist = maxDist, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected,
+        s"bands=$bands maxDist=$maxDist missing=${expected -- got} extra=${got -- expected}")
+      assert(expected.nonEmpty, "vacuous trial: fixture produced no pairs")
+    }
+  }
+
   test("paragraphDedup dup-stat aggregate is map-side combinable (no window over the hash)") {
     val plan = Dedup.paragraphDedup(corpus).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -136,8 +136,10 @@ class WebSpec extends AnyFunSuite {
       .filter(col("id_a") <= 25 && col("id_b") >= 26)
       .select(col("id_b").as("doc_id"), col("id_a").as("corpus_id"),
         col("est_jaccard"))
+    // static clue: an interpolated count() clue would run two extra full
+    // Spark jobs even when the assertion passes (clues evaluate eagerly)
     assert(inc.exceptAll(cross).isEmpty && cross.exceptAll(inc).isEmpty,
-      s"incremental=${inc.count()} cross=${cross.count()}")
+      "incremental screen and batch cross-pairs diverged")
   }
 
   test("incrementalMinhashLsh broadcast path: corpus bands never shuffle for the screen") {
