@@ -873,12 +873,7 @@ object Dedup {
       .persist()
     val banded0 = hammingBandBits(
       reps.select(col("__h"), col("__rep")), "__h", "__rep", bands)
-    val banded = maxBucketSize.fold(banded0) { cap =>
-      val hot = banded0.groupBy(col("__band"), col("__bits"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
-        .select(col("__band"), col("__bits"))
-      banded0.join(broadcast(hot), Seq("__band", "__bits"), "left_anti")
-    }
+    val banded = maxBucketSize.fold(banded0)(dropHotBuckets(banded0, _))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.__band") === col("y.__band") &&
           col("x.__bits") === col("y.__bits") &&
@@ -935,8 +930,15 @@ object Dedup {
                          maxDist: Int = 6, bands: Int = 8,
                          maxBucketSize: Option[Int] = None,
                          broadcastIncoming: Boolean = true): DataFrame = {
-    val inc0 = hammingBandBits(
+    val inc0raw = hammingBandBits(
       incoming.select(col(idCol), col(hashCol)), hashCol, idCol, bands)
+    // the capped broadcast arm references the incoming bands twice (bucket
+    // set + pairs join); an eager localCheckpoint (∝ batch, reclaimed by
+    // the ContextCleaner when the result frame drops — no CacheManager
+    // leak across a long-lived ingest loop) evaluates the batch's
+    // decode/hash lineage exactly once
+    val inc0 = if (broadcastIncoming && maxBucketSize.isDefined)
+      inc0raw.localCheckpoint() else inc0raw
     val inc = if (broadcastIncoming) broadcast(inc0) else inc0
     val corp0 = hammingBandBits(
       corpusHashes.select(col(idCol).as("corpus_id"), col(hashCol)),
@@ -949,33 +951,35 @@ object Dedup {
     val corp = (broadcastIncoming, maxBucketSize) match {
       case (true, Some(cap)) =>
         val probed = corp0.join(
-          broadcast(inc0.select(col("__band"), col("__bits")).distinct()),
-          Seq("__band", "__bits")).persist()
-        val hot = probed.groupBy(col("__band"), col("__bits"))
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
-          .select(col("__band"), col("__bits"))
-        probed.join(broadcast(hot), Seq("__band", "__bits"), "left_anti")
+            broadcast(inc0.select(col("__band"), col("__bits")).distinct()),
+            Seq("__band", "__bits"))
+          .localCheckpoint() // read twice (hot count + anti); ∝ collisions
+        dropHotBuckets(probed, cap)
       case (true, None) => corp0
-      case (false, cap) =>
-        cap.fold(corp0) { c =>
-          val hot = corp0.groupBy(col("__band"), col("__bits"))
-            .agg(count(lit(1)).as("__n")).filter(col("__n") > c)
-            .select(col("__band"), col("__bits"))
-          corp0.join(broadcast(hot), Seq("__band", "__bits"), "left_anti")
-        }
+      case (false, cap) => cap.fold(corp0)(dropHotBuckets(corp0, _))
     }
     corp.as("c").join(inc.as("i"),
         col("c.__band") === col("i.__band") && col("c.__bits") === col("i.__bits"))
       .select(col(s"i.$idCol").as(idCol), col("c.corpus_id"),
         col("i.__h").as("__hi"), col("c.__h").as("__hc"))
-      .distinct()
       .withColumn("__dist", expr("bit_count(__hi ^ __hc)"))
       .filter(col("__dist") <= maxDist)
       // one row per (incoming, corpus) pair even if an id was ever stored
       // under two hashes (re-hash after a codec change): keep the closest,
-      // deterministically
+      // deterministically. This also collapses multi-band duplicate rows
+      // map-side — a separate distinct would be a second, redundant shuffle
       .groupBy(col(idCol), col("corpus_id"))
       .agg(min(col("__dist")).as("dist"))
+  }
+
+  /** Drop (band, bits) buckets holding more than `cap` postings — the
+    * LSH hot-bucket valve, shared by [[hammingLabels]] and both
+    * [[incrementalHamming]] cap arms. */
+  private def dropHotBuckets(banded: DataFrame, cap: Int): DataFrame = {
+    val hot = banded.groupBy(col("__band"), col("__bits"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+      .select(col("__band"), col("__bits"))
+    banded.join(broadcast(hot), Seq("__band", "__bits"), "left_anti")
   }
 
   /** One row per (id, band) over non-null 64-bit hashes: `__h` (the hash,

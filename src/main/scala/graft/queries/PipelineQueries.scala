@@ -907,17 +907,19 @@ object PipelineQueries {
     // replays every stage in one DuckDB CTE chain — composition parity,
     // not just per-operator parity.
     "td_web_pipeline" -> Entry((s, dir) => {
-      // persist both reused frames: docs feeds the urlKeep aggregate AND
-      // the survivors join; kept feeds paragraphDedup AND the scored join —
-      // unpersisted, the regex-heavy URL normalization re-runs ~3×
+      // eager localCheckpoints on both reused frames: docs feeds the
+      // urlKeep aggregate AND the survivors join; kept feeds paragraphDedup
+      // AND the scored join — unmaterialized, the regex-heavy URL
+      // normalization re-runs ~3×, and persists would outlive the entry in
+      // the shared Verify session's CacheManager
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .withColumn("url", synthUrl(col("doc_id")))
         .withColumn("url_norm", Web.urlNormalize(col("url")))
         .withColumn("domain", Web.registeredDomain(Web.urlHost(col("url"))))
-        .persist()
+        .localCheckpoint(true)
       val urlKeep = docs.groupBy(col("url_norm"))
         .agg(min(col("doc_id")).as("doc_id"))
-      val kept = docs.join(urlKeep, Seq("url_norm", "doc_id")).persist()
+      val kept = docs.join(urlKeep, Seq("url_norm", "doc_id")).localCheckpoint(true)
       val reb = Dedup.paragraphDedup(
         kept.select(col("doc_id"), col("text")), sep = ". ")
       val scored = reb.join(kept.select(col("doc_id"), col("domain")), Seq("doc_id"))
@@ -2845,11 +2847,12 @@ object PipelineQueries {
     // dist 0 (same variant) or 2 (one perturbed), nothing cross-class.
     "td_incremental_hamming" -> Entry((s, dir) => {
       val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
-      // persist: both %5 filter branches read this frame, and the filters
-      // can't push below imageDHash's mapPartitions — unpersisted, every
-      // PNG would encode+decode twice
+      // eager localCheckpoint, not persist: both %5 filter branches read
+      // this frame (unmaterialized, every PNG would encode+decode twice),
+      // and a persist would leave a CacheManager entry behind for the rest
+      // of the 219-entry Verify run — checkpoint blocks free with the frame
       val hashed = Multimodal.imageDHash(s, Multimodal.synthesizeDhashImages(s, media))
-        .select(col("media_id"), col("dhash")).persist()
+        .select(col("media_id"), col("dhash")).localCheckpoint(true)
       Dedup.incrementalHamming(
           hashed.filter(col("media_id") % 5 =!= 0),
           hashed.filter(col("media_id") % 5 === 0))

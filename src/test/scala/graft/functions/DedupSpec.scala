@@ -200,6 +200,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalHamming maxBucketSize drops hot corpus buckets (both join paths)") {
+    // 6 identical corpus hashes: every probed (band, bits) bucket holds 6
+    // postings; cap 3 drops them all, so an exact-dup batch screens clean
+    val corpus = ((1L to 6L).map((_, 0x0123456789ABCDEFL)) :+ (7L, 0x7E57000000000000L))
+      .toDF("media_id", "dhash")
+    val batch = Seq((20L, 0x0123456789ABCDEFL)).toDF("media_id", "dhash")
+    for (bcast <- Seq(true, false)) {
+      val capped = Dedup.incrementalHamming(corpus, batch,
+        maxBucketSize = Some(3), broadcastIncoming = bcast)
+      assert(capped.count() == 0, s"broadcastIncoming=$bcast")
+      val uncapped = Dedup.incrementalHamming(corpus, batch,
+        broadcastIncoming = bcast)
+      assert(uncapped.count() == 6, s"broadcastIncoming=$bcast")
+    }
+  }
+
   test("incrementalHamming ≡ brute-force banded candidates (seeded property)") {
     // wholesale contract check against a driver-side reference: every
     // (incoming, corpus) pair that shares ≥ 1 band slice AND sits within
