@@ -96,7 +96,18 @@ object GraftFunctions {
       { case Seq(t, n, k) =>
           expr(Dedup.minhashColumn(col(t), intArg(n, "shingleN"), intArg(k, "k")))
         case args => throw new IllegalArgumentException(
-          s"graft_minhash expects 3 arguments, got ${args.size}") })
+          s"graft_minhash expects 3 arguments, got ${args.size}") }),
+    ("graft_normalize",
+      "graft_normalize(text[, form]) - Unicode normalization (NFC default; NFD/NFKC/NFKD) as a native codegen expression.",
+      { case Seq(t) => UnicodeNormalize(t)
+        case Seq(t, f) => f match {
+          // form validation itself happens in the expression's type check
+          case Literal(v, _) if v != null => UnicodeNormalize(t, v.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_normalize form must be a string literal, got $other")
+        }
+        case args => throw new IllegalArgumentException(
+          s"graft_normalize expects 1-2 arguments, got ${args.size}") })
   )
 
   /** Register every function on a live session's catalog. */

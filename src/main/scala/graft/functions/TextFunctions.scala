@@ -210,6 +210,17 @@ object TextFunctions {
   def contentKey(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Unicode normalization ([[UnicodeNormalize]], a native codegen'd
+    * Catalyst expression — Spark has no builtin): canonicalize codepoint
+    * sequences BEFORE any dedup key, or composed `é` and `e`+COMBINING
+    * ACUTE hash as two distinct documents. NFC for canonical composition;
+    * NFKC additionally folds compatibility forms (ligatures, width
+    * variants) — the usual web-corpus choice. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      UnicodeNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), form))
+
   /** Winnowing fingerprints (Schleimer et al. 2003, SIGMOD — the MOSS
     * document-fingerprinting algorithm): hash every `k`-char gram of the
     * lowercased text ([[PortableHash.h60]], portable across engines), take

@@ -120,6 +120,27 @@ object PipelineQueries {
         |      FROM documents)
         |GROUP BY k ORDER BY doc_id""".stripMargin)),
 
+    // Unicode NFC normalization (native codegen'd Catalyst expression —
+    // Spark has no builtin): combining sequences appended to the corpus
+    // text must compose identically on both engines (DuckDB nfc_normalize)
+    // — the canonicalization step every dedup key needs before hashing
+    "td_nfc_normalize" -> Entry((s, dir) => {
+      // e+COMBINING ACUTE → é ; A+COMBINING RING → Å ; precomposed é stays
+      val decorated = concat(col("text"),
+        lit(" caf"), lit("e\u0301"), lit(" A\u030A"), lit(" \u00E9"))
+      t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.unicodeNormalize(decorated).as("n"))
+        .select(col("doc_id"), md5(col("n")).as("k"),
+          length(col("n")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """SELECT doc_id,
+        |  md5(nfc_normalize(text || ' caf' || 'e' || chr(769) ||
+        |    ' A' || chr(778) || ' ' || chr(233))) AS k,
+        |  CAST(len(nfc_normalize(text || ' caf' || 'e' || chr(769) ||
+        |    ' A' || chr(778) || ' ' || chr(233))) AS INT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // CCNet-style paragraph-granularity dedup: duplicated segments drop
     // everywhere except their globally-first occurrence, documents rebuilt.
     // The single-line corpus splits on '. ' (the td_c4_filter convention);

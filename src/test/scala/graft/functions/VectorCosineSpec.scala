@@ -92,6 +92,47 @@ class VectorCosineSpec extends AnyFunSuite {
     assert(gated.count() > 0)
   }
 
+  test("UnicodeNormalize composes forms correctly inside whole-stage codegen") {
+    val docs = Seq(
+      (1L, "café"),            // decomposed → composes to café
+      (2L, "café"),             // precomposed → unchanged
+      (3L, "Ångström"),  // ring + diaeresis compose
+      (4L, "ﬁle"),              // ﬁ ligature: NFC keeps, NFKC folds
+      (5L, null)).toDF("id", "t")
+    val q = docs.select(col("id"),
+      TextFunctions.unicodeNormalize(col("t")).as("nfc"),
+      TextFunctions.unicodeNormalize(col("t"), "NFKC").as("nfkc"))
+    // codegen participation over a real scan (a local relation
+    // constant-folds before any codegen stage exists)
+    val scanPlan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextFunctions.unicodeNormalize(col("text")).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("*(1) Project [unicode_normalize"), scanPlan.take(300))
+    val rows = q.orderBy("id").collect()
+    assert(rows(0).getString(1) == "café" && rows(0).getString(2) == "café")
+    assert(rows(1).getString(1) == "café")
+    assert(rows(2).getString(1) == "Ångström")
+    assert(rows(3).getString(1) == "ﬁle" && rows(3).getString(2) == "file")
+    assert(rows(4).isNullAt(1) && rows(4).isNullAt(2))
+    // NFC dedup keys: the decomposed and precomposed spellings now collide
+    val keys = docs.filter(col("id") <= 2)
+      .select(TextFunctions.contentKey(
+        TextFunctions.unicodeNormalize(col("t"))).as("k"))
+      .distinct().count()
+    assert(keys == 1)
+    // invalid form fails analysis, not per-row
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(TextFunctions.unicodeNormalize(col("t"), "NFX")).collect()
+    }
+    // SQL surface
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("norm_sqlfn")
+    val viaSql = spark.sql(
+      "SELECT graft_normalize(t) a, graft_normalize(t, 'NFKC') b FROM norm_sqlfn WHERE id = 4")
+      .head()
+    assert(viaSql.getString(0) == "ﬁle" && viaSql.getString(1) == "file")
+  }
+
   test("web-curation and minhash SQL functions match their DataFrame formulations") {
     GraftFunctions.register(spark)
     Seq((1L, "HTTP://WWW.Example.COM:80/A/?utm_source=x&b=2&a=1#f",
