@@ -674,13 +674,6 @@ object Dedup {
     est.filter(col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
   }
 
-  /** Band-key projection shared by [[minhashLsh]] / [[minhashBands]] /
-    * [[incrementalMinhashLsh]]: one row per (doc, band), band key = 64-bit
-    * hash of (band index, signature slice). An 8-byte long join key instead
-    * of a concatenated string — the key is ONLY a bucket id (candidates are
-    * verified against full signatures downstream), so hashing it costs
-    * nothing semantically and cuts the banding shuffle's per-row key bytes
-    * ~5-10× at corpus scale. */
   /** The `bands` 64-bit band keys of a signature column: key b = hash of
     * (band index, signature slice b). An 8-byte long join key instead of a
     * concatenated string — the key is ONLY a bucket id (candidates are
@@ -813,11 +806,18 @@ object Dedup {
         col("c.band_key") === col("i.band_key"))
       .select(col(s"i.$idCol").as(idCol), col(s"c.$idCol").as("corpus_id"),
         col("i.sig").as("sig_i"), col("c.sig").as("sig_c"))
-      .dropDuplicates(idCol, "corpus_id")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_i"), col("sig_c"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / numHashes)
+      // one row per (incoming, corpus) pair even if a corpus id was ever
+      // stored under two signatures (the re-hash/append maintenance case):
+      // keep the BEST estimate, deterministically — the screen flags a pair
+      // when ANY stored signature matches. This also collapses multi-band
+      // duplicate rows map-side (same reasoning as [[incrementalHamming]]'s
+      // min(dist); an arbitrary-row dropDuplicates would be nondeterministic)
+      .groupBy(col(idCol), col("corpus_id"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .select(idCol, "corpus_id", "est_jaccard")
   }

@@ -29,7 +29,13 @@ object Web {
     * fragment, drop tracking params ([[trackingParamPattern]]), sort the
     * surviving query params. Two crawl records of the same resource
     * normalize to byte-identical strings — the key for exact URL dedup.
-    * Rows that don't parse as scheme://… pass through unchanged. */
+    * Rows that don't parse as scheme://… pass through unchanged.
+    *
+    * Bracketed IPv6 authorities (`http://[::1]:8080/x`) are safe by
+    * construction: the default-port regexes anchor on `:NN$`, and inside
+    * `[2001:db8::1]` every colon group is followed by the closing `]`, so
+    * only a real `]:80`/`]:443` suffix can match — the brackets stay in
+    * the normalized URL (RFC 3986 requires them in the authority). */
   def urlNormalize(u: Column): Column = {
     val base = regexp_extract(u, "^[^#]*", 0) // fragment gone
     val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -53,28 +59,98 @@ object Web {
     when(scheme === "" || host === "", u).otherwise(norm)
   }
 
-  /** Lowercased host of an absolute URL (userinfo and port stripped) —
-    * the grouping key for host-level stats and blocklists. */
+  /** Lowercased host of an absolute URL (userinfo, port, and IPv6 brackets
+    * stripped) — the grouping key for host-level stats and blocklists.
+    * Order matters for bracketed IPv6 literals: the port is stripped FIRST
+    * (while the trailing `]` still guards the address — `:[0-9]+$` cannot
+    * reach inside `[2001:db8::1]`), THEN the brackets come off, so
+    * `http://[::1]:8080/x` → `::1` and `https://[2001:db8::1]/` →
+    * `2001:db8::1`. Stripping brackets first would expose the final hex
+    * group (`…::1`) to the port regex. */
   def urlHost(u: Column): Column =
     regexp_replace(
       regexp_replace(
-        lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
-        "^[^@]*@", ""),
-      ":[0-9]+$", "")
+        regexp_replace(
+          lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+          "^[^@]*@", ""),
+        ":[0-9]+$", ""),
+      "^\\[(.*)\\]$", "$1")
 
-  /** Multi-label public suffixes recognized by [[registeredDomain]] — the
-    * high-traffic subset of the public-suffix list (the full list is data,
-    * not code: swap in a broadcast lookup for exhaustive coverage). */
+  /** Multi-label public suffixes recognized by the NO-DATA FALLBACK of
+    * [[registeredDomain]] — the high-traffic subset used only when the
+    * [[PublicSuffixList]] fixture is absent from the classpath. */
   val multiPartSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "gov.uk", "ac.uk", "co.jp", "ne.jp", "or.jp",
     "com.au", "net.au", "org.au", "co.in", "co.nz", "com.br", "com.cn",
     "com.mx", "com.sg", "co.kr", "com.tr", "com.ar")
 
   /** Registered domain (eTLD+1) of a host: `news.bbc.co.uk` → `bbc.co.uk`,
-    * `a.b.example.com` → `example.com`. The unit of per-site quotas —
-    * host-level grouping splits one site into thousands of subdomains and
-    * defeats the cap. Pure array expressions over the split host. */
+    * `a.b.example.com` → `example.com`, `alice.github.io` →
+    * `alice.github.io` (private-section suffix — one registrant per
+    * subdomain). The unit of per-site quotas — host-level grouping splits
+    * one site into thousands of subdomains and defeats the cap, while a
+    * too-coarse suffix table (no `github.io`, no `*.ck`) collapses
+    * thousands of registrants into one pseudo-domain.
+    *
+    * Rules come from the [[PublicSuffixList]] fixture (full PSL grammar:
+    * longest match, wildcard `*.x`, exception `!y.x`), folded at PLAN TIME
+    * into pure array/set-membership Column expressions — each suffix
+    * length is one `isin` over a literal set, which Catalyst converts to
+    * an O(1) hash-set probe (`InSet`) shipped with the plan. No UDF, no
+    * join, no per-row allocation: the lookup rides whole-stage codegen at
+    * scan speed, the Column-expression equivalent of a broadcast lookup.
+    * IP literals (IPv6 — with or without brackets — and dotted IPv4) pass
+    * through unchanged: they have no registrable suffix, and splitting
+    * them on dots would manufacture garbage pseudo-domains. Hosts AT or
+    * below their public suffix (`github.io`, `bar.ck`, `localhost`) fall
+    * back to the host itself. When the fixture is missing, degrades to
+    * the built-in [[multiPartSuffixes]] subset. */
   def registeredDomain(host: Column): Column = {
+    val ipLiteral = host.rlike("^\\[.*\\]$") || host.contains(":") ||
+      host.rlike("^[0-9.]+$")
+    val domain = PublicSuffixList.loaded match {
+      case Some(rules) => registeredDomainPsl(host, rules)
+      case None => registeredDomainSubset(host)
+    }
+    when(ipLiteral, host).otherwise(domain)
+  }
+
+  /** The PSL-driven eTLD+1 as a pure Column expression. Longest-match over
+    * per-length candidate sets: for each rule length k, `lastK(k)` (the
+    * host's last k labels) probes the k-label exact set, and `lastK(k-1)`
+    * probes the wildcard bases; the public-suffix length is the greatest
+    * matching k (implicit `*` rule ⇒ at least 1). Exceptions override:
+    * a matching exception rule IS the registered domain (its own leftmost
+    * label is the registrant's). */
+  private def registeredDomainPsl(host: Column,
+                                  rules: PublicSuffixList.Rules): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // last-k labels re-joined. slice with a negative start counts from the
+    // end and yields an EMPTY array when k exceeds the label count (no ANSI
+    // throw, unlike element_at), so the isin probes below are safe even
+    // for single-label hosts; the n >= k guards make the semantics explicit
+    def lastK(k: Int): Column = array_join(slice(labels, -k, k), ".")
+    val exactCands = rules.exactByLen.toSeq.map { case (k, set) =>
+      when(n >= k && lastK(k).isin(set.toSeq: _*), lit(k)).otherwise(lit(0))
+    }
+    val wildCands = rules.wildcardBasesByLen.toSeq.map { case (bk, set) =>
+      when(n >= bk + 1 && lastK(bk).isin(set.toSeq: _*), lit(bk + 1))
+        .otherwise(lit(0))
+    }
+    val psLen = greatest(exactCands ++ wildCands :+ lit(1): _*)
+    // more-specific (longer) exceptions first
+    val excCols = rules.exceptionsByLen.toSeq.sortBy(-_._1).map { case (k, set) =>
+      when(n >= k && lastK(k).isin(set.toSeq: _*), lastK(k))
+    }
+    val regLen = psLen + lit(1)
+    val reg = when(n >= regLen, array_join(slice(labels, -regLen, regLen), "."))
+      .otherwise(host)
+    coalesce(excCols :+ reg: _*)
+  }
+
+  /** The no-data fallback: bare TLD + [[multiPartSuffixes]] handling only. */
+  private def registeredDomainSubset(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
     // try_element_at, not element_at: under ANSI mode (Spark 4 default) an

@@ -795,7 +795,11 @@ final class LspServer(in: InputStream, out: OutputStream,
             te.put("newText", formatted)
             sendRequest("workspace/applyEdit", p)
             // the overlay is NOT mutated here: the client applies the edit
-            // and echoes it back as didChange, keeping one source of truth
+            // and echoes it back as didChange, keeping one source of truth.
+            // Fire-and-forget by design: the applyEdit response is dropped,
+            // so a client that rejects the edit still counts the file in
+            // `formatted` — acceptable because the overlay stays authoritative
+            // (a rejected edit simply never echoes back as didChange)
           } else java.nio.file.Files.writeString(path, formatted)
           changed.add(f); n += 1
         }

@@ -638,11 +638,13 @@ object PipelineQueries {
       val src = java.nio.file.Files.createTempDirectory("graft_nds_src").toString
       val sink = java.nio.file.Files.createTempDirectory("graft_nds_sink").toString
       val chk = java.nio.file.Files.createTempDirectory("graft_nds_chk").toString
-      docs.write.mode("overwrite").parquet(src)
-      // watermark spans the whole corpus's event-time range: parity with
-      // the batch oracle must hold even if the drain ever chunks the
-      // source into multiple micro-batches (files arrive in arbitrary
-      // doc_id order; a short delay would discard "late" docs pre-state)
+      // ONE source file ⇒ ONE micro-batch: the oracle only generates
+      // (larger-id, smaller-id) pairs, and that orientation is guaranteed
+      // only when every doc reaches the state op together (chunked drains
+      // could deliver a larger-id doc first, flipping a pair). The wide
+      // watermark additionally keeps arbitrary-order rows from being
+      // discarded as late pre-state.
+      docs.coalesce(1).write.mode("overwrite").parquet(src)
       graft.streaming.Streaming.runAvailableNow(s, src, docs.schema,
         df => graft.streaming.Streaming.nearDupStream(df,
           watermarkDelay = "30 days", shingleN = 3, numHashes = 16,
@@ -893,6 +895,61 @@ object PipelineQueries {
          |    WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
          |    ELSE host END AS domain
          |FROM dom ORDER BY doc_id""".stripMargin)),
+
+    // registered-domain extraction against the REAL public-suffix-list
+    // grammar (graft/public_suffix_list.dat fixture): longest-match exact
+    // rules (com, co.uk, s3.amazonaws.com), wildcard registries (*.ck),
+    // exceptions (!www.ck), private-section hosting suffixes (github.io),
+    // single-label hosts under the implicit * rule, and IP-literal
+    // passthrough (IPv6 + dotted IPv4). The oracle states the expected
+    // eTLD+1 per fixture class in closed form — hand-derived from the
+    // published PSL algorithm, independently of the Scala implementation.
+    "td_registered_domain" -> Entry((s, dir) => {
+      val id = col("doc_id")
+      val hosts = t(s, dir, "documents").select(id)
+        .withColumn("host",
+          when(id % 12 === 0, lit("a.b.example.com"))
+            .when(id % 12 === 1, lit("news.bbc.co.uk"))
+            .when(id % 12 === 2,
+              concat(lit("x"), id % 5, lit(".guardian.co.uk")))
+            .when(id % 12 === 3, lit("foo.bar.ck"))
+            .when(id % 12 === 4, lit("bar.ck"))
+            .when(id % 12 === 5, lit("www.ck"))
+            .when(id % 12 === 6, lit("sub.www.ck"))
+            .when(id % 12 === 7, concat(lit("site"), id % 7, lit(".github.io")))
+            .when(id % 12 === 8, lit("localhost"))
+            .when(id % 12 === 9, lit("2001:db8::1"))
+            .when(id % 12 === 10, concat(lit("192.168.0."), id % 250))
+            .otherwise(concat(lit("cdn"), id % 3, lit(".edge.s3.amazonaws.com"))))
+      hosts.withColumn("domain", Web.registeredDomain(col("host")))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 12 = 0 THEN 'a.b.example.com'
+        |       WHEN doc_id % 12 = 1 THEN 'news.bbc.co.uk'
+        |       WHEN doc_id % 12 = 2 THEN 'x' || CAST(doc_id % 5 AS VARCHAR) || '.guardian.co.uk'
+        |       WHEN doc_id % 12 = 3 THEN 'foo.bar.ck'
+        |       WHEN doc_id % 12 = 4 THEN 'bar.ck'
+        |       WHEN doc_id % 12 = 5 THEN 'www.ck'
+        |       WHEN doc_id % 12 = 6 THEN 'sub.www.ck'
+        |       WHEN doc_id % 12 = 7 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.github.io'
+        |       WHEN doc_id % 12 = 8 THEN 'localhost'
+        |       WHEN doc_id % 12 = 9 THEN '2001:db8::1'
+        |       WHEN doc_id % 12 = 10 THEN '192.168.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |       ELSE 'cdn' || CAST(doc_id % 3 AS VARCHAR) || '.edge.s3.amazonaws.com' END AS host,
+        |  CASE WHEN doc_id % 12 = 0 THEN 'example.com'
+        |       WHEN doc_id % 12 = 1 THEN 'bbc.co.uk'
+        |       WHEN doc_id % 12 = 2 THEN 'guardian.co.uk'
+        |       WHEN doc_id % 12 = 3 THEN 'foo.bar.ck'
+        |       WHEN doc_id % 12 = 4 THEN 'bar.ck'
+        |       WHEN doc_id % 12 = 5 THEN 'www.ck'
+        |       WHEN doc_id % 12 = 6 THEN 'www.ck'
+        |       WHEN doc_id % 12 = 7 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.github.io'
+        |       WHEN doc_id % 12 = 8 THEN 'localhost'
+        |       WHEN doc_id % 12 = 9 THEN '2001:db8::1'
+        |       WHEN doc_id % 12 = 10 THEN '192.168.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |       ELSE 'edge.s3.amazonaws.com' END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "td_domain_quota" -> Entry((s, dir) => {
       // per-domain quota end-to-end: synth URL → urlHost → registeredDomain

@@ -56,6 +56,77 @@ class WebSpec extends AnyFunSuite {
       ("localhost", "localhost")))
   }
 
+  test("bracketed IPv6 authorities: normalize keeps brackets, host/domain strip them") {
+    // normalize: non-default port kept, default port stripped, brackets stay
+    assert(norm(
+      "http://[::1]:8080/x",
+      "https://[2001:db8::1]/",
+      "HTTP://[2001:DB8::1]:80/a/",
+      "https://[::1]:443/p?b=2&a=1") == Seq(
+      "http://[::1]:8080/x",
+      "https://[2001:db8::1]/",
+      "http://[2001:db8::1]/a",
+      "https://[::1]/p?a=1&b=2"))
+    val got = Seq(
+      "http://[::1]:8080/x",
+      "https://[2001:db8::1]/",
+      "http://user@[2001:db8::443]/y")
+      .toDF("url")
+      .select(Web.urlHost(col("url")).as("h"))
+      .withColumn("d", Web.registeredDomain(col("h")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // host: port stripped FIRST (the `]` guards the address), then brackets;
+    // registeredDomain: IP literals pass through — never split on dots
+    assert(got == Seq(
+      ("::1", "::1"),
+      ("2001:db8::1", "2001:db8::1"),
+      ("2001:db8::443", "2001:db8::443")))
+    // still-bracketed and IPv4 forms pass through registeredDomain unchanged
+    val ips = Seq("[::1]", "192.168.0.17").toDF("h")
+      .select(Web.registeredDomain(col("h"))).collect().map(_.getString(0)).toSeq
+    assert(ips == Seq("[::1]", "192.168.0.17"))
+  }
+
+  test("registeredDomain: PSL fixture drives wildcard, exception, and private rules") {
+    assert(PublicSuffixList.loaded.nonEmpty, "classpath PSL fixture must load")
+    val cases = Seq(
+      "a.b.example.com" -> "example.com", // exact 1-label rule
+      "news.bbc.co.uk" -> "bbc.co.uk", // exact 2-label beats 1-label (longest match)
+      "x.y.z.co.jp" -> "z.co.jp",
+      "foo.bar.ck" -> "foo.bar.ck", // wildcard *.ck: bar.ck is a public suffix
+      "bar.ck" -> "bar.ck", // AT the wildcard suffix: no registrable → host
+      "www.ck" -> "www.ck", // exception !www.ck: www.ck IS registrable
+      "sub.www.ck" -> "www.ck",
+      "alice.github.io" -> "alice.github.io", // private-section suffix
+      "deep.sub.alice.github.io" -> "alice.github.io",
+      "github.io" -> "github.io", // at the suffix itself → host
+      "media.city.kawasaki.jp" -> "city.kawasaki.jp", // exception beats *.kawasaki.jp
+      "shop.ainotame.kawasaki.jp" -> "shop.ainotame.kawasaki.jp", // *.kawasaki.jp
+      "bucket.s3.amazonaws.com" -> "bucket.s3.amazonaws.com", // 3-label exact
+      "localhost" -> "localhost", // single label, implicit * rule
+      "example.unknowntld" -> "example.unknowntld") // implicit * rule: 1-label ps
+    val got = cases.map(_._1).toDF("h")
+      .select(Web.registeredDomain(col("h"))).collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
+  test("PSL vs subset fallback: quota grouping over a github.io corpus differs") {
+    // 30 docs across 10 distinct github.io sites: under the PSL each site is
+    // its own registered domain (cap never binds at 5); under the pre-PSL
+    // subset they'd all collapse into the single pseudo-domain github.io
+    // and the quota would throw away 25 of 30 docs
+    val docs = (1L to 30L).map(i => (i, s"site${i % 10}.github.io", i.toDouble))
+      .toDF("doc_id", "host", "score")
+      .withColumn("domain", Web.registeredDomain(col("host")))
+    assert(docs.select("domain").distinct().count() == 10)
+    val kept = Web.domainQuota(docs, cap = 5).count()
+    assert(kept == 30, "per-site grouping must keep every doc")
+    // the fallback subset grouping (domain = github.io for all) would keep 5
+    val collapsed = Web.domainQuota(
+      docs.drop("domain").withColumn("domain", lit("github.io")), cap = 5).count()
+    assert(collapsed == 5)
+  }
+
   test("domainQuota keeps top-cap by (score desc, id asc) per domain, exactly") {
     val docs = (1L to 40L).map(i =>
       (i, if (i <= 30) "big.com" else "small.org", (i % 10).toDouble))
