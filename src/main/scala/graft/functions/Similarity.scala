@@ -132,6 +132,91 @@ object Similarity {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cos"))
   }
 
+  /** The `nBands` 64-bit bucket keys of a vector: key b = xxhash64 of
+    * (band index, [[lshBucket]] under band b's hyperplane family). Folding
+    * the band index into the key lets the multi-table layout share ONE
+    * 8-byte join column (the [[Dedup.bandKeyArray]] convention); the key is
+    * only a bucket id — candidates verify exact cosine downstream. */
+  private def bucketKeyArray(vec: Column, nPlanes: Int, nBands: Int): Column =
+    array((0 until nBands).map(b =>
+      xxhash64(lit(b), lshBucket(vec, nPlanes, b * nPlanes))): _*)
+
+  /** The persisted-corpus side of steady-state EMBEDDING near-dup ingest —
+    * the [[lshNearDupPairs]] analog of [[Dedup.minhashBands]]: ONE row per
+    * vector — (`idCol`, `vecCol`, `bucket_keys` array<long>) — computed
+    * once per corpus and stored (parquet), then extended per batch by
+    * appending the accepted vectors' own `cosineBuckets` delta. The vector
+    * itself rides along because the screen's verify step is EXACT cosine
+    * (unlike MinHash, the bucket key alone can't estimate similarity), but
+    * the embedding was going to be stored anyway — this is the same bytes
+    * organized for screening, not a second copy of anything, and the
+    * EMBEDDING MODEL never re-runs over corpus content on later ingests.
+    * Parameters must match the later [[incrementalCosineLsh]] call exactly
+    * — the key folds the band index and hyperplane family, so a mismatch
+    * silently yields no collisions. */
+  def cosineBuckets(df: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding", nPlanes: Int = 4,
+                    nBands: Int = 1): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      bucketKeyArray(col(vecCol), nPlanes, nBands).as("bucket_keys"))
+
+  /** Incremental (cross-batch) embedding near-dup screen — completes the
+    * steady-state ingest family (exact/Bloom/MinHash/paragraph for text,
+    * Hamming for media, THIS for embeddings): a new batch of vectors is
+    * screened against the STORED corpus bucket table ([[cosineBuckets]])
+    * without re-embedding or re-bucketing a single corpus row. Returns one
+    * row per (incoming, corpus) pair with exact cosine ≥ `threshold`:
+    * (`idCol`, `corpus_id`, `cos`) — an incoming id with no row is novel;
+    * the accept/append recipe is `incoming.join(pairs.select(idCol)
+    * .distinct(), Seq(idCol), "left_anti")` then
+    * `corpusBuckets union cosineBuckets(accepted)`.
+    *
+    * Recall matches [[lshNearDupPairs]] by construction (same hyperplane
+    * families): < 1, raised by `nBands` independent tables — a pair split
+    * by one band's hyperplanes collides in another (the multi-table LSH
+    * recall knob, equivalence-pinned per band in SimilaritySpec).
+    *
+    * Scale shape: only the BATCH is bucketed (∝ batch, not corpus). With
+    * `broadcastIncoming` (default — ingest batches are small next to a
+    * 100 TB corpus) the stored table is SCANNED once with ZERO shuffle:
+    * bucket keys explode in-task, each scan task hash-probes the broadcast
+    * batch and verifies cosine IN PLACE, so corpus vectors never leave
+    * their scan — only (id, corpus_id, cos) collision rows (∝ true
+    * near-dups) exit. For batch-vs-batch scale set it false → plain
+    * shuffle join on the 8-byte key. `maxBucketSize` caps per-key CORPUS
+    * postings (the hot-bucket valve: a degenerate all-zeros embedding
+    * bucket would otherwise emit its whole posting list per colliding
+    * incoming vector). */
+  def incrementalCosineLsh(corpusBuckets: DataFrame, incoming: DataFrame,
+                           threshold: Double, idCol: String = "vec_id",
+                           vecCol: String = "embedding", nPlanes: Int = 4,
+                           nBands: Int = 1,
+                           maxBucketSize: Option[Int] = None,
+                           broadcastIncoming: Boolean = true): DataFrame = {
+    val incB0 = incoming.select(col(idCol), col(vecCol).as("__ivec"),
+      explode(bucketKeyArray(col(vecCol), nPlanes, nBands)).as("__bkey"))
+    val incB = if (broadcastIncoming) broadcast(incB0) else incB0
+    // one stored row per vector ([[cosineBuckets]]) → per-band rows in-task
+    val corp0 = corpusBuckets.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("__cvec"), explode(col("bucket_keys")).as("__bkey"))
+    val corp = maxBucketSize.fold(corp0) { cap =>
+      val hot = corp0.groupBy(col("__bkey"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select(col("__bkey"))
+      corp0.join(broadcast(hot), Seq("__bkey"), "left_anti")
+    }
+    corp.join(incB, Seq("__bkey"))
+      .withColumn("cos", round(cosine(col("__ivec"), col("__cvec")), 4))
+      // one row per (incoming, corpus) pair: collapses multi-band duplicate
+      // collisions map-side, and if a corpus id was ever stored under two
+      // embeddings (the re-embed/append maintenance case) keeps the BEST
+      // similarity, deterministically — the [[Dedup.incrementalMinhashLsh]]
+      // max-estimate convention
+      .groupBy(col(idCol), col("corpus_id"))
+      .agg(max(col("cos")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Johnson–Lindenstrauss ±1 random projection to `outDims` dimensions:
     * out[p] = round(Σ_d sign(p,d)·v[d] / √outDims, 6). Signs reuse the
     * portable md5 parity convention of the LSH hyperplanes, precomputed

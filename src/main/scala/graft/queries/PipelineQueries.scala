@@ -1348,6 +1348,42 @@ object PipelineQueries {
         |  CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // steady-state EMBEDDING near-dup ingest (the cosine-LSH analog of
+    // td_incremental_minhash, closing the incremental screen family): the
+    // corpus (vec_id % 5 != 0) is bucketed ONCE via cosineBuckets — the
+    // stored table a real pipeline persists — and the incoming batch
+    // (vec_id % 5 == 0) screens against it without re-embedding or
+    // re-bucketing a single corpus vector. Broadcast-incoming: the corpus
+    // bucket scan probes the batch and verifies exact cosine in place,
+    // zero corpus shuffle. The oracle replays the same hyperplane family
+    // as td_cosine_neardup_lsh restricted to (batch, corpus) cross pairs.
+    "td_incremental_ann" -> Entry((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val corpusBuckets = Similarity.cosineBuckets(
+        vecs.filter(col("vec_id") % 5 =!= 0), nPlanes = 4)
+      Similarity.incrementalCosineLsh(corpusBuckets,
+          vecs.filter(col("vec_id") % 5 === 0), threshold = 0.3, nPlanes = 4)
+        .orderBy(col("vec_id"), col("corpus_id"))
+    }, Some(
+      """WITH buck AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(0, 4), p ->
+        |      CASE WHEN round(list_sum(list_transform(range(1, len(embedding) + 1), d ->
+        |        CASE WHEN CAST('0x' || substring(md5(p || ',' || (d - 1)), 1, 1) AS INT) % 2 = 0
+        |          THEN CAST(embedding[d] AS DOUBLE) ELSE -CAST(embedding[d] AS DOUBLE) END)), 6) > 0
+        |        THEN CAST((CAST(1 AS BIGINT) << CAST(p AS INT)) AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END)) AS bucket
+        |  FROM embeddings
+        |)
+        |SELECT i.vec_id AS vec_id, c.vec_id AS corpus_id,
+        |  round(list_cosine_similarity(CAST(i.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])), 4) AS cos
+        |FROM buck i JOIN buck c ON i.bucket = c.bucket
+        |WHERE i.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+        |  AND round(list_cosine_similarity(CAST(i.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])), 4) >= 0.3
+        |ORDER BY vec_id, corpus_id""".stripMargin)),
+
     // streaming exact-dedup via flatMapGroupsWithState custom keyed state:
     // duplicates suppressed across micro-batches; oracle = first event per
     // content key (events with ts under the final watermark)
