@@ -105,6 +105,42 @@ object Dedup {
       .drop("__key")
   }
 
+  /** The persisted-corpus side of steady-state EXACT dedup — the key-table
+    * form of [[incrementalExact]]'s internal `seen` set: one row per
+    * DISTINCT content key (`content_key`, 32-hex md5 of the
+    * whitespace-normalized text), computed once and stored, then
+    * maintained per batch by unioning the accepted batch's own
+    * `contentKeys` and distinct-ing (or an insert-if-absent MERGE on the
+    * stored table). 16 bytes per distinct document; corpus TEXT is never
+    * touched again — successive ingests screen via
+    * [[incrementalExactKeys]]. */
+  def contentKeys(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(TextFunctions.contentKey(col(textCol)).as("content_key")).distinct()
+
+  /** [[incrementalExact]] against a PRE-COMPUTED key table
+    * ([[contentKeys]]) — the steady-state loop shape: the batch is kept
+    * where its key appears in neither the stored set nor earlier in the
+    * batch (within-batch ties keep the smallest id). With `broadcastBatch`
+    * (default) the stored key table is SCANNED once, each task hash-probing
+    * the broadcast batch-key set in place — only the batch's own matched
+    * keys (∝ batch) leave the scan, then broadcast back as the build side
+    * of the anti-join; nothing corpus-sized ever shuffles (the
+    * [[incrementalParagraphDedup]] two-step, since a broadcast hint on the
+    * preserved side of the anti-join would be dropped). For
+    * batch-vs-batch scale set it false → plain shuffle anti-join. */
+  def incrementalExactKeys(corpusKeys: DataFrame, incoming: DataFrame,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           broadcastBatch: Boolean = true): DataFrame = {
+    val batch = incoming.withColumn("__key", TextFunctions.contentKey(col(textCol)))
+      .groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
+    val keys = corpusKeys.select(col("content_key").as("__key"))
+    val seen =
+      if (broadcastBatch)
+        broadcast(keys.join(broadcast(batch.select(col("__key"))), Seq("__key")))
+      else keys
+    batch.join(seen, Seq("__key"), "left_anti").drop("__key")
+  }
+
   /** The persisted-corpus side of steady-state PARAGRAPH dedup (the
     * [[paragraphDedup]] analog of [[incrementalExact]]'s key set): one row
     * per distinct non-blank paragraph — (`para_h` xxhash64, `n` count) —

@@ -280,6 +280,264 @@ object PipelineQueries {
         |WHERE k NOT IN (SELECT DISTINCT k FROM keyed WHERE doc_id <= 250)
         |ORDER BY doc_id""".stripMargin)),
 
+    // ------------------- multi-batch steady-state ingest loop ------------
+    // TWO successive batches drive the four incremental screen families
+    // (exact key set / minhash band table / hamming hash table / paragraph
+    // count table) with every state table MAINTAINED between rounds via the
+    // documented append recipes — the oracle replays both rounds, so a
+    // wrong append (stale state, missed union, double count) shows as a
+    // round-2 mismatch. Corpus = doc_id % 5 ∈ {2,3,4}; batch 1 = % 5 == 0,
+    // batch 2 = % 5 == 1. The hamming screen rides a mod-60 sub-population
+    // (corpus ≡ 2, batches ≡ 0 / ≡ 12) whose classes are DISJOINT across
+    // roles: batch 1 is clean against the corpus, batch 2 collides only
+    // with batch-1 ACCEPTS — round 2 is wrong unless the maintenance
+    // happened. Output: one row per (round, screen) with input/flagged/
+    // accepted counts and an accepted-id checksum (row-level strength
+    // without row-level volume). localCheckpoint(true) between rounds
+    // plays the parquet state write of a real pipeline — each round's
+    // state is a materialized table, not lineage over the previous round.
+    "td_ingest_loop" -> Entry((s, dir) => {
+      import s.implicits._
+      // deterministic cross-BATCH boilerplate: every 7th-ish doc of both
+      // batches (never the corpus) carries one of 3 shared texts, so the
+      // exact and paragraph screens have real within-round-1 flags AND
+      // round-2 flags that exist ONLY because round 1's accepts were
+      // appended to the state — without this the fixture's duplicates all
+      // live inside one mod-5 class and those screens would prove nothing
+      // about maintenance
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 <= 1 && col("doc_id") % 7 === 3,
+            concat(lit("loop boiler "), col("doc_id") % 3))
+            .otherwise(col("text")).as("text"))
+        .localCheckpoint(true)
+      val c0 = docs.filter(col("doc_id") % 5 >= 2)
+      val batches = Seq(1 -> docs.filter(col("doc_id") % 5 === 0),
+        2 -> docs.filter(col("doc_id") % 5 === 1))
+      // hamming sub-population: decode + hash every payload ONCE, slice per role
+      val mediaIds = docs.select(col("doc_id").as("media_id"))
+        .filter(col("media_id") % 60 === 0 || col("media_id") % 60 === 2 ||
+          col("media_id") % 60 === 12)
+      val hashed = Multimodal.imageDHash(s,
+          Multimodal.synthesizeDhashImages(s, mediaIds))
+        .select(col("media_id"), col("dhash")).localCheckpoint(true)
+      val hBatches = Map(1 -> hashed.filter(col("media_id") % 60 === 0),
+        2 -> hashed.filter(col("media_id") % 60 === 12))
+      var keyState = Dedup.contentKeys(c0).localCheckpoint(true)
+      var bandState = Dedup.minhashBands(c0, shingleN = 3, numHashes = 16,
+        bands = 4).localCheckpoint(true)
+      var paraState = Dedup.paragraphHashCounts(c0, sep = ". ").localCheckpoint(true)
+      var hashState = hashed.filter(col("media_id") % 60 === 2).localCheckpoint(true)
+      val rows = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Long, Long)]()
+      for ((round, b0) <- batches) {
+        val b = b0.localCheckpoint(true)
+        val nIn = b.count()
+        // exact: screen → append accepted keys
+        val exAcc = Dedup.incrementalExactKeys(keyState, b).localCheckpoint(true)
+        val exA = exAcc.agg(count(lit(1)),
+          coalesce(sum(col("doc_id")), lit(0L))).head
+        rows += ((round, "exact", nIn, nIn - exA.getLong(0),
+          exA.getLong(0), exA.getLong(1)))
+        val exDocs = b.join(exAcc.select("doc_id"), Seq("doc_id"), "left_semi")
+        keyState = keyState.union(Dedup.contentKeys(exDocs))
+          .distinct().localCheckpoint(true)
+        // minhash: screen → append accepted docs' bands
+        val mhFlagged = Dedup.incrementalMinhashLsh(bandState, b, shingleN = 3,
+            numHashes = 16, bands = 4, threshold = 0.3)
+          .select(col("doc_id")).distinct().localCheckpoint(true)
+        val mhAcc = b.join(mhFlagged, Seq("doc_id"), "left_anti").localCheckpoint(true)
+        val mhA = mhAcc.agg(count(lit(1)),
+          coalesce(sum(col("doc_id")), lit(0L))).head
+        rows += ((round, "minhash", nIn, mhFlagged.count(),
+          mhA.getLong(0), mhA.getLong(1)))
+        bandState = bandState.union(
+            Dedup.minhashBands(mhAcc, shingleN = 3, numHashes = 16, bands = 4))
+          .localCheckpoint(true)
+        // paragraph: clean → re-sum the count table with the batch's RAW counts
+        val reb = Dedup.incrementalParagraphDedup(paraState, b, sep = ". ")
+        val pA = reb.agg(
+          coalesce(sum(col("n_paras") - col("n_kept")), lit(0L)),
+          coalesce(sum(col("n_kept")), lit(0L)),
+          coalesce(sum(col("doc_id") * col("n_kept")), lit(0L))).head
+        rows += ((round, "paragraph", nIn, pA.getLong(0), pA.getLong(1),
+          pA.getLong(2)))
+        paraState = paraState.union(Dedup.paragraphHashCounts(b, sep = ". "))
+          .groupBy(col("para_h")).agg(sum(col("n")).as("n")).localCheckpoint(true)
+        // hamming: screen → append accepted (media_id, dhash) rows
+        val hb = hBatches(round).localCheckpoint(true)
+        val hmFlagged = Dedup.incrementalHamming(hashState, hb)
+          .select(col("media_id")).distinct().localCheckpoint(true)
+        val hmAcc = hb.join(hmFlagged, Seq("media_id"), "left_anti")
+          .localCheckpoint(true)
+        val hA = hmAcc.agg(count(lit(1)),
+          coalesce(sum(col("media_id")), lit(0L))).head
+        rows += ((round, "hamming", hb.count(), hmFlagged.count(),
+          hA.getLong(0), hA.getLong(1)))
+        hashState = hashState.union(hmAcc.select(col("media_id"), col("dhash")))
+          .localCheckpoint(true)
+      }
+      rows.toSeq.toDF("round", "screen", "n_in", "n_flagged", "n_accepted", "checksum")
+        .orderBy(col("round"), col("screen"))
+    }, Some(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 <= 1 AND doc_id % 7 = 3
+        |         THEN 'loop boiler ' || CAST(doc_id % 3 AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS k FROM d
+        |), ck AS (
+        |  SELECT DISTINCT k FROM keyed WHERE doc_id % 5 >= 2
+        |), ex1 AS (
+        |  SELECT k, min(doc_id) AS doc_id FROM keyed WHERE doc_id % 5 = 0 GROUP BY k
+        |), ex_acc1 AS (
+        |  SELECT k, doc_id FROM ex1 WHERE k NOT IN (SELECT k FROM ck)
+        |), ex2 AS (
+        |  SELECT k, min(doc_id) AS doc_id FROM keyed WHERE doc_id % 5 = 1 GROUP BY k
+        |), ex_acc2 AS (
+        |  SELECT k, doc_id FROM ex2
+        |  WHERE k NOT IN (SELECT k FROM ck) AND k NOT IN (SELECT k FROM ex_acc1)
+        |), words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM d
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+2], ' ')) > 0
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(shingle), 1, 7) AS BIGINT) AS h1,
+        |    CAST('0x' || substring(md5(shingle), 8, 7) AS BIGINT) AS h2
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, j, min(h1 + j * h2) AS mh
+        |  FROM hashed, UNNEST(range(0, 16)) AS u(j)
+        |  GROUP BY doc_id, j
+        |), sigarr AS (
+        |  SELECT doc_id, array_agg(mh ORDER BY j) AS sig FROM sig GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, sig, b,
+        |    array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ',') AS band_sig
+        |  FROM sigarr, UNNEST(range(0, 4)) AS u(b)
+        |), mh_flag1 AS (
+        |  SELECT DISTINCT i.doc_id FROM banded i JOIN banded c
+        |    ON i.b = c.b AND i.band_sig = c.band_sig
+        |  WHERE i.doc_id % 5 = 0 AND c.doc_id % 5 >= 2
+        |    AND list_sum(list_transform(range(1, 17),
+        |      x -> CASE WHEN i.sig[x] = c.sig[x] THEN 1 ELSE 0 END)) / 16.0 >= 0.3
+        |), mh_acc1 AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM mh_flag1)
+        |), mh_flag2 AS (
+        |  SELECT DISTINCT i.doc_id FROM banded i JOIN banded c
+        |    ON i.b = c.b AND i.band_sig = c.band_sig
+        |  WHERE i.doc_id % 5 = 1
+        |    AND (c.doc_id % 5 >= 2 OR c.doc_id IN (SELECT doc_id FROM mh_acc1))
+        |    AND list_sum(list_transform(range(1, 17),
+        |      x -> CASE WHEN i.sig[x] = c.sig[x] THEN 1 ELSE 0 END)) / 16.0 >= 0.3
+        |), mh_acc2 AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 5 = 1
+        |    AND doc_id NOT IN (SELECT doc_id FROM mh_flag2)
+        |), pp_cp1 AS (
+        |  SELECT para, count(*) AS cn FROM (
+        |    SELECT UNNEST(string_split(text, '. ')) AS para
+        |    FROM d WHERE doc_id % 5 >= 2)
+        |  WHERE trim(para) <> '' GROUP BY para
+        |), pp_p1 AS (
+        |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        |  FROM (SELECT doc_id, string_split(text, '. ') AS ps
+        |        FROM d WHERE doc_id % 5 = 0),
+        |       UNNEST(range(1, len(ps) + 1)) AS u(i)
+        |), pp_j1 AS (
+        |  SELECT p.doc_id, trim(p.para) = '' AS blank,
+        |    coalesce(cp.cn, 0) AS cn,
+        |    count(*) OVER (PARTITION BY p.para) AS bn,
+        |    row_number() OVER (PARTITION BY p.para ORDER BY p.doc_id, p.pos) AS rn
+        |  FROM pp_p1 p LEFT JOIN pp_cp1 cp ON p.para = cp.para
+        |), pp_k1 AS (
+        |  SELECT doc_id, (blank OR cn + bn < 2 OR (cn = 0 AND rn = 1)) AS keep FROM pp_j1
+        |), pp_cp2 AS (
+        |  SELECT para, count(*) AS cn FROM (
+        |    SELECT UNNEST(string_split(text, '. ')) AS para
+        |    FROM d WHERE doc_id % 5 <> 1)
+        |  WHERE trim(para) <> '' GROUP BY para
+        |), pp_p2 AS (
+        |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        |  FROM (SELECT doc_id, string_split(text, '. ') AS ps
+        |        FROM d WHERE doc_id % 5 = 1),
+        |       UNNEST(range(1, len(ps) + 1)) AS u(i)
+        |), pp_j2 AS (
+        |  SELECT p.doc_id, trim(p.para) = '' AS blank,
+        |    coalesce(cp.cn, 0) AS cn,
+        |    count(*) OVER (PARTITION BY p.para) AS bn,
+        |    row_number() OVER (PARTITION BY p.para ORDER BY p.doc_id, p.pos) AS rn
+        |  FROM pp_p2 p LEFT JOIN pp_cp2 cp ON p.para = cp.para
+        |), pp_k2 AS (
+        |  SELECT doc_id, (blank OR cn + bn < 2 OR (cn = 0 AND rn = 1)) AS keep FROM pp_j2
+        |), hm_flag1 AS (
+        |  SELECT DISTINCT i.doc_id FROM documents i JOIN documents c
+        |    ON i.doc_id % 12 = c.doc_id % 12
+        |  WHERE i.doc_id % 60 = 0 AND c.doc_id % 60 = 2
+        |), hm_acc1 AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 60 = 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM hm_flag1)
+        |), hm_flag2 AS (
+        |  SELECT DISTINCT i.doc_id FROM documents i JOIN documents c
+        |    ON i.doc_id % 12 = c.doc_id % 12
+        |  WHERE i.doc_id % 60 = 12
+        |    AND (c.doc_id % 60 = 2 OR c.doc_id IN (SELECT doc_id FROM hm_acc1))
+        |), hm_acc2 AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 60 = 12
+        |    AND doc_id NOT IN (SELECT doc_id FROM hm_flag2)
+        |), b1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id % 5 = 0),
+        |b2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id % 5 = 1),
+        |h1n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id % 60 = 0),
+        |h2n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id % 60 = 12)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INT) AS round, 'exact' AS screen, (SELECT n FROM b1) AS n_in,
+        |    (SELECT n FROM b1) - (SELECT count(*) FROM ex_acc1) AS n_flagged,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ex_acc1) AS n_accepted,
+        |    (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM ex_acc1) AS checksum
+        |  UNION ALL
+        |  SELECT 2, 'exact', (SELECT n FROM b2),
+        |    (SELECT n FROM b2) - (SELECT count(*) FROM ex_acc2),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ex_acc2),
+        |    (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM ex_acc2)
+        |  UNION ALL
+        |  SELECT 1, 'minhash', (SELECT n FROM b1),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM mh_flag1),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM mh_acc1),
+        |    (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM mh_acc1)
+        |  UNION ALL
+        |  SELECT 2, 'minhash', (SELECT n FROM b2),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM mh_flag2),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM mh_acc2),
+        |    (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM mh_acc2)
+        |  UNION ALL
+        |  SELECT 1, 'paragraph', (SELECT n FROM b1),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM pp_k1 WHERE NOT keep),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM pp_k1 WHERE keep),
+        |    (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM pp_k1 WHERE keep)
+        |  UNION ALL
+        |  SELECT 2, 'paragraph', (SELECT n FROM b2),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM pp_k2 WHERE NOT keep),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM pp_k2 WHERE keep),
+        |    (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM pp_k2 WHERE keep)
+        |  UNION ALL
+        |  SELECT 1, 'hamming', (SELECT n FROM h1n),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM hm_flag1),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM hm_acc1),
+        |    (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM hm_acc1)
+        |  UNION ALL
+        |  SELECT 2, 'hamming', (SELECT n FROM h2n),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM hm_flag2),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM hm_acc2),
+        |    (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM hm_acc2)
+        |) ORDER BY round, screen""".stripMargin)),
+
     // --------------------------------- k-anonymity release gate ----------
     // quasi-identifier combinations shared by fewer than k rows are
     // re-identification risks (Sweeney 2002) — the audit a pipeline runs
