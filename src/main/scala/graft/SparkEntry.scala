@@ -75,5 +75,9 @@ object SparkEntry {
     "q1_agg", "q2_join_agg", "q3_topn", "q6_filter", "q21_multi_join_star",
     "q22_sessionize", "q23_selfjoin_shuffle", "td_exact_dedup", "td_minhash_lsh",
     "td_ngram_jaccard", "td_knn_bruteforce", "td_text_quality", "td_lang_id",
-    "td_cosine_neardup_lsh", "td_ann_lsh", "td_hash_sample")
+    "td_cosine_neardup_lsh", "td_ann_lsh", "td_hash_sample",
+    // r13 operator family in the headline so a plan regression in the
+    // round's additions shows in BENCH, not only in specs
+    "td_paragraph_dedup", "td_minhash_rowwise", "td_domain_quota",
+    "td_hamming_clusters")
 }

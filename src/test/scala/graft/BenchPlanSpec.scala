@@ -251,4 +251,68 @@ class BenchPlanSpec extends AnyFunSuite {
       assert(!planOf(n).contains("CartesianProduct"), s"$n plans a cartesian")
     }
   }
+
+  /** Leaf-most id of ANY aggregate flavor (Hash/ObjectHash/Sort — min over
+    * struct plans SortAggregate, collect_list plans ObjectHashAggregate). */
+  private def anyAggId(p: String): Int =
+    "\\((\\d+)\\) \\w*Aggregate".r.findAllMatchIn(p).map(_.group(1).toInt)
+      .minOption.getOrElse(Int.MaxValue)
+
+  test("td_paragraph_dedup: map-side-combined hash stats, no Window over the hash") {
+    val p = planOf("td_paragraph_dedup")
+    // a Window over the paragraph hash would buffer a 10⁹-copy boilerplate
+    // key in ONE task — the stats must stay a combinable aggregate (the
+    // min-over-struct stats plan as SortAggregate, partial below exchange)
+    assert(!p.contains("Window"), "paragraph stats degraded to a window")
+    assert(anyAggId(p) < nodeId(p, "Exchange"), "paragraph stats lost map-side combine")
+    // paras persisted once (stats + verdict probe both read the cache, not
+    // a re-explode of the corpus), verdict table broadcast at this SF
+    assert(p.contains("InMemoryTableScan"), "paragraph paras frame lost its persist barrier")
+    assert(p.contains("BroadcastHashJoin"), "paragraph verdict join stopped broadcasting")
+    // stats groupBy + rebuild groupBy + output sort — nothing else shuffles
+    assert(shuffles(p) <= 4, s"td_paragraph_dedup has ${shuffles(p)} shuffles")
+  }
+
+  test("td_minhash_rowwise: pure projection — no join, no aggregate, one sort shuffle") {
+    val p = planOf("td_minhash_rowwise")
+    // the row-wise signature is one Column expression: any join or
+    // aggregate here means it fell back to the groupBy formulation
+    assert(!p.contains("Join"), "row-wise minhash grew a join")
+    assert(!p.contains("HashAggregate"), "row-wise minhash grew an aggregate")
+    assert(shuffles(p) <= 1, s"td_minhash_rowwise has ${shuffles(p)} shuffles, want ≤1 (sort)")
+  }
+
+  test("td_domain_quota: two-stage salted rank — a mega-domain never sorts in one task") {
+    val p = planOf("td_domain_quota")
+    // exactly two Window nodes: the (domain, salt)-partitioned local
+    // top-cap, then the per-domain rank over the ≤ salts·cap survivors
+    // (WindowGroupLimit nodes are NOT windows — they're the rank-limit
+    // pushdown, asserted separately)
+    val windowIds = "\\((\\d+)\\) Window(?!GroupLimit)".r.findAllMatchIn(p)
+      .map(_.group(1).toInt).toSet
+    assert(windowIds.size == 2, s"quota wants 2 Window stages, got $windowIds")
+    // stage 1 must partition by the SALTED key (pmod of the id hash)
+    assert(p.contains("pmod(xxhash64("), "quota stage 1 lost its salt")
+    // rank ≤ cap pushes into partial WindowGroupLimit BELOW each exchange —
+    // only ~cap rows per (domain, salt) ever shuffle, not the full corpus
+    val wgl = "\\((\\d+)\\) WindowGroupLimit".r.findAllMatchIn(p)
+      .map(_.group(1).toInt).toSet
+    assert(wgl.nonEmpty && wgl.min < nodeId(p, "Exchange"),
+      s"quota lost partial WindowGroupLimit pushdown (ids $wgl)")
+  }
+
+  test("td_hamming_clusters: distinct-hash frame persisted once, broadcast label join") {
+    val p = planOf("td_hamming_clusters")
+    // the distinct-hash reps frame (groupBy hash, map-side combined inside
+    // the cached subtree) is persisted ONCE and re-read by both the band
+    // join and the final label join — the band self-join + bit_count verify
+    // live behind clusters()'s checkpoint-truncated lineage, so what the
+    // final plan must show is: cache scan, not a re-aggregation of raw rows
+    assert(p.contains("InMemoryTableScan"), "hamming reps frame lost its persist barrier")
+    assert(anyAggId(p) < nodeId(p, "Exchange"), "hamming lost map-side combine")
+    // cluster labels are ∝ components — always the broadcast side
+    assert(p.contains("BroadcastHashJoin"), "hamming label join stopped broadcasting")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "hamming degenerated to all-pairs")
+  }
 }
