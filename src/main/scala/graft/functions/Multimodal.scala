@@ -446,10 +446,25 @@ object Multimodal {
   /** Audio perceptual fingerprint (the audio analog of [[imageDHash]], an
     * energy-envelope hash in the Haitsma-Kalker family): decode to PCM
     * through the same conversion chain as [[decodeAudio]], split channel-0
-    * samples into 65 equal windows, bit w = meanAbs(window w+1) >
-    * meanAbs(window w). Adjacent-window comparisons survive level scaling
-    * and re-encoding (any monotone amplitude transform preserves them), so
-    * near-identical clips collide within a few bits — pair with
+    * samples into 65 equal windows (`win = n / 65` frames each, covering
+    * the first `65·win` frames; the `n mod 65`-frame tail is slack), bit w
+    * = meanAbs(window w+1) > meanAbs(window w).
+    *
+    * ROBUSTNESS CONTRACT (property-pinned in MultimodalSpec):
+    *  - INVARIANT under any monotone per-sample amplitude transform —
+    *    level scaling, normalization, lossless re-encode — because only
+    *    adjacent-window ORDER comparisons enter the hash;
+    *  - INVARIANT under END-trim (or end-pad) of up to the tail slack:
+    *    while `n / 65` is unchanged, every window boundary is unchanged
+    *    and the trailing frames were never hashed;
+    *  - NOT offset-robust: a FRONT-trim shifts every window boundary and
+    *    can flip arbitrarily many bits. The fixed equal-split segmentation
+    *    is the right tool for re-encode/level dedup of whole clips; true
+    *    offset matching needs fixed-duration overlapping frames over a
+    *    subband energy spectrum (Haitsma & Kalker 2002) — a decode-heavy
+    *    design this engine would hang on the same mapPartitions seam.
+    *
+    * Near-identical clips therefore collide within a few bits — pair with
     * [[Dedup.hammingClusters]] / [[Curation.audioDedup]] for corpus-level
     * dedup. Scan-shaped: one decode per clip, 8 bytes out, no shuffle.
     * Clips shorter than 65 samples (nothing to compare) and undecodable

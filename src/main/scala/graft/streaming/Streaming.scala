@@ -374,4 +374,64 @@ object Streaming {
     pairs.toDF("__id", "corpus_id", "est_jaccard", tsCol)
       .withColumnRenamed("__id", idCol)
   }
+
+  /** [[nearDupStream]] drained into an emit-ONCE pair sink — the collapse
+    * contract as tested code instead of a doc note. The stream can surface
+    * one pair several times: once per shared band within a batch (bounded
+    * by `bands`), and again on at-least-once REDELIVERY of a doc in a later
+    * batch (the id-guard stops state growth but the redelivered doc still
+    * re-screens). Chaining a streaming dropDuplicates after custom keyed
+    * state trips Spark's global-watermark correctness check, so the
+    * collapse runs in `foreachBatch`:
+    *
+    *  1. `dropDuplicates(idCol, corpus_id)` — multi-band copies inside the
+    *     batch are bit-identical rows; any one survives;
+    *  2. anti-join against the sink's existing (idCol, corpus_id) keys —
+    *     kills cross-batch re-emissions AND makes the append idempotent
+    *     under foreachBatch's replay-after-failure semantics (a replayed
+    *     batch finds its own rows already present and appends nothing).
+    *
+    * Scale shape: the anti-join reads the SINK, which holds near-dup pairs
+    * (∝ duplicates found, orders of magnitude below corpus); a continuous
+    * deployment on a MERGE-capable table replaces step 2 with
+    * insert-if-absent on the pair key — the batch-side logic is identical.
+    * One call = one `AvailableNow` drain; successive calls share
+    * `checkpointDir`, so bucket state and file progress resume exactly. */
+  def nearDupStreamToSink(spark: SparkSession, sourceDir: String,
+                          schema: StructType, sinkDir: String,
+                          checkpointDir: String,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          tsCol: String = "ts",
+                          watermarkDelay: String = "10 minutes",
+                          shingleN: Int = 3, numHashes: Int = 16,
+                          bands: Int = 4, threshold: Double = 0.5,
+                          maxBucketSize: Int = 64,
+                          stateTtlMs: Long = 3600000L): Unit = {
+    val writer: (DataFrame, Long) => Unit = (batch, _) => {
+      val s2 = batch.sparkSession
+      val fresh0 = batch.dropDuplicates(idCol, "corpus_id")
+      val hasSink = {
+        val d = new java.io.File(sinkDir)
+        d.isDirectory && d.listFiles != null &&
+          d.listFiles.exists(_.getName.endsWith(".parquet"))
+      }
+      val fresh =
+        if (hasSink)
+          fresh0.join(
+            s2.read.schema(fresh0.schema).parquet(sinkDir)
+              .select(col(idCol), col("corpus_id")),
+            Seq(idCol, "corpus_id"), "left_anti")
+        else fresh0
+      fresh.write.mode("append").parquet(sinkDir)
+    }
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = nearDupStream(in, textCol, idCol, tsCol, watermarkDelay,
+        shingleN, numHashes, bands, threshold, maxBucketSize, stateTtlMs)
+      .writeStream
+      .foreachBatch(writer)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -331,6 +331,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!short.getBoolean(0), "a 40-sample clip must not fingerprint")
   }
 
+  test("audioFingerprint robustness contract: level-scale and end-trim invariant, front-trim not") {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    def wav(pcm: Array[Short]): Array[Byte] = {
+      val bytes = new Array[Byte](pcm.length * 2)
+      var i = 0
+      while (i < pcm.length) {
+        bytes(i * 2) = (pcm(i) & 0xff).toByte
+        bytes(i * 2 + 1) = ((pcm(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 65 windows × 16 samples of a ±50 amplitude walk (the synthetic
+    // fixture's construction) + 10 SLACK samples past the hashed range
+    val pattern = 0x5a5aa5a5deadbeefL
+    val win = 16
+    val walk = Array.newBuilder[Short]
+    var a = 5000
+    for (w <- 0 until 65) {
+      for (i <- 0 until win) walk += (if (i % 2 == 0) a else -a).toShort
+      if (w < 64) a = if (((pattern >>> w) & 1L) == 1L) a + 50 else a - 50
+    }
+    val slack = Array.fill[Short](10)(1234)
+    val base = walk.result() ++ slack
+    def fp(pcm: Array[Short]): (Boolean, Any) = {
+      val r = Multimodal.audioFingerprint(spark,
+        Seq((1L, wav(pcm))).toDF("media_id", "payload"))
+        .select("afp_ok", "afp").head()
+      (r.getBoolean(0), if (r.isNullAt(1)) null else r.getLong(1))
+    }
+    val (okB, hB) = fp(base)
+    assert(okB && hB == pattern, s"base fingerprint must recover the pattern, got $hB")
+    // monotone amplitude transform (halve every sample): bit-identical
+    assert(fp(base.map(s => (s / 2).toShort)) == ((true, pattern)),
+      "level scaling must not flip a bit")
+    // END-trim within the tail slack: n/65 unchanged → windows unchanged
+    assert(fp(base.dropRight(6)) == ((true, pattern)),
+      "end-trim inside the slack must be exactly invariant")
+    // end-PAD below the next window boundary is the same statement
+    assert(fp(base ++ Array.fill[Short](4)(99)) == ((true, pattern)),
+      "end-pad inside the slack must be exactly invariant")
+    // FRONT-trim shifts every window boundary: outside the contract — the
+    // scaladoc's stated limitation, pinned so it stays stated truthfully
+    val (okF, hF) = fp(base.drop(win))
+    assert(okF && hF != pattern,
+      "front-trim unexpectedly preserved the hash — update the documented contract")
+  }
+
   test("video frame dHash recovers per-frame patterns; failed demux stays visible") {
     val ids = spark.range(0, 10).select(col("id").as("media_id"))
     val mixed = Multimodal.synthesizeDhashAvis(spark, ids, groups = 5)

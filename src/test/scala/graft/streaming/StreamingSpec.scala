@@ -223,6 +223,53 @@ class StreamingSpec extends AnyFunSuite {
       .distinct().count() == pairs.size)
   }
 
+  test("nearDupStreamToSink: exactly one sink row per pair under multi-band hits and redelivery") {
+    val src = SparkTestSession.tmpDir("ndsink_src")
+    val sink = SparkTestSession.tmpDir("ndsink_sink")
+    val chk = SparkTestSession.tmpDir("ndsink_chk")
+    // docs 1 and 2 are EXACT copies: every one of the 8 bands collides, so
+    // the raw stream surfaces pair (2,1) up to 8 times in one batch
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:01:00"),
+        "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, ts("2024-01-01 00:02:00"),
+        "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, ts("2024-01-01 00:03:00"),
+        "completely different corpus text about spark catalyst optimizer internals"))
+      .toDF("doc_id", "ts", "text")
+    b1.write.mode("append").parquet(src)
+    def drain(): Unit = Streaming.nearDupStreamToSink(spark, src, b1.schema,
+      sink, chk, shingleN = 2, numHashes = 16, bands = 8, threshold = 0.3,
+      watermarkDelay = "1 minute")
+    drain()
+    val sinkSchema = "doc_id string, corpus_id string, est_jaccard double, ts timestamp"
+    def sinkRows() = spark.read.schema(sinkSchema).parquet(sink)
+      .select("doc_id", "corpus_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // multi-band collapse: ONE row for the 8-band pair, nothing else
+    assert(sinkRows() == Seq(("2", "1")), sinkRows().mkString(","))
+    // at-least-once REDELIVERY of doc 2 in a later batch: it re-screens
+    // against stored doc 1 and would re-emit (2,1) — the sink anti-join
+    // must drop it; the id-guard keeps it out of state, so no (1,2) either
+    Seq((2L, ts("2024-01-01 00:09:00"),
+        "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(src)
+    drain()
+    assert(sinkRows() == Seq(("2", "1")),
+      s"redelivery duplicated a sink pair: ${sinkRows()}")
+    // a genuinely new near-dup in a third batch still lands exactly once
+    Seq((9L, ts("2024-01-01 00:15:00"),
+        "the quick brown fox jumps over the lazy dog near the river shore"))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(src)
+    drain()
+    val after = sinkRows().toSet
+    assert(after.contains(("9", "1")) && after.contains(("9", "2")),
+      s"new near-dup missed: $after")
+    assert(sinkRows().size == after.size, "sink grew duplicate pair rows")
+  }
+
   test("mergeStream upserts micro-batches into a managed table by key") {
     val src = SparkTestSession.tmpDir("ms_src")
     val chk = SparkTestSession.tmpDir("ms_chk")
