@@ -90,20 +90,15 @@ object Dedup {
   /** Incremental (cross-batch) exact dedup — the ingest shape: an incoming
     * batch is kept only where its content key appears in neither the
     * existing corpus NOR earlier in the batch itself (within-batch ties keep
-    * the smallest id). At 100 TB the corpus side reduces to its distinct
-    * key set before the anti-join, so the shuffle carries keys, not
-    * documents, and successive ingests pay ∝ batch + |corpus keys| — never
-    * a corpus rescan per document. */
+    * the smallest id). One implementation of the screen semantics: this is
+    * [[incrementalExactKeys]] over the corpus's inline [[contentKeys]] —
+    * at 100 TB the corpus reduces to its key set and is then only SCANNED
+    * (broadcast batch probe); steady-state loops store the key table and
+    * call [[incrementalExactKeys]] directly, paying zero corpus passes. */
   def incrementalExact(corpus: DataFrame, incoming: DataFrame,
                        textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
-    val seen = corpus
-      .select(TextFunctions.contentKey(col(textCol)).as("__key")).distinct()
-    incoming.withColumn("__key", TextFunctions.contentKey(col(textCol)))
-      .groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
-      .join(seen, Seq("__key"), "left_anti")
-      .drop("__key")
-  }
+                       idCol: String = "doc_id"): DataFrame =
+    incrementalExactKeys(contentKeys(corpus, textCol), incoming, textCol, idCol)
 
   /** The persisted-corpus side of steady-state EXACT dedup — the key-table
     * form of [[incrementalExact]]'s internal `seen` set: one row per

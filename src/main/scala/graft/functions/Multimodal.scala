@@ -451,9 +451,14 @@ object Multimodal {
     * = meanAbs(window w+1) > meanAbs(window w).
     *
     * ROBUSTNESS CONTRACT (property-pinned in MultimodalSpec):
-    *  - INVARIANT under any monotone per-sample amplitude transform —
-    *    level scaling, normalization, lossless re-encode — because only
-    *    adjacent-window ORDER comparisons enter the hash;
+    *  - INVARIANT under positive LINEAR gain (level scaling / peak
+    *    normalization) and bit-exact re-encodes: scaling every sample by
+    *    c > 0 scales every window SUM by c, preserving the strict
+    *    comparisons — up to integer rounding ties on windows whose sums
+    *    are nearly equal. NOT invariant under non-linear monotone
+    *    companding (mu-law-style curves): the hash compares window sums
+    *    of |sample|, and a monotone PER-SAMPLE map can reorder sums
+    *    (f(10)+f(0) vs f(6)+f(5) need not follow 10+0 < 6+5);
     *  - INVARIANT under END-trim (or end-pad) of up to the tail slack:
     *    while `n / 65` is unchanged, every window boundary is unchanged
     *    and the trailing frames were never hashed;

@@ -31,21 +31,34 @@ object PublicSuffixList {
 
   private def labelCount(rule: String): Int = rule.count(_ == '.') + 1
 
-  /** Parse PSL-format text into [[Rules]]. Rules are lowercased (hosts are
-    * lowercased by [[Web.urlHost]] before lookup). */
+  /** A rule in host form: lowercased AND ACE-encoded (punycode). The real
+    * upstream list stores IDN rules as Unicode (`中国`, `рф`), while crawl
+    * hosts arrive ASCII-compatible-encoded (`xn--fiqs8s`) — without this
+    * fold every IDN registry rule would silently never match and its
+    * registrants would collapse under the implicit `*` rule. Labels that
+    * fail IDN conversion keep their lowercase form. */
+  private def ace(rule: String): String =
+    try java.net.IDN.toASCII(rule).toLowerCase(java.util.Locale.ROOT)
+    catch { case _: Exception => rule }
+
+  /** Parse PSL-format text into [[Rules]]. Rules are lowercased and
+    * ACE-encoded ([[ace]]) to match [[Web.urlHost]]'s output form. */
   def parse(text: String): Rules = {
     val lines = text.linesIterator
       .map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("//"))
       .map(_.toLowerCase(java.util.Locale.ROOT))
       .toVector
+    // strip the rule-kind markers BEFORE ACE-encoding: IDN.toASCII rejects
+    // '!' and '*' characters, so encoding first would leave exactly the
+    // Unicode wildcard/exception rules un-encoded
     val (exc, rest) = lines.partition(_.startsWith("!"))
     val (wild, exact) = rest.partition(_.startsWith("*."))
     Rules(
-      exactByLen = exact.groupBy(labelCount).map { case (k, v) => k -> v.toSet },
-      wildcardBasesByLen = wild.map(_.stripPrefix("*."))
+      exactByLen = exact.map(ace).groupBy(labelCount).map { case (k, v) => k -> v.toSet },
+      wildcardBasesByLen = wild.map(w => ace(w.stripPrefix("*.")))
         .groupBy(labelCount).map { case (k, v) => k -> v.toSet },
-      exceptionsByLen = exc.map(_.stripPrefix("!"))
+      exceptionsByLen = exc.map(e => ace(e.stripPrefix("!")))
         .groupBy(labelCount).map { case (k, v) => k -> v.toSet })
   }
 

@@ -193,17 +193,39 @@ object Similarity {
                            nBands: Int = 1,
                            maxBucketSize: Option[Int] = None,
                            broadcastIncoming: Boolean = true): DataFrame = {
-    val incB0 = incoming.select(col(idCol), col(vecCol).as("__ivec"),
+    val incB0raw = incoming.select(col(idCol), col(vecCol).as("__ivec"),
       explode(bucketKeyArray(col(vecCol), nPlanes, nBands)).as("__bkey"))
+    // the capped broadcast arm references the batch buckets twice (probe
+    // set + screen join); an eager-free localCheckpoint (∝ batch) keeps the
+    // hyperplane hashing evaluated once — the [[Dedup.incrementalHamming]]
+    // convention
+    val incB0 = if (broadcastIncoming && maxBucketSize.isDefined)
+      incB0raw.localCheckpoint() else incB0raw
     val incB = if (broadcastIncoming) broadcast(incB0) else incB0
     // one stored row per vector ([[cosineBuckets]]) → per-band rows in-task
     val corp0 = corpusBuckets.select(col(idCol).as("corpus_id"),
       col(vecCol).as("__cvec"), explode(col("bucket_keys")).as("__bkey"))
-    val corp = maxBucketSize.fold(corp0) { cap =>
-      val hot = corp0.groupBy(col("__bkey"))
+    def dropHot(banded: DataFrame, cap: Int): DataFrame = {
+      val hot = banded.groupBy(col("__bkey"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
         .select(col("__bkey"))
-      corp0.join(broadcast(hot), Seq("__bkey"), "left_anti")
+      banded.join(broadcast(hot), Seq("__bkey"), "left_anti")
+    }
+    // keep the one-corpus-scan contract on the capped path too: restrict
+    // the scan to the buckets the batch actually probes FIRST (semi-join
+    // against the broadcast batch-bucket set — the probed postings are
+    // ∝ collisions), then count/cap over THAT. A bucket's postings are
+    // either all probed or none, so per-bucket counts — and the cap
+    // verdict — are identical to counting the full table, without the
+    // corpus-proportional aggregate-and-rescan the naive form pays
+    val corp = (broadcastIncoming, maxBucketSize) match {
+      case (true, Some(cap)) =>
+        val probed = corp0.join(
+            broadcast(incB0.select(col("__bkey")).distinct()), Seq("__bkey"))
+          .localCheckpoint() // read twice (hot count + anti); ∝ collisions
+        dropHot(probed, cap)
+      case (true, None) => corp0
+      case (false, cap) => cap.fold(corp0)(dropHot(corp0, _))
     }
     corp.join(incB, Seq("__bkey"))
       .withColumn("cos", round(cosine(col("__ivec"), col("__cvec")), 4))

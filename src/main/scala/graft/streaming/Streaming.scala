@@ -410,10 +410,15 @@ object Streaming {
     val writer: (DataFrame, Long) => Unit = (batch, _) => {
       val s2 = batch.sparkSession
       val fresh0 = batch.dropDuplicates(idCol, "corpus_id")
+      // Hadoop FileSystem probe, NOT java.io.File: the sink can be any
+      // hadoop-compatible URI (hdfs://, s3a://, file:/) — a local-File
+      // probe would silently report "no sink" there and skip the
+      // anti-join, breaking the emit-once contract exactly where the
+      // module promises nothing is local-mode-only
       val hasSink = {
-        val d = new java.io.File(sinkDir)
-        d.isDirectory && d.listFiles != null &&
-          d.listFiles.exists(_.getName.endsWith(".parquet"))
+        val p = new org.apache.hadoop.fs.Path(sinkDir)
+        val fs = p.getFileSystem(s2.sparkContext.hadoopConfiguration)
+        fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
       }
       val fresh =
         if (hasSink)

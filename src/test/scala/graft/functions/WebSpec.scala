@@ -110,6 +110,21 @@ class WebSpec extends AnyFunSuite {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("IDN rules: Unicode PSL entries match punycode hosts after ACE folding") {
+    // the upstream list stores IDN rules as Unicode (中国, рф) while
+    // urlHost yields ACE-encoded hosts — the parser must fold rules to
+    // host form or every IDN registrant collapses under the implicit *
+    val r = PublicSuffixList.parse("中国\n*.рф\n!пример.рф\ncom")
+    assert(r.exactByLen(1).contains("xn--fiqs8s"), r.exactByLen(1).toString)
+    assert(r.wildcardBasesByLen(1).contains("xn--p1ai"))
+    assert(r.exceptionsByLen(2).exists(_.endsWith(".xn--p1ai")))
+    // and through the shipped fixture: a punycode Russian-TLD host
+    // registers at its second label, not the implicit-* fallback
+    val got = Seq("sub.site.xn--p1ai", "news.xn--fiqs8s").toDF("h")
+      .select(Web.registeredDomain(col("h"))).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("site.xn--p1ai", "news.xn--fiqs8s"), got.toString)
+  }
+
   test("PSL vs subset fallback: quota grouping over a github.io corpus differs") {
     // 30 docs across 10 distinct github.io sites: under the PSL each site is
     // its own registered domain (cap never binds at 5); under the pre-PSL
