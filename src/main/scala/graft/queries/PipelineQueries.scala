@@ -1358,6 +1358,63 @@ object PipelineQueries {
         |    ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // SimHash joins the steady-state ingest family BY COMPOSITION: the
+    // stored table is (doc_id, simhash) — 8 bytes per doc — and the screen
+    // is incrementalHamming over it (batch hashed once, corpus table
+    // scanned once with the broadcast batch probe). bands=8 > maxDist=6,
+    // so banded recall is COMPLETE within the radius (pigeonhole) and the
+    // oracle replays the exact distance predicate with no banding — any
+    // missed pair is a real recall bug, not an approximation artifact.
+    // Every 9th-ish doc carries one of 4 shared twin texts so cross-batch
+    // collisions exist by construction at any scale factor.
+    "td_incremental_simhash" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 9 === 5,
+          concat(lit("simhash twin "), col("doc_id") % 4))
+          .otherwise(col("text")).as("text"))
+      // hashed ONCE, then sliced per role (the stored-table semantics);
+      // eager checkpoint so the 60-bit vote aggregation never re-runs
+      val sims = Dedup.simhash(docs, shingleN = 2).localCheckpoint(true)
+      Dedup.incrementalHamming(
+          sims.filter(col("doc_id") % 5 =!= 0),
+          sims.filter(col("doc_id") % 5 === 0),
+          hashCol = "simhash", idCol = "doc_id")
+        .orderBy(col("doc_id"), col("corpus_id"))
+    }, Some(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 5 THEN 'simhash twin ' || CAST(doc_id % 4 AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents
+        |), words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM d
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS shingle
+        |  FROM words, UNNEST(range(1, greatest(len(ws) - 1, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(ws[i:i+1], ' ')) > 0
+        |), hashed AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+        |  FROM sh
+        |), bits AS (
+        |  SELECT doc_id, i AS bit,
+        |    sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hashed, UNNEST(range(0, 60)) AS u(i)
+        |  GROUP BY doc_id, i
+        |), sim AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+        |      ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT i.doc_id AS doc_id, c.doc_id AS corpus_id,
+        |  CAST(bit_count(xor(i.simhash, c.simhash)) AS INT) AS dist
+        |FROM sim i JOIN sim c ON i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+        |WHERE bit_count(xor(i.simhash, c.simhash)) <= 6
+        |ORDER BY i.doc_id, corpus_id""".stripMargin)),
+
     // ------------------------------------------ similarity search --------
     "td_knn_bruteforce" -> Entry((s, dir) => {
       val emb = t(s, dir, "embeddings")
