@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction for web-crawl curation (the WET-style extract
+  * stage that precedes everything in [[Web]]: raw crawl HTML must become
+  * text BEFORE paragraph dedup, quality scoring, or quota sampling can
+  * run). The reference engine has no analog — it ingests tables, not
+  * crawls — but a training-data pipeline at 100 TB starts from WARC/HTML,
+  * so the extract stage is first-class here.
+  *
+  * Everything is a chain of `regexp_replace`/`regexp_extract` string
+  * expressions — pure whole-stage-codegen Columns, no UDF, no DOM object
+  * per row, scan-shaped at any scale. The patterns deliberately stay
+  * inside the regex subset with identical semantics in Java regex and
+  * RE2 (inline `(?is)` flags, lazy `.*?`, character classes, no
+  * backreferences or lookaround), so an engine-independent oracle can
+  * replay the extraction verbatim.
+  *
+  * This is structural extraction, not readability scoring: script/style/
+  * head content and comments are dropped, block boundaries become
+  * newlines, inline markup unwraps, entities decode, whitespace
+  * normalizes. Boilerplate REMOVAL (nav/footer link soup) composes
+  * downstream: [[TextFunctions.segmentFilter]] on the extracted text and
+  * [[Dedup.paragraphDedup]] across the corpus are the CCNet/RefinedWeb
+  * answer to boilerplate, and they already exist as operators.
+  *
+  * Contract edges (documented, spec-pinned): an UNCLOSED `<script>` /
+  * `<style>` / `<head>` leaks its content as text (the lazy
+  * container-match needs the closing tag; a truncated crawl record
+  * degrades to noisy text rather than losing the document), and CDATA
+  * sections are treated as markup-free text.
+  */
+object Html {
+
+  /** Decode the named entities that dominate real crawl text (plus the
+    * numeric apostrophe `&#39;`). `&amp;` decodes LAST, so double-escaped
+    * text behaves like a browser: `&amp;lt;` → the literal string `&lt;`
+    * (its leading `&` is followed by `a`, which blocks every inner rule
+    * until the final pass). Non-regex `replace` — cheapest possible
+    * codegen. Numeric references beyond `&#39;` pass through unchanged. */
+  def decodeEntities(s: Column): Column =
+    replace(replace(replace(replace(replace(replace(s,
+      lit("&nbsp;"), lit(" ")),
+      lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")),
+      lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+
+  /** Block-level elements whose tags (open or close) become a newline —
+    * the paragraph boundaries [[Dedup.paragraphDedup]] keys on. */
+  val blockTagPattern: String =
+    "(?i)</?(p|div|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|section|" +
+      "article|header|footer|nav|aside|pre|br|hr|form)\\b[^>]*>"
+
+  /** Main-text extraction: comments and `<head>`/`<script>`/`<style>`/
+    * `<noscript>` containers drop (content and all), block tags become
+    * line breaks, remaining (inline) tags unwrap to nothing — `bo<b>ld</b>`
+    * stays `bold` — entities decode, and whitespace canonicalizes
+    * (CR/TAB/FF/NBSP → space, space runs collapse, lines trim, newline
+    * runs collapse to ONE — WET-style one-line-per-block, exactly the
+    * shape [[Dedup.paragraphDedup]] and [[TextFunctions.segmentFilter]]
+    * split on — ends trim). Null in → null out. */
+  def extractText(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", "")
+    val noHead = regexp_replace(noComments, "(?is)<head\\b[^>]*>.*?</head>", "")
+    val noScript = regexp_replace(noHead, "(?is)<script\\b[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", "")
+    val noNos = regexp_replace(noStyle, "(?is)<noscript\\b[^>]*>.*?</noscript>", "")
+    val blocks = regexp_replace(noNos, blockTagPattern, "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", "")
+    val decoded = decodeEntities(noTags)
+    val sp = regexp_replace(decoded, "[\\t\\r\\f\\x{00A0}]", " ")
+    val one = regexp_replace(sp, " {2,}", " ")
+    val lines = regexp_replace(one, " *\\n *", "\n")
+    val para = regexp_replace(lines, "\\n{2,}", "\n")
+    regexp_replace(para, "^[\\n ]+|[\\n ]+$", "")
+  }
+
+  /** The document title: first `<title>` element's text, entity-decoded
+    * and whitespace-collapsed. Empty string when absent (regexp_extract's
+    * no-match value in Spark and DuckDB alike — keeping '' rather than
+    * null makes the column safe to group on). */
+  def extractTitle(html: Column): Column =
+    trim(regexp_replace(
+      decodeEntities(regexp_extract(html, "(?is)<title\\b[^>]*>(.*?)</title>", 1)),
+      "\\s+", " "))
+
+  /** All `href` targets of `<a>` tags, in document order, as
+    * `array<string>` — the out-link frontier. Raw attribute values:
+    * feed them [[Web.urlNormalize]] / [[Web.registeredDomain]] to build
+    * link graphs or crawl frontiers (that composition is the point —
+    * extraction yields URLs in exactly the shape the URL operators eat).
+    * Quoted attributes only (both quote styles); an unquoted bare href
+    * is vanishingly rare in real markup and parses as no match. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
+}

@@ -108,6 +108,51 @@ object PipelineQueries {
       |         WHEN doc_id % 3 = 1 THEN '?z=9&ref=tw' ELSE '' END ||
       |    CASE WHEN doc_id % 4 = 0 THEN '#Sec2' ELSE '' END""".stripMargin
 
+  /** Deterministic crawl-HTML fixture for the extraction oracle: wraps
+    * each document's text in a full page exercising every
+    * [[graft.functions.Html]] rule — head/title/style containers, a
+    * comment, a script whose body contains `<` `>` `&&` and quotes,
+    * named + numeric + double-escaped entities, NBSP, uppercase and
+    * attribute-bearing tags, mid-word inline markup, an empty block, and
+    * two `<a href>` links in both quote styles. [[synthHtmlSql]] is the
+    * DuckDB twin (same arithmetic, same pieces). */
+  private def synthHtml(id: org.apache.spark.sql.Column,
+                        text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("<!DOCTYPE html>\n<html>\n<head><title> Doc "), id,
+      lit(" &amp; Co </title><style>p { margin: 0; }</style></head>\n<body>\n"),
+      lit("<!-- crawl "), id, lit(" -->\n"),
+      lit("<script type=\"text/javascript\">if (a < b && n > "), id % 7,
+      lit(") track(\"x\");</script>\n"),
+      lit("<H1 class=\"hd\">Heading "), id % 7, lit("</H1>\n"),
+      lit("<p>"), text, lit("</p>\n"),
+      lit("<p>Tip&nbsp;"), id % 5,
+      lit(": 1 &lt; 2 &amp; 3 &gt; 2, &quot;ok&#39;s&quot;, use &amp;lt; to escape.</p>\n"),
+      lit("<div></div><ul><li>alpha "), id % 4, lit("</li><li>be<b>ta</b></li></ul>\n"),
+      lit("<a href=\"HTTP://Example.com:80/p"), id % 7,
+      lit("?utm_source=x&page="), id % 5, lit("#f\">more</a><br>\n"),
+      lit("<a class='m' href='https://ref"), id % 3, lit(".example.org/a/'>src</a>\n"),
+      lit("</body></html>"))
+
+  private val synthHtmlSql: String =
+    """'<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) ||
+      |    '<head><title> Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    ' &amp; Co </title><style>p { margin: 0; }</style></head>' || chr(10) ||
+      |    '<body>' || chr(10) ||
+      |    '<!-- crawl ' || CAST(doc_id AS VARCHAR) || ' -->' || chr(10) ||
+      |    '<script type="text/javascript">if (a < b && n > ' ||
+      |    CAST(doc_id % 7 AS VARCHAR) || ') track("x");</script>' || chr(10) ||
+      |    '<H1 class="hd">Heading ' || CAST(doc_id % 7 AS VARCHAR) || '</H1>' || chr(10) ||
+      |    '<p>' || text || '</p>' || chr(10) ||
+      |    '<p>Tip&nbsp;' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    ': 1 &lt; 2 &amp; 3 &gt; 2, &quot;ok&#39;s&quot;, use &amp;lt; to escape.</p>' || chr(10) ||
+      |    '<div></div><ul><li>alpha ' || CAST(doc_id % 4 AS VARCHAR) ||
+      |    '</li><li>be<b>ta</b></li></ul>' || chr(10) ||
+      |    '<a href="HTTP://Example.com:80/p' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '?utm_source=x&page=' || CAST(doc_id % 5 AS VARCHAR) || '#f">more</a><br>' || chr(10) ||
+      |    '<a class=''m'' href=''https://ref' || CAST(doc_id % 3 AS VARCHAR) ||
+      |    '.example.org/a/''>src</a>' || chr(10) || '</body></html>'""".stripMargin
+
   val entries: Map[String, Entry] = Map(
 
     // -------------------------------------------------- exact dedup ------
@@ -1330,6 +1375,52 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY domain ORDER BY n_kept DESC, doc_id) AS rn
          |  FROM scored
          |) WHERE rn <= 20 ORDER BY doc_id""".stripMargin)),
+
+    // HTML → text extraction (the WET-style stage that PRECEDES the web
+    // pipeline: crawls arrive as markup, not text). Each document wraps in
+    // the deterministic synthHtml page and the oracle replays the whole
+    // extraction — container drops, block boundaries, inline unwrap,
+    // entity decode incl. double-escapes, whitespace canonicalization,
+    // title, and raw href capture — verbatim in DuckDB: the pattern set
+    // deliberately stays in the Java-regex ∩ RE2 subset so one regex text
+    // drives both engines.
+    "td_html_extract" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+      docs.select(col("doc_id"),
+          graft.functions.Html.extractTitle(col("html")).as("title"),
+          graft.functions.Html.extractText(col("html")).as("text"),
+          graft.functions.Html.extractLinks(col("html")).as("links"))
+        .withColumn("n_links", size(col("links")))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH h AS (
+         |  SELECT doc_id, $synthHtmlSql AS html
+         |  FROM documents
+         |), c1 AS (SELECT doc_id, html, regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS x FROM h),
+         |c2 AS (SELECT doc_id, html, regexp_replace(x, '(?is)<head\\b[^>]*>.*?</head>', '', 'g') AS x FROM c1),
+         |c3 AS (SELECT doc_id, html, regexp_replace(x, '(?is)<script\\b[^>]*>.*?</script>', '', 'g') AS x FROM c2),
+         |c4 AS (SELECT doc_id, html, regexp_replace(x, '(?is)<style\\b[^>]*>.*?</style>', '', 'g') AS x FROM c3),
+         |c5 AS (SELECT doc_id, html, regexp_replace(x, '(?is)<noscript\\b[^>]*>.*?</noscript>', '', 'g') AS x FROM c4),
+         |c6 AS (SELECT doc_id, html, regexp_replace(x, '(?i)</?(p|div|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|section|article|header|footer|nav|aside|pre|br|hr|form)\\b[^>]*>', chr(10), 'g') AS x FROM c5),
+         |c7 AS (SELECT doc_id, html, regexp_replace(x, '(?s)<[^>]*>', '', 'g') AS x FROM c6),
+         |c8 AS (SELECT doc_id, html, replace(replace(replace(replace(replace(replace(x,
+         |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS x FROM c7),
+         |c9 AS (SELECT doc_id, html, regexp_replace(x, '[\\t\\r\\f\\x{00A0}]', ' ', 'g') AS x FROM c8),
+         |c10 AS (SELECT doc_id, html, regexp_replace(x, ' {2,}', ' ', 'g') AS x FROM c9),
+         |c11 AS (SELECT doc_id, html, regexp_replace(x, ' *\\n *', chr(10), 'g') AS x FROM c10),
+         |c12 AS (SELECT doc_id, html, regexp_replace(x, '\\n{2,}', chr(10), 'g') AS x FROM c11),
+         |c13 AS (SELECT doc_id, html, regexp_replace(x, '^[\\n ]+|[\\n ]+$$', '', 'g') AS x FROM c12)
+         |SELECT doc_id,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_extract(html, '(?is)<title\\b[^>]*>(.*?)</title>', 1),
+         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS title,
+         |  x AS text,
+         |  regexp_extract_all(html, '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1) AS links,
+         |  CAST(len(regexp_extract_all(html, '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1)) AS INT) AS n_links
+         |FROM c13 ORDER BY doc_id""".stripMargin)),
 
     "td_simhash" -> Entry((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), shingleN = 2)

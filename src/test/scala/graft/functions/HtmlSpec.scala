@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class HtmlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def text(html: String): String =
+    Seq(html).toDF("h").select(Html.extractText(col("h"))).head.getString(0)
+  private def title(html: String): String =
+    Seq(html).toDF("h").select(Html.extractTitle(col("h"))).head.getString(0)
+  private def links(html: String): Seq[String] =
+    Seq(html).toDF("h").select(Html.extractLinks(col("h")))
+      .head.getSeq[String](0)
+
+  test("extractText: full document — head/script/style/comments drop, blocks break") {
+    val html =
+      """<!DOCTYPE html>
+        |<html>
+        |<head><title>The Title</title><style>body { color: red; }</style>
+        |<meta charset="utf-8"></head>
+        |<body>
+        |<!-- nav comes from a template -->
+        |<script type="text/javascript">if (a < b && c > 2) { go("x"); }</script>
+        |<h1>Heading</h1>
+        |<p>First para with <b>bold</b> and <i>italics</i>.</p>
+        |<p>Second&nbsp;para &amp; entities: 3 &lt; 5 &gt; 1, &quot;q&#39;s&quot;.</p>
+        |<ul><li>one</li><li>two</li></ul>
+        |<noscript>enable js</noscript>
+        |</body></html>""".stripMargin
+    assert(text(html) ==
+      """Heading
+        |First para with bold and italics.
+        |Second para & entities: 3 < 5 > 1, "q's".
+        |one
+        |two""".stripMargin)
+  }
+
+  test("extractText: inline tags unwrap without inserting spaces") {
+    assert(text("<body>bo<b>ld</b> and <span class=\"x\">span</span>ish</body>") ==
+      "bold and spanish")
+  }
+
+  test("extractText: whitespace canonicalization — CR/TAB/NBSP, runs, blank lines") {
+    val html = "<div>a\t\tb\r\n c d</div><div></div><div></div><div>e</div>"
+    // tags → line boundaries; empty divs leave newline runs that collapse
+    assert(text(html) == "a b\nc d\ne")
+  }
+
+  test("extractText: double-escaped entities decode one level like a browser") {
+    assert(text("<p>use &amp;lt; to write &lt;</p>") == "use &lt; to write <")
+  }
+
+  test("extractText: case-insensitive tags, attributes with > inside quotes are out of contract") {
+    assert(text("<P CLASS='big'>Hi</P><BR>there") == "Hi\nthere")
+  }
+
+  test("extractText: unclosed script leaks as text (truncated-crawl contract)") {
+    val t = text("<p>keep</p><script>var x = 1;")
+    assert(t.contains("keep") && t.contains("var x = 1;"))
+  }
+
+  test("extractText: null in, null out; markup-free text passes through") {
+    val df = Seq[(Integer, String)]((1, null), (2, "plain  text"))
+      .toDF("id", "h").select(Html.extractText(col("h")).as("t"))
+    val rows = df.collect().map(r => Option(r.getString(0)))
+    assert(rows.toSeq == Seq(None, Some("plain text")))
+  }
+
+  test("extractTitle: entity-decoded, collapsed; empty when absent") {
+    assert(title("<head><title>  A &amp;\n B </title></head>") == "A & B")
+    assert(title("<TITLE lang='en'>Upper</TITLE>") == "Upper")
+    assert(title("<body>no title</body>") == "")
+  }
+
+  test("extractLinks: both quote styles, document order, composes with urlNormalize") {
+    val html =
+      """<a href="HTTP://Example.com:80/p?utm_source=x&page=2#f">one</a>
+        |<a class='m' HREF='https://news.site.org/a/'>two</a>
+        |<a name="anchor-no-href">three</a>""".stripMargin
+    assert(links(html) ==
+      Seq("HTTP://Example.com:80/p?utm_source=x&page=2#f", "https://news.site.org/a/"))
+    val normed = Seq(html).toDF("h")
+      .select(explode(Html.extractLinks(col("h"))).as("u"))
+      .select(Web.urlNormalize(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(normed == Seq("http://example.com/p?page=2", "https://news.site.org/a"))
+  }
+
+  test("extraction stays whole-stage codegen (no UDF in the plan)") {
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold a
+    // literal-backed LocalTableScan and leave no codegen node to assert on
+    val df = spark.range(4)
+      .select(concat(lit("<p>x"), col("id"), lit("</p>")).as("h"))
+      .select(Html.extractText(col("h")), Html.extractTitle(col("h")),
+        Html.extractLinks(col("h")))
+    // "*(1) Project" = the projection lives inside whole-stage-codegen
+    // stage 1 (the simpleString star notation); no UDF/eval node anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"))
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("udf"))
+  }
+}
