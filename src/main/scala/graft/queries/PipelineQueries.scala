@@ -131,7 +131,7 @@ object PipelineQueries {
       lit("<div></div><ul><li>alpha "), id % 4, lit("</li><li>be<b>ta</b></li></ul>\n"),
       lit("<a href=\"HTTP://Example.com:80/p"), id % 7,
       lit("?utm_source=x&page="), id % 5, lit("#f\">more</a><br>\n"),
-      lit("<a class='m' href='https://ref"), id % 3, lit(".example.org/a/'>src</a>\n"),
+      lit("<a class='m' href='https://ref.example"), id % 3, lit(".org/a/'>src</a>\n"),
       lit("</body></html>"))
 
   private val synthHtmlSql: String =
@@ -150,8 +150,40 @@ object PipelineQueries {
       |    '</li><li>be<b>ta</b></li></ul>' || chr(10) ||
       |    '<a href="HTTP://Example.com:80/p' || CAST(doc_id % 7 AS VARCHAR) ||
       |    '?utm_source=x&page=' || CAST(doc_id % 5 AS VARCHAR) || '#f">more</a><br>' || chr(10) ||
-      |    '<a class=''m'' href=''https://ref' || CAST(doc_id % 3 AS VARCHAR) ||
-      |    '.example.org/a/''>src</a>' || chr(10) || '</body></html>'""".stripMargin
+      |    '<a class=''m'' href=''https://ref.example' || CAST(doc_id % 3 AS VARCHAR) ||
+      |    '.org/a/''>src</a>' || chr(10) || '</body></html>'""".stripMargin
+
+  /** DuckDB replay of [[graft.functions.Html.extractText]] as a CTE chain
+    * (reads CTE `h(doc_id, html, …)`, yields `c13(…, x)` = extracted text;
+    * `html` rides along for the title/link extractors). One regex text
+    * drives both engines — the patterns live in the Java-regex ∩ RE2
+    * subset. Shared by td_html_extract and td_crawl_pipeline. */
+  private val htmlExtractCtesSql: String =
+    """c1 AS (SELECT *, regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS x0 FROM h),
+      |c2 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<head\b[^>]*>.*?</head>', '', 'g') AS x0 FROM c1),
+      |c3 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS x0 FROM c2),
+      |c4 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS x0 FROM c3),
+      |c5 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g') AS x0 FROM c4),
+      |c6 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?i)</?(p|div|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|section|article|header|footer|nav|aside|pre|br|hr|form)\b[^>]*>', chr(10), 'g') AS x0 FROM c5),
+      |c7 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?s)<[^>]*>', '', 'g') AS x0 FROM c6),
+      |c8 AS (SELECT * EXCLUDE (x0), replace(replace(replace(replace(replace(replace(x0,
+      |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS x0 FROM c7),
+      |c9 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '[\t\r\f\x{00A0}]', ' ', 'g') AS x0 FROM c8),
+      |c10 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, ' {2,}', ' ', 'g') AS x0 FROM c9),
+      |c11 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, ' *\n *', chr(10), 'g') AS x0 FROM c10),
+      |c12 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '\n{2,}', chr(10), 'g') AS x0 FROM c11),
+      |c13 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '^[\n ]+|[\n ]+$', '', 'g') AS x FROM c12)""".stripMargin
+
+  /** DuckDB replay of [[graft.functions.Html.extractTitle]] /
+    * [[graft.functions.Html.extractLinks]] over a column named `html`. */
+  private val htmlTitleSql: String =
+    """trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_extract(html, '(?is)<title\b[^>]*>(.*?)</title>', 1),
+      |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      |    '\s+', ' ', 'g'))""".stripMargin
+  private val htmlLinksSql: String =
+    """regexp_extract_all(html, '(?is)<a\b[^>]*\bhref\s*=\s*["'']([^"'']*)["'']', 1)""".stripMargin
 
   val entries: Map[String, Entry] = Map(
 
@@ -1397,30 +1429,70 @@ object PipelineQueries {
       s"""WITH h AS (
          |  SELECT doc_id, $synthHtmlSql AS html
          |  FROM documents
-         |), c1 AS (SELECT doc_id, html, regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS x FROM h),
-         |c2 AS (SELECT doc_id, html, regexp_replace(x, '(?is)<head\\b[^>]*>.*?</head>', '', 'g') AS x FROM c1),
-         |c3 AS (SELECT doc_id, html, regexp_replace(x, '(?is)<script\\b[^>]*>.*?</script>', '', 'g') AS x FROM c2),
-         |c4 AS (SELECT doc_id, html, regexp_replace(x, '(?is)<style\\b[^>]*>.*?</style>', '', 'g') AS x FROM c3),
-         |c5 AS (SELECT doc_id, html, regexp_replace(x, '(?is)<noscript\\b[^>]*>.*?</noscript>', '', 'g') AS x FROM c4),
-         |c6 AS (SELECT doc_id, html, regexp_replace(x, '(?i)</?(p|div|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|section|article|header|footer|nav|aside|pre|br|hr|form)\\b[^>]*>', chr(10), 'g') AS x FROM c5),
-         |c7 AS (SELECT doc_id, html, regexp_replace(x, '(?s)<[^>]*>', '', 'g') AS x FROM c6),
-         |c8 AS (SELECT doc_id, html, replace(replace(replace(replace(replace(replace(x,
-         |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS x FROM c7),
-         |c9 AS (SELECT doc_id, html, regexp_replace(x, '[\\t\\r\\f\\x{00A0}]', ' ', 'g') AS x FROM c8),
-         |c10 AS (SELECT doc_id, html, regexp_replace(x, ' {2,}', ' ', 'g') AS x FROM c9),
-         |c11 AS (SELECT doc_id, html, regexp_replace(x, ' *\\n *', chr(10), 'g') AS x FROM c10),
-         |c12 AS (SELECT doc_id, html, regexp_replace(x, '\\n{2,}', chr(10), 'g') AS x FROM c11),
-         |c13 AS (SELECT doc_id, html, regexp_replace(x, '^[\\n ]+|[\\n ]+$$', '', 'g') AS x FROM c12)
+         |), $htmlExtractCtesSql
          |SELECT doc_id,
-         |  trim(regexp_replace(
-         |    replace(replace(replace(replace(replace(replace(
-         |      regexp_extract(html, '(?is)<title\\b[^>]*>(.*?)</title>', 1),
-         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-         |    '\\s+', ' ', 'g')) AS title,
+         |  $htmlTitleSql AS title,
          |  x AS text,
-         |  regexp_extract_all(html, '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1) AS links,
-         |  CAST(len(regexp_extract_all(html, '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1)) AS INT) AS n_links
+         |  $htmlLinksSql AS links,
+         |  CAST(len($htmlLinksSql) AS INT) AS n_links
          |FROM c13 ORDER BY doc_id""".stripMargin)),
+
+    // the crawl recipe COMPOSED: HTML → extractText → paragraph dedup with
+    // sep='\n' (exactly the line shape extraction emits) → the shared page
+    // template's boilerplate lines (headings, tips, list items, anchor
+    // texts) get removed corpus-wide while each document's own content
+    // line survives — plus outlink registered-domains via a transform()
+    // lambda over extractLinks (URL ops running elementwise INSIDE a HOF).
+    // The oracle replays extraction + paragraph dedup and states the
+    // outlink domains and title closed-form from the fixture arithmetic.
+    "td_crawl_pipeline" -> Entry((s, dir) => {
+      // localCheckpoint: the 13-stage regex chain feeds paragraphDedup AND
+      // the outlink projection — unmaterialized it re-runs per consumer
+      val ex = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          graft.functions.Html.extractTitle(col("html")).as("title"),
+          graft.functions.Html.extractText(col("html")).as("text"),
+          graft.functions.Html.extractLinks(col("html")).as("links"))
+        .localCheckpoint(true)
+      val reb = Dedup.paragraphDedup(ex.select(col("doc_id"), col("text")))
+      val out = ex.select(col("doc_id"), col("title"),
+        array_sort(array_distinct(transform(col("links"),
+          u => Web.registeredDomain(Web.urlHost(u))))).as("out_domains"))
+      reb.select(col("doc_id"), md5(col("text")).as("k"),
+          col("n_paras"), col("n_kept"))
+        .join(out, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH h AS (
+         |  SELECT doc_id, $synthHtmlSql AS html
+         |  FROM documents
+         |), $htmlExtractCtesSql
+         |, pp AS (
+         |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+         |  FROM (SELECT doc_id, string_split(x, chr(10)) AS ps FROM c13),
+         |       UNNEST(range(1, len(ps) + 1)) AS u(i)
+         |), judged AS (
+         |  SELECT doc_id, pos, para,
+         |    trim(para) = '' AS blank,
+         |    count(*) OVER (PARTITION BY para) AS n,
+         |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+         |  FROM pp
+         |), kf AS (
+         |  SELECT doc_id, pos, para, (blank OR n < 2 OR rn = 1) AS keep
+         |  FROM judged
+         |), reb AS (
+         |  SELECT doc_id,
+         |    md5(coalesce(string_agg(para, chr(10) ORDER BY pos)
+         |      FILTER (WHERE keep), '')) AS k,
+         |    CAST(count(*) AS BIGINT) AS n_paras,
+         |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+         |  FROM kf GROUP BY doc_id
+         |)
+         |SELECT doc_id, k, n_paras, n_kept,
+         |  'Doc ' || CAST(doc_id AS VARCHAR) || ' & Co' AS title,
+         |  ['example.com', 'example' || CAST(doc_id % 3 AS VARCHAR) || '.org'] AS out_domains
+         |FROM reb ORDER BY doc_id""".stripMargin)),
 
     "td_simhash" -> Entry((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), shingleN = 2)
