@@ -79,5 +79,9 @@ object SparkEntry {
     // r13 operator family in the headline so a plan regression in the
     // round's additions shows in BENCH, not only in specs
     "td_paragraph_dedup", "td_minhash_rowwise", "td_domain_quota",
-    "td_hamming_clusters")
+    "td_hamming_clusters",
+    // r14: HTML extraction — the regex-chain scan is THE per-byte cost of
+    // a crawl pipeline's first stage; a non-codegen regression here would
+    // multiply across every downstream operator
+    "td_html_extract")
 }

@@ -315,4 +315,27 @@ class BenchPlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       "hamming degenerated to all-pairs")
   }
+
+  test("td_html_extract: codegen projection at scan speed — no join, no agg, pruned scan") {
+    val p = planOf("td_html_extract")
+    // extraction is a per-row regex chain: the ONLY shuffle is the output
+    // sort; any aggregate or join here means the entry stopped being
+    // scan-shaped (at 100 TB this stage must stream WARC bytes once)
+    assert(shuffles(p) <= 1, s"html extract grew to ${shuffles(p)} shuffles")
+    assert(nodeId(p, "HashAggregate") == Int.MaxValue, "html extract grew an aggregate")
+    assert(!p.contains("Join"), "html extract grew a join")
+    // every extraction Project sits BELOW the sort exchange: the regex
+    // chain runs once on the scan side and only finished rows shuffle
+    // (codegen itself is pinned in HtmlSpec on an executed plan — the
+    // pre-execution AQE formatted tree carries no codegen ids to assert on)
+    val projIds = "\\((\\d+)\\) Project".r.findAllMatchIn(p).map(_.group(1).toInt)
+    assert(projIds.nonEmpty && projIds.max < nodeId(p, "Exchange"),
+      "extraction re-computed above the sort exchange")
+    assert(!p.contains("BatchEvalPython"), "extraction fell out of native eval")
+    // scan prunes to the 2 used columns — reading lang/source/n_chars for
+    // an extraction projection would be pure wasted IO at crawl scale
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("doc_id") && rs.contains("text") && !rs.contains("n_chars"),
+      s"scan not pruned: $rs")
+  }
 }
