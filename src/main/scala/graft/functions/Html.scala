@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * expressions — pure whole-stage-codegen Columns, no UDF, no DOM object
   * per row, scan-shaped at any scale. The patterns deliberately stay
   * inside the regex subset with identical semantics in Java regex and
-  * RE2 (inline `(?is)` flags, lazy `.*?`, character classes, no
-  * backreferences or lookaround), so an engine-independent oracle can
-  * replay the extraction verbatim.
+  * RE2 (inline `(?is)` flags, lazy `.*?`, explicit ASCII character
+  * classes instead of `\s`, no backreferences or lookaround), so an
+  * engine-independent oracle can replay the extraction verbatim. The one
+  * engine divergence left open is deliberate: `(?i)` folds ASCII-only in
+  * Java but Unicode-simple in RE2 — and ASCII-only is the CORRECT HTML
+  * behavior (tag names are ASCII by spec; `<ſcript>` with U+017F is
+  * text, not a script tag), so non-ASCII lookalike "tags" follow Spark,
+  * and the oracle contract covers ASCII markup.
   *
   * This is structural extraction, not readability scoring: script/style/
   * head content and comments are dropped, block boundaries become
@@ -64,11 +69,16 @@ object Html {
     * shape [[Dedup.paragraphDedup]] and [[TextFunctions.segmentFilter]]
     * split on — ends trim). Null in → null out. */
   def extractText(html: Column): Column = {
+    // close tags tolerate whitespace before '>' ('</script >' is a valid
+    // close per the HTML spec) — an exact-match close would leak the whole
+    // container body as text; explicit ASCII class, not \s (Java/RE2 differ
+    // on U+000B)
+    val ws = "[ \\t\\n\\r\\f]*"
     val noComments = regexp_replace(html, "(?s)<!--.*?-->", "")
-    val noHead = regexp_replace(noComments, "(?is)<head\\b[^>]*>.*?</head>", "")
-    val noScript = regexp_replace(noHead, "(?is)<script\\b[^>]*>.*?</script>", "")
-    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", "")
-    val noNos = regexp_replace(noStyle, "(?is)<noscript\\b[^>]*>.*?</noscript>", "")
+    val noHead = regexp_replace(noComments, s"(?is)<head\\b[^>]*>.*?</head$ws>", "")
+    val noScript = regexp_replace(noHead, s"(?is)<script\\b[^>]*>.*?</script$ws>", "")
+    val noStyle = regexp_replace(noScript, s"(?is)<style\\b[^>]*>.*?</style$ws>", "")
+    val noNos = regexp_replace(noStyle, s"(?is)<noscript\\b[^>]*>.*?</noscript$ws>", "")
     val blocks = regexp_replace(noNos, blockTagPattern, "\n")
     val noTags = regexp_replace(blocks, "(?s)<[^>]*>", "")
     val decoded = decodeEntities(noTags)
@@ -85,8 +95,9 @@ object Html {
     * null makes the column safe to group on). */
   def extractTitle(html: Column): Column =
     trim(regexp_replace(
-      decodeEntities(regexp_extract(html, "(?is)<title\\b[^>]*>(.*?)</title>", 1)),
-      "\\s+", " "))
+      decodeEntities(regexp_extract(html,
+        "(?is)<title\\b[^>]*>(.*?)</title[ \\t\\n\\r\\f]*>", 1)),
+      "[ \\t\\n\\r\\f\\x{000B}]+", " "))
 
   /** All `href` targets of `<a>` tags, in document order, as
     * `array<string>` — the out-link frontier. Raw attribute values:
@@ -97,5 +108,6 @@ object Html {
     * is vanishingly rare in real markup and parses as no match. */
   def extractLinks(html: Column): Column =
     regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
+      lit("(?is)<a\\b[^>]*\\bhref[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']([^\"']*)[\"']"),
+      lit(1))
 }

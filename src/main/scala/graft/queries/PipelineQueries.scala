@@ -160,10 +160,10 @@ object PipelineQueries {
     * subset. Shared by td_html_extract and td_crawl_pipeline. */
   private val htmlExtractCtesSql: String =
     """c1 AS (SELECT *, regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS x0 FROM h),
-      |c2 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<head\b[^>]*>.*?</head>', '', 'g') AS x0 FROM c1),
-      |c3 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS x0 FROM c2),
-      |c4 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS x0 FROM c3),
-      |c5 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g') AS x0 FROM c4),
+      |c2 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<head\b[^>]*>.*?</head[ \t\n\r\f]*>', '', 'g') AS x0 FROM c1),
+      |c3 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<script\b[^>]*>.*?</script[ \t\n\r\f]*>', '', 'g') AS x0 FROM c2),
+      |c4 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<style\b[^>]*>.*?</style[ \t\n\r\f]*>', '', 'g') AS x0 FROM c3),
+      |c5 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<noscript\b[^>]*>.*?</noscript[ \t\n\r\f]*>', '', 'g') AS x0 FROM c4),
       |c6 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?i)</?(p|div|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|section|article|header|footer|nav|aside|pre|br|hr|form)\b[^>]*>', chr(10), 'g') AS x0 FROM c5),
       |c7 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?s)<[^>]*>', '', 'g') AS x0 FROM c6),
       |c8 AS (SELECT * EXCLUDE (x0), replace(replace(replace(replace(replace(replace(x0,
@@ -174,16 +174,46 @@ object PipelineQueries {
       |c12 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '\n{2,}', chr(10), 'g') AS x0 FROM c11),
       |c13 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '^[\n ]+|[\n ]+$', '', 'g') AS x FROM c12)""".stripMargin
 
+  /** DuckDB replay of [[Dedup.simhash]] (shingleN = 2) as a CTE chain:
+    * reads CTE `<src>(doc_id, text)`, yields `sim(doc_id, simhash)`.
+    * Shared by td_simhash and td_incremental_simhash so the two oracles
+    * cannot drift if the recipe (shingle width, bit count, hash prefix)
+    * ever changes. */
+  private def simhashCtesSql(src: String): String =
+    s"""words AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+       |      w -> len(w) > 0) AS ws
+       |  FROM $src
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS shingle
+       |  FROM words, UNNEST(range(1, greatest(len(ws) - 1, 1) + 1)) AS u(i)
+       |  WHERE len(array_to_string(ws[i:i+1], ' ')) > 0
+       |), hashed AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+       |  FROM sh
+       |), bits AS (
+       |  SELECT doc_id, i AS bit,
+       |    sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM hashed, UNNEST(range(0, 60)) AS u(i)
+       |  GROUP BY doc_id, i
+       |), sim AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+       |      ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)""".stripMargin
+
   /** DuckDB replay of [[graft.functions.Html.extractTitle]] /
     * [[graft.functions.Html.extractLinks]] over a column named `html`. */
   private val htmlTitleSql: String =
     """trim(regexp_replace(
       |    replace(replace(replace(replace(replace(replace(
-      |      regexp_extract(html, '(?is)<title\b[^>]*>(.*?)</title>', 1),
+      |      regexp_extract(html, '(?is)<title\b[^>]*>(.*?)</title[ \t\n\r\f]*>', 1),
       |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-      |    '\s+', ' ', 'g'))""".stripMargin
+      |    '[ \t\n\r\f\x{000B}]+', ' ', 'g'))""".stripMargin
   private val htmlLinksSql: String =
-    """regexp_extract_all(html, '(?is)<a\b[^>]*\bhref\s*=\s*["'']([^"'']*)["'']', 1)""".stripMargin
+    """regexp_extract_all(html, '(?is)<a\b[^>]*\bhref[ \t\n\r\f]*=[ \t\n\r\f]*["'']([^"'']*)["'']', 1)""".stripMargin
 
   val entries: Map[String, Entry] = Map(
 
@@ -1430,12 +1460,14 @@ object PipelineQueries {
          |  SELECT doc_id, $synthHtmlSql AS html
          |  FROM documents
          |), $htmlExtractCtesSql
-         |SELECT doc_id,
-         |  $htmlTitleSql AS title,
-         |  x AS text,
-         |  $htmlLinksSql AS links,
-         |  CAST(len($htmlLinksSql) AS INT) AS n_links
-         |FROM c13 ORDER BY doc_id""".stripMargin)),
+         |SELECT doc_id, title, text, links, CAST(len(links) AS INT) AS n_links
+         |FROM (
+         |  SELECT doc_id,
+         |    $htmlTitleSql AS title,
+         |    x AS text,
+         |    $htmlLinksSql AS links
+         |  FROM c13
+         |) ORDER BY doc_id""".stripMargin)),
 
     // the crawl recipe COMPOSED: HTML → extractText → paragraph dedup with
     // sep='\n' (exactly the line shape extraction emits) → the shared page
@@ -1456,9 +1488,15 @@ object PipelineQueries {
           graft.functions.Html.extractLinks(col("html")).as("links"))
         .localCheckpoint(true)
       val reb = Dedup.paragraphDedup(ex.select(col("doc_id"), col("text")))
+      // nested transforms, not one lambda composing both ops: HOF lambdas
+      // get no common-subexpression elimination, so registeredDomain's
+      // ~15 PSL length-probe references to its host argument would each
+      // inline a fresh copy of urlHost's 4-regexp chain per element —
+      // binding host as the inner transform's OUTPUT evaluates it once
       val out = ex.select(col("doc_id"), col("title"),
-        array_sort(array_distinct(transform(col("links"),
-          u => Web.registeredDomain(Web.urlHost(u))))).as("out_domains"))
+        array_sort(array_distinct(transform(
+          transform(col("links"), u => Web.urlHost(u)),
+          h => Web.registeredDomain(h)))).as("out_domains"))
       reb.select(col("doc_id"), md5(col("text")).as("k"),
           col("n_paras"), col("n_kept"))
         .join(out, Seq("doc_id"))
@@ -1498,28 +1536,8 @@ object PipelineQueries {
       Dedup.simhash(t(s, dir, "documents"), shingleN = 2)
         .orderBy(col("doc_id"))
     }, Some(
-      """WITH words AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
-        |      w -> len(w) > 0) AS ws
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS shingle
-        |  FROM words, UNNEST(range(1, greatest(len(ws) - 1, 1) + 1)) AS u(i)
-        |  WHERE len(array_to_string(ws[i:i+1], ' ')) > 0
-        |), hashed AS (
-        |  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
-        |  FROM sh
-        |), bits AS (
-        |  SELECT doc_id, i AS bit,
-        |    sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM hashed, UNNEST(range(0, 60)) AS u(i)
-        |  GROUP BY doc_id, i
-        |)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
-        |    ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      s"""WITH ${simhashCtesSql("documents")}
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin)),
 
     // SimHash joins the steady-state ingest family BY COMPOSITION: the
     // stored table is (doc_id, simhash) — 8 bytes per doc — and the screen
@@ -1544,39 +1562,17 @@ object PipelineQueries {
           hashCol = "simhash", idCol = "doc_id")
         .orderBy(col("doc_id"), col("corpus_id"))
     }, Some(
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 9 = 5 THEN 'simhash twin ' || CAST(doc_id % 4 AS VARCHAR)
-        |         ELSE text END AS text
-        |  FROM documents
-        |), words AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
-        |      w -> len(w) > 0) AS ws
-        |  FROM d
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS shingle
-        |  FROM words, UNNEST(range(1, greatest(len(ws) - 1, 1) + 1)) AS u(i)
-        |  WHERE len(array_to_string(ws[i:i+1], ' ')) > 0
-        |), hashed AS (
-        |  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
-        |  FROM sh
-        |), bits AS (
-        |  SELECT doc_id, i AS bit,
-        |    sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM hashed, UNNEST(range(0, 60)) AS u(i)
-        |  GROUP BY doc_id, i
-        |), sim AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
-        |      ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id
-        |)
-        |SELECT i.doc_id AS doc_id, c.doc_id AS corpus_id,
-        |  CAST(bit_count(xor(i.simhash, c.simhash)) AS INT) AS dist
-        |FROM sim i JOIN sim c ON i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
-        |WHERE bit_count(xor(i.simhash, c.simhash)) <= 6
-        |ORDER BY i.doc_id, corpus_id""".stripMargin)),
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 5 THEN 'simhash twin ' || CAST(doc_id % 4 AS VARCHAR)
+         |         ELSE text END AS text
+         |  FROM documents
+         |), ${simhashCtesSql("d")}
+         |SELECT i.doc_id AS doc_id, c.doc_id AS corpus_id,
+         |  CAST(bit_count(xor(i.simhash, c.simhash)) AS INT) AS dist
+         |FROM sim i JOIN sim c ON i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+         |WHERE bit_count(xor(i.simhash, c.simhash)) <= 6
+         |ORDER BY i.doc_id, corpus_id""".stripMargin)),
 
     // ------------------------------------------ similarity search --------
     "td_knn_bruteforce" -> Entry((s, dir) => {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.ExplainMode
   * 100 TB scaling claims rest on, pinned so a regression shows up as a
   * test failure, not a silent bench slowdown. Checked on the formatted
   * explain string at sf0.001 (plan shape is data-volume independent; AQE
-  * runtime re-planning can only improve on what's asserted here). All 16
+  * runtime re-planning can only improve on what's asserted here). All 21
   * bench queries are pinned individually — join IMPLEMENTATION choices
   * (broadcast vs sort-merge) are only pinned where they're by-design
   * (tiny dim tables, tiny query sides); size-driven choices the optimizer

@@ -56,7 +56,7 @@ object IngestLoopProbe {
     }.reduce(_ unionByName _).write.mode("overwrite").parquet(corpusDir)
 
     // ---- round 0: the ONLY corpus text pass — build all four states ----
-    import graft.functions.{Dedup, TextFunctions}
+    import graft.functions.Dedup
     val corpus = spark.read.parquet(corpusDir)
     val t0 = System.nanoTime()
     var keysDir = writeState(spark, Dedup.contentKeys(corpus), "keys", 0)

@@ -63,6 +63,11 @@ class HtmlSpec extends AnyFunSuite {
     assert(t.contains("keep") && t.contains("var x = 1;"))
   }
 
+  test("extractText: whitespace before '>' in a close tag still closes the container") {
+    assert(text("<p>keep</p><script>track(\"x\");</script >more") == "keep\nmore")
+    assert(title("<title>T</title\n>") == "T")
+  }
+
   test("extractText: null in, null out; markup-free text passes through") {
     val df = Seq[(Integer, String)]((1, null), (2, "plain  text"))
       .toDF("id", "h").select(Html.extractText(col("h")).as("t"))
