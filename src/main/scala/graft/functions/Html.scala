@@ -99,6 +99,41 @@ object Html {
         "(?is)<title\\b[^>]*>(.*?)</title[ \\t\\n\\r\\f]*>", 1)),
       "[ \\t\\n\\r\\f\\x{000B}]+", " "))
 
+  /** The page's canonical URL (`<link rel="canonical" href="…">`), or ''
+    * when absent. THE crawl-dedup signal: a site serving one article under
+    * thousands of parameterized URLs declares the real key itself —
+    * `coalesce(nullif(extractCanonical(html), ''), urlNormalize(crawl_url))`
+    * is the canonical-first dedup key. Attribute order is free
+    * (`rel` before or after `href`); quoted values only. */
+  def extractCanonical(html: Column): Column = {
+    val relFirst = regexp_extract(html,
+      "(?is)<link\\b[^>]*\\brel[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']canonical[\"'][^>]*\\bhref[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']([^\"']*)[\"']", 1)
+    val hrefFirst = regexp_extract(html,
+      "(?is)<link\\b[^>]*\\bhref[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']([^\"']*)[\"'][^>]*\\brel[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']canonical[\"']", 1)
+    when(relFirst =!= "", relFirst).otherwise(hrefFirst)
+  }
+
+  /** The document's declared language (`<html lang="…">`, lowercased), ''
+    * when absent — the author's own label, the natural PRIOR for
+    * [[TextFunctions.langId]]'s n-gram guess. */
+  def extractLang(html: Column): Column =
+    lower(regexp_extract(html,
+      "(?is)<html\\b[^>]*\\blang[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']([^\"']*)[\"']", 1))
+
+  /** The `content` of a named `<meta>` tag (`name` before or after
+    * `content`, either quote style), entity-decoded, '' when absent —
+    * description/keywords/robots as curation signals. The tag name is
+    * interpolated into the pattern and must be a plain word. */
+  def extractMeta(html: Column, name: String): Column = {
+    require(name.matches("[A-Za-z][A-Za-z0-9:_-]*"), s"not a meta name: $name")
+    val ws = "[ \\t\\n\\r\\f]*"
+    val nameFirst = regexp_extract(html,
+      s"(?is)<meta\\b[^>]*\\bname$ws=$ws[\"']$name[\"'][^>]*\\bcontent$ws=$ws[\"']([^\"']*)[\"']", 1)
+    val contentFirst = regexp_extract(html,
+      s"(?is)<meta\\b[^>]*\\bcontent$ws=$ws[\"']([^\"']*)[\"'][^>]*\\bname$ws=$ws[\"']$name[\"']", 1)
+    decodeEntities(when(nameFirst =!= "", nameFirst).otherwise(contentFirst))
+  }
+
   /** All `href` targets of `<a>` tags, in document order, as
     * `array<string>` — the out-link frontier. Raw attribute values:
     * feed them [[Web.urlNormalize]] / [[Web.registeredDomain]] to build

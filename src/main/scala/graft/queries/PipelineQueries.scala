@@ -119,8 +119,25 @@ object PipelineQueries {
   private def synthHtml(id: org.apache.spark.sql.Column,
                         text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(
-      lit("<!DOCTYPE html>\n<html>\n<head><title> Doc "), id,
-      lit(" &amp; Co </title><style>p { margin: 0; }</style></head>\n<body>\n"),
+      lit("<!DOCTYPE html>\n"),
+      when(id % 2 === 0, "<html lang=\"en-US\">\n").otherwise("<html>\n"),
+      lit("<head><title> Doc "), id,
+      lit(" &amp; Co </title><style>p { margin: 0; }</style>"),
+      // canonical with both attribute orders + an absent class; meta
+      // description with both orders, entities, + an absent class
+      when(id % 3 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://canon.example.com/p"),
+            id % 7, lit("\">")))
+        .when(id % 3 === 1,
+          concat(lit("<link href='https://canon.example.com/alt"), id % 7,
+            lit("' rel='canonical'>")))
+        .otherwise(""),
+      when(id % 4 === 1,
+          concat(lit("<meta content='Alt desc "), id % 5, lit("' name='description'>")))
+        .when(id % 4 === 3, lit(""))
+        .otherwise(concat(lit("<meta name=\"description\" content=\"Desc &amp; summary "),
+          id % 5, lit("\">"))),
+      lit("</head>\n<body>\n"),
       lit("<!-- crawl "), id, lit(" -->\n"),
       lit("<script type=\"text/javascript\">if (a < b && n > "), id % 7,
       lit(") track(\"x\");</script>\n"),
@@ -135,9 +152,17 @@ object PipelineQueries {
       lit("</body></html>"))
 
   private val synthHtmlSql: String =
-    """'<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) ||
+    """'<!DOCTYPE html>' || chr(10) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '<html lang="en-US">' ELSE '<html>' END || chr(10) ||
       |    '<head><title> Doc ' || CAST(doc_id AS VARCHAR) ||
-      |    ' &amp; Co </title><style>p { margin: 0; }</style></head>' || chr(10) ||
+      |    ' &amp; Co </title><style>p { margin: 0; }</style>' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '<link rel="canonical" href="https://canon.example.com/p' || CAST(doc_id % 7 AS VARCHAR) || '">'
+      |         WHEN doc_id % 3 = 1 THEN '<link href=''https://canon.example.com/alt' || CAST(doc_id % 7 AS VARCHAR) || ''' rel=''canonical''>'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 1 THEN '<meta content=''Alt desc ' || CAST(doc_id % 5 AS VARCHAR) || ''' name=''description''>'
+      |         WHEN doc_id % 4 = 3 THEN ''
+      |         ELSE '<meta name="description" content="Desc &amp; summary ' || CAST(doc_id % 5 AS VARCHAR) || '">' END ||
+      |    '</head>' || chr(10) ||
       |    '<body>' || chr(10) ||
       |    '<!-- crawl ' || CAST(doc_id AS VARCHAR) || ' -->' || chr(10) ||
       |    '<script type="text/javascript">if (a < b && n > ' ||
@@ -1468,6 +1493,31 @@ object PipelineQueries {
          |    $htmlLinksSql AS links
          |  FROM c13
          |) ORDER BY doc_id""".stripMargin)),
+
+    // page-level metadata extraction — the dedup/curation SIGNALS a crawl
+    // page declares about itself: canonical URL (the site's own dedup
+    // key), html lang attribute (the prior for langId), named meta tags.
+    // Both attribute orders and both quote styles appear in the fixture,
+    // plus absent classes; the oracle states every value closed-form from
+    // the fixture arithmetic.
+    "td_html_meta" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+      docs.select(col("doc_id"),
+          graft.functions.Html.extractCanonical(col("html")).as("canonical"),
+          graft.functions.Html.extractLang(col("html")).as("lang_decl"),
+          graft.functions.Html.extractMeta(col("html"), "description").as("descr"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'https://canon.example.com/p' || CAST(doc_id % 7 AS VARCHAR)
+        |       WHEN doc_id % 3 = 1 THEN 'https://canon.example.com/alt' || CAST(doc_id % 7 AS VARCHAR)
+        |       ELSE '' END AS canonical,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'en-us' ELSE '' END AS lang_decl,
+        |  CASE WHEN doc_id % 4 = 1 THEN 'Alt desc ' || CAST(doc_id % 5 AS VARCHAR)
+        |       WHEN doc_id % 4 = 3 THEN ''
+        |       ELSE 'Desc & summary ' || CAST(doc_id % 5 AS VARCHAR) END AS descr
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // the crawl recipe COMPOSED: HTML → extractText → paragraph dedup with
     // sep='\n' (exactly the line shape extraction emits) → the shared page

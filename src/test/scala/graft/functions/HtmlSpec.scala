@@ -95,6 +95,35 @@ class HtmlSpec extends AnyFunSuite {
     assert(normed == Seq("http://example.com/p?page=2", "https://news.site.org/a"))
   }
 
+  test("extractCanonical: both attribute orders, '' when absent") {
+    def canon(h: String): String =
+      Seq(h).toDF("h").select(Html.extractCanonical(col("h"))).head.getString(0)
+    assert(canon("""<link rel="canonical" href="https://ex.com/a">""") == "https://ex.com/a")
+    assert(canon("""<LINK href='https://ex.com/b' rel='canonical'>""") == "https://ex.com/b")
+    assert(canon("""<link rel="stylesheet" href="https://ex.com/c.css">""") == "")
+    assert(canon("no links here") == "")
+  }
+
+  test("extractLang: lowercased html lang attribute, '' when absent") {
+    def lang(h: String): String =
+      Seq(h).toDF("h").select(Html.extractLang(col("h"))).head.getString(0)
+    assert(lang("""<html lang="en-US"><body>x</body></html>""") == "en-us")
+    assert(lang("""<HTML LANG='pt-br'>""") == "pt-br")
+    assert(lang("<html><body>x</body></html>") == "")
+  }
+
+  test("extractMeta: both orders, entity decode, name validation") {
+    def meta(h: String, n: String = "description"): String =
+      Seq(h).toDF("h").select(Html.extractMeta(col("h"), n)).head.getString(0)
+    assert(meta("""<meta name="description" content="A &amp; B">""") == "A & B")
+    assert(meta("""<meta content='C' name='description'>""") == "C")
+    assert(meta("""<meta name="keywords" content="k1,k2">""") == "")
+    assert(meta("""<meta name="keywords" content="k1,k2">""", "keywords") == "k1,k2")
+    intercept[IllegalArgumentException] {
+      meta("<meta>", "desc.*ption") // regex metachars are not a meta name
+    }
+  }
+
   test("extraction stays whole-stage codegen (no UDF in the plan)") {
     // spark.range, not a local Seq: ConvertToLocalRelation would fold a
     // literal-backed LocalTableScan and leave no codegen node to assert on
