@@ -276,4 +276,62 @@ object Curation {
     frames.unpersist()
     verdict
   }
+
+  /** The crawl-to-corpus recipe in one call (the [[mediaDedup]] analog for
+    * web pages — the RefinedWeb/CCNet front half as tested code):
+    *
+    *  1. extract ([[Html.extractText]]/Title/Lang/Canonical — one regex
+    *     pass, materialized once);
+    *  2. canonical-first URL dedup: the page's own `<link rel=canonical>`
+    *     wins as the dedup key, falling back to [[Web.urlNormalize]] of
+    *     the crawl URL; smallest id per key is kept;
+    *  3. corpus-wide paragraph dedup over the extracted text (template
+    *     boilerplate removal — [[Dedup.paragraphDedup]] on the newline
+    *     shape extraction emits);
+    *  4. quality floor ([[TextFunctions.qualityScore]] ≥ `minQuality`);
+    *  5. per-registered-domain quota ([[Web.domainQuota]], skew-safe
+    *     two-stage rank, best-quality-first).
+    *
+    * Returns the kept, cleaned corpus — one row per surviving page:
+    * (`url_key`, `idCol`, cleaned `text`, `n_paras`, `n_kept`, `title`,
+    * `lang_decl`, `quality`, `domain`, `domain_rank`). Dropped pages are
+    * the anti-join on `idCol`. HTML bytes never pass stage 1: every later
+    * stage moves only extracted text and 8-byte keys.
+    *
+    * 100 TB shape: one scan-speed extraction pass; URL dedup shuffles
+    * (key, id) pairs only; paragraph dedup's two hash-keyed shuffles are
+    * ∝ paragraphs; the quota never sorts a mega-domain in one task. For
+    * steady-state ingest run the INCREMENTAL screens instead
+    * ([[Dedup.incrementalExactKeys]] on url keys,
+    * [[Dedup.incrementalParagraphDedup]]) — this call is the batch
+    * (bootstrap / full-recompute) form. */
+  def crawlIngest(pages: DataFrame, htmlCol: String = "html",
+                  urlCol: String = "url", idCol: String = "doc_id",
+                  domainCap: Int = 1000, minQuality: Double = 0.0,
+                  quotaSalts: Int = 16): DataFrame = {
+    // one extraction pass, eagerly materialized: the regex chain feeds the
+    // key aggregate, the survivors join, and the rebuild join
+    val ex = pages.select(col(idCol), col(urlCol),
+        Html.extractTitle(col(htmlCol)).as("title"),
+        Html.extractLang(col(htmlCol)).as("lang_decl"),
+        coalesce(nullif(Html.extractCanonical(col(htmlCol)), lit("")),
+          Web.urlNormalize(col(urlCol))).as("url_key"),
+        Html.extractText(col(htmlCol)).as("text"))
+      .localCheckpoint(true)
+    val urlKeep = ex.groupBy(col("url_key")).agg(min(col(idCol)).as(idCol))
+    val kept = ex.join(urlKeep, Seq("url_key", idCol))
+    val reb = Dedup.paragraphDedup(kept.select(col(idCol), col("text")))
+    val scored = reb
+      .join(kept.drop("text"), Seq(idCol))
+      // a page whose every line was a non-first duplicate rebuilds to ''
+      // — drop it explicitly (it has no surviving content, and 0-length
+      // text would make the ratio features NaN)
+      .filter(length(col("text")) > 0)
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("domain", Web.registeredDomain(Web.urlHost(col(urlCol))))
+      .drop(urlCol)
+    Web.domainQuota(scored, domainCap, scoreCol = "quality", idCol = idCol,
+      salts = quotaSalts)
+  }
 }

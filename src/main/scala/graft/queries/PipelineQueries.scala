@@ -1519,6 +1519,91 @@ object PipelineQueries {
         |       ELSE 'Desc & summary ' || CAST(doc_id % 5 AS VARCHAR) END AS descr
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // the ONE-CALL crawl recipe oracle-checked end-to-end: extract →
+    // canonical-first URL dedup → paragraph dedup → quality floor →
+    // per-domain quota (Curation.crawlIngest — the mediaDedup analog for
+    // web pages). The oracle replays extraction + paragraph dedup, states
+    // canonical/normalized url keys and registered domains CLOSED-FORM
+    // from the fixture arithmetic (only id%3=2 docs fall back to the
+    // normalized crawl URL, whose query/trailing-slash branches are
+    // statically excluded for that residue class), replays the rounded
+    // quality formula, and ranks the quota identically. Canonical keys
+    // collapse ~2/3 of the corpus onto 14 keys — the url-dedup stage does
+    // real work here, and site.org's ~40 survivors hit the cap.
+    "td_crawl_ingest" -> Entry((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+        .withColumn("url", synthUrl(col("doc_id")))
+        .select(col("doc_id"), col("url"), col("html"))
+      Curation.crawlIngest(pages, domainCap = 5)
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH h AS (
+         |  SELECT doc_id, text, $synthHtmlSql AS html, $synthUrlSql AS url
+         |  FROM documents
+         |), $htmlExtractCtesSql
+         |, ex AS (
+         |  SELECT doc_id,
+         |    $htmlTitleSql AS title,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'en-us' ELSE '' END AS lang_decl,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'https://canon.example.com/p' || CAST(doc_id % 7 AS VARCHAR)
+         |         WHEN doc_id % 3 = 1 THEN 'https://canon.example.com/alt' || CAST(doc_id % 7 AS VARCHAR)
+         |         ELSE (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+         |           (CASE WHEN doc_id % 4 = 0 THEN 'www.example.com'
+         |                 WHEN doc_id % 4 = 1 THEN 'news.bbc.co.uk'
+         |                 WHEN doc_id % 4 = 2 THEN 'cdn' || CAST(doc_id % 10 AS VARCHAR) || '.site.org'
+         |                 ELSE 'shop.example' || CAST(doc_id % 10 AS VARCHAR) || '.com' END) ||
+         |           (CASE WHEN doc_id % 6 = 2 THEN ':443'
+         |                 WHEN doc_id % 6 = 4 THEN ':8080' ELSE '' END) ||
+         |           (CASE WHEN doc_id % 11 = 0 THEN '/'
+         |                 ELSE '/Articles/' || CAST(doc_id % 7 AS VARCHAR) END)
+         |    END AS url_key,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'example.com'
+         |         WHEN doc_id % 4 = 1 THEN 'bbc.co.uk'
+         |         WHEN doc_id % 4 = 2 THEN 'site.org'
+         |         ELSE 'example' || CAST(doc_id % 10 AS VARCHAR) || '.com' END AS domain,
+         |    x AS text
+         |  FROM c13
+         |), kept AS (
+         |  SELECT * FROM ex
+         |  QUALIFY row_number() OVER (PARTITION BY url_key ORDER BY doc_id) = 1
+         |), pp AS (
+         |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM kept),
+         |       UNNEST(range(1, len(ps) + 1)) AS u(i)
+         |), judged AS (
+         |  SELECT doc_id, pos, para,
+         |    trim(para) = '' AS blank,
+         |    count(*) OVER (PARTITION BY para) AS n,
+         |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+         |  FROM pp
+         |), kf AS (
+         |  SELECT doc_id, pos, para, (blank OR n < 2 OR rn = 1) AS keep
+         |  FROM judged
+         |), reb AS (
+         |  SELECT doc_id,
+         |    coalesce(string_agg(para, chr(10) ORDER BY pos)
+         |      FILTER (WHERE keep), '') AS t,
+         |    CAST(count(*) AS BIGINT) AS n_paras,
+         |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+         |  FROM kf GROUP BY doc_id
+         |), scored AS (
+         |  SELECT k.url_key, r.doc_id, r.t AS text, r.n_paras, r.n_kept,
+         |    k.title, k.lang_decl,
+         |    round(greatest(0.0, least(len(r.t) / 500.0, 1.0)
+         |      * (1.0 - len(regexp_replace(r.t, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / len(r.t))
+         |      * (1.0 - len(regexp_replace(r.t, '[^0-9]', '', 'g')) * 1.0 / len(r.t))), 4) AS quality,
+         |    k.domain
+         |  FROM reb r JOIN kept k USING (doc_id)
+         |  WHERE len(r.t) > 0
+         |)
+         |SELECT url_key, doc_id, text, n_paras, n_kept, title, lang_decl,
+         |  quality, domain, CAST(rn AS INT) AS domain_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY domain
+         |    ORDER BY quality DESC, doc_id) AS rn
+         |  FROM scored
+         |) WHERE rn <= 5 ORDER BY doc_id""".stripMargin)),
+
     // the crawl recipe COMPOSED: HTML → extractText → paragraph dedup with
     // sep='\n' (exactly the line shape extraction emits) → the shared page
     // template's boilerplate lines (headings, tips, list items, anchor
