@@ -283,8 +283,13 @@ object Curation {
     *  1. extract ([[Html.extractText]]/Title/Lang/Canonical — one regex
     *     pass, materialized once);
     *  2. canonical-first URL dedup: the page's own `<link rel=canonical>`
-    *     wins as the dedup key, falling back to [[Web.urlNormalize]] of
-    *     the crawl URL; smallest id per key is kept;
+    *     wins as the dedup key when it is an ABSOLUTE URL (a relative
+    *     canonical like `/home` would collide across sites), falling back
+    *     to the crawl URL; EITHER branch is [[Web.urlNormalize]]d, so a
+    *     canonical declared with different casing/escaping/params still
+    *     collapses with its crawl-URL aliases; a page with neither key
+    *     (null url, no canonical) is self-keyed by id — never deduped,
+    *     never dropped. Smallest id per key is kept;
     *  3. corpus-wide paragraph dedup over the extracted text (template
     *     boilerplate removal — [[Dedup.paragraphDedup]] on the newline
     *     shape extraction emits);
@@ -309,17 +314,29 @@ object Curation {
                   urlCol: String = "url", idCol: String = "doc_id",
                   domainCap: Int = 1000, minQuality: Double = 0.0,
                   quotaSalts: Int = 16): DataFrame = {
-    // one extraction pass, eagerly materialized: the regex chain feeds the
-    // key aggregate, the survivors join, and the rebuild join
+    // absolute canonicals only (relative ones collide across sites), and
+    // the WINNING branch is normalized too — an unnormalized canonical
+    // would never match its crawl-URL aliases; keyless pages self-key
+    val canon = Html.extractCanonical(col(htmlCol))
+    val urlKey = coalesce(
+      Web.urlNormalize(coalesce(
+        when(canon.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), canon),
+        col(urlCol))),
+      concat(lit("__nokey__:"), col(idCol).cast("string")))
+    // one extraction pass: persist (not an eager checkpoint — lineage
+    // stays recomputable on executor loss, and the blocks free via the
+    // ContextCleaner when the frames drop, the paragraphDedup convention);
+    // it feeds the key aggregate and the survivors join
     val ex = pages.select(col(idCol), col(urlCol),
         Html.extractTitle(col(htmlCol)).as("title"),
         Html.extractLang(col(htmlCol)).as("lang_decl"),
-        coalesce(nullif(Html.extractCanonical(col(htmlCol)), lit("")),
-          Web.urlNormalize(col(urlCol))).as("url_key"),
+        urlKey.as("url_key"),
         Html.extractText(col(htmlCol)).as("text"))
-      .localCheckpoint(true)
+      .persist()
     val urlKeep = ex.groupBy(col("url_key")).agg(min(col(idCol)).as(idCol))
-    val kept = ex.join(urlKeep, Seq("url_key", idCol))
+    // survivors persist too: consumed by BOTH paragraphDedup and the
+    // rebuild join — unmaterialized, the key shuffle + join would run twice
+    val kept = ex.join(urlKeep, Seq("url_key", idCol)).persist()
     val reb = Dedup.paragraphDedup(kept.select(col(idCol), col("text")))
     val scored = reb
       .join(kept.drop("text"), Seq(idCol))

@@ -99,19 +99,39 @@ object Html {
         "(?is)<title\\b[^>]*>(.*?)</title[ \\t\\n\\r\\f]*>", 1)),
       "[ \\t\\n\\r\\f\\x{000B}]+", " "))
 
-  /** The page's canonical URL (`<link rel="canonical" href="…">`), or ''
-    * when absent. THE crawl-dedup signal: a site serving one article under
-    * thousands of parameterized URLs declares the real key itself —
-    * `coalesce(nullif(extractCanonical(html), ''), urlNormalize(crawl_url))`
-    * is the canonical-first dedup key. Attribute order is free
-    * (`rel` before or after `href`); quoted values only. */
-  def extractCanonical(html: Column): Column = {
-    val relFirst = regexp_extract(html,
-      "(?is)<link\\b[^>]*\\brel[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']canonical[\"'][^>]*\\bhref[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']([^\"']*)[\"']", 1)
-    val hrefFirst = regexp_extract(html,
-      "(?is)<link\\b[^>]*\\bhref[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']([^\"']*)[\"'][^>]*\\brel[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']canonical[\"']", 1)
-    when(relFirst =!= "", relFirst).otherwise(hrefFirst)
+  /** First capture of `<tag … fixedAttr="fixedVal" … capAttr="(…)">` with
+    * the two attributes in EITHER order and either quote style — the one
+    * pattern builder behind [[extractCanonical]] and [[extractMeta]], so
+    * the pair can't drift. '' when absent.
+    *
+    * Contract edge shared by all metadata extractors (incl.
+    * [[extractTitle]]): they read RAW markup, so a tag inside an HTML
+    * comment or a script string literal still matches — stripping
+    * containers first would cost three extra full-document regex passes
+    * per extractor, and commented-out canonicals are rare in real crawls.
+    * Callers that must exclude them can pre-strip with the
+    * [[extractText]] container patterns. */
+  private def orderedAttr(html: Column, tag: String, fixedAttr: String,
+                          fixedVal: String, capAttr: String): Column = {
+    val ws = "[ \\t\\n\\r\\f]*"
+    val fixedFirst = regexp_extract(html,
+      s"(?is)<$tag\\b[^>]*\\b$fixedAttr$ws=$ws[\"']$fixedVal[\"'][^>]*\\b$capAttr$ws=$ws[\"']([^\"']*)[\"']", 1)
+    val capFirst = regexp_extract(html,
+      s"(?is)<$tag\\b[^>]*\\b$capAttr$ws=$ws[\"']([^\"']*)[\"'][^>]*\\b$fixedAttr$ws=$ws[\"']$fixedVal[\"']", 1)
+    when(fixedFirst =!= "", fixedFirst).otherwise(capFirst)
   }
+
+  /** The page's canonical URL (`<link rel="canonical" href="…">`),
+    * entity-decoded (`&amp;` in attribute values is mandatory escaping,
+    * not part of the URL), or '' when absent. THE crawl-dedup signal: a
+    * site serving one article under thousands of parameterized URLs
+    * declares the real key itself. Returned as declared — which may be
+    * RELATIVE (`/home`): key-builders must guard for an absolute scheme
+    * and normalize, the way [[Curation.crawlIngest]] does
+    * (`urlNormalize(coalesce(absolute-canonical, crawl_url))`) — a raw
+    * relative canonical used as a dedup key would collide across sites. */
+  def extractCanonical(html: Column): Column =
+    decodeEntities(orderedAttr(html, "link", "rel", "canonical", "href"))
 
   /** The document's declared language (`<html lang="…">`, lowercased), ''
     * when absent — the author's own label, the natural PRIOR for
@@ -126,12 +146,7 @@ object Html {
     * interpolated into the pattern and must be a plain word. */
   def extractMeta(html: Column, name: String): Column = {
     require(name.matches("[A-Za-z][A-Za-z0-9:_-]*"), s"not a meta name: $name")
-    val ws = "[ \\t\\n\\r\\f]*"
-    val nameFirst = regexp_extract(html,
-      s"(?is)<meta\\b[^>]*\\bname$ws=$ws[\"']$name[\"'][^>]*\\bcontent$ws=$ws[\"']([^\"']*)[\"']", 1)
-    val contentFirst = regexp_extract(html,
-      s"(?is)<meta\\b[^>]*\\bcontent$ws=$ws[\"']([^\"']*)[\"'][^>]*\\bname$ws=$ws[\"']$name[\"']", 1)
-    decodeEntities(when(nameFirst =!= "", nameFirst).otherwise(contentFirst))
+    decodeEntities(orderedAttr(html, "meta", "name", name, "content"))
   }
 
   /** All `href` targets of `<a>` tags, in document order, as

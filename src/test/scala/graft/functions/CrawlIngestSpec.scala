@@ -23,12 +23,13 @@ class CrawlIngestSpec extends AnyFunSuite {
          |<body><p>$content</p><div>FOOTER NAV ABOUT</div></body></html>""".stripMargin)
   }
 
-  // distinct letter-only content; length controls qualityScore (= len/500
-  // for punct- and digit-free text), so site-c ranking is deterministic
+  // distinct LETTER-ONLY content (digit- and punct-free, so qualityScore
+  // reduces to len/500 exactly and ranking is purely length-controlled)
   private def words(tag: String, n: Int): String =
-    (1 to n).map(i => s"$tag$i word").mkString(" ")
+    (1 to n).map(i => s"$tag${('a' + i % 26).toChar}${('a' + i / 26).toChar} word")
+      .mkString(" ")
 
-  private lazy val pages = Seq(
+  private lazy val pages = (Seq(
     // canonical alias pair: both declare the same canonical → keep id 1
     page(1, "https://site-a.com/art?ref=x", words("alpha", 20),
       canonical = "https://site-a.com/art"),
@@ -41,12 +42,24 @@ class CrawlIngestSpec extends AnyFunSuite {
     page(5, "https://junk.org/p", "12 345!! 678?? 90."),
     // a normal page on its own domain
     page(6, "https://solo.net/page", words("epsilon", 20)),
+    // RELATIVE canonicals on two different sites: must NOT collide into
+    // one key (both fall back to their own crawl URL → both kept)
+    page(7, "https://rel-a.com/p", words("zeta", 20), canonical = "/home"),
+    page(8, "https://rel-b.com/p", words("eta", 20), canonical = "/home"),
+    // entity-escaped canonical (&amp; is mandatory attribute escaping):
+    // must decode + normalize to match id 15's crawl-URL key → keep id 9
+    page(9, "https://ent.com/q?x=1", words("theta", 20),
+      canonical = "https://ent.com/p?a=1&amp;b=2"),
+    page(15, "https://ent.com/p?b=2&a=1", words("iota", 20)),
     // 5 pages on one domain, quota cap 3 — quality ∝ content length
     page(10, "https://site-c.com/p10", words("cten", 10)),
     page(11, "https://site-c.com/p11", words("celeven", 14)),
     page(12, "https://site-c.com/p12", words("ctwelve", 18)),
     page(13, "https://site-c.com/p13", words("cthirteen", 22)),
     page(14, "https://site-c.com/p14", words("cfourteen", 26))
+  ) :+
+    // null crawl URL, no canonical: self-keyed — kept, never deduped
+    ((16L, null: String, s"<html><body><p>${words("kappa", 20)}</p></body></html>"))
   ).toDF("doc_id", "url", "html")
 
   private lazy val out = Curation.crawlIngest(pages,
@@ -54,9 +67,10 @@ class CrawlIngestSpec extends AnyFunSuite {
 
   test("every stage bites: canonical dedup, URL dedup, quality floor, domain quota") {
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
-    // 2 lost to canonical alias, 4 to URL alias, 5 to quality, 10/11 to
-    // quota (lowest-quality of the 5 site-c pages)
-    assert(ids == Set(1L, 3L, 6L, 12L, 13L, 14L))
+    // 2 lost to canonical alias, 4 to URL alias, 15 to 9's decoded
+    // canonical, 5 to quality, 10/11 to quota (lowest-quality of the 5
+    // site-c pages); relative canonicals 7/8 both survive, 16 self-keys
+    assert(ids == Set(1L, 3L, 6L, 7L, 8L, 9L, 12L, 13L, 14L, 16L))
     val ranks = out.filter(col("domain") === "site-c.com")
       .select("doc_id", "domain_rank").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -68,16 +82,23 @@ class CrawlIngestSpec extends AnyFunSuite {
     val rows = out.select("doc_id", "text", "title", "lang_decl", "domain").collect()
     val withFooter = rows.filter(_.getString(1).contains("FOOTER NAV ABOUT"))
     assert(withFooter.length == 1 && withFooter.head.getLong(0) == 1L)
-    assert(rows.forall(r => r.getString(2) == s"Page ${r.getLong(0)}"))
-    assert(rows.forall(_.getString(3) == "en"))
-    assert(rows.map(_.getString(4)).toSet ==
-      Set("site-a.com", "b.com", "solo.net", "site-c.com"))
+    val paged = rows.filter(_.getLong(0) != 16L)
+    assert(paged.forall(r => r.getString(2) == s"Page ${r.getLong(0)}"))
+    assert(paged.forall(_.getString(3) == "en"))
+    assert(rows.map(r => Option(r.getString(4))).toSet ==
+      Set(Some("site-a.com"), Some("b.com"), Some("solo.net"),
+        Some("site-c.com"), Some("rel-a.com"), Some("rel-b.com"),
+        Some("ent.com"), None)) // the null-url page has no domain
   }
 
-  test("url_key is canonical-first, normalized-url fallback") {
+  test("url_key: canonical-first NORMALIZED, absolute-only, null-safe") {
     val keys = out.select("doc_id", "url_key").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(keys(1L) == "https://site-a.com/art") // the declared canonical
     assert(keys(3L) == "http://b.com/x") // normalized crawl URL (param dropped)
+    assert(keys(7L) == "https://rel-a.com/p") // relative canonical ignored
+    assert(keys(8L) == "https://rel-b.com/p")
+    assert(keys(9L) == "https://ent.com/p?a=1&b=2") // entity-decoded + normalized
+    assert(keys(16L) == "__nokey__:16") // null url, no canonical: self-keyed
   }
 }
