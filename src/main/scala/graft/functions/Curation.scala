@@ -314,15 +314,11 @@ object Curation {
                   urlCol: String = "url", idCol: String = "doc_id",
                   domainCap: Int = 1000, minQuality: Double = 0.0,
                   quotaSalts: Int = 16): DataFrame = {
-    // absolute canonicals only (relative ones collide across sites), and
-    // the WINNING branch is normalized too — an unnormalized canonical
-    // would never match its crawl-URL aliases; keyless pages self-key
-    val canon = Html.extractCanonical(col(htmlCol))
-    val urlKey = coalesce(
-      Web.urlNormalize(coalesce(
-        when(canon.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), canon),
-        col(urlCol))),
-      concat(lit("__nokey__:"), col(idCol).cast("string")))
+    // absolute canonicals only, the winning branch normalized, keyless
+    // pages self-keyed — one key definition shared with the streaming
+    // intake ([[Web.canonicalUrlKey]] holds the rules and the why)
+    val urlKey = Web.canonicalUrlKey(col(urlCol),
+      Html.extractCanonical(col(htmlCol)), col(idCol))
     // one extraction pass: persist (not an eager checkpoint — lineage
     // stays recomputable on executor loss, and the blocks free via the
     // ContextCleaner when the frames drop, the paragraphDedup convention);

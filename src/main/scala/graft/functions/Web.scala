@@ -165,6 +165,23 @@ object Web {
       .otherwise(host)
   }
 
+  /** The canonical-first URL dedup key (one definition for the batch
+    * recipe [[Curation.crawlIngest]] and the streaming intake
+    * [[graft.streaming.Streaming.crawlIngestStream]]): the page's declared
+    * canonical wins when it is an ABSOLUTE URL (a relative `/home`
+    * canonical would collide across sites), falling back to the crawl
+    * URL; EITHER branch is [[urlNormalize]]d so differently-cased/
+    * parameterized aliases still collapse; when both are null the row
+    * self-keys on `selfKey` (never deduped, never dropped — the
+    * null-key-join row-loss guard). Pass [[graft.functions.Html
+    * .extractCanonical]]'s output (already entity-decoded) as
+    * `canonical`. */
+  def canonicalUrlKey(url: Column, canonical: Column, selfKey: Column): Column =
+    coalesce(
+      urlNormalize(coalesce(
+        when(canonical.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), canonical), url)),
+      concat(lit("__nokey__:"), selfKey.cast("string")))
+
   /** Per-domain quota: keep at most `cap` rows per `domainCol`, the best
     * first by (`scoreCol` desc, `idCol` asc) — bounding any single site's
     * share of the training mix regardless of how much of it the crawl

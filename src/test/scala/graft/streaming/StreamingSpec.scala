@@ -338,4 +338,53 @@ class StreamingSpec extends AnyFunSuite {
         kind.copy(invalidateHardDeletes = true), chk)
     }
   }
+
+  test("crawlIngestStream: stateful URL dedup across drains, stateless extraction") {
+    val src = SparkTestSession.tmpDir("crawl_src")
+    val sink = SparkTestSession.tmpDir("crawl_sink")
+    val chk = SparkTestSession.tmpDir("crawl_chk")
+    def html(id: Long, content: String, canonical: String = ""): String = {
+      val c = if (canonical.isEmpty) ""
+        else s"""<link rel="canonical" href="$canonical">"""
+      s"""<html lang="en"><head><title>T$id</title>$c</head><body><p>$content</p></body></html>"""
+    }
+    // batch 1: 1 and 2 are tracking-param aliases (same normalized key);
+    // 3 declares a canonical
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:01:00"), "https://a.com/x?utm_source=f", html(1, "alpha words here")),
+      (2L, ts("2024-01-01 00:02:00"), "https://A.com/x", html(2, "beta words here")),
+      (3L, ts("2024-01-01 00:03:00"), "https://b.com/art?p=1", html(3, "gamma words here",
+        canonical = "https://b.com/art")))
+      .toDF("doc_id", "ts", "url", "html")
+    b1.write.mode("append").parquet(src)
+    def drain(): Unit = Streaming.runAvailableNow(spark, src, b1.schema,
+      df => Streaming.crawlIngestStream(df, watermarkDelay = "1 hour"),
+      sink, chk)
+    drain()
+    def keys() = spark.read.parquet(sink).select("doc_id", "url_key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val k1 = keys()
+    // one survivor per key: the a.com alias pair collapsed, 3 kept
+    assert(k1.size == 2 && k1.values.toSet ==
+      Set("https://a.com/x", "https://b.com/art"), k1.toString)
+    // batch 2: a re-fetch of a.com/x (state drops it — within watermark),
+    // a canonical alias of 3 under a different crawl URL, and a new page
+    Seq(
+      (4L, ts("2024-01-01 00:09:00"), "https://a.com/x", html(4, "refetch words")),
+      (5L, ts("2024-01-01 00:10:00"), "https://b.com/art?print=1", html(5, "alias words",
+        canonical = "https://b.com/art")),
+      (6L, ts("2024-01-01 00:11:00"), "https://c.org/new", html(6, "delta words here")))
+      .toDF("doc_id", "ts", "url", "html")
+      .write.mode("append").parquet(src)
+    drain()
+    val k2 = keys()
+    assert(k2.size == 3 && k2.contains(6L), k2.toString)
+    assert(!k2.contains(4L) && !k2.contains(5L),
+      s"cross-drain URL/canonical dedup state failed: $k2")
+    // extraction rode along statelessly
+    val row6 = spark.read.parquet(sink).filter(col("doc_id") === 6)
+      .select("title", "lang_decl", "text").head()
+    assert(row6.getString(0) == "T6" && row6.getString(1) == "en" &&
+      row6.getString(2) == "delta words here")
+  }
 }
