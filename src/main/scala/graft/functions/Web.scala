@@ -171,15 +171,18 @@ object Web {
     * canonical wins when it is an ABSOLUTE URL (a relative `/home`
     * canonical would collide across sites), falling back to the crawl
     * URL; EITHER branch is [[urlNormalize]]d so differently-cased/
-    * parameterized aliases still collapse; when both are null the row
-    * self-keys on `selfKey` (never deduped, never dropped — the
-    * null-key-join row-loss guard). Pass [[graft.functions.Html
+    * parameterized aliases still collapse; when both are missing — null
+    * OR blank (crawl logs ingested via CSV encode missing URLs as '',
+    * which urlNormalize would pass through, collapsing every such page
+    * onto one '' key) — the row self-keys on `selfKey` (never deduped,
+    * never dropped — the row-loss guard). Pass [[graft.functions.Html
     * .extractCanonical]]'s output (already entity-decoded) as
     * `canonical`. */
   def canonicalUrlKey(url: Column, canonical: Column, selfKey: Column): Column =
     coalesce(
       urlNormalize(coalesce(
-        when(canonical.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), canonical), url)),
+        when(canonical.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), canonical),
+        nullif(trim(url), lit("")))),
       concat(lit("__nokey__:"), selfKey.cast("string")))
 
   /** Per-domain quota: keep at most `cap` rows per `domainCol`, the best

@@ -397,37 +397,6 @@ object Streaming {
     * insert-if-absent on the pair key — the batch-side logic is identical.
     * One call = one `AvailableNow` drain; successive calls share
     * `checkpointDir`, so bucket state and file progress resume exactly. */
-  /** Streaming crawl intake — the front half of
-    * [[graft.functions.Curation.crawlIngest]] on a page stream: HTML
-    * extraction runs STATELESS at scan speed (pure codegen projections —
-    * text, title, lang, the canonical-first normalized url_key), then URL
-    * dedup runs on keyed state via `dropDuplicatesWithinWatermark` — the
-    * first page per url_key within the watermark horizon passes, crawl
-    * re-fetches and canonical aliases drop, and state is bounded by
-    * event-time TTL (a crawler re-visiting a URL after the horizon
-    * re-admits it — steady-state re-crawls are SUPPOSED to refresh
-    * content; pair the sink with the incremental screens for
-    * corpus-lifetime dedup). Corpus-LEVEL decisions (paragraph dedup,
-    * quality floor, quota) stay batch-side over the sink — they need
-    * cross-document state no stream should hold.
-    *
-    * Returns the deduped extracted stream: (`idCol`, `tsCol`, `url_key`,
-    * `title`, `lang_decl`, `text`) — wire it to a sink with
-    * [[runAvailableNow]]-style drains or a continuous trigger. */
-  def crawlIngestStream(pages: DataFrame, htmlCol: String = "html",
-                        urlCol: String = "url", idCol: String = "doc_id",
-                        tsCol: String = "ts",
-                        watermarkDelay: String = "10 minutes"): DataFrame =
-    pages.select(col(idCol), col(tsCol),
-        graft.functions.Web.canonicalUrlKey(col(urlCol),
-          graft.functions.Html.extractCanonical(col(htmlCol)),
-          col(idCol)).as("url_key"),
-        graft.functions.Html.extractTitle(col(htmlCol)).as("title"),
-        graft.functions.Html.extractLang(col(htmlCol)).as("lang_decl"),
-        graft.functions.Html.extractText(col(htmlCol)).as("text"))
-      .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("url_key")
-
   def nearDupStreamToSink(spark: SparkSession, sourceDir: String,
                           schema: StructType, sinkDir: String,
                           checkpointDir: String,
@@ -470,4 +439,39 @@ object Streaming {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming crawl intake — the front half of
+    * [[graft.functions.Curation.crawlIngest]] on a page stream: HTML
+    * extraction runs STATELESS at scan speed (pure codegen projections —
+    * text, title, lang, the canonical-first normalized url_key), then URL
+    * dedup runs on keyed state via `dropDuplicatesWithinWatermark` — the
+    * first page per url_key within the watermark horizon passes, crawl
+    * re-fetches and canonical aliases drop, and state is bounded by
+    * event-time TTL (a crawler re-visiting a URL after the horizon
+    * re-admits it — steady-state re-crawls are SUPPOSED to refresh
+    * content; pair the sink with the incremental screens for
+    * corpus-lifetime dedup). Corpus-LEVEL decisions (paragraph dedup,
+    * quality floor, quota) stay batch-side over the sink — they need
+    * cross-document state no stream should hold.
+    *
+    * Returns the deduped extracted stream: (`idCol`, `tsCol`, `urlCol`,
+    * `url_key`, `title`, `lang_decl`, `text`) — the crawl URL rides along
+    * so sink-side consumers compute the quota domain exactly as the batch
+    * recipe does (`registeredDomain(urlHost(urlCol))`; deriving it from
+    * url_key would diverge on cross-domain canonicals and collapse all
+    * self-keyed rows into one '' pseudo-domain). Wire it to a sink with
+    * [[runAvailableNow]]-style drains or a continuous trigger. */
+  def crawlIngestStream(pages: DataFrame, htmlCol: String = "html",
+                        urlCol: String = "url", idCol: String = "doc_id",
+                        tsCol: String = "ts",
+                        watermarkDelay: String = "10 minutes"): DataFrame =
+    pages.select(col(idCol), col(tsCol), col(urlCol),
+        graft.functions.Web.canonicalUrlKey(col(urlCol),
+          graft.functions.Html.extractCanonical(col(htmlCol)),
+          col(idCol)).as("url_key"),
+        graft.functions.Html.extractTitle(col(htmlCol)).as("title"),
+        graft.functions.Html.extractLang(col(htmlCol)).as("lang_decl"),
+        graft.functions.Html.extractText(col(htmlCol)).as("text"))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("url_key")
 }

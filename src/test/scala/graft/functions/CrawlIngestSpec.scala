@@ -59,7 +59,10 @@ class CrawlIngestSpec extends AnyFunSuite {
     page(14, "https://site-c.com/p14", words("cfourteen", 26))
   ) :+
     // null crawl URL, no canonical: self-keyed — kept, never deduped
-    ((16L, null: String, s"<html><body><p>${words("kappa", 20)}</p></body></html>"))
+    ((16L, null: String, s"<html><body><p>${words("kappa", 20)}</p></body></html>")) :+
+    // EMPTY-STRING url (CSV-style missing value): must self-key too, not
+    // collapse onto a shared '' key with every other url-less page
+    ((17L, "", s"<html><body><p>${words("lambda", 20)}</p></body></html>"))
   ).toDF("doc_id", "url", "html")
 
   private lazy val out = Curation.crawlIngest(pages,
@@ -69,8 +72,8 @@ class CrawlIngestSpec extends AnyFunSuite {
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
     // 2 lost to canonical alias, 4 to URL alias, 15 to 9's decoded
     // canonical, 5 to quality, 10/11 to quota (lowest-quality of the 5
-    // site-c pages); relative canonicals 7/8 both survive, 16 self-keys
-    assert(ids == Set(1L, 3L, 6L, 7L, 8L, 9L, 12L, 13L, 14L, 16L))
+    // site-c pages); relative canonicals 7/8 both survive, 16/17 self-key
+    assert(ids == Set(1L, 3L, 6L, 7L, 8L, 9L, 12L, 13L, 14L, 16L, 17L))
     val ranks = out.filter(col("domain") === "site-c.com")
       .select("doc_id", "domain_rank").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -82,13 +85,13 @@ class CrawlIngestSpec extends AnyFunSuite {
     val rows = out.select("doc_id", "text", "title", "lang_decl", "domain").collect()
     val withFooter = rows.filter(_.getString(1).contains("FOOTER NAV ABOUT"))
     assert(withFooter.length == 1 && withFooter.head.getLong(0) == 1L)
-    val paged = rows.filter(_.getLong(0) != 16L)
+    val paged = rows.filter(r => r.getLong(0) != 16L && r.getLong(0) != 17L)
     assert(paged.forall(r => r.getString(2) == s"Page ${r.getLong(0)}"))
     assert(paged.forall(_.getString(3) == "en"))
-    assert(rows.map(r => Option(r.getString(4))).toSet ==
+    assert(rows.map(r => Option(r.getString(4)).filter(_.nonEmpty)).toSet ==
       Set(Some("site-a.com"), Some("b.com"), Some("solo.net"),
         Some("site-c.com"), Some("rel-a.com"), Some("rel-b.com"),
-        Some("ent.com"), None)) // the null-url page has no domain
+        Some("ent.com"), None)) // the url-less pages have no domain
   }
 
   test("url_key: canonical-first NORMALIZED, absolute-only, null-safe") {
@@ -100,5 +103,6 @@ class CrawlIngestSpec extends AnyFunSuite {
     assert(keys(8L) == "https://rel-b.com/p")
     assert(keys(9L) == "https://ent.com/p?a=1&b=2") // entity-decoded + normalized
     assert(keys(16L) == "__nokey__:16") // null url, no canonical: self-keyed
+    assert(keys(17L) == "__nokey__:17") // empty-string url: self-keyed too
   }
 }

@@ -381,10 +381,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(k2.size == 3 && k2.contains(6L), k2.toString)
     assert(!k2.contains(4L) && !k2.contains(5L),
       s"cross-drain URL/canonical dedup state failed: $k2")
-    // extraction rode along statelessly
+    // extraction rode along statelessly; the crawl URL survives so sink
+    // consumers can compute the quota domain exactly as the batch recipe
     val row6 = spark.read.parquet(sink).filter(col("doc_id") === 6)
-      .select("title", "lang_decl", "text").head()
+      .select("title", "lang_decl", "text", "url").head()
     assert(row6.getString(0) == "T6" && row6.getString(1) == "en" &&
-      row6.getString(2) == "delta words here")
+      row6.getString(2) == "delta words here" &&
+      row6.getString(3) == "https://c.org/new")
   }
 }
