@@ -185,6 +185,36 @@ object Web {
         nullif(trim(url), lit("")))),
       concat(lit("__nokey__:"), selfKey.cast("string")))
 
+  /** Steady-state crawl-frontier screen — the URL analog of
+    * [[Dedup.incrementalExactKeys]], closing the crawl loop
+    * (ingest → [[graft.functions.Html.extractLinks]] → frontier → fetch):
+    * candidate out-links are [[urlNormalize]]d, restricted to http(s)
+    * (mailto:/javascript:/fragment links are not fetchable), deduped
+    * within the batch, and screened against the stored seen-URL table —
+    * out come only the normalized URLs the crawler has never fetched.
+    * Maintenance is the usual append recipe: `seen union frontier`.
+    *
+    * Scale shape: the batch (one crawl round's out-links) is tiny next to
+    * a multi-billion-row seen table, so with `broadcastBatch` (default)
+    * the seen table is SCANNED once, each task hash-probing the broadcast
+    * batch-URL set in place; only the batch's own matches (∝ batch) leave
+    * the scan and broadcast back as the anti-join's build side — nothing
+    * seen-table-sized ever shuffles. Set it false for batch-vs-batch
+    * scale → plain shuffle anti-join on the URL. */
+  def urlFrontier(seenUrls: DataFrame, links: DataFrame,
+                  urlCol: String = "url",
+                  broadcastBatch: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val batch = links.select(urlNormalize(col(urlCol)).as("url_norm"))
+      .filter(col("url_norm").rlike("^https?://")).distinct()
+    val seen = seenUrls.select(col("url_norm"))
+    val matched =
+      if (broadcastBatch)
+        broadcast(seen.join(broadcast(batch), Seq("url_norm")))
+      else seen
+    batch.join(matched, Seq("url_norm"), "left_anti")
+  }
+
   /** Per-domain quota: keep at most `cap` rows per `domainCol`, the best
     * first by (`scoreCol` desc, `idCol` asc) — bounding any single site's
     * share of the training mix regardless of how much of it the crawl

@@ -1494,6 +1494,45 @@ object PipelineQueries {
          |  FROM c13
          |) ORDER BY doc_id""".stripMargin)),
 
+    // crawl-frontier screen — closes the crawl loop (ingest → extract
+    // outlinks → frontier → fetch): out-links of the batch's pages
+    // normalize, restrict to http(s), dedup, and screen against the
+    // stored seen-URL table in the broadcast-batch one-scan shape. The
+    // corpus's own crawl URLs ride in the seen table (host-disjoint from
+    // the link fixture, so relationally inert but the big-table scan path
+    // runs); three of the seven link1 targets are pre-seeded as seen. The
+    // oracle states candidate and seen sets closed-form and anti-joins.
+    "td_url_frontier" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpusSeen = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(Web.urlNormalize(synthUrl(col("doc_id"))).as("url_norm"))
+      val pages = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("links",
+          graft.functions.Html.extractLinks(synthHtml(col("doc_id"), col("text"))))
+        .localCheckpoint(true) // extraction feeds the seed AND the batch
+      val seededSeen = pages.filter(col("doc_id") % 7 <= 2)
+        .select(Web.urlNormalize(element_at(col("links"), 1)).as("url_norm"))
+      val seen = corpusSeen.unionByName(seededSeen).distinct()
+      val batchLinks = pages.select(explode(col("links")).as("url"))
+      Web.urlFrontier(seen, batchLinks).orderBy(col("url_norm"))
+    }, Some(
+      """WITH pages AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+        |), cand AS (
+        |  SELECT DISTINCT 'http://example.com/p' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '?page=0' AS url_norm FROM pages
+        |  UNION
+        |  SELECT DISTINCT 'https://ref.example' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '.org/a' FROM pages
+        |), seen AS (
+        |  SELECT DISTINCT 'http://example.com/p' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '?page=0' AS url_norm
+        |  FROM pages WHERE doc_id % 7 <= 2
+        |)
+        |SELECT url_norm FROM cand
+        |WHERE url_norm NOT IN (SELECT url_norm FROM seen)
+        |ORDER BY url_norm""".stripMargin)),
+
     // page-level metadata extraction — the dedup/curation SIGNALS a crawl
     // page declares about itself: canonical URL (the site's own dedup
     // key), html lang attribute (the prior for langId), named meta tags.

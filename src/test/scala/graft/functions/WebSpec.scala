@@ -261,4 +261,23 @@ class WebSpec extends AnyFunSuite {
       shingleN = 2, numHashes = 16, bands = 4, threshold = 0.3)
     assert(uncapped.count() == 6)
   }
+
+  test("urlFrontier: normalize, fetchable-only, batch dedup, seen screen — both join paths") {
+    val seen = Seq("https://a.com/x", "http://b.com/y").toDF("url_norm")
+    val links = Seq(
+      "https://A.com/x?utm_source=f", // alias of seen → screened
+      "https://a.com/x#frag", // another alias of seen → screened
+      "https://new.org/p", // genuinely new
+      "https://new.org/p/", // trailing-slash alias of the new one → 1 row
+      "mailto:bob@a.com", // not fetchable
+      "javascript:void(0)", // not fetchable
+      "ftp://files.a.com/f" // normalizes fine but isn't http(s)
+    ).toDF("url")
+    val expected = Seq("https://new.org/p")
+    val bc = Web.urlFrontier(seen, links)
+      .collect().map(_.getString(0)).toSeq.sorted
+    val sh = Web.urlFrontier(seen, links, broadcastBatch = false)
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(bc == expected && sh == expected, s"bc=$bc sh=$sh")
+  }
 }
