@@ -128,12 +128,28 @@ object Dedup {
                            broadcastBatch: Boolean = true): DataFrame = {
     val batch = incoming.withColumn("__key", TextFunctions.contentKey(col(textCol)))
       .groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
-    val keys = corpusKeys.select(col("content_key").as("__key"))
+    screenAnti(corpusKeys.select(col("content_key").as("__key")),
+      batch, "__key", broadcastBatch).drop("__key")
+  }
+
+  /** THE steady-state screen shape, shared by [[incrementalExactKeys]]
+    * and [[Web.urlFrontier]] so join-shape fixes land once: with
+    * `broadcastBatch`, the stored state table is SCANNED once, each task
+    * hash-probing the broadcast batch-key set in place — only the batch's
+    * own matched keys (∝ batch) leave the scan, then broadcast back as
+    * the BUILD side of the anti-join (a broadcast hint on the preserved
+    * side of the anti-join would be silently dropped, hence the two-step);
+    * nothing state-table-sized ever shuffles. With it false: plain
+    * shuffle anti-join on the key. `state` must already expose `keyCol`. */
+  private[functions] def screenAnti(state: DataFrame, batch: DataFrame,
+                                    keyCol: String,
+                                    broadcastBatch: Boolean): DataFrame = {
+    val keys = state.select(col(keyCol))
     val seen =
       if (broadcastBatch)
-        broadcast(keys.join(broadcast(batch.select(col("__key"))), Seq("__key")))
+        broadcast(keys.join(broadcast(batch.select(col(keyCol))), Seq(keyCol)))
       else keys
-    batch.join(seen, Seq("__key"), "left_anti").drop("__key")
+    batch.join(seen, Seq(keyCol), "left_anti")
   }
 
   /** The persisted-corpus side of steady-state PARAGRAPH dedup (the

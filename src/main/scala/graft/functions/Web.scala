@@ -185,34 +185,57 @@ object Web {
         nullif(trim(url), lit("")))),
       concat(lit("__nokey__:"), selfKey.cast("string")))
 
+  /** Resolve an href against its page's base URL (the RFC 3986 cases
+    * real markup uses): absolute hrefs (any scheme — mailto:, https:)
+    * pass through; protocol-relative `//host/p` takes the base's scheme;
+    * root-relative `/p` takes the base's origin; fragment-only / empty
+    * hrefs are the page itself; anything else joins the base path's
+    * directory. Dot-segments (`../`) are left unresolved — they survive
+    * as literal path text, the same stance [[urlNormalize]] takes. Pure
+    * codegen string expressions; the standard prelude to
+    * [[urlFrontier]], which only eats absolute URLs:
+    * `links.select(resolveUrl(col("page_url"), col("href")).as("url"))`. */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+    val beforeQf = regexp_extract(base, "^([^?#]*)", 1)
+    // base with no path ('https://a.com'): '/[^/]*$' would eat into '//'
+    val dir = when(beforeQf === origin, concat(origin, lit("/")))
+      .otherwise(regexp_replace(beforeQf, "/[^/]*$", "/"))
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(origin, href))
+      .when(href === "" || href.startsWith("#"), base)
+      .otherwise(concat(dir, href))
+  }
+
   /** Steady-state crawl-frontier screen — the URL analog of
     * [[Dedup.incrementalExactKeys]], closing the crawl loop
-    * (ingest → [[graft.functions.Html.extractLinks]] → frontier → fetch):
-    * candidate out-links are [[urlNormalize]]d, restricted to http(s)
-    * (mailto:/javascript:/fragment links are not fetchable), deduped
-    * within the batch, and screened against the stored seen-URL table —
-    * out come only the normalized URLs the crawler has never fetched.
-    * Maintenance is the usual append recipe: `seen union frontier`.
+    * (ingest → [[graft.functions.Html.extractLinks]] → [[resolveUrl]] →
+    * frontier → fetch): candidate out-links are [[urlNormalize]]d,
+    * restricted to WELL-FORMED http(s) URLs (mailto:/javascript:/
+    * fragment links aren't fetchable; still-relative hrefs and
+    * authority-less malformations like `http:///x` don't normalize to a
+    * parsed host and drop with them — resolve relative links against
+    * their page first), deduped within the batch, and screened against
+    * the stored seen-URL table — out come only the normalized URLs the
+    * crawler has never fetched. The seen table must expose `url_norm`
+    * (store the frontier's own output — maintenance is the usual append
+    * recipe `seen union frontier`, which keeps that invariant).
     *
-    * Scale shape: the batch (one crawl round's out-links) is tiny next to
-    * a multi-billion-row seen table, so with `broadcastBatch` (default)
-    * the seen table is SCANNED once, each task hash-probing the broadcast
-    * batch-URL set in place; only the batch's own matches (∝ batch) leave
-    * the scan and broadcast back as the anti-join's build side — nothing
-    * seen-table-sized ever shuffles. Set it false for batch-vs-batch
-    * scale → plain shuffle anti-join on the URL. */
+    * Scale shape = [[Dedup.screenAnti]] (one shared definition): the
+    * batch (one crawl round's out-links) is tiny next to a multi-billion-
+    * row seen table, so with `broadcastBatch` (default) the seen table is
+    * SCANNED once with in-task hash probes and nothing seen-table-sized
+    * ever shuffles; set it false for batch-vs-batch scale. */
   def urlFrontier(seenUrls: DataFrame, links: DataFrame,
                   urlCol: String = "url",
                   broadcastBatch: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val batch = links.select(urlNormalize(col(urlCol)).as("url_norm"))
-      .filter(col("url_norm").rlike("^https?://")).distinct()
-    val seen = seenUrls.select(col("url_norm"))
-    val matched =
-      if (broadcastBatch)
-        broadcast(seen.join(broadcast(batch), Seq("url_norm")))
-      else seen
-    batch.join(matched, Seq("url_norm"), "left_anti")
+      .filter(col("url_norm").rlike("^https?://") &&
+        urlHost(col("url_norm")) =!= "")
+      .distinct()
+    Dedup.screenAnti(seenUrls, batch, "url_norm", broadcastBatch)
   }
 
   /** Per-domain quota: keep at most `cap` rows per `domainCol`, the best

@@ -262,6 +262,28 @@ class WebSpec extends AnyFunSuite {
     assert(uncapped.count() == 6)
   }
 
+  test("resolveUrl: absolute, protocol-relative, root-relative, fragment, path-relative") {
+    val rows = Seq(
+      ("https://a.com/dir/page.html?q=1", "https://b.org/x"), // absolute
+      ("https://a.com/dir/page.html", "//cdn.b.org/lib.js"), // protocol-relative
+      ("https://a.com/dir/page.html", "/top"), // root-relative
+      ("https://a.com/dir/page.html", "other.html"), // path-relative
+      ("https://a.com", "other.html"), // base with no path
+      ("https://a.com/dir/page.html", "#sec"), // fragment-only → the page
+      ("https://a.com/dir/page.html", "mailto:x@y.z") // absolute, other scheme
+    ).toDF("base", "href")
+    val out = rows.select(Web.resolveUrl(col("base"), col("href")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq(
+      "https://b.org/x",
+      "https://cdn.b.org/lib.js",
+      "https://a.com/top",
+      "https://a.com/dir/other.html",
+      "https://a.com/other.html",
+      "https://a.com/dir/page.html",
+      "mailto:x@y.z"))
+  }
+
   test("urlFrontier: normalize, fetchable-only, batch dedup, seen screen — both join paths") {
     val seen = Seq("https://a.com/x", "http://b.com/y").toDF("url_norm")
     val links = Seq(
@@ -271,7 +293,10 @@ class WebSpec extends AnyFunSuite {
       "https://new.org/p/", // trailing-slash alias of the new one → 1 row
       "mailto:bob@a.com", // not fetchable
       "javascript:void(0)", // not fetchable
-      "ftp://files.a.com/f" // normalizes fine but isn't http(s)
+      "ftp://files.a.com/f", // normalizes fine but isn't http(s)
+      "http:///nohost?a=1", // authority-less malformation — no parsed host
+      "HTTP:///nohost", // same malformation, uppercase — same verdict
+      "/relative/unresolved" // still-relative href (resolveUrl not applied)
     ).toDF("url")
     val expected = Seq("https://new.org/p")
     val bc = Web.urlFrontier(seen, links)
