@@ -149,6 +149,20 @@ object Html {
     decodeEntities(orderedAttr(html, "meta", "name", name, "content"))
   }
 
+  /** All `<loc>` URLs of a sitemap / sitemap-index XML document, in
+    * document order, as `array<string>` — the OTHER frontier source
+    * besides page out-links ([[extractLinks]]): sites declare their own
+    * URL inventory, and seeding [[Web.urlFrontier]] from sitemaps reaches
+    * pages no crawled page links to. Entity-decoded per element (sitemap
+    * URLs are XML text nodes, so `&amp;` escaping is mandatory there). */
+  def extractSitemapLocs(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?is)<loc[ \\t\\n\\r\\f]*>(.*?)</loc[ \\t\\n\\r\\f]*>"), lit(1)),
+      // not trim(): Spark's trim strips SPACES only, and sitemap text
+      // nodes legally wrap in newlines+indentation
+      u => decodeEntities(regexp_replace(u,
+        "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$", "")))
+
   /** All `href` targets of `<a>` tags, in document order, as
     * `array<string>` — the out-link frontier. Raw attribute values:
     * feed them [[Web.urlNormalize]] / [[Web.registeredDomain]] to build

@@ -238,6 +238,72 @@ object Web {
     Dedup.screenAnti(seenUrls, batch, "url_norm", broadcastBatch)
   }
 
+  /** One tier of [[robotsAllowed]]: fold the robots.txt lines once,
+    * tracking (consecutive User-agent run, group-active flag, group
+    * existence, best Allow / Disallow prefix-match lengths for `path`).
+    * Returns the final state struct. */
+  private def robotsFold(lines: Column, path: Column,
+                         agentTok: Column): Column =
+    aggregate(lines,
+      struct(lit(false).as("inUa"), lit(false).as("active"),
+        lit(false).as("exists"), lit(-1).as("allow"), lit(-1).as("dis")),
+      (st, line) => {
+        val low = lower(line)
+        val isUa = low.rlike("^user-agent[ \\t]*:")
+        val uaVal = regexp_extract(low, "^user-agent[ \\t]*:[ \\t]*([^ \\t]*)", 1)
+        val matches = uaVal === agentTok
+        // consecutive User-agent lines form ONE group header; a UA line
+        // after rules starts a fresh group (active resets to this match)
+        val active2 = when(isUa,
+          when(st("inUa"), st("active") || matches).otherwise(matches))
+          .otherwise(st("active"))
+        val isAllow = low.rlike("^allow[ \\t]*:")
+        val isDis = low.rlike("^disallow[ \\t]*:")
+        // values keep the ORIGINAL case — rule paths are case-sensitive
+        val allowVal = regexp_extract(line, "(?i)^allow[ \\t]*:[ \\t]*([^ \\t]*)", 1)
+        val disVal = regexp_extract(line, "(?i)^disallow[ \\t]*:[ \\t]*([^ \\t]*)", 1)
+        val allow2 = when(isAllow && active2 && allowVal =!= "" &&
+            path.startsWith(allowVal),
+          greatest(st("allow"), length(allowVal))).otherwise(st("allow"))
+        val dis2 = when(isDis && active2 && disVal =!= "" &&
+            path.startsWith(disVal),
+          greatest(st("dis"), length(disVal))).otherwise(st("dis"))
+        struct(isUa.as("inUa"), active2.as("active"),
+          (st("exists") || (isUa && matches)).as("exists"),
+          allow2.as("allow"), dis2.as("dis"))
+      })
+
+  /** robots.txt evaluation (the Robots Exclusion Protocol subset real
+    * crawl compliance needs): does `robotsTxt` allow `agent` to fetch
+    * `path`? Google-REP semantics: groups are runs of consecutive
+    * `User-agent:` lines followed by their rules; the group exactly
+    * naming the agent (case-insensitive) applies when one exists,
+    * otherwise the `*` group; within the applicable groups the LONGEST
+    * matching rule path wins, Allow beats Disallow on a tie; no matching
+    * rule (or no robots.txt) → allowed. Comments (`#`) strip;
+    * `Disallow:` with an empty value disallows nothing. Documented
+    * subset: rule paths match as plain prefixes — `$` end anchors and
+    * mid-pattern `*` wildcards are not interpreted (they match
+    * literally, the conservative read for Allow and the rare case for
+    * real sites).
+    *
+    * One fold over the lines per tier (specific agent + `*`), pure
+    * Column expressions — per-row robots files are small (the fetcher
+    * caches one per host), so the fold is cheap and the op composes with
+    * [[urlFrontier]]: screen the frontier, join each URL's host robots,
+    * filter on `robotsAllowed`. */
+  def robotsAllowed(robotsTxt: Column, path: Column, agent: String): Column = {
+    require(agent.nonEmpty && !agent.contains("\n"), s"not an agent token: $agent")
+    val lines = transform(
+      split(coalesce(robotsTxt, lit("")), "\n"),
+      l => regexp_replace(regexp_replace(l, "#.*", ""),
+        "^[ \\t\\r\\f]+|[ \\t\\r\\f]+$", ""))
+    val spec = robotsFold(lines, path, lit(agent.toLowerCase))
+    val star = robotsFold(lines, path, lit("*"))
+    when(spec("exists"), spec("allow") >= spec("dis"))
+      .otherwise(star("allow") >= star("dis"))
+  }
+
   /** Per-domain quota: keep at most `cap` rows per `domainCol`, the best
     * first by (`scoreCol` desc, `idCol` asc) — bounding any single site's
     * share of the training mix regardless of how much of it the crawl

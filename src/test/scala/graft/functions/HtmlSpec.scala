@@ -124,6 +124,24 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("extractSitemapLocs: loc URLs in order, entity-decoded, whitespace-trimmed") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>https://ex.com/a?x=1&amp;y=2</loc><lastmod>2024-01-01</lastmod></url>
+        |  <url><loc>
+        |    https://ex.com/b
+        |  </loc></url>
+        |</urlset>""".stripMargin
+    val locs = Seq(xml).toDF("x")
+      .select(Html.extractSitemapLocs(col("x"))).head.getSeq[String](0)
+    assert(locs == Seq("https://ex.com/a?x=1&y=2", "https://ex.com/b"))
+    // sitemap INDEX files use the same <loc> shape
+    val idx = "<sitemapindex><sitemap><loc>https://ex.com/s1.xml</loc></sitemap></sitemapindex>"
+    assert(Seq(idx).toDF("x").select(Html.extractSitemapLocs(col("x")))
+      .head.getSeq[String](0) == Seq("https://ex.com/s1.xml"))
+  }
+
   test("extraction stays whole-stage codegen (no UDF in the plan)") {
     // spark.range, not a local Seq: ConvertToLocalRelation would fold a
     // literal-backed LocalTableScan and leave no codegen node to assert on

@@ -284,6 +284,43 @@ class WebSpec extends AnyFunSuite {
       "mailto:x@y.z"))
   }
 
+  test("robotsAllowed: tiers, longest-match, tie→allow, UA runs, comments, empty disallow") {
+    val robots =
+      """# crawl policy
+        |User-agent: alphabot
+        |User-agent: graftbot
+        |Disallow: /private   # keep out
+        |Allow: /private/ok
+        |Disallow:
+        |
+        |User-agent: *
+        |Disallow: /tmp""".stripMargin
+    def allowed(path: String, agent: String = "GraftBot",
+                txt: String = robots): Boolean =
+      Seq((txt, path)).toDF("r", "p")
+        .select(Web.robotsAllowed(col("r"), col("p"), agent)).head.getBoolean(0)
+    assert(allowed("/public/x")) // no rule matches → allowed
+    assert(!allowed("/private/doc")) // disallowed
+    assert(allowed("/private/okfile")) // longer Allow beats shorter Disallow
+    // the specific group exists, so the * group's /tmp rule does NOT apply
+    assert(allowed("/tmp/x"))
+    // an agent with no specific group falls through to *
+    assert(!allowed("/tmp/x", agent = "otherbot"))
+    assert(allowed("/public/x", agent = "otherbot"))
+    // the multi-UA run covers alphabot too
+    assert(!allowed("/private/doc", agent = "ALPHABOT"))
+    // tie length → Allow wins (Google REP)
+    val tie = "User-agent: *\nDisallow: /a/b\nAllow: /a/c"
+    assert(!allowed("/a/b/x", txt = tie))
+    val tie2 = "User-agent: *\nDisallow: /a/b\nAllow: /a/b"
+    assert(allowed("/a/b/x", txt = tie2))
+    // no robots / null robots → allowed
+    assert(allowed("/anything", txt = ""))
+    val nullAllowed = Seq((Option.empty[String], "/x")).toDF("r", "p")
+      .select(Web.robotsAllowed(col("r"), col("p"), "graftbot")).head.getBoolean(0)
+    assert(nullAllowed)
+  }
+
   test("urlFrontier: normalize, fetchable-only, batch dedup, seen screen — both join paths") {
     val seen = Seq("https://a.com/x", "http://b.com/y").toDF("url_norm")
     val links = Seq(
