@@ -159,9 +159,15 @@ object Html {
     transform(
       regexp_extract_all(xml, lit("(?is)<loc[ \\t\\n\\r\\f]*>(.*?)</loc[ \\t\\n\\r\\f]*>"), lit(1)),
       // not trim(): Spark's trim strips SPACES only, and sitemap text
-      // nodes legally wrap in newlines+indentation
-      u => decodeEntities(regexp_replace(u,
-        "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$", "")))
+      // nodes legally wrap in newlines+indentation. CDATA-wrapped locs
+      // (a real generator pattern that avoids entity-escaping) unwrap —
+      // and per XML, CDATA content is NOT entity-decoded
+      u => {
+        val t = regexp_replace(u, "^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$", "")
+        when(t.rlike("^(?s)<!\\[CDATA\\[.*\\]\\]>$"),
+            regexp_extract(t, "^(?s)<!\\[CDATA\\[(.*)\\]\\]>$", 1))
+          .otherwise(decodeEntities(t))
+      })
 
   /** All `href` targets of `<a>` tags, in document order, as
     * `array<string>` — the out-link frontier. Raw attribute values:

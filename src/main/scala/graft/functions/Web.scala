@@ -238,40 +238,55 @@ object Web {
     Dedup.screenAnti(seenUrls, batch, "url_norm", broadcastBatch)
   }
 
-  /** One tier of [[robotsAllowed]]: fold the robots.txt lines once,
-    * tracking (consecutive User-agent run, group-active flag, group
-    * existence, best Allow / Disallow prefix-match lengths for `path`).
-    * Returns the final state struct. */
-  private def robotsFold(lines: Column, path: Column,
-                         agentTok: Column): Column =
+  /** The single shared fold behind [[robotsAllowed]]: one pass over the
+    * robots.txt lines tracking BOTH tiers at once (specific agent + `*`)
+    * — a per-tier fold referenced from the final expression would inline
+    * and re-evaluate the whole chain per reference (the measured-10×
+    * anti-pattern the Dedup HOF docs record) — finishing directly to the
+    * verdict boolean via aggregate's 4-arg finish lambda, so the fold
+    * evaluates exactly once per row. Per RFC 9309 / Google's parser, a
+    * group-header run of consecutive `User-agent:` lines survives blank
+    * and comment lines; only RULE lines close it (a later UA line then
+    * starts a fresh group). */
+  private def robotsVerdict(lines: Column, path: Column,
+                            agentTok: Column): Column =
     aggregate(lines,
-      struct(lit(false).as("inUa"), lit(false).as("active"),
-        lit(false).as("exists"), lit(-1).as("allow"), lit(-1).as("dis")),
+      struct(lit(false).as("inUa"),
+        lit(false).as("sActive"), lit(false).as("sExists"),
+        lit(-1).as("sAllow"), lit(-1).as("sDis"),
+        lit(false).as("gActive"), lit(-1).as("gAllow"), lit(-1).as("gDis")),
       (st, line) => {
         val low = lower(line)
         val isUa = low.rlike("^user-agent[ \\t]*:")
         val uaVal = regexp_extract(low, "^user-agent[ \\t]*:[ \\t]*([^ \\t]*)", 1)
-        val matches = uaVal === agentTok
-        // consecutive User-agent lines form ONE group header; a UA line
-        // after rules starts a fresh group (active resets to this match)
-        val active2 = when(isUa,
-          when(st("inUa"), st("active") || matches).otherwise(matches))
-          .otherwise(st("active"))
         val isAllow = low.rlike("^allow[ \\t]*:")
         val isDis = low.rlike("^disallow[ \\t]*:")
+        // header runs persist through blanks/comments; rules close them
+        val inUa2 = isUa || (st("inUa") && !isAllow && !isDis)
+        def tierActive(active: Column, matches: Column): Column =
+          when(isUa, when(st("inUa"), active || matches).otherwise(matches))
+            .otherwise(active)
+        val mS = uaVal === agentTok
+        val mG = uaVal === "*"
+        val sActive2 = tierActive(st("sActive"), mS)
+        val gActive2 = tierActive(st("gActive"), mG)
         // values keep the ORIGINAL case — rule paths are case-sensitive
         val allowVal = regexp_extract(line, "(?i)^allow[ \\t]*:[ \\t]*([^ \\t]*)", 1)
         val disVal = regexp_extract(line, "(?i)^disallow[ \\t]*:[ \\t]*([^ \\t]*)", 1)
-        val allow2 = when(isAllow && active2 && allowVal =!= "" &&
-            path.startsWith(allowVal),
-          greatest(st("allow"), length(allowVal))).otherwise(st("allow"))
-        val dis2 = when(isDis && active2 && disVal =!= "" &&
-            path.startsWith(disVal),
-          greatest(st("dis"), length(disVal))).otherwise(st("dis"))
-        struct(isUa.as("inUa"), active2.as("active"),
-          (st("exists") || (isUa && matches)).as("exists"),
-          allow2.as("allow"), dis2.as("dis"))
-      })
+        def best(cur: Column, active: Column, isRule: Column, v: Column): Column =
+          when(isRule && active && v =!= "" && path.startsWith(v),
+            greatest(cur, length(v))).otherwise(cur)
+        struct(inUa2.as("inUa"),
+          sActive2.as("sActive"),
+          (st("sExists") || (isUa && mS)).as("sExists"),
+          best(st("sAllow"), sActive2, isAllow, allowVal).as("sAllow"),
+          best(st("sDis"), sActive2, isDis, disVal).as("sDis"),
+          gActive2.as("gActive"),
+          best(st("gAllow"), gActive2, isAllow, allowVal).as("gAllow"),
+          best(st("gDis"), gActive2, isDis, disVal).as("gDis"))
+      },
+      st => when(st("sExists"), st("sAllow") >= st("sDis"))
+        .otherwise(st("gAllow") >= st("gDis")))
 
   /** robots.txt evaluation (the Robots Exclusion Protocol subset real
     * crawl compliance needs): does `robotsTxt` allow `agent` to fetch
@@ -294,14 +309,16 @@ object Web {
     * filter on `robotsAllowed`. */
   def robotsAllowed(robotsTxt: Column, path: Column, agent: String): Column = {
     require(agent.nonEmpty && !agent.contains("\n"), s"not an agent token: $agent")
+    // RFC 9309 EOL is CRLF, bare LF, or bare CR — splitting on \n alone
+    // would glue a CR-only file into one line and fail OPEN (every rule
+    // silently dropped); Locale.ROOT, not default-locale toLowerCase
+    // (the Turkish-I trap — the line side uses Spark's locale-free lower)
     val lines = transform(
-      split(coalesce(robotsTxt, lit("")), "\n"),
+      split(coalesce(robotsTxt, lit("")), "\\r\\n|\\r|\\n"),
       l => regexp_replace(regexp_replace(l, "#.*", ""),
-        "^[ \\t\\r\\f]+|[ \\t\\r\\f]+$", ""))
-    val spec = robotsFold(lines, path, lit(agent.toLowerCase))
-    val star = robotsFold(lines, path, lit("*"))
-    when(spec("exists"), spec("allow") >= spec("dis"))
-      .otherwise(star("allow") >= star("dis"))
+        "^[ \\t\\f]+|[ \\t\\f]+$", ""))
+    robotsVerdict(lines, path,
+      lit(agent.toLowerCase(java.util.Locale.ROOT)))
   }
 
   /** Per-domain quota: keep at most `cap` rows per `domainCol`, the best

@@ -319,6 +319,27 @@ class WebSpec extends AnyFunSuite {
     val nullAllowed = Seq((Option.empty[String], "/x")).toDF("r", "p")
       .select(Web.robotsAllowed(col("r"), col("p"), "graftbot")).head.getBoolean(0)
     assert(nullAllowed)
+    // a comment/blank line INSIDE a User-agent header run does not break
+    // it (RFC 9309: only rules close a header run) — pre-fix, alphabot
+    // lost the group's rules while 'exists' still shadowed the * tier
+    val runWithComment =
+      "User-agent: alphabot\n# our bots\n\nUser-agent: graftbot\nDisallow: /private"
+    assert(!allowed("/private/doc", agent = "alphabot", txt = runWithComment))
+    assert(!allowed("/private/doc", txt = runWithComment))
+    // bare-CR line endings (RFC 9309 EOL) must not glue the file into one
+    // line and fail open
+    assert(!allowed("/private/x", txt = "User-agent: *\rDisallow: /private"))
+    assert(!allowed("/private/x", txt = "User-agent: *\r\nDisallow: /private"))
+  }
+
+  test("extractSitemapLocs: CDATA-wrapped locs unwrap, content NOT entity-decoded") {
+    import graft.functions.Html
+    val xml = "<urlset><url><loc><![CDATA[https://ex.com/a?x=1&amp;y=2]]></loc></url>" +
+      "<url><loc>https://ex.com/b?p=1&amp;q=2</loc></url></urlset>"
+    val locs = Seq(xml).toDF("x")
+      .select(Html.extractSitemapLocs(col("x"))).head.getSeq[String](0)
+    // CDATA content is literal (the &amp; stays); plain text decodes
+    assert(locs == Seq("https://ex.com/a?x=1&amp;y=2", "https://ex.com/b?p=1&q=2"))
   }
 
   test("urlFrontier: normalize, fetchable-only, batch dedup, seen screen — both join paths") {
