@@ -82,6 +82,9 @@ object SparkEntry {
     "td_hamming_clusters",
     // r14: HTML extraction — the regex-chain scan is THE per-byte cost of
     // a crawl pipeline's first stage; a non-codegen regression here would
-    // multiply across every downstream operator
-    "td_html_extract")
+    // multiply across every downstream operator — and the composed
+    // crawl-to-corpus recipe (extract → URL dedup → paragraph dedup →
+    // quality → quota), so a regression in any stage's plan shows in the
+    // headline, not only in the per-stage queries
+    "td_html_extract", "td_crawl_ingest")
 }

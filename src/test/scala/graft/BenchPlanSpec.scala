@@ -338,4 +338,19 @@ class BenchPlanSpec extends AnyFunSuite {
     assert(rs.contains("doc_id") && rs.contains("text") && !rs.contains("n_chars"),
       s"scan not pruned: $rs")
   }
+
+  test("td_crawl_ingest: one materialized extraction pass, two-window quota, no cartesian") {
+    val p = planOf("td_crawl_ingest")
+    // the 13-regex extraction chain is persisted once and every stage
+    // reads the cache — a second regex pass over raw HTML in the plan
+    // means the materialization barrier broke
+    assert(p.contains("InMemoryTableScan"), "extraction pass lost its persist barrier")
+    assert("<!DOCTYPE".r.findAllIn(p).size <= 1,
+      "the HTML fixture is being re-built/re-extracted in more than one subtree")
+    // the quota keeps the skew-safe two-stage rank (domainQuota contract)
+    val windowIds = "\\((\\d+)\\) Window(?!GroupLimit)".r.findAllMatchIn(p)
+      .map(_.group(1).toInt).toSet
+    assert(windowIds.size == 2, s"quota wants 2 Window stages, got $windowIds")
+    assert(!p.contains("CartesianProduct") && !p.contains("BatchEvalPython"))
+  }
 }
