@@ -149,6 +149,22 @@ object Html {
     decodeEntities(orderedAttr(html, "meta", "name", name, "content"))
   }
 
+  /** The page's declared character encoding, lowercased: HTML5
+    * `<meta charset="…">` first, then the legacy
+    * `<meta http-equiv="Content-Type" content="…; charset=…">` form, ''
+    * when absent — the DECODE prerequisite for raw crawl bytes (a fetcher
+    * that decoded everything as UTF-8 mangles the ~5% of the web that
+    * still declares legacy encodings; the charset must be sniffed from
+    * the byte prefix BEFORE full decoding, which is exactly what a
+    * declaration-scan regex over an ASCII-compatible prefix gives). */
+  def extractCharset(html: Column): Column = {
+    val html5 = regexp_extract(html,
+      "(?is)<meta\\b[^>]*\\bcharset[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']?([A-Za-z0-9._-]+)", 1)
+    val legacy = regexp_extract(html,
+      "(?is)<meta\\b[^>]*\\bcontent[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"'][^\"']*;[ \\t]*charset=([A-Za-z0-9._-]+)", 1)
+    lower(when(html5 =!= "", html5).otherwise(legacy))
+  }
+
   /** All `<loc>` URLs of a sitemap / sitemap-index XML document, in
     * document order, as `array<string>` — the OTHER frontier source
     * besides page out-links ([[extractLinks]]): sites declare their own

@@ -1533,6 +1533,33 @@ object PipelineQueries {
         |WHERE url_norm NOT IN (SELECT url_norm FROM seen)
         |ORDER BY url_norm""".stripMargin)),
 
+    // charset declaration extraction (the decode prerequisite for raw
+    // crawl bytes): HTML5 meta charset in both quote styles + unquoted,
+    // the legacy http-equiv Content-Type form, and the absent class —
+    // verdicts stated closed-form.
+    "td_html_charset" -> Entry((s, dir) => {
+      val id = col("doc_id")
+      t(s, dir, "documents").select(id)
+        .withColumn("html",
+          when(id % 4 === 0,
+            lit("<html><head><meta charset=\"UTF-8\"><title>x</title></head></html>"))
+            .when(id % 4 === 1,
+              lit("<html><head><META CHARSET=windows-1251></head></html>"))
+            .when(id % 4 === 2,
+              lit("<html><head><meta http-equiv=\"Content-Type\" " +
+                "content=\"text/html; charset=ISO-8859-1\"></head></html>"))
+            .otherwise(lit("<html><head><title>none</title></head></html>")))
+        .withColumn("charset", graft.functions.Html.extractCharset(col("html")))
+        .select(id, col("charset"))
+        .orderBy(id)
+    }, Some(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'utf-8'
+        |       WHEN doc_id % 4 = 1 THEN 'windows-1251'
+        |       WHEN doc_id % 4 = 2 THEN 'iso-8859-1'
+        |       ELSE '' END AS charset
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // robots.txt evaluation (crawl compliance): two robots templates —
     // one WITH a graftbot-specific group (reached via a multi-UA run,
     // with a comment, a tie-breaking Allow, and an empty Disallow) and

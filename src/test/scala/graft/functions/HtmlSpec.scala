@@ -124,6 +124,17 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("extractCharset: html5 (quoted/unquoted), legacy content-type, absent") {
+    def cs(h: String): String =
+      Seq(h).toDF("h").select(Html.extractCharset(col("h"))).head.getString(0)
+    assert(cs("""<meta charset="UTF-8">""") == "utf-8")
+    assert(cs("""<META CHARSET='Shift_JIS'>""") == "shift_jis")
+    assert(cs("<meta charset=windows-1251>") == "windows-1251")
+    assert(cs("""<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">""")
+      == "iso-8859-1")
+    assert(cs("<html><head><title>x</title></head></html>") == "")
+  }
+
   test("extractSitemapLocs: loc URLs in order, entity-decoded, whitespace-trimmed") {
     val xml =
       """<?xml version="1.0" encoding="UTF-8"?>
