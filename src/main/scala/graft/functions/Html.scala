@@ -158,10 +158,18 @@ object Html {
     * the byte prefix BEFORE full decoding, which is exactly what a
     * declaration-scan regex over an ASCII-compatible prefix gives). */
   def extractCharset(html: Column): Column = {
+    // charset anchored DIRECTLY after '<meta ' — a loose \bcharset= would
+    // also match inside unrelated attribute VALUES (og:url query strings,
+    // descriptions mentioning charsets) and return decoy encodings; the
+    // anchored form trades away the vanishingly-rare '<meta id=x
+    // charset=y>' attribute order for immunity to in-value decoys
     val html5 = regexp_extract(html,
-      "(?is)<meta\\b[^>]*\\bcharset[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']?([A-Za-z0-9._-]+)", 1)
-    val legacy = regexp_extract(html,
-      "(?is)<meta\\b[^>]*\\bcontent[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"'][^\"']*;[ \\t]*charset=([A-Za-z0-9._-]+)", 1)
+      "(?is)<meta[ \\t\\n\\r\\f]+charset[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']?([A-Za-z0-9._-]+)", 1)
+    // the legacy form matches a REAL Content-Type meta (http-equiv +
+    // content, either attribute order) and reads charset out of its value
+    val legacy = regexp_extract(
+      orderedAttr(html, "meta", "http-equiv", "content-type", "content"),
+      "(?i);[ \\t]*charset=([A-Za-z0-9._-]+)", 1)
     lower(when(html5 =!= "", html5).otherwise(legacy))
   }
 

@@ -7,8 +7,8 @@ import org.apache.spark.sql.execution.ExplainMode
   * 100 TB scaling claims rest on, pinned so a regression shows up as a
   * test failure, not a silent bench slowdown. Checked on the formatted
   * explain string at sf0.001 (plan shape is data-volume independent; AQE
-  * runtime re-planning can only improve on what's asserted here). All 21
-  * bench queries are pinned individually — join IMPLEMENTATION choices
+  * runtime re-planning can only improve on what's asserted here). Every
+  * bench query is pinned individually — join IMPLEMENTATION choices
   * (broadcast vs sort-merge) are only pinned where they're by-design
   * (tiny dim tables, tiny query sides); size-driven choices the optimizer
   * should stay free to re-make at 100× are asserted only as "no cartesian,
@@ -34,6 +34,12 @@ class BenchPlanSpec extends AnyFunSuite {
 
   private def mapSideCombine(p: String): Boolean =
     nodeId(p, "HashAggregate") < nodeId(p, "Exchange")
+
+  /** Ids of true Window nodes (WindowGroupLimit is the rank-limit
+    * pushdown, not a window) — shared by the two quota-shaped pins. */
+  private def windowIds(p: String): Set[Int] =
+    "\\((\\d+)\\) Window(?!GroupLimit)".r.findAllMatchIn(p)
+      .map(_.group(1).toInt).toSet
 
   private def pushed(p: String): String =
     p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
@@ -288,9 +294,8 @@ class BenchPlanSpec extends AnyFunSuite {
     // top-cap, then the per-domain rank over the ≤ salts·cap survivors
     // (WindowGroupLimit nodes are NOT windows — they're the rank-limit
     // pushdown, asserted separately)
-    val windowIds = "\\((\\d+)\\) Window(?!GroupLimit)".r.findAllMatchIn(p)
-      .map(_.group(1).toInt).toSet
-    assert(windowIds.size == 2, s"quota wants 2 Window stages, got $windowIds")
+    val wids = windowIds(p)
+    assert(wids.size == 2, s"quota wants 2 Window stages, got $wids")
     // stage 1 must partition by the SALTED key (pmod of the id hash)
     assert(p.contains("pmod(xxhash64("), "quota stage 1 lost its salt")
     // rank ≤ cap pushes into partial WindowGroupLimit BELOW each exchange —
@@ -348,9 +353,8 @@ class BenchPlanSpec extends AnyFunSuite {
     assert("<!DOCTYPE".r.findAllIn(p).size <= 1,
       "the HTML fixture is being re-built/re-extracted in more than one subtree")
     // the quota keeps the skew-safe two-stage rank (domainQuota contract)
-    val windowIds = "\\((\\d+)\\) Window(?!GroupLimit)".r.findAllMatchIn(p)
-      .map(_.group(1).toInt).toSet
-    assert(windowIds.size == 2, s"quota wants 2 Window stages, got $windowIds")
+    val wids = windowIds(p)
+    assert(wids.size == 2, s"quota wants 2 Window stages, got $wids")
     assert(!p.contains("CartesianProduct") && !p.contains("BatchEvalPython"))
   }
 }

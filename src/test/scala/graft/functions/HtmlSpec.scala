@@ -132,7 +132,13 @@ class HtmlSpec extends AnyFunSuite {
     assert(cs("<meta charset=windows-1251>") == "windows-1251")
     assert(cs("""<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">""")
       == "iso-8859-1")
+    assert(cs("""<META content='text/html; charset=KOI8-R' http-equiv='content-type'>""")
+      == "koi8-r") // legacy form, reversed attribute order
     assert(cs("<html><head><title>x</title></head></html>") == "")
+    // decoy 'charset=' inside an unrelated attribute VALUE must not win
+    assert(cs("""<meta property="og:url" content="https://x.com/?charset=koi8-r">""" +
+      """<meta charset="utf-8">""") == "utf-8")
+    assert(cs("""<meta name="d" content="how to set charset=utf-16 in html">""") == "")
   }
 
   test("extractSitemapLocs: loc URLs in order, entity-decoded, whitespace-trimmed") {
