@@ -1479,13 +1479,17 @@ object PipelineQueries {
           graft.functions.Html.extractText(col("html")).as("text"),
           graft.functions.Html.extractLinks(col("html")).as("links"))
         .withColumn("n_links", size(col("links")))
+        // driver-gate contract: entry outputs are flat sortable scalars
+        // (pandas can't sort array cells), so the link list rides joined
+        .withColumn("links", array_join(col("links"), "|"))
         .orderBy(col("doc_id"))
     }, Some(
       s"""WITH h AS (
          |  SELECT doc_id, $synthHtmlSql AS html
          |  FROM documents
          |), $htmlExtractCtesSql
-         |SELECT doc_id, title, text, links, CAST(len(links) AS INT) AS n_links
+         |SELECT doc_id, title, text, array_to_string(links, '|') AS links,
+         |  CAST(len(links) AS INT) AS n_links
          |FROM (
          |  SELECT doc_id,
          |    $htmlTitleSql AS title,
@@ -1735,10 +1739,11 @@ object PipelineQueries {
       // ~15 PSL length-probe references to its host argument would each
       // inline a fresh copy of urlHost's 4-regexp chain per element —
       // binding host as the inner transform's OUTPUT evaluates it once
+      // array_join at the end: the driver gate needs flat scalar outputs
       val out = ex.select(col("doc_id"), col("title"),
-        array_sort(array_distinct(transform(
+        array_join(array_sort(array_distinct(transform(
           transform(col("links"), u => Web.urlHost(u)),
-          h => Web.registeredDomain(h)))).as("out_domains"))
+          h => Web.registeredDomain(h)))), "|").as("out_domains"))
       reb.select(col("doc_id"), md5(col("text")).as("k"),
           col("n_paras"), col("n_kept"))
         .join(out, Seq("doc_id"))
@@ -1771,7 +1776,7 @@ object PipelineQueries {
          |)
          |SELECT doc_id, k, n_paras, n_kept,
          |  'Doc ' || CAST(doc_id AS VARCHAR) || ' & Co' AS title,
-         |  ['example.com', 'example' || CAST(doc_id % 3 AS VARCHAR) || '.org'] AS out_domains
+         |  'example.com|example' || CAST(doc_id % 3 AS VARCHAR) || '.org' AS out_domains
          |FROM reb ORDER BY doc_id""".stripMargin)),
 
     "td_simhash" -> Entry((s, dir) => {
