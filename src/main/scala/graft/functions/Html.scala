@@ -79,7 +79,12 @@ object Html {
     val noScript = regexp_replace(noHead, s"(?is)<script\\b[^>]*>.*?</script$ws>", "")
     val noStyle = regexp_replace(noScript, s"(?is)<style\\b[^>]*>.*?</style$ws>", "")
     val noNos = regexp_replace(noStyle, s"(?is)<noscript\\b[^>]*>.*?</noscript$ws>", "")
-    val blocks = regexp_replace(noNos, blockTagPattern, "\n")
+    // source newlines are formatting, not structure (the HTML whitespace
+    // rule): <p>foo\nbar</p> is ONE paragraph — fold them to spaces BEFORE
+    // block tags mint the real paragraph boundaries, or line-wrapped markup
+    // would hand paragraphDedup formatting fragments as keys
+    val srcWs = regexp_replace(noNos, "\\n", " ")
+    val blocks = regexp_replace(srcWs, blockTagPattern, "\n")
     val noTags = regexp_replace(blocks, "(?s)<[^>]*>", "")
     val decoded = decodeEntities(noTags)
     val sp = regexp_replace(decoded, "[\\t\\r\\f\\x{00A0}]", " ")
@@ -170,7 +175,21 @@ object Html {
     val legacy = regexp_extract(
       orderedAttr(html, "meta", "http-equiv", "content-type", "content"),
       "(?i);[ \\t]*charset=([A-Za-z0-9._-]+)", 1)
-    lower(when(html5 =!= "", html5).otherwise(legacy))
+    // UNQUOTED legacy markup (<meta http-equiv=Content-Type
+    // content=text/html;charset=…>) — common in exactly the old-encoding
+    // cohort this extractor targets; orderedAttr is quoted-only by design,
+    // so both attribute orders get an unquoted fallback here. The value
+    // class [^>"'] cannot cross a quote or the tag end, so a quoted decoy
+    // elsewhere in the tag can't donate its charset
+    val ws = "[ \\t\\n\\r\\f]*"
+    val legacyUnqA = regexp_extract(html,
+      s"(?is)<meta[^>]*\\bhttp-equiv$ws=$ws[\"']?content-type\\b[^>]*\\bcontent$ws=$ws[^>\"']*;[ \\t]*charset=([A-Za-z0-9._-]+)", 1)
+    val legacyUnqB = regexp_extract(html,
+      s"(?is)<meta[^>]*\\bcontent$ws=$ws[^>\"']*;[ \\t]*charset=([A-Za-z0-9._-]+)[^>]*\\bhttp-equiv$ws=$ws[\"']?content-type", 1)
+    lower(when(html5 =!= "", html5)
+      .when(legacy =!= "", legacy)
+      .when(legacyUnqA =!= "", legacyUnqA)
+      .otherwise(legacyUnqB))
   }
 
   /** All `<loc>` URLs of a sitemap / sitemap-index XML document, in

@@ -122,8 +122,8 @@ object Web {
     * matching k (implicit `*` rule ⇒ at least 1). Exceptions override:
     * a matching exception rule IS the registered domain (its own leftmost
     * label is the registrant's). */
-  private def registeredDomainPsl(host: Column,
-                                  rules: PublicSuffixList.Rules): Column = {
+  private[graft] def registeredDomainPsl(host: Column,
+                                         rules: PublicSuffixList.Rules): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
     // last-k labels re-joined. slice with a negative start counts from the
@@ -138,7 +138,12 @@ object Web {
       when(n >= bk + 1 && lastK(bk).isin(set.toSeq: _*), lit(bk + 1))
         .otherwise(lit(0))
     }
-    val psLen = greatest(exactCands ++ wildCands :+ lit(1): _*)
+    // greatest() demands >= 2 args: an exceptions-only PSL file (legal —
+    // passes PublicSuffixList.loaded's non-empty guard) yields no exact or
+    // wildcard candidates, so the implicit-'*' floor needs a companion
+    val allCands = exactCands ++ wildCands
+    val psLen =
+      if (allCands.isEmpty) lit(1) else greatest(allCands :+ lit(1): _*)
     // more-specific (longer) exceptions first
     val excCols = rules.exceptionsByLen.toSeq.sortBy(-_._1).map { case (k, set) =>
       when(n >= k && lastK(k).isin(set.toSeq: _*), lastK(k))
@@ -206,6 +211,9 @@ object Web {
       .when(href.startsWith("//"), concat(scheme, lit(":"), href))
       .when(href.startsWith("/"), concat(origin, href))
       .when(href === "" || href.startsWith("#"), base)
+      // query-only reference (href="?page=2" — the common pagination form)
+      // keeps the FULL base path per RFC 3986 §5.3, not the directory join
+      .when(href.startsWith("?"), concat(beforeQf, href))
       .otherwise(concat(dir, href))
   }
 

@@ -189,7 +189,8 @@ object PipelineQueries {
       |c3 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<script\b[^>]*>.*?</script[ \t\n\r\f]*>', '', 'g') AS x0 FROM c2),
       |c4 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<style\b[^>]*>.*?</style[ \t\n\r\f]*>', '', 'g') AS x0 FROM c3),
       |c5 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?is)<noscript\b[^>]*>.*?</noscript[ \t\n\r\f]*>', '', 'g') AS x0 FROM c4),
-      |c6 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?i)</?(p|div|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|section|article|header|footer|nav|aside|pre|br|hr|form)\b[^>]*>', chr(10), 'g') AS x0 FROM c5),
+      |c5b AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '\n', ' ', 'g') AS x0 FROM c5),
+      |c6 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?i)</?(p|div|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|section|article|header|footer|nav|aside|pre|br|hr|form)\b[^>]*>', chr(10), 'g') AS x0 FROM c5b),
       |c7 AS (SELECT * EXCLUDE (x0), regexp_replace(x0, '(?s)<[^>]*>', '', 'g') AS x0 FROM c6),
       |c8 AS (SELECT * EXCLUDE (x0), replace(replace(replace(replace(replace(replace(x0,
       |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS x0 FROM c7),
@@ -1545,22 +1546,27 @@ object PipelineQueries {
       val id = col("doc_id")
       t(s, dir, "documents").select(id)
         .withColumn("html",
-          when(id % 4 === 0,
+          when(id % 5 === 0,
             lit("<html><head><meta charset=\"UTF-8\"><title>x</title></head></html>"))
-            .when(id % 4 === 1,
+            .when(id % 5 === 1,
               lit("<html><head><META CHARSET=windows-1251></head></html>"))
-            .when(id % 4 === 2,
+            .when(id % 5 === 2,
               lit("<html><head><meta http-equiv=\"Content-Type\" " +
                 "content=\"text/html; charset=ISO-8859-1\"></head></html>"))
+            // fully UNQUOTED legacy markup — the old-encoding cohort shape
+            .when(id % 5 === 3,
+              lit("<html><head><meta http-equiv=Content-Type " +
+                "content=text/html;charset=Shift_JIS></head></html>"))
             .otherwise(lit("<html><head><title>none</title></head></html>")))
         .withColumn("charset", graft.functions.Html.extractCharset(col("html")))
         .select(id, col("charset"))
         .orderBy(id)
     }, Some(
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 4 = 0 THEN 'utf-8'
-        |       WHEN doc_id % 4 = 1 THEN 'windows-1251'
-        |       WHEN doc_id % 4 = 2 THEN 'iso-8859-1'
+        |  CASE WHEN doc_id % 5 = 0 THEN 'utf-8'
+        |       WHEN doc_id % 5 = 1 THEN 'windows-1251'
+        |       WHEN doc_id % 5 = 2 THEN 'iso-8859-1'
+        |       WHEN doc_id % 5 = 3 THEN 'shift_jis'
         |       ELSE '' END AS charset
         |FROM documents ORDER BY doc_id""".stripMargin)),
 

@@ -418,8 +418,15 @@ object Streaming {
       val hasSink = {
         val p = new org.apache.hadoop.fs.Path(sinkDir)
         val fs = p.getFileSystem(s2.sparkContext.hadoopConfiguration)
-        fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+        fs.exists(p)
       }
+      // existence of the DIRECTORY is the probe, not of top-level
+      // *.parquet files: a compacted or partition-subdirectoried sink has
+      // no direct parquet children, and reading it as "no sink" would skip
+      // the anti-join and break emit-once. An existing-but-empty dir (or
+      // one holding only a _SUCCESS marker) is the one remaining shape —
+      // the read then yields zero rows against an explicit schema, so the
+      // anti-join is a correct no-op rather than an AnalysisException
       val fresh =
         if (hasSink)
           fresh0.join(

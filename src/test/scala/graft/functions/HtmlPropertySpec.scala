@@ -76,10 +76,14 @@ class HtmlPropertySpec extends AnyFunSuite {
         size(Html.extractLinks(col("h"))).as("n"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
       .sortBy(_._1)
-    // second pass: re-extract the non-angle outputs wrapped in <p> — the
-    // fixpoint property that makes re-processing extracted text safe
+    // second pass: re-extract the non-angle outputs with each LINE in its
+    // own <p> — the fixpoint property that makes re-processing extracted
+    // text safe. One <p> per line, not one around the whole text: source
+    // newlines are whitespace per the HTML rule, so a single wrapper would
+    // (correctly) merge the blocks the first pass separated
     val fix = rows.collect { case (i, t, _) if !gens(i).angleEntities => (i, t) }
-    val fixed = fix.map { case (i, t) => (i, s"<p>$t</p>") }.toSeq.toDF("i", "h")
+    val fixed = fix.map { case (i, t) =>
+      (i, t.split('\n').mkString("<p>", "</p><p>", "</p>")) }.toSeq.toDF("i", "h")
       .select(col("i"), Html.extractText(col("h")).as("t2"))
       .collect().map(r => (r.getInt(0), r.getString(1))).toMap
     for ((i, out, nLinks) <- rows) {

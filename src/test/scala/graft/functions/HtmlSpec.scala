@@ -46,8 +46,18 @@ class HtmlSpec extends AnyFunSuite {
 
   test("extractText: whitespace canonicalization — CR/TAB/NBSP, runs, blank lines") {
     val html = "<div>a\t\tb\r\n c d</div><div></div><div></div><div>e</div>"
-    // tags → line boundaries; empty divs leave newline runs that collapse
-    assert(text(html) == "a b\nc d\ne")
+    // tags → line boundaries; empty divs leave newline runs that collapse;
+    // the \r\n INSIDE the first div is source formatting → a space (the
+    // HTML whitespace rule), not a paragraph boundary
+    assert(text(html) == "a b c d\ne")
+  }
+
+  test("extractText: mid-block source newlines fold to spaces (HTML whitespace rule)") {
+    // line-wrapped markup is ONE paragraph — paragraph boundaries come
+    // from block tags, never from source formatting
+    assert(text("<p>foo\nbar</p>") == "foo bar")
+    assert(text("<body>plain\nwrapped\ntext</body>") == "plain wrapped text")
+    assert(text("<p>a\nb</p>\n<p>c</p>") == "a b\nc")
   }
 
   test("extractText: double-escaped entities decode one level like a browser") {
@@ -134,6 +144,13 @@ class HtmlSpec extends AnyFunSuite {
       == "iso-8859-1")
     assert(cs("""<META content='text/html; charset=KOI8-R' http-equiv='content-type'>""")
       == "koi8-r") // legacy form, reversed attribute order
+    // fully UNQUOTED legacy markup — exactly the old-encoding cohort shape
+    assert(cs("<meta http-equiv=Content-Type content=text/html;charset=Shift_JIS>")
+      == "shift_jis")
+    assert(cs("<meta content=text/html;charset=KOI8-R http-equiv=Content-Type>")
+      == "koi8-r")
+    // unquoted fallback still demands a real Content-Type meta
+    assert(cs("""<meta http-equiv="refresh" content="0;url=/x">""") == "")
     assert(cs("<html><head><title>x</title></head></html>") == "")
     // decoy 'charset=' inside an unrelated attribute VALUE must not win
     assert(cs("""<meta property="og:url" content="https://x.com/?charset=koi8-r">""" +

@@ -110,6 +110,19 @@ class WebSpec extends AnyFunSuite {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("registeredDomainPsl: exceptions-only rules plan without error (greatest arity)") {
+    // an exceptions-only PSL file parses to empty exact AND wildcard sets
+    // but passes the non-empty guard — the implicit-'*' floor must not
+    // hand greatest() a single argument (plan-time AnalysisException)
+    val r = PublicSuffixList.parse("!city.kobe.jp")
+    val got = Seq("a.b.example.com", "city.kobe.jp", "localhost").toDF("h")
+      .select(Web.registeredDomainPsl(col("h"), r))
+      .collect().map(_.getString(0)).toSeq
+    // implicit * rule: 1-label public suffix → last two labels; the
+    // exception rule IS the registered domain where it matches
+    assert(got == Seq("example.com", "city.kobe.jp", "localhost"), got.toString)
+  }
+
   test("IDN rules: Unicode PSL entries match punycode hosts after ACE folding") {
     // the upstream list stores IDN rules as Unicode (中国, рф) while
     // urlHost yields ACE-encoded hosts — the parser must fold rules to
@@ -270,7 +283,10 @@ class WebSpec extends AnyFunSuite {
       ("https://a.com/dir/page.html", "other.html"), // path-relative
       ("https://a.com", "other.html"), // base with no path
       ("https://a.com/dir/page.html", "#sec"), // fragment-only → the page
-      ("https://a.com/dir/page.html", "mailto:x@y.z") // absolute, other scheme
+      ("https://a.com/dir/page.html", "mailto:x@y.z"), // absolute, other scheme
+      // query-only (pagination) keeps the FULL base path per RFC 3986 §5.3
+      ("https://a.com/list?page=1", "?page=2"),
+      ("https://a.com", "?q=x") // query-only against a path-less base
     ).toDF("base", "href")
     val out = rows.select(Web.resolveUrl(col("base"), col("href")))
       .collect().map(_.getString(0)).toSeq
@@ -281,7 +297,9 @@ class WebSpec extends AnyFunSuite {
       "https://a.com/dir/other.html",
       "https://a.com/other.html",
       "https://a.com/dir/page.html",
-      "mailto:x@y.z"))
+      "mailto:x@y.z",
+      "https://a.com/list?page=2",
+      "https://a.com?q=x"))
   }
 
   test("robotsAllowed: tiers, longest-match, tie→allow, UA runs, comments, empty disallow") {

@@ -268,6 +268,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.contains(("9", "1")) && after.contains(("9", "2")),
       s"new near-dup missed: $after")
     assert(sinkRows().size == after.size, "sink grew duplicate pair rows")
+
+    // COMPACTION survival: rewrite the sink partitioned by doc_id — no
+    // top-level *.parquet files remain, only subdirectories. A probe that
+    // lists direct children would read this as 'no sink', skip the
+    // anti-join, and re-emit on the next redelivery
+    val sinkSchemaT = org.apache.spark.sql.types.StructType.fromDDL(sinkSchema)
+    val compacted = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        spark.read.schema(sinkSchemaT).parquet(sink).collect(): _*)),
+      sinkSchemaT)
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+    compacted.write.partitionBy("doc_id").parquet(sink)
+    // redeliver doc 9 (NOT 2: doc 9 entered state after 2's last screen,
+    // so a re-screened 2 would legitimately mint a brand-new (2,9) pair) —
+    // 9's re-screen yields only pairs the sink already holds
+    Seq((9L, ts("2024-01-01 00:21:00"),
+        "the quick brown fox jumps over the lazy dog near the river shore"))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(src)
+    drain()
+    // partition columns come back at the END of the read schema — compare
+    // sets, and assert the count did not grow (no duplicate pair rows)
+    val post = spark.read.parquet(sink).select("doc_id", "corpus_id")
+      .collect().map(r => (r.get(0).toString, r.getString(1)))
+    assert(post.toSet == after && post.length == after.size,
+      s"redelivery against a compacted (partition-subdir) sink duplicated rows: ${post.toSeq}")
   }
 
   test("mergeStream upserts micro-batches into a managed table by key") {
