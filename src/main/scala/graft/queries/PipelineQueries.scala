@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Bpe, Curation, Dedup, Multimodal, Similarity, TextFunctions, Web}
+import graft.functions.{Bpe, Curation, Dedup, Multimodal, Similarity, TextFunctions, Warc, Web}
 import QueryUtil._
 
 /** Training-data pipeline coverage (builder prompt: dedup / similarity /
@@ -1784,6 +1784,106 @@ object PipelineQueries {
          |  'Doc ' || CAST(doc_id AS VARCHAR) || ' & Co' AS title,
          |  'example.com|example' || CAST(doc_id % 3 AS VARCHAR) || '.org' AS out_domains
          |FROM reb ORDER BY doc_id""".stripMargin)),
+
+    // WARC container ingestion — the TRUE front of the crawl pipeline
+    // (real crawls arrive as Content-Length-framed binary WARC files, not
+    // text columns). The fixture is written BY THE CLUSTER: each of 4
+    // hash partitions serializes its documents into one WARC file (odd
+    // partitions gzipped — both container forms ride one entry), with a
+    // re-fetch duplicate every 10th doc, a non-HTML resource record every
+    // doc%10==3, plus a driver-written edge file holding the warcinfo
+    // record and a TRUNCATED tail record (declared Content-Length past
+    // EOF) that the splitter must drop. The oracle restates every
+    // surviving record closed-form: the response payload is exactly the
+    // synthHtml bytes (envelope stripped), so DuckDB md5-checks payloads
+    // byte-for-byte.
+    "td_warc_ingest" -> Entry((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("html"))
+      val warcDir = java.nio.file.Files.createTempDirectory("td_warc").toString
+      pages.repartition(4, col("doc_id"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val bos = new java.io.ByteArrayOutputStream()
+            it.foreach { r =>
+              val id = r.getLong(0)
+              val html = r.getString(1).getBytes("UTF-8")
+              val url = s"https://w${id % 10}.example.org/doc/$id"
+              bos.write(Warc.httpResponse(url, "2024-01-01T00:00:00Z",
+                "text/html; charset=UTF-8", html))
+              if (id % 10 == 0) // re-fetch: a bit-identical duplicate record
+                bos.write(Warc.httpResponse(url, "2024-01-01T01:00:00Z",
+                  "text/html; charset=UTF-8", html))
+              if (id % 10 == 3)
+                bos.write(Warc.record("resource", url + ".pdf",
+                  "2024-01-01T00:00:00Z", "application/pdf",
+                  s"PDFBYTES$id".getBytes("UTF-8")))
+            }
+            val raw = bos.toByteArray
+            val (name, data) =
+              if (pid % 2 == 0) (f"part-$pid%05d.warc", raw)
+              else {
+                val b2 = new java.io.ByteArrayOutputStream()
+                val g = new java.util.zip.GZIPOutputStream(b2)
+                g.write(raw); g.close()
+                (f"part-$pid%05d.warc.gz", b2.toByteArray)
+              }
+            val p = new org.apache.hadoop.fs.Path(warcDir, name)
+            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val out = fs.create(p, true)
+            out.write(data); out.close()
+          }
+        }
+      val edge = new java.io.ByteArrayOutputStream()
+      edge.write(Warc.record("warcinfo", "", "2024-01-01T00:00:00Z",
+        "application/warc-fields",
+        "software: graft\r\nformat: WARC File Format 1.1\r\n".getBytes("UTF-8")))
+      edge.write(Warc.httpResponse("https://w0.example.org/truncated",
+        "2024-01-01T02:00:00Z", "text/html; charset=UTF-8",
+        "<p>never seen</p>".getBytes("UTF-8")).dropRight(12))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(warcDir, "zz-edge.warc"), edge.toByteArray)
+      Warc.readWarc(s, warcDir)
+        .select(col("url"), col("warc_type"), col("content_type"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          coalesce(col("http_status"), lit(0)).as("status"))
+        .groupBy("url", "warc_type", "content_type", "n_bytes",
+          "payload_md5", "status")
+        .agg(count(lit(1)).as("n_copies"))
+        .orderBy(col("url"), col("warc_type"))
+    }, Some(
+      s"""WITH h AS (
+         |  SELECT doc_id, $synthHtmlSql AS html
+         |  FROM documents
+         |), resp AS (
+         |  SELECT 'https://w' || CAST(doc_id % 10 AS VARCHAR) ||
+         |      '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         |    'response' AS warc_type,
+         |    'text/html; charset=UTF-8' AS content_type,
+         |    CAST(strlen(html) AS BIGINT) AS n_bytes,
+         |    md5(html) AS payload_md5,
+         |    200 AS status,
+         |    CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_copies
+         |  FROM h
+         |), pdf AS (
+         |  SELECT 'https://w' || CAST(doc_id % 10 AS VARCHAR) ||
+         |      '.example.org/doc/' || CAST(doc_id AS VARCHAR) || '.pdf',
+         |    'resource', 'application/pdf',
+         |    CAST(strlen('PDFBYTES' || CAST(doc_id AS VARCHAR)) AS BIGINT),
+         |    md5('PDFBYTES' || CAST(doc_id AS VARCHAR)), 0, CAST(1 AS BIGINT)
+         |  FROM documents WHERE doc_id % 10 = 3
+         |), info AS (
+         |  SELECT '', 'warcinfo', 'application/warc-fields',
+         |    CAST(strlen(p) AS BIGINT), md5(p), 0, CAST(1 AS BIGINT)
+         |  FROM (SELECT 'software: graft' || chr(13) || chr(10) ||
+         |    'format: WARC File Format 1.1' || chr(13) || chr(10) AS p)
+         |)
+         |SELECT * FROM resp UNION ALL SELECT * FROM pdf UNION ALL
+         |SELECT * FROM info
+         |ORDER BY url, warc_type""".stripMargin)),
 
     "td_simhash" -> Entry((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), shingleN = 2)

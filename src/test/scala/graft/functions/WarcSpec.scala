@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class WarcSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def bytes(s: String) = s.getBytes("UTF-8")
+
+  private def concat(parts: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+
+  test("splitRecords: multi-record file — warcinfo, responses, resource, dup") {
+    val html1 = bytes("<html><body><p>one</p></body></html>")
+    val html2 = bytes("<html><body><p>two</p></body></html>")
+    val file = concat(
+      Warc.record("warcinfo", "", "2024-01-01T00:00:00Z",
+        "application/warc-fields", bytes("software: graft\r\n")),
+      Warc.httpResponse("https://a.example/1", "2024-01-01T00:00:01Z",
+        "text/html; charset=UTF-8", html1),
+      Warc.httpResponse("https://a.example/2", "2024-01-01T00:00:02Z",
+        "text/html; charset=UTF-8", html2),
+      // re-fetch of the same URL — a DUPLICATE record, kept by the reader
+      // (dedup is downstream's job)
+      Warc.httpResponse("https://a.example/1", "2024-01-01T00:00:03Z",
+        "text/html; charset=UTF-8", html1),
+      // non-HTML resource record: payload passes through untouched
+      Warc.record("resource", "https://a.example/r.pdf",
+        "2024-01-01T00:00:04Z", "application/pdf", bytes("PDFBYTES")))
+    val recs = Warc.splitRecords(file).toVector
+    assert(recs.map(_.warcType) ==
+      Vector("warcinfo", "response", "response", "response", "resource"))
+    assert(recs(1).url == "https://a.example/1" && recs(1).httpStatus == Some(200))
+    assert(recs(1).contentType == "text/html; charset=UTF-8")
+    assert(new String(recs(1).payload, "UTF-8") == new String(html1, "UTF-8"))
+    assert(recs(3).url == "https://a.example/1") // dup survives
+    assert(recs(4).httpStatus.isEmpty &&
+      new String(recs(4).payload, "UTF-8") == "PDFBYTES")
+    assert(recs.map(_.offset) == recs.map(_.offset).sorted)
+  }
+
+  test("splitRecords: truncated tail record drops; earlier records survive") {
+    val good = Warc.httpResponse("https://a.example/ok", "2024-01-01T00:00:01Z",
+      "text/html", bytes("<p>ok</p>"))
+    val truncated = Warc.httpResponse("https://a.example/cut",
+      "2024-01-01T00:00:02Z", "text/html", bytes("<p>this body gets cut</p>"))
+      .dropRight(20) // declared Content-Length now exceeds the bytes present
+    val recs = Warc.splitRecords(concat(good, truncated)).toVector
+    assert(recs.map(_.url) == Vector("https://a.example/ok"))
+  }
+
+  test("splitRecords: malformed header resyncs to the next record") {
+    val good1 = Warc.httpResponse("https://a.example/1", "2024-01-01T00:00:01Z",
+      "text/html", bytes("<p>1</p>"))
+    // a record with no Content-Length header is unframeable
+    val bad = bytes("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a.example/bad\r\n\r\n<p>junk</p>\r\n\r\n")
+    val good2 = Warc.httpResponse("https://a.example/2", "2024-01-01T00:00:02Z",
+      "text/html", bytes("<p>2</p>"))
+    val recs = Warc.splitRecords(concat(good1, bad, good2)).toVector
+    assert(recs.map(_.url) == Vector("https://a.example/1", "https://a.example/2"))
+  }
+
+  test("splitRecords: WARC/1.1 angle-bracketed Target-URI unwraps; WET conversion reads") {
+    val wet = bytes("WARC/1.1\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: <https://a.example/wet>\r\n" +
+      "WARC-Date: 2024-01-01T00:00:05Z\r\nContent-Type: text/plain\r\n" +
+      "Content-Length: 9\r\n\r\nwet text!\r\n\r\n")
+    val recs = Warc.splitRecords(wet).toVector
+    assert(recs.size == 1 && recs.head.url == "https://a.example/wet")
+    assert(recs.head.warcType == "conversion" &&
+      new String(recs.head.payload, "UTF-8") == "wet text!")
+  }
+
+  test("readWarc: gzipped and plain files through the binaryFile frame") {
+    val dir = SparkTestSession.tmpDir("warc_in")
+    val f1 = concat(
+      Warc.httpResponse("https://g.example/1", "2024-01-01T00:00:01Z",
+        "text/html", bytes("<p>plain file</p>")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc"), f1)
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(concat(
+        Warc.httpResponse("https://g.example/2", "2024-01-01T00:00:02Z",
+          "text/html", bytes("<p>gz file</p>"))))
+      g.close(); bos.toByteArray
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc.gz"), gz)
+    val got = Warc.readWarc(spark, dir)
+      .select("url", "src").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq("https://g.example/1", "https://g.example/2"))
+    assert(got.head._2.endsWith("a.warc") && got(1)._2.endsWith("b.warc.gz"))
+  }
+
+  test("split is scan-shaped: no shuffle in the record-split plan") {
+    val dir = SparkTestSession.tmpDir("warc_plan")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "p.warc"),
+      Warc.httpResponse("https://p.example/", "2024-01-01T00:00:01Z",
+        "text/html", bytes("<p>x</p>")))
+    val plan = Warc.readWarc(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
