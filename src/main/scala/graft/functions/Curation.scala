@@ -347,4 +347,21 @@ object Curation {
     Web.domainQuota(scored, domainCap, scoreCol = "quality", idCol = idCol,
       salts = quotaSalts)
   }
+
+  /** [[crawlIngest]] over RAW PAYLOAD BYTES (the shape [[Warc.readWarc]]
+    * emits): sniff each page's declared charset from the byte prefix,
+    * decode under it ([[Html.decodeHtmlBytes]] — UTF-8 fallback, U+FFFD
+    * isolation), then run the text-side recipe unchanged. The decoded
+    * html column exists only inside the first projection — like the html
+    * text in the string-side recipe, the payload never crosses a shuffle. */
+  def crawlIngestBytes(pages: DataFrame, payloadCol: String = "payload",
+                       urlCol: String = "url", idCol: String = "doc_id",
+                       domainCap: Int = 1000, minQuality: Double = 0.0,
+                       quotaSalts: Int = 16): DataFrame =
+    crawlIngest(
+      pages.withColumn("__graft_html", Html.decodeHtmlBytes(col(payloadCol)))
+        .drop(payloadCol),
+      htmlCol = "__graft_html", urlCol = urlCol, idCol = idCol,
+      domainCap = domainCap, minQuality = minQuality,
+      quotaSalts = quotaSalts)
 }

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row charset decode (bytes → string) as a native Catalyst expression
+  * with codegen — the stage between [[Html.extractCharset]] (which reads
+  * the DECLARED encoding out of raw markup) and every text operator: a
+  * 100 TB crawl is ~5% legacy-encoded, each page declaring its OWN
+  * charset, and Spark's builtin `decode(bin, charset)` takes a constant
+  * charset (and under Spark 4 defaults rejects the legacy charsets — the
+  * windows-125x/koi8/shift_jis cohort — outright, and THROWS on malformed
+  * bytes, `MALFORMED_CHARACTER_CODING`). This expression gives the crawl
+  * semantics instead, with PER-ROW failure isolation:
+  *
+  *  - unknown / unsupported / empty / null charset names fall back to
+  *    UTF-8 (the undeclared-page default) rather than failing the task;
+  *  - malformed input and unmappable characters decode to U+FFFD
+  *    (`CodingErrorAction.REPLACE`, the browser behavior) — one corrupt
+  *    page can't kill a scan;
+  *  - any charset the JVM ships (ICU-complete in practice) is accepted,
+  *    resolved once per distinct name per executor via a bounded cache.
+  *
+  * Codegen is one static call inside the stage — no closure, no boxing —
+  * so sniff → decode → extract chains stay in whole-stage codegen. */
+case class DecodeCharset(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary payload, got ${left.dataType.sql}")
+    else if (!right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string charset, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "decode_charset"
+
+  override protected def nullSafeEval(bytes: Any, cs: Any): Any =
+    CharsetCodec.decode(bytes.asInstanceOf[Array[Byte]],
+      cs.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) =>
+      s"${ev.value} = graft.functions.CharsetCodec.decode($b, $c);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecodeCharset =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The runtime behind [[DecodeCharset]] — a top-level object so codegen
+  * can call it through the static-forwarder mirror class. */
+object CharsetCodec {
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.charset.Charset]()
+
+  /** Charset by (case-folded) name; UTF-8 on unknown/illegal/empty names.
+    * The cache is bounded: past 1024 distinct names (a corpus feeding
+    * garbage declarations) lookups still work, they just stop caching. */
+  private[functions] def lookup(name: String): java.nio.charset.Charset = {
+    if (name == null) return Utf8
+    val n = name.trim.toLowerCase(java.util.Locale.ROOT)
+    if (n.isEmpty) return Utf8
+    val hit = cache.get(n)
+    if (hit != null) return hit
+    val resolved =
+      try {
+        if (java.nio.charset.Charset.isSupported(n))
+          java.nio.charset.Charset.forName(n)
+        else Utf8
+      } catch { case _: Exception => Utf8 }
+    if (cache.size < 1024) cache.putIfAbsent(n, resolved)
+    resolved
+  }
+
+  def decode(bytes: Array[Byte], charset: UTF8String): UTF8String = {
+    val cs = lookup(if (charset == null) null else charset.toString)
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    // decode() here CANNOT throw CharacterCodingException (both actions
+    // are REPLACE), so no per-row try is needed
+    UTF8String.fromString(
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+  }
+}

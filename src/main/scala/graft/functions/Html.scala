@@ -192,6 +192,38 @@ object Html {
       .otherwise(legacyUnqB))
   }
 
+  /** Per-row charset decode: `bin` bytes → string under the charset NAMED
+    * IN ANOTHER COLUMN (falling back to UTF-8 on unknown/empty/null names,
+    * U+FFFD-replacing malformed bytes — [[DecodeCharset]] holds the
+    * contract and the why). The missing stage between [[extractCharset]]
+    * and every text operator. */
+  def decodeBytes(bin: Column, charset: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(DecodeCharset(
+      ColumnBridge.expression(bin),
+      ColumnBridge.expression(coalesce(charset, lit("")))))
+  }
+
+  /** The page's declared charset sniffed FROM RAW BYTES, the way a real
+    * fetcher must (the charset is needed BEFORE the page can be decoded):
+    * the first `prefixBytes` decode as ISO-8859-1 — a byte-preserving
+    * single-byte map, so the ASCII-compatible `<meta>` declarations read
+    * verbatim whatever the page's true encoding is — and
+    * [[extractCharset]] scans the result. '' when the prefix declares
+    * nothing (HTML5's own scan window is 1024 bytes; 2048 default gives
+    * attribute-heavy heads slack). */
+  def sniffCharset(bin: Column, prefixBytes: Int = 2048): Column =
+    extractCharset(decodeBytes(substring(bin, 1, prefixBytes),
+      lit("iso-8859-1")))
+
+  /** The composed raw-bytes decode: sniff the declared charset from the
+    * byte prefix, decode the whole payload under it (UTF-8 when
+    * undeclared). With [[extractText]] this closes the fully-raw crawl
+    * chain: WARC payload bytes → text, no stage assuming pre-decoded
+    * input. */
+  def decodeHtmlBytes(bin: Column, prefixBytes: Int = 2048): Column =
+    decodeBytes(bin, sniffCharset(bin, prefixBytes))
+
   /** All `<loc>` URLs of a sitemap / sitemap-index XML document, in
     * document order, as `array<string>` — the OTHER frontier source
     * besides page out-links ([[extractLinks]]): sites declare their own

@@ -1570,6 +1570,54 @@ object PipelineQueries {
         |       ELSE '' END AS charset
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // raw-bytes charset decode — the first fully BINARY-IN crawl recipe:
+    // pages arrive as payload bytes in five encoding classes (HTML5 utf-8,
+    // windows-1251, legacy-form iso-8859-1, undeclared, and a DECLARED
+    // BOGUS name), the charset is sniffed from the byte prefix
+    // (ISO-8859-1-preserving scan), the payload decodes under it with
+    // UTF-8 fallback, and extractText runs on the result. The oracle
+    // states both the sniffed name and the decoded text closed-form —
+    // note class 4 keeps its bogus DECLARED name while the TEXT proves
+    // the decoder fell back to UTF-8.
+    "td_charset_decode" -> Entry((s, dir) => {
+      val id = col("doc_id")
+      def enc(c: org.apache.spark.sql.Column) = encode(c, "UTF-8")
+      val cp1251Privet = // Привет in windows-1251
+        Array(0xCF, 0xF0, 0xE8, 0xE2, 0xE5, 0xF2).map(_.toByte)
+      val latin1Cafe = Array('c'.toByte, 'a'.toByte, 'f'.toByte, 0xE9.toByte)
+      val meta = when(id % 5 === 0, "<meta charset=\"UTF-8\">")
+        .when(id % 5 === 1, "<meta charset=\"windows-1251\">")
+        .when(id % 5 === 2, "<meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html; charset=ISO-8859-1\">")
+        .when(id % 5 === 3, "")
+        .otherwise("<meta charset=\"x-user-defined\">")
+      val body = when(id % 5 === 0, enc(lit("naïve ✓")))
+        .when(id % 5 === 1, lit(cp1251Privet))
+        .when(id % 5 === 2, lit(latin1Cafe))
+        .when(id % 5 === 3, enc(lit("plain")))
+        .otherwise(enc(lit("ünïcode")))
+      val page = concat(
+        enc(concat(lit("<html><head>"), meta, lit("</head><body><p>"))),
+        body,
+        enc(concat(lit(" #"), id % 7, lit("</p></body></html>"))))
+      t(s, dir, "documents").select(id)
+        .withColumn("b", page)
+        .select(id,
+          graft.functions.Html.sniffCharset(col("b")).as("charset"),
+          graft.functions.Html.extractText(
+            graft.functions.Html.decodeHtmlBytes(col("b"))).as("text"))
+        .orderBy(id)
+    }, Some(
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'utf-8'
+        |       WHEN 1 THEN 'windows-1251' WHEN 2 THEN 'iso-8859-1'
+        |       WHEN 3 THEN '' ELSE 'x-user-defined' END AS charset,
+        |  (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'naïve ✓'
+        |        WHEN 1 THEN 'Привет' WHEN 2 THEN 'café'
+        |        WHEN 3 THEN 'plain' ELSE 'ünïcode' END)
+        |    || ' #' || CAST(doc_id % 7 AS VARCHAR) AS text
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // robots.txt evaluation (crawl compliance): two robots templates —
     // one WITH a graftbot-specific group (reached via a multi-UA run,
     // with a comment, a tie-breaking Allow, and an empty Disallow) and

@@ -105,4 +105,38 @@ class CrawlIngestSpec extends AnyFunSuite {
     assert(keys(16L) == "__nokey__:16") // null url, no canonical: self-keyed
     assert(keys(17L) == "__nokey__:17") // empty-string url: self-keyed too
   }
+
+  test("crawlIngestBytes: raw-payload pages (incl. legacy charset) match the text-side recipe") {
+    // the same fixture re-encoded per page: id 3 declares windows-1251 and
+    // carries REAL cp1251 bytes in its content, everything else is UTF-8
+    val cp1251Word = new String( // Привет decoded — what the text side sees
+      Array(0xCF, 0xF0, 0xE8, 0xE2, 0xE5, 0xF2).map(_.toByte), "windows-1251")
+    val textPages = pages.filter(col("url").isNotNull && col("url") =!= "")
+      .withColumn("html",
+        when(col("doc_id") === 3,
+          concat(lit("<html><head><meta charset=\"windows-1251\"></head>" +
+            s"<body><p>$cp1251Word "), expr("substring(html, 7)")))
+          .otherwise(col("html")))
+    val bytePages = textPages.withColumn("payload",
+      when(col("doc_id") === 3,
+        // encode the whole page in its declared charset
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          new org.apache.spark.sql.catalyst.expressions.Encode(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("html")),
+            org.apache.spark.sql.catalyst.expressions.Literal("windows-1251"),
+            true, true)))
+        .otherwise(encode(col("html"), "UTF-8")))
+      .drop("html")
+    val viaBytes = Curation.crawlIngestBytes(bytePages,
+        domainCap = 3, minQuality = 0.05)
+      .select("doc_id", "text", "title", "domain", "domain_rank")
+      .collect().map(_.toSeq).toSet
+    val viaText = Curation.crawlIngest(textPages,
+        domainCap = 3, minQuality = 0.05)
+      .select("doc_id", "text", "title", "domain", "domain_rank")
+      .collect().map(_.toSeq).toSet
+    assert(viaBytes == viaText)
+    assert(viaText.exists(_(1).asInstanceOf[String].contains(cp1251Word)),
+      "the cp1251 page must survive with its non-ASCII content intact")
+  }
 }
