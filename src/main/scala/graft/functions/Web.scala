@@ -329,6 +329,46 @@ object Web {
       lit(agent.toLowerCase(java.util.Locale.ROOT)))
   }
 
+  /** Frontier politeness scheduling — the last stage of the crawl loop
+    * (discover → screen → SCHEDULE → fetch): assign every frontier URL a
+    * `(slot, fetch_round)` such that one fetch round touches a registered
+    * domain on at most `perHostSlots` concurrent connections, however
+    * skewed the frontier is toward one site. Output = input + `domain`,
+    * `slot` (0-based connection slot), `fetch_round` (1-based): round r =
+    * all rows with `fetch_round = r`, and within a round a domain appears
+    * AT MOST ONCE PER SLOT — the politeness invariant.
+    *
+    * Construction (deterministic, engine-replayable — both hashes are
+    * [[PortableHash]] components, so a SQL oracle can restate the whole
+    * assignment): `slot = h1(url) % perHostSlots` spreads a domain's URLs
+    * across its connection slots; within `(domain, slot)` a SALTED
+    * two-stage sequence (the [[domainQuota]] skew shape) numbers the
+    * queue: `salt = h2(url) % salts`, local rank within
+    * `(domain, slot, salt)`, `fetch_round = (rank-1)·salts + salt + 1`.
+    * `(rank, salt)` is a bijection into distinct rounds, so the
+    * one-per-slot-per-round invariant holds by construction, and the
+    * per-task sort is bounded by |domain| / (slots·salts) — a mega-host
+    * (the pinterest/youtube frontier problem) never sorts in one task.
+    * Round numbers are sparse where salt sub-buckets are uneven (a
+    * scheduling no-op: empty rounds cost nothing), dense ≈ |bucket| when
+    * the hash spreads evenly. */
+  def frontierSchedule(frontier: DataFrame, perHostSlots: Int,
+                       urlCol: String = "url_norm",
+                       salts: Int = 16): DataFrame = {
+    require(perHostSlots >= 1, "perHostSlots must be >= 1")
+    require(salts >= 1, "salts must be >= 1")
+    val (h1, h2) = PortableHash.pair(col(urlCol))
+    val w = Window.partitionBy(col("domain"), col("slot"), col("__salt"))
+      .orderBy(col(urlCol))
+    frontier
+      .withColumn("domain", registeredDomain(urlHost(col(urlCol))))
+      .withColumn("slot", pmod(h1, lit(perHostSlots)).cast("int"))
+      .withColumn("__salt", pmod(h2, lit(salts)).cast("int"))
+      .withColumn("fetch_round",
+        ((row_number().over(w) - 1) * salts + col("__salt") + 1).cast("int"))
+      .drop("__salt")
+  }
+
   /** Per-domain quota: keep at most `cap` rows per `domainCol`, the best
     * first by (`scoreCol` desc, `idCol` asc) — bounding any single site's
     * share of the training mix regardless of how much of it the crawl

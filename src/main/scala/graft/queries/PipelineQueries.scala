@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Bpe, Curation, Dedup, Multimodal, Similarity, TextFunctions, Warc, Web}
+import graft.functions.{Bpe, Curation, Dedup, Multimodal, PortableHash, Similarity, TextFunctions, Warc, Web}
 import QueryUtil._
 
 /** Training-data pipeline coverage (builder prompt: dedup / similarity /
@@ -1537,6 +1537,46 @@ object PipelineQueries {
         |SELECT url_norm FROM cand
         |WHERE url_norm NOT IN (SELECT url_norm FROM seen)
         |ORDER BY url_norm""".stripMargin)),
+
+    // frontier politeness scheduling — the crawl loop's last stage: every
+    // frontier URL gets (domain, slot, fetch_round) with at most
+    // perHostSlots URLs per domain per round. The fixture is mega-host
+    // skewed (60% of URLs on one registered domain); the oracle replays
+    // the ENTIRE assignment — portable-hash slot and salt, the salted
+    // two-stage round numbering — closed-form in DuckDB, so the check is
+    // bit-exact, not just invariant-level.
+    "td_frontier_schedule" -> Entry((s, dir) => {
+      val id = col("doc_id")
+      val host = when(id % 5 <= 2, lit("mega.example.com"))
+        .when(id % 5 === 3, lit("news.bbc.co.uk"))
+        .otherwise(concat(lit("site"), id % 10, lit(".org")))
+      val frontier = t(s, dir, "documents").select(id)
+        .withColumn("url_norm",
+          concat(lit("https://"), host, lit("/p/"), id))
+        .select(col("url_norm"))
+      Web.frontierSchedule(frontier, perHostSlots = 4)
+        .orderBy(col("url_norm"))
+    }, Some(
+      s"""WITH f AS (
+         |  SELECT 'https://' ||
+         |    CASE WHEN doc_id % 5 <= 2 THEN 'mega.example.com'
+         |         WHEN doc_id % 5 = 3 THEN 'news.bbc.co.uk'
+         |         ELSE 'site' || CAST(doc_id % 10 AS VARCHAR) || '.org' END ||
+         |    '/p/' || CAST(doc_id AS VARCHAR) AS url_norm,
+         |    CASE WHEN doc_id % 5 <= 2 THEN 'example.com'
+         |         WHEN doc_id % 5 = 3 THEN 'bbc.co.uk'
+         |         ELSE 'site' || CAST(doc_id % 10 AS VARCHAR) || '.org' END AS domain
+         |  FROM documents
+         |), hashed AS (
+         |  SELECT url_norm, domain,
+         |    CAST(${PortableHash.sqlPair("url_norm")._1} % 4 AS INT) AS slot,
+         |    CAST(${PortableHash.sqlPair("url_norm")._2} % 16 AS INT) AS salt
+         |  FROM f
+         |)
+         |SELECT url_norm, domain, slot,
+         |  CAST((row_number() OVER (PARTITION BY domain, slot, salt
+         |      ORDER BY url_norm) - 1) * 16 + salt + 1 AS INT) AS fetch_round
+         |FROM hashed ORDER BY url_norm""".stripMargin)),
 
     // charset declaration extraction (the decode prerequisite for raw
     // crawl bytes): HTML5 meta charset in both quote styles + unquoted,

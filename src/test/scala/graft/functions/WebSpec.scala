@@ -302,6 +302,45 @@ class WebSpec extends AnyFunSuite {
       "https://a.com?q=x"))
   }
 
+  test("frontierSchedule: politeness invariant, coverage, and skew-safe plan shape") {
+    // a mega-host frontier: 600 of 1000 URLs on one domain
+    val urls = (0 until 1000).map { i =>
+      val host = if (i % 5 <= 2) "mega.example.com"
+        else if (i % 5 == 3) "news.bbc.co.uk"
+        else s"site${i % 10}.org"
+      (s"https://$host/p/$i", i)
+    }.toDF("url_norm", "i")
+    val slots = 4
+    val out = Web.frontierSchedule(urls, perHostSlots = slots).cache()
+    // every URL scheduled exactly once
+    assert(out.count() == 1000 && out.select("url_norm").distinct().count() == 1000)
+    // THE politeness invariant: a (domain, round) never exceeds the slot
+    // count, and a (domain, round, slot) is unique — one connection each
+    val perRound = out.groupBy("domain", "fetch_round").count()
+      .agg(max("count")).head.getLong(0)
+    assert(perRound <= slots, s"a round used $perRound connections on one domain")
+    assert(out.groupBy("domain", "fetch_round", "slot").count()
+      .agg(max("count")).head.getLong(0) == 1L)
+    // rounds stay near the N/slots optimum for the mega-host (sparse salt
+    // numbering costs a bounded constant factor, not an order)
+    val mega = out.filter(col("domain") === "example.com")
+    val n = mega.count().toDouble
+    val maxRound = mega.agg(max("fetch_round")).head.getInt(0)
+    assert(maxRound >= math.ceil(n / slots).toInt, "rounds denser than slots allow")
+    assert(maxRound <= 3 * n / slots + 16, s"round numbering too sparse: $maxRound for $n")
+    out.unpersist()
+    // skew pin: the ranking window partitions by (domain, slot, salt) —
+    // a mega-host never sorts in one task. Probed AFTER unpersist: the
+    // cache manager substitutes InMemoryRelation into any structurally
+    // identical plan, leaving no Window node to find
+    val winParts = Web.frontierSchedule(urls, perHostSlots = slots)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec.length
+      }
+    assert(winParts == Seq(3), s"window partition keys: $winParts")
+  }
+
   test("robotsAllowed: tiers, longest-match, tie→allow, UA runs, comments, empty disallow") {
     val robots =
       """# crawl policy
