@@ -86,5 +86,10 @@ object SparkEntry {
     // crawl-to-corpus recipe (extract → URL dedup → paragraph dedup →
     // quality → quota), so a regression in any stage's plan shows in the
     // headline, not only in the per-stage queries
-    "td_html_extract", "td_crawl_ingest")
+    "td_html_extract", "td_crawl_ingest",
+    // r15: the composed crawl chain (extract → paragraphDedup → outlink
+    // domains) — the most representative end-to-end crawl query — and the
+    // WARC front (container split + envelope strip + payload hashing):
+    // front-most ingest throughput bounds everything downstream
+    "td_crawl_pipeline", "td_warc_ingest")
 }

@@ -344,6 +344,43 @@ class BenchPlanSpec extends AnyFunSuite {
       s"scan not pruned: $rs")
   }
 
+  test("td_crawl_pipeline: extraction materialized once, partial aggs below exchanges") {
+    val p = planOf("td_crawl_pipeline")
+    // the 13-regex extraction chain runs ONCE, behind the checkpoint: the
+    // synthHtml fixture literal appearing in the physical plan would mean
+    // a consumer re-built + re-extracted the pages instead of reading the
+    // materialized RDD
+    assert(!p.contains("<!DOCTYPE"),
+      "extraction re-built in the plan instead of reading the checkpoint")
+    val rddIds = "MapPartitionsRDD\\[(\\d+)\\]".r.findAllMatchIn(p)
+      .map(_.group(1).toInt).toSet
+    assert(rddIds.size == 1,
+      s"both consumers must read ONE materialized extraction RDD, got $rddIds")
+    // paragraphDedup's exploded frame is persisted once (its own contract)
+    assert(p.contains("InMemoryTableScan"), "paragraph frame lost its persist")
+    // every aggregate is two-phase: partial below its exchange
+    val aggIds = "\\((\\d+)\\) (?:Sort|ObjectHash|Hash)Aggregate".r
+      .findAllMatchIn(p).map(_.group(1).toInt)
+    assert(aggIds.nonEmpty && aggIds.min < nodeId(p, "Exchange"),
+      "crawl pipeline lost map-side combine")
+    assert(shuffles(p) <= 3, s"crawl pipeline grew to ${shuffles(p)} shuffles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BatchEvalPython"))
+  }
+
+  test("td_warc_ingest: binary scan → record split → map-side combine, no join") {
+    val p = planOf("td_warc_ingest")
+    // the WHOLE front stage is scan-shaped: one binaryFile scan (a task
+    // per WARC file), the mapPartitions splitter directly on top, then a
+    // two-phase aggregate — the only shuffles are the agg and output sort
+    assert(p.contains("Scan binaryFile"), "WARC read lost its binaryFile scan")
+    assert(p.contains("MapPartitions"), "record splitter left the plan")
+    assert(shuffles(p) <= 2, s"warc ingest grew to ${shuffles(p)} shuffles")
+    assert(!p.contains("Join"), "warc ingest grew a join")
+    assert(nodeId(p, "HashAggregate") < nodeId(p, "Exchange"),
+      "warc ingest lost map-side combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BatchEvalPython"))
+  }
+
   test("td_crawl_ingest: one materialized extraction pass, two-window quota, no cartesian") {
     val p = planOf("td_crawl_ingest")
     // the 13-regex extraction chain is persisted once and every stage
