@@ -1973,6 +1973,102 @@ object PipelineQueries {
          |SELECT * FROM info
          |ORDER BY url, warc_type""".stripMargin)),
 
+    // the FULL binary loop: documents → WARC files on disk → readWarc →
+    // crawlIngestBytes (sniff/decode → extract → canonical-first URL dedup
+    // → paragraph dedup → quality floor → domain quota) → curated corpus.
+    // The DuckDB oracle replays the whole chain FROM THE TABLE — the WARC
+    // framing round-trip is invisible to it, which is exactly the claim:
+    // the container stage is lossless. doc_id is recovered from the URL
+    // path (real pipelines key on the URL; the fixture makes that exact).
+    "td_crawl_bytes" -> Entry((s, dir) => {
+      val id = col("doc_id")
+      val warcDir = java.nio.file.Files.createTempDirectory("td_crawlb").toString
+      t(s, dir, "documents").select(id, col("text"))
+        .withColumn("html", synthHtml(id, col("text")))
+        .withColumn("url", concat(lit("https://w"), id % 10,
+          lit(".example"), id % 10, lit(".org/doc/"), id))
+        .select(id, col("url"), col("html"))
+        .repartition(4, id)
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val bos = new java.io.ByteArrayOutputStream()
+            it.foreach { r =>
+              bos.write(Warc.httpResponse(r.getString(1),
+                "2024-01-01T00:00:00Z", "text/html; charset=UTF-8",
+                r.getString(2).getBytes("UTF-8")))
+            }
+            val p = new org.apache.hadoop.fs.Path(warcDir, f"part-$pid%05d.warc")
+            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val out = fs.create(p, true)
+            out.write(bos.toByteArray); out.close()
+          }
+        }
+      val pages = Warc.readWarc(s, warcDir)
+        .filter(col("warc_type") === "response")
+        .withColumn("doc_id",
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long"))
+        .select(col("doc_id"), col("url"), col("payload"))
+      Curation.crawlIngestBytes(pages, domainCap = 5)
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH h AS (
+         |  SELECT doc_id, text, $synthHtmlSql AS html,
+         |    'https://w' || CAST(doc_id % 10 AS VARCHAR) || '.example' ||
+         |      CAST(doc_id % 10 AS VARCHAR) || '.org/doc/' ||
+         |      CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents
+         |), $htmlExtractCtesSql
+         |, ex AS (
+         |  SELECT doc_id,
+         |    $htmlTitleSql AS title,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'en-us' ELSE '' END AS lang_decl,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'https://canon.example.com/p' || CAST(doc_id % 7 AS VARCHAR)
+         |         WHEN doc_id % 3 = 1 THEN 'https://canon.example.com/alt' || CAST(doc_id % 7 AS VARCHAR)
+         |         ELSE url END AS url_key,
+         |    'example' || CAST(doc_id % 10 AS VARCHAR) || '.org' AS domain,
+         |    x AS text
+         |  FROM c13
+         |), kept AS (
+         |  SELECT * FROM ex
+         |  QUALIFY row_number() OVER (PARTITION BY url_key ORDER BY doc_id) = 1
+         |), pp AS (
+         |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM kept),
+         |       UNNEST(range(1, len(ps) + 1)) AS u(i)
+         |), judged AS (
+         |  SELECT doc_id, pos, para,
+         |    trim(para) = '' AS blank,
+         |    count(*) OVER (PARTITION BY para) AS n,
+         |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+         |  FROM pp
+         |), kf AS (
+         |  SELECT doc_id, pos, para, (blank OR n < 2 OR rn = 1) AS keep
+         |  FROM judged
+         |), reb AS (
+         |  SELECT doc_id,
+         |    coalesce(string_agg(para, chr(10) ORDER BY pos)
+         |      FILTER (WHERE keep), '') AS t,
+         |    CAST(count(*) AS BIGINT) AS n_paras,
+         |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+         |  FROM kf GROUP BY doc_id
+         |), scored AS (
+         |  SELECT k.url_key, r.doc_id, r.t AS text, r.n_paras, r.n_kept,
+         |    k.title, k.lang_decl,
+         |    round(greatest(0.0, least(len(r.t) / 500.0, 1.0)
+         |      * (1.0 - len(regexp_replace(r.t, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / len(r.t))
+         |      * (1.0 - len(regexp_replace(r.t, '[^0-9]', '', 'g')) * 1.0 / len(r.t))), 4) AS quality,
+         |    k.domain
+         |  FROM reb r JOIN kept k USING (doc_id)
+         |  WHERE len(r.t) > 0
+         |)
+         |SELECT url_key, doc_id, text, n_paras, n_kept, title, lang_decl,
+         |  quality, domain, CAST(rn AS INT) AS domain_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY domain
+         |    ORDER BY quality DESC, doc_id) AS rn
+         |  FROM scored
+         |) WHERE rn <= 5 ORDER BY doc_id""".stripMargin)),
+
     "td_simhash" -> Entry((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), shingleN = 2)
         .orderBy(col("doc_id"))
