@@ -25,6 +25,20 @@ object SparkEntry {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     QueryUtil.t(spark, dir, name)
 
+  /** Entry-output columns the driver gate cannot handle — its pandas
+    * harness sorts the result frame by EVERY column, and numpy array
+    * cells (top-level array/map/struct) throw there (round 14:
+    * td_html_extract, td_crawl_pipeline). ONE predicate, enforced in
+    * BOTH gates (graft.Verify at dump time, EntrySchemaSpec in CI) so
+    * they can never diverge. */
+  def nonScalarColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")

@@ -20,20 +20,13 @@ object Verify {
       if (only.isEmpty || only(name))
         try {
           val df = fn(spark, sfDir)
-          // driver-gate contract: the pandas compare sorts by every column,
-          // so outputs must be flat sortable scalars — a top-level array/
-          // map/struct column passes local compare but errs in the gate
-          // (round 14: td_html_extract, td_crawl_pipeline). Fail HERE.
-          val complex = df.schema.fields.filter(f => f.dataType match {
-            case _: org.apache.spark.sql.types.ArrayType |
-                 _: org.apache.spark.sql.types.MapType |
-                 _: org.apache.spark.sql.types.StructType => true
-            case _ => false
-          })
+          // driver-gate contract (one predicate shared with EntrySchemaSpec
+          // — see SparkEntry.nonScalarColumns): fail HERE, at dump time,
+          // what the driver's pandas harness would err on
+          val complex = SparkEntry.nonScalarColumns(df.schema)
           if (complex.nonEmpty)
-            sys.error(s"non-scalar output columns (driver gate rejects): " +
-              complex.map(f => s"${f.name}: ${f.dataType.simpleString}")
-                .mkString(", "))
+            sys.error("non-scalar output columns (driver gate rejects): " +
+              complex.mkString(", "))
           df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -80,13 +80,46 @@ object CharsetCodec {
     resolved
   }
 
+  /** Decoders are stateful (not thread-safe, reusable after the reset the
+    * convenience decode() performs) — one per (thread, charset), so the
+    * hot path allocates no decoder per row. */
+  private val decoders = new ThreadLocal[
+      java.util.HashMap[java.nio.charset.Charset, java.nio.charset.CharsetDecoder]] {
+    override def initialValue() = new java.util.HashMap()
+  }
+
+  /** ASCII-compatible charsets: bytes < 0x80 decode to themselves. Every
+    * charset a web crawl realistically declares (UTF-8, ISO-8859-x,
+    * windows-125x, KOI8, Shift_JIS, EUC, GB*) is ASCII-transparent; the
+    * ones that aren't (UTF-16/32, EBCDIC) are excluded by name. */
+  private def asciiCompatible(cs: java.nio.charset.Charset): Boolean = {
+    val n = cs.name().toLowerCase(java.util.Locale.ROOT)
+    !(n.startsWith("utf-16") || n.startsWith("utf-32") ||
+      n.startsWith("x-utf") || n.contains("ebcdic") || n.startsWith("ibm"))
+  }
+
   def decode(bytes: Array[Byte], charset: UTF8String): UTF8String = {
     val cs = lookup(if (charset == null) null else charset.toString)
-    val dec = cs.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-    // decode() here CANNOT throw CharacterCodingException (both actions
-    // are REPLACE), so no per-row try is needed
+    // fast path: pure-ASCII payload under an ASCII-compatible charset IS
+    // its own UTF-8 — one validation scan, zero transcoding, no decoder.
+    // (Covers robots/sitemaps/markup-heavy pages and most English text.)
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    // no defensive copy: expression inputs are already materialized
+    // per-row arrays (Spark's own UTF-8 decode fast path wraps likewise)
+    if (ascii && asciiCompatible(cs))
+      return UTF8String.fromBytes(bytes)
+    val perThread = decoders.get()
+    var dec = perThread.get(cs)
+    if (dec == null) {
+      dec = cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      perThread.put(cs, dec)
+    }
+    // the convenience decode() resets the decoder first and CANNOT throw
+    // CharacterCodingException (both actions are REPLACE)
     UTF8String.fromString(
       dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
   }

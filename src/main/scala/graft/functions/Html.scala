@@ -34,8 +34,15 @@ import org.apache.spark.sql.functions._
   * Contract edges (documented, spec-pinned): an UNCLOSED `<script>` /
   * `<style>` / `<head>` leaks its content as text (the lazy
   * container-match needs the closing tag; a truncated crawl record
-  * degrades to noisy text rather than losing the document), and CDATA
-  * sections are treated as markup-free text.
+  * degrades to noisy text rather than losing the document), CDATA
+  * sections are treated as markup-free text, and `<pre>`/`<textarea>`
+  * content is NOT whitespace-preserved — its newlines fold to spaces
+  * like any other source formatting (space runs inside pre collapsed
+  * before this round too). Region-scoped folding needs lookaround or
+  * per-match callbacks, both outside the Java∩RE2 subset the
+  * engine-independent oracle contract requires; for corpus CURATION
+  * (dedup keys, quality features) a code block reading as one paragraph
+  * is the accepted trade, pinned in HtmlSpec.
   */
 object Html {
 

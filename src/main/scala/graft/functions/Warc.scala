@@ -53,7 +53,15 @@ object Warc {
 
   /** Split a `binaryFile` frame (columns `path`, `content`) into WARC
     * records. Exposed separately so already-loaded bytes (tests, other
-    * sources) can reuse the splitter. */
+    * sources) can reuse the splitter. Gzipped files (magic-sniffed, not
+    * extension-sniffed) inflate THROUGH A STREAM: spec-conformant
+    * .warc.gz files are one gzip member per record and
+    * `GZIPInputStream` reads concatenated members as one stream, so the
+    * splitter's window holds one record at a time — the decompressed
+    * file (3–5× a ~1 GiB container, past the JVM array ceiling for
+    * well-compressed text) is never materialized. The compressed bytes
+    * are held whole (the binaryFile contract); that bound is the file
+    * size crawlers already target. */
   def split(files: DataFrame): DataFrame = {
     val pathIdx = files.schema.fieldIndex("path")
     val contentIdx = files.schema.fieldIndex("content")
@@ -63,9 +71,17 @@ object Warc {
         val src = r.getString(pathIdx)
         val raw = r.get(contentIdx).asInstanceOf[Array[Byte]]
         if (raw == null) Iterator.empty
-        else splitRecords(gunzipIfNeeded(raw)).map { w =>
-          Row(src, w.offset, w.warcType, w.url, w.ts, w.contentType,
-            w.httpStatus.map(Integer.valueOf).orNull, w.payload)
+        else {
+          val bais = new java.io.ByteArrayInputStream(raw)
+          val in =
+            if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+                (raw(1) & 0xff) == 0x8b)
+              new java.util.zip.GZIPInputStream(bais)
+            else bais
+          splitStream(in).map { w =>
+            Row(src, w.offset, w.warcType, w.url, w.ts, w.contentType,
+              w.httpStatus.map(Integer.valueOf).orNull, w.payload)
+          }
         }
       }
     }(enc)
@@ -74,16 +90,6 @@ object Warc {
   final case class Rec(offset: Long, warcType: String, url: String,
                        ts: String, contentType: String,
                        httpStatus: Option[Int], payload: Array[Byte])
-
-  /** Multi-member gzip detection + inflate: spec-conformant .warc.gz files
-    * are one gzip MEMBER per record; `GZIPInputStream` reads concatenated
-    * members as one stream. Plain files pass through untouched. */
-  private[functions] def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
-    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try in.readAllBytes() finally in.close()
-    } else bytes
 
   private val Magic = "WARC/".getBytes("US-ASCII")
 
@@ -129,17 +135,35 @@ object Warc {
           l.substring(i + 1).trim
       }.toMap
 
-  /** One record starting at `at` (pointing at `WARC/`). Right((rec, end))
-    * on success; Left(resyncFrom) to skip this record and rescan. */
-  private def parseOne(b: Array[Byte], at: Int): Either[Int, (Rec, Int)] = {
+  /** Outcome of attempting one record at the window start. */
+  private sealed trait Parsed
+  /** Parsed a record; `end` = window offset just past its payload. */
+  private final case class Ok(rec: Rec, end: Int) extends Parsed
+  /** Malformed beyond repair (no Content-Length after a complete header,
+    * or an unterminated header past the cap): rescan from `from`. */
+  private final case class Skip(from: Int) extends Parsed
+  /** The window ends mid-record; more input may complete it. At EOF this
+    * is a truncated tail record, which DROPS (the framing is
+    * unverifiable; a partial payload would poison dedup keys). */
+  private case object NeedMore extends Parsed
+
+  /** WARC headers are line-framed text; a "header" the blank-line scan
+    * can't terminate within 1 MiB is not a header — resync rather than
+    * buffer an entire malformed file hunting for CRLFCRLF. */
+  private val MaxHeaderBytes = 1 << 20
+
+  /** One record at window offset `at` (pointing at `WARC/`). */
+  private def parseOne(b: Array[Byte], at: Int): Parsed = {
     val hEnd = headerEnd(b, at)
-    if (hEnd < 0) return Left(b.length) // truncated header: nothing parseable
+    if (hEnd < 0)
+      return if (b.length - at > MaxHeaderBytes) Skip(at + Magic.length)
+      else NeedMore
     val headers = parseHeaders(new String(b, at, hEnd - at, "ISO-8859-1"))
     val len = headers.get("content-length").flatMap(_.toLongOption)
     len match {
-      case None => Left(at + Magic.length) // unframeable: resync
-      case Some(n) if n < 0 || hEnd + n > b.length =>
-        Left(b.length) // truncated tail record: declared length past EOF
+      case None => Skip(at + Magic.length) // unframeable: resync
+      case Some(n) if n < 0 => Skip(at + Magic.length)
+      case Some(n) if hEnd + n > b.length => NeedMore
       case Some(n) =>
         val warcType = headers.getOrElse("warc-type", "")
         val url = stripAngle(headers.getOrElse("warc-target-uri", ""))
@@ -149,9 +173,9 @@ object Warc {
         val rec =
           if (warcCt.toLowerCase(java.util.Locale.ROOT)
                 .startsWith("application/http") && startsWithHttp(payload))
-            stripHttpEnvelope(at.toLong, warcType, url, ts, payload)
-          else Rec(at.toLong, warcType, url, ts, warcCt, None, payload)
-        Right((rec, hEnd + n.toInt))
+            stripHttpEnvelope(warcType, url, ts, payload)
+          else Rec(0L, warcType, url, ts, warcCt, None, payload)
+        Ok(rec, hEnd + n.toInt)
     }
   }
 
@@ -170,7 +194,7 @@ object Warc {
     * payload. An envelope with no blank line (truncated mid-headers)
     * yields an EMPTY body with the parsed status — the record stays, its
     * document bytes are gone. */
-  private def stripHttpEnvelope(off: Long, warcType: String, url: String,
+  private def stripHttpEnvelope(warcType: String, url: String,
                                 ts: String, p: Array[Byte]): Rec = {
     val hEnd = headerEnd(p, 0)
     val headText =
@@ -185,12 +209,27 @@ object Warc {
     val body =
       if (hEnd < 0) Array.emptyByteArray
       else java.util.Arrays.copyOfRange(p, hEnd, p.length)
-    Rec(off, warcType, url, ts, ct, status, body)
+    Rec(0L, warcType, url, ts, ct, status, body)
   }
 
+  /** Array-input convenience over [[splitStream]] (tests, pre-loaded
+    * buffers); offsets are positions in `bytes`. */
   private[functions] def splitRecords(bytes: Array[Byte]): Iterator[Rec] =
+    splitStream(new java.io.ByteArrayInputStream(bytes))
+
+  /** The streaming splitter: a sliding window over `in` holds the bytes
+    * of AT MOST one record (plus one refill chunk) — a multi-gigabyte
+    * decompressed .warc.gz flows through in record-sized pieces. The
+    * window compacts after every consumed record, skipped garbage run,
+    * and magic scan, so memory is bounded by
+    * max(chunk, largest record + its header). Offsets are absolute
+    * positions in the (decompressed) stream. */
+  private[functions] def splitStream(in: java.io.InputStream,
+                                     chunk: Int = 1 << 20): Iterator[Rec] =
     new Iterator[Rec] {
-      private var pos = indexOfMagic(bytes, 0)
+      private var buf = Array.emptyByteArray // the window
+      private var base = 0L // absolute stream offset of buf(0)
+      private var eof = false
       private var nextRec: Rec = _
       advance()
 
@@ -200,17 +239,49 @@ object Warc {
         val r = nextRec; advance(); r
       }
 
+      /** Append up to `chunk` more bytes; false when the stream is done. */
+      private def refill(): Boolean = {
+        if (eof) return false
+        val b = new Array[Byte](chunk)
+        val n = in.read(b, 0, chunk)
+        if (n <= 0) { eof = true; in.close(); false }
+        else {
+          val grown = java.util.Arrays.copyOf(buf, buf.length + n)
+          System.arraycopy(b, 0, grown, buf.length, n)
+          buf = grown
+          true
+        }
+      }
+
+      /** Drop the first `n` window bytes. */
+      private def compact(n: Int): Unit =
+        if (n > 0) {
+          base += n
+          buf = java.util.Arrays.copyOfRange(buf, n, buf.length)
+        }
+
       private def advance(): Unit = {
         nextRec = null
-        while (nextRec == null && pos >= 0) {
-          parseOne(bytes, pos) match {
-            case Right((rec, after)) =>
-              nextRec = rec
-              pos = indexOfMagic(bytes, after)
-            case Left(resyncFrom) =>
-              pos =
-                if (resyncFrom >= bytes.length) -1
-                else indexOfMagic(bytes, resyncFrom)
+        while (nextRec == null) {
+          val m = indexOfMagic(buf, 0)
+          if (m < 0) {
+            // no record start in the window: keep only a partial-magic
+            // tail, pull more bytes, or finish
+            compact(math.max(buf.length - (Magic.length - 1), 0))
+            if (!refill()) return
+          } else {
+            compact(m) // garbage before the magic never matters again
+            parseOne(buf, 0) match {
+              case Ok(rec, end) =>
+                nextRec = rec.copy(offset = base)
+                compact(end)
+              case Skip(from) =>
+                compact(from)
+              case NeedMore =>
+                // mid-record at window end: more input completes it; at
+                // EOF it is a truncated tail record and drops
+                if (!refill()) return
+            }
           }
         }
       }

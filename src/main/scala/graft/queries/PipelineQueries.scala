@@ -18,6 +18,25 @@ import QueryUtil._
   */
 object PipelineQueries {
 
+  /** WARC fixture dirs: deterministic content, so built ONCE per
+    * (variant, sfDir) per JVM at a STABLE path — bench reps 2..k re-read
+    * instead of re-serializing the corpus (the timed number is ingest
+    * throughput, not fixture construction), and repeated rounds overwrite
+    * one dir instead of leaking a fresh /tmp tree per run. File names are
+    * identical each build, so an overwrite fully replaces a stale tree. */
+  private val warcFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcFixtureDir(variant: String, sfDir: String)
+                            (build: String => Unit): String =
+    warcFixtureBuilt.computeIfAbsent(s"$variant|$sfDir", { _ =>
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_warc_${variant}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+      java.nio.file.Files.createDirectories(dir)
+      build(dir.toString)
+      dir.toString
+    })
+
   /** Fixed hyperparameters of the td_classifier_train trajectory — one
     * constant feeds BOTH the Spark trainer and the oracle-SQL generator. */
   private final val ClassifierTrainIters = 10
@@ -1886,53 +1905,54 @@ object PipelineQueries {
     // synthHtml bytes (envelope stripped), so DuckDB md5-checks payloads
     // byte-for-byte.
     "td_warc_ingest" -> Entry((s, dir) => {
-      val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .withColumn("html", synthHtml(col("doc_id"), col("text")))
-        .select(col("doc_id"), col("html"))
-      val warcDir = java.nio.file.Files.createTempDirectory("td_warc").toString
-      pages.repartition(4, col("doc_id"))
-        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-          if (it.hasNext) {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val bos = new java.io.ByteArrayOutputStream()
-            it.foreach { r =>
-              val id = r.getLong(0)
-              val html = r.getString(1).getBytes("UTF-8")
-              val url = s"https://w${id % 10}.example.org/doc/$id"
-              bos.write(Warc.httpResponse(url, "2024-01-01T00:00:00Z",
-                "text/html; charset=UTF-8", html))
-              if (id % 10 == 0) // re-fetch: a bit-identical duplicate record
-                bos.write(Warc.httpResponse(url, "2024-01-01T01:00:00Z",
+      val warcDir = warcFixtureDir("ingest", dir) { warcDir =>
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .withColumn("html", synthHtml(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("html"))
+          .repartition(4, col("doc_id"))
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            if (it.hasNext) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val bos = new java.io.ByteArrayOutputStream()
+              it.foreach { r =>
+                val id = r.getLong(0)
+                val html = r.getString(1).getBytes("UTF-8")
+                val url = s"https://w${id % 10}.example.org/doc/$id"
+                bos.write(Warc.httpResponse(url, "2024-01-01T00:00:00Z",
                   "text/html; charset=UTF-8", html))
-              if (id % 10 == 3)
-                bos.write(Warc.record("resource", url + ".pdf",
-                  "2024-01-01T00:00:00Z", "application/pdf",
-                  s"PDFBYTES$id".getBytes("UTF-8")))
-            }
-            val raw = bos.toByteArray
-            val (name, data) =
-              if (pid % 2 == 0) (f"part-$pid%05d.warc", raw)
-              else {
-                val b2 = new java.io.ByteArrayOutputStream()
-                val g = new java.util.zip.GZIPOutputStream(b2)
-                g.write(raw); g.close()
-                (f"part-$pid%05d.warc.gz", b2.toByteArray)
+                if (id % 10 == 0) // re-fetch: a bit-identical duplicate record
+                  bos.write(Warc.httpResponse(url, "2024-01-01T01:00:00Z",
+                    "text/html; charset=UTF-8", html))
+                if (id % 10 == 3)
+                  bos.write(Warc.record("resource", url + ".pdf",
+                    "2024-01-01T00:00:00Z", "application/pdf",
+                    s"PDFBYTES$id".getBytes("UTF-8")))
               }
-            val p = new org.apache.hadoop.fs.Path(warcDir, name)
-            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            val out = fs.create(p, true)
-            out.write(data); out.close()
+              val raw = bos.toByteArray
+              val (name, data) =
+                if (pid % 2 == 0) (f"part-$pid%05d.warc", raw)
+                else {
+                  val b2 = new java.io.ByteArrayOutputStream()
+                  val g = new java.util.zip.GZIPOutputStream(b2)
+                  g.write(raw); g.close()
+                  (f"part-$pid%05d.warc.gz", b2.toByteArray)
+                }
+              val p = new org.apache.hadoop.fs.Path(warcDir, name)
+              val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+              val out = fs.create(p, true)
+              out.write(data); out.close()
+            }
           }
-        }
-      val edge = new java.io.ByteArrayOutputStream()
-      edge.write(Warc.record("warcinfo", "", "2024-01-01T00:00:00Z",
-        "application/warc-fields",
-        "software: graft\r\nformat: WARC File Format 1.1\r\n".getBytes("UTF-8")))
-      edge.write(Warc.httpResponse("https://w0.example.org/truncated",
-        "2024-01-01T02:00:00Z", "text/html; charset=UTF-8",
-        "<p>never seen</p>".getBytes("UTF-8")).dropRight(12))
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(warcDir, "zz-edge.warc"), edge.toByteArray)
+        val edge = new java.io.ByteArrayOutputStream()
+        edge.write(Warc.record("warcinfo", "", "2024-01-01T00:00:00Z",
+          "application/warc-fields",
+          "software: graft\r\nformat: WARC File Format 1.1\r\n".getBytes("UTF-8")))
+        edge.write(Warc.httpResponse("https://w0.example.org/truncated",
+          "2024-01-01T02:00:00Z", "text/html; charset=UTF-8",
+          "<p>never seen</p>".getBytes("UTF-8")).dropRight(12))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(warcDir, "zz-edge.warc"), edge.toByteArray)
+      }
       Warc.readWarc(s, warcDir)
         .select(col("url"), col("warc_type"), col("content_type"),
           length(col("payload")).cast("long").as("n_bytes"),
@@ -1982,28 +2002,29 @@ object PipelineQueries {
     // path (real pipelines key on the URL; the fixture makes that exact).
     "td_crawl_bytes" -> Entry((s, dir) => {
       val id = col("doc_id")
-      val warcDir = java.nio.file.Files.createTempDirectory("td_crawlb").toString
-      t(s, dir, "documents").select(id, col("text"))
-        .withColumn("html", synthHtml(id, col("text")))
-        .withColumn("url", concat(lit("https://w"), id % 10,
-          lit(".example"), id % 10, lit(".org/doc/"), id))
-        .select(id, col("url"), col("html"))
-        .repartition(4, id)
-        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-          if (it.hasNext) {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val bos = new java.io.ByteArrayOutputStream()
-            it.foreach { r =>
-              bos.write(Warc.httpResponse(r.getString(1),
-                "2024-01-01T00:00:00Z", "text/html; charset=UTF-8",
-                r.getString(2).getBytes("UTF-8")))
+      val warcDir = warcFixtureDir("bytes", dir) { warcDir =>
+        t(s, dir, "documents").select(id, col("text"))
+          .withColumn("html", synthHtml(id, col("text")))
+          .withColumn("url", concat(lit("https://w"), id % 10,
+            lit(".example"), id % 10, lit(".org/doc/"), id))
+          .select(id, col("url"), col("html"))
+          .repartition(4, id)
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            if (it.hasNext) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val bos = new java.io.ByteArrayOutputStream()
+              it.foreach { r =>
+                bos.write(Warc.httpResponse(r.getString(1),
+                  "2024-01-01T00:00:00Z", "text/html; charset=UTF-8",
+                  r.getString(2).getBytes("UTF-8")))
+              }
+              val p = new org.apache.hadoop.fs.Path(warcDir, f"part-$pid%05d.warc")
+              val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+              val out = fs.create(p, true)
+              out.write(bos.toByteArray); out.close()
             }
-            val p = new org.apache.hadoop.fs.Path(warcDir, f"part-$pid%05d.warc")
-            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            val out = fs.create(p, true)
-            out.write(bos.toByteArray); out.close()
           }
-        }
+      }
       val pages = Warc.readWarc(s, warcDir)
         .filter(col("warc_type") === "response")
         .withColumn("doc_id",

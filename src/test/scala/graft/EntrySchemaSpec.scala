@@ -1,15 +1,15 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 /** Driver-gate output contract: the correctness harness sorts each entry's
   * result frame by EVERY column before hashing, and pandas cannot sort cells
   * holding numpy arrays — so a top-level array/map/struct output column
   * passes local checks but errs in the gate (round 14: td_html_extract,
   * td_crawl_pipeline). This spec builds every SparkEntry.queries frame at
-  * sf0.001 and rejects any non-scalar top-level column; graft.Verify
-  * enforces the same rule at dump time. */
+  * sf0.001 and rejects any non-scalar top-level column via the SAME
+  * predicate graft.Verify enforces at dump time
+  * ([[SparkEntry.nonScalarColumns]]). */
 class EntrySchemaSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
@@ -22,12 +22,7 @@ class EntrySchemaSpec extends AnyFunSuite {
           catch { case e: Throwable =>
             fail(s"entry $name failed to build at sf0.001: ${e.getMessage}")
           }
-        schema.fields.collect {
-          case f if f.dataType.isInstanceOf[ArrayType] ||
-            f.dataType.isInstanceOf[MapType] ||
-            f.dataType.isInstanceOf[StructType] =>
-            s"$name.${f.name}: ${f.dataType.simpleString}"
-        }
+        SparkEntry.nonScalarColumns(schema).map(c => s"$name.$c")
     }
     assert(bad.isEmpty,
       s"non-scalar entry output columns (driver gate rejects):\n  " +

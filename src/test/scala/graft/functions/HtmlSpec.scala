@@ -60,6 +60,14 @@ class HtmlSpec extends AnyFunSuite {
     assert(text("<p>a\nb</p>\n<p>c</p>") == "a b\nc")
   }
 
+  test("extractText: <pre> content is NOT whitespace-preserved (contract edge)") {
+    // region-scoped preservation needs lookaround/per-match callbacks —
+    // outside the Java∩RE2 oracle subset; for curation a code block
+    // reading as one paragraph is the documented trade. This pin FAILS
+    // the day the contract changes, forcing the oracle to move with it.
+    assert(text("<pre>def f():\n  return 1</pre>") == "def f(): return 1")
+  }
+
   test("extractText: double-escaped entities decode one level like a browser") {
     assert(text("<p>use &amp;lt; to write &lt;</p>") == "use &lt; to write <")
   }

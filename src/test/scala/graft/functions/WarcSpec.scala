@@ -78,6 +78,34 @@ class WarcSpec extends AnyFunSuite {
       new String(recs.head.payload, "UTF-8") == "wet text!")
   }
 
+  test("splitStream: records larger than the window chunk flow through a gzip stream") {
+    // 40 records of ~50 KiB each, gzipped, split with a 4 KiB chunk: every
+    // record spans many refills, so the window compaction, NeedMore
+    // resumption, and absolute-offset stamping all exercise — and the
+    // decompressed file (~2 MiB) never needs to exist in one array
+    val body = ("x" * 1024) // 1 KiB unit
+    val recs = (0 until 40).map { i =>
+      Warc.httpResponse(s"https://big.example/$i", "2024-01-01T00:00:00Z",
+        "text/html", (s"<p>doc$i " + body * 50 + "</p>").getBytes("UTF-8"))
+    }
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      recs.foreach(g.write); g.close(); bos.toByteArray
+    }
+    val got = Warc.splitStream(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz)), chunk = 4096).toVector
+    assert(got.size == 40)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.url == s"https://big.example/$i")
+      assert(new String(r.payload, "UTF-8").startsWith(s"<p>doc$i "))
+      assert(r.payload.length == s"<p>doc$i ".length + 50 * 1024 + "</p>".length)
+    }
+    // offsets are absolute positions in the DECOMPRESSED stream
+    assert(got.map(_.offset) == got.map(_.offset).sorted)
+    assert(got(1).offset - got(0).offset > 50 * 1024)
+  }
+
   test("readWarc: gzipped and plain files through the binaryFile frame") {
     val dir = SparkTestSession.tmpDir("warc_in")
     val f1 = concat(
