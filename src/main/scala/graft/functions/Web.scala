@@ -190,14 +190,50 @@ object Web {
         nullif(trim(url), lit("")))),
       concat(lit("__nokey__:"), selfKey.cast("string")))
 
+  /** RFC 3986 §5.2.4 remove_dot_segments as a pure Column fold: `.`
+    * segments drop, `..` pops the previous segment (a `..` above the
+    * root is a no-op — the pop on an empty stack, per the RFC), and the
+    * directory form survives (a path ending in `/`, `/.` or `/..` keeps
+    * its trailing slash, because resolving AGAINST it later needs the
+    * directory semantics). One `aggregate` pass over the segments; no
+    * UDF, no driver round-trip. */
+  def removeDotSegments(path: Column): Column = {
+    val absolute = path.startsWith("/")
+    val segs = filter(split(path, "/"), s => s =!= "")
+    val folded = aggregate(segs,
+      array().cast("array<string>"),
+      (acc, s) => when(s === ".", acc)
+        .when(s === "..", slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
+        .otherwise(concat(acc, array(s))))
+    val joined = when(absolute, concat(lit("/"), array_join(folded, "/")))
+      .otherwise(array_join(folded, "/"))
+    val dirForm = path.rlike("(/|/\\.|/\\.\\.)$")
+    when(dirForm && !joined.endsWith("/"), concat(joined, lit("/")))
+      .otherwise(joined)
+  }
+
+  /** Apply [[removeDotSegments]] to the PATH of an absolute URL, leaving
+    * origin, query, and fragment untouched. */
+  private def normalizeDotSegments(u: Column): Column = {
+    val origin = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val qf = regexp_extract(u, "([?#].*)$", 1)
+    // only pay the fold where a dot segment can exist
+    when(path.rlike("(^|/)\\.\\.?(/|$)"),
+        concat(origin, removeDotSegments(path), qf))
+      .otherwise(u)
+  }
+
   /** Resolve an href against its page's base URL (the RFC 3986 cases
     * real markup uses): absolute hrefs (any scheme — mailto:, https:)
-    * pass through; protocol-relative `//host/p` takes the base's scheme;
-    * root-relative `/p` takes the base's origin; fragment-only / empty
-    * hrefs are the page itself; anything else joins the base path's
-    * directory. Dot-segments (`../`) are left unresolved — they survive
-    * as literal path text, the same stance [[urlNormalize]] takes. Pure
-    * codegen string expressions; the standard prelude to
+    * pass through AS WRITTEN; protocol-relative `//host/p` takes the
+    * base's scheme; root-relative `/p` takes the base's origin;
+    * fragment-only / empty hrefs are the page itself; query-only
+    * `?page=2` keeps the full base path (§5.3); anything else joins the
+    * base path's directory. Dot-segments in the RESOLVED branches
+    * (`../up`, `./same`, `//host/a/../b`) collapse per §5.2.4
+    * ([[removeDotSegments]]) — the dominant relative-link form real
+    * markup emits. Pure Column expressions; the standard prelude to
     * [[urlFrontier]], which only eats absolute URLs:
     * `links.select(resolveUrl(col("page_url"), col("href")).as("url"))`. */
   def resolveUrl(base: Column, href: Column): Column = {
@@ -208,13 +244,14 @@ object Web {
     val dir = when(beforeQf === origin, concat(origin, lit("/")))
       .otherwise(regexp_replace(beforeQf, "/[^/]*$", "/"))
     when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
-      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
-      .when(href.startsWith("/"), concat(origin, href))
+      .when(href.startsWith("//"),
+        normalizeDotSegments(concat(scheme, lit(":"), href)))
+      .when(href.startsWith("/"), normalizeDotSegments(concat(origin, href)))
       .when(href === "" || href.startsWith("#"), base)
       // query-only reference (href="?page=2" — the common pagination form)
       // keeps the FULL base path per RFC 3986 §5.3, not the directory join
       .when(href.startsWith("?"), concat(beforeQf, href))
-      .otherwise(concat(dir, href))
+      .otherwise(normalizeDotSegments(concat(dir, href)))
   }
 
   /** Steady-state crawl-frontier screen — the URL analog of

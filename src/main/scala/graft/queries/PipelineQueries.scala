@@ -1557,6 +1557,43 @@ object PipelineQueries {
         |WHERE url_norm NOT IN (SELECT url_norm FROM seen)
         |ORDER BY url_norm""".stripMargin)),
 
+    // href resolution (RFC 3986 §5) — the step between extractLinks and
+    // the frontier: eight href classes (absolute, protocol-relative with
+    // dot segments, root-relative with '.' , empty, fragment-only,
+    // query-only pagination, '../' directory climb, './' same-dir)
+    // against a fixture base URL; the oracle states every resolution
+    // closed-form from the RFC rules.
+    "td_resolve_urls" -> Entry((s, dir) => {
+      val id = col("doc_id")
+      val base = concat(lit("https://h"), id % 5,
+        lit(".example.org/a/b/page.html"))
+      val href = when(id % 8 === 0, lit("https://abs.example/x"))
+        .when(id % 8 === 1,
+          concat(lit("//cdn"), id % 3, lit(".example.org/lib/../j.js")))
+        .when(id % 8 === 2, lit("/root/./x"))
+        .when(id % 8 === 3, lit(""))
+        .when(id % 8 === 4, lit("#frag"))
+        .when(id % 8 === 5, concat(lit("?p="), id % 7))
+        .when(id % 8 === 6, concat(lit("../up"), id % 7))
+        .otherwise(lit("./same.html"))
+      t(s, dir, "documents").select(id)
+        .withColumn("url", Web.resolveUrl(base, href))
+        .select(id, col("url"))
+        .orderBy(id)
+    }, Some(
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'https://abs.example/x'
+        |    WHEN 1 THEN 'https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.org/j.js'
+        |    WHEN 2 THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/root/x'
+        |    WHEN 3 THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/a/b/page.html'
+        |    WHEN 4 THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/a/b/page.html'
+        |    WHEN 5 THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/a/b/page.html?p=' || CAST(doc_id % 7 AS VARCHAR)
+        |    WHEN 6 THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/a/up' || CAST(doc_id % 7 AS VARCHAR)
+        |    ELSE 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/a/b/same.html'
+        |  END AS url
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // frontier politeness scheduling — the crawl loop's last stage: every
     // frontier URL gets (domain, slot, fetch_round) with at most
     // perHostSlots URLs per domain per round. The fixture is mega-host

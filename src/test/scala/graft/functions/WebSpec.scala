@@ -286,7 +286,15 @@ class WebSpec extends AnyFunSuite {
       ("https://a.com/dir/page.html", "mailto:x@y.z"), // absolute, other scheme
       // query-only (pagination) keeps the FULL base path per RFC 3986 §5.3
       ("https://a.com/list?page=1", "?page=2"),
-      ("https://a.com", "?q=x") // query-only against a path-less base
+      ("https://a.com", "?q=x"), // query-only against a path-less base
+      // dot segments collapse per §5.2.4 in every resolved branch
+      ("https://a.com/dir/sub/page.html", "../up.html"),
+      ("https://a.com/dir/page.html", "../../../escape.html"), // clamps at root
+      ("https://a.com/dir/page.html", "./same.html"),
+      ("https://a.com/a/b/", "../c?x=1#f"), // query+fragment ride along
+      ("https://a.com/x", "//cdn.b.org/lib/../x.js"), // protocol-relative
+      ("https://a.com/dir/page.html", "/root/./y/../z"), // root-relative
+      ("https://a.com/dir/page.html", "sub/..") // directory form survives
     ).toDF("base", "href")
     val out = rows.select(Web.resolveUrl(col("base"), col("href")))
       .collect().map(_.getString(0)).toSeq
@@ -299,7 +307,14 @@ class WebSpec extends AnyFunSuite {
       "https://a.com/dir/page.html",
       "mailto:x@y.z",
       "https://a.com/list?page=2",
-      "https://a.com?q=x"))
+      "https://a.com?q=x",
+      "https://a.com/dir/up.html",
+      "https://a.com/escape.html",
+      "https://a.com/dir/same.html",
+      "https://a.com/a/c?x=1#f",
+      "https://cdn.b.org/x.js",
+      "https://a.com/root/z",
+      "https://a.com/dir/"))
   }
 
   test("frontierSchedule: politeness invariant, coverage, and skew-safe plan shape") {
