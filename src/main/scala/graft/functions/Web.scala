@@ -366,6 +366,53 @@ object Web {
       lit(agent.toLowerCase(java.util.Locale.ROOT)))
   }
 
+  /** Path+query of an absolute URL ('/' when empty) — the string
+    * robots.txt rules match against (REP matches the path-with-query). */
+  def urlPathQuery(u: Column): Column = {
+    val p = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** The complete frontier plan — one recipe closing the crawl loop from
+    * a batch of extracted out-links to a politely-scheduled fetch list:
+    *
+    *  1. [[resolveUrl]] each href against its page (RFC 3986, dot
+    *     segments collapsed);
+    *  2. [[urlFrontier]]: normalize, keep well-formed http(s), dedup the
+    *     batch, screen against the stored seen table (one corpus scan,
+    *     broadcast batch probe);
+    *  3. robots compliance: left-join the per-domain robots cache (one
+    *     row per registered domain — realistic caches broadcast; pass
+    *     `broadcast(robots)` to force it) and keep URLs
+    *     [[robotsAllowed]] permits — a domain with NO cached robots.txt
+    *     is allowed, the REP fail-open rule;
+    *  4. [[frontierSchedule]]: per-domain politeness slots and rounds.
+    *
+    * Output: (url_norm, domain, slot, fetch_round). Every stage is the
+    * already-proven operator — this is composition, not new semantics. */
+  def crawlFrontierPlan(links: DataFrame, seenUrls: DataFrame,
+                        robots: DataFrame, agent: String,
+                        perHostSlots: Int,
+                        pageUrlCol: String = "page_url",
+                        hrefCol: String = "href",
+                        robotsDomainCol: String = "domain",
+                        robotsTxtCol: String = "robots_txt",
+                        broadcastBatch: Boolean = true,
+                        salts: Int = 16): DataFrame = {
+    val resolved = links.select(
+      resolveUrl(col(pageUrlCol), col(hrefCol)).as("url"))
+    val fresh = urlFrontier(seenUrls, resolved, "url", broadcastBatch)
+    val dom = fresh.withColumn("domain",
+      registeredDomain(urlHost(col("url_norm"))))
+    val allowed = dom
+      .join(robots.select(col(robotsDomainCol).as("domain"),
+        col(robotsTxtCol)), Seq("domain"), "left")
+      .filter(robotsAllowed(coalesce(col(robotsTxtCol), lit("")),
+        urlPathQuery(col("url_norm")), agent))
+      .drop(robotsTxtCol)
+    frontierSchedule(allowed, perHostSlots, "url_norm", salts)
+  }
+
   /** Frontier politeness scheduling — the last stage of the crawl loop
     * (discover → screen → SCHEDULE → fetch): assign every frontier URL a
     * `(slot, fetch_round)` such that one fetch round touches a registered

@@ -1634,6 +1634,66 @@ object PipelineQueries {
          |      ORDER BY url_norm) - 1) * 16 + salt + 1 AS INT) AS fetch_round
          |FROM hashed ORDER BY url_norm""".stripMargin)),
 
+    // the COMPLETE frontier plan (resolve → screen → robots → schedule)
+    // as one composed recipe: each page emits a same-domain '/p/M' link
+    // and a '../qM' directory-climb link; every 4th '/p/M' is pre-seeded
+    // seen; even-numbered domains publish a robots.txt disallowing /q
+    // (odd domains have NO cached robots — the REP fail-open path); the
+    // survivors get politeness slots/rounds. The oracle restates all
+    // four stages closed-form, including the portable-hash schedule.
+    "td_frontier_plan" -> Entry((s, dir) => {
+      val id = col("doc_id")
+      val pageUrl = concat(lit("https://site"), id % 6,
+        lit(".org/d/page"), id)
+      val docs = t(s, dir, "documents").select(id)
+      val links = docs
+        .withColumn("page_url", pageUrl)
+        .withColumn("href", array(
+          concat(lit("/p/"), id % 50),
+          concat(lit("../q"), id % 30)))
+        .select(col("page_url"), explode(col("href")).as("href"))
+      val seen = docs.filter(id % 4 === 0)
+        .select(Web.urlNormalize(concat(lit("https://site"), id % 6,
+          lit(".org/p/"), id % 50)).as("url_norm"))
+        .distinct()
+      val robots = docs.select((id % 6).as("n")).distinct()
+        .filter(col("n") % 2 === 0)
+        .select(concat(lit("site"), col("n"), lit(".org")).as("domain"),
+          lit("User-agent: *\nDisallow: /q").as("robots_txt"))
+      Web.crawlFrontierPlan(links, seen, robots, "GraftBot",
+          perHostSlots = 2)
+        .orderBy(col("url_norm"))
+    }, Some(
+      s"""WITH pages AS (
+         |  SELECT doc_id, CAST(doc_id % 6 AS INT) AS n FROM documents
+         |), cand AS (
+         |  SELECT DISTINCT 'https://site' || CAST(n AS VARCHAR) ||
+         |    '.org/p/' || CAST(doc_id % 50 AS VARCHAR) AS url_norm, n
+         |  FROM pages
+         |  UNION
+         |  SELECT DISTINCT 'https://site' || CAST(n AS VARCHAR) ||
+         |    '.org/q' || CAST(doc_id % 30 AS VARCHAR), n
+         |  FROM pages
+         |), seen AS (
+         |  SELECT DISTINCT 'https://site' || CAST(doc_id % 6 AS VARCHAR) ||
+         |    '.org/p/' || CAST(doc_id % 50 AS VARCHAR) AS url_norm
+         |  FROM documents WHERE doc_id % 4 = 0
+         |), allowed AS (
+         |  SELECT url_norm, 'site' || CAST(n AS VARCHAR) || '.org' AS domain
+         |  FROM cand
+         |  WHERE url_norm NOT IN (SELECT url_norm FROM seen)
+         |    AND NOT (n % 2 = 0 AND contains(url_norm, '.org/q'))
+         |), hashed AS (
+         |  SELECT url_norm, domain,
+         |    CAST(${PortableHash.sqlPair("url_norm")._1} % 2 AS INT) AS slot,
+         |    CAST(${PortableHash.sqlPair("url_norm")._2} % 16 AS INT) AS salt
+         |  FROM allowed
+         |)
+         |SELECT url_norm, domain, slot,
+         |  CAST((row_number() OVER (PARTITION BY domain, slot, salt
+         |      ORDER BY url_norm) - 1) * 16 + salt + 1 AS INT) AS fetch_round
+         |FROM hashed ORDER BY url_norm""".stripMargin)),
+
     // charset declaration extraction (the decode prerequisite for raw
     // crawl bytes): HTML5 meta charset in both quote styles + unquoted,
     // the legacy http-equiv Content-Type form, and the absent class —
