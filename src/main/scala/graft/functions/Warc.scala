@@ -320,4 +320,48 @@ object Warc {
     record("response", url, ts, "application/http;msgtype=response",
       payload.toByteArray)
   }
+
+  /** Write a text corpus as WET files (WARC `conversion` records, one
+    * file per partition, each led by a `warcinfo` record — the Common
+    * Crawl WET layout) — the WRITE side of the container seam, so a
+    * curated corpus can be handed BACK to WET-consuming pipelines. With
+    * `gzip` each record is its OWN gzip member (the spec's layout: a
+    * consumer can seek to a record and inflate it alone); [[readWarc]]
+    * reads the members back as one stream. Executor-side Hadoop FS
+    * writes — any file:/hdfs:/s3a: destination; file count = partition
+    * count, so `df.repartition(n)` is the file-size knob. */
+  def writeWet(df: DataFrame, outDir: String, urlCol: String = "url",
+               tsCol: String = "fetch_ts", textCol: String = "text",
+               gzip: Boolean = true): Unit = {
+    val ui = df.schema.fieldIndex(urlCol)
+    val ti = df.schema.fieldIndex(tsCol)
+    val xi = df.schema.fieldIndex(textCol)
+    df.foreachPartition { it: Iterator[Row] =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val suffix = if (gzip) ".warc.wet.gz" else ".warc.wet"
+        val p = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d$suffix")
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        def writeRec(rec: Array[Byte]): Unit =
+          if (gzip) {
+            val g = new java.util.zip.GZIPOutputStream(out)
+            g.write(rec)
+            g.finish() // close the MEMBER, not the file stream
+          } else out.write(rec)
+        try {
+          writeRec(record("warcinfo", "", "", "application/warc-fields",
+            "software: graft\r\nformat: WARC File Format 1.1\r\n"
+              .getBytes("UTF-8")))
+          it.foreach { r =>
+            val url = if (r.isNullAt(ui)) "" else r.getString(ui)
+            val ts = if (r.isNullAt(ti)) "" else r.get(ti).toString
+            val text = if (r.isNullAt(xi)) "" else r.getString(xi)
+            writeRec(record("conversion", url, ts, "text/plain",
+              text.getBytes("UTF-8")))
+          }
+        } finally out.close()
+      }
+    }
+  }
 }

@@ -2187,6 +2187,37 @@ object PipelineQueries {
          |  FROM scored
          |) WHERE rn <= 5 ORDER BY doc_id""".stripMargin)),
 
+    // WET write/read round-trip — the WRITE side of the container seam:
+    // the corpus serializes to gzipped WET files (one conversion record
+    // per doc, per-record gzip members, a warcinfo leader per file) and
+    // reads back byte-identical through the same splitter. The oracle
+    // sees only the table — a lossless round-trip is exactly the claim.
+    "td_wet_roundtrip" -> Entry((s, dir) => {
+      val id = col("doc_id")
+      val wetDir = warcFixtureDir("wet", dir) { wetDir =>
+        Warc.writeWet(
+          t(s, dir, "documents")
+            .select(concat(lit("https://wet"), id % 7,
+              lit(".example.org/"), id).as("url"),
+              lit("2024-01-01T00:00:00Z").as("fetch_ts"),
+              col("text"))
+            .repartition(4, col("url")),
+          wetDir)
+      }
+      Warc.readWarc(s, wetDir)
+        .filter(col("warc_type") === "conversion")
+        .select(col("url"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          graft.functions.Html.decodeBytes(col("payload"),
+            lit("utf-8")).as("text"))
+        .orderBy(col("url"))
+    }, Some(
+      """SELECT 'https://wet' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  text
+        |FROM documents ORDER BY url""".stripMargin)),
+
     "td_simhash" -> Entry((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), shingleN = 2)
         .orderBy(col("doc_id"))

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Structured Streaming extension (beyond reference parity: sqlmesh emulates
   * streams with batch intervals — SURVEY §2.3 notes streaming is absent there).
@@ -468,6 +468,42 @@ object Streaming {
     * url_key would diverge on cross-domain canonicals and collapse all
     * self-keyed rows into one '' pseudo-domain). Wire it to a sink with
     * [[runAvailableNow]]-style drains or a continuous trigger. */
+  /** Streaming crawl intake from RAW WARC FILES — the binary front of
+    * [[crawlIngestStream]]: WARC containers land in `warcDir`
+    * continuously (the shape a fetcher fleet produces), the `binaryFile`
+    * streaming source picks up whole files, [[graft.functions.Warc]]
+    * splits records in-task, response payloads sniff/decode
+    * ([[graft.functions.Html.decodeHtmlBytes]]), and the stateless
+    * extraction + watermark-bounded URL dedup run unchanged. Row
+    * identity = `src#rec_offset` (unique per record, stable across
+    * replays — a file re-read yields the same ids, so the dedup state
+    * stays consistent); event time = the record's `WARC-Date`.
+    * Everything before the keyed dedup is stateless scan-shaped work. */
+  def warcIngestStream(spark: SparkSession, warcDir: String,
+                       watermarkDelay: String = "10 minutes",
+                       maxFilesPerTrigger: Int = 16): DataFrame = {
+    // binaryFile's schema is FIXED, but streaming sources demand it
+    // spelled out (no inference on a stream)
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", org.apache.spark.sql.types.StringType),
+      StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      StructField("length", org.apache.spark.sql.types.LongType),
+      StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val files = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(warcDir)
+    val pages = graft.functions.Warc.split(files)
+      .filter(col("warc_type") === "response")
+      .withColumn("doc_id",
+        concat(col("src"), lit("#"), col("rec_offset")))
+      .withColumn("html",
+        graft.functions.Html.decodeHtmlBytes(col("payload")))
+      .withColumn("ts", to_timestamp(col("fetch_ts")))
+      .select(col("doc_id"), col("ts"), col("url"), col("html"))
+    crawlIngestStream(pages, watermarkDelay = watermarkDelay)
+  }
+
   def crawlIngestStream(pages: DataFrame, htmlCol: String = "html",
                         urlCol: String = "url", idCol: String = "doc_id",
                         tsCol: String = "ts",

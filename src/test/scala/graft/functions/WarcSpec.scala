@@ -128,6 +128,30 @@ class WarcSpec extends AnyFunSuite {
     assert(got.head._2.endsWith("a.warc") && got(1)._2.endsWith("b.warc.gz"))
   }
 
+  test("writeWet: gzipped per-record members, warcinfo leader, lossless round-trip") {
+    val dir = SparkTestSession.tmpDir("wet_out")
+    val corpus = Seq(
+      ("https://wet.example/1", "2024-01-01T00:00:00Z", "hello wet world"),
+      ("https://wet.example/2", "2024-01-01T00:00:01Z", "naïve ✓ unicode"),
+      ("https://wet.example/3", "2024-01-01T00:00:02Z", "")) // empty doc
+      .toDF("url", "fetch_ts", "text").repartition(2, col("url"))
+    Warc.writeWet(corpus, dir)
+    // drop Hadoop's .crc sidecars — binaryFile ignores dot-files too
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.nonEmpty && files.forall(_.endsWith(".warc.wet.gz")), files.toSeq)
+    val back = Warc.readWarc(spark, dir)
+    // every file leads with its warcinfo record
+    assert(back.filter(col("warc_type") === "warcinfo").count() == files.length)
+    val got = back.filter(col("warc_type") === "conversion")
+      .select(col("url"), Html.decodeBytes(col("payload"), lit("utf-8")))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("https://wet.example/1", "hello wet world"),
+      ("https://wet.example/2", "naïve ✓ unicode"),
+      ("https://wet.example/3", "")))
+  }
+
   test("split is scan-shaped: no shuffle in the record-split plan") {
     val dir = SparkTestSession.tmpDir("warc_plan")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "p.warc"),

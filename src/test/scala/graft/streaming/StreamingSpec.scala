@@ -367,6 +367,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("warcIngestStream: raw WARC files stream into the crawl intake") {
+    val src = SparkTestSession.tmpDir("warcstream_src")
+    val sink = SparkTestSession.tmpDir("warcstream_sink")
+    val chk = SparkTestSession.tmpDir("warcstream_chk")
+    def page(content: String, canonical: String = ""): Array[Byte] = {
+      val c = if (canonical.isEmpty) ""
+        else s"""<link rel="canonical" href="$canonical">"""
+      s"""<html lang="en"><head><title>T</title>$c</head><body><p>$content</p></body></html>"""
+        .getBytes("UTF-8")
+    }
+    def drain(): Unit = {
+      val q = Streaming.warcIngestStream(spark, src, watermarkDelay = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // file 1: a tracking-param alias pair (one normalized key) + a
+    // canonical-declaring page
+    val f1 = new java.io.ByteArrayOutputStream()
+    f1.write(graft.functions.Warc.httpResponse("https://a.com/x?utm_source=f",
+      "2024-01-01T00:01:00Z", "text/html; charset=UTF-8", page("alpha words")))
+    f1.write(graft.functions.Warc.httpResponse("https://A.com/x",
+      "2024-01-01T00:02:00Z", "text/html; charset=UTF-8", page("beta words")))
+    f1.write(graft.functions.Warc.httpResponse("https://b.com/art?p=1",
+      "2024-01-01T00:03:00Z", "text/html; charset=UTF-8",
+      page("gamma words", canonical = "https://b.com/art")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "f1.warc"),
+      f1.toByteArray)
+    drain()
+    def keys() = spark.read.parquet(sink).select("url_key").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(keys() == Seq("https://a.com/x", "https://b.com/art"), keys().toString)
+    // file 2: a re-fetch (state drops it) + a genuinely new page
+    val f2 = new java.io.ByteArrayOutputStream()
+    f2.write(graft.functions.Warc.httpResponse("https://a.com/x",
+      "2024-01-01T00:09:00Z", "text/html; charset=UTF-8", page("refetch words")))
+    f2.write(graft.functions.Warc.httpResponse("https://c.org/new",
+      "2024-01-01T00:10:00Z", "text/html; charset=UTF-8", page("delta words")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "f2.warc"),
+      f2.toByteArray)
+    drain()
+    assert(keys() == Seq("https://a.com/x", "https://b.com/art",
+      "https://c.org/new"), keys().toString)
+    // extraction rode along: the new page carries its text and title
+    val row = spark.read.parquet(sink)
+      .filter(col("url_key") === "https://c.org/new")
+      .select("title", "text", "doc_id").head()
+    assert(row.getString(0) == "T" && row.getString(1) == "delta words")
+    assert(row.getString(2).contains("f2.warc#")) // src#offset identity
+  }
+
   test("crawlIngestStream: stateful URL dedup across drains, stateless extraction") {
     val src = SparkTestSession.tmpDir("crawl_src")
     val sink = SparkTestSession.tmpDir("crawl_sink")
