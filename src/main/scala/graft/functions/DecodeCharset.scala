@@ -88,14 +88,19 @@ object CharsetCodec {
     override def initialValue() = new java.util.HashMap()
   }
 
-  /** ASCII-compatible charsets: bytes < 0x80 decode to themselves. Every
-    * charset a web crawl realistically declares (UTF-8, ISO-8859-x,
-    * windows-125x, KOI8, Shift_JIS, EUC, GB*) is ASCII-transparent; the
-    * ones that aren't (UTF-16/32, EBCDIC) are excluded by name. */
+  /** Charsets PROVEN ASCII-transparent (bytes < 0x80 decode to
+    * themselves): a WHITELIST, not a blacklist — the 7-bit STATEFUL
+    * encodings (ISO-2022-JP/KR/CN, HZ) consist entirely of bytes < 0x80
+    * yet do NOT decode to themselves (ESC sequences shift modes), and
+    * EBCDIC is 8-bit-but-not-ASCII, so excluding families by name is a
+    * corruption bug waiting for the next exotic alias. Encodings off
+    * this list (Shift_JIS, EUC, GB*) are also ASCII-transparent but just
+    * take the decoder path — correctness first, the fast path is an
+    * optimization. */
   private def asciiCompatible(cs: java.nio.charset.Charset): Boolean = {
     val n = cs.name().toLowerCase(java.util.Locale.ROOT)
-    !(n.startsWith("utf-16") || n.startsWith("utf-32") ||
-      n.startsWith("x-utf") || n.contains("ebcdic") || n.startsWith("ibm"))
+    n == "utf-8" || n == "us-ascii" || n.startsWith("iso-8859-") ||
+      n.startsWith("windows-125") || n.startsWith("koi8")
   }
 
   def decode(bytes: Array[Byte], charset: UTF8String): UTF8String = {

@@ -33,10 +33,26 @@ import org.apache.spark.sql.types._
   * [[Html.decodeBytes]] → [[Html.extractText]]) wants the document bytes,
   * not the transport framing. Non-HTTP records (warcinfo, conversion,
   * resource) pass their payload through with the WARC Content-Type. */
+/** Java-serializable Hadoop `Configuration` carrier (the standard
+  * wrapper pattern — Spark's own equivalent is private[spark]):
+  * serializes via the conf's own write/readFields. */
+private[functions] final class SerializableHadoopConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit =
+    conf.write(out)
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 object Warc {
 
   val schema: StructType = StructType(Seq(
     StructField("src", StringType),
+    StructField("src_mtime", TimestampType),
     StructField("rec_offset", LongType),
     StructField("warc_type", StringType),
     StructField("url", StringType),
@@ -64,11 +80,21 @@ object Warc {
     * size crawlers already target. */
   def split(files: DataFrame): DataFrame = {
     val pathIdx = files.schema.fieldIndex("path")
+    val mtimeIdx = files.schema.fieldIndex("modificationTime")
     val contentIdx = files.schema.fieldIndex("content")
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     files.mapPartitions { rows =>
+      // early-terminating consumers (limit/take) abandon iterators
+      // mid-stream; without this listener each abandoned GZIPInputStream
+      // leaks its native Inflater until GC
+      val open = new scala.collection.mutable.ArrayBuffer[java.io.InputStream]()
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        open.foreach(s => try s.close() catch { case _: Exception => () })
+      }
       rows.flatMap { r =>
         val src = r.getString(pathIdx)
+        val mtime = r.getTimestamp(mtimeIdx)
         val raw = r.get(contentIdx).asInstanceOf[Array[Byte]]
         if (raw == null) Iterator.empty
         else {
@@ -78,8 +104,9 @@ object Warc {
                 (raw(1) & 0xff) == 0x8b)
               new java.util.zip.GZIPInputStream(bais)
             else bais
+          open += in
           splitStream(in).map { w =>
-            Row(src, w.offset, w.warcType, w.url, w.ts, w.contentType,
+            Row(src, mtime, w.offset, w.warcType, w.url, w.ts, w.contentType,
               w.httpStatus.map(Integer.valueOf).orNull, w.payload)
           }
         }
@@ -97,9 +124,9 @@ object Warc {
     at >= 0 && at + pat.length <= b.length &&
       java.util.Arrays.equals(b, at, at + pat.length, pat, 0, pat.length)
 
-  private def indexOfMagic(b: Array[Byte], from: Int): Int = {
+  private def indexOfMagic(b: Array[Byte], from: Int, limit: Int): Int = {
     var i = math.max(from, 0)
-    while (i + Magic.length <= b.length) {
+    while (i + Magic.length <= limit) {
       if (b(i) == 'W' && startsWith(b, i, Magic)) return i
       i += 1
     }
@@ -108,15 +135,16 @@ object Warc {
 
   /** End (exclusive) of the header block: index just past the first CRLFCRLF
     * at/after `from` (bare-LF blank lines tolerated: robust parsers accept
-    * LF-framed headers some writers emit). -1 when no blank line exists. */
-  private def headerEnd(b: Array[Byte], from: Int): Int = {
+    * LF-framed headers some writers emit). -1 when no blank line exists
+    * before `limit`. */
+  private def headerEnd(b: Array[Byte], from: Int, limit: Int): Int = {
     var i = from
-    while (i < b.length) {
+    while (i < limit) {
       if (b(i) == '\n') {
         // \n\r\n or \n\n closes the block
-        if (i + 2 <= b.length - 1 && b(i + 1) == '\r' && b(i + 2) == '\n') return i + 3
-        if (i + 1 <= b.length - 1 && b(i + 1) == '\n') return i + 2
-        if (i + 2 == b.length && b(i + 1) == '\r') return -1 // truncated
+        if (i + 2 <= limit - 1 && b(i + 1) == '\r' && b(i + 2) == '\n') return i + 3
+        if (i + 1 <= limit - 1 && b(i + 1) == '\n') return i + 2
+        if (i + 2 == limit && b(i + 1) == '\r') return -1 // truncated
       }
       i += 1
     }
@@ -152,18 +180,19 @@ object Warc {
     * buffer an entire malformed file hunting for CRLFCRLF. */
   private val MaxHeaderBytes = 1 << 20
 
-  /** One record at window offset `at` (pointing at `WARC/`). */
-  private def parseOne(b: Array[Byte], at: Int): Parsed = {
-    val hEnd = headerEnd(b, at)
+  /** One record at window offset `at` (pointing at `WARC/`); `limit` =
+    * exclusive end of valid window bytes. */
+  private def parseOne(b: Array[Byte], at: Int, limit: Int): Parsed = {
+    val hEnd = headerEnd(b, at, limit)
     if (hEnd < 0)
-      return if (b.length - at > MaxHeaderBytes) Skip(at + Magic.length)
+      return if (limit - at > MaxHeaderBytes) Skip(at + Magic.length)
       else NeedMore
     val headers = parseHeaders(new String(b, at, hEnd - at, "ISO-8859-1"))
     val len = headers.get("content-length").flatMap(_.toLongOption)
     len match {
       case None => Skip(at + Magic.length) // unframeable: resync
       case Some(n) if n < 0 => Skip(at + Magic.length)
-      case Some(n) if hEnd + n > b.length => NeedMore
+      case Some(n) if hEnd + n > limit => NeedMore
       case Some(n) =>
         val warcType = headers.getOrElse("warc-type", "")
         val url = stripAngle(headers.getOrElse("warc-target-uri", ""))
@@ -196,7 +225,7 @@ object Warc {
     * document bytes are gone. */
   private def stripHttpEnvelope(warcType: String, url: String,
                                 ts: String, p: Array[Byte]): Rec = {
-    val hEnd = headerEnd(p, 0)
+    val hEnd = headerEnd(p, 0, p.length)
     val headText =
       new String(p, 0, if (hEnd < 0) p.length else hEnd, "ISO-8859-1")
     val lines = headText.split("\r\n|\n")
@@ -227,7 +256,11 @@ object Warc {
   private[functions] def splitStream(in: java.io.InputStream,
                                      chunk: Int = 1 << 20): Iterator[Rec] =
     new Iterator[Rec] {
-      private var buf = Array.emptyByteArray // the window
+      // (buf, len) with geometric growth and in-place compaction: a
+      // record of size R costs O(R) memcpy total — per-chunk full-array
+      // re-copies would make one big record O(R²/chunk)
+      private var buf = new Array[Byte](chunk)
+      private var len = 0
       private var base = 0L // absolute stream offset of buf(0)
       private var eof = false
       private var nextRec: Rec = _
@@ -239,39 +272,37 @@ object Warc {
         val r = nextRec; advance(); r
       }
 
-      /** Append up to `chunk` more bytes; false when the stream is done. */
+      /** Pull more bytes into spare capacity (growing ×2 when full);
+        * false when the stream is done. */
       private def refill(): Boolean = {
         if (eof) return false
-        val b = new Array[Byte](chunk)
-        val n = in.read(b, 0, chunk)
+        if (len == buf.length)
+          buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        val n = in.read(buf, len, buf.length - len)
         if (n <= 0) { eof = true; in.close(); false }
-        else {
-          val grown = java.util.Arrays.copyOf(buf, buf.length + n)
-          System.arraycopy(b, 0, grown, buf.length, n)
-          buf = grown
-          true
-        }
+        else { len += n; true }
       }
 
-      /** Drop the first `n` window bytes. */
+      /** Drop the first `n` window bytes (in-place shift). */
       private def compact(n: Int): Unit =
         if (n > 0) {
           base += n
-          buf = java.util.Arrays.copyOfRange(buf, n, buf.length)
+          System.arraycopy(buf, n, buf, 0, len - n)
+          len -= n
         }
 
       private def advance(): Unit = {
         nextRec = null
         while (nextRec == null) {
-          val m = indexOfMagic(buf, 0)
+          val m = indexOfMagic(buf, 0, len)
           if (m < 0) {
             // no record start in the window: keep only a partial-magic
             // tail, pull more bytes, or finish
-            compact(math.max(buf.length - (Magic.length - 1), 0))
+            compact(math.max(len - (Magic.length - 1), 0))
             if (!refill()) return
           } else {
             compact(m) // garbage before the magic never matters again
-            parseOne(buf, 0) match {
+            parseOne(buf, 0, len) match {
               case Ok(rec, end) =>
                 nextRec = rec.copy(offset = base)
                 compact(end)
@@ -336,18 +367,29 @@ object Warc {
     val ui = df.schema.fieldIndex(urlCol)
     val ti = df.schema.fieldIndex(tsCol)
     val xi = df.schema.fieldIndex(textCol)
+    // the SESSION Hadoop conf, shipped with the closure: a bare
+    // executor-side `new Configuration()` would drop every spark.hadoop.*
+    // setting (s3a credentials/endpoints — exactly the destinations this
+    // advertises). Spark's own SerializableConfiguration is private[spark],
+    // so a minimal wrapper rides here.
+    val hadoopConf =
+      new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
     df.foreachPartition { it: Iterator[Row] =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val suffix = if (gzip) ".warc.wet.gz" else ".warc.wet"
         val p = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d$suffix")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(hadoopConf.value)
         val out = fs.create(p, true)
         def writeRec(rec: Array[Byte]): Unit =
           if (gzip) {
-            val g = new java.util.zip.GZIPOutputStream(out)
-            g.write(rec)
-            g.finish() // close the MEMBER, not the file stream
+            // per-record gzip MEMBER, compressed to a buffer so close()
+            // can release the native Deflater (finish() alone leaks zlib
+            // state per record until GC — fatal off-heap at corpus scale)
+            val bos = new java.io.ByteArrayOutputStream(rec.length / 2 + 64)
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            try { g.write(rec); g.finish() } finally g.close()
+            bos.writeTo(out)
           } else out.write(rec)
         try {
           writeRec(record("warcinfo", "", "", "application/warc-fields",

@@ -199,7 +199,15 @@ object Web {
     * UDF, no driver round-trip. */
   def removeDotSegments(path: Column): Column = {
     val absolute = path.startsWith("/")
-    val segs = filter(split(path, "/"), s => s =!= "")
+    // EMPTY segments are stack entries too (only the leading one from the
+    // root slash drops): '/a//b/../x' resolves to '/a//x' per the RFC —
+    // '..' pops the empty segment — and a trailing empty segment IS the
+    // trailing slash, so directory forms self-preserve. limit -1 keeps
+    // split's trailing empties.
+    val segs0 = split(path, "/", -1)
+    val segs = when(absolute,
+      slice(segs0, lit(2), greatest(size(segs0) - 1, lit(0))))
+      .otherwise(segs0)
     val folded = aggregate(segs,
       array().cast("array<string>"),
       (acc, s) => when(s === ".", acc)
@@ -207,7 +215,8 @@ object Web {
         .otherwise(concat(acc, array(s))))
     val joined = when(absolute, concat(lit("/"), array_join(folded, "/")))
       .otherwise(array_join(folded, "/"))
-    val dirForm = path.rlike("(/|/\\.|/\\.\\.)$")
+    // a path ENDING in /. or /.. still denotes its directory
+    val dirForm = path.rlike("/\\.\\.?$")
     when(dirForm && !joined.endsWith("/"), concat(joined, lit("/")))
       .otherwise(joined)
   }
@@ -444,8 +453,14 @@ object Web {
     val (h1, h2) = PortableHash.pair(col(urlCol))
     val w = Window.partitionBy(col("domain"), col("slot"), col("__salt"))
       .orderBy(col(urlCol))
-    frontier
-      .withColumn("domain", registeredDomain(urlHost(col(urlCol))))
+    // reuse a caller-provided domain column: registeredDomain is a large
+    // PSL expression tree, and [[crawlFrontierPlan]] already computed it
+    // for the robots join — recomputing per row would double that cost
+    val withDomain =
+      if (frontier.columns.contains("domain")) frontier
+      else frontier.withColumn("domain",
+        registeredDomain(urlHost(col(urlCol))))
+    withDomain
       .withColumn("slot", pmod(h1, lit(perHostSlots)).cast("int"))
       .withColumn("__salt", pmod(h2, lit(salts)).cast("int"))
       .withColumn("fetch_round",

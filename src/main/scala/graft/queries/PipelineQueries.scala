@@ -32,6 +32,15 @@ object PipelineQueries {
       val dir = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
         s"graft_warc_${variant}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+      // clear any stale tree from an OLDER layout first (a leftover
+      // part-file from a previous partition count would survive a
+      // same-name overwrite and pollute the read-back)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       java.nio.file.Files.createDirectories(dir)
       build(dir.toString)
       dir.toString

@@ -468,6 +468,20 @@ object Streaming {
     * url_key would diverge on cross-domain canonicals and collapse all
     * self-keyed rows into one '' pseudo-domain). Wire it to a sink with
     * [[runAvailableNow]]-style drains or a continuous trigger. */
+  def crawlIngestStream(pages: DataFrame, htmlCol: String = "html",
+                        urlCol: String = "url", idCol: String = "doc_id",
+                        tsCol: String = "ts",
+                        watermarkDelay: String = "10 minutes"): DataFrame =
+    pages.select(col(idCol), col(tsCol), col(urlCol),
+        graft.functions.Web.canonicalUrlKey(col(urlCol),
+          graft.functions.Html.extractCanonical(col(htmlCol)),
+          col(idCol)).as("url_key"),
+        graft.functions.Html.extractTitle(col(htmlCol)).as("title"),
+        graft.functions.Html.extractLang(col(htmlCol)).as("lang_decl"),
+        graft.functions.Html.extractText(col(htmlCol)).as("text"))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("url_key")
+
   /** Streaming crawl intake from RAW WARC FILES — the binary front of
     * [[crawlIngestStream]]: WARC containers land in `warcDir`
     * continuously (the shape a fetcher fleet produces), the `binaryFile`
@@ -477,8 +491,12 @@ object Streaming {
     * extraction + watermark-bounded URL dedup run unchanged. Row
     * identity = `src#rec_offset` (unique per record, stable across
     * replays — a file re-read yields the same ids, so the dedup state
-    * stays consistent); event time = the record's `WARC-Date`.
-    * Everything before the keyed dedup is stateless scan-shaped work. */
+    * stays consistent); event time = the record's `WARC-Date`, falling
+    * back to the FILE's modification time when a record's date is
+    * missing or unparseable — a dateless record must not reach the
+    * watermark-keyed dedup with a null event time (it would be silently
+    * dropped, violating per-record failure isolation). Everything before
+    * the keyed dedup is stateless scan-shaped work. */
   def warcIngestStream(spark: SparkSession, warcDir: String,
                        watermarkDelay: String = "10 minutes",
                        maxFilesPerTrigger: Int = 16): DataFrame = {
@@ -499,22 +517,9 @@ object Streaming {
         concat(col("src"), lit("#"), col("rec_offset")))
       .withColumn("html",
         graft.functions.Html.decodeHtmlBytes(col("payload")))
-      .withColumn("ts", to_timestamp(col("fetch_ts")))
+      .withColumn("ts",
+        coalesce(to_timestamp(col("fetch_ts")), col("src_mtime")))
       .select(col("doc_id"), col("ts"), col("url"), col("html"))
     crawlIngestStream(pages, watermarkDelay = watermarkDelay)
   }
-
-  def crawlIngestStream(pages: DataFrame, htmlCol: String = "html",
-                        urlCol: String = "url", idCol: String = "doc_id",
-                        tsCol: String = "ts",
-                        watermarkDelay: String = "10 minutes"): DataFrame =
-    pages.select(col(idCol), col(tsCol), col(urlCol),
-        graft.functions.Web.canonicalUrlKey(col(urlCol),
-          graft.functions.Html.extractCanonical(col(htmlCol)),
-          col(idCol)).as("url_key"),
-        graft.functions.Html.extractTitle(col(htmlCol)).as("title"),
-        graft.functions.Html.extractLang(col(htmlCol)).as("lang_decl"),
-        graft.functions.Html.extractText(col(htmlCol)).as("text"))
-      .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("url_key")
 }

@@ -22,6 +22,17 @@ class DecodeCharsetSpec extends AnyFunSuite {
     assert(dec("tokyo".getBytes("UTF-8"), "Shift_JIS") == "tokyo") // ascii subset
   }
 
+  test("decodeBytes: 7-bit STATEFUL encodings must not take the ASCII fast path") {
+    // ISO-2022-JP is 7-bit BY DESIGN (every byte incl. ESC is < 0x80)
+    // yet does not decode to itself — a name-blacklist fast path
+    // silently corrupted it (round-15 review catch); the whitelist must
+    // route it through the real decoder
+    val jis = "こんにちは".getBytes("ISO-2022-JP")
+    assert(jis.forall(_ >= 0), "fixture must be 7-bit to exercise the path")
+    assert(dec(jis, "iso-2022-jp") == "こんにちは")
+    assert(dec("plain".getBytes("ISO-2022-JP"), "iso-2022-jp") == "plain")
+  }
+
   test("decodeBytes: unknown/empty/null charset falls back to UTF-8") {
     assert(dec("fallback ü".getBytes("UTF-8"), "x-total-garbage") == "fallback ü")
     assert(dec("fallback".getBytes("UTF-8"), "") == "fallback")

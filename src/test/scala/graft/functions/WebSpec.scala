@@ -294,7 +294,10 @@ class WebSpec extends AnyFunSuite {
       ("https://a.com/a/b/", "../c?x=1#f"), // query+fragment ride along
       ("https://a.com/x", "//cdn.b.org/lib/../x.js"), // protocol-relative
       ("https://a.com/dir/page.html", "/root/./y/../z"), // root-relative
-      ("https://a.com/dir/page.html", "sub/..") // directory form survives
+      ("https://a.com/dir/page.html", "sub/.."), // directory form survives
+      // empty segments are stack entries: '..' pops the EMPTY segment
+      // ('/a//x'), not the one before it ('/a/x') — RFC 3986 §5.2.4
+      ("https://a.com/a//b/page.html", "../x")
     ).toDF("base", "href")
     val out = rows.select(Web.resolveUrl(col("base"), col("href")))
       .collect().map(_.getString(0)).toSeq
@@ -314,7 +317,8 @@ class WebSpec extends AnyFunSuite {
       "https://a.com/a/c?x=1#f",
       "https://cdn.b.org/x.js",
       "https://a.com/root/z",
-      "https://a.com/dir/"))
+      "https://a.com/dir/",
+      "https://a.com/a//x"))
   }
 
   test("frontierSchedule: politeness invariant, coverage, and skew-safe plan shape") {
