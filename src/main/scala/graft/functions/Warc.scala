@@ -220,9 +220,12 @@ object Warc {
 
   /** Parse the HTTP envelope off a response/request payload: status code
     * from the status line, Content-Type from the headers, body as the new
-    * payload. An envelope with no blank line (truncated mid-headers)
-    * yields an EMPTY body with the parsed status — the record stays, its
-    * document bytes are gone. */
+    * payload — DE-CHUNKED when the capture preserved a
+    * `Transfer-Encoding: chunked` wire body (raw crawl captures do:
+    * without this, hex chunk-size lines land inside the document text
+    * and poison extraction and dedup keys). An envelope with no blank
+    * line (truncated mid-headers) yields an EMPTY body with the parsed
+    * status — the record stays, its document bytes are gone. */
   private def stripHttpEnvelope(warcType: String, url: String,
                                 ts: String, p: Array[Byte]): Rec = {
     val hEnd = headerEnd(p, 0, p.length)
@@ -231,15 +234,49 @@ object Warc {
     val lines = headText.split("\r\n|\n")
     val status = lines.headOption
       .flatMap(l => "\\d{3}".r.findFirstIn(l)).map(_.toInt)
-    val ct = lines.iterator.drop(1)
-      .filter(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:"))
+    def header(name: String): Option[String] = lines.iterator.drop(1)
+      .filter(_.toLowerCase(java.util.Locale.ROOT).startsWith(name + ":"))
       .map(l => l.substring(l.indexOf(':') + 1).trim)
-      .toSeq.headOption.getOrElse("")
-    val body =
+      .toSeq.headOption
+    val ct = header("content-type").getOrElse("")
+    val chunked = header("transfer-encoding")
+      .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked"))
+    val raw =
       if (hEnd < 0) Array.emptyByteArray
       else java.util.Arrays.copyOfRange(p, hEnd, p.length)
+    val body = if (chunked) dechunk(raw) else raw
     Rec(0L, warcType, url, ts, ct, status, body)
   }
+
+  /** Decode an HTTP/1.1 chunked body (size-line framing, chunk
+    * extensions ignored, trailers dropped). ANY malformation returns the
+    * RAW body unchanged — per-record failure isolation: a broken capture
+    * degrades to noisy text, never a task failure, and never silently
+    * truncated data. */
+  private[functions] def dechunk(body: Array[Byte]): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(body.length)
+      var i = 0
+      while (true) {
+        var lineEnd = i
+        while (lineEnd + 1 < body.length &&
+          !(body(lineEnd) == '\r' && body(lineEnd + 1) == '\n')) lineEnd += 1
+        if (lineEnd + 1 >= body.length) return body // no size line: raw
+        val sizeStr = new String(body, i, lineEnd - i, "ISO-8859-1")
+        val semi = sizeStr.indexOf(';') // chunk extensions
+        val n = Integer.parseInt(
+          (if (semi >= 0) sizeStr.substring(0, semi) else sizeStr).trim, 16)
+        i = lineEnd + 2
+        if (n == 0) return out.toByteArray // final chunk; trailers dropped
+        if (n < 0 || i + n > body.length) return body
+        out.write(body, i, n)
+        i += n
+        if (i + 2 <= body.length && body(i) == '\r' && body(i + 1) == '\n')
+          i += 2
+        else return body // missing chunk-terminating CRLF: raw
+      }
+      body // unreachable
+    } catch { case _: Exception => body }
 
   /** Array-input convenience over [[splitStream]] (tests, pre-loaded
     * buffers); offsets are positions in `bytes`. */

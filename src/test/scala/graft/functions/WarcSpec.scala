@@ -45,6 +45,31 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.map(_.offset) == recs.map(_.offset).sorted)
   }
 
+  test("chunked transfer-encoding bodies de-chunk; malformed chunking degrades to raw") {
+    // raw crawl captures preserve the wire body: without de-chunking the
+    // hex size lines land inside the document text
+    def chunkedRec(bodyWire: String): Array[Byte] = Warc.record("response",
+      "https://c.example/chunked", "2024-01-01T00:00:00Z",
+      "application/http;msgtype=response",
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" + bodyWire).getBytes("UTF-8"))
+    val good = Warc.splitRecords(chunkedRec(
+      "5\r\n<p>he\r\n8;ext=1\r\nllo</p>x\r\n0\r\nX-Trailer: t\r\n\r\n")).toVector
+    assert(good.size == 1 &&
+      new String(good.head.payload, "UTF-8") == "<p>hello</p>x")
+    // malformed (declared chunk longer than the bytes): raw passthrough,
+    // never a crash, never silent truncation
+    val bad = Warc.splitRecords(chunkedRec("ff\r\nshort\r\n0\r\n\r\n")).toVector
+    assert(bad.size == 1 &&
+      new String(bad.head.payload, "UTF-8") == "ff\r\nshort\r\n0\r\n\r\n")
+    // non-chunked responses are untouched (no accidental de-chunking)
+    val plain = Warc.splitRecords(Warc.httpResponse("https://c.example/p",
+      "2024-01-01T00:00:00Z", "text/html",
+      "5\r\nlooks chunked but is not".getBytes("UTF-8"))).toVector
+    assert(new String(plain.head.payload, "UTF-8")
+      == "5\r\nlooks chunked but is not")
+  }
+
   test("splitRecords: truncated tail record drops; earlier records survive") {
     val good = Warc.httpResponse("https://a.example/ok", "2024-01-01T00:00:01Z",
       "text/html", bytes("<p>ok</p>"))
