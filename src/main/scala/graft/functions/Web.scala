@@ -328,7 +328,7 @@ object Web {
         val allowVal = regexp_extract(line, "(?i)^allow[ \\t]*:[ \\t]*([^ \\t]*)", 1)
         val disVal = regexp_extract(line, "(?i)^disallow[ \\t]*:[ \\t]*([^ \\t]*)", 1)
         def best(cur: Column, active: Column, isRule: Column, v: Column): Column =
-          when(isRule && active && v =!= "" && path.startsWith(v),
+          when(isRule && active && v =!= "" && robotsRuleMatches(path, v),
             greatest(cur, length(v))).otherwise(cur)
         struct(inUa2.as("inUa"),
           sActive2.as("sActive"),
@@ -342,19 +342,37 @@ object Web {
       st => when(st("sExists"), st("sAllow") >= st("sDis"))
         .otherwise(st("gAllow") >= st("gDis")))
 
-  /** robots.txt evaluation (the Robots Exclusion Protocol subset real
-    * crawl compliance needs): does `robotsTxt` allow `agent` to fetch
+  /** One robots rule path against the request path, full Google-REP
+    * matching: plain rules are prefixes; `*` matches any character run;
+    * a TRAILING `$` anchors the rule at the path end (an interior `$`
+    * is literal, per Google's parser). Wildcard rules translate to an
+    * anchored regex built per evaluation — robots files are tiny and
+    * per-host-cached, so the dynamic pattern costs nothing measurable,
+    * and plain rules (the overwhelming majority) keep the cheap
+    * startsWith path. */
+  private def robotsRuleMatches(path: Column, v: Column): Column = {
+    val endAnchor = v.endsWith("$")
+    val core = when(endAnchor, v.substr(lit(1), length(v) - 1)).otherwise(v)
+    // escape regex metacharacters (rule paths legally contain . ? + ...),
+    // then '*' becomes '.*'
+    val escaped = regexp_replace(core, """([\\.$+?(){}\[\]^|])""", """\\$1""")
+    val pattern = concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(endAnchor, lit("$")).otherwise(lit("")))
+    when(v.contains("*") || endAnchor, regexp_like(path, pattern))
+      .otherwise(path.startsWith(v))
+  }
+
+  /** robots.txt evaluation (the Robots Exclusion Protocol as crawl
+    * compliance needs it): does `robotsTxt` allow `agent` to fetch
     * `path`? Google-REP semantics: groups are runs of consecutive
     * `User-agent:` lines followed by their rules; the group exactly
     * naming the agent (case-insensitive) applies when one exists,
     * otherwise the `*` group; within the applicable groups the LONGEST
     * matching rule path wins, Allow beats Disallow on a tie; no matching
     * rule (or no robots.txt) → allowed. Comments (`#`) strip;
-    * `Disallow:` with an empty value disallows nothing. Documented
-    * subset: rule paths match as plain prefixes — `$` end anchors and
-    * mid-pattern `*` wildcards are not interpreted (they match
-    * literally, the conservative read for Allow and the rare case for
-    * real sites).
+    * `Disallow:` with an empty value disallows nothing. Rule paths match
+    * with full REP wildcards ([[robotsRuleMatches]]): `*` spans any
+    * characters, trailing `$` anchors at the path end.
     *
     * One fold over the lines per tier (specific agent + `*`), pure
     * Column expressions — per-row robots files are small (the fetcher

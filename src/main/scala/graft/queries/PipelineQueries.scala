@@ -1786,41 +1786,50 @@ object PipelineQueries {
     // robots.txt evaluation (crawl compliance): two robots templates —
     // one WITH a graftbot-specific group (reached via a multi-UA run,
     // with a comment, a tie-breaking Allow, and an empty Disallow) and
-    // one with only a '*' group — against five path classes. The oracle
-    // states every verdict closed-form from the REP rules: specific
-    // group wins and SHADOWS the '*' rules entirely, longest match wins,
-    // Allow beats Disallow on ties, no-match means allowed.
+    // one with only a '*' group carrying a REP WILDCARD rule
+    // ('/*.pdf$') — against seven path classes. The oracle states every
+    // verdict closed-form from the REP rules: specific group wins and
+    // SHADOWS the '*' rules entirely, longest match wins, Allow beats
+    // Disallow on ties, no-match means allowed, '*' spans characters and
+    // trailing '$' anchors ('.pdfx' escapes the anchored rule).
     "td_robots" -> Entry((s, dir) => {
       val id = col("doc_id")
       val robots1 = "# policy\nUser-agent: alphabot\nUser-agent: graftbot\n" +
         "Disallow: /private # keep out\nAllow: /private/ok\nDisallow:\n\n" +
         "User-agent: *\nDisallow: /tmp\n"
-      val robots2 = "User-agent: *\nDisallow: /tmp\nAllow: /tmp/pub\n"
+      val robots2 = "User-agent: *\nDisallow: /tmp\nAllow: /tmp/pub\n" +
+        "Disallow: /*.pdf$\n"
       t(s, dir, "documents").select(id)
         .withColumn("robots", when(id % 2 === 0, robots1).otherwise(robots2))
         .withColumn("path",
-          when(id % 5 === 0, lit("/public/x"))
-            .when(id % 5 === 1, lit("/private/doc"))
-            .when(id % 5 === 2, lit("/private/okfile"))
-            .when(id % 5 === 3, lit("/tmp/x"))
-            .otherwise(concat(lit("/tmp/pub/"), id % 7)))
+          when(id % 7 === 0, lit("/public/x"))
+            .when(id % 7 === 1, lit("/private/doc"))
+            .when(id % 7 === 2, lit("/private/okfile"))
+            .when(id % 7 === 3, lit("/tmp/x"))
+            .when(id % 7 === 5, lit("/files/report.pdf"))
+            .when(id % 7 === 6, lit("/files/report.pdfx"))
+            .otherwise(concat(lit("/tmp/pub/"), id % 3)))
         .withColumn("allowed",
           Web.robotsAllowed(col("robots"), col("path"), "GraftBot"))
         .select(id, col("path"), col("allowed"))
         .orderBy(id)
     }, Some(
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 0 THEN '/public/x'
-        |       WHEN doc_id % 5 = 1 THEN '/private/doc'
-        |       WHEN doc_id % 5 = 2 THEN '/private/okfile'
-        |       WHEN doc_id % 5 = 3 THEN '/tmp/x'
-        |       ELSE '/tmp/pub/' || CAST(doc_id % 7 AS VARCHAR) END AS path,
+        |  CASE WHEN doc_id % 7 = 0 THEN '/public/x'
+        |       WHEN doc_id % 7 = 1 THEN '/private/doc'
+        |       WHEN doc_id % 7 = 2 THEN '/private/okfile'
+        |       WHEN doc_id % 7 = 3 THEN '/tmp/x'
+        |       WHEN doc_id % 7 = 5 THEN '/files/report.pdf'
+        |       WHEN doc_id % 7 = 6 THEN '/files/report.pdfx'
+        |       ELSE '/tmp/pub/' || CAST(doc_id % 3 AS VARCHAR) END AS path,
         |  CASE WHEN doc_id % 2 = 0 THEN
         |    -- graftbot group applies ('*' shadowed): only /private rules
-        |    CASE WHEN doc_id % 5 = 1 THEN false ELSE true END
+        |    CASE WHEN doc_id % 7 = 1 THEN false ELSE true END
         |  ELSE
-        |    -- '*' group: /tmp disallowed except the longer /tmp/pub Allow
-        |    CASE WHEN doc_id % 5 = 3 THEN false ELSE true END
+        |    -- '*' group: /tmp disallowed except the longer /tmp/pub
+        |    -- Allow; the anchored /*.pdf$ kills exactly the .pdf path
+        |    CASE WHEN doc_id % 7 = 3 OR doc_id % 7 = 5 THEN false
+        |         ELSE true END
         |  END AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin)),
 

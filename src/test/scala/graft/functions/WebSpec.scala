@@ -406,6 +406,17 @@ class WebSpec extends AnyFunSuite {
     // line and fail open
     assert(!allowed("/private/x", txt = "User-agent: *\rDisallow: /private"))
     assert(!allowed("/private/x", txt = "User-agent: *\r\nDisallow: /private"))
+    // REP wildcards: '*' spans characters, trailing '$' anchors
+    val wild = "User-agent: *\nDisallow: /*.pdf$\nDisallow: /a/*/private\n" +
+      "Allow: /a/*/private/ok"
+    assert(!allowed("/files/report.pdf", txt = wild))
+    assert(allowed("/files/report.pdfx", txt = wild)) // $ anchored
+    assert(!allowed("/a/anything/private/doc", txt = wild)) // mid-*
+    assert(allowed("/a/x/private/okfile", txt = wild)) // longer wildcard Allow
+    // an INTERIOR '$' is literal, and regex metachars in rules are literal
+    assert(!allowed("/p$q/x", txt = "User-agent: *\nDisallow: /p$q"))
+    assert(allowed("/pXq/x", txt = "User-agent: *\nDisallow: /p.q"))
+    assert(!allowed("/p.q/x", txt = "User-agent: *\nDisallow: /p.q"))
   }
 
   test("extractSitemapLocs: CDATA-wrapped locs unwrap, content NOT entity-decoded") {
