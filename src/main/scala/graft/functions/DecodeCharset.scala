@@ -16,8 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes, `MALFORMED_CHARACTER_CODING`). This expression gives the crawl
   * semantics instead, with PER-ROW failure isolation:
   *
-  *  - unknown / unsupported / empty / null charset names fall back to
-  *    UTF-8 (the undeclared-page default) rather than failing the task;
+  *  - unknown / unsupported / empty / null charset names take the
+  *    WHATWG/browser fallback — bytes that VALIDATE as UTF-8 decode as
+  *    UTF-8, anything else as windows-1252 (readable mojibake, never
+  *    U+FFFD soup, never a failed task);
   *  - malformed input and unmappable characters decode to U+FFFD
   *    (`CodingErrorAction.REPLACE`, the browser behavior) — one corrupt
   *    page can't kill a scan;
@@ -58,26 +60,64 @@ case class DecodeCharset(left: Expression, right: Expression)
   * can call it through the static-forwarder mirror class. */
 object CharsetCodec {
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.charset.Charset]()
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private val Unresolved = java.util.Optional.empty[java.nio.charset.Charset]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Optional[java.nio.charset.Charset]]()
 
-  /** Charset by (case-folded) name; UTF-8 on unknown/illegal/empty names.
+  /** Charset by (case-folded) name; empty when the JVM doesn't know it.
     * The cache is bounded: past 1024 distinct names (a corpus feeding
     * garbage declarations) lookups still work, they just stop caching. */
-  private[functions] def lookup(name: String): java.nio.charset.Charset = {
-    if (name == null) return Utf8
+  private def resolve(name: String): java.util.Optional[java.nio.charset.Charset] = {
+    if (name == null) return Unresolved
     val n = name.trim.toLowerCase(java.util.Locale.ROOT)
-    if (n.isEmpty) return Utf8
+    if (n.isEmpty) return Unresolved
     val hit = cache.get(n)
     if (hit != null) return hit
     val resolved =
       try {
         if (java.nio.charset.Charset.isSupported(n))
-          java.nio.charset.Charset.forName(n)
-        else Utf8
-      } catch { case _: Exception => Utf8 }
+          java.util.Optional.of(java.nio.charset.Charset.forName(n))
+        else Unresolved
+      } catch { case _: Exception => Unresolved }
     if (cache.size < 1024) cache.putIfAbsent(n, resolved)
     resolved
+  }
+
+  /** Spec-visible resolution (UTF-8 for unknown names — the DECODER
+    * fallback then refines by content, see [[decode]]). */
+  private[functions] def lookup(name: String): java.nio.charset.Charset =
+    resolve(name).orElse(Utf8)
+
+  /** Strict UTF-8 validity (RFC 3629: continuation framing, no overlongs,
+    * no surrogates, ≤ U+10FFFF) in one branch-predictable scan. */
+  private[functions] def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xC2) return false // bare continuation / overlong lead
+      else if (c < 0xE0) {
+        if (i + 1 >= b.length || (b(i + 1) & 0xC0) != 0x80) return false
+        i += 2
+      } else if (c < 0xF0) {
+        if (i + 2 >= b.length) return false
+        val b1 = b(i + 1) & 0xff
+        if ((b1 & 0xC0) != 0x80 || (b(i + 2) & 0xC0) != 0x80) return false
+        if (c == 0xE0 && b1 < 0xA0) return false // overlong
+        if (c == 0xED && b1 >= 0xA0) return false // UTF-16 surrogates
+        i += 3
+      } else if (c < 0xF5) {
+        if (i + 3 >= b.length) return false
+        val b1 = b(i + 1) & 0xff
+        if ((b1 & 0xC0) != 0x80 || (b(i + 2) & 0xC0) != 0x80 ||
+          (b(i + 3) & 0xC0) != 0x80) return false
+        if (c == 0xF0 && b1 < 0x90) return false // overlong
+        if (c == 0xF4 && b1 >= 0x90) return false // > U+10FFFF
+        i += 4
+      } else return false
+    }
+    true
   }
 
   /** Decoders are stateful (not thread-safe, reusable after the reset the
@@ -104,7 +144,17 @@ object CharsetCodec {
   }
 
   def decode(bytes: Array[Byte], charset: UTF8String): UTF8String = {
-    val cs = lookup(if (charset == null) null else charset.toString)
+    val declared = resolve(if (charset == null) null else charset.toString)
+    if (!declared.isPresent) {
+      // UNDECLARED or unknown charset: the WHATWG/browser fallback —
+      // content that validates as UTF-8 IS UTF-8; anything else reads as
+      // windows-1252 (a total single-byte map, so legacy-encoded pages
+      // degrade to readable mojibake instead of U+FFFD soup — exactly
+      // what real crawl pipelines and browsers do)
+      if (isValidUtf8(bytes)) return UTF8String.fromBytes(bytes)
+      return decodeWith(Cp1252, bytes)
+    }
+    val cs = declared.get()
     // fast path: pure-ASCII payload under an ASCII-compatible charset IS
     // its own UTF-8 — one validation scan, zero transcoding, no decoder.
     // (Covers robots/sitemaps/markup-heavy pages and most English text.)
@@ -115,6 +165,15 @@ object CharsetCodec {
     // per-row arrays (Spark's own UTF-8 decode fast path wraps likewise)
     if (ascii && asciiCompatible(cs))
       return UTF8String.fromBytes(bytes)
+    decodeWith(cs, bytes)
+  }
+
+  /** The declared-charset path: per-(thread, charset) decoder reuse,
+    * REPLACE on malformed/unmappable (a DECLARED encoding wins even over
+    * invalid bytes — the author said so; only the undeclared path
+    * content-sniffs). */
+  private def decodeWith(cs: java.nio.charset.Charset,
+                         bytes: Array[Byte]): UTF8String = {
     val perThread = decoders.get()
     var dec = perThread.get(cs)
     if (dec == null) {

@@ -200,10 +200,11 @@ object Html {
   }
 
   /** Per-row charset decode: `bin` bytes → string under the charset NAMED
-    * IN ANOTHER COLUMN (falling back to UTF-8 on unknown/empty/null names,
-    * U+FFFD-replacing malformed bytes — [[DecodeCharset]] holds the
-    * contract and the why). The missing stage between [[extractCharset]]
-    * and every text operator. */
+    * IN ANOTHER COLUMN (unknown/empty/null names take the WHATWG
+    * fallback — valid-UTF-8 as UTF-8, else windows-1252; a DECLARED
+    * charset wins even over invalid bytes, U+FFFD-replacing them —
+    * [[DecodeCharset]] holds the contract and the why). The missing
+    * stage between [[extractCharset]] and every text operator. */
   def decodeBytes(bin: Column, charset: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(DecodeCharset(

@@ -33,7 +33,8 @@ class DecodeCharsetSpec extends AnyFunSuite {
     assert(dec("plain".getBytes("ISO-2022-JP"), "iso-2022-jp") == "plain")
   }
 
-  test("decodeBytes: unknown/empty/null charset falls back to UTF-8") {
+  test("decodeBytes: unknown/empty/null charset takes the WHATWG fallback") {
+    // valid UTF-8 content decodes as UTF-8 whatever the bogus name says
     assert(dec("fallback ü".getBytes("UTF-8"), "x-total-garbage") == "fallback ü")
     assert(dec("fallback".getBytes("UTF-8"), "") == "fallback")
     assert(dec("fallback".getBytes("UTF-8"), "   ") == "fallback")
@@ -42,6 +43,10 @@ class DecodeCharsetSpec extends AnyFunSuite {
       .select(Html.decodeBytes(col("b"), lit(null).cast("string")))
       .head.getString(0)
     assert(viaNull == "x")
+    // NON-UTF-8 content with no usable declaration reads as windows-1252
+    // (the browser behavior: readable mojibake, not U+FFFD soup)
+    assert(dec(cp1251Privet, "") == new String(cp1251Privet, "windows-1252"))
+    assert(dec("café".getBytes("ISO-8859-1"), "") == "café")
   }
 
   test("decodeBytes: malformed bytes replace with U+FFFD, never throw") {
