@@ -389,6 +389,19 @@ object Warc {
       payload.toByteArray)
   }
 
+  /** The fetched-HTML slice of a record frame — the standard filter
+    * between [[readWarc]] and [[Curation.crawlIngestBytes]]: successful
+    * (2xx) `response` records whose Content-Type says HTML/XHTML. Crawl
+    * archives carry requests, redirects, 404 bodies, images, and DNS
+    * records; feeding those to text extraction wastes the scan and
+    * poisons quality stats. */
+  def htmlResponses(recs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    recs.filter(col("warc_type") === "response" &&
+      col("http_status").between(200, 299) &&
+      lower(col("content_type")).rlike("^(text/html|application/xhtml)"))
+  }
+
   /** Write a text corpus as WET files (WARC `conversion` records, one
     * file per partition, each led by a `warcinfo` record — the Common
     * Crawl WET layout) — the WRITE side of the container seam, so a

@@ -177,6 +177,56 @@ class WarcSpec extends AnyFunSuite {
       ("https://wet.example/3", "")))
   }
 
+  test("adversarial payloads cannot confuse Content-Length framing (seeded property)") {
+    // payloads embedding fake WARC headers, blank lines, chunk-like text,
+    // and binary noise: the splitter frames by Content-Length, so every
+    // written record must come back exactly — no phantom records minted
+    // from payload content, no payload corruption
+    val rnd = new scala.util.Random(1515)
+    val adversarial = Seq(
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nfak\r\n\r\n",
+      "\r\n\r\nWARC/1.1\r\n", "0\r\n\r\n", "Content-Length: 999\r\n")
+    val recs = (0 until 100).map { i =>
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(s"<p>doc$i</p>".getBytes("UTF-8"))
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        body.write(adversarial(rnd.nextInt(adversarial.length)).getBytes("UTF-8"))
+        val noise = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(noise)
+        body.write(noise)
+      }
+      (s"https://adv.example/$i", body.toByteArray)
+    }
+    val file = concat(recs.map { case (u, b) =>
+      Warc.record("resource", u, "2024-01-01T00:00:00Z",
+        "application/octet-stream", b)
+    }: _*)
+    val got = Warc.splitRecords(file).toVector
+    assert(got.size == 100, s"phantom/lost records: ${got.size}")
+    got.zip(recs).foreach { case (r, (u, b)) =>
+      assert(r.url == u)
+      assert(java.util.Arrays.equals(r.payload, b), s"payload corrupted for $u")
+    }
+  }
+
+  test("htmlResponses: keeps 2xx HTML responses only") {
+    val file = concat(
+      Warc.httpResponse("https://h.example/ok", "2024-01-01T00:00:00Z",
+        "text/html; charset=UTF-8", bytes("<p>x</p>")),
+      Warc.httpResponse("https://h.example/404", "2024-01-01T00:00:00Z",
+        "text/html", bytes("<p>not found</p>"), status = 404),
+      Warc.httpResponse("https://h.example/img", "2024-01-01T00:00:00Z",
+        "image/png", bytes("PNG")),
+      Warc.httpResponse("https://h.example/xhtml", "2024-01-01T00:00:00Z",
+        "application/xhtml+xml", bytes("<p>x</p>")),
+      Warc.record("request", "https://h.example/req", "2024-01-01T00:00:00Z",
+        "application/http;msgtype=request", bytes("GET / HTTP/1.1\r\n\r\n")))
+    val dir = SparkTestSession.tmpDir("warc_html")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f.warc"), file)
+    val got = Warc.htmlResponses(Warc.readWarc(spark, dir))
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("https://h.example/ok", "https://h.example/xhtml"))
+  }
+
   test("split is scan-shaped: no shuffle in the record-split plan") {
     val dir = SparkTestSession.tmpDir("warc_plan")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "p.warc"),
