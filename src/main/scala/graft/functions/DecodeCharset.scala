@@ -148,11 +148,11 @@ object CharsetCodec {
     if (!declared.isPresent) {
       // UNDECLARED or unknown charset: the WHATWG/browser fallback —
       // content that validates as UTF-8 IS UTF-8; anything else reads as
-      // windows-1252 (a total single-byte map, so legacy-encoded pages
-      // degrade to readable mojibake instead of U+FFFD soup — exactly
-      // what real crawl pipelines and browsers do)
+      // WHATWG windows-1252 (a total single-byte map, so legacy-encoded
+      // pages degrade to readable mojibake instead of U+FFFD soup —
+      // exactly what real crawl pipelines and browsers do)
       if (isValidUtf8(bytes)) return UTF8String.fromBytes(bytes)
-      return decodeWith(Cp1252, bytes)
+      return decode1252(bytes)
     }
     val cs = declared.get()
     // fast path: pure-ASCII payload under an ASCII-compatible charset IS
@@ -166,6 +166,31 @@ object CharsetCodec {
     if (ascii && asciiCompatible(cs))
       return UTF8String.fromBytes(bytes)
     decodeWith(cs, bytes)
+  }
+
+  /** WHATWG windows-1252 (the fallback leg's map): Java's cp1252 decoder
+    * REPLACEs the five unassigned bytes (0x81/0x8D/0x8F/0x90/0x9D) with
+    * U+FFFD, but the WHATWG encoding standard — what browsers actually
+    * do — maps them to their C1 controls. A 256-entry table decode is
+    * also faster than a CharsetDecoder for a single-byte map. */
+  private val Whatwg1252: Array[Char] = {
+    val t = new Array[Char](256)
+    val one = new Array[Byte](1)
+    var i = 0
+    while (i < 256) {
+      one(0) = i.toByte
+      t(i) = new String(one, Cp1252).charAt(0)
+      i += 1
+    }
+    Seq(0x81, 0x8D, 0x8F, 0x90, 0x9D).foreach(b => t(b) = b.toChar)
+    t
+  }
+
+  private def decode1252(bytes: Array[Byte]): UTF8String = {
+    val chars = new Array[Char](bytes.length)
+    var i = 0
+    while (i < bytes.length) { chars(i) = Whatwg1252(bytes(i) & 0xff); i += 1 }
+    UTF8String.fromString(new String(chars))
   }
 
   /** The declared-charset path: per-(thread, charset) decoder reuse,

@@ -235,9 +235,8 @@ object Warc {
     val status = lines.headOption
       .flatMap(l => "\\d{3}".r.findFirstIn(l)).map(_.toInt)
     def header(name: String): Option[String] = lines.iterator.drop(1)
-      .filter(_.toLowerCase(java.util.Locale.ROOT).startsWith(name + ":"))
+      .find(_.toLowerCase(java.util.Locale.ROOT).startsWith(name + ":"))
       .map(l => l.substring(l.indexOf(':') + 1).trim)
-      .toSeq.headOption
     val ct = header("content-type").getOrElse("")
     val chunked = header("transfer-encoding")
       .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked"))
@@ -249,31 +248,36 @@ object Warc {
   }
 
   /** Decode an HTTP/1.1 chunked body (size-line framing, chunk
-    * extensions ignored, trailers dropped). ANY malformation returns the
-    * RAW body unchanged — per-record failure isolation: a broken capture
-    * degrades to noisy text, never a task failure, and never silently
-    * truncated data. */
+    * extensions ignored, trailers dropped). Lines terminate at LF with an
+    * optional preceding CR — the same bare-LF tolerance the header
+    * parser has; a CRLF-only de-chunker would silently pass LF-framed
+    * captures through raw, which is exactly the hex-lines-in-text poison
+    * this exists to remove. ANY malformation returns the RAW body
+    * unchanged — per-record failure isolation: a broken capture degrades
+    * to noisy text, never a task failure, never silent truncation. */
   private[functions] def dechunk(body: Array[Byte]): Array[Byte] =
     try {
       val out = new java.io.ByteArrayOutputStream(body.length)
       var i = 0
       while (true) {
-        var lineEnd = i
-        while (lineEnd + 1 < body.length &&
-          !(body(lineEnd) == '\r' && body(lineEnd + 1) == '\n')) lineEnd += 1
-        if (lineEnd + 1 >= body.length) return body // no size line: raw
+        var lf = i
+        while (lf < body.length && body(lf) != '\n') lf += 1
+        if (lf >= body.length) return body // no size line: raw
+        val lineEnd = if (lf > i && body(lf - 1) == '\r') lf - 1 else lf
         val sizeStr = new String(body, i, lineEnd - i, "ISO-8859-1")
         val semi = sizeStr.indexOf(';') // chunk extensions
         val n = Integer.parseInt(
           (if (semi >= 0) sizeStr.substring(0, semi) else sizeStr).trim, 16)
-        i = lineEnd + 2
+        i = lf + 1
         if (n == 0) return out.toByteArray // final chunk; trailers dropped
         if (n < 0 || i + n > body.length) return body
         out.write(body, i, n)
         i += n
-        if (i + 2 <= body.length && body(i) == '\r' && body(i + 1) == '\n')
+        // chunk-terminating EOL: CRLF or bare LF
+        if (i + 1 < body.length && body(i) == '\r' && body(i + 1) == '\n')
           i += 2
-        else return body // missing chunk-terminating CRLF: raw
+        else if (i < body.length && body(i) == '\n') i += 1
+        else return body // missing chunk terminator: raw
       }
       body // unreachable
     } catch { case _: Exception => body }

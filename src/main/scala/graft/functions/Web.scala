@@ -345,20 +345,18 @@ object Web {
   /** One robots rule path against the request path, full Google-REP
     * matching: plain rules are prefixes; `*` matches any character run;
     * a TRAILING `$` anchors the rule at the path end (an interior `$`
-    * is literal, per Google's parser). Wildcard rules translate to an
-    * anchored regex built per evaluation — robots files are tiny and
-    * per-host-cached, so the dynamic pattern costs nothing measurable,
-    * and plain rules (the overwhelming majority) keep the cheap
-    * startsWith path. */
+    * is literal, per Google's parser). Wildcard rules run through the
+    * LINEAR two-pointer glob matcher ([[RobotsRuleMatch]]) — a regex
+    * translation backtracks catastrophically on hostile rules (a
+    * 24-star rule vs a 61-char path hangs java.util.regex for 25+ s,
+    * measured), and BOTH inputs here are attacker-controlled crawl
+    * data. Google's reference matcher is linear for the same reason.
+    * Plain rules keep the cheap startsWith path. */
   private def robotsRuleMatches(path: Column, v: Column): Column = {
-    val endAnchor = v.endsWith("$")
-    val core = when(endAnchor, v.substr(lit(1), length(v) - 1)).otherwise(v)
-    // escape regex metacharacters (rule paths legally contain . ? + ...),
-    // then '*' becomes '.*'
-    val escaped = regexp_replace(core, """([\\.$+?(){}\[\]^|])""", """\\$1""")
-    val pattern = concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
-      when(endAnchor, lit("$")).otherwise(lit("")))
-    when(v.contains("*") || endAnchor, regexp_like(path, pattern))
+    import org.apache.spark.sql.graft.ColumnBridge
+    when(v.contains("*") || v.endsWith("$"),
+        ColumnBridge.column(RobotsRuleMatch(
+          ColumnBridge.expression(path), ColumnBridge.expression(v))))
       .otherwise(path.startsWith(v))
   }
 

@@ -47,6 +47,10 @@ class DecodeCharsetSpec extends AnyFunSuite {
     // (the browser behavior: readable mojibake, not U+FFFD soup)
     assert(dec(cp1251Privet, "") == new String(cp1251Privet, "windows-1252"))
     assert(dec("café".getBytes("ISO-8859-1"), "") == "café")
+    // WHATWG 1252, not Java's: the five bytes Java leaves unassigned
+    // (0x81/0x8D/0x8F/0x90/0x9D) map to their C1 controls, never U+FFFD
+    val c1 = Array(0x90.toByte, 0xE9.toByte) // invalid UTF-8 → 1252 leg
+    assert(dec(c1, "") == "\u0090é") // explicit escape: C1 control is invisible
   }
 
   test("decodeBytes: malformed bytes replace with U+FFFD, never throw") {

@@ -68,6 +68,10 @@ class WarcSpec extends AnyFunSuite {
       "5\r\nlooks chunked but is not".getBytes("UTF-8"))).toVector
     assert(new String(plain.head.payload, "UTF-8")
       == "5\r\nlooks chunked but is not")
+    // bare-LF chunk framing (the same tolerance the header parser has)
+    val lf = Warc.splitRecords(chunkedRec(
+      "5\n<p>he\n7\nllo</p>\n0\n\n")).toVector
+    assert(new String(lf.head.payload, "UTF-8") == "<p>hello</p>")
   }
 
   test("splitRecords: truncated tail record drops; earlier records survive") {

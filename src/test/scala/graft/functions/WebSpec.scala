@@ -417,6 +417,16 @@ class WebSpec extends AnyFunSuite {
     assert(!allowed("/p$q/x", txt = "User-agent: *\nDisallow: /p$q"))
     assert(allowed("/pXq/x", txt = "User-agent: *\nDisallow: /p.q"))
     assert(!allowed("/p.q/x", txt = "User-agent: *\nDisallow: /p.q"))
+    // HOSTILE wildcard rule + near-matching path: a regex translation
+    // backtracks for 25+ s here (measured); the linear matcher must
+    // answer instantly — both inputs are attacker-controlled crawl data
+    val hostile = "User-agent: *\nDisallow: /" + ("*a" * 24) + "$"
+    val longPath = "/" + "a" * 60 + "b"
+    val t0 = System.nanoTime()
+    assert(allowed(longPath, txt = hostile)) // 'b' breaks the $ anchor
+    assert(!allowed("/" + "a" * 60, txt = hostile))
+    assert((System.nanoTime() - t0) / 1e9 < 5.0,
+      "wildcard matching is not linear-time")
   }
 
   test("extractSitemapLocs: CDATA-wrapped locs unwrap, content NOT entity-decoded") {
