@@ -348,6 +348,75 @@ object Curation {
       salts = quotaSalts)
   }
 
+  /** Benchmark decontamination report — the n-gram-overlap screen every
+    * serious pretraining pipeline runs (the GPT-3 appendix-C / PaLM
+    * recipe): a training document sharing ANY `n`-word gram with an
+    * evaluation benchmark leaks the test set into training. Returns one
+    * row per contaminated corpus doc: (idCol, n_grams = distinct matched
+    * grams, bench_ids = '|'-joined sorted benchmark ids) — the audit
+    * artifact; [[decontaminate]] drops the flagged docs.
+    *
+    * Benchmark items SHORTER than `n` words contribute their full word
+    * sequence as one gram (a 5-word QA answer still screens); the corpus
+    * side emits grams of exactly the lengths the benchmark set contains
+    * (one extra scan per distinct short length — usually none), so the
+    * match is exact string equality, never substring scanning.
+    *
+    * Scale shape: benchmark gram tables are eval-set sized (thousands to
+    * low millions of grams) — BROADCAST by default — while the corpus
+    * side is one in-task gram explode per needed length joined against
+    * the broadcast set: the corpus never shuffles, and join output is
+    * ∝ contamination (rare by construction). Tokenization matches
+    * [[Dedup.shingles]] exactly, so dedup and decontamination agree on
+    * what a "word" is. */
+  def contamination(corpus: DataFrame, benchmarks: DataFrame, n: Int = 13,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    benchTextCol: String = "text",
+                    benchIdCol: String = "bench_id",
+                    broadcastBenchmarks: Boolean = true): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val benchGrams = Dedup.shingles(
+        benchmarks.select(col(benchIdCol), col(benchTextCol)),
+        benchTextCol, benchIdCol, n)
+      .select(col(benchIdCol), col("shingle").as("__gram"),
+        size(split(col("shingle"), " ")).as("__glen"))
+      .persist()
+    // distinct gram lengths present in the benchmark set: n for normal
+    // items, shorter for sub-n items. Bounded by n — a driver-side
+    // collect over an eval-set-sized frame, same class as the
+    // bounded-vocab BPE collects
+    val lengths = benchGrams.select(col("__glen")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val matches = lengths.map { l =>
+      val bg = benchGrams.filter(col("__glen") === l)
+        .select(col(benchIdCol), col("__gram"))
+      val bgSide = if (broadcastBenchmarks) broadcast(bg) else bg
+      Dedup.shingles(corpus.select(col(idCol), col(textCol)),
+          textCol, idCol, l)
+        .join(bgSide, col("shingle") === col("__gram"))
+        .select(col(idCol), col(benchIdCol), col("shingle").as("gram"))
+    }.reduce(_ unionByName _)
+    matches
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_grams"),
+        array_join(transform(array_sort(collect_set(col(benchIdCol))),
+          b => b.cast("string")), "|").as("bench_ids"))
+  }
+
+  /** The corpus with [[contamination]]-flagged documents REMOVED — the
+    * apply side of the decontamination screen. One broadcast-probe pass
+    * over the corpus grams plus one anti-join on the (tiny) flagged-id
+    * set. */
+  def decontaminate(corpus: DataFrame, benchmarks: DataFrame, n: Int = 13,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    benchTextCol: String = "text",
+                    benchIdCol: String = "bench_id",
+                    broadcastBenchmarks: Boolean = true): DataFrame = {
+    val flagged = contamination(corpus, benchmarks, n, textCol, idCol,
+      benchTextCol, benchIdCol, broadcastBenchmarks).select(col(idCol))
+    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+
   /** [[crawlIngest]] over RAW PAYLOAD BYTES (the shape [[Warc.readWarc]]
     * emits): sniff each page's declared charset from the byte prefix,
     * decode under it ([[Html.decodeHtmlBytes]] — UTF-8 fallback, U+FFFD

@@ -1643,6 +1643,62 @@ object PipelineQueries {
          |      ORDER BY url_norm) - 1) * 16 + salt + 1 AS INT) AS fetch_round
          |FROM hashed ORDER BY url_norm""".stripMargin)),
 
+    // benchmark decontamination (the GPT-3/PaLM 13-gram screen): every
+    // 25th doc's first 15 words become a benchmark item (so those docs
+    // are contaminated BY CONSTRUCTION), one SHORT 5-word item exercises
+    // the sub-n gram path, and a nonsense item matches nothing. The
+    // oracle rebuilds tokenization, both gram tables, the per-length
+    // equality join, and the per-doc aggregation closed-form in DuckDB.
+    "td_decontaminate" -> Entry((s, dir) => {
+      val id = col("doc_id")
+      val tok = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        w => length(w) > 0)
+      val docs = t(s, dir, "documents").select(id, col("text"))
+      val benchA = docs.filter(id % 25 === 0)
+        .select(id.as("bench_id"), array_join(slice(tok, 1, 15), " ").as("text"))
+      val benchB = docs.filter(id === 7)
+        .select(lit(-1L).as("bench_id"), array_join(slice(tok, 1, 5), " ").as("text"))
+      val benchC = s.range(1)
+        .select(lit(-2L).as("bench_id"),
+          lit("zzzz qqqq xxxx yyyy wwww vvvv uuuu tttt ssss rrrr pppp oooo nnnn").as("text"))
+      val bench = benchA.unionByName(benchB).unionByName(benchC)
+      Curation.contamination(docs, bench, n = 13)
+        .orderBy(id)
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), bench AS (
+        |  SELECT doc_id AS bench_id, ws[1:15] AS bws FROM tok WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), ws[1:5] FROM tok WHERE doc_id = 7
+        |  UNION ALL
+        |  SELECT CAST(-2 AS BIGINT),
+        |    string_split('zzzz qqqq xxxx yyyy wwww vvvv uuuu tttt ssss rrrr pppp oooo nnnn', ' ')
+        |), bgl AS (
+        |  SELECT DISTINCT bench_id, array_to_string(bws[i:i+12], ' ') AS gram,
+        |    len(string_split(array_to_string(bws[i:i+12], ' '), ' ')) AS glen
+        |  FROM bench, UNNEST(range(1, greatest(len(bws) - 12, 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(bws[i:i+12], ' ')) > 0
+        |), lens AS (
+        |  SELECT DISTINCT glen FROM bgl
+        |), cgd AS (
+        |  SELECT DISTINCT t.doc_id, l.glen,
+        |    array_to_string(t.ws[i:i+l.glen-1], ' ') AS gram
+        |  FROM tok t CROSS JOIN lens l,
+        |       UNNEST(range(1, greatest(len(t.ws) - (l.glen - 1), 1) + 1)) AS u(i)
+        |  WHERE len(array_to_string(t.ws[i:i+l.glen-1], ' ')) > 0
+        |), m AS (
+        |  SELECT DISTINCT c.doc_id, b.bench_id, c.gram
+        |  FROM cgd c JOIN bgl b ON c.gram = b.gram AND c.glen = b.glen
+        |)
+        |SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_grams,
+        |  array_to_string(list_transform(list_sort(list(DISTINCT bench_id)),
+        |    x -> CAST(x AS VARCHAR)), '|') AS bench_ids
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // the COMPLETE frontier plan (resolve → screen → robots → schedule)
     // as one composed recipe: each page emits a same-domain '/p/M' link
     // and a '../qM' directory-climb link; every 4th '/p/M' is pre-seeded
