@@ -102,8 +102,10 @@ object SparkEntry {
     // headline, not only in the per-stage queries
     "td_html_extract", "td_crawl_ingest",
     // r15: the composed crawl chain (extract → paragraphDedup → outlink
-    // domains) — the most representative end-to-end crawl query — and the
+    // domains) — the most representative end-to-end crawl query — the
     // WARC front (container split + envelope strip + payload hashing):
-    // front-most ingest throughput bounds everything downstream
-    "td_crawl_pipeline", "td_warc_ingest")
+    // front-most ingest throughput bounds everything downstream — and
+    // the benchmark-decontamination screen (broadcast gram probe over
+    // the full corpus gram stream)
+    "td_crawl_pipeline", "td_warc_ingest", "td_decontaminate")
 }

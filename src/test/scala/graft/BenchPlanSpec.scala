@@ -381,6 +381,19 @@ class BenchPlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BatchEvalPython"))
   }
 
+  test("td_decontaminate: broadcast gram probe, no corpus shuffle before the join") {
+    val p = planOf("td_decontaminate")
+    // benchmark grams are eval-set sized and must BROADCAST; the corpus
+    // gram stream probes them in-task — a shuffled (sort-merge) gram
+    // join would move corpus-scale data for a tiny benchmark set
+    assert(p.contains("BroadcastHashJoin"), "gram probe stopped broadcasting")
+    assert(!p.contains("SortMergeJoin"), "gram join went sort-merge")
+    assert(!p.contains("CartesianProduct") && !p.contains("BatchEvalPython"))
+    // the per-doc report aggregate is two-phase (partial below exchange)
+    assert(anyAggId(p) < nodeId(p, "Exchange"),
+      "decontamination report lost map-side combine")
+  }
+
   test("td_crawl_ingest: one materialized extraction pass, two-window quota, no cartesian") {
     val p = planOf("td_crawl_ingest")
     // the 13-regex extraction chain is persisted once and every stage
