@@ -379,6 +379,9 @@ object Curation {
                     benchIdCol: String = "bench_id",
                     broadcastBenchmarks: Boolean = true): DataFrame = {
     require(n >= 1, "n must be >= 1")
+    require(idCol != benchIdCol,
+      s"idCol and benchIdCol must differ (both '$idCol'): the gram join " +
+        "would produce an ambiguous column — rename one side first")
     val benchGrams = Dedup.shingles(
         benchmarks.select(col(benchIdCol), col(benchTextCol)),
         benchTextCol, benchIdCol, n)
@@ -391,6 +394,13 @@ object Curation {
     // bounded-vocab BPE collects
     val lengths = benchGrams.select(col("__glen")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    // an EMPTY benchmark set (zero rows, or all-punctuation texts that
+    // shingle to nothing) contaminates nothing — an empty report, not an
+    // empty.reduce crash
+    if (lengths.isEmpty)
+      return corpus.select(col(idCol)).limit(0)
+        .withColumn("n_grams", lit(0L))
+        .withColumn("bench_ids", lit(""))
     val matches = lengths.map { l =>
       val bg = benchGrams.filter(col("__glen") === l)
         .select(col(benchIdCol), col("__gram"))
@@ -418,7 +428,11 @@ object Curation {
                     broadcastBenchmarks: Boolean = true): DataFrame = {
     val flagged = contamination(corpus, benchmarks, n, textCol, idCol,
       benchTextCol, benchIdCol, broadcastBenchmarks).select(col(idCol))
-    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+    // no forced broadcast hint: flagged is ∝ contamination — tiny in the
+    // healthy case (AQE broadcasts it anyway) but UNBOUNDED when a short
+    // benchmark item is a common phrase, exactly when a forced broadcast
+    // would OOM the driver
+    corpus.join(flagged, Seq(idCol), "left_anti")
   }
 
   /** [[crawlIngest]] over RAW PAYLOAD BYTES (the shape [[Warc.readWarc]]

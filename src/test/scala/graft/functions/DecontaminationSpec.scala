@@ -55,6 +55,24 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(rep.length == 1 && rep.head.getString(2) == "100")
   }
 
+  test("empty / gram-less benchmark set contaminates nothing (no crash)") {
+    val empty = bench.filter(col("bench_id") === -999L)
+    assert(Curation.contamination(corpus, empty, n = 13).count() == 0)
+    assert(Curation.decontaminate(corpus, empty, n = 13).count() == corpus.count())
+    // all-punctuation benchmark texts shingle to zero grams: same path
+    val punct = Seq((1L, "!!! ??? ...")).toDF("bench_id", "text")
+    assert(Curation.contamination(corpus, punct, n = 13).count() == 0)
+  }
+
+  test("idCol colliding with benchIdCol is rejected up front") {
+    val e = intercept[IllegalArgumentException] {
+      Curation.contamination(corpus.withColumnRenamed("doc_id", "id"),
+        bench.withColumnRenamed("bench_id", "id"),
+        idCol = "id", benchIdCol = "id")
+    }
+    assert(e.getMessage.contains("must differ"))
+  }
+
   test("benchmark gram join is broadcast; corpus grams never shuffle before the probe") {
     val plan = Curation.contamination(corpus, bench, n = 13)
       .queryExecution.executedPlan.toString
