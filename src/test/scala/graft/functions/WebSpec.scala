@@ -360,6 +360,34 @@ class WebSpec extends AnyFunSuite {
     assert(winParts == Seq(3), s"window partition keys: $winParts")
   }
 
+  test("crawlFrontierPlan: resolve → screen → robots → schedule, composed") {
+    val links = Seq(
+      // relative + dot-segment hrefs resolve against their pages
+      ("https://site-a.org/d/p1", "../new1"),
+      ("https://site-a.org/d/p1", "/q/blocked"), // robots kills /q on site-a
+      ("https://site-a.org/d/p2", "new2"),
+      ("https://site-b.org/x", "/q/fine"), // site-b has NO robots: fail-open
+      ("https://site-b.org/x", "/seen"), // already fetched
+      ("https://site-b.org/x", "mailto:x@y.z"), // not fetchable: drops
+      ("https://site-a.org/d/p1", "../new1#frag") // alias of new1: dedups
+    ).toDF("page_url", "href")
+    val seen = Seq("https://site-b.org/seen").toDF("url_norm")
+    val robots = Seq(("site-a.org", "User-agent: *\nDisallow: /q"))
+      .toDF("domain", "robots_txt")
+    val out = Web.crawlFrontierPlan(links, seen, robots, "GraftBot",
+        perHostSlots = 2)
+      .collect().map(r => (r.getAs[String]("url_norm"),
+        r.getAs[String]("domain"), r.getAs[Int]("fetch_round")))
+    val urls = out.map(_._1).sorted.toSeq
+    assert(urls == Seq("https://site-a.org/d/new2", "https://site-a.org/new1",
+      "https://site-b.org/q/fine"), urls.toString)
+    assert(out.forall(_._3 >= 1))
+    assert(out.map(_._2).toSet == Set("site-a.org", "site-b.org"))
+    // politeness invariant holds on the composed output too
+    val perRound = out.groupBy(r => (r._2, r._3)).values.map(_.size)
+    assert(perRound.forall(_ <= 2))
+  }
+
   test("robotsAllowed: tiers, longest-match, tie→allow, UA runs, comments, empty disallow") {
     val robots =
       """# crawl policy
