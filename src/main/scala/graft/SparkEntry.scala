@@ -107,5 +107,11 @@ object SparkEntry {
     // front-most ingest throughput bounds everything downstream — and
     // the benchmark-decontamination screen (broadcast gram probe over
     // the full corpus gram stream)
-    "td_crawl_pipeline", "td_warc_ingest", "td_decontaminate")
+    "td_crawl_pipeline", "td_warc_ingest", "td_decontaminate",
+    // r15 (cont.): the domain link graph + PageRank — the web-quality
+    // prior every crawl-curation stack ranks domains with; the entry runs
+    // the full chain (extract → resolve → PSL domains → edge aggregate →
+    // 3 power iterations), so both the scan-shaped extraction AND the
+    // iterated join+agg frame are on the bench clock
+    "td_pagerank")
 }

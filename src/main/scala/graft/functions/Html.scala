@@ -263,4 +263,34 @@ object Html {
     regexp_extract_all(html,
       lit("(?is)<a\\b[^>]*\\bhref[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']([^\"']*)[\"']"),
       lit(1))
+
+  /** Anchor pattern shared by both capture passes of [[extractAnchors]]:
+    * group 1 = the (quoted) href value, group 2 = the raw inner markup up
+    * to the nearest `</a>` (non-greedy — a nested `<a>` inside an anchor is
+    * malformed HTML and truncates at the inner close, the browser-parser
+    * behavior). */
+  private val anchorPattern: String =
+    "(?is)<a\\b[^>]*\\bhref[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*" +
+      "[\"']([^\"']*)[\"'][^>]*>(.*?)</a[ \\t\\n\\r\\f]*>"
+
+  /** `(href, anchor)` pairs of `<a>` elements, in document order, as
+    * `array<struct<href:string, anchor:string>>` — anchor text is the
+    * second-most-valuable signal a link graph carries (anchor-text corpora
+    * are a standard LLM pretraining source, and per-target anchor
+    * aggregation is the classic relevance prior). The anchor text is
+    * CLEANED like [[extractText]]'s inline rule: nested inline tags unwrap
+    * to nothing (`be<b>ta</b>` → `beta`), entities decode, whitespace runs
+    * (incl. NBSP and newlines) collapse to one space, ends trim. Pure
+    * codegen Column chain — two passes of one shared regex, zipped. */
+  def extractAnchors(html: Column): Column = {
+    val hrefs = regexp_extract_all(html, lit(anchorPattern), lit(1))
+    val raws = regexp_extract_all(html, lit(anchorPattern), lit(2))
+    zip_with(hrefs, raws, (h, raw) => {
+      val cleaned = regexp_replace(
+        decodeEntities(regexp_replace(raw, "(?s)<[^>]*>", "")),
+        "[ \\t\\n\\r\\f\\u00A0]+", " ")
+      struct(h.as("href"),
+        regexp_replace(cleaned, "^ +| +$", "").as("anchor"))
+    })
+  }
 }

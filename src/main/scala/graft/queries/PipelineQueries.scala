@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Bpe, Curation, Dedup, Multimodal, PortableHash, Similarity, TextFunctions, Warc, Web}
+import graft.functions.{Bpe, Curation, Dedup, Graph, Html, Multimodal, PortableHash, Similarity, TextFunctions, Warc, Web}
 import QueryUtil._
 
 /** Training-data pipeline coverage (builder prompt: dedup / similarity /
@@ -4457,5 +4457,142 @@ object PipelineQueries {
         |  (wc >= 40 AND wc <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
         |   AND af >= 0.8 AND sw >= 2) AS pass
         |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------ link graph ---------------------------
+    // The domain endorsement graph from the synth crawl: every page carries
+    // the messy synthUrl as its address and synthHtml's two <a href> links.
+    // The Spark side runs the REAL chain (extractLinks → resolveUrl →
+    // urlHost → registeredDomain with the PSL → edge aggregate); the oracle
+    // states the resulting registered domains closed-form from the id
+    // arithmetic (www.Example.COM → example.com, news.BBC.co.uk → bbc.co.uk
+    // via the co.uk PSL rule, cdnN.Site.org → site.org, shop.exampleN.com →
+    // exampleN.com; link targets example.com + ref.example{id%3}.org →
+    // example{id%3}.org), with the id%4==0 pages' example.com→example.com
+    // edge dropped as a self-loop.
+    "td_link_graph" -> Entry((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("url", synthUrl(col("doc_id")))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+        .select(col("url"), col("html"))
+      Graph.linkGraph(pages)
+        .orderBy(col("src_domain"), col("dst_domain"))
+    }, Some(
+      s"""WITH $linkEdgesSql
+         |SELECT s AS src_domain, d AS dst_domain,
+         |  CAST(count(*) AS BIGINT) AS weight
+         |FROM le GROUP BY s, d ORDER BY src_domain, dst_domain""".stripMargin)),
+
+    // PageRank over that graph — fixed 3 iterations, damping 0.85, dangling
+    // mass redistributed uniformly. The oracle UNROLLS the iteration into
+    // chained CTEs (the classifier-train pattern: standard SQL bans
+    // aggregates in recursive terms) over the same closed-form edge list;
+    // both engines run identical double arithmetic, so round(rank, 6)
+    // hash-matches.
+    "td_pagerank" -> Entry((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("url", synthUrl(col("doc_id")))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+        .select(col("url"), col("html"))
+      Graph.pageRank(Graph.linkGraph(pages), PageRankIters)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    }, Some(pageRankSql(PageRankIters))),
+
+    // Anchor-text aggregation per target domain — the classic link-graph
+    // relevance signal (anchor-text corpora are a standard pretraining
+    // source). The fixture wraps two anchors per page: one entity-laden
+    // with nested inline markup and a mid-anchor newline (exercising the
+    // full cleaning chain IN the gate) and one plain with a numeric
+    // entity; a href-less <a name=…> must not match. Oracle closed-form.
+    "td_anchor_text" -> Entry((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("html", concat(
+          lit("<html><body><a href=\"https://t0.Example.COM/x\"> be<b>ta</b>&nbsp;&amp; <i>more</i>\n "),
+          col("doc_id") % 5,
+          lit(" </a>\n<a class='m' href='https://news.example"), col("doc_id") % 3,
+          lit(".org/p'>plain &#39;q&#39;</a><a name=\"x\">no href</a></body></html>")))
+      // bind the host as a real attribute before the PSL length probes
+      // (same CSE rule as td_crawl_pipeline's nested transforms)
+      val anchors = pages
+        .select(explode(Html.extractAnchors(col("html"))).as("a"))
+        .select(Web.urlHost(col("a.href")).as("h"), col("a.anchor").as("anchor"))
+      anchors.select(Web.registeredDomain(col("h")).as("dst_domain"), col("anchor"))
+        .groupBy("dst_domain", "anchor").agg(count(lit(1)).as("n"))
+        .orderBy(col("dst_domain"), col("anchor"))
+    }, Some(
+      """WITH a AS (
+        |  SELECT 'example.com' AS dst_domain,
+        |    'beta & more ' || CAST(doc_id % 5 AS VARCHAR) AS anchor
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'example' || CAST(doc_id % 3 AS VARCHAR) || '.org',
+        |    'plain ''q'''
+        |  FROM documents
+        |)
+        |SELECT dst_domain, anchor, count(*) AS n
+        |FROM a GROUP BY dst_domain, anchor
+        |ORDER BY dst_domain, anchor""".stripMargin)),
   )
+
+  /** Fixed iteration count of the td_pagerank trajectory — one constant
+    * feeds BOTH [[Graph.pageRank]] and the oracle-SQL generator. */
+  private final val PageRankIters = 3
+
+  /** Closed-form DuckDB restatement of [[Graph.linkGraph]]'s output over
+    * the synthUrl/synthHtml fixture (see td_link_graph's comment for the
+    * per-class derivation). Yields CTEs `src(doc_id, s)` and `le(s, d)` =
+    * the self-loop-free edge multiset. (`def`, not `val`: these helpers sit
+    * below the `entries` map and a val would still be null when the map's
+    * oracle strings interpolate at object init.) */
+  private def linkEdgesSql: String =
+    """src AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'example.com'
+      |         WHEN doc_id % 4 = 1 THEN 'bbc.co.uk'
+      |         WHEN doc_id % 4 = 2 THEN 'site.org'
+      |         ELSE 'example' || CAST(doc_id % 10 AS VARCHAR) || '.com' END AS s
+      |  FROM documents
+      |), le AS (
+      |  SELECT s, 'example.com' AS d FROM src WHERE s <> 'example.com'
+      |  UNION ALL
+      |  SELECT s, 'example' || CAST(doc_id % 3 AS VARCHAR) || '.org' FROM src
+      |)""".stripMargin
+
+  /** DuckDB replay of [[Graph.pageRank]] (damping 0.85) over the
+    * [[linkEdgesSql]] graph, iterations UNROLLED into chained CTEs. The
+    * damping constants are written as `CAST(… AS DOUBLE)` arithmetic so
+    * both engines evaluate the IDENTICAL IEEE ops ((1.0 - 0.85) is NOT
+    * 0.15 in binary, and DuckDB's bare literals are decimals). */
+  private def pageRankSql(iterations: Int): String = {
+    val keep = "CAST(0.85 AS DOUBLE)"
+    val jump = s"(CAST(1.0 AS DOUBLE) - $keep)"
+    val steps = (1 to iterations).map { k =>
+      s"""d$k AS (
+         |  SELECT coalesce(sum(r.r), 0) AS dm
+         |  FROM r${k - 1} r LEFT JOIN outw o ON o.src = r.node
+         |  WHERE o.src IS NULL
+         |), c$k AS (
+         |  SELECT sh.dst AS node, sum(r.r * sh.share) AS c
+         |  FROM sh JOIN r${k - 1} r ON r.node = sh.src GROUP BY sh.dst
+         |), r$k AS (
+         |  SELECT nd.node,
+         |    $jump / nn.n + $keep * (coalesce(c.c, 0) + dk.dm / nn.n) AS r
+         |  FROM nodes nd LEFT JOIN c$k c ON c.node = nd.node
+         |  CROSS JOIN nn CROSS JOIN d$k dk
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $linkEdgesSql,
+       |w AS (SELECT s AS src, d AS dst, CAST(count(*) AS DOUBLE) AS w
+       |      FROM le GROUP BY s, d),
+       |nodes AS (SELECT DISTINCT src AS node FROM w
+       |          UNION SELECT DISTINCT dst FROM w),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |outw AS (SELECT src, sum(w) AS ow FROM w GROUP BY src),
+       |sh AS (SELECT w.src, w.dst, w.w / o.ow AS share
+       |       FROM w JOIN outw o ON o.src = w.src),
+       |r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node, round(r, 6) AS rank
+       |FROM r$iterations ORDER BY node""".stripMargin
+  }
 }

@@ -407,4 +407,28 @@ class BenchPlanSpec extends AnyFunSuite {
     assert(wids.size == 2, s"quota wants 2 Window stages, got $wids")
     assert(!p.contains("CartesianProduct") && !p.contains("BatchEvalPython"))
   }
+
+  test("td_link_graph: one pass — extract/resolve/PSL at scan speed, one edge aggregate") {
+    val p = planOf("td_link_graph")
+    // the whole chain (extractLinks → explode → resolveUrl → urlHost →
+    // registeredDomain) is a codegen projection over the scan; the ONLY
+    // shuffles are the edge aggregate and the output sort — a join or a
+    // third exchange here means link extraction stopped being scan-shaped
+    assert(shuffles(p) <= 2, s"link graph grew to ${shuffles(p)} shuffles")
+    assert(!p.contains("Join"), "link graph grew a join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BatchEvalPython"))
+    // the edge aggregate map-side-combines the per-page link fan-out —
+    // at crawl scale pages×links rows must collapse per task, not shuffle
+    assert(anyAggId(p) < nodeId(p, "Exchange"),
+      "edge aggregate lost map-side combine")
+    // scan prunes to the 2 columns the fixture needs
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("doc_id") && rs.contains("text") && !rs.contains("n_chars"),
+      s"scan not pruned: $rs")
+  }
+
+  // td_pagerank rides the same scan-shaped link-graph plan; its ITERATION
+  // frame (the part that runs k times at 100 TB) is pinned in GraphSpec on
+  // pageRankStep — the entry's final frame is a checkpoint scan with no
+  // shape left to assert on.
 }

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+import graft.SparkTestSession
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(String, String, Double)], iters: Int,
+                      damping: Double = 0.85): Map[String, Double] =
+    Graph.pageRank(edges.toDF("src_domain", "dst_domain", "weight"), iters,
+        damping)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("pageRank: hand-computed two-node-plus-dangling graph") {
+    // A→B, B→A, B→C; C dangles. n=3, d=0.85, r0 = 1/3 each.
+    val e = Seq(("A", "B", 1.0), ("B", "A", 1.0), ("B", "C", 1.0))
+    val r1 = ranksOf(e, 1)
+    // dm = 1/3; A: .05+.85*(1/6+1/9), B: .05+.85*(1/3+1/9), C = A's formula
+    assert(math.abs(r1("A") - (0.05 + 0.85 * (1.0 / 6 + 1.0 / 9))) < 1e-12)
+    assert(math.abs(r1("B") - (0.05 + 0.85 * (1.0 / 3 + 1.0 / 9))) < 1e-12)
+    assert(math.abs(r1("C") - r1("A")) < 1e-12)
+    // second iteration by hand from r1
+    val dm2 = r1("C")
+    val a2 = 0.05 + 0.85 * (r1("B") / 2 + dm2 / 3)
+    val b2 = 0.05 + 0.85 * (r1("A") + dm2 / 3)
+    val c2 = 0.05 + 0.85 * (r1("B") / 2 + dm2 / 3)
+    val r2 = ranksOf(e, 2)
+    assert(math.abs(r2("A") - a2) < 1e-12)
+    assert(math.abs(r2("B") - b2) < 1e-12)
+    assert(math.abs(r2("C") - c2) < 1e-12)
+  }
+
+  test("pageRank: mass conservation — ranks sum to exactly 1 every round") {
+    val e = Seq(("A", "B", 2.0), ("B", "C", 1.0), ("C", "A", 1.0),
+      ("A", "D", 1.0), ("E", "A", 3.0)) // D dangles, E is source-only
+    for (k <- Seq(0, 1, 3, 7)) {
+      val s = ranksOf(e, k).values.sum
+      assert(math.abs(s - 1.0) < 1e-9, s"iter $k: sum $s")
+    }
+  }
+
+  test("pageRank: a uniform cycle stays uniform (fixpoint)") {
+    val e = Seq(("A", "B", 1.0), ("B", "C", 1.0), ("C", "A", 1.0))
+    val r = ranksOf(e, 5)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("pageRank: edge weights steer the split, duplicates pre-aggregate") {
+    // A splits 3:1 between B and C (via duplicate rows summing to 3), both
+    // dangle — after one round B's contribution share is exactly 3× C's
+    val e = Seq(("A", "B", 2.0), ("A", "B", 1.0), ("A", "C", 1.0))
+    val r = ranksOf(e, 1)
+    val contribB = (r("B") - 0.05) / 0.85 // contrib + dm/3
+    val contribC = (r("C") - 0.05) / 0.85
+    val dmOverN = (2.0 / 3) / 3 // B+C dangle with r0 = 1/3 each
+    assert(math.abs((contribB - dmOverN) / (contribC - dmOverN) - 3.0) < 1e-9)
+  }
+
+  test("pageRank: iterations=0 gives the uniform prior; empty graph is empty") {
+    val r0 = ranksOf(Seq(("A", "B", 1.0)), 0)
+    assert(r0 == Map("A" -> 0.5, "B" -> 0.5))
+    val empty = Graph.pageRank(
+      Seq.empty[(String, String, Double)].toDF("src_domain", "dst_domain", "weight"), 3)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("node", "rank"))
+  }
+
+  test("pageRank: unweighted form (weightCol=None) splits out-degree evenly") {
+    val df = Seq(("A", "B", 99.0), ("A", "C", 1.0)).toDF("src_domain", "dst_domain", "weight")
+    val r = Graph.pageRank(df, 1, weightCol = None)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("B") - r("C")) < 1e-12) // the 99 is ignored
+  }
+
+  test("pageRankStep plan: join + aggregate + 1-row broadcast, no cartesian") {
+    val e = Seq(("A", "B", 1.0), ("B", "A", 1.0)).toDF("src_domain", "dst_domain", "weight")
+    val ed = e.select(col("src_domain").as("src"), col("dst_domain").as("dst"),
+      col("weight").as("w"))
+    val outw = ed.groupBy("src").agg(sum("w").as("ow"))
+    val shares = ed.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct()
+    val ranks = nodes.withColumn("rank", lit(0.5))
+    val step = Graph.pageRankStep(nodes, shares,
+      outw.select(col("src").as("node")), ranks, 2L, 0.85)
+    val p = step.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join is the broadcast of the 1-row dangling
+    // frame ("(id) Op" anchors on the detail section — the bare op name
+    // also appears on the tree line and would double-count)
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+  }
+
+  test("linkGraph: resolve, PSL domains, self-loop drop, weight aggregation") {
+    val pages = Seq(
+      // two links to the same target domain → weight 2; one self-loop (www
+      // and bare host reduce to the same registered domain) → dropped
+      ("https://www.blog.example.com/post/1",
+        """<a href="https://News.Target.ORG:443/a">x</a>
+          |<a href='/local/page'>self</a>
+          |<a href="http://target.org/b?utm_source=z">y</a>
+          |<a href="mailto:a@b.com">mail</a>
+          |<a href="javascript:void(0)">js</a>""".stripMargin),
+      // relative link resolves against the base → cross-domain edge stays
+      ("https://news.bbc.co.uk/world/", "<a href=\"//partner.site.io/x\">p</a>")
+    ).toDF("url", "html")
+    val got = Graph.linkGraph(pages)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("example.com", "target.org", 2L),
+      ("bbc.co.uk", "site.io", 1L)))
+  }
+
+  test("linkGraph plan: one shuffle (the edge aggregate) with map-side combine") {
+    val pages = Seq(("https://a.com/", "<a href=\"https://b.org/\">x</a>"))
+      .toDF("url", "html")
+    val p = Graph.linkGraph(pages).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

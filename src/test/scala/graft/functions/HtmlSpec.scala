@@ -184,6 +184,32 @@ class HtmlSpec extends AnyFunSuite {
       .head.getSeq[String](0) == Seq("https://ex.com/s1.xml"))
   }
 
+  test("extractAnchors: (href, anchor) pairs with extractText's inline cleaning") {
+    val html =
+      """<a href="https://a.com/x">  be<b>ta</b>&nbsp;&amp; <i>more</i>
+        | 7 </a><p>not an anchor</p>
+        |<a class='m' href='/rel'>plain</a>
+        |<a name="no-href">skipped</a>
+        |<a href="#f"><img src="i.png"></a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(explode(Html.extractAnchors(col("h"))).as("a"))
+      .select(col("a.href"), col("a.anchor"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      // nested inline tags unwrap mid-word, entities decode, whitespace
+      // runs (incl. the newline and NBSP) collapse, ends trim
+      ("https://a.com/x", "beta & more 7"),
+      ("/rel", "plain"),
+      // image-only anchor → empty text (the href still counts as a link)
+      ("#f", "")))
+    // null in → null out, no-anchor page → empty array
+    val edge = Seq[(java.lang.Integer, String)]((1, "<p>no links</p>"), (2, null))
+      .toDF("id", "h").select(col("id"), Html.extractAnchors(col("h")).as("a"))
+      .orderBy("id").collect()
+    assert(edge(0).getSeq[Any](1).isEmpty)
+    assert(edge(1).isNullAt(1))
+  }
+
   test("extraction stays whole-stage codegen (no UDF in the plan)") {
     // spark.range, not a local Seq: ConvertToLocalRelation would fold a
     // literal-backed LocalTableScan and leave no codegen node to assert on
