@@ -53,6 +53,23 @@ object Graph {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** Steady-state maintenance of a stored [[linkGraph]]: the recipe is
+    * APPEND-ONLY — write `linkGraph(newPages)` rows next to the stored
+    * edges and never touch them, because [[pageRank]] re-aggregates
+    * duplicate (src, dst) rows by construction (its first groupBy sums
+    * weights), so an uncompacted store is semantically identical to a
+    * compacted one. At 100 TB that matters: a per-batch merge would
+    * shuffle the multi-billion-row stored edge table on every ingest
+    * round, while an append moves only the batch. `compactEdges` is the
+    * OPTIONAL periodic compaction (one shuffle of the store, run on
+    * whatever cadence keeps file counts sane) — equivalence of
+    * append-then-compact, compact-every-round, and one-shot batch is
+    * pinned in GraphSpec and replayed two-round by the td_link_ingest
+    * oracle. */
+  def compactEdges(edges: DataFrame): DataFrame =
+    edges.groupBy("src_domain", "dst_domain")
+      .agg(sum(col("weight")).as("weight"))
+
   /** PageRank over a weighted edge list, fixed iteration count (the form
     * every published web ranking uses — convergence-tested variants just
     * pick `iterations` ≈ 20–50). Returns `(node, rank)` over the full node

@@ -4482,6 +4482,27 @@ object PipelineQueries {
          |  CAST(count(*) AS BIGINT) AS weight
          |FROM le GROUP BY s, d ORDER BY src_domain, dst_domain""".stripMargin)),
 
+    // Steady-state link-graph ingest, two rounds: the corpus arrives as two
+    // crawl batches (even / odd doc_ids), each batch contributes its OWN
+    // linkGraph aggregate to an append-only store, and the periodic
+    // compaction (compactEdges) re-sums. The oracle is the one-shot batch
+    // closed form — a wrong maintenance merge (distinct instead of sum,
+    // dropped batch, double count) lands on different weights.
+    "td_link_ingest" -> Entry((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("url", synthUrl(col("doc_id")))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+      val b1 = pages.filter(col("doc_id") % 2 === 0).select(col("url"), col("html"))
+      val b2 = pages.filter(col("doc_id") % 2 === 1).select(col("url"), col("html"))
+      val appended = Graph.linkGraph(b1).unionByName(Graph.linkGraph(b2))
+      Graph.compactEdges(appended)
+        .orderBy(col("src_domain"), col("dst_domain"))
+    }, Some(
+      s"""WITH $linkEdgesSql
+         |SELECT s AS src_domain, d AS dst_domain,
+         |  CAST(count(*) AS BIGINT) AS weight
+         |FROM le GROUP BY s, d ORDER BY src_domain, dst_domain""".stripMargin)),
+
     // PageRank over that graph — fixed 3 iterations, damping 0.85, dangling
     // mass redistributed uniformly. The oracle UNROLLS the iteration into
     // chained CTEs (the classifier-train pattern: standard SQL bans

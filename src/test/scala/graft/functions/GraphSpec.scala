@@ -116,6 +116,32 @@ class GraphSpec extends AnyFunSuite {
       ("bbc.co.uk", "site.io", 1L)))
   }
 
+  test("link-graph maintenance: append-only store ≡ compacted ≡ one-shot batch") {
+    val b1 = Seq(
+      ("https://a.com/1", "<a href=\"https://b.org/\">x</a><a href='https://c.net/'>y</a>"),
+      ("https://a.com/2", "<a href=\"https://b.org/p\">x</a>")).toDF("url", "html")
+    val b2 = Seq(
+      ("https://a.com/3", "<a href=\"https://b.org/q\">x</a>"),
+      ("https://d.io/1", "<a href=\"https://a.com/\">back</a>")).toDF("url", "html")
+    // the maintenance recipe: append the per-batch aggregates, never merge
+    val appended = Graph.linkGraph(b1).unionByName(Graph.linkGraph(b2))
+    val compacted = Graph.compactEdges(appended)
+    val oneShot = Graph.linkGraph(b1.unionByName(b2))
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(edgeSet(compacted) == edgeSet(oneShot))
+    assert(edgeSet(compacted) ==
+      Set(("a.com", "b.org", 3L), ("a.com", "c.net", 1L), ("d.io", "a.com", 1L)))
+    // pageRank is invariant under compaction (its first groupBy re-sums),
+    // so the append-only store feeds it DIRECTLY — no pre-merge required
+    val rApp = Graph.pageRank(appended, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rCom = Graph.pageRank(compacted, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rApp.keySet == rCom.keySet)
+    rApp.foreach { case (k, v) => assert(math.abs(v - rCom(k)) < 1e-12, k) }
+  }
+
   test("linkGraph plan: one shuffle (the edge aggregate) with map-side combine") {
     val pages = Seq(("https://a.com/", "<a href=\"https://b.org/\">x</a>"))
       .toDF("url", "html")
