@@ -29,24 +29,30 @@ object Graph {
     * One pass over the corpus: extraction and resolution are codegen'd
     * Column chains ([[Html.extractLinks]], [[Web.resolveUrl]]), the only
     * shuffle is the final edge aggregate, and its map-side combine collapses
-    * the per-page fan-out to distinct (src, dst) pairs per task. Hosts are
-    * bound as real attributes in a separate projection before the PSL
-    * probes — [[Web.registeredDomain]] references its host argument once
-    * per suffix-length probe, and inlining [[Web.urlHost]]'s regexp chain
-    * into each reference would defeat common-subexpression elimination. */
+    * the per-page fan-out to distinct (src, dst) pairs per task.
+    *
+    * The per-link chain is bound through NESTED HOF lambdas (the
+    * td_crawl_pipeline lesson): a lambda argument is a bound attribute, so
+    * each stage's value is computed once per link. Chained plain
+    * projections do NOT give that — CollapseProject inlines the
+    * [[Web.urlHost]] regexp chain into every one of
+    * [[Web.registeredDomain]]'s ~15 per-length PSL probes (and
+    * [[Web.resolveUrl]]'s chain into each of those copies); the collapsed
+    * form measured ~20× slower on this exact operator at sf0.1. */
   def linkGraph(pages: DataFrame, urlCol: String = "url",
                 htmlCol: String = "html"): DataFrame = {
-    val resolved = pages
-      .select(col(urlCol).as("__base"),
-        explode(Html.extractLinks(col(htmlCol))).as("__href"))
-      .select(col("__base"), Web.resolveUrl(col("__base"), col("__href")).as("__res"))
-      .where(col("__res").rlike("(?i)^https?://"))
-    val hosts = resolved.select(
-      Web.urlHost(col("__base")).as("__sh"),
-      Web.urlHost(col("__res")).as("__dh"))
-    hosts.select(
-        Web.registeredDomain(col("__sh")).as("src_domain"),
-        Web.registeredDomain(col("__dh")).as("dst_domain"))
+    val dstDomains = transform(
+      transform(
+        transform(Html.extractLinks(col(htmlCol)),
+          h => Web.resolveUrl(col(urlCol), h)),
+        r => when(r.rlike("(?i)^https?://"), Web.urlHost(r)).otherwise(lit(""))),
+      h => Web.registeredDomain(h))
+    // the page's own domain rides the same binding via a 1-element array
+    val srcDomain = element_at(transform(
+      transform(array(col(urlCol)), u => Web.urlHost(u)),
+      h => Web.registeredDomain(h)), 1)
+    pages
+      .select(srcDomain.as("src_domain"), explode(dstDomains).as("dst_domain"))
       .where(length(col("src_domain")) > 0 && length(col("dst_domain")) > 0 &&
         col("src_domain") =!= col("dst_domain"))
       .groupBy("src_domain", "dst_domain")
@@ -93,9 +99,14 @@ object Graph {
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     // totalize: accept raw (possibly duplicate) edges as well as
     // pre-aggregated ones — re-aggregating an already-distinct list is a
-    // map-side-combined no-op
+    // map-side-combined no-op. PERSIST the aggregate: outw, shares and
+    // nodes all derive from it, and without the barrier each derivation
+    // would re-run the whole upstream chain (for a linkGraph input that's
+    // the per-page regex extraction over the corpus — 4× the scan cost
+    // for frames that are |edges|-sized)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
+      .persist()
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
     val shares = e.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
@@ -105,7 +116,7 @@ object Graph {
       .distinct().persist()
     val n = nodes.count() // |V|: the one driver-side scalar
     if (n == 0L) {
-      shares.unpersist(); nodes.unpersist()
+      e.unpersist(); shares.unpersist(); nodes.unpersist()
       return nodes.withColumn("rank", lit(0.0))
     }
     val srcNodes = outw.select(col("src").as("node"))
@@ -117,8 +128,84 @@ object Graph {
         .localCheckpoint(true)
       iter += 1
     }
-    shares.unpersist(); nodes.unpersist()
+    e.unpersist(); shares.unpersist(); nodes.unpersist()
     ranks
+  }
+
+  /** TrustRank: PageRank with the teleport ("jump") mass confined to a
+    * trusted SEED set — the standard link-spam countermeasure for crawl
+    * curation (Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004): spam farms can
+    * manufacture in-links but can't manufacture proximity to the seeds, so
+    * score decays with link distance from trust. Seeds not present in the
+    * graph are ignored; ranks start as the seed-uniform vector, dangling
+    * mass teleports back to the seeds, and total mass stays exactly 1. A
+    * node unreachable from every seed scores 0 — the property spam
+    * filtering relies on.
+    *
+    * Same per-iteration shape as [[pageRank]] (one shuffle join + one
+    * aggregate + a 1-row broadcast); kept as its OWN step instead of a
+    * jump-column parametrization of [[pageRankStep]] because the uniform
+    * case computes `(1-d)/n` while the seeded case computes
+    * `(1-d)·jump(v)` — same value, DIFFERENT IEEE expression — and the
+    * DuckDB oracle replays each form bit-exactly. */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                damping: Double = 0.85,
+                srcCol: String = "src_domain", dstCol: String = "dst_domain",
+                weightCol: Option[String] = Some("weight"),
+                seedCol: String = "node"): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(damping >= 0.0 && damping <= 1.0, s"damping must be in [0,1], got $damping")
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .persist()
+    val outw = e.groupBy("src").agg(sum("w").as("ow"))
+    val shares = e.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node")) // seeds outside the graph carry no mass
+      .persist()
+    val nS = seedNodes.count()
+    require(nS > 0, "trustRank needs at least one seed present in the graph")
+    val nodesJump = nodes
+      .join(seedNodes.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("jump"))
+      .persist()
+    val srcNodes = outw.select(col("src").as("node"))
+    var ranks = nodesJump.select(col("node"), col("jump").as("rank"))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < iterations) {
+      ranks = trustRankStep(nodesJump, shares, srcNodes, ranks, damping)
+        .localCheckpoint(true)
+      iter += 1
+    }
+    e.unpersist(); shares.unpersist(); seedNodes.unpersist(); nodesJump.unpersist()
+    ranks
+  }
+
+  /** One TrustRank round: `(1-d)·jump(v) + d·(contrib(v) + dm·jump(v))` —
+    * the [[pageRankStep]] shape with the uniform `1/n` replaced by the
+    * per-node jump column (seed-uniform, 0 elsewhere). */
+  private[graft] def trustRankStep(nodesJump: DataFrame, shares: DataFrame,
+                                   srcNodes: DataFrame, ranks: DataFrame,
+                                   damping: Double): DataFrame = {
+    val dangling = ranks.join(srcNodes, Seq("node"), "left_anti")
+      .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
+    val contrib = shares
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("rank") * col("share")).as("__c"))
+    nodesJump.join(contrib, Seq("node"), "left")
+      .crossJoin(broadcast(dangling))
+      .select(col("node"),
+        (lit(1.0 - damping) * col("jump") + lit(damping) *
+          (coalesce(col("__c"), lit(0.0)) + col("__dm") * col("jump"))).as("rank"))
   }
 
   /** One PageRank round, exposed for plan inspection: the spec pins that an

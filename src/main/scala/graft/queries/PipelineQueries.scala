@@ -4519,6 +4519,26 @@ object PipelineQueries {
         .orderBy(col("node"))
     }, Some(pageRankSql(PageRankIters))),
 
+    // TrustRank over the same graph: jump mass confined to two seed domains
+    // (the link-spam countermeasure — score decays with link distance from
+    // trust). Seeds are bbc.co.uk + site.org (always-present source
+    // classes); the oracle unrolls the seeded iteration the same way and
+    // includes a ghost seed NOT in the graph on the Spark side, proving
+    // absent seeds carry no mass.
+    "td_trustrank" -> Entry((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("url", synthUrl(col("doc_id")))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+        .select(col("url"), col("html"))
+      val seeds = {
+        import s.implicits._
+        Seq("bbc.co.uk", "site.org", "ghost.example").toDF("node")
+      }
+      Graph.trustRank(Graph.linkGraph(pages), seeds, PageRankIters)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    }, Some(trustRankSql(PageRankIters, Seq("bbc.co.uk", "site.org")))),
+
     // Anchor-text aggregation per target domain — the classic link-graph
     // relevance signal (anchor-text corpora are a standard pretraining
     // source). The fixture wraps two anchors per page: one entity-laden
@@ -4579,39 +4599,79 @@ object PipelineQueries {
       |  SELECT s, 'example' || CAST(doc_id % 3 AS VARCHAR) || '.org' FROM src
       |)""".stripMargin
 
-  /** DuckDB replay of [[Graph.pageRank]] (damping 0.85) over the
-    * [[linkEdgesSql]] graph, iterations UNROLLED into chained CTEs. The
-    * damping constants are written as `CAST(… AS DOUBLE)` arithmetic so
-    * both engines evaluate the IDENTICAL IEEE ops ((1.0 - 0.85) is NOT
-    * 0.15 in binary, and DuckDB's bare literals are decimals). */
-  private def pageRankSql(iterations: Int): String = {
-    val keep = "CAST(0.85 AS DOUBLE)"
-    val jump = s"(CAST(1.0 AS DOUBLE) - $keep)"
-    val steps = (1 to iterations).map { k =>
-      s"""d$k AS (
-         |  SELECT coalesce(sum(r.r), 0) AS dm
-         |  FROM r${k - 1} r LEFT JOIN outw o ON o.src = r.node
-         |  WHERE o.src IS NULL
-         |), c$k AS (
-         |  SELECT sh.dst AS node, sum(r.r * sh.share) AS c
-         |  FROM sh JOIN r${k - 1} r ON r.node = sh.src GROUP BY sh.dst
-         |), r$k AS (
-         |  SELECT nd.node,
-         |    $jump / nn.n + $keep * (coalesce(c.c, 0) + dk.dm / nn.n) AS r
-         |  FROM nodes nd LEFT JOIN c$k c ON c.node = nd.node
-         |  CROSS JOIN nn CROSS JOIN d$k dk
-         |)""".stripMargin
-    }.mkString(", ")
-    s"""WITH $linkEdgesSql,
+  /** Shared CTE prefix of the two rank oracles: [[linkEdgesSql]] aggregated
+    * to weighted edges `w`, the node set, per-source out-weights `outw`,
+    * and the out-share table `sh` — the same frames [[Graph.pageRank]] /
+    * [[Graph.trustRank]] build once and iterate over. */
+  private def rankGraphSql: String =
+    s"""$linkEdgesSql,
        |w AS (SELECT s AS src, d AS dst, CAST(count(*) AS DOUBLE) AS w
        |      FROM le GROUP BY s, d),
        |nodes AS (SELECT DISTINCT src AS node FROM w
        |          UNION SELECT DISTINCT dst FROM w),
-       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |outw AS (SELECT src, sum(w) AS ow FROM w GROUP BY src),
        |sh AS (SELECT w.src, w.dst, w.w / o.ow AS share
-       |       FROM w JOIN outw o ON o.src = w.src),
+       |       FROM w JOIN outw o ON o.src = w.src)""".stripMargin
+
+  /** One unrolled rank iteration (dangling mass, contributions, new rank);
+    * `newRank` plugs in the engine-matching jump arithmetic. */
+  private def rankStepSql(k: Int, newRank: String): String =
+    s"""d$k AS (
+       |  SELECT coalesce(sum(r.r), 0) AS dm
+       |  FROM r${k - 1} r LEFT JOIN outw o ON o.src = r.node
+       |  WHERE o.src IS NULL
+       |), c$k AS (
+       |  SELECT sh.dst AS node, sum(r.r * sh.share) AS c
+       |  FROM sh JOIN r${k - 1} r ON r.node = sh.src GROUP BY sh.dst
+       |), r$k AS (
+       |  $newRank
+       |)""".stripMargin
+
+  // defs, not vals: called from the entries map's init (see linkEdgesSql)
+  private def KeepSql = "CAST(0.85 AS DOUBLE)"
+  private def JumpSql = s"(CAST(1.0 AS DOUBLE) - $KeepSql)"
+
+  /** DuckDB replay of [[Graph.pageRank]] (damping 0.85) over the
+    * [[linkEdgesSql]] graph, iterations UNROLLED into chained CTEs (the
+    * classifier-train pattern). The damping constants are written as
+    * `CAST(… AS DOUBLE)` arithmetic so both engines evaluate the IDENTICAL
+    * IEEE ops ((1.0 - 0.85) is NOT 0.15 in binary, and DuckDB's bare
+    * literals are decimals). */
+  private def pageRankSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      rankStepSql(k,
+        s"""SELECT nd.node,
+           |    $JumpSql / nn.n + $KeepSql * (coalesce(c.c, 0) + dk.dm / nn.n) AS r
+           |  FROM nodes nd LEFT JOIN c$k c ON c.node = nd.node
+           |  CROSS JOIN nn CROSS JOIN d$k dk""".stripMargin)
+    }.mkString(", ")
+    s"""WITH $rankGraphSql,
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node, round(r, 6) AS rank
+       |FROM r$iterations ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of [[Graph.trustRank]] over the same graph: jump mass
+    * confined to the seed list — `(1-d)·jump(v)` / `dm·jump(v)` replaces
+    * pageRank's uniform `/n` terms (same shape, the seeded IEEE form). */
+  private def trustRankSql(iterations: Int, seeds: Seq[String]): String = {
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    val steps = (1 to iterations).map { k =>
+      rankStepSql(k,
+        s"""SELECT nd.node,
+           |    $JumpSql * nd.j + $KeepSql * (coalesce(c.c, 0) + dk.dm * nd.j) AS r
+           |  FROM nj nd LEFT JOIN c$k c ON c.node = nd.node
+           |  CROSS JOIN d$k dk""".stripMargin)
+    }.mkString(", ")
+    s"""WITH $rankGraphSql,
+       |ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM nodes
+       |       WHERE node IN ($seedList)),
+       |nj AS (SELECT node, CASE WHEN node IN ($seedList)
+       |         THEN CAST(1.0 AS DOUBLE) / k ELSE CAST(0.0 AS DOUBLE) END AS j
+       |       FROM nodes CROSS JOIN ns),
+       |r0 AS (SELECT node, j AS r FROM nj),
        |$steps
        |SELECT node, round(r, 6) AS rank
        |FROM r$iterations ORDER BY node""".stripMargin

@@ -482,6 +482,49 @@ object Streaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("url_key")
 
+  /** The per-batch writer behind [[linkGraphStream]], exposed so the spec
+    * can drive a REPLAY of one batch directly: each micro-batch's edge
+    * aggregate lands as one `batch_id=<id>` partition of the edge store,
+    * and `overwrite` + dynamic partition overwrite make a re-delivered
+    * batch REWRITE its own partition instead of appending a second copy —
+    * the file-sink analog of [[nearDupStreamToSink]]'s anti-join, keyed by
+    * foreachBatch's stable batchId. */
+  private[graft] def linkGraphBatchWriter(sinkDir: String, urlCol: String,
+                                          htmlCol: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      graft.functions.Graph.linkGraph(batch, urlCol, htmlCol)
+        .withColumn("batch_id", lit(batchId))
+        .write
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(sinkDir)
+
+  /** Streaming link-graph intake — [[graft.functions.Graph.linkGraph]]'s
+    * append-only maintenance recipe on a page stream: every micro-batch
+    * contributes its OWN edge aggregate as one partition of the edge
+    * store. foreachBatch, not a streaming aggregation: the edge set grows
+    * monotonically, so streaming state would grow without bound for no
+    * benefit — per-batch aggregates are exactly the shape the append-only
+    * store wants ([[graft.functions.Graph.compactEdges]] and
+    * [[graft.functions.Graph.pageRank]] both re-sum duplicate (src, dst)
+    * rows by construction, so the store is VALID at every instant and
+    * compaction stays a periodic batch job). One call = one AvailableNow
+    * drain; successive calls share `checkpointDir`, so file progress and
+    * batch ids resume exactly. */
+  def linkGraphStream(spark: SparkSession, sourceDir: String,
+                      schema: StructType, sinkDir: String,
+                      checkpointDir: String,
+                      urlCol: String = "url", htmlCol: String = "html"): Unit = {
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .foreachBatch(linkGraphBatchWriter(sinkDir, urlCol, htmlCol))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming crawl intake from RAW WARC FILES — the binary front of
     * [[crawlIngestStream]]: WARC containers land in `warcDir`
     * continuously (the shape a fetcher fleet produces), the `binaryFile`

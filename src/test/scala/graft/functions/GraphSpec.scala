@@ -76,6 +76,19 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r("B") - r("C")) < 1e-12) // the 99 is ignored
   }
 
+  test("pageRank materializes its input ONCE (outw/shares/nodes read the cache)") {
+    // existence proof via accumulator: the upstream edge producer runs one
+    // task pass total — without the edge-aggregate persist, outw + shares +
+    // nodes would each re-run it (for a linkGraph input that's 4× the
+    // per-page regex extraction over the corpus)
+    val acc = spark.sparkContext.longAccumulator("edgeScans")
+    val counted = spark.range(0, 100)
+      .map { id => acc.add(1); (s"s${id % 5}", s"d${id % 7}", 1.0) }
+      .toDF("src_domain", "dst_domain", "weight")
+    Graph.pageRank(counted, 2).collect()
+    assert(acc.value == 100L, s"upstream ran ${acc.value / 100.0}x, want 1x")
+  }
+
   test("pageRankStep plan: join + aggregate + 1-row broadcast, no cartesian") {
     val e = Seq(("A", "B", 1.0), ("B", "A", 1.0)).toDF("src_domain", "dst_domain", "weight")
     val ed = e.select(col("src_domain").as("src"), col("dst_domain").as("dst"),
@@ -114,6 +127,50 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Set(
       ("example.com", "target.org", 2L),
       ("bbc.co.uk", "site.io", 1L)))
+  }
+
+  private def trustOf(edges: Seq[(String, String, Double)], seeds: Seq[String],
+                      iters: Int): Map[String, Double] =
+    Graph.trustRank(edges.toDF("src_domain", "dst_domain", "weight"),
+        seeds.toDF("node"), iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("trustRank: hand-computed chain — trust decays with distance from the seed") {
+    // A→B→C, C dangles; seed = {A}
+    val e = Seq(("A", "B", 1.0), ("B", "C", 1.0))
+    val r2 = trustOf(e, Seq("A"), 2)
+    assert(math.abs(r2("A") - 0.15) < 1e-12)
+    assert(math.abs(r2("B") - 0.1275) < 1e-12) // 0.85 · 0.15
+    assert(math.abs(r2("C") - 0.7225) < 1e-12) // 0.85 · 0.85
+    // iter 3: C's dangling mass teleports back to the SEED, not uniformly
+    val r3 = trustOf(e, Seq("A"), 3)
+    assert(math.abs(r3("A") - (0.15 + 0.85 * 0.7225)) < 1e-12)
+    assert(math.abs(r3("B") - 0.1275) < 1e-12)
+    assert(math.abs(r3("C") - 0.85 * 0.1275) < 1e-12)
+  }
+
+  test("trustRank: mass conservation; spam farm unreachable from seeds scores 0") {
+    // D and E form a mutual-endorsement farm with no path from the seed
+    val e = Seq(("A", "B", 1.0), ("B", "A", 1.0),
+      ("D", "E", 1.0), ("E", "D", 1.0))
+    for (k <- Seq(1, 4)) {
+      val r = trustOf(e, Seq("A"), k)
+      assert(math.abs(r.values.sum - 1.0) < 1e-9)
+      assert(r("D") == 0.0 && r("E") == 0.0,
+        "farm nodes manufactured trust without seed proximity")
+    }
+  }
+
+  test("trustRank: seeds outside the graph are ignored; all-seeds ≈ pageRank") {
+    val e = Seq(("A", "B", 1.0), ("B", "C", 1.0), ("C", "A", 1.0), ("A", "C", 2.0))
+    val withGhost = trustOf(e, Seq("A", "not-in-graph.example"), 3)
+    val without = trustOf(e, Seq("A"), 3)
+    withGhost.foreach { case (k, v) => assert(math.abs(v - without(k)) < 1e-12, k) }
+    // seeding EVERY node degenerates to PageRank (same value, different
+    // IEEE expression — hence the tolerance, see the Scaladoc)
+    val all = trustOf(e, Seq("A", "B", "C"), 3)
+    val pr = ranksOf(e, 3)
+    all.foreach { case (k, v) => assert(math.abs(v - pr(k)) < 1e-12, k) }
   }
 
   test("link-graph maintenance: append-only store ≡ compacted ≡ one-shot batch") {

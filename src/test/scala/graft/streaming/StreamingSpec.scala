@@ -367,6 +367,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("linkGraphStream: per-batch edge partitions, batch replay rewrites not doubles") {
+    val src = SparkTestSession.tmpDir("lgstream_src")
+    val sink = SparkTestSession.tmpDir("lgstream_sink")
+    val chk = SparkTestSession.tmpDir("lgstream_chk")
+    def pages(rows: (String, String)*) = rows.toDF("url", "html")
+    val b1 = pages(
+      ("https://a.com/1", "<a href=\"https://b.org/\">x</a>"),
+      ("https://a.com/2", "<a href=\"https://b.org/p\">x</a><a href='https://c.net/'>y</a>"))
+    val b2 = pages(("https://d.io/1", "<a href=\"https://a.com/\">back</a>"))
+    b1.write.mode("append").parquet(src)
+    def drain(): Unit =
+      Streaming.linkGraphStream(spark, src, b1.schema, sink, chk)
+    drain()
+    b2.write.mode("append").parquet(src)
+    drain()
+    def edges() = graft.functions.Graph
+      .compactEdges(spark.read.parquet(sink).drop("batch_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = Set(("a.com", "b.org", 2L), ("a.com", "c.net", 1L), ("d.io", "a.com", 1L))
+    assert(edges() == want)
+    // the store equals the one-shot batch graph after compaction
+    assert(edges() == graft.functions.Graph.linkGraph(b1.unionByName(b2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
+    // foreachBatch replay-after-failure: re-delivering batch 0 REWRITES
+    // its own batch_id partition — weights must not double
+    Streaming.linkGraphBatchWriter(sink, "url", "html")(b1, 0L)
+    assert(edges() == want)
+    // ... and a batch with the id already present but DIFFERENT content
+    // (a retried partial write) fully replaces the stale partition
+    Streaming.linkGraphBatchWriter(sink, "url", "html")(
+      b1.filter(col("url") === "https://a.com/1"), 0L)
+    assert(edges() == Set(("a.com", "b.org", 1L), ("d.io", "a.com", 1L)))
+  }
+
   test("warcIngestStream: raw WARC files stream into the crawl intake") {
     val src = SparkTestSession.tmpDir("warcstream_src")
     val sink = SparkTestSession.tmpDir("warcstream_sink")
