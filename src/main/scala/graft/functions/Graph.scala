@@ -96,14 +96,49 @@ object Graph {
                weightCol: Option[String] = Some("weight")): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping >= 0.0 && damping <= 1.0, s"damping must be in [0,1], got $damping")
+    val g = rankGraph(edges, srcCol, dstCol, weightCol)
+    val n = g.nodes.count() // |V|: the one driver-side scalar
+    if (n == 0L) {
+      // checkpoint BEFORE unpersisting: the returned (empty) frame must not
+      // keep a lineage into the just-unpersisted upstream chain, or every
+      // downstream action re-runs the full corpus extraction to get 0 rows
+      val empty = g.nodes.withColumn("rank", lit(0.0)).localCheckpoint(true)
+      g.unpersistAll()
+      return empty
+    }
+    var ranks = g.nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var iter = 0
+    while (iter < iterations) {
+      // truncate the growing per-round lineage, as Dedup.clusters does
+      ranks = pageRankStep(g.nodes, g.shares, g.srcNodes, ranks, n, damping)
+        .localCheckpoint(true)
+      iter += 1
+    }
+    g.unpersistAll()
+    ranks
+  }
+
+  /** The persisted frames every rank iteration reads — built ONCE per
+    * ranking run. `e` (the totalized edge aggregate) gets its own persist
+    * because outw/shares/nodes all derive from it: without that barrier
+    * each derivation re-runs the whole upstream chain (for a linkGraph
+    * input that's the per-page regex extraction over the corpus). shares,
+    * nodes AND srcNodes persist because the k iteration jobs re-read them
+    * k times — an unpersisted srcNodes would re-run the out-weight shuffle
+    * aggregate over the edge list once per iteration. */
+  private case class RankGraph(e: DataFrame, shares: DataFrame,
+                               nodes: DataFrame, srcNodes: DataFrame) {
+    def unpersistAll(): Unit = {
+      e.unpersist(); shares.unpersist(); nodes.unpersist(); srcNodes.unpersist()
+    }
+  }
+
+  private def rankGraph(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: Option[String]): RankGraph = {
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     // totalize: accept raw (possibly duplicate) edges as well as
     // pre-aggregated ones — re-aggregating an already-distinct list is a
-    // map-side-combined no-op. PERSIST the aggregate: outw, shares and
-    // nodes all derive from it, and without the barrier each derivation
-    // would re-run the whole upstream chain (for a linkGraph input that's
-    // the per-page regex extraction over the corpus — 4× the scan cost
-    // for frames that are |edges|-sized)
+    // map-side-combined no-op
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
       .persist()
@@ -114,22 +149,23 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().persist()
-    val n = nodes.count() // |V|: the one driver-side scalar
-    if (n == 0L) {
-      e.unpersist(); shares.unpersist(); nodes.unpersist()
-      return nodes.withColumn("rank", lit(0.0))
-    }
-    val srcNodes = outw.select(col("src").as("node"))
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
-    var iter = 0
-    while (iter < iterations) {
-      // truncate the growing per-round lineage, as Dedup.clusters does
-      ranks = pageRankStep(nodes, shares, srcNodes, ranks, n, damping)
-        .localCheckpoint(true)
-      iter += 1
-    }
-    e.unpersist(); shares.unpersist(); nodes.unpersist()
-    ranks
+    val srcNodes = outw.select(col("src").as("node")).persist()
+    RankGraph(e, shares, nodes, srcNodes)
+  }
+
+  /** The dangling-mass 1-row frame and the per-destination contribution
+    * aggregate of one rank round — shared verbatim by [[pageRankStep]] and
+    * [[trustRankStep]]; only the final rank expression differs. */
+  private def danglingAndContrib(shares: DataFrame, srcNodes: DataFrame,
+                                 ranks: DataFrame): (DataFrame, DataFrame) = {
+    // mass parked on dangling nodes this round, as a 1-row broadcast
+    val dangling = ranks.join(srcNodes, Seq("node"), "left_anti")
+      .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
+    val contrib = shares
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("rank") * col("share")).as("__c"))
+    (dangling, contrib)
   }
 
   /** TrustRank: PageRank with the teleport ("jump") mass confined to a
@@ -143,11 +179,11 @@ object Graph {
     * filtering relies on.
     *
     * Same per-iteration shape as [[pageRank]] (one shuffle join + one
-    * aggregate + a 1-row broadcast); kept as its OWN step instead of a
-    * jump-column parametrization of [[pageRankStep]] because the uniform
-    * case computes `(1-d)/n` while the seeded case computes
-    * `(1-d)·jump(v)` — same value, DIFFERENT IEEE expression — and the
-    * DuckDB oracle replays each form bit-exactly. */
+    * aggregate + a 1-row broadcast; the dangling/contribution frames are
+    * literally shared code); only the FINAL rank expression is its own,
+    * because the uniform case computes `(1-d)/n` while the seeded case
+    * computes `(1-d)·jump(v)` — same value, DIFFERENT IEEE expression —
+    * and the DuckDB oracle replays each form bit-exactly. */
   def trustRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
                 damping: Double = 0.85,
                 srcCol: String = "src_domain", dstCol: String = "dst_domain",
@@ -155,37 +191,34 @@ object Graph {
                 seedCol: String = "node"): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping >= 0.0 && damping <= 1.0, s"damping must be in [0,1], got $damping")
-    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
-      .groupBy("src", "dst").agg(sum("w").as("w"))
-      .persist()
-    val outw = e.groupBy("src").agg(sum("w").as("ow"))
-    val shares = e.join(outw, "src")
-      .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
-      .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
+    val g = rankGraph(edges, srcCol, dstCol, weightCol)
     val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
-      .join(nodes, Seq("node")) // seeds outside the graph carry no mass
+      .join(g.nodes, Seq("node")) // seeds outside the graph carry no mass
       .persist()
     val nS = seedNodes.count()
+    if (nS == 0L && g.nodes.count() == 0L) {
+      // empty GRAPH is the pageRank-consistent empty result, not an error
+      // (a crawl batch with no valid outlinks must not kill the pipeline);
+      // a non-empty graph none of whose nodes is a seed stays a hard error
+      val empty = g.nodes.withColumn("rank", lit(0.0)).localCheckpoint(true)
+      seedNodes.unpersist(); g.unpersistAll()
+      return empty
+    }
     require(nS > 0, "trustRank needs at least one seed present in the graph")
-    val nodesJump = nodes
+    val nodesJump = g.nodes
       .join(seedNodes.withColumn("__s", lit(1)), Seq("node"), "left")
       .select(col("node"),
         when(col("__s").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("jump"))
       .persist()
-    val srcNodes = outw.select(col("src").as("node"))
     var ranks = nodesJump.select(col("node"), col("jump").as("rank"))
       .localCheckpoint(true)
     var iter = 0
     while (iter < iterations) {
-      ranks = trustRankStep(nodesJump, shares, srcNodes, ranks, damping)
+      ranks = trustRankStep(nodesJump, g.shares, g.srcNodes, ranks, damping)
         .localCheckpoint(true)
       iter += 1
     }
-    e.unpersist(); shares.unpersist(); seedNodes.unpersist(); nodesJump.unpersist()
+    g.unpersistAll(); seedNodes.unpersist(); nodesJump.unpersist()
     ranks
   }
 
@@ -195,12 +228,7 @@ object Graph {
   private[graft] def trustRankStep(nodesJump: DataFrame, shares: DataFrame,
                                    srcNodes: DataFrame, ranks: DataFrame,
                                    damping: Double): DataFrame = {
-    val dangling = ranks.join(srcNodes, Seq("node"), "left_anti")
-      .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
-    val contrib = shares
-      .join(ranks.withColumnRenamed("node", "src"), "src")
-      .groupBy(col("dst").as("node"))
-      .agg(sum(col("rank") * col("share")).as("__c"))
+    val (dangling, contrib) = danglingAndContrib(shares, srcNodes, ranks)
     nodesJump.join(contrib, Seq("node"), "left")
       .crossJoin(broadcast(dangling))
       .select(col("node"),
@@ -215,13 +243,7 @@ object Graph {
   private[graft] def pageRankStep(nodes: DataFrame, shares: DataFrame,
                                   srcNodes: DataFrame, ranks: DataFrame,
                                   n: Long, damping: Double): DataFrame = {
-    // mass parked on dangling nodes this round, as a 1-row broadcast
-    val dangling = ranks.join(srcNodes, Seq("node"), "left_anti")
-      .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
-    val contrib = shares
-      .join(ranks.withColumnRenamed("node", "src"), "src")
-      .groupBy(col("dst").as("node"))
-      .agg(sum(col("rank") * col("share")).as("__c"))
+    val (dangling, contrib) = danglingAndContrib(shares, srcNodes, ranks)
     nodes.join(contrib, Seq("node"), "left")
       .crossJoin(broadcast(dangling))
       .select(col("node"),

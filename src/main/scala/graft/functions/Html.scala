@@ -259,19 +259,23 @@ object Html {
     * extraction yields URLs in exactly the shape the URL operators eat).
     * Quoted attributes only (both quote styles); an unquoted bare href
     * is vanishingly rare in real markup and parses as no match. */
+  /** The one href matcher (group 1 = the quoted href value) — composed by
+    * BOTH [[extractLinks]] and [[extractAnchors]]'s [[anchorPattern]], so
+    * the link graph and the anchor table can never disagree about which
+    * hrefs exist on a page. */
+  private val hrefPattern: String =
+    "(?is)<a\\b[^>]*\\bhref[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']([^\"']*)[\"']"
+
   def extractLinks(html: Column): Column =
-    regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*\\bhref[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']([^\"']*)[\"']"),
-      lit(1))
+    regexp_extract_all(html, lit(hrefPattern), lit(1))
 
   /** Anchor pattern shared by both capture passes of [[extractAnchors]]:
-    * group 1 = the (quoted) href value, group 2 = the raw inner markup up
-    * to the nearest `</a>` (non-greedy — a nested `<a>` inside an anchor is
-    * malformed HTML and truncates at the inner close, the browser-parser
-    * behavior). */
+    * [[hrefPattern]] (group 1 = the href value) extended with group 2 =
+    * the raw inner markup up to the nearest `</a>` (non-greedy — a nested
+    * `<a>` inside an anchor is malformed HTML and truncates at the inner
+    * close, the browser-parser behavior). */
   private val anchorPattern: String =
-    "(?is)<a\\b[^>]*\\bhref[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*" +
-      "[\"']([^\"']*)[\"'][^>]*>(.*?)</a[ \\t\\n\\r\\f]*>"
+    hrefPattern + "[^>]*>(.*?)</a[ \\t\\n\\r\\f]*>"
 
   /** `(href, anchor)` pairs of `<a>` elements, in document order, as
     * `array<struct<href:string, anchor:string>>` — anchor text is the

@@ -161,6 +161,17 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("trustRank: empty graph returns empty (pageRank-consistent), seedless graph errors") {
+    val none = Seq.empty[(String, String, Double)].toDF("src_domain", "dst_domain", "weight")
+    val empty = Graph.trustRank(none, Seq("A").toDF("node"), 3)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("node", "rank"))
+    // a REAL graph with no seed present stays a hard configuration error
+    val e = Seq(("A", "B", 1.0)).toDF("src_domain", "dst_domain", "weight")
+    intercept[IllegalArgumentException] {
+      Graph.trustRank(e, Seq("zzz").toDF("node"), 3)
+    }
+  }
+
   test("trustRank: seeds outside the graph are ignored; all-seeds ≈ pageRank") {
     val e = Seq(("A", "B", 1.0), ("B", "C", 1.0), ("C", "A", 1.0), ("A", "C", 2.0))
     val withGhost = trustOf(e, Seq("A", "not-in-graph.example"), 3)
