@@ -391,6 +391,24 @@ object Web {
       lit(agent.toLowerCase(java.util.Locale.ROOT)))
   }
 
+  /** `Sitemap:` URLs declared in a robots.txt, in file order, as
+    * `array<string>` — RFC 9309 §2.2.4's "other records": the field is
+    * case-insensitive, group-independent (valid anywhere in the file, not
+    * tied to a User-agent tier), may repeat, and its value is an absolute
+    * URL. This is how a crawler DISCOVERS a site's sitemaps — the output
+    * feeds [[graft.functions.Html.extractSitemapLocs]] after fetch, whose
+    * locs then feed [[urlFrontier]]: robots → sitemap → frontier, the
+    * standard seeding path. Same line discipline as [[robotsAllowed]]
+    * (CRLF/CR/LF EOLs, `#` comments stripped, ends trimmed); blank values
+    * (a bare `Sitemap:` line) drop. Pure codegen Column chain. */
+  def robotsSitemaps(robotsTxt: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(coalesce(robotsTxt, lit("")),
+          lit("(?im)^[ \\t\\f]*sitemap[ \\t\\f]*:([^#\\r\\n]*)"), lit(1)),
+        v => regexp_replace(v, "^[ \\t\\f]+|[ \\t\\f]+$", "")),
+      v => v =!= "")
+
   /** Path+query of an absolute URL ('/' when empty) — the string
     * robots.txt rules match against (REP matches the path-with-query). */
   def urlPathQuery(u: Column): Column = {

@@ -4519,6 +4519,66 @@ object PipelineQueries {
         .orderBy(col("node"))
     }, Some(pageRankSql(PageRankIters))),
 
+    // Rank → corpus composition: the per-domain PageRank joined onto the
+    // corpus's per-domain document counts — the shape every rank-weighted
+    // selection/mixing policy starts from (downstream: filter on a rank
+    // floor, or temperature-sample by rank). Source domains come from the
+    // synthUrl arithmetic; dst-only domains (the .org sinks) carry no
+    // documents and drop at the inner join.
+    "td_domain_rank_join" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("url", synthUrl(col("doc_id")))
+      val pages = docs
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+        .select(col("url"), col("html"))
+      val ranks = Graph.pageRank(Graph.linkGraph(pages), PageRankIters)
+      docs
+        .select(Web.registeredDomain(Web.urlHost(col("url"))).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+        .join(ranks, col("domain") === col("node"))
+        .select(col("domain"), round(col("rank"), 6).as("rank"), col("n_docs"))
+        .orderBy(col("domain"))
+    }, Some(
+      s"""${pageRankCtes(PageRankIters)},
+         |dd AS (SELECT s AS domain, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM src GROUP BY s)
+         |SELECT dd.domain, round(r.r, 6) AS rank, dd.n_docs
+         |FROM dd JOIN r$PageRankIters r ON r.node = dd.domain
+         |ORDER BY dd.domain""".stripMargin)),
+
+    // robots.txt sitemap discovery (RFC 9309 §2.2.4 "other records"):
+    // field case-insensitivity, comments (whole-line and trailing), bare
+    // values, CR/CRLF EOLs, and group-independence all live in the synth
+    // fixture; the oracle states the surviving URLs closed-form.
+    "td_robots_sitemaps" -> Entry((s, dir) => {
+      val robots = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("r", concat(
+          lit("User-agent: *\r\nDisallow: /private\r\n"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("Sitemap: https://h"), col("doc_id") % 5,
+              lit(".example.com/s.xml\n"))).otherwise(""),
+          lit("# Sitemap: https://ignored.example.com/x.xml\n"),
+          when(col("doc_id") % 4 === 1,
+            concat(lit("SITEMAP: https://h"), col("doc_id") % 5,
+              lit(".example.com/news.xml # news feed\n")))
+            .otherwise("Sitemap:\n"),
+          lit("User-agent: newsbot\rAllow: /")))
+      robots.select(explode(Web.robotsSitemaps(col("r"))).as("sitemap"))
+        .groupBy("sitemap").agg(count(lit(1)).as("n"))
+        .orderBy(col("sitemap"))
+    }, Some(
+      """WITH sm AS (
+        |  SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.example.com/s.xml' AS sitemap
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.example.com/news.xml'
+        |  FROM documents WHERE doc_id % 4 = 1
+        |)
+        |SELECT sitemap, count(*) AS n
+        |FROM sm GROUP BY sitemap ORDER BY sitemap""".stripMargin)),
+
     // TrustRank over the same graph: jump mass confined to two seed domains
     // (the link-spam countermeasure — score decays with link distance from
     // trust). Seeds are bbc.co.uk + site.org (always-present source
@@ -4637,7 +4697,14 @@ object PipelineQueries {
     * `CAST(… AS DOUBLE)` arithmetic so both engines evaluate the IDENTICAL
     * IEEE ops ((1.0 - 0.85) is NOT 0.15 in binary, and DuckDB's bare
     * literals are decimals). */
-  private def pageRankSql(iterations: Int): String = {
+  private def pageRankSql(iterations: Int): String =
+    pageRankCtes(iterations) +
+      s"\nSELECT node, round(r, 6) AS rank\nFROM r$iterations ORDER BY node"
+
+  /** The WITH-clause of [[pageRankSql]] alone (final table `r<iterations>`
+    * = (node, r)) so composition entries can join ranks onto other
+    * frames. */
+  private def pageRankCtes(iterations: Int): String = {
     val steps = (1 to iterations).map { k =>
       rankStepSql(k,
         s"""SELECT nd.node,
@@ -4648,9 +4715,7 @@ object PipelineQueries {
     s"""WITH $rankGraphSql,
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn),
-       |$steps
-       |SELECT node, round(r, 6) AS rank
-       |FROM r$iterations ORDER BY node""".stripMargin
+       |$steps""".stripMargin
   }
 
   /** DuckDB replay of [[Graph.trustRank]] over the same graph: jump mass

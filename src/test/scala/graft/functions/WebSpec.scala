@@ -388,6 +388,24 @@ class WebSpec extends AnyFunSuite {
     assert(perRound.forall(_ <= 2))
   }
 
+  test("robotsSitemaps: case-insensitive, group-independent, CR EOLs, comments, blanks") {
+    val txt = "User-agent: *\r\nDisallow: /tmp\r" + // CRLF and bare-CR EOLs
+      "SITEMAP: https://a.com/s1.xml  \n" + // uppercase field, trailing WS
+      "# sitemap: https://a.com/ignored.xml\n" + // whole-line comment
+      "sitemap: https://a.com/s2.xml # news feed\n" + // trailing comment
+      "Sitemap:\n" + // bare value drops
+      "User-agent: bot\nsitemap: https://a.com/s3.xml" // inside another group
+    val got = Seq(txt).toDF("r")
+      .select(Web.robotsSitemaps(col("r"))).head.getSeq[String](0)
+    assert(got == Seq("https://a.com/s1.xml", "https://a.com/s2.xml",
+      "https://a.com/s3.xml"))
+    // null / sitemap-less files → empty array
+    assert(Seq[(Int, String)]((1, "User-agent: *\nAllow: /")).toDF("id", "r")
+      .select(Web.robotsSitemaps(col("r"))).head.getSeq[String](0).isEmpty)
+    assert(Seq[(Int, String)]((1, null)).toDF("id", "r")
+      .select(Web.robotsSitemaps(col("r"))).head.getSeq[String](0).isEmpty)
+  }
+
   test("robotsAllowed: tiers, longest-match, tie→allow, UA runs, comments, empty disallow") {
     val robots =
       """# crawl policy
