@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * the "shuffle-bounded, near-linear" scaling claims in SURVEY §9. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    // `Test/runMain graft.ScaleProbe q21` runs only the q21 size-tier probe
+    // `Test/runMain graft.ScaleProbe q21` runs only the q21 size-tier probe;
+    // `... graph` runs only the link-graph/PageRank scaling block
     val q21Only = args.contains("q21")
-    val n = args.filterNot(_ == "q21").headOption.map(_.toInt).getOrElse(10)
+    val graphOnly = args.contains("graph")
+    val n = args.filterNot(a => a == "q21" || a == "graph")
+      .headOption.map(_.toInt).getOrElse(10)
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -30,6 +33,7 @@ object ScaleProbe {
     big.write.mode("overwrite").parquet(dir)
     val bigDocs = spark.read.parquet(dir)
     println(s"base=$base rows, big=${bigDocs.count()} rows (${n}x)")
+    if (graphOnly) { graphProbe(spark, docs, bigDocs, n); spark.stop(); return }
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val rows = f
@@ -143,6 +147,8 @@ object ScaleProbe {
         }
       }
     }
+
+    graphProbe(spark, docs, bigDocs, n)
 
     // audio decode: synthesize+decode per row in one pass — pure
     // mapPartitions compute, no shuffle, must be linear in rows
@@ -347,6 +353,35 @@ object ScaleProbe {
         "inflated supplier was still broadcast — the scale-killer hint is back")
       require(smallRows == bigRows,
         "junk supplier rows changed the aggregate — key shifting broke")
+    }
+  }
+
+  /** Link graph + PageRank scaling: edge extraction must scale with ROWS
+    * (one scan + one map-side-combined aggregate), the rank iterations
+    * with |domains| — FLAT here by construction (the modular url
+    * arithmetic gives 1× and N× the IDENTICAL ~2.5k-node domain set, only
+    * edge weights grow), which is exactly the 100 TB claim: corpus size
+    * buys scan cost, not iteration cost. */
+  private def graphProbe(spark: org.apache.spark.sql.SparkSession,
+                         docs: org.apache.spark.sql.DataFrame,
+                         bigDocs: org.apache.spark.sql.DataFrame,
+                         n: Int): Unit = {
+    import graft.functions.Graph
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val rows = f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($rows rows)")
+    }
+    def pages(d: org.apache.spark.sql.DataFrame) = d.select(
+      concat(lit("https://s"), col("doc_id") % 1000,
+        lit(".example.com/p"), col("doc_id")).as("url"),
+      concat(lit("<a href=\"https://d"), col("doc_id") % 1500,
+        lit(".org/x\">a</a><a href='https://hub.example.net/'>b</a>" +
+          "<a href=\"/self\">c</a>")).as("html"))
+    for ((label, d) <- Seq("1x" -> docs, s"${n}x" -> bigDocs)) {
+      time(s"link_graph $label") { Graph.linkGraph(pages(d)).count() }
+      time(s"pagerank3 $label") {
+        Graph.pageRank(Graph.linkGraph(pages(d)), 3).count()
+      }
     }
   }
 }
