@@ -222,6 +222,68 @@ object Graph {
     ranks
   }
 
+  /** HITS (Kleinberg's hubs & authorities): the mutually-recursive pair —
+    * a good AUTHORITY is linked from good hubs, a good HUB links to good
+    * authorities — L1-normalized each half-step so both scores stay
+    * probability-shaped (sum to 1; the classic formulation normalizes by
+    * L2, but any norm fixes the scale and L1 division is exactly
+    * replayable in the SQL oracle). Complements [[pageRank]]: PageRank
+    * scores endorsement flow, HITS separates directories/aggregators
+    * (hubs) from destinations (authorities) — for crawl curation, a high
+    * authority + low hub domain is content, the reverse is a link farm or
+    * index page. A node with no in-links has authority exactly 0; no
+    * out-links, hub exactly 0.
+    *
+    * Returns `(node, hub, auth)`. Per iteration: two shuffle joins + two
+    * aggregates + two 1-row broadcast normalizers — the [[pageRankStep]]
+    * scale shape, doubled. Same persist/checkpoint discipline. Weighted:
+    * each edge contributes `weight · score`, so the aggregated multigraph
+    * behaves exactly like its expanded form. */
+  def hits(edges: DataFrame, iterations: Int,
+           srcCol: String = "src_domain", dstCol: String = "dst_domain",
+           weightCol: Option[String] = Some("weight")): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val g = rankGraph(edges, srcCol, dstCol, weightCol)
+    val n = g.nodes.count()
+    if (n == 0L) {
+      val empty = g.nodes
+        .withColumn("hub", lit(0.0)).withColumn("auth", lit(0.0))
+        .localCheckpoint(true)
+      g.unpersistAll()
+      return empty
+    }
+    var hub = g.nodes.withColumn("hub", lit(1.0 / n)).localCheckpoint(true)
+    var auth: DataFrame = null
+    var iter = 0
+    while (iter < iterations) {
+      // authorities from hubs: in-weighted hub mass, L1-normalized.
+      // totals are strictly positive for a non-empty edge list (every
+      // edge's endpoints carry positive mass), so the divisions are safe
+      val aRaw = g.e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") * col("hub")).as("__ar"))
+      val aTot = aRaw.agg(sum("__ar").as("__t"))
+      auth = g.nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          (coalesce(col("__ar"), lit(0.0)) / col("__t")).as("auth"))
+        .localCheckpoint(true)
+      // hubs from authorities: out-weighted authority mass, L1-normalized
+      val hRaw = g.e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("w") * col("auth")).as("__hr"))
+      val hTot = hRaw.agg(sum("__hr").as("__t"))
+      hub = g.nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          (coalesce(col("__hr"), lit(0.0)) / col("__t")).as("hub"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    g.unpersistAll()
+    hub.join(auth, Seq("node"))
+  }
+
   /** One TrustRank round: `(1-d)·jump(v) + d·(contrib(v) + dm·jump(v))` —
     * the [[pageRankStep]] shape with the uniform `1/n` replaced by the
     * per-node jump column (seed-uniform, 0 elsewhere). */

@@ -4519,6 +4519,22 @@ object PipelineQueries {
         .orderBy(col("node"))
     }, Some(pageRankSql(PageRankIters))),
 
+    // HITS over the same graph: hubs (directory/aggregator pages) vs
+    // authorities (destinations) — for curation, high-authority/low-hub
+    // domains are content, the reverse are link farms and index pages.
+    // Oracle unrolls both half-steps per iteration with the L1
+    // normalizers as 1-row CTEs.
+    "td_hits" -> Entry((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("url", synthUrl(col("doc_id")))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+        .select(col("url"), col("html"))
+      Graph.hits(Graph.linkGraph(pages), PageRankIters)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy(col("node"))
+    }, Some(hitsSql(PageRankIters))),
+
     // Rank → corpus composition: the per-domain PageRank joined onto the
     // corpus's per-domain document counts — the shape every rank-weighted
     // selection/mixing policy starts from (downstream: filter on a rank
@@ -4716,6 +4732,38 @@ object PipelineQueries {
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn),
        |$steps""".stripMargin
+  }
+
+  /** DuckDB replay of [[Graph.hits]] over the [[linkEdgesSql]] graph:
+    * both half-steps (authorities from hubs, hubs from authorities) with
+    * their 1-row L1 normalizers, unrolled per iteration. */
+  private def hitsSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""ar$k AS (
+         |  SELECT e.dst AS node, sum(e.w * h.h) AS ar
+         |  FROM w e JOIN h${k - 1} h ON h.node = e.src GROUP BY e.dst
+         |), at$k AS (SELECT sum(ar) AS t FROM ar$k),
+         |a$k AS (
+         |  SELECT nd.node, coalesce(ar.ar, 0) / at.t AS a
+         |  FROM nodes nd LEFT JOIN ar$k ar ON ar.node = nd.node
+         |  CROSS JOIN at$k at
+         |), hr$k AS (
+         |  SELECT e.src AS node, sum(e.w * a.a) AS hr
+         |  FROM w e JOIN a$k a ON a.node = e.dst GROUP BY e.src
+         |), ht$k AS (SELECT sum(hr) AS t FROM hr$k),
+         |h$k AS (
+         |  SELECT nd.node, coalesce(hr.hr, 0) / ht.t AS h
+         |  FROM nodes nd LEFT JOIN hr$k hr ON hr.node = nd.node
+         |  CROSS JOIN ht$k ht
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $rankGraphSql,
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |h0 AS (SELECT node, 1.0 / n AS h FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT h.node, round(h.h, 6) AS hub, round(a.a, 6) AS auth
+       |FROM h$iterations h JOIN a$iterations a ON a.node = h.node
+       |ORDER BY h.node""".stripMargin
   }
 
   /** DuckDB replay of [[Graph.trustRank]] over the same graph: jump mass

@@ -184,6 +184,33 @@ class GraphSpec extends AnyFunSuite {
     all.foreach { case (k, v) => assert(math.abs(v - pr(k)) < 1e-12, k) }
   }
 
+  test("hits: hand-computed hubs/authorities, L1 normalization, pure-role zeros") {
+    // A→B, A→C, B→C: A is a pure hub (no in-links), C a pure authority
+    // (no out-links). h0 = 1/3 each.
+    // auth_raw = (0, 1/3, 2/3) → L1 total 1 → auth = (0, 1/3, 2/3)
+    // hub_raw  = (a(B)+a(C), a(C), 0) = (1, 2/3, 0) → hub = (3/5, 2/5, 0)
+    val e = Seq(("A", "B", 1.0), ("A", "C", 1.0), ("B", "C", 1.0))
+    val r = Graph.hits(e.toDF("src_domain", "dst_domain", "weight"), 1)
+      .collect().map(x => x.getString(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(math.abs(r("A")._1 - 0.6) < 1e-12 && r("A")._2 == 0.0)
+    assert(math.abs(r("B")._1 - 0.4) < 1e-12 && math.abs(r("B")._2 - 1.0 / 3) < 1e-12)
+    assert(r("C")._1 == 0.0 && math.abs(r("C")._2 - 2.0 / 3) < 1e-12)
+    // both scores stay L1-normalized after more rounds
+    val r3 = Graph.hits(e.toDF("src_domain", "dst_domain", "weight"), 3)
+      .collect().map(x => (x.getDouble(1), x.getDouble(2)))
+    assert(math.abs(r3.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(r3.map(_._2).sum - 1.0) < 1e-9)
+    // edge weights count: doubling A→B's weight shifts authority toward B
+    val w = Seq(("A", "B", 2.0), ("A", "C", 1.0))
+    val rw = Graph.hits(w.toDF("src_domain", "dst_domain", "weight"), 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(math.abs(rw("B") - 2.0 / 3) < 1e-12 && math.abs(rw("C") - 1.0 / 3) < 1e-12)
+    // empty graph → empty (node, hub, auth)
+    val empty = Graph.hits(
+      Seq.empty[(String, String, Double)].toDF("src_domain", "dst_domain", "weight"), 2)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("node", "hub", "auth"))
+  }
+
   test("link-graph maintenance: append-only store ≡ compacted ≡ one-shot batch") {
     val b1 = Seq(
       ("https://a.com/1", "<a href=\"https://b.org/\">x</a><a href='https://c.net/'>y</a>"),
