@@ -391,6 +391,61 @@ object Web {
       lit(agent.toLowerCase(java.util.Locale.ROOT)))
   }
 
+  /** `Crawl-delay` (seconds) a robots.txt requests of `agent`, or null
+    * when none applies — not in RFC 9309 but honored by Bing/Yandex-class
+    * crawlers and ubiquitous in the wild, and a POLITE fetcher fleet wants
+    * it next to [[frontierSchedule]]'s per-round slots (rounds bound
+    * concurrency; the delay paces consecutive rounds per host). Group
+    * semantics mirror [[robotsAllowed]]: the group exactly naming the
+    * agent applies when one exists (its missing delay means NO delay — no
+    * fallback to `*`, one group governs a crawler), otherwise the `*`
+    * group; within a group the LAST delay line wins (later lines
+    * override); non-numeric values are ignored; same comment/EOL/header-
+    * run line discipline, one aggregate fold per row. */
+  def robotsCrawlDelay(robotsTxt: Column, agent: String): Column = {
+    require(agent.nonEmpty && !agent.contains("\n"), s"not an agent token: $agent")
+    val lines = transform(
+      split(coalesce(robotsTxt, lit("")), "\\r\\n|\\r|\\n"),
+      l => regexp_replace(regexp_replace(l, "#.*", ""),
+        "^[ \\t\\f]+|[ \\t\\f]+$", ""))
+    val agentTok = lit(agent.toLowerCase(java.util.Locale.ROOT))
+    val noDelay = lit(null).cast("double")
+    aggregate(lines,
+      struct(lit(false).as("inUa"),
+        lit(false).as("sActive"), lit(false).as("sExists"),
+        noDelay.as("sDelay"),
+        lit(false).as("gActive"), noDelay.as("gDelay")),
+      (st, line) => {
+        val low = lower(line)
+        val isUa = low.rlike("^user-agent[ \\t]*:")
+        val uaVal = regexp_extract(low, "^user-agent[ \\t]*:[ \\t]*([^ \\t]*)", 1)
+        val isDelay = low.rlike("^crawl-delay[ \\t]*:")
+        // any rule record closes a User-agent header run (the
+        // robotsVerdict discipline, with crawl-delay as a closer too)
+        val isRule = low.rlike("^(allow|disallow|crawl-delay)[ \\t]*:")
+        val inUa2 = isUa || (st("inUa") && !isRule)
+        def tierActive(active: Column, matches: Column): Column =
+          when(isUa, when(st("inUa"), active || matches).otherwise(matches))
+            .otherwise(active)
+        val sActive2 = tierActive(st("sActive"), uaVal === agentTok)
+        val gActive2 = tierActive(st("gActive"), uaVal === "*")
+        // no-match extracts '' — null it BEFORE the cast (ANSI mode throws
+        // on cast('' as double); the matched alternative is always numeric)
+        val dStr = regexp_extract(low,
+          "^crawl-delay[ \\t]*:[ \\t]*([0-9]+(?:\\.[0-9]+)?)[ \\t]*$", 1)
+        val dVal = when(dStr =!= "", dStr).cast("double")
+        def upd(cur: Column, active: Column): Column =
+          when(isDelay && active && dVal.isNotNull, dVal).otherwise(cur)
+        struct(inUa2.as("inUa"),
+          sActive2.as("sActive"),
+          (st("sExists") || (isUa && uaVal === agentTok)).as("sExists"),
+          upd(st("sDelay"), sActive2).as("sDelay"),
+          gActive2.as("gActive"),
+          upd(st("gDelay"), gActive2).as("gDelay"))
+      },
+      st => when(st("sExists"), st("sDelay")).otherwise(st("gDelay")))
+  }
+
   /** `Sitemap:` URLs declared in a robots.txt, in file order, as
     * `array<string>` — RFC 9309 §2.2.4's "other records": the field is
     * case-insensitive, group-independent (valid anywhere in the file, not

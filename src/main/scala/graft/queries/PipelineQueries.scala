@@ -4595,6 +4595,33 @@ object PipelineQueries {
         |SELECT sitemap, count(*) AS n
         |FROM sm GROUP BY sitemap ORDER BY sitemap""".stripMargin)),
 
+    // Crawl-delay evaluation per synthesized robots file: the id
+    // arithmetic drives all four group shapes — *-only (its LAST delay
+    // line wins), specific-group override, specific group WITHOUT a delay
+    // (→ null, no fallback to *), and a non-numeric value that must be
+    // ignored. Oracle states the applicable delay closed-form.
+    "td_crawl_delay" -> Entry((s, dir) => {
+      val robots = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("r", concat(
+          lit("User-agent: *\nCrawl-delay: 99\nCrawl-delay: "),
+          col("doc_id") % 7, lit(".5\n"),
+          when(col("doc_id") % 3 === 0, concat(
+            lit("\nUser-agent: graftbot\nCrawl-delay: "), col("doc_id") % 5,
+            lit("\n")))
+            .when(col("doc_id") % 3 === 1,
+              lit("\nUser-agent: graftbot\nDisallow: /private\n"))
+            .otherwise(""),
+          lit("User-agent: otherbot\nCrawl-delay: broken\n")))
+      robots.select(col("doc_id"),
+          Web.robotsCrawlDelay(col("r"), "GraftBot").as("delay_s"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 5 AS DOUBLE)
+        |       WHEN doc_id % 3 = 1 THEN NULL
+        |       ELSE CAST(doc_id % 7 AS DOUBLE) + 0.5 END AS delay_s
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // TrustRank over the same graph: jump mass confined to two seed domains
     // (the link-spam countermeasure — score decays with link distance from
     // trust). Seeds are bbc.co.uk + site.org (always-present source

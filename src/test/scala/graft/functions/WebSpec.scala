@@ -388,6 +388,29 @@ class WebSpec extends AnyFunSuite {
     assert(perRound.forall(_ <= 2))
   }
 
+  test("robotsCrawlDelay: tier selection, last-wins, no-*-fallback, bad values") {
+    def delay(txt: String, agent: String = "graftbot"): Option[Double] = {
+      val r = Seq(txt).toDF("r")
+        .select(Web.robotsCrawlDelay(col("r"), agent)).head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    // * tier applies when no specific group exists; last delay line wins
+    assert(delay("User-agent: *\nCrawl-delay: 2\nCrawl-delay: 7.5") == Some(7.5))
+    // the exactly-matching group wins over *
+    assert(delay("User-agent: *\nCrawl-delay: 9\n\nUser-agent: GraftBot\nCrawl-delay: 1.5")
+      == Some(1.5))
+    // a matched specific group WITHOUT a delay means no delay (one group
+    // governs a crawler — no fallback to the * group's 9)
+    assert(delay("User-agent: *\nCrawl-delay: 9\n\nUser-agent: graftbot\nDisallow: /x")
+      == None)
+    // header run: two UA lines share one group's delay
+    assert(delay("User-agent: a\nUser-agent: graftbot\nCrawl-delay: 3") == Some(3.0))
+    // non-numeric and commented values are ignored; CR EOLs parse
+    assert(delay("User-agent: *\rCrawl-delay: fast\rCrawl-delay: 4 # s\r") == Some(4.0))
+    // no robots / no delay anywhere -> null
+    assert(delay("User-agent: *\nDisallow:") == None)
+  }
+
   test("robotsSitemaps: case-insensitive, group-independent, CR EOLs, comments, blanks") {
     val txt = "User-agent: *\r\nDisallow: /tmp\r" + // CRLF and bare-CR EOLs
       "SITEMAP: https://a.com/s1.xml  \n" + // uppercase field, trailing WS
