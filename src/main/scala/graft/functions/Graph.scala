@@ -93,7 +93,8 @@ object Graph {
     * reproduce ranks bit-for-bit modulo float summation order. */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
                srcCol: String = "src_domain", dstCol: String = "dst_domain",
-               weightCol: Option[String] = Some("weight")): DataFrame = {
+               weightCol: Option[String] = Some("weight"),
+               init: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping >= 0.0 && damping <= 1.0, s"damping must be in [0,1], got $damping")
     val g = rankGraph(edges, srcCol, dstCol, weightCol)
@@ -106,7 +107,26 @@ object Graph {
       g.unpersistAll()
       return empty
     }
-    var ranks = g.nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    // WARM START — the steady-state maintenance form: after appending a
+    // crawl batch to the edge store, restart from the previous rank vector
+    // instead of uniform (power iteration contracts error by `damping` per
+    // round, so a near-fixpoint start converges in 1–2 rounds where cold
+    // needs tens). The init vector is REINDEXED onto the current node set
+    // (domains new since the last ranking start at the uniform prior,
+    // departed ones drop) and L1-renormalized so the sum-1 invariant holds
+    // from round one regardless of drift or scale in the stored vector.
+    var ranks = init match {
+      case None =>
+        g.nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+      case Some(prev) =>
+        val joined = g.nodes
+          .join(prev.select(col("node"), col("rank").as("__pr")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("__pr"), lit(1.0 / n)).as("rank"))
+        val tot = joined.agg(sum("rank").as("__t"))
+        joined.crossJoin(broadcast(tot))
+          .select(col("node"), (col("rank") / col("__t")).as("rank"))
+          .localCheckpoint(true)
+    }
     var iter = 0
     while (iter < iterations) {
       // truncate the growing per-round lineage, as Dedup.clusters does

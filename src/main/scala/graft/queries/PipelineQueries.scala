@@ -4519,6 +4519,41 @@ object PipelineQueries {
         .orderBy(col("node"))
     }, Some(pageRankSql(PageRankIters))),
 
+    // Warm-start PageRank — the steady-state re-rank form: one warm
+    // iteration from the (unrounded) 2-iteration vector must equal the
+    // oracle's renormalize-then-step replay. Exercises the reindex +
+    // L1-renormalize init path IN the gate; the acceleration property
+    // lives in GraphSpec.
+    "td_pagerank_warm" -> Entry((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("url", synthUrl(col("doc_id")))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+        .select(col("url"), col("html"))
+        .localCheckpoint(true) // two pageRank calls; extract pages once
+      val prev = Graph.pageRank(Graph.linkGraph(pages), 2)
+      Graph.pageRank(Graph.linkGraph(pages), 1, init = Some(prev))
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    }, Some(
+      s"""${pageRankCtes(2)},
+         |rt AS (SELECT sum(r) AS t FROM r2),
+         |rw AS (SELECT node, r / t AS r FROM r2 CROSS JOIN rt),
+         |dw AS (
+         |  SELECT coalesce(sum(r.r), 0) AS dm
+         |  FROM rw r LEFT JOIN outw o ON o.src = r.node
+         |  WHERE o.src IS NULL
+         |), cw AS (
+         |  SELECT sh.dst AS node, sum(r.r * sh.share) AS c
+         |  FROM sh JOIN rw r ON r.node = sh.src GROUP BY sh.dst
+         |), rfin AS (
+         |  SELECT nd.node,
+         |    $JumpSql / nn.n + $KeepSql * (coalesce(c.c, 0) + dk.dm / nn.n) AS r
+         |  FROM nodes nd LEFT JOIN cw c ON c.node = nd.node
+         |  CROSS JOIN nn CROSS JOIN dw dk
+         |)
+         |SELECT node, round(r, 6) AS rank
+         |FROM rfin ORDER BY node""".stripMargin)),
+
     // HITS over the same graph: hubs (directory/aggregator pages) vs
     // authorities (destinations) — for curation, high-authority/low-hub
     // domains are content, the reverse are link farms and index pages.

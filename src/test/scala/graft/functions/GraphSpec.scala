@@ -184,6 +184,42 @@ class GraphSpec extends AnyFunSuite {
     all.foreach { case (k, v) => assert(math.abs(v - pr(k)) < 1e-12, k) }
   }
 
+  test("pageRank warm start: fixpoint-stable, scale-invariant init, accelerates re-rank") {
+    val e = Seq(("A", "B", 1.0), ("B", "C", 2.0), ("C", "A", 1.0),
+      ("A", "C", 1.0), ("D", "A", 1.0)) // C→A cycle + dangling-free core + source D
+    val df = e.toDF("src_domain", "dst_domain", "weight")
+    def run(iters: Int, init: Option[org.apache.spark.sql.DataFrame] = None) =
+      Graph.pageRank(df, iters, damping = 0.5, init = init)
+    // damping 0.5 → error contracts 2× per round; 20 rounds ≈ converged
+    val fix = run(20)
+    val fixM = fix.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // one warm round from the fixpoint stays at the fixpoint
+    val warm = run(1, Some(fix)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    warm.foreach { case (k, v) => assert(math.abs(v - fixM(k)) < 1e-6, k) }
+    // a scaled init (stored vector drifted by 3×) renormalizes away
+    val scaled = fix.select(col("node"), (col("rank") * 3.0).as("rank"))
+    val fromScaled = run(2, Some(scaled)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val fromClean = run(2, Some(fix)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    fromScaled.foreach { case (k, v) => assert(math.abs(v - fromClean(k)) < 1e-12, k) }
+    // re-rank after an append: warm(2) from the OLD graph's fixpoint lands
+    // closer to the NEW fixpoint than cold(2) — the acceleration claim
+    val e2 = e ++ Seq(("E", "C", 3.0), ("C", "E", 1.0))
+    val df2 = e2.toDF("src_domain", "dst_domain", "weight")
+    def dist(a: Map[String, Double], b: Map[String, Double]): Double =
+      b.keys.map(k => math.abs(a.getOrElse(k, 0.0) - b(k))).sum
+    val truth = Graph.pageRank(df2, 20, damping = 0.5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val warm2 = Graph.pageRank(df2, 2, damping = 0.5, init = Some(fix))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val cold2 = Graph.pageRank(df2, 2, damping = 0.5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dist(warm2, truth) < dist(cold2, truth),
+      s"warm ${dist(warm2, truth)} vs cold ${dist(cold2, truth)}")
+  }
+
   test("hits: hand-computed hubs/authorities, L1 normalization, pure-role zeros") {
     // A→B, A→C, B→C: A is a pure hub (no in-links), C a pure authority
     // (no out-links). h0 = 1/3 each.
