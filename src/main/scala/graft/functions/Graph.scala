@@ -119,13 +119,28 @@ object Graph {
       case None =>
         g.nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
       case Some(prev) =>
+        // sum-aggregate prev first: a store holding k identical snapshots
+        // yields k× every value, which the renormalize divides away
+        // EXACTLY — and the join stays one-row-per-node (an un-aggregated
+        // duplicate would silently duplicate the whole output). Persisted:
+        // the totalizer AND the final select both read it, and prev is
+        // arbitrary caller lineage (the re-run-the-parent trap).
         val joined = g.nodes
-          .join(prev.select(col("node"), col("rank").as("__pr")), Seq("node"), "left")
+          .join(prev.select(col("node"), col("rank").cast("double").as("__pr"))
+            .groupBy("node").agg(sum("__pr").as("__pr")), Seq("node"), "left")
           .select(col("node"), coalesce(col("__pr"), lit(1.0 / n)).as("rank"))
+          .persist()
         val tot = joined.agg(sum("rank").as("__t"))
-        joined.crossJoin(broadcast(tot))
-          .select(col("node"), (col("rank") / col("__t")).as("rank"))
+        val r0 = joined.crossJoin(broadcast(tot))
+          .select(col("node"),
+            // a degenerate stored vector (all-zero/negative overlap sums
+            // to ≤ 0) can't be a distribution — fall back to uniform
+            // instead of propagating 0/0 = NaN through every round
+            when(col("__t") > 0.0, col("rank") / col("__t"))
+              .otherwise(lit(1.0 / n)).as("rank"))
           .localCheckpoint(true)
+        joined.unpersist()
+        r0
     }
     var iter = 0
     while (iter < iterations) {
@@ -279,25 +294,32 @@ object Graph {
       // authorities from hubs: in-weighted hub mass, L1-normalized.
       // totals are strictly positive for a non-empty edge list (every
       // edge's endpoints carry positive mass), so the divisions are safe
+      // each raw half-step frame is persisted for its two readers (the
+      // 1-row normalizer and the nodes join) — unpersisted, the join+agg
+      // over the edge list would run twice per half-step
       val aRaw = g.e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("w") * col("hub")).as("__ar"))
+        .persist()
       val aTot = aRaw.agg(sum("__ar").as("__t"))
       auth = g.nodes.join(aRaw, Seq("node"), "left")
         .crossJoin(broadcast(aTot))
         .select(col("node"),
           (coalesce(col("__ar"), lit(0.0)) / col("__t")).as("auth"))
         .localCheckpoint(true)
+      aRaw.unpersist()
       // hubs from authorities: out-weighted authority mass, L1-normalized
       val hRaw = g.e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("w") * col("auth")).as("__hr"))
+        .persist()
       val hTot = hRaw.agg(sum("__hr").as("__t"))
       hub = g.nodes.join(hRaw, Seq("node"), "left")
         .crossJoin(broadcast(hTot))
         .select(col("node"),
           (coalesce(col("__hr"), lit(0.0)) / col("__t")).as("hub"))
         .localCheckpoint(true)
+      hRaw.unpersist()
       iter += 1
     }
     g.unpersistAll()

@@ -315,8 +315,14 @@ object Web {
         val uaVal = regexp_extract(low, "^user-agent[ \\t]*:[ \\t]*([^ \\t]*)", 1)
         val isAllow = low.rlike("^allow[ \\t]*:")
         val isDis = low.rlike("^disallow[ \\t]*:")
-        // header runs persist through blanks/comments; rules close them
-        val inUa2 = isUa || (st("inUa") && !isAllow && !isDis)
+        // header runs persist through blanks/comments; RULE records close
+        // them — including crawl-delay, which belongs to a group in every
+        // parser that honors it: [[robotsCrawlDelay]] uses the same closer
+        // set, so both evaluators assign identical group structure to one
+        // file (a crawler consults both; disagreeing groups would over-
+        // block one function and mis-pace the other)
+        val isDelay = low.rlike("^crawl-delay[ \\t]*:")
+        val inUa2 = isUa || (st("inUa") && !isAllow && !isDis && !isDelay)
         def tierActive(active: Column, matches: Column): Column =
           when(isUa, when(st("inUa"), active || matches).otherwise(matches))
             .otherwise(active)

@@ -371,9 +371,12 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val rows = f
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($rows rows)")
     }
+    // sN-example.com, NOT sN.example.com: the PSL collapses subdomains to
+    // one registered domain, which would degenerate the probe to a 1-source
+    // star — distinct registrable domains keep 1000 real sources
     def pages(d: org.apache.spark.sql.DataFrame) = d.select(
       concat(lit("https://s"), col("doc_id") % 1000,
-        lit(".example.com/p"), col("doc_id")).as("url"),
+        lit("-example.com/p"), col("doc_id")).as("url"),
       concat(lit("<a href=\"https://d"), col("doc_id") % 1500,
         lit(".org/x\">a</a><a href='https://hub.example.net/'>b</a>" +
           "<a href=\"/self\">c</a>")).as("html"))

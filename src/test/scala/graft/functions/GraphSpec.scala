@@ -218,6 +218,22 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(dist(warm2, truth) < dist(cold2, truth),
       s"warm ${dist(warm2, truth)} vs cold ${dist(cold2, truth)}")
+    // a store holding TWO identical snapshots (duplicate node rows)
+    // sum-aggregates then renormalizes back to the clean start — one row
+    // per node out, same values
+    val doubled = fix.unionByName(fix)
+    val fromDoubled = run(2, Some(doubled)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(fromDoubled.length == fromClean.size, "duplicate init rows leaked")
+    fromDoubled.foreach { case (k, v) =>
+      assert(math.abs(v - fromClean(k)) < 1e-12, k) }
+    // an all-zero stored vector can't renormalize — falls back to uniform
+    val zeros = fix.select(col("node"), (col("rank") * 0.0).as("rank"))
+    val fromZeros = run(2, Some(zeros)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val cold = run(2).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    fromZeros.foreach { case (k, v) =>
+      assert(!v.isNaN && math.abs(v - cold(k)) < 1e-12, k) }
   }
 
   test("hits: hand-computed hubs/authorities, L1 normalization, pure-role zeros") {

@@ -409,6 +409,14 @@ class WebSpec extends AnyFunSuite {
     assert(delay("User-agent: *\rCrawl-delay: fast\rCrawl-delay: 4 # s\r") == Some(4.0))
     // no robots / no delay anywhere -> null
     assert(delay("User-agent: *\nDisallow:") == None)
+    // GROUP-STRUCTURE AGREEMENT with robotsAllowed: a Crawl-delay line
+    // closes agent a's header run in BOTH evaluators, so the following
+    // 'User-agent: b' opens a fresh group and its Disallow does NOT bind a
+    val txt = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x"
+    assert(delay(txt, agent = "a") == Some(5.0))
+    assert(Seq(txt).toDF("r")
+      .select(Web.robotsAllowed(col("r"), lit("/x/y"), "a")).head.getBoolean(0),
+      "robotsAllowed merged the groups the crawl-delay evaluator split")
   }
 
   test("robotsSitemaps: case-insensitive, group-independent, CR EOLs, comments, blanks") {
