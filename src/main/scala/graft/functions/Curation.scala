@@ -280,6 +280,10 @@ object Curation {
   /** The crawl-to-corpus recipe in one call (the [[mediaDedup]] analog for
     * web pages — the RefinedWeb/CCNet front half as tested code):
     *
+    *  0. (optional) domain BLOCKLIST: pages whose registered domain
+    *     appears in `blocklist` drop before extraction — the
+    *     UT1-category wholesale site screen, run first because it is the
+    *     cheapest stage and removes whole sites;
     *  1. extract ([[Html.extractText]]/Title/Lang/Canonical — one regex
     *     pass, materialized once);
     *  2. canonical-first URL dedup: the page's own `<link rel=canonical>`
@@ -313,7 +317,25 @@ object Curation {
   def crawlIngest(pages: DataFrame, htmlCol: String = "html",
                   urlCol: String = "url", idCol: String = "doc_id",
                   domainCap: Int = 1000, minQuality: Double = 0.0,
-                  quotaSalts: Int = 16): DataFrame = {
+                  quotaSalts: Int = 16,
+                  blocklist: Option[DataFrame] = None): DataFrame = {
+    // domain blocklist FIRST (the UT1-category screen every production
+    // pipeline runs): blocked registered domains drop before the page
+    // pays a byte of extraction — wholesale site removal is the cheapest
+    // stage to run earliest. Anti-join against a `domain` column; the
+    // blocklist is list-sized (≤ millions), so the optimizer broadcasts
+    // it. The domain expression is HOF-bound (SURVEY §9 cliff #4).
+    val screened = blocklist match {
+      case None => pages
+      case Some(bl) =>
+        val dom = element_at(transform(
+          transform(array(col(urlCol)), u => Web.urlHost(u)),
+          h => Web.registeredDomain(h)), 1)
+        pages.withColumn("__dom", dom)
+          .join(bl.select(col("domain").as("__dom")).distinct(),
+            Seq("__dom"), "left_anti")
+          .drop("__dom")
+    }
     // absolute canonicals only, the winning branch normalized, keyless
     // pages self-keyed — one key definition shared with the streaming
     // intake ([[Web.canonicalUrlKey]] holds the rules and the why)
@@ -323,7 +345,7 @@ object Curation {
     // stays recomputable on executor loss, and the blocks free via the
     // ContextCleaner when the frames drop, the paragraphDedup convention);
     // it feeds the key aggregate and the survivors join
-    val ex = pages.select(col(idCol), col(urlCol),
+    val ex = screened.select(col(idCol), col(urlCol),
         Html.extractTitle(col(htmlCol)).as("title"),
         Html.extractLang(col(htmlCol)).as("lang_decl"),
         urlKey.as("url_key"),

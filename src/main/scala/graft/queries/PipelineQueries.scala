@@ -1932,72 +1932,27 @@ object PipelineQueries {
         .select(col("doc_id"), col("url"), col("html"))
       Curation.crawlIngest(pages, domainCap = 5)
         .orderBy(col("doc_id"))
-    }, Some(
-      s"""WITH h AS (
-         |  SELECT doc_id, text, $synthHtmlSql AS html, $synthUrlSql AS url
-         |  FROM documents
-         |), $htmlExtractCtesSql
-         |, ex AS (
-         |  SELECT doc_id,
-         |    $htmlTitleSql AS title,
-         |    CASE WHEN doc_id % 2 = 0 THEN 'en-us' ELSE '' END AS lang_decl,
-         |    CASE WHEN doc_id % 3 = 0 THEN 'https://canon.example.com/p' || CAST(doc_id % 7 AS VARCHAR)
-         |         WHEN doc_id % 3 = 1 THEN 'https://canon.example.com/alt' || CAST(doc_id % 7 AS VARCHAR)
-         |         ELSE (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
-         |           (CASE WHEN doc_id % 4 = 0 THEN 'www.example.com'
-         |                 WHEN doc_id % 4 = 1 THEN 'news.bbc.co.uk'
-         |                 WHEN doc_id % 4 = 2 THEN 'cdn' || CAST(doc_id % 10 AS VARCHAR) || '.site.org'
-         |                 ELSE 'shop.example' || CAST(doc_id % 10 AS VARCHAR) || '.com' END) ||
-         |           (CASE WHEN doc_id % 6 = 2 THEN ':443'
-         |                 WHEN doc_id % 6 = 4 THEN ':8080' ELSE '' END) ||
-         |           (CASE WHEN doc_id % 11 = 0 THEN '/'
-         |                 ELSE '/Articles/' || CAST(doc_id % 7 AS VARCHAR) END)
-         |    END AS url_key,
-         |    CASE WHEN doc_id % 4 = 0 THEN 'example.com'
-         |         WHEN doc_id % 4 = 1 THEN 'bbc.co.uk'
-         |         WHEN doc_id % 4 = 2 THEN 'site.org'
-         |         ELSE 'example' || CAST(doc_id % 10 AS VARCHAR) || '.com' END AS domain,
-         |    x AS text
-         |  FROM c13
-         |), kept AS (
-         |  SELECT * FROM ex
-         |  QUALIFY row_number() OVER (PARTITION BY url_key ORDER BY doc_id) = 1
-         |), pp AS (
-         |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
-         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM kept),
-         |       UNNEST(range(1, len(ps) + 1)) AS u(i)
-         |), judged AS (
-         |  SELECT doc_id, pos, para,
-         |    trim(para) = '' AS blank,
-         |    count(*) OVER (PARTITION BY para) AS n,
-         |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
-         |  FROM pp
-         |), kf AS (
-         |  SELECT doc_id, pos, para, (blank OR n < 2 OR rn = 1) AS keep
-         |  FROM judged
-         |), reb AS (
-         |  SELECT doc_id,
-         |    coalesce(string_agg(para, chr(10) ORDER BY pos)
-         |      FILTER (WHERE keep), '') AS t,
-         |    CAST(count(*) AS BIGINT) AS n_paras,
-         |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
-         |  FROM kf GROUP BY doc_id
-         |), scored AS (
-         |  SELECT k.url_key, r.doc_id, r.t AS text, r.n_paras, r.n_kept,
-         |    k.title, k.lang_decl,
-         |    round(greatest(0.0, least(len(r.t) / 500.0, 1.0)
-         |      * (1.0 - len(regexp_replace(r.t, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / len(r.t))
-         |      * (1.0 - len(regexp_replace(r.t, '[^0-9]', '', 'g')) * 1.0 / len(r.t))), 4) AS quality,
-         |    k.domain
-         |  FROM reb r JOIN kept k USING (doc_id)
-         |  WHERE len(r.t) > 0
-         |)
-         |SELECT url_key, doc_id, text, n_paras, n_kept, title, lang_decl,
-         |  quality, domain, CAST(rn AS INT) AS domain_rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY domain
-         |    ORDER BY quality DESC, doc_id) AS rn
-         |  FROM scored
-         |) WHERE rn <= 5 ORDER BY doc_id""".stripMargin)),
+    }, Some(crawlIngestOracleSql(where = "TRUE"))),
+
+    // the crawl recipe with a DOMAIN BLOCKLIST (stage 0, the UT1-style
+    // wholesale site screen): two fixture source domains drop before
+    // extraction — which also changes url-dedup winners and quota ranks
+    // downstream, all replayed by the SAME oracle with the closed-form
+    // source-domain CASE filtered in the first CTE. A blocklist domain
+    // never crawled rides along to prove absent entries are harmless.
+    "td_crawl_blocklist" -> Entry((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+        .withColumn("url", synthUrl(col("doc_id")))
+        .select(col("doc_id"), col("url"), col("html"))
+      val bl = {
+        import s.implicits._
+        Seq("site.org", "example5.com", "not-crawled.example").toDF("domain")
+      }
+      Curation.crawlIngest(pages, domainCap = 5, blocklist = Some(bl))
+        .orderBy(col("doc_id"))
+    }, Some(crawlIngestOracleSql(
+      where = s"$srcDomainSql NOT IN ('site.org', 'example5.com')"))),
 
     // the crawl recipe COMPOSED: HTML → extractText → paragraph dedup with
     // sep='\n' (exactly the line shape extraction emits) → the shared page
@@ -4856,4 +4811,85 @@ object PipelineQueries {
        |SELECT node, round(r, 6) AS rank
        |FROM r$iterations ORDER BY node""".stripMargin
   }
+
+  /** The closed-form registered domain of each fixture page's own
+    * [[synthUrl]] (the id%4 classes — see td_link_graph's derivation). */
+  private def srcDomainSql: String =
+    """CASE WHEN doc_id % 4 = 0 THEN 'example.com'
+      |     WHEN doc_id % 4 = 1 THEN 'bbc.co.uk'
+      |     WHEN doc_id % 4 = 2 THEN 'site.org'
+      |     ELSE 'example' || CAST(doc_id % 10 AS VARCHAR) || '.com' END""".stripMargin
+      .replace("\n", " ")
+
+  /** DuckDB replay of [[Curation.crawlIngest]] over the synth fixture —
+    * parametrized by the stage-0 page filter (`where` over the h CTE) so
+    * the blocklist variant shares every downstream CTE (extraction, url
+    * dedup, paragraph dedup, quality, quota) verbatim. */
+  private def crawlIngestOracleSql(where: String): String =
+    s"""WITH h AS (
+         |  SELECT doc_id, text, $synthHtmlSql AS html, $synthUrlSql AS url
+         |  FROM documents
+         |  WHERE $where
+         |), $htmlExtractCtesSql
+         |, ex AS (
+         |  SELECT doc_id,
+         |    $htmlTitleSql AS title,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'en-us' ELSE '' END AS lang_decl,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'https://canon.example.com/p' || CAST(doc_id % 7 AS VARCHAR)
+         |         WHEN doc_id % 3 = 1 THEN 'https://canon.example.com/alt' || CAST(doc_id % 7 AS VARCHAR)
+         |         ELSE (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+         |           (CASE WHEN doc_id % 4 = 0 THEN 'www.example.com'
+         |                 WHEN doc_id % 4 = 1 THEN 'news.bbc.co.uk'
+         |                 WHEN doc_id % 4 = 2 THEN 'cdn' || CAST(doc_id % 10 AS VARCHAR) || '.site.org'
+         |                 ELSE 'shop.example' || CAST(doc_id % 10 AS VARCHAR) || '.com' END) ||
+         |           (CASE WHEN doc_id % 6 = 2 THEN ':443'
+         |                 WHEN doc_id % 6 = 4 THEN ':8080' ELSE '' END) ||
+         |           (CASE WHEN doc_id % 11 = 0 THEN '/'
+         |                 ELSE '/Articles/' || CAST(doc_id % 7 AS VARCHAR) END)
+         |    END AS url_key,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'example.com'
+         |         WHEN doc_id % 4 = 1 THEN 'bbc.co.uk'
+         |         WHEN doc_id % 4 = 2 THEN 'site.org'
+         |         ELSE 'example' || CAST(doc_id % 10 AS VARCHAR) || '.com' END AS domain,
+         |    x AS text
+         |  FROM c13
+         |), kept AS (
+         |  SELECT * FROM ex
+         |  QUALIFY row_number() OVER (PARTITION BY url_key ORDER BY doc_id) = 1
+         |), pp AS (
+         |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM kept),
+         |       UNNEST(range(1, len(ps) + 1)) AS u(i)
+         |), judged AS (
+         |  SELECT doc_id, pos, para,
+         |    trim(para) = '' AS blank,
+         |    count(*) OVER (PARTITION BY para) AS n,
+         |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+         |  FROM pp
+         |), kf AS (
+         |  SELECT doc_id, pos, para, (blank OR n < 2 OR rn = 1) AS keep
+         |  FROM judged
+         |), reb AS (
+         |  SELECT doc_id,
+         |    coalesce(string_agg(para, chr(10) ORDER BY pos)
+         |      FILTER (WHERE keep), '') AS t,
+         |    CAST(count(*) AS BIGINT) AS n_paras,
+         |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+         |  FROM kf GROUP BY doc_id
+         |), scored AS (
+         |  SELECT k.url_key, r.doc_id, r.t AS text, r.n_paras, r.n_kept,
+         |    k.title, k.lang_decl,
+         |    round(greatest(0.0, least(len(r.t) / 500.0, 1.0)
+         |      * (1.0 - len(regexp_replace(r.t, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / len(r.t))
+         |      * (1.0 - len(regexp_replace(r.t, '[^0-9]', '', 'g')) * 1.0 / len(r.t))), 4) AS quality,
+         |    k.domain
+         |  FROM reb r JOIN kept k USING (doc_id)
+         |  WHERE len(r.t) > 0
+         |)
+         |SELECT url_key, doc_id, text, n_paras, n_kept, title, lang_decl,
+         |  quality, domain, CAST(rn AS INT) AS domain_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY domain
+         |    ORDER BY quality DESC, doc_id) AS rn
+         |  FROM scored
+         |) WHERE rn <= 5 ORDER BY doc_id""".stripMargin
 }

@@ -81,6 +81,23 @@ class CrawlIngestSpec extends AnyFunSuite {
     assert(ranks == Map(14L -> 1, 13L -> 2, 12L -> 3))
   }
 
+  test("domain blocklist drops whole sites before extraction; ghosts and None are no-ops") {
+    val bl = Seq("site-c.com", "never-crawled.example").toDF("domain")
+    val blocked = Curation.crawlIngest(pages, domainCap = 3,
+      minQuality = 0.05, blocklist = Some(bl))
+    val ids = blocked.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every site-c.com page (12-15, incl. the quota losers) is gone; the
+    // ghost entry changes nothing; everyone else is exactly the base run
+    assert(!blocked.select("domain").collect().map(_.getString(0))
+      .contains("site-c.com"))
+    assert(ids == Set(1L, 3L, 6L, 7L, 8L, 9L, 16L, 17L))
+    // blocklist = None is literally the base recipe (same rows, same ranks)
+    val base = out.collect().map(_.toString).toSet
+    val none = Curation.crawlIngest(pages, domainCap = 3, minQuality = 0.05,
+      blocklist = None).orderBy("doc_id").collect().map(_.toString).toSet
+    assert(none == base)
+  }
+
   test("boilerplate footer survives in exactly one kept page; metadata rides along") {
     val rows = out.select("doc_id", "text", "title", "lang_decl", "domain").collect()
     val withFooter = rows.filter(_.getString(1).contains("FOOTER NAV ABOUT"))
