@@ -91,6 +91,35 @@ object GraftFunctions {
     ("graft_registered_domain",
       "graft_registered_domain(host) - eTLD+1 registered domain of a host.",
       one("graft_registered_domain", Web.registeredDomain)),
+    ("graft_resolve_url",
+      "graft_resolve_url(base, href) - RFC 3986 reference resolution (absolute/protocol-relative/root/query-only/relative hrefs, dot segments).",
+      { case Seq(b, h) => expr(Web.resolveUrl(col(b), col(h)))
+        case args => throw new IllegalArgumentException(
+          s"graft_resolve_url expects 2 arguments, got ${args.size}") }),
+    ("graft_extract_links",
+      "graft_extract_links(html) - href targets of <a> tags, in document order.",
+      one("graft_extract_links", Html.extractLinks)),
+    ("graft_extract_anchors",
+      "graft_extract_anchors(html) - (href, anchor) structs of <a> tags with cleaned anchor text.",
+      one("graft_extract_anchors", Html.extractAnchors)),
+    ("graft_extract_text",
+      "graft_extract_text(html) - WET-style main-text extraction (one line per block).",
+      one("graft_extract_text", Html.extractText)),
+    ("graft_robots_allowed",
+      "graft_robots_allowed(robots_txt, path, agent) - REP fetch verdict for a literal agent token.",
+      { case Seq(r, p, Literal(a, _)) if a != null =>
+          expr(Web.robotsAllowed(col(r), col(p), a.toString))
+        case args => throw new IllegalArgumentException(
+          s"graft_robots_allowed expects (robots, path, literal agent), got $args") }),
+    ("graft_robots_sitemaps",
+      "graft_robots_sitemaps(robots_txt) - Sitemap: URLs declared anywhere in a robots.txt.",
+      one("graft_robots_sitemaps", Web.robotsSitemaps)),
+    ("graft_robots_crawl_delay",
+      "graft_robots_crawl_delay(robots_txt, agent) - Crawl-delay seconds the applicable group requests (NULL when none).",
+      { case Seq(r, Literal(a, _)) if a != null =>
+          expr(Web.robotsCrawlDelay(col(r), a.toString))
+        case args => throw new IllegalArgumentException(
+          s"graft_robots_crawl_delay expects (robots, literal agent), got $args") }),
     ("graft_minhash",
       "graft_minhash(text, shingleN, k) - per-row MinHash signature (portable md5 family).",
       { case Seq(t, n, k) =>

@@ -154,4 +154,43 @@ class VectorCosineSpec extends AnyFunSuite {
     assert(r.getString(2) == "example.com")
     assert(r.getSeq[Long](3).length == 8)
   }
+
+  test("crawl-loop SQL functions match their DataFrame formulations") {
+    GraftFunctions.register(spark)
+    val robots = "User-agent: *\nDisallow: /private\nCrawl-delay: 2.5\n" +
+      "Sitemap: https://a.com/s.xml"
+    Seq((1L, "https://a.com/dir/page", "../up?x=1",
+        "<p>Hi</p><a href=\"/x\">be<b>ta</b></a>", robots))
+      .toDF("id", "base", "href", "html", "robots")
+      .createOrReplaceTempView("crawl_sqlfn")
+    val viaSql = spark.sql(
+      """SELECT graft_resolve_url(base, href) r,
+        |       graft_extract_links(html) l,
+        |       graft_extract_anchors(html) a,
+        |       graft_extract_text(html) t,
+        |       graft_robots_allowed(robots, '/private/x', 'bot') ra,
+        |       graft_robots_sitemaps(robots) sm,
+        |       graft_robots_crawl_delay(robots, 'bot') cd
+        |FROM crawl_sqlfn""".stripMargin)
+    val viaDf = spark.table("crawl_sqlfn").select(
+      Web.resolveUrl(col("base"), col("href")).as("r"),
+      Html.extractLinks(col("html")).as("l"),
+      Html.extractAnchors(col("html")).as("a"),
+      Html.extractText(col("html")).as("t"),
+      Web.robotsAllowed(col("robots"), lit("/private/x"), "bot").as("ra"),
+      Web.robotsSitemaps(col("robots")).as("sm"),
+      Web.robotsCrawlDelay(col("robots"), "bot").as("cd"))
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+    val r = viaSql.head()
+    assert(r.getString(0) == "https://a.com/up?x=1")
+    assert(r.getSeq[String](1) == Seq("/x"))
+    assert(!r.getBoolean(4)) // /private disallowed for *
+    assert(r.getSeq[String](5) == Seq("https://a.com/s.xml"))
+    assert(r.getDouble(6) == 2.5)
+    // a non-literal agent is rejected at analysis, not silently defaulted
+    intercept[Exception] {
+      spark.sql("SELECT graft_robots_allowed(robots, '/p', base) FROM crawl_sqlfn")
+        .collect()
+    }
+  }
 }
