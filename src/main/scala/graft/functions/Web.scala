@@ -397,6 +397,18 @@ object Web {
       lit(agent.toLowerCase(java.util.Locale.ROOT)))
   }
 
+  /** Crawler-trap predicate: does `url` match ANY of the OPERATOR-authored
+    * exclusion regexes? The standard frontier hygiene list — calendar
+    * pages, faceted-search permutations, session-id paths, infinite
+    * pagination — that otherwise eats a crawl budget on one site's
+    * combinatorial URL space. Patterns are configuration (not crawl data),
+    * so plain `rlike` is safe here — contrast [[robotsRuleMatches]], where
+    * BOTH inputs are attacker-controlled and a regex path would backtrack.
+    * A null url yields a null predicate, so `filter(!urlTrapped(…))` drops
+    * it — the frontier's well-formedness screen would anyway. */
+  def urlTrapped(url: Column, patterns: Seq[String]): Column =
+    patterns.foldLeft(lit(false))((acc, p) => acc || url.rlike(p))
+
   /** `Crawl-delay` (seconds) a robots.txt requests of `agent`, or null
     * when none applies — not in RFC 9309 but honored by Bing/Yandex-class
     * crawlers and ubiquitous in the wild, and a POLITE fetcher fleet wants
@@ -502,9 +514,15 @@ object Web {
                         robotsDomainCol: String = "domain",
                         robotsTxtCol: String = "robots_txt",
                         broadcastBatch: Boolean = true,
-                        salts: Int = 16): DataFrame = {
-    val resolved = links.select(
+                        salts: Int = 16,
+                        excludePatterns: Seq[String] = Nil): DataFrame = {
+    val resolved0 = links.select(
       resolveUrl(col(pageUrlCol), col(hrefCol)).as("url"))
+    // trap screen directly after resolution — BEFORE the seen-table
+    // anti-join, so trap URLs never cost a probe against the stored set
+    val resolved =
+      if (excludePatterns.isEmpty) resolved0
+      else resolved0.filter(!urlTrapped(col("url"), excludePatterns))
     val fresh = urlFrontier(seenUrls, resolved, "url", broadcastBatch)
     val dom = fresh.withColumn("domain",
       registeredDomain(urlHost(col("url_norm"))))

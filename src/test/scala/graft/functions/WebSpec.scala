@@ -388,6 +388,34 @@ class WebSpec extends AnyFunSuite {
     assert(perRound.forall(_ <= 2))
   }
 
+  test("urlTrapped + frontier trap screen: exclusion patterns drop before the seen probe") {
+    // the predicate alone
+    val trapped = Seq(
+      "https://a.com/calendar/2024/05/07",
+      "https://a.com/search?q=x&page=999",
+      "https://a.com/article/42",
+      (null: String))
+      .toDF("u")
+      .select(Web.urlTrapped(col("u"),
+        Seq("/calendar/", "[?&]page=")).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(trapped(0) == true && trapped(1) == true && trapped(2) == false)
+    // composed: a trap href disappears from the frontier; others unaffected
+    val links = Seq(
+      ("https://site-a.org/p", "/calendar/2024"),
+      ("https://site-a.org/p", "/fresh")).toDF("page_url", "href")
+    val seen = Seq.empty[String].toDF("url_norm")
+    val robots = Seq.empty[(String, String)].toDF("domain", "robots_txt")
+    val out = Web.crawlFrontierPlan(links, seen, robots, "GraftBot",
+        perHostSlots = 2, excludePatterns = Seq("/calendar/"))
+      .collect().map(_.getAs[String]("url_norm")).toSeq
+    assert(out == Seq("https://site-a.org/fresh"))
+    // Nil patterns = the base plan, bit-identical
+    val base = Web.crawlFrontierPlan(links, seen, robots, "GraftBot", 2)
+      .collect().map(_.getAs[String]("url_norm")).toSet
+    assert(base == Set("https://site-a.org/calendar/2024", "https://site-a.org/fresh"))
+  }
+
   test("robotsCrawlDelay: tier selection, last-wins, no-*-fallback, bad values") {
     def delay(txt: String, agent: String = "graftbot"): Option[Double] = {
       val r = Seq(txt).toDF("r")
