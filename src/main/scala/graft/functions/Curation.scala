@@ -328,12 +328,11 @@ object Curation {
     val screened = blocklist match {
       case None => pages
       case Some(bl) =>
-        val dom = element_at(transform(
-          transform(array(col(urlCol)), u => Web.urlHost(u)),
-          h => Web.registeredDomain(h)), 1)
-        pages.withColumn("__dom", dom)
-          .join(bl.select(col("domain").as("__dom")).distinct(),
-            Seq("__dom"), "left_anti")
+        // no .distinct() on the blocklist: left-anti output is identical
+        // under duplicate right-side keys, so deduping would only add a
+        // shuffle over the list
+        pages.withColumn("__dom", Web.registeredDomainOf(col(urlCol)))
+          .join(bl.select(col("domain").as("__dom")), Seq("__dom"), "left_anti")
           .drop("__dom")
     }
     // absolute canonicals only, the winning branch normalized, keyless
@@ -466,11 +465,12 @@ object Curation {
   def crawlIngestBytes(pages: DataFrame, payloadCol: String = "payload",
                        urlCol: String = "url", idCol: String = "doc_id",
                        domainCap: Int = 1000, minQuality: Double = 0.0,
-                       quotaSalts: Int = 16): DataFrame =
+                       quotaSalts: Int = 16,
+                       blocklist: Option[DataFrame] = None): DataFrame =
     crawlIngest(
       pages.withColumn("__graft_html", Html.decodeHtmlBytes(col(payloadCol)))
         .drop(payloadCol),
       htmlCol = "__graft_html", urlCol = urlCol, idCol = idCol,
       domainCap = domainCap, minQuality = minQuality,
-      quotaSalts = quotaSalts)
+      quotaSalts = quotaSalts, blocklist = blocklist)
 }

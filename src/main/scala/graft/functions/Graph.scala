@@ -47,10 +47,8 @@ object Graph {
           h => Web.resolveUrl(col(urlCol), h)),
         r => when(r.rlike("(?i)^https?://"), Web.urlHost(r)).otherwise(lit(""))),
       h => Web.registeredDomain(h))
-    // the page's own domain rides the same binding via a 1-element array
-    val srcDomain = element_at(transform(
-      transform(array(col(urlCol)), u => Web.urlHost(u)),
-      h => Web.registeredDomain(h)), 1)
+    // the page's own domain rides the same binding (the shared idiom)
+    val srcDomain = Web.registeredDomainOf(col(urlCol))
     pages
       .select(srcDomain.as("src_domain"), explode(dstDomains).as("dst_domain"))
       .where(length(col("src_domain")) > 0 && length(col("dst_domain")) > 0 &&

@@ -397,6 +397,18 @@ object Web {
       lit(agent.toLowerCase(java.util.Locale.ROOT)))
   }
 
+  /** `registeredDomain(urlHost(url))` with the host HOF-BOUND through a
+    * 1-element-array transform — the SURVEY §9 cliff-#4 idiom, held in ONE
+    * place: [[registeredDomain]] references its host argument once per
+    * PSL length probe, and a plain composition lets CollapseProject inline
+    * [[urlHost]]'s regexp chain into every probe (measured ~20× on
+    * linkGraph). Use THIS whenever deriving a domain column straight from
+    * a URL column. */
+  def registeredDomainOf(url: Column): Column =
+    element_at(transform(
+      transform(array(url), u => urlHost(u)),
+      h => registeredDomain(h)), 1)
+
   /** Crawler-trap predicate: does `url` match ANY of the OPERATOR-authored
     * exclusion regexes? The standard frontier hygiene list — calendar
     * pages, faceted-search permutations, session-id paths, infinite
@@ -519,10 +531,16 @@ object Web {
     val resolved0 = links.select(
       resolveUrl(col(pageUrlCol), col(hrefCol)).as("url"))
     // trap screen directly after resolution — BEFORE the seen-table
-    // anti-join, so trap URLs never cost a probe against the stored set
+    // anti-join, so trap URLs never cost a probe against the stored set.
+    // Patterns match the NORMALIZED form (operators write them against
+    // the frontier's own url_norm output — a raw 'HTTPS://Example.COM/…'
+    // alias must not slip a lowercase-host pattern); the frontier
+    // re-normalizes internally, and the doubled normalize is cheap next
+    // to a wasted fetch
     val resolved =
       if (excludePatterns.isEmpty) resolved0
-      else resolved0.filter(!urlTrapped(col("url"), excludePatterns))
+      else resolved0.filter(
+        !urlTrapped(urlNormalize(col("url")), excludePatterns))
     val fresh = urlFrontier(seenUrls, resolved, "url", broadcastBatch)
     val dom = fresh.withColumn("domain",
       registeredDomain(urlHost(col("url_norm"))))

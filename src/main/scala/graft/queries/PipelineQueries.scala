@@ -4538,13 +4538,8 @@ object PipelineQueries {
         .withColumn("html", synthHtml(col("doc_id"), col("text")))
         .select(col("url"), col("html"))
       val ranks = Graph.pageRank(Graph.linkGraph(pages), PageRankIters)
-      // HOF-bind urlHost before the ~15-reference PSL probes (SURVEY §9
-      // cliff #4 — the 1-element-array form linkGraph's srcDomain uses)
-      val domain = element_at(transform(
-        transform(array(col("url")), u => Web.urlHost(u)),
-        h => Web.registeredDomain(h)), 1)
       docs
-        .select(domain.as("domain"))
+        .select(Web.registeredDomainOf(col("url")).as("domain"))
         .groupBy("domain").agg(count(lit(1)).as("n_docs"))
         .join(ranks, col("domain") === col("node"))
         .select(col("domain"), round(col("rank"), 6).as("rank"), col("n_docs"))

@@ -86,8 +86,9 @@ class CrawlIngestSpec extends AnyFunSuite {
     val blocked = Curation.crawlIngest(pages, domainCap = 3,
       minQuality = 0.05, blocklist = Some(bl))
     val ids = blocked.select("doc_id").collect().map(_.getLong(0)).toSet
-    // every site-c.com page (12-15, incl. the quota losers) is gone; the
-    // ghost entry changes nothing; everyone else is exactly the base run
+    // every site-c.com page (ids 10-14 — the base run's three quota
+    // keepers 12/13/14 AND its losers 10/11) is gone; the ghost entry
+    // changes nothing; everyone else is exactly the base run
     assert(!blocked.select("domain").collect().map(_.getString(0))
       .contains("site-c.com"))
     assert(ids == Set(1L, 3L, 6L, 7L, 8L, 9L, 16L, 17L))

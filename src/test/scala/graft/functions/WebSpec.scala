@@ -400,20 +400,27 @@ class WebSpec extends AnyFunSuite {
         Seq("/calendar/", "[?&]page=")).as("t"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
     assert(trapped(0) == true && trapped(1) == true && trapped(2) == false)
-    // composed: a trap href disappears from the frontier; others unaffected
+    // null url → null predicate (the doc contract: filter(!…) drops it)
+    assert(trapped(3) == null)
+    // composed: trap hrefs disappear from the frontier — including a
+    // RAW-CASED absolute alias, because the screen matches the
+    // NORMALIZED form (the host-anchored pattern can't match the raw
+    // 'Site-A.org' casing; only normalization makes it hit)
     val links = Seq(
       ("https://site-a.org/p", "/calendar/2024"),
+      ("https://site-a.org/p", "HTTPS://Site-A.org/calendar/x"),
       ("https://site-a.org/p", "/fresh")).toDF("page_url", "href")
     val seen = Seq.empty[String].toDF("url_norm")
     val robots = Seq.empty[(String, String)].toDF("domain", "robots_txt")
     val out = Web.crawlFrontierPlan(links, seen, robots, "GraftBot",
-        perHostSlots = 2, excludePatterns = Seq("/calendar/"))
+        perHostSlots = 2, excludePatterns = Seq("site-a\\.org/calendar/"))
       .collect().map(_.getAs[String]("url_norm")).toSeq
     assert(out == Seq("https://site-a.org/fresh"))
     // Nil patterns = the base plan, bit-identical
     val base = Web.crawlFrontierPlan(links, seen, robots, "GraftBot", 2)
       .collect().map(_.getAs[String]("url_norm")).toSet
-    assert(base == Set("https://site-a.org/calendar/2024", "https://site-a.org/fresh"))
+    assert(base == Set("https://site-a.org/calendar/2024",
+      "https://site-a.org/calendar/x", "https://site-a.org/fresh"))
   }
 
   test("robotsCrawlDelay: tier selection, last-wins, no-*-fallback, bad values") {
