@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Cache-lifecycle helpers for the iterative / multi-consumer operators.
+  *
+  * Two block-manager residency mechanisms exist and they age differently:
+  *
+  *  - `Dataset.persist()` registers the plan in the session's CacheManager,
+  *    which holds a STRONG reference until an explicit `unpersist` — the
+  *    ContextCleaner never reclaims it, no matter when the caller drops the
+  *    frame. Any `persist()` whose unpersist isn't guaranteed on every path
+  *    is a permanent leak in a long-lived driver (the steady-state ingest
+  *    loop this engine targets). CacheHygieneSpec pins this class for every
+  *    SparkEntry entry.
+  *  - `Dataset.localCheckpoint(true)` caches at the RDD level (no
+  *    CacheManager entry): the ContextCleaner reclaims the blocks once the
+  *    frame becomes unreachable. Correct for RETURNED results — but inside
+  *    an iteration loop, waiting for GC leaves every superseded round's
+  *    vector in the block manager until a collection happens to run
+  *    (the memory cliff in a long-lived session). [[release]] drops a
+  *    superseded checkpoint's blocks deterministically instead.
+  */
+object Barrier {
+
+  /** Deterministically drop the cached blocks of a `localCheckpoint`ed
+    * frame (its plan is a [[LogicalRDD]] over the checkpointed RDD). Call
+    * ONLY on frames this code created and no longer needs — typically the
+    * superseded iterate after the next round's eager checkpoint
+    * materializes. No-op on any other plan shape. */
+  def release(df: DataFrame): Unit = df.queryExecution.logical match {
+    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+    case _              => ()
+  }
+
+  private val cleaner = java.lang.ref.Cleaner.create()
+
+  /** Tie persisted HELPER frames' release to the lifetime of the lazy
+    * RESULT plan they back — the missing half of the multi-consumer
+    * persist idiom (`sig`/`paras`/`tf`-style barriers that stop each
+    * consumer branch re-running a corpus scan).
+    *
+    * Such an operator cannot unpersist before returning (the caller's
+    * action is what reads the cache) and must not checkpoint eagerly (the
+    * barrier would stop pipelining with its first consumer and the plan
+    * would go opaque), so historically these persists were simply leaked
+    * to the session CacheManager — which holds them FOREVER (see the class
+    * doc; CacheHygieneSpec caught every one of them at once).
+    *
+    * The fix: register a [[java.lang.ref.Cleaner]] action on the result's
+    * resolved plan object. Every frame DERIVED from the result embeds that
+    * plan tree by reference, so the action cannot fire while any
+    * downstream consumer — a derived Dataset, a temp view, a running
+    * action — can still reach the cache; once the caller drops the last
+    * reference, the next GC cycle unpersists the helpers. Worst case on a
+    * false-early drop (a caller holding only a physical plan or RDD) is a
+    * recompute, never a wrong result — unpersist only removes the cache.
+    * Returns `result` for chaining. */
+  def releaseOnDrop(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val helpers = cached.toArray
+    cleaner.register(result.queryExecution.commandExecuted, () =>
+      helpers.foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      })
+    result
+  }
+}

@@ -330,9 +330,16 @@ object Curation {
       case Some(bl) =>
         // no .distinct() on the blocklist: left-anti output is identical
         // under duplicate right-side keys, so deduping would only add a
-        // shuffle over the list
+        // shuffle over the list. Entries normalize through the SAME
+        // eTLD+1 fold as the page side — UT1-style lists carry host-form
+        // entries (`cdn3.site.org`) that would otherwise never equal a
+        // page's registered domain and silently block nothing; folding
+        // both sides means a host entry blocks its whole site, the list
+        // semantics every category blocklist assumes
         pages.withColumn("__dom", Web.registeredDomainOf(col(urlCol)))
-          .join(bl.select(col("domain").as("__dom")), Seq("__dom"), "left_anti")
+          .join(bl.select(
+              Web.registeredDomain(lower(trim(col("domain")))).as("__dom")),
+            Seq("__dom"), "left_anti")
           .drop("__dom")
     }
     // absolute canonicals only, the winning branch normalized, keyless
@@ -341,9 +348,10 @@ object Curation {
     val urlKey = Web.canonicalUrlKey(col(urlCol),
       Html.extractCanonical(col(htmlCol)), col(idCol))
     // one extraction pass: persist (not an eager checkpoint — lineage
-    // stays recomputable on executor loss, and the blocks free via the
-    // ContextCleaner when the frames drop, the paragraphDedup convention);
-    // it feeds the key aggregate and the survivors join
+    // stays recomputable on executor loss, and release is tied to the
+    // result's lifetime via [[Barrier.releaseOnDrop]] below, the
+    // paragraphDedup convention); it feeds the key aggregate and the
+    // survivors join
     val ex = screened.select(col(idCol), col(urlCol),
         Html.extractTitle(col(htmlCol)).as("title"),
         Html.extractLang(col(htmlCol)).as("lang_decl"),
@@ -365,8 +373,11 @@ object Curation {
       .filter(col("quality") >= minQuality)
       .withColumn("domain", Web.registeredDomain(Web.urlHost(col(urlCol))))
       .drop(urlCol)
-    Web.domainQuota(scored, domainCap, scoreCol = "quality", idCol = idCol,
-      salts = quotaSalts)
+    // ex/kept release once the caller drops the result — a persist left in
+    // the CacheManager survives GC forever ([[Barrier.releaseOnDrop]])
+    Barrier.releaseOnDrop(
+      Web.domainQuota(scored, domainCap, scoreCol = "quality", idCol = idCol,
+        salts = quotaSalts), ex, kept)
   }
 
   /** Benchmark decontamination report — the n-gram-overlap screen every
@@ -398,7 +409,8 @@ object Curation {
                     textCol: String = "text", idCol: String = "doc_id",
                     benchTextCol: String = "text",
                     benchIdCol: String = "bench_id",
-                    broadcastBenchmarks: Boolean = true): DataFrame = {
+                    broadcastBenchmarks: Boolean = true,
+                    eager: Boolean = true): DataFrame = {
     require(n >= 1, "n must be >= 1")
     require(idCol != benchIdCol,
       s"idCol and benchIdCol must differ (both '$idCol'): the gram join " +
@@ -409,33 +421,48 @@ object Curation {
       .select(col(benchIdCol), col("shingle").as("__gram"),
         size(split(col("shingle"), " ")).as("__glen"))
       .persist()
-    // distinct gram lengths present in the benchmark set: n for normal
-    // items, shorter for sub-n items. Bounded by n — a driver-side
-    // collect over an eval-set-sized frame, same class as the
-    // bounded-vocab BPE collects
-    val lengths = benchGrams.select(col("__glen")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    // an EMPTY benchmark set (zero rows, or all-punctuation texts that
-    // shingle to nothing) contaminates nothing — an empty report, not an
-    // empty.reduce crash
-    if (lengths.isEmpty)
-      return corpus.select(col(idCol)).limit(0)
-        .withColumn("n_grams", lit(0L))
-        .withColumn("bench_ids", lit(""))
-    val matches = lengths.map { l =>
-      val bg = benchGrams.filter(col("__glen") === l)
-        .select(col(benchIdCol), col("__gram"))
-      val bgSide = if (broadcastBenchmarks) broadcast(bg) else bg
-      Dedup.shingles(corpus.select(col(idCol), col(textCol)),
-          textCol, idCol, l)
-        .join(bgSide, col("shingle") === col("__gram"))
-        .select(col(idCol), col(benchIdCol), col("shingle").as("gram"))
-    }.reduce(_ unionByName _)
-    matches
-      .groupBy(col(idCol))
-      .agg(countDistinct(col("gram")).as("n_grams"),
-        array_join(transform(array_sort(collect_set(col(benchIdCol))),
-          b => b.cast("string")), "|").as("bench_ids"))
+    // every path from here must release the gram cache — a leaked
+    // eval-set-sized persist per call parks blocks FOREVER (the
+    // CacheManager holds persisted plans until explicit unpersist, see
+    // [[Barrier]]), and a steady-state pipeline calls this once per
+    // ingest round. CacheHygieneSpec pins it.
+    try {
+      // distinct gram lengths present in the benchmark set: n for normal
+      // items, shorter for sub-n items. Bounded by n — a driver-side
+      // collect over an eval-set-sized frame, same class as the
+      // bounded-vocab BPE collects
+      val lengths = benchGrams.select(col("__glen")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      // an EMPTY benchmark set (zero rows, or all-punctuation texts that
+      // shingle to nothing) contaminates nothing — an empty report, not an
+      // empty.reduce crash
+      if (lengths.isEmpty)
+        return corpus.select(col(idCol)).limit(0)
+          .withColumn("n_grams", lit(0L))
+          .withColumn("bench_ids", lit(""))
+      val matches = lengths.map { l =>
+        val bg = benchGrams.filter(col("__glen") === l)
+          .select(col(benchIdCol), col("__gram"))
+        val bgSide = if (broadcastBenchmarks) broadcast(bg) else bg
+        Dedup.shingles(corpus.select(col(idCol), col(textCol)),
+            textCol, idCol, l)
+          .join(bgSide, col("shingle") === col("__gram"))
+          .select(col(idCol), col(benchIdCol), col("shingle").as("gram"))
+      }.reduce(_ unionByName _)
+      val report = matches
+        .groupBy(col(idCol))
+        .agg(countDistinct(col("gram")).as("n_grams"),
+          array_join(transform(array_sort(collect_set(col(benchIdCol))),
+            b => b.cast("string")), "|").as("bench_ids"))
+      // materialize the (contamination-sized, rare-by-construction) report
+      // EAGERLY so the gram persist can release in the finally — returning
+      // a lazy plan over unpersisted grams would re-shingle the benchmark
+      // set once per downstream action instead. eager=false returns the
+      // lazy plan (correct, re-shingles per action) — the plan-inspection
+      // path DecontaminationSpec pins the join strategy through, since a
+      // checkpointed frame's plan is an opaque Scan ExistingRDD
+      if (eager) report.localCheckpoint(true) else report
+    } finally benchGrams.unpersist()
   }
 
   /** The corpus with [[contamination]]-flagged documents REMOVED — the

@@ -56,8 +56,8 @@ object Dedup {
     // becomes one blank (always-kept) paragraph and survives as "".
     // persist: paras feeds both the stats aggregate and the probe side of
     // the verdict join — unpersisted, the full text scan + explode + hash
-    // runs twice (the [[minhashLsh]] persist rationale; freed by the
-    // ContextCleaner when the caller drops the frame)
+    // runs twice (the [[minhashLsh]] persist rationale; released via
+    // [[Barrier.releaseOnDrop]] once the caller drops the result)
     val paras = docs.select(col(idCol),
         posexplode(split(coalesce(col(textCol), lit("")),
           java.util.regex.Pattern.quote(sep)))
@@ -76,7 +76,7 @@ object Dedup {
         col("__blank") || col("__n").isNull ||
           (lit(keepFirst) && col("__first") === struct(col(idCol), col("__pos"))))
     // rebuild: second shuffle keyed by doc id; sort_array restores order
-    judged.groupBy(col(idCol))
+    Barrier.releaseOnDrop(judged.groupBy(col(idCol))
       .agg(
         concat_ws(sep,
           transform(
@@ -84,7 +84,7 @@ object Dedup {
               struct(col("__pos"), col("__para"))))),
             s => s("__para"))).as(textCol),
         count(lit(1)).as("n_paras"),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept")), paras)
   }
 
   /** Incremental (cross-batch) exact dedup — the ingest shape: an incoming
@@ -227,7 +227,7 @@ object Dedup {
       .withColumn("__keep",
         col("__blank") || col("__n") < minDupCount ||
           col("__keepFirst") === struct(col(idCol), col("__pos")))
-    judged.groupBy(col(idCol))
+    Barrier.releaseOnDrop(judged.groupBy(col(idCol))
       .agg(
         concat_ws(sep,
           transform(
@@ -235,7 +235,7 @@ object Dedup {
               struct(col("__pos"), col("__para"))))),
             s => s("__para"))).as(textCol),
         count(lit(1)).as("n_paras"),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept")), paras)
   }
 
   /** [[incrementalExact]] with a Bloom pre-screen — the shape that holds at
@@ -718,7 +718,9 @@ object Dedup {
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / numHashes)
-    est.filter(col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+    Barrier.releaseOnDrop(
+      est.filter(col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard"), sig)
   }
 
   /** The `bands` 64-bit band keys of a signature column: key b = hash of
@@ -849,7 +851,7 @@ object Dedup {
         .select("band_key")
       corpus0.join(keep, "band_key")
     }
-    corpus.as("c").join(incBands.as("i"),
+    val out = corpus.as("c").join(incBands.as("i"),
         col("c.band_key") === col("i.band_key"))
       .select(col(s"i.$idCol").as(idCol), col(s"c.$idCol").as("corpus_id"),
         col("i.sig").as("sig_i"), col("c.sig").as("sig_c"))
@@ -867,6 +869,7 @@ object Dedup {
       .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .select(idCol, "corpus_id", "est_jaccard")
+    Barrier.releaseOnDrop(out, incSig)
   }
 
   /** SimHash: 60-bit signature where bit b = sign of the weighted sum of
@@ -932,12 +935,12 @@ object Dedup {
       expr(s"bit_count(__ha ^ __hb) <= $maxDist"))
     val comp = clusters(pairs.select(col("__ra").as("id_a"), col("__rb").as("id_b")))
     // reps stays persisted until the caller's action completes (it is read
-    // by the band join AND the final label join); ContextCleaner reclaims it
-    reps
+    // by the band join AND the final label join); released on result drop
+    Barrier.releaseOnDrop(reps
       .join(comp.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("__rep")))
       .select(col("__h").as(hashCol), col("__rep").as("rep_id"),
-        col("__cnt").as("n_ids"), col("cluster"))
+        col("__cnt").as("n_ids"), col("cluster")), reps)
   }
 
   /** Perceptual-hash near-dup clusters (the corpus side of
@@ -1098,29 +1101,34 @@ object Dedup {
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
       .distinct().persist()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id")).persist()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIterations) {
-      // each node pulls the min cluster label among itself and its neighbors
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), "b")
-        .groupBy(col("a").as("id")).agg(min(col("nc")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .persist()
-      // localCheckpoint: truncate the growing lineage each round
-      val stable = next.localCheckpoint(true)
-      converged = labels.select(col("id"), col("cluster").as("__old"))
-        .join(stable.select(col("id"), col("cluster").as("__new")), "id")
-        .filter(col("__old") =!= col("__new")).isEmpty
-      labels.unpersist()
-      labels = stable
-      iter += 1
-    }
-    edges.unpersist()
-    labels
+    try {
+      // the label vector is an eager checkpoint from round 0: each round
+      // reads it twice (the propagation join and the convergence diff),
+      // lineage truncates per round, and the SUPERSEDED vector releases
+      // deterministically once the new one holds the data (see [[Barrier]]
+      // — waiting for GC leaves one |V| vector per round in the block
+      // manager of a long-lived driver)
+      var labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("cluster", col("id")).localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIterations) {
+        // each node pulls the min cluster label among itself and its neighbors
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), "b")
+          .groupBy(col("a").as("id")).agg(min(col("nc")).as("nmin"))
+        val stable = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          .localCheckpoint(true)
+        converged = labels.select(col("id"), col("cluster").as("__old"))
+          .join(stable.select(col("id"), col("cluster").as("__new")), "id")
+          .filter(col("__old") =!= col("__new")).isEmpty
+        Barrier.release(labels)
+        labels = stable
+        iter += 1
+      }
+      labels
+    } finally edges.unpersist()
   }
 
   /** Benchmark-contamination detection: corpus documents sharing at least
@@ -1268,11 +1276,11 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    Barrier.releaseOnDrop(inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "jaccard"), arr)
   }
 }

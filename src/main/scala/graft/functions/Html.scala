@@ -261,8 +261,12 @@ object Html {
     * is vanishingly rare in real markup and parses as no match. */
   /** The one href matcher (group 1 = the quoted href value) — composed by
     * BOTH [[extractLinks]] and [[extractAnchors]]'s [[anchorPattern]], so
-    * the link graph and the anchor table can never disagree about which
-    * hrefs exist on a page. */
+    * the two sides agree on what an href VALUE is. The inventories can
+    * still differ on malformed markup: an `<a>` that never closes yields
+    * its href in [[extractLinks]] but no anchor row (there is no anchor
+    * text to report) — and the tempered inner group in [[anchorPattern]]
+    * guarantees such a dangling anchor cannot swallow its successors'
+    * hrefs out of the anchor table. */
   private val hrefPattern: String =
     "(?is)<a\\b[^>]*\\bhref[ \\t\\n\\r\\f]*=[ \\t\\n\\r\\f]*[\"']([^\"']*)[\"']"
 
@@ -271,11 +275,16 @@ object Html {
 
   /** Anchor pattern shared by both capture passes of [[extractAnchors]]:
     * [[hrefPattern]] (group 1 = the href value) extended with group 2 =
-    * the raw inner markup up to the nearest `</a>` (non-greedy — a nested
-    * `<a>` inside an anchor is malformed HTML and truncates at the inner
-    * close, the browser-parser behavior). */
+    * the raw inner markup up to the nearest `</a>`. The inner group is
+    * TEMPERED — `(?:(?!</?a\b).)` — so it can never cross another `<a>`
+    * or `</a>` boundary: a nested `<a>` inside an anchor is malformed
+    * HTML and truncates at the inner tag (the browser-parser behavior),
+    * and a DANGLING anchor (href with no `</a>` before the next `<a>`)
+    * simply yields no anchor row instead of swallowing its successors'
+    * anchors into its own text (which would silently drop their hrefs
+    * from the anchor table while [[extractLinks]] still reports them). */
   private val anchorPattern: String =
-    hrefPattern + "[^>]*>(.*?)</a[ \\t\\n\\r\\f]*>"
+    hrefPattern + "[^>]*>((?:(?!</?a\\b).)*?)</a[ \\t\\n\\r\\f]*>"
 
   /** `(href, anchor)` pairs of `<a>` elements, in document order, as
     * `array<struct<href:string, anchor:string>>` — anchor text is the

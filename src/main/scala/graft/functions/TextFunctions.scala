@@ -295,13 +295,14 @@ object TextFunctions {
     val n = docs.agg(count(lit(1)).cast("double").as("__n"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(dfc, "term").join(broadcast(n))
-      .withColumn("tfidf",
-        round(col("tf") * log((col("__n") + 1) / (col("df") + 1)), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
-        col("tfidf"))
+    graft.functions.Barrier.releaseOnDrop(
+      tf.join(dfc, "term").join(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("__n") + 1) / (col("df") + 1)), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+          col("tfidf")), tf)
   }
 
   /** Bigram language-model quality score: mean log10 add-one-smoothed

@@ -1662,7 +1662,12 @@ object PipelineQueries {
         .select(lit(-2L).as("bench_id"),
           lit("zzzz qqqq xxxx yyyy wwww vvvv uuuu tttt ssss rrrr pppp oooo nnnn").as("text"))
       val bench = benchA.unionByName(benchB).unionByName(benchC)
-      Curation.contamination(docs, bench, n = 13)
+      // eager=false: the entry runs ONE action (Verify's write / Bench's
+      // count), where the lazy plan costs the same (the corpus gram stream
+      // dominates; re-shingling the tiny bench set is noise) and stays
+      // inspectable for BenchPlanSpec's broadcast-probe pin — the eager
+      // default checkpoints the report behind an opaque ExistingRDD scan
+      Curation.contamination(docs, bench, n = 13, eager = false)
         .orderBy(id)
     }, Some(
       """WITH tok AS (
@@ -1939,7 +1944,11 @@ object PipelineQueries {
     // extraction — which also changes url-dedup winners and quota ranks
     // downstream, all replayed by the SAME oracle with the closed-form
     // source-domain CASE filtered in the first CTE. A blocklist domain
-    // never crawled rides along to prove absent entries are harmless.
+    // never crawled rides along to prove absent entries are harmless, and
+    // example5.com enters in UT1 HOST form (`cdn3.example5.com`) to pin
+    // the entry-side eTLD+1 fold — the oracle blocks the registered
+    // domain either way, so a regression to raw-equality matching (the
+    // host entry silently blocking nothing) fails the hash.
     "td_crawl_blocklist" -> Entry((s, dir) => {
       val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .withColumn("html", synthHtml(col("doc_id"), col("text")))
@@ -1947,7 +1956,7 @@ object PipelineQueries {
         .select(col("doc_id"), col("url"), col("html"))
       val bl = {
         import s.implicits._
-        Seq("site.org", "example5.com", "not-crawled.example").toDF("domain")
+        Seq("site.org", "CDN3.example5.com ", "not-crawled.example").toDF("domain")
       }
       Curation.crawlIngest(pages, domainCap = 5, blocklist = Some(bl))
         .orderBy(col("doc_id"))

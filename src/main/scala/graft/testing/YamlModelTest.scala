@@ -119,9 +119,14 @@ object YamlModelTest {
       val view = s"__live_${d.replace('.', '_')}_$suffix"
       d -> view
     }.toMap
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val inputRows = deps.map { d =>
+        // cache: each sampled input is read twice (the rendered query and
+        // the YAML rows dump); released in the finally — a CacheManager
+        // persist outlives the frame otherwise
         val df = resolve(d).limit(limit).cache()
+        cached += df
         df.createOrReplaceTempView(mapping(d))
         d -> df
       }
@@ -137,7 +142,10 @@ object YamlModelTest {
       }
       dfToRows(out, test.putObject("outputs").putObject("query").putArray("rows"))
       mapper.writeValueAsString(root)
-    } finally mapping.values.foreach(spark.catalog.dropTempView(_))
+    } finally {
+      mapping.values.foreach(spark.catalog.dropTempView(_))
+      cached.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Serialize a DataFrame's rows into a YAML `rows:` array, typed the way

@@ -12,7 +12,8 @@ object ScaleProbe {
     // `... graph` runs only the link-graph/PageRank scaling block
     val q21Only = args.contains("q21")
     val graphOnly = args.contains("graph")
-    val n = args.filterNot(a => a == "q21" || a == "graph")
+    val incrOnly = args.contains("incr")
+    val n = args.filterNot(a => a == "q21" || a == "graph" || a == "incr")
       .headOption.map(_.toInt).getOrElse(10)
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -34,6 +35,7 @@ object ScaleProbe {
     val bigDocs = spark.read.parquet(dir)
     println(s"base=$base rows, big=${bigDocs.count()} rows (${n}x)")
     if (graphOnly) { graphProbe(spark, docs, bigDocs, n); spark.stop(); return }
+    if (incrOnly) { incrementalProbe(spark, docs, bigDocs, n); spark.stop(); return }
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val rows = f
@@ -149,6 +151,8 @@ object ScaleProbe {
     }
 
     graphProbe(spark, docs, bigDocs, n)
+
+    incrementalProbe(spark, docs, bigDocs, n)
 
     // audio decode: synthesize+decode per row in one pass — pure
     // mapPartitions compute, no shuffle, must be linear in rows
@@ -353,6 +357,73 @@ object ScaleProbe {
         "inflated supplier was still broadcast — the scale-killer hint is back")
       require(smallRows == bigRows,
         "junk supplier rows changed the aggregate — key shifting broke")
+    }
+  }
+
+  /** Incremental-ingest scaling (r15 verdict task 2): the steady-state
+    * claims that carry the most 100 TB weight are that a FIXED-size ingest
+    * batch screens against corpus STATE (band table / bloom shards /
+    * benchmark grams) without the corpus ever being re-read — so batch
+    * screen cost must be flat-to-scan-bounded in corpus size, never
+    * corpus-work-shaped. Probed with a constant 2k-doc batch against 1×
+    * vs N× corpus state:
+    *  - minhash screen: reads the stored BAND TABLE only (1 row/doc of
+    *    8-byte keys) — N× corpus ⇒ N× band-table scan at key-scan speed,
+    *    nothing re-shingles;
+    *  - sharded bloom (warm cache): the N× cost is streaming bigger filter
+    *    files per partition (bytes ∝ corpus keys), plus a hits-only
+    *    confirm join;
+    *  - contamination probe: corpus-scan-shaped BY DESIGN (it IS a full
+    *    screen of the corpus against a broadcast benchmark set) — linear
+    *    in corpus, flat in benchmark size, and the evidence here is that
+    *    N× costs ≈ N× scan, not a shuffle blowup. */
+  private def incrementalProbe(spark: org.apache.spark.sql.SparkSession,
+                               docs: org.apache.spark.sql.DataFrame,
+                               bigDocs: org.apache.spark.sql.DataFrame,
+                               n: Int): Unit = {
+    import graft.functions._
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val rows = f
+      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($rows rows)")
+    }
+    // the FIXED ingest batch: 2k docs, near-dups of corpus docs by
+    // construction (same text + a tag word) so every screen does real work
+    val batch = docs.limit(2000)
+      .select((col("doc_id") + 90000000L).as("doc_id"),
+        concat(col("text"), lit(" ingesttag")).as("text"))
+      .localCheckpoint(true)
+    println(s"incremental probes: fixed batch=${batch.count()} docs vs corpus 1x/${n}x")
+
+    // --- minhash screen vs stored band table (corpus text NEVER read) ---
+    for ((label, d) <- Seq("1x" -> docs, s"${n}x" -> bigDocs)) {
+      val bandDir = java.nio.file.Files.createTempDirectory("scale_bands").toString
+      Dedup.minhashBands(d).write.mode("overwrite").parquet(bandDir) // untimed: corpus-side state build
+      val bands = spark.read.parquet(bandDir)
+      time(s"minhash_screen $label") {
+        Dedup.incrementalMinhashLsh(bands, batch,
+          threshold = 0.5, maxBucketSize = Some(64)).count()
+      }
+    }
+
+    // --- sharded bloom screen, WARM cache (build untimed) ---
+    for ((label, d) <- Seq("1x" -> docs, s"${n}x" -> bigDocs)) {
+      val cacheDir = java.nio.file.Files.createTempDirectory("scale_bloomscr").toString
+      Dedup.incrementalExactBloomSharded(d, batch.limit(1), cacheDir,
+        versionToken = s"probe-$label", shards = 8).count() // untimed: filter build
+      time(s"bloom_screen_warm $label") {
+        Dedup.incrementalExactBloomSharded(d, batch, cacheDir,
+          versionToken = s"probe-$label", shards = 8).count()
+      }
+    }
+
+    // --- decontamination probe: fixed benchmark, growing corpus ---
+    val bench = docs.limit(200)
+      .select(col("doc_id").as("bench_id"), col("text"))
+      .localCheckpoint(true)
+    for ((label, d) <- Seq("1x" -> docs, s"${n}x" -> bigDocs)) {
+      time(s"contamination $label") {
+        graft.functions.Curation.contamination(d, bench, n = 13).count()
+      }
     }
   }
 

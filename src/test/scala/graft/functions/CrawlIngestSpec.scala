@@ -99,6 +99,19 @@ class CrawlIngestSpec extends AnyFunSuite {
     assert(none == base)
   }
 
+  test("host-form blocklist entries (UT1 style) block their registered domain") {
+    // 'cdn.site-c.com' is a HOST, not an eTLD+1 — the entry-side fold must
+    // turn it into site-c.com or it matches nothing (r15 ADVICE); case and
+    // padding fold too
+    val bl = Seq("  CDN.site-c.COM ").toDF("domain")
+    val blocked = Curation.crawlIngest(pages, domainCap = 3,
+      minQuality = 0.05, blocklist = Some(bl))
+    assert(!blocked.select("domain").collect().map(_.getString(0))
+      .contains("site-c.com"))
+    assert(blocked.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 6L, 7L, 8L, 9L, 16L, 17L))
+  }
+
   test("boilerplate footer survives in exactly one kept page; metadata rides along") {
     val rows = out.select("doc_id", "text", "title", "lang_decl", "domain").collect()
     val withFooter = rows.filter(_.getString(1).contains("FOOTER NAV ABOUT"))

@@ -74,7 +74,9 @@ class DecontaminationSpec extends AnyFunSuite {
   }
 
   test("benchmark gram join is broadcast; corpus grams never shuffle before the probe") {
-    val plan = Curation.contamination(corpus, bench, n = 13)
+    // eager=false: the lazy plan — the production (eager) form checkpoints
+    // the same plan, whose trace the returned frame no longer carries
+    val plan = Curation.contamination(corpus, bench, n = 13, eager = false)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"))

@@ -210,6 +210,26 @@ class HtmlSpec extends AnyFunSuite {
     assert(edge(1).isNullAt(1))
   }
 
+  test("extractAnchors: a dangling <a> cannot swallow its successors") {
+    // the first anchor never closes — its successors must still appear in
+    // the anchor table (the tempered inner group stops at the next <a>),
+    // and the dangling href stays link-graph-visible via extractLinks
+    val html = """<a href="/dangling">oops <a href="/x">ex</a> <a href="/y">why</a>"""
+    val df = Seq(html).toDF("h")
+    val anchors = df.select(explode(Html.extractAnchors(col("h"))).as("a"))
+      .select(col("a.href"), col("a.anchor"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(anchors == Seq(("/x", "ex"), ("/y", "why")))
+    val links = df.select(Html.extractLinks(col("h"))).head.getSeq[String](0)
+    assert(links == Seq("/dangling", "/x", "/y"))
+    // <abbr> is NOT an anchor boundary: the tempered dot's \b keeps
+    // tag names that merely START with 'a' inside the anchor text
+    val abbr = Seq("""<a href="/z"><abbr>lol</abbr> ok</a>""").toDF("h")
+      .select(explode(Html.extractAnchors(col("h"))).as("a"))
+      .select(col("a.href"), col("a.anchor")).head
+    assert((abbr.getString(0), abbr.getString(1)) == ("/z", "lol ok"))
+  }
+
   test("extraction stays whole-stage codegen (no UDF in the plan)") {
     // spark.range, not a local Seq: ConvertToLocalRelation would fold a
     // literal-backed LocalTableScan and leave no codegen node to assert on
