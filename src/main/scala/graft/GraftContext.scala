@@ -115,6 +115,13 @@ class GraftContext(
       * config/common.py:22): "schema" → views in `<schema>__<env>`;
       * "table" → views named `<table>__<env>` in the prod schema. */
     val envSuffixTarget: String = "schema",
+    /** ordered (regex → catalog) pairs mapping environment NAMES into
+      * environment catalogs (reference `environment_catalog_mapping`,
+      * config/root.py:120/160; first prefix-match wins, environment.py:87)
+      * — e.g. `Seq("^prod$" -> "prod_cat", ".*" -> "dev_cat")`. Realized
+      * through [[graft.adapter.EnvCatalog]] on vanilla Spark; mutually
+      * exclusive with `envSuffixTarget = "catalog"`. */
+    val envCatalogMapping: Seq[(String, String)] = Nil,
     /** project-level statements around every plan apply / run (reference
       * config/root.py:172 before_all/after_all, executed as the BeforeAll /
       * AfterAll plan stages, plan/stages.py) — e.g. session props, grants. */
@@ -1020,16 +1027,18 @@ class GraftContext(
     if (p.noGaps)
       L += "├─ no_gaps: verify re-versioned incremental models cover their predecessors' intervals"
     L += "├─ virtual layer: repoint environment views"
+    val descCat = SparkMaterializer.envCatalog(p.env, envSuffixTarget, envCatalogMapping)
+      .map(_ + ".").getOrElse("")
     p.snapshots.filter(_.model.kind.isMaterialized).foreach { s =>
       val (db, view) = SparkMaterializer.envLocation(
         s.model.schemaName, s.model.tableName, p.env, envSuffixTarget)
-      L += s"│    $db.$view → ${evaluator.physicalTable(s, devFlags(s.model.name)).qualified}"
+      L += s"│    $descCat$db.$view → ${evaluator.physicalTable(s, devFlags(s.model.name)).qualified}"
     }
     p.removed.foreach { n =>
       state.latestSnapshot(n).foreach { s =>
         val (db, view) = SparkMaterializer.envLocation(
           s.model.schemaName, s.model.tableName, p.env, envSuffixTarget)
-        L += s"│    - drop $db.$view  (removed from env)"
+        L += s"│    - drop $descCat$db.$view  (removed from env)"
       }
     }
     val ttl = if (p.env == "prod") "never expires"
@@ -1143,15 +1152,19 @@ class GraftContext(
     }
     // EnvironmentRecordUpdate + VirtualLayerUpdate (materialized kinds only —
     // EMBEDDED/EXTERNAL have no physical object to point a view at)
+    val envCat = SparkMaterializer.envCatalog(p.env, envSuffixTarget, envCatalogMapping)
     p.envSnapshots.filter(_.model.kind.isMaterialized).foreach(s =>
-      evaluator.promote(s, p.env, devFlags(s.model.name), envSuffixTarget, executionTs))
+      evaluator.promote(s, p.env, devFlags(s.model.name), envSuffixTarget, executionTs,
+        envCat))
     p.removed.foreach { name =>
-      state.latestSnapshot(name).foreach(s => evaluator.demote(s, p.env, envSuffixTarget))
+      state.latestSnapshot(name).foreach(s =>
+        evaluator.demote(s, p.env, envSuffixTarget, envCat))
     }
     state.promoteEnvironment(EnvironmentRecord(
       p.env, p.envSnapshots.map(s => s.model.name -> s.version).toMap, finalized = false,
       identifiers = p.envSnapshots.map(s => s.model.name -> s.fingerprint.full).toMap,
       suffixTarget = envSuffixTarget,
+      catalog = envCat,
       // dev environments expire (environment.py expiration_ts, default 1w);
       // prod never does
       expirationTs = if (p.env == "prod") None else Some(executionTs + envTtlMs)))
@@ -1329,8 +1342,9 @@ class GraftContext(
   def envTable(modelName: String, env: String): String = {
     val parts = modelName.split('.')
     val schema = parts.dropRight(1).mkString(".") match { case "" => "default"; case x => x }
-    val (db, view) = SparkMaterializer.envLocation(schema, parts.last, env, envSuffixTarget)
-    s"`$db`.`$view`"
+    val (cat, db, view) = SparkMaterializer.envTarget(
+      schema, parts.last, env, envSuffixTarget, envCatalogMapping)
+    cat.map(c => s"`$c`.").getOrElse("") + s"`$db`.`$view`"
   }
 
   /** Models whose snapshot version differs between two environments —
@@ -1430,11 +1444,15 @@ class GraftContext(
     * models no longer registered in this context (deleted from the project),
     * which `models.get` would silently skip, leaking views. */
   private def demoteByName(envName: String, modelName: String,
-                           suffixTarget: String = "schema"): Unit = {
+                           suffixTarget: String = "schema",
+                           catalog: Option[String] = None): Unit = {
     val parts = modelName.split('.')
     val schema = parts.dropRight(1).mkString(".") match { case "" => "default"; case x => x }
     val (db, view) = SparkMaterializer.envLocation(schema, parts.last, envName, suffixTarget)
-    materializer.demote(db, view)
+    catalog match {
+      case Some(c) => materializer.demoteCatalog(c, db, view)
+      case None    => materializer.demote(db, view)
+    }
   }
 
   /** Invalidate an environment (reference `sqlmesh invalidate`): drop its
@@ -1442,7 +1460,7 @@ class GraftContext(
   def invalidateEnvironment(env: String, sync: Boolean = false): Unit = {
     require(env != "prod", "refusing to invalidate prod")
     state.getEnvironment(env).foreach { rec =>
-      rec.snapshots.keys.foreach(name => demoteByName(env, name, rec.suffixTarget))
+      rec.snapshots.keys.foreach(name => demoteByName(env, name, rec.suffixTarget, rec.catalog))
     }
     if (sync) {
       // `--sync` (cli/main.py:830): tear down NOW — record deleted and the
@@ -1457,7 +1475,7 @@ class GraftContext(
     * no environment references. */
   def janitor(now: Long = System.currentTimeMillis()): Unit = {
     state.expiredEnvironments(now).foreach { rec =>
-      rec.snapshots.keys.foreach(name => demoteByName(rec.name, name, rec.suffixTarget))
+      rec.snapshots.keys.foreach(name => demoteByName(rec.name, name, rec.suffixTarget, rec.catalog))
       state.deleteEnvironment(rec.name)
     }
     state.expiredSnapshots.foreach { s =>
@@ -1472,7 +1490,7 @@ class GraftContext(
     * and all state records. Irreversible; refuses nothing. */
   def destroy(): Unit = {
     state.environments.foreach { rec =>
-      rec.snapshots.keys.foreach(name => demoteByName(rec.name, name, rec.suffixTarget))
+      rec.snapshots.keys.foreach(name => demoteByName(rec.name, name, rec.suffixTarget, rec.catalog))
       state.deleteEnvironment(rec.name)
     }
     state.allSnapshots.foreach { s =>

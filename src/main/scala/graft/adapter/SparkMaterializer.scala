@@ -484,6 +484,34 @@ class SparkMaterializer(val spark: SparkSession,
 
   def demote(envDb: String, viewName: String): Unit =
     spark.sql(s"DROP VIEW IF EXISTS `$envDb`.`$viewName`")
+
+  /** [[promote]] into an environment CATALOG (suffix target `catalog` /
+    * `environment_catalog_mapping`, reference config/common.py:33,
+    * root.py:120): the virtual-layer entry lands in a registered
+    * [[EnvCatalog]] as a zero-copy handle onto the physical root —
+    * repointing semantics identical to the view path (the handle resolves
+    * the CURRENT snapshot at read time). Vanilla-Spark limitation, checked
+    * here: only the dir-version format's plain parquet snapshot dirs can
+    * back a standalone catalog scan (the manifest read is a multi-commit
+    * union only the session can plan). `virtualProperties` don't apply —
+    * catalog entries carry no DDL surface for TBLPROPERTIES. */
+  def promoteCatalog(catalog: String, envDb: String, viewName: String,
+                     physical: PhysicalTable): Unit = {
+    require(format.name == "dir-versions",
+      s"environment catalogs require the dir-version table format " +
+        s"(this context uses '${format.name}'); use schema/table suffix targets")
+    EnvCatalog.ensureRegistered(spark, catalog)
+    // capture the visible schema for the no-data-yet window (the catalog
+    // analog of the schema-marker empty view)
+    val ddl = format.currentDataDir(physical)
+      .map(_ => read(physical).schema
+        .filterNot(_.name.startsWith("__graft_")))
+      .map(fs => org.apache.spark.sql.types.StructType(fs.toArray).toDDL)
+    EnvCatalog.writeEntry(spark, catalog, envDb, viewName, physical.root, ddl)
+  }
+
+  def demoteCatalog(catalog: String, envDb: String, viewName: String): Unit =
+    EnvCatalog.dropEntry(spark, catalog, envDb, viewName)
 }
 
 object SparkMaterializer {
@@ -495,14 +523,54 @@ object SparkMaterializer {
   /** Environment (database, view) for a model under a suffix target
     * (EnvironmentSuffixTarget, reference config/common.py:22-53): SCHEMA
     * (default) isolates dev views in `<schema>__<env>`; TABLE keeps the prod
-    * schema and suffixes the view name `<table>__<env>`. CATALOG requires
-    * cross-catalog views — out of scope single-catalog. Prod is always the
-    * bare name under every target. */
+    * schema and suffixes the view name `<table>__<env>`. The CATALOG target
+    * and catalog mappings add a catalog dimension — [[envTarget]] is the
+    * full form; this 2-tuple form stays for the session-catalog targets.
+    * Prod is always the bare name under every target. */
   def envLocation(schema: String, table: String, env: String,
                   suffixTarget: String = "schema"): (String, String) =
     if (env == "prod") (schema, table)
     else suffixTarget.toLowerCase match {
-      case "table" => (schema, s"${table}__$env")
-      case _       => (s"${schema}__$env", table)
+      case "table"   => (schema, s"${table}__$env")
+      case "catalog" => (schema, table) // isolation carried by the catalog
+      case _         => (s"${schema}__$env", table)
     }
+
+  /** Full environment target: (catalog override, database, view).
+    *
+    *  - `suffixTarget = "catalog"` (reference config/common.py:33): dev
+    *    envs land in catalog `<baseCatalog>__<env>` with BARE schema/table
+    *    names (the whole point — the model keeps its prod name); prod
+    *    stays in the session catalog.
+    *  - `catalogMapping` (reference config/root.py:120
+    *    `environment_catalog_mapping`, environment.py:87): ordered
+    *    (regex → catalog) pairs, first PREFIX match on the env name wins
+    *    (Python `re.match` anchors at the start only); the matched catalog
+    *    applies to prod and dev alike, composing with the schema/table
+    *    suffix rules. Mutually exclusive with the catalog suffix target
+    *    (root.py:254).
+    */
+  def envTarget(schema: String, table: String, env: String,
+                suffixTarget: String = "schema",
+                catalogMapping: Seq[(String, String)] = Nil,
+                baseCatalog: String = "spark_catalog"): (Option[String], String, String) = {
+    val (db, view) = envLocation(schema, table, env, suffixTarget)
+    (envCatalog(env, suffixTarget, catalogMapping, baseCatalog), db, view)
+  }
+
+  /** Just the catalog half of [[envTarget]] — resolved once per
+    * environment (it depends only on the env name) and recorded on the
+    * environment state record so demotes always hit the right catalog. */
+  def envCatalog(env: String, suffixTarget: String = "schema",
+                 catalogMapping: Seq[(String, String)] = Nil,
+                 baseCatalog: String = "spark_catalog"): Option[String] = {
+    val isCatalogSuffix = suffixTarget.equalsIgnoreCase("catalog")
+    require(!(isCatalogSuffix && catalogMapping.nonEmpty),
+      "environment_suffix_target 'catalog' is mutually exclusive with " +
+        "environment_catalog_mapping (reference config/root.py:254)")
+    if (isCatalogSuffix && env != "prod") Some(s"${baseCatalog}__$env")
+    else catalogMapping.collectFirst {
+      case (re, cat) if java.util.regex.Pattern.compile(re).matcher(env).lookingAt() => cat
+    }
+  }
 }

@@ -551,19 +551,32 @@ class SnapshotEvaluator(
     * the model's on_virtual_update statements with @this_model bound to the
     * environment VIEW (evaluator.py:1284) — e.g. GRANTs on the repointed view. */
   def promote(s: Snapshot, env: String, dev: Boolean = false,
-              suffixTarget: String = "schema", executionTs: Long = 0L): Unit = {
-    val (db, view) =
-      SparkMaterializer.envLocation(s.model.schemaName, s.model.tableName, env, suffixTarget)
-    materializer.promote(db, view, physicalTable(s, dev), s.model.virtualProperties)
-    s.model.onVirtualUpdate.foreach(st =>
-      spark.sql(renderStatement(s, st, Interval(0L, executionTs), executionTs,
-        Map.empty, s"`$db`.`$view`")))
+              suffixTarget: String = "schema", executionTs: Long = 0L,
+              catalog: Option[String] = None): Unit = {
+    val (db, view) = SparkMaterializer.envLocation(
+      s.model.schemaName, s.model.tableName, env, suffixTarget)
+    catalog match {
+      case Some(c) =>
+        materializer.promoteCatalog(c, db, view, physicalTable(s, dev))
+        s.model.onVirtualUpdate.foreach(st =>
+          spark.sql(renderStatement(s, st, Interval(0L, executionTs), executionTs,
+            Map.empty, s"`$c`.`$db`.`$view`")))
+      case None =>
+        materializer.promote(db, view, physicalTable(s, dev), s.model.virtualProperties)
+        s.model.onVirtualUpdate.foreach(st =>
+          spark.sql(renderStatement(s, st, Interval(0L, executionTs), executionTs,
+            Map.empty, s"`$db`.`$view`")))
+    }
   }
 
-  def demote(s: Snapshot, env: String, suffixTarget: String = "schema"): Unit = {
-    val (db, view) =
-      SparkMaterializer.envLocation(s.model.schemaName, s.model.tableName, env, suffixTarget)
-    materializer.demote(db, view)
+  def demote(s: Snapshot, env: String, suffixTarget: String = "schema",
+             catalog: Option[String] = None): Unit = {
+    val (db, view) = SparkMaterializer.envLocation(
+      s.model.schemaName, s.model.tableName, env, suffixTarget)
+    catalog match {
+      case Some(c) => materializer.demoteCatalog(c, db, view)
+      case None    => materializer.demote(db, view)
+    }
   }
 }
 

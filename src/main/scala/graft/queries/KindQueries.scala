@@ -17,9 +17,12 @@ object KindQueries {
   private val D = 86400000L
   private def dayMs(s: String): Long = java.time.LocalDate.parse(s).toEpochDay * D
 
-  private def ctx(spark: SparkSession, dir: String): GraftContext = {
+  private def ctx(spark: SparkSession, dir: String,
+                  suffixTarget: String = "schema",
+                  catalogMapping: Seq[(String, String)] = Nil): GraftContext = {
     val c = new GraftContext(spark,
-      java.nio.file.Files.createTempDirectory("graft_kind").toString, concurrency = 2)
+      java.nio.file.Files.createTempDirectory("graft_kind").toString, concurrency = 2,
+      envSuffixTarget = suffixTarget, envCatalogMapping = catalogMapping)
     tables.foreach(t => c.addExternal(s"raw.$t", externalFor(spark, dir, t)))
     c
   }
@@ -270,6 +273,67 @@ object KindQueries {
         |  SELECT n_regionkey, count(*) AS n_nations FROM nation GROUP BY n_regionkey) ns
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY r_name""".stripMargin)),
+
+    // cross-catalog virtual environments, CATALOG suffix target (reference
+    // EnvironmentSuffixTarget.CATALOG, config/common.py:33): a dev env's
+    // views keep their PROD schema+table names and land in catalog
+    // `spark_catalog__<env>` — realized on vanilla Spark by the
+    // graft.adapter.EnvCatalog DSv2 plugin (zero-copy handles onto the
+    // physical snapshot dirs). The entry proves promote (dev read ==
+    // prod read, hash-equal via the oracle), repoint-at-read-time, and
+    // demote (invalidate drops the catalog entry).
+    "mk_env_catalog" -> Entry((s, dir) => {
+      val c = ctx(s, dir, suffixTarget = "catalog")
+      c.addModel(Model("mart.nation_stats",
+        SqlBody(
+          """SELECT n_regionkey, count(*) AS n_nations
+            |FROM raw.nation GROUP BY n_regionkey""".stripMargin),
+        kind = ModelKind.Full))
+      c.apply(c.plan("dev", 0L, D))
+      val devName = "spark_catalog__dev.mart.nation_stats"
+      val dev = s.table(devName)
+      // prod under the catalog target stays in the session catalog, bare
+      c.apply(c.plan("prod", 0L, D))
+      val prod = s.table("mart.nation_stats")
+      require(dev.exceptAll(prod).isEmpty && prod.exceptAll(dev).isEmpty,
+        "dev catalog read differs from prod read of the same snapshot")
+      // demote half: invalidating the env must drop the catalog entry
+      c.invalidateEnvironment("dev")
+      require(scala.util.Try(s.table(devName).head(1)).isFailure,
+        s"invalidate left $devName resolvable")
+      prod.orderBy("n_regionkey")
+    }, Some(
+      """SELECT n_regionkey, count(*) AS n_nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // environment_catalog_mapping (reference config/root.py:120,
+    // environment.py:87): regex on the env NAME routes its virtual layer
+    // into a named catalog, composing with the schema suffix — env
+    // `stage_a` lands in `staging_cat.mart__stage_a.*`. Also proves the
+    // REPOINT semantics: a changed model re-applies and the same catalog
+    // name reads the NEW snapshot (the entry stores the physical root;
+    // the current version resolves at read time).
+    "mk_env_catalog_mapping" -> Entry((s, dir) => {
+      val c = ctx(s, dir, catalogMapping = Seq("^stage" -> "staging_cat"))
+      c.addModel(Model("mart.order_counts",
+        SqlBody("SELECT o_orderstatus, count(*) AS n FROM raw.orders GROUP BY o_orderstatus"),
+        kind = ModelKind.Full))
+      c.apply(c.plan("stage_a", 0L, D))
+      val name = "staging_cat.mart__stage_a.order_counts"
+      require(s.table(name).count() > 0, s"$name is empty after promote")
+      // repoint: change the model, re-plan, re-apply — same name, new data
+      c.addModel(Model("mart.order_counts",
+        SqlBody(
+          """SELECT o_orderstatus, count(*) AS n,
+            |       CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+            |FROM raw.orders GROUP BY o_orderstatus""".stripMargin),
+        kind = ModelKind.Full))
+      c.apply(c.plan("stage_a", 0L, D))
+      s.table(name).orderBy("o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // blueprint expansion: one template file → one model per mapping,
     // planned and materialized independently (reference `blueprints`,

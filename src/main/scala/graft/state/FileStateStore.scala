@@ -262,6 +262,7 @@ final class FileStateStore(
       e.planId.foreach(o.put("plan_id", _))
       e.expirationTs.foreach(o.put("expiration_ts", _))
       o.put("suffix_target", e.suffixTarget)
+      e.catalog.foreach(o.put("catalog", _))
       val m = o.putObject("snapshots")
       e.snapshots.foreach { case (k, v) => m.put(k, v) }
       val ids = o.putObject("identifiers")
@@ -301,7 +302,8 @@ final class FileStateStore(
         n.path("name").asText(), snapMap.toMap, n.path("finalized").asBoolean(),
         Option(n.get("plan_id")).map(_.asText()), idMap.toMap,
         Option(n.get("expiration_ts")).map(_.asLong()),
-        Option(n.get("suffix_target")).map(_.asText()).getOrElse("schema")))
+        Option(n.get("suffix_target")).map(_.asText()).getOrElse("schema"),
+        Option(n.get("catalog")).map(_.asText())))
     }
     root.path("auto_restatements").properties().forEach(e =>
       mem.setAutoRestatement(e.getKey, e.getValue.asLong()))

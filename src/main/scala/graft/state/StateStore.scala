@@ -25,7 +25,13 @@ final case class EnvironmentRecord(
     /** how this environment's views are named (environment.py:41
       * suffix_target) — recorded so demotes/janitor drop the right objects
       * even if the context's configured target changed since promotion. */
-    suffixTarget: String = "schema")
+    suffixTarget: String = "schema",
+    /** environment-catalog override resolved AT PROMOTE time (the reference
+      * stores catalog_name_override on the Environment, environment.py:42)
+      * — from the catalog suffix target or environment_catalog_mapping;
+      * recorded for the same reason as suffixTarget: demotes must hit the
+      * catalog the views actually landed in. */
+    catalog: Option[String] = None)
 
 trait StateStore {
   def pushSnapshot(s: Snapshot): Unit
