@@ -98,6 +98,13 @@ object Audits {
       s"SELECT COUNT(*) AS cnt FROM (SELECT 1 FROM $t WHERE ${cond(a)} LIMIT ${thr + 1}) HAVING COUNT(*) <= $thr"
     },
     "forall" -> rowPredicateSql("forall"),
+    // arbitrary violation query — the bridge for dbt PACKAGE-provided
+    // generic tests (DbtLoader renders the test macro at load time and
+    // attaches the SQL here) and a first-class escape hatch for audits the
+    // builtin registry can't express. `__GRAFT_THIS__` in the SQL stands
+    // for the audited table and substitutes at evaluation, after the
+    // physical snapshot name is known. Rows returned = violations.
+    "generic_sql" -> { (t, a) => a("sql").replace("__GRAFT_THIS__", t) },
     "accepted_range" -> rowPredicateSql("accepted_range"),
     "at_least_one" -> { (t, a) =>
       s"SELECT COUNT(${a("column")}) AS cnt FROM $t WHERE ${cond(a)} HAVING COUNT(${a("column")}) = 0"

@@ -179,7 +179,12 @@ object DbtLoader {
     // is edited, forcing rebuilds of models that never reference it
     // (reference hashes only referenced macros into the data hash)
     val macroSrcByName: Map[String, String] =
-      macroDefRe.findAllMatchIn(macroSrc).map(m => m.group(1) -> m.matched).toMap
+      (macroDefRe.findAllMatchIn(macroSrc).map(m => m.group(1) -> m.matched) ++
+        // {% test t %} blocks register as macros named test_t (dbt's own
+        // desugaring), normalized to {% macro %} form so the prepend/render
+        // machinery treats them uniformly
+        testDefRe.findAllMatchIn(macroSrc).map(m =>
+          s"test_${m.group(1)}" -> testSpanToMacro(m.group(1), m.matched))).toMap
     // rewrite package-macro calls onto their namespaced names — ONLY inside
     // Jinja spans ({{ }} / {% %}): macro calls are Jinja constructs, and
     // plain SQL text that shares a name with a vendored macro (packages ship
@@ -230,10 +235,24 @@ object DbtLoader {
       .map { case (n, src) => n -> rewritePkgCalls(src) }
     val allMacroNames = macroNames ++ pkgs.flatMap(_.macroSrcByName.keys)
     // call detection tolerates whitespace between name and '(' — jinja
-    // allows `{{ money (x) }}`
-    def callsIn(text: String): Set[String] = allMacroNames.filter { n =>
-      ("""(?<![\w.])""" + java.util.regex.Pattern.quote(n) + """\s*\(""").r
-        .findFirstIn(text).isDefined
+    // allows `{{ money (x) }}`. adapter.dispatch references count as calls
+    // of every CANDIDATE implementation (spark__/default__, project and
+    // namespace package): the dispatch target is chosen at render time, so
+    // all live candidates must be prepended for the render to find them
+    val dispatchRefRe =
+      ("""(?is)adapter\s*\.\s*dispatch\s*\(\s*['"](\w+)['"]\s*""" +
+        """(?:,\s*(?:macro_namespace\s*=\s*)?['"](\w+)['"]\s*)?\)""").r
+    def callsIn(text: String): Set[String] = {
+      val direct = allMacroNames.filter { n =>
+        ("""(?<![\w.])""" + java.util.regex.Pattern.quote(n) + """\s*\(""").r
+          .findFirstIn(text).isDefined
+      }
+      val dispatched = dispatchRefRe.findAllMatchIn(text).flatMap { dm =>
+        val n = dm.group(1); val pkg = Option(dm.group(2))
+        Seq(s"spark__$n", s"default__$n") ++
+          pkg.toSeq.flatMap(p => Seq(s"${p}__spark__$n", s"${p}__default__$n"))
+      }.filter(allMacroNames.contains).toSet
+      direct ++ dispatched
     }
     def withMacros(sql: String): String = {
       var seen = Set.empty[String]
@@ -258,8 +277,48 @@ object DbtLoader {
     val resolved = all.map { m =>
       val withAudits = tests.get(m.name.split('.').last) match {
         case Some(as) =>
-          val resolvedAudits = as.map { case (n, args) =>
-            n -> args.map { case (k, v) => k -> resolveRefs(v) } // relationships `to:`
+          val resolvedAudits = as.flatMap {
+            case ("__dbt_generic__", args) =>
+              // custom / package-provided GENERIC tests: resolve the test
+              // macro (project test_t, qualified pkg.t, or the single
+              // package that owns test_t — dbt's global test namespace),
+              // render its body NOW with model bound to the __GRAFT_THIS__
+              // placeholder, and attach the violation query as a
+              // generic_sql audit (substituted with the physical snapshot
+              // name at evaluation)
+              val t = args("test")
+              val key = t.indexOf('.') match {
+                case -1 =>
+                  if (allMacroSrcByName.contains(s"test_$t")) Some(s"test_$t")
+                  else {
+                    val owners = pkgs.filter(p =>
+                      allMacroSrcByName.contains(s"${p.name}__test_$t"))
+                    if (owners.size > 1) throw new IllegalArgumentException(
+                      s"generic test '$t' is defined by multiple dbt packages " +
+                        s"(${owners.map(_.name).sorted.mkString(", ")}) — qualify it")
+                    owners.headOption.map(p => s"${p.name}__test_$t")
+                  }
+                case i =>
+                  Some(s"${t.take(i)}__test_${t.drop(i + 1)}")
+                    .filter(allMacroSrcByName.contains)
+              }
+              key match {
+                case None =>
+                  System.err.println(
+                    s"[graft] WARN unsupported dbt test '$t' on ${m.name}")
+                  Nil
+                case Some(k) =>
+                  val callArgs = Seq("model=__GRAFT_THIS__") ++
+                    args.get("column").map(c => s"column_name=$c") ++
+                    args.collect { case (ak, av) if ak.startsWith("__arg_") =>
+                      s"${ak.stripPrefix("__arg_")}=$av" }.toSeq.sorted
+                  val callSrc = s"{{ $k(${callArgs.mkString(", ")}) }}"
+                  val full = withMacros(rewritePkgCalls(resolveRefs(callSrc)))
+                  val sql = graft.macros.Jinja.render(full, allVars).trim
+                  Seq("generic_sql" -> Map("sql" -> sql))
+              }
+            case (n, args) =>
+              Seq(n -> args.map { case (k, v) => k -> resolveRefs(v) }) // relationships `to:`
           }
           // a relationships parent is a real dependency: it must evaluate
           // first and resolve to its physical table in the audit SQL (dbt
@@ -439,7 +498,22 @@ object DbtLoader {
     val models = Option(node.get("models")).toSeq.flatMap(_.elements().asScala)
     models.map { m =>
       val name = m.path("name").asText
-      val audits = Option(m.get("columns")).toSeq.flatMap(_.elements().asScala).flatMap { c =>
+      // MODEL-level tests (no column binding) — in practice always custom /
+      // package generic tests, resolved against the macro registry later
+      val modelLevel = Option(m.get("tests")).orElse(Option(m.get("data_tests")))
+        .toSeq.flatMap(_.elements().asScala).flatMap { t =>
+          if (t.isTextual) Some("__dbt_generic__" -> Map("test" -> t.asText))
+          else t.properties().asScala.toSeq.headOption.map { e =>
+            val kw = e.getValue.properties().asScala.map { f =>
+              val v = f.getValue
+              s"__arg_${f.getKey}" ->
+                (if (v.isNumber || v.isBoolean) v.asText
+                 else "'" + v.asText.replace("'", "''") + "'")
+            }.toMap
+            "__dbt_generic__" -> (Map("test" -> e.getKey) ++ kw)
+          }
+        }
+      val audits = modelLevel ++ Option(m.get("columns")).toSeq.flatMap(_.elements().asScala).flatMap { c =>
         val colName = c.path("name").asText
         Option(c.get("tests")).orElse(Option(c.get("data_tests"))).toSeq
           .flatMap(_.elements().asScala).flatMap { t =>
@@ -447,8 +521,10 @@ object DbtLoader {
               case "unique"   => Some("unique_values" -> Map("columns" -> colName))
               case "not_null" => Some("not_null" -> Map("columns" -> colName))
               case other =>
-                System.err.println(s"[graft] WARN unsupported dbt test '$other' on $name.$colName")
-                None
+                // a custom/package GENERIC test with no args — resolved
+                // against the macro registry in loadProject (where macros
+                // are visible); unresolvable ones WARN there
+                Some("__dbt_generic__" -> Map("test" -> other, "column" -> colName))
             } else {
               val fields = t.properties().asScala.toSeq
               fields.headOption.flatMap { e =>
@@ -467,8 +543,16 @@ object DbtLoader {
                       "to" -> args.path("to").asText,
                       "field" -> args.path("field").asText))
                   case other =>
-                    System.err.println(s"[graft] WARN unsupported dbt test '$other' on $name.$colName")
-                    None
+                    // custom/package generic test WITH args: carry the raw
+                    // arg map for the macro call built in loadProject
+                    val kw = args.properties().asScala.map { f =>
+                      val v = f.getValue
+                      s"__arg_${f.getKey}" ->
+                        (if (v.isNumber || v.isBoolean) v.asText
+                         else "'" + v.asText.replace("'", "''") + "'")
+                    }.toMap
+                    Some("__dbt_generic__" ->
+                      (Map("test" -> other, "column" -> colName) ++ kw))
                 }
               }
             }
@@ -550,6 +634,18 @@ object DbtLoader {
   private val macroDefRe =
     """(?s)\{%-?\s*macro\s+([A-Za-z_]\w*)\s*\(.*?\{%-?\s*endmacro\s*-?%\}""".r
 
+  /** dbt generic-test definition span: `{% test t(model, column_name) %}
+    * … {% endtest %}`. */
+  private val testDefRe =
+    """(?s)\{%-?\s*test\s+([A-Za-z_]\w*)\s*\(.*?\{%-?\s*endtest\s*-?%\}""".r
+
+  /** Normalize a `{% test t %}` span to its macro desugaring
+    * (`{% macro test_t %}`) so one registry handles both forms. */
+  private def testSpanToMacro(name: String, span: String): String =
+    span.replaceFirst("""\{%-?\s*test\s+""" + java.util.regex.Pattern.quote(name),
+        java.util.regex.Matcher.quoteReplacement(s"{% macro test_$name"))
+      .replaceAll("""\{%-?\s*endtest\s*-?%\}""", "{% endmacro %}")
+
   /** One vendored package: its models/seeds (loaded like project ones), its
     * macros RENAMED into a flat namespace (`m` in package `p` → `p__m`,
     * applied to the def header and every intra-package call), and its
@@ -590,8 +686,11 @@ object DbtLoader {
       if ("\\{%-?\\s*materialization\\b".r.findFirstIn(macroSrc).isDefined)
         throw new IllegalArgumentException(
           s"dbt package '$pname': custom materializations are not supported")
-      val spans = macroDefRe.findAllMatchIn(macroSrc)
-        .map(m => m.group(1) -> m.matched).toMap
+      val spans = (macroDefRe.findAllMatchIn(macroSrc)
+        .map(m => m.group(1) -> m.matched) ++
+        // package generic tests join the flat namespace as pkg__test_t
+        testDefRe.findAllMatchIn(macroSrc).map(m =>
+          s"test_${m.group(1)}" -> testSpanToMacro(m.group(1), m.matched))).toMap
       val stems = spans.keySet
       val qq = (s: String) => java.util.regex.Pattern.quote(s)
       val renamed: Map[String, String] = spans.map { case (m, src0) =>

@@ -284,6 +284,23 @@ object Jinja {
                   nodes += MacroNode(MacroDef(name, params, body)); rest = r.tail
                 case _ => throw new IllegalArgumentException(s"bad macro: {% $st %}")
               }
+            case "test" =>
+              // dbt GENERIC TEST definition: `{% test t(model, column_name) %}`
+              // is sugar for a macro named `test_t` (dbt's own desugaring) whose
+              // body is the violation query — rows returned = rows failing
+              val m = "(?is)test\\s+([A-Za-z_]\\w*)\\s*\\((.*)\\)\\s*".r
+              st match {
+                case m(name, paramSrc) =>
+                  val params = parseList(paramSrc).map { p =>
+                    p.indexOf('=') match {
+                      case -1 => (p.trim, None)
+                      case i  => (p.take(i).trim, Some(p.drop(i + 1).trim))
+                    }
+                  }
+                  val (body, r) = parseNodes(rest.tail, Seq("endtest"))
+                  nodes += MacroNode(MacroDef(s"test_$name", params, body)); rest = r.tail
+                case _ => throw new IllegalArgumentException(s"bad test: {% $st %}")
+              }
             case other => throw new IllegalArgumentException(s"unsupported jinja tag: $other")
           }
       }
@@ -323,6 +340,15 @@ object Jinja {
   /** General call syntax `name(args)` / `pkg.name(args)` — user macros and
     * the dbt_utils builtins. */
   private val callRe = "(?s)^([A-Za-z_][\\w.]*)\\s*\\((.*)\\)$".r
+
+  /** `return(expr)` — dbt macro early-return sugar. */
+  private val returnRe = "(?s)^return\\s*\\((.*)\\)$".r
+
+  /** `adapter.dispatch('m'[, 'pkg'])(args)`: group 1 = macro name,
+    * group 2 = optional namespace package, group 3 = the outer arg list. */
+  private val dispatchRe =
+    ("(?s)^adapter\\s*\\.\\s*dispatch\\s*\\(\\s*['\"]([\\w]+)['\"]\\s*" +
+      "(?:,\\s*(?:macro_namespace\\s*=\\s*)?['\"]([\\w]+)['\"]\\s*)?\\)\\s*\\((.*)\\)$").r
 
   /** `name(...)` is only a call when the captured argSrc is one balanced
     * argument list: callRe's greedy (.*) would otherwise bind
@@ -529,6 +555,35 @@ object Jinja {
       case "caller()" =>
         callerStack.get.headOption.getOrElse(
           throw new IllegalArgumentException("caller() outside a {% call %} block"))
+      // dbt `{{ return(expr) }}`: in the macros this engine renders (pure
+      // text templates), the return IS the macro's value — evaluate the
+      // inner expression in place
+      case returnRe(inner) if balancedArgs(inner) =>
+        value(inner, vars, bindings, thisModel)
+      // `adapter.dispatch('m'[, 'pkg'])(args)` — the dbt cross-database
+      // fallback chain (dbt-core dispatch semantics): resolve to the most
+      // specific implementation macro visible in this render, preferring
+      // the engine-specific `spark__m` over `default__m`, and the project's
+      // over the package's namespaced copies (DbtLoader renames package
+      // macros to `pkg__name`, so a package-internal `default__m` is
+      // registered as `pkg__default__m`).
+      case dispatchRe(mname, pkg, argSrc) if balancedArgs(argSrc) =>
+        // dbt search order: the ADAPTER-specific name across the whole
+        // namespace path (project first, then the package) beats default__
+        // anywhere — a project's default__m must not shadow the package's
+        // spark__m
+        val cands =
+          (Seq(s"spark__$mname") ++
+            Option(pkg).map(p => s"${p}__spark__$mname") ++
+           Seq(s"default__$mname") ++
+            Option(pkg).map(p => s"${p}__default__$mname"))
+        cands.find(macroEnv.get.contains) match {
+          case Some(target) =>
+            callMacro(macroEnv.get()(target), splitArgs(argSrc), vars, bindings, thisModel)
+          case None => throw new IllegalArgumentException(
+            s"adapter.dispatch('$mname'): no spark__$mname or default__$mname " +
+              "implementation is visible")
+        }
       // user {% macro %} invocation, then the dbt_utils builtin subset
       case callRe(name, argSrc) if macroEnv.get.contains(name) && balancedArgs(argSrc) =>
         callMacro(macroEnv.get()(name), splitArgs(argSrc), vars, bindings, thisModel)

@@ -143,9 +143,13 @@ object AuditQueries {
           """SELECT o_orderkey, o_totalprice AS lo, round(o_totalprice * 1.05, 2) AS hi
             |FROM orders WHERE o_custkey < 50""".stripMargin)
           .createOrReplaceTempView("ranges_t")
-        Audits.run(s, "mutually_exclusive_ranges", "ranges_t",
+        val out = Audits.run(s, "mutually_exclusive_ranges", "ranges_t",
           Map("lower_bound_column" -> "lo", "upper_bound_column" -> "hi"))
           .selectExpr("count(*) AS n_overlaps")
+        // the fixture view resolved at spark.sql time — drop it so the
+        // entry leaves the temp catalog as it found it (CacheHygieneSpec)
+        s.catalog.dropTempView("ranges_t")
+        out
       },
       Some(
         """WITH ranges_t AS (
@@ -239,10 +243,12 @@ object AuditQueries {
           """SELECT event_type AS et_obs,
             |  CASE WHEN value > 10 THEN event_type ELSE 'click' END AS et_exp
             |FROM events""".stripMargin).createOrReplaceTempView("kl_t")
-        Audits.run(s, "kl_divergence", "kl_t",
+        val out = Audits.run(s, "kl_divergence", "kl_t",
           Map("source_column" -> "et_obs", "target_column" -> "et_exp",
             "threshold" -> "0.02"))
           .selectExpr("round(kl_divergence, 4) AS kl")
+        s.catalog.dropTempView("kl_t")
+        out
       },
       Some(
         """WITH kl_t AS (
@@ -266,9 +272,11 @@ object AuditQueries {
         registerAll(s, dir)
         s.sql("SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer")
           .createOrReplaceTempView("nnp_t")
-        Audits.run(s, "not_null_proportion", "nnp_t",
+        val out = Audits.run(s, "not_null_proportion", "nnp_t",
           Map("column" -> "seg", "threshold" -> "0.9"))
           .selectExpr("cnt", "not_null_cnt", "round(not_null_proportion, 4) AS p")
+        s.catalog.dropTempView("nnp_t")
+        out
       },
       Some(
         """SELECT count(*) AS cnt, count(seg) AS not_null_cnt,

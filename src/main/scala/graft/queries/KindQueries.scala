@@ -723,6 +723,85 @@ object KindQueries {
         |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_5_LOW
         |FROM orders""".stripMargin)),
 
+    // ---- dbt adapter.dispatch + {% call %} + generic tests (r15 task 6) --
+    // the three dbt-package constructs a real project leans on hardest:
+    //  - a package macro dispatching on adapter.dispatch('m', 'pkg') must
+    //    resolve to the package's spark__m implementation (dbt search
+    //    order: adapter-specific across namespaces beats default__);
+    //  - {% call %} blocks feed the macro a rendered body via caller();
+    //  - schema.yml tests naming PACKAGE-provided generic tests
+    //    ({% test %} blocks) attach as audits, model- and column-level,
+    //    and a violated test must BLOCK the apply.
+    "mk_dbt_dispatch_tests" -> Entry((s, dir) => {
+      // sfx: the two contexts share one Spark session catalog — the
+      // negative-path project must not collide with the good one's
+      // schema/view/physical names
+      def proj(failLimit: Option[Int], sfx: String): java.nio.file.Path = {
+        val root = java.nio.file.Files.createTempDirectory("graft_dbtd")
+        def w(rel: String, text: String): Unit = {
+          val p = root.resolve(rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.writeString(p, text)
+        }
+        w("dbt_project.yml", "name: dispatchproj\n")
+        // project-level generic test (model-level attachment, kw arg)
+        w("macros/tests.sql",
+          """{% test max_rows(model, limit) %}
+            |SELECT count(*) AS n FROM {{ model }} HAVING count(*) > {{ limit }}
+            |{% endtest %}
+            |""".stripMargin)
+        // vendored package: dispatching macro + spark__/default__ impls,
+        // a call-block macro, and a package generic test
+        w("dbt_packages/utilpkg/dbt_project.yml", "name: utilpkg\n")
+        w("dbt_packages/utilpkg/macros/money.sql",
+          """{% macro money(x) %}{{ return(adapter.dispatch('money', 'utilpkg')(x)) }}{% endmacro %}
+            |{% macro default__money(x) %}round({{ x }}, 1){% endmacro %}
+            |{% macro spark__money(x) %}CAST(round({{ x }}, 2) AS DOUBLE){% endmacro %}
+            |{% macro labeled(tag) %}{{ caller() }} AS {{ tag }}{% endmacro %}
+            |{% test non_negative(model, column_name) %}
+            |SELECT * FROM {{ model }} WHERE {{ column_name }} < 0
+            |{% endtest %}
+            |""".stripMargin)
+        w("models/schema.yml",
+          s"""sources:
+             |  - name: raw
+             |    tables:
+             |      - name: orders
+             |models:
+             |  - name: seg_rev$sfx
+             |    tests:
+             |      - max_rows:
+             |          limit: ${failLimit.getOrElse(1000000)}
+             |    columns:
+             |      - name: rev
+             |        tests:
+             |          - utilpkg.non_negative
+             |""".stripMargin)
+        w(s"models/seg_rev$sfx.sql",
+          s"""{{ config(materialized='table', schema='dbtd$sfx') }}
+            |SELECT o_orderstatus,
+            |{% call utilpkg.labeled('rev') %}{{ utilpkg.money('sum(o_totalprice)') }}{% endcall %}
+            |FROM {{ source('raw', 'orders') }}
+            |GROUP BY o_orderstatus
+            |""".stripMargin)
+        root
+      }
+      val c = ctx(s, dir)
+      c.loadDbtProject(proj(None, "").toString)
+      require(c.model("dbtd.seg_rev").audits.exists(_._1 == "generic_sql"),
+        "package generic tests did not attach as audits")
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+      // a VIOLATED generic test (row count over a 1-row limit) must block
+      val c2 = ctx(s, dir)
+      c2.loadDbtProject(proj(Some(1), "2").toString)
+      require(scala.util.Try(
+        c2.apply(c2.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))).isFailure,
+        "violated max_rows generic test did not block the apply")
+      s.table("dbtd.seg_rev").orderBy("o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus, CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS rev
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // ------------- Scala-bodied model (reference: Python models) ----------
     "mk_scala_model" -> Entry((s, dir) => {
       val c = ctx(s, dir)

@@ -38,9 +38,15 @@ class CacheHygieneSpec extends AnyFunSuite {
         s"rdd#$id($nm)"
     }
 
+  /** The base-table registrations (QueryUtil.registerAll/registerReferenced)
+    * are an ALLOWED residue: a fixed set of 10 idempotent
+    * createOrReplaceTempView names — the Plane-A SQL surface shared across
+    * entries, bounded by construction. Everything else must drop. */
+  private val allowedViews = graft.queries.QueryUtil.tables.toSet
+
   private def tempViews: Set[String] =
     spark.catalog.listTables().collect()
-      .filter(_.isTemporary).map(_.name).toSet
+      .filter(_.isTemporary).map(_.name).toSet -- allowedViews
 
   /** Drop unreachable cached blocks: the ContextCleaner reclaims via weak
     * references, so force collections and poll. Returns true once the

@@ -101,8 +101,16 @@ class AuditsSpec extends AnyFunSuite {
       "column" -> "fk", "to" -> parent, "field" -> "pid") == 1)
   }
 
-  test("the 29 reference builtins + relationships + privacy triad are registered") {
-    assert(Audits.all.size == 33)
+  test("the 29 reference builtins + relationships + privacy triad + generic_sql are registered") {
+    assert(Audits.all.size == 34)
+  }
+
+  test("generic_sql: arbitrary violation query with the table placeholder") {
+    val t = view("gs_t")(Seq((1, "a"), (2, ""), (3, "c")).toDF("id", "v"))
+    assert(violations("generic_sql", t,
+      "sql" -> "SELECT * FROM __GRAFT_THIS__ WHERE v = ''") == 1)
+    assert(violations("generic_sql", t,
+      "sql" -> "SELECT count(*) AS n FROM __GRAFT_THIS__ HAVING count(*) > 10") == 0)
   }
 
   test("k_anonymity flags QI groups below k; NULL QIs group together") {
