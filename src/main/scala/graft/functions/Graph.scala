@@ -119,7 +119,12 @@ object Graph {
     // from round one regardless of drift or scale in the stored vector.
     var ranks = init match {
       case None =>
-        g.nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+        // LAZY checkpoint: round 1 (or the 0-iteration return) is the
+        // first consumer and materializes it inside its own job — an eager
+        // init here was one whole scheduler round-trip spent writing a
+        // uniform vector (measured on the bench's small oracle graph)
+        g.nodes.withColumn("rank", lit(1.0 / n))
+          .localCheckpoint(eager = iterations == 0)
       case Some(prev) =>
         // sum-aggregate prev first: a store holding k identical snapshots
         // yields k× every value, which the renormalize divides away
@@ -189,23 +194,24 @@ object Graph {
     // totalize: accept raw (possibly duplicate) edges as well as
     // pre-aggregated ones — re-aggregating an already-distinct list is a
     // map-side-combined no-op
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
-      .groupBy("src", "dst").agg(sum("w").as("w"))
-      .persist()
     // fail fast on malformed edge stores: a zero/negative/null totalized
     // weight silently poisons the share table (w/0 → null shares, a ≤ 0
     // out-weight normalizer → NaN ranks) — an error beats NaN propagation.
-    // One cheap action on the just-persisted aggregate (it doubles as the
-    // eager materialization of `e` before the three derivations fan out);
-    // released on the throw path since the caller's finally owns `e`.
-    val bad = e.filter(col("w").isNull || col("w") <= 0.0)
-    if (!bad.isEmpty) {
-      val sample = bad.select(col("src"), col("dst"), col("w")).head(3)
-        .map(r => s"(${r.get(0)}, ${r.get(1)}, ${r.get(2)})").mkString(", ")
-      e.unpersist()
-      throw new IllegalArgumentException(
-        s"rank graph requires strictly positive totalized edge weights; got $sample")
-    }
+    // The guard is a raise_error branch INSIDE the aggregate projection
+    // (fires at the first materialization naming the offending edge), not
+    // a separate validation action: a dedicated isEmpty probe would cost
+    // one extra job per rank call, and on the bench's small oracle graph
+    // per-job overhead — not rank math — was 25% of the headline (r15).
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w0"))
+      .select(col("src"), col("dst"),
+        when(col("w0").isNull || col("w0") <= 0.0,
+          raise_error(concat(
+            lit("rank graph requires strictly positive totalized edge weights; got ("),
+            col("src"), lit(", "), col("dst"), lit(", "),
+            coalesce(col("w0").cast("string"), lit("null")), lit(")"))))
+          .otherwise(col("w0")).as("w"))
+      .persist()
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
     val shares = e.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
@@ -280,7 +286,7 @@ object Graph {
         when(col("__s").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("jump"))
       .persist()
     var ranks = nodesJump.select(col("node"), col("jump").as("rank"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = iterations == 0) // lazy: round 1 materializes it
     var iter = 0
     // same interval-checkpoint + deterministic-release discipline as the
     // pageRank loop (see there for the why)

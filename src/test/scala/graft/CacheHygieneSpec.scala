@@ -50,16 +50,26 @@ class CacheHygieneSpec extends AnyFunSuite {
 
   /** Drop unreachable cached blocks: the ContextCleaner reclaims via weak
     * references, so force collections and poll. Returns true once the
-    * block manager is empty. */
-  private def drained(timeoutMs: Long): Boolean = {
+    * block manager holds nothing beyond `baseline`.
+    *
+    * Why a baseline and not "empty": in a full-suite run, earlier suites
+    * in the SAME JVM may hold live references to cached RDDs (running
+    * streaming queries, server singletons) that clearCache cannot remove
+    * and GC legitimately cannot collect. Those are theirs; this gate is
+    * about what THE ENTRIES add — measured as the delta against the
+    * baseline snapshot taken after the initial clearCache. Standalone runs
+    * have an empty baseline, so the check degrades to "empty" there. */
+  private def drained(timeoutMs: Long, baseline: Set[Int] = Set.empty): Boolean = {
+    def extra = spark.sparkContext.getPersistentRDDs.keySet -- baseline
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
-           System.nanoTime() < deadline) {
+    while (extra.nonEmpty && System.nanoTime() < deadline) {
       System.gc()
       Thread.sleep(200)
     }
-    spark.sparkContext.getPersistentRDDs.isEmpty
+    extra.isEmpty
   }
+
+  private def cachedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
 
   /** Run in a method so the frame reference is stack-local and genuinely
     * unreachable when the caller polls the cleaner. collect(), not count():
@@ -72,7 +82,8 @@ class CacheHygieneSpec extends AnyFunSuite {
   test("releaseOnDrop frees a multi-consumer persist once the result drops") {
     import spark.implicits._
     spark.catalog.clearCache()
-    assert(drained(20000), s"pre-existing cached RDDs: $cachedRdds")
+    drained(10000)
+    val baseline = cachedIds
     // run in a method so result/derived are stack-local and collectible
     def run(): Unit = {
       val docs = Seq((1L, "a b. a b. c d"), (2L, "a b. x y")).toDF("doc_id", "text")
@@ -85,15 +96,19 @@ class CacheHygieneSpec extends AnyFunSuite {
           "or paragraphDedup stopped persisting")
     }
     run()
-    assert(drained(20000),
+    assert(drained(20000, baseline),
       s"releaseOnDrop never fired after the result became unreachable: $cachedRdds")
   }
 
   test("every entry leaves no cached RDDs and no temp views behind") {
-    // baseline: clear whatever earlier suites in this JVM left cached
+    // baseline: clear whatever earlier suites in this JVM left cached;
+    // what will not drain is pinned by THEIR live references and is
+    // excluded (delta semantics — see drained())
     spark.catalog.clearCache()
-    assert(drained(20000),
-      s"pre-existing cached RDDs would not drain (leak in a prior suite?): $cachedRdds")
+    drained(10000)
+    val baseline = cachedIds
+    if (baseline.nonEmpty)
+      info(s"excluding ${baseline.size} baseline RDD(s) pinned by earlier suites: $cachedRdds")
     val baseViews = tempViews
     val leaks = scala.collection.mutable.ArrayBuffer.empty[String]
     // incremental report file: a 250-entry failure message overflows every
@@ -109,9 +124,15 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
     java.nio.file.Files.deleteIfExists(report)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val rows = runEntry(fn)
-      assert(rows >= 0)
-      if (spark.sparkContext.getPersistentRDDs.nonEmpty && !drained(15000))
+      // an entry that THROWS here (full-suite session-state interference,
+      // or a genuine break) must name itself in the report — correctness
+      // is the oracle gate's job, this gate only cares about residue
+      try runEntry(fn)
+      catch { case e: Throwable =>
+        note(s"$name threw in the hygiene sweep: " +
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)}")
+      }
+      if ((cachedIds -- baseline).nonEmpty && !drained(15000, baseline))
         note(s"$name left cached RDDs: ${cachedRdds.mkString(", ")}")
       val extraViews = tempViews -- baseViews
       if (extraViews.nonEmpty) {
@@ -120,9 +141,9 @@ class CacheHygieneSpec extends AnyFunSuite {
       }
       // a pinned leak poisons every later entry's check — clear so each
       // entry is judged on its own residue
-      if (spark.sparkContext.getPersistentRDDs.nonEmpty) {
+      if ((cachedIds -- baseline).nonEmpty) {
         spark.catalog.clearCache()
-        drained(5000)
+        drained(5000, baseline)
       }
     }
     assert(leaks.isEmpty,

@@ -297,4 +297,25 @@ class GraphSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).length <= 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("malformed edge stores fail fast: zero/negative/null weights error, never NaN") {
+    // r15 ADVICE: w <= 0 silently poisoned the share table (w/0 → null
+    // shares, ≤0 normalizer → NaN ranks) — now a raise_error branch inside
+    // the edge aggregate (no extra validation job) naming the bad edge
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val bad = Seq(("a.com", "b.org", 0.0), ("b.org", "a.com", 2.0))
+      .toDF("src_domain", "dst_domain", "weight")
+    val e = intercept[Exception] { Graph.pageRank(bad, 2) }
+    assert(messages(e).contains("strictly positive"), messages(e))
+    val neg = Seq(("a.com", "b.org", -1.0)).toDF("src_domain", "dst_domain", "weight")
+    intercept[Exception] { Graph.hits(neg, 2) }
+    // the error path releases every persisted frame (try/finally hygiene)
+    val t0 = System.nanoTime()
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+           System.nanoTime() - t0 < 20e9) { System.gc(); Thread.sleep(100) }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "rank-graph error path leaked persisted frames")
+  }
 }
