@@ -858,6 +858,11 @@ object KindQueries {
       import graft.adapter.{PhysicalTable, SparkMaterializer}
       QueryUtil.registerAll(s, dir)
       val m = new SparkMaterializer(s)
+      // idempotent within one SESSION: EntrySchemaSpec and the hygiene
+      // sweep both replay every entry in one JVM, and the renamed view
+      // survives in the shared catalog — clear our own residue so the
+      // rename's no-clobber contract doesn't trip on it
+      s.sql("DROP VIEW IF EXISTS `graft__ddl`.`rev_gold`")
       def pt(n: String) = PhysicalTable("graft__ddl", n,
         java.nio.file.Files.createTempDirectory(s"ddl_$n").toString)
       val src = pt("src_rev")
