@@ -1153,12 +1153,24 @@ class GraftContext(
     // EnvironmentRecordUpdate + VirtualLayerUpdate (materialized kinds only —
     // EMBEDDED/EXTERNAL have no physical object to point a view at)
     val envCat = SparkMaterializer.envCatalog(p.env, envSuffixTarget, envCatalogMapping)
+    // an EXISTING record remembers where the env's views actually landed
+    // (environment.py stores catalog_name_override for the same reason):
+    // if the configured mapping moved this env to a DIFFERENT catalog since
+    // the last apply, drop the OLD location's whole virtual layer first —
+    // otherwise it keeps serving stale snapshots forever — and demote
+    // removed models where they were actually promoted.
+    val prevRec = state.getEnvironment(p.env)
+    val prevCat = prevRec.flatMap(_.catalog)
+    if (prevRec.nonEmpty && prevCat != envCat)
+      prevRec.get.snapshots.keys.foreach(name =>
+        demoteByName(p.env, name, prevRec.get.suffixTarget, prevCat))
     p.envSnapshots.filter(_.model.kind.isMaterialized).foreach(s =>
       evaluator.promote(s, p.env, devFlags(s.model.name), envSuffixTarget, executionTs,
         envCat))
     p.removed.foreach { name =>
       state.latestSnapshot(name).foreach(s =>
-        evaluator.demote(s, p.env, envSuffixTarget, envCat))
+        evaluator.demote(s, p.env, envSuffixTarget,
+          if (prevRec.nonEmpty) prevCat else envCat))
     }
     state.promoteEnvironment(EnvironmentRecord(
       p.env, p.envSnapshots.map(s => s.model.name -> s.version).toMap, finalized = false,
@@ -1342,8 +1354,14 @@ class GraftContext(
   def envTable(modelName: String, env: String): String = {
     val parts = modelName.split('.')
     val schema = parts.dropRight(1).mkString(".") match { case "" => "default"; case x => x }
-    val (cat, db, view) = SparkMaterializer.envTarget(
-      schema, parts.last, env, envSuffixTarget, envCatalogMapping)
+    // an existing environment's views live where its RECORD says they were
+    // promoted — the configured mapping may have changed since; only an
+    // env with no record yet resolves from current config
+    val rec = state.getEnvironment(env)
+    val cat = rec.map(_.catalog).getOrElse(
+      SparkMaterializer.envCatalog(env, envSuffixTarget, envCatalogMapping))
+    val (db, view) = SparkMaterializer.envLocation(
+      schema, parts.last, env, rec.map(_.suffixTarget).getOrElse(envSuffixTarget))
     cat.map(c => s"`$c`.").getOrElse("") + s"`$db`.`$view`"
   }
 

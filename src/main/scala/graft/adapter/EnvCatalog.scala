@@ -272,11 +272,15 @@ object EnvCatalog {
     val tmp = new Path(dir, s"$table.json.tmp${System.nanoTime()}")
     val out = f.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-    if (f.exists(target)) f.delete(target, false)
-    if (!f.rename(tmp, target)) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(s"publish of $target lost a rename race")
-    }
+    // OVERWRITE rename (FileContext — the old FileSystem.rename has no
+    // overwrite mode): a delete-then-rename would open a window where a
+    // continuously-promoted table resolves to NoSuchTable for concurrent
+    // readers, and two concurrent re-promotes would race each other's
+    // deletes — CREATE OR REPLACE VIEW never behaves that way
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Remove (demote) an entry; harmless if absent. */

@@ -496,10 +496,18 @@ class SparkMaterializer(val spark: SparkSession,
     * union only the session can plan). `virtualProperties` don't apply —
     * catalog entries carry no DDL surface for TBLPROPERTIES. */
   def promoteCatalog(catalog: String, envDb: String, viewName: String,
-                     physical: PhysicalTable): Unit = {
+                     physical: PhysicalTable,
+                     virtualProperties: Map[String, String] = Map.empty): Unit = {
     require(format.name == "dir-versions",
       s"environment catalogs require the dir-version table format " +
         s"(this context uses '${format.name}'); use schema/table suffix targets")
+    // catalog entries carry no DDL surface for TBLPROPERTIES — a model
+    // routing virtual_properties into a catalog target must not lose them
+    // SILENTLY (grants/ownership tooling keys on these)
+    if (virtualProperties.nonEmpty)
+      System.err.println(s"[graft] WARN $catalog.$envDb.$viewName: " +
+        s"virtual_properties (${virtualProperties.keys.toSeq.sorted.mkString(", ")}) " +
+        "are not applicable to environment-catalog entries and were not applied")
     EnvCatalog.ensureRegistered(spark, catalog)
     // capture the visible schema for the no-data-yet window (the catalog
     // analog of the schema-marker empty view)
@@ -510,8 +518,16 @@ class SparkMaterializer(val spark: SparkSession,
     EnvCatalog.writeEntry(spark, catalog, envDb, viewName, physical.root, ddl)
   }
 
-  def demoteCatalog(catalog: String, envDb: String, viewName: String): Unit =
+  def demoteCatalog(catalog: String, envDb: String, viewName: String): Unit = {
+    // self-register like the promote path: a FRESH driver demoting an env
+    // promoted by an earlier session (invalidate/janitor/destroy) has no
+    // runtime conf for the catalog yet — without this, every janitor run
+    // would throw before deleting the env record and wedge cleanup forever.
+    // ensureRegistered derives the same default warehouse deterministically;
+    // a custom-warehouse deployment carries the conf in its session config.
+    EnvCatalog.ensureRegistered(spark, catalog)
     EnvCatalog.dropEntry(spark, catalog, envDb, viewName)
+  }
 }
 
 object SparkMaterializer {

@@ -212,15 +212,28 @@ object Graph {
             coalesce(col("w0").cast("string"), lit("null")), lit(")"))))
           .otherwise(col("w0")).as("w"))
       .persist()
-    val outw = e.groupBy("src").agg(sum("w").as("ow"))
-    val shares = e.join(outw, "src")
-      .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
-      .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().persist()
-    val srcNodes = outw.select(col("src").as("node")).persist()
-    RankGraph(e, shares, nodes, srcNodes)
+    // a failure while BUILDING the derived frames (a pathological schema
+    // failing analysis in the share division, a persist registration
+    // error) must release whatever already registered in the CacheManager
+    // — the caller's try/finally only owns a fully-constructed RankGraph
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](e)
+    try {
+      val outw = e.groupBy("src").agg(sum("w").as("ow"))
+      val shares = e.join(outw, "src")
+        .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
+        .persist()
+      persisted += shares
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct().persist()
+      persisted += nodes
+      val srcNodes = outw.select(col("src").as("node")).persist()
+      RankGraph(e, shares, nodes, srcNodes)
+    } catch { case t: Throwable =>
+      persisted.foreach(df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () })
+      throw t
+    }
   }
 
   /** The dangling-mass 1-row frame and the per-destination contribution

@@ -55,6 +55,8 @@ object Jinja {
     refs.set(refResolver)
     valuesHook.set(columnValues)
     try renderImpl(template, vars, thisModel, macros)
+    catch { case MacroReturn(_) => throw new IllegalArgumentException(
+      "return() outside a macro (dbt allows it only inside {% macro %}/{% test %} bodies)") }
     finally { refs.remove(); valuesHook.remove() }
   }
 
@@ -174,9 +176,22 @@ object Jinja {
         catch { case _: IllegalArgumentException => raw }
     }
     val out = new StringBuilder
-    evalNodes(d.body, out, scope, vars, thisModel)
-    out.toString.trim
+    // {{ return(v) }} anywhere in the body makes the CALL evaluate to v,
+    // discarding text accumulated so far AND skipping the rest of the body
+    // — dbt's return() raises internally to halt the macro, and a
+    // conditional-early-return macro would otherwise render the return
+    // value concatenated with its fallback path's output (corrupt SQL)
+    try {
+      evalNodes(d.body, out, scope, vars, thisModel)
+      out.toString.trim
+    } catch { case MacroReturn(v) => v }
   }
+
+  /** Control-flow carrier for `{{ return(expr) }}` — caught by the nearest
+    * enclosing [[callMacro]]; reaching a render's top level means return()
+    * was used outside a macro, which dbt also rejects. */
+  private final case class MacroReturn(value: String)
+    extends RuntimeException(null, null, false, false)
 
   // ------------------------------------------------------------- parsing
 
@@ -555,11 +570,11 @@ object Jinja {
       case "caller()" =>
         callerStack.get.headOption.getOrElse(
           throw new IllegalArgumentException("caller() outside a {% call %} block"))
-      // dbt `{{ return(expr) }}`: in the macros this engine renders (pure
-      // text templates), the return IS the macro's value — evaluate the
-      // inner expression in place
+      // dbt `{{ return(expr) }}`: evaluate the inner expression, then HALT
+      // the enclosing macro with it as the call's value (thrown to the
+      // nearest callMacro — dbt's own control-flow shape; see MacroReturn)
       case returnRe(inner) if balancedArgs(inner) =>
-        value(inner, vars, bindings, thisModel)
+        throw MacroReturn(value(inner, vars, bindings, thisModel))
       // `adapter.dispatch('m'[, 'pkg'])(args)` — the dbt cross-database
       // fallback chain (dbt-core dispatch semantics): resolve to the most
       // specific implementation macro visible in this render, preferring

@@ -557,7 +557,8 @@ class SnapshotEvaluator(
       s.model.schemaName, s.model.tableName, env, suffixTarget)
     catalog match {
       case Some(c) =>
-        materializer.promoteCatalog(c, db, view, physicalTable(s, dev))
+        materializer.promoteCatalog(c, db, view, physicalTable(s, dev),
+          s.model.virtualProperties)
         s.model.onVirtualUpdate.foreach(st =>
           spark.sql(renderStatement(s, st, Interval(0L, executionTs), executionTs,
             Map.empty, s"`$c`.`$db`.`$view`")))

@@ -36,11 +36,15 @@ object Magics {
     "no context loaded — call Magics.context(<project dir>) first (the %context magic)"))
 
   private val D = 86400000L
-  /** `yyyy-MM-dd` → epoch ms at UTC midnight; `yyyy-MM-ddTHH:mm` passes
-    * through Instant parsing for finer grains. */
+  /** `yyyy-MM-dd` → epoch ms at UTC midnight; ISO timestamps (with or
+    * without seconds, with or without a trailing `Z`) parse as UTC. */
   private def ms(s: String): Long =
-    if (s.contains("T")) java.time.Instant.parse(if (s.endsWith("Z")) s else s + ":00Z").toEpochMilli
-    else java.time.LocalDate.parse(s).toEpochDay * D
+    if (s.contains("T")) {
+      val base = s.stripSuffix("Z")
+      // Instant.parse demands seconds — pad minute-precision input
+      val withSecs = if (base.count(_ == ':') == 1) base + ":00" else base
+      java.time.Instant.parse(withSecs + "Z").toEpochMilli
+    } else java.time.LocalDate.parse(s).toEpochDay * D
   private def today: Long = (System.currentTimeMillis() / D) * D
 
   /** %context — load (or reload) a project directory into a held context.

@@ -328,4 +328,55 @@ class MacroSpec extends AnyFunSuite {
     assert(e.render("{% set xs = ['a', 'b'] %}{% for x in xs %}{{ x }};{% endfor %}") ==
       "a;b;")
   }
+
+  test("jinja: return() halts the macro — conditional early return, body discarded") {
+    // dbt's return() makes the CALL evaluate to the returned value and
+    // SKIPS the rest of the body: the classic conditional-early-return
+    // shape must not concatenate the fallback path's output
+    val t = """{% macro m(flag) %}{% if flag == 'y' %}{{ return('*') }}{% endif %}FALLBACK{% endmacro %}"""
+    assert(Jinja.render(t + "{{ m('y') }}", Map.empty) == "*")
+    assert(Jinja.render(t + "{{ m('n') }}", Map.empty) == "FALLBACK")
+    // text accumulated BEFORE the return is discarded — the value IS the call
+    assert(Jinja.render(
+      "{% macro r() %}garbage {{ return(42) }} more{% endmacro %}{{ r() }}",
+      Map.empty) == "42")
+    // nested: inner macro's return stops only the inner macro
+    assert(Jinja.render(
+      "{% macro inner() %}{{ return('I') }}{% endmacro %}" +
+        "{% macro outer() %}[{{ inner() }}]{% endmacro %}{{ outer() }}",
+      Map.empty) == "[I]")
+    // top-level return is a named error, like dbt
+    val e2 = intercept[IllegalArgumentException] {
+      Jinja.render("{{ return(1) }}", Map.empty)
+    }
+    assert(e2.getMessage.contains("outside a macro"))
+  }
+
+  test("jinja: {% test %} blocks register as test_* macros") {
+    val defs = Jinja.parseMacros(
+      "{% test positive(model, column_name) %}SELECT * FROM {{ model }} WHERE {{ column_name }} < 0{% endtest %}")
+    assert(defs.keySet == Set("test_positive"))
+    assert(Jinja.render(
+      "{% test positive(model, column_name) %}SELECT * FROM {{ model }} WHERE {{ column_name }} < 0{% endtest %}" +
+        "{{ test_positive(t1, amount) }}", Map.empty) ==
+      "SELECT * FROM t1 WHERE amount < 0")
+  }
+
+  test("jinja: adapter.dispatch resolves spark__ over default__ across namespaces") {
+    val t =
+      "{% macro default__money(x) %}round({{ x }}, 1){% endmacro %}" +
+        "{% macro spark__money(x) %}CAST(round({{ x }}, 2) AS DOUBLE){% endmacro %}" +
+        "{% macro money(x) %}{{ return(adapter.dispatch('money')(x)) }}{% endmacro %}"
+    assert(Jinja.render(t + "{{ money('sum(v)') }}", Map.empty) ==
+      "CAST(round(sum(v), 2) AS DOUBLE)")
+    // default__ only: the fallback chain lands there
+    val d = "{% macro default__only(x) %}D:{{ x }}{% endmacro %}"
+    assert(Jinja.render(
+      d + "{{ adapter.dispatch('only')('q') }}", Map.empty) == "D:q")
+    // no implementation at all is a named error
+    val e3 = intercept[IllegalArgumentException] {
+      Jinja.render("{{ adapter.dispatch('ghost')(1) }}", Map.empty)
+    }
+    assert(e3.getMessage.contains("ghost"))
+  }
 }
