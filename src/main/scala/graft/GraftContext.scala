@@ -1161,15 +1161,20 @@ class GraftContext(
     // removed models where they were actually promoted.
     val prevRec = state.getEnvironment(p.env)
     val prevCat = prevRec.flatMap(_.catalog)
-    if (prevRec.nonEmpty && prevCat != envCat)
+    // the env MOVED location if the catalog OR the suffix target changed —
+    // both change every view's name, and the old names would keep serving
+    // stale snapshots forever if not dropped here
+    if (prevRec.exists(r => prevCat != envCat || r.suffixTarget != envSuffixTarget))
       prevRec.get.snapshots.keys.foreach(name =>
         demoteByName(p.env, name, prevRec.get.suffixTarget, prevCat))
     p.envSnapshots.filter(_.model.kind.isMaterialized).foreach(s =>
       evaluator.promote(s, p.env, devFlags(s.model.name), envSuffixTarget, executionTs,
         envCat))
     p.removed.foreach { name =>
+      // removed models were promoted under the PREVIOUS record's naming
       state.latestSnapshot(name).foreach(s =>
-        evaluator.demote(s, p.env, envSuffixTarget,
+        evaluator.demote(s, p.env,
+          prevRec.map(_.suffixTarget).getOrElse(envSuffixTarget),
           if (prevRec.nonEmpty) prevCat else envCat))
     }
     state.promoteEnvironment(EnvironmentRecord(

@@ -279,16 +279,24 @@ object EnvCatalog {
     // deletes — CREATE OR REPLACE VIEW never behaves that way
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+    try fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case t: Throwable =>
+      // don't litter the db dir with uniquely-named orphans across retries
+      try f.delete(tmp, false) catch { case _: Throwable => () }
+      throw t
+    }
   }
 
-  /** Remove (demote) an entry; harmless if absent. */
+  /** Remove (demote) an entry; harmless if absent. Returns whether an
+    * entry actually existed — callers use it to surface a
+    * possibly-misconfigured warehouse (see
+    * [[SparkMaterializer.demoteCatalog]]). */
   def dropEntry(spark: SparkSession, catalog: String, db: String,
-                table: String): Unit = {
+                table: String): Boolean = {
     val wh = requireEnvCatalog(spark, catalog)
     val p = new Path(new Path(wh, db), s"$table.json")
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (f.exists(p)) f.delete(p, false)
+    f.exists(p) && f.delete(p, false)
   }
 }

@@ -526,7 +526,18 @@ class SparkMaterializer(val spark: SparkSession,
     // ensureRegistered derives the same default warehouse deterministically;
     // a custom-warehouse deployment carries the conf in its session config.
     EnvCatalog.ensureRegistered(spark, catalog)
-    EnvCatalog.dropEntry(spark, catalog, envDb, viewName)
+    val existed = EnvCatalog.dropEntry(spark, catalog, envDb, viewName)
+    // demote proceeds (cleanup must not wedge), but an ABSENT entry is
+    // worth a loud line: if this session's derived warehouse differs from
+    // the one the entry was actually written under (warehousePath changed
+    // between drivers without pinning spark.sql.catalog.<c>.warehouse),
+    // the real entry is leaking elsewhere
+    if (!existed)
+      System.err.println(s"[graft] WARN demote of $catalog.$envDb.$viewName " +
+        s"found no entry under warehouse " +
+        s"${spark.conf.get(s"spark.sql.catalog.$catalog.warehouse")} — " +
+        "if the env was promoted under a different warehouse, pin " +
+        s"spark.sql.catalog.$catalog.warehouse and re-run the demote")
   }
 }
 

@@ -721,6 +721,32 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(spark.table("mart.ovu_marker").head().getLong(0) == 11)
   }
 
+  test("an environment MOVING location (suffix target change) drops its old views") {
+    // same workspace (shared durable state), configured target changes
+    // between applies: the old location's views must be demoted or they
+    // serve stale snapshots forever
+    val ws = SparkTestSession.tmpDir("ws-move")
+    val c1 = new GraftContext(spark, ws, concurrency = 2, durableState = true,
+      envSuffixTarget = "schema")
+    c1.addExternal("raw.orders", s"$sf/orders.parquet")
+    c1.addModel(Model("mart.mv",
+      SqlBody("SELECT o_orderkey FROM raw.orders LIMIT 5"), kind = ModelKind.Full))
+    c1.apply(c1.plan("dev_m", 0, D))
+    assert(spark.table("mart__dev_m.mv").count() == 5)
+    val c2 = new GraftContext(spark, ws, concurrency = 2, durableState = true,
+      envSuffixTarget = "table")
+    c2.addExternal("raw.orders", s"$sf/orders.parquet")
+    c2.addModel(Model("mart.mv",
+      SqlBody("SELECT o_orderkey FROM raw.orders LIMIT 5"), kind = ModelKind.Full))
+    c2.apply(c2.plan("dev_m", 0, D))
+    assert(spark.table("mart.mv__dev_m").count() == 5)
+    assert(!spark.catalog.tableExists("mart__dev_m.mv"),
+      "suffix-target move left the old schema-suffixed view serving stale data")
+    // and the record now demotes at the NEW location
+    c2.invalidateEnvironment("dev_m")
+    assert(!spark.catalog.tableExists("mart.mv__dev_m"))
+  }
+
   test("TABLE suffix target puts dev views in the prod schema, suffixed") {
     val ctx = new GraftContext(spark, SparkTestSession.tmpDir("ws"), concurrency = 2,
       envSuffixTarget = "table")

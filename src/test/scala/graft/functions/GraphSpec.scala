@@ -316,8 +316,12 @@ class GraphSpec extends AnyFunSuite {
     assert(messages(e).contains("strictly positive"), messages(e))
     val neg = Seq(("a.com", "b.org", -1.0)).toDF("src_domain", "dst_domain", "weight")
     intercept[Exception] { Graph.hits(neg, 2) }
-    // the error path releases every persisted frame (try/finally hygiene)
-    def extra = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    // the error path releases every persisted frame (try/finally hygiene).
+    // Track ONLY ids created during the failing calls: a concurrently
+    // running suite (sbt runs suites in parallel threads) persisting its
+    // own long-lived frame after our baseline must not flake this
+    val created = spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
+    def extra = spark.sparkContext.getPersistentRDDs.keySet.toSet intersect created
     val t0 = System.nanoTime()
     while (extra.nonEmpty && System.nanoTime() - t0 < 20e9) {
       System.gc(); Thread.sleep(100)
