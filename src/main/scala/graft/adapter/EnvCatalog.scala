@@ -123,23 +123,67 @@ final class EnvCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     fs(entryPath(ident)).exists(entryPath(ident))
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadVersion(ident, pickCurrent)
+
+  /** `SELECT ... FROM cat.db.t VERSION AS OF <n>` — DSv2 time travel,
+    * mapped onto the dir-version scheme's `v<n>` snapshot dirs (the
+    * catalog analog of [[graft.GraftContext]]'s `timeTravel`). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.stripPrefix("v").toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"EnvCatalog versions are the physical v<N> snapshot numbers; got '$version'"))
+    loadVersion(ident, vs => {
+      if (!vs.contains(v)) throw new IllegalArgumentException(
+        s"${ident.name()} has no version $v (have: ${vs.mkString(",")})")
+      Some(v)
+    })
+  }
+
+  /** `TIMESTAMP AS OF` — the newest snapshot whose dir was committed at or
+    * before the timestamp (micros since epoch per the DSv2 contract). The
+    * dir scheme carries no commit log, so dir modification time is the
+    * commit time — exact for the rename-published snapshots this engine
+    * writes. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadVersion(ident, { vs =>
+      val (root, _) = entryOf(ident)
+      val rf = fs(root)
+      val at = vs.filter { v =>
+        rf.getFileStatus(new Path(root, s"v$v")).getModificationTime <=
+          timestampMicros / 1000L
+      }
+      if (at.isEmpty) throw new IllegalArgumentException(
+        s"${ident.name()}: no snapshot at or before timestamp")
+      at.sorted.lastOption
+    })
+
+  /** newest version = the current snapshot (view-repoint semantics). */
+  private val pickCurrent: Seq[Int] => Option[Int] = _.sorted.lastOption
+
+  private def entryOf(ident: Identifier): (Path, Option[String]) = {
     val p = entryPath(ident); val f = fs(p)
     if (!f.exists(p)) throw new NoSuchTableException(ident)
     val in = f.open(p)
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    val root = new Path(node.get("root").asText())
-    val schemaDdl = Option(node.get("schema_ddl")).map(_.asText()).filter(_.nonEmpty)
-    // current snapshot, resolved NOW (the view-repoint semantics): the
-    // newest v<N> dir under the physical root
+    (new Path(node.get("root").asText()),
+      Option(node.get("schema_ddl")).map(_.asText()).filter(_.nonEmpty))
+  }
+
+  private def loadVersion(ident: Identifier,
+                          pick: Seq[Int] => Option[Int]): Table = {
+    val (root, schemaDdl) = entryOf(ident)
+    // snapshot resolved NOW (the view-repoint semantics): version dirs are
+    // re-listed per load, so a new commit under the same root is visible
+    // without a re-promote
     val rf = fs(root)
-    val current =
-      if (!rf.exists(root)) None
+    val versions =
+      if (!rf.exists(root)) Nil
       else rf.listStatus(root).map(_.getPath.getName)
-        .filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted.lastOption
-        .map(v => new Path(root, s"v$v"))
-    val hasParquet = current.exists { dir =>
+        .filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted.toSeq
+    val chosen = pick(versions).map(v => new Path(root, s"v$v"))
+    val hasParquet = chosen.exists { dir =>
       val it = rf.listFiles(dir, true)
       var found = false
       while (!found && it.hasNext)
@@ -150,7 +194,7 @@ final class EnvCatalog extends TableCatalog with SupportsNamespaces {
     val inner =
       if (hasParquet)
         ParquetTable(fullName, spark, CaseInsensitiveStringMap.empty(),
-          Seq(current.get.toString), None,
+          Seq(chosen.get.toString), None,
           classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
       else {
         // no data yet (or schema-marker-only snapshot): an empty table with

@@ -35,6 +35,9 @@ object Jinja {
     * dbt's `statement`/logging idioms). */
   private final case class CallBlock(call: String, body: Seq[Node]) extends Node
 
+  /** `{% do expr %}` — evaluate for effect, emit nothing. */
+  private final case class DoStmt(expr: String) extends Node
+
   /** A `{% macro name(a, b='x') %} … {% endmacro %}` definition: params with
     * optional defaults and the parsed body, invoked as `{{ name(...) }}`
     * (reference utils/jinja.py MacroExtractor / dbt project `macros/`). */
@@ -122,6 +125,8 @@ object Jinja {
         if (e.trim.startsWith("[")) e.trim
         else value(e, vars, bindings.toMap, thisModel)
     case MacroNode(_) => () // definitions emit nothing
+    case DoStmt(e) =>
+      value(e, vars, bindings.toMap, thisModel); () // effect only
     case CallBlock(call, body) =>
       val inner = new StringBuilder
       evalNodes(body, inner, bindings, vars, thisModel)
@@ -285,6 +290,11 @@ object Jinja {
               val call = st.stripPrefix("call").trim
               val (body, r) = parseNodes(rest.tail, Seq("endcall"))
               nodes += CallBlock(call, body); rest = r.tail
+            case "do" =>
+              // `{% do expr %}` — evaluate for effect, discard the output
+              // (dbt uses it for log()/list mutation; here the effectful
+              // surface is log/raise_compiler_error/macro calls)
+              nodes += DoStmt(st.stripPrefix("do").trim); rest = rest.tail
             case "macro" =>
               val m = "(?is)macro\\s+([A-Za-z_]\\w*)\\s*\\((.*)\\)\\s*".r
               st match {
@@ -358,6 +368,13 @@ object Jinja {
 
   /** `return(expr)` — dbt macro early-return sugar. */
   private val returnRe = "(?s)^return\\s*\\((.*)\\)$".r
+
+  /** `log(msg[, info=...])` — dbt logging builtin. */
+  private val logRe = "(?s)^log\\s*\\((.*)\\)$".r
+
+  /** `exceptions.raise_compiler_error(msg)` — dbt's guard-clause throw. */
+  private val raiseRe =
+    "(?s)^exceptions\\s*\\.\\s*raise_compiler_error\\s*\\((.*)\\)$".r
 
   /** `adapter.dispatch('m'[, 'pkg'])(args)`: group 1 = macro name,
     * group 2 = optional namespace package, group 3 = the outer arg list. */
@@ -570,6 +587,21 @@ object Jinja {
       case "caller()" =>
         callerStack.get.headOption.getOrElse(
           throw new IllegalArgumentException("caller() outside a {% call %} block"))
+      // dbt `log('msg'[, info=true])` — stderr line, renders to nothing
+      // (packages call it liberally; silently failing on it would reject
+      // whole vendored macro files)
+      case logRe(argSrc) if balancedArgs(argSrc) && !macroEnv.get.contains("log") =>
+        val msg = splitArgs(argSrc).headOption
+          .map(a => value(a, vars, bindings, thisModel)).getOrElse("")
+        System.err.println(s"[graft] dbt log: $msg")
+        ""
+      // dbt `exceptions.raise_compiler_error('msg')` — the package
+      // guard-clause idiom (bad arguments, unsupported adapters): a named
+      // error carrying the rendered message
+      case raiseRe(argSrc) if balancedArgs(argSrc) =>
+        val msg = splitArgs(argSrc).headOption
+          .map(a => value(a, vars, bindings, thisModel)).getOrElse("")
+        throw new IllegalArgumentException(s"dbt compiler error: $msg")
       // dbt `{{ return(expr) }}`: evaluate the inner expression, then HALT
       // the enclosing macro with it as the call's value (thrown to the
       // nearest callMacro — dbt's own control-flow shape; see MacroReturn)

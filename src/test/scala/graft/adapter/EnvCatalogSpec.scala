@@ -43,6 +43,29 @@ class EnvCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM ec_repoint.mart.m WHERE id = 3").head.getString(0) == "c")
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF time travel through the catalog") {
+    freshCatalog("ec_tt")
+    val root = java.nio.file.Files.createTempDirectory("ec_root_tt").toString
+    writeSnapshot(root, 1, Seq((1L, "a")).toDF("id", "v"))
+    writeSnapshot(root, 2, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    EnvCatalog.writeEntry(spark, "ec_tt", "mart", "t", root, None)
+    assert(spark.table("ec_tt.mart.t").count() == 2) // current = v2
+    assert(spark.sql("SELECT * FROM ec_tt.mart.t VERSION AS OF 1").count() == 1)
+    assert(spark.sql("SELECT * FROM ec_tt.mart.t VERSION AS OF 2").count() == 2)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM ec_tt.mart.t VERSION AS OF 9").collect()
+    }
+    assert(e.getMessage.contains("no version 9"))
+    // TIMESTAMP AS OF: dir mtime is the commit time in the dir scheme —
+    // a far-future timestamp sees the newest snapshot, a far-past one errors
+    assert(spark.sql(
+      "SELECT * FROM ec_tt.mart.t TIMESTAMP AS OF '2099-01-01'").count() == 2)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM ec_tt.mart.t TIMESTAMP AS OF '1990-01-01'").collect()
+    }
+    assert(e2.getMessage.contains("no snapshot at or before"))
+  }
+
   test("managed __graft_* partition columns are hidden; pushdown still works") {
     freshCatalog("ec_pruned")
     val root = java.nio.file.Files.createTempDirectory("ec_root2").toString

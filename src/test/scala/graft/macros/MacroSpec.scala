@@ -362,6 +362,22 @@ class MacroSpec extends AnyFunSuite {
       "SELECT * FROM t1 WHERE amount < 0")
   }
 
+  test("jinja: {% do %}, log(), exceptions.raise_compiler_error()") {
+    // do: effect only, emits nothing; log: stderr, renders empty
+    assert(Jinja.render("a{% do log('hi') %}b", Map.empty) == "ab")
+    assert(Jinja.render("x{{ log('msg') }}y", Map.empty) == "xy")
+    // raise_compiler_error: the dbt package guard-clause idiom
+    val e = intercept[IllegalArgumentException] {
+      Jinja.render(
+        "{% macro g(x) %}{% if x == 'bad' %}{% do exceptions.raise_compiler_error(x) %}{% endif %}OK{% endmacro %}{{ g('bad') }}",
+        Map.empty)
+    }
+    assert(e.getMessage.contains("bad"))
+    assert(Jinja.render(
+      "{% macro g(x) %}{% if x == 'bad' %}{% do exceptions.raise_compiler_error('no') %}{% endif %}OK{% endmacro %}{{ g('fine') }}",
+      Map.empty) == "OK")
+  }
+
   test("jinja: adapter.dispatch resolves spark__ over default__ across namespaces") {
     val t =
       "{% macro default__money(x) %}round({{ x }}, 1){% endmacro %}" +
