@@ -220,11 +220,24 @@ class GraftContext(
     standaloneAudits(a.name) = a; this
   }
 
+  /** Directory of the last-loaded project — the working directory `git:`
+    * selections resolve against (reference Selector context_path, default
+    * "."). */
+  private var projectDirOpt: Option[String] = None
+
+  /** Changed-file resolver for `git:<branch>` selector nodes: a fresh
+    * GitClient per expansion (reference selector.py:50 constructs one per
+    * Selector), so a long-lived context always sees the repo's CURRENT
+    * state. Driver-side subprocess metadata only — never on an executor. */
+  private[graft] def gitChangedFiles: String => Set[String] =
+    branch => new GitClient(projectDirOpt.getOrElse(".")).changedFiles(branch)
+
   /** Load every `*.sql` file under `dir` (reference Loader.load,
     * core/loader.py:191): `MODEL (...)` headers become models,
     * `AUDIT (...)` headers become standalone audits, `METRIC (...)` headers
     * become semantic-layer metrics. */
   def loadModels(dir: String): this.type = {
+    projectDirOpt = Some(dir)
     val (ms, audits, metricDefs) = graft.loader.ModelLoader.loadProject(dir)
     // disabled models are skipped entirely (reference meta.py:112 `enabled`)
     ms.filter(_.enabled).foreach(addModel)
@@ -316,6 +329,7 @@ class GraftContext(
     * them (`addExternal(src.relation, path)`). */
   def loadDbtProject(dir: String, vars: Map[String, String] = Map.empty,
                      target: Option[String] = None): Seq[graft.loader.DbtLoader.DbtSource] = {
+    projectDirOpt = Some(dir)
     val p = graft.loader.DbtLoader.loadProject(dir, vars, target)
     p.models.foreach(addModel)
     extraVariables ++= p.vars
@@ -581,7 +595,8 @@ class GraftContext(
     }
     val chosen: String => Boolean =
       if (select.isEmpty) _ => true
-      else ModelSelector.expand(select, snapsByName.map { case (n, s) => n -> s.model }.toMap)
+      else ModelSelector.expand(select, snapsByName.map { case (n, s) => n -> s.model }.toMap,
+        changedFiles = gitChangedFiles)
     snapsByName.collect { case (name, s)
         if s.model.kind.isMaterialized && chosen(name) =>
       name -> IntervalAlgebra.merge(s.missingIntervals(start, end)).toSeq
@@ -745,7 +760,8 @@ class GraftContext(
       skipBackfill: Boolean = false,
       /** `--select-model` selector expressions (reference selector.py):
         * `name`, `schema.*` wildcards, `+name` (include upstream), `name+`
-        * (downstream), `tag:pat`, `^` NOT, `&`/`|`, parens. Local changes to
+        * (downstream), `tag:pat`, `git:branch` (models whose source file
+        * changed vs the branch), `^` NOT, `&`/`|`, parens. Local changes to
         * UNSELECTED models are left out of the plan — their currently-promoted
         * snapshot is kept (plan/builder.py select_models). Empty = all. */
       select: Seq[String] = Nil,
@@ -778,7 +794,7 @@ class GraftContext(
       "effective_from requires a forward-only plan (plan/builder.py:239)")
     val selectedSet: Set[String] =
       if (select.isEmpty) models.keySet.toSet
-      else ModelSelector.expand(select, models.toMap)
+      else ModelSelector.expand(select, models.toMap, changedFiles = gitChangedFiles)
     def selected(name: String): Boolean = selectedSet.contains(name)
     // selectors: unselected models fingerprint (and cascade to dependents)
     // with their promoted definition, not the local edit; unselected NEW
@@ -906,13 +922,16 @@ class GraftContext(
       emptyBackfill = emptyBackfill,
       backfillSelected =
         if (backfill.isEmpty) None
-        else Some(ModelSelector.expand(backfill, models.toMap)),
+        else Some(ModelSelector.expand(backfill, models.toMap,
+          changedFiles = gitChangedFiles)),
       allowDestructive =
         if (allowDestructiveModels.isEmpty) Set.empty
-        else ModelSelector.expand(allowDestructiveModels, models.toMap),
+        else ModelSelector.expand(allowDestructiveModels, models.toMap,
+          changedFiles = gitChangedFiles),
       allowAdditive =
         if (allowAdditiveModels.isEmpty) Set.empty
-        else ModelSelector.expand(allowAdditiveModels, models.toMap),
+        else ModelSelector.expand(allowAdditiveModels, models.toMap,
+          changedFiles = gitChangedFiles),
       includeUnmodified = includeUnmodified,
       minIntervals = minIntervals)
   }
@@ -1236,7 +1255,8 @@ class GraftContext(
       else {
         val byName = allSnaps.map(s => s.model.name -> s).toMap
         val selected = ModelSelector.expand(selectModels,
-          allSnaps.map(s => s.model.name -> s.model).toMap)
+          allSnaps.map(s => s.model.name -> s.model).toMap,
+          changedFiles = gitChangedFiles)
         // `--select-model` always includes upstream dependencies so the
         // selected models read fresh inputs; --no-auto-upstream opts out
         var wanted = selected

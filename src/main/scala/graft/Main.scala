@@ -396,7 +396,8 @@ object Main {
               val changed = ctx.changedModelsBetween(src, tgt)
               val sel = flagAll("select")
               if (sel.isEmpty) changed
-              else changed.filter(graft.core.ModelSelector.expand(sel, all))
+              else changed.filter(graft.core.ModelSelector.expand(sel, all,
+                changedFiles = ctx.gitChangedFiles))
           }
           if (modelOpt.isEmpty)
             out.println(s"${targets.size} changed model(s) between $src and $tgt")

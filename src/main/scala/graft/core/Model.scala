@@ -92,7 +92,12 @@ final case class Model(
     /** per-model linter opt-outs (reference `ignored_rules` model property,
       * linter/definition.py:63): these rules never report for THIS model.
       * Lint metadata only — excluded from both hashes. */
-    ignoredRules: Set[String] = Set.empty) {
+    ignoredRules: Set[String] = Set.empty,
+    /** absolute path of the file this model was loaded from (reference
+      * `_path` on Node): selector metadata only — `git:<branch>` selections
+      * match models whose file is in the repo's changed set. Excluded from
+      * both hashes (moving a file is never a data change). */
+    sourcePath: Option[String] = None) {
 
   require(name.nonEmpty)
   def schemaName: String = name.split('.').dropRight(1).mkString(".") match {

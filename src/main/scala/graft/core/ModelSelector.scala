@@ -9,7 +9,7 @@ package graft.core
   *   conjunction:= unary ('&' unary)? ('|' conjunction)?
   *   unary      := '^' unary | var                      -- '^' = NOT
   *   var        := '+'? kind? pattern '+'? | '+'? '(' conjunction ')' '+'?
-  *   kind       := 'tag:' | 'resource_type:'            -- ('git:' needs a repo; unsupported)
+  *   kind       := 'tag:' | 'resource_type:' | 'git:'
   *   pattern    := name with optional '*' wildcards
   * Leading '+' adds all upstream models of each match, trailing '+' all
   * downstream. Multiple selections are OR'd together (selector.py:183).
@@ -19,6 +19,9 @@ object ModelSelector {
   sealed trait Node
   final case class Pat(pattern: String) extends Node
   final case class TagPat(pattern: String) extends Node
+  /** `git:<branch>` — models whose source file changed vs the branch
+    * (selector.py:214 Git node; needs a changed-file resolver at expand). */
+  final case class GitPat(branch: String) extends Node
   final case class Resource(tpe: String) extends Node
   final case class Not(n: Node) extends Node
   final case class And(l: Node, r: Node) extends Node
@@ -56,7 +59,7 @@ object ModelSelector {
       // kind prefix: tag: / resource_type:
       val save = i
       val kind = name().toLowerCase match {
-        case k @ ("tag" | "resource_type") if eat(':') => Some(k)
+        case k @ ("tag" | "resource_type" | "git") if eat(':') => Some(k)
         case _ => i = save; None
       }
       var node: Node =
@@ -72,6 +75,7 @@ object ModelSelector {
           kind match {
             case Some("tag")           => TagPat(n.toLowerCase)
             case Some("resource_type") => Resource(n.toLowerCase)
+            case Some("git")           => GitPat(n)
             case _                     => Pat(n)
           }
         }
@@ -103,7 +107,11 @@ object ModelSelector {
     * `+orders` works against `db.orders` like the reference's normalization.
     */
   def expand(selections: Seq[String], models: Map[String, Model],
-             isAudit: Set[String] = Set.empty): Set[String] = {
+             isAudit: Set[String] = Set.empty,
+             changedFiles: String => Set[String] = branch =>
+               throw new IllegalArgumentException(
+                 s"git:$branch selection needs a project-backed context " +
+                   "(load models from a directory inside a git repository)")): Set[String] = {
     if (selections.isEmpty) return models.keySet
     val node = selections.map(parse).reduceLeft[Node](Or(_, _))
     val byTag: Map[String, Set[String]] = models.values
@@ -130,6 +138,11 @@ object ModelSelector {
 
     def eval(n: Node): Set[String] = n match {
       case Pat(p)    => models.keySet.filter(nameMatches(p, _))
+      case GitPat(branch) =>
+        // match on the models' load-time source paths (absolute-normalized
+        // on both sides); one git invocation per selector node
+        val changed = changedFiles(branch)
+        models.collect { case (n, m) if m.sourcePath.exists(changed) => n }.toSet
       case TagPat(p) =>
         if (p.contains('*')) byTag.collect { case (t, ms) if matches(p, t) => ms }.flatten.toSet
         else byTag.getOrElse(p, Set.empty)

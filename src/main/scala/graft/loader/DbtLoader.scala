@@ -125,7 +125,13 @@ object DbtLoader {
       "target.schema" -> t.schema.getOrElse(""),
       "target.database" -> t.database.getOrElse(""),
       "target.threads" -> t.threads.toString))
-    val allVars = pkgVars ++ vars ++ targetVars // project vars win over package vars
+    // project vars win over package vars; the sqlmesh globals mirror the
+    // reference's dbt jinja environment (dbt/builtin.py:424-425
+    // BUILTIN_GLOBALS sqlmesh=True, sqlmesh_incremental=True) — dbt packages
+    // branch on `{% if sqlmesh_incremental is defined %}` to use interval
+    // vars instead of the max-lookup incremental pattern
+    val allVars = Map("sqlmesh" -> "True", "sqlmesh_incremental" -> "True") ++
+      pkgVars ++ vars ++ targetVars
     // dbt refs are project-internal SHORT names ({{ ref('stg_orders') }});
     // resolve them here, where the whole registry is known — so both
     // dependency extraction and rendering see the full model name. Package
@@ -249,8 +255,15 @@ object DbtLoader {
       }
       val dispatched = dispatchRefRe.findAllMatchIn(text).flatMap { dm =>
         val n = dm.group(1); val pkg = Option(dm.group(2))
-        Seq(s"spark__$n", s"default__$n") ++
-          pkg.toSeq.flatMap(p => Seq(s"${p}__spark__$n", s"${p}__default__$n"))
+        // no explicit namespace → every loaded package's implementations are
+        // candidates too (dbt's global macro namespace: a package calling
+        // adapter.dispatch('m') resolves to ANY package's spark__m/default__m)
+        val pkgScoped = pkg match {
+          case Some(p) => Seq(s"${p}__spark__$n", s"${p}__default__$n")
+          case None => allMacroNames.filter(k =>
+            k.endsWith(s"__spark__$n") || k.endsWith(s"__default__$n")).toSeq.sorted
+        }
+        Seq(s"spark__$n", s"default__$n") ++ pkgScoped
       }.filter(allMacroNames.contains).toSet
       direct ++ dispatched
     }
@@ -308,8 +321,13 @@ object DbtLoader {
                     s"[graft] WARN unsupported dbt test '$t' on ${m.name}")
                   Nil
                 case Some(k) =>
+                  // the column binds as a STRING LITERAL: a bare identifier
+                  // would resolve through the evaluator's binding/var lookup
+                  // first, so a column named like a project var substitutes
+                  // the var's value and tests the wrong expression
                   val callArgs = Seq("model=__GRAFT_THIS__") ++
-                    args.get("column").map(c => s"column_name=$c") ++
+                    args.get("column").map(c =>
+                      s"column_name='${c.replace("'", "''")}'") ++
                     args.collect { case (ak, av) if ak.startsWith("__arg_") =>
                       s"${ak.stripPrefix("__arg_")}=$av" }.toSeq.sorted
                   val callSrc = s"{{ $k(${callArgs.mkString(", ")}) }}"
@@ -382,7 +400,8 @@ object DbtLoader {
       partitionedBy = cfg.get("partition_by").map(splitList).getOrElse(Nil),
       clusteredBy = cfg.get("cluster_by").map(splitList).getOrElse(Nil),
       preStatements = cfg.get("sql_header").toSeq ++ hooks("pre_hook"),
-      postStatements = hooks("post_hook")))
+      postStatements = hooks("post_hook"),
+      sourcePath = Some(p.toAbsolutePath.normalize.toString)))
   }
 
   /** Materialization → ModelKind, following reference model.py:272
@@ -487,6 +506,21 @@ object DbtLoader {
 
   // ----------------------------------------------------- schema.yml tests
 
+  /** A schema.yml test kwarg value → the Jinja literal the macro call embeds.
+    * Scalars render as themselves (strings quoted); YAML lists/objects recurse
+    * into `[...]`/`{...}` literals — Jackson's `asText()` is "" for container
+    * nodes, which would silently hand the test macro an empty string. */
+  private def jinjaArgLiteral(v: com.fasterxml.jackson.databind.JsonNode): String =
+    if (v.isNumber || v.isBoolean) v.asText
+    else if (v.isNull) "none"
+    else if (v.isArray)
+      v.elements().asScala.map(jinjaArgLiteral).mkString("[", ", ", "]")
+    else if (v.isObject)
+      v.properties().asScala.map(e =>
+        "'" + e.getKey.replace("'", "''") + "': " + jinjaArgLiteral(e.getValue))
+        .mkString("{", ", ", "}")
+    else "'" + v.asText.replace("'", "''") + "'"
+
   /** `models:` blocks in schema yml → per-model audits (the dbt column-test
     * surface, mapped onto the builtin audit templates):
     * `unique` → unique_values, `not_null` → not_null, `accepted_values` →
@@ -505,10 +539,7 @@ object DbtLoader {
           if (t.isTextual) Some("__dbt_generic__" -> Map("test" -> t.asText))
           else t.properties().asScala.toSeq.headOption.map { e =>
             val kw = e.getValue.properties().asScala.map { f =>
-              val v = f.getValue
-              s"__arg_${f.getKey}" ->
-                (if (v.isNumber || v.isBoolean) v.asText
-                 else "'" + v.asText.replace("'", "''") + "'")
+              s"__arg_${f.getKey}" -> jinjaArgLiteral(f.getValue)
             }.toMap
             "__dbt_generic__" -> (Map("test" -> e.getKey) ++ kw)
           }
@@ -546,10 +577,7 @@ object DbtLoader {
                     // custom/package generic test WITH args: carry the raw
                     // arg map for the macro call built in loadProject
                     val kw = args.properties().asScala.map { f =>
-                      val v = f.getValue
-                      s"__arg_${f.getKey}" ->
-                        (if (v.isNumber || v.isBoolean) v.asText
-                         else "'" + v.asText.replace("'", "''") + "'")
+                      s"__arg_${f.getKey}" -> jinjaArgLiteral(f.getValue)
                     }.toMap
                     Some("__dbt_generic__" ->
                       (Map("test" -> other, "column" -> colName) ++ kw))

@@ -59,7 +59,9 @@ object ModelLoader {
         .filter(_._2 >= 0).sortBy(_._2).headOption.map(_._1).getOrElse("MODEL")
     }
     val byHeader = files.groupBy { case (t, _) => headerOf(t) }
-    (byHeader.getOrElse("MODEL", Nil).flatMap { case (t, src) => parseAll(t, src, config) },
+    def abs(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+    (byHeader.getOrElse("MODEL", Nil).flatMap { case (t, src) =>
+        parseAll(t, src, config).map(_.copy(sourcePath = Some(abs(src)))) },
       byHeader.getOrElse("AUDIT", Nil).map { case (t, src) => parseStandaloneAudit(t, src) },
       byHeader.getOrElse("METRIC", Nil).flatMap { case (t, src) => parseMetrics(t, src) })
   }

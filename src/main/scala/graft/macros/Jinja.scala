@@ -27,8 +27,13 @@ object Jinja {
   private final case class Text(s: String) extends Node
   private final case class Out(expr: String) extends Node
   private final case class If(branches: Seq[(String, Seq[Node])], orElse: Seq[Node]) extends Node
-  private final case class For(v: String, list: String, body: Seq[Node]) extends Node
+  /** `{% for a[, b] in expr %}` — multiple vars = python tuple unpacking
+    * (`for k, v in d.items()`). */
+  private final case class For(vs: Seq[String], list: String, body: Seq[Node]) extends Node
   private final case class SetVar(name: String, expr: String) extends Node
+  /** `{% set name %} body {% endset %}` — bind the RENDERED body (jinja block
+    * assignment; dbt materializations/packages build SQL fragments with it). */
+  private final case class SetBlock(name: String, body: Seq[Node]) extends Node
   private final case class MacroNode(defn: MacroDef) extends Node
   /** `{% call name(args) %} body {% endcall %}` — the macro runs with the
     * rendered body available as `{{ caller() }}` (jinja call blocks, used by
@@ -104,10 +109,14 @@ object Jinja {
     // definitions in the template itself join the supplied environment
     // (local definitions shadow supplied ones)
     macroEnv.set(macros ++ nodes.collect { case MacroNode(d) => d.name -> d })
+    // dbt's `execute` flag: True during real rendering (dbt sets False only
+    // in its parse-only pass, which this renderer doesn't have)
+    val varsWithExec =
+      if (vars.contains("execute")) vars else vars + ("execute" -> "True")
     try {
       val out = new StringBuilder
       evalNodes(nodes, out, scala.collection.mutable.Map[String, String](),
-        vars, thisModel)
+        varsWithExec, thisModel)
       out.toString
     } finally macroEnv.remove()
   }
@@ -119,14 +128,59 @@ object Jinja {
     case Text(s) => out.append(s)
     case Out(e)  => out.append(value(e, vars, bindings.toMap, thisModel))
     case SetVar(n, e) =>
-      // list literals bind RAW — they're iterables for a later {% for %},
-      // not scalar values
-      bindings(n) =
-        if (e.trim.startsWith("[")) e.trim
-        else value(e, vars, bindings.toMap, thisModel)
+      val nsRe = "(?s)^namespace\\s*\\((.*)\\)$".r
+      e.trim match {
+        // `{% set ns = namespace(found=false) %}` — jinja's mutable scope
+        // carrier: each kwarg binds as `ns.k`, which `{% set ns.k = v %}`
+        // rewrites and `{{ ns.k }}` reads (dotted names are single bindings
+        // here, so namespace attrs survive for-loop scopes exactly like
+        // jinja's — the loop save/restore only touches the loop var)
+        case nsRe(argSrc) if balancedArgs(argSrc) =>
+          bindings(n) = "__graft_namespace__"
+          splitArgs(argSrc).foreach { a =>
+            val kv = "(?s)^([A-Za-z_]\\w*)\\s*=\\s*(.+)$".r
+            kv.findFirstMatchIn(a) match {
+              case Some(m) =>
+                bindings(s"$n.${m.group(1)}") =
+                  value(m.group(2).trim, vars, bindings.toMap, thisModel)
+              case None => throw new IllegalArgumentException(
+                s"namespace() takes keyword args, got: $a")
+            }
+          }
+        // list/dict literals bind RAW — iterables for a later {% for %} /
+        // mutation targets for {% do xs.append(...) %}
+        case t if t.startsWith("[") || t.startsWith("{") => bindings(n) = t
+        case _ => bindings(n) = value(e, vars, bindings.toMap, thisModel)
+      }
+    case SetBlock(n, body) =>
+      val inner = new StringBuilder
+      evalNodes(body, inner, bindings, vars, thisModel)
+      bindings(n) = inner.toString.trim
     case MacroNode(_) => () // definitions emit nothing
     case DoStmt(e) =>
-      value(e, vars, bindings.toMap, thisModel); () // effect only
+      // list mutation (`{% do out.append(line) %}` — THE dbt package idiom
+      // for building SQL fragments in a loop): the binding holds the list
+      // as a literal; append/extend rebind it grown. Everything else
+      // evaluates for effect only (log, macro calls).
+      val mutRe = "(?s)^([A-Za-z_][\\w.]*)\\.(append|extend|update)\\s*\\((.*)\\)$".r
+      e.trim match {
+        case mutRe(n, op, argSrc) if bindings.contains(n) && balancedArgs(argSrc) &&
+            (bindings(n).trim.startsWith("[") || bindings(n).trim.startsWith("{")) =>
+          val cur = ConstEval.eval(substitute(bindings(n), vars, bindings.toMap, thisModel))
+            .getOrElse(throw new IllegalArgumentException(s"cannot parse container binding $n"))
+          val argV = ConstEval.eval(substitute(argSrc, vars, bindings.toMap, thisModel))
+            .getOrElse(ConstEval.S(value(argSrc, vars, bindings.toMap, thisModel)))
+          val next = (cur, op, argV) match {
+            case (ConstEval.L(xs), "append", v)               => ConstEval.L(xs :+ v)
+            case (ConstEval.L(xs), "extend", ConstEval.L(ys)) => ConstEval.L(xs ++ ys)
+            case (ConstEval.D(es), "update", ConstEval.D(ys)) =>
+              ConstEval.D(es.filterNot(e0 => ys.exists(_._1 == e0._1)) ++ ys)
+            case other => throw new IllegalArgumentException(s"bad $op on $n: $other")
+          }
+          bindings(n) = ConstEval.show(next)
+        case _ =>
+          value(e, vars, bindings.toMap, thisModel); () // effect only
+      }
     case CallBlock(call, body) =>
       val inner = new StringBuilder
       evalNodes(body, inner, bindings, vars, thisModel)
@@ -138,20 +192,56 @@ object Jinja {
         case Some((_, body)) => evalNodes(body, out, bindings, vars, thisModel)
         case None            => evalNodes(orElse, out, bindings, vars, thisModel)
       }
-    case For(v, listExpr, body) =>
-      // the iterable may be a literal list OR an expression producing one
-      // (`{% for c in var('columns') %}` — dbt's common column-loop idiom)
-      val src =
-        if (listExpr.trim.startsWith("[")) listExpr
-        else try value(listExpr, vars, bindings.toMap, thisModel)
-        catch { case _: IllegalArgumentException => listExpr }
-      val items = parseList(src).map(it => value(it, vars, bindings.toMap, thisModel))
+    case For(vs, listExpr, body) =>
+      // structured path first: the substituted expression const-evaluates to
+      // a list (literals, range(), dict.items(), a list-valued binding) —
+      // required for tuple unpacking; the legacy string path stays for
+      // iterables holding raw SQL fragments ConstEval can't parse
+      val structured: Option[Vector[ConstEval.V]] =
+        ConstEval.eval(substitute(listExpr, vars, bindings.toMap, thisModel)) match {
+          case Some(ConstEval.L(xs)) => Some(xs)
+          case _ => None
+        }
+      // each item → one binding per loop var (raw render: strings unquoted,
+      // containers as round-trippable literals)
+      val items: Seq[Seq[String]] = structured match {
+        case Some(xs) => xs.map {
+          case it if vs.length == 1 => Seq(it match {
+            case l @ ConstEval.L(_) => ConstEval.show(l)
+            case d @ ConstEval.D(_) => ConstEval.show(d)
+            case v => ConstEval.raw(v)
+          })
+          case ConstEval.L(tup) if tup.length >= vs.length =>
+            vs.indices.map(j => tup(j) match {
+              case l @ ConstEval.L(_) => ConstEval.show(l)
+              case d @ ConstEval.D(_) => ConstEval.show(d)
+              case v => ConstEval.raw(v)
+            })
+          case other => throw new IllegalArgumentException(
+            s"cannot unpack ${ConstEval.show(other)} into (${vs.mkString(", ")})")
+        }
+        case None =>
+          require(vs.length == 1,
+            s"tuple unpacking needs a structured iterable: $listExpr")
+          val src =
+            if (listExpr.trim.startsWith("[")) listExpr
+            else try value(listExpr, vars, bindings.toMap, thisModel)
+            catch { case _: IllegalArgumentException => listExpr }
+          parseList(src).map(it => Seq(value(it, vars, bindings.toMap, thisModel)))
+      }
+      val loopKeys = Seq("loop.index", "loop.index0", "loop.first", "loop.last", "loop.length")
+      val saved = (vs ++ loopKeys).map(k => k -> bindings.get(k))
       items.zipWithIndex.foreach { case (it, idx) =>
-        val saved = (bindings.get(v), bindings.get("loop.index"))
-        bindings(v) = it; bindings("loop.index") = (idx + 1).toString
+        vs.zip(it).foreach { case (v, x) => bindings(v) = x }
+        bindings("loop.index") = (idx + 1).toString
+        bindings("loop.index0") = idx.toString
+        bindings("loop.first") = if (idx == 0) "True" else "False"
+        bindings("loop.last") = if (idx == items.length - 1) "True" else "False"
+        bindings("loop.length") = items.length.toString
         evalNodes(body, out, bindings, vars, thisModel)
-        saved._1.fold(bindings.remove(v): Unit)(bindings(v) = _)
-        saved._2.fold(bindings.remove("loop.index"): Unit)(bindings("loop.index") = _)
+      }
+      saved.foreach { case (k, old) =>
+        old.fold(bindings.remove(k): Unit)(bindings(k) = _)
       }
   }
 
@@ -273,17 +363,22 @@ object Jinja {
               }
               nodes += If(branches.result(), orElse)
             case "for" =>
-              val m = "(?is)for\\s+([A-Za-z_][\\w]*)\\s+in\\s+(.+)".r
+              val m = "(?is)for\\s+([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)\\s+in\\s+(.+)".r
               st match {
-                case m(v, listExpr) =>
+                case m(vsSrc, listExpr) =>
+                  val vs = vsSrc.split(",").map(_.trim).toSeq
                   val (body, r) = parseNodes(rest.tail, Seq("endfor"))
-                  nodes += For(v, listExpr.trim, body); rest = r.tail
+                  nodes += For(vs, listExpr.trim, body); rest = r.tail
                 case _ => throw new IllegalArgumentException(s"bad for: {% $st %}")
               }
             case "set" =>
               val m = "(?is)set\\s+([A-Za-z_][\\w.]*)\\s*=\\s*(.+)".r
+              val blockM = "(?is)set\\s+([A-Za-z_][\\w.]*)\\s*".r
               st match {
                 case m(n, e) => nodes += SetVar(n, e.trim); rest = rest.tail
+                case blockM(n) => // `{% set x %} … {% endset %}` block form
+                  val (body, r) = parseNodes(rest.tail, Seq("endset"))
+                  nodes += SetBlock(n, body); rest = r.tail
                 case _ => throw new IllegalArgumentException(s"bad set: {% $st %}")
               }
             case "call" =>
@@ -559,6 +654,20 @@ object Jinja {
   /** Raw string value of an output/set expression. */
   private def value(expr: String, vars: Map[String, String],
                     bindings: Map[String, String], thisModel: Option[String]): String = {
+    // jinja inline conditional `X if C [else Y]` (`{{ ',' if not loop.last }}`
+    // — the dbt separator idiom). Engages ONLY when the condition actually
+    // const-evaluates: keyword match is lowercase + top-level, and a raw SQL
+    // fragment's ` IF `/non-constant condition falls through untouched.
+    inlineIf(expr) match {
+      case Some((lhs, cond, els)) =>
+        ConstEval.eval(substitute(cond, vars, bindings, thisModel)) match {
+          case Some(cv) =>
+            return if (ConstEval.truthy(cv)) value(lhs, vars, bindings, thisModel)
+            else els.map(value(_, vars, bindings, thisModel)).getOrElse("")
+          case None => // not a constant condition — not an inline-if
+        }
+      case None =>
+    }
     // Jinja filter pipeline `expr | f1 | f2(args)`: split on top-level pipes
     // (outside quotes/brackets), evaluate the head, fold filters left-to-right
     val segments = splitPipes(expr)
@@ -618,12 +727,18 @@ object Jinja {
         // dbt search order: the ADAPTER-specific name across the whole
         // namespace path (project first, then the package) beats default__
         // anywhere — a project's default__m must not shadow the package's
-        // spark__m
+        // spark__m. Without an explicit namespace, EVERY loaded package's
+        // implementations are candidates (dbt's macro namespace is global;
+        // DbtLoader renames package copies to `pkg__spark__m`, which would
+        // otherwise be unreachable from a bare dispatch('m')).
+        val env = macroEnv.get
+        def pkgScoped(adapter: String): Seq[String] = Option(pkg) match {
+          case Some(p) => Seq(s"${p}__${adapter}__$mname")
+          case None => env.keys.filter(_.endsWith(s"__${adapter}__$mname")).toSeq.sorted
+        }
         val cands =
-          (Seq(s"spark__$mname") ++
-            Option(pkg).map(p => s"${p}__spark__$mname") ++
-           Seq(s"default__$mname") ++
-            Option(pkg).map(p => s"${p}__default__$mname"))
+          (Seq(s"spark__$mname") ++ pkgScoped("spark") ++
+           Seq(s"default__$mname") ++ pkgScoped("default"))
         cands.find(macroEnv.get.contains) match {
           case Some(target) =>
             callMacro(macroEnv.get()(target), splitArgs(argSrc), vars, bindings, thisModel)
@@ -652,7 +767,7 @@ object Jinja {
       case _ if vars.contains(e)     => vars(e)
       case _ if (e.startsWith("'") && e.endsWith("'") && e.length >= 2) ||
                 (e.startsWith("\"") && e.endsWith("\"") && e.length >= 2) =>
-        e.substring(1, e.length - 1)
+        unescape(e.substring(1, e.length - 1))
       // bare identifier with no binding: itself (column names in for-lists)
       case _ if e.matches("[A-Za-z_][\\w.]*") => e
       case _ =>
@@ -660,9 +775,45 @@ object Jinja {
           case Some(ConstEval.N(n)) => if (n.isWhole) n.toBigInt.toString else n.toString
           case Some(ConstEval.S(s)) => s
           case Some(ConstEval.B(b)) => b.toString.toUpperCase
+          case Some(l @ ConstEval.L(_)) => ConstEval.show(l) // jinja prints container literals
+          case Some(d @ ConstEval.D(_)) => ConstEval.show(d)
+          case Some(ConstEval.Null)     => "None"
           case None => throw new IllegalArgumentException(s"cannot evaluate jinja expr: $e")
         }
     }
+  }
+
+  /** Locate a python-style ternary: the FIRST top-level lowercase ` if `
+    * keyword, then the first top-level ` else ` after it (right-associative
+    * like python's — the else-branch may itself be a ternary). Lowercase +
+    * word-boundary matching keeps SQL's ` IF(`/` ELSE ` out. */
+  private def inlineIf(s: String): Option[(String, String, Option[String])] = {
+    def topLevelKw(str: String, kw: String): Int = {
+      var depth = 0; var q = ' '; var i = 0
+      while (i < str.length) {
+        val c = str.charAt(i)
+        if (q != ' ') { if (c == q) q = ' ' }
+        else c match {
+          case '\'' | '"'      => q = c
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          // kw carries its surrounding spaces — those ARE the word boundaries
+          case _ if depth == 0 && str.startsWith(kw, i) => return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+    val at = topLevelKw(s, " if ")
+    if (at <= 0) return None
+    val lhs = s.substring(0, at).trim
+    val rest = s.substring(at + 4)
+    if (lhs.isEmpty || rest.trim.isEmpty) return None
+    val elseAt = topLevelKw(rest, " else ")
+    if (elseAt < 0) Some((lhs, rest.trim, None))
+    else Some((lhs, rest.substring(0, elseAt).trim,
+      Some(rest.substring(elseAt + 6).trim)))
   }
 
   /** Split on top-level single `|` (outside quotes and brackets/parens) —
@@ -699,11 +850,17 @@ object Jinja {
       case call(name, argSrc) =>
         val args = Option(argSrc).map(a =>
           splitArgs(a).map(x => value(x, vars, bindings, thisModel))).getOrElse(Nil)
+        // container-aware filters parse the (literal-rendered) value back
+        def asList: Option[Vector[ConstEval.V]] =
+          if (!v.trim.startsWith("[")) None
+          else ConstEval.eval(v) match {
+            case Some(ConstEval.L(xs)) => Some(xs); case _ => None
+          }
         name match {
           case "upper"   => v.toUpperCase
           case "lower"   => v.toLowerCase
           case "trim"    => v.trim
-          case "length"  => v.length.toString
+          case "length"  => asList.map(_.length).getOrElse(v.length).toString
           case "title"   => v.split(" ").map(w =>
             if (w.isEmpty) w else w.head.toUpper + w.tail.toLowerCase).mkString(" ")
           case "replace" => v.replace(args(0), args(1))
@@ -713,6 +870,18 @@ object Jinja {
           case "round"   =>
             val d = args.headOption.map(_.toInt).getOrElse(0)
             BigDecimal(v).setScale(d, BigDecimal.RoundingMode.HALF_UP).toString
+          case "join"    => // list → string with separator (jinja join filter)
+            val sep = args.headOption.getOrElse("")
+            asList.map(_.map(ConstEval.raw).mkString(sep)).getOrElse(v)
+          case "first"   => asList.flatMap(_.headOption).map(ConstEval.raw).getOrElse(v.take(1))
+          case "last"    => asList.flatMap(_.lastOption).map(ConstEval.raw).getOrElse(v.takeRight(1))
+          case "list"    => v // lists already render as literals
+          case "unique"  =>
+            asList.map(xs => ConstEval.show(ConstEval.L(xs.distinct))).getOrElse(v)
+          case "sort"    =>
+            asList.map(xs => ConstEval.show(ConstEval.L(
+              xs.sortBy(ConstEval.raw)))).getOrElse(v)
+          case "string"  => v
           case other => throw new IllegalArgumentException(s"unsupported jinja filter: $other")
         }
       case _ => throw new IllegalArgumentException(s"bad jinja filter: $filter")
@@ -724,10 +893,27 @@ object Jinja {
     ConstEval.truthy(substitute(cond, vars, bindings, thisModel))
 
   /** Replace var() calls and known identifiers with literals so ConstEval
-    * (which speaks SQL constants) can run the expression. */
+    * (which speaks SQL constants + the jinja container/ops subset) can run
+    * the expression. */
   private def substitute(expr: String, vars: Map[String, String],
                          bindings: Map[String, String], thisModel: Option[String]): String = {
-    var e = expr.replaceAll("==", "=")
+    var e = expr
+    // `X is [not] defined` / `X is [not] none` resolve BEFORE identifier
+    // substitution — they ask about the NAME's existence, not its value
+    // (dbt's `{% if sqlmesh_incremental is defined %}` guard idiom)
+    val isRe = "([A-Za-z_][\\w.]*)\\s+is\\s+(not\\s+)?(defined|none)\\b".r
+    e = isRe.replaceAllIn(e, m => {
+      val tok = m.group(1); val neg = m.group(2) != null
+      val bound = bindings.get(tok).orElse(vars.get(tok))
+        .orElse(if (tok == "this") thisModel else None)
+      val defined = bound.isDefined || tok == "execute"
+      val base = m.group(3) match {
+        case "defined" => defined
+        case _ /* none */ =>
+          !defined || bound.exists(v => v.isEmpty || v.equalsIgnoreCase("none"))
+      }
+      if (base != neg) "TRUE" else "FALSE"
+    })
     e = "(?i)is_incremental\\(\\s*\\)".r.replaceAllIn(e,
       if (vars.get("is_incremental").exists(_.equalsIgnoreCase("true"))) "TRUE" else "FALSE")
     e = "(?is)var\\(\\s*['\"]([^'\"]+)['\"]\\s*(?:,\\s*([^)]+?)\\s*)?\\)".r
@@ -737,25 +923,64 @@ object Jinja {
         java.util.regex.Matcher.quoteReplacement(quoteIfNeeded(v))
       })
     // identifier substitution, skipping quoted string literals
-    val keywords = Set("and", "or", "not", "true", "false", "in")
+    val keywords = Set("and", "or", "not", "true", "false", "in",
+      "is", "defined", "none", "null", "if", "else", "range")
     val sb = new StringBuilder
     var i = 0
     while (i < e.length) {
       val c = e.charAt(i)
-      if (c == '\'') {
-        val close = e.indexOf('\'', i + 1)
-        val stop = if (close < 0) e.length else close + 1
+      if (c == '\'' || c == '"') {
+        // skip string literals of either quote style, honoring \-escapes
+        // (show() emits them; a naive indexOf would split mid-string)
+        var j = i + 1
+        while (j < e.length && e.charAt(j) != c) {
+          if (e.charAt(j) == '\\' && j + 1 < e.length) j += 2 else j += 1
+        }
+        val stop = if (j >= e.length) e.length else j + 1
         sb.append(e.substring(i, stop)); i = stop
       } else if (c.isLetter || c == '_') {
         var j = i + 1
         while (j < e.length && (e.charAt(j).isLetterOrDigit || e.charAt(j) == '_' || e.charAt(j) == '.')) j += 1
         val tok = e.substring(i, j)
-        val resolved =
+        // resolve the LONGEST bound dotted prefix: full token first (dotted
+        // bindings like `ns.found`/`loop.index` are single keys), then
+        // shorter prefixes so `cfg.items()` substitutes `cfg`'s dict literal
+        // and leaves `.items()` as a ConstEval postfix
+        val resolved: Option[(String, Int)] =
           if (keywords.contains(tok.toLowerCase)) None
-          else if (tok == "this") thisModel
-          else bindings.get(tok).orElse(vars.get(tok))
-        sb.append(resolved.fold(tok)(quoteIfNeeded))
-        i = j
+          else {
+            val parts = tok.split('.')
+            (parts.length to 1 by -1).iterator.map(_ match {
+              case k => parts.take(k).mkString(".")
+            }).map { p =>
+              val v =
+                if (p == "this") thisModel
+                else bindings.get(p).orElse(vars.get(p))
+              v.map(x => (x, p.length))
+            }.collectFirst { case Some(hit) => hit }
+          }
+        resolved match {
+          case Some((v, len)) => sb.append(quoteIfNeeded(v)); i = i + len
+          case None           => sb.append(tok); i = j
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Python/jinja string-literal escapes (`'\n'` is a newline in a template
+    * expression, unlike SQL's literal backslash-n). */
+  private def unescape(s: String): String = {
+    if (!s.contains('\\')) return s
+    val sb = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+          case x   => sb.append(x)
+        }
+        i += 2
       } else { sb.append(c); i += 1 }
     }
     sb.toString
@@ -765,9 +990,13 @@ object Jinja {
     val t = v.trim
     // only an actually-parseable number stays bare: date-like values
     // ('2024-01-01') and versions ('1.2.3') must quote, or ConstEval would
-    // silently do arithmetic on them
+    // silently do arithmetic on them. Booleans/none and container literals
+    // stay bare too — quoting 'false' would make it a TRUTHY string.
     if (t.startsWith("'")) t
+    else if (t.startsWith("[") || t.startsWith("{")) t
+    else if (t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false") ||
+             t.equalsIgnoreCase("none")) t
     else if (scala.util.Try(BigDecimal(t)).isSuccess) t
-    else s"'${t}'"
+    else "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
   }
 }

@@ -309,28 +309,66 @@ object MacroEvaluator {
       yield s"${base}_$suffix")
 }
 
-/** Tiny constant evaluator for macro-time arithmetic/conditions
-  * (reference @eval, macros.py:838). Handles numbers, strings, booleans,
-  * comparison/arith/logic operators. Non-constant input is returned verbatim
-  * by `tryEval` (it is SQL, not macro math). */
+/** Constant evaluator for macro-time arithmetic/conditions (reference @eval,
+  * macros.py:838) and the jinja expression subset dbt packages lean on
+  * (reference renders through real jinja2, utils/jinja.py — here the
+  * python-ish value surface is re-implemented): numbers, strings, booleans,
+  * `none`, LIST (`[...]`) and DICT (`{'k': v}`) literals, comparison /
+  * arithmetic (incl. `//` floor-div) / logic operators, `~` string concat,
+  * `in` / `not in` membership, indexing (`xs[0]`, negative ok), method calls
+  * (`.items()/.keys()/.values()/.get()` on dicts; `.upper()/.split()/
+  * .join()/...` on strings), and `range()`. Non-constant input is returned
+  * verbatim by `tryEval` (it is SQL, not macro math). */
 object ConstEval {
   sealed trait V
   final case class N(v: BigDecimal) extends V
   final case class S(v: String) extends V
   final case class B(v: Boolean) extends V
+  final case class L(items: Vector[V]) extends V
+  final case class D(entries: Vector[(V, V)]) extends V
+  case object Null extends V
 
   def truthy(s: String): Boolean = eval(s) match {
-    case Some(B(b)) => b
-    case Some(N(n)) => n != 0
-    case Some(S(x)) => x.nonEmpty
-    case None       => false
+    case Some(v) => truthy(v)
+    case None    => false
+  }
+
+  def truthy(v: V): Boolean = v match {
+    case B(b)  => b
+    case N(n)  => n != 0
+    case S(x)  => x.nonEmpty
+    case L(xs) => xs.nonEmpty
+    case D(es) => es.nonEmpty
+    case Null  => false
   }
 
   def tryEval(s: String): String = eval(s) match {
     case Some(N(n)) => if (n.isWhole) n.toBigInt.toString else n.toString
     case Some(S(x)) => s"'$x'"
     case Some(B(b)) => b.toString.toUpperCase
+    case Some(v)    => show(v)
     case None       => s
+  }
+
+  /** Round-trippable literal: `eval(show(v)) == Some(v)`. Containers render
+    * in jinja's own output form (`['a', 'b']`), so a rendered list can be
+    * re-bound and re-parsed (the string-typed binding environment's
+    * container transport). */
+  def show(v: V): String = v match {
+    case N(n)  => if (n.isWhole) n.toBigInt.toString else n.toString
+    case S(x)  => "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case B(b)  => b.toString.toUpperCase
+    case L(xs) => xs.map(show).mkString("[", ", ", "]")
+    case D(es) => es.map { case (k, v2) => show(k) + ": " + show(v2) }.mkString("{", ", ", "}")
+    case Null  => "NONE"
+  }
+
+  /** The RAW string a value renders as in template output (jinja semantics:
+    * strings unquoted, containers as literals). */
+  def raw(v: V): String = v match {
+    case S(x) => x
+    case B(b) => b.toString.capitalize // jinja prints True/False
+    case other => show(other)
   }
 
   def eval(input: String): Option[V] =
@@ -344,7 +382,8 @@ object ConstEval {
     private def peek(tok: String): Boolean = {
       ws()
       s.regionMatches(true, i, tok, 0, tok.length) &&
-        (!tok.head.isLetter || i + tok.length >= s.length || !s.charAt(i + tok.length).isLetterOrDigit)
+        (!tok.head.isLetter || i + tok.length >= s.length ||
+          { val c = s.charAt(i + tok.length); !c.isLetterOrDigit && c != '_' })
     }
     private def eat(tok: String): Boolean = { if (peek(tok)) { i += tok.length; true } else false }
 
@@ -360,7 +399,7 @@ object ConstEval {
     }
     private def cmpExpr(): V = {
       val l = addExpr()
-      val ops = Seq(">=", "<=", "!=", "<>", "=", ">", "<")
+      val ops = Seq("==", ">=", "<=", "!=", "<>", "=", ">", "<")
       ops.find(peek) match {
         case Some(op) =>
           eat(op); val r = addExpr()
@@ -368,14 +407,36 @@ object ConstEval {
             case (N(a), N(b)) => cmp(a.compare(b), op)
             case (S(a), S(b)) => cmp(a.compare(b), op)
             case (B(a), B(b)) => cmp(a.compareTo(b), op)
+            case (Null, Null) => cmp(0, op)
+            case (Null, _) | (_, Null) => cmp(1, op) // none == x is false, != true
+            case (a, b) if op == "==" || op == "=" => cmp(if (a == b) 0 else 1, op)
+            case (a, b) if op == "!=" || op == "<>" => cmp(if (a == b) 0 else 1, op)
             case _            => throw new IllegalArgumentException("type mismatch")
           }
           B(res)
-        case None => l
+        case None =>
+          // membership: `x in xs` / `x not in xs` (list items, dict keys,
+          // substring) — python/jinja's operator, absent from SQL ConstEval
+          if (peek("NOT")) {
+            val save = i
+            eat("NOT")
+            if (eat("IN")) B(!isIn(l, addExpr())) else { i = save; l }
+          }
+          else if (eat("IN")) B(isIn(l, addExpr()))
+          else l
       }
     }
+    private def isIn(x: V, coll: V): Boolean = coll match {
+      case L(xs) => xs.contains(x)
+      case D(es) => es.exists(_._1 == x)
+      case S(str) => x match {
+        case S(sub) => str.contains(sub)
+        case _ => throw new IllegalArgumentException("`in <string>` needs a string")
+      }
+      case _ => throw new IllegalArgumentException("`in` needs a collection")
+    }
     private def cmp(c: Int, op: String): Boolean = op match {
-      case "="  => c == 0; case "!=" | "<>" => c != 0
+      case "=" | "==" => c == 0; case "!=" | "<>" => c != 0
       case ">"  => c > 0;  case "<"  => c < 0
       case ">=" => c >= 0; case "<=" => c <= 0
     }
@@ -383,7 +444,12 @@ object ConstEval {
       var l = mulExpr()
       var go = true
       while (go) {
-        if (eat("+")) l = N(asN(l) + asN(mulExpr()))
+        if (eat("~")) l = S(asS(l) + asS(mulExpr())) // jinja string concat
+        else if (peek("+")) { eat("+"); (l, mulExpr()) match {
+          case (L(a), L(b)) => l = L(a ++ b) // python list concat
+          case (S(a), S(b)) => l = S(a + b)  // python string concat
+          case (a, b)       => l = N(asN(a) + asN(b))
+        }}
         else if (peek("-") && { ws(); true } && s.charAt(i) == '-') { i += 1; l = N(asN(l) - asN(mulExpr())) }
         else go = false
       }
@@ -394,6 +460,7 @@ object ConstEval {
       var go = true
       while (go) {
         if (eat("*")) l = N(asN(l) * asN(unary()))
+        else if (eat("//")) l = N((asN(l) / asN(unary())).setScale(0, BigDecimal.RoundingMode.FLOOR))
         else if (eat("/")) l = N(asN(l) / asN(unary()))
         else if (eat("%")) l = N(asN(l) % asN(unary()))
         else go = false
@@ -404,24 +471,154 @@ object ConstEval {
       ws()
       if (eat("NOT")) return B(!asB(unary()))
       if (eat("-")) return N(-asN(unary()))
-      if (eat("(")) { val v = orExpr(); ws(); require(eat(")")); return v }
+      postfix(primary())
+    }
+    private def primary(): V = {
+      ws()
+      if (eat("(")) {
+        val v = orExpr(); ws()
+        if (eat(")")) return v
+        // `(a, b, ...)` — python tuple, modeled as a list
+        val items = Vector.newBuilder[V]; items += v
+        while (eat(",")) { ws(); if (peek(")")) () else items += orExpr() }
+        require(eat(")"), "unclosed tuple")
+        return L(items.result())
+      }
+      if (i < s.length && s.charAt(i) == '[') { // list literal
+        i += 1; ws()
+        val items = Vector.newBuilder[V]
+        if (!eat("]")) {
+          items += orExpr()
+          while (eat(",")) { ws(); if (peek("]")) () else items += orExpr() }
+          require(eat("]"), "unclosed list")
+        }
+        return L(items.result())
+      }
+      if (i < s.length && s.charAt(i) == '{') { // dict literal
+        i += 1; ws()
+        val entries = Vector.newBuilder[(V, V)]
+        if (!eat("}")) {
+          def entry(): Unit = { val k = orExpr(); ws(); require(eat(":")); entries += (k -> orExpr()) }
+          entry()
+          while (eat(",")) { ws(); if (peek("}")) () else entry() }
+          require(eat("}"), "unclosed dict")
+        }
+        return D(entries.result())
+      }
       if (eat("TRUE")) return B(true)
       if (eat("FALSE")) return B(false)
+      if (eat("NONE") || eat("NULL")) return Null
+      if (peek("RANGE")) { // python range(stop) / range(start, stop[, step])
+        eat("RANGE"); ws(); require(eat("("), "range needs (")
+        val args = Vector.newBuilder[BigDecimal]
+        args += asN(orExpr())
+        while (eat(",")) args += asN(orExpr())
+        require(eat(")"), "unclosed range")
+        val a = args.result()
+        val (st, en, step) = a.length match {
+          case 1 => (BigDecimal(0), a(0), BigDecimal(1))
+          case 2 => (a(0), a(1), BigDecimal(1))
+          case _ => (a(0), a(1), a(2))
+        }
+        require(step != 0, "range step 0")
+        val items = Vector.newBuilder[V]
+        var x = st
+        while (if (step > 0) x < en else x > en) { items += N(x); x += step }
+        return L(items.result())
+      }
       ws()
-      if (i < s.length && s.charAt(i) == '\'') {
-        val close = s.indexOf('\'', i + 1); require(close > 0)
-        val v = S(s.substring(i + 1, close)); i = close + 1; return v
+      if (i < s.length && (s.charAt(i) == '\'' || s.charAt(i) == '"')) {
+        val q = s.charAt(i)
+        val sb = new StringBuilder; i += 1
+        while (i < s.length && s.charAt(i) != q) {
+          if (s.charAt(i) == '\\' && i + 1 < s.length) { // \' \\ \n \t escapes
+            s.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+              case c   => sb.append(c)
+            }
+            i += 2
+          } else { sb.append(s.charAt(i)); i += 1 }
+        }
+        require(i < s.length, "unclosed string"); i += 1
+        return S(sb.toString)
       }
       val start = i
       while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
       require(i > start, s"cannot const-eval at '$s'")
       N(BigDecimal(s.substring(start, i)))
     }
+    /** Postfix chain: indexing and method/attribute access. */
+    @annotation.tailrec
+    private def postfix(v: V): V = {
+      ws()
+      if (i < s.length && s.charAt(i) == '[') {
+        i += 1; val idx = orExpr(); ws(); require(eat("]"), "unclosed index")
+        postfix(index(v, idx))
+      } else if (i < s.length && s.charAt(i) == '.' && i + 1 < s.length &&
+                 (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_')) {
+        i += 1
+        val start = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        val name = s.substring(start, i)
+        ws()
+        if (i < s.length && s.charAt(i) == '(') {
+          i += 1; ws()
+          val args = Vector.newBuilder[V]
+          if (!eat(")")) {
+            args += orExpr()
+            while (eat(",")) args += orExpr()
+            require(eat(")"), "unclosed call")
+          }
+          postfix(method(v, name, args.result()))
+        } else postfix(attr(v, name))
+      } else v
+    }
+    private def index(v: V, idx: V): V = (v, idx) match {
+      case (L(xs), N(n)) =>
+        val j = n.toInt; xs(if (j < 0) xs.length + j else j)
+      case (S(x), N(n)) =>
+        val j = n.toInt; S(x((if (j < 0) x.length + j else j)).toString)
+      case (D(es), k) =>
+        es.find(_._1 == k).map(_._2).getOrElse(throw new IllegalArgumentException(s"missing key ${show(k)}"))
+      case _ => throw new IllegalArgumentException("bad index")
+    }
+    private def attr(v: V, name: String): V = v match {
+      case D(es) => es.find(_._1 == S(name)).map(_._2)
+        .getOrElse(throw new IllegalArgumentException(s"missing attr $name"))
+      case _ => throw new IllegalArgumentException(s"no attr $name")
+    }
+    private def method(v: V, name: String, args: Vector[V]): V = (v, name) match {
+      case (D(es), "items")  => L(es.map { case (k, x) => L(Vector(k, x)) })
+      case (D(es), "keys")   => L(es.map(_._1))
+      case (D(es), "values") => L(es.map(_._2))
+      case (D(es), "get")    =>
+        es.find(_._1 == args(0)).map(_._2).getOrElse(if (args.length > 1) args(1) else Null)
+      case (S(x), "upper")      => S(x.toUpperCase)
+      case (S(x), "lower")      => S(x.toLowerCase)
+      case (S(x), "strip")      => S(x.trim)
+      case (S(x), "title")      => S(x.split(" ").map(w =>
+        if (w.isEmpty) w else w.head.toUpper + w.tail.toLowerCase).mkString(" "))
+      case (S(x), "replace")    => S(x.replace(asS(args(0)), asS(args(1))))
+      case (S(x), "startswith") => B(x.startsWith(asS(args(0))))
+      case (S(x), "endswith")   => B(x.endsWith(asS(args(0))))
+      case (S(x), "split")      =>
+        val sep = if (args.nonEmpty) java.util.regex.Pattern.quote(asS(args(0))) else "\\s+"
+        L(x.split(sep, -1).toVector.map(S(_)))
+      case (S(sep), "join")     => args(0) match {
+        case L(xs) => S(xs.map(raw).mkString(sep))
+        case other => throw new IllegalArgumentException(s"join needs a list, got ${show(other)}")
+      }
+      case (L(xs), "count") => N(BigDecimal(xs.count(_ == args(0))))
+      case (L(xs), "index") => N(BigDecimal(xs.indexOf(args(0))))
+      case _ => throw new IllegalArgumentException(s"unsupported method .$name on ${show(v)}")
+    }
     private def asN(v: V): BigDecimal = v match {
       case N(n) => n; case _ => throw new IllegalArgumentException("expected number")
     }
+    private def asS(v: V): String = raw(v)
     private def asB(v: V): Boolean = v match {
       case B(b) => b; case N(n) => n != 0; case S(x) => x.nonEmpty
+      case L(xs) => xs.nonEmpty; case D(es) => es.nonEmpty; case Null => false
     }
   }
 }

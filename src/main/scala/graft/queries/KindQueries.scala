@@ -802,6 +802,102 @@ object KindQueries {
       """SELECT o_orderstatus, CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS rev
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ---- verbatim dbt fixture/package macros (r17: jinja expression depth)
+    // two macro files copied BYTE-IDENTICAL from public upstreams:
+    //  - the reference's tests/fixtures/dbt/sushi_test/macros/incremental.sql
+    //    (`is defined` guard, list return with bound time vars, indexing,
+    //    `~` concat) driving a real incremental model, and
+    //  - dbt-labs/dbt-utils macros/sql/groupby.sql (adapter.dispatch +
+    //    range() with arithmetic + `{{ ',' if not loop.last }}`),
+    // plus in-model list building ({% set [] %} / {% do append %} / join).
+    "mk_dbt_jinja_fixtures" -> Entry((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dbtjx")
+      def w(rel: String, text: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, text)
+      }
+      w("dbt_project.yml", "name: jxproj\n")
+      w("models/schema.yml",
+        "sources:\n  - name: raw\n    tables:\n      - name: orders\n")
+      // byte-identical: reference tests/fixtures/dbt/sushi_test/macros/incremental.sql
+      w("macros/incremental.sql",
+        """{% macro incremental_by_time(col, time_type) %}
+          |    {% if is_incremental() %}
+          |    WHERE
+          |        {{ col }} > (select max({{ col }}) from {{ this }})
+          |    {% endif %}
+          |    {% if sqlmesh_incremental is defined %}
+          |    {% set dates = incremental_dates_by_time_type(time_type) %}
+          |    WHERE
+          |        {{ col }} BETWEEN '{{ dates[0] }}' AND '{{ dates[1] }}'
+          |    {% endif %}
+          |{% endmacro %}
+          |
+          |{% macro incremental_dates_by_time_type(time_type) %}
+          |    {% if time_type == 'ds' %}
+          |        {{ return([start_ds, end_ds]) }}
+          |    {% elif time_type == 'ts' %}
+          |        {{ return([start_ts, end_ts]) }}
+          |    {% elif time_type == 'epoch' %}
+          |        {{ return([start_epoch, end_epoch]) }}
+          |    {% elif time_type == 'millis' %}
+          |        {{ return([start_millis, end_millis]) }}
+          |    {% elif time_type == 'date' %}
+          |        {{ return([start_date, end_date]) }}
+          |    {% else %}
+          |        {{ exceptions.raise_compiler_error("Unknown time type: " ~time_type) }}
+          |    {% endif %}
+          |{% endmacro %}
+          |""".stripMargin)
+      // byte-identical: dbt-labs/dbt-utils macros/sql/groupby.sql
+      w("dbt_packages/dbt_utils/dbt_project.yml", "name: dbt_utils\n")
+      w("dbt_packages/dbt_utils/macros/sql/groupby.sql",
+        """{%- macro group_by(n) -%}
+          |    {{ return(adapter.dispatch('group_by', 'dbt_utils')(n)) }}
+          |{% endmacro %}
+          |
+          |{%- macro default__group_by(n) -%}
+          |    group by {% for i in range(1, n + 1) %}
+          |    {{ i }}{{ ',' if not loop.last }} {% endfor %}
+          |{%- endmacro -%}
+          |""".stripMargin)
+      // the sqlmesh branch of the fixture macro: interval-bound BETWEEN on
+      // the time column (sqlmesh_incremental is a dbt-env global here,
+      // mirroring reference dbt/builtin.py:425)
+      w("models/inc_orders.sql",
+        """{{ config(materialized='incremental', unique_key='o_orderkey', schema='jx') }}
+          |SELECT o_orderkey, o_orderdate, o_totalprice
+          |FROM {{ source('raw', 'orders') }}
+          |{{ incremental_by_time('o_orderdate', 'ds') }}
+          |""".stripMargin)
+      w("models/status_rev.sql",
+        """{{ config(materialized='table', schema='jx') }}
+          |{% set statuses = [] %}
+          |{% for st in ['F', 'O'] %}
+          |{% do statuses.append("'" ~ st ~ "'") %}
+          |{% endfor %}
+          |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+          |FROM {{ source('raw', 'orders') }}
+          |WHERE o_orderstatus IN ({{ statuses | join(', ') }})
+          |{{ dbt_utils.group_by(1) }}
+          |""".stripMargin)
+      val c = ctx(s, dir)
+      c.loadDbtProject(root.toString)
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+      // the fixture macro's interval filter must hold: January only
+      val expected = s.read.parquet(s"$dir/orders.parquet")
+        .where("o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'")
+        .count()
+      val got = s.table("jx.inc_orders").count()
+      require(got == expected,
+        s"verbatim incremental fixture filtered wrong: $got rows vs $expected")
+      s.table("jx.status_rev").orderBy("o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // ------------- Scala-bodied model (reference: Python models) ----------
     "mk_scala_model" -> Entry((s, dir) => {
       val c = ctx(s, dir)

@@ -510,6 +510,59 @@ class ContextE2ESpec extends AnyFunSuite {
     assert(ctx.state.latestSnapshot("sel.c").get.intervals.isEmpty)
   }
 
+  test("plan --select-model git:main selects exactly the changed-model closure") {
+    // fixture repo (reference selector.py:214 Git + GitClient): two models
+    // committed on main; a work branch edits ONE — `git:main` must pick the
+    // edited model (plus selector-applied downstream), leaving the other's
+    // local state untouched by the plan
+    val root = java.nio.file.Files.createTempDirectory("graft_gite2e")
+    def sh(args: String*): Unit = {
+      val pb = new ProcessBuilder((Seq("git", "-C", root.toString,
+        "-c", "user.email=t@example.com", "-c", "user.name=t") ++ args): _*)
+      pb.redirectErrorStream(true)
+      val pr = pb.start()
+      val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+      require(pr.waitFor() == 0, s"git ${args.mkString(" ")}: $out")
+    }
+    def w(rel: String, text: String): Unit = {
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, text)
+    }
+    w("models/base.sql",
+      """MODEL (name gsel.base);
+        |SELECT o_custkey, count(*) AS n FROM raw.orders GROUP BY o_custkey""".stripMargin)
+    w("models/other.sql",
+      """MODEL (name gsel.other);
+        |SELECT count(*) AS total FROM raw.orders""".stripMargin)
+    w("models/down.sql",
+      """MODEL (name gsel.down);
+        |SELECT sum(n) AS s FROM gsel.base""".stripMargin)
+    sh("init", "-b", "main"); sh("add", "."); sh("commit", "-m", "base")
+
+    val ctx = newCtx()
+    ctx.loadModels(root.toString)
+    ctx.apply(ctx.plan("prod", 0, D))
+
+    sh("checkout", "-b", "feature")
+    w("models/base.sql",
+      """MODEL (name gsel.base);
+        |SELECT o_custkey, count(*) + 1 AS n FROM raw.orders GROUP BY o_custkey""".stripMargin)
+    sh("add", "."); sh("commit", "-m", "edit base")
+    // reload the edited tree into the SAME context (state carries the prior
+    // apply); ALSO locally edit the unselected model — git:main keeps it out
+    ctx.loadModels(root.toString)
+    ctx.addModel(ctx.model("gsel.other").copy(
+      body = SqlBody("SELECT count(*) + 5 AS total FROM raw.orders")))
+
+    val p = ctx.plan("prod", 0, D, select = Seq("git:main"))
+    // base changed on the branch → modified; down re-fingerprints through its
+    // parent; other's local edit is NOT selected and stays out of the plan
+    assert(p.modified.map(_._2.model.name).toSet == Set("gsel.base", "gsel.down"),
+      p.modified.map(_._2.model.name))
+    assert(!p.modified.exists(_._2.model.name == "gsel.other"))
+  }
+
   test("allow_partials runs the trailing sub-unit interval; default floors it") {
     val ctx = newCtx()
     def m(name: String, partials: Boolean) = Model(

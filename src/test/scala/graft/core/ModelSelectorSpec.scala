@@ -64,4 +64,64 @@ class ModelSelectorSpec extends AnyFunSuite {
     // selecting mart+ must include report (downstream cascades re-fingerprint)
     assert(sel("db.mart+").contains("db.report"))
   }
+
+  test("git: selections match models whose source file changed (selector.py:214)") {
+    // fixture repo: main holds two committed models; a work branch edits one,
+    // and a third model file is still untracked
+    val root = java.nio.file.Files.createTempDirectory("graft_gitsel")
+    def sh(args: String*): Unit = {
+      val pb = new ProcessBuilder((Seq("git", "-C", root.toString,
+        "-c", "user.email=t@example.com", "-c", "user.name=t") ++ args): _*)
+      pb.redirectErrorStream(true)
+      val pr = pb.start()
+      val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+      require(pr.waitFor() == 0, s"git ${args.mkString(" ")}: $out")
+    }
+    def w(rel: String, text: String): java.nio.file.Path = {
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, text); p
+    }
+    val fa = w("models/a.sql", "MODEL (name db.a); SELECT 1 AS x")
+    val fb = w("models/b.sql", "MODEL (name db.b); SELECT 1 AS x")
+    sh("init", "-b", "main"); sh("add", "."); sh("commit", "-m", "base")
+    sh("checkout", "-b", "work")
+    java.nio.file.Files.writeString(fa, "MODEL (name db.a); SELECT 2 AS x") // committed change
+    sh("add", "."); sh("commit", "-m", "edit a")
+    java.nio.file.Files.writeString(fb, "MODEL (name db.b); SELECT 3 AS x") // uncommitted change
+    val fc = w("models/c.sql", "MODEL (name db.c); SELECT 1 AS x")          // untracked
+
+    val gitModels = Map(
+      "db.a" -> Model("db.a", SqlBody("SELECT 2 AS x"),
+        sourcePath = Some(fa.toAbsolutePath.normalize.toString)),
+      "db.b" -> Model("db.b", SqlBody("SELECT 3 AS x"),
+        sourcePath = Some(fb.toAbsolutePath.normalize.toString)),
+      "db.c" -> Model("db.c", SqlBody("SELECT 1 AS x"),
+        sourcePath = Some(fc.toAbsolutePath.normalize.toString)),
+      "db.down" -> Model("db.down", SqlBody("SELECT * FROM db.a"),
+        sourcePath = Some(root.resolve("models/down.sql").toString)))
+    val resolver: String => Set[String] =
+      b => new GitClient(root.toString).changedFiles(b)
+
+    assert(ModelSelector.expand(Seq("git:main"), gitModels, changedFiles = resolver) ==
+      Set("db.a", "db.b", "db.c"))
+    // composes with the rest of the grammar: downstream closure + NOT
+    assert(ModelSelector.expand(Seq("git:main+"), gitModels, changedFiles = resolver)
+      .contains("db.down"))
+    assert(ModelSelector.expand(Seq("git:main & db.a"), gitModels, changedFiles = resolver) ==
+      Set("db.a"))
+    // everything committed + clean tree vs the SAME branch → empty selection
+    sh("checkout", "-f", "main") // -f discards the uncommitted b.sql edit
+    java.nio.file.Files.delete(fc)
+    assert(ModelSelector.expand(Seq("git:main"), gitModels, changedFiles = resolver)
+      .isEmpty)
+  }
+
+  test("git: without a repo-backed resolver fails loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      ModelSelector.expand(Seq("git:main"),
+        Map("db.a" -> Model("db.a", SqlBody("SELECT 1"))))
+    }
+    assert(ex.getMessage.contains("git:main"), ex.getMessage)
+  }
 }

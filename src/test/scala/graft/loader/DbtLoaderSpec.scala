@@ -356,4 +356,83 @@ class DbtLoaderSpec extends AnyFunSuite {
     assert(mf.path("nodes").path("model.aproj.orders_current").isMissingNode,
       "alias leaked into the node id")
   }
+
+  test("generic-test kwargs: YAML lists/objects become jinja literals, not ''") {
+    // ADVICE r16: Jackson asText() is "" for container nodes — a custom
+    // accepted_values-style test with `values: [a, b]` must receive the list
+    val root = java.nio.file.Files.createTempDirectory("dbt_listargs")
+    write(root.resolve("dbt_project.yml"), "name: laproj\n")
+    write(root.resolve("macros/tests.sql"),
+      """{% test in_set(model, column_name, values) %}
+        |SELECT * FROM {{ model }} WHERE {{ column_name }} NOT IN (
+        |{% for v in values %}'{{ v }}'{{ ',' if not loop.last }}{% endfor %})
+        |{% endtest %}
+        |""".stripMargin)
+    write(root.resolve("models/schema.yml"),
+      """models:
+        |  - name: statuses
+        |    columns:
+        |      - name: st
+        |        tests:
+        |          - in_set:
+        |              values: [F, O, P]
+        |""".stripMargin)
+    write(root.resolve("models/statuses.sql"),
+      "{{ config(materialized='table', schema='la') }}\nSELECT 'F' AS st\n")
+    val proj = DbtLoader.loadProject(root.toString)
+    val sql = proj.models.head.audits.collectFirst {
+      case ("generic_sql", args) => args("sql") }.get
+    assert(sql.contains("'F'") && sql.contains("'O'") && sql.contains("'P'"), sql)
+    assert(sql.replaceAll("\\s+", " ").contains("NOT IN ( 'F','O','P')"), sql)
+  }
+
+  test("generic-test column binds as a literal, immune to var-name collision") {
+    // ADVICE r16: an unquoted column arg resolves through the evaluator's
+    // var lookup first — a column named like a project var substitutes the
+    // var's value and renders the test against the wrong expression
+    val root = java.nio.file.Files.createTempDirectory("dbt_colcollide")
+    write(root.resolve("dbt_project.yml"),
+      "name: ccproj\nvars:\n  rev: some_other_column\n")
+    write(root.resolve("macros/tests.sql"),
+      """{% test positive(model, column_name) %}
+        |SELECT * FROM {{ model }} WHERE {{ column_name }} <= 0
+        |{% endtest %}
+        |""".stripMargin)
+    write(root.resolve("models/schema.yml"),
+      """models:
+        |  - name: m1
+        |    columns:
+        |      - name: rev
+        |        tests: [positive]
+        |""".stripMargin)
+    write(root.resolve("models/m1.sql"),
+      "{{ config(materialized='table', schema='cc') }}\nSELECT 1.0 AS rev\n")
+    val proj = DbtLoader.loadProject(root.toString)
+    val sql = proj.models.head.audits.collectFirst {
+      case ("generic_sql", args) => args("sql") }.get
+    assert(sql.contains("WHERE rev <= 0"), sql)
+    assert(!sql.contains("some_other_column"), sql)
+  }
+
+  test("adapter.dispatch without namespace finds package implementations") {
+    // ADVICE r16: dbt's macro namespace is global — a bare dispatch('m')
+    // must reach a package's pkg__spark__m, not just project-level spark__m
+    val root = java.nio.file.Files.createTempDirectory("dbt_dispatch_global")
+    write(root.resolve("dbt_project.yml"), "name: dgproj\n")
+    write(root.resolve("dbt_packages/helpers/dbt_project.yml"), "name: helpers\n")
+    write(root.resolve("dbt_packages/helpers/macros/money.sql"),
+      """{% macro money(x) %}{{ return(adapter.dispatch('money')(x)) }}{% endmacro %}
+        |{% macro spark__money(x) %}round({{ x }}, 2){% endmacro %}
+        |""".stripMargin)
+    write(root.resolve("models/m1.sql"),
+      """{{ config(materialized='table', schema='dg') }}
+        |SELECT {{ helpers.money('1.2345') }} AS v
+        |""".stripMargin)
+    val proj = DbtLoader.loadProject(root.toString)
+    val body = proj.models.head.body.asInstanceOf[graft.core.SqlBody].sql
+    // render the body standalone: the dispatch must resolve to the package's
+    // spark__money even though the call names no macro_namespace
+    val rendered = graft.macros.Jinja.render(body, proj.vars)
+    assert(rendered.contains("round(1.2345, 2)"), rendered)
+  }
 }
