@@ -123,8 +123,59 @@ final class EnvCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     fs(entryPath(ident)).exists(entryPath(ident))
 
-  override def loadTable(ident: Identifier): Table =
-    loadVersion(ident, pickCurrent)
+  /** Current-snapshot resolutions memoize the constructed [[Table]] behind
+    * an mtime fingerprint. The construction cost is NOT the JSON read (µs)
+    * but the DSv2 plumbing behind it — InMemoryFileIndex listing + parquet
+    * footer schema inference per [[ParquetTable]] — measured at ~58 ms per
+    * resolution at 10k entries (EnvCatalogScaleProbe, r16 verdict task 7):
+    * driver-side FS metadata in the analyzer path, per table reference per
+    * query. The fingerprint re-checks everything that can change what the
+    * load would return — entry JSON status (repoint/re-promote), the root's
+    * version listing (new snapshot commit), and the chosen dir's mtime
+    * (immutable under rename-publish, guarded anyway) — so a hit costs ~3
+    * metadata ops and view-repoint semantics are preserved exactly; any
+    * mismatch falls through to a full rebuild. Explicit VERSION/TIMESTAMP
+    * AS OF loads stay uncached (cold paths, and timestamp resolution
+    * depends on wall-clock-ordered mtimes, not worth fingerprinting). */
+  override def loadTable(ident: Identifier): Table = {
+    val fp = fingerprint(ident)
+    val key = (ident.namespace().toSeq, ident.name())
+    cache.get(key) match {
+      case Some((cachedFp, t)) if cachedFp == fp => t
+      case _ =>
+        val t = loadVersion(ident, pickCurrent)
+        cache.put(key, (fp, t))
+        t
+    }
+  }
+
+  private val cache =
+    new scala.collection.concurrent.TrieMap[(Seq[String], String), (String, Table)]()
+
+  /** Everything a current-snapshot load depends on, as one string: entry
+    * file (mtime+len) + version-dir list of the root it points at + chosen
+    * dir mtime. Throws NoSuchTableException for a missing entry — same
+    * surface as the uncached path. */
+  private def fingerprint(ident: Identifier): String = {
+    val p = entryPath(ident); val f = fs(p)
+    val st =
+      try f.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => throw new NoSuchTableException(ident) }
+    // the JSON re-read here is µs and unavoidable anyway: the version list
+    // under the CURRENT root must be fresh per load (view-repoint), and the
+    // root is only knowable from the entry
+    val (root, _) = entryOf(ident)
+    val rf = fs(root)
+    val versions =
+      if (!rf.exists(root)) Nil
+      else rf.listStatus(root).map(_.getPath.getName)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted.toSeq
+    val chosenM = versions.lastOption.map { v =>
+      try rf.getFileStatus(new Path(root, s"v$v")).getModificationTime.toString
+      catch { case _: java.io.FileNotFoundException => "gone" }
+    }.getOrElse("-")
+    s"${st.getModificationTime}:${st.getLen}|$root|${versions.mkString(",")}|$chosenM"
+  }
 
   /** `SELECT ... FROM cat.db.t VERSION AS OF <n>` — DSv2 time travel,
     * mapped onto the dir-version scheme's `v<n>` snapshot dirs (the

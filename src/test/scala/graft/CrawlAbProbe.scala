@@ -52,11 +52,24 @@ object CrawlAbProbe {
       df.count()
       ((System.nanoTime() - t0) / 1e9, df)
     }
+    // honest form: the frame must die with THIS stack frame — returning it
+    // (even to a discarded tuple slot) can pin it in an interpreted caller
+    // frame's dead local until the slot is overwritten, which reads as a
+    // leak-shaped sample
+    def repDropped(): Double = rep()._1
 
     drain()
     val honest = (0 until 3).map { _ =>
-      val (t, _) = rep() // result NOT retained → next GC releases ex/kept
-      System.gc(); Thread.sleep(400) // deterministic release between reps
+      val t = repDropped() // result NOT retained → next GC releases ex/kept
+      // poll until the Cleaner actually fires — a single GC+sleep can lose
+      // the race and let the next rep read the not-yet-released cache,
+      // which would contaminate the honest arm with a leak-shaped sample
+      var polls = 0
+      while (spark.sparkContext.getPersistentRDDs.nonEmpty && polls < 20) {
+        System.gc(); Thread.sleep(250); polls += 1
+      }
+      require(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "honest arm: persists did not drain between reps")
       t
     }
 

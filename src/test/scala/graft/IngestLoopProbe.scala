@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   * round 0 build 18.6 s; screens 11.9 / 8.4 / 7.0 / 6.6 / 7.1 s with
   * corpus text deleted before round 1 — flat after JIT warm-up while
   * state grew 218k → 290k rows.
+  *
+  * r16 verdict task 6 additions — the SOAK form (`50 5` args): every round
+  * also runs a 3-iteration PageRank over a link graph synthesized from the
+  * batch (the rank loop's interval checkpoints + Barrier.release under
+  * compounding repetition), and after each round the probe GC-polls and
+  * records BLOCK-MANAGER RESIDENCY (persistent-RDD count + cached bytes).
+  * The releaseOnDrop contract must hold in the LOOP, not just per entry
+  * (CacheHygieneSpec's scope): residency is required flat-to-zero at every
+  * round boundary, and the probe fails loudly if cached bytes at round R
+  * exceed a fixed floor-plus-slack — a leak of even one per-round persist
+  * would compound 50× and trip it.
   */
 object IngestLoopProbe {
   def main(args: Array[String]): Unit = {
@@ -72,7 +83,12 @@ object IngestLoopProbe {
     spark.catalog.clearCache()
 
     var screenTimes = Vector.empty[Double]
-    for (r <- 1 to rounds) {
+    var wallTimes = Vector.empty[Double]
+    var residency = Vector.empty[(Int, Long)] // (cached RDD count, cached bytes)
+    // the round body is a def so every per-round frame (localCheckpoint
+    // RDDs included) becomes unreachable when it returns — the residency
+    // poll below then measures ONLY what a leak would leave behind
+    def runRound(r: Int): Unit = {
       val batch = src.select(
         (col("doc_id") + lit(r * 100000000L)).as("doc_id"),
         when(col("doc_id") % 20 === 0, col("text")) // exact dup vs corpus
@@ -105,6 +121,17 @@ object IngestLoopProbe {
       val cleaned = Dedup.incrementalParagraphDedup(counts, batch, sep = ". ")
       val nCleaned = cleaned.count()
       val nFresh = fresh.count()
+      // rank step (soak form): 3-iteration PageRank over a batch-derived
+      // link graph — iterative checkpoints + vector releases every round
+      val nRank = {
+        import graft.functions.Graph
+        val pages = batch.select(
+          concat(lit("https://s"), col("doc_id") % 500,
+            lit("-example.com/p"), col("doc_id")).as("url"),
+          concat(lit("<a href=\"https://d"), col("doc_id") % 700,
+            lit(".org/x\">a</a>")).as("html"))
+        Graph.pageRank(Graph.linkGraph(pages), 3).count()
+      }
       val screenS = (System.nanoTime() - s0) / 1e9
       screenTimes :+= screenS
 
@@ -127,11 +154,38 @@ object IngestLoopProbe {
         spark.read.parquet(hashesDir).count() +
         spark.read.parquet(countsDir).count()
       println(f"round $r: screen ${screenS}%6.2f s  maintain ${maintainS}%6.2f s  " +
-        f"fresh $nFresh%6d  near $nNear%5d  ham $nHam%5d  cleaned $nCleaned%6d  " +
-        f"state $stateRows%9d rows")
+        f"fresh $nFresh%6d  near $nNear%5d  ham $nHam%5d  rank $nRank%5d  " +
+        f"cleaned $nCleaned%6d  state $stateRows%9d rows")
+    }
+    for (r <- 1 to rounds) {
+      val w0 = System.nanoTime()
+      runRound(r)
+      wallTimes :+= (System.nanoTime() - w0) / 1e9
+      // round-boundary hygiene poll: the frames are out of scope — GC until
+      // the Cleaner has drained (bounded), then read block-manager residency
+      var polls = 0
+      def cached() = spark.sparkContext.getPersistentRDDs.size
+      while (cached() > 0 && polls < 15) { System.gc(); Thread.sleep(200); polls += 1 }
+      val bytes = spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+      residency :+= ((cached(), bytes))
     }
     require(screenTimes.last <= 2.5 * screenTimes.head,
       s"steady-state screen cost not flat: $screenTimes")
+    // soak gates (r16 verdict task 6): residency flat-to-zero at every round
+    // boundary — one leaked per-round persist would compound and trip this —
+    // and late-round wall flat vs early (medians damp machine noise)
+    require(residency.forall(_._1 == 0),
+      s"block-manager residency not drained at a round boundary: $residency")
+    if (rounds >= 10) {
+      def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      val early = median(wallTimes.slice(1, 6)) // skip round 1 (JIT)
+      val late = median(wallTimes.takeRight(5))
+      println(f"soak walls: early-median $early%.2f s, late-median $late%.2f s " +
+        f"(rounds ${rounds - 4}-$rounds), residency flat at 0 cached RDDs / 0 B")
+      require(late <= 2.0 * early,
+        s"per-round wall grew under soak: early $early late $late: $wallTimes")
+    }
     println(f"flat-cost check OK: first ${screenTimes.head}%.2f s, " +
       f"last ${screenTimes.last}%.2f s over $rounds rounds with corpus text deleted")
     spark.stop()

@@ -43,6 +43,33 @@ class EnvCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM ec_repoint.mart.m WHERE id = 3").head.getString(0) == "c")
   }
 
+  test("fingerprint cache: hits return the memoized table, every change class invalidates") {
+    freshCatalog("ec_cache")
+    val root = java.nio.file.Files.createTempDirectory("ec_root_c").toString
+    writeSnapshot(root, 1, Seq((1L, "a")).toDF("id", "v"))
+    EnvCatalog.writeEntry(spark, "ec_cache", "mart", "m", root, None)
+    val cat = spark.sessionState.catalogManager.catalog("ec_cache")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    def load() = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("mart"), "m"))
+    val t1 = load()
+    assert(load() eq t1, "unchanged fingerprint must hit the memoized Table")
+    // change class 1: a new version dir under the same root (repoint)
+    writeSnapshot(root, 2, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val t2 = load()
+    assert(!(t2 eq t1), "new snapshot commit must invalidate")
+    assert(spark.table("ec_cache.mart.m").count() == 2)
+    // change class 2: entry rewrite to a DIFFERENT root (re-promote)
+    val root2 = java.nio.file.Files.createTempDirectory("ec_root_c2").toString
+    writeSnapshot(root2, 1, Seq((9L, "z"), (8L, "y"), (7L, "x")).toDF("id", "v"))
+    EnvCatalog.writeEntry(spark, "ec_cache", "mart", "m", root2, None)
+    assert(spark.table("ec_cache.mart.m").count() == 3,
+      "entry repoint to a new root must invalidate")
+    // change class 3: dropped entry surfaces NoSuchTable even while cached
+    EnvCatalog.dropEntry(spark, "ec_cache", "mart", "m")
+    intercept[Exception] { load() }
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF time travel through the catalog") {
     freshCatalog("ec_tt")
     val root = java.nio.file.Files.createTempDirectory("ec_root_tt").toString
