@@ -56,7 +56,26 @@ object Barrier {
     * reference, the next GC cycle unpersists the helpers. Worst case on a
     * false-early drop (a caller holding only a physical plan or RDD) is a
     * recompute, never a wrong result — unpersist only removes the cache.
-    * Returns `result` for chaining. */
+    * Returns `result` for chaining.
+    *
+    * RETENTION CONTRACT for callers (the two edges of tying release to
+    * reachability):
+    *  - Keep a reference to the RESULT (or any frame derived from it) for
+    *    as long as you want the helper caches warm. A caller that extracts
+    *    and retains only `result.queryExecution.executedPlan` or the
+    *    underlying RDD has dropped the logical tree — the helpers may
+    *    release early and later actions silently recompute (correct, but
+    *    corpus-priced). Hold the Dataset, not its internals.
+    *  - Conversely, parking the result in a long-lived reference (a REPL
+    *    val, a registered temp view, a driver-side registry) pins the
+    *    helper caches for that lifetime BY DESIGN — that is what keeps a
+    *    live consumer fast. A long-lived driver that is done with a hot
+    *    result but keeps the name around should either drop/replace the
+    *    reference or eagerly call `unpersist()` on the frames it got from
+    *    the operator; the Cleaner is a safety net for the common drop
+    *    pattern, not a substitute for ending a result's lifetime.
+    * CacheHygieneSpec enforces the net effect (zero residue once entries'
+    * results are dropped) over every driver-contract entry. */
   def releaseOnDrop(result: DataFrame, cached: DataFrame*): DataFrame = {
     val helpers = cached.toArray
     cleaner.register(result.queryExecution.commandExecuted, () =>

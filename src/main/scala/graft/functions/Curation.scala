@@ -347,21 +347,35 @@ object Curation {
     // intake ([[Web.canonicalUrlKey]] holds the rules and the why)
     val urlKey = Web.canonicalUrlKey(col(urlCol),
       Html.extractCanonical(col(htmlCol)), col(idCol))
-    // one extraction pass: persist (not an eager checkpoint — lineage
-    // stays recomputable on executor loss, and release is tied to the
-    // result's lifetime via [[Barrier.releaseOnDrop]] below, the
-    // paragraphDedup convention); it feeds the key aggregate and the
-    // survivors join
-    val ex = screened.select(col(idCol), col(urlCol),
+    // TWO-PASS extraction (r17): url-dedup needs only the canonical key —
+    // one regex + the normalize fold — while the full 13-stage text
+    // extraction is the dominant per-byte cost of the whole recipe (the
+    // r16→r17 A/B adjudication measured it as ~60% of the honest call).
+    // Crawl url-dup rates make most of that work DEAD: a losing duplicate's
+    // title/lang/text are computed and immediately discarded. So pass 1
+    // scans every page for (id, url_key) only, the winner set is the min-id
+    // aggregate exactly as before, and pass 2 re-scans the source paying
+    // full extraction ONLY for winners. Cost trade at 100 TB: one extra
+    // scan of the html bytes (sequential parquet IO) buys back
+    // (1 − survivor-rate) of the regex CPU — the right side of that trade
+    // whenever extraction is CPU-bound, which a 13-stage chain is. The
+    // winner semi-join is id-keyed: AQE broadcasts the aggregated winner
+    // list while it is small; at cluster scale Spark's runtime bloom-filter
+    // injection prunes the second scan before any html byte shuffles, and
+    // the steady-state path is the incremental screen anyway (see above).
+    val keys = screened.select(col(idCol), urlKey.as("url_key"))
+    val urlKeep = keys.groupBy(col("url_key")).agg(min(col(idCol)).as(idCol))
+    // pass 2 starts from `pages`, not `screened`: winners are already
+    // blocklist-survivors by construction, so the anti-join needn't re-run
+    val winners = pages.join(urlKeep.select(col(idCol)), Seq(idCol), "left_semi")
+    // survivors persist: consumed by BOTH paragraphDedup and the rebuild
+    // join — unmaterialized, the extraction would run twice
+    val kept = winners.select(col(idCol), col(urlCol),
         Html.extractTitle(col(htmlCol)).as("title"),
         Html.extractLang(col(htmlCol)).as("lang_decl"),
         urlKey.as("url_key"),
         Html.extractText(col(htmlCol)).as("text"))
       .persist()
-    val urlKeep = ex.groupBy(col("url_key")).agg(min(col(idCol)).as(idCol))
-    // survivors persist too: consumed by BOTH paragraphDedup and the
-    // rebuild join — unmaterialized, the key shuffle + join would run twice
-    val kept = ex.join(urlKeep, Seq("url_key", idCol)).persist()
     val reb = Dedup.paragraphDedup(kept.select(col(idCol), col("text")))
     val scored = reb
       .join(kept.drop("text"), Seq(idCol))
@@ -373,11 +387,11 @@ object Curation {
       .filter(col("quality") >= minQuality)
       .withColumn("domain", Web.registeredDomain(Web.urlHost(col(urlCol))))
       .drop(urlCol)
-    // ex/kept release once the caller drops the result — a persist left in
+    // kept releases once the caller drops the result — a persist left in
     // the CacheManager survives GC forever ([[Barrier.releaseOnDrop]])
     Barrier.releaseOnDrop(
       Web.domainQuota(scored, domainCap, scoreCol = "quality", idCol = idCol,
-        salts = quotaSalts), ex, kept)
+        salts = quotaSalts), kept)
   }
 
   /** Benchmark decontamination report — the n-gram-overlap screen every

@@ -103,7 +103,7 @@ object PipelineQueries {
     * and host, userinfo, default (:80/:443) and explicit ports, trailing
     * slashes, empty paths, tracking params, fragments. [[synthUrlSql]] is
     * the DuckDB twin (same arithmetic, same pieces). */
-  private def synthUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def synthUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(
       when(id % 2 === 0, "HTTP://").otherwise("https://"),
       when(id % 5 === 0, "crawler:pw@").otherwise(""),
@@ -144,7 +144,7 @@ object PipelineQueries {
     * attribute-bearing tags, mid-word inline markup, an empty block, and
     * two `<a href>` links in both quote styles. [[synthHtmlSql]] is the
     * DuckDB twin (same arithmetic, same pieces). */
-  private def synthHtml(id: org.apache.spark.sql.Column,
+  private[graft] def synthHtml(id: org.apache.spark.sql.Column,
                         text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(
       lit("<!DOCTYPE html>\n"),

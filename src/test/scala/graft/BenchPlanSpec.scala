@@ -394,15 +394,51 @@ class BenchPlanSpec extends AnyFunSuite {
       "decontamination report lost map-side combine")
   }
 
-  test("td_crawl_ingest: one materialized extraction pass, two-window quota, no cartesian") {
-    val p = planOf("td_crawl_ingest")
-    // the 13-regex extraction chain is persisted once and every stage
-    // reads the cache — a second regex pass over raw HTML in the plan
-    // means the materialization barrier broke
-    assert(p.contains("InMemoryTableScan"), "extraction pass lost its persist barrier")
-    assert("<!DOCTYPE".r.findAllIn(p).size <= 1,
-      "the HTML fixture is being re-built/re-extracted in more than one subtree")
+  test("td_crawl_ingest: key-only pass, winners-only extraction, two-window quota, no cartesian") {
+    // structural pin on the optimized plan (string counts over the
+    // formatted output are unstable across SF: InMemoryRelation cached
+    // subtrees reprint per consumer and one-line plan strings truncate).
+    // Markers: 'noscript' is the distinctive stage of the 13-regex text
+    // chain; '<!DOCTYPE' is the fixture's html synthesis.
+    val qe = SparkEntry.queries("td_crawl_ingest")(spark, sf).queryExecution
+    def litCount(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                 needle: String): Int = {
+      var n = 0
+      plan.foreach(node => node.expressions.foreach(_.foreach {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.value != null && l.value.toString.contains(needle) => n += 1
+        case _ => ()
+      }))
+      n
+    }
+    val opt = qe.optimizedPlan
+    // ALL html work sits behind the persist barrier: the consumers read
+    // only cached relations — a regex literal in the outer plan means some
+    // consumer re-runs extraction per action
+    assert(litCount(opt, "noscript") == 0 && litCount(opt, "<!DOCTYPE") == 0,
+      "html extraction leaked outside the persist barriers")
+    // the survivors relation (the one carrying title/url_key/text) holds
+    // the whole two-pass shape in its cached plan: the key-only pass is
+    // the semi-join build side (html built there ONCE for the canonical
+    // key), the winners-only pass is the probe side (html + full text
+    // chain ONCE), and the join broadcasts the aggregated winner ids at
+    // bench scale (no html-byte shuffle to reach the second scan)
+    val imrs = opt.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i }
+    val kept = imrs.filter(_.output.map(_.name).contains("title"))
+      .map(_.cachedPlan.toString).distinct
+    assert(kept.size == 1, s"expected ONE survivors relation, got ${kept.size}")
+    assert("<!DOCTYPE".r.findAllIn(kept.head).size == 2,
+      "expected exactly the key-pass + winner-pass html subtrees")
+    // the strip-stage regex literal names the tag twice (open + close) —
+    // count the pattern PREFIX, which appears once per chain instance
+    assert("\\(\\?is\\)<noscript".r.findAllIn(kept.head).size == 1,
+      "full text extraction must run only on winners, once")
+    assert(kept.head.contains("LeftSemi"), "winner filter lost the semi-join shape")
+    assert(kept.head.contains("BroadcastHashJoin"),
+      "winner semi-join should broadcast the aggregated winner ids at bench scale")
     // the quota keeps the skew-safe two-stage rank (domainQuota contract)
+    val p = planOf("td_crawl_ingest")
     val wids = windowIds(p)
     assert(wids.size == 2, s"quota wants 2 Window stages, got $wids")
     assert(!p.contains("CartesianProduct") && !p.contains("BatchEvalPython"))
