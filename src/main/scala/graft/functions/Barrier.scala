@@ -34,6 +34,40 @@ object Barrier {
     case _              => ()
   }
 
+  /** Iteration checkpoint for the rank/label-propagation loops: truncates
+    * lineage per round (else plan size and recovery cost grow with the
+    * iteration count). Two modes, same semantics:
+    *
+    *  - DEFAULT: `localCheckpoint` — blocks live in executor block
+    *    managers, no DFS round-trip. The right call on a healthy cluster
+    *    and in local mode, but NOT fault-tolerant: localCheckpoint
+    *    truncates the lineage, so losing an executor mid-loop loses blocks
+    *    that can no longer be recomputed and fails the job (Spark's own
+    *    documented caveat).
+    *  - `spark.graft.reliableCheckpoints=true` (+
+    *    `sc.setCheckpointDir(...)`): a RELIABLE `checkpoint` — each round's
+    *    vector is written to the checkpoint dir, so executor loss costs a
+    *    re-read, not the job. This is the mode a 1000-executor, hours-long
+    *    ranking run wants: iteration vectors are |V|-sized (the SMALL side
+    *    — node set, not edges), so the per-round DFS write is cheap
+    *    insurance. Superseded checkpoint FILES are reclaimed by the
+    *    ContextCleaner when `spark.cleaner.referenceTracking
+    *    .cleanCheckpoints=true` (set it in production); [[release]] on a
+    *    reliable checkpoint is a harmless no-op.
+    *
+    * The conf is read per call, so a long-lived driver can flip modes
+    * between runs. */
+  def iterCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.getOption("spark.graft.reliableCheckpoints").exists(_.toBoolean)
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "spark.graft.reliableCheckpoints=true needs sc.setCheckpointDir(...)")
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
   private val cleaner = java.lang.ref.Cleaner.create()
 
   /** Tie persisted HELPER frames' release to the lifetime of the lazy

@@ -1108,8 +1108,8 @@ object Dedup {
       // deterministically once the new one holds the data (see [[Barrier]]
       // — waiting for GC leaves one |V| vector per round in the block
       // manager of a long-lived driver)
-      var labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("cluster", col("id")).localCheckpoint(true)
+      var labels = Barrier.iterCheckpoint(edges.select(col("a").as("id"))
+        .distinct().withColumn("cluster", col("id")))
       var iter = 0
       var converged = false
       while (!converged && iter < maxIterations) {
@@ -1117,9 +1117,10 @@ object Dedup {
         val neighborMin = edges
           .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), "b")
           .groupBy(col("a").as("id")).agg(min(col("nc")).as("nmin"))
-        val stable = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-          .localCheckpoint(true)
+        val stable = Barrier.iterCheckpoint(
+          labels.join(neighborMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster")))
         converged = labels.select(col("id"), col("cluster").as("__old"))
           .join(stable.select(col("id"), col("cluster").as("__new")), "id")
           .filter(col("__old") =!= col("__new")).isEmpty

@@ -85,8 +85,11 @@ object Graph {
     * per-destination aggregate + a 1-row broadcast of the dangling mass.
     * The out-share table (`weight / Σ out-weight`) is computed ONCE and
     * persisted — the iterated join reuses its partitioning; `|V|` is the
-    * single driver-side scalar. `localCheckpoint` truncates the per-round
-    * lineage exactly like [[Dedup.clusters]]. Deterministic: no sampling,
+    * single driver-side scalar. [[Barrier.iterCheckpoint]] truncates the
+    * per-round lineage exactly like [[Dedup.clusters]] — local blocks by
+    * default, a RELIABLE checkpoint under
+    * `spark.graft.reliableCheckpoints=true` (the fault-tolerance mode an
+    * hours-long cluster ranking run wants). Deterministic: no sampling,
     * no rand(), so re-runs (and the DuckDB oracle's unrolled replay)
     * reproduce ranks bit-for-bit modulo float summation order. */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
@@ -123,8 +126,8 @@ object Graph {
         // first consumer and materializes it inside its own job — an eager
         // init here was one whole scheduler round-trip spent writing a
         // uniform vector (measured on the bench's small oracle graph)
-        g.nodes.withColumn("rank", lit(1.0 / n))
-          .localCheckpoint(eager = iterations == 0)
+        Barrier.iterCheckpoint(g.nodes.withColumn("rank", lit(1.0 / n)),
+          eager = iterations == 0)
       case Some(prev) =>
         // sum-aggregate prev first: a store holding k identical snapshots
         // yields k× every value, which the renormalize divides away
@@ -138,14 +141,13 @@ object Graph {
           .select(col("node"), coalesce(col("__pr"), lit(1.0 / n)).as("rank"))
           .persist()
         val tot = joined.agg(sum("rank").as("__t"))
-        val r0 = joined.crossJoin(broadcast(tot))
+        val r0 = Barrier.iterCheckpoint(joined.crossJoin(broadcast(tot))
           .select(col("node"),
             // a degenerate stored vector (all-zero/negative overlap sums
             // to ≤ 0) can't be a distribution — fall back to uniform
             // instead of propagating 0/0 = NaN through every round
             when(col("__t") > 0.0, col("rank") / col("__t"))
-              .otherwise(lit(1.0 / n)).as("rank"))
-          .localCheckpoint(true)
+              .otherwise(lit(1.0 / n)).as("rank")))
         joined.unpersist()
         r0
     }
@@ -164,8 +166,8 @@ object Graph {
     while (iter < iterations) {
       val eager = (iter + 1) % checkpointEvery == 0 || iter + 1 == iterations
       superseded += ranks
-      ranks = pageRankStep(g.nodes, g.shares, g.srcNodes, ranks, n, damping)
-        .localCheckpoint(eager)
+      ranks = Barrier.iterCheckpoint(
+        pageRankStep(g.nodes, g.shares, g.srcNodes, ranks, n, damping), eager)
       if (eager) { superseded.foreach(Barrier.release); superseded.clear() }
       iter += 1
     }
@@ -298,8 +300,9 @@ object Graph {
       .select(col("node"),
         when(col("__s").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("jump"))
       .persist()
-    var ranks = nodesJump.select(col("node"), col("jump").as("rank"))
-      .localCheckpoint(eager = iterations == 0) // lazy: round 1 materializes it
+    var ranks = Barrier.iterCheckpoint(
+      nodesJump.select(col("node"), col("jump").as("rank")),
+      eager = iterations == 0) // lazy: round 1 materializes it
     var iter = 0
     // same interval-checkpoint + deterministic-release discipline as the
     // pageRank loop (see there for the why)
@@ -307,8 +310,8 @@ object Graph {
     while (iter < iterations) {
       val eager = (iter + 1) % 4 == 0 || iter + 1 == iterations
       superseded += ranks
-      ranks = trustRankStep(nodesJump, g.shares, g.srcNodes, ranks, damping)
-        .localCheckpoint(eager)
+      ranks = Barrier.iterCheckpoint(
+        trustRankStep(nodesJump, g.shares, g.srcNodes, ranks, damping), eager)
       if (eager) { superseded.foreach(Barrier.release); superseded.clear() }
       iter += 1
     }
@@ -349,7 +352,7 @@ object Graph {
         .withColumn("hub", lit(0.0)).withColumn("auth", lit(0.0))
         .localCheckpoint(true)
     }
-    var hub = g.nodes.withColumn("hub", lit(1.0 / n)).localCheckpoint(true)
+    var hub = Barrier.iterCheckpoint(g.nodes.withColumn("hub", lit(1.0 / n)))
     var auth: DataFrame = null
     var iter = 0
     while (iter < iterations) {
@@ -370,11 +373,10 @@ object Graph {
         .agg(sum(col("w") * col("hub")).as("__ar"))
         .persist()
       val aTot = aRaw.agg(sum("__ar").as("__t"))
-      auth = g.nodes.join(aRaw, Seq("node"), "left")
+      auth = Barrier.iterCheckpoint(g.nodes.join(aRaw, Seq("node"), "left")
         .crossJoin(broadcast(aTot))
         .select(col("node"),
-          (coalesce(col("__ar"), lit(0.0)) / col("__t")).as("auth"))
-        .localCheckpoint(true)
+          (coalesce(col("__ar"), lit(0.0)) / col("__t")).as("auth")))
       aRaw.unpersist()
       // hubs from authorities: out-weighted authority mass, L1-normalized
       val hRaw = g.e.join(auth.withColumnRenamed("node", "dst"), "dst")
@@ -382,11 +384,10 @@ object Graph {
         .agg(sum(col("w") * col("auth")).as("__hr"))
         .persist()
       val hTot = hRaw.agg(sum("__hr").as("__t"))
-      hub = g.nodes.join(hRaw, Seq("node"), "left")
+      hub = Barrier.iterCheckpoint(g.nodes.join(hRaw, Seq("node"), "left")
         .crossJoin(broadcast(hTot))
         .select(col("node"),
-          (coalesce(col("__hr"), lit(0.0)) / col("__t")).as("hub"))
-        .localCheckpoint(true)
+          (coalesce(col("__hr"), lit(0.0)) / col("__t")).as("hub")))
       hRaw.unpersist()
       Barrier.release(prevHub)
       if (prevAuth != null) Barrier.release(prevAuth)

@@ -30,6 +30,41 @@ object Search {
       .groupBy(col("tok").as("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(k)
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    * several ranked candidate lists: `score(d) = Σ_lists 1/(k0 + rank_d)`.
+    * The standard way to combine lexical ([[bm25]]) and embedding
+    * ([[Similarity.bruteForceTopK]]/IVF/LSH) retrieval without score
+    * calibration — ranks are comparable when scores aren't, and k0 (=60 in
+    * the paper and every production default) damps the head so one list
+    * can't dominate. In a training-data pipeline this is the front end of
+    * retrieval-based selection (find corpus documents relevant to a target
+    * distribution by several signals at once).
+    *
+    * Each input frame is ranked independently by (`scoreCol` DESC, `idCol`
+    * ASC — the deterministic tie-break every entry uses) and the fused
+    * score sums over lists; `n_lists` counts how many lists surfaced the
+    * candidate. CONTRACT: inputs are retrieval RESULT lists, already
+    * bounded by their producers' top-k — the rank window is global (one
+    * task) by design, which is correct for bounded lists and would be a
+    * scale-killer on a corpus-sized frame. Feed it retrieval outputs, not
+    * corpora. */
+  def rrf(rankings: Seq[DataFrame], k0: Int = 60, topK: Int = 10,
+          idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
+    require(rankings.nonEmpty, "rrf needs at least one ranked list")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = rankings.map { df =>
+      df.select(col(idCol),
+        row_number().over(
+          Window.orderBy(col(scoreCol).desc, col(idCol))).as("__r"))
+    }.reduce(_ unionByName _)
+    ranked.groupBy(col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(k0) + col("__r"))), 6).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Okapi BM25 ranking of the corpus against a bag of query terms.
     * Standard scoring: idf = ln((N - df + 0.5)/(df + 0.5) + 1) (always
     * positive), tf saturation k1, length normalization b against the mean

@@ -506,4 +506,102 @@ object Similarity {
         Seq("centroid_id"), "left")
       .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
   }
+
+  // ----------------------------------------------------------------- MMR --
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+    * greedy re-ranking of a retrieval result for relevance AND diversity —
+    * pick `k` of the candidates maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)` at each step (the first
+    * pick maximizes bare relevance; its score is `λ·rel`, the empty-set
+    * max-sim being 0). The standard tail of retrieval-based data selection:
+    * after [[bruteForceTopK]]/IVF/[[Search.rrf]] surface candidates, MMR
+    * keeps the selected batch from being k near-copies of the same
+    * document.
+    *
+    * Execution shape: MMR is INHERENTLY sequential (step i+1's scores
+    * depend on step i's pick), so it does not distribute — and does not
+    * need to: candidates are a retrieval RESULT, bounded by the producer's
+    * top-N. The greedy loop runs driver-side over the collected candidate
+    * list (the bounded-driver-table pattern of [[Bpe.train]]'s vocab),
+    * with a hard `maxCandidates` guard that fails loudly instead of
+    * collecting a corpus by mistake. O(k·N) cosines at 64–1024 dims is
+    * microseconds-scale work; the expensive part (scoring the corpus)
+    * stayed distributed in the producer.
+    *
+    * Determinism: candidates are ordered by (`relCol` DESC, `idCol` ASC)
+    * and ties on the greedy objective break toward that order — the exact
+    * unrolled-SQL replay the td_mmr oracle runs. Cosines are computed in
+    * double precision, same arithmetic as [[VectorCosine]].
+    *
+    * Returns one row per pick: (`position` 1..k, `idCol`, `rel`,
+    * `mmr_score` — unrounded; callers round for display/compare). */
+  def mmr(candidates: DataFrame, k: Int, lambdaRel: Double = 0.7,
+          idCol: String = "vec_id", vecCol: String = "embedding",
+          relCol: String = "rel", maxCandidates: Int = 100000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaRel >= 0.0 && lambdaRel <= 1.0,
+      s"lambda must be in [0,1], got $lambdaRel")
+    val spark = candidates.sparkSession
+    val idType = candidates.schema(idCol).dataType
+    val rows = candidates
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol),
+        col(relCol).cast("double").as(relCol))
+      .orderBy(col(relCol).desc, col(idCol))
+      .limit(maxCandidates + 1)
+      .collect()
+    require(rows.length <= maxCandidates,
+      s"mmr collected more than maxCandidates=$maxCandidates rows — " +
+        "candidates must be a bounded retrieval result, not a corpus")
+    val ids = rows.map(_.get(0))
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val rels = rows.map(_.getDouble(2))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val n = rows.length
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val taken = new Array[Boolean](n)
+    // max cosine vs the selected set so far, maintained incrementally:
+    // O(N) updates per pick instead of O(|S|·N) rescans
+    val maxSim = Array.fill(n)(0.0)
+    while (selected.length < math.min(k, n)) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = lambdaRel * rels(i) - (1.0 - lambdaRel) * maxSim(i)
+          // strict > : ties keep the earliest candidate in (rel DESC, id)
+          // order — the oracle's tie-break
+          if (s > bestScore) { bestScore = s; best = i }
+        }
+        i += 1
+      }
+      taken(best) = true
+      selected += ((best, bestScore))
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val c = cos(vecs(j), vecs(best))
+          if (c > maxSim(j)) maxSim(j) = c
+        }
+        j += 1
+      }
+    }
+    val outRows = selected.zipWithIndex.map { case ((i, s), pos) =>
+      org.apache.spark.sql.Row(pos + 1, ids(i), rels(i), s)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("position",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField(idCol, idType),
+      org.apache.spark.sql.types.StructField(relCol,
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("mmr_score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows.toSeq, 1), schema)
+  }
 }

@@ -59,13 +59,15 @@ object Jinja {
              thisModel: Option[String] = None,
              refResolver: String => String = identity,
              macros: Map[String, MacroDef] = Map.empty,
-             columnValues: Option[(String, String, Int) => Seq[String]] = None): String = {
+             columnValues: Option[(String, String, Int) => Seq[String]] = None,
+             schemaOf: String => Seq[(String, String)] = _ => Nil): String = {
     refs.set(refResolver)
     valuesHook.set(columnValues)
+    schemaHook.set(schemaOf)
     try renderImpl(template, vars, thisModel, macros)
     catch { case MacroReturn(_) => throw new IllegalArgumentException(
       "return() outside a macro (dbt allows it only inside {% macro %}/{% test %} bodies)") }
-    finally { refs.remove(); valuesHook.remove() }
+    finally { refs.remove(); valuesHook.remove(); schemaHook.remove() }
   }
 
   /** Extract the `{% macro %}` definitions from a source file WITHOUT
@@ -92,6 +94,14 @@ object Jinja {
     * catalog (pure-text renders) — using the macro then fails loudly. */
   private val valuesHook = new ThreadLocal[Option[(String, String, Int) => Seq[String]]] {
     override def initialValue(): Option[(String, String, Int) => Seq[String]] = None
+  }
+
+  /** Live schema for `adapter.get_columns_in_relation`: relation name →
+    * (column, dataType) in table order. Defaults to empty (pure-text
+    * renders), which makes the adapter call fail loudly instead of
+    * rendering an empty column list into wrong SQL. */
+  private val schemaHook = new ThreadLocal[String => Seq[(String, String)]] {
+    override def initialValue(): String => Seq[(String, String)] = _ => Nil
   }
 
   /** Rendered bodies of enclosing `{% call %}` blocks — `caller()` inside a
@@ -471,6 +481,10 @@ object Jinja {
   private val raiseRe =
     "(?s)^exceptions\\s*\\.\\s*raise_compiler_error\\s*\\((.*)\\)$".r
 
+  /** `adapter.get_columns_in_relation(rel)` — dbt's schema introspection. */
+  private val getColsRe =
+    "(?s)^adapter\\s*\\.\\s*get_columns_in_relation\\s*\\((.*)\\)$".r
+
   /** `adapter.dispatch('m'[, 'pkg'])(args)`: group 1 = macro name,
     * group 2 = optional namespace package, group 3 = the outer arg list. */
   private val dispatchRe =
@@ -716,6 +730,38 @@ object Jinja {
       // nearest callMacro — dbt's own control-flow shape; see MacroReturn)
       case returnRe(inner) if balancedArgs(inner) =>
         throw MacroReturn(value(inner, vars, bindings, thisModel))
+      // `adapter.get_columns_in_relation(rel)` — dbt's live schema
+      // introspection (dbt-adapters base relation API; the reference runs
+      // these through real dbt jinja against the warehouse). The relation
+      // resolves like every relation arg (ref()/source()/this/a bound macro
+      // parameter), the catalog answers through the same schemaOf seam the
+      // native @STAR macro uses, and the result renders as a jinja list of
+      // column dicts carrying the attribute subset packages actually read
+      // (.name/.column/.dtype/.data_type/.quoted) — dict attr access and
+      // {% for %} over list-of-dicts are already ConstEval-native. Fails
+      // loudly when no live catalog is wired (pure-text renders) or the
+      // relation has no columns: an empty expansion would render into
+      // silently-wrong SQL.
+      case getColsRe(argSrc) if balancedArgs(argSrc) =>
+        val argRaw = splitArgs(argSrc).headOption.map(_.trim).getOrElse(
+          throw new IllegalArgumentException(
+            "adapter.get_columns_in_relation needs a relation argument"))
+        val rel = argRaw match {
+          case "this" => thisModel.getOrElse(throw new IllegalArgumentException(
+            "get_columns_in_relation(this) outside a model render"))
+          case other if bindings.contains(other) => bindings(other)
+          case other => resolveRelation(other)
+        }
+        val cols = schemaHook.get()(rel)
+        require(cols.nonEmpty,
+          s"adapter.get_columns_in_relation: no columns for '$rel' — " +
+            "either no live catalog is wired into this render or the " +
+            "relation does not exist yet")
+        cols.map { case (n, t) =>
+          val dt = t.toLowerCase
+          s"{'name': '$n', 'column': '$n', 'dtype': '$dt', " +
+            s"'data_type': '$dt', 'quoted': '`$n`'}"
+        }.mkString("[", ", ", "]")
       // `adapter.dispatch('m'[, 'pkg'])(args)` — the dbt cross-database
       // fallback chain (dbt-core dispatch semantics): resolve to the most
       // specific implementation macro visible in this render, preferring
@@ -769,7 +815,11 @@ object Jinja {
                 (e.startsWith("\"") && e.endsWith("\"") && e.length >= 2) =>
         unescape(e.substring(1, e.length - 1))
       // bare identifier with no binding: itself (column names in for-lists)
-      case _ if e.matches("[A-Za-z_][\\w.]*") => e
+      // — UNLESS a dotted prefix binds to a container literal, which makes
+      // it jinja attribute access (`col.name` over the column dicts
+      // get_columns_in_relation returns) and routes to ConstEval below
+      case _ if e.matches("[A-Za-z_][\\w.]*") &&
+                !containerAttrAccess(e, vars, bindings) => e
       case _ =>
         ConstEval.eval(substitute(e, vars, bindings, thisModel)) match {
           case Some(ConstEval.N(n)) => if (n.isWhole) n.toBigInt.toString else n.toString
@@ -781,6 +831,20 @@ object Jinja {
           case None => throw new IllegalArgumentException(s"cannot evaluate jinja expr: $e")
         }
     }
+  }
+
+  /** Whether a dotted identifier is attribute access on a container-valued
+    * binding (`col.quoted` with `col` bound to a dict literal) rather than
+    * a raw SQL fragment (`t.order_col` with nothing bound): true when the
+    * LONGEST bound proper prefix holds a list/dict literal. */
+  private def containerAttrAccess(e: String, vars: Map[String, String],
+                                  bindings: Map[String, String]): Boolean = {
+    val parts = e.split('.')
+    (parts.length - 1 to 1 by -1).iterator
+      .map(k => parts.take(k).mkString("."))
+      .flatMap(p => bindings.get(p).orElse(vars.get(p)))
+      .nextOption()
+      .exists { v => val t = v.trim; t.startsWith("{") || t.startsWith("[") }
   }
 
   /** Locate a python-style ternary: the FIRST top-level lowercase ` if `

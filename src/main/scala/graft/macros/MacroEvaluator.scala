@@ -63,7 +63,7 @@ final class MacroEvaluator(
     val pre =
       if (Jinja.hasJinja(sql))
         Jinja.render(sql, variables ++ timeVars.map { case (k, v) => k -> v }, thisModel,
-          refResolver, columnValues = columnValues)
+          refResolver, columnValues = columnValues, schemaOf = schemaOf)
       else sql
     renderDepth(pre, 0)
   }

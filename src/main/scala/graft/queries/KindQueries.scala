@@ -898,6 +898,55 @@ object KindQueries {
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ---- adapter.get_columns_in_relation (r17: dbt schema introspection)
+    // the dbt-adapters relation API packages lean on hardest after
+    // dispatch: macros that LOOP OVER a relation's live columns to build
+    // SQL (select-list generators, row checksums, audit helpers). Renders
+    // at evaluation time against the real catalog through the same
+    // schemaOf seam as @STAR; column objects are jinja dicts
+    // (.name/.column/.dtype/.data_type/.quoted). The oracle hardcodes the
+    // expansion the macros must produce for nation's 3-column schema.
+    "mk_dbt_columns_introspection" -> Entry((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dbtix")
+      def w(rel: String, text: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, text)
+      }
+      w("dbt_project.yml", "name: ixproj\n")
+      w("models/schema.yml",
+        "sources:\n  - name: raw\n    tables:\n      - name: nation\n")
+      w("macros/introspect.sql",
+        """{% macro typed_select(relation) %}
+          |    {%- set cols = adapter.get_columns_in_relation(relation) -%}
+          |    {% for col in cols %}{{ col.quoted }} AS {{ col.name }}_{{ col.dtype }}{{ ',' if not loop.last }}
+          |    {% endfor %}
+          |{% endmacro %}
+          |
+          |{% macro checksum_columns(relation) %}
+          |    {%- set cols = adapter.get_columns_in_relation(relation) -%}
+          |    md5(concat_ws('|'{% for col in cols %}, coalesce(cast({{ col.column }} as string), ''){% endfor %}))
+          |{% endmacro %}
+          |""".stripMargin)
+      w("models/nation_typed.sql",
+        """{{ config(materialized='table', schema='ix') }}
+          |SELECT
+          |    {{ typed_select(source('raw', 'nation')) }},
+          |    {{ checksum_columns(source('raw', 'nation')) }} AS row_hash
+          |FROM {{ source('raw', 'nation') }}
+          |""".stripMargin)
+      val c = ctx(s, dir)
+      c.loadDbtProject(root.toString)
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+      s.table("ix.nation_typed").orderBy("n_nationkey_int")
+    }, Some(
+      """SELECT n_nationkey AS n_nationkey_int, n_name AS n_name_string,
+        |  n_regionkey AS n_regionkey_int,
+        |  md5(concat_ws('|', coalesce(cast(n_nationkey AS VARCHAR), ''),
+        |    coalesce(cast(n_name AS VARCHAR), ''),
+        |    coalesce(cast(n_regionkey AS VARCHAR), ''))) AS row_hash
+        |FROM nation ORDER BY n_nationkey_int""".stripMargin)),
+
     // ------------- Scala-bodied model (reference: Python models) ----------
     "mk_scala_model" -> Entry((s, dir) => {
       val c = ctx(s, dir)

@@ -2299,6 +2299,83 @@ object PipelineQueries {
          |ORDER BY i.doc_id, corpus_id""".stripMargin)),
 
     // ------------------------------------------ similarity search --------
+
+    // reciprocal-rank fusion of two deterministic rankings (a length-based
+    // one and a residue-permutation one — score-incomparable by
+    // construction, exactly the case RRF exists for). The oracle replays
+    // rank assignment (same tie-breaks), the 1/(k0+r) sum, and the fused
+    // ordering.
+    "td_rrf" -> Entry((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("doc_id"), col("n_chars").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(15)
+      val b = docs.select(col("doc_id"),
+          (lit(0.0) - (col("doc_id") * 37 % 101).cast("double")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(15)
+      graft.functions.Search.rrf(Seq(a, b), k0 = 60, topK = 10)
+    }, Some(
+      """WITH a AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        |  FROM documents ORDER BY n_chars DESC, doc_id LIMIT 15
+        |), b AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY (doc_id*37)%101, doc_id) AS r
+        |  FROM documents ORDER BY (doc_id*37)%101, doc_id LIMIT 15
+        |), u AS (
+        |  SELECT doc_id, r FROM a UNION ALL SELECT doc_id, r FROM b
+        |)
+        |SELECT doc_id, round(sum(1.0/(60+r)), 6) AS rrf_score,
+        |  CAST(count(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Maximal Marginal Relevance over a bounded candidate set: top-20 by
+    // cosine relevance to the vec_id=0 query, then 3 greedy diversity-aware
+    // picks at λ=0.7. The oracle UNROLLS the greedy recursion (the
+    // pageRank-oracle pattern): pick 1 = max relevance, pick 2 scores
+    // against pick 1, pick 3 against greatest-of-both — selection on
+    // unrounded doubles both sides, display rounded to 4.
+    "td_mmr" -> Entry((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      val cand = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          Similarity.cosine(col("embedding"), col("__qv")).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+      Similarity.mmr(cand, k = 3, lambdaRel = 0.7)
+        .select(col("position"), col("vec_id"),
+          round(col("rel"), 4).as("rel"), round(col("mmr_score"), 4).as("mmr_score"))
+        .orderBy(col("position"))
+    }, Some(
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        |), cand AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS rel
+        |  FROM embeddings, q WHERE vec_id <> 0
+        |  ORDER BY rel DESC, vec_id LIMIT 20
+        |), p1 AS (
+        |  SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+        |), s2 AS (
+        |  SELECT c.vec_id, c.v, c.rel,
+        |    0.7*c.rel - 0.3*list_cosine_similarity(c.v, p1.v) AS m
+        |  FROM cand c, p1 WHERE c.vec_id <> p1.vec_id
+        |), p2 AS (
+        |  SELECT * FROM s2 ORDER BY m DESC, vec_id LIMIT 1
+        |), s3 AS (
+        |  SELECT c.vec_id, c.rel,
+        |    0.7*c.rel - 0.3*greatest(list_cosine_similarity(c.v, p1.v),
+        |                             list_cosine_similarity(c.v, p2.v)) AS m
+        |  FROM cand c, p1, p2 WHERE c.vec_id NOT IN (p1.vec_id, p2.vec_id)
+        |), p3 AS (
+        |  SELECT * FROM s3 ORDER BY m DESC, vec_id LIMIT 1
+        |)
+        |SELECT CAST(1 AS INT) AS position, vec_id, round(rel, 4) AS rel,
+        |  round(0.7*rel, 4) AS mmr_score FROM p1
+        |UNION ALL SELECT CAST(2 AS INT), vec_id, round(rel, 4), round(m, 4) FROM p2
+        |UNION ALL SELECT CAST(3 AS INT), vec_id, round(rel, 4), round(m, 4) FROM p3
+        |ORDER BY position""".stripMargin)),
+
     "td_knn_bruteforce" -> Entry((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)

@@ -328,4 +328,50 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(extra.isEmpty, "rank-graph error path leaked persisted frames")
   }
+
+  test("reliable-checkpoint mode: same ranks, vectors written to the checkpoint dir") {
+    // spark.graft.reliableCheckpoints=true swaps the per-round
+    // localCheckpoint for a reliable checkpoint (executor loss costs a
+    // re-read, not the job — the 1000-executor mode). Semantics must be
+    // identical; the checkpoint dir must actually receive the vectors.
+    val e = Seq(("A", "B", 1.0), ("B", "A", 1.0), ("B", "C", 1.0))
+    val local = ranksOf(e, 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val hadDir = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.reliableCheckpoints", "true")
+    try {
+      val reliable = ranksOf(e, 3)
+      assert(reliable == local, "reliable mode changed rank values")
+      def files(p: java.io.File): Seq[java.io.File] =
+        if (p.isDirectory) p.listFiles().toSeq.flatMap(files) else Seq(p)
+      assert(files(new java.io.File(dir)).nonEmpty,
+        "reliable mode wrote nothing to the checkpoint dir")
+      // clusters goes through the same seam
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val cl = Dedup.clusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally {
+      spark.conf.set("spark.graft.reliableCheckpoints", "false")
+      // leave the dir set (no unset API); the flag alone gates the mode
+      hadDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
+  }
+
+  test("iterCheckpoint fails loudly when reliable mode has no checkpoint dir") {
+    val fresh = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    // NOTE: getOrCreate returns the shared session in this JVM — guard the
+    // assertion on an actually-unset dir instead of assuming freshness
+    if (fresh.sparkContext.getCheckpointDir.isEmpty) {
+      fresh.conf.set("spark.graft.reliableCheckpoints", "true")
+      try {
+        import fresh.implicits._
+        intercept[IllegalArgumentException] {
+          Barrier.iterCheckpoint(Seq(1).toDF("x"))
+        }
+      } finally fresh.conf.set("spark.graft.reliableCheckpoints", "false")
+    }
+  }
 }

@@ -208,4 +208,29 @@ class JinjaExprSpec extends AnyFunSuite {
     assert(r("{% set xs = [1] + [2, 3] %}{{ xs | length }}") == "3")
     assert(r("{{ 'n=' ~ 5 }}") == "n=5")
   }
+
+  // ------------------------- adapter.get_columns_in_relation (r17) --------
+
+  private val fakeSchema: String => Seq[(String, String)] = {
+    case "raw.nation" => Seq("n_nationkey" -> "INT", "n_name" -> "STRING")
+    case _            => Nil
+  }
+
+  test("get_columns_in_relation: column dicts loop with attr access") {
+    val t = """{%- set cols = adapter.get_columns_in_relation(source('raw', 'nation')) -%}
+              |{% for col in cols %}{{ col.quoted }} AS {{ col.name }}_{{ col.dtype }}{{ ',' if not loop.last }} {% endfor %}""".stripMargin
+    val out = Jinja.render(t, Map.empty, schemaOf = fakeSchema)
+    assert(out.trim == "`n_nationkey` AS n_nationkey_int, `n_name` AS n_name_string")
+  }
+
+  test("get_columns_in_relation: resolves a macro-parameter binding") {
+    val t = """{% macro sel(relation) %}{%- set cols = adapter.get_columns_in_relation(relation) -%}{{ cols | length }}{% endmacro %}{{ sel(source('raw', 'nation')) }}"""
+    assert(Jinja.render(t, Map.empty, schemaOf = fakeSchema).trim == "2")
+  }
+
+  test("get_columns_in_relation: fails loudly without a live catalog") {
+    val t = "{{ adapter.get_columns_in_relation(source('raw', 'nation')) }}"
+    val e = intercept[IllegalArgumentException] { Jinja.render(t, Map.empty) }
+    assert(e.getMessage.contains("no columns"))
+  }
 }
