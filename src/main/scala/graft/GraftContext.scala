@@ -409,7 +409,8 @@ class GraftContext(
     Renderer.render(models(name), start, end, executionTs,
       mapping, allVariables, macros = customMacros.toMap,
       schemaOf = Renderer.catalogSchemaOf(spark, mapping),
-      columnValues = Renderer.catalogColumnValues(spark, mapping))
+      columnValues = Renderer.catalogColumnValues(spark, mapping),
+      runQuery = Renderer.catalogRunQuery(spark, mapping))
   }
 
   /** Column-level lineage for a model (reference `sqlmesh lineage

@@ -208,8 +208,11 @@ object DbtLoader {
     val jinjaSpan = "(?s)\\{\\{.*?\\}\\}|\\{%.*?%\\}".r
     def rewriteSpan(span: String): String = {
       var out = span
-      for (pkg <- pkgs; m <- pkg.macroStems
-           if !graft.macros.Jinja.hasBuiltin(s"${pkg.name}.$m"))
+      // an INSTALLED package's macro wins over the native builtin surface
+      // (dbt semantics: the vendored implementation IS the macro; natives
+      // are the no-package fallback) — so qualified calls always rewrite
+      // onto the vendored copy when the package defines the stem
+      for (pkg <- pkgs; m <- pkg.macroStems)
         out = (s"\\b${q(pkg.name)}\\s*\\.\\s*${q(m)}\\s*\\(").r
           .replaceAllIn(out, s"${pkg.name}__$m(")
       // (?<![\w.]) not \b: '.' is a word boundary, so \b would re-capture

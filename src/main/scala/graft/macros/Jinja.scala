@@ -60,14 +60,18 @@ object Jinja {
              refResolver: String => String = identity,
              macros: Map[String, MacroDef] = Map.empty,
              columnValues: Option[(String, String, Int) => Seq[String]] = None,
-             schemaOf: String => Seq[(String, String)] = _ => Nil): String = {
+             schemaOf: String => Seq[(String, String)] = _ => Nil,
+             runQuery: Option[String => (Seq[String], Seq[Seq[Any]])] = None): String = {
     refs.set(refResolver)
     valuesHook.set(columnValues)
     schemaHook.set(schemaOf)
+    queryHook.set(runQuery)
+    statementResults.set(Map.empty)
     try renderImpl(template, vars, thisModel, macros)
     catch { case MacroReturn(_) => throw new IllegalArgumentException(
       "return() outside a macro (dbt allows it only inside {% macro %}/{% test %} bodies)") }
-    finally { refs.remove(); valuesHook.remove(); schemaHook.remove() }
+    finally { refs.remove(); valuesHook.remove(); schemaHook.remove()
+              queryHook.remove(); statementResults.remove() }
   }
 
   /** Extract the `{% macro %}` definitions from a source file WITHOUT
@@ -110,6 +114,49 @@ object Jinja {
     override def initialValue(): List[String] = Nil
   }
 
+  /** Render-time query execution for dbt `run_query` / `statement`:
+    * SQL → (column names, rows of raw cell values: null | Number | other
+    * .toString-able). None outside a live engine (pure-text renders) —
+    * using run_query then fails loudly, matching dbt where these only
+    * work at execution. */
+  private val queryHook = new ThreadLocal[Option[String => (Seq[String], Seq[Seq[Any]])]] {
+    override def initialValue(): Option[String => (Seq[String], Seq[Seq[Any]])] = None
+  }
+
+  /** Results of `{% call statement('name', fetch_result=true) %}` blocks in
+    * the current render, for `load_result('name')`. */
+  private val statementResults = new ThreadLocal[Map[String, (Seq[String], Seq[Seq[Any]])]] {
+    override def initialValue(): Map[String, (Seq[String], Seq[Seq[Any]])] = Map.empty
+  }
+
+  /** Render a query result as the agate-shaped jinja value packages read:
+    * `columns` = list of {'name', 'values'} dicts (`.values()` on a dict
+    * returns its values — the agate Column read works through plain dict
+    * semantics), `rows` = list of per-row dicts keyed by column (so
+    * `row['col']`, `row.col`, and `row.values()[0]` all work), `data` =
+    * list of plain value lists (the `| map(attribute=0)` form), plus
+    * `column_names`. Cells: null → none, numbers bare, everything else a
+    * quoted string. */
+  private def resultTableLiteral(cols: Seq[String], rows: Seq[Seq[Any]]): String = {
+    def cell(v: Any): String = v match {
+      case null                 => "none"
+      case n: java.lang.Number  => n.toString
+      case b: java.lang.Boolean => if (b) "True" else "False"
+      case other =>
+        "'" + other.toString.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    }
+    val colNames = cols.map(c => s"'$c'").mkString("[", ", ", "]")
+    val columns = cols.zipWithIndex.map { case (c, i) =>
+      s"{'name': '$c', 'values': ${rows.map(r => cell(r(i))).mkString("[", ", ", "]")}}"
+    }.mkString("[", ", ", "]")
+    val rowDicts = rows.map(r =>
+      cols.zipWithIndex.map { case (c, i) => s"'$c': ${cell(r(i))}" }
+        .mkString("{", ", ", "}")).mkString("[", ", ", "]")
+    val data = rows.map(_.map(cell).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    s"{'column_names': $colNames, 'columns': $columns, 'rows': $rowDicts, 'data': $data}"
+  }
+
   private def renderImpl(template: String, vars: Map[String, String],
                          thisModel: Option[String],
                          macros: Map[String, MacroDef]): String = {
@@ -120,9 +167,11 @@ object Jinja {
     // (local definitions shadow supplied ones)
     macroEnv.set(macros ++ nodes.collect { case MacroNode(d) => d.name -> d })
     // dbt's `execute` flag: True during real rendering (dbt sets False only
-    // in its parse-only pass, which this renderer doesn't have)
-    val varsWithExec =
-      if (vars.contains("execute")) vars else vars + ("execute" -> "True")
+    // in its parse-only pass, which this renderer doesn't have). Same for
+    // `flags.WHICH`: always the run-mode value (dotted vars resolve as
+    // whole tokens, so the literal key works like loop.index does).
+    val varsWithExec = Seq("execute" -> "True", "flags.WHICH" -> "run")
+      .foldLeft(vars)((v, kv) => if (v.contains(kv._1)) v else v + kv)
     try {
       val out = new StringBuilder
       evalNodes(nodes, out, scala.collection.mutable.Map[String, String](),
@@ -136,7 +185,10 @@ object Jinja {
                         vars: Map[String, String],
                         thisModel: Option[String]): Unit = ns.foreach {
     case Text(s) => out.append(s)
-    case Out(e)  => out.append(value(e, vars, bindings.toMap, thisModel))
+    case Out(e)  =>
+      // a relation OBJECT interpolated into output prints its name —
+      // dbt's BaseRelation __str__ (see [[relationArg]])
+      out.append(relationNameOf(value(e, vars, bindings.toMap, thisModel)))
     case SetVar(n, e) =>
       val nsRe = "(?s)^namespace\\s*\\((.*)\\)$".r
       e.trim match {
@@ -158,8 +210,11 @@ object Jinja {
             }
           }
         // list/dict literals bind RAW — iterables for a later {% for %} /
-        // mutation targets for {% do xs.append(...) %}
-        case t if t.startsWith("[") || t.startsWith("{") => bindings(n) = t
+        // mutation targets for {% do xs.append(...) %} — but a literal
+        // feeding a FILTER PIPELINE (`[...] | map('lower') | list`) must
+        // evaluate now, else the binding holds unrenderable pipe text
+        case t if (t.startsWith("[") || t.startsWith("{")) &&
+                  splitPipes(t).length == 1 => bindings(n) = t
         case _ => bindings(n) = value(e, vars, bindings.toMap, thisModel)
       }
     case SetBlock(n, body) =>
@@ -194,9 +249,26 @@ object Jinja {
     case CallBlock(call, body) =>
       val inner = new StringBuilder
       evalNodes(body, inner, bindings, vars, thisModel)
-      callerStack.set(inner.toString.trim :: callerStack.get)
-      try out.append(value(call, vars, bindings.toMap, thisModel))
-      finally callerStack.set(callerStack.get.tail)
+      call.trim match {
+        // `{% call statement('name', fetch_result=true) %} sql {% endcall %}`
+        // — dbt's lower-level run_query: execute the rendered body, stash
+        // the result for load_result('name'), emit nothing. A MacroReturn
+        // thrown INSIDE the body (get_column_values' missing-relation
+        // default path) propagates — that is dbt's own control flow.
+        case statementRe(name, opts) =>
+          val sql = inner.toString.trim
+          if (sql.nonEmpty) {
+            val hook = queryHook.get().getOrElse(throw new IllegalArgumentException(
+              s"statement('$name'): no live engine is wired into this render"))
+            val fetch = opts.toLowerCase.contains("fetch_result")
+            val res = hook(sql)
+            if (fetch) statementResults.set(statementResults.get + (name -> res))
+          }
+        case _ =>
+          callerStack.set(inner.toString.trim :: callerStack.get)
+          try out.append(value(call, vars, bindings.toMap, thisModel))
+          finally callerStack.set(callerStack.get.tail)
+      }
     case If(branches, orElse) =>
       branches.find { case (c, _) => truthy(c, vars, bindings.toMap, thisModel) } match {
         case Some((_, body)) => evalNodes(body, out, bindings, vars, thisModel)
@@ -276,9 +348,16 @@ object Jinja {
         .getOrElse(throw new IllegalArgumentException(
           s"macro ${d.name}: missing argument '$p'"))
       // args that aren't evaluable expressions are SQL fragments — dbt
-      // macros routinely take raw snippets (`guard(d > 5)`); pass verbatim
-      scope(p) = try value(raw, vars, outerBindings, thisModel)
-        catch { case _: IllegalArgumentException => raw }
+      // macros routinely take raw snippets (`guard(d > 5)`); pass verbatim.
+      // A ref()/source()/this arg binds as a RELATION OBJECT (a dict with
+      // dbt's BaseRelation attribute surface) — packages type-check and
+      // introspect these (`obj is mapping`, `.identifier`, `.metadata`);
+      // [[Out]] rendering and ConstEval string coercion collapse it back
+      // to the relation name, so `FROM {{ rel }}` and `'from ' ~ rel`
+      // still emit plain SQL.
+      scope(p) = relationArg(raw, thisModel).getOrElse(
+        try value(raw, vars, outerBindings, thisModel)
+        catch { case _: IllegalArgumentException => raw })
     }
     val out = new StringBuilder
     // {{ return(v) }} anywhere in the body makes the CALL evaluate to v,
@@ -313,14 +392,24 @@ object Jinja {
     }
     while (i < s.length) {
       val e = s.indexOf("{{", i); val t = s.indexOf("{%", i)
-      val next = (e, t) match {
-        case (-1, -1) => -1
-        case (-1, x)  => x
-        case (x, -1)  => x
-        case (a, b)   => math.min(a, b)
+      val c = s.indexOf("{#", i)
+      val next = Seq(e, t, c).filter(_ >= 0) match {
+        case Nil => -1
+        case xs  => xs.min
       }
       if (next < 0) { addText(s.substring(i)); i = s.length }
-      else {
+      else if (next == c && c != e && c != t) {
+        // `{# comment #}` — emitted nowhere; `{#- -#}` whitespace control
+        // works like the other tags (dbt packages comment liberally)
+        val close = s.indexOf("#}", next)
+        require(close > 0, "unclosed {#")
+        val content = s.substring(next + 2, close)
+        var text = s.substring(i, next)
+        if (content.startsWith("-")) text = text.replaceAll("\\s+$", "")
+        addText(text)
+        if (content.endsWith("-")) trimNextLeading = true
+        i = close + 2
+      } else {
         val isExpr = s.startsWith("{{", next)
         val closeTag = if (isExpr) "}}" else "%}"
         val close = s.indexOf(closeTag, next)
@@ -476,6 +565,7 @@ object Jinja {
 
   /** `log(msg[, info=...])` — dbt logging builtin. */
   private val logRe = "(?s)^log\\s*\\((.*)\\)$".r
+  private val printRe = "(?s)^print\\s*\\((.*)\\)$".r
 
   /** `exceptions.raise_compiler_error(msg)` — dbt's guard-clause throw. */
   private val raiseRe =
@@ -484,6 +574,44 @@ object Jinja {
   /** `adapter.get_columns_in_relation(rel)` — dbt's schema introspection. */
   private val getColsRe =
     "(?s)^adapter\\s*\\.\\s*get_columns_in_relation\\s*\\((.*)\\)$".r
+
+  /** `adapter.quote(identifier)` — engine-native identifier quoting
+    * (backticks for Spark SQL). */
+  private val adapterQuoteRe =
+    "(?s)^adapter\\s*\\.\\s*quote\\s*\\((.*)\\)$".r
+
+  /** `run_query(sql)` — dbt's render-time query execution. */
+  private val runQueryRe = "(?s)^run_query\\s*\\((.*)\\)$".r
+
+  /** `load_result('name')` — the result of an earlier
+    * `{% call statement('name', fetch_result=true) %}` block. */
+  private val loadResultRe =
+    "(?s)^load_result\\s*\\(\\s*['\"]([\\w]+)['\"]\\s*\\)$".r
+
+  /** Split `name(args).post.fix[0]` into (args, postfix) by scanning the
+    * balanced argument list — the regex form can't, its greedy capture eats
+    * the postfix. Returns None when `e` isn't `prefix(...)...`. */
+  private def splitCallPostfix(e: String, prefix: String): Option[(String, String)] = {
+    val m = s"^$prefix\\s*\\(".r.findFirstMatchIn(e).getOrElse(return None)
+    var i = m.end; var depth = 1; var q = ' '
+    while (i < e.length && depth > 0) {
+      val c = e.charAt(i)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else c match {
+        case '\'' | '"' => q = c
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth != 0) None
+    else Some((e.substring(m.end, i - 1), e.substring(i)))
+  }
+
+  /** The `statement('name', fetch_result=true)` call-block target. */
+  private val statementRe =
+    "(?s)^statement\\s*\\(\\s*['\"]([\\w]+)['\"](.*)\\)$".r
 
   /** `adapter.dispatch('m'[, 'pkg'])(args)`: group 1 = macro name,
     * group 2 = optional namespace package, group 3 = the outer arg list. */
@@ -718,6 +846,12 @@ object Jinja {
           .map(a => value(a, vars, bindings, thisModel)).getOrElse("")
         System.err.println(s"[graft] dbt log: $msg")
         ""
+      // jinja `print(msg)` — same contract as log (dbt packages use both)
+      case printRe(argSrc) if balancedArgs(argSrc) && !macroEnv.get.contains("print") =>
+        val msg = splitArgs(argSrc).headOption
+          .map(a => value(a, vars, bindings, thisModel)).getOrElse("")
+        System.err.println(s"[graft] dbt print: $msg")
+        ""
       // dbt `exceptions.raise_compiler_error('msg')` — the package
       // guard-clause idiom (bad arguments, unsupported adapters): a named
       // error carrying the rendered message
@@ -742,16 +876,69 @@ object Jinja {
       // loudly when no live catalog is wired (pure-text renders) or the
       // relation has no columns: an empty expansion would render into
       // silently-wrong SQL.
+      // `run_query(sql)` — dbt's render-time query execution (dbt-core
+      // core/dbt/context/providers.py run_query; the reference renders dbt
+      // jinja against the live warehouse). The SQL evaluates in scope (a
+      // string literal, a bound {% set %}/{% endset %} body, a ~ concat),
+      // runs through the queryHook (the engine seam — wired to spark.sql
+      // with the model's table mapping at evaluation time), and returns
+      // the agate-shaped table literal (see resultTableLiteral). Fails
+      // loudly with no live engine: dbt's own run_query is execute-time
+      // only, and silently returning empty would render wrong SQL.
+      case _ if e.startsWith("run_query") && splitCallPostfix(e, "run_query").isDefined =>
+        val (argSrc, postfix) = splitCallPostfix(e, "run_query").get
+        val sql = splitArgs(argSrc).headOption
+          .map(a => value(a, vars, bindings, thisModel)).getOrElse(
+            throw new IllegalArgumentException("run_query needs a SQL argument"))
+        val hook = queryHook.get().getOrElse(throw new IllegalArgumentException(
+          "run_query: no live engine is wired into this render " +
+            "(run_query only works during evaluation, like dbt's)"))
+        val (cols, rows) = hook(sql)
+        applyPostfix(resultTableLiteral(cols, rows), postfix, e)
+      // `load_result('name')` — dbt's companion to {% call statement %}:
+      // {'response', 'data', 'table'} for a fetched statement, none if the
+      // name was never run (dbt returns None then too). A postfix chain
+      // (`load_result('x').table.columns[0].values()` — the get_single_value
+      // idiom) evaluates over the literal.
+      case _ if e.startsWith("load_result") && splitCallPostfix(e, "load_result").isDefined =>
+        val (argSrc, postfix) = splitCallPostfix(e, "load_result").get
+        val name = argSrc.trim.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"")
+        statementResults.get.get(name) match {
+          case Some((cols, rows)) =>
+            val table = resultTableLiteral(cols, rows)
+            val data = rows.map(_.map {
+              case null                 => "none"
+              case n: java.lang.Number  => n.toString
+              case b: java.lang.Boolean => if (b) "True" else "False"
+              case o => "'" + o.toString.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            }.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+            applyPostfix(s"{'response': 'OK', 'data': $data, 'table': $table}",
+              postfix, e)
+          case None =>
+            require(postfix.trim.isEmpty, s"load_result('$name') is None " +
+              s"(no fetched statement by that name) — cannot apply '$postfix'")
+            "None"
+        }
+      // `adapter.quote(ident)` — Spark SQL identifier quoting. The arg
+      // evaluates in scope (a bound loop var, a string literal, a `~`
+      // concat); already-backticked identifiers pass through unchanged.
+      case adapterQuoteRe(argSrc) if balancedArgs(argSrc) =>
+        val ident = splitArgs(argSrc).headOption
+          .map(a => value(a, vars, bindings, thisModel)).getOrElse(
+            throw new IllegalArgumentException("adapter.quote needs an identifier"))
+        if (ident.startsWith("`") && ident.endsWith("`")) ident
+        else "`" + ident.replace("`", "``") + "`"
       case getColsRe(argSrc) if balancedArgs(argSrc) =>
         val argRaw = splitArgs(argSrc).headOption.map(_.trim).getOrElse(
           throw new IllegalArgumentException(
             "adapter.get_columns_in_relation needs a relation argument"))
-        val rel = argRaw match {
+        val rel = relationNameOf(argRaw match {
           case "this" => thisModel.getOrElse(throw new IllegalArgumentException(
             "get_columns_in_relation(this) outside a model render"))
           case other if bindings.contains(other) => bindings(other)
           case other => resolveRelation(other)
-        }
+        })
         val cols = schemaHook.get()(rel)
         require(cols.nonEmpty,
           s"adapter.get_columns_in_relation: no columns for '$rel' — " +
@@ -811,8 +998,7 @@ object Jinja {
         dbtUtils(name)(resolved)
       case _ if bindings.contains(e) => bindings(e)
       case _ if vars.contains(e)     => vars(e)
-      case _ if (e.startsWith("'") && e.endsWith("'") && e.length >= 2) ||
-                (e.startsWith("\"") && e.endsWith("\"") && e.length >= 2) =>
+      case _ if isAtomicStringLit(e) =>
         unescape(e.substring(1, e.length - 1))
       // bare identifier with no binding: itself (column names in for-lists)
       // — UNLESS a dotted prefix binds to a container literal, which makes
@@ -831,6 +1017,74 @@ object Jinja {
           case None => throw new IllegalArgumentException(s"cannot evaluate jinja expr: $e")
         }
     }
+  }
+
+  /** A ref()/source()/this macro argument as a dbt BaseRelation-shaped
+    * dict: the attribute subset packages read (identifier/schema/database/
+    * is_cte/metadata.type) plus `__relation__` + `name` for the coercions
+    * back to a plain relation string. None for non-relation args. */
+  private def relationArg(raw: String, thisModel: Option[String]): Option[String] = {
+    val name = raw.trim match {
+      case "this" => thisModel
+      case refCall(n) => Some(refs.get()(n))
+      case sourceCall(db, tab) => Some(s"$db.$tab")
+      case _ => None
+    }
+    name.map { n =>
+      val (sch, ident) = n.lastIndexOf('.') match {
+        case -1 => ("", n)
+        case i  => (n.take(i), n.drop(i + 1))
+      }
+      s"{'__relation__': True, 'name': '$n', 'identifier': '$ident', " +
+        s"'schema': '$sch', 'database': none, 'is_cte': False, " +
+        "'metadata': {'type': 'BaseRelation'}}"
+    }
+  }
+
+  /** Collapse a relation dict back to its name; identity otherwise. */
+  private def relationNameOf(v: String): String =
+    if (!v.trim.startsWith("{'__relation__'")) v
+    else ConstEval.eval(v) match {
+      case Some(ConstEval.D(es)) => es.collectFirst {
+        case (ConstEval.S("name"), ConstEval.S(n)) => n
+      }.getOrElse(v)
+      case _ => v
+    }
+
+  /** Evaluate a ConstEval postfix chain (`.table.columns[0].values()`)
+    * over a rendered literal; identity when there is no postfix. */
+  private def applyPostfix(literal: String, postfix: String, orig: String): String =
+    if (postfix.trim.isEmpty) literal
+    else ConstEval.eval(literal + postfix) match {
+      case Some(ConstEval.S(s))     => s
+      case Some(ConstEval.N(n))     => if (n.isWhole) n.toBigInt.toString else n.toString
+      case Some(ConstEval.B(b))     => b.toString.toUpperCase
+      case Some(l @ ConstEval.L(_)) => ConstEval.show(l)
+      case Some(d @ ConstEval.D(_)) => ConstEval.show(d)
+      case Some(ConstEval.Null)     => "None"
+      case None => throw new IllegalArgumentException(
+        s"cannot evaluate jinja expr: $orig")
+    }
+
+  /** Whether `e` is ONE string literal spanning the whole token — the
+    * guard that keeps `'a' ~ 'b'` (concat of two literals) out of the
+    * strip-outer-quotes path, which silently rendered it as the inside of
+    * a single string. Honors backslash escapes AND SQL-style doubled
+    * quotes (`'it''s'` — the form DbtLoader emits for embedded quotes). */
+  private def isAtomicStringLit(e: String): Boolean = {
+    if (e.length < 2) return false
+    val q = e.charAt(0)
+    if ((q != '\'' && q != '"') || e.charAt(e.length - 1) != q) return false
+    var i = 1
+    while (i < e.length - 1) {
+      val c = e.charAt(i)
+      if (c == '\\') i += 2
+      else if (c == q) {
+        if (i + 1 < e.length - 1 && e.charAt(i + 1) == q) i += 2 // doubled
+        else return false // literal closes before the end
+      } else i += 1
+    }
+    i == e.length - 1
   }
 
   /** Whether a dotted identifier is attribute access on a container-valued
@@ -912,7 +1166,9 @@ object Jinja {
     val call = "(?s)^([A-Za-z_]\\w*)\\s*(?:\\((.*)\\))?$".r
     filter match {
       case call(name, argSrc) =>
-        val args = Option(argSrc).map(a =>
+        // lazy: kwarg-form filters (map(attribute=...)) must not push their
+        // raw kwarg through value()
+        lazy val args = Option(argSrc).map(a =>
           splitArgs(a).map(x => value(x, vars, bindings, thisModel))).getOrElse(Nil)
         // container-aware filters parse the (literal-rendered) value back
         def asList: Option[Vector[ConstEval.V]] =
@@ -946,6 +1202,34 @@ object Jinja {
             asList.map(xs => ConstEval.show(ConstEval.L(
               xs.sortBy(ConstEval.raw)))).getOrElse(v)
           case "string"  => v
+          case "map"     =>
+            // `xs | map('lower') | list` — apply a NAMED filter to each
+            // element (the dbt-package normalization idiom). Attribute
+            // form `map(attribute='name')` plucks a dict key per element.
+            val attrRe = "(?s)^attribute\\s*=\\s*(.+)$".r
+            val plucked = Option(argSrc).map(splitArgs(_).map(_.trim)) match {
+              case Some(Seq(attrRe(a))) =>
+                val key = value(a, vars, bindings, thisModel)
+                val idx = scala.util.Try(key.trim.toInt).toOption
+                asList.map(_.map {
+                  case ConstEval.D(es) => es.collectFirst {
+                    case (ConstEval.S(k), x) if k == key => x
+                  }.getOrElse(ConstEval.Null)
+                  // `data | map(attribute=0)` — integer attribute over
+                  // list-shaped rows (the load_result('..')['data'] idiom)
+                  case ConstEval.L(xs) if idx.exists(i => i >= 0 && i < xs.length) =>
+                    xs(idx.get)
+                  case other => other
+                })
+              case _ =>
+                val f = args.headOption.getOrElse(throw new
+                    IllegalArgumentException("map filter needs a filter name"))
+                asList.map(_.map(x => ConstEval.S(
+                  applyFilter(ConstEval.raw(x), f, vars, bindings, thisModel))))
+            }
+            plucked.map(xs => ConstEval.show(ConstEval.L(xs)))
+              .getOrElse(throw new IllegalArgumentException(
+                s"map filter needs a list, got: $v"))
           case other => throw new IllegalArgumentException(s"unsupported jinja filter: $other")
         }
       case _ => throw new IllegalArgumentException(s"bad jinja filter: $filter")
@@ -962,6 +1246,25 @@ object Jinja {
   private def substitute(expr: String, vars: Map[String, String],
                          bindings: Map[String, String], thisModel: Option[String]): String = {
     var e = expr
+    // `f(args) is [not] none` / `(f(args)) is [not] none` — the call form
+    // (dbt's `load_relation(rel) is not none` / `load_result('x') is none`
+    // guards): evaluate the call, test its value. Handled before the
+    // identifier form, which only sees bare names.
+    val callIsRe =
+      "\\(?\\s*([A-Za-z_][\\w.]*\\([^()]*\\))\\s*\\)?\\s+is\\s+(not\\s+)?none\\b".r
+    e = callIsRe.replaceAllIn(e, m => {
+      val v = value(m.group(1), vars, bindings, thisModel)
+      val isNone = v.isEmpty || v.equalsIgnoreCase("none")
+      if (isNone != (m.group(2) != null)) "TRUE" else "FALSE"
+    })
+    // `X is [not] mapping` — jinja's dict type test (dbt_utils._is_relation
+    // guards every relation-taking macro with it)
+    val mapRe = "([A-Za-z_][\\w.]*)\\s+is\\s+(not\\s+)?mapping\\b".r
+    e = mapRe.replaceAllIn(e, m => {
+      val isMap = bindings.get(m.group(1)).orElse(vars.get(m.group(1)))
+        .exists(_.trim.startsWith("{"))
+      if (isMap != (m.group(2) != null)) "TRUE" else "FALSE"
+    })
     // `X is [not] defined` / `X is [not] none` resolve BEFORE identifier
     // substitution — they ask about the NAME's existence, not its value
     // (dbt's `{% if sqlmesh_incremental is defined %}` guard idiom)
@@ -980,6 +1283,30 @@ object Jinja {
     })
     e = "(?i)is_incremental\\(\\s*\\)".r.replaceAllIn(e,
       if (vars.get("is_incremental").exists(_.equalsIgnoreCase("true"))) "TRUE" else "FALSE")
+    // ref()/source() INSIDE expressions resolve to their relation names as
+    // string literals — the package idiom of concatenating relations into
+    // run_query SQL (`'select ... from ' ~ source('a', 'b')`) needs them
+    // evaluable by ConstEval; in plain {{ }} output context value() renders
+    // them bare before ever reaching here.
+    e = "(?is)\\bref\\(\\s*['\"]([^'\"]+)['\"]\\s*\\)".r
+      .replaceAllIn(e, m => java.util.regex.Matcher.quoteReplacement(
+        "'" + refs.get()(m.group(1)) + "'"))
+    e = "(?is)\\bsource\\(\\s*['\"]([^'\"]+)['\"]\\s*,\\s*['\"]([^'\"]+)['\"]\\s*\\)".r
+      .replaceAllIn(e, m => java.util.regex.Matcher.quoteReplacement(
+        "'" + m.group(1) + "." + m.group(2) + "'"))
+    // filter chains inside the expression (`cols|length <= 0`,
+    // `col.column | lower not in except` — jinja binds `|` tighter than
+    // comparisons) evaluate through value() and substitute their result —
+    // ConstEval has no `|`, so leaving them in made the whole condition
+    // unevaluable and SILENTLY FALSY (r17 fix: the empty-columns branch of
+    // dbt_utils.star never fired). `||` stays untouched (the name after a
+    // lone pipe must be a letter); an unknown filter leaves the text as-is.
+    val filterChainRe = ("([A-Za-z_][\\w.]*(?:\\[[^\\]]*\\])?" +
+      "(?:\\s*\\|\\s*[A-Za-z_]\\w*(?:\\([^()]*\\))?)+)").r
+    e = filterChainRe.replaceAllIn(e, m =>
+      try java.util.regex.Matcher.quoteReplacement(
+        quoteIfNeeded(value(m.group(1), vars, bindings, thisModel)))
+      catch { case _: Exception => java.util.regex.Matcher.quoteReplacement(m.group(1)) })
     e = "(?is)var\\(\\s*['\"]([^'\"]+)['\"]\\s*(?:,\\s*([^)]+?)\\s*)?\\)".r
       .replaceAllIn(e, m => {
         val v = vars.get(m.group(1)).orElse(Option(m.group(2)).map(_.trim))

@@ -25,7 +25,10 @@ final class MacroEvaluator(
     val refResolver: String => String = identity,
     /** render-time catalog introspection for dbt_utils.get_column_values:
       * (relation, column, maxRecords) -> distinct values. */
-    val columnValues: Option[(String, String, Int) => Seq[String]] = None) {
+    val columnValues: Option[(String, String, Int) => Seq[String]] = None,
+    /** render-time query execution for dbt run_query/statement:
+      * SQL -> (column names, rows of raw cells). */
+    val runQuery: Option[String => (Seq[String], Seq[Seq[Any]])] = None) {
 
   private val defs = scala.collection.mutable.Map[String, (Seq[String], String)]()
   private lazy val registryUpper = registry.map { case (k, v) => k.toUpperCase -> v }
@@ -63,7 +66,8 @@ final class MacroEvaluator(
     val pre =
       if (Jinja.hasJinja(sql))
         Jinja.render(sql, variables ++ timeVars.map { case (k, v) => k -> v }, thisModel,
-          refResolver, columnValues = columnValues, schemaOf = schemaOf)
+          refResolver, columnValues = columnValues, schemaOf = schemaOf,
+          runQuery = runQuery)
       else sql
     renderDepth(pre, 0)
   }
@@ -364,10 +368,15 @@ object ConstEval {
   }
 
   /** The RAW string a value renders as in template output (jinja semantics:
-    * strings unquoted, containers as literals). */
+    * strings unquoted, containers as literals). A relation object (a dict
+    * carrying the `__relation__` marker — see Jinja.relationArg) coerces to
+    * its name, dbt BaseRelation `__str__` semantics: `'from ' ~ rel` must
+    * emit SQL, not a dict literal. */
   def raw(v: V): String = v match {
     case S(x) => x
     case B(b) => b.toString.capitalize // jinja prints True/False
+    case D(es) if es.exists(_._1 == S("__relation__")) =>
+      es.collectFirst { case (S("name"), S(n)) => n }.getOrElse(show(v))
     case other => show(other)
   }
 
@@ -387,14 +396,33 @@ object ConstEval {
     }
     private def eat(tok: String): Boolean = { if (peek(tok)) { i += tok.length; true } else false }
 
+    /** Jinja/python AND/OR SHORT-CIRCUIT: once the result is decided, the
+      * remaining operands still PARSE (the cursor must advance) but their
+      * semantic errors are suppressed (`dead` mode) — `x is mapping and
+      * x.get('metadata')` must not blow up on a string x, that is the whole
+      * point of the dbt guard idiom. Structural errors (unclosed brackets)
+      * always throw. */
+    private var dead = 0
     def orExpr(): V = {
       var l = andExpr()
-      while (eat("OR")) { val r = andExpr(); l = B(asB(l) || asB(r)) }
+      while (eat("OR")) {
+        val skip = asB(l)
+        if (skip) dead += 1
+        val r = andExpr()
+        if (skip) dead -= 1
+        l = B(asB(l) || (!skip && asB(r)))
+      }
       l
     }
     private def andExpr(): V = {
       var l = cmpExpr()
-      while (eat("AND")) { val r = cmpExpr(); l = B(asB(l) && asB(r)) }
+      while (eat("AND")) {
+        val skip = !asB(l)
+        if (skip) dead += 1
+        val r = cmpExpr()
+        if (skip) dead -= 1
+        l = B(asB(l) && !skip && asB(r))
+      }
       l
     }
     private def cmpExpr(): V = {
@@ -411,6 +439,7 @@ object ConstEval {
             case (Null, _) | (_, Null) => cmp(1, op) // none == x is false, != true
             case (a, b) if op == "==" || op == "=" => cmp(if (a == b) 0 else 1, op)
             case (a, b) if op == "!=" || op == "<>" => cmp(if (a == b) 0 else 1, op)
+            case _ if dead > 0 => false
             case _            => throw new IllegalArgumentException("type mismatch")
           }
           B(res)
@@ -431,8 +460,10 @@ object ConstEval {
       case D(es) => es.exists(_._1 == x)
       case S(str) => x match {
         case S(sub) => str.contains(sub)
+        case _ if dead > 0 => false
         case _ => throw new IllegalArgumentException("`in <string>` needs a string")
       }
+      case _ if dead > 0 => false
       case _ => throw new IllegalArgumentException("`in` needs a collection")
     }
     private def cmp(c: Int, op: String): Boolean = op match {
@@ -580,17 +611,24 @@ object ConstEval {
         val j = n.toInt; S(x((if (j < 0) x.length + j else j)).toString)
       case (D(es), k) =>
         es.find(_._1 == k).map(_._2).getOrElse(throw new IllegalArgumentException(s"missing key ${show(k)}"))
+      case _ if dead > 0 => Null
       case _ => throw new IllegalArgumentException("bad index")
     }
     private def attr(v: V, name: String): V = v match {
       case D(es) => es.find(_._1 == S(name)).map(_._2)
         .getOrElse(throw new IllegalArgumentException(s"missing attr $name"))
+      case _ if dead > 0 => Null
       case _ => throw new IllegalArgumentException(s"no attr $name")
     }
     private def method(v: V, name: String, args: Vector[V]): V = (v, name) match {
       case (D(es), "items")  => L(es.map { case (k, x) => L(Vector(k, x)) })
       case (D(es), "keys")   => L(es.map(_._1))
-      case (D(es), "values") => L(es.map(_._2))
+      // agate shim: a dict carrying a literal 'values' entry is a column
+      // object from run_query/get_columns_in_relation — `.values()` reads
+      // that entry (how packages consume agate Columns). Plain dicts keep
+      // python semantics (all values).
+      case (D(es), "values") =>
+        es.collectFirst { case (S("values"), x) => x }.getOrElse(L(es.map(_._2)))
       case (D(es), "get")    =>
         es.find(_._1 == args(0)).map(_._2).getOrElse(if (args.length > 1) args(1) else Null)
       case (S(x), "upper")      => S(x.toUpperCase)
@@ -610,10 +648,13 @@ object ConstEval {
       }
       case (L(xs), "count") => N(BigDecimal(xs.count(_ == args(0))))
       case (L(xs), "index") => N(BigDecimal(xs.indexOf(args(0))))
+      case _ if dead > 0 => Null
       case _ => throw new IllegalArgumentException(s"unsupported method .$name on ${show(v)}")
     }
     private def asN(v: V): BigDecimal = v match {
-      case N(n) => n; case _ => throw new IllegalArgumentException("expected number")
+      case N(n) => n
+      case _ if dead > 0 => BigDecimal(0)
+      case _ => throw new IllegalArgumentException("expected number")
     }
     private def asS(v: V): String = raw(v)
     private def asB(v: V): Boolean = v match {

@@ -52,7 +52,11 @@ object RenderCache {
     * on every `@start_*` time variable. */
   private val introspective = Seq(
     "(?i)@(star|union)\\s*\\(".r,
-    "(?i)\\b(star|get_column_values)\\s*\\(".r)
+    "(?i)\\b(star|get_column_values)\\s*\\(".r,
+    // live-engine jinja: schema introspection and render-time queries
+    // read state no cache key sees (a migration or upstream backfill
+    // changes the output under the same fingerprint)
+    "(?i)\\b(get_columns_in_relation|run_query|statement|load_result)\\s*\\(".r)
   /** Conservative substring match: false positives only weaken sharing. */
   private val timeSuffixes = "(ds|ts|tstz|date|dt|dtntz|epoch|millis|hour)"
   private val intervalRe = s"(?i)(start|end)_$timeSuffixes".r
@@ -78,9 +82,10 @@ object RenderCache {
         * re-registration under an existing name) — names alone can't see a
         * behavior change behind the same name (r7 advisor finding). */
       macrosVersion: Long = 0L,
-      columnValues: Option[(String, String, Int) => Seq[String]] = None): String = {
+      columnValues: Option[(String, String, Int) => Seq[String]] = None,
+      runQuery: Option[String => (Seq[String], Seq[Seq[Any]])] = None): String = {
     def run = Renderer.render(model, start, end, execution, tableMapping,
-      variables, thisModel, schemaOf, macros, columnValues)
+      variables, thisModel, schemaOf, macros, columnValues, runQuery)
     model.body match {
       case SqlBody(sql) if cacheable(sql) =>
         val ivKey =

@@ -34,7 +34,8 @@ object Renderer {
       thisModel: Option[String] = None,
       schemaOf: String => Seq[(String, String)] = _ => Nil,
       macros: Map[String, Seq[String] => String] = Map.empty,
-      columnValues: Option[(String, String, Int) => Seq[String]] = None): String = {
+      columnValues: Option[(String, String, Int) => Seq[String]] = None,
+      runQuery: Option[String => (Seq[String], Seq[Seq[Any]])] = None): String = {
     renders.incrementAndGet()
     val body = model.body match {
       case SqlBody(sql) => sql
@@ -49,7 +50,7 @@ object Renderer {
         case _          => name
       }
     val evaluator = new MacroEvaluator(start, end, execution, thisModel, variables,
-      schemaOf, macros, refResolver, columnValues)
+      schemaOf, macros, refResolver, columnValues, runQuery)
     resolveTables(evaluator.render(body), tableMapping)
   }
 
@@ -63,6 +64,31 @@ object Renderer {
       spark.sql(s"SELECT CAST($column AS STRING) AS v FROM $resolved " +
           s"WHERE $column IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, v LIMIT $max")
         .collect().toSeq.map(_.getString(0))
+    }
+
+  /** Render-time query execution for dbt run_query / statement: resolve
+    * model/source names through the table mapping (the body SQL references
+    * logical names; physical snapshot tables are what exists), execute, cap
+    * rows — run_query feeds jinja control flow, never bulk data; an
+    * unbounded macro query materializing a corpus into the DRIVER's render
+    * is the failure mode the cap exists for. Cells come back raw (null |
+    * Number | Boolean | String) so the jinja literal can keep numerics
+    * bare. */
+  def catalogRunQuery(spark: SparkSession, mapping: Map[String, String],
+                      maxRows: Int = 10000): Option[String => (Seq[String], Seq[Seq[Any]])] =
+    Some { sql =>
+      val df = spark.sql(resolveTables(sql, mapping)).limit(maxRows + 1)
+      val rows = df.collect()
+      require(rows.length <= maxRows,
+        s"run_query returned more than $maxRows rows — render-time queries " +
+          "drive jinja control flow, not bulk data movement")
+      (df.schema.fieldNames.toSeq,
+        rows.toSeq.map(r => r.toSeq.map {
+          case null => null
+          case n: java.lang.Number => n
+          case b: java.lang.Boolean => b
+          case other => other.toString
+        }))
     }
 
   /** Live schema lookup for schema-aware macros (@STAR, @UNION): resolve the

@@ -141,7 +141,8 @@ class SnapshotEvaluator(
       mapping, variables, thisModel = Some(physicalTable(s).qualified),
       schemaOf = Renderer.catalogSchemaOf(spark, mapping),
       macros = macros, macrosVersion = macrosVersion,
-      columnValues = Renderer.catalogColumnValues(spark, mapping))
+      columnValues = Renderer.catalogColumnValues(spark, mapping),
+      runQuery = Renderer.catalogRunQuery(spark, mapping))
     spark.sql(s"CREATE OR REPLACE VIEW ${physicalTable(s).qualified} AS $sql")
   }
 
@@ -203,7 +204,8 @@ class SnapshotEvaluator(
           tableMapping, vars, thisModel = Some(t.qualified),
           schemaOf = Renderer.catalogSchemaOf(spark, tableMapping), macros = macros,
           macrosVersion = macrosVersion,
-          columnValues = Renderer.catalogColumnValues(spark, tableMapping)))
+          columnValues = Renderer.catalogColumnValues(spark, tableMapping),
+          runQuery = Renderer.catalogRunQuery(spark, tableMapping)))
       case _ => Renderer.evaluate(spark, s.model, interval.start, interval.end,
         executionTs, tableMapping, variables)
     }
@@ -279,6 +281,7 @@ class SnapshotEvaluator(
             vars, thisModel = Some(thisName),
             schemaOf = Renderer.catalogSchemaOf(spark, mapping),
             columnValues = Renderer.catalogColumnValues(spark, mapping),
+            runQuery = Renderer.catalogRunQuery(spark, mapping),
             macros = macros, macrosVersion = macrosVersion))
         case ScalaBody(fn) => fn(spark, mapping, interval.start, interval.end)
         case SeedBody(path) =>
@@ -500,7 +503,8 @@ class SnapshotEvaluator(
           thisModel = Some(t.qualified),
           schemaOf = Renderer.catalogSchemaOf(spark, mapping),
           macros = macros, macrosVersion = macrosVersion,
-          columnValues = Renderer.catalogColumnValues(spark, mapping))).schema
+          columnValues = Renderer.catalogColumnValues(spark, mapping),
+          runQuery = Renderer.catalogRunQuery(spark, mapping))).schema
       case ScalaBody(fn) => fn(spark, mapping, start, end).schema
       case SeedBody(path) =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(path).schema

@@ -947,6 +947,205 @@ object KindQueries {
         |    coalesce(cast(n_regionkey AS VARCHAR), ''))) AS row_hash
         |FROM nation ORDER BY n_nationkey_int""".stripMargin)),
 
+    // ---- run_query / statement / load_result (r17: dbt render-time
+    // queries). The package file is BYTE-IDENTICAL to dbt-labs/dbt-utils
+    // macros/sql/get_single_value.sql (dispatch wrapper + default impl,
+    // exercising statement(fetch_result)/load_result('..').table.columns
+    // [0].values()/print/return); the model folds the queried scalar into
+    // its WHERE. The oracle computes the same scalar as a subquery.
+    "mk_dbt_run_query" -> Entry((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dbtrq")
+      def w(rel: String, text: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, text)
+      }
+      w("dbt_project.yml", "name: rqproj\n")
+      w("models/schema.yml",
+        "sources:\n  - name: raw\n    tables:\n      - name: orders\n")
+      w("dbt_packages/dbt_utils/dbt_project.yml", "name: dbt_utils\n")
+      w("dbt_packages/dbt_utils/macros/sql/get_single_value.sql",
+        """{% macro get_single_value(query, default=none) %}
+          |    {{ return(adapter.dispatch('get_single_value', 'dbt_utils')(query, default)) }}
+          |{% endmacro %}
+          |
+          |{% macro default__get_single_value(query, default) %}
+          |
+          |  {# This macro returns the (0, 0) record in a query, i.e. the first row of the first column #}
+          |
+          |    {%- call statement('get_query_result', fetch_result=True, auto_begin=false) -%}
+          |
+          |        {{ query }}
+          |
+          |    {%- endcall -%}
+          |
+          |    {%- if execute -%}
+          |
+          |        {% set r = load_result('get_query_result').table.columns[0].values() %}
+          |        {% if r | length == 0 %}
+          |            {% do print('No records selected from get_single_value statement.') %}
+          |            {% set sql_result = default %}
+          |        {% else %}
+          |            {% set sql_result = r[0] %}
+          |        {% endif %}
+          |
+          |    {%- else -%}
+          |
+          |        {% set sql_result = default %}
+          |
+          |    {%- endif -%}
+          |
+          |    {% do return(sql_result) %}
+          |
+          |{% endmacro %}
+          |""".stripMargin)
+      w("models/pricey_orders.sql",
+        """{{ config(materialized='table', schema='rq') }}
+          |{% set avg_price = dbt_utils.get_single_value('select round(avg(o_totalprice), 2) from ' ~ source('raw', 'orders')) %}
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM {{ source('raw', 'orders') }}
+          |WHERE o_totalprice > {{ avg_price }}
+          |""".stripMargin)
+      val c = ctx(s, dir)
+      c.loadDbtProject(root.toString)
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+      s.table("rq.pricey_orders").orderBy("o_orderkey")
+    }, Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- dbt_utils.star VERBATIM (r17: the flagship package macro end to
+    // end). All four package files are byte-identical to dbt-labs/dbt-utils
+    // (star.sql, get_filtered_columns_in_relation.sql, _is_relation.sql,
+    // _is_ephemeral.sql): relation OBJECTS (is mapping + .metadata type
+    // check), live column introspection, except-list normalization via
+    // map('lower'), include_cols.append in a loop, adapter.quote, and the
+    // empty-columns guard whose condition (`cols|length <= 0`) needs
+    // filter-chains inside conditions. The vendored package SHADOWS the
+    // native dbt_utils.star builtin (installed package wins — dbt
+    // semantics).
+    "mk_dbt_star" -> Entry((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dbtst")
+      def w(rel: String, text: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, text)
+      }
+      w("dbt_project.yml", "name: stproj\n")
+      w("models/schema.yml",
+        "sources:\n  - name: raw\n    tables:\n      - name: nation\n")
+      w("dbt_packages/dbt_utils/dbt_project.yml", "name: dbt_utils\n")
+      w("dbt_packages/dbt_utils/macros/jinja_helpers/_is_relation.sql",
+        """{% macro _is_relation(obj, macro) %}
+          |    {%- if not (obj is mapping and obj.get('metadata', {}).get('type', '').endswith('Relation')) -%}
+          |        {%- do exceptions.raise_compiler_error("Macro " ~ macro ~ " expected a Relation but received the value: " ~ obj) -%}
+          |    {%- endif -%}
+          |{% endmacro %}
+          |""".stripMargin)
+      w("dbt_packages/dbt_utils/macros/jinja_helpers/_is_ephemeral.sql",
+        """{% macro _is_ephemeral(obj, macro) %}
+          |    {%- if obj.is_cte -%}
+          |        {% set ephemeral_prefix = api.Relation.add_ephemeral_prefix('') %}
+          |        {% if obj.identifier.startswith(ephemeral_prefix) %}
+          |            {% set model_name = obj.identifier[(ephemeral_prefix|length):] %}
+          |        {% else %}
+          |            {% set model_name = obj.identifier %}
+          |        {%- endif -%}
+          |        {% set error_message %}
+          |The `{{ macro }}` macro cannot be used with ephemeral models, as it relies on the information schema.
+          |
+          |`{{ model_name }}` is an ephemeral model. Consider making it a view or table instead.
+          |        {% endset %}
+          |        {%- do exceptions.raise_compiler_error(error_message) -%}
+          |    {%- endif -%}
+          |{% endmacro %}
+          |""".stripMargin)
+      w("dbt_packages/dbt_utils/macros/sql/get_filtered_columns_in_relation.sql",
+        """{% macro get_filtered_columns_in_relation(from, except=[]) -%}
+          |    {{ return(adapter.dispatch('get_filtered_columns_in_relation', 'dbt_utils')(from, except)) }}
+          |{% endmacro %}
+          |
+          |{% macro default__get_filtered_columns_in_relation(from, except=[]) %}
+          |    {%- do dbt_utils._is_relation(from, 'get_filtered_columns_in_relation') -%}
+          |    {%- do dbt_utils._is_ephemeral(from, 'get_filtered_columns_in_relation') -%}
+          |
+          |    {# -- Prevent querying of db in parsing mode. This works because this macro does not create any new refs. #}
+          |    {%- if not execute -%}
+          |        {{ return('') }}
+          |    {% endif %}
+          |
+          |    {%- set include_cols = [] %}
+          |    {%- set cols = adapter.get_columns_in_relation(from) -%}
+          |    {%- set except = except | map("lower") | list %}
+          |
+          |    {%- for col in cols -%}
+          |        {%- if col.column | lower not in except -%}
+          |            {% do include_cols.append(col.column) %}
+          |        {%- endif %}
+          |    {%- endfor %}
+          |
+          |    {{ return(include_cols) }}
+          |
+          |{% endmacro %}
+          |""".stripMargin)
+      w("dbt_packages/dbt_utils/macros/sql/star.sql",
+        """{% macro star(from, relation_alias=False, except=[], prefix='', suffix='', quote_identifiers=True) -%}
+          |    {{ return(adapter.dispatch('star', 'dbt_utils')(from, relation_alias, except, prefix, suffix, quote_identifiers)) }}
+          |{% endmacro %}
+          |
+          |{% macro default__star(from, relation_alias=False, except=[], prefix='', suffix='', quote_identifiers=True) -%}
+          |    {%- do dbt_utils._is_relation(from, 'star') -%}
+          |    {%- do dbt_utils._is_ephemeral(from, 'star') -%}
+          |
+          |    {#-- Prevent querying of db in parsing mode. This works because this macro does not create any new refs. #}
+          |    {%- if not execute -%}
+          |        {% do return('*') %}
+          |    {%- endif -%}
+          |
+          |    {% set cols = dbt_utils.get_filtered_columns_in_relation(from, except) %}
+          |
+          |    {%- if cols|length <= 0 -%}
+          |        {% if flags.WHICH == 'compile' %}
+          |            {% set response %}
+          |*
+          |/* No columns were returned. Maybe the relation doesn't exist yet
+          |or all columns were excluded. This star is only output during
+          |dbt compile, and exists to keep SQLFluff happy. */
+          |            {% endset %}
+          |            {% do return(response) %}
+          |        {% else %}
+          |            {% do return("/* no columns returned from star() macro */") %}
+          |        {% endif %}
+          |    {%- else -%}
+          |        {%- for col in cols %}
+          |            {%- if relation_alias %}{{ relation_alias }}.{% else %}{%- endif -%}
+          |            {%- if quote_identifiers -%}
+          |                {{ adapter.quote(col)|trim }} {%- if prefix!='' or suffix!='' %} as {{ adapter.quote(prefix ~ col ~ suffix)|trim }} {%- endif -%}
+          |            {%- else -%}
+          |                {{ col|trim }} {%- if prefix!='' or suffix!='' %} as {{ (prefix ~ col ~ suffix)|trim }} {%- endif -%}
+          |            {%- endif -%}
+          |            {%- if not loop.last %},{{ '\n  ' }}{%- endif -%}
+          |        {%- endfor -%}
+          |    {% endif %}
+          |{%- endmacro %}
+          |""".stripMargin)
+      w("models/nation_star.sql",
+        """{{ config(materialized='table', schema='st') }}
+          |SELECT
+          |    {{ dbt_utils.star(source('raw', 'nation'), except=['n_name']) }},
+          |    {{ dbt_utils.star(source('raw', 'nation'), except=['n_name', 'n_regionkey'], prefix='p_') }}
+          |FROM {{ source('raw', 'nation') }}
+          |""".stripMargin)
+      val c = ctx(s, dir)
+      c.loadDbtProject(root.toString)
+      c.apply(c.plan("prod", dayMs("1995-01-01"), dayMs("1995-02-01")))
+      s.table("st.nation_star").orderBy("n_nationkey")
+    }, Some(
+      """SELECT n_nationkey, n_regionkey, n_nationkey AS p_n_nationkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // ------------- Scala-bodied model (reference: Python models) ----------
     "mk_scala_model" -> Entry((s, dir) => {
       val c = ctx(s, dir)

@@ -249,16 +249,18 @@ class DbtLoaderSpec extends AnyFunSuite {
     assert(cols == Set("id", "v"), s"expected both files' tests, got $audits")
   }
 
-  test("vendored dbt_utils: qualified BUILTIN call survives the bare rewrite") {
-    // ADVICE r11: with dbt_utils vendored (the common case), the qualified
-    // pass skips {{ dbt_utils.generate_surrogate_key(...) }} (native builtin
-    // wins over the vendored copy) — the bare pass must not then re-capture
-    // the stem after the '.' and emit dbt_utils.dbt_utils__...( broken SQL
+  test("vendored dbt_utils: the INSTALLED package wins over the native builtin") {
+    // r17 precedence flip (dbt semantics): a vendored package macro IS the
+    // implementation — qualified calls rewrite onto it even when a native
+    // builtin shares the name; natives remain the no-package fallback
+    // (mk_dbt_utils_spine_pivot et al. exercise that path). The r11 concern
+    // stands in its new form: the bare pass must not re-capture the already
+    // rewritten call and emit dbt_utils__dbt_utils__...( broken SQL.
     val root = java.nio.file.Files.createTempDirectory("dbt_vendored_utils")
     write(root.resolve("dbt_project.yml"), "name: vproj\n")
     write(root.resolve("dbt_packages/dbt_utils/dbt_project.yml"), "name: dbt_utils\n")
     write(root.resolve("dbt_packages/dbt_utils/macros/surrogate_key.sql"),
-      "{% macro generate_surrogate_key(flds) %}vendored_should_not_run{% endmacro %}\n" +
+      "{% macro generate_surrogate_key(flds) %}'vendored_ran' {% endmacro %}\n" +
       "{% macro star(rel) %}vendored_star{% endmacro %}\n")
     write(root.resolve("models/keys.sql"),
       """{{ config(materialized='table', schema='dbtv') }}
@@ -272,17 +274,20 @@ class DbtLoaderSpec extends AnyFunSuite {
       case SqlBody(sql) => sql
       case other        => fail(s"expected SqlBody, got $other")
     }
-    assert(!body.contains("dbt_utils__"), s"bare pass re-captured a qualified builtin: $body")
-    assert(body.contains("dbt_utils.generate_surrogate_key("), body)
-    // and it renders the NATIVE builtin end-to-end (not the vendored stub)
+    assert(body.contains("dbt_utils__generate_surrogate_key("), body)
+    assert(!body.contains("dbt_utils__dbt_utils__"),
+      s"bare pass re-captured an already-qualified call: $body")
+    assert(!body.contains("dbt_utils.generate_surrogate_key("), body)
+    // and the VENDORED implementation renders end-to-end
     val ctx = new GraftContext(spark, SparkTestSession.tmpDir("dbtws-v"), concurrency = 2)
     ctx.addExternal("raw.customer", s"$sf/customer.parquet")
     ctx.loadDbtProject(root.toString)
     ctx.apply(ctx.plan("prod", 0L, D))
     val got = spark.table("dbtv.keys")
     assert(got.count() > 0)
-    assert(got.filter(org.apache.spark.sql.functions
-      .col("sk").contains("vendored")).isEmpty, "vendored stub ran instead of the builtin")
+    assert(got.filter(!org.apache.spark.sql.functions
+      .col("sk").contains("vendored_ran")).isEmpty,
+      "native builtin ran instead of the installed package's macro")
   }
 
   test("package seeds land in the profile's target schema; cross-pkg qualified calls survive") {

@@ -233,4 +233,145 @@ class JinjaExprSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { Jinja.render(t, Map.empty) }
     assert(e.getMessage.contains("no columns"))
   }
+
+  // ----------------- adapter.quote / flags.WHICH / map filter (r17) -------
+
+  test("adapter.quote backticks identifiers, idempotently, in loops") {
+    assert(r("{{ adapter.quote('order') }}") == "`order`")
+    assert(r("{{ adapter.quote('pre_' ~ 'col') }}") == "`pre_col`")
+    val t = "{% for c in ['a', 'b'] %}{{ adapter.quote(c) }}{{ ',' if not loop.last }}{% endfor %}"
+    assert(r(t) == "`a`,`b`")
+    // quoting column dicts' already-backticked .quoted passes through
+    val t2 = """{%- set cols = adapter.get_columns_in_relation(source('raw', 'nation')) -%}
+               |{{ adapter.quote(cols[0].quoted) }}""".stripMargin
+    assert(Jinja.render(t2, Map.empty, schemaOf = fakeSchema).trim == "`n_nationkey`")
+  }
+
+  test("flags.WHICH defaults to run and branches like dbt packages expect") {
+    assert(r("{{ flags.WHICH }}") == "run")
+    assert(r("{% if flags.WHICH == 'compile' %}C{% else %}R{% endif %}") == "R")
+    assert(Jinja.render("{{ flags.WHICH }}", Map("flags.WHICH" -> "compile")) == "compile")
+  }
+
+  // ------------------- run_query / statement / load_result (r17) ----------
+
+  private val fakeEngine: Option[String => (Seq[String], Seq[Seq[Any]])] =
+    Some {
+      case sql if sql.toLowerCase.contains("count") =>
+        (Seq("status", "n"), Seq(Seq("F", java.lang.Long.valueOf(3L)),
+          Seq("O", java.lang.Long.valueOf(7L))))
+      case _ => (Seq("v"), Seq(Seq(java.lang.Integer.valueOf(42))))
+    }
+
+  test("run_query: agate-shaped table — columns/rows/data all read") {
+    def rq(t: String) = Jinja.render(t, Map.empty, runQuery = fakeEngine).trim
+    assert(rq("{% set r = run_query('select count(*) from t group by 1') %}" +
+      "{{ r.columns[0].values() | join(',') }}") == "F,O")
+    assert(rq("{% set r = run_query('select count(*) from t group by 1') %}" +
+      "{{ r.rows[0].values()[1] }}") == "3")
+    assert(rq("{% set r = run_query('select count(*) from t group by 1') %}" +
+      "{{ r.rows[1]['status'] }}:{{ r.rows[1].n }}") == "O:7")
+    assert(rq("{% set r = run_query('select 42') %}" +
+      "{{ r.data | map(attribute=0) | list | join(';') }}") == "42")
+    assert(rq("{% set r = run_query('select count(*) from t group by 1') %}" +
+      "{{ r.column_names | join('|') }}") == "status|n")
+  }
+
+  test("statement/load_result: the dbt get_column_values shape end-to-end") {
+    val t = """{%- call statement('vals', fetch_result=true) %}
+              |  select status, count(*) from t group by 1
+              |{%- endcall -%}
+              |{%- set value_list = load_result('vals') -%}
+              |{%- if value_list and value_list['data'] -%}
+              |{%- set values = value_list['data'] | map(attribute=0) | list %}
+              |{{ values | join(', ') }}
+              |{%- endif -%}""".stripMargin
+    assert(Jinja.render(t, Map.empty, runQuery = fakeEngine).trim == "F, O")
+    // a never-run statement loads as None (dbt parity)
+    assert(Jinja.render("{% if load_result('nope') is none %}NONE{% endif %}",
+      Map.empty, runQuery = fakeEngine).trim == "NONE")
+  }
+
+  test("verbatim dbt_utils get_single_value renders untouched") {
+    // byte-identical to dbt-labs/dbt-utils macros/sql/get_single_value.sql
+    // (the dispatch wrapper is exercised through the package loader in
+    // mk_dbt_run_query; here the default__ impl runs directly)
+    val macroSrc =
+      """{% macro default__get_single_value(query, default) %}
+        |
+        |  {# This macro returns the (0, 0) record in a query, i.e. the first row of the first column #}
+        |
+        |    {%- call statement('get_query_result', fetch_result=True, auto_begin=false) -%}
+        |
+        |        {{ query }}
+        |
+        |    {%- endcall -%}
+        |
+        |    {%- if execute -%}
+        |
+        |        {% set r = load_result('get_query_result').table.columns[0].values() %}
+        |        {% if r | length == 0 %}
+        |            {% do print('No records selected from get_single_value statement.') %}
+        |            {% set sql_result = default %}
+        |        {% else %}
+        |            {% set sql_result = r[0] %}
+        |        {% endif %}
+        |
+        |    {%- else -%}
+        |
+        |        {% set sql_result = default %}
+        |
+        |    {%- endif -%}
+        |
+        |    {% do return(sql_result) %}
+        |
+        |{% endmacro %}
+        |""".stripMargin
+    val t = macroSrc +
+      "{{ default__get_single_value('select max(x) from t', -1) }}"
+    assert(Jinja.render(t, Map.empty, runQuery = fakeEngine).trim == "42")
+  }
+
+  // --------------- relation objects / filter-in-condition (r17) -----------
+
+  test("relation args are mapping-shaped objects that print as names") {
+    val t = """{% macro probe(rel) %}{{ rel is mapping }}|{{ rel.identifier }}|{{ rel.schema }}|{{ rel.metadata.get('type', '') }}|{{ rel }}|{{ 'from ' ~ rel }}{% endmacro %}{{ probe(source('raw', 'nation')) }}"""
+    assert(Jinja.render(t, Map.empty).trim ==
+      "TRUE|nation|raw|BaseRelation|raw.nation|from raw.nation")
+    // the _is_relation guard shape passes on a relation and trips on a string
+    val guard = """{% macro g(obj) %}{%- if not (obj is mapping and obj.get('metadata', {}).get('type', '').endswith('Relation')) -%}{{ exceptions.raise_compiler_error('expected a Relation, got: ' ~ obj) }}{%- endif -%}OK{% endmacro %}"""
+    assert(Jinja.render(guard + "{{ g(ref('m')) }}", Map.empty).trim == "OK")
+    val e = intercept[IllegalArgumentException] {
+      Jinja.render(guard + "{{ g('just_a_string') }}", Map.empty)
+    }
+    assert(e.getMessage.contains("expected a Relation"))
+  }
+
+  test("filter chains inside conditions evaluate (both branches)") {
+    // before the fix `cols|length <= 0` was unevaluable -> silently FALSE,
+    // so the empty branch could never fire
+    assert(r("{% set cols = [] %}{% if cols|length <= 0 %}EMPTY{% else %}N{% endif %}") == "EMPTY")
+    assert(r("{% set cols = ['a'] %}{% if cols|length <= 0 %}E{% else %}NONEMPTY{% endif %}") == "NONEMPTY")
+    assert(r("{% set except = ['N_A'] | map('lower') | list %}" +
+      "{% if 'n_a' | lower not in except %}MISS{% else %}HIT{% endif %}") == "HIT")
+    // `||` must not be parsed as a filter chain
+    assert(r("{{ 'a' if 1 == 1 or 2 == 2 }}") == "a")
+  }
+
+  test("run_query without a live engine fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Jinja.render("{{ run_query('select 1') }}", Map.empty)
+    }
+    assert(e.getMessage.contains("no live engine"))
+  }
+
+  test("map filter: named filter per element and attribute pluck") {
+    assert(r("{{ ['Ab', 'CD'] | map('lower') | list | join(',') }}") == "ab,cd")
+    // the get_filtered_columns_in_relation idiom: lowercase an except-list
+    assert(r("{% set except = ['N_NAME'] | map('lower') | list %}" +
+      "{% if 'n_name' in except %}HIT{% endif %}") == "HIT")
+    val t = """{%- set cols = adapter.get_columns_in_relation(source('raw', 'nation')) -%}
+              |{{ cols | map(attribute='name') | list | join(', ') }}""".stripMargin
+    assert(Jinja.render(t, Map.empty, schemaOf = fakeSchema).trim == "n_nationkey, n_name")
+  }
 }
