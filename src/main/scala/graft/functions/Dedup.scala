@@ -763,11 +763,12 @@ object Dedup {
         transform(sequence(lit(0), greatest(size(ws) - shingleN, lit(0))),
           i => concat_ws(" ", slice(ws, i + 1, lit(shingleN)))),
         s => length(s) > 0))
-      // one md5 per shingle (via the pair), reused across all k members
-      val hp = transform(shingleArr, s => {
-        val (h1, h2) = PortableHash.pair(s)
-        struct(h1.as("h1"), h2.as("h2"))
-      })
+      // one md5 per shingle, reused across all k members. pairStruct binds
+      // the md5 digest as a lambda variable: [[PortableHash.pair]]'s two
+      // columns each carry their own md5 subtree, and in THIS interpreted
+      // (HOF) context there is no common-subexpression elimination — the
+      // unbound form computed every shingle's md5 twice.
+      val hp = transform(shingleArr, s => PortableHash.pairStruct(s))
       // single aggregate pass so `hp` appears ONCE in the expression tree —
       // k separate array_min(transform(hp, …)) calls would inline (and
       // re-md5) the whole shingle hash k times. MaxValue sentinel → null
@@ -1108,8 +1109,9 @@ object Dedup {
       // deterministically once the new one holds the data (see [[Barrier]]
       // — waiting for GC leaves one |V| vector per round in the block
       // manager of a long-lived driver)
-      var labels = Barrier.iterCheckpoint(edges.select(col("a").as("id"))
+      var labelsCk = Barrier.iterCheckpoint(edges.select(col("a").as("id"))
         .distinct().withColumn("cluster", col("id")))
+      var labels = labelsCk
       var iter = 0
       var converged = false
       while (!converged && iter < maxIterations) {
@@ -1117,15 +1119,23 @@ object Dedup {
         val neighborMin = edges
           .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), "b")
           .groupBy(col("a").as("id")).agg(min(col("nc")).as("nmin"))
+        // the new label AND a per-row did-it-change flag ride ONE
+        // checkpointed frame, so the convergence probe below is a filter
+        // scan over the already-materialized local blocks — the previous
+        // shape (a fresh old⋈new join per round) re-planned and re-ran a
+        // two-join AQE query whose scheduler rounds dominated the loop's
+        // wall on small graphs (r17 profile: the label loop was ~75% of
+        // td_hamming_clusters' warm wall, nearly all of it in near-empty
+        // stages). Same rounds, same labels, same result.
+        val newCluster = least(col("cluster"), coalesce(col("nmin"), col("cluster")))
         val stable = Barrier.iterCheckpoint(
           labels.join(neighborMin, Seq("id"), "left")
-            .select(col("id"),
-              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster")))
-        converged = labels.select(col("id"), col("cluster").as("__old"))
-          .join(stable.select(col("id"), col("cluster").as("__new")), "id")
-          .filter(col("__old") =!= col("__new")).isEmpty
-        Barrier.release(labels)
-        labels = stable
+            .select(col("id"), newCluster.as("cluster"),
+              (newCluster =!= col("cluster")).as("__changed")))
+        converged = stable.filter(col("__changed")).isEmpty
+        Barrier.release(labelsCk)
+        labelsCk = stable
+        labels = stable.select(col("id"), col("cluster"))
         iter += 1
       }
       labels

@@ -30,6 +30,18 @@ object PortableHash {
     (conv(substring(md5(c), 1, 7), 16, 10).cast("long"),
       conv(substring(md5(c), 8, 7), 16, 10).cast("long"))
 
+  /** [[pair]] as one struct<h1,h2> with the md5 digest evaluated ONCE,
+    * bound as a lambda variable via the 1-element-array transform idiom —
+    * for INTERPRETED (higher-order-function) call sites, where the two
+    * [[pair]] columns would each evaluate their own md5 copy (interpreted
+    * eval performs no common-subexpression elimination; codegen'd plain
+    * projections dedupe the twin md5 subtrees on their own, so [[pair]]
+    * stays the right form there). Identical values by construction. */
+  def pairStruct(c: Column): Column =
+    element_at(transform(array(md5(c)), m =>
+      struct(conv(substring(m, 1, 7), 16, 10).cast("long").as("h1"),
+        conv(substring(m, 8, 7), 16, 10).cast("long").as("h2"))), 1)
+
   /** The DuckDB rendering of [[h60]] for oracle SQL. */
   def sqlH60(s: String): String =
     s"CAST('0x' || substring(md5($s), 1, 15) AS BIGINT)"

@@ -108,10 +108,20 @@ object Web {
   def registeredDomain(host: Column): Column = {
     val ipLiteral = host.rlike("^\\[.*\\]$") || host.contains(":") ||
       host.rlike("^[0-9.]+$")
-    val domain = PublicSuffixList.loaded match {
-      case Some(rules) => registeredDomainPsl(host, rules)
-      case None => registeredDomainSubset(host)
-    }
+    // the label array is BOUND once as a lambda variable (the 1-element-
+    // array transform idiom): every per-length suffix probe below slices
+    // the SAME array instead of re-running the regex split. This matters
+    // because the whole subtree evaluates INTERPRETED wherever it sits
+    // inside a HOF lambda (every [[registeredDomainOf]] /
+    // [[graft.functions.Graph.linkGraph]] call site) — interpreted eval has
+    // no common-subexpression elimination, so the unbound form re-split the
+    // host ~once per candidate suffix length (measured 2.3× on the whole
+    // linkGraph extraction at sf0.1, r17).
+    val domain = element_at(transform(array(split(host, "\\.")), labels =>
+      PublicSuffixList.loaded match {
+        case Some(rules) => registeredDomainPsl(host, labels, rules)
+        case None => registeredDomainSubset(host, labels)
+      }), 1)
     when(ipLiteral, host).otherwise(domain)
   }
 
@@ -122,9 +132,8 @@ object Web {
     * matching k (implicit `*` rule ⇒ at least 1). Exceptions override:
     * a matching exception rule IS the registered domain (its own leftmost
     * label is the registrant's). */
-  private[graft] def registeredDomainPsl(host: Column,
+  private[graft] def registeredDomainPsl(host: Column, labels: Column,
                                          rules: PublicSuffixList.Rules): Column = {
-    val labels = split(host, "\\.")
     val n = size(labels)
     // last-k labels re-joined. slice with a negative start counts from the
     // end and yields an EMPTY array when k exceeds the label count (no ANSI
@@ -155,8 +164,7 @@ object Web {
   }
 
   /** The no-data fallback: bare TLD + [[multiPartSuffixes]] handling only. */
-  private def registeredDomainSubset(host: Column): Column = {
-    val labels = split(host, "\\.")
+  private def registeredDomainSubset(host: Column, labels: Column): Column = {
     val n = size(labels)
     // try_element_at, not element_at: under ANSI mode (Spark 4 default) an
     // out-of-range index THROWS, and CaseWhen evaluates the first branch's

@@ -116,7 +116,7 @@ class WebSpec extends AnyFunSuite {
     // hand greatest() a single argument (plan-time AnalysisException)
     val r = PublicSuffixList.parse("!city.kobe.jp")
     val got = Seq("a.b.example.com", "city.kobe.jp", "localhost").toDF("h")
-      .select(Web.registeredDomainPsl(col("h"), r))
+      .select(Web.registeredDomainPsl(col("h"), split(col("h"), "\\."), r))
       .collect().map(_.getString(0)).toSeq
     // implicit * rule: 1-label public suffix → last two labels; the
     // exception rule IS the registered domain where it matches
