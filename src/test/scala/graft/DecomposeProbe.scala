@@ -67,6 +67,23 @@ object DecomposeProbe {
       time("pagerank full 3 iters")(Graph.pageRank(Graph.linkGraph(pages), 3))
     }
 
+    if (args.isEmpty || args.contains("web")) {
+      val synthUrl = graft.queries.PipelineQueries.synthUrl(col("doc_id"))
+      time("web regDomainOf(url) HOF-bound")(
+        docs.select(Web.registeredDomainOf(synthUrl).as("d")))
+      time("web regDomain(urlHost(url)) plain")(
+        docs.select(Web.registeredDomain(Web.urlHost(synthUrl)).as("d")))
+      time("web urlHost(url) plain")(
+        docs.select(Web.urlHost(synthUrl).as("h")))
+      time("web urlNormalize(url) plain")(
+        docs.select(Web.urlNormalize(synthUrl).as("u")))
+    }
+
+    if (args.isEmpty || args.contains("decon2")) {
+      time("decon ngrams (no distinct) n=13")(Dedup.ngrams(docs, "text", "doc_id", 13))
+      time("decon ngrams (no distinct) n=5")(Dedup.ngrams(docs, "text", "doc_id", 5))
+    }
+
     if (args.isEmpty || args.contains("minhash")) {
       time("minhash groupBy sig")(Dedup.minhash(docs, "text", "doc_id", 3, 16))
       time("minhash rowwise col")(docs.select(col("doc_id"),
