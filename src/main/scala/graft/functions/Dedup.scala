@@ -1099,6 +1099,14 @@ object Dedup {
     * per duplicate group" is a groupBy(cluster). */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIterations: Int = 20): DataFrame = {
+    // persist, NOT a checkpoint (r17 note): a lazy iterCheckpoint here was
+    // tried for the analysis-tax cut rankGraph got, and REVERTED — the
+    // InMemoryRelation's materialized-size statistics are what keep the
+    // label join downstream (hammingLabels' reps ⋈ comp) statically
+    // broadcast (BenchPlanSpec pin); a LogicalRDD reports default stats
+    // and the static plan degraded to sort-merge. The measured analysis
+    // saving was also marginal (0.59 → 0.54 s construction CPU), unlike
+    // rankGraph's 3.7 → 1.0 s.
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
       .distinct().persist()

@@ -186,7 +186,8 @@ object Graph {
   private case class RankGraph(e: DataFrame, shares: DataFrame,
                                nodes: DataFrame, srcNodes: DataFrame) {
     def unpersistAll(): Unit = {
-      e.unpersist(); shares.unpersist(); nodes.unpersist(); srcNodes.unpersist()
+      Barrier.release(e) // checkpointed (LogicalRDD), not a CacheManager entry
+      shares.unpersist(); nodes.unpersist(); srcNodes.unpersist()
     }
   }
 
@@ -204,7 +205,19 @@ object Graph {
     // a separate validation action: a dedicated isEmpty probe would cost
     // one extra job per rank call, and on the bench's small oracle graph
     // per-job overhead — not rank math — was 25% of the headline (r15).
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+    // LAZY iterCheckpoint, not persist (r17): a persist keeps the FULL
+    // logical tree alive — for a linkGraph input that is the whole per-page
+    // extraction expression forest — and every one of the k iterations'
+    // Dataset constructions re-ANALYZES it (eager per-transformation
+    // analysis; measured as the dominant driver-side cost of td_pagerank:
+    // 3.9 s of driver gap vs 2.7 s of job time at sf0.1). The checkpoint
+    // truncates the plan to a LogicalRDD immediately while staying lazy, so
+    // the first action (the |V| count below) still materializes it inside
+    // its own job exactly like the persist did; blocks release
+    // deterministically in unpersistAll, and reliable-checkpoint mode rides
+    // the same seam.
+    val e = Barrier.iterCheckpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w0"))
       .select(col("src"), col("dst"),
         when(col("w0").isNull || col("w0") <= 0.0,
@@ -212,13 +225,12 @@ object Graph {
             lit("rank graph requires strictly positive totalized edge weights; got ("),
             col("src"), lit(", "), col("dst"), lit(", "),
             coalesce(col("w0").cast("string"), lit("null")), lit(")"))))
-          .otherwise(col("w0")).as("w"))
-      .persist()
+          .otherwise(col("w0")).as("w")), eager = false)
     // a failure while BUILDING the derived frames (a pathological schema
     // failing analysis in the share division, a persist registration
     // error) must release whatever already registered in the CacheManager
     // — the caller's try/finally only owns a fully-constructed RankGraph
-    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](e)
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
     try {
       val outw = e.groupBy("src").agg(sum("w").as("ow"))
       val shares = e.join(outw, "src")
@@ -234,6 +246,7 @@ object Graph {
     } catch { case t: Throwable =>
       persisted.foreach(df =>
         try df.unpersist(blocking = false) catch { case _: Throwable => () })
+      try Barrier.release(e) catch { case _: Throwable => () }
       throw t
     }
   }

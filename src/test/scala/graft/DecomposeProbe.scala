@@ -67,6 +67,39 @@ object DecomposeProbe {
       time("pagerank full 3 iters")(Graph.pageRank(Graph.linkGraph(pages), 3))
     }
 
+    if (args.contains("plan")) {
+      // pure driver-side planning cost: force analysis + optimization +
+      // physical planning (pre-AQE) on a FRESH Dataset per rep, no execution
+      for (name <- Seq("q2_join_agg", "td_crawl_ingest", "td_pagerank",
+        "td_domain_quota", "td_crawl_pipeline", "td_decontaminate",
+        "td_hamming_clusters", "td_minhash_lsh", "q21_multi_join_star")) {
+        val mx = java.lang.management.ManagementFactory.getThreadMXBean
+        val runs = (1 to 3).map { _ =>
+          val c0 = mx.getCurrentThreadCpuTime
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+          ((System.nanoTime() - t0) / 1e9, (mx.getCurrentThreadCpuTime - c0) / 1e9)
+        }
+        println(f"DECOMP plan-only $name%-28s minWall ${runs.map(_._1).min}%.3f minCpu ${runs.map(_._2).min}%.3f  cpuRuns ${runs.map(r => f"${r._2}%.2f").mkString(",")}")
+      }
+    }
+
+    if (args.contains("phases")) {
+      for (name <- Seq("td_crawl_ingest", "q2_join_agg", "td_decontaminate");
+           rep <- 1 to 2) {
+        val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+        def t[A](f: => A): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val ta = t(qe.analyzed)
+        val tc = t(qe.withCachedData)
+        val to = t(qe.optimizedPlan)
+        val ts = t(qe.sparkPlan)
+        val te = t(qe.executedPlan)
+        println(f"DECOMP phases $name rep$rep analyze $ta%.3f cacheLookup $tc%.3f optimize $to%.3f physical $ts%.3f executed $te%.3f")
+      }
+    }
+
     if (args.isEmpty || args.contains("web")) {
       val synthUrl = graft.queries.PipelineQueries.synthUrl(col("doc_id"))
       time("web regDomainOf(url) HOF-bound")(
