@@ -115,8 +115,9 @@ object Web {
     // inside a HOF lambda (every [[registeredDomainOf]] /
     // [[graft.functions.Graph.linkGraph]] call site) — interpreted eval has
     // no common-subexpression elimination, so the unbound form re-split the
-    // host ~once per candidate suffix length (measured 2.3× on the whole
-    // linkGraph extraction at sf0.1, r17).
+    // host ~once per candidate suffix length (binding it measured the whole
+    // linkGraph extraction 2.30 → 1.42 s at sf0.1, r17; codegen'd plain
+    // projections already dedupe the copies and are unaffected).
     val domain = element_at(transform(array(split(host, "\\.")), labels =>
       PublicSuffixList.loaded match {
         case Some(rules) => registeredDomainPsl(host, labels, rules)
