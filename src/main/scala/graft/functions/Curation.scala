@@ -377,6 +377,14 @@ object Curation {
         Html.extractText(col(htmlCol)).as("text"))
       .persist()
     val reb = Dedup.paragraphDedup(kept.select(col(idCol), col("text")))
+    // NOTE (r17): merging this filter/withColumn/drop chain (and the quota
+    // and paragraph-dedup internals) into fewer select+where constructions
+    // to cut per-construction analyzer walks was tried and REVERTED — the
+    // quiet-window construct+plan CPU is flat (0.594 → 0.597 s min across
+    // alternating stash A/B sessions, DecomposeProbe `plan`); the "~1 s
+    // construction tax" earlier sessions measured was a loaded-window
+    // artifact (thread-CPU inflates ~4× under this sandbox's contention).
+    // Unmeasurable changes don't get to carry hash risk on 259 entries.
     val scored = reb
       .join(kept.drop("text"), Seq(idCol))
       // a page whose every line was a non-first duplicate rebuilds to ''

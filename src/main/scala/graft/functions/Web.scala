@@ -37,6 +37,17 @@ object Web {
     * only a real `]:80`/`]:443` suffix can match — the brackets stay in
     * the normalized URL (RFC 3986 requires them in the authority). */
   def urlNormalize(u: Column): Column = {
+    // NOTE (r17): a substring_index/locate/substr rewrite of these flat
+    // anchored regexes (and of urlHost/resolveUrl) was built, proven
+    // value-identical over an adversarial corpus, measured, and REVERTED:
+    // the plain-projection noop pass went 0.28 → 2.07 s at sf0.1 (7×) and
+    // construction analysis ~4×. The flat regex form is one cheap anchored
+    // match per component over a CSE-shared `base`; a string-scan form
+    // nests each component's derivation inside the next, and codegen CSE
+    // does not dedupe under conditional branches (nor does interpreted HOF
+    // eval at all), so the evaluated expression count grows combinatorially.
+    // Any future rewrite must bind intermediates (lambda-variable idiom) or
+    // stay flat — and must re-run the DecomposeProbe `web` A/B first.
     val base = regexp_extract(u, "^[^#]*", 0) // fragment gone
     val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport0 = lower(regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
