@@ -19,7 +19,7 @@ final class GitClient(workDir: String) {
   private def execute(args: Seq[String]): String = {
     val pb = new ProcessBuilder((Seq("git") ++ args): _*)
     pb.directory(workPath.toFile)
-    val proc = pb.start()
+    val proc = Spawn.start(pb) // retries transient fork/exec blips, see Spawn
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
     val rc = proc.waitFor()

@@ -55,17 +55,35 @@ object Barrier {
     *    .cleanCheckpoints=true` (set it in production); [[release]] on a
     *    reliable checkpoint is a harmless no-op.
     *
-    * The conf is read per call, so a long-lived driver can flip modes
-    * between runs. */
+    * MODE PRECEDENCE (r17 verdict #5): an explicit
+    * `spark.graft.reliableCheckpoints` wins (true forces reliable — and
+    * fails fast without a checkpoint dir; false forces local even when a
+    * checkpoint dir exists — the explicit local-mode fast path). UNSET,
+    * reliable mode auto-enables exactly when `sc.setCheckpointDir(...)` has
+    * been called: a production session that configured durable checkpoint
+    * storage gets fault-tolerant iteration vectors without also having to
+    * know about a graft conf flag, while local/bench sessions (no
+    * checkpoint dir) keep the localCheckpoint fast path. The conf is read
+    * per call, so a long-lived driver can flip modes between runs.
+    *
+    * Both modes go through [[org.apache.spark.sql.graft.PlanCheckpoint]]
+    * (r18): same materialization as `Dataset.checkpoint`/`localCheckpoint`,
+    * but the resulting LogicalRDD DECLARES the final plan's hash
+    * partitioning and ordering instead of `UnknownPartitioning(0)` (what
+    * the stock checkpoint records under AQE). The iterated vectors
+    * (PageRank ranks, label-propagation labels) come out of each round
+    * partitioned by the very key the next round joins on — declaring it
+    * lets EnsureRequirements reuse the layout, cutting the per-iteration
+    * Exchange(+Sort) that re-shuffled the vector every round. */
   def iterCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    val reliable =
-      spark.conf.getOption("spark.graft.reliableCheckpoints").exists(_.toBoolean)
-    if (reliable) {
+    val reliable = spark.conf.getOption("spark.graft.reliableCheckpoints")
+      .map(_.toBoolean)
+      .getOrElse(spark.sparkContext.getCheckpointDir.isDefined)
+    if (reliable)
       require(spark.sparkContext.getCheckpointDir.isDefined,
         "spark.graft.reliableCheckpoints=true needs sc.setCheckpointDir(...)")
-      df.checkpoint(eager)
-    } else df.localCheckpoint(eager)
+    org.apache.spark.sql.graft.PlanCheckpoint.checkpoint(df, eager, reliable)
   }
 
   private val cleaner = java.lang.ref.Cleaner.create()
@@ -114,7 +132,10 @@ object Barrier {
     val helpers = cached.toArray
     cleaner.register(result.queryExecution.commandExecuted, () =>
       helpers.foreach { df =>
-        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        // persisted helper → CacheManager unpersist; checkpointed helper
+        // (LogicalRDD) → drop its RDD blocks; both no-op on the other kind
+        try { df.unpersist(blocking = false); release(df) }
+        catch { case _: Throwable => () }
       })
     result
   }

@@ -342,40 +342,16 @@ object Curation {
             Seq("__dom"), "left_anti")
           .drop("__dom")
     }
-    // absolute canonicals only, the winning branch normalized, keyless
-    // pages self-keyed — one key definition shared with the streaming
-    // intake ([[Web.canonicalUrlKey]] holds the rules and the why)
-    val urlKey = Web.canonicalUrlKey(col(urlCol),
-      Html.extractCanonical(col(htmlCol)), col(idCol))
-    // TWO-PASS extraction (r17): url-dedup needs only the canonical key —
-    // one regex + the normalize fold — while the full 13-stage text
-    // extraction is the dominant per-byte cost of the whole recipe (the
-    // r16→r17 A/B adjudication measured it as ~60% of the honest call).
-    // Crawl url-dup rates make most of that work DEAD: a losing duplicate's
-    // title/lang/text are computed and immediately discarded. So pass 1
-    // scans every page for (id, url_key) only, the winner set is the min-id
-    // aggregate exactly as before, and pass 2 re-scans the source paying
-    // full extraction ONLY for winners. Cost trade at 100 TB: one extra
-    // scan of the html bytes (sequential parquet IO) buys back
-    // (1 − survivor-rate) of the regex CPU — the right side of that trade
-    // whenever extraction is CPU-bound, which a 13-stage chain is. The
-    // winner semi-join is id-keyed: AQE broadcasts the aggregated winner
-    // list while it is small; at cluster scale Spark's runtime bloom-filter
-    // injection prunes the second scan before any html byte shuffles, and
-    // the steady-state path is the incremental screen anyway (see above).
-    val keys = screened.select(col(idCol), urlKey.as("url_key"))
-    val urlKeep = keys.groupBy(col("url_key")).agg(min(col(idCol)).as(idCol))
-    // pass 2 starts from `pages`, not `screened`: winners are already
-    // blocklist-survivors by construction, so the anti-join needn't re-run
-    val winners = pages.join(urlKeep.select(col(idCol)), Seq(idCol), "left_semi")
-    // survivors persist: consumed by BOTH paragraphDedup and the rebuild
-    // join — unmaterialized, the extraction would run twice
-    val kept = winners.select(col(idCol), col(urlCol),
-        Html.extractTitle(col(htmlCol)).as("title"),
-        Html.extractLang(col(htmlCol)).as("lang_decl"),
-        urlKey.as("url_key"),
-        Html.extractText(col(htmlCol)).as("text"))
-      .persist()
+    // survivors CHECKPOINTED (r18, closing the r17 deferred lead): consumed
+    // by BOTH paragraphDedup and the rebuild join — unmaterialized, the
+    // extraction would run twice; merely persisted (the r17 shape), the
+    // full 13-regex extraction forest stayed the LOGICAL plan of every
+    // downstream construction and each one re-analyzed it (the rankGraph
+    // lesson, r17 change 4). The checkpoint truncates to a LogicalRDD. The
+    // two-pass plan shape is pinned on [[crawlKeptPlan]]'s own plan
+    // (BenchPlanSpec), since the materialized seam is opaque from outside.
+    val kept = Barrier.iterCheckpoint(
+      crawlKeptPlan(pages, screened, htmlCol, urlCol, idCol), eager = false)
     val reb = Dedup.paragraphDedup(kept.select(col(idCol), col("text")))
     // NOTE (r17): merging this filter/withColumn/drop chain (and the quota
     // and paragraph-dedup internals) into fewer select+where constructions
@@ -395,11 +371,54 @@ object Curation {
       .filter(col("quality") >= minQuality)
       .withColumn("domain", Web.registeredDomain(Web.urlHost(col(urlCol))))
       .drop(urlCol)
-    // kept releases once the caller drops the result — a persist left in
-    // the CacheManager survives GC forever ([[Barrier.releaseOnDrop]])
+    // kept's checkpoint blocks release once the caller drops the result
+    // ([[Barrier.releaseOnDrop]] handles both persisted and checkpointed
+    // helpers); the ContextCleaner is the GC-paced fallback either way
     Barrier.releaseOnDrop(
       Web.domainQuota(scored, domainCap, scoreCol = "quality", idCol = idCol,
         salts = quotaSalts), kept)
+  }
+
+  /** The two-pass survivor extraction [[crawlIngest]] materializes — the
+    * frame whose PLAN carries the recipe's scale contract, exposed so
+    * BenchPlanSpec can pin it on this side of the checkpoint seam:
+    *
+    * TWO-PASS extraction (r17): url-dedup needs only the canonical key —
+    * one regex + the normalize fold — while the full 13-stage text
+    * extraction is the dominant per-byte cost of the whole recipe (the
+    * r16→r17 A/B adjudication measured it as ~60% of the honest call).
+    * Crawl url-dup rates make most of that work DEAD: a losing duplicate's
+    * title/lang/text are computed and immediately discarded. So pass 1
+    * scans every page for (id, url_key) only, the winner set is the min-id
+    * aggregate exactly as before, and pass 2 re-scans the source paying
+    * full extraction ONLY for winners. Cost trade at 100 TB: one extra
+    * scan of the html bytes (sequential parquet IO) buys back
+    * (1 − survivor-rate) of the regex CPU — the right side of that trade
+    * whenever extraction is CPU-bound, which a 13-stage chain is. The
+    * winner semi-join is id-keyed: AQE broadcasts the aggregated winner
+    * list while it is small; at cluster scale Spark's runtime bloom-filter
+    * injection prunes the second scan before any html byte shuffles, and
+    * the steady-state path is the incremental screen anyway (see
+    * [[crawlIngest]]).
+    *
+    * Absolute canonicals only, the winning branch normalized, keyless
+    * pages self-keyed — one key definition shared with the streaming
+    * intake ([[Web.canonicalUrlKey]] holds the rules and the why). */
+  private[graft] def crawlKeptPlan(pages: DataFrame, screened: DataFrame,
+                                   htmlCol: String, urlCol: String,
+                                   idCol: String): DataFrame = {
+    val urlKey = Web.canonicalUrlKey(col(urlCol),
+      Html.extractCanonical(col(htmlCol)), col(idCol))
+    val keys = screened.select(col(idCol), urlKey.as("url_key"))
+    val urlKeep = keys.groupBy(col("url_key")).agg(min(col(idCol)).as(idCol))
+    // pass 2 starts from `pages`, not `screened`: winners are already
+    // blocklist-survivors by construction, so the anti-join needn't re-run
+    val winners = pages.join(urlKeep.select(col(idCol)), Seq(idCol), "left_semi")
+    winners.select(col(idCol), col(urlCol),
+      Html.extractTitle(col(htmlCol)).as("title"),
+      Html.extractLang(col(htmlCol)).as("lang_decl"),
+      urlKey.as("url_key"),
+      Html.extractText(col(htmlCol)).as("text"))
   }
 
   /** Benchmark decontamination report — the n-gram-overlap screen every

@@ -1107,9 +1107,7 @@ object Dedup {
     // and the static plan degraded to sort-merge. The measured analysis
     // saving was also marginal (0.59 → 0.54 s construction CPU), unlike
     // rankGraph's 3.7 → 1.0 s.
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
-      .distinct().persist()
+    val edges = clusterEdges(pairs, idA, idB)
     try {
       // the label vector is an eager checkpoint from round 0: each round
       // reads it twice (the propagation join and the convergence diff),
@@ -1123,23 +1121,7 @@ object Dedup {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIterations) {
-        // each node pulls the min cluster label among itself and its neighbors
-        val neighborMin = edges
-          .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), "b")
-          .groupBy(col("a").as("id")).agg(min(col("nc")).as("nmin"))
-        // the new label AND a per-row did-it-change flag ride ONE
-        // checkpointed frame, so the convergence probe below is a filter
-        // scan over the already-materialized local blocks — the previous
-        // shape (a fresh old⋈new join per round) re-planned and re-ran a
-        // two-join AQE query whose scheduler rounds dominated the loop's
-        // wall on small graphs (r17 profile: the label loop was ~75% of
-        // td_hamming_clusters' warm wall, nearly all of it in near-empty
-        // stages). Same rounds, same labels, same result.
-        val newCluster = least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-        val stable = Barrier.iterCheckpoint(
-          labels.join(neighborMin, Seq("id"), "left")
-            .select(col("id"), newCluster.as("cluster"),
-              (newCluster =!= col("cluster")).as("__changed")))
+        val stable = Barrier.iterCheckpoint(clusterRound(edges, labels))
         converged = stable.filter(col("__changed")).isEmpty
         Barrier.release(labelsCk)
         labelsCk = stable
@@ -1148,6 +1130,48 @@ object Dedup {
       }
       labels
     } finally edges.unpersist()
+  }
+
+  /** The persisted symmetric edge list [[clusters]] iterates over —
+    * extracted so the iteration-plan probe dumps exactly the loop's frame.
+    *
+    * Partitioned BY `b` — the key every propagation round joins on (r18,
+    * guide §2.4): hash(b) co-locates duplicate (a,b) rows too, so the
+    * distinct runs WITHOUT its own exchange (ClusteredDistribution(a,b) is
+    * satisfied by HashPartitioning(b) — same one-shuffle construction cost
+    * as the old hash(a,b) distinct), and the cached layout is the one the
+    * k iteration joins need, instead of one they must re-Exchange |E| rows
+    * away from every round once the edge side outgrows broadcast. The
+    * in-partition sort gives the cache an outputOrdering on `b`, so a
+    * sort-merge propagation join at scale re-sorts only the label vector,
+    * never the edge list. */
+  private[graft] def clusterEdges(pairs: DataFrame, idA: String = "id_a",
+                                  idB: String = "id_b"): DataFrame =
+    pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .repartition(col("b"))
+      .distinct()
+      .sortWithinPartitions("b")
+      .persist()
+
+  /** One label-propagation round — THE frame that runs `maxIterations`
+    * times at 100 TB (shared by the loop and the plan probe): each node
+    * pulls the min cluster label among itself and its neighbors. The new
+    * label AND a per-row did-it-change flag ride ONE checkpointed frame, so
+    * the convergence probe is a filter scan over the already-materialized
+    * local blocks — the previous shape (a fresh old⋈new join per round)
+    * re-planned and re-ran a two-join AQE query whose scheduler rounds
+    * dominated the loop's wall on small graphs (r17 profile: the label loop
+    * was ~75% of td_hamming_clusters' warm wall, nearly all of it in
+    * near-empty stages). Same rounds, same labels, same result. */
+  private[graft] def clusterRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val neighborMin = edges
+      .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), "b")
+      .groupBy(col("a").as("id")).agg(min(col("nc")).as("nmin"))
+    val newCluster = least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+    labels.join(neighborMin, Seq("id"), "left")
+      .select(col("id"), newCluster.as("cluster"),
+        (newCluster =!= col("cluster")).as("__changed"))
   }
 
   /** Benchmark-contamination detection: corpus documents sharing at least
@@ -1284,15 +1308,30 @@ object Dedup {
     // sf0.1; the byte ratio is what holds at 100 TB). Same negligible-
     // collision argument as the LSH band keys: a colliding pair perturbs
     // one intersection count with probability ~2⁻⁶⁴ per shingle pair.
-    val sh0 = arr.select(col(idCol), explode(col("shingles")).as("__s"))
-      .select(col(idCol), xxhash64(col("__s")).as("shingle"))
+    // each posting row carries its doc's shingle COUNT (+8 bytes through the
+    // pair-join exchange) to fund the length filter below
+    val sh0 = arr.select(col(idCol), size(col("shingles")).as("__n"),
+        explode(col("shingles")).as("__s"))
+      .select(col(idCol), col("__n"), xxhash64(col("__s")).as("shingle"))
     val sh = maxDf.fold(sh0) { m =>
       val keep = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= m).select("shingle")
       sh0.join(keep, "shingle") // broadcast-or-shuffle per AQE; df-capped
     }
+    // LENGTH FILTER (r18, the standard size bound of the similarity-join
+    // literature): J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|), so a pair whose
+    // size ratio is below the threshold can never pass the final jaccard
+    // filter — drop it AT THE JOIN, before it feeds the intersection
+    // aggregate. The 1e-4 slack covers the report's round(·, 4): a pair is
+    // only skipped when even the rounded score must fall below `threshold`,
+    // so the output is provably identical. With maxDf capping postings,
+    // inter only shrinks — the bound still holds.
+    val lengthCompatible =
+      least(col("a.__n"), col("b.__n")).cast("double") >=
+        lit(threshold - 1e-4) * greatest(col("a.__n"), col("b.__n"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          lengthCompatible)
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     Barrier.releaseOnDrop(inter

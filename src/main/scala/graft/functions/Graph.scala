@@ -183,16 +183,17 @@ object Graph {
     * nodes AND srcNodes persist because the k iteration jobs re-read them
     * k times — an unpersisted srcNodes would re-run the out-weight shuffle
     * aggregate over the edge list once per iteration. */
-  private case class RankGraph(e: DataFrame, shares: DataFrame,
-                               nodes: DataFrame, srcNodes: DataFrame) {
+  private[graft] case class RankGraph(e: DataFrame, shares: DataFrame,
+                                      nodes: DataFrame, srcNodes: DataFrame) {
     def unpersistAll(): Unit = {
       Barrier.release(e) // checkpointed (LogicalRDD), not a CacheManager entry
       shares.unpersist(); nodes.unpersist(); srcNodes.unpersist()
     }
   }
 
-  private def rankGraph(edges: DataFrame, srcCol: String, dstCol: String,
-                        weightCol: Option[String]): RankGraph = {
+  private[graft] def rankGraph(edges: DataFrame, srcCol: String = "src_domain",
+                               dstCol: String = "dst_domain",
+                               weightCol: Option[String] = Some("weight")): RankGraph = {
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     // totalize: accept raw (possibly duplicate) edges as well as
     // pre-aggregated ones — re-aggregating an already-distinct list is a
@@ -237,11 +238,18 @@ object Graph {
         .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
         .persist()
       persisted += shares
+      // nodes/srcNodes are the per-round join sides the k iterations read:
+      // cache them SORTED on the join key (r18, guide §2.4) so a sort-merge
+      // round join re-sorts only the fresh side (the rank vector /
+      // contribution aggregate), never these — an unsorted cache paid one
+      // |V| sort per round per join at every scale (Sort over
+      // InMemoryTableScan in the r18 before-plan)
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
-        .distinct().persist()
+        .distinct().sortWithinPartitions("node").persist()
       persisted += nodes
-      val srcNodes = outw.select(col("src").as("node")).persist()
+      val srcNodes = outw.select(col("src").as("node"))
+        .sortWithinPartitions("node").persist()
       RankGraph(e, shares, nodes, srcNodes)
     } catch { case t: Throwable =>
       persisted.foreach(df =>

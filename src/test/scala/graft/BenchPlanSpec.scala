@@ -412,30 +412,53 @@ class BenchPlanSpec extends AnyFunSuite {
       n
     }
     val opt = qe.optimizedPlan
-    // ALL html work sits behind the persist barrier: the consumers read
-    // only cached relations — a regex literal in the outer plan means some
-    // consumer re-runs extraction per action
+    // ALL html work sits behind the survivors CHECKPOINT (r18 — the seam
+    // moved from a persist to a lineage-truncating checkpoint, so every
+    // downstream construction analyzes a LogicalRDD instead of the
+    // 13-regex extraction forest): a regex literal in the outer plan means
+    // some consumer re-runs extraction per action
     assert(litCount(opt, "noscript") == 0 && litCount(opt, "<!DOCTYPE") == 0,
-      "html extraction leaked outside the persist barriers")
-    // the survivors relation (the one carrying title/url_key/text) holds
-    // the whole two-pass shape in its cached plan: the key-only pass is
-    // the semi-join build side (html built there ONCE for the canonical
-    // key), the winners-only pass is the probe side (html + full text
-    // chain ONCE), and the join broadcasts the aggregated winner ids at
-    // bench scale (no html-byte shuffle to reach the second scan)
-    val imrs = opt.collect {
-      case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i }
-    val kept = imrs.filter(_.output.map(_.name).contains("title"))
-      .map(_.cachedPlan.toString).distinct
-    assert(kept.size == 1, s"expected ONE survivors relation, got ${kept.size}")
-    assert("<!DOCTYPE".r.findAllIn(kept.head).size == 2,
+      "html extraction leaked outside the checkpoint seam")
+    // exactly ONE materialized survivors relation (the LogicalRDD carrying
+    // title/url_key/text) feeds both consumers — two distinct RDDs would
+    // mean the extraction materialized twice
+    val keptRdds = opt.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+        if l.output.map(_.name).contains("title") => l.rdd.id }.distinct
+    assert(keptRdds.size == 1,
+      s"expected ONE materialized survivors RDD, got $keptRdds")
+    // the two-pass shape lives in the survivors frame's OWN plan now (the
+    // checkpoint is opaque from outside): the key-only pass is the
+    // semi-join build side (html built there ONCE for the canonical key),
+    // the winners-only pass is the probe side (html + full text chain
+    // ONCE), and the join broadcasts the aggregated winner ids at bench
+    // scale (no html-byte shuffle to reach the second scan)
+    val docs = SparkTestSession.spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val pages = docs
+      .withColumn("html", graft.queries.PipelineQueries.synthHtml(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")))
+      .withColumn("url", graft.queries.PipelineQueries.synthUrl(
+        org.apache.spark.sql.functions.col("doc_id")))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.col("html"))
+    val kept = graft.functions.Curation
+      .crawlKeptPlan(pages, pages, "html", "url", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert("<!DOCTYPE".r.findAllIn(kept).size == 2,
       "expected exactly the key-pass + winner-pass html subtrees")
     // the strip-stage regex literal names the tag twice (open + close) —
     // count the pattern PREFIX, which appears once per chain instance
-    assert("\\(\\?is\\)<noscript".r.findAllIn(kept.head).size == 1,
+    assert("\\(\\?is\\)<noscript".r.findAllIn(kept).size == 1,
       "full text extraction must run only on winners, once")
-    assert(kept.head.contains("LeftSemi"), "winner filter lost the semi-join shape")
-    assert(kept.head.contains("BroadcastHashJoin"),
+    assert(kept.contains("LeftSemi"), "winner filter lost the semi-join shape")
+    val keptPhysical = graft.functions.Curation
+      .crawlKeptPlan(pages, pages, "html", "url", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(keptPhysical.contains("BroadcastHashJoin"),
       "winner semi-join should broadcast the aggregated winner ids at bench scale")
     // the quota keeps the skew-safe two-stage rank (domainQuota contract)
     val p = planOf("td_crawl_ingest")

@@ -520,7 +520,7 @@ class ContextE2ESpec extends AnyFunSuite {
       val pb = new ProcessBuilder((Seq("git", "-C", root.toString,
         "-c", "user.email=t@example.com", "-c", "user.name=t") ++ args): _*)
       pb.redirectErrorStream(true)
-      val pr = pb.start()
+      val pr = graft.core.Spawn.start(pb)
       val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
       require(pr.waitFor() == 0, s"git ${args.mkString(" ")}: $out")
     }

@@ -76,7 +76,8 @@ class VscodeExtensionSpec extends AnyFunSuite {
     // node ships in this container: a parse error in either file would
     // otherwise only surface inside a real VSCode host
     Seq("vscode/extension.js", "vscode/test/headless.js").foreach { f =>
-      val p = new ProcessBuilder("node", "--check", f).redirectErrorStream(true).start()
+      val p = graft.core.Spawn.start(
+        new ProcessBuilder("node", "--check", f).redirectErrorStream(true))
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       assert(p.waitFor() == 0, s"node --check $f failed:\n$out")
     }
@@ -104,7 +105,7 @@ class VscodeExtensionSpec extends AnyFunSuite {
       .redirectErrorStream(true)
     pb.environment().put("GRAFT_LSP_CMD", shim.toString)
     pb.environment().put("GRAFT_PROJECT", proj.toString)
-    val p = pb.start()
+    val p = graft.core.Spawn.start(pb)
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     assert(p.waitFor() == 0 && out.contains("HEADLESS OK"),
       s"headless harness failed:\n$out")

@@ -188,8 +188,8 @@ class UiServerSpec extends AnyFunSuite {
   test("node syntax-checks the SPA's inline script") {
     // a JS parse error would blank the whole SPA silently — node ships in
     // this container, so the script block is actually parsed
-    val p = new ProcessBuilder("node", "--check", spaScriptFile.toString)
-      .redirectErrorStream(true).start()
+    val p = graft.core.Spawn.start(new ProcessBuilder("node", "--check",
+      spaScriptFile.toString).redirectErrorStream(true))
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     assert(p.waitFor() == 0, s"SPA script failed node --check:\n$out")
   }
@@ -200,8 +200,9 @@ class UiServerSpec extends AnyFunSuite {
     // later columns with one SVG line per edge, and the lineage tab draws
     // upstream→column edges and hits the two-param endpoint when a column
     // is given — the view code executes, not just parses
-    val p = new ProcessBuilder("node", "src/test/resources/ui_harness.js",
-      spaScriptFile.toString).redirectErrorStream(true).start()
+    val p = graft.core.Spawn.start(new ProcessBuilder("node",
+      "src/test/resources/ui_harness.js", spaScriptFile.toString)
+      .redirectErrorStream(true))
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     assert(p.waitFor() == 0 && out.contains("UI HEADLESS OK"),
       s"SPA headless run failed:\n$out")
