@@ -468,6 +468,17 @@ object Curation {
         benchTextCol, benchIdCol, n)
       .select(col(benchIdCol), col("shingle").as("__gram"),
         size(split(col("shingle"), " ")).as("__glen"))
+      // NO per-(bench_id, gram) dedup here — adjudicated r18: the r17
+      // dedup-drop's k·m join-output inflation under repetitive text was
+      // probed at 1×/10×/100× boilerplate repetition (R18ContamSkewProbe):
+      // the match rows feed the report aggregate IN-TASK (broadcast build,
+      // streamed probe), so memory and shuffle stay flat at every factor
+      // (peak exec mem 17 MB, shuffle ~0), and quiet-floor min-of-3
+      // alternating walls are EQUAL between the raw-ngram and
+      // array_distinct forms even at 100× (7.1 vs 7.0 s) — gram GENERATION
+      // dominates, duplicate probes are marginal. A bench-side
+      // dropDuplicates was built and REVERTED as unmeasurable (the r17
+      // standard: no hash risk without a measured win).
       .persist()
     // every path from here must release the gram cache — a leaked
     // eval-set-sized persist per call parks blocks FOREVER (the

@@ -31,6 +31,7 @@ object R18ContamSkewProbe {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.scheduler._
     val taskMs = scala.collection.mutable.ArrayBuffer[Long]()
+    val stageRows = scala.collection.mutable.ArrayBuffer[String]()
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
     val peakMem = new java.util.concurrent.atomic.AtomicLong(0)
     @volatile var collecting = false
@@ -40,6 +41,15 @@ object R18ContamSkewProbe {
           taskMs.synchronized { taskMs += t.taskInfo.duration }
           shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
           peakMem.getAndAccumulate(t.taskMetrics.peakExecutionMemory, math.max)
+        }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        if (collecting) {
+          val si = s.stageInfo; val tm = si.taskMetrics
+          stageRows.synchronized { stageRows +=
+            f"    stage ${si.stageId}%3d tasks ${si.numTasks}%3d " +
+            f"wall ${(for {a <- si.completionTime; b <- si.submissionTime} yield a - b).getOrElse(-1L)}%6d ms " +
+            f"taskSum ${tm.executorRunTime}%7d ms cpu ${tm.executorCpuTime / 1000000}%7d ms  " +
+            si.name.takeWhile(_ != '\n').take(60) }
         }
     })
 
@@ -62,6 +72,37 @@ object R18ContamSkewProbe {
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300); collecting = false
       val ms = taskMs.toSeq.sorted
+      stageRows.foreach(println); stageRows.clear()
+      // stripped replicas differing ONLY in the corpus gram stream —
+      // ngrams (r17 dedup-drop, current) vs shingles (per-doc
+    // array_distinct, the pre-r17 form) — so the repetition cost of the
+      // drop is isolated from the call's persist/length/checkpoint harness
+      def strippedForm(distinct: Boolean): Long = {
+        val mk: (org.apache.spark.sql.DataFrame, String, String, Int) => org.apache.spark.sql.DataFrame =
+          if (distinct) Dedup.shingles else Dedup.ngrams
+        val bg = Dedup.ngrams(bench.select(col("bench_id"), col("text")),
+            "text", "bench_id", 13)
+          .select(col("bench_id"), col("shingle").as("__gram"))
+        mk(corpus, "text", "doc_id", 13)
+          .join(broadcast(bg), col("shingle") === col("__gram"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("shingle")).as("n_grams"),
+            array_join(transform(array_sort(collect_set(col("bench_id"))),
+              b => b.cast("string")), "|").as("bench_ids"))
+          .count()
+      }
+      strippedForm(false); strippedForm(true) // warm both
+      val walls = Map(false -> scala.collection.mutable.ArrayBuffer[Double](),
+        true -> scala.collection.mutable.ArrayBuffer[Double]())
+      for (_ <- 1 to 3; distinct <- Seq(false, true)) {
+        val t1 = System.nanoTime()
+        strippedForm(distinct)
+        walls(distinct) += (System.nanoTime() - t1) / 1e9
+      }
+      stageRows.clear()
+      def f3(xs: Seq[Double]) = xs.map(v => f"$v%.2f").mkString(",")
+      println(f"rep=$rep%-4d stripped ngrams(r17+) min ${walls(false).min}%6.2f [${f3(walls(false).toSeq)}]  " +
+        f"distinct(r16) min ${walls(true).min}%6.2f [${f3(walls(true).toSeq)}]")
       // join output rows: numOutputRows of the gram join, from the LAST
       // executed plan's metrics (the report is checkpointed eagerly, so its
       // plan executed inside contamination)
