@@ -17,31 +17,46 @@ class R18InternalsSpec extends AnyFunSuite {
     df.queryExecution.logical.asInstanceOf[LogicalRDD]
 
   test("iterCheckpoint mode precedence: unset conf auto-reliables on checkpoint dir") {
+    // order-robust in the SHARED test session: other suites (GraphSpec's
+    // reliable-mode test) may have left a checkpoint dir set — there is no
+    // unset API — so the no-dir cases run only when no dir exists yet, and
+    // the finally leaves the conf EXPLICITLY false (the local fast path)
+    // so a leftover dir cannot silently flip later suites to reliable.
     val sc = spark.sparkContext
+    val hadConf = spark.conf.getOption("spark.graft.reliableCheckpoints")
     val base = spark.range(0, 100).toDF("id")
     def mode(df: org.apache.spark.sql.DataFrame): String = {
       val rdd = lrOf(df).rdd
       // reliable checkpoints write files; localCheckpoint leaves no file
       if (rdd.getCheckpointFile.isDefined) "reliable" else "local"
     }
-    // (a) no conf, no checkpoint dir -> local fast path
-    spark.conf.unset("spark.graft.reliableCheckpoints")
-    assert(sc.getCheckpointDir.isEmpty)
-    assert(mode(Barrier.iterCheckpoint(base)) == "local")
-    // (b) conf=true without a dir -> fail fast, not a silent local run
-    spark.conf.set("spark.graft.reliableCheckpoints", "true")
-    intercept[IllegalArgumentException] { Barrier.iterCheckpoint(base) }
-    // (c) dir set, conf UNSET -> auto-reliable (r17 verdict #5)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    sc.setCheckpointDir(dir)
-    spark.conf.unset("spark.graft.reliableCheckpoints")
-    assert(mode(Barrier.iterCheckpoint(base)) == "reliable")
-    // (d) dir set, conf EXPLICITLY false -> the explicit local fast path wins
-    spark.conf.set("spark.graft.reliableCheckpoints", "false")
-    assert(mode(Barrier.iterCheckpoint(base)) == "local")
-    spark.conf.unset("spark.graft.reliableCheckpoints")
-    // leave no dir behind for other suites (SparkContext has no unset; a
-    // fresh dir per suite run is harmless, but keep the conf clean)
+    try {
+      if (sc.getCheckpointDir.isEmpty) {
+        // (a) no conf, no checkpoint dir -> local fast path
+        spark.conf.unset("spark.graft.reliableCheckpoints")
+        assert(mode(Barrier.iterCheckpoint(base)) == "local")
+        // (b) conf=true without a dir -> fail fast, not a silent local run
+        spark.conf.set("spark.graft.reliableCheckpoints", "true")
+        intercept[IllegalArgumentException] { Barrier.iterCheckpoint(base) }
+      }
+      // (c) dir set, conf UNSET -> auto-reliable (r17 verdict #5)
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      spark.conf.unset("spark.graft.reliableCheckpoints")
+      assert(mode(Barrier.iterCheckpoint(base)) == "reliable")
+      // (d) dir set, conf EXPLICITLY false -> the explicit local path wins
+      spark.conf.set("spark.graft.reliableCheckpoints", "false")
+      assert(mode(Barrier.iterCheckpoint(base)) == "local")
+      // (e) dir set, conf true -> reliable
+      spark.conf.set("spark.graft.reliableCheckpoints", "true")
+      assert(mode(Barrier.iterCheckpoint(base)) == "reliable")
+    } finally {
+      hadConf match {
+        case Some(v) => spark.conf.set("spark.graft.reliableCheckpoints", v)
+        case None => spark.conf.set("spark.graft.reliableCheckpoints", "false")
+      }
+    }
   }
 
   test("checkpoint declares the final plan's hash partitioning (and only a truthful one)") {
